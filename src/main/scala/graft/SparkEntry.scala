@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.ColumnOps
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the scale extensions), with a DuckDB oracle wherever the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Float discipline for oracle parity: aggregations of doubles are performed
+  * over DECIMAL casts (exact, order-independent) and cast back to DOUBLE at
+  * the end; per-row double arithmetic is IEEE-deterministic and identical in
+  * both engines. Every query has an explicit ORDER BY in both forms.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench).
+    * Normalize to microsecond TimestampType — the same ns→µs floor DuckDB
+    * applies on read, so both engines see identical instants.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- headline relational (bench + capability demonstration) ----
+
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(dec(col("o_totalprice"))).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_events_daily" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min), the batch shape of streaming
+      // session windows: two stacked windows over (user_id, ts) — one
+      // shuffle on user_id.
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec(col("value"))).cast("double").as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- scans / sources (SURVEY §2.1) ----
+
+    "q_load_parquet" -> ((s, dir) => {
+      t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    "q_load_inline_json" -> ((s, dir) => {
+      // LoadInlineJsonDatasetOp: dataset carried in the spec itself
+      import s.implicits._
+      Seq((1L, "alpha", true), (2L, "beta", false), (3L, "gamma", true))
+        .toDF("id", "name", "flag").orderBy(col("id"))
+    }),
+
+    // ---- projection / typed selects (SURVEY §2.2) ----
+
+    "q_select_text" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name").as("text_val"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_select_score" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice").as("score_val"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_select_categorical" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus").as("category_val"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_select_vector" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("vec"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_select_json" -> ((s, dir) => {
+      events(s, dir).select(col("event_id"), col("props").as("json_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_select_boolean" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1, true), (2, false), (3, true), (4, false))
+        .toDF("id", "flag").orderBy(col("id"))
+    }),
+
+    "q_select_conversation" -> ((s, dir) => {
+      import s.implicits._
+      Seq(
+        (1L, Seq(("user", "Hello"), ("assistant", "Hi there!"))),
+        (2L, Seq(("user", "How are you?"), ("assistant", "Great."))))
+        .toDF("id", "conv")
+        .select(col("id"), transform(col("conv"),
+          x => struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
+          .as("conversation"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- filters / row selection (SURVEY §2.3) ----
+
+    "q_take_rows" -> ((s, dir) => {
+      // TakeRowsOp: table[10::7][:50] over the canonical row order
+      val base = ColumnOps.withRowIdxByKey(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_linenumber"))
+      ColumnOps.takeRows(base, skip = 7, offset = 10, numRows = Some(50))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col(ColumnOps.RowIdx).as("row_idx"))
+    }),
+
+    "q_mask_rows" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      ColumnOps.maskRows(li, ColumnOps.categoryToBoolean(col("l_returnflag"), Set("R")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_category_to_boolean" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ColumnOps.categoryToBoolean(col("o_orderstatus"), Set("O", "F")).as("is_of"),
+          ColumnOps.categoryToBoolean(col("o_orderstatus"), Set.empty,
+            Some(Set("P"))).as("not_p"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_boolean_logic" -> ((s, dir) => {
+      val a = col("o_orderstatus") === "O"
+      val b = col("o_totalprice") > 150000.0
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          ColumnOps.booleanLogic("and", a, b).as("and_val"),
+          ColumnOps.booleanLogic("or", a, b).as("or_val"),
+          ColumnOps.booleanLogic("xor", a, b).as("xor_val"),
+          ColumnOps.booleanLogic("not", a, b).as("not_val"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- scalar transforms (SURVEY §2.4) ----
+
+    "q_pairwise_arith" -> ((s, dir) => {
+      val l = col("l_quantity"); val r = col("l_discount")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ColumnOps.pairwiseArithmetic("add", l, r).as("add_val"),
+          ColumnOps.pairwiseArithmetic("subtract", l, r).as("sub_val"),
+          ColumnOps.pairwiseArithmetic("multiply", l, r).as("mul_val"),
+          ColumnOps.pairwiseArithmetic("divide", l, col("l_extendedprice")).as("div_val"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_vector_to_scalar" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          ColumnOps.vectorToScalar(col("embedding"), 0).cast("double").as("elem0"),
+          ColumnOps.vectorToScalar(col("embedding"), 63).cast("double").as("elem63"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_parse_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_templatize" -> ((s, dir) => {
+      // JinjaTemplatizeOp over two context columns; this simple var-only
+      // template lowers to concat (stays in codegen); the full Jinja path
+      // (conditionals/loops/filters) is exercised in TemplateSpec tests.
+      val tmpl = "Hello {{name}}, segment {{segment}}!"
+      val render = udf { (name: String, segment: String) =>
+        graft.ops.Template.render(tmpl,
+          Map("name" -> name, "segment" -> segment))
+      }
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          render(col("c_name"), col("c_mktsegment")).as("prompt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_assign_rowid" -> ((s, dir) => {
+      ColumnOps.assignRowId(t(s, dir, "orders"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("row_id"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_train_test_split" -> ((s, dir) => {
+      // exact-count contract: ceil(0.25*n) test rows, rest train
+      ColumnOps.assignTrainTestSplit(t(s, dir, "customer"),
+          Some(0.25), None, seed = 19190115L)
+        .groupBy(col("split")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("split"))
+    }),
+
+    // ---- dedup extensions ----
+
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicateGroups(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("text_md5"), col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard on an id-window candidate set (smoke shape;
+      // the LSH path above is the scale path)
+      val docs = t(s, dir, "documents")
+      val cands = docs.select(col("doc_id").as("id_a"))
+        .filter(col("id_a") < 20)
+        .crossJoin(docs.select(col("doc_id").as("id_b")).filter(col("id_b") < 20))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.jaccardVerify(docs, "text", "doc_id", cands, shingleN = 3,
+          threshold = 0.0)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_cosine" -> ((s, dir) => {
+      Dedup.cosineNearDuplicates(t(s, dir, "embeddings"), "embedding", "vec_id",
+          dim = 64, nPlanes = 8, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity search extensions ----
+
+    "q_ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- text analysis extensions ----
+
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      val text = col("text")
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++
+          TextAnalysis.qualityFeatures(text).filter(_._1 != "mean_token_len")
+            .map { case (n, c) =>
+              (if (n == "n_tokens") c.cast("long") else c).as(n)
+            }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint_rolling" -> ((s, dir) => {
+      // 64-bit Rabin-Karp-style rolling hash; engine-specific constant, so
+      // rows-only oracle (no ANSI equivalent)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingHashUdf(col("text")).as("fp_rolling"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names & order-by). */
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess,
+        |    ts, event_id
+        |  FROM (SELECT user_id, ts, event_id, value,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events)),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_load_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_load_inline_json" ->
+      """SELECT * FROM (VALUES
+        |(CAST(1 AS BIGINT), 'alpha', true),
+        |(CAST(2 AS BIGINT), 'beta', false),
+        |(CAST(3 AS BIGINT), 'gamma', true)) AS t(id, name, flag)
+        |ORDER BY id""".stripMargin,
+
+    "q_select_text" ->
+      "SELECT c_custkey, c_name AS text_val FROM customer ORDER BY c_custkey",
+
+    "q_select_score" ->
+      "SELECT o_orderkey, o_totalprice AS score_val FROM orders ORDER BY o_orderkey",
+
+    "q_select_categorical" ->
+      "SELECT o_orderkey, o_orderstatus AS category_val FROM orders ORDER BY o_orderkey",
+
+    "q_select_vector" ->
+      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_select_json" ->
+      "SELECT event_id, props AS json_val FROM events ORDER BY event_id",
+
+    "q_select_boolean" ->
+      """SELECT * FROM (VALUES (1, true), (2, false), (3, true), (4, false))
+        |AS t(id, flag) ORDER BY id""".stripMargin,
+
+    "q_select_conversation" ->
+      """SELECT * FROM (VALUES
+        |(CAST(1 AS BIGINT), [struct_pack(role := 'user', content := 'Hello'),
+        |  struct_pack(role := 'assistant', content := 'Hi there!')]),
+        |(CAST(2 AS BIGINT), [struct_pack(role := 'user', content := 'How are you?'),
+        |  struct_pack(role := 'assistant', content := 'Great.')]))
+        |AS t(id, conversation) ORDER BY id""".stripMargin,
+
+    "q_take_rows" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS BIGINT) - 1 AS row_idx
+        |FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, row_idx FROM t
+        |WHERE row_idx >= 10 AND (row_idx - 10) % 7 = 0
+        |ORDER BY row_idx LIMIT 50""".stripMargin,
+
+    "q_mask_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_category_to_boolean" ->
+      """SELECT o_orderkey, o_orderstatus IN ('F', 'O') AS is_of,
+        |o_orderstatus NOT IN ('P') AS not_p
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_boolean_logic" ->
+      """SELECT o_orderkey,
+        |(o_orderstatus = 'O') AND (o_totalprice > 150000.0) AS and_val,
+        |(o_orderstatus = 'O') OR (o_totalprice > 150000.0) AS or_val,
+        |(o_orderstatus = 'O') <> (o_totalprice > 150000.0) AS xor_val,
+        |NOT (o_orderstatus = 'O') AS not_val
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_pairwise_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |l_quantity + l_discount AS add_val,
+        |l_quantity - l_discount AS sub_val,
+        |l_quantity * l_discount AS mul_val,
+        |l_quantity / l_extendedprice AS div_val
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_vector_to_scalar" ->
+      """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS elem0,
+        |CAST(embedding[64] AS DOUBLE) AS elem63
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_parse_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_templatize" ->
+      """SELECT c_custkey,
+        |'Hello ' || c_name || ', segment ' || c_mktsegment || '!' AS prompt
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_assign_rowid" ->
+      """SELECT o_orderkey,
+        |CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) - 1 AS row_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_train_test_split" ->
+      """SELECT 'test' AS split, CAST(ceil(0.25 * COUNT(*)) AS BIGINT) AS cnt FROM customer
+        |UNION ALL
+        |SELECT 'train' AS split, COUNT(*) - CAST(ceil(0.25 * COUNT(*)) AS BIGINT) AS cnt FROM customer
+        |ORDER BY split""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM embeddings),
+        |s AS (SELECT qid query_id, cid corpus_id, list_cosine_similarity(qv, cv) cosf FROM q, c),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |CASE WHEN length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |       '([a-zA-Z])([0-9])', '\1 \2', 'g'), '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+        |       '([a-z])([A-Z])', '\1 \2', 'g'))) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |       '([a-zA-Z])([0-9])', '\1 \2', 'g'), '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+        |       '([a-z])([A-Z])', '\1 \2', 'g')), '\s+')) END AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |length(text) AS n_chars,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS upper_ratio,
+        |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
+        |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+        |    SELECT doc_id,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+        |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+        |    ELSE [] END AS ngrams
+        |    FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
+        |      FROM documents))),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM documents a, documents b
+        |  WHERE a.doc_id < 20 AND b.doc_id < 20 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0 THEN
+        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+        |ELSE 0.0 END AS jaccard
+        |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id
+        |JOIN sh sb ON cand.id_b = sb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
+  ).filter(_._2.nonEmpty)
 }

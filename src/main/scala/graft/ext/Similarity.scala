@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast nested-loop of the
+  * (small) query set against the corpus, per-row dot products with
+  * `zip_with`/`aggregate` (codegen'd higher-order functions, no UDF in the
+  * hot path), then a per-query top-k window.
+  *
+  * Scale path: IVF — corpus pre-partitioned into nlist cells by nearest
+  * centroid; a query probes only nprobe cells, so the scan is
+  * (nprobe/nlist) of the data and the cell assignment is a broadcast join
+  * against the tiny centroid table. At 100 TB the corpus would additionally
+  * be *stored* partitioned by cell id (partition pruning at the source).
+  */
+object Similarity {
+
+  /** dot(a,b) with doubles, sequential over elements — deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors. `queries` must be small (it is broadcast).
+    * Output: (query_id, corpus_id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv")))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))
+    val scored = c.crossJoin(q)
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Deterministic centroid selection for IVF without iterative k-means:
+    * pick nlist corpus vectors by hash of id (stable "k-means||-lite" —
+    * random projection seeds). Good enough for bucketing; a real deployment
+    * would run `org.apache.spark.ml.clustering.KMeans` once and persist
+    * centroids.
+    */
+  def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int): Array[(Int, Seq[Float])] = {
+    val picked = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy("h").limit(nlist)
+      .collect()
+    picked.zipWithIndex.map { case (r, i) => (i, r.getAs[scala.collection.Seq[Float]]("v").toSeq) }
+  }
+
+  /** IVF top-k: assign corpus rows to nearest centroid (broadcast centroid
+    * table), probe the nprobe nearest cells per query.
+    */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = pickCentroids(corpus, corpusId, corpusVec, nlist)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assignUdf = udf { v: scala.collection.Seq[Float] =>
+      var best = 0; var bestD = Double.MinValue
+      for ((cid, cv) <- bc.value) {
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < v.length) {
+          dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
+          i += 1
+        }
+        val cos = if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
+        if (cos > bestD) { bestD = cos; best = cid }
+      }
+      best
+    }
+    val probeUdf = udf { v: scala.collection.Seq[Float] =>
+      bc.value.map { case (cid, cv) =>
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < v.length) {
+          dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
+          i += 1
+        }
+        (cid, if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0)
+      }.sortBy(-_._2).take(nprobe).map(_._1)
+    }
+
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))
+      .withColumn("cell", assignUdf(col("__cv")))
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"))
+      .withColumn("cell", explode(probeUdf(col("__qv")))))
+    val scored = c.join(q, Seq("cell"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+}

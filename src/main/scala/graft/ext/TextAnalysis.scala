@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines — beyond
+  * the reference's surface (north star in /root/repo/BASELINE.json). All are
+  * pure narrow transformations: per-row Column expressions (whole-stage
+  * codegen, no shuffle), so they scale linearly with input splits at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count; empty/blank text → 0. Pure built-ins. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: split on case/digit transitions as well as
+    * whitespace — an approximation of byte-pair token counts without a
+    * vocab. Implemented by inserting spaces at transitions then counting
+    * whitespace tokens (RE2-compatible: no lookbehind, so the same logic is
+    * expressible in the DuckDB oracle).
+    */
+  def subwordCount(text: Column): Column = {
+    val norm = regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "([a-zA-Z])([0-9])", "$1 $2"),
+        "([0-9])([a-zA-Z])", "$1 $2"),
+      "([a-z])([A-Z])", "$1 $2")
+    tokenCount(norm)
+  }
+
+  /** Quality-score feature struct: cheap per-row signals used for corpus
+    * filtering (C4/Gopher-style heuristics, all expressible as codegen'd
+    * expressions).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = text
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nUpper = length(regexp_replace(t, "[^A-Z]", ""))
+    val nDigit = length(regexp_replace(t, "[^0-9]", ""))
+    val nPunct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_token_len" ->
+        when(nTokens > 0, (nChars - (nTokens - 1)).cast("double") / nTokens)
+          .otherwise(lit(0.0)),
+      "upper_ratio" -> when(nChars > 0, nUpper.cast("double") / nChars).otherwise(lit(0.0)),
+      "digit_ratio" -> when(nChars > 0, nDigit.cast("double") / nChars).otherwise(lit(0.0)),
+      "punct_ratio" -> when(nChars > 0, nPunct.cast("double") / nChars).otherwise(lit(0.0))
+    )
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme length, high
+    * digit/punct density, and very short docs. Deterministic, heuristic. */
+  def qualityScore(text: Column): Column = {
+    val feats = qualityFeatures(text).toMap
+    val lenOk = when(feats("n_tokens").between(5, 100000), lit(1.0)).otherwise(lit(0.3))
+    val digitPenalty = lit(1.0) - least(feats("digit_ratio") * 2.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(feats("punct_ratio") * 4.0, lit(1.0))
+    round(lenOk * digitPenalty * punctPenalty, 6)
+  }
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic.
+    * Small per-language function-word sets (public knowledge). */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "por")
+  )
+
+  /** Language-ID heuristic: CJK codepoint detection for zh, else the
+    * language whose stopword list overlaps the document's tokens most;
+    * tie/none → "und". Per-row expression tree (no UDF): for each language,
+    * count token-membership with `array_intersect`-free token scans.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "[^\\p{L}]+")
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val cnt = size(filter(toks, t => t.isin(words: _*)))
+      (lang, cnt)
+    }
+    val hasCjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und"): Column) { case ((lang, cnt), acc) =>
+      when(cnt === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(hasCjk, lit("zh")).otherwise(pick)
+  }
+
+  /** Document fingerprint, oracle-verifiable flavor: md5 over normalized
+    * text (lowercase, collapsed whitespace). Stable across engines. */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Document fingerprint, rolling-hash flavor: 64-bit polynomial rolling
+    * hash of the normalized text (base 1000003, mod 2^64 via Long
+    * overflow) — the classic Rabin-Karp shape; implemented as a Scala UDF
+    * (row-local, no shuffle impact).
+    */
+  def rollingHash(s: String): Long = {
+    var h = 1469598103934665603L // FNV offset basis
+    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    var i = 0
+    while (i < norm.length) { h = h * 1000003L + norm.charAt(i); i += 1 }
+    h
+  }
+  val rollingHashUdf = udf(rollingHash _)
+}

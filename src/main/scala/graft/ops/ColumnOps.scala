@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core column algebra of the engine — the Spark-first re-expression of the
+  * reference's ephemeral column ops (krnel-graph `dataset_ops.py`).
+  *
+  * Design: the reference aligns columns *positionally* (same source dataset ⇒
+  * same row order; see reference `local_arrow_runner.py:818-836` length
+  * checks). In Spark, relations are unordered, so ops that need positional
+  * identity take an explicit, deterministic row index (`rowIdx`) derived
+  * either from a key ordering (preferred — survives any repartitioning at
+  * 100 TB) or `zipWithIndex` at load for keyless sources. Ops that combine
+  * columns from the *same* lineage are pure `Column` expressions — zero
+  * joins, zero shuffles, fully codegen'd — which is the fused fast path the
+  * runner uses for chains of ephemeral ops.
+  */
+object ColumnOps {
+
+  val RowIdx = "__row_idx"
+
+  /** Deterministic 0-based row index from an explicit total ordering.
+    * Window over a global ORDER BY: a single-stage range shuffle; at scale
+    * prefer key-derived indices (this is only needed for positional ops).
+    */
+  def withRowIdxByKey(df: DataFrame, keys: Column*): DataFrame =
+    df.withColumn(RowIdx, row_number().over(Window.orderBy(keys: _*)).cast("long") - 1)
+
+  /** Deterministic 0-based row index in file order via zipWithIndex —
+    * for keyless sources. Two jobs (count + index) but no shuffle; order is
+    * stable for an immutable file set read with a fixed partitioning.
+    * (Reference: positional identity of a loaded parquet,
+    * `local_arrow_runner.py:500-512`.)
+    */
+  def withRowIdxByFileOrder(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
+    }
+    df.sparkSession.createDataFrame(
+      rdd,
+      schema.add(RowIdx, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** TakeRowsOp (reference `dataset_ops.py:222-230`): python slice
+    * `table[offset::skip][:num_rows]` re-expressed over the row index.
+    * The limit keeps the plan a pushed-down filter + local limit.
+    */
+  def takeRows(df: DataFrame, skip: Int = 1, offset: Int = 0,
+               numRows: Option[Int] = None): DataFrame = {
+    require(skip >= 1, s"skip must be >= 1, got $skip")
+    val sliced = df.filter(
+      (col(RowIdx) >= offset) && ((col(RowIdx) - offset) % skip === 0))
+    numRows match {
+      case Some(n) =>
+        // keep deterministic: first n in row-index order
+        sliced.orderBy(col(RowIdx)).limit(n)
+      case None => sliced
+    }
+  }
+
+  /** CategoryToBooleanOp (reference `dataset_ops.py:248-316`):
+    * membership of a categorical column in `trueValues`.
+    * With both sets given, rows outside the union are invalid (hard error in
+    * the reference — here `validateCategoryUniverse` performs that check).
+    * With only `falseValues`, result is the negated membership.
+    */
+  def categoryToBoolean(c: Column, trueValues: Set[String],
+                        falseValues: Option[Set[String]] = None): Column =
+    if (trueValues.nonEmpty) c.isin(trueValues.toSeq.sorted: _*)
+    else falseValues match {
+      case Some(fv) => !c.isin(fv.toSeq.sorted: _*)
+      case None => throw new IllegalArgumentException(
+        "one of trueValues/falseValues required")
+    }
+
+  /** The reference's subset validation: observed values must be within
+    * true ∪ false (`dataset_ops.py:281-301`). Distributed: an any()
+    * aggregate, no collect of data.
+    */
+  def validateCategoryUniverse(df: DataFrame, c: Column,
+                               universe: Set[String]): Unit = {
+    val bad = df.filter(!c.isin(universe.toSeq: _*) && c.isNotNull).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"categorical column contains values outside ${universe.toSeq.sorted}")
+  }
+
+  /** BooleanLogicOp (reference `dataset_ops.py:319-346`). */
+  def booleanLogic(operation: String, l: Column, r: Column): Column =
+    operation match {
+      case "and" => l && r
+      case "or"  => l || r
+      case "xor" => l =!= r
+      case "not" => !l
+      case other => throw new IllegalArgumentException(s"bad op $other")
+    }
+
+  /** PairwiseArithmeticOp (reference `dataset_ops.py:353-379`) with numpy
+    * semantics for division: x/0 → ±Infinity, 0/0 → NaN (numpy errstate
+    * ignored — reference `local_arrow_runner.py:744-747`). Spark's `/`
+    * yields null on zero divisor (non-ANSI), so divide is special-cased.
+    */
+  def pairwiseArithmetic(operation: String, l: Column, r: Column): Column =
+    operation match {
+      case "add"      => l + r
+      case "subtract" => l - r
+      case "multiply" => l * r
+      case "divide" =>
+        when(r === 0.0,
+          when(l > 0, lit(Double.PositiveInfinity))
+            .when(l < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(l.cast("double") / r.cast("double"))
+      case other => throw new IllegalArgumentException(s"bad op $other")
+    }
+
+  /** VectorToScalarOp (reference `dataset_ops.py:348-351`): element
+    * `colIndex` (0-based, reference convention) of each vector.
+    * Spark `element_at` is 1-based.
+    */
+  def vectorToScalar(vec: Column, colIndex: Int): Column =
+    element_at(vec, colIndex + 1)
+
+  /** Bounds check for vectorToScalar (reference
+    * `local_arrow_runner.py:688-719`): index must be < min vector length.
+    */
+  def validateVectorIndex(df: DataFrame, vec: Column, colIndex: Int): Unit = {
+    val minLen = df.agg(min(size(vec))).head().getInt(0)
+    if (colIndex < 0 || colIndex >= minLen) throw new IndexOutOfBoundsException(
+      s"col_index $colIndex out of bounds for vectors of min length $minLen")
+  }
+
+  /** AssignTrainTestSplitOp (reference `dataset_ops.py:168-184`,
+    * `local_arrow_runner.py:538-620`): seeded *exact-count* random
+    * assignment. float proportion ⇒ test = ceil(p*n) (reference:
+    * `local_arrow_runner.py:567-572`), int ⇒ absolute count; the complement
+    * is inferred. Deterministic for a given seed *within this engine* (RNG
+    * differs from CPython's `random.sample` — documented contract,
+    * SURVEY §7.4.3).
+    *
+    * Distributed: `rand(seed)` is deterministic per partition+offset for a
+    * fixed partitioning; exact count needs a global rank. A full sort by
+    * rand would shuffle everything, so rank via a window over the random
+    * draw — one range shuffle of (key, draw) pairs only at materialize time.
+    * At 100 TB one would sample-estimate the threshold instead; exactness is
+    * the reference's contract so we keep the rank.
+    */
+  def assignTrainTestSplit(df: DataFrame, testFraction: Option[Double],
+                           testCount: Option[Int], seed: Long): DataFrame = {
+    val n = df.count()
+    val nTest: Long = (testFraction, testCount) match {
+      case (Some(p), None) =>
+        require(p >= 0 && p <= 1, s"test proportion $p out of [0,1]")
+        math.ceil(p * n).toLong
+      case (None, Some(c)) => c.toLong
+      case _ => math.ceil(0.25 * n).toLong // reference default test=0.25
+    }
+    require(nTest <= n, s"test count $nTest exceeds row count $n")
+    val withDraw = df.withColumn("__draw", rand(seed))
+    val w = Window.orderBy(col("__draw"))
+    withDraw
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("split", when(col("__rank") <= nTest, "test").otherwise("train"))
+      .drop("__draw", "__rank")
+  }
+
+  /** AssignRowIDOp (declared but unimplemented in the reference,
+    * `dataset_ops.py:161-166`) — here implemented as the deterministic
+    * row index, exposed as a column.
+    */
+  def assignRowId(df: DataFrame, orderKeys: Column*): DataFrame =
+    if (orderKeys.nonEmpty) withRowIdxByKey(df, orderKeys: _*).withColumnRenamed(RowIdx, "row_id")
+    else withRowIdxByFileOrder(df).withColumnRenamed(RowIdx, "row_id")
+
+  /** MaskRowsOp (reference `dataset_ops.py:233-245`) for the *fused* case:
+    * mask is an expression over the same lineage ⇒ a plain filter
+    * (predicate-pushdown friendly). The runner handles the cross-dataset
+    * case with a `__row_idx` equi-join.
+    */
+  def maskRows(df: DataFrame, mask: Column): DataFrame = df.filter(mask)
+
+  /** Positional-join form: align a standalone column result with its source
+    * dataset by row index (both must carry RowIdx). Broadcast the mask side
+    * when it is small (runner decides).
+    */
+  def joinOnRowIdx(ds: DataFrame, colDf: DataFrame,
+                   broadcastRight: Boolean = false): DataFrame = {
+    val left = ds
+    val right0 = colDf
+    // avoid ambiguous names other than RowIdx
+    val right = if (broadcastRight) broadcast(right0) else right0
+    left.join(right, Seq(RowIdx), "inner")
+  }
+}
