@@ -98,8 +98,11 @@ object SparkEntry {
       val ev = events(s, dir)
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
         .withColumn("new_sess",
+          // microsecond-precision gap compare — unix_timestamp truncates to
+          // whole seconds, which disagreed with the oracle's fractional
+          // epoch() on boundary gaps (round-1 hash mismatch)
           when(col("prev_ts").isNull ||
-            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 1800000000L, 1L)
             .otherwise(0L))
         .withColumn("session_id",
           sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -141,10 +144,13 @@ object SparkEntry {
     }),
 
     "q_select_vector" -> ((s, dir) => {
+      // flattened (vec_id, pos, val) form: scalar columns hash-compare in
+      // the driver's pandas harness (round-1 list columns were unhashable)
       t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("vec"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("pos"))
     }),
 
     "q_select_json" -> ((s, dir) => {
@@ -159,15 +165,17 @@ object SparkEntry {
     }),
 
     "q_select_conversation" -> ((s, dir) => {
+      // conversation column (array<struct<role,content>>), flattened to
+      // (id, pos, role, content) for the scalar-only oracle compare
       import s.implicits._
       Seq(
         (1L, Seq(("user", "Hello"), ("assistant", "Hi there!"))),
         (2L, Seq(("user", "How are you?"), ("assistant", "Great."))))
         .toDF("id", "conv")
-        .select(col("id"), transform(col("conv"),
-          x => struct(x.getField("_1").as("role"), x.getField("_2").as("content")))
-          .as("conversation"))
-        .orderBy(col("id"))
+        .select(col("id"), posexplode(col("conv")))
+        .select(col("id"), col("pos").cast("long").as("pos"),
+          col("col._1").as("role"), col("col._2").as("content"))
+        .orderBy(col("id"), col("pos"))
     }),
 
     // ---- filters / row selection (SURVEY §2.3) ----
@@ -403,7 +411,7 @@ object SparkEntry {
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, value,
-        |    CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess,
         |    ts, event_id
         |  FROM (SELECT user_id, ts, event_id, value,
@@ -439,8 +447,10 @@ object SparkEntry {
       "SELECT o_orderkey, o_orderstatus AS category_val FROM orders ORDER BY o_orderkey",
 
     "q_select_vector" ->
-      """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS val
+        |FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS pos
+        |      FROM embeddings)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "q_select_json" ->
       "SELECT event_id, props AS json_val FROM events ORDER BY event_id",
@@ -451,11 +461,11 @@ object SparkEntry {
 
     "q_select_conversation" ->
       """SELECT * FROM (VALUES
-        |(CAST(1 AS BIGINT), [struct_pack(role := 'user', content := 'Hello'),
-        |  struct_pack(role := 'assistant', content := 'Hi there!')]),
-        |(CAST(2 AS BIGINT), [struct_pack(role := 'user', content := 'How are you?'),
-        |  struct_pack(role := 'assistant', content := 'Great.')]))
-        |AS t(id, conversation) ORDER BY id""".stripMargin,
+        |(CAST(1 AS BIGINT), CAST(0 AS BIGINT), 'user', 'Hello'),
+        |(CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'assistant', 'Hi there!'),
+        |(CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'user', 'How are you?'),
+        |(CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'assistant', 'Great.'))
+        |AS t(id, pos, role, content) ORDER BY id, pos""".stripMargin,
 
     "q_take_rows" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber, l_quantity,

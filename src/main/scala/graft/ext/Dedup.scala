@@ -63,14 +63,28 @@ object Dedup {
   }
 
   /** MinHash signature (numPerms longs) from a shingle array — row-local
-    * Scala UDF: O(|shingles| * numPerms) per row, zero shuffle.
+    * Scala UDF. Each shingle string is hashed to 64 bits ONCE; the
+    * numPerms "permutations" are affine maps `a_p*h + b_p` over that base
+    * hash (odd multipliers ⇒ bijections mod 2^64) — the standard trick that
+    * makes signature cost O(|shingles| + |shingles|*numPerms integer ops)
+    * instead of numPerms full string walks per shingle.
     */
-  def minhashSignatureUdf(numPerms: Int) = udf { shingles: scala.collection.Seq[String] =>
-    if (shingles == null || shingles.isEmpty) Array.fill(numPerms)(Long.MaxValue)
-    else Array.tabulate(numPerms) { p =>
-      var m = Long.MaxValue
-      for (s <- shingles) { val h = hash64(p, s); if (h < m) m = h }
-      m
+  def minhashSignatureUdf(numPerms: Int) = {
+    // deterministic per-permutation affine coefficients (odd a)
+    val as = Array.tabulate(numPerms)(p => hash64(p, "minhash-a") | 1L)
+    val bs = Array.tabulate(numPerms)(p => hash64(p, "minhash-b"))
+    udf { shingles: scala.collection.Seq[String] =>
+      val out = Array.fill(numPerms)(Long.MaxValue)
+      if (shingles != null) for (s <- shingles) {
+        val h = hash64(0, s)
+        var p = 0
+        while (p < numPerms) {
+          val v = as(p) * h + bs(p)
+          if (v < out(p)) out(p) = v
+          p += 1
+        }
+      }
+      out
     }
   }
 
@@ -120,12 +134,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     * compute |∩|/|∪| with built-ins. `candidates` has (id_a, id_b).
+    * The shingle side is semi-join-pruned to ids appearing in the candidate
+    * set before shingling, so the (expensive) shingling runs only on
+    * documents that can matter — at 100 TB the candidate id set is tiny
+    * relative to the corpus and broadcasts.
     */
   def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
                     candidates: DataFrame, shingleN: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("jid"),
-      wordShingles(col(textCol), shingleN).as("sh"))
+    val candIds = candidates.select(col("id_a").as("jid"))
+      .union(candidates.select(col("id_b").as("jid"))).distinct()
+    val sh = df.join(broadcast(candIds), col(idCol) === col("jid"), "left_semi")
+      .select(col(idCol).as("jid"),
+        wordShingles(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -166,55 +187,121 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashUdf(filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0))
 
-  /** SimHash near-dup candidates: block the 64-bit sketch into 4 16-bit
-    * bands (docs within hamming distance 3 share ≥1 exact band); verify
-    * with exact hamming via bit_count(xor).
+  /** SimHash near-dup candidates. Band count is DERIVED from `maxHamming`
+    * by pigeonhole: with `maxHamming + 1` bands, any pair within hamming
+    * distance `maxHamming` must agree exactly on at least one band — so
+    * candidate recall is guaranteed (the round-1 fixed-4-band scheme
+    * silently missed pairs for maxHamming > 3). Trade-off made explicit:
+    * more bands ⇒ narrower bands ⇒ fewer distinct buckets per band ⇒ bigger
+    * buckets; the `maxBucket` cap (sorted, deterministic) bounds the
+    * in-bucket pair expansion against boilerplate-driven skew at corpus
+    * scale, and the verify step keeps results exact (within the capped
+    * candidate set).
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of range")
+    val numBands = maxHamming + 1
+    val base = 64 / numBands
+    val extra = 64 % numBands // first `extra` bands get one extra bit
+    val widths = Array.tabulate(numBands)(b => base + (if (b < extra) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val s = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
-    val banded = s.withColumn("band", explode(array((0 until 4).map(b =>
-      struct(lit(b).as("b"), shiftright(col("sh"), b * 16).bitwiseAND(0xFFFFL).as("v"))): _*)))
-    val a = banded.select(col("doc_id").as("id_a"), col("sh").as("sh_a"), col("band"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sh").as("sh_b"), col("band"))
-    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+    val bandCols = (0 until numBands).map { b =>
+      val start = starts(b)
+      val width = widths(b)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("b"), shiftright(col("sh"), start).bitwiseAND(mask).as("v"))
+    }
+    val banded = s.withColumn("band", explode(array(bandCols: _*)))
+    // bucket with a deterministic size cap to bound pair expansion
+    val buckets = banded.groupBy(col("band"))
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))), 1, maxBucket)
+        .as("members"))
+      .filter(size(col("members")) > 1)
+    buckets.select(explode(pairCombinations2(col("members"))).as("p"))
+      .select(col("p._1.doc_id").as("id_a"), col("p._1.sh").as("sh_a"),
+        col("p._2.doc_id").as("id_b"), col("p._2.sh").as("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
 
+  /** Pair (i<j) combinations over an array of structs. */
+  private def pairCombinations2(members: Column): Column =
+    flatten(transform(members, (x, i) =>
+      transform(slice(members, i + 2, size(members)),
+        y => struct(x.as("_1"), y.as("_2")))))
+
   // ---------- embedding cosine near-dup ----------
 
-  /** Embedding-cosine near-duplicates via random-hyperplane LSH: row-local
-    * sign-sketch (deterministic pseudo-random planes from hash64), bucket
-    * join on sketch prefix, exact cosine verify inside buckets.
+  /** Embedding-cosine near-duplicates via random-hyperplane LSH.
+    *
+    * Round-1 flaws fixed here: (a) the plane matrix is precomputed ONCE on
+    * the driver and captured in the UDF closure (shipped with the task,
+    * `nBands*planesPerBand*dim` doubles — not rehashed per row×plane×dim);
+    * (b) a single exact-match sketch has collision probability
+    * (1-θ/π)^nPlanes — only ~16% recall at cos 0.8 with 8 planes — so we use
+    * an OR-construction: `nBands` independent bands of `planesPerBand`
+    * planes, candidate iff ANY band matches exactly (recall
+    * 1-(1-p^r)^b ≈ 85% at cos 0.8 with 8 bands × 4 planes), then exact
+    * cosine verify inside buckets. Norms are precomputed once per side.
     */
   def cosineNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
-                           dim: Int, nPlanes: Int = 16,
+                           dim: Int, nBands: Int = 8, planesPerBand: Int = 4,
                            threshold: Double = 0.95): DataFrame = {
-    val sketch = udf { v: scala.collection.Seq[Float] =>
-      var out = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) {
-          // deterministic plane component in [-1,1): hash of (plane, dim idx)
-          val h = hash64(p, i.toString)
-          dot += v(i) * (h.toDouble / Long.MaxValue)
-          i += 1
+    val nPlanes = nBands * planesPerBand
+    // deterministic pseudo-random unit-free plane matrix, computed once
+    val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { i => hash64(p, i.toString).toDouble / Long.MaxValue }
+    }
+    val bandSketches = udf { v: scala.collection.Seq[Float] =>
+      Array.tabulate(nBands) { b =>
+        var out = 0L
+        var j = 0
+        while (j < planesPerBand) {
+          val plane = planes(b * planesPerBand + j)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(v.length, plane.length)
+          while (i < n) { dot += v(i) * plane(i); i += 1 }
+          if (dot > 0) out |= (1L << j)
+          j += 1
         }
-        if (dot > 0) out |= (1L << p)
-        p += 1
+        (b.toLong << 56) | out
       }
-      out
     }
     val s = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
-      .withColumn("sk", sketch(col("v")))
-    val a = s.select(col("doc_id").as("id_a"), col("v").as("v_a"), col("sk"))
-    val b = s.select(col("doc_id").as("id_b"), col("v").as("v_b"), col("sk"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("sk", explode(bandSketches(col("v"))))
+    val a = s.select(col("doc_id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"), col("sk"))
+    val b = s.select(col("doc_id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"), col("sk"))
     a.join(b, Seq("sk")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("cos", when(col("n_a") * col("n_b") > 0,
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .otherwise(lit(0.0)))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Exact all-pairs embedding-cosine near-duplicates — the oracle-checkable
+    * building block (and the in-bucket verify kernel of the LSH path).
+    * All-pairs is O(n²): only for bounded inputs / within-bucket use.
+    */
+  def cosineNearDuplicatesExact(df: DataFrame, vecCol: String, idCol: String,
+                                threshold: Double): DataFrame = {
+    val s = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = s.select(col("doc_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = s.select(col("doc_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", when(col("n_a") * col("n_b") > 0,
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        .otherwise(lit(0.0)))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }

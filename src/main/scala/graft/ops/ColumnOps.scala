@@ -21,12 +21,39 @@ object ColumnOps {
 
   val RowIdx = "__row_idx"
 
-  /** Deterministic 0-based row index from an explicit total ordering.
-    * Window over a global ORDER BY: a single-stage range shuffle; at scale
-    * prefer key-derived indices (this is only needed for positional ops).
+  /** Deterministic 0-based row index from an explicit total ordering —
+    * scale-safe two-phase construction (no single-partition window):
+    *
+    *   1. range-partition on the keys (partition i holds keys < partition
+    *      i+1; bounds are sample-derived but deterministic for a fixed
+    *      input),
+    *   2. per-partition local rank via a window PARTITIONED by
+    *      `spark_partition_id()` (parallel, no data movement to one node),
+    *   3. per-partition counts → prefix-sum offsets over the tiny
+    *      (numPartitions-row) aggregate, broadcast-joined back.
+    *
+    * global_idx = partition_offset + local_rank. This is the distributed
+    * zipWithIndex shape expressed in pure DataFrame ops, so the plan stays
+    * in Catalyst (pushdown/codegen survive) and works at any scale.
     */
-  def withRowIdxByKey(df: DataFrame, keys: Column*): DataFrame =
-    df.withColumn(RowIdx, row_number().over(Window.orderBy(keys: _*)).cast("long") - 1)
+  def withRowIdxByKey(df: DataFrame, keys: Column*): DataFrame = {
+    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pid = "__gp_pid"; val lrn = "__gp_lrn"; val off = "__gp_off"
+    val parted = df.repartitionByRange(np, keys: _*).withColumn(pid, spark_partition_id())
+    val local = parted.withColumn(lrn,
+      row_number().over(Window.partitionBy(col(pid)).orderBy(keys: _*)).cast("long"))
+    // prefix sum over the numPartitions-row counts table via a self
+    // inequality-join (not a global window — keeps the plan free of
+    // single-partition WindowExec even for this metadata-sized step)
+    val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as("__gp_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col(s"b.$pid") < col(s"a.$pid"), "left")
+      .groupBy(col(s"a.$pid").as(pid))
+      .agg(coalesce(sum(col("b.__gp_cnt")), lit(0L)).as(off))
+    local.join(broadcast(offsets), pid)
+      .withColumn(RowIdx, col(off) + col(lrn) - 1)
+      .drop(pid, lrn, off)
+  }
 
   /** Deterministic 0-based row index in file order via zipWithIndex —
     * for keyless sources. Two jobs (count + index) but no shuffle; order is
@@ -141,29 +168,27 @@ object ColumnOps {
     * SURVEY §7.4.3).
     *
     * Distributed: `rand(seed)` is deterministic per partition+offset for a
-    * fixed partitioning; exact count needs a global rank. A full sort by
-    * rand would shuffle everything, so rank via a window over the random
-    * draw — one range shuffle of (key, draw) pairs only at materialize time.
-    * At 100 TB one would sample-estimate the threshold instead; exactness is
-    * the reference's contract so we keep the rank.
+    * fixed partitioning; exact count needs a global rank — built with the
+    * scale-safe two-phase index over the draw (`withRowIdxByKey`), never a
+    * single-partition window. The total row count is folded into the same
+    * plan as a broadcast 1-row aggregate (no eager driver-side `count()`),
+    * so the whole op is one lazy DataFrame.
     */
   def assignTrainTestSplit(df: DataFrame, testFraction: Option[Double],
                            testCount: Option[Int], seed: Long): DataFrame = {
-    val n = df.count()
-    val nTest: Long = (testFraction, testCount) match {
-      case (Some(p), None) =>
-        require(p >= 0 && p <= 1, s"test proportion $p out of [0,1]")
-        math.ceil(p * n).toLong
-      case (None, Some(c)) => c.toLong
-      case _ => math.ceil(0.25 * n).toLong // reference default test=0.25
+    testFraction.foreach(p =>
+      require(p >= 0 && p <= 1, s"test proportion $p out of [0,1]"))
+    val ranked = withRowIdxByKey(df.withColumn("__draw", rand(seed)), col("__draw"))
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val nTestCol: Column = (testFraction, testCount) match {
+      case (Some(p), None) => ceil(lit(p) * col("__n")).cast("long")
+      case (None, Some(c)) => lit(c.toLong)
+      case _               => ceil(lit(0.25) * col("__n")).cast("long") // reference default
     }
-    require(nTest <= n, s"test count $nTest exceeds row count $n")
-    val withDraw = df.withColumn("__draw", rand(seed))
-    val w = Window.orderBy(col("__draw"))
-    withDraw
-      .withColumn("__rank", row_number().over(w))
-      .withColumn("split", when(col("__rank") <= nTest, "test").otherwise("train"))
-      .drop("__draw", "__rank")
+    ranked.crossJoin(broadcast(total))
+      .withColumn("split",
+        when(col(RowIdx) < nTestCol, "test").otherwise("train"))
+      .drop("__draw", "__n", RowIdx)
   }
 
   /** AssignRowIDOp (declared but unimplemented in the reference,
