@@ -309,7 +309,7 @@ object SparkEntry {
 
     "q_dedup_cosine" -> ((s, dir) => {
       Dedup.cosineNearDuplicates(t(s, dir, "embeddings"), "embedding", "vec_id",
-          dim = 64, nPlanes = 8, threshold = 0.8)
+          dim = 64, nBands = 8, planesPerBand = 4, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
