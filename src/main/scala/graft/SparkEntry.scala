@@ -164,6 +164,16 @@ object SparkEntry {
         .toDF("id", "flag").orderBy(col("id"))
     }),
 
+    "q_select_split" -> ((s, dir) => {
+      // SelectTrainTestSplitColumnOp parity: a split-typed column
+      // (values ∈ {train,test}) selected off a dataset
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(4)) === 0, "test").otherwise("train")
+            .as("split_val"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_select_conversation" -> ((s, dir) => {
       // conversation column (array<struct<role,content>>), flattened to
       // (id, pos, role, content) for the scalar-only oracle compare
@@ -308,7 +318,14 @@ object SparkEntry {
     }),
 
     "q_dedup_cosine" -> ((s, dir) => {
-      Dedup.cosineNearDuplicates(t(s, dir, "embeddings"), "embedding", "vec_id",
+      // planted near-duplicate fixture: exact copies of vec_id < 50 shifted
+      // to +100000 ids. Random 64-d embeddings never reach cos 0.8, so the
+      // exact all-pairs oracle equals exactly the planted pairs — making the
+      // LSH path falsifiable (round-1 output was 0 rows, unverifiable).
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.cosineNearDuplicates(emb.union(planted), "embedding", "vec_id",
           dim = 64, nBands = 8, planesPerBand = 4, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -419,8 +436,10 @@ object SparkEntry {
         |        FROM events)),
         |sessions AS (
         |  SELECT user_id, value,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    -- BIGINT cast: DuckDB's windowed SUM yields HUGEINT, which lands
+        |    -- in pandas as float64 and hash-mismatches Spark's int64
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
@@ -458,6 +477,10 @@ object SparkEntry {
     "q_select_boolean" ->
       """SELECT * FROM (VALUES (1, true), (2, false), (3, true), (4, false))
         |AS t(id, flag) ORDER BY id""".stripMargin,
+
+    "q_select_split" ->
+      """SELECT c_custkey, CASE WHEN c_custkey % 4 = 0 THEN 'test' ELSE 'train' END AS split_val
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_select_conversation" ->
       """SELECT * FROM (VALUES
@@ -528,6 +551,51 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_cosine" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |                         list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+        |  FROM u a, u b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |c AS (SELECT vec_id cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM embeddings),
+        |s AS (SELECT qid query_id, cid corpus_id, list_cosine_similarity(qv, cv) cosf FROM q, c),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, regexp_split_to_array(lower(text), '[^\p{L}]+') AS toks
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','eine','mit','von'], t))) AS c_de,
+        |    len(list_filter(toks, t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS c_en,
+        |    len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una','en','por'], t))) AS c_es,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','des','dans','pour'], t))) AS c_fr
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |       WHEN greatest(c_de,c_en,c_es,c_fr) = 0 THEN 'und'
+        |       WHEN c_de = greatest(c_de,c_en,c_es,c_fr) THEN 'de'
+        |       WHEN c_en = greatest(c_de,c_en,c_es,c_fr) THEN 'en'
+        |       WHEN c_es = greatest(c_de,c_en,c_es,c_fr) THEN 'es'
+        |       WHEN c_fr = greatest(c_de,c_en,c_es,c_fr) THEN 'fr'
+        |       ELSE 'und' END AS pred_lang
+        |FROM cnt ORDER BY doc_id""".stripMargin,
 
     "q_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
