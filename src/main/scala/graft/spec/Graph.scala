@@ -1,0 +1,280 @@
+package graft.spec
+
+import scala.collection.immutable.ListMap
+
+final class UUIDMismatchException(val expected: String, val actual: OpSpec)
+  extends RuntimeException(
+    s"""UUID mismatch on reserialized node:
+       |  expected: $expected
+       |  actual:   ${actual.uuid}
+       |  canonical: ${actual.canonicalJsonForUuid}
+       |The definition of ${actual.typeName} has changed since the graph was
+       |serialized (fields added/removed, defaults changed, canonical-JSON
+       |drift).""".stripMargin)
+
+/** Graph (de)serialization — the on-disk format of the reference
+  * (`op_spec.py:701-735`):
+  *
+  * {{{
+  * {"outputs": ["Uuid_...", ...],
+  *  "nodes": {"Uuid_...": {"type": "ClassName", ...fields, deps as uuids}}}
+  * }}}
+  *
+  * Deserialization re-verifies every node's UUID (drift → hard error with a
+  * diff, reference `op_spec.py:142-155, 811-818`), detects cycles
+  * (`op_spec.py:787-789`) and rejects unreachable nodes (`op_spec.py:823-826`).
+  */
+object Graph {
+
+  def serialize(outputs: OpSpec*): JObj = {
+    val nodes = scala.collection.mutable.LinkedHashMap.empty[String, JValue]
+    def visit(op: OpSpec): Unit = if (!nodes.contains(op.uuid)) {
+      nodes(op.uuid) = op.toJson
+      op.children.foreach(visit)
+    }
+    outputs.foreach(visit)
+    JObj(
+      "outputs" -> JArr(outputs.map(o => JString(o.uuid): JValue).toVector),
+      "nodes" -> JObj(ListMap(nodes.toSeq: _*)))
+  }
+
+  def serializeToString(outputs: OpSpec*): String =
+    Json.renderPretty(serialize(outputs: _*))
+
+  def deserialize(data: JValue): Seq[OpSpec] = {
+    val obj = data match {
+      case o: JObj => o
+      case other => throw new IllegalArgumentException(s"graph must be an object, got $other")
+    }
+    val nodesData: Map[String, JObj] = obj.get("nodes") match {
+      case Some(JObj(fields)) => fields.map {
+        case (k, o: JObj) => (k, o)
+        case (k, other) => throw new IllegalArgumentException(s"node $k must be an object, got $other")
+      }
+      case _ => Map.empty
+    }
+    val outputs: Seq[String] = obj.get("outputs") match {
+      case Some(JArr(items)) => items.map {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(s"output uuid must be a string, got $other")
+      }
+      case _ => Seq.empty
+    }
+
+    val built = scala.collection.mutable.HashMap.empty[String, OpSpec]
+    val inProgress = scala.collection.mutable.HashSet.empty[String]
+
+    def construct(uuid: String): OpSpec = built.getOrElse(uuid, {
+      if (inProgress(uuid))
+        throw new IllegalArgumentException(s"Cycle detected in graph at node $uuid")
+      inProgress += uuid
+      val node = nodesData.getOrElse(uuid,
+        throw new IllegalArgumentException(s"Node with UUID $uuid not found in graph data"))
+      val tpe = node("type") match {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(s"bad type field $other")
+      }
+      val dec = OpRegistry.decoders.getOrElse(tpe,
+        throw new IllegalArgumentException(
+          s"Class with name $tpe not found in OpSpec registry"))
+      val op = dec(node, construct)
+      if (op.uuid != uuid) throw new UUIDMismatchException(uuid, op)
+      inProgress -= uuid
+      built(uuid) = op
+      op
+    })
+
+    val result = outputs.map(construct)
+    if (built.size != nodesData.size) {
+      val unreachable = nodesData.keySet -- built.keySet
+      throw new IllegalArgumentException(
+        s"Unreachable nodes in graph: ${unreachable.toSeq.sorted.mkString(", ")}")
+    }
+    result
+  }
+
+  def deserializeString(s: String): Seq[OpSpec] = deserialize(Json.parse(s))
+}
+
+/** Per-op JSON decoders: the deserialization half of the spec layer. Explicit
+  * registration doubles as the extension point for user-defined ops (the
+  * reference finds classes by a subclass-tree name search,
+  * `op_spec.py:738-766`; a registry is the idiomatic JVM equivalent).
+  */
+object OpRegistry {
+
+  type Resolve = String => OpSpec
+  type Decoder = (JObj, Resolve) => OpSpec
+
+  // ---------- field decode helpers ----------
+
+  private def bad(n: String, v: JValue, want: String): Nothing =
+    throw new IllegalArgumentException(s"field '$n': expected $want, got $v")
+
+  def str(o: JObj, n: String): String =
+    o(n) match { case JString(s) => s; case v => bad(n, v, "string") }
+  def lng(o: JObj, n: String): Long = o(n) match {
+    case JLong(l) => l
+    case JDouble(d) if d.isWhole => d.toLong
+    case v => bad(n, v, "integer")
+  }
+  def dbl(o: JObj, n: String): Double = o(n) match {
+    case JDouble(d) => d; case JLong(l) => l.toDouble; case v => bad(n, v, "number")
+  }
+  def bool(o: JObj, n: String): Boolean =
+    o(n) match { case JBool(b) => b; case v => bad(n, v, "boolean") }
+  def optStr(o: JObj, n: String): Option[String] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JString(s)) => Some(s)
+    case Some(v) => bad(n, v, "string or null")
+  }
+  def optLng(o: JObj, n: String): Option[Long] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JLong(l)) => Some(l)
+    case Some(v) => bad(n, v, "integer or null")
+  }
+  def optDbl(o: JObj, n: String): Option[Double] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JDouble(d)) => Some(d)
+    case Some(JLong(l)) => Some(l.toDouble)
+    case Some(v) => bad(n, v, "number or null")
+  }
+  def optAnyNum(o: JObj, n: String): Option[Any] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JLong(l)) => Some(l)
+    case Some(JDouble(d)) => Some(d)
+    case Some(v) => bad(n, v, "number or null")
+  }
+  def optStrSeq(o: JObj, n: String): Option[Seq[String]] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JArr(items)) => Some(items.map {
+      case JString(s) => s; case v => bad(n, v, "string")
+    })
+    case Some(v) => bad(n, v, "array or null")
+  }
+  def anySeq(o: JObj, n: String): Seq[Any] = o(n) match {
+    case JArr(items) => items.map(Json.toScala)
+    case v => bad(n, v, "array")
+  }
+  def anyMap(o: JObj, n: String): Map[String, Any] = o(n) match {
+    case JObj(fields) => fields.map { case (k, v) => (k, Json.toScala(v)) }.toMap
+    case v => bad(n, v, "object")
+  }
+  def colSeqMap(o: JObj, n: String): Map[String, Seq[Any]] = o(n) match {
+    case JObj(fields) => fields.map {
+      case (k, JArr(items)) => (k, items.map(Json.toScala): Seq[Any])
+      case (k, v) => bad(s"$n.$k", v, "array")
+    }.toMap
+    case v => bad(n, v, "object")
+  }
+  def op[T <: OpSpec](o: JObj, n: String, r: Resolve): T =
+    (o(n) match {
+      case JString(u) => r(u)
+      case v => bad(n, v, "uuid string")
+    }).asInstanceOf[T]
+  def optOp[T <: OpSpec](o: JObj, n: String, r: Resolve): Option[T] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JString(u)) => Some(r(u).asInstanceOf[T])
+    case Some(v) => bad(n, v, "uuid string or null")
+  }
+  def opSeq(o: JObj, n: String, r: Resolve): Seq[OpSpec] = o(n) match {
+    case JArr(items) => items.map {
+      case JString(u) => r(u); case v => bad(n, v, "uuid string")
+    }
+    case v => bad(n, v, "array")
+  }
+  def opMap[T <: OpSpec](o: JObj, n: String, r: Resolve): Map[String, T] = o(n) match {
+    case JObj(fields) => fields.map {
+      case (k, JString(u)) => (k, r(u).asInstanceOf[T])
+      case (k, v) => bad(s"$n.$k", v, "uuid string")
+    }.toMap
+    case v => bad(n, v, "object")
+  }
+
+  // ---------- the registry ----------
+
+  val decoders: Map[String, Decoder] = Map(
+    "LoadLocalParquetDatasetOp" -> ((o, _) =>
+      LoadLocalParquetDatasetOp(str(o, "content_hash"), str(o, "file_path"))),
+    "LoadInlineJsonDatasetOp" -> ((o, _) =>
+      LoadInlineJsonDatasetOp(colSeqMap(o, "data"))),
+    "SelectTextColumnOp" -> ((o, r) =>
+      SelectTextColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectVectorColumnOp" -> ((o, r) =>
+      SelectVectorColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectCategoricalColumnOp" -> ((o, r) =>
+      SelectCategoricalColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectBooleanColumnOp" -> ((o, r) =>
+      SelectBooleanColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectScoreColumnOp" -> ((o, r) =>
+      SelectScoreColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectTrainTestSplitColumnOp" -> ((o, r) =>
+      SelectTrainTestSplitColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectJSONColumnOp" -> ((o, r) =>
+      SelectJSONColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "SelectConversationColumnOp" -> ((o, r) =>
+      SelectConversationColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
+    "TakeRowsOp" -> ((o, r) =>
+      TakeRowsOp(op[DatasetType](o, "dataset", r), lng(o, "skip"), lng(o, "offset"),
+        optLng(o, "num_rows"))),
+    "MaskRowsOp" -> ((o, r) =>
+      MaskRowsOp(op[DatasetType](o, "dataset", r), op[BooleanColumnType](o, "mask", r))),
+    "CategoryToBooleanOp" -> ((o, r) =>
+      CategoryToBooleanOp(op[ColumnType](o, "input_category", r),
+        optStrSeq(o, "true_values"), optStrSeq(o, "false_values"))),
+    "BooleanLogicOp" -> ((o, r) =>
+      BooleanLogicOp(str(o, "operation"), op[BooleanColumnType](o, "left", r),
+        op[BooleanColumnType](o, "right", r))),
+    "ParseJSONColumnOp" -> ((o, r) =>
+      ParseJSONColumnOp(op[TextColumnType](o, "text", r))),
+    "VectorToScalarOp" -> ((o, r) =>
+      VectorToScalarOp(op[VectorColumnType](o, "input", r), lng(o, "col_index"))),
+    "PairwiseArithmeticOp" -> ((o, r) =>
+      PairwiseArithmeticOp(str(o, "operation"), op[ScoreColumnType](o, "left", r),
+        op[ScoreColumnType](o, "right", r))),
+    "JinjaTemplatizeOp" -> ((o, r) =>
+      JinjaTemplatizeOp(str(o, "template"), opMap[ColumnType](o, "context", r),
+        anyMap(o, "constants"), optLng(o, "max_length"))),
+    "AssignTrainTestSplitOp" -> ((o, r) =>
+      AssignTrainTestSplitOp(op[DatasetType](o, "dataset", r),
+        optAnyNum(o, "test_size"), optAnyNum(o, "train_size"), lng(o, "random_state"))),
+    "AssignRowIDOp" -> ((o, r) =>
+      AssignRowIDOp(op[DatasetType](o, "dataset", r))),
+    "TrainClassifierOp" -> ((o, r) =>
+      TrainClassifierOp(str(o, "model_type"), op[VectorColumnType](o, "x", r),
+        op[BooleanColumnType](o, "positives", r),
+        op[BooleanColumnType](o, "negatives", r),
+        optOp[BooleanColumnType](o, "train_domain", r),
+        str(o, "preprocessing"), anyMap(o, "params"))),
+    "ClassifierPredictOp" -> ((o, r) =>
+      ClassifierPredictOp(op[ClassifierType](o, "model", r),
+        op[VectorColumnType](o, "x", r))),
+    "ClassifierEvaluationOp" -> ((o, r) =>
+      ClassifierEvaluationOp(op[ScoreColumnType](o, "score", r),
+        op[BooleanColumnType](o, "gt_positives", r),
+        op[BooleanColumnType](o, "gt_negatives", r),
+        optOp[ColumnType](o, "split", r),
+        optOp[BooleanColumnType](o, "predict_domain", r),
+        optDbl(o, "score_threshold"))),
+    "LLMLayerActivationsOp" -> ((o, r) =>
+      LLMLayerActivationsOp(str(o, "model_name"), op[ColumnType](o, "text", r),
+        lng(o, "layer_num"), str(o, "token_mode"), lng(o, "batch_size"),
+        optLng(o, "max_length"), optStr(o, "dtype"), str(o, "device"),
+        bool(o, "torch_compile"), bool(o, "apply_chat_template"))),
+    "LLMLogitScoresOp" -> ((o, r) =>
+      LLMLogitScoresOp(str(o, "model_name"), op[TextColumnType](o, "text", r),
+        anySeq(o, "logit_token_ids"), lng(o, "batch_size"),
+        bool(o, "apply_chat_template"), optStr(o, "dtype"), str(o, "device"),
+        optLng(o, "max_length"), bool(o, "torch_compile"),
+        optStr(o, "append_to_chat_template"))),
+    "LLMGenerateTextOp" -> ((o, r) =>
+      LLMGenerateTextOp(str(o, "model_name"), op[TextColumnType](o, "prompt", r),
+        lng(o, "max_tokens"))),
+    "UMAPVizOp" -> ((o, r) =>
+      UMAPVizOp(op[VectorColumnType](o, "input_embedding", r),
+        lng(o, "n_neighbors"), lng(o, "n_epochs"), lng(o, "random_state"),
+        str(o, "metric"), dbl(o, "learning_rate"), dbl(o, "min_dist"),
+        dbl(o, "spread"), bool(o, "densmap"))),
+    "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r)))
+  )
+}

@@ -1,0 +1,260 @@
+package graft.spec
+
+/** The complete op inventory (SURVEY.md §2): every concrete op class of the
+  * reference re-expressed as a Scala case class over [[OpSpec]]. Result-kind
+  * marker traits mirror the reference's column-type mixins
+  * (`types.py:18-386`) so the *graph* is strongly typed while the *data*
+  * stays dynamically checked at materialize time.
+  */
+
+// ---------- result-kind marker traits ----------
+
+trait DatasetType extends OpSpec
+trait ColumnType extends OpSpec
+trait TextColumnType extends ColumnType
+trait VectorColumnType extends ColumnType
+trait CategoricalColumnType extends ColumnType
+trait BooleanColumnType extends ColumnType
+trait ScoreColumnType extends ColumnType
+trait TrainTestSplitColumnType extends ColumnType
+trait JSONColumnType extends ColumnType
+trait ConversationColumnType extends ColumnType
+trait RowIDColumnType extends ColumnType
+trait VizEmbeddingColumnType extends ColumnType
+trait ClassifierType extends OpSpec
+trait EvaluationReportType extends OpSpec
+
+// ---------- scans / sources (reference dataset_ops.py:55-96) ----------
+
+/** Load one parquet file. The path is excluded from the UUID — identity is
+  * the streamed sha256 `content_hash` of the file bytes, so the same content
+  * at a different path is the same op (reference `dataset_ops.py:65-72`,
+  * `local_arrow_runner.py:154-198`).
+  */
+final case class LoadLocalParquetDatasetOp(
+    contentHash: String,
+    filePath: String) extends DatasetType {
+  override def excludeFromUuid: Set[String] = Set("file_path")
+}
+
+/** Dataset from inline columns-orientation data; the data lives in the spec
+  * itself (reference `dataset_ops.py:74-96`). Values restricted to JSON
+  * primitives / lists thereof. */
+final case class LoadInlineJsonDatasetOp(
+    data: Map[String, Seq[Any]]) extends DatasetType {
+  require(data.values.map(_.length).toSet.size <= 1,
+    s"inline columns must have equal lengths, got ${data.view.mapValues(_.length).toMap}")
+}
+
+// ---------- typed column selects (reference dataset_ops.py:99-153) ----------
+
+sealed trait SelectColumnOp extends ColumnType with EphemeralOp {
+  def dataset: DatasetType
+  def columnName: String
+}
+
+final case class SelectTextColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with TextColumnType
+final case class SelectVectorColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with VectorColumnType
+final case class SelectCategoricalColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with CategoricalColumnType
+final case class SelectBooleanColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with BooleanColumnType
+final case class SelectScoreColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with ScoreColumnType
+final case class SelectTrainTestSplitColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with TrainTestSplitColumnType
+final case class SelectJSONColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with JSONColumnType
+final case class SelectConversationColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with ConversationColumnType
+
+// ---------- row selection (reference dataset_ops.py:222-316) ----------
+
+/** Python slice `table[offset::skip][:num_rows]` (reference
+  * `dataset_ops.py:222-230`). */
+final case class TakeRowsOp(
+    dataset: DatasetType,
+    skip: Long = 1L,
+    offset: Long = 0L,
+    numRows: Option[Long] = None) extends DatasetType with EphemeralOp {
+  require(skip >= 1, s"skip must be >= 1, got $skip")
+}
+
+/** Keep rows where the positionally-aligned boolean mask is true
+  * (reference `dataset_ops.py:233-245`). */
+final case class MaskRowsOp(
+    dataset: DatasetType,
+    mask: BooleanColumnType) extends DatasetType with EphemeralOp
+
+/** Category membership → boolean. Values are deduped + sorted at build for
+  * stable hashing, like the reference's `ensure_set_or_none`
+  * (`dataset_ops.py:253-256`). */
+final case class CategoryToBooleanOp(
+    inputCategory: ColumnType,
+    trueValues: Option[Seq[String]] = None,
+    falseValues: Option[Seq[String]] = None)
+  extends BooleanColumnType with EphemeralOp {
+  require(trueValues.nonEmpty || falseValues.nonEmpty,
+    "one of true_values/false_values required")
+}
+
+object CategoryToBooleanOp {
+  /** Normalizing constructor (dedupe + sort). */
+  def build(inputCategory: ColumnType,
+            trueValues: Option[Seq[String]],
+            falseValues: Option[Seq[String]]): CategoryToBooleanOp =
+    CategoryToBooleanOp(inputCategory,
+      trueValues.map(_.distinct.sorted),
+      falseValues.map(_.distinct.sorted))
+}
+
+/** and/or/xor/not over two aligned boolean columns; "not" uses left only
+  * (reference `dataset_ops.py:319-346`). */
+final case class BooleanLogicOp(
+    operation: String,
+    left: BooleanColumnType,
+    right: BooleanColumnType) extends BooleanColumnType with EphemeralOp {
+  require(Set("and", "or", "xor", "not")(operation), s"bad operation $operation")
+}
+
+// ---------- scalar / column transforms (reference dataset_ops.py:156-379) ----------
+
+final case class ParseJSONColumnOp(text: TextColumnType)
+  extends JSONColumnType with EphemeralOp
+
+final case class VectorToScalarOp(input: VectorColumnType, colIndex: Long = 0L)
+  extends ScoreColumnType with EphemeralOp
+
+/** `+ - * /` elementwise, numpy div semantics (reference
+  * `dataset_ops.py:353-379`). */
+final case class PairwiseArithmeticOp(
+    operation: String,
+    left: ScoreColumnType,
+    right: ScoreColumnType) extends ScoreColumnType with EphemeralOp {
+  require(Set("+", "-", "*", "/")(operation), s"bad operation $operation")
+}
+
+/** Render a Jinja template per row. Context columns are positionally
+  * aligned; constants are spec-level scalars. Key collisions between the two
+  * are a build-time error (reference `dataset_ops.py:187-219`). */
+final case class JinjaTemplatizeOp(
+    template: String,
+    context: Map[String, ColumnType],
+    constants: Map[String, Any] = Map.empty,
+    maxLength: Option[Long] = None) extends TextColumnType {
+  private val collisions = context.keySet & constants.keySet
+  require(collisions.isEmpty,
+    s"Key collision detected between context and constants: ${collisions.toSeq.sorted.mkString(", ")}")
+}
+
+/** Seeded exact-count train/test assignment (reference
+  * `dataset_ops.py:168-184`): float = proportion, int = absolute count,
+  * complement inferred, default test 0.25, default seed = 1919-01-15. */
+final case class AssignTrainTestSplitOp(
+    dataset: DatasetType,
+    testSize: Option[Any] = None,
+    trainSize: Option[Any] = None,
+    randomState: Long = 19190115L) extends TrainTestSplitColumnType {
+  Seq(testSize, trainSize).flatten.foreach {
+    case d: Double => require(d >= 0 && d <= 1, s"proportion $d out of [0,1]")
+    case _: Long | _: Int =>
+    case other => throw new IllegalArgumentException(
+      s"test/train size must be a proportion (Double) or count (Long), got $other")
+  }
+}
+
+final case class AssignRowIDOp(dataset: DatasetType) extends RowIDColumnType
+
+// ---------- ML (reference classifier_ops.py:22-63) ----------
+
+final case class TrainClassifierOp(
+    modelType: String,
+    x: VectorColumnType,
+    positives: BooleanColumnType,
+    negatives: BooleanColumnType,
+    trainDomain: Option[BooleanColumnType] = None,
+    preprocessing: String = "none",
+    params: Map[String, Any] = Map.empty) extends ClassifierType {
+  require(Set("none", "standardize", "normalize")(preprocessing),
+    s"bad preprocessing $preprocessing")
+}
+
+final case class ClassifierPredictOp(
+    model: ClassifierType,
+    x: VectorColumnType) extends ScoreColumnType
+
+final case class ClassifierEvaluationOp(
+    score: ScoreColumnType,
+    gtPositives: BooleanColumnType,
+    gtNegatives: BooleanColumnType,
+    split: Option[ColumnType] = None,
+    predictDomain: Option[BooleanColumnType] = None,
+    scoreThreshold: Option[Double] = None) extends EvaluationReportType
+
+// ---------- LLM ops (reference llm_ops.py) ----------
+
+/** Residual activations at `layer_num`, pooled by `token_mode`. Provider
+  * selected by the model-name scheme (`fake:`/`http:`; reference uses
+  * `hf:`/`tl:`/`ollama:`/`st:`, `runners/model_registry.py:13-75`).
+  * Engine-execution knobs (batch size, device, dtype, compile flag) are
+  * excluded from the UUID — they change how, not what, is computed. */
+final case class LLMLayerActivationsOp(
+    modelName: String,
+    text: ColumnType,
+    layerNum: Long,
+    tokenMode: String = "last",
+    batchSize: Long = 32L,
+    maxLength: Option[Long] = None,
+    dtype: Option[String] = None,
+    device: String = "auto",
+    torchCompile: Boolean = false,
+    applyChatTemplate: Boolean = true) extends VectorColumnType {
+  require(Set("last", "mean", "all")(tokenMode), s"bad token_mode $tokenMode")
+  override def excludeFromUuid: Set[String] =
+    Set("batch_size", "device", "torch_compile")
+}
+
+/** Logits of the listed tokens at the last input position (reference
+  * `llm_ops.py:48-72`). */
+final case class LLMLogitScoresOp(
+    modelName: String,
+    text: TextColumnType,
+    logitTokenIds: Seq[Any],
+    batchSize: Long = 32L,
+    applyChatTemplate: Boolean = true,
+    dtype: Option[String] = None,
+    device: String = "auto",
+    maxLength: Option[Long] = None,
+    torchCompile: Boolean = false,
+    appendToChatTemplate: Option[String] = None) extends VectorColumnType {
+  override def excludeFromUuid: Set[String] =
+    Set("batch_size", "device", "torch_compile")
+}
+
+/** Declared but unimplemented in the reference too (`types.py:401`). */
+final case class LLMGenerateTextOp(
+    modelName: String,
+    prompt: TextColumnType,
+    maxTokens: Long = 100L) extends TextColumnType
+
+// ---------- viz (reference viz_ops.py:10-52) ----------
+
+/** 2-D embedding of a vector column. The reference runs umap-learn; this
+  * engine substitutes a distributed PCA(2) under the same spec shape
+  * (SURVEY §2.7) — hyperparameters kept for hash parity of the spec. */
+final case class UMAPVizOp(
+    inputEmbedding: VectorColumnType,
+    nNeighbors: Long = 15L,
+    nEpochs: Long = 200L,
+    randomState: Long = 42L,
+    metric: String = "euclidean",
+    learningRate: Double = 1.0,
+    minDist: Double = 0.1,
+    spread: Double = 1.0,
+    densmap: Boolean = false) extends VizEmbeddingColumnType
+
+// ---------- grouping (reference grouped_ops.py:8-17) ----------
+
+final case class GroupedOp(ops: Seq[OpSpec]) extends OpSpec
