@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.spec._
+import graft.runner.LocalSparkRunner
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the scale extensions), with a DuckDB oracle wherever the
@@ -36,6 +38,12 @@ object SparkEntry {
   }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** One content-addressed store per JVM for the runner-backed queries —
+    * results are keyed by dataset content hash, so sf dirs don't collide. */
+  private lazy val queryStore: String =
+    java.nio.file.Files.createTempDirectory("graft-query-store-").toString
+  private def runnerFor(s: SparkSession) = new LocalSparkRunner(s, queryStore)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -284,6 +292,137 @@ object SparkEntry {
         .orderBy(col("split"))
     }),
 
+    // ---- the engine proper: spec graphs through the memoizing runner ----
+
+    "q_runner_slice" -> ((s, dir) => {
+      // SURVEY §7.2.3 minimum slice THROUGH THE RUNNER: content-addressed
+      // load → typed select → isin → positional mask → slice. Exercises
+      // __row_idx stamping, ephemeral fusion, and the spec layer end-to-end
+      // under the driver's oracle.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/customer.parquet")
+      val seg = SelectCategoricalColumnOp(ds, "c_mktsegment")
+      val keep = CategoryToBooleanOp(seg, Some(Seq("BUILDING")))
+      val take = TakeRowsOp(MaskRowsOp(ds, keep), skip = 3L, offset = 1L,
+        numRows = Some(100L))
+      r.toFrame(take).select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_probe_eval" -> ((s, dir) => {
+      // ML probe chain (train→predict→evaluate) through the runner; the
+      // oracle checks the deterministic report fields (eligible counts).
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val x = SelectVectorColumnOp(ds, "embedding")
+      val cat = SelectCategoricalColumnOp(ds, "label")
+      val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
+      val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
+      val model = TrainClassifierOp("logistic_regression", x, pos, neg)
+      val eval = ClassifierEvaluationOp(ClassifierPredictOp(model, x), pos, neg)
+      val all = r.toJson(eval).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
+        .asInstanceOf[JObj]
+      def l(n: String): Long = all(n).asInstanceOf[JLong].value
+      import s.implicits._
+      Seq(("all", l("count"), l("n_true"), l("n_false")))
+        .toDF("split", "cnt", "n_true", "n_false")
+    }),
+
+    "q_probe_predict" -> ((s, dir) => {
+      // probe scores per row — model-dependent values, rows-only check;
+      // quality asserted in ProbeSpec
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val x = SelectVectorColumnOp(ds, "embedding")
+      val cat = SelectCategoricalColumnOp(ds, "label")
+      val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
+      val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
+      val model = TrainClassifierOp("logistic_regression", x, pos, neg)
+      r.toFrame(ClassifierPredictOp(model, x))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("score"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_llm_activations" -> ((s, dir) => {
+      // fake: provider — md5-derived doubles, bit-exact in the DuckDB oracle
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val acts = LLMLayerActivationsOp("fake:d8",
+        SelectTextColumnOp(ds, "text"), layerNum = 3L, tokenMode = "last",
+        batchSize = 64L)
+      r.toFrame(acts)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), posexplode(col("value")))
+        .select(col("row_idx"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("row_idx"), col("pos"))
+    }),
+
+    "q_llm_logits" -> ((s, dir) => {
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val logits = LLMLogitScoresOp("fake:d8",
+        SelectTextColumnOp(ds, "text"), Seq("yes", "no", 7L))
+      r.toFrame(logits)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), posexplode(col("value")))
+        .select(col("row_idx"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("row_idx"), col("pos"))
+    }),
+
+    "q_llm_generate" -> ((s, dir) => {
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val gen = LLMGenerateTextOp("fake:d8", SelectTextColumnOp(ds, "text"),
+        maxTokens = 100L)
+      r.toFrame(gen)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("gen_text"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_grouped" -> ((s, dir) => {
+      // GroupedOp: materialize a set of ops as one unit, result = last
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val g = GroupedOp(Seq(AssignRowIDOp(ds),
+        AssignTrainTestSplitOp(ds, testSize = Some(0.25))))
+      r.materialize(g)
+      r.toFrame(g.ops.last).groupBy(col("value").as("split"))
+        .agg(count(lit(1)).as("cnt")).orderBy(col("split"))
+    }),
+
+    "q_umap_viz" -> ((s, dir) => {
+      // UMAPVizOp → distributed PCA(2) stand-in; axes are sign-indeterminate
+      // → rows-only oracle; structure asserted in ProbeSpec
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val viz = UMAPVizOp(SelectVectorColumnOp(ds, "embedding"))
+      r.toFrame(viz)
+        .select(col(ColumnOps.RowIdx).as("row_idx"),
+          element_at(col("value"), 1).as("x"), element_at(col("value"), 2).as("y"))
+        .orderBy(col("row_idx"))
+    }),
+
+    // ---- multimodal binary columns ----
+
+    "q_mm_decode" -> ((s, dir) => {
+      // opaque binary column (doc text bytes as stand-in payload) through
+      // the batched mapPartitions decode path; metadata is the
+      // deterministic stub → full oracle
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("img"))
+      Multimodal.withImageMeta(docs, "doc_id", "img")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_mm_frames" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++
+          Multimodal.frameStats(col("text"), 64).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup extensions ----
 
     "q_dedup_exact" -> ((s, dir) => {
@@ -392,8 +531,79 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB rendering of FakeProvider.value: int(md5(expr)[0:8], 16) / 2^31
+    * - 1, exact in double on both engines (power-of-two division). */
+  private def duckMd5Val(expr: String): String =
+    "(list_sum(list_transform(range(8), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($expr), i+1, 1)) - 1) * pow(16, 7-i)" +
+      ")) / 2147483648.0 - 1.0)"
+
+  /** ...and the 4-hex-digit integer variant used by the multimodal stub. */
+  private def duckMd5Int4(expr: String, off: Int): String =
+    s"CAST(list_sum(list_transform(range(4), i -> " +
+      s"(strpos('0123456789abcdef', substr(md5($expr), i+1+$off, 1)) - 1) * pow(16, 3-i)" +
+      ")) AS BIGINT)"
+
   /** DuckDB-equivalent SQL per query (same column names & order-by). */
   def oracleSql: Map[String, String] = Map(
+
+    "q_runner_slice" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, row_number() OVER () - 1 AS rid
+        |  FROM customer),
+        |masked AS (
+        |  SELECT c_custkey, c_name, row_number() OVER (ORDER BY rid) - 1 AS ridx
+        |  FROM base WHERE c_mktsegment = 'BUILDING'),
+        |sliced AS (
+        |  SELECT c_custkey, c_name, (ridx - 1) // 3 AS nidx
+        |  FROM masked WHERE ridx >= 1 AND (ridx - 1) % 3 = 0)
+        |SELECT c_custkey, c_name FROM sliced WHERE nidx < 100
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_probe_eval" ->
+      """SELECT 'all' AS split, COUNT(*) AS cnt,
+        |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false
+        |FROM embeddings""".stripMargin,
+
+    "q_llm_activations" ->
+      s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
+         |e AS (SELECT row_idx, text, unnest(range(8)) AS pos FROM d)
+         |SELECT row_idx, pos,
+         |${duckMd5Val("text || '|3|last|' || CAST(pos AS VARCHAR)")} AS val
+         |FROM e ORDER BY row_idx, pos""".stripMargin,
+
+    "q_llm_logits" ->
+      s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
+         |e AS (SELECT row_idx, text, unnest(range(3)) AS pos FROM d)
+         |SELECT row_idx, pos,
+         |${duckMd5Val("text || '|logit|' || (['yes','no','7'])[CAST(pos AS INT)+1]")} AS val
+         |FROM e ORDER BY row_idx, pos""".stripMargin,
+
+    "q_llm_generate" ->
+      """SELECT row_number() OVER () - 1 AS row_idx,
+        |'gen:' || substr(md5(text || '|100'), 1, 16) AS gen_text
+        |FROM documents ORDER BY row_idx""".stripMargin,
+
+    "q_grouped" ->
+      """SELECT 'test' AS split, CAST(ceil(0.25 * COUNT(*)) AS BIGINT) AS cnt FROM documents
+        |UNION ALL
+        |SELECT 'train' AS split, COUNT(*) - CAST(ceil(0.25 * COUNT(*)) AS BIGINT) AS cnt FROM documents
+        |ORDER BY split""".stripMargin,
+
+    "q_mm_decode" ->
+      s"""SELECT doc_id,
+         |16 + ${duckMd5Int4("text", 0)} % 1008 AS width,
+         |16 + ${duckMd5Int4("text", 4)} % 1008 AS height,
+         |(['jpeg','png','webp'])[CAST(${duckMd5Int4("text", 8)} // 256 AS INT) % 3 + 1] AS format
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_frames" ->
+      """SELECT doc_id,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+        |md5(substr(text, 1, 64)) AS first_frame_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,155 @@
+package graft.llm
+
+import java.security.MessageDigest
+
+/** Model-provider abstraction for LLM ops (reference
+  * `runners/model_registry.py:13-75`: `@register_model_provider(schemes*)` +
+  * `get_model_provider("hf:gpt2") -> (provider, "gpt2")`). Model names carry
+  * a scheme prefix selecting the provider; the remainder is the
+  * provider-specific model id.
+  *
+  * Shipped providers:
+  *   - `fake:` — deterministic hash-derived outputs for CI and oracles
+  *     (replaces the reference's GPU-bound `hf:`/`tl:` in this container;
+  *     same role as a test double, reference uses real small models in a
+  *     slow suite).
+  *   - `http:` — any OpenAI-/Ollama-style embedding endpoint, called inside
+  *     `mapPartitions` so inference distributes across executors (the
+  *     reference's Ollama provider shape, batched HTTP).
+  */
+trait ModelProvider extends Serializable {
+
+  /** Pooled residual activations for each text at `layerNum`. */
+  def layerActivations(texts: Iterator[Seq[String]], layerNum: Long,
+                       tokenMode: String): Iterator[Seq[Array[Double]]]
+
+  /** Logits of the listed tokens at the last input position. */
+  def logitScores(texts: Iterator[Seq[String]],
+                  tokens: Seq[Any]): Iterator[Seq[Array[Double]]]
+
+  /** Text generation (unimplemented in the reference; implemented for the
+    * fake provider only). */
+  def generate(prompts: Iterator[Seq[String]],
+               maxTokens: Long): Iterator[Seq[String]]
+}
+
+object ModelRegistry {
+
+  private val factories =
+    scala.collection.mutable.LinkedHashMap.empty[String, String => ModelProvider]
+
+  def register(scheme: String)(factory: String => ModelProvider): Unit =
+    factories(scheme) = factory
+
+  def schemes: Seq[String] = factories.keys.toSeq
+
+  /** "fake:d16" → (FakeProvider, "d16"); unknown scheme is a hard error
+    * (reference `model_registry.py:55-64`). */
+  def get(modelName: String): (ModelProvider, String) = {
+    val i = modelName.indexOf(':')
+    if (i < 0) throw new IllegalArgumentException(
+      s"model name '$modelName' has no scheme (expected e.g. ${schemes.map(_ + ":...").mkString(", ")})")
+    val scheme = modelName.substring(0, i)
+    val rest = modelName.substring(i + 1)
+    val f = factories.getOrElse(scheme, throw new IllegalArgumentException(
+      s"no model provider for scheme '$scheme:'. Registered: ${schemes.mkString(", ")}"))
+    (f(rest), rest)
+  }
+
+  register("fake")(rest => FakeProvider(FakeProvider.parseDim(rest)))
+  register("http")(rest => new HttpProvider(rest))
+}
+
+/** Deterministic fake provider: every output value is derived from
+  * md5(text|layer|mode|index) — reproducible anywhere, including in a SQL
+  * oracle (DuckDB can replicate the hex arithmetic), which turns the LLM op
+  * plumbing into a fully hash-checkable pipeline.
+  *
+  * value = int(md5hex[0:8]) / 2^31 - 1  ∈ [-1, 1), exact in double on both
+  * engines (power-of-two division; no rounding anywhere).
+  */
+final case class FakeProvider(dim: Int) extends ModelProvider {
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def value(key: String): Double =
+    java.lang.Long.parseLong(md5hex(key).substring(0, 8), 16) / 2147483648.0 - 1.0
+
+  def activationVector(text: String, layerNum: Long, tokenMode: String): Array[Double] =
+    Array.tabulate(dim)(i => value(s"$text|$layerNum|$tokenMode|$i"))
+
+  override def layerActivations(texts: Iterator[Seq[String]], layerNum: Long,
+                                tokenMode: String): Iterator[Seq[Array[Double]]] =
+    texts.map(_.map(t => activationVector(t, layerNum, tokenMode)))
+
+  override def logitScores(texts: Iterator[Seq[String]],
+                           tokens: Seq[Any]): Iterator[Seq[Array[Double]]] =
+    texts.map(_.map(t =>
+      tokens.map(tok => value(s"$t|logit|$tok")).toArray))
+
+  override def generate(prompts: Iterator[Seq[String]],
+                        maxTokens: Long): Iterator[Seq[String]] =
+    prompts.map(_.map(p => "gen:" + md5hex(s"$p|$maxTokens").substring(0, 16)))
+}
+
+object FakeProvider {
+  /** "d16" → 16; bare "" → default 16. */
+  def parseDim(rest: String): Int =
+    if (rest.startsWith("d") && rest.drop(1).forall(_.isDigit) && rest.length > 1)
+      rest.drop(1).toInt
+    else 16
+}
+
+/** HTTP provider: posts batches to an OpenAI-/Ollama-compatible endpoint.
+  * Runs on executors inside `mapPartitions` — inference scales with
+  * partitions, the engine never funnels text through the driver. Untestable
+  * in this zero-egress container; the request shape mirrors Ollama
+  * `/api/embed` (reference `model_registry_implementations.py:56-67`).
+  */
+final class HttpProvider(endpoint: String) extends ModelProvider {
+
+  private def post(body: String): String = {
+    val url = java.net.URI.create(
+      if (endpoint.startsWith("http")) endpoint else s"http://$endpoint").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(body.getBytes("UTF-8"))
+    new String(conn.getInputStream.readAllBytes(), "UTF-8")
+  }
+
+  private def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
+    import graft.spec._
+    val body = Json.render(JObj(
+      "input" -> JArr(texts.map(t => JString(t): JValue).toVector)))
+    Json.parse(post(body)) match {
+      case o: JObj => o.get("embeddings") match {
+        case Some(JArr(vecs)) => vecs.map {
+          case JArr(xs) => xs.map {
+            case JDouble(d) => d; case JLong(l) => l.toDouble
+            case other => throw new IllegalStateException(s"bad embedding value $other")
+          }.toArray
+          case other => throw new IllegalStateException(s"bad embedding row $other")
+        }
+        case _ => throw new IllegalStateException("response has no 'embeddings'")
+      }
+      case other => throw new IllegalStateException(s"bad response $other")
+    }
+  }
+
+  override def layerActivations(texts: Iterator[Seq[String]], layerNum: Long,
+                                tokenMode: String): Iterator[Seq[Array[Double]]] =
+    texts.map(embedBatch)
+
+  override def logitScores(texts: Iterator[Seq[String]],
+                           tokens: Seq[Any]): Iterator[Seq[Array[Double]]] =
+    throw new UnsupportedOperationException(
+      "logit scores are not exposed by embedding endpoints")
+
+  override def generate(prompts: Iterator[Seq[String]],
+                        maxTokens: Long): Iterator[Seq[String]] =
+    throw new UnsupportedOperationException("generation endpoint not configured")
+}

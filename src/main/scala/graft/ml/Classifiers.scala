@@ -1,0 +1,336 @@
+package graft.ml
+
+import org.apache.spark.ml.{Estimator, Pipeline, PipelineModel, PipelineStage, Transformer}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.feature.{Normalizer, StandardScaler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.spec._
+import graft.runner.{FrameResult, LocalSparkRunner}
+
+/** String-keyed classifier registry (reference
+  * `probe_implementations.py:29-120`: 11 sklearn factories behind
+  * `@register_classifier_model`). Spark ML estimators back the same names;
+  * kernel-method entries (rbf_nusvm, rbf_svc, calibrated_rbf_nusvm,
+  * sgd_nystroem, sgd_nystroem_one_class_svm) have no MLlib equivalent and
+  * raise a clear error rather than silently substituting — a caller can
+  * register a JVM-backed implementation via `register`.
+  */
+object ClassifierRegistry {
+
+  type Factory = Map[String, Any] => Estimator[_ <: org.apache.spark.ml.Model[_]]
+
+  private val registry = scala.collection.mutable.LinkedHashMap.empty[String, Factory]
+
+  def register(name: String)(f: Factory): Unit = registry(name) = f
+
+  def names: Seq[String] = registry.keys.toSeq
+
+  def create(name: String, params: Map[String, Any]): Estimator[_] =
+    registry.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown classifier model_type '$name'. Registered: ${names.mkString(", ")}"))
+      .apply(params)
+
+  private def dblP(params: Map[String, Any], key: String, default: Double): Double =
+    params.get(key).map {
+      case d: Double => d; case l: Long => l.toDouble; case i: Int => i.toDouble
+      case o => throw new IllegalArgumentException(s"param $key: bad value $o")
+    }.getOrElse(default)
+  private def intP(params: Map[String, Any], key: String, default: Int): Int =
+    params.get(key).map {
+      case l: Long => l.toInt; case i: Int => i
+      case o => throw new IllegalArgumentException(s"param $key: bad value $o")
+    }.getOrElse(default)
+
+  register("logistic_regression") { p =>
+    new LogisticRegression()
+      .setMaxIter(intP(p, "max_iter", 100))
+      .setRegParam(dblP(p, "C", 1.0) match { case c => 1.0 / math.max(c, 1e-12) / 100.0 })
+      .setTol(dblP(p, "tol", 1e-6))
+  }
+  register("linear_svc") { p =>
+    new LinearSVC()
+      .setMaxIter(intP(p, "max_iter", 100))
+      .setRegParam(dblP(p, "reg_param", 0.01))
+  }
+  // sklearn's PassiveAggressive/SGDClassifier are linear-margin SGD models;
+  // LinearSVC (hinge) is the closest MLlib estimator — documented stand-in.
+  register("passive_aggressive") { p =>
+    new LinearSVC().setMaxIter(intP(p, "max_iter", 100))
+      .setRegParam(dblP(p, "reg_param", 1e-4))
+  }
+  register("sgd") { p =>
+    new LogisticRegression().setMaxIter(intP(p, "max_iter", 100))
+      .setRegParam(dblP(p, "alpha", 1e-4))
+  }
+  register("random_forest") { p =>
+    new RandomForestClassifier()
+      .setNumTrees(intP(p, "n_estimators", 100))
+      .setMaxDepth(intP(p, "max_depth", 5))
+      .setSeed(intP(p, "random_state", 42).toLong)
+  }
+  register("naive_bayes") { _ =>
+    // activations are continuous → gaussian NB (sklearn default GaussianNB)
+    new NaiveBayes().setModelType("gaussian")
+  }
+  register("gbt") { p =>
+    new GBTClassifier()
+      .setMaxIter(intP(p, "n_estimators", 50))
+      .setMaxDepth(intP(p, "max_depth", 5))
+      .setSeed(intP(p, "random_state", 42).toLong)
+  }
+  for (missing <- Seq("rbf_nusvm", "rbf_svc", "calibrated_rbf_nusvm",
+    "sgd_nystroem", "sgd_nystroem_one_class_svm"))
+    register(missing) { _ =>
+      throw new UnsupportedOperationException(
+        s"'$missing' needs an RBF-kernel/Nystroem backend, which Spark MLlib " +
+          "does not provide; register a JVM implementation to enable it")
+    }
+
+  def loadModel(path: String): Transformer = PipelineModel.load(path)
+}
+
+/** Train / predict / evaluate for linear probes over activation vectors —
+  * the reference's heavyweight compute (`probe_implementations.py:123-322`),
+  * as distributed Spark ML pipelines + DataFrame aggregations.
+  */
+object Probes {
+
+  import graft.runner.LocalSparkRunner
+
+  private val RowIdx = graft.ops.ColumnOps.RowIdx
+
+  /** Assemble (row_idx, features, label) for training (reference
+    * `probe_implementations.py:123-182`): rows = (positives ∪ negatives) ∩
+    * train_domain; consistency checks: non-empty, disjoint. */
+  def train(r: LocalSparkRunner, op: TrainClassifierOp): Transformer = {
+    val x = r.toFrame(op.x).select(col(RowIdx), col(r.ValueCol).as("__x"))
+    val pos = r.toFrame(op.positives).select(col(RowIdx), col(r.ValueCol).as("__pos"))
+    val neg = r.toFrame(op.negatives).select(col(RowIdx), col(r.ValueCol).as("__neg"))
+    var rows = x.join(pos, RowIdx).join(neg, RowIdx)
+    op.trainDomain.foreach { d =>
+      rows = rows.join(
+        r.toFrame(d).select(col(RowIdx), col(r.ValueCol).as("__dom")), RowIdx)
+        .filter(col("__dom")).drop("__dom")
+    }
+    val both = rows.filter(col("__pos") && col("__neg")).limit(1).count()
+    if (both > 0) throw new IllegalArgumentException(
+      "positives and negatives overlap (must be disjoint)")
+    val labeled = rows.filter(col("__pos") || col("__neg"))
+      .select(col(RowIdx),
+        array_to_vector(col("__x").cast("array<double>")).as("__feat"),
+        when(col("__pos"), 1.0).otherwise(0.0).as("label"))
+    if (labeled.limit(1).count() == 0) throw new IllegalArgumentException(
+      "no training rows (positives ∪ negatives ∩ domain is empty)")
+
+    val stages = scala.collection.mutable.ListBuffer.empty[PipelineStage]
+    val featCol = op.preprocessing match {
+      case "none" => "__feat"
+      case "standardize" =>
+        stages += new StandardScaler().setInputCol("__feat")
+          .setOutputCol("__scaled").setWithMean(true).setWithStd(true)
+        "__scaled"
+      case "normalize" =>
+        stages += new Normalizer().setInputCol("__feat")
+          .setOutputCol("__scaled").setP(2.0)
+        "__scaled"
+    }
+    val est = ClassifierRegistry.create(op.modelType, op.params)
+    est.getClass.getMethod("setFeaturesCol", classOf[String]).invoke(est, featCol)
+    est.getClass.getMethod("setLabelCol", classOf[String]).invoke(est, "label")
+    stages += est.asInstanceOf[PipelineStage]
+    new Pipeline().setStages(stages.toArray).fit(labeled)
+  }
+
+  /** Score a vector column with a trained model: `predict_proba[:, 1]` when
+    * available else decision function (reference
+    * `probe_implementations.py:185-202`). */
+  def predict(r: LocalSparkRunner, op: ClassifierPredictOp): DataFrame = {
+    val model = r.toModel(op.model)
+    val x = r.toFrame(op.x).select(col(RowIdx),
+      array_to_vector(col(r.ValueCol).cast("array<double>")).as("__feat"))
+    val out = model.transform(x)
+    val score =
+      if (out.columns.contains("probability"))
+        element_at(vector_to_array(col("probability")), 2)
+      else element_at(vector_to_array(col("rawPrediction")), 2)
+    out.select(col(RowIdx), score.as(r.ValueCol))
+  }
+
+  /** Per-split evaluation report (reference
+    * `probe_implementations.py:205-322`): restricted to predict_domain ∧
+    * (pos ∨ neg); per split: counts, avg_score, ROC-AUC, AP,
+    * precision@recall grid, threshold metrics (given threshold, or the
+    * accuracy-maximizing one).
+    *
+    * Distributed shape: one groupBy per (split, score-distinct) for the
+    * cumulative curve — scores are rounded to 9 dp to bound curve
+    * cardinality at corpus scale (quantile-binning would be the 100 TB
+    * refinement); all sweeps are window cumulative sums partitioned by
+    * split, never a global single-partition window.
+    */
+  def evaluate(r: LocalSparkRunner, op: ClassifierEvaluationOp): JValue = {
+    import org.apache.spark.sql.expressions.Window
+
+    val score = r.toFrame(op.score).select(col(RowIdx), col(r.ValueCol).as("__score"))
+    val pos = r.toFrame(op.gtPositives).select(col(RowIdx), col(r.ValueCol).as("__pos"))
+    val neg = r.toFrame(op.gtNegatives).select(col(RowIdx), col(r.ValueCol).as("__neg"))
+    var rows = score.join(pos, RowIdx).join(neg, RowIdx)
+    op.predictDomain.foreach { d =>
+      rows = rows.join(r.toFrame(d).select(col(RowIdx), col(r.ValueCol).as("__dom")), RowIdx)
+        .filter(col("__dom")).drop("__dom")
+    }
+    rows = op.split match {
+      case Some(s) =>
+        rows.join(r.toFrame(s).select(col(RowIdx), col(r.ValueCol).as("__split")), RowIdx)
+      case None => rows.withColumn("__split", lit("all"))
+    }
+    val eligible = rows.filter(col("__pos") || col("__neg"))
+      .withColumn("__label", when(col("__pos"), 1L).otherwise(0L))
+      .withColumn("__s", round(col("__score").cast("double"), 9))
+
+    // per-(split, score) counts → per-split descending-score cumulative curve
+    val curve = eligible.groupBy(col("__split"), col("__s"))
+      .agg(sum(col("__label")).as("__tp_here"),
+        sum(lit(1L) - col("__label")).as("__fp_here"))
+    val w = Window.partitionBy(col("__split")).orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = curve
+      .withColumn("__tp", sum(col("__tp_here")).over(w))
+      .withColumn("__fp", sum(col("__fp_here")).over(w))
+
+    val totals = eligible.groupBy(col("__split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__label")).as("n_true"),
+        sum(lit(1L) - col("__label")).as("n_false"),
+        avg(col("__score").cast("double")).as("avg_score"))
+      .collect().map(r0 => r0.getString(0) ->
+        (r0.getLong(1), r0.getLong(2), r0.getLong(3),
+          if (r0.isNullAt(4)) Double.NaN else r0.getDouble(4))).toMap
+
+    // collect the (bounded) per-split curves for AUC/AP/threshold sweeps
+    val curves: Map[String, Array[(Double, Long, Long)]] = cum
+      .select(col("__split"), col("__s"), col("__tp"), col("__fp"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(r0 => (r0.getDouble(1), r0.getLong(2), r0.getLong(3)))
+          .sortBy(-_._1)
+      }
+
+    val recallGrid = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99, 0.999)
+
+    val splits = totals.keys.toSeq.sorted.map { sp =>
+      val (n, nT, nF, avgS) = totals(sp)
+      val curvePts = curves.getOrElse(sp, Array.empty)
+      val auc = rocAuc(curvePts, nT, nF)
+      val ap = averagePrecision(curvePts, nT)
+      val pAtR = recallGrid.map { tr =>
+        val p = curvePts.collect {
+          case (_, tp, fp) if nT > 0 && tp.toDouble / nT >= tr =>
+            tp.toDouble / (tp + fp)
+        }
+        (f"$tr%s", if (p.isEmpty) JNull else JDouble(p.max))
+      }
+      val (thr, acc, tp, fp, fn, tn) = op.scoreThreshold match {
+        case Some(t) => metricsAtThreshold(curvePts, nT, nF, t)
+        case None => bestAccuracyThreshold(curvePts, nT, nF)
+      }
+      val precision = if (tp + fp > 0) JDouble(tp.toDouble / (tp + fp)) else JNull
+      val recall = if (nT > 0) JDouble(tp.toDouble / nT) else JNull
+      val f1 = (precision, recall) match {
+        case (JDouble(p), JDouble(rr)) if p + rr > 0 => JDouble(2 * p * rr / (p + rr))
+        case _ => JNull
+      }
+      sp -> (JObj(
+        "count" -> JLong(n),
+        "n_true" -> JLong(nT),
+        "n_false" -> JLong(nF),
+        "avg_score" -> (if (avgS.isNaN) JNull else JDouble(avgS)),
+        "roc_auc" -> (if (auc.isNaN) JNull else JDouble(auc)),
+        "average_precision" -> (if (ap.isNaN) JNull else JDouble(ap)),
+        "precision_at_recall" -> JObj(scala.collection.immutable.ListMap(pAtR: _*)),
+        "score_threshold" -> (if (thr.isNaN) JNull else JDouble(thr)),
+        "accuracy" -> (if (acc.isNaN) JNull else JDouble(acc)),
+        "precision" -> precision,
+        "recall" -> recall,
+        "f1" -> f1,
+        "confusion" -> JObj(
+          "tp" -> JLong(tp), "fp" -> JLong(fp),
+          "fn" -> JLong(fn), "tn" -> JLong(tn))): JValue)
+    }
+    JObj("splits" -> JObj(scala.collection.immutable.ListMap(splits: _*)))
+  }
+
+  /** Trapezoidal ROC-AUC over the cumulative curve. */
+  private def rocAuc(curve: Array[(Double, Long, Long)], nT: Long, nF: Long): Double = {
+    if (nT == 0 || nF == 0) return Double.NaN
+    var auc = 0.0; var prevTpr = 0.0; var prevFpr = 0.0
+    curve.foreach { case (_, tp, fp) =>
+      val tpr = tp.toDouble / nT; val fpr = fp.toDouble / nF
+      auc += (fpr - prevFpr) * (tpr + prevTpr) / 2.0
+      prevTpr = tpr; prevFpr = fpr
+    }
+    auc += (1.0 - prevFpr) * (1.0 + prevTpr) / 2.0
+    auc
+  }
+
+  /** AP = Σ (R_k - R_{k-1}) · P_k over the descending-score curve. */
+  private def averagePrecision(curve: Array[(Double, Long, Long)], nT: Long): Double = {
+    if (nT == 0) return Double.NaN
+    var ap = 0.0; var prevR = 0.0
+    curve.foreach { case (_, tp, fp) =>
+      val r0 = tp.toDouble / nT
+      val p = if (tp + fp > 0) tp.toDouble / (tp + fp) else 0.0
+      ap += (r0 - prevR) * p
+      prevR = r0
+    }
+    ap
+  }
+
+  /** Confusion at a fixed threshold: predict positive iff score >= t. */
+  private def metricsAtThreshold(curve: Array[(Double, Long, Long)],
+                                 nT: Long, nF: Long, t: Double)
+  : (Double, Double, Long, Long, Long, Long) = {
+    val at = curve.filter(_._1 >= t).lastOption
+    val (tp, fp) = at.map(c => (c._2, c._3)).getOrElse((0L, 0L))
+    val fn = nT - tp; val tn = nF - fp
+    val acc = if (nT + nF > 0) (tp + tn).toDouble / (nT + nF) else Double.NaN
+    (t, acc, tp, fp, fn, tn)
+  }
+
+  /** Sweep all curve thresholds for max accuracy (reference behavior when
+    * score_threshold is None). */
+  private def bestAccuracyThreshold(curve: Array[(Double, Long, Long)],
+                                    nT: Long, nF: Long)
+  : (Double, Double, Long, Long, Long, Long) = {
+    if (nT + nF == 0) return (Double.NaN, Double.NaN, 0L, 0L, 0L, 0L)
+    var best = (Double.NaN, -1.0, 0L, 0L, nT, nF)
+    curve.foreach { case (s, tp, fp) =>
+      val tn = nF - fp
+      val acc = (tp + tn).toDouble / (nT + nF)
+      if (acc > best._2) best = (s, acc, tp, fp, nT - tp, tn)
+    }
+    best
+  }
+}
+
+/** 2-D embedding op: the reference runs umap-learn (`viz_ops.py:10-52`); a
+  * JVM-native engine substitutes distributed PCA(2) from Spark ML under the
+  * same spec (SURVEY §2.7) — deterministic and cluster-scalable where UMAP
+  * is neither.
+  */
+object Viz {
+  private val RowIdx = graft.ops.ColumnOps.RowIdx
+
+  def embed2d(r: LocalSparkRunner, op: UMAPVizOp): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    val x = r.toFrame(op.inputEmbedding)
+      .select(col(RowIdx), array_to_vector(col(r.ValueCol).cast("array<double>")).as("__feat"))
+    val model = new PCA().setK(2).setInputCol("__feat").setOutputCol("__pca").fit(x)
+    model.transform(x).select(col(RowIdx),
+      vector_to_array(col("__pca")).as(r.ValueCol))
+  }
+}

@@ -315,13 +315,20 @@ object Template {
       val (lv, rv) = (eval(l, ctx), eval(r, ctx))
       compareVals(op, lv, rv)
     case Path(root, steps, filters) =>
-      var v: Any = ctx.getOrElse(root, null) // jinja2 Undefined renders as ""
+      // jinja2 distinguishes a MISSING variable (Undefined: renders "",
+      // falsy) from a present None (renders "None") — mirror that
+      var v: Any = ctx.getOrElse(root, Undefined)
       for (st <- steps) v = step(v, st)
+      if (filters.nonEmpty && v == Undefined) v = null
       for (f <- filters) v = applyFilter(f, v, ctx)
       v
   }
 
+  /** jinja2's Undefined sentinel: missing variables, not null values. */
+  private[ops] case object Undefined
+
   private def step(v: Any, s: Step): Any = (v, s) match {
+    case (Undefined, _) => Undefined
     case (null, _) => null
     case (m: Map[_, _], Attr(a)) => m.asInstanceOf[Map[String, Any]].getOrElse(a, null)
     case (m: Map[_, _], Key(k)) => m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
@@ -393,6 +400,7 @@ object Template {
   }
 
   private def truthy(v: Any): Boolean = v match {
+    case Undefined => false
     case null => false
     case b: Boolean => b
     case s: String => s.nonEmpty
@@ -430,6 +438,7 @@ object Template {
   /** jinja2 string coercion: None → "None", bools → True/False, ints plain,
     * floats with .0, lists/dicts via repr-of-elements. */
   def toStr(v: Any): String = v match {
+    case Undefined => ""
     case null => "None"
     case true => "True"
     case false => "False"

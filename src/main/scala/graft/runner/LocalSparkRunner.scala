@@ -1,0 +1,516 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths}
+import java.security.MessageDigest
+import java.time.Instant
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.spec._
+import graft.ops.{ColumnOps, Template}
+
+/** Result of materializing one op. */
+sealed trait MatResult
+final case class FrameResult(df: DataFrame) extends MatResult
+final case class JsonResult(json: JValue) extends MatResult
+final case class ModelResult(model: org.apache.spark.ml.Transformer) extends MatResult
+
+/** The pull-based, memoizing, content-addressed executor — layer (c) of the
+  * engine (reference `runners/local_runner/local_arrow_runner.py:307-497`,
+  * `base_runner.py:159-258`), re-designed Spark-first:
+  *
+  *   - Every implementation returns a **lazy** DataFrame. Ephemeral ops are
+  *     never persisted (reference `op_spec.py:385-402`): a chain of
+  *     ephemeral ops composes into ONE Catalyst plan, so predicate pushdown
+  *     / column pruning / whole-stage codegen apply across op boundaries —
+  *     strictly better than the reference, which recomputes ephemerals on
+  *     every pull.
+  *   - Non-ephemeral results persist to a content-addressed store
+  *     `store/<ClassName>/<hash>/` as `result.parquet` (zstd) / `result.json`
+  *     / `model/`, plus a `done` marker and a `status.json` that embeds the
+  *     op's full serialized graph (the rehydration + cross-machine sharing
+  *     medium, reference `local_arrow_runner.py:250-269`). The second
+  *     materialize of any op — in this process or another — is an
+  *     O(metadata) store read, no recompute.
+  *   - Positional identity: every dataset carries a deterministic
+  *     `__row_idx` stamped at load; column results are `(__row_idx, value)`
+  *     frames; multi-input ops are equi-joins on `__row_idx` (SURVEY §7.4.1).
+  *
+  * Store layout is engine-agnostic local-FS here; at cluster scale the same
+  * layout goes through the Hadoop FS API (s3a://, gs://) — only `fsPath`
+  * changes.
+  */
+class LocalSparkRunner(
+    val spark: SparkSession,
+    val storeUri: String,
+    val validateLengths: Boolean = true) {
+
+  import LocalSparkRunner._
+
+  val ValueCol = "value"
+  private val RowIdx = ColumnOps.RowIdx
+
+  private val memo = scala.collection.mutable.HashMap.empty[String, MatResult]
+
+  // ---------------- store layout ----------------
+
+  private def split(uuid: String): (String, String) = {
+    val i = uuid.indexOf('_')
+    (uuid.substring(0, i), uuid.substring(i + 1))
+  }
+  def opDir(op: OpSpec): Path = {
+    val (cls, hash) = split(op.uuid)
+    Paths.get(storeUri, cls, hash)
+  }
+  private def donePath(op: OpSpec): Path = opDir(op).resolve("done")
+  private def statusPath(op: OpSpec): Path = opDir(op).resolve("status.json")
+  private def resultParquet(op: OpSpec): Path = opDir(op).resolve("result.parquet")
+  private def resultJson(op: OpSpec): Path = opDir(op).resolve("result.json")
+  private def modelDir(op: OpSpec): Path = opDir(op).resolve("model")
+
+  /** `done`-marker protocol (reference `local_arrow_runner.py:146-152`). */
+  def isDone(op: OpSpec): Boolean = Files.exists(donePath(op))
+
+  /** Reference `has_result`: ephemeral ops are "ready" iff all their deps
+    * are ready (`local_arrow_runner.py:230-248`). */
+  def hasResult(op: OpSpec): Boolean =
+    if (memo.contains(op.uuid)) true
+    else if (op.isEphemeral) op.children.forall(hasResult)
+    else isDone(op)
+
+  def status(op: OpSpec): OpStatus = {
+    val p = statusPath(op)
+    if (Files.exists(p)) OpStatus.fromJson(Json.parse(Files.readString(p)))
+    else OpStatus(op.uuid,
+      if (op.isEphemeral) OpState.Ephemeral else OpState.New)
+  }
+
+  private def writeStatus(st: OpStatus): Unit = {
+    Files.createDirectories(Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2))
+    val p = Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2, "status.json")
+    Files.writeString(p, Json.renderPretty(st.toJson))
+  }
+
+  /** Rehydrate an op from the store by UUID: the status file embeds the full
+    * graph (reference `local_arrow_runner.py:250-269`). */
+  def uuidToOp(uuid: String): OpSpec = {
+    val (cls, hash) = split(uuid)
+    val p = Paths.get(storeUri, cls, hash, "status.json")
+    if (!Files.exists(p))
+      throw new NoSuchElementException(s"no status for $uuid in store $storeUri")
+    val st = OpStatus.fromJson(Json.parse(Files.readString(p)))
+    val graph = st.graph.getOrElse(
+      throw new IllegalStateException(s"status for $uuid has no graph"))
+    Graph.deserialize(graph)
+      .find(_.uuid == uuid)
+      .getOrElse(throw new IllegalStateException(
+        s"graph in status for $uuid does not contain it"))
+  }
+
+  /** All op UUIDs present in the store (for CLI status/summary). */
+  def listStore(): Seq[String] = {
+    val root = Paths.get(storeUri)
+    if (!Files.exists(root)) return Seq.empty
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    Files.list(root).forEach { clsDir =>
+      if (Files.isDirectory(clsDir))
+        Files.list(clsDir).forEach { hashDir =>
+          if (Files.isDirectory(hashDir))
+            out += s"${clsDir.getFileName}_${hashDir.getFileName}"
+        }
+    }
+    out.toSeq.sorted
+  }
+
+  // ---------------- entry points ----------------
+
+  /** Build a LoadLocalParquetDatasetOp whose identity is the streamed sha256
+    * of the file bytes — NOT the path (reference `dataset_ops.py:61-72`,
+    * `local_arrow_runner.py:154-198`). */
+  def fromParquet(path: String): LoadLocalParquetDatasetOp =
+    LoadLocalParquetDatasetOp(contentHash = contentHashOf(path), filePath = path)
+
+  /** Materialize as a DataFrame (datasets and column ops). */
+  def toFrame(op: OpSpec): DataFrame = materialize(op) match {
+    case FrameResult(df) => df
+    case other => throw new IllegalArgumentException(
+      s"${op.typeName} result is not a frame: $other")
+  }
+
+  /** Materialize a column op and return just its values (ordered). */
+  def toValues(op: OpSpec): Seq[Any] =
+    toFrame(op).orderBy(col(RowIdx)).select(col(ValueCol))
+      .collect().toSeq.map(_.get(0))
+
+  def toJson(op: OpSpec): JValue = materialize(op) match {
+    case JsonResult(j) => j
+    case other => throw new IllegalArgumentException(
+      s"${op.typeName} result is not json: $other")
+  }
+
+  def toModel(op: OpSpec): org.apache.spark.ml.Transformer = materialize(op) match {
+    case ModelResult(m) => m
+    case other => throw new IllegalArgumentException(
+      s"${op.typeName} result is not a model: $other")
+  }
+
+  // ---------------- materialization core ----------------
+
+  def materialize(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
+    if (!op.isEphemeral && isDone(op)) readResult(op)
+    else {
+      if (op.isEphemeral) {
+        compute(op) // stays lazy; nothing persisted (ephemeral fusion)
+      } else {
+        writeStatus(OpStatus(op.uuid, OpState.Running,
+          startedAt = Some(Instant.now.toString),
+          graph = Some(Graph.serialize(op))))
+        try {
+          val result = compute(op)
+          val fmt = persist(op, result)
+          writeStatus(OpStatus(op.uuid, OpState.Completed,
+            startedAt = Some(Instant.now.toString),
+            completedAt = Some(Instant.now.toString),
+            resultFormat = Some(fmt),
+            graph = Some(Graph.serialize(op))))
+          Files.writeString(donePath(op), "")
+          // re-read data results from the store so downstream consumers scan
+          // the compact persisted parquet, not the original lineage
+          if (fmt == "parquet") readResult(op) else result
+        } catch {
+          case e: Throwable =>
+            writeStatus(OpStatus(op.uuid, OpState.Failed,
+              startedAt = Some(Instant.now.toString),
+              completedAt = Some(Instant.now.toString),
+              error = Some(String.valueOf(e.getMessage)),
+              graph = Some(Graph.serialize(op))))
+            throw e
+        }
+      }
+    }
+  })
+
+  private def persist(op: OpSpec, result: MatResult): String = result match {
+    case FrameResult(df) =>
+      df.write.mode("overwrite").option("compression", "zstd")
+        .parquet(resultParquet(op).toString)
+      "parquet"
+    case JsonResult(j) =>
+      Files.createDirectories(opDir(op))
+      Files.writeString(resultJson(op), Json.renderPretty(j))
+      "json"
+    case ModelResult(m) =>
+      m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+        .write.overwrite().save(modelDir(op).toString)
+      "model"
+  }
+
+  private def readResult(op: OpSpec): MatResult = {
+    if (Files.exists(resultParquet(op)))
+      FrameResult(spark.read.parquet(resultParquet(op).toString))
+    else if (Files.exists(resultJson(op)))
+      JsonResult(Json.parse(Files.readString(resultJson(op))))
+    else if (Files.exists(modelDir(op)))
+      ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
+    else throw new IllegalStateException(
+      s"done marker present but no result for ${op.uuid}")
+  }
+
+  // ---------------- per-op implementations ----------------
+
+  private def frame(op: OpSpec): DataFrame = toFrame(op)
+
+  private def compute(op: OpSpec): MatResult = op match {
+
+    case LoadLocalParquetDatasetOp(_, path) =>
+      FrameResult(ColumnOps.withRowIdxByFileOrder(spark.read.parquet(path)))
+
+    case LoadInlineJsonDatasetOp(data) =>
+      FrameResult(inlineToFrame(data))
+
+    case sel: SelectColumnOp =>
+      FrameResult(selectColumn(sel))
+
+    case TakeRowsOp(dataset, skip, offset, numRows) =>
+      // table[offset::skip][:num_rows] with a CLOSED-FORM re-index: the new
+      // position of a kept row is (old-offset)/skip, so slicing (including
+      // the head-limit) is a pure parallel filter — no window, no limit op.
+      val df = frame(dataset)
+      val kept = df.filter(col(RowIdx) >= offset &&
+        (col(RowIdx) - offset) % skip === 0)
+      val newIdx = ((col(RowIdx) - offset) / skip).cast("long")
+      val sliced = numRows match {
+        case Some(n) => kept.filter(newIdx < n)
+        case None => kept
+      }
+      FrameResult(sliced.withColumn(RowIdx, newIdx))
+
+    case MaskRowsOp(dataset, mask) =>
+      val df = frame(dataset)
+      val m = frame(mask)
+      if (validateLengths) checkSameLength(df, m, "mask")
+      val kept = df.join(
+          m.select(col(RowIdx), col(ValueCol).as("__mask")), RowIdx)
+        .filter(col("__mask")).drop("__mask")
+      FrameResult(reindex(kept))
+
+    case CategoryToBooleanOp(input, trueValues, falseValues) =>
+      val in = frame(input)
+      if (validateLengths && trueValues.nonEmpty && falseValues.nonEmpty) {
+        val universe = trueValues.get ++ falseValues.get
+        ColumnOps.validateCategoryUniverse(in, col(ValueCol), universe.toSet)
+      }
+      val expr = (trueValues, falseValues) match {
+        case (Some(tv), _) => col(ValueCol).isin(tv: _*)
+        case (None, Some(fv)) => !col(ValueCol).isin(fv: _*)
+        case _ => throw new IllegalArgumentException("no value sets")
+      }
+      FrameResult(in.select(col(RowIdx), expr.as(ValueCol)))
+
+    case BooleanLogicOp(operation, left, right) =>
+      val l = frame(left)
+      if (operation == "not") {
+        FrameResult(l.select(col(RowIdx), (!col(ValueCol)).as(ValueCol)))
+      } else {
+        val r = frame(right)
+        if (validateLengths) checkSameLength(l, r, "boolean operand")
+        val joined = l.select(col(RowIdx), col(ValueCol).as("__l"))
+          .join(r.select(col(RowIdx), col(ValueCol).as("__r")), RowIdx)
+        FrameResult(joined.select(col(RowIdx),
+          ColumnOps.booleanLogic(operation, col("__l"), col("__r")).as(ValueCol)))
+      }
+
+    case ParseJSONColumnOp(text) =>
+      // strict parse: invalid JSON is a hard error (reference
+      // `local_arrow_runner.py:515-535`), unlike Spark's null-on-error
+      // from_json. Valid rows pass through canonicalized.
+      FrameResult(frame(text).select(col(RowIdx),
+        strictJsonUdf(col(ValueCol)).as(ValueCol)))
+
+    case VectorToScalarOp(input, colIndex) =>
+      val in = frame(input)
+      if (validateLengths)
+        ColumnOps.validateVectorIndex(in, col(ValueCol), colIndex.toInt)
+      FrameResult(in.select(col(RowIdx),
+        ColumnOps.vectorToScalar(col(ValueCol), colIndex.toInt).as(ValueCol)))
+
+    case PairwiseArithmeticOp(operation, left, right) =>
+      val l = frame(left); val r = frame(right)
+      if (validateLengths) checkSameLength(l, r, "arithmetic operand")
+      val joined = l.select(col(RowIdx), col(ValueCol).as("__l"))
+        .join(r.select(col(RowIdx), col(ValueCol).as("__r")), RowIdx)
+      val opName = operation match {
+        case "+" => "add"; case "-" => "subtract"
+        case "*" => "multiply"; case "/" => "divide"
+      }
+      FrameResult(joined.select(col(RowIdx),
+        ColumnOps.pairwiseArithmetic(opName, col("__l"), col("__r")).as(ValueCol)))
+
+    case t @ JinjaTemplatizeOp(template, context, constants, maxLength) =>
+      val names = context.keys.toSeq.sorted
+      val joined = names.zipWithIndex.foldLeft[Option[DataFrame]](None) {
+        case (acc, (name, i)) =>
+          val c = frame(context(name)).select(col(RowIdx), col(ValueCol).as(s"__v$i"))
+          Some(acc.fold(c)(_.join(c, RowIdx)))
+      }.getOrElse(throw new IllegalArgumentException("template needs ≥1 context column"))
+      val consts = constants
+      val render = udf { vals: Seq[String] =>
+        val ctx: Map[String, Any] = names.zip(vals).toMap ++ consts
+        val out = Template.render(template, ctx)
+        maxLength match {
+          case Some(n) if out.length > n => out.substring(0, n.toInt)
+          case _ => out
+        }
+      }
+      val arr = array(names.indices.map(i => col(s"__v$i").cast("string")): _*)
+      FrameResult(joined.select(col(RowIdx), render(arr).as(ValueCol)))
+
+    case AssignTrainTestSplitOp(dataset, testSize, trainSize, seed) =>
+      FrameResult(assignSplit(frame(dataset), testSize, trainSize, seed))
+
+    case AssignRowIDOp(dataset) =>
+      FrameResult(frame(dataset).select(col(RowIdx), col(RowIdx).as(ValueCol)))
+
+    case train: TrainClassifierOp =>
+      ModelResult(graft.ml.Probes.train(this, train))
+
+    case pred: ClassifierPredictOp =>
+      FrameResult(graft.ml.Probes.predict(this, pred))
+
+    case ev: ClassifierEvaluationOp =>
+      JsonResult(graft.ml.Probes.evaluate(this, ev))
+
+    case acts: LLMLayerActivationsOp =>
+      FrameResult(graft.llm.LLMOps.layerActivations(this, acts))
+
+    case logits: LLMLogitScoresOp =>
+      FrameResult(graft.llm.LLMOps.logitScores(this, logits))
+
+    case gen: LLMGenerateTextOp =>
+      FrameResult(graft.llm.LLMOps.generateText(this, gen))
+
+    case viz: UMAPVizOp =>
+      FrameResult(graft.ml.Viz.embed2d(this, viz))
+
+    case GroupedOp(ops) =>
+      // materialize in sequence, result = last (reference
+      // `local_arrow_runner.py:664-673`)
+      ops.map(materialize).lastOption.getOrElse(
+        throw new IllegalArgumentException("GroupedOp with no ops"))
+
+    case other =>
+      throw new UnsupportedOperationException(
+        s"no implementation for ${other.typeName}")
+  }
+
+  // ---------------- helpers ----------------
+
+  private def selectColumn(sel: SelectColumnOp): DataFrame = {
+    val df = frame(sel.dataset)
+    val name = sel.columnName
+    if (!df.columns.contains(name))
+      throw new NoSuchElementException(
+        s"column '$name' not found in dataset (have: ${df.columns.filterNot(_ == RowIdx).mkString(", ")})")
+    val dt = df.schema(name).dataType
+    def fail(want: String): Nothing = throw new IllegalArgumentException(
+      s"column '$name' has dtype $dt, expected $want (${sel.typeName})")
+    sel match {
+      case _: SelectTextColumnOp | _: SelectTrainTestSplitColumnOp =>
+        if (dt != StringType) fail("string")
+      case _: SelectCategoricalColumnOp => dt match {
+        // integer-coded categories are common (e.g. class labels); they
+        // select as their string rendering, matching the reference's
+        // duck-typed column lookup (`local_arrow_runner.py:507-512`)
+        case StringType | ByteType | ShortType | IntegerType | LongType =>
+        case _ => fail("string or integer")
+      }
+      case _: SelectBooleanColumnOp => if (dt != BooleanType) fail("boolean")
+      case _: SelectScoreColumnOp =>
+        if (!dt.isInstanceOf[NumericType]) fail("numeric")
+      case _: SelectVectorColumnOp => dt match {
+        case ArrayType(_: NumericType, _) =>
+        case _ => fail("array<numeric>")
+      }
+      case _: SelectConversationColumnOp => dt match {
+        case ArrayType(_: StructType, _) =>
+        case _ => fail("array<struct>")
+      }
+      case _: SelectJSONColumnOp => dt match {
+        case StringType | _: StructType | _: ArrayType | _: MapType =>
+        case _ => fail("string/struct/array/map")
+      }
+    }
+    val value = sel match {
+      case _: SelectCategoricalColumnOp if Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt) =>
+        col(name).cast("string")
+      case _ => col(name)
+    }
+    df.select(col(RowIdx), value.as(ValueCol))
+  }
+
+  private def reindex(df: DataFrame): DataFrame =
+    ColumnOps.withRowIdxByKey(
+      df.withColumnRenamed(RowIdx, "__old_idx"), col("__old_idx"))
+      .drop("__old_idx")
+
+  private def checkSameLength(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val na = a.count(); val nb = b.count()
+    if (na != nb) throw new IllegalArgumentException(
+      s"$what length mismatch: dataset has $na rows, $what has $nb")
+  }
+
+  /** Exact-count seeded split (reference `local_arrow_runner.py:538-620`):
+    * float = proportion (test=ceil, train=floor), int = absolute, complement
+    * inferred, default test 0.25. Deterministic per seed within this engine.
+    */
+  private def assignSplit(df: DataFrame, testSize: Option[Any],
+                          trainSize: Option[Any], seed: Long): DataFrame = {
+    val ranked = ColumnOps.withRowIdxByKey(
+      df.select(col(RowIdx).as("__orig_idx"))
+        .withColumn("__draw", xxhash64(col("__orig_idx"), lit(seed))),
+      col("__draw"), col("__orig_idx"))
+      .withColumnRenamed(RowIdx, "__rank")
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val nTest: Column = (testSize, trainSize) match {
+      case (Some(d: Double), _) => ceil(lit(d) * col("__n")).cast("long")
+      case (Some(c: Long), _) => lit(c)
+      case (Some(c: Int), _) => lit(c.toLong)
+      case (None, Some(d: Double)) => col("__n") - floor(lit(d) * col("__n")).cast("long")
+      case (None, Some(c: Long)) => col("__n") - lit(c)
+      case (None, Some(c: Int)) => col("__n") - lit(c.toLong)
+      case _ => ceil(lit(0.25) * col("__n")).cast("long")
+    }
+    ranked.crossJoin(broadcast(total))
+      .select(col("__orig_idx").as(RowIdx),
+        when(col("__rank") < nTest, "test").otherwise("train").as(ValueCol))
+  }
+
+  private val strictJsonUdf = udf { s: String =>
+    if (s == null) throw new IllegalArgumentException("null is not valid JSON")
+    Json.render(Json.parse(s)) // throws on invalid
+  }
+
+  private def inlineToFrame(data: Map[String, Seq[Any]]): DataFrame = {
+    val names = data.keys.toSeq.sorted
+    val n = data.headOption.map(_._2.length).getOrElse(0)
+    def sparkType(values: Seq[Any]): DataType =
+      values.collectFirst {
+        case _: Long | _: Int => LongType
+        case _: Double | _: Float => DoubleType
+        case _: Boolean => BooleanType
+        case _: String => StringType
+        case _: Seq[_] => ArrayType(DoubleType)
+      }.getOrElse(StringType)
+    val types = names.map(c => sparkType(data(c)))
+    def conv(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (x: Int, LongType) => x.toLong
+      case (x: Long, LongType) => x
+      case (x: Float, DoubleType) => x.toDouble
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
+      case (x: Double, DoubleType) => x
+      case (x: Seq[_], ArrayType(DoubleType, _)) => x.map {
+        case d: Double => d; case l: Long => l.toDouble
+        case i: Int => i.toDouble; case f: Float => f.toDouble
+        case o => throw new IllegalArgumentException(s"bad vector element $o")
+      }
+      case (x, _) => x
+    }
+    val rows = (0 until n).map { i =>
+      Row.fromSeq(names.zip(types).map { case (c, t) => conv(data(c)(i), t) } :+ i.toLong)
+    }
+    val schema = StructType(
+      names.zip(types).map { case (c, t) => StructField(c, t) } :+
+        StructField(RowIdx, LongType, nullable = false))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}
+
+object LocalSparkRunner {
+
+  /** Streamed sha256 of a parquet file or directory of files (sorted by
+    * relative path) — the dataset's identity. */
+  def contentHashOf(path: String): String = {
+    val p = Paths.get(path)
+    val md = MessageDigest.getInstance("SHA-256")
+    def feed(f: Path): Unit = {
+      val in = Files.newInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+    }
+    if (Files.isDirectory(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala
+        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.toString)
+        .foreach(feed)
+    } else feed(p)
+    md.digest().map("%02x".format(_)).mkString
+  }
+}

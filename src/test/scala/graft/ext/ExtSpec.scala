@@ -1,0 +1,163 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extensions: dedup (exact/minhash/simhash/cosine),
+  * similarity search (brute/IVF recall), text analysis. Planted-duplicate
+  * fixtures make the LSH paths falsifiable.
+  */
+class ExtSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = {
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different text about spark engines and scala"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "another unrelated document mentioning databases"),
+      (5L, "the quick brown fox leaps over the lazy dog")) // near-dup of 0
+    base.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups by content, keeps min id") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(groups.length == 5) // 6 docs, one exact pair
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 0L)
+    val deduped = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    assert(deduped.count() == 5)
+    assert(!deduped.filter($"doc_id" === 3L).isEmpty == false)
+  }
+
+  test("minhash near-dup finds planted near-duplicates, skips unrelated") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup always found
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 5L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardVerify computes exact jaccard on candidate pairs") {
+    val cands = Seq((0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(docs, "text", "doc_id", cands,
+      shingleN = 3, threshold = 0.0)
+      .orderBy("id_a", "id_b").collect()
+    val j = out.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 2L)) == 0.0)
+  }
+
+  test("simhash: hamming≤max candidates guaranteed by pigeonhole banding") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    // near-dups share most tokens → low hamming
+    assert(pairs.contains((0L, 5L)))
+  }
+
+  test("cosine LSH near-dup finds identical planted vectors") {
+    val rng = new scala.util.Random(1)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+    val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup.cosineNearDuplicates(df, "embedding", "vec_id",
+        dim = 16, nBands = 8, planesPerBand = 4, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, i + 1000L)), s"missing planted pair $i")
+    }
+    // exact verify kernel agrees
+    val exact = Dedup.cosineNearDuplicatesExact(df, "embedding", "vec_id", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == exact)
+  }
+
+  test("IVF recall@k ≥ 0.9 vs in-engine brute force (nprobe < nlist)") {
+    val rng = new scala.util.Random(7)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    val ivf = topk(Similarity.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, nlist = 8, nprobe = 6))
+    val recalls = brute.map { case (q, expected) =>
+      ivf.getOrElse(q, Set.empty).intersect(expected).size.toDouble / expected.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 = $mean")
+  }
+
+  test("IVF with exhaustive probing equals brute force exactly") {
+    val rng = new scala.util.Random(9)
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat()).toSeq)).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val b = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5).orderBy("query_id", "rank").collect()
+    val i = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5, nlist = 4, nprobe = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(b.map(_.toSeq).toSeq == i.map(_.toSeq).toSeq)
+  }
+
+  test("token counts / quality features / fingerprints") {
+    val d = Seq((0L, "Hello World2 FooBar"), (1L, "   "), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextAnalysis.tokenCount($"text").as("nt"),
+      TextAnalysis.subwordCount($"text").as("ns"),
+      TextAnalysis.fingerprintMd5($"text").as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("nt") == 3)
+    assert(out(0).getAs[Int]("ns") == 5) // Hello | World | 2 | Foo | Bar
+    assert(out(1).getAs[Int]("nt") == 0)
+    assert(out(2).getAs[Int]("nt") == 3)
+    // fingerprint is whitespace/case-normalized
+    val fp1 = Seq((0L, "A  B")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5($"text")).head.getString(0)
+    val fp2 = Seq((0L, "a b ")).toDF("doc_id", "text")
+      .select(TextAnalysis.fingerprintMd5($"text")).head.getString(0)
+    assert(fp1 == fp2)
+    // rolling hash deterministic + normalization-stable
+    assert(TextAnalysis.rollingHash("A  B") == TextAnalysis.rollingHash("a b "))
+    assert(TextAnalysis.rollingHash("x") != TextAnalysis.rollingHash("y"))
+  }
+
+  test("language id picks dominant stopword language, CJK → zh") {
+    val d = Seq(
+      (0L, "the cat and the dog in a house"),
+      (1L, "der Hund und die Katze ist nicht hier"),
+      (2L, "le chat et le chien est dans la maison"),
+      (3L, "el perro y el gato es un animal"),
+      (4L, "zzz qqq xxx"),
+      (5L, "你好世界")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "de", "fr", "es", "und", "zh"))
+  }
+
+  test("quality score penalizes digit/punct-heavy docs") {
+    val d = Seq(
+      (0L, "a clean readable document with several plain words here"),
+      (1L, "1234 5678 90123 45678 9012 3456"),
+      (2L, "!!! ??? ;;; ,,, ... !!!")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(out(0) > out(1))
+    assert(out(0) > out(2))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Jinja engine semantics, mirroring the scenarios of the reference's
+  * templatize tests (`tests/test_local_arrow_runner.py:824-1188`):
+  * interpolation, conditionals, loops, filters (incl. the custom
+  * `repr`/`drop_nulls`), constants, and error modes.
+  */
+class TemplateSpec extends AnyFunSuite {
+
+  private def r(t: String, ctx: (String, Any)*): String =
+    Template.render(t, ctx.toMap)
+
+  test("plain interpolation and literal text") {
+    assert(r("Hello {{name}}!", "name" -> "World") == "Hello World!")
+    assert(r("no vars") == "no vars")
+    assert(r("{{a}}{{b}}", "a" -> "x", "b" -> "y") == "xy")
+  }
+
+  test("numbers render like Python (ints without decimal point)") {
+    assert(r("{{n}}", "n" -> 42L) == "42")
+    assert(r("{{n}}", "n" -> 2.5) == "2.5")
+    assert(r("{{n}}", "n" -> true) == "True")
+    assert(r("{{n}}", "n" -> null) == "None")
+  }
+
+  test("attribute / index / key paths") {
+    assert(r("{{m.k}}", "m" -> Map("k" -> "v")) == "v")
+    assert(r("""{{m["k"]}}""", "m" -> Map("k" -> "v")) == "v")
+    assert(r("{{xs[1]}}", "xs" -> Seq("a", "b")) == "b")
+  }
+
+  test("if / elif / else with comparisons and boolean ops") {
+    val t = "{% if x > 3 %}big{% elif x > 1 %}mid{% else %}small{% endif %}"
+    assert(r(t, "x" -> 5L) == "big")
+    assert(r(t, "x" -> 2L) == "mid")
+    assert(r(t, "x" -> 0L) == "small")
+    assert(r("{% if a and not b %}Y{% endif %}", "a" -> true, "b" -> false) == "Y")
+    assert(r("{% if s == 'hit' %}Y{% else %}N{% endif %}", "s" -> "hit") == "Y")
+  }
+
+  test("python truthiness: empty string/seq/zero are falsy") {
+    val t = "{% if v %}T{% else %}F{% endif %}"
+    assert(r(t, "v" -> "") == "F")
+    assert(r(t, "v" -> Seq.empty) == "F")
+    assert(r(t, "v" -> 0L) == "F")
+    assert(r(t, "v" -> "x") == "T")
+    assert(r(t, "v" -> null) == "F")
+  }
+
+  test("for loops") {
+    assert(r("{% for x in xs %}[{{x}}]{% endfor %}", "xs" -> Seq(1L, 2L, 3L))
+      == "[1][2][3]")
+    assert(r("{% for x in xs %}{{x.k}}{% endfor %}",
+      "xs" -> Seq(Map("k" -> "a"), Map("k" -> "b"))) == "ab")
+  }
+
+  test("standard filters") {
+    assert(r("{{s|upper}}", "s" -> "abc") == "ABC")
+    assert(r("{{s|lower}}", "s" -> "AbC") == "abc")
+    assert(r("{{s|trim}}", "s" -> " x ") == "x")
+    assert(r("{{xs|length}}", "xs" -> Seq(1L, 2L)) == "2")
+    assert(r("{{xs|join(\", \")}}", "xs" -> Seq("a", "b")) == "a, b")
+    assert(r("{{xs|first}}-{{xs|last}}", "xs" -> Seq("a", "b", "c")) == "a-c")
+    assert(r("{{v|default(\"dflt\")}}", "v" -> null) == "dflt")
+    assert(r("{{v|default(\"dflt\")}}", "v" -> "set") == "set")
+  }
+
+  test("custom filter: repr (Python repr semantics)") {
+    assert(r("{{s|repr}}", "s" -> "it's") == "\"it's\"")
+    assert(r("{{s|repr}}", "s" -> "plain") == "'plain'")
+    assert(r("{{n|repr}}", "n" -> 3L) == "3")
+    assert(r("{{xs|repr}}", "xs" -> Seq("a", 1L)) == "['a', 1]")
+    assert(r("{{m|repr}}", "m" -> Map("k" -> "v")) == "{'k': 'v'}")
+  }
+
+  test("custom filter: drop_nulls") {
+    assert(r("{{xs|drop_nulls|length}}", "xs" -> Seq("a", null, "b")) == "2")
+    assert(r("{{xs|drop_nulls|join(\",\")}}", "xs" -> Seq(null, "x")) == "x")
+  }
+
+  test("filter chains") {
+    assert(r("{{s|trim|upper}}", "s" -> " hi ") == "HI")
+  }
+
+  test("missing variables render empty (jinja2 default-undefined behavior)") {
+    assert(r("[{{nope}}]") == "[]")
+  }
+
+  test("syntax errors throw") {
+    intercept[IllegalArgumentException](Template.compile("{% if x %}unclosed"))
+    intercept[IllegalArgumentException](Template.compile("{% endfor %}"))
+    intercept[IllegalArgumentException](Template.compile("{% bogus %}{% endbogus %}"))
+  }
+
+  test("conversation-shaped context (list of role/content maps)") {
+    val conv = Seq(
+      Map("role" -> "user", "content" -> "hi"),
+      Map("role" -> "assistant", "content" -> "hello"))
+    val t = "{% for m in conv %}{{m.role}}: {{m.content}}\n{% endfor %}"
+    assert(r(t, "conv" -> conv) == "user: hi\nassistant: hello\n")
+  }
+}

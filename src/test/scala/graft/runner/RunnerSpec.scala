@@ -1,0 +1,272 @@
+package graft.runner
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+import graft.spec._
+
+/** Runner semantics, mirroring the shape of the reference's
+  * `tests/test_local_arrow_runner.py` per-op goldens (inline data in,
+  * hand-computed rows out) plus the cache/ephemeral behaviors
+  * (`tests/test_ephemeral_has_result.py`).
+  */
+class RunnerSpec extends SparkTestBase {
+
+  private def inline(n: Int = 10): LoadInlineJsonDatasetOp =
+    LoadInlineJsonDatasetOp(Map(
+      "label" -> (0 until n).map(i => if (i % 3 == 0) "spam" else "ham"),
+      "score" -> (0 until n).map(i => i.toDouble),
+      "text" -> (0 until n).map(i => s"doc number $i"),
+      "flag" -> (0 until n).map(i => i % 2 == 0)))
+
+  private def newRunner() = new LocalSparkRunner(spark, newStoreDir())
+
+  // ---------------- sources ----------------
+
+  test("inline dataset materializes with stable row idx") {
+    val r = newRunner()
+    val df = r.toFrame(inline(4))
+    assert(df.columns.toSet == Set("label", "score", "text", "flag", "__row_idx"))
+    val rows = df.orderBy("__row_idx").collect()
+    assert(rows.map(_.getAs[String]("label")).toSeq ==
+      Seq("spam", "ham", "ham", "spam"))
+  }
+
+  test("fromParquet: identity is content, not path") {
+    val r = newRunner()
+    val dir = Files.createTempDirectory("graft-pq-")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$dir/t1")
+    val op1 = r.fromParquet(s"$dir/t1")
+    // same bytes copied elsewhere → same uuid
+    val dir2 = Files.createTempDirectory("graft-pq2-")
+    val copied = Paths.get(s"$dir2/t1copy")
+    Files.createDirectories(copied)
+    Files.list(Paths.get(s"$dir/t1")).forEach { f =>
+      if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+        Files.copy(f, copied.resolve(f.getFileName))
+    }
+    val op2 = r.fromParquet(copied.toString)
+    assert(op1.uuid == op2.uuid)
+    assert(r.toFrame(op1).count() == 2)
+  }
+
+  // ---------------- the SURVEY §7.2.3 minimum slice ----------------
+
+  test("minimum slice: load→select→isin→mask→take, twice, second run is a store hit") {
+    val store = newStoreDir()
+    val r1 = new LocalSparkRunner(spark, store)
+    val ds = inline(10)
+    val label = SelectCategoricalColumnOp(ds, "label")
+    val keep = CategoryToBooleanOp(label, Some(Seq("spam")))
+    val masked = MaskRowsOp(ds, keep)
+    val take = TakeRowsOp(masked, numRows = Some(2L))
+    // spam rows are idx 0,3,6,9 → first two
+    val rid = AssignRowIDOp(take) // non-ephemeral → persists
+    assert(r1.toValues(rid) == Seq(0L, 1L))
+    val scoreOfTaken = SelectScoreColumnOp(take, "score")
+    assert(r1.toValues(scoreOfTaken) == Seq(0.0, 3.0))
+
+    // ephemeral ops left nothing in the store
+    assert(!Files.exists(r1.opDir(take).resolve("done")))
+    assert(!Files.exists(r1.opDir(masked).resolve("done")))
+    // non-ephemeral op persisted with done marker + status + graph
+    assert(r1.isDone(rid))
+    val st = r1.status(rid)
+    assert(st.state == OpState.Completed)
+    assert(st.resultFormat.contains("parquet"))
+    assert(st.graph.nonEmpty)
+
+    // a fresh runner over the same store: cache hit — result readable even
+    // after the underlying impl would have changed (we read the store, not
+    // recompute). hasResult is true before any materialize call.
+    val r2 = new LocalSparkRunner(spark, store)
+    assert(r2.hasResult(rid))
+    assert(r2.toValues(rid) == Seq(0L, 1L))
+  }
+
+  test("hasResult for ephemeral ops follows dependency readiness") {
+    val r = newRunner()
+    val ds = inline(6)
+    val sel = SelectScoreColumnOp(ds, "score")
+    // inline load is non-ephemeral and not yet computed
+    assert(!r.hasResult(sel))
+    r.materialize(ds)
+    // once deps are materialized (memo), the ephemeral select is "ready"
+    assert(r.hasResult(sel))
+  }
+
+  test("uuidToOp rehydrates the full graph from the store") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    val ds = inline(8)
+    val split = AssignTrainTestSplitOp(ds, testSize = Some(0.25))
+    r.materialize(split)
+    val back = new LocalSparkRunner(spark, store).uuidToOp(split.uuid)
+    assert(back == split)
+    assert(back.asInstanceOf[AssignTrainTestSplitOp].dataset == ds)
+  }
+
+  // ---------------- per-op goldens ----------------
+
+  test("TakeRows slicing semantics table[offset::skip][:n]") {
+    val r = newRunner()
+    val ds = inline(10)
+    def takeScores(skip: Long, offset: Long, n: Option[Long]): Seq[Any] =
+      r.toValues(SelectScoreColumnOp(TakeRowsOp(ds, skip, offset, n), "score"))
+    assert(takeScores(1, 0, None) == (0 until 10).map(_.toDouble))
+    assert(takeScores(3, 1, None) == Seq(1.0, 4.0, 7.0))
+    assert(takeScores(3, 1, Some(2)) == Seq(1.0, 4.0))
+    assert(takeScores(1, 8, None) == Seq(8.0, 9.0))
+    assert(takeScores(2, 0, Some(100)) == Seq(0.0, 2.0, 4.0, 6.0, 8.0))
+  }
+
+  test("mask + boolean algebra goldens") {
+    val r = newRunner()
+    val ds = inline(6) // labels: spam ham ham spam ham ham; flags: T F T F T F
+    val isSpam = CategoryToBooleanOp(SelectCategoricalColumnOp(ds, "label"), Some(Seq("spam")))
+    val flag = SelectBooleanColumnOp(ds, "flag")
+    assert(r.toValues(BooleanLogicOp("and", isSpam, flag)) ==
+      Seq(true, false, false, false, false, false))
+    assert(r.toValues(BooleanLogicOp("or", isSpam, flag)) ==
+      Seq(true, false, true, true, true, false))
+    assert(r.toValues(BooleanLogicOp("xor", isSpam, flag)) ==
+      Seq(false, false, true, true, true, false))
+    assert(r.toValues(BooleanLogicOp("not", isSpam, isSpam)) ==
+      Seq(false, true, true, false, true, true))
+    // mask keeps idx 0,3 and REINDEXES
+    val masked = MaskRowsOp(ds, isSpam)
+    val scores = r.toFrame(SelectScoreColumnOp(masked, "score"))
+      .orderBy("__row_idx").collect()
+    assert(scores.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(scores.map(_.getDouble(1)).toSeq == Seq(0.0, 3.0))
+  }
+
+  test("isin validation: observed values must be within true ∪ false") {
+    val r = newRunner()
+    val label = SelectCategoricalColumnOp(inline(6), "label")
+    // ok: {spam, ham} ⊆ {spam} ∪ {ham}
+    r.toValues(CategoryToBooleanOp(label, Some(Seq("spam")), Some(Seq("ham"))))
+    // bad: "ham" outside {spam} ∪ {eggs}
+    val e = intercept[IllegalArgumentException](
+      r.toValues(CategoryToBooleanOp(label, Some(Seq("spam")), Some(Seq("eggs")))))
+    assert(e.getMessage.contains("outside"))
+  }
+
+  test("pairwise arithmetic incl. numpy division semantics") {
+    val r = newRunner()
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "a" -> Seq(1.0, -2.0, 0.0, 4.0),
+      "b" -> Seq(0.0, 0.0, 0.0, 2.0)))
+    val a = SelectScoreColumnOp(ds, "a"); val b = SelectScoreColumnOp(ds, "b")
+    assert(r.toValues(PairwiseArithmeticOp("+", a, b)) == Seq(1.0, -2.0, 0.0, 6.0))
+    assert(r.toValues(PairwiseArithmeticOp("*", a, b)) == Seq(0.0, -0.0, 0.0, 8.0))
+    val div = r.toValues(PairwiseArithmeticOp("/", a, b))
+    assert(div(0) == Double.PositiveInfinity)
+    assert(div(1) == Double.NegativeInfinity)
+    assert(div(2).asInstanceOf[Double].isNaN)
+    assert(div(3) == 2.0)
+  }
+
+  test("vector ops: element select with bounds check") {
+    val r = newRunner()
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "v" -> Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))))
+    val v = SelectVectorColumnOp(ds, "v")
+    assert(r.toValues(VectorToScalarOp(v, 1L)) == Seq(2.0, 5.0))
+    intercept[Exception](r.toValues(VectorToScalarOp(v, 7L)))
+  }
+
+  test("strict JSON parse: canonicalizes valid, errors on invalid") {
+    val r = newRunner()
+    val good = LoadInlineJsonDatasetOp(Map(
+      "j" -> Seq("""{"b": 1, "a": [true, null]}""", """"str"""")))
+    val parsed = ParseJSONColumnOp(SelectTextColumnOp(good, "j"))
+    assert(r.toValues(parsed) == Seq("""{"a":[true,null],"b":1}""", "\"str\""))
+    val bad = LoadInlineJsonDatasetOp(Map("j" -> Seq("{not json")))
+    intercept[Exception](
+      r.toValues(ParseJSONColumnOp(SelectTextColumnOp(bad, "j"))))
+  }
+
+  test("select dtype assertions and missing columns error") {
+    val r = newRunner()
+    val ds = inline(3)
+    intercept[NoSuchElementException](
+      r.toValues(SelectTextColumnOp(ds, "nope")))
+    intercept[IllegalArgumentException](
+      r.toValues(SelectBooleanColumnOp(ds, "score")))
+    intercept[IllegalArgumentException](
+      r.toValues(SelectVectorColumnOp(ds, "text")))
+  }
+
+  test("length mismatch between dataset and mask is an error") {
+    val r = newRunner()
+    val ds6 = inline(6); val ds4 = inline(4)
+    val shortMask = CategoryToBooleanOp(
+      SelectCategoricalColumnOp(ds4, "label"), Some(Seq("spam")))
+    val e = intercept[IllegalArgumentException](
+      r.toFrame(MaskRowsOp(ds6, shortMask)).count())
+    assert(e.getMessage.contains("length mismatch"))
+  }
+
+  test("Jinja templatize with constants, max_length, and full template path") {
+    val r = newRunner()
+    val ds = inline(3)
+    val t = JinjaTemplatizeOp(
+      "{% if label == 'spam' %}SPAM{% else %}ok{% endif %}: {{text}} ({{k}})",
+      Map("label" -> SelectCategoricalColumnOp(ds, "label"),
+        "text" -> SelectTextColumnOp(ds, "text")),
+      Map("k" -> 7L))
+    assert(r.toValues(t) == Seq(
+      "SPAM: doc number 0 (7)", "ok: doc number 1 (7)", "ok: doc number 2 (7)"))
+    val truncated = JinjaTemplatizeOp("{{text}}",
+      Map("text" -> SelectTextColumnOp(ds, "text")), Map.empty, Some(3L))
+    assert(r.toValues(truncated) == Seq("doc", "doc", "doc"))
+  }
+
+  test("train/test split: exact counts, deterministic, complement inference") {
+    val r = newRunner()
+    val ds = inline(10)
+    val s1 = AssignTrainTestSplitOp(ds, testSize = Some(0.25))
+    val v1 = r.toValues(s1)
+    assert(v1.count(_ == "test") == 3) // ceil(0.25*10)
+    assert(v1.count(_ == "train") == 7)
+    // deterministic for same seed
+    assert(v1 == r.toValues(s1.subsFields("random_state" -> 19190115L)))
+    // different seed → (almost surely) different membership, same counts
+    val v2 = r.toValues(AssignTrainTestSplitOp(ds, Some(0.25), None, 7L))
+    assert(v2.count(_ == "test") == 3)
+    // absolute count flavor
+    assert(r.toValues(AssignTrainTestSplitOp(ds, Some(4L)))
+      .count(_ == "test") == 4)
+    // train_size only → test = complement
+    assert(r.toValues(AssignTrainTestSplitOp(ds, None, Some(0.7)))
+      .count(_ == "test") == 3)
+  }
+
+  test("GroupedOp materializes all, returns last") {
+    val r = newRunner()
+    val ds = inline(4)
+    val rid = AssignRowIDOp(ds)
+    val split = AssignTrainTestSplitOp(ds, Some(2L))
+    val g = GroupedOp(Seq(rid, split))
+    r.materialize(g)
+    assert(r.isDone(rid) && r.isDone(split))
+    assert(r.toValues(g).count(_ == "test") == 2)
+  }
+
+  // ---------------- failed-status bookkeeping ----------------
+
+  test("failures are recorded in status.json") {
+    val r = newRunner()
+    val ds = inline(3)
+    val badSelect = SelectVectorColumnOp(ds, "text") // wrong dtype at materialize
+    val rid = AssignRowIDOp(MaskRowsOp(ds,
+      CategoryToBooleanOp(badSelect, Some(Seq("x")))))
+    intercept[Exception](r.materialize(rid))
+    val st = r.status(rid)
+    assert(st.state == OpState.Failed)
+    assert(st.error.nonEmpty)
+  }
+}
