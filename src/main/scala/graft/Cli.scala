@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spec._
+import graft.runner.{FrameResult, JsonResult, LocalSparkRunner, ModelResult, OpState}
+
+/** CLI entry points over serialized graphs — the Spark re-expression of the
+  * reference CLI (`cli.py:538-605` run/materialize, `:373-414` status,
+  * `:417-489` summary, `:492-517` print). The reference imports a user's
+  * Python file; here the graph medium is the serialized {outputs, nodes}
+  * JSON (our canonical cross-process format), plus store-wide commands that
+  * rehydrate from status files.
+  *
+  * Usage:
+  *   graft.Cli run     --store DIR --graph FILE [--filter-uuid S] [--filter-type T]
+  *   graft.Cli status  --store DIR [--graph FILE] [-j]
+  *   graft.Cli summary --store DIR [--graph FILE] [-j]
+  *   graft.Cli print   --store DIR --graph FILE [--format code|jsonl]
+  */
+object Cli {
+
+  private case class Args(
+      command: String,
+      store: String = "graft-store",
+      graph: Option[String] = None,
+      filterUuid: Option[String] = None,
+      filterType: Option[String] = None,
+      json: Boolean = false,
+      format: String = "code",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+
+  private def parseArgs(argv: Array[String]): Args = {
+    if (argv.isEmpty) usage("missing command")
+    var a = Args(command = argv.head)
+    var i = 1
+    while (i < argv.length) {
+      argv(i) match {
+        case "--store" => a = a.copy(store = argv(i + 1)); i += 2
+        case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
+        case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
+        case "--filter-type" => a = a.copy(filterType = Some(argv(i + 1))); i += 2
+        case "--format" => a = a.copy(format = argv(i + 1)); i += 2
+        case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case "-j" | "--json" => a = a.copy(json = true); i += 1
+        case other => usage(s"unknown argument $other")
+      }
+    }
+    a
+  }
+
+  private def usage(msg: String): Nothing = {
+    System.err.println(s"error: $msg")
+    System.err.println(
+      "usage: Cli <run|status|summary|print> --store DIR [--graph FILE]\n" +
+        "  [--filter-uuid SUBSTR] [--filter-type TYPE] [--format code|jsonl] [-j]")
+    sys.exit(2)
+  }
+
+  /** Graph outputs + all transitive deps, filtered (reference
+    * `filter_ops`, `cli.py:290-352` — uuid-substring and type filters). */
+  private def selectOps(a: Args, runner: LocalSparkRunner): Seq[OpSpec] = {
+    val roots: Seq[OpSpec] = a.graph match {
+      case Some(path) => Graph.deserializeString(Files.readString(Paths.get(path)))
+      case None => runner.listStore().flatMap { uuid =>
+        try Some(runner.uuidToOp(uuid)) catch { case _: Exception => None }
+      }
+    }
+    val all = scala.collection.mutable.LinkedHashMap.empty[String, OpSpec]
+    roots.foreach { r =>
+      if (!all.contains(r.uuid)) all(r.uuid) = r
+      r.allDependencies.foreach(d => if (!all.contains(d.uuid)) all(d.uuid) = d)
+    }
+    all.values.toSeq
+      .filter(op => a.filterUuid.forall(op.uuid.contains))
+      .filter(op => a.filterType.forall(_ == op.typeName))
+  }
+
+  private def sparkSession(a: Args): SparkSession = {
+    val s = SparkSession.builder()
+      .master(a.master)
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    a.command match {
+      case "run" => cmdRun(a)
+      case "status" => cmdStatus(a)
+      case "summary" => cmdSummary(a)
+      case "print" => cmdPrint(a)
+      case other => usage(s"unknown command $other")
+    }
+  }
+
+  /** Materialize every selected op, skipping ones already done, with per-op
+    * error capture (reference `cli.py:584-605`). */
+  private def cmdRun(a: Args): Unit = {
+    if (a.graph.isEmpty) usage("run requires --graph")
+    val spark = sparkSession(a)
+    val runner = new LocalSparkRunner(spark, a.store)
+    val ops = selectOps(a, runner)
+    var failed = 0
+    ops.foreach { op =>
+      if (runner.hasResult(op)) {
+        println(s"${op.uuid}: already done, skipping")
+      } else if (op.isEphemeral) {
+        println(s"${op.uuid}: ephemeral, skipping")
+      } else {
+        try {
+          runner.materialize(op) match {
+            case FrameResult(df) =>
+              // the store write happened inside materialize; row count is
+              // the cheap post-hoc progress signal
+              println(s"${op.uuid}: completed (${df.count()} rows)")
+            case JsonResult(_) => println(s"${op.uuid}: completed (json)")
+            case ModelResult(_) => println(s"${op.uuid}: completed (model)")
+          }
+        } catch {
+          case e: Exception =>
+            failed += 1
+            println(s"${op.uuid}: FAILED ${e.getMessage}")
+        }
+      }
+    }
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+
+  private def cmdStatus(a: Args): Unit = {
+    val runner = new LocalSparkRunner(null, a.store)
+    selectOps(a, runner).sortBy(_.uuid).foreach { op =>
+      val st = runner.status(op)
+      if (a.json) println(Json.render(st.toJson))
+      else println(s"${op.uuid}: ${st.state}")
+    }
+  }
+
+  /** State counts by op type (reference `cli.py:417-489`); ephemerals are
+    * elided from the table like the reference. */
+  private def cmdSummary(a: Args): Unit = {
+    val runner = new LocalSparkRunner(null, a.store)
+    val ops = selectOps(a, runner)
+    val byType = ops.groupBy(_.typeName)
+    val rows = byType.toSeq.map { case (tpe, tops) =>
+      val states = tops.map(op => runner.status(op).state)
+        .filterNot(_ == OpState.Ephemeral)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      (tpe, states)
+    }.filter(_._2.nonEmpty)
+      .sortBy { case (tpe, states) => (-states.values.sum, tpe) }
+    if (a.json) {
+      val obj = JObj(scala.collection.immutable.ListMap(rows.map { case (t, s) =>
+        t -> (JObj(scala.collection.immutable.ListMap(
+          s.toSeq.sortBy(_._1).map { case (k, v) => k -> (JLong(v): JValue) }: _*)): JValue)
+      }: _*))
+      println(Json.renderPretty(obj))
+    } else {
+      println(f"${"Type"}%-32s ${"Total"}%6s ${"New"}%6s ${"Run"}%6s ${"Done"}%6s ${"Fail"}%6s")
+      rows.foreach { case (tpe, states) =>
+        def c(s: String) = states.getOrElse(s, 0)
+        println(f"$tpe%-32s ${states.values.sum}%6d ${c(OpState.New)}%6d " +
+          f"${c(OpState.Running)}%6d ${c(OpState.Completed)}%6d ${c(OpState.Failed)}%6d")
+      }
+    }
+  }
+
+  /** Pseudocode or JSONL rendering (reference `cli.py:492-517`). */
+  private def cmdPrint(a: Args): Unit = {
+    if (a.graph.isEmpty) usage("print requires --graph")
+    val outputs = Graph.deserializeString(Files.readString(Paths.get(a.graph.get)))
+    a.format match {
+      case "code" => outputs.foreach(op => println(op.toCode()))
+      case "jsonl" =>
+        val runner = new LocalSparkRunner(null, a.store)
+        selectOps(a, runner).foreach(op => println(Json.render(op.toJson)))
+      case other => usage(s"unknown format $other")
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.spec._
+import graft.runner.LocalSparkRunner
+
+/** CLI surface over serialized graphs: run / status / summary / print. */
+class CliSpec extends SparkTestBase {
+
+  private def withStdout(f: => Unit): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf))(f)
+    buf.toString("UTF-8")
+  }
+
+  private def writeGraph(dir: String, ops: OpSpec*): String = {
+    val p = Paths.get(dir, "graph.json")
+    Files.writeString(p, Graph.serializeToString(ops: _*))
+    p.toString
+  }
+
+  test("print --format code renders pseudocode; jsonl renders nodes") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L)))
+    val rid = AssignRowIDOp(ds)
+    val g = writeGraph(store, rid)
+    val code = withStdout(Cli.main(Array("print", "--store", store, "--graph", g)))
+    assert(code.contains("assignrowidop_"))
+    assert(code.contains("loadinlinejsondatasetop_"))
+    val jsonl = withStdout(Cli.main(Array("print", "--store", store, "--graph", g,
+      "--format", "jsonl")))
+    val lines = jsonl.trim.linesIterator.toSeq
+    assert(lines.length == 2)
+    lines.foreach(l => Json.parse(l)) // every line is valid JSON
+  }
+
+  test("status + summary reflect store state before and after a run") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L)))
+    val rid = AssignRowIDOp(ds)
+    val g = writeGraph(store, rid)
+
+    val before = withStdout(Cli.main(Array("status", "--store", store, "--graph", g)))
+    assert(before.contains(s"${rid.uuid}: new"))
+
+    // materialize via a runner sharing the store (the CLI run path spins its
+    // own SparkSession; use the library path here to keep the test hermetic)
+    new LocalSparkRunner(spark, store).materialize(rid)
+
+    val after = withStdout(Cli.main(Array("status", "--store", store, "--graph", g)))
+    assert(after.contains(s"${rid.uuid}: completed"))
+
+    val summary = withStdout(Cli.main(Array("summary", "--store", store, "--graph", g)))
+    assert(summary.contains("AssignRowIDOp"))
+    val sumJson = withStdout(Cli.main(Array("summary", "--store", store,
+      "--graph", g, "-j")))
+    val parsed = Json.parse(sumJson).asInstanceOf[JObj]
+    assert(parsed("AssignRowIDOp").asInstanceOf[JObj]("completed") == JLong(1))
+  }
+
+  test("status without --graph rehydrates ops from the store") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("y" -> Seq("a", "b")))
+    val split = AssignTrainTestSplitOp(ds, testSize = Some(1L))
+    new LocalSparkRunner(spark, store).materialize(split)
+    val out = withStdout(Cli.main(Array("status", "--store", store)))
+    assert(out.contains(s"${split.uuid}: completed"))
+    // deps from the embedded graph are listed too
+    assert(out.contains(ds.uuid))
+  }
+
+  test("filters narrow the selection") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
+    val rid = AssignRowIDOp(ds)
+    val g = writeGraph(store, rid)
+    val only = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-type", "AssignRowIDOp")))
+    assert(only.contains("AssignRowIDOp_"))
+    assert(!only.contains("LoadInlineJsonDatasetOp_"))
+  }
+}
