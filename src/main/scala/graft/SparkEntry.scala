@@ -318,7 +318,8 @@ object SparkEntry {
       val cat = SelectCategoricalColumnOp(ds, "label")
       val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
       val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
-      val model = TrainClassifierOp("logistic_regression", x, pos, neg)
+      val model = TrainClassifierOp("logistic_regression", x, pos, neg,
+        params = Map("max_iter" -> 25L))
       val eval = ClassifierEvaluationOp(ClassifierPredictOp(model, x), pos, neg)
       val all = r.toJson(eval).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
         .asInstanceOf[JObj]
@@ -337,7 +338,8 @@ object SparkEntry {
       val cat = SelectCategoricalColumnOp(ds, "label")
       val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
       val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
-      val model = TrainClassifierOp("logistic_regression", x, pos, neg)
+      val model = TrainClassifierOp("logistic_regression", x, pos, neg,
+        params = Map("max_iter" -> 25L))
       r.toFrame(ClassifierPredictOp(model, x))
         .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("score"))
         .orderBy(col("row_idx"))

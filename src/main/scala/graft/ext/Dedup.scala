@@ -62,26 +62,50 @@ object Dedup {
     h
   }
 
-  /** MinHash signature (numPerms longs) from a shingle array — row-local
-    * Scala UDF. Each shingle string is hashed to 64 bits ONCE; the
-    * numPerms "permutations" are affine maps `a_p*h + b_p` over that base
-    * hash (odd multipliers ⇒ bijections mod 2^64) — the standard trick that
-    * makes signature cost O(|shingles| + |shingles|*numPerms integer ops)
-    * instead of numPerms full string walks per shingle.
+  /** MinHash signature (numPerms longs) straight from the WORD array —
+    * row-local Scala UDF. No shingle strings are ever built: each word is
+    * hashed to 64 bits once, an n-gram shingle hash is an order-sensitive
+    * mix of n consecutive word hashes, and the numPerms "permutations" are
+    * affine maps `a_p*h + b_p` (odd multipliers ⇒ bijections mod 2^64).
+    * Shingle de-duplication is skipped on purpose: the min over a multiset
+    * equals the min over its set. This removes the dominant cost of the
+    * earlier form (building + hashing O(total chars) shingle strings per
+    * doc, ~4.7 s for 5k docs at sf0.1 → string-free integer mixing).
     */
-  def minhashSignatureUdf(numPerms: Int) = {
+  def minhashSignatureUdf(numPerms: Int, shingleN: Int) = {
     // deterministic per-permutation affine coefficients (odd a)
     val as = Array.tabulate(numPerms)(p => hash64(p, "minhash-a") | 1L)
     val bs = Array.tabulate(numPerms)(p => hash64(p, "minhash-b"))
-    udf { shingles: scala.collection.Seq[String] =>
+    udf { words: scala.collection.Seq[String] =>
       val out = Array.fill(numPerms)(Long.MaxValue)
-      if (shingles != null) for (s <- shingles) {
-        val h = hash64(0, s)
-        var p = 0
-        while (p < numPerms) {
-          val v = as(p) * h + bs(p)
-          if (v < out(p)) out(p) = v
-          p += 1
+      if (words != null && words.nonEmpty) {
+        val wh = new Array[Long](words.length)
+        var i = 0
+        while (i < wh.length) { wh(i) = hash64(0, words(i)); i += 1 }
+        val nGrams = wh.length - shingleN + 1
+        def emit(h0: Long): Unit = {
+          var p = 0
+          while (p < numPerms) {
+            val v = as(p) * h0 + bs(p)
+            if (v < out(p)) out(p) = v
+            p += 1
+          }
+        }
+        if (nGrams <= 0) {
+          // short doc: one shingle of all words (mirrors wordShingles)
+          var h = -3750763034362895579L
+          var j = 0
+          while (j < wh.length) { h = (h * 1099511628211L) ^ wh(j); j += 1 }
+          emit(h)
+        } else {
+          var g = 0
+          while (g < nGrams) {
+            var h = -3750763034362895579L
+            var j = g
+            while (j < g + shingleN) { h = (h * 1099511628211L) ^ wh(j); j += 1 }
+            emit(h)
+            g += 1
+          }
         }
       }
       out
@@ -113,23 +137,49 @@ object Dedup {
                         shingleN: Int = 3, numPerms: Int = 64,
                         numBands: Int = 16, maxBucket: Int = 1000): DataFrame = {
     val rowsPerBand = numPerms / numBands
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
     val sigs = df.select(
         col(idCol).as("doc_id"),
-        minhashSignatureUdf(numPerms)(wordShingles(col(textCol), shingleN)).as("sig"))
+        minhashSignatureUdf(numPerms, shingleN)(words).as("sig"))
       .withColumn("band_key", explode(bandKeysUdf(numBands, rowsPerBand)(col("sig"))))
-    val buckets = sigs.groupBy("band_key")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // pair expansion inside each bucket (i<j), then global distinct
-    buckets.select(explode(pairCombinations(col("ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .select(col("doc_id"), col("band_key"))
+    bucketSelfJoinPairs(sigs, "band_key", maxBucket)
+  }
+
+  /** Candidate pairs via a *streamed* self-join within buckets — the
+    * scale-correct shape. A collect_list + in-row pair expansion (the round-1
+    * form) materializes O(bucket²) structs inside ONE row, which stalls a
+    * single task and thrashes GC exactly when a bucket is big; a self-join
+    * on the bucket key shuffles each side once and streams the pair
+    * expansion through the join operator (AQE skew-split applies). Buckets
+    * larger than `maxBucket` are boilerplate-driven skew: dropped entirely
+    * (the standard guard; their members still pair through their OTHER
+    * bands/buckets).
+    */
+  private def bucketSelfJoinPairs(keyed: DataFrame, key: String,
+                                  maxBucket: Int): DataFrame = {
+    val pruned = bucketPrune(keyed, key, maxBucket)
+    pruned.select(col(key), col("doc_id").as("id_a"))
+      .join(pruned.select(col(key), col("doc_id").as("id_b")), key)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
 
-  private def pairCombinations(ids: Column): Column = {
-    // flatten( transform(ids, (x,i) -> transform(slice(ids, i+2, n), y -> (x,y)) ) )
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)), y => struct(x.as("_1"), y.as("_2")))))
+  /** Skew guard as a *window count partitioned by the bucket key*: one
+    * bucket-key shuffle annotates each row with its bucket size (parallel —
+    * partitioned, never global). Crucially this keeps the two sides of the
+    * downstream self-join byte-identical plans, so Spark's ReusedExchange
+    * computes the (expensive) upstream signature UDF once, not once per
+    * side — the groupBy-join form of this guard broke that reuse.
+    */
+  private def bucketPrune(keyed: DataFrame, key: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    keyed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .drop("__bn")
   }
 
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
@@ -211,27 +261,23 @@ object Dedup {
       val start = starts(b)
       val width = widths(b)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(b).as("b"), shiftright(col("sh"), start).bitwiseAND(mask).as("v"))
+      // fold the band number into the key so one long column keys the join
+      lit(b.toLong << 58).bitwiseOR(
+        shiftright(col("sh"), start).bitwiseAND(mask))
     }
-    val banded = s.withColumn("band", explode(array(bandCols: _*)))
-    // bucket with a deterministic size cap to bound pair expansion
-    val buckets = banded.groupBy(col("band"))
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("sh")))), 1, maxBucket)
-        .as("members"))
-      .filter(size(col("members")) > 1)
-    buckets.select(explode(pairCombinations2(col("members"))).as("p"))
-      .select(col("p._1.doc_id").as("id_a"), col("p._1.sh").as("sh_a"),
-        col("p._2.doc_id").as("id_b"), col("p._2.sh").as("sh_b"))
+    val banded = s.withColumn("band_key", explode(array(bandCols: _*)))
+      .select(col("doc_id"), col("sh"), col("band_key"))
+    // streamed self-join within buckets (see bucketSelfJoinPairs scaladoc);
+    // sh rides along on both sides so hamming filters inside the join
+    val pruned = bucketPrune(banded, "band_key", maxBucket)
+    pruned.select(col("band_key"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(pruned.select(col("band_key"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "band_key")
+      .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
-
-  /** Pair (i<j) combinations over an array of structs. */
-  private def pairCombinations2(members: Column): Column =
-    flatten(transform(members, (x, i) =>
-      transform(slice(members, i + 2, size(members)),
-        y => struct(x.as("_1"), y.as("_2")))))
 
   // ---------- embedding cosine near-dup ----------
 
@@ -271,16 +317,23 @@ object Dedup {
         (b.toLong << 56) | out
       }
     }
-    val s = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
+    // candidate ids first: the band join + distinct shuffles only (sk, id)
+    // longs — never the vectors (the round-3 form carried both full vectors
+    // through an 8-way-amplified join and a distinct over vector columns)
+    val sk = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
       .withColumn("sk", explode(bandSketches(col("v"))))
-    val a = s.select(col("doc_id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"), col("sk"))
-    val b = s.select(col("doc_id").as("id_b"), col("v").as("v_b"),
-      col("nrm").as("n_b"), col("sk"))
-    a.join(b, Seq("sk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"), col("n_a"), col("n_b"))
+      .select(col("doc_id"), col("sk"))
+    val cands = sk.select(col("sk"), col("doc_id").as("id_a"))
+      .join(sk.select(col("sk"), col("doc_id").as("id_b")), "sk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+    // verify: join each side's vector+norm back once
+    val side = df.select(col(idCol).as("jid"), col(vecCol).as("jv"))
+      .withColumn("jn", Similarity.norm(col("jv")))
+    cands
+      .join(side.select(col("jid").as("id_a"), col("jv").as("v_a"), col("jn").as("n_a")), "id_a")
+      .join(side.select(col("jid").as("id_b"), col("jv").as("v_b"), col("jn").as("n_b")), "id_b")
       .withColumn("cos", when(col("n_a") * col("n_b") > 0,
         Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
         .otherwise(lit(0.0)))
