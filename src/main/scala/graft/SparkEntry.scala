@@ -848,6 +848,26 @@ object SparkEntry {
         |md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // 64-bit wrapping polynomial hash replayed in SQL: HUGEINT arithmetic
+    // mod 2^64, then two's-complement back to BIGINT. h*1000003 < 2^84 fits
+    // HUGEINT; BMP-only data keeps JVM UTF-16 units == codepoints.
+    "q_fingerprint_rolling" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+        |        list_transform(range(length(norm)),
+        |          i -> CAST(unicode(substr(norm, CAST(i AS INT)+1, 1)) AS HUGEINT))),
+        |      (h, c) -> (h * 1000003 + c) % 18446744073709551616) AS uh
+        |  FROM n)
+        |SELECT doc_id,
+        |  CAST(uh - CASE WHEN uh >= 9223372036854775808
+        |                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp_rolling
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (

@@ -191,15 +191,37 @@ object Probes {
       .withColumn("__label", when(col("__pos"), 1L).otherwise(0L))
       .withColumn("__s", round(col("__score").cast("double"), 9))
 
-    // per-(split, score) counts → per-split descending-score cumulative curve
+    // per-(split, score) counts → per-split descending-score cumulative
+    // curve via a TWO-PHASE distributed prefix sum: range-partition on
+    // (split, score desc), windows partitioned by (split, physical
+    // partition) for local cumsums, then tiny per-partition offsets
+    // broadcast back. A plain Window.partitionBy(__split) degrades to a
+    // single-partition window whenever split is None (constant column is
+    // folded out of the partition spec) — the round-1 scale-killer.
     val curve = eligible.groupBy(col("__split"), col("__s"))
       .agg(sum(col("__label")).as("__tp_here"),
         sum(lit(1L) - col("__label")).as("__fp_here"))
-    val w = Window.partitionBy(col("__split")).orderBy(col("__s").desc)
+    val np = curve.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = curve.repartitionByRange(np, col("__split"), col("__s").desc)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid"), col("__split"))
+      .orderBy(col("__s").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = curve
-      .withColumn("__tp", sum(col("__tp_here")).over(w))
-      .withColumn("__fp", sum(col("__fp_here")).over(w))
+    val local = parted
+      .withColumn("__ltp", sum(col("__tp_here")).over(w))
+      .withColumn("__lfp", sum(col("__fp_here")).over(w))
+    val partTotals = parted.groupBy(col("__split"), col("__pid"))
+      .agg(sum(col("__tp_here")).as("__ptp"), sum(col("__fp_here")).as("__pfp"))
+    val offsets = partTotals.as("a")
+      .join(broadcast(partTotals.as("b")),
+        col("a.__split") === col("b.__split") && col("b.__pid") < col("a.__pid"),
+        "left")
+      .groupBy(col("a.__split").as("__split"), col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__ptp")), lit(0L)).as("__otp"),
+        coalesce(sum(col("b.__pfp")), lit(0L)).as("__ofp"))
+    val cum = local.join(broadcast(offsets), Seq("__split", "__pid"))
+      .withColumn("__tp", col("__ltp") + col("__otp"))
+      .withColumn("__fp", col("__lfp") + col("__ofp"))
 
     val totals = eligible.groupBy(col("__split"))
       .agg(count(lit(1)).as("n"),

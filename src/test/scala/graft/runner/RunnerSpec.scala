@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkTestBase
 import graft.spec._
+import org.apache.spark.sql.functions.col
 
 /** Runner semantics, mirroring the shape of the reference's
   * `tests/test_local_arrow_runner.py` per-op goldens (inline data in,
@@ -254,6 +255,65 @@ class RunnerSpec extends SparkTestBase {
     r.materialize(g)
     assert(r.isDone(rid) && r.isDone(split))
     assert(r.toValues(g).count(_ == "test") == 2)
+  }
+
+  test("cross-dataset positional alignment: mask one dataset with a column from another") {
+    // the reference aligns purely positionally (same length ⇒ alignable,
+    // `local_arrow_runner.py:818-836`); here: a mask computed from a
+    // DIFFERENT dataset of equal length filters the target dataset
+    val r = newRunner()
+    val data = inline(6)
+    val other = LoadInlineJsonDatasetOp(Map(
+      "verdict" -> Seq("keep", "drop", "keep", "drop", "keep", "drop")))
+    val keep = CategoryToBooleanOp(
+      SelectCategoricalColumnOp(other, "verdict"), Some(Seq("keep")))
+    val masked = MaskRowsOp(data, keep)
+    val scores = r.toValues(SelectScoreColumnOp(masked, "score"))
+    assert(scores == Seq(0.0, 2.0, 4.0)) // rows 0,2,4 of `data`
+    // and boolean algebra across the two lineages
+    val flag = SelectBooleanColumnOp(data, "flag") // T F T F T F
+    val both = BooleanLogicOp("and", keep, flag)
+    assert(r.toValues(both) == Seq(true, false, true, false, true, false))
+  }
+
+  test("isin is case-sensitive like the reference") {
+    val r = newRunner()
+    val label = SelectCategoricalColumnOp(inline(3), "label") // spam ham ham
+    assert(r.toValues(CategoryToBooleanOp(label, Some(Seq("SPAM")))) ==
+      Seq(false, false, false))
+    assert(r.toValues(CategoryToBooleanOp(label, Some(Seq("spam")))) ==
+      Seq(true, false, false))
+  }
+
+  test("split parameter validation error cases") {
+    intercept[IllegalArgumentException](
+      AssignTrainTestSplitOp(inline(4), testSize = Some(1.5)))
+    intercept[IllegalArgumentException](
+      AssignTrainTestSplitOp(inline(4), testSize = Some("bad")))
+    intercept[IllegalArgumentException](TakeRowsOp(inline(4), skip = 0L))
+    intercept[IllegalArgumentException](BooleanLogicOp("nand",
+      SelectBooleanColumnOp(inline(4), "flag"),
+      SelectBooleanColumnOp(inline(4), "flag")))
+    intercept[IllegalArgumentException](
+      CategoryToBooleanOp(SelectCategoricalColumnOp(inline(4), "label")))
+  }
+
+  test("ephemeral chains stay one fused plan (no store writes, no extra jobs)") {
+    val r = newRunner()
+    val ds = inline(10)
+    r.materialize(ds)
+    val sel = SelectScoreColumnOp(
+      TakeRowsOp(MaskRowsOp(ds, SelectBooleanColumnOp(ds, "flag")),
+        skip = 2L), "score")
+    val df = r.toFrame(sel)
+    // nothing persisted for any ephemeral node in the chain
+    assert(!r.isDone(sel))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(r.opDir(sel).getParent.getParent.toString))
+      .count() == 1) // only LoadInlineJsonDatasetOp dir exists in the store
+    // and the fused plan still computes the right slice: flags keep idx
+    // 0,2,4,6,8 → scores 0,2,4,6,8; skip 2 → 0,4,8
+    assert(df.orderBy(col(graft.ops.ColumnOps.RowIdx)).select(col(r.ValueCol))
+      .collect().map(_.getDouble(0)).toSeq == Seq(0.0, 4.0, 8.0))
   }
 
   // ---------------- failed-status bookkeeping ----------------
