@@ -55,20 +55,23 @@ object ColumnOps {
       .drop(pid, lrn, off)
   }
 
-  /** Deterministic 0-based row index in file order via zipWithIndex —
-    * for keyless sources. Two jobs (count + index) but no shuffle; order is
-    * stable for an immutable file set read with a fixed partitioning.
-    * (Reference: positional identity of a loaded parquet,
-    * `local_arrow_runner.py:500-512`.)
+  /** Deterministic 0-based row index in file order — for keyless sources
+    * (reference: positional identity of a loaded parquet,
+    * `local_arrow_runner.py:500-512`).
+    *
+    * Pure-DataFrame construction: `monotonically_increasing_id()` is
+    * (partitionId << 33 | offset), so ranking those ids with the two-phase
+    * index reproduces file order WITHOUT the rdd.zipWithIndex hop the
+    * round-1 engine used. Staying inside Catalyst matters more than the
+    * extra range shuffle: column pruning and predicate pushdown from
+    * downstream ops now reach the parquet scan (an RDD boundary is a
+    * pruning fence, so zipWithIndex forced full-width reads), and the
+    * shuffle carries only the columns the query actually consumes.
     */
   def withRowIdxByFileOrder(df: DataFrame): DataFrame = {
-    val schema = df.schema
-    val rdd = df.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ idx)
-    }
-    df.sparkSession.createDataFrame(
-      rdd,
-      schema.add(RowIdx, org.apache.spark.sql.types.LongType, nullable = false))
+    val mid = "__gp_mid"
+    withRowIdxByKey(df.withColumn(mid, monotonically_increasing_id()), col(mid))
+      .drop(mid)
   }
 
   /** TakeRowsOp (reference `dataset_ops.py:222-230`): python slice

@@ -75,10 +75,12 @@ class LocalSparkRunner(
 
   /** Reference `has_result`: ephemeral ops are "ready" iff all their deps
     * are ready (`local_arrow_runner.py:230-248`). */
-  def hasResult(op: OpSpec): Boolean =
-    if (memo.contains(op.uuid)) true
-    else if (op.isEphemeral) op.children.forall(hasResult)
-    else isDone(op)
+  def hasResult(op: OpSpec): Boolean = op match {
+    case LoadLocalParquetDatasetOp(_, path) => Files.exists(Paths.get(path))
+    case _ if memo.contains(op.uuid) => true
+    case _ if op.isEphemeral => op.children.forall(hasResult)
+    case _ => isDone(op)
+  }
 
   def status(op: OpSpec): OpStatus = {
     val p = statusPath(op)

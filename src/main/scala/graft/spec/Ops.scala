@@ -30,18 +30,25 @@ trait EvaluationReportType extends OpSpec
   * the streamed sha256 `content_hash` of the file bytes, so the same content
   * at a different path is the same op (reference `dataset_ops.py:65-72`,
   * `local_arrow_runner.py:154-198`).
+  *
+  * Ephemeral on purpose: the content-addressed *file itself* is the result —
+  * persisting would copy the whole input into the store (the reference's
+  * `prepare()` copy step is an explicit remote-sharing action, not implicit;
+  * at 100 TB an implicit copy is disqualifying). Recompute = re-read, and
+  * keeping the load lazy lets Catalyst push column pruning and filters from
+  * downstream ephemeral ops INTO the original parquet scan.
   */
 final case class LoadLocalParquetDatasetOp(
     contentHash: String,
-    filePath: String) extends DatasetType {
+    filePath: String) extends DatasetType with EphemeralOp {
   override def excludeFromUuid: Set[String] = Set("file_path")
 }
 
 /** Dataset from inline columns-orientation data; the data lives in the spec
-  * itself (reference `dataset_ops.py:74-96`). Values restricted to JSON
-  * primitives / lists thereof. */
+  * itself (reference `dataset_ops.py:74-96`) — ephemeral: the spec IS the
+  * data. Values restricted to JSON primitives / lists thereof. */
 final case class LoadInlineJsonDatasetOp(
-    data: Map[String, Seq[Any]]) extends DatasetType {
+    data: Map[String, Seq[Any]]) extends DatasetType with EphemeralOp {
   require(data.values.map(_.length).toSet.size <= 1,
     s"inline columns must have equal lengths, got ${data.view.mapValues(_.length).toMap}")
 }

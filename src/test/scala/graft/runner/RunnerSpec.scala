@@ -90,12 +90,16 @@ class RunnerSpec extends SparkTestBase {
   test("hasResult for ephemeral ops follows dependency readiness") {
     val r = newRunner()
     val ds = inline(6)
-    val sel = SelectScoreColumnOp(ds, "score")
-    // inline load is non-ephemeral and not yet computed
-    assert(!r.hasResult(sel))
-    r.materialize(ds)
-    // once deps are materialized (memo), the ephemeral select is "ready"
-    assert(r.hasResult(sel))
+    // loads are ephemeral (the spec/file IS the data) → always ready,
+    // and so are pure-ephemeral chains over them
+    assert(r.hasResult(SelectScoreColumnOp(ds, "score")))
+    // ...but an ephemeral op over a NON-ephemeral dep is ready only once
+    // that dep has a result (reference `local_arrow_runner.py:230-248`)
+    val split = AssignTrainTestSplitOp(ds, testSize = Some(2L))
+    val isTrain = CategoryToBooleanOp(split, Some(Seq("train")))
+    assert(!r.hasResult(isTrain))
+    r.materialize(split)
+    assert(r.hasResult(isTrain))
   }
 
   test("uuidToOp rehydrates the full graph from the store") {
@@ -306,10 +310,11 @@ class RunnerSpec extends SparkTestBase {
       TakeRowsOp(MaskRowsOp(ds, SelectBooleanColumnOp(ds, "flag")),
         skip = 2L), "score")
     val df = r.toFrame(sel)
-    // nothing persisted for any ephemeral node in the chain
+    // nothing persisted for any node of the all-ephemeral chain: the store
+    // stays empty
     assert(!r.isDone(sel))
-    assert(java.nio.file.Files.list(java.nio.file.Paths.get(r.opDir(sel).getParent.getParent.toString))
-      .count() == 1) // only LoadInlineJsonDatasetOp dir exists in the store
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(r.opDir(sel).getParent.getParent.toString)).count() == 0)
     // and the fused plan still computes the right slice: flags keep idx
     // 0,2,4,6,8 → scores 0,2,4,6,8; skip 2 → 0,4,8
     assert(df.orderBy(col(graft.ops.ColumnOps.RowIdx)).select(col(r.ValueCol))

@@ -60,7 +60,9 @@ class OpSpecSpec extends AnyFunSuite {
     assert(textCol.isEphemeral)
     assert(TakeRowsOp(ds).isEphemeral)
     assert(MaskRowsOp(ds, CategoryToBooleanOp(catCol, Some(Seq("a")))).isEphemeral)
-    assert(!ds.isEphemeral)
+    // loads are ephemeral in THIS engine (content-addressed file/spec IS the
+    // result — persisting would copy the input; see Ops.scala scaladoc)
+    assert(ds.isEphemeral)
     assert(!AssignTrainTestSplitOp(ds).isEphemeral)
     assert(!JinjaTemplatizeOp("{{x}}", Map("x" -> textCol)).isEphemeral)
   }
