@@ -266,7 +266,16 @@ object Probes {
         case (JDouble(p), JDouble(rr)) if p + rr > 0 => JDouble(2 * p * rr / (p + rr))
         case _ => JNull
       }
+      // degenerate-split warnings (reference emits these,
+      // `probe_implementations.py:232-249`): AUC/AP are undefined without
+      // both classes
+      val warnings = Seq(
+        (nT == 0) -> s"split '$sp' has no positive examples",
+        (nF == 0) -> s"split '$sp' has no negative examples",
+        (n == 0) -> s"split '$sp' is empty")
+        .collect { case (true, w) => JString(w): JValue }
       sp -> (JObj(
+        "warnings" -> JArr(warnings.toVector),
         "count" -> JLong(n),
         "n_true" -> JLong(nT),
         "n_false" -> JLong(nF),

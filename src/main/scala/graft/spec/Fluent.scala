@@ -1,0 +1,134 @@
+package graft.spec
+
+/** The typed fluent graph-building API — the Scala rendering of the
+  * reference's `types.py` surface (col_text/col_vector/... constructors
+  * `types.py:25-104`, mask/take `types.py:173-226`, is_in/not_in
+  * `types.py:563-586`, split helpers `types.py:649-709`, boolean dunders
+  * `types.py:785-807`, arithmetic `types.py:752-775`, classifier chain
+  * `types.py:259-376`, LLM ops `types.py:416-542`).
+  *
+  * Graph construction only — nothing executes until a runner materializes.
+  * Scala operators replace the Python dunders: `&& || ^ unary_!` on boolean
+  * columns, `+ - * /` on score columns.
+  *
+  * {{{
+  * import graft.spec.Fluent._
+  * val probe = ds.colVector("emb").trainClassifier(
+  *   positives = ds.colCategorical("lang").isIn("en"),
+  *   negatives = ds.colCategorical("lang").notIn("en"),
+  *   trainDomain = Some(ds.assignTrainTestSplit(testSize = Some(0.25)).isTrain))
+  * }}}
+  */
+object Fluent {
+
+  implicit class DatasetBuilders(private val ds: DatasetType) extends AnyVal {
+    def colText(name: String): SelectTextColumnOp = SelectTextColumnOp(ds, name)
+    def colVector(name: String): SelectVectorColumnOp = SelectVectorColumnOp(ds, name)
+    def colCategorical(name: String): SelectCategoricalColumnOp =
+      SelectCategoricalColumnOp(ds, name)
+    def colBoolean(name: String): SelectBooleanColumnOp = SelectBooleanColumnOp(ds, name)
+    def colScore(name: String): SelectScoreColumnOp = SelectScoreColumnOp(ds, name)
+    def colTrainTestSplit(name: String): SelectTrainTestSplitColumnOp =
+      SelectTrainTestSplitColumnOp(ds, name)
+    def colJson(name: String): SelectJSONColumnOp = SelectJSONColumnOp(ds, name)
+    def colConversation(name: String): SelectConversationColumnOp =
+      SelectConversationColumnOp(ds, name)
+
+    def takeRows(skip: Long = 1L, offset: Long = 0L,
+                 numRows: Option[Long] = None): TakeRowsOp =
+      TakeRowsOp(ds, skip, offset, numRows)
+    def maskRows(mask: BooleanColumnType): MaskRowsOp = MaskRowsOp(ds, mask)
+    def assignRowId: AssignRowIDOp = AssignRowIDOp(ds)
+    def assignTrainTestSplit(testSize: Option[Any] = None,
+                             trainSize: Option[Any] = None,
+                             randomState: Long = 19190115L): AssignTrainTestSplitOp =
+      AssignTrainTestSplitOp(ds, testSize, trainSize, randomState)
+  }
+
+  implicit class CategoricalBuilders(private val c: ColumnType) extends AnyVal {
+    /** `is_in` (reference `types.py:563-575`): membership → boolean. */
+    def isIn(values: String*): CategoryToBooleanOp =
+      CategoryToBooleanOp.build(c, Some(values), None)
+    /** `is_in` with an explicit false-universe (validated at materialize). */
+    def isIn(trueValues: Seq[String], falseValues: Seq[String]): CategoryToBooleanOp =
+      CategoryToBooleanOp.build(c, Some(trueValues), Some(falseValues))
+    /** `not_in` (reference `types.py:577-586`). */
+    def notIn(values: String*): CategoryToBooleanOp =
+      CategoryToBooleanOp.build(c, None, Some(values))
+  }
+
+  implicit class SplitBuilders(private val s: TrainTestSplitColumnType) extends AnyVal {
+    /** reference `types.py:690-709` */
+    def isTrain: CategoryToBooleanOp = CategoryToBooleanOp.build(s, Some(Seq("train")), None)
+    def isTest: CategoryToBooleanOp = CategoryToBooleanOp.build(s, Some(Seq("test")), None)
+  }
+
+  implicit class BooleanOps(private val b: BooleanColumnType) extends AnyVal {
+    def &&(other: BooleanColumnType): BooleanLogicOp = BooleanLogicOp("and", b, other)
+    def ||(other: BooleanColumnType): BooleanLogicOp = BooleanLogicOp("or", b, other)
+    def ^(other: BooleanColumnType): BooleanLogicOp = BooleanLogicOp("xor", b, other)
+    def unary_! : BooleanLogicOp = BooleanLogicOp("not", b, b)
+  }
+
+  implicit class ScoreOps(private val s: ScoreColumnType) extends AnyVal {
+    def +(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("+", s, other)
+    def -(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("-", s, other)
+    def *(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("*", s, other)
+    def /(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("/", s, other)
+  }
+
+  implicit class VectorBuilders(private val v: VectorColumnType) extends AnyVal {
+    def toScalar(colIndex: Long = 0L): VectorToScalarOp = VectorToScalarOp(v, colIndex)
+    /** reference `types.py:259-305` */
+    def trainClassifier(positives: BooleanColumnType,
+                        negatives: BooleanColumnType,
+                        trainDomain: Option[BooleanColumnType] = None,
+                        modelType: String = "logistic_regression",
+                        preprocessing: String = "none",
+                        params: Map[String, Any] = Map.empty): TrainClassifierOp =
+      TrainClassifierOp(modelType, v, positives, negatives, trainDomain,
+        preprocessing, params)
+    /** reference `types.py:307-334` */
+    def umapViz(nNeighbors: Long = 15L, nEpochs: Long = 200L,
+                randomState: Long = 42L): UMAPVizOp =
+      UMAPVizOp(v, nNeighbors, nEpochs, randomState)
+  }
+
+  implicit class TextBuilders(private val t: TextColumnType) extends AnyVal {
+    def parseJson: ParseJSONColumnOp = ParseJSONColumnOp(t)
+    /** reference `types.py:134-172` */
+    def templatize(template: String,
+                   context: Map[String, ColumnType] = Map.empty,
+                   constants: Map[String, Any] = Map.empty,
+                   maxLength: Option[Long] = None,
+                   selfKey: String = "text"): JinjaTemplatizeOp =
+      JinjaTemplatizeOp(template, context + (selfKey -> t), constants, maxLength)
+    /** reference `types.py:416-499` */
+    def llmLayerActivations(modelName: String, layerNum: Long,
+                            tokenMode: String = "last",
+                            batchSize: Long = 32L): LLMLayerActivationsOp =
+      LLMLayerActivationsOp(modelName, t, layerNum, tokenMode, batchSize)
+    /** reference `types.py:501-542` */
+    def llmLogitScores(modelName: String, tokens: Seq[Any],
+                       batchSize: Long = 32L): LLMLogitScoresOp =
+      LLMLogitScoresOp(modelName, t, tokens, batchSize)
+    def llmGenerate(modelName: String, maxTokens: Long = 100L): LLMGenerateTextOp =
+      LLMGenerateTextOp(modelName, t, maxTokens)
+  }
+
+  implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {
+    /** reference `types.py:364-376` */
+    def predict(x: VectorColumnType): ClassifierPredictOp = ClassifierPredictOp(m, x)
+  }
+
+  implicit class ScorePredictionBuilders(private val s: ScoreColumnType) extends AnyVal {
+    /** reference `types.py:719-750` */
+    def evaluate(gtPositives: BooleanColumnType,
+                 gtNegatives: BooleanColumnType,
+                 split: Option[ColumnType] = None,
+                 predictDomain: Option[BooleanColumnType] = None,
+                 scoreThreshold: Option[Double] = None): ClassifierEvaluationOp =
+      ClassifierEvaluationOp(s, gtPositives, gtNegatives, split, predictDomain,
+        scoreThreshold)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.spec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spec.Fluent._
+
+/** Fluent API builds the same specs (= same UUIDs) as explicit construction
+  * — mirrors the reference's `types.py` constructors. */
+class FluentSpec extends AnyFunSuite {
+
+  private val ds: DatasetType = LoadLocalParquetDatasetOp("h", "/tmp/x.parquet")
+
+  test("column selectors") {
+    assert(ds.colText("t") == SelectTextColumnOp(ds, "t"))
+    assert(ds.colVector("v") == SelectVectorColumnOp(ds, "v"))
+    assert(ds.colCategorical("c") == SelectCategoricalColumnOp(ds, "c"))
+    assert(ds.colBoolean("b") == SelectBooleanColumnOp(ds, "b"))
+    assert(ds.colScore("s") == SelectScoreColumnOp(ds, "s"))
+    assert(ds.colJson("j") == SelectJSONColumnOp(ds, "j"))
+  }
+
+  test("membership and split helpers normalize value sets") {
+    val c = ds.colCategorical("lang")
+    assert(c.isIn("en", "de") == CategoryToBooleanOp(c, Some(Seq("de", "en"))))
+    assert(c.notIn("zh") == CategoryToBooleanOp(c, None, Some(Seq("zh"))))
+    val sp = ds.assignTrainTestSplit(testSize = Some(0.25))
+    assert(sp.isTrain == CategoryToBooleanOp(sp, Some(Seq("train"))))
+    assert(sp.isTest.uuid != sp.isTrain.uuid)
+  }
+
+  test("boolean and arithmetic operators") {
+    val a = ds.colBoolean("a"); val b = ds.colBoolean("b")
+    assert((a && b) == BooleanLogicOp("and", a, b))
+    assert((a || b) == BooleanLogicOp("or", a, b))
+    assert((a ^ b) == BooleanLogicOp("xor", a, b))
+    assert((!a) == BooleanLogicOp("not", a, a))
+    val x = ds.colScore("x"); val y = ds.colScore("y")
+    assert((x + y) == PairwiseArithmeticOp("+", x, y))
+    assert((x / y) == PairwiseArithmeticOp("/", x, y))
+  }
+
+  test("full probe chain reads like the reference workflow") {
+    val emb = ds.colVector("emb")
+    val lang = ds.colCategorical("lang")
+    val split = ds.assignTrainTestSplit(testSize = Some(0.25))
+    val model = emb.trainClassifier(
+      positives = lang.isIn("en"),
+      negatives = lang.notIn("en"),
+      trainDomain = Some(split.isTrain),
+      preprocessing = "standardize")
+    val eval = model.predict(emb).evaluate(
+      gtPositives = lang.isIn("en"),
+      gtNegatives = lang.notIn("en"),
+      split = Some(split))
+    // structurally identical to explicit construction → same uuid
+    val explicit = ClassifierEvaluationOp(
+      ClassifierPredictOp(
+        TrainClassifierOp("logistic_regression", emb,
+          CategoryToBooleanOp(lang, Some(Seq("en"))),
+          CategoryToBooleanOp(lang, None, Some(Seq("en"))),
+          Some(CategoryToBooleanOp(split, Some(Seq("train")))),
+          "standardize"), emb),
+      CategoryToBooleanOp(lang, Some(Seq("en"))),
+      CategoryToBooleanOp(lang, None, Some(Seq("en"))),
+      Some(split))
+    assert(eval.uuid == explicit.uuid)
+    // and the whole graph round-trips
+    assert(Graph.deserialize(Graph.serialize(eval)) == Seq(eval))
+  }
+
+  test("take/mask/templatize/llm builders") {
+    assert(ds.takeRows(skip = 2L, numRows = Some(5L)) ==
+      TakeRowsOp(ds, 2L, 0L, Some(5L)))
+    val mask = ds.colBoolean("keep")
+    assert(ds.maskRows(mask) == MaskRowsOp(ds, mask))
+    val t = ds.colText("txt")
+    val tpl = t.templatize("Q: {{text}}")
+    assert(tpl == JinjaTemplatizeOp("Q: {{text}}", Map("text" -> t)))
+    assert(t.llmLayerActivations("fake:d8", -1L) ==
+      LLMLayerActivationsOp("fake:d8", t, -1L))
+    assert(t.parseJson == ParseJSONColumnOp(t))
+    assert(ds.colVector("v").umapViz() == UMAPVizOp(ds.colVector("v")))
+  }
+}

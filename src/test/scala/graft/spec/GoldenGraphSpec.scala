@@ -1,0 +1,44 @@
+package graft.spec
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A committed graph fixture whose node UUIDs were computed by an
+  * INDEPENDENT implementation of the canonical format (a python script using
+  * json.dumps(sort_keys) + sha256). Deserialization re-verifies every UUID,
+  * so this test fails if the Scala canonical JSON ever drifts — the
+  * cross-engine analog of the reference's golden-UUID suite
+  * (`tests/test_graph.py:32-54`).
+  */
+class GoldenGraphSpec extends AnyFunSuite {
+
+  private lazy val fixture: String = {
+    val in = getClass.getResourceAsStream("/golden_graph.json")
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  test("externally-authored golden graph deserializes with verified uuids") {
+    val outputs = Graph.deserializeString(fixture)
+    assert(outputs.length == 3)
+    val Seq(take, split, tmpl) = outputs
+    assert(take.uuid ==
+      "TakeRowsOp_737c38867b6c6e00ee4c60c601be2db523c9f00b38b99381c50b1c89625eb636")
+    assert(split.uuid ==
+      "AssignTrainTestSplitOp_5f6a505d7a9cb33fa0503111f4efbddef611018f45ba7da1d53f4304c37cbe77")
+    assert(tmpl.uuid ==
+      "JinjaTemplatizeOp_1e800f3ec880fa1d746aa6c632ec7d18a209df284e56a711941b2cffb2ff4ae5")
+
+    // structure survived: shared MaskRowsOp between all three outputs
+    val t = take.asInstanceOf[TakeRowsOp]
+    val s = split.asInstanceOf[AssignTrainTestSplitOp]
+    assert(t.dataset eq s.dataset.asInstanceOf[OpSpec]) // same instance (memoized construct)
+    assert(t.numRows.contains(50L))
+    assert(s.testSize.contains(0.25))
+    val j = tmpl.asInstanceOf[JinjaTemplatizeOp]
+    assert(j.constants == Map("k" -> 7L))
+    assert(j.maxLength.contains(100L))
+
+    // and re-serializing reproduces identical uuids
+    val rt = Graph.deserialize(Graph.serialize(outputs: _*))
+    assert(rt.map(_.uuid) == outputs.map(_.uuid))
+  }
+}
