@@ -45,7 +45,8 @@ final case class ModelResult(model: org.apache.spark.ml.Transformer) extends Mat
 class LocalSparkRunner(
     val spark: SparkSession,
     val storeUri: String,
-    val validateLengths: Boolean = true) {
+    val validateLengths: Boolean = true,
+    val cacheColumns: Boolean = true) {
 
   import LocalSparkRunner._
 
@@ -164,7 +165,20 @@ class LocalSparkRunner(
     if (!op.isEphemeral && isDone(op)) readResult(op)
     else {
       if (op.isEphemeral) {
-        compute(op) // stays lazy; nothing persisted (ephemeral fusion)
+        // stays lazy; nothing persisted (ephemeral fusion). Select frames —
+        // narrow (idx, value) projections pulled by many consumers (train
+        // AND predict AND eval all pull x) — additionally go to the Spark
+        // block cache, the distributed analog of the reference's in-process
+        // `_materialization_cache` (`local_arrow_runner.py:309-324`): lazy
+        // until first action, spills to disk, column pruning already
+        // happened at the select so the cached width is minimal. Disable
+        // via cacheColumns=false for single-pass pipelines at corpus scale.
+        compute(op) match {
+          case FrameResult(df) if cacheColumns && op.isInstanceOf[SelectColumnOp] =>
+            FrameResult(df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          case other => other
+        }
       } else {
         writeStatus(OpStatus(op.uuid, OpState.Running,
           startedAt = Some(Instant.now.toString),
