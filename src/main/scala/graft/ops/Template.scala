@@ -45,6 +45,10 @@ object Template {
   case class Attr(name: String) extends Step
   case class Index(i: Int) extends Step
   case class Key(k: String) extends Step
+  /** Python-style string method call, e.g. `items.split(',')`,
+    * `item.strip()` — the reference's own templatize tests use these
+    * (`tests/test_local_arrow_runner.py:900`). */
+  case class Method(name: String, args: List[Expr]) extends Step
 
   case class Filter(name: String, args: List[Expr])
 
@@ -268,7 +272,31 @@ object Template {
       if (rest.startsWith(".")) {
         val m = "^\\.(\\w+)".r.findFirstMatchIn(rest)
           .getOrElse(throw new IllegalArgumentException(s"bad path at $rest"))
-        steps += Attr(m.group(1)); rest = rest.substring(m.matched.length)
+        val afterName = rest.substring(m.matched.length)
+        if (afterName.startsWith("(")) {
+          // method call: find the matching ')' (string-literal aware)
+          var depth = 0; var inStr = false; var q = ' '; var end = -1
+          var i = 0
+          while (i < afterName.length && end < 0) {
+            val c = afterName(i)
+            if (inStr) { if (c == q) inStr = false }
+            else c match {
+              case '"' | '\'' => inStr = true; q = c
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) end = i
+              case _ =>
+            }
+            i += 1
+          }
+          if (end < 0) throw new IllegalArgumentException(s"unclosed ( in $s")
+          val argsStr = afterName.substring(1, end).trim
+          val args = if (argsStr.isEmpty) Nil
+                     else splitAllTop(argsStr, ',').map(parseExpr)
+          steps += Method(m.group(1), args)
+          rest = afterName.substring(end + 1)
+        } else {
+          steps += Attr(m.group(1)); rest = afterName
+        }
       } else if (rest.startsWith("[")) {
         val end = rest.indexOf(']')
         if (end < 0) throw new IllegalArgumentException(s"unclosed [ in $s")
@@ -295,11 +323,23 @@ object Template {
           case None => renderInto(orElse, ctx, sb)
         }
       case For(v, e, body) =>
+        // jinja2's `loop` context variable (index/index0/first/last/length);
+        // inner loops shadow outer, like jinja
+        def iterate(items: Seq[Any]): Unit = {
+          val n = items.length
+          items.iterator.zipWithIndex.foreach { case (item, i) =>
+            val loopCtx = Map(
+              "index" -> (i + 1).toLong, "index0" -> i.toLong,
+              "first" -> (i == 0), "last" -> (i == n - 1),
+              "length" -> n.toLong)
+            renderInto(body, ctx + (v -> item) + ("loop" -> loopCtx), sb)
+          }
+        }
         eval(e, ctx) match {
-          case seq: Seq[_] => seq.foreach(item => renderInto(body, ctx + (v -> item), sb))
-          case m: Map[_, _] => m.keys.foreach(k => renderInto(body, ctx + (v -> k), sb))
-          case s: String => s.foreach(ch => renderInto(body, ctx + (v -> ch.toString), sb))
-          case null => ()
+          case seq: Seq[_] => iterate(seq)
+          case m: Map[_, _] => iterate(m.keys.toSeq)
+          case s: String => iterate(s.map(_.toString))
+          case null | Undefined => ()
           case other => throw new IllegalArgumentException(s"cannot iterate $other")
         }
     }
@@ -318,7 +358,7 @@ object Template {
       // jinja2 distinguishes a MISSING variable (Undefined: renders "",
       // falsy) from a present None (renders "None") — mirror that
       var v: Any = ctx.getOrElse(root, Undefined)
-      for (st <- steps) v = step(v, st)
+      for (st <- steps) v = step(v, st, ctx)
       if (filters.nonEmpty && v == Undefined) v = null
       for (f <- filters) v = applyFilter(f, v, ctx)
       v
@@ -327,9 +367,33 @@ object Template {
   /** jinja2's Undefined sentinel: missing variables, not null values. */
   private[ops] case object Undefined
 
-  private def step(v: Any, s: Step): Any = (v, s) match {
+  private def step(v: Any, s: Step, ctx: Map[String, Any]): Any = (v, s) match {
     case (Undefined, _) => Undefined
     case (null, _) => null
+    case (recv, Method(name, argExprs)) =>
+      val args = argExprs.map(eval(_, ctx))
+      (recv, name, args) match {
+        // python str methods the reference's templates rely on
+        case (s0: String, "split", Nil) => s0.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        case (s0: String, "split", List(sep: String)) =>
+          // python semantics: explicit separator keeps empty fields
+          s0.split(java.util.regex.Pattern.quote(sep), -1).toSeq
+        case (s0: String, "strip", Nil) => s0.trim
+        case (s0: String, "lstrip", Nil) => s0.dropWhile(_.isWhitespace)
+        case (s0: String, "rstrip", Nil) => s0.reverse.dropWhile(_.isWhitespace).reverse
+        case (s0: String, "upper", Nil) => s0.toUpperCase
+        case (s0: String, "lower", Nil) => s0.toLowerCase
+        case (s0: String, "title", Nil) =>
+          s0.split("(?<=\\s)|(?=\\s)").map(w =>
+            if (w.nonEmpty && w.head.isLetter) w.head.toUpper + w.tail.toLowerCase else w).mkString
+        case (s0: String, "replace", List(a: String, b: String)) => s0.replace(a, b)
+        case (s0: String, "startswith", List(p: String)) => s0.startsWith(p)
+        case (s0: String, "endswith", List(p: String)) => s0.endsWith(p)
+        case (s0: String, "join", List(xs: Seq[_])) => xs.map(toStr).mkString(s0)
+        case (xs: Seq[_], "count", Nil) => xs.length.toLong
+        case _ => throw new IllegalArgumentException(
+          s"unsupported method .$name(${args.mkString(", ")}) on ${recv.getClass.getSimpleName}")
+      }
     case (m: Map[_, _], Attr(a)) => m.asInstanceOf[Map[String, Any]].getOrElse(a, null)
     case (m: Map[_, _], Key(k)) => m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
     case (seq: Seq[_], Index(i)) =>

@@ -94,6 +94,29 @@ class TemplateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Template.compile("{% bogus %}{% endbogus %}"))
   }
 
+  test("string methods + loop variable (the reference's own test template)") {
+    // reference `tests/test_local_arrow_runner.py:900`
+    val t = "{{category}}: {% for item in items.split(',') %}{{item.strip()}}" +
+      "{% if not loop.last %}, {% endif %}{% endfor %}"
+    assert(r(t, "category" -> "fruits", "items" -> " apple , banana ,cherry ")
+      == "fruits: apple, banana, cherry")
+  }
+
+  test("python string method semantics") {
+    assert(r("{{s.split(\",\")|length}}", "s" -> "a,,b") == "3") // keeps empties
+    assert(r("{{s.split()|length}}", "s" -> "  a   b  ") == "2") // ws split drops
+    assert(r("{{s.replace(\"a\",\"o\")}}", "s" -> "banana") == "bonono")
+    assert(r("{% if s.startswith(\"ab\") %}Y{% endif %}", "s" -> "abc") == "Y")
+    assert(r("{{s.upper().strip()}}", "s" -> " hi ") == "HI")
+    intercept[IllegalArgumentException](r("{{s.bogus()}}", "s" -> "x"))
+  }
+
+  test("loop index/first/length") {
+    assert(r("{% for x in xs %}{{loop.index}}:{{x}}{% if loop.first %}!{% endif %} {% endfor %}",
+      "xs" -> Seq("a", "b")) == "1:a! 2:b ")
+    assert(r("{% for x in xs %}{{loop.length}}{% endfor %}", "xs" -> Seq("a", "b")) == "22")
+  }
+
   test("conversation-shaped context (list of role/content maps)") {
     val conv = Seq(
       Map("role" -> "user", "content" -> "hi"),
