@@ -419,6 +419,28 @@ object Template {
       case m: Map[_, _] => m.size.toLong
       case _ => throw new IllegalArgumentException(s"no length for $v")
     }
+    case "int" => v match {
+      // jinja2 int filter: lossy parse, 0 on failure
+      case l: Long => l
+      case i: Int => i.toLong
+      case d: Double => d.toLong
+      case f: Float => f.toLong
+      case b: Boolean => if (b) 1L else 0L
+      case s: String => try s.trim.toDouble.toLong catch { case _: Exception => 0L }
+      case _ => 0L
+    }
+    case "float" => v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: String => try s.trim.toDouble catch { case _: Exception => 0.0 }
+      case _ => 0.0
+    }
+    case "title" =>
+      toStr(v).split("(?<=\\s)|(?=\\s)").map(w =>
+        if (w.nonEmpty && w.head.isLetter) w.head.toUpper + w.tail.toLowerCase else w)
+        .mkString
     case "first" => v match { case s: Seq[_] => s.headOption.orNull; case s: String => s.headOption.map(_.toString).orNull; case _ => null }
     case "last" => v match { case s: Seq[_] => s.lastOption.orNull; case s: String => s.lastOption.map(_.toString).orNull; case _ => null }
     case "join" =>

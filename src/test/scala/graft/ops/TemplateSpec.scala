@@ -80,6 +80,21 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{xs|drop_nulls|join(\",\")}}", "xs" -> Seq(null, "x")) == "x")
   }
 
+  test("int/float/title filters (reference test templates use them)") {
+    // reference `tests/test_local_arrow_runner.py:873`: {% if score|int >= 90 %}
+    val t = "{{name}} scored {{score}}{% if score|int >= 90 %} - Excellent!" +
+      "{% elif score|int >= 80 %} - Good job!{% else %} - Keep trying!{% endif %}"
+    assert(r(t, "name" -> "A", "score" -> "95") == "A scored 95 - Excellent!")
+    assert(r(t, "name" -> "B", "score" -> "85") == "B scored 85 - Good job!")
+    assert(r(t, "name" -> "C", "score" -> "12") == "C scored 12 - Keep trying!")
+    assert(r("{{v|int}}", "v" -> "oops") == "0")
+    assert(r("{{v|float}}", "v" -> "2.5") == "2.5")
+    // reference `:955`: {{words|title}} ... "{{words|upper}}"
+    assert(r("""{{w|title}} has {{n|length}} digits. Original: "{{w|upper}}"""",
+      "w" -> "hello world", "n" -> "12345")
+      == """Hello World has 5 digits. Original: "HELLO WORLD"""")
+  }
+
   test("filter chains") {
     assert(r("{{s|trim|upper}}", "s" -> " hi ") == "HI")
   }
