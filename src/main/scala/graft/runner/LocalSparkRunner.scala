@@ -449,18 +449,38 @@ class LocalSparkRunner(
       col("__draw"), col("__orig_idx"))
       .withColumnRenamed(RowIdx, "__rank")
     val total = ranked.agg(count(lit(1)).as("__n"))
+    def resolveCount(size: Any, isTest: Boolean): Column = size match {
+      // reference semantics: test = ceil, train = floor
+      case d: Double =>
+        if (isTest) ceil(lit(d) * col("__n")).cast("long")
+        else floor(lit(d) * col("__n")).cast("long")
+      case c: Long => lit(c)
+      case c: Int => lit(c.toLong)
+      case other => throw new IllegalArgumentException(s"bad size $other")
+    }
     val nTest: Column = (testSize, trainSize) match {
-      case (Some(d: Double), _) => ceil(lit(d) * col("__n")).cast("long")
-      case (Some(c: Long), _) => lit(c)
-      case (Some(c: Int), _) => lit(c.toLong)
-      case (None, Some(d: Double)) => col("__n") - floor(lit(d) * col("__n")).cast("long")
-      case (None, Some(c: Long)) => col("__n") - lit(c)
-      case (None, Some(c: Int)) => col("__n") - lit(c.toLong)
+      case (Some(t), _) => resolveCount(t, isTest = true)
+      case (None, Some(tr)) => col("__n") - resolveCount(tr, isTest = false)
       case _ => ceil(lit(0.25) * col("__n")).cast("long")
+    }
+    // materialize-time validation, in-plan (reference errors:
+    // `tests/test_local_arrow_runner.py:551-568`): counts within [0, n];
+    // when BOTH sizes are given they must cover the dataset exactly
+    var guard: Column = when(nTest < 0 || nTest > col("__n"),
+      raise_error(format_string(
+        "train/test size must be between 0 and the dataset length (n=%s)", col("__n"))))
+    (testSize, trainSize) match {
+      case (Some(t), Some(tr)) =>
+        val nTrain = resolveCount(tr, isTest = false)
+        guard = coalesce(guard, when(nTest + nTrain =!= col("__n"),
+          raise_error(format_string(
+            "train size + test size must equal dataset size (n=%s)", col("__n")))))
+      case _ =>
     }
     ranked.crossJoin(broadcast(total))
       .select(col("__orig_idx").as(RowIdx),
-        when(col("__rank") < nTest, "test").otherwise("train").as(ValueCol))
+        coalesce(guard.cast("string"),
+          when(col("__rank") < nTest, "test").otherwise("train")).as(ValueCol))
   }
 
   private val strictJsonUdf = udf { s: String =>

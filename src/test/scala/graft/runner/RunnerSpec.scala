@@ -289,6 +289,25 @@ class RunnerSpec extends SparkTestBase {
       Seq(true, false, false))
   }
 
+  test("split size validation at materialize (reference error cases)") {
+    val r = newRunner()
+    val ds = inline(5)
+    // count out of range
+    val e1 = intercept[Exception](
+      r.toValues(AssignTrainTestSplitOp(ds, testSize = Some(9L))))
+    assert(e1.getMessage.contains("between 0 and the dataset length"))
+    val e2 = intercept[Exception](
+      r.toValues(AssignTrainTestSplitOp(ds, trainSize = Some(-1L))))
+    assert(e2.getMessage.contains("between 0 and the dataset length"))
+    // both sizes given but don't cover the dataset
+    val e3 = intercept[Exception](
+      r.toValues(AssignTrainTestSplitOp(ds, testSize = Some(2L), trainSize = Some(2L))))
+    assert(e3.getMessage.contains("must equal dataset size"))
+    // both given and consistent → fine
+    assert(r.toValues(AssignTrainTestSplitOp(ds, testSize = Some(2L),
+      trainSize = Some(3L))).count(_ == "test") == 2)
+  }
+
   test("split parameter validation error cases") {
     intercept[IllegalArgumentException](
       AssignTrainTestSplitOp(inline(4), testSize = Some(1.5)))
