@@ -326,22 +326,44 @@ class LocalSparkRunner(
 
     case t @ JinjaTemplatizeOp(template, context, constants, maxLength) =>
       val names = context.keys.toSeq.sorted
-      val joined = names.zipWithIndex.foldLeft[Option[DataFrame]](None) {
-        case (acc, (name, i)) =>
-          val c = frame(context(name)).select(col(RowIdx), col(ValueCol).as(s"__v$i"))
-          Some(acc.fold(c)(_.join(c, RowIdx)))
-      }.getOrElse(throw new IllegalArgumentException("template needs ≥1 context column"))
+      // JSON-typed context columns enter the template as parsed structures
+      // (maps/lists), so paths like {{meta.version}} work — reference
+      // renders parsed JSON values (`local_arrow_runner.py:915-925`)
+      val jsonNames = names.filter(n => context(n).isInstanceOf[JSONColumnType]).toSet
       val consts = constants
-      val render = udf { vals: Seq[String] =>
-        val ctx: Map[String, Any] = names.zip(vals).toMap ++ consts
-        val out = Template.render(template, ctx)
+      def renderOne(vals: Map[String, Any]): String = {
+        val out = Template.render(template, vals ++ consts)
         maxLength match {
           case Some(n) if out.length > n => out.substring(0, n.toInt)
           case _ => out
         }
       }
-      val arr = array(names.indices.map(i => col(s"__v$i").cast("string")): _*)
-      FrameResult(joined.select(col(RowIdx), render(arr).as(ValueCol)))
+      if (names.isEmpty) {
+        // constants-only template: one row (reference
+        // `local_arrow_runner.py:926-928`)
+        import spark.implicits._
+        FrameResult(Seq((0L, renderOne(Map.empty))).toDF(RowIdx, ValueCol))
+      } else {
+        val frames = names.zipWithIndex.map { case (name, i) =>
+          frame(context(name)).select(col(RowIdx), col(ValueCol).as(s"__v$i"))
+        }
+        if (validateLengths && frames.length > 1) {
+          val counts = frames.map(_.count())
+          if (counts.distinct.length > 1) throw new IllegalArgumentException(
+            s"All context columns must have the same length, got ${names.zip(counts).toMap}")
+        }
+        val joined = frames.reduceLeft(_.join(_, RowIdx))
+        val render = udf { vals: Seq[String] =>
+          val ctx: Map[String, Any] = names.zip(vals).map {
+            case (n, v) if jsonNames(n) && v != null =>
+              n -> Json.toScala(Json.parse(v))
+            case (n, v) => n -> v
+          }.toMap
+          renderOne(ctx)
+        }
+        val arr = array(names.indices.map(i => col(s"__v$i").cast("string")): _*)
+        FrameResult(joined.select(col(RowIdx), render(arr).as(ValueCol)))
+      }
 
     case AssignTrainTestSplitOp(dataset, testSize, trainSize, seed) =>
       FrameResult(assignSplit(frame(dataset), testSize, trainSize, seed))

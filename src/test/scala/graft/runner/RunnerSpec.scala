@@ -230,6 +230,43 @@ class RunnerSpec extends SparkTestBase {
     assert(r.toValues(truncated) == Seq("doc", "doc", "doc"))
   }
 
+  test("templatize: constants-only renders once; JSON context parses to structures") {
+    val r = newRunner()
+    // constants-only → single row (reference local_arrow_runner.py:926-928)
+    val constOnly = JinjaTemplatizeOp("Static: {{msg}} - {{code}}",
+      Map.empty, Map("msg" -> "Hello", "code" -> 42L))
+    assert(r.toValues(constOnly) == Seq("Static: Hello - 42"))
+    // JSON column context → parsed maps, attribute paths work
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "meta" -> Seq("""{"version": "1.2", "status": "ok"}""",
+        """{"version": "2.0", "status": "down"}""")))
+    val tmpl = JinjaTemplatizeOp("v={{meta.version}} s={{meta.status}}",
+      Map("meta" -> ParseJSONColumnOp(SelectTextColumnOp(ds, "meta"))))
+    assert(r.toValues(tmpl) == Seq("v=1.2 s=ok", "v=2.0 s=down"))
+    // context columns of different lengths are rejected
+    val other = LoadInlineJsonDatasetOp(Map("t" -> Seq("a", "b", "c")))
+    val bad = JinjaTemplatizeOp("{{x}}{{y}}", Map(
+      "x" -> SelectTextColumnOp(other, "t"),
+      "y" -> SelectTextColumnOp(LoadInlineJsonDatasetOp(Map("u" -> Seq("z"))), "u")))
+    val e = intercept[IllegalArgumentException](r.toValues(bad))
+    assert(e.getMessage.contains("same length"))
+  }
+
+  test("empty-dataset edge cases") {
+    val r = newRunner()
+    val empty = LoadInlineJsonDatasetOp(Map("label" -> Seq.empty[Any],
+      "score" -> Seq.empty[Any]))
+    assert(r.toValues(SelectCategoricalColumnOp(empty, "label")).isEmpty)
+    assert(r.toValues(CategoryToBooleanOp(
+      SelectCategoricalColumnOp(empty, "label"), Some(Seq("x")))).isEmpty)
+    val masked = MaskRowsOp(empty, CategoryToBooleanOp(
+      SelectCategoricalColumnOp(empty, "label"), Some(Seq("x"))))
+    assert(r.toFrame(masked).count() == 0)
+    // offset past the end of a non-empty dataset → empty
+    assert(r.toValues(SelectScoreColumnOp(
+      TakeRowsOp(inline(4), offset = 10L), "score")).isEmpty)
+  }
+
   test("train/test split: exact counts, deterministic, complement inference") {
     val r = newRunner()
     val ds = inline(10)
