@@ -103,6 +103,12 @@ trait OpSpec extends Product {
   final def subs(target: OpSpec, replacement: OpSpec): OpSpec =
     subsAll(Seq(target -> replacement))
 
+  /** The reference's `graph.subs(target, field=value, ...)` form: apply
+    * field changes to `target` (anywhere in this graph), rebuilding the
+    * whole DAG around the changed node (`op_spec.py:485-497`). */
+  final def subs(target: OpSpec, changes: (String, Any)*): OpSpec =
+    subsAll(Seq(target -> target.subsFields(changes: _*)))
+
   final def subsAll(substitutions: Seq[(OpSpec, OpSpec)]): OpSpec = {
     val byUuid = substitutions.map { case (t, r) => t.uuid -> r }.toMap
     transformUp(op => byUuid.getOrElse(op.uuid, op))

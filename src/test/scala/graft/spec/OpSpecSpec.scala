@@ -131,6 +131,25 @@ class OpSpecSpec extends AnyFunSuite {
     assert(!swapped.allDependencies.exists(_.uuid == ds.uuid))
   }
 
+  test("subs(target, field changes): reference train→test substitution shape") {
+    // the signature feature: rebuild a whole pipeline with one upstream
+    // field changed (reference docstring example, op_spec.py:430-470)
+    val acts = LLMLayerActivationsOp("fake:d8", textCol, layerNum = 5L)
+    val viz = UMAPVizOp(acts)
+    val swapped = viz.subs(acts, "model_name" -> "fake:d16", "layer_num" -> 6L)
+      .asInstanceOf[UMAPVizOp]
+    val newActs = swapped.inputEmbedding.asInstanceOf[LLMLayerActivationsOp]
+    assert(newActs.modelName == "fake:d16")
+    assert(newActs.layerNum == 6L)
+    assert(newActs.text == textCol) // rest of the graph untouched
+    assert(swapped.uuid != viz.uuid)
+    // and changing the dataset deep under everything
+    val ds2 = viz.subs(ds, "content_hash" -> "other").asInstanceOf[UMAPVizOp]
+    assert(ds2.allDependencies.collect {
+      case l: LoadLocalParquetDatasetOp => l.contentHash
+    } == Seq("other"))
+  }
+
   test("subs on an unrelated target is a no-op preserving uuid") {
     val unrelated = LoadLocalParquetDatasetOp("zzz", "/tmp/z.parquet")
     val take = TakeRowsOp(ds)
