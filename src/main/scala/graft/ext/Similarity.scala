@@ -61,9 +61,8 @@ object Similarity {
 
   /** Deterministic centroid selection for IVF without iterative k-means:
     * pick nlist corpus vectors by hash of id (stable "k-means||-lite" —
-    * random projection seeds). Good enough for bucketing; a real deployment
-    * would run `org.apache.spark.ml.clustering.KMeans` once and persist
-    * centroids.
+    * random projection seeds). Good enough for uniform data; skewed
+    * embedding distributions should use [[kmeansCentroids]].
     */
   def pickCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int): Array[(Int, Seq[Float])] = {
@@ -75,14 +74,35 @@ object Similarity {
     picked.zipWithIndex.map { case (r, i) => (i, r.getAs[scala.collection.Seq[Float]]("v").toSeq) }
   }
 
+  /** KMeans-fitted centroids (distributed Spark ML Lloyd iterations) — the
+    * production IVF path: balanced cells follow the actual embedding
+    * distribution, so nprobe recall holds under skew. The centroid table is
+    * always tiny (nlist rows) regardless of corpus size.
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, nlist: Int,
+                      maxIter: Int = 5, seed: Long = 42L): Array[(Int, Seq[Float])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setMaxIter(maxIter).setSeed(seed)
+      .fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+  }
+
   /** IVF top-k: assign corpus rows to nearest centroid (broadcast centroid
     * table), probe the nprobe nearest cells per query.
     */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              kmeansIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = pickCentroids(corpus, corpusId, corpusVec, nlist)
+    val cents =
+      if (kmeansIters > 0) kmeansCentroids(corpus, corpusVec, nlist, kmeansIters)
+      else pickCentroids(corpus, corpusId, corpusVec, nlist)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assignUdf = udf { v: scala.collection.Seq[Float] =>

@@ -161,7 +161,11 @@ class LocalSparkRunner(
 
   // ---------------- materialization core ----------------
 
-  def materialize(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
+  def materialize(op: OpSpec): MatResult = memo.synchronized {
+    materialize0(op)
+  }
+
+  private def materialize0(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
     if (!op.isEphemeral && isDone(op)) readResult(op)
     else {
       if (op.isEphemeral) {

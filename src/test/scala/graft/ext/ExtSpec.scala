@@ -101,6 +101,32 @@ class ExtSpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall@10 = $mean")
   }
 
+  test("IVF with KMeans-fitted centroids sustains recall under skew") {
+    // two tight clusters + noise: hash-picked centroids can land lopsided;
+    // fitted centroids follow the distribution
+    val rng = new scala.util.Random(11)
+    def around(center: Float) =
+      Array.fill(8)(center + rng.nextFloat() * 0.1f).toSeq
+    val corpus = ((0 until 120).map(i => (i.toLong, around(1.0f))) ++
+      (120 until 240).map(i => (i.toLong, around(-1.0f))) ++
+      (240 until 300).map(i => (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1).toSeq)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 130L, 250L))
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    val ivf = topk(Similarity.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, nlist = 6, nprobe = 3, kmeansIters = 5))
+    val recalls = brute.map { case (q, expected) =>
+      ivf.getOrElse(q, Set.empty).intersect(expected).size.toDouble / expected.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"kmeans-IVF mean recall = ${recalls.sum / recalls.size}")
+  }
+
   test("IVF with exhaustive probing equals brute force exactly") {
     val rng = new scala.util.Random(9)
     val corpus = (0 until 100).map(i =>
