@@ -94,6 +94,23 @@ object Graph {
   }
 
   def deserializeString(s: String): Seq[OpSpec] = deserialize(Json.parse(s))
+
+  /** Multi-root substitution (reference `graph_transformations.py:112-160`):
+    * rewrite several output roots against the same substitution set with a
+    * SHARED memo, so sub-DAGs shared between roots stay reference-identical
+    * after the rewrite. */
+  def substitute(roots: Seq[OpSpec],
+                 substitutions: Seq[(OpSpec, OpSpec)]): Seq[OpSpec] = {
+    val byUuid = substitutions.map { case (t, r) => t.uuid -> r }.toMap
+    val memo = scala.collection.mutable.HashMap.empty[String, OpSpec]
+    def go(op: OpSpec): OpSpec =
+      memo.getOrElseUpdate(op.uuid,
+        byUuid.getOrElse(op.uuid, {
+          val rewritten = op.mapChildren(go)
+          byUuid.getOrElse(rewritten.uuid, rewritten)
+        }))
+    roots.map(go)
+  }
 }
 
 /** Per-op JSON decoders: the deserialization half of the spec layer. Explicit

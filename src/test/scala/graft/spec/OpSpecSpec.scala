@@ -156,6 +156,21 @@ class OpSpecSpec extends AnyFunSuite {
     assert(take.subs(unrelated, ds).uuid == take.uuid)
   }
 
+  test("multi-root substitution keeps shared sub-DAGs identical") {
+    val mask = CategoryToBooleanOp(catCol, Some(Seq("keep")))
+    val masked = MaskRowsOp(ds, mask)
+    val a = TakeRowsOp(masked, numRows = Some(1L))
+    val b = AssignRowIDOp(masked)
+    val newDs = LoadLocalParquetDatasetOp("other", "/data/o.parquet")
+    val Seq(a2, b2) = Graph.substitute(Seq(a, b), Seq(ds -> newDs))
+    val am = a2.asInstanceOf[TakeRowsOp].dataset
+    val bm = b2.asInstanceOf[AssignRowIDOp].dataset
+    assert(am.uuid == bm.uuid)
+    assert(am.asInstanceOf[AnyRef] eq bm.asInstanceOf[AnyRef]) // shared memo ⇒ same instance
+    assert(!a2.allDependencies.exists(_.uuid == ds.uuid))
+    assert(a2.allDependencies.exists(_.uuid == newDs.uuid))
+  }
+
   // ---------------- canonical JSON details ----------------
 
   test("canonical JSON: sorted keys, compact, typed numbers") {
