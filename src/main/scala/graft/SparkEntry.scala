@@ -467,7 +467,7 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.cosineNearDuplicates(emb.union(planted), "embedding", "vec_id",
-          dim = 64, nBands = 8, planesPerBand = 4, threshold = 0.8)
+          dim = 64, nBands = 8, planesPerBand = 8, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -294,7 +294,7 @@ object Dedup {
     * cosine verify inside buckets. Norms are precomputed once per side.
     */
   def cosineNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
-                           dim: Int, nBands: Int = 8, planesPerBand: Int = 4,
+                           dim: Int, nBands: Int = 8, planesPerBand: Int = 8,
                            threshold: Double = 0.95): DataFrame = {
     val nPlanes = nBands * planesPerBand
     // deterministic pseudo-random unit-free plane matrix, computed once
