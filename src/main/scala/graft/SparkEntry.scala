@@ -433,6 +433,13 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    "q_dedup_drop" -> ((s, dir) => {
+      // the deduplicated dataset itself (min-id representative per text)
+      Dedup.dropExactDuplicates(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           shingleN = 3, threshold = 0.5)
@@ -763,6 +770,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_drop" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """WITH u AS (

@@ -377,6 +377,20 @@ class RunnerSpec extends SparkTestBase {
       .collect().map(_.getDouble(0)).toSeq == Seq(0.0, 4.0, 8.0))
   }
 
+  test("Runner factory caches instances per configuration") {
+    Runner.reset()
+    val store = newStoreDir()
+    val a = Runner(spark, store)
+    val b = Runner(spark, store)
+    assert(a eq b) // same config → same instance (shared memo)
+    val c = Runner(spark, newStoreDir())
+    assert(!(a eq c))
+    val d = Runner(spark, store, validateLengths = false)
+    assert(!(a eq d))
+    Runner.reset()
+    assert(!(Runner(spark, store) eq a))
+  }
+
   // ---------------- failed-status bookkeeping ----------------
 
   test("failures are recorded in status.json") {
