@@ -28,6 +28,8 @@ object Cli {
       graph: Option[String] = None,
       filterUuid: Option[String] = None,
       filterType: Option[String] = None,
+      shardCount: Int = 0,
+      shardIdx: Int = 0,
       json: Boolean = false,
       format: String = "code",
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -42,6 +44,8 @@ object Cli {
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
         case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
         case "--filter-type" => a = a.copy(filterType = Some(argv(i + 1))); i += 2
+        case "--shard-count" => a = a.copy(shardCount = argv(i + 1).toInt); i += 2
+        case "--shard-idx" => a = a.copy(shardIdx = argv(i + 1).toInt); i += 2
         case "--format" => a = a.copy(format = argv(i + 1)); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
         case "-j" | "--json" => a = a.copy(json = true); i += 1
@@ -76,6 +80,12 @@ object Cli {
     all.values.toSeq
       .filter(op => a.filterUuid.forall(op.uuid.contains))
       .filter(op => a.filterType.forall(_ == op.typeName))
+      .filter(op => a.shardCount <= 1 ||
+        // manual multi-process fan-out, dependency-unaware like the
+        // reference (`cli.py:541-556`): hash the uuid digest into shards
+        math.floorMod(
+          java.lang.Long.parseLong(op.uuidHash.take(15), 16),
+          a.shardCount.toLong) == a.shardIdx.toLong)
   }
 
   private def sparkSession(a: Args): SparkSession = {

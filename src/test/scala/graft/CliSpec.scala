@@ -70,6 +70,24 @@ class CliSpec extends SparkTestBase {
     assert(out.contains(ds.uuid))
   }
 
+  test("sharding partitions ops disjointly and exhaustively") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
+    val ops: Seq[OpSpec] = Seq(AssignRowIDOp(ds),
+      AssignTrainTestSplitOp(ds, Some(1L)),
+      TakeRowsOp(ds, numRows = Some(1L)), ds)
+    val g = writeGraph(store, ops.filter(!_.isInstanceOf[LoadInlineJsonDatasetOp]): _*)
+    val shards = (0 until 3).map { i =>
+      withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+        "--shard-count", "3", "--shard-idx", i.toString)))
+        .trim.linesIterator.map(_.takeWhile(_ != ':')).toSet
+    }
+    // disjoint
+    assert(shards.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+    // exhaustive over the 4 graph nodes
+    assert(shards.flatten.toSet.size == 4)
+  }
+
   test("filters narrow the selection") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
