@@ -13,6 +13,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM classloading + first codegen otherwise lands on
+    // whichever query happens to run first (≈5 s of attribution noise)
+    try SparkEntry.queries("q_load_parquet")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
