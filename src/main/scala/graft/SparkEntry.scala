@@ -425,6 +425,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_audio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Seq(col("doc_id")) ++
+          Multimodal.audioWindowStats(col("text"), 256).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup extensions ----
 
     "q_dedup_exact" -> ((s, dir) => {
@@ -513,7 +520,7 @@ object SparkEntry {
           TextAnalysis.qualityFeatures(text).filter(_._1 != "mean_token_len")
             .map { case (n, c) =>
               (if (n == "n_tokens") c.cast("long") else c).as(n)
-            }: _*)
+            } :+ TextAnalysis.qualityScore(text).as("quality"): _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -606,6 +613,12 @@ object SparkEntry {
          |16 + ${duckMd5Int4("text", 4)} % 1008 AS height,
          |(['jpeg','png','webp'])[CAST(${duckMd5Int4("text", 8)} // 256 AS INT) % 3 + 1] AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_audio" ->
+      """SELECT doc_id,
+        |CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_windows,
+        |md5(substr(text, 1, 256)) AS first_window_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id,
@@ -854,7 +867,14 @@ object SparkEntry {
         |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS upper_ratio,
         |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS digit_ratio,
-        |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+        |CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio,
+        |round(
+        |  (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 100000
+        |        THEN 1.0 ELSE 0.3 END)
+        |  * (1.0 - least((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 2.0, 1.0))
+        |  * (1.0 - least((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0, 1.0)),
+        |  6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->

@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.spec._
-import graft.runner.{FrameResult, LocalSparkRunner}
+import graft.runner.LocalSparkRunner
 
 /** String-keyed classifier registry (reference
   * `probe_implementations.py:29-120`: 11 sklearn factories behind
@@ -97,8 +97,6 @@ object ClassifierRegistry {
   * as distributed Spark ML pipelines + DataFrame aggregations.
   */
 object Probes {
-
-  import graft.runner.LocalSparkRunner
 
   private val RowIdx = graft.ops.ColumnOps.RowIdx
 

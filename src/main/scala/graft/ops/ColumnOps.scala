@@ -209,16 +209,4 @@ object ColumnOps {
     */
   def maskRows(df: DataFrame, mask: Column): DataFrame = df.filter(mask)
 
-  /** Positional-join form: align a standalone column result with its source
-    * dataset by row index (both must carry RowIdx). Broadcast the mask side
-    * when it is small (runner decides).
-    */
-  def joinOnRowIdx(ds: DataFrame, colDf: DataFrame,
-                   broadcastRight: Boolean = false): DataFrame = {
-    val left = ds
-    val right0 = colDf
-    // avoid ambiguous names other than RowIdx
-    val right = if (broadcastRight) broadcast(right0) else right0
-    left.join(right, Seq(RowIdx), "inner")
-  }
 }
