@@ -425,6 +425,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_resize" -> ((s, dir) => {
+      // resize planning over decoded metadata: fit-within-256 preserving
+      // aspect (integer math is the real part; pixel resampling is the stub)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("img"))
+      Multimodal.withResizedMeta(
+          Multimodal.withImageMeta(docs, "doc_id", "img"), maxSide = 256)
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("resized_w"), col("resized_h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_mm_embed" -> ((s, dir) => {
+      // feature extraction: per-image embedding through the batched
+      // mapPartitions path, flattened for the scalar oracle compare
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("img"))
+      Multimodal.withImageEmbedding(docs, "doc_id", "img", dim = 4)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_mm_audio" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(Seq(col("doc_id")) ++
@@ -613,6 +637,27 @@ object SparkEntry {
          |16 + ${duckMd5Int4("text", 4)} % 1008 AS height,
          |(['jpeg','png','webp'])[CAST(${duckMd5Int4("text", 8)} // 256 AS INT) % 3 + 1] AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_resize" ->
+      s"""WITH meta AS (
+         |  SELECT doc_id,
+         |  16 + ${duckMd5Int4("text", 0)} % 1008 AS width,
+         |  16 + ${duckMd5Int4("text", 4)} % 1008 AS height
+         |  FROM documents),
+         |scaled AS (
+         |  SELECT doc_id, width, height,
+         |    least(256.0 / width, 256.0 / height, 1.0) AS s
+         |  FROM meta)
+         |SELECT doc_id, width, height,
+         |  greatest(CAST(floor(width * s) AS BIGINT), 1) AS resized_w,
+         |  greatest(CAST(floor(height * s) AS BIGINT), 1) AS resized_h
+         |FROM scaled ORDER BY doc_id""".stripMargin,
+
+    "q_mm_embed" ->
+      s"""WITH e AS (SELECT doc_id, text, unnest(range(4)) AS pos FROM documents)
+         |SELECT doc_id, pos,
+         |${duckMd5Val("text || ':' || CAST(pos AS VARCHAR)")} AS val
+         |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     "q_mm_audio" ->
       """SELECT doc_id,

@@ -57,6 +57,51 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** STUB resize: target dimensions from a fit-within box preserving aspect
+    * ratio (pure integer math over the decoded metadata — this part is real;
+    * the pixel resampling a codec would do is the stub). Emits the resized
+    * payload's fingerprint so downstream dedup can run on resized identity. */
+  def withResizedMeta(meta: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / col("width"),
+      lit(maxSide).cast("double") / col("height"),
+      lit(1.0))
+    meta
+      .withColumn("resized_w", greatest(floor(col("width") * scale).cast("long"), lit(1L)))
+      .withColumn("resized_h", greatest(floor(col("height") * scale).cast("long"), lit(1L)))
+  }
+
+  /** STUB feature extraction: a d-dim embedding per binary payload, derived
+    * from content hashes (a real impl runs a vision encoder over the decoded
+    * image inside the same batched mapPartitions shape as
+    * [[withImageMeta]]). Values are exact doubles — int(md5(payload ++
+    * ":i")[0:8], 16) / 2^31 - 1 — so the column is oracle-checkable and
+    * flows straight into the ANN/dedup operators. */
+  def imageEmbeddingBatch(images: Seq[Array[Byte]], dim: Int): Seq[Seq[Double]] =
+    images.map { bytes =>
+      (0 until dim).map { i =>
+        val keyed = bytes ++ s":$i".getBytes("UTF-8")
+        java.lang.Long.parseLong(md5hex(keyed).substring(0, 8), 16) / 2147483648.0 - 1.0
+      }
+    }
+
+  def withImageEmbedding(df: DataFrame, idCol: String, binCol: String,
+                         dim: Int = 8, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType), nullable = false)))
+    val out = df.select(col(idCol).cast("long"), col(binCol).cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          .grouped(batchSize)
+          .flatMap(batch =>
+            batch.map(_._1).zip(imageEmbeddingBatch(batch.map(_._2), dim)))
+      }
+      .map { case (id, vec) => Row(id, vec) }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Video-style frame sampling — pure expressions (codegen'd, no UDF):
     * frame count at a fixed frame size plus the fingerprint of the first
     * frame. Frames are fixed-size chunks of the payload (character chunks
