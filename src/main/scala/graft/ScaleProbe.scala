@@ -1,0 +1,52 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10x scale probe: replicates sf0.1 inputs to ~sf1 volumes and runs
+  * the scale-sensitive operators, as evidence for SCALING.md claims. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](what: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+    }
+    val dir = "/root/testdata/sf0.1"
+    // 6M-row two-phase row index + slice
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li10 = (0 until 10).map(i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+      .reduce(_ union _)
+    time("row-idx + slice over 6M rows") {
+      val idx = graft.ops.ColumnOps.withRowIdxByKey(li10, col("l_orderkey"), col("l_linenumber"))
+      println("  kept=" + graft.ops.ColumnOps.takeRows(idx, skip = 1000, offset = 7).count())
+    }
+    // 50k-doc minhash LSH + verify
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    time("minhash near-dup over 50k docs") {
+      println("  pairs=" + graft.ext.Dedup.minhashNearDuplicates(
+        docs10, "text", "doc_id", shingleN = 3, threshold = 0.5).count())
+    }
+    time("simhash near-dup over 50k docs") {
+      println("  pairs=" + graft.ext.Dedup.simhashNearDuplicates(
+        docs10, "text", "doc_id", maxHamming = 8).count())
+    }
+    // 50k-vector cosine LSH
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb10 = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+      .reduce(_ union _)
+    time("cosine LSH over 50k vectors") {
+      println("  pairs=" + graft.ext.Dedup.cosineNearDuplicates(
+        emb10.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+        dim = 64, threshold = 0.8).count())
+    }
+    spark.stop()
+  }
+}
