@@ -184,7 +184,8 @@ object Cli {
     }
   }
 
-  /** Pseudocode or JSONL rendering (reference `cli.py:492-517`). */
+  /** Pseudocode, JSONL, or Mermaid rendering (reference `cli.py:492-517`;
+    * flowchart repr `op_spec.py:620-630`). */
   private def cmdPrint(a: Args): Unit = {
     if (a.graph.isEmpty) usage("print requires --graph")
     val outputs = Graph.deserializeString(Files.readString(Paths.get(a.graph.get)))
@@ -193,7 +194,25 @@ object Cli {
       case "jsonl" =>
         val runner = new LocalSparkRunner(null, a.store)
         selectOps(a, runner).foreach(op => println(Json.render(op.toJson)))
+      case "mermaid" => println(mermaid(outputs))
       case other => usage(s"unknown format $other")
     }
+  }
+
+  /** Mermaid flowchart of the graph: node per op, edge per dependency with
+    * the field name as the label. */
+  def mermaid(outputs: Seq[OpSpec]): String = {
+    val lines = scala.collection.mutable.LinkedHashSet.empty[String]
+    def visit(op: OpSpec): Unit = {
+      lines += s"""  ${op.codeIdentifier}["${op.typeName}"]"""
+      op.fieldPairs.foreach { case (name, v) =>
+        OpSpec.collectOps(v).foreach { child =>
+          visit(child)
+          lines += s"""  ${child.codeIdentifier} -->|"$name"| ${op.codeIdentifier}"""
+        }
+      }
+    }
+    outputs.foreach(visit)
+    ("flowchart TD" +: lines.toSeq).mkString("\n")
   }
 }

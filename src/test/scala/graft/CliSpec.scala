@@ -70,6 +70,18 @@ class CliSpec extends SparkTestBase {
     assert(out.contains(ds.uuid))
   }
 
+  test("mermaid rendering emits nodes and labeled edges") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L)))
+    val rid = AssignRowIDOp(ds)
+    val g = writeGraph(store, rid)
+    val out = withStdout(Cli.main(Array("print", "--store", store, "--graph", g,
+      "--format", "mermaid")))
+    assert(out.startsWith("flowchart TD"))
+    assert(out.contains("""["AssignRowIDOp"]"""))
+    assert(out.contains("""-->|"dataset"|"""))
+  }
+
   test("sharding partitions ops disjointly and exhaustively") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
