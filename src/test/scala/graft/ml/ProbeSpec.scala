@@ -88,6 +88,9 @@ class ProbeSpec extends SparkTestBase {
   test("random_forest and preprocessing variants train") {
     val r = newRunner()
     for ((m, p) <- Seq(("random_forest", "none"),
+      ("gbt", "none"),
+      ("naive_bayes", "none"),
+      ("linear_svc", "standardize"),
       ("logistic_regression", "standardize"),
       ("logistic_regression", "normalize"))) {
       val (_, _, _, eval) = chain(m, p)
