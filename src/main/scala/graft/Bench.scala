@@ -23,9 +23,14 @@ object Bench {
       // noop sink: forces full evaluation of every output column (a bare
       // count() lets Catalyst prune all projections, which under-measured
       // narrow-transform queries in round 1)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+      }
+      // -1 sentinel keeps failures visible in the JSON (a broken query must
+      // not read as a round-over-round speedup)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -40,6 +40,9 @@ object Cli {
     var i = 1
     while (i < argv.length) {
       argv(i) match {
+        case f @ ("--store" | "--graph" | "--filter-uuid" | "--filter-type" |
+                  "--shard-count" | "--shard-idx" | "--format" | "--master")
+          if i + 1 >= argv.length => usage(s"$f requires a value")
         case "--store" => a = a.copy(store = argv(i + 1)); i += 2
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
         case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
@@ -203,7 +206,10 @@ object Cli {
     * the field name as the label. */
   def mermaid(outputs: Seq[OpSpec]): String = {
     val lines = scala.collection.mutable.LinkedHashSet.empty[String]
-    def visit(op: OpSpec): Unit = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    def visit(op: OpSpec): Unit = if (seen.add(op.uuid)) {
+      // memoized by uuid: without it a DAG with sharing at each level is
+      // traversed 2^depth times
       lines += s"""  ${op.codeIdentifier}["${op.typeName}"]"""
       op.fieldPairs.foreach { case (name, v) =>
         OpSpec.collectOps(v).foreach { child =>

@@ -562,8 +562,8 @@ object SparkEntry {
     }),
 
     "q_fingerprint_rolling" -> ((s, dir) => {
-      // 64-bit Rabin-Karp-style rolling hash; engine-specific constant, so
-      // rows-only oracle (no ANSI equivalent)
+      // 64-bit Rabin-Karp-style rolling hash, replayed exactly in the
+      // DuckDB oracle via HUGEINT mod-2^64 arithmetic
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.rollingHashUdf(col("text")).as("fp_rolling"))
@@ -932,7 +932,7 @@ object SparkEntry {
     // HUGEINT; BMP-only data keeps JVM UTF-16 units == codepoints.
     "q_fingerprint_rolling" ->
       """WITH n AS (
-        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
         |  FROM documents),
         |h AS (
         |  SELECT doc_id,

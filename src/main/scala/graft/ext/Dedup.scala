@@ -287,11 +287,15 @@ object Dedup {
     * the driver and captured in the UDF closure (shipped with the task,
     * `nBands*planesPerBand*dim` doubles — not rehashed per row×plane×dim);
     * (b) a single exact-match sketch has collision probability
-    * (1-θ/π)^nPlanes — only ~16% recall at cos 0.8 with 8 planes — so we use
-    * an OR-construction: `nBands` independent bands of `planesPerBand`
-    * planes, candidate iff ANY band matches exactly (recall
-    * 1-(1-p^r)^b ≈ 85% at cos 0.8 with 8 bands × 4 planes), then exact
-    * cosine verify inside buckets. Norms are precomputed once per side.
+    * (1-θ/π)^nPlanes — only ~16% recall at cos 0.8 with 32 planes in one
+    * band — so we use an OR-construction: `nBands` independent bands of
+    * `planesPerBand` planes, candidate iff ANY band matches exactly, then
+    * exact cosine verify inside buckets. Default 8 bands × 8 planes:
+    * recall 1-(1-p^8)^8 ≈ 0.75 at cos 0.8 and ≈ 0.99 at cos 0.95 (p=1-θ/π);
+    * identical vectors always collide. The 8-bit bands keep ≥256 buckets
+    * per band so bucket population stays sub-linear in corpus size — raise
+    * `nBands` (more bands of the same width) to push recall at a given
+    * threshold, not band width down. Norms are precomputed once per side.
     */
   def cosineNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
                            dim: Int, nBands: Int = 8, planesPerBand: Int = 8,

@@ -50,7 +50,10 @@ object Multimodal {
         it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
           .grouped(batchSize)
           .flatMap { batch =>
-            batch.map(_._1).zip(decodeImageMetaBatch(batch.map(_._2)))
+            val metas = decodeImageMetaBatch(batch.map(_._2))
+            require(metas.length == batch.length,
+              s"decoder returned ${metas.length} results for a batch of ${batch.length}")
+            batch.map(_._1).zip(metas)
           }
       }
       .map { case (id, (w, h, f)) => Row(id, w, h, f) }
@@ -95,8 +98,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
           .grouped(batchSize)
-          .flatMap(batch =>
-            batch.map(_._1).zip(imageEmbeddingBatch(batch.map(_._2), dim)))
+          .flatMap { batch =>
+            val vecs = imageEmbeddingBatch(batch.map(_._2), dim)
+            require(vecs.length == batch.length,
+              s"encoder returned ${vecs.length} results for a batch of ${batch.length}")
+            batch.map(_._1).zip(vecs)
+          }
       }
       .map { case (id, vec) => Row(id, vec) }
     spark.createDataFrame(out, schema)

@@ -103,7 +103,11 @@ object TextAnalysis {
     */
   def rollingHash(s: String): Long = {
     var h = 1469598103934665603L // FNV offset basis
-    val norm = s.trim.toLowerCase.replaceAll("\\s+", " ")
+    // collapse FIRST, then trim: after \s+ → ' ' only plain spaces remain at
+    // the edges, so JVM trim (strips all chars <= U+0020) and SQL trim
+    // (strips spaces only) agree — trimming first diverged on leading
+    // tabs/newlines between the engine and the DuckDB oracle
+    val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
     var i = 0
     while (i < norm.length) { h = h * 1000003L + norm.charAt(i); i += 1 }
     h

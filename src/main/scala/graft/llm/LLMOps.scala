@@ -30,6 +30,10 @@ object LLMOps {
         val pairs = it.map(r => (r.getLong(0), r.getString(1)))
         pairs.grouped(math.max(batchSize, 1)).flatMap { batch =>
           val vecs = f(Iterator.single(batch.map(_._2))).next()
+          // a short provider response must be a hard error, not a silent
+          // row drop that gets persisted content-addressed forever
+          require(vecs.length == batch.length,
+            s"provider returned ${vecs.length} results for a batch of ${batch.length}")
           batch.map(_._1).zip(vecs)
         }
       }
@@ -69,6 +73,8 @@ object LLMOps {
       val pairs = it.map(r0 => (r0.getLong(0), r0.getString(1)))
       pairs.grouped(64).flatMap { batch =>
         val gens = provider.generate(Iterator.single(batch.map(_._2)), maxTokens).next()
+        require(gens.length == batch.length,
+          s"provider returned ${gens.length} generations for a batch of ${batch.length}")
         batch.map(_._1).zip(gens)
       }
     }.map { case (idx, s) => Row(idx, s) }

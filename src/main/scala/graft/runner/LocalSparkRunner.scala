@@ -116,15 +116,17 @@ class LocalSparkRunner(
   def listStore(): Seq[String] = {
     val root = Paths.get(storeUri)
     if (!Files.exists(root)) return Seq.empty
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    Files.list(root).forEach { clsDir =>
-      if (Files.isDirectory(clsDir))
-        Files.list(clsDir).forEach { hashDir =>
-          if (Files.isDirectory(hashDir))
-            out += s"${clsDir.getFileName}_${hashDir.getFileName}"
-        }
+    def children(dir: Path): Seq[Path] = {
+      val s = Files.list(dir) // DirectoryStream-backed: must be closed
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+      } finally s.close()
     }
-    out.toSeq.sorted
+    (for {
+      clsDir <- children(root) if Files.isDirectory(clsDir)
+      hashDir <- children(clsDir) if Files.isDirectory(hashDir)
+    } yield s"${clsDir.getFileName}_${hashDir.getFileName}").sorted
   }
 
   // ---------------- entry points ----------------
@@ -162,7 +164,27 @@ class LocalSparkRunner(
   // ---------------- materialization core ----------------
 
   def materialize(op: OpSpec): MatResult = memo.synchronized {
-    materialize0(op)
+    op match {
+      // GroupedOp is a materialization UNIT, not a copy: members persist
+      // under their own uuids; the group itself records only status + done
+      // (persisting the last member's result AGAIN under the group's hash
+      // would double the store I/O for already content-addressed data)
+      case g: GroupedOp =>
+        memo.getOrElseUpdate(g.uuid, {
+          val results = g.ops.map(materialize0)
+          if (!isDone(g)) {
+            writeStatus(OpStatus(g.uuid, OpState.Completed,
+              startedAt = Some(Instant.now.toString),
+              completedAt = Some(Instant.now.toString),
+              resultFormat = Some("grouped"),
+              graph = Some(Graph.serialize(g))))
+            Files.writeString(donePath(g), "")
+          }
+          results.lastOption.getOrElse(
+            throw new IllegalArgumentException("GroupedOp with no ops"))
+        })
+      case _ => materialize0(op)
+    }
   }
 
   private def materialize0(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
@@ -395,12 +417,6 @@ class LocalSparkRunner(
 
     case viz: UMAPVizOp =>
       FrameResult(graft.ml.Viz.embed2d(this, viz))
-
-    case GroupedOp(ops) =>
-      // materialize in sequence, result = last (reference
-      // `local_arrow_runner.py:664-673`)
-      ops.map(materialize).lastOption.getOrElse(
-        throw new IllegalArgumentException("GroupedOp with no ops"))
 
     case other =>
       throw new UnsupportedOperationException(

@@ -109,10 +109,12 @@ trait OpSpec extends Product {
   final def subs(target: OpSpec, changes: (String, Any)*): OpSpec =
     subsAll(Seq(target -> target.subsFields(changes: _*)))
 
-  final def subsAll(substitutions: Seq[(OpSpec, OpSpec)]): OpSpec = {
-    val byUuid = substitutions.map { case (t, r) => t.uuid -> r }.toMap
-    transformUp(op => byUuid.getOrElse(op.uuid, op))
-  }
+  final def subsAll(substitutions: Seq[(OpSpec, OpSpec)]): OpSpec =
+    // route through Graph.substitute: it checks the ORIGINAL uuid before
+    // rewriting children, so a target whose own descendant is also a target
+    // still gets replaced (a bare bottom-up transformUp would miss it — the
+    // node's uuid has already changed by the time the rule sees it)
+    Graph.substitute(Seq(this), substitutions).head
 
   /** Field-change form of subs: copy this node with named fields updated
     * (snake_case or camelCase accepted). Unknown names are an error, like

@@ -156,6 +156,20 @@ class OpSpecSpec extends AnyFunSuite {
     assert(take.subs(unrelated, ds).uuid == take.uuid)
   }
 
+  test("subsAll applies a target even when its own descendant is also a target") {
+    // regression: a bottom-up rewrite changes a node's uuid before the rule
+    // sees it, silently skipping the outer substitution
+    val take = TakeRowsOp(ds, numRows = Some(1L))
+    val root = MaskRowsOp(take, CategoryToBooleanOp(catCol, Some(Seq("k"))))
+    val ds2 = LoadLocalParquetDatasetOp("zz", "/tmp/zz.parquet")
+    val take2 = TakeRowsOp(ds2, numRows = Some(99L))
+    val out = root.subsAll(Seq(ds -> ds2, take -> take2)).asInstanceOf[MaskRowsOp]
+    assert(out.dataset == take2) // outer target applied, not skipped
+    // untargeted sibling subtree still had ds rewritten
+    assert(out.mask.asInstanceOf[CategoryToBooleanOp]
+      .inputCategory.asInstanceOf[SelectCategoricalColumnOp].dataset == ds2)
+  }
+
   test("multi-root substitution keeps shared sub-DAGs identical") {
     val mask = CategoryToBooleanOp(catCol, Some(Seq("keep")))
     val masked = MaskRowsOp(ds, mask)
