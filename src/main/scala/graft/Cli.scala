@@ -47,8 +47,12 @@ object Cli {
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
         case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
         case "--filter-type" => a = a.copy(filterType = Some(argv(i + 1))); i += 2
-        case "--shard-count" => a = a.copy(shardCount = argv(i + 1).toInt); i += 2
-        case "--shard-idx" => a = a.copy(shardIdx = argv(i + 1).toInt); i += 2
+        case f @ ("--shard-count" | "--shard-idx") =>
+          val n = try argv(i + 1).toInt catch {
+            case _: NumberFormatException => usage(s"$f requires an integer, got '${argv(i + 1)}'")
+          }
+          a = if (f == "--shard-count") a.copy(shardCount = n) else a.copy(shardIdx = n)
+          i += 2
         case "--format" => a = a.copy(format = argv(i + 1)); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
         case "-j" | "--json" => a = a.copy(json = true); i += 1

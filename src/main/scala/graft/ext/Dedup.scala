@@ -287,8 +287,8 @@ object Dedup {
     * the driver and captured in the UDF closure (shipped with the task,
     * `nBands*planesPerBand*dim` doubles — not rehashed per row×plane×dim);
     * (b) a single exact-match sketch has collision probability
-    * (1-θ/π)^nPlanes — only ~16% recall at cos 0.8 with 32 planes in one
-    * band — so we use an OR-construction: `nBands` independent bands of
+    * (1-θ/π)^nPlanes — only ~16% recall at cos 0.8 even with just 8 planes
+    * in one band — so we use an OR-construction: `nBands` independent bands of
     * `planesPerBand` planes, candidate iff ANY band matches exactly, then
     * exact cosine verify inside buckets. Default 8 bands × 8 planes:
     * recall 1-(1-p^8)^8 ≈ 0.75 at cos 0.8 and ≈ 0.99 at cos 0.95 (p=1-θ/π);

@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** RE2-equivalent whitespace class. Java regex `\s` additionally matches
+    * vertical tab (\x0B), which DuckDB's RE2 `\s` does not — oracle-replayed
+    * normalizations must use this explicit class so both engines agree. */
+  val Ws = "[ \\t\\n\\f\\r]"
+
   /** Whitespace token count; empty/blank text → 0. Pure built-ins. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), Ws + "+")))
 
   /** BPE-ish subword count: split on case/digit transitions as well as
     * whitespace — an approximation of byte-pair token counts without a
@@ -94,7 +99,7 @@ object TextAnalysis {
   /** Document fingerprint, oracle-verifiable flavor: md5 over normalized
     * text (lowercase, collapsed whitespace). Stable across engines. */
   def fingerprintMd5(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), Ws + "+", " "))
 
   /** Document fingerprint, rolling-hash flavor: 64-bit polynomial rolling
     * hash of the normalized text (base 1000003, mod 2^64 via Long
@@ -103,11 +108,13 @@ object TextAnalysis {
     */
   def rollingHash(s: String): Long = {
     var h = 1469598103934665603L // FNV offset basis
-    // collapse FIRST, then trim: after \s+ → ' ' only plain spaces remain at
-    // the edges, so JVM trim (strips all chars <= U+0020) and SQL trim
-    // (strips spaces only) agree — trimming first diverged on leading
-    // tabs/newlines between the engine and the DuckDB oracle
-    val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+    // oracle-exact normalization: RE2-equivalent whitespace class (Java \s
+    // would also eat \x0B, DuckDB's \s would not), collapse FIRST, then
+    // strip SPACES only (SQL trim semantics; JVM trim strips all chars
+    // <= U+0020, which would diverge on control chars at the edges)
+    val collapsed = s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll(Ws + "+", " ")
+    val norm = collapsed.replaceAll("^ +| +$", "")
     var i = 0
     while (i < norm.length) { h = h * 1000003L + norm.charAt(i); i += 1 }
     h

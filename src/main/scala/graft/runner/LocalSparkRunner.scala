@@ -164,28 +164,48 @@ class LocalSparkRunner(
   // ---------------- materialization core ----------------
 
   def materialize(op: OpSpec): MatResult = memo.synchronized {
-    op match {
-      // GroupedOp is a materialization UNIT, not a copy: members persist
-      // under their own uuids; the group itself records only status + done
-      // (persisting the last member's result AGAIN under the group's hash
-      // would double the store I/O for already content-addressed data)
-      case g: GroupedOp =>
-        memo.getOrElseUpdate(g.uuid, {
-          val results = g.ops.map(materialize0)
-          if (!isDone(g)) {
-            writeStatus(OpStatus(g.uuid, OpState.Completed,
-              startedAt = Some(Instant.now.toString),
-              completedAt = Some(Instant.now.toString),
-              resultFormat = Some("grouped"),
-              graph = Some(Graph.serialize(g))))
-            Files.writeString(donePath(g), "")
-          }
-          results.lastOption.getOrElse(
-            throw new IllegalArgumentException("GroupedOp with no ops"))
-        })
-      case _ => materialize0(op)
-    }
+    materializeAny(op)
   }
+
+  private def materializeAny(op: OpSpec): MatResult = op match {
+    case g: GroupedOp => materializeGroup(g)
+    case _ => materialize0(op)
+  }
+
+  /** GroupedOp is a materialization UNIT, not a copy: members persist under
+    * their own uuids (nested groups recurse); the group itself records only
+    * status + done — persisting the last member's result AGAIN under the
+    * group's hash would double the store I/O for already content-addressed
+    * data. Full status lifecycle (running → completed/failed) is kept so
+    * CLI status/summary stay truthful. */
+  private def materializeGroup(g: GroupedOp): MatResult =
+    memo.getOrElseUpdate(g.uuid, {
+      val started = Instant.now.toString
+      if (!isDone(g))
+        writeStatus(OpStatus(g.uuid, OpState.Running,
+          startedAt = Some(started), graph = Some(Graph.serialize(g))))
+      try {
+        val results = g.ops.map(materializeAny)
+        if (!isDone(g)) {
+          writeStatus(OpStatus(g.uuid, OpState.Completed,
+            startedAt = Some(started),
+            completedAt = Some(Instant.now.toString),
+            resultFormat = Some("grouped"),
+            graph = Some(Graph.serialize(g))))
+          Files.writeString(donePath(g), "")
+        }
+        results.lastOption.getOrElse(
+          throw new IllegalArgumentException("GroupedOp with no ops"))
+      } catch {
+        case e: Throwable =>
+          writeStatus(OpStatus(g.uuid, OpState.Failed,
+            startedAt = Some(started),
+            completedAt = Some(Instant.now.toString),
+            error = Some(String.valueOf(e.getMessage)),
+            graph = Some(Graph.serialize(g))))
+          throw e
+      }
+    })
 
   private def materialize0(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
     if (!op.isEphemeral && isDone(op)) readResult(op)

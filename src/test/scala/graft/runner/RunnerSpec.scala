@@ -287,6 +287,30 @@ class RunnerSpec extends SparkTestBase {
       .count(_ == "test") == 3)
   }
 
+  test("nested GroupedOp materializes recursively; group persists no result copy") {
+    val r = newRunner()
+    val ds = inline(4)
+    val inner = GroupedOp(Seq(AssignRowIDOp(ds)))
+    val outer = GroupedOp(Seq(inner, AssignTrainTestSplitOp(ds, Some(1L))))
+    r.materialize(outer)
+    assert(r.isDone(inner) && r.isDone(outer))
+    assert(r.status(outer).state == OpState.Completed)
+    // the group dir holds only status + done — no duplicated result files
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(r.opDir(outer)).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(files == Set("status.json", "done"))
+  }
+
+  test("GroupedOp failure is recorded in its status") {
+    val r = newRunner()
+    val ds = inline(4)
+    val bad = GroupedOp(Seq(AssignRowIDOp(ds),
+      AssignTrainTestSplitOp(ds, Some(99L)))) // count out of range → fails
+    intercept[Exception](r.materialize(bad))
+    assert(r.status(bad).state == OpState.Failed)
+  }
+
   test("GroupedOp materializes all, returns last") {
     val r = newRunner()
     val ds = inline(4)
