@@ -399,16 +399,14 @@ class LocalSparkRunner(
             s"All context columns must have the same length, got ${names.zip(counts).toMap}")
         }
         val joined = frames.reduceLeft(_.join(_, RowIdx))
-        val render = udf { vals: Seq[String] =>
-          val ctx: Map[String, Any] = names.zip(vals).map {
-            case (n, v) if jsonNames(n) && v != null =>
-              n -> Json.toScala(Json.parse(v))
-            case (n, v) => n -> v
-          }.toMap
-          renderOne(ctx)
-        }
-        val arr = array(names.indices.map(i => col(s"__v$i").cast("string")): _*)
-        FrameResult(joined.select(col(RowIdx), render(arr).as(ValueCol)))
+        // native codegen'd expression — no per-row argument conversion via
+        // ScalaUDF converters; see JinjaRenderExpression
+        import org.apache.spark.sql.GraftColumnBridge
+        val childExprs = names.indices.map(i =>
+          GraftColumnBridge.expression(col(s"__v$i").cast("string")))
+        val render = GraftColumnBridge.column(graft.ops.JinjaRenderExpression(
+          template, names, jsonNames, consts, maxLength, childExprs))
+        FrameResult(joined.select(col(RowIdx), render.as(ValueCol)))
       }
 
     case AssignTrainTestSplitOp(dataset, testSize, trainSize, seed) =>
