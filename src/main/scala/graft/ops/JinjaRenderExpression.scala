@@ -37,7 +37,9 @@ case class JinjaRenderExpression(
   @transient private lazy val compiled = Template.compile(template)
 
   /** Called per row from both interpreted eval and generated code. `values`
-    * are the context columns' string renderings (null-safe). */
+    * are the context columns' string renderings (null-safe). Also the SINGLE
+    * source of render semantics: the runner's constants-only branch calls
+    * this with zero columns, so the two paths cannot drift. */
   def renderRow(values: Array[AnyRef]): UTF8String = {
     var ctx: Map[String, Any] = constants
     var i = 0
@@ -49,7 +51,13 @@ case class JinjaRenderExpression(
       i += 1
     }
     var out = Template.render(compiled, ctx)
-    maxLength.foreach(m => if (out.length > m) out = out.substring(0, m.toInt))
+    maxLength.foreach { m0 =>
+      // truncate by CODE POINTS like the reference's python slice — a
+      // UTF-16-unit substring could split a surrogate pair into invalid text
+      val m = m0.toInt
+      if (out.codePointCount(0, out.length) > m)
+        out = out.substring(0, out.offsetByCodePoints(0, m))
+    }
     UTF8String.fromString(out)
   }
 

@@ -377,18 +377,15 @@ class LocalSparkRunner(
       // renders parsed JSON values (`local_arrow_runner.py:915-925`)
       val jsonNames = names.filter(n => context(n).isInstanceOf[JSONColumnType]).toSet
       val consts = constants
-      def renderOne(vals: Map[String, Any]): String = {
-        val out = Template.render(template, vals ++ consts)
-        maxLength match {
-          case Some(n) if out.length > n => out.substring(0, n.toInt)
-          case _ => out
-        }
-      }
       if (names.isEmpty) {
         // constants-only template: one row (reference
-        // `local_arrow_runner.py:926-928`)
+        // `local_arrow_runner.py:926-928`) — rendered through the SAME
+        // expression semantics as the column path (no drift)
         import spark.implicits._
-        FrameResult(Seq((0L, renderOne(Map.empty))).toDF(RowIdx, ValueCol))
+        val rendered = graft.ops.JinjaRenderExpression(
+          template, Seq.empty, Set.empty, consts, maxLength, Seq.empty)
+          .renderRow(Array.empty).toString
+        FrameResult(Seq((0L, rendered)).toDF(RowIdx, ValueCol))
       } else {
         val frames = names.zipWithIndex.map { case (name, i) =>
           frame(context(name)).select(col(RowIdx), col(ValueCol).as(s"__v$i"))

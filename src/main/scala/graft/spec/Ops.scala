@@ -154,6 +154,7 @@ final case class JinjaTemplatizeOp(
   private val collisions = context.keySet & constants.keySet
   require(collisions.isEmpty,
     s"Key collision detected between context and constants: ${collisions.toSeq.sorted.mkString(", ")}")
+  require(maxLength.forall(_ >= 0), s"max_length must be >= 0, got $maxLength")
 }
 
 /** Seeded exact-count train/test assignment (reference

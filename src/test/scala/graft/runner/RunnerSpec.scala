@@ -228,6 +228,14 @@ class RunnerSpec extends SparkTestBase {
     val truncated = JinjaTemplatizeOp("{{text}}",
       Map("text" -> SelectTextColumnOp(ds, "text")), Map.empty, Some(3L))
     assert(r.toValues(truncated) == Seq("doc", "doc", "doc"))
+    // truncation counts code points: never splits a surrogate pair
+    val emoji = LoadInlineJsonDatasetOp(Map("t" -> Seq("a😀b")))
+    val cut = JinjaTemplatizeOp("{{t}}",
+      Map("t" -> SelectTextColumnOp(emoji, "t")), Map.empty, Some(2L))
+    assert(r.toValues(cut) == Seq("a😀"))
+    // negative max_length rejected at spec build
+    intercept[IllegalArgumentException](JinjaTemplatizeOp("{{t}}",
+      Map("t" -> SelectTextColumnOp(emoji, "t")), Map.empty, Some(-1L)))
   }
 
   test("templatize: constants-only renders once; JSON context parses to structures") {
