@@ -477,6 +477,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_minhash_planted" -> ((s, dir) => {
+      // planted near-duplicate fixture with a FULL oracle (the cosine-LSH
+      // falsifiability trick applied to text): exact copies of doc_id < 200
+      // shifted to +100000. At threshold 0.9 the per-pair candidate-miss
+      // probability of 16 bands × 4 rows is (1-0.9⁴)¹⁶ ≈ 4e-8 — and the
+      // hash family is deterministic — so the LSH output equals the exact
+      // all-pairs Jaccard≥0.9 set, which DuckDB computes independently.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.minhashNearDuplicates(docs.union(planted), "text", "doc_id",
+          shingleN = 3, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 8)
@@ -946,6 +961,31 @@ object SparkEntry {
         |  CAST(uh - CASE WHEN uh >= 9223372036854775808
         |                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp_rolling
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash_planted" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+        |    SELECT doc_id,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+        |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+        |    ELSE [] END AS ngrams
+        |    FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
+        |      FROM u))),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    ELSE 0.0 END AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH sh AS (

@@ -296,10 +296,19 @@ object Dedup {
     * per band so bucket population stays sub-linear in corpus size — raise
     * `nBands` (more bands of the same width) to push recall at a given
     * threshold, not band width down. Norms are precomputed once per side.
+    *
+    * Like the minhash/simhash paths, the candidate self-join is guarded by
+    * `maxBucket`: a degenerate sketch bucket (mass-duplicated vectors, or
+    * all-zero vectors — every dot ≤ 0 vector lands in sketch 0 per band)
+    * would otherwise make the join and the pair `distinct()` quadratic in
+    * bucket size. Members of a dropped bucket can still pair through their
+    * other bands — the same deterministic recall trade-off the text-LSH
+    * paths make.
     */
   def cosineNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
                            dim: Int, nBands: Int = 8, planesPerBand: Int = 8,
-                           threshold: Double = 0.95): DataFrame = {
+                           threshold: Double = 0.95,
+                           maxBucket: Int = 10000): DataFrame = {
     val nPlanes = nBands * planesPerBand
     // deterministic pseudo-random unit-free plane matrix, computed once
     val planes: Array[Array[Double]] = Array.tabulate(nPlanes) { p =>
@@ -327,11 +336,7 @@ object Dedup {
     val sk = df.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
       .withColumn("sk", explode(bandSketches(col("v"))))
       .select(col("doc_id"), col("sk"))
-    val cands = sk.select(col("sk"), col("doc_id").as("id_a"))
-      .join(sk.select(col("sk"), col("doc_id").as("id_b")), "sk")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val cands = bucketSelfJoinPairs(sk, "sk", maxBucket)
     // verify: join each side's vector+norm back once
     val side = df.select(col(idCol).as("jid"), col(vecCol).as("jv"))
       .withColumn("jn", Similarity.norm(col("jv")))

@@ -100,6 +100,10 @@ object Probes {
 
   private val RowIdx = graft.ops.ColumnOps.RowIdx
 
+  /** Cap on distinct (split, score) curve points collected to the driver;
+    * beyond it `evaluate` re-bins scores to a fixed grid of this size. */
+  val MaxCurvePoints = 10000
+
   /** Assemble (row_idx, features, label) for training (reference
     * `probe_implementations.py:123-182`): rows = (positives ∪ negatives) ∩
     * train_domain; consistency checks: non-empty, disjoint. */
@@ -163,15 +167,12 @@ object Probes {
     * precision@recall grid, threshold metrics (given threshold, or the
     * accuracy-maximizing one).
     *
-    * Distributed shape: one groupBy per (split, score-distinct) for the
-    * cumulative curve — scores are rounded to 9 dp to bound curve
-    * cardinality at corpus scale (quantile-binning would be the 100 TB
-    * refinement); all sweeps are window cumulative sums partitioned by
-    * split, never a global single-partition window.
+    * Distributed shape: one groupBy per (split, rounded score) builds the
+    * curve deltas; cardinality is hard-capped at `MaxCurvePoints` by
+    * fixed-grid re-binning, after which the descending-score cumulative sum
+    * is a bounded driver-side pass — no window over data at all.
     */
   def evaluate(r: LocalSparkRunner, op: ClassifierEvaluationOp): JValue = {
-    import org.apache.spark.sql.expressions.Window
-
     val score = r.toFrame(op.score).select(col(RowIdx), col(r.ValueCol).as("__score"))
     val pos = r.toFrame(op.gtPositives).select(col(RowIdx), col(r.ValueCol).as("__pos"))
     val neg = r.toFrame(op.gtNegatives).select(col(RowIdx), col(r.ValueCol).as("__neg"))
@@ -196,31 +197,38 @@ object Probes {
     // broadcast back. A plain Window.partitionBy(__split) degrades to a
     // single-partition window whenever split is None (constant column is
     // folded out of the partition spec) — the round-1 scale-killer.
-    val curve = eligible.groupBy(col("__split"), col("__s"))
+    val curveRaw = eligible.groupBy(col("__split"), col("__s"))
       .agg(sum(col("__label")).as("__tp_here"),
         sum(lit(1L) - col("__label")).as("__fp_here"))
-    val np = curve.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val parted = curve.repartitionByRange(np, col("__split"), col("__s").desc)
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy(col("__pid"), col("__split"))
-      .orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = parted
-      .withColumn("__ltp", sum(col("__tp_here")).over(w))
-      .withColumn("__lfp", sum(col("__fp_here")).over(w))
-    val partTotals = parted.groupBy(col("__split"), col("__pid"))
-      .agg(sum(col("__tp_here")).as("__ptp"), sum(col("__fp_here")).as("__pfp"))
-    val offsets = partTotals.as("a")
-      .join(broadcast(partTotals.as("b")),
-        col("a.__split") === col("b.__split") && col("b.__pid") < col("a.__pid"),
-        "left")
-      .groupBy(col("a.__split").as("__split"), col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__ptp")), lit(0L)).as("__otp"),
-        coalesce(sum(col("b.__pfp")), lit(0L)).as("__ofp"))
-    val cum = local.join(broadcast(offsets), Seq("__split", "__pid"))
-      .withColumn("__tp", col("__ltp") + col("__otp"))
-      .withColumn("__fp", col("__lfp") + col("__ofp"))
-
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bound the curve cardinality BEFORE the cumulative pass + collect:
+    // 9-dp rounding alone admits up to ~1e9 distinct points for continuous
+    // scores on a large eligible set — an unbounded driver-memory risk. Past
+    // `MaxCurvePoints` distinct (split, score) rows, scores are re-binned to
+    // a fixed uniform grid per split (bin representative = its max score,
+    // the standard curve approximation); under it, results are bit-identical
+    // to the unbinned form.
+    val curve =
+      if (curveRaw.count() <= MaxCurvePoints) curveRaw
+      else {
+        System.err.println(s"[evaluate] curve exceeds $MaxCurvePoints " +
+          "distinct scores; binning to a fixed grid (AUC/AP/threshold " +
+          "become grid approximations)")
+        val ranges = curveRaw.groupBy(col("__split"))
+          .agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+        curveRaw.join(broadcast(ranges), "__split")
+          .withColumn("__bin",
+            when(col("__mx") > col("__mn"),
+              least(floor((col("__s") - col("__mn"))
+                / (col("__mx") - col("__mn")) * MaxCurvePoints),
+                lit((MaxCurvePoints - 1).toLong)))
+              .otherwise(lit(0L)))
+          .groupBy(col("__split"), col("__bin"))
+          .agg(max(col("__s")).as("__s"),
+            sum(col("__tp_here")).as("__tp_here"),
+            sum(col("__fp_here")).as("__fp_here"))
+          .drop("__bin")
+      }
     val totals = eligible.groupBy(col("__split"))
       .agg(count(lit(1)).as("n"),
         sum(col("__label")).as("n_true"),
@@ -230,15 +238,24 @@ object Probes {
         (r0.getLong(1), r0.getLong(2), r0.getLong(3),
           if (r0.isNullAt(4)) Double.NaN else r0.getDouble(4))).toMap
 
-    // collect the (bounded) per-split curves for AUC/AP/threshold sweeps
-    val curves: Map[String, Array[(Double, Long, Long)]] = cum
-      .select(col("__split"), col("__s"), col("__tp"), col("__fp"))
+    // collect the (bounded — MaxCurvePoints) per-split curve DELTAS and run
+    // the descending-score cumulative sum on the driver: with cardinality
+    // capped upstream, a driver cumsum over ≤ 10⁴ points replaces the
+    // distributed prefix-sum of rounds 2-4, whose repartitionByRange +
+    // spark_partition_id offsets could disagree between the two subtree
+    // evaluations of the same exchange (re-sampled bounds) — the same
+    // nondeterminism class fixed in ColumnOps.withRowIdxByKey.
+    val curves: Map[String, Array[(Double, Long, Long)]] = curve
+      .select(col("__split"), col("__s"), col("__tp_here"), col("__fp_here"))
       .collect()
       .groupBy(_.getString(0))
       .map { case (k, rs) =>
+        var tp = 0L; var fp = 0L
         k -> rs.map(r0 => (r0.getDouble(1), r0.getLong(2), r0.getLong(3)))
           .sortBy(-_._1)
+          .map { case (s, tph, fph) => tp += tph; fp += fph; (s, tp, fp) }
       }
+    curveRaw.unpersist()
 
     val recallGrid = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99, 0.999)
 

@@ -21,28 +21,59 @@ object ColumnOps {
 
   val RowIdx = "__row_idx"
 
-  /** Deterministic 0-based row index from an explicit total ordering —
-    * scale-safe two-phase construction (no single-partition window):
+  /** Deterministic 0-based row index from an explicit total ordering (keys
+    * must be distinct as a tuple) — scale-safe two-phase construction (no
+    * single-partition window), built so that every row's index is a PURE
+    * FUNCTION of the row's key and plan literals:
     *
-    *   1. range-partition on the keys (partition i holds keys < partition
-    *      i+1; bounds are sample-derived but deterministic for a fixed
-    *      input),
-    *   2. per-partition local rank via a window PARTITIONED by
-    *      `spark_partition_id()` (parallel, no data movement to one node),
-    *   3. per-partition counts → prefix-sum offsets over the tiny
-    *      (numPartitions-row) aggregate, broadcast-joined back.
+    *   1. range BOUNDS are computed EAGERLY from a seeded sample, sorted,
+    *      and frozen into the plan as literals. (A DataFrame
+    *      `repartitionByRange` re-samples its bounds on every evaluation of
+    *      the exchange — seeded by RDD id — so two subtrees of one plan can
+    *      disagree on which partition a key belongs to. The round-2..4 form
+    *      built offsets from one evaluation and local ranks from another and
+    *      was only correct when ReusedExchange happened to dedupe them: with
+    *      the exchange duplicated, indices were not even a permutation.)
+    *   2. per-bucket local rank via a window PARTITIONED by the bucket
+    *      expression (parallel — ≥ numPartitions buckets, no data to one
+    *      node),
+    *   3. per-bucket counts → prefix-sum offsets over the tiny
+    *      (numBuckets-row) aggregate, broadcast-joined back.
     *
-    * global_idx = partition_offset + local_rank. This is the distributed
-    * zipWithIndex shape expressed in pure DataFrame ops, so the plan stays
-    * in Catalyst (pushdown/codegen survive) and works at any scale.
+    * global_idx = bucket_offset + local_rank. The plan stays in Catalyst
+    * (pushdown/codegen survive); the eager sample is one column-pruned scan,
+    * the same work the range exchange's sampling pass does — paid once at
+    * op-build instead of once per evaluation.
     */
   def withRowIdxByKey(df: DataFrame, keys: Column*): DataFrame = {
     val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pid = "__gp_pid"; val lrn = "__gp_lrn"; val off = "__gp_off"
-    val parted = df.repartitionByRange(np, keys: _*).withColumn(pid, spark_partition_id())
+    val kStruct = struct(keys: _*)
+    // eager, deterministic bounds: ~np*64 seeded sample of the key tuple
+    val kdf = df.select(kStruct.as("__gp_k"))
+    val n = kdf.count()
+    val bounds: Array[Column] =
+      if (n == 0) Array.empty
+      else {
+        val target = math.min(n, np * 64L).toDouble
+        val sampled = kdf.sample(withReplacement = false,
+            math.min(1.0, target * 1.2 / n), seed = 42L)
+          .orderBy(col("__gp_k")).collect().map(_.getStruct(0))
+        val k = sampled.length
+        (1 until np).map(i => i * k / np).distinct
+          .map(sampled.apply).distinct
+          .map(row => struct(row.toSeq.map(lit): _*))
+          .toArray
+      }
+    // bucket = #bounds below the key — a pure expression over frozen
+    // literals (struct comparison is field-lexicographic, matching the sort)
+    val bucket: Column =
+      if (bounds.isEmpty) lit(0L)
+      else bounds.map(b => when(kStruct >= b, 1L).otherwise(0L)).reduce(_ + _)
+    val parted = df.withColumn(pid, bucket)
     val local = parted.withColumn(lrn,
       row_number().over(Window.partitionBy(col(pid)).orderBy(keys: _*)).cast("long"))
-    // prefix sum over the numPartitions-row counts table via a self
+    // prefix sum over the numBuckets-row counts table via a self
     // inequality-join (not a global window — keeps the plan free of
     // single-partition WindowExec even for this metadata-sized step)
     val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as("__gp_cnt"))
@@ -59,19 +90,37 @@ object ColumnOps {
     * (reference: positional identity of a loaded parquet,
     * `local_arrow_runner.py:500-512`).
     *
-    * Pure-DataFrame construction: `monotonically_increasing_id()` is
-    * (partitionId << 33 | offset), so ranking those ids with the two-phase
-    * index reproduces file order WITHOUT the rdd.zipWithIndex hop the
-    * round-1 engine used. Staying inside Catalyst matters more than the
-    * extra range shuffle: column pruning and predicate pushdown from
-    * downstream ops now reach the parquet scan (an RDD boundary is a
-    * pruning fence, so zipWithIndex forced full-width reads), and the
-    * shuffle carries only the columns the query actually consumes.
+    * Pure-DataFrame construction with ZERO shuffle of the data:
+    * `monotonically_increasing_id()` is exactly
+    * `(scanPartitionId << 33) | offsetWithinPartition`, so the global file
+    * order index decomposes closed-form — local rank = `mid & (2³³-1)`,
+    * bucket = `mid >>> 33` — and only the per-scan-partition COUNTS (a
+    * numPartitions-row aggregate) shuffle, turned into prefix-sum offsets
+    * and broadcast back. Compared to ranking mid through a range exchange
+    * (rounds 2-4) this removes a full-data shuffle AND is deterministic by
+    * construction: every row's index is a pure function of its mid, so any
+    * number of independent evaluations of the plan (e.g. the two sides of a
+    * positional self-join) agree exactly. Column pruning and predicate
+    * pushdown still reach the parquet scan (no RDD hop).
+    *
+    * Valid directly above a deterministic lineage (a file scan): there,
+    * partition layout and within-partition order are fixed by planning.
     */
   def withRowIdxByFileOrder(df: DataFrame): DataFrame = {
-    val mid = "__gp_mid"
-    withRowIdxByKey(df.withColumn(mid, monotonically_increasing_id()), col(mid))
-      .drop(mid)
+    val mid = "__gp_mid"; val pid = "__gp_pid"; val off = "__gp_off"
+    val offMask = (1L << 33) - 1
+    val withMid = df.withColumn(mid, monotonically_increasing_id())
+    val counts = withMid
+      .groupBy(shiftrightunsigned(col(mid), 33).as(pid))
+      .agg(count(lit(1)).as("__gp_cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col(s"b.$pid") < col(s"a.$pid"), "left")
+      .groupBy(col(s"a.$pid").as(pid))
+      .agg(coalesce(sum(col("b.__gp_cnt")), lit(0L)).as(off))
+    withMid.withColumn(pid, shiftrightunsigned(col(mid), 33))
+      .join(broadcast(offsets), pid)
+      .withColumn(RowIdx, col(off) + col(mid).bitwiseAND(lit(offMask)))
+      .drop(mid, pid, off)
   }
 
   /** TakeRowsOp (reference `dataset_ops.py:222-230`): python slice

@@ -359,8 +359,13 @@ object Template {
       // falsy) from a present None (renders "None") — mirror that
       var v: Any = ctx.getOrElse(root, Undefined)
       for (st <- steps) v = step(v, st, ctx)
-      if (filters.nonEmpty && v == Undefined) v = null
-      for (f <- filters) v = applyFilter(f, v, ctx)
+      // Undefined stays distinct through the filter chain: jinja2's
+      // `default` fires ONLY for undefined variables, never for a present
+      // None (which renders as 'None'). Other filters see Undefined the way
+      // jinja2's str-coercing filters do — as str(Undefined) == "".
+      for (f <- filters)
+        v = applyFilter(f,
+          if (f.name == "default" || v != Undefined) v else "", ctx)
       v
   }
 
@@ -446,7 +451,12 @@ object Template {
     case "join" =>
       val sep = f.args.headOption.map(a => toStr(eval(a, ctx))).getOrElse("")
       v match { case s: Seq[_] => s.map(toStr).mkString(sep); case _ => toStr(v) }
-    case "default" => if (v == null || v == "") eval(f.args.head, ctx) else v
+    case "default" =>
+      // jinja2: default fires for Undefined only — unless the optional
+      // second arg (`boolean=true`) extends it to all falsy values
+      val alsoFalsy = f.args.lift(1).exists(a => truthy(eval(a, ctx)))
+      if (v == Undefined || (alsoFalsy && !truthy(v))) eval(f.args.head, ctx)
+      else v
     case "repr" => pyRepr(v)
     case "drop_nulls" => dropNulls(v)
     case other => throw new IllegalArgumentException(s"unknown filter $other")

@@ -226,14 +226,17 @@ class LocalSparkRunner(
           case other => other
         }
       } else {
+        // captured once so completed/failed statuses report the true
+        // duration (re-stamping at completion showed ~0 every time)
+        val started = Instant.now.toString
         writeStatus(OpStatus(op.uuid, OpState.Running,
-          startedAt = Some(Instant.now.toString),
+          startedAt = Some(started),
           graph = Some(Graph.serialize(op))))
         try {
           val result = compute(op)
           val fmt = persist(op, result)
           writeStatus(OpStatus(op.uuid, OpState.Completed,
-            startedAt = Some(Instant.now.toString),
+            startedAt = Some(started),
             completedAt = Some(Instant.now.toString),
             resultFormat = Some(fmt),
             graph = Some(Graph.serialize(op))))
@@ -244,7 +247,7 @@ class LocalSparkRunner(
         } catch {
           case e: Throwable =>
             writeStatus(OpStatus(op.uuid, OpState.Failed,
-              startedAt = Some(Instant.now.toString),
+              startedAt = Some(started),
               completedAt = Some(Instant.now.toString),
               error = Some(String.valueOf(e.getMessage)),
               graph = Some(Graph.serialize(op))))

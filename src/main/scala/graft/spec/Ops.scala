@@ -87,6 +87,12 @@ final case class TakeRowsOp(
     offset: Long = 0L,
     numRows: Option[Long] = None) extends DatasetType with EphemeralOp {
   require(skip >= 1, s"skip must be >= 1, got $skip")
+  // negative offsets (python count-from-end) are NOT supported: the
+  // closed-form re-index `(idx - offset) / skip` assumes a 0-based start,
+  // so a negative value would silently break positional identity
+  require(offset >= 0, s"offset must be >= 0, got $offset")
+  require(numRows.forall(_ >= 0),
+    s"num_rows must be >= 0, got ${numRows.get}")
 }
 
 /** Keep rows where the positionally-aligned boolean mask is true

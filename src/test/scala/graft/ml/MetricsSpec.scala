@@ -65,6 +65,27 @@ class MetricsSpec extends SparkTestBase {
     assert(math.abs(d(rep, "f1") - 0.5) < 1e-12)
   }
 
+  test("curve binning caps driver collect past MaxCurvePoints (scale guard)") {
+    // 12k distinct scores > MaxCurvePoints (10k) → the fixed-grid binning
+    // path runs; a perfectly separable labeling keeps the expected metrics
+    // essentially exact under binning (only boundary bins can mix classes)
+    val n = Probes.MaxCurvePoints + 2000
+    val r = new LocalSparkRunner(spark, newStoreDir())
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "s" -> (0 until n).map(i => i.toDouble / n),
+      "cls" -> (0 until n).map(i => if (i >= n / 2) "p" else "n")))
+    val cls = SelectCategoricalColumnOp(ds, "cls")
+    val ev = ClassifierEvaluationOp(SelectScoreColumnOp(ds, "s"),
+      CategoryToBooleanOp(cls, Some(Seq("p"))),
+      CategoryToBooleanOp(cls, None, Some(Seq("p"))))
+    val rep = r.toJson(ev).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
+      .asInstanceOf[JObj]
+    assert(l(rep, "count") == n)
+    assert(l(rep, "n_true") == n / 2) // totals come from eligible, not the curve
+    assert(d(rep, "roc_auc") > 0.999)
+    assert(d(rep, "accuracy") > 0.999)
+  }
+
   test("degenerate split: no negatives → warning, AUC null") {
     val r = new LocalSparkRunner(spark, newStoreDir())
     val ds = LoadInlineJsonDatasetOp(Map(

@@ -63,8 +63,16 @@ class TemplateSpec extends AnyFunSuite {
     assert(r("{{xs|length}}", "xs" -> Seq(1L, 2L)) == "2")
     assert(r("{{xs|join(\", \")}}", "xs" -> Seq("a", "b")) == "a, b")
     assert(r("{{xs|first}}-{{xs|last}}", "xs" -> Seq("a", "b", "c")) == "a-c")
-    assert(r("{{v|default(\"dflt\")}}", "v" -> null) == "dflt")
+    // jinja2 default: fires for MISSING variables only — a present None is
+    // defined and renders 'None'; boolean=true extends it to falsy values
+    assert(r("{{v|default(\"dflt\")}}") == "dflt")
+    assert(r("{{v|default(\"dflt\")}}", "v" -> null) == "None")
     assert(r("{{v|default(\"dflt\")}}", "v" -> "set") == "set")
+    assert(r("{{v|default(\"dflt\", true)}}", "v" -> null) == "dflt")
+    assert(r("{{v|default(\"dflt\", true)}}", "v" -> "") == "dflt")
+    assert(r("{{v|default(\"dflt\", true)}}", "v" -> "set") == "set")
+    // other filters applied to an undefined variable see str(Undefined) = ""
+    assert(r("[{{nope|upper}}]") == "[]")
   }
 
   test("custom filter: repr (Python repr semantics)") {
