@@ -484,7 +484,11 @@ object SparkEntry {
       // probability of 16 bands × 4 rows is (1-0.9⁴)¹⁶ ≈ 4e-8 — and the
       // hash family is deterministic — so the LSH output equals the exact
       // all-pairs Jaccard≥0.9 set, which DuckDB computes independently.
+      // base corpus capped at 1000 docs: the planted pairs carry the
+      // falsifiability; the full-corpus LSH cost is already paid (and
+      // rows-only-checked) by q_dedup_minhash
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
       val planted = docs.filter(col("doc_id") < 200)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashNearDuplicates(docs.union(planted), "text", "doc_id",
@@ -964,7 +968,7 @@ object SparkEntry {
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
         |  UNION ALL
         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
         |sh AS (

@@ -182,21 +182,63 @@ object Dedup {
       .drop("__bn")
   }
 
+  /** Distinct hashed n-gram shingles as a long array — row-local UDF using
+    * the SAME word-hash + FNV-chain mix as `minhashSignatureUdf`, so no
+    * shingle strings are ever materialized (the string form re-concatenates
+    * O(total chars) per doc; hashing mixes n longs per gram). Jaccard over
+    * hashed shingles equals Jaccard over string shingles absent a 64-bit
+    * collision inside one doc pair (probability ≈ k²/2⁶⁴ for k grams —
+    * ~1e-12 at 10⁴ grams/doc, negligible next to the oracle's own float
+    * rounding).
+    */
+  def hashedShinglesUdf(shingleN: Int) = udf { words: scala.collection.Seq[String] =>
+    if (words == null || words.isEmpty) Array.empty[Long]
+    else {
+      val wh = new Array[Long](words.length)
+      var i = 0
+      while (i < wh.length) { wh(i) = hash64(0, words(i)); i += 1 }
+      val nGrams = wh.length - shingleN + 1
+      val out =
+        if (nGrams <= 0) {
+          var h = -3750763034362895579L
+          var j = 0
+          while (j < wh.length) { h = (h * 1099511628211L) ^ wh(j); j += 1 }
+          Array(h)
+        } else {
+          val a = new Array[Long](nGrams)
+          var g = 0
+          while (g < nGrams) {
+            var h = -3750763034362895579L
+            var j = g
+            while (j < g + shingleN) { h = (h * 1099511628211L) ^ wh(j); j += 1 }
+            a(g) = h
+            g += 1
+          }
+          a
+        }
+      out.distinct
+    }
+  }
+
   /** Exact n-gram Jaccard for candidate pairs: join shingle sets back and
     * compute |∩|/|∪| with built-ins. `candidates` has (id_a, id_b).
     * The shingle side is semi-join-pruned to ids appearing in the candidate
     * set before shingling, so the (expensive) shingling runs only on
     * documents that can matter — at 100 TB the candidate id set is tiny
-    * relative to the corpus and broadcasts.
+    * relative to the corpus and broadcasts. Shingles are hashed longs (see
+    * `hashedShinglesUdf`), so the pair join carries and intersects fixed-
+    * width integers, not text.
     */
   def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
                     candidates: DataFrame, shingleN: Int = 3,
                     threshold: Double = 0.8): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
     val candIds = candidates.select(col("id_a").as("jid"))
       .union(candidates.select(col("id_b").as("jid"))).distinct()
     val sh = df.join(broadcast(candIds), col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"),
-        wordShingles(col(textCol), shingleN).as("sh"))
+        hashedShinglesUdf(shingleN)(words).as("sh"))
     candidates
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -78,22 +78,36 @@ object TextAnalysis {
   )
 
   /** Language-ID heuristic: CJK codepoint detection for zh, else the
-    * language whose stopword list overlaps the document's tokens most;
-    * tie/none → "und". Per-row expression tree (no UDF): for each language,
-    * count token-membership with `array_intersect`-free token scans.
+    * language whose stopword list overlaps the document's tokens most
+    * (multiset counts — frequency matters); tie → first language in sorted
+    * order; none → "und".
+    *
+    * The membership scan is a row-local UDF over a static token→langs hash
+    * map: one O(1) lookup per token, replacing the expression-tree form
+    * (per-token `isin` chains = |langs|×|stopwords| string comparisons per
+    * token — measured ~40% of the query at sf0.1). The regex tokenization
+    * stays a codegen'd built-in; semantics and the DuckDB oracle are
+    * unchanged.
     */
+  private val sortedLangs: Array[String] = stopwords.keys.toArray.sorted
+  private val tokenLangs: Map[String, Array[Int]] =
+    sortedLangs.zipWithIndex.flatMap { case (lang, i) =>
+      stopwords(lang).map(w => w -> i)
+    }.groupBy(_._1).map { case (w, ps) => w -> ps.map(_._2) }
+  private val langPickUdf = udf { toks: scala.collection.Seq[String] =>
+    val counts = new Array[Int](sortedLangs.length)
+    if (toks != null) for (t <- toks; ls <- tokenLangs.get(t); l <- ls)
+      counts(l) += 1
+    var best = 0
+    for (c <- counts) if (c > best) best = c
+    if (best == 0) "und"
+    else sortedLangs(counts.indexOf(best)) // first sorted lang on tie
+  }
+
   def langId(text: Column): Column = {
     val toks = split(lower(text), "[^\\p{L}]+")
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val cnt = size(filter(toks, t => t.isin(words: _*)))
-      (lang, cnt)
-    }
     val hasCjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scores.foldRight(lit("und"): Column) { case ((lang, cnt), acc) =>
-      when(cnt === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    when(hasCjk, lit("zh")).otherwise(pick)
+    when(hasCjk, lit("zh")).otherwise(langPickUdf(toks))
   }
 
   /** Document fingerprint, oracle-verifiable flavor: md5 over normalized

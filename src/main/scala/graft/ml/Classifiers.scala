@@ -117,15 +117,33 @@ object Probes {
         r.toFrame(d).select(col(RowIdx), col(r.ValueCol).as("__dom")), RowIdx)
         .filter(col("__dom")).drop("__dom")
     }
-    val both = rows.filter(col("__pos") && col("__neg")).limit(1).count()
-    if (both > 0) throw new IllegalArgumentException(
-      "positives and negatives overlap (must be disjoint)")
-    val labeled = rows.filter(col("__pos") || col("__neg"))
+    val labeledWide = rows.filter(col("__pos") || col("__neg"))
       .select(col(RowIdx),
         array_to_vector(col("__x").cast("array<double>")).as("__feat"),
-        when(col("__pos"), 1.0).otherwise(0.0).as("label"))
-    if (labeled.limit(1).count() == 0) throw new IllegalArgumentException(
+        when(col("__pos"), 1.0).otherwise(0.0).as("label"),
+        (col("__pos") && col("__neg")).as("__both"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE parallel pass materializes the training set and yields both
+    // validation aggregates (size, pos∩neg overlap) — the round-4 form ran
+    // a separate limit(1).count() job that re-evaluated the whole 3-way
+    // join just for the disjointness check. The iterative fit then runs
+    // over partitioning sized to the DATA, not to
+    // spark.sql.shuffle.partitions — an LBFGS/tree iteration launches a
+    // task per partition, so a small probe set on wide partitioning pays
+    // ~numPartitions×maxIter task overheads for kilobytes of work (measured
+    // ~4 s of the 7 s train at sf0.1). coalesce on the cached frame merges
+    // partitions without recomputing or reshuffling; at real scale
+    // rowsPerPartition keeps full parallelism.
+    val v = labeledWide.agg(count(lit(1)), sum(col("__both").cast("long"))).head()
+    val n = v.getLong(0)
+    if (n == 0) throw new IllegalArgumentException(
       "no training rows (positives ∪ negatives ∩ domain is empty)")
+    if (v.getLong(1) > 0) throw new IllegalArgumentException(
+      "positives and negatives overlap (must be disjoint)")
+    val rowsPerPartition = 100000L
+    val np = labeledWide.rdd.getNumPartitions.toLong
+    val targetParts = math.max(1L, math.min(np, n / rowsPerPartition + 1)).toInt
+    val labeled = labeledWide.drop("__both").coalesce(targetParts)
 
     val stages = scala.collection.mutable.ListBuffer.empty[PipelineStage]
     val featCol = op.preprocessing match {
@@ -143,7 +161,8 @@ object Probes {
     est.getClass.getMethod("setFeaturesCol", classOf[String]).invoke(est, featCol)
     est.getClass.getMethod("setLabelCol", classOf[String]).invoke(est, "label")
     stages += est.asInstanceOf[PipelineStage]
-    new Pipeline().setStages(stages.toArray).fit(labeled)
+    try new Pipeline().setStages(stages.toArray).fit(labeled)
+    finally labeledWide.unpersist()
   }
 
   /** Score a vector column with a trained model: `predict_proba[:, 1]` when

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev-only stage profiler: times named sub-pipelines of the hot bench
+  * queries so optimization targets the measured stage, not a guess.
+  * Usage: `sbt "runMain graft.tools.Profile <sfDir> [filter]"`.
+  */
+object Profile {
+
+  private def time(name: String)(f: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    f.write.format("noop").mode("overwrite").save()
+    println(f"PROFILE $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.lift(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def want(k: String) = only.forall(k.contains)
+
+    // warmup: touch the scans
+    SparkEntry.queries("q_load_parquet")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    if (want("minhash")) {
+      import graft.ext.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val words = filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+        w => length(w) > 0)
+      time("minhash:words-only")(docs.select(words.as("w")))
+      time("minhash:signatures")(docs.select(col("doc_id"),
+        Dedup.minhashSignatureUdf(64, 3)(words).as("sig")))
+      time("minhash:candidates")(
+        Dedup.minhashCandidates(docs, "text", "doc_id", shingleN = 3))
+      time("minhash:full")(SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+      time("minhash:full-again")(SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+    }
+
+    if (want("probe")) {
+      time("probe:predict")(SparkEntry.queries("q_probe_predict")(spark, sfDir))
+      time("probe:eval")(SparkEntry.queries("q_probe_eval")(spark, sfDir))
+      time("probe:predict-again")(SparkEntry.queries("q_probe_predict")(spark, sfDir))
+    }
+
+    if (want("slice")) {
+      time("slice:first")(SparkEntry.queries("q_runner_slice")(spark, sfDir))
+      time("slice:again")(SparkEntry.queries("q_runner_slice")(spark, sfDir))
+    }
+
+    if (want("q1")) {
+      time("q1_agg:first")(SparkEntry.queries("q1_agg")(spark, sfDir))
+      time("q1_agg:again")(SparkEntry.queries("q1_agg")(spark, sfDir))
+    }
+
+    if (want("grouped")) {
+      time("grouped:first")(SparkEntry.queries("q_grouped")(spark, sfDir))
+      time("grouped:again")(SparkEntry.queries("q_grouped")(spark, sfDir))
+    }
+
+    if (want("lang")) {
+      time("lang_id:first")(SparkEntry.queries("q_lang_id")(spark, sfDir))
+      time("lang_id:again")(SparkEntry.queries("q_lang_id")(spark, sfDir))
+    }
+
+    if (want("llm")) {
+      time("llm_generate:first")(SparkEntry.queries("q_llm_generate")(spark, sfDir))
+      time("llm_generate:again")(SparkEntry.queries("q_llm_generate")(spark, sfDir))
+      time("llm_activations")(SparkEntry.queries("q_llm_activations")(spark, sfDir))
+    }
+
+    if (want("planted")) {
+      time("minhash_planted:first")(
+        SparkEntry.queries("q_dedup_minhash_planted")(spark, sfDir))
+    }
+
+    spark.stop()
+  }
+}
