@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.spec._
-import graft.runner.{FrameResult, JsonResult, LocalSparkRunner, ModelResult, OpState}
+import graft.runner.{CachedSparkRunner, FrameResult, JsonResult, LocalSparkRunner, ModelResult, OpState}
 
 /** CLI entry points over serialized graphs — the Spark re-expression of the
   * reference CLI (`cli.py:538-605` run/materialize, `:373-414` status,
@@ -25,6 +25,7 @@ object Cli {
   private case class Args(
       command: String,
       store: String = "graft-store",
+      cache: Option[String] = None,
       graph: Option[String] = None,
       filterUuid: Option[String] = None,
       filterType: Option[String] = None,
@@ -40,10 +41,11 @@ object Cli {
     var i = 1
     while (i < argv.length) {
       argv(i) match {
-        case f @ ("--store" | "--graph" | "--filter-uuid" | "--filter-type" |
+        case f @ ("--store" | "--cache" | "--graph" | "--filter-uuid" | "--filter-type" |
                   "--shard-count" | "--shard-idx" | "--format" | "--master")
           if i + 1 >= argv.length => usage(s"$f requires a value")
         case "--store" => a = a.copy(store = argv(i + 1)); i += 2
+        case "--cache" => a = a.copy(cache = Some(argv(i + 1))); i += 2
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
         case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
         case "--filter-type" => a = a.copy(filterType = Some(argv(i + 1))); i += 2
@@ -65,8 +67,10 @@ object Cli {
   private def usage(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: Cli <run|status|summary|print> --store DIR [--graph FILE]\n" +
-        "  [--filter-uuid SUBSTR] [--filter-type TYPE] [--format code|jsonl] [-j]")
+      "usage: Cli <run|status|summary|print> --store DIR [--cache DIR] [--graph FILE]\n" +
+        "  [--filter-uuid SUBSTR] [--filter-type TYPE] [--format code|jsonl] [-j]\n" +
+        "  --cache DIR: treat --store as a SHARED store reached through a local\n" +
+        "  cache at DIR (read-through/write-through, reference LocalCachedRunner)")
     sys.exit(2)
   }
 
@@ -94,6 +98,12 @@ object Cli {
           java.lang.Long.parseLong(op.uuidHash.take(15), 16),
           a.shardCount.toLong) == a.shardIdx.toLong)
   }
+
+  private def makeRunner(spark: SparkSession, a: Args): LocalSparkRunner =
+    a.cache match {
+      case Some(cacheDir) => new CachedSparkRunner(spark, a.store, cacheDir)
+      case None => new LocalSparkRunner(spark, a.store)
+    }
 
   private def sparkSession(a: Args): SparkSession = {
     val s = SparkSession.builder()
@@ -124,7 +134,7 @@ object Cli {
   private def cmdRun(a: Args): Unit = {
     if (a.graph.isEmpty) usage("run requires --graph")
     val spark = sparkSession(a)
-    val runner = new LocalSparkRunner(spark, a.store)
+    val runner = makeRunner(spark, a)
     val ops = selectOps(a, runner)
     var failed = 0
     ops.foreach { op =>
@@ -154,7 +164,7 @@ object Cli {
   }
 
   private def cmdStatus(a: Args): Unit = {
-    val runner = new LocalSparkRunner(null, a.store)
+    val runner = makeRunner(null, a)
     selectOps(a, runner).sortBy(_.uuid).foreach { op =>
       val st = runner.status(op)
       if (a.json) println(Json.render(st.toJson))
@@ -165,7 +175,7 @@ object Cli {
   /** State counts by op type (reference `cli.py:417-489`); ephemerals are
     * elided from the table like the reference. */
   private def cmdSummary(a: Args): Unit = {
-    val runner = new LocalSparkRunner(null, a.store)
+    val runner = makeRunner(null, a)
     val ops = selectOps(a, runner)
     val byType = ops.groupBy(_.typeName)
     val rows = byType.toSeq.map { case (tpe, tops) =>
@@ -199,7 +209,7 @@ object Cli {
     a.format match {
       case "code" => outputs.foreach(op => println(op.toCode()))
       case "jsonl" =>
-        val runner = new LocalSparkRunner(null, a.store)
+        val runner = makeRunner(null, a)
         selectOps(a, runner).foreach(op => println(Json.render(op.toJson)))
       case "mermaid" => println(mermaid(outputs))
       case other => usage(s"unknown format $other")

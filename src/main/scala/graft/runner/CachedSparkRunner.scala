@@ -1,0 +1,142 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.spec._
+
+/** A [[LocalSparkRunner]] whose store is a LOCAL CACHE in front of a SHARED
+  * store — the engine's cross-machine sharing medium (reference
+  * `runners/cached_runner.py:52-164`, `LocalCachedRunner`):
+  *
+  *   - **read-through**: a result materialized by any other machine (or
+  *     process) against the same shared store is pulled into the cache on
+  *     first touch and served locally from then on — the second machine
+  *     never recomputes.
+  *   - **write-through**: results computed here land in the cache first
+  *     (Spark writes them there directly), then are copied up to the shared
+  *     store, `done` marker LAST — a concurrent reader of the shared store
+  *     either sees a complete result or none (the reference's
+  *     atomic-write-then-copy discipline, `cached_runner.py:28-50`).
+  *   - **status discipline**: transient statuses (running/failed) are
+  *     written through to the shared store so remote `status`/`summary`
+  *     CLIs see live state, but only `completed` statuses are CACHED on
+  *     read (`cached_runner.py:59-64`) — a cached "running" would go stale.
+  *
+  * Scale note: "shared store" here is a second local directory; on a real
+  * cluster it is an object-store prefix reached through the Hadoop FS API
+  * (s3a://, gs://) — the pull/push below become `FileSystem.copyToLocal` /
+  * `copyFromLocal` with identical structure. The content-addressed layout
+  * makes the sync conflict-free: an op dir is immutable once `done`.
+  */
+class CachedSparkRunner(
+    spark: SparkSession,
+    val sharedUri: String,
+    cachePath: String,
+    validateLengths: Boolean = true,
+    cacheColumns: Boolean = true)
+  extends LocalSparkRunner(spark, cachePath, validateLengths, cacheColumns) {
+
+  private def sharedDir(op: OpSpec): Path = {
+    val (cls, hash) = split(op.uuid)
+    Paths.get(sharedUri, cls, hash)
+  }
+  private def cacheDir(op: OpSpec): Path = opDir(op)
+
+  /** Done iff done locally, or done in the shared store — in which case the
+    * whole (immutable) op dir is pulled into the cache first, so every
+    * subsequent read is local. */
+  override def isDone(op: OpSpec): Boolean =
+    super.isDone(op) || {
+      val remoteDone = sharedDir(op).resolve("done")
+      Files.exists(remoteDone) && { pull(op); true }
+    }
+
+  /** Write-through: after the result + `done` land in the cache, copy the op
+    * dir up, `done` last. */
+  override protected def onResultPersisted(op: OpSpec): Unit = push(op)
+
+  /** Transient statuses go through to the shared store too (live remote
+    * visibility); reads prefer local, fall back to shared, and cache only
+    * completed snapshots. */
+  override protected def writeStatus(st: OpStatus): Unit = {
+    super.writeStatus(st)
+    val (cls, hash) = split(st.uuid)
+    val from = Paths.get(storeUri, cls, hash, "status.json")
+    val to = Paths.get(sharedUri, cls, hash, "status.json")
+    Files.createDirectories(to.getParent)
+    Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def status(op: OpSpec): OpStatus = {
+    val local = cacheDir(op).resolve("status.json")
+    if (Files.exists(local)) return super.status(op)
+    val remote = sharedDir(op).resolve("status.json")
+    if (Files.exists(remote)) {
+      val st = OpStatus.fromJson(Json.parse(Files.readString(remote)))
+      if (st.state == OpState.Completed) {
+        Files.createDirectories(local.getParent)
+        Files.copy(remote, local, StandardCopyOption.REPLACE_EXISTING)
+      }
+      st
+    } else super.status(op)
+  }
+
+  override def uuidToOp(uuid: String): OpSpec = {
+    val (cls, hash) = split(uuid)
+    val local = Paths.get(storeUri, cls, hash, "status.json")
+    val remote = Paths.get(sharedUri, cls, hash, "status.json")
+    if (!Files.exists(local) && Files.exists(remote)) {
+      Files.createDirectories(local.getParent)
+      Files.copy(remote, local, StandardCopyOption.REPLACE_EXISTING)
+    }
+    super.uuidToOp(uuid)
+  }
+
+  /** Cache + shared uuids (CLI status/summary see remote results too). */
+  override def listStore(): Seq[String] = {
+    val locals = super.listStore()
+    val root = Paths.get(sharedUri)
+    if (!Files.exists(root)) return locals
+    def children(dir: Path): Seq[Path] = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+      } finally s.close()
+    }
+    val shared = for {
+      clsDir <- children(root) if Files.isDirectory(clsDir)
+      hashDir <- children(clsDir) if Files.isDirectory(hashDir)
+    } yield s"${clsDir.getFileName}_${hashDir.getFileName}"
+    (locals ++ shared).distinct.sorted
+  }
+
+  // ---------------- dir sync ----------------
+
+  /** Copy every regular file under `from` into `to` (skip ones already
+    * present — op dirs are immutable once done), `done` marker ordered
+    * last so a half-copied dir is never mistaken for a result. */
+  private def syncDir(from: Path, to: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(from).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq
+      .sortBy(f => (f.getFileName.toString == "done", f.toString))
+    files.foreach { f =>
+      val dest = to.resolve(from.relativize(f))
+      if (!Files.exists(dest)) {
+        Files.createDirectories(dest.getParent)
+        // copy to a dot-temp then move: readers of the destination never
+        // observe a partially-written file (atomic within one FS)
+        val tmp = dest.getParent.resolve("." + dest.getFileName + ".tmp")
+        Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  private def pull(op: OpSpec): Unit = syncDir(sharedDir(op), cacheDir(op))
+  private def push(op: OpSpec): Unit = syncDir(cacheDir(op), sharedDir(op))
+}

@@ -57,7 +57,7 @@ class LocalSparkRunner(
 
   // ---------------- store layout ----------------
 
-  private def split(uuid: String): (String, String) = {
+  protected def split(uuid: String): (String, String) = {
     val i = uuid.indexOf('_')
     (uuid.substring(0, i), uuid.substring(i + 1))
   }
@@ -73,6 +73,10 @@ class LocalSparkRunner(
 
   /** `done`-marker protocol (reference `local_arrow_runner.py:146-152`). */
   def isDone(op: OpSpec): Boolean = Files.exists(donePath(op))
+
+  /** Hook fired after an op's result + `done` marker land in the store
+    * (write-through point for tiered runners; no-op here). */
+  protected def onResultPersisted(op: OpSpec): Unit = ()
 
   /** Reference `has_result`: ephemeral ops are "ready" iff all their deps
     * are ready (`local_arrow_runner.py:230-248`). */
@@ -90,7 +94,7 @@ class LocalSparkRunner(
       if (op.isEphemeral) OpState.Ephemeral else OpState.New)
   }
 
-  private def writeStatus(st: OpStatus): Unit = {
+  protected def writeStatus(st: OpStatus): Unit = {
     Files.createDirectories(Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2))
     val p = Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2, "status.json")
     Files.writeString(p, Json.renderPretty(st.toJson))
@@ -193,6 +197,7 @@ class LocalSparkRunner(
             resultFormat = Some("grouped"),
             graph = Some(Graph.serialize(g))))
           Files.writeString(donePath(g), "")
+          onResultPersisted(g)
         }
         results.lastOption.getOrElse(
           throw new IllegalArgumentException("GroupedOp with no ops"))
@@ -241,6 +246,7 @@ class LocalSparkRunner(
             resultFormat = Some(fmt),
             graph = Some(Graph.serialize(op))))
           Files.writeString(donePath(op), "")
+          onResultPersisted(op)
           // re-read data results from the store so downstream consumers scan
           // the compact persisted parquet, not the original lineage
           if (fmt == "parquet") readResult(op) else result
