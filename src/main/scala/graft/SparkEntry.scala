@@ -345,6 +345,17 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_probe_diffmeans" -> ((s, dir) => {
+      // the difference_of_means probe's training aggregation in exact
+      // integer arithmetic (1e-6 quantized long sums): hash-oracle-able
+      // where float Summarizer means are summation-order-dependent. The
+      // registry's Summarizer form is asserted ≡ this (to 1e-6) in
+      // ProbeSpec.
+      graft.ml.DiffOfMeans.weightsExact(
+          t(s, dir, "embeddings"), col("embedding"), col("label") <= 4)
+        .orderBy(col("dim"))
+    }),
+
     "q_llm_activations" -> ((s, dir) => {
       // fake: provider — md5-derived doubles, bit-exact in the DuckDB oracle
       val r = runnerFor(s)
@@ -624,6 +635,22 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false
         |FROM embeddings""".stripMargin,
+
+    "q_probe_diffmeans" ->
+      """WITH e AS (
+        |  SELECT label <= 4 AS is_pos, embedding,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT is_pos, dim,
+        |  CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+        |  FROM e)
+        |SELECT dim,
+        |  CAST(SUM(CASE WHEN is_pos THEN qv END) AS DOUBLE)
+        |    / COUNT(CASE WHEN is_pos THEN 1 END) / 1e6
+        |  - CAST(SUM(CASE WHEN NOT is_pos THEN qv END) AS DOUBLE)
+        |    / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
+        |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_llm_activations" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),

@@ -81,6 +81,10 @@ object ClassifierRegistry {
       .setMaxDepth(intP(p, "max_depth", 5))
       .setSeed(intP(p, "random_state", 42).toLong)
   }
+  // beyond the reference's sklearn set: the closed-form mass-mean probe
+  // (one aggregation pass — the only probe whose training is a single scan
+  // at 100 TB); see DiffOfMeans scaladoc
+  register("difference_of_means") { _ => new DiffOfMeansClassifier() }
   for (missing <- Seq("rbf_nusvm", "rbf_svc", "calibrated_rbf_nusvm",
     "sgd_nystroem", "sgd_nystroem_one_class_svm"))
     register(missing) { _ =>

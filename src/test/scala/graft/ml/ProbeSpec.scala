@@ -73,6 +73,70 @@ class ProbeSpec extends SparkTestBase {
     v1.zip(v2).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("difference_of_means: closed-form weights, separation, store round-trip") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    // tiny exactly-representable fixture → hand-checkable means
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "emb" -> Seq(Seq(2.0, 0.0), Seq(4.0, 2.0), Seq(-2.0, 1.0), Seq(-4.0, 1.0)),
+      "cls" -> Seq("pos", "pos", "neg", "neg")))
+    val x = SelectVectorColumnOp(ds, "emb")
+    val cls = SelectCategoricalColumnOp(ds, "cls")
+    val pos = CategoryToBooleanOp(cls, Some(Seq("pos")))
+    val neg = CategoryToBooleanOp(cls, None, Some(Seq("pos")))
+    val model = TrainClassifierOp("difference_of_means", x, pos, neg)
+    val fitted = r.toModel(model)
+      .asInstanceOf[org.apache.spark.ml.PipelineModel].stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    // μ⁺=(3,1), μ⁻=(-3,1) → w=(6,0); b=-w·((μ⁺+μ⁻)/2)=-(6·0+0·1)=0
+    assert(fitted.coefficients.toArray.toSeq == Seq(6.0, 0.0))
+    assert(fitted.intercept == 0.0)
+    // sigmoid scores separate the classes around 0.5
+    val scores = r.toValues(ClassifierPredictOp(model, x))
+      .map(_.asInstanceOf[Double])
+    assert(scores.take(2).forall(_ > 0.5) && scores.drop(2).forall(_ < 0.5))
+    // reloads from the store like any stock model
+    val r2 = new LocalSparkRunner(spark, store)
+    assert(r2.hasResult(model))
+    assert(r2.toValues(ClassifierPredictOp(model, x))
+      .map(_.asInstanceOf[Double]) == scores)
+  }
+
+  test("difference_of_means on separable data: high AUC via the full chain") {
+    val r = newRunner()
+    val (_, _, _, eval) = chain("difference_of_means")
+    val report = r.toJson(eval).asInstanceOf[JObj]
+    val test = report("splits").asInstanceOf[JObj]("test").asInstanceOf[JObj]
+    val JDouble(auc) = test("roc_auc"): @unchecked
+    assert(auc > 0.9, s"mass-mean probe should separate v0+v1>0 data, got $auc")
+  }
+
+  test("weightsExact mirrors the Summarizer means within quantization error") {
+    val r = newRunner()
+    val n = 200
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until n).map(_ => Seq.fill(4)(rng.nextDouble() * 2 - 1))
+    val labels = (0 until n).map(i => i % 2 == 0)
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "emb" -> vecs,
+      "cls" -> labels.map(b => if (b) "pos" else "neg")))
+    val x = SelectVectorColumnOp(ds, "emb")
+    val cls = SelectCategoricalColumnOp(ds, "cls")
+    val pos = CategoryToBooleanOp(cls, Some(Seq("pos")))
+    val neg = CategoryToBooleanOp(cls, None, Some(Seq("pos")))
+    val fitted = r.toModel(TrainClassifierOp("difference_of_means", x, pos, neg))
+      .asInstanceOf[org.apache.spark.ml.PipelineModel].stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val frame = vecs.zip(labels).toDF("emb", "is_pos")
+    val exact = DiffOfMeans.weightsExact(frame, col("emb"), col("is_pos"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    fitted.coefficients.toArray.zip(exact).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 2e-6, s"float vs exact weight drift: $a vs $b")
+    }
+  }
+
   test("linear_svc uses decision scores (no probability column)") {
     val r = newRunner()
     val (_, _, score, eval) = chain("linear_svc")
