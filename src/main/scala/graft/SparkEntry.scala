@@ -513,6 +513,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_simhash_planted" -> ((s, dir) => {
+      // falsifiability fixture for the simhash path (the q_dedup_cosine /
+      // q_dedup_minhash_planted trick): 100 docs with globally DISJOINT
+      // token vocabularies + an exact copy of each at id+1000. Disjoint
+      // vocabularies make distinct docs' simhashes 64 independent fair
+      // bits — P(hamming ≤ 8) ≈ 3e-10 per pair, and the hash family is
+      // deterministic, so the output is EXACTLY the 100 planted pairs at
+      // hamming 0, which the oracle states as constants. Validates both
+      // guaranteed recall at hamming 0 and no false positives.
+      import s.implicits._
+      val base = (0 until 100).map { i =>
+        (i.toLong, (0 until 30).map(j => s"tok${i}x$j").mkString(" "))
+      }
+      val copies = base.map { case (id, text) => (id + 1000L, text) }
+      Dedup.simhashNearDuplicates((base ++ copies).toDF("doc_id", "text"),
+          "text", "doc_id", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact 3-gram Jaccard on an id-window candidate set (smoke shape;
       // the LSH path above is the scale path)
@@ -992,6 +1012,10 @@ object SparkEntry {
         |  CAST(uh - CASE WHEN uh >= 9223372036854775808
         |                 THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS fp_rolling
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_planted" ->
+      """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM range(100) t(i) ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (

@@ -62,6 +62,21 @@ class ExtSpec extends SparkTestBase {
     assert(pairs.contains((0L, 5L)))
   }
 
+  test("simhash planted fixture: exactly the planted pairs, nothing else") {
+    // disjoint per-doc vocabularies → distinct docs' simhashes are 64
+    // independent bits; only the planted exact copies fall within hamming 8
+    // (the q_dedup_simhash_planted oracle argument, checked end-to-end here)
+    val base = (0 until 100).map { i =>
+      (i.toLong, (0 until 30).map(j => s"tok${i}x$j").mkString(" "))
+    }
+    val copies = base.map { case (id, text) => (id + 1000L, text) }
+    val out = Dedup.simhashNearDuplicates((base ++ copies).toDF("doc_id", "text"),
+        "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length == 100, s"expected exactly the planted pairs, got ${out.length}")
+    assert(out.toSet == (0 until 100).map(i => (i.toLong, i + 1000L, 0)).toSet)
+  }
+
   test("cosine LSH near-dup finds identical planted vectors") {
     val rng = new scala.util.Random(1)
     val vecs = (0 until 60).map(i =>
