@@ -46,8 +46,7 @@ object ColumnOps {
     * op-build instead of once per evaluation.
     */
   def withRowIdxByKey(df: DataFrame, keys: Column*): DataFrame = {
-    val np = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pid = "__gp_pid"; val lrn = "__gp_lrn"; val off = "__gp_off"
+    val np = shufflePartitions(df)
     val kStruct = struct(keys: _*)
     // eager, deterministic bounds: ~np*64 seeded sample of the key tuple
     val kdf = df.select(kStruct.as("__gp_k"))
@@ -70,12 +69,54 @@ object ColumnOps {
     val bucket: Column =
       if (bounds.isEmpty) lit(0L)
       else bounds.map(b => when(kStruct >= b, 1L).otherwise(0L)).reduce(_ + _)
+    rankWithinBuckets(df, bucket, keys)
+  }
+
+  /** The two-phase index with a CALLER-SUPPLIED bucket expression — for keys
+    * whose range is KNOWN (a previous 0-based index in [0, n); a uniform
+    * draw in [0, 1)), range bounds need no sampling at all: the bucket is a
+    * pure plan expression and the eager count+sample jobs of
+    * `withRowIdxByKey` disappear. `bucket` must be monotone non-decreasing
+    * in the `keys` order and land in [0, numPartitions); imbalance is
+    * bounded by how non-uniform the key really is (AQE absorbs the rest).
+    */
+  def withRowIdxByKnownRange(df: DataFrame, bucket: Column, keys: Column*): DataFrame =
+    rankWithinBuckets(df, bucket, keys)
+
+  /** Monotone bucket expression for a key uniform-ish over [0, upper). */
+  def rangeBucket(df: DataFrame, key: Column, upper: Double): Column = {
+    val np = shufflePartitions(df)
+    if (upper <= 0) lit(0L)
+    else least(floor(key.cast("double") * np / upper), lit(np - 1L)).cast("long")
+  }
+
+  /** Monotone bucket expression for a SIGNED long key uniform over the full
+    * 64-bit range (a seeded hash draw): affine map to [0,1) then range
+    * bucket. The double cast flattens low bits but stays monotone, which is
+    * all bucketing needs — exact order is restored by the in-bucket sort.
+    */
+  def fullRangeBucket(df: DataFrame, key: Column): Column = {
+    val np = shufflePartitions(df)
+    greatest(lit(0L),
+      least(floor((key.cast("double") / 1.8446744073709552e19 + 0.5) * np),
+        lit(np - 1L))).cast("long")
+  }
+
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  /** Shared core of the two-phase index: per-bucket local rank (window
+    * PARTITIONED by the bucket — parallel, never a single-partition
+    * window), per-bucket counts → prefix-sum offsets over the tiny
+    * numBuckets-row aggregate (a broadcast self inequality-join, not a
+    * global window), global idx = offset + local rank.
+    */
+  private def rankWithinBuckets(df: DataFrame, bucket: Column,
+                                keys: Seq[Column]): DataFrame = {
+    val pid = "__gp_pid"; val lrn = "__gp_lrn"; val off = "__gp_off"
     val parted = df.withColumn(pid, bucket)
     val local = parted.withColumn(lrn,
       row_number().over(Window.partitionBy(col(pid)).orderBy(keys: _*)).cast("long"))
-    // prefix sum over the numBuckets-row counts table via a self
-    // inequality-join (not a global window — keeps the plan free of
-    // single-partition WindowExec even for this metadata-sized step)
     val counts = parted.groupBy(col(pid)).agg(count(lit(1)).as("__gp_cnt"))
     val offsets = counts.as("a")
       .join(broadcast(counts.as("b")), col(s"b.$pid") < col(s"a.$pid"), "left")
@@ -230,7 +271,12 @@ object ColumnOps {
                            testCount: Option[Int], seed: Long): DataFrame = {
     testFraction.foreach(p =>
       require(p >= 0 && p <= 1, s"test proportion $p out of [0,1]"))
-    val ranked = withRowIdxByKey(df.withColumn("__draw", rand(seed)), col("__draw"))
+    // the draw is uniform on [0,1) by construction, so the rank's range
+    // bucket is a pure expression — no sampling pass (withRowIdxByKey's
+    // eager count+sample exists only for keys of UNKNOWN distribution)
+    val drawn = df.withColumn("__draw", rand(seed))
+    val ranked = withRowIdxByKnownRange(drawn,
+      rangeBucket(drawn, col("__draw"), 1.0), col("__draw"))
     val total = ranked.agg(count(lit(1)).as("__n"))
     val nTestCol: Column = (testFraction, testCount) match {
       case (Some(p), None) => ceil(lit(p) * col("__n")).cast("long")

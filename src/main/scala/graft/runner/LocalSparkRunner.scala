@@ -54,6 +54,37 @@ class LocalSparkRunner(
   private val RowIdx = ColumnOps.RowIdx
 
   private val memo = scala.collection.mutable.HashMap.empty[String, MatResult]
+  private val lengthMemo = scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** Row count of an op's result, structurally: column ops are positional
+    * value maps, so their length IS their input's length — resolved by
+    * recursion down to the owning dataset with NO Spark job; only genuinely
+    * length-defining ops (loads, TakeRows, MaskRows) ever count, once,
+    * memoized. Collapses the reference's per-op length validations
+    * (`local_arrow_runner.py:818-836`) from one full lineage scan per check
+    * to at most one count per distinct dataset — and same-dataset checks
+    * (the common case) become free structural equalities.
+    */
+  def lengthOf(op: OpSpec): Long = op match {
+    case sel: SelectColumnOp => lengthOf(sel.dataset)
+    case CategoryToBooleanOp(in, _, _) => lengthOf(in)
+    case BooleanLogicOp(_, l, _) => lengthOf(l)
+    case ParseJSONColumnOp(t) => lengthOf(t)
+    case VectorToScalarOp(in, _) => lengthOf(in)
+    case PairwiseArithmeticOp(_, l, _) => lengthOf(l)
+    case t: JinjaTemplatizeOp if t.context.nonEmpty =>
+      lengthOf(t.context(t.context.keys.min))
+    case _: JinjaTemplatizeOp => 1L
+    case AssignTrainTestSplitOp(ds, _, _, _) => lengthOf(ds)
+    case AssignRowIDOp(ds) => lengthOf(ds)
+    case p: ClassifierPredictOp => lengthOf(p.x)
+    case a: LLMLayerActivationsOp => lengthOf(a.text)
+    case l: LLMLogitScoresOp => lengthOf(l.text)
+    case g: LLMGenerateTextOp => lengthOf(g.prompt)
+    case v: UMAPVizOp => lengthOf(v.inputEmbedding)
+    case g: GroupedOp => lengthOf(g.ops.last)
+    case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
+  }
 
   // ---------------- store layout ----------------
 
@@ -321,11 +352,11 @@ class LocalSparkRunner(
     case MaskRowsOp(dataset, mask) =>
       val df = frame(dataset)
       val m = frame(mask)
-      if (validateLengths) checkSameLength(df, m, "mask")
+      if (validateLengths) checkSameLength(dataset, mask, "mask")
       val kept = df.join(
           m.select(col(RowIdx), col(ValueCol).as("__mask")), RowIdx)
         .filter(col("__mask")).drop("__mask")
-      FrameResult(reindex(kept))
+      FrameResult(reindex(kept, lengthOf(dataset)))
 
     case CategoryToBooleanOp(input, trueValues, falseValues) =>
       val in = frame(input)
@@ -346,7 +377,7 @@ class LocalSparkRunner(
         FrameResult(l.select(col(RowIdx), (!col(ValueCol)).as(ValueCol)))
       } else {
         val r = frame(right)
-        if (validateLengths) checkSameLength(l, r, "boolean operand")
+        if (validateLengths) checkSameLength(left, right, "boolean operand")
         val joined = l.select(col(RowIdx), col(ValueCol).as("__l"))
           .join(r.select(col(RowIdx), col(ValueCol).as("__r")), RowIdx)
         FrameResult(joined.select(col(RowIdx),
@@ -369,7 +400,7 @@ class LocalSparkRunner(
 
     case PairwiseArithmeticOp(operation, left, right) =>
       val l = frame(left); val r = frame(right)
-      if (validateLengths) checkSameLength(l, r, "arithmetic operand")
+      if (validateLengths) checkSameLength(left, right, "arithmetic operand")
       val joined = l.select(col(RowIdx), col(ValueCol).as("__l"))
         .join(r.select(col(RowIdx), col(ValueCol).as("__r")), RowIdx)
       val opName = operation match {
@@ -399,8 +430,8 @@ class LocalSparkRunner(
         val frames = names.zipWithIndex.map { case (name, i) =>
           frame(context(name)).select(col(RowIdx), col(ValueCol).as(s"__v$i"))
         }
-        if (validateLengths && frames.length > 1) {
-          val counts = frames.map(_.count())
+        if (validateLengths && names.length > 1) {
+          val counts = names.map(n => lengthOf(context(n)))
           if (counts.distinct.length > 1) throw new IllegalArgumentException(
             s"All context columns must have the same length, got ${names.zip(counts).toMap}")
         }
@@ -492,13 +523,20 @@ class LocalSparkRunner(
     df.select(col(RowIdx), value.as(ValueCol))
   }
 
-  private def reindex(df: DataFrame): DataFrame =
-    ColumnOps.withRowIdxByKey(
-      df.withColumnRenamed(RowIdx, "__old_idx"), col("__old_idx"))
+  /** Re-index after a row-dropping op: the surviving `__old_idx` values are
+    * distinct longs in [0, parentLen), so the range bucket is a pure plan
+    * expression — no sampling pass, no eager count (parentLen comes from the
+    * structural `lengthOf` memo). */
+  private def reindex(df: DataFrame, parentLen: Long): DataFrame = {
+    val renamed = df.withColumnRenamed(RowIdx, "__old_idx")
+    ColumnOps.withRowIdxByKnownRange(renamed,
+        ColumnOps.rangeBucket(renamed, col("__old_idx"), parentLen.toDouble),
+        col("__old_idx"))
       .drop("__old_idx")
+  }
 
-  private def checkSameLength(a: DataFrame, b: DataFrame, what: String): Unit = {
-    val na = a.count(); val nb = b.count()
+  private def checkSameLength(a: OpSpec, b: OpSpec, what: String): Unit = {
+    val na = lengthOf(a); val nb = lengthOf(b)
     if (na != nb) throw new IllegalArgumentException(
       s"$what length mismatch: dataset has $na rows, $what has $nb")
   }
@@ -509,9 +547,13 @@ class LocalSparkRunner(
     */
   private def assignSplit(df: DataFrame, testSize: Option[Any],
                           trainSize: Option[Any], seed: Long): DataFrame = {
-    val ranked = ColumnOps.withRowIdxByKey(
-      df.select(col(RowIdx).as("__orig_idx"))
-        .withColumn("__draw", xxhash64(col("__orig_idx"), lit(seed))),
+    // the draw is a seeded hash, uniform over the full signed-long range —
+    // a known distribution, so the rank's bucket is a pure expression (no
+    // count+sample jobs; exact order within buckets via (draw, idx) sort)
+    val drawn = df.select(col(RowIdx).as("__orig_idx"))
+      .withColumn("__draw", xxhash64(col("__orig_idx"), lit(seed)))
+    val ranked = ColumnOps.withRowIdxByKnownRange(drawn,
+      ColumnOps.fullRangeBucket(drawn, col("__draw")),
       col("__draw"), col("__orig_idx"))
       .withColumnRenamed(RowIdx, "__rank")
     val total = ranked.agg(count(lit(1)).as("__n"))
@@ -593,9 +635,32 @@ class LocalSparkRunner(
 
 object LocalSparkRunner {
 
+  // (path, total size, max mtime) → digest: repeated fromParquet on an
+  // unchanged file skips the re-read (every runner-backed query starts by
+  // hashing its source; the bytes only need hashing once per change)
+  private val hashMemo =
+    scala.collection.mutable.HashMap.empty[(String, Long, Long), String]
+
   /** Streamed sha256 of a parquet file or directory of files (sorted by
-    * relative path) — the dataset's identity. */
+    * relative path) — the dataset's identity. Memoized per (path, size,
+    * mtime) snapshot. */
   def contentHashOf(path: String): String = {
+    val p0 = Paths.get(path)
+    val (size, mtime) = {
+      import scala.jdk.CollectionConverters._
+      if (Files.isDirectory(p0)) {
+        val fs = Files.walk(p0).iterator().asScala
+          .filter(Files.isRegularFile(_)).toSeq
+        (fs.map(Files.size).sum,
+          fs.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
+      } else (Files.size(p0), Files.getLastModifiedTime(p0).toMillis)
+    }
+    hashMemo.synchronized {
+      hashMemo.getOrElseUpdate((path, size, mtime), contentHashOf0(path))
+    }
+  }
+
+  private def contentHashOf0(path: String): String = {
     val p = Paths.get(path)
     val md = MessageDigest.getInstance("SHA-256")
     def feed(f: Path): Unit = {
