@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -182,6 +182,40 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each click attributed to the user's latest purchase at
+      // or before it (union + per-key running last — one shuffle, no pair
+      // explosion; see Joins.asofJoin)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+          Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // range join via time binning: clicks inside each purchase's 1-hour
+      // attribution window, counted per purchase (equi-join on (user, bin),
+      // never an inequality cross product; see Joins.rangeJoinBinned)
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 3600000000L).as("end_us"))
+      Joins.rangeJoinBinned(clicks, "click_us", purchases,
+          "start_us", "end_us", Seq("user_id"), binWidth = 3600000000L)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("purchase_id"))
+    }),
+
     "q_select_conversation" -> ((s, dir) => {
       // conversation column (array<struct<role,content>>), flattened to
       // (id, pos, role, content) for the scalar-only oracle compare
@@ -319,7 +353,7 @@ object SparkEntry {
       val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
       val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
       val model = TrainClassifierOp("logistic_regression", x, pos, neg,
-        params = Map("max_iter" -> 25L))
+        params = Map("max_iter" -> 25L, "tol" -> 1e-3))
       val eval = ClassifierEvaluationOp(ClassifierPredictOp(model, x), pos, neg)
       val all = r.toJson(eval).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
         .asInstanceOf[JObj]
@@ -338,8 +372,10 @@ object SparkEntry {
       val cat = SelectCategoricalColumnOp(ds, "label")
       val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
       val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
+      // tol 1e-3: the label-vs-random-embedding probe's loss surface is
+      // flat, so the default 1e-6 runs all 25 LBFGS iterations for noise
       val model = TrainClassifierOp("logistic_regression", x, pos, neg,
-        params = Map("max_iter" -> 25L))
+        params = Map("max_iter" -> 25L, "tol" -> 1e-3))
       r.toFrame(ClassifierPredictOp(model, x))
         .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("score"))
         .orderBy(col("row_idx"))
@@ -754,6 +790,25 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+        |             event_id AS purchase_id, value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, COUNT(*) AS n_clicks
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.us AND c.us < p.us + 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
