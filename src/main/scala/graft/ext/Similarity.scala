@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) with doubles, sequential over elements — deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a,b) with doubles, sequential over elements — deterministic.
+    * Backed by the native codegen'd [[VectorKernels.dot]] (a primitive loop
+    * in the whole-stage-codegen body); the earlier
+    * `aggregate(zip_with(...))` higher-order form evaluated boxed lambdas
+    * per element. Accumulation order is identical, so results are bit-equal.
+    */
+  def dot(a: Column, b: Column): Column = VectorKernels.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(VectorKernels.dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
