@@ -569,6 +569,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_lsh_skew_report" -> ((s, dir) => {
+      // the maxBucket recall trade-off surfaced as a measurable report: a
+      // planted mega-bucket (200 identical docs) over 16 bands must show as
+      // exactly 16 overflowing buckets of 200 band-memberships each —
+      // content-independent COUNTS, so the oracle states them as constants
+      import s.implicits._
+      val boiler = (0 until 200).map(i =>
+        (i.toLong, "the same boilerplate footer text repeated everywhere"))
+      val unique = (0 until 50).map(i =>
+        (1000L + i, s"unique document $i with alpha$i beta$i gamma$i delta$i"))
+      val keys = Dedup.minhashBandKeys((boiler ++ unique).toDF("doc_id", "text"),
+        "text", "doc_id", numBands = 16)
+      Dedup.bucketOverflowReport(keys, "band_key", maxBucket = 100)
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       // exact 3-gram Jaccard on an id-window candidate set (smoke shape;
       // the LSH path above is the scale path)
@@ -1071,6 +1086,11 @@ object SparkEntry {
     "q_dedup_simhash_planted" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(100) t(i) ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lsh_skew_report" ->
+      """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,
+        |CAST(3200 AS BIGINT) AS rows_in_overflow,
+        |CAST(200 AS BIGINT) AS max_bucket_size""".stripMargin,
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (

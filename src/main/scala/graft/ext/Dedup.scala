@@ -135,17 +135,42 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numPerms: Int = 64,
-                        numBands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+                        numBands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    bucketSelfJoinPairs(
+      minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands),
+      "band_key", maxBucket)
+
+  /** (doc_id, band_key) rows — the frame the candidate self-join buckets
+    * on, exposed for skew diagnostics ([[bucketOverflowReport]]). */
+  def minhashBandKeys(df: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, numPerms: Int = 64,
+                      numBands: Int = 16): DataFrame = {
     val rowsPerBand = numPerms / numBands
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
-    val sigs = df.select(
+    df.select(
         col(idCol).as("doc_id"),
         minhashSignatureUdf(numPerms, shingleN)(words).as("sig"))
       .withColumn("band_key", explode(bandKeysUdf(numBands, rowsPerBand)(col("sig"))))
       .select(col("doc_id"), col("band_key"))
-    bucketSelfJoinPairs(sigs, "band_key", maxBucket)
   }
+
+  /** What the `maxBucket` skew cap would DROP for a given banded-keys frame
+    * — the deterministic recall trade-off surfaced as a measurable report
+    * instead of silent semantics. One aggregation over (key) counts:
+    * (n_overflow_buckets, rows_in_overflow, max_bucket_size). Run it on
+    * [[minhashBandKeys]] (or any (id, key) frame) before picking
+    * `maxBucket` for a new corpus; rows_in_overflow / total rows is the
+    * fraction of band-memberships sacrificed to boilerplate skew.
+    */
+  def bucketOverflowReport(keyed: DataFrame, key: String,
+                           maxBucket: Int): DataFrame =
+    keyed.groupBy(col(key)).agg(count(lit(1)).as("__bn"))
+      .agg(
+        sum(when(col("__bn") > maxBucket, 1L).otherwise(0L)).as("n_overflow_buckets"),
+        coalesce(sum(when(col("__bn") > maxBucket, col("__bn"))), lit(0L))
+          .as("rows_in_overflow"),
+        max(col("__bn")).as("max_bucket_size"))
 
   /** Candidate pairs via a *streamed* self-join within buckets — the
     * scale-correct shape. A collect_list + in-row pair expansion (the round-1

@@ -77,6 +77,20 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSet == (0 until 100).map(i => (i.toLong, i + 1000L, 0)).toSet)
   }
 
+  test("bucketOverflowReport quantifies what the skew cap drops") {
+    val boiler = (0 until 30).map(i => (i.toLong, "same text every time"))
+    val unique = (0 until 5).map(i => (100L + i, s"doc $i alpha$i beta$i gamma$i"))
+    val keys = Dedup.minhashBandKeys((boiler ++ unique).toDF("doc_id", "text"),
+      "text", "doc_id", numBands = 16)
+    val r = Dedup.bucketOverflowReport(keys, "band_key", maxBucket = 10).head()
+    assert(r.getLong(0) == 16)      // every band of the boilerplate overflows
+    assert(r.getLong(1) == 16 * 30) // all its band-memberships would drop
+    assert(r.getLong(2) == 30)
+    // with a cap above the mega-bucket, nothing overflows
+    val r2 = Dedup.bucketOverflowReport(keys, "band_key", maxBucket = 30).head()
+    assert(r2.getLong(0) == 0 && r2.getLong(1) == 0)
+  }
+
   test("cosine LSH near-dup finds identical planted vectors") {
     val rng = new scala.util.Random(1)
     val vecs = (0 until 60).map(i =>
