@@ -95,6 +95,58 @@ object Graph {
 
   def deserializeString(s: String): Seq[OpSpec] = deserialize(Json.parse(s))
 
+  /** Dependency query with field paths (reference
+    * `graph_transformations.get_dependencies`, `graph_transformations.py:
+    * 39-74`): every dependency reachable from the roots — excluding the
+    * roots themselves — with the FIELD PATH it was found under (field name,
+    * then seq index / sorted map key for nested containers). `recursive =
+    * false` stops at direct children (reference depth ≤ 1); `typeFilter`
+    * prunes both the result AND the descent, like the reference's
+    * `filter_type` isinstance gate. First-visit wins for both path and
+    * dedup, in deterministic field order.
+    */
+  def dependencies(roots: Seq[OpSpec], recursive: Boolean = true,
+                   typeFilter: OpSpec => Boolean = _ => true)
+    : Seq[(OpSpec, Seq[Any])] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val results = scala.collection.mutable.ListBuffer.empty[(OpSpec, Seq[Any])]
+    def collectWithPath(v: Any, path: Seq[Any]): Seq[(OpSpec, Seq[Any])] =
+      v match {
+        case op: OpSpec => Seq((op, path))
+        case Some(x) => collectWithPath(x, path)
+        case m: scala.collection.Map[_, _] =>
+          m.toSeq.sortBy(_._1.toString).flatMap { case (k, x) =>
+            collectWithPath(x, path :+ k.toString)
+          }
+        case xs: Iterable[_] => xs.toSeq.zipWithIndex.flatMap { case (x, i) =>
+          collectWithPath(x, path :+ i)
+        }
+        case _ => Seq.empty
+      }
+    def visit(op: OpSpec, depth: Int, path: Seq[Any]): Unit = {
+      if (!recursive && depth > 1) return
+      if (!typeFilter(op)) return
+      op.fieldPairs.foreach { case (name, v) =>
+        collectWithPath(v, path :+ name).foreach { case (child, p) =>
+          visit(child, depth + 1, p)
+        }
+      }
+      if (depth > 0 && seen.add(op.uuid)) results += ((op, path))
+    }
+    roots.foreach(visit(_, 0, Seq.empty))
+    results.toList
+  }
+
+  /** The subset of `roots` that other roots depend on, directly or
+    * transitively (reference `get_dependencies` inter-root usage,
+    * `tests/test_graph_transformations.py:593-690`) — useful for ordering
+    * multi-output materialization. */
+  def interRootDependencies(roots: Seq[OpSpec]): Seq[OpSpec] = {
+    val rootIds = roots.map(_.uuid).toSet
+    val depIds = dependencies(roots).map(_._1.uuid).toSet
+    roots.filter(r => rootIds.contains(r.uuid) && depIds.contains(r.uuid))
+  }
+
   /** Multi-root substitution (reference `graph_transformations.py:112-160`):
     * rewrite several output roots against the same substitution set with a
     * SHARED memo, so sub-DAGs shared between roots stay reference-identical
