@@ -8,6 +8,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](what: String)(f: => T): T = {
@@ -46,6 +47,37 @@ object ScaleProbe {
       println("  pairs=" + graft.ext.Dedup.cosineNearDuplicates(
         emb10.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
         dim = 64, threshold = 0.8).count())
+    }
+    // ~1M-event temporal joins (10x replicated events, shifted user ids so
+    // key cardinality scales with volume — bucket population stays flat)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+    val ev10 = (0 until 10).map(i =>
+      ev.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L)))
+      .reduce(_ union _)
+    time("as-of join over ~1M events") {
+      val clicks = ev10.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev10.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      println("  rows=" + graft.ext.Joins.asofJoin(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("purchase_id")).count())
+    }
+    time("range join over ~1M events") {
+      val clicks = ev10.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("click_us"))
+      val purchases = ev10.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + 3600000000L).as("end_us"))
+      println("  pairs=" + graft.ext.Joins.rangeJoinBinned(clicks, "click_us",
+        purchases, "start_us", "end_us", Seq("user_id"), 3600000000L).count())
+    }
+    // 320k-vector single-pass probe training aggregation
+    time("difference-of-means weights over 320k vectors") {
+      println("  dims=" + graft.ml.DiffOfMeans.weightsExact(
+        emb10, col("embedding"), col("label") <= 4).count())
     }
     spark.stop()
   }
