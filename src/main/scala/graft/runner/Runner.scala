@@ -8,24 +8,37 @@ import org.apache.spark.sql.SparkSession
   * return the same instance (sharing its in-process memo), and configuration
   * defaults come from the environment.
   *
-  * Config resolution order: explicit argument → `GRAFT_STORE` env var →
-  * `./graft-store`.
+  * Config resolution order (mirroring the reference's
+  * env-then-default settings): explicit argument → `GRAFT_STORE` /
+  * `GRAFT_CACHE` env vars → `./graft-store` with no cache tier. Setting a
+  * cache path (argument or env) selects the tiered [[CachedSparkRunner]] —
+  * the reference's `runner_type=LocalCachedRunner` switch.
   */
 object Runner {
 
   private val cache =
-    scala.collection.mutable.HashMap.empty[(SparkSession, String, Boolean, Boolean), LocalSparkRunner]
+    scala.collection.mutable.HashMap.empty[
+      (SparkSession, String, Option[String], Boolean, Boolean), LocalSparkRunner]
 
   def defaultStoreUri: String =
     sys.env.getOrElse("GRAFT_STORE", "graft-store")
 
+  def defaultCachePath: Option[String] = sys.env.get("GRAFT_CACHE")
+
   def apply(spark: SparkSession,
             storeUri: String = null,
+            cachePath: String = null,
             validateLengths: Boolean = true,
             cacheColumns: Boolean = true): LocalSparkRunner = synchronized {
     val store = Option(storeUri).getOrElse(defaultStoreUri)
-    cache.getOrElseUpdate((spark, store, validateLengths, cacheColumns),
-      new LocalSparkRunner(spark, store, validateLengths, cacheColumns))
+    val tier = Option(cachePath).orElse(defaultCachePath)
+    cache.getOrElseUpdate((spark, store, tier, validateLengths, cacheColumns),
+      tier match {
+        case Some(c) =>
+          new CachedSparkRunner(spark, store, c, validateLengths, cacheColumns)
+        case None =>
+          new LocalSparkRunner(spark, store, validateLengths, cacheColumns)
+      })
   }
 
   /** Drop cached runners (tests / reconfiguration). */

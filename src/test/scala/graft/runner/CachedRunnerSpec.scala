@@ -121,6 +121,19 @@ class CachedRunnerSpec extends SparkTestBase {
     assert(Files.exists(Paths.get(cache, cls, hash, "status.json")))
   }
 
+  test("Runner factory: a cache path selects the tiered runner, memoized") {
+    Runner.reset()
+    val shared = newDir("graft-shared-")
+    val cachePath = newDir("graft-cache-")
+    val tiered = Runner(spark, shared, cachePath)
+    assert(tiered.isInstanceOf[CachedSparkRunner])
+    assert(Runner(spark, shared, cachePath) eq tiered) // singleton per config
+    val plain = Runner(spark, shared)
+    assert(!plain.isInstanceOf[CachedSparkRunner])
+    assert(plain ne tiered)
+    Runner.reset()
+  }
+
   test("uuidToOp rehydrates from the shared store on a fresh machine") {
     val shared = newDir("graft-shared-")
     val machineA = new CachedSparkRunner(spark, shared, newDir("graft-cacheA-"))
