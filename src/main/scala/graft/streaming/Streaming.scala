@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the engine's continuous-ingest operators.
   *
@@ -23,6 +24,17 @@ import org.apache.spark.sql.functions._
   *    flatMapGroupsWithState for gap sessions; custom state remains the
   *    escape hatch for semantics the built-in can't express.
   */
+/** One event entering [[Streaming.sessionizeByCountOrGap]]. */
+final case class CountGapEvent(key: String, ts: java.sql.Timestamp, value: Double)
+
+/** Open-session state: O(1) per key regardless of session length. */
+final case class CountGapState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/** A closed session; `closed_by` ∈ count | gap | timeout. */
+final case class CountGapSession(user_id: String,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long, session_value: Double, closed_by: String)
+
 object Streaming {
 
   /** Gap-based sessionization (the streaming form of `q_sessionize`):
@@ -71,6 +83,78 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
+
+  /** Sessions closed by `maxEvents` OR a time gap — the custom-state escape
+    * hatch `session_window` cannot express (count-based closing resets
+    * per-session state). `flatMapGroupsWithState` with event-time timeout:
+    *
+    *  - state = one open session per key (start, last ts, n, sum) —
+    *    O(1) per key, sharded by the group key like any state store;
+    *  - a session closes EAGERLY when its count fills or the next event
+    *    arrives beyond the gap (emitted in the same micro-batch);
+    *  - the trailing open session closes via the event-time TIMEOUT when
+    *    the watermark passes `last + gap` — state cannot leak.
+    *
+    * The same call works on a batch frame (Spark invokes the function once
+    * per key with all events): count- and gap-closed sessions agree with
+    * streaming; only trailing open sessions differ (batch has no watermark
+    * to close them), which is the batch/stream parity contract tested in
+    * StreamingSpec. `session_end` is the LAST EVENT's time (actual span),
+    * not `last + gap` as `session_window` reports.
+    */
+  def sessionizeByCountOrGap(events: DataFrame, userCol: String, tsCol: String,
+                             valueCol: String, gapMinutes: Long = 30L,
+                             maxEvents: Int = 100,
+                             watermark: String = "1 hour"): Dataset[CountGapSession] = {
+    require(maxEvents >= 1, s"maxEvents must be >= 1, got $maxEvents")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events
+      .select(col(userCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(valueCol).cast("double").as("value"))
+      .withWatermark("ts", watermark)
+      .as[CountGapEvent]
+    def close(key: String, s: CountGapState, how: String): CountGapSession =
+      CountGapSession(key, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs), s.n, s.sum, how)
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[CountGapState, CountGapSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[CountGapEvent],
+         state: GroupState[CountGapState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(key, s, "timeout"))
+          } else {
+            // per-key arrival order within a micro-batch is not guaranteed
+            val sorted = batch.toArray.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ListBuffer.empty[CountGapSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur.foreach { s =>
+                if (t - s.lastMs > gapMs) { closed += close(key, s, "gap"); cur = None }
+              }
+              val grown = cur match {
+                case Some(s) => CountGapState(s.startMs, t, s.n + 1, s.sum + e.value)
+                case None => CountGapState(t, t, 1L, e.value)
+              }
+              if (grown.n >= maxEvents) { closed += close(key, grown, "count"); cur = None }
+              else cur = Some(grown)
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.lastMs + gapMs)
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Streaming text-quality annotation: the batch `TextAnalysis` expressions
     * applied on a stream — stateless, so no watermark or shuffle at all;

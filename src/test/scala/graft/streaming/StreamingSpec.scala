@@ -91,6 +91,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("count-or-gap sessions: custom state closes by count, gap, and timeout") {
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = Streaming.sessionizeByCountOrGap(
+      input.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapMinutes = 30L, maxEvents = 2,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("cg").outputMode("append").start()
+    try {
+      // u1: two events fill the count cap → closed eagerly; a third opens
+      // a new session. u2: one event, then one past the gap → gap-close on
+      // arrival.
+      input.addData(("u1", ts(0), 1.0), ("u1", ts(5), 2.0), ("u1", ts(10), 4.0),
+        ("u2", ts(0), 8.0))
+      q.processAllAvailable()
+      input.addData(("u2", ts(45), 16.0))
+      q.processAllAvailable()
+      // count- and gap-closures are emitted eagerly (subset check: the
+      // advancing watermark may already have timed out u1's trailing open)
+      val afterArrivals = spark.table("cg")
+        .select("user_id", "n_events", "session_value", "closed_by")
+        .as[(String, Long, Double, String)].collect().toSet
+      assert(afterArrivals.contains(("u1", 2L, 3.0, "count")))
+      assert(afterArrivals.contains(("u2", 1L, 8.0, "gap")))
+
+      // advancing the watermark far past every open session fires the
+      // event-time timeouts for the trailing opens (u1 @10, u2 @45)
+      input.addData(("u3", ts(600), 0.5))
+      q.processAllAvailable()
+      input.addData(("u3", ts(601), 0.5)) // count-close u3 so sets compare
+      q.processAllAvailable()
+      val after = spark.table("cg")
+        .select("user_id", "n_events", "session_value", "closed_by")
+        .as[(String, Long, Double, String)].collect().toSet
+      assert(after.contains(("u1", 1L, 4.0, "timeout")))
+      assert(after.contains(("u2", 1L, 16.0, "timeout")))
+
+      // batch parity: same call on a batch frame — count/gap sessions
+      // identical; trailing opens are absent (no watermark in batch)
+      val batch = Streaming.sessionizeByCountOrGap(
+        Seq(("u1", ts(0), 1.0), ("u1", ts(5), 2.0), ("u1", ts(10), 4.0),
+          ("u2", ts(0), 8.0), ("u2", ts(45), 16.0))
+          .toDF("user_id", "ts", "value"),
+        "user_id", "ts", "value", gapMinutes = 30L, maxEvents = 2)
+        .select("user_id", "n_events", "session_value", "closed_by")
+        .as[(String, Long, Double, String)].collect().toSet
+      assert(batch == Set(
+        ("u1", 2L, 3.0, "count"),
+        ("u2", 1L, 8.0, "gap")))
+    } finally q.stop()
+  }
+
   test("stateless text analysis runs on a stream as-is") {
     val input = MemoryStream[(Long, String)]
     val annotated = Streaming.annotateQuality(
