@@ -392,6 +392,18 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    "q_probe_predict_exact" -> ((s, dir) => {
+      // the train→score pipeline in quantized-exact arithmetic: weights to
+      // 1e-9, inputs to 1e-6, integer-valued-double dot (order-independent
+      // below 2^53) — the ONLY way a predict score column can be
+      // hash-compared across engines (IEEE float dots are summation-order-
+      // dependent, which is why q_probe_predict stays rows-only)
+      val emb = t(s, dir, "embeddings")
+      graft.ml.DiffOfMeans.scoresExact(emb, col("vec_id"),
+          col("embedding"), col("label") <= 4)
+        .orderBy(col("vec_id"))
+    }),
+
     "q_llm_activations" -> ((s, dir) => {
       // fake: provider — md5-derived doubles, bit-exact in the DuckDB oracle
       val r = runnerFor(s)
@@ -722,6 +734,27 @@ object SparkEntry {
         |  - CAST(SUM(CASE WHEN NOT is_pos THEN qv END) AS DOUBLE)
         |    / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
+
+    "q_probe_predict_exact" ->
+      """WITH e AS (
+        |  SELECT label <= 4 AS is_pos, vec_id, embedding,
+        |         unnest(range(len(embedding))) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT is_pos, vec_id, dim,
+        |  CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+        |  FROM e),
+        |w AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN is_pos THEN qx END) AS DOUBLE)
+        |      / COUNT(CASE WHEN is_pos THEN 1 END) / 1e6
+        |    - CAST(SUM(CASE WHEN NOT is_pos THEN qx END) AS DOUBLE)
+        |      / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
+        |  FROM q GROUP BY dim),
+        |qw AS (SELECT dim, CAST(round(w * 1e9) AS BIGINT) AS qw FROM w)
+        |SELECT q.vec_id, CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
+        |FROM q JOIN qw USING (dim)
+        |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin,
 
     "q_llm_activations" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),

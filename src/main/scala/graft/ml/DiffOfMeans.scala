@@ -94,4 +94,26 @@ object DiffOfMeans {
       .select(col("dim"),
         (col("__sp").cast("double") / col("__np") / 1e6 -
           col("__sn").cast("double") / col("__nn") / 1e6).as("w"))
+
+  /** Quantized-exact INFERENCE over the [[weightsExact]] direction: weights
+    * quantized to 1e-9, inputs to 1e-6, score = Σ qw·qx / 1e15. Every
+    * product is an integer ≤ ~1e13 and the 64-term sum stays < 2⁵³, so the
+    * double accumulation in the native dot kernel is EXACT in any order —
+    * the whole train→score pipeline is hash-comparable across engines
+    * (IEEE float dots are summation-order-dependent; integer-valued doubles
+    * are not). The fitted weights collapse to a bounded plan literal
+    * (O(dim), the model IS small) — scoring is one scan, no join, no
+    * shuffle: the plan shape quantized inference should have at 100 TB.
+    */
+  def scoresExact(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                  vec: org.apache.spark.sql.Column,
+                  isPos: org.apache.spark.sql.Column): DataFrame = {
+    val qw: Array[Double] = weightsExact(df, vec, isPos)
+      .select(col("dim"), round(col("w") * 1e9).cast("long").as("qw"))
+      .collect().sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    val qwLit = array(qw.map(lit): _*)
+    val qx = transform(vec, x => round(x.cast("double") * 1e6))
+    df.select(idCol.as("vec_id"),
+      (graft.ext.VectorKernels.dot(qx, qwLit) / 1e15).as("score"))
+  }
 }

@@ -137,6 +137,33 @@ class ProbeSpec extends SparkTestBase {
     }
   }
 
+  test("scoresExact separates classes along the quantized direction") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val n = 100
+    val rng = new scala.util.Random(11)
+    // class-separated on dim 0, noise elsewhere
+    val rows = (0 until n).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, Seq((if (pos) 1.0f else -1.0f) + rng.nextFloat() * 0.1f,
+        rng.nextFloat(), rng.nextFloat()), pos)
+    }
+    val df = rows.toDF("vec_id", "embedding", "is_pos")
+    val scores = DiffOfMeans.scoresExact(df, col("vec_id"),
+        col("embedding"), col("is_pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val posScores = rows.filter(_._3).map(r => scores(r._1))
+    val negScores = rows.filterNot(_._3).map(r => scores(r._1))
+    assert(posScores.min > negScores.max,
+      "quantized scores must separate linearly separable classes")
+    // the whole point: bit-identical under any partitioning (the integer-
+    // valued-double accumulation is order-independent below 2^53)
+    val reparted = DiffOfMeans.scoresExact(df.repartition(7, col("vec_id")),
+        col("vec_id"), col("embedding"), col("is_pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reparted == scores, "scores must not depend on partitioning")
+  }
+
   test("linear_svc uses decision scores (no probability column)") {
     val r = newRunner()
     val (_, _, score, eval) = chain("linear_svc")
