@@ -650,6 +650,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      // per-doc top-5 TF-IDF terms; rank by (tf desc, term asc) is integer-
+      // deterministic so the whole result hash-compares (see tfidfTopTerms)
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "q_quality_score" -> ((s, dir) => {
       val text = col("text")
       t(s, dir, "documents")
@@ -1119,6 +1126,24 @@ object SparkEntry {
     "q_dedup_simhash_planted" ->
       """SELECT i AS id_a, i + 1000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM range(100) t(i) ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'),
+        |    x -> length(x) >= 3)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        |idf AS (SELECT term, ln((n.n + 1.0) / (COUNT(*) + 1.0)) AS idf
+        |        FROM tf, n GROUP BY term, n.n),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, idf.idf,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, tf.term ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN idf USING (term))
+        |SELECT doc_id, rank, term, tf, round(tf * idf, 6) AS tfidf
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
 
     "q_lsh_skew_report" ->
       """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,

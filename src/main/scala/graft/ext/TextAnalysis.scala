@@ -112,6 +112,44 @@ object TextAnalysis {
 
   /** Document fingerprint, oracle-verifiable flavor: md5 over normalized
     * text (lowercase, collapsed whitespace). Stable across engines. */
+  /** Per-document TF-IDF top terms — the one text operator here that NEEDS
+    * shuffles, shaped for them:
+    *
+    *   1. explode to (doc, term), partial-aggregate to (doc, term, tf) —
+    *      map-side combine absorbs within-doc repetition before the shuffle;
+    *   2. document frequency = distinct-doc count per term — second shuffle
+    *      carries only (term, df) pairs;
+    *   3. idf joined back (AQE broadcasts when the vocabulary is small);
+    *   4. per-doc top-k via a window PARTITIONED by doc.
+    *
+    * Ranking is by (tf desc, term asc) — integer-deterministic, so the
+    * result is hash-comparable across engines; `tfidf = tf · ln((N+1)/(df+1))`
+    * (smoothed) rides along rounded to 6 dp as the informational score.
+    * Tokens are lowercased [a-z0-9]+ runs, ≥ `minTermLen` chars.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5,
+                    minTermLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol).as("doc_id"),
+        explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+          t => length(t) >= minTermLen)).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = df.select(col(idCol)).distinct().count()
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_count"))
+      .select(col("term"),
+        log((lit(n) + 1.0) / (col("df_count") + 1.0)).as("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term").asc)
+    tf.join(idf, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        round(col("tf") * col("idf"), 6).as("tfidf"))
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), Ws + "+", " "))
 

@@ -192,6 +192,25 @@ class ExtSpec extends SparkTestBase {
     assert(TextAnalysis.rollingHash("x") != TextAnalysis.rollingHash("y"))
   }
 
+  test("tfidf top terms: rare terms outrank ubiquitous ones, integer rank order") {
+    val docs = Seq(
+      (1L, "apple apple apple banana common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common words only here common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1 by tf: apple 3, common 2, banana 1 → top-2 = apple, common
+    assert(out.take(2).toSeq == Seq((1L, 1L, "apple", 3L), (1L, 2L, "common", 2L)))
+    // doc 2 by tf: common 2, then banana/cherry tie → alphabetical
+    assert(out.slice(2, 4).toSeq == Seq((2L, 1L, "common", 2L), (2L, 2L, "banana", 1L)))
+    // 'common' is in every doc → idf = ln(4/4) = 0 → tfidf 0
+    val tfidfByTerm = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getString(2), r.getDouble(4))).toMap
+    assert(tfidfByTerm("common") == 0.0)
+    assert(tfidfByTerm("cherry") > 0.0)
+  }
+
   test("language id picks dominant stopword language, CJK → zh") {
     val d = Seq(
       (0L, "the cat and the dog in a house"),
