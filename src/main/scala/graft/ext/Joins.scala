@@ -28,10 +28,18 @@ object Joins {
   /** As-of (point-in-time) join: for every left row, the LATEST right row
     * with `right.ts <= left.ts` on the same key — nulls where no right row
     * precedes. The union-window form: tag sides, union, one window
-    * partitioned by key ordered by (ts, side) with right rows sorting
-    * before left rows at equal ts (an equal-timestamp right row is
-    * visible), running `last(ignoreNulls)` fills right values forward,
-    * keep left rows.
+    * partitioned by key ordered by (ts, side, right-row struct) with right
+    * rows sorting before left rows at equal ts (an equal-timestamp right
+    * row is visible), a running `last(ignoreNulls)` fills the matched right
+    * row forward, keep left rows.
+    *
+    * The right values travel as ONE STRUCT, filled atomically: filling each
+    * value column independently would, when a matched right row carries a
+    * genuine NULL in one column, tear values from DIFFERENT right rows into
+    * one output row. The struct also serves as the deterministic tiebreak
+    * for right rows sharing (key, ts) — Spark orders structs field-wise, so
+    * the winner is the field-wise-greatest right row (ties only remain for
+    * fully identical right rows, where the choice is indistinguishable).
     *
     * `rightVals` columns must not collide with left column names (alias on
     * the way in).
@@ -42,27 +50,26 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(rightVals.intersect(leftCols).isEmpty,
       s"right value columns ${rightVals.intersect(leftCols)} collide with left")
-    val ts = "__asof_ts"; val side = "__asof_side"
+    val ts = "__asof_ts"; val side = "__asof_side"; val rv = "__asof_rv"
     val l = left.withColumn(ts, col(leftTs)).withColumn(side, lit(1))
-    val lPadded = rightVals.foldLeft(l)((d, v) =>
-      d.withColumn(v, lit(null).cast(right.schema(v).dataType)))
+      .withColumn(rv, lit(null).cast(org.apache.spark.sql.types.StructType(
+        rightVals.map(v => org.apache.spark.sql.types.StructField(
+          v, right.schema(v).dataType)))))
     val r0 = right.select(
-      (keys.map(col) :+ col(rightTs).as(ts)) ++ rightVals.map(col): _*)
+        (keys.map(col) :+ col(rightTs).as(ts)) ++ rightVals.map(col): _*)
       .withColumn(side, lit(0))
+      .withColumn(rv, struct(rightVals.map(col): _*))
     val rPadded = leftCols.filterNot(c => keys.contains(c))
       .foldLeft(r0)((d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lPadded.select(
-      (leftCols.map(col) :+ col(ts) :+ col(side)) ++ rightVals.map(col): _*)
-      .unionByName(rPadded.select(
-        (leftCols.map(col) :+ col(ts) :+ col(side)) ++ rightVals.map(col): _*))
+    val shape = (leftCols.map(col) :+ col(ts) :+ col(side)) :+ col(rv)
+    val unioned = l.select(shape: _*).unionByName(rPadded.select(shape: _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(side))
+      .orderBy(col(ts), col(side), col(rv))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned)((d, v) =>
-      d.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
-    filled.filter(col(side) === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+    unioned.withColumn(rv, last(col(rv), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(leftCols.map(col) ++ rightVals.map(v => col(s"$rv.$v").as(v)): _*)
   }
 
   /** Points-to-intervals range join via time binning: emit each

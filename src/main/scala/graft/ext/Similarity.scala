@@ -23,7 +23,11 @@ object Similarity {
     * Backed by the native codegen'd [[VectorKernels.dot]] (a primitive loop
     * in the whole-stage-codegen body); the earlier
     * `aggregate(zip_with(...))` higher-order form evaluated boxed lambdas
-    * per element. Accumulation order is identical, so results are bit-equal.
+    * per element. For non-null, equal-length inputs — every embedding
+    * column in this engine, asserted at select — results are bit-equal;
+    * for degenerate inputs the contracts DIFFER: the kernel skips null
+    * elements and stops at the shorter length where the HOF form returned
+    * null (see [[VectorKernels]] scaladoc).
     */
   def dot(a: Column, b: Column): Column = VectorKernels.dot(a, b)
 

@@ -128,7 +128,8 @@ object TextAnalysis {
     * Tokens are lowercased [a-z0-9]+ runs, ≥ `minTermLen` chars.
     */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 5,
-                    minTermLen: Int = 3): DataFrame = {
+                    minTermLen: Int = 3,
+                    numDocs: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val terms = df
       .select(col(idCol).as("doc_id"),
@@ -136,7 +137,10 @@ object TextAnalysis {
           t => length(t) >= minTermLen)).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val n = df.select(col(idCol)).distinct().count()
+    // N enters the idf as a plan literal, so without a caller-supplied
+    // count this runs ONE EAGER distinct-count job at construction time —
+    // pass `numDocs` in pipelines that already know the corpus size
+    val n = numDocs.getOrElse(df.select(col(idCol)).distinct().count())
     val idf = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df_count"))
       .select(col("term"),

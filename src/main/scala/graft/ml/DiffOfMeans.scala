@@ -107,10 +107,20 @@ object DiffOfMeans {
     */
   def scoresExact(df: DataFrame, idCol: org.apache.spark.sql.Column,
                   vec: org.apache.spark.sql.Column,
-                  isPos: org.apache.spark.sql.Column): DataFrame = {
+                  isPos: org.apache.spark.sql.Column,
+                  maxAbsInput: Double = 1.0): DataFrame = {
     val qw: Array[Double] = weightsExact(df, vec, isPos)
       .select(col("dim"), round(col("w") * 1e9).cast("long").as("qw"))
       .collect().sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
+    // the exactness contract is a REAL precondition, not a comment: every
+    // partial sum must stay below 2^53 or the accumulation order starts to
+    // matter again. |qx| ≤ maxAbsInput·1e6 by quantization; enforce
+    // max|qw| · max|qx| · dim < 2^53 up front.
+    val qwAbsMax = if (qw.isEmpty) 0.0 else qw.map(math.abs).max
+    val bound = qwAbsMax * (maxAbsInput * 1e6) * math.max(qw.length, 1)
+    require(bound < (1L << 53).toDouble,
+      f"quantized dot may exceed 2^53 ($bound%.3g): inputs larger than " +
+        f"maxAbsInput=$maxAbsInput or weights too large for exact scoring")
     val qwLit = array(qw.map(lit): _*)
     val qx = transform(vec, x => round(x.cast("double") * 1e6))
     df.select(idCol.as("vec_id"),

@@ -115,28 +115,80 @@ class CachedSparkRunner(
 
   // ---------------- dir sync ----------------
 
-  /** Copy every regular file under `from` into `to` (skip ones already
-    * present — op dirs are immutable once done), `done` marker ordered
-    * last so a half-copied dir is never mistaken for a result. */
-  private def syncDir(from: Path, to: Path): Unit = {
+  private def walkFiles(root: Path): Seq[Path] = {
     import scala.jdk.CollectionConverters._
-    val files = Files.walk(from).iterator().asScala
-      .filter(Files.isRegularFile(_)).toSeq
-      .sortBy(f => (f.getFileName.toString == "done", f.toString))
-    files.foreach { f =>
-      val dest = to.resolve(from.relativize(f))
-      if (!Files.exists(dest)) {
-        Files.createDirectories(dest.getParent)
-        // copy to a dot-temp then move: readers of the destination never
-        // observe a partially-written file (atomic within one FS)
-        val tmp = dest.getParent.resolve("." + dest.getFileName + ".tmp")
-        Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
-        Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
+    val s = Files.walk(root) // stream holds directory handles: must close
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+    finally s.close()
   }
 
+  /** Copy every regular file under `from` into `to` (skip ones already
+    * present — op dirs are immutable once done), `done` marker ordered
+    * last so a half-copied dir is never mistaken for a result. Safe for
+    * PULLS: the source is a single complete winner, so per-file
+    * skip-if-exists converges even across crashes/retries. */
+  private def syncDir(from: Path, to: Path): Unit = {
+    val files = walkFiles(from)
+      .sortBy(f => (f.getFileName.toString == "done", f.toString))
+    files.foreach(f => copyAtomic(f, to.resolve(from.relativize(f))))
+  }
+
+  private def copyAtomic(f: Path, dest: Path): Unit =
+    if (!Files.exists(dest)) {
+      Files.createDirectories(dest.getParent)
+      // copy to a dot-temp then move: readers of the destination never
+      // observe a partially-written file (atomic within one FS)
+      val tmp = dest.getParent.resolve(
+        "." + dest.getFileName + ".tmp" + ProcessHandle.current().pid())
+      Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
+      try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+      catch { // another writer won the race; their copy is equally valid
+        case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp)
+      }
+    }
+
   private def pull(op: OpSpec): Unit = syncDir(sharedDir(op), cacheDir(op))
-  private def push(op: OpSpec): Unit = syncDir(cacheDir(op), sharedDir(op))
+
+  /** Push is NOT a per-file merge: two machines computing the same op
+    * concurrently each produce complete-but-differently-named parquet part
+    * files, and unioning them would duplicate every row. Instead each
+    * multi-file RESULT DIRECTORY (result.parquet/, model/) is staged as a
+    * temp sibling and atomically renamed into place — first complete writer
+    * wins, the loser discards its staging; single files go through
+    * `copyAtomic` with the same first-writer-wins rule; `done` strictly
+    * last. If the shared op dir is already done, the push is a no-op
+    * (content-addressed results are interchangeable). */
+  private def push(op: OpSpec): Unit = {
+    val from = cacheDir(op); val to = sharedDir(op)
+    if (Files.exists(to.resolve("done"))) return
+    Files.createDirectories(to)
+    import scala.jdk.CollectionConverters._
+    val entries = {
+      val s = Files.list(from)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    entries.filterNot(_.getFileName.toString == "done").foreach { e =>
+      val dest = to.resolve(e.getFileName.toString)
+      if (!Files.exists(dest)) {
+        if (Files.isDirectory(e)) {
+          val tmp = to.resolve(
+            "." + e.getFileName + ".tmp" + ProcessHandle.current().pid())
+          walkFiles(e).foreach { f =>
+            val d = tmp.resolve(e.relativize(f))
+            Files.createDirectories(d.getParent)
+            Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+          }
+          try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException
+                 | _: java.nio.file.DirectoryNotEmptyException =>
+              walkFiles(tmp).foreach(Files.delete)
+              Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
+          }
+        } else copyAtomic(e, dest)
+      }
+    }
+    copyAtomic(from.resolve("done"), to.resolve("done"))
+  }
 }

@@ -647,10 +647,8 @@ object LocalSparkRunner {
   def contentHashOf(path: String): String = {
     val p0 = Paths.get(path)
     val (size, mtime) = {
-      import scala.jdk.CollectionConverters._
       if (Files.isDirectory(p0)) {
-        val fs = Files.walk(p0).iterator().asScala
-          .filter(Files.isRegularFile(_)).toSeq
+        val fs = walkRegularFiles(p0)
         (fs.map(Files.size).sum,
           fs.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
       } else (Files.size(p0), Files.getLastModifiedTime(p0).toMillis)
@@ -672,12 +670,18 @@ object LocalSparkRunner {
       } finally in.close()
     }
     if (Files.isDirectory(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala
-        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-        .toSeq.sortBy(_.toString)
+      walkRegularFiles(p)
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .sortBy(_.toString)
         .foreach(feed)
     } else feed(p)
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def walkRegularFiles(root: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(root) // stream holds directory handles: must close
+    try s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+    finally s.close()
   }
 }

@@ -109,6 +109,7 @@ object Graph {
                    typeFilter: OpSpec => Boolean = _ => true)
     : Seq[(OpSpec, Seq[Any])] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
+    val traversed = scala.collection.mutable.HashSet.empty[String]
     val results = scala.collection.mutable.ListBuffer.empty[(OpSpec, Seq[Any])]
     def collectWithPath(v: Any, path: Seq[Any]): Seq[(OpSpec, Seq[Any])] =
       v match {
@@ -126,9 +127,15 @@ object Graph {
     def visit(op: OpSpec, depth: Int, path: Seq[Any]): Unit = {
       if (!recursive && depth > 1) return
       if (!typeFilter(op)) return
-      op.fieldPairs.foreach { case (name, v) =>
-        collectWithPath(v, path :+ name).foreach { case (child, p) =>
-          visit(child, depth + 1, p)
+      // descend each node's fields ONCE: a diamond-shaped DAG re-reached
+      // through another path contributes nothing new below it (first-visit
+      // wins for both dedup and paths), and without this gate traversal is
+      // O(paths) — exponential on deep shared lineages
+      if (traversed.add(op.uuid)) {
+        op.fieldPairs.foreach { case (name, v) =>
+          collectWithPath(v, path :+ name).foreach { case (child, p) =>
+            visit(child, depth + 1, p)
+          }
         }
       }
       if (depth > 0 && seen.add(op.uuid)) results += ((op, path))

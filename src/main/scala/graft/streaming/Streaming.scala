@@ -148,7 +148,18 @@ object Streaming {
             cur match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.lastMs + gapMs)
+                // flatMapGroupsWithState HANDS late rows to the function
+                // rather than dropping them; a session built from an event
+                // older than watermark+gap would ask for a timeout in the
+                // past, which GroupStateImpl rejects (query-killing
+                // IllegalArgumentException). Clamp to just past the
+                // watermark: the stale open session then closes at the next
+                // watermark advance.
+                // batch invocations have no watermark: getCurrentWatermarkMs
+                // throws there (timeouts never fire in batch anyway)
+                val wm = scala.util.Try(state.getCurrentWatermarkMs())
+                  .getOrElse(Long.MinValue)
+                state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
               case None => if (state.exists) state.remove()
             }
             closed.iterator

@@ -35,6 +35,26 @@ class JoinsSpec extends SparkTestBase {
     assert(out.head.getDouble(3) == 7.0)
   }
 
+  test("asofJoin: a matched right row with a NULL value is not torn") {
+    // the matched row (t=20) carries px=NULL; per-column forward-fill would
+    // pair its id with the OLDER row's px — the struct fill must not
+    val l = Seq((1L, "k", 25L)).toDF("id", "k", "t")
+    val r = Seq(("k", 10L, Some(5.0), 100L), ("k", 20L, None, 200L))
+      .toDF("k", "t", "px", "rid")
+    val out = Joins.asofJoin(l, r, Seq("k"), "t", "t", Seq("px", "rid")).head()
+    // columns: id, k, t, px, rid
+    assert(out.getLong(4) == 200L)   // matched rid is the t=20 row
+    assert(out.isNullAt(3),          // and its px is genuinely NULL
+      "px must be the matched row's NULL, not an older row's value")
+  }
+
+  test("asofJoin: equal-(key,ts) right rows resolve by the value struct") {
+    val l = Seq((1L, "k", 10L)).toDF("id", "k", "t")
+    val r = Seq(("k", 10L, 1.0), ("k", 10L, 9.0)).toDF("k", "t", "v")
+    val out = Joins.asofJoin(l, r, Seq("k"), "t", "t", Seq("v")).head()
+    assert(out.getDouble(3) == 9.0) // field-wise-greatest struct wins
+  }
+
   test("asofJoin rejects colliding right value column names") {
     val l = Seq((1L, "k", 100L)).toDF("id", "k", "t")
     val r = Seq(("k", 100L, 7.0)).toDF("k", "t", "id")

@@ -96,6 +96,37 @@ class CachedRunnerSpec extends SparkTestBase {
     assert(scores.grouped(2).forall { case Seq(p, q) => p > q })
   }
 
+  test("push is first-writer-wins: a complete shared result is never merged into") {
+    val shared = newDir("graft-shared-")
+    val rid = AssignRowIDOp(inline(4))
+    // machine A publishes the result
+    val machineA = new CachedSparkRunner(spark, shared, newDir("graft-cacheA-"))
+    machineA.materialize(rid)
+    val (cls, hash) = (rid.uuid.split("_")(0), rid.uuid.split("_", 2)(1))
+    val sharedParquet = Paths.get(shared, cls, hash, "result.parquet")
+    def partFiles() = {
+      val s = Files.walk(sharedParquet)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).map(_.toString).toSet
+      } finally s.close()
+    }
+    val before = partFiles()
+
+    // machine B computes the same op concurrently (empty cache, so it does
+    // NOT see A's result if it already started) and pushes afterwards; the
+    // shared parquet dir must be byte-identical to A's — a per-file merge
+    // would union both runs' differently-named part files (row duplication)
+    val machineB = new CachedSparkRunner(spark, shared, newDir("graft-cacheB-")) {
+      override def isDone(op: OpSpec): Boolean = // simulate the race: B
+        Files.exists(opDir(op).resolve("done"))  // never reads the shared tier
+    }
+    machineB.materialize(rid)
+    assert(partFiles() == before,
+      "a concurrent push must not merge part files into a complete result")
+    assert(machineA.toValues(rid) == Seq(0L, 1L, 2L, 3L))
+  }
+
   test("status: completed cached locally, running/failed read through uncached") {
     val shared = newDir("graft-shared-")
     val cache = newDir("graft-cache-")

@@ -143,6 +143,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("count-or-gap sessions: a very late event cannot kill the query") {
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val sessions = Streaming.sessionizeByCountOrGap(
+      input.toDF.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gapMinutes = 30L, maxEvents = 10,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory")
+      .queryName("cglate").outputMode("append").start()
+    try {
+      input.addData(("u1", ts(500), 1.0)) // watermark jumps to 500min
+      q.processAllAvailable()
+      // an event 500min behind the watermark: the operator's late-event
+      // filter drops it before the function (so no session for u2), and the
+      // timeout clamp guards the dual-watermark gap where a
+      // barely-not-late row could still ask for a below-watermark timeout —
+      // either way the query must survive
+      input.addData(("u2", ts(0), 2.0))
+      q.processAllAvailable()
+      input.addData(("u3", ts(900), 3.0)) // advance watermark → u1 times out
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val got = spark.table("cglate")
+        .select("user_id", "closed_by")
+        .as[(String, String)].collect().toSet
+      assert(got.contains(("u1", "timeout")))
+      assert(!got.exists(_._1 == "u2"), "dropped late event must not session")
+    } finally q.stop()
+  }
+
   test("stateless text analysis runs on a stream as-is") {
     val input = MemoryStream[(Long, String)]
     val annotated = Streaming.annotateQuality(
