@@ -530,6 +530,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {
+      // pairs → CLUSTERS: unigram-Jaccard pairs on an id-window candidate
+      // set (chains deliberately: doc i ~ i+1 ~ i+2 at θ=0.9 without
+      // i ~ i+2), closed transitively by alternating large-star/small-star
+      // connected components. The oracle recomputes the closure in DuckDB
+      // with a recursive CTE — 10 multi-doc clusters with 71 transitively-
+      // implied (never directly edged) memberships at sf0.01, so a CC bug
+      // cannot hide behind the pair list.
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val cands = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+      val pairs = Dedup.jaccardVerify(docs, "text", "doc_id", cands,
+        shingleN = 1, threshold = 0.9)
+      Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("is_representative"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           shingleN = 3, threshold = 0.5)
@@ -1011,6 +1030,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_clusters" ->
+      // transitive closure via recursive CTE: reach(id, lbl) saturates
+      // "lbl can reach id", then min(lbl) per id = the component minimum —
+      // an independent closure construction from the Spark side's
+      // large-star/small-star contraction
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |    w -> length(w) > 0)) AS sh FROM d),
+        |e AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.9),
+        |und AS (SELECT id_a AS u, id_b AS v FROM e
+        |        UNION ALL SELECT id_b, id_a FROM e),
+        |reach(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.id)
+        |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
+        |  (MIN(lbl) = id) AS is_representative
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """WITH u AS (

@@ -434,4 +434,39 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  // ---------- pairs → clusters (the dedup DECISION step) ----------
+
+  /** Near-duplicate CLUSTERS from candidate pairs: the transitive closure of
+    * any pair source above (minhash/simhash/cosine/jaccard), labeled by
+    * [[ConnectedComponents.labels]]. Every row of `df` gets a `cluster_id`
+    * (the minimum member id — rows with no near-dup keep their own id) and
+    * `is_representative` = "this is the one copy a dedup keeps".
+    *
+    * Keeping min-id as the representative makes the choice deterministic
+    * and join-free: a cluster's representative IS its label.
+    *
+    * `pairs` needs columns `id_a`, `id_b`; extra columns (jaccard, cosine,
+    * hamming) are ignored. The labels side is the number of DUPLICATED
+    * documents only — usually a small fraction of the corpus — so the
+    * closing join stays cheap at 100 TB while `df` itself never reshuffles
+    * more than once.
+    */
+  def duplicateClusters(df: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+    df.join(labels.withColumnRenamed("id", "__cc_id"),
+        col(idCol) === col("__cc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("is_representative", col("cluster_id") === col(idCol))
+      .drop("__cc_id")
+  }
+
+  /** Drop near-duplicates: keep exactly one representative per cluster of
+    * `pairs` (the min-id member), all non-duplicated rows untouched. */
+  def dropNearDuplicates(df: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame =
+    duplicateClusters(df, idCol, pairs)
+      .filter(col("is_representative"))
+      .drop("cluster_id", "is_representative")
 }
