@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -693,6 +693,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_contamination" -> ((s, dir) => {
+      // benchmark-contamination: docs sharing any word 5-gram with the
+      // "benchmark" slice (every 20th doc). Benchmark grams broadcast.
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      val train = docs.filter(col("doc_id") % 20 =!= 0)
+      Corpus.contamination(train, bench, "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_segments" -> ((s, dir) => {
+      // corpus-wide first-occurrence segment dedup (8-word segments);
+      // oracle recomputes with a window in DuckDB
+      Corpus.dedupSegments(t(s, dir, "documents"), "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_redact_pii" -> ((s, dir) => {
+      // deterministic PII injected per doc (base corpus has none), then
+      // redacted — exercises all three patterns and their ordering
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Corpus.redactPII(injected).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_gopher_rules" -> ((s, dir) => {
+      val rules = Corpus.gopherRules(col("text"), minWords = 20, maxWords = 60,
+        minMeanWordLen = 3.0, maxMeanWordLen = 6.0, minUniqueFrac = 0.3)
+      t(s, dir, "documents")
+        .select(col("doc_id") +: rules.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_stratified_sample" -> ((s, dir) => {
+      // exact floor(0.3 * |stratum|) per lang, md5-ranked (seed "graft")
+      Corpus.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          frac = 0.3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1102,6 +1148,89 @@ object SparkEntry {
         |       WHEN c_fr = greatest(c_de,c_en,c_es,c_fr) THEN 'fr'
         |       ELSE 'und' END AS pred_lang
         |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+        |    i -> array_to_string(ws[i:i+4], ' ')) AS gs FROM w),
+        |b AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM g WHERE doc_id % 20 = 0)),
+        |tg AS (SELECT DISTINCT doc_id, g FROM
+        |  (SELECT doc_id, unnest(gs) AS g FROM g WHERE doc_id % 20 <> 0)),
+        |ov AS (SELECT tg.doc_id, count(*) AS n FROM tg JOIN b USING (g)
+        |       GROUP BY tg.doc_id)
+        |SELECT w.doc_id,
+        |  CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap_grams,
+        |  coalesce(ov.n, 0) >= 1 AS is_contaminated
+        |FROM w LEFT JOIN ov ON w.doc_id = ov.doc_id
+        |WHERE w.doc_id % 20 <> 0 ORDER BY w.doc_id""".stripMargin,
+
+    "q_dedup_segments" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(ws[i*8+1 : least((i+1)*8, len(ws))], ' ') AS seg
+        |  FROM (SELECT doc_id, ws,
+        |          unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS i
+        |        FROM w)),
+        |k AS (SELECT doc_id, seg_idx, seg,
+        |        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |      FROM s),
+        |r AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS dedup_text
+        |      FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(r.dedup_text, '') AS dedup_text
+        |FROM w LEFT JOIN r ON w.doc_id = r.doc_id ORDER BY w.doc_id""".stripMargin,
+
+    "q_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |          || '.7 or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+[0-9][0-9-]{6,14}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ws FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CASE WHEN len(ws) > 0
+        |    THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END AS mean_word_len,
+        |  CASE WHEN len(ws) > 0
+        |    THEN CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+        |    ELSE 0.0 END AS unique_frac,
+        |  list_has_any(ws, ['the','a','of','to','and']) AS ok_stopword
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, unique_frac,
+        |  (n_words >= 20 AND n_words <= 60) AS ok_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 6.0) AS ok_mean_word_len,
+        |  (unique_frac >= 0.3) AS ok_unique_frac,
+        |  ok_stopword,
+        |  (n_words >= 20 AND n_words <= 60 AND mean_word_len >= 3.0
+        |   AND mean_word_len <= 6.0 AND unique_frac >= 0.3 AND ok_stopword) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rk <= floor(n * 0.3) ORDER BY doc_id""".stripMargin,
 
     "q_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv

@@ -1,0 +1,136 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Corpus curation operators: contamination, segment dedup, PII redaction,
+  * Gopher rules, stratified sampling — hand-computed goldens throughout.
+  */
+class CorpusSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("wordNgrams: order, joining, short-text empties") {
+    val df = Seq((0L, "a b c d"), (1L, "a b"), (2L, ""), (3L, "  x  y  z "))
+      .toDF("id", "text")
+    val got = df.select($"id", Corpus.wordNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L) == Seq("a b c", "b c d"))
+    assert(got(1L) == Seq.empty) // fewer than n words
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x y z")) // trim + run-collapsing split
+  }
+
+  test("contamination: distinct-gram counting, threshold, clean docs zero") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon"), // grams "alpha beta","beta gamma","gamma delta" shared
+      (1L, "zeta eta theta"),                 // clean
+      (2L, "alpha beta alpha beta gamma"))    // "alpha beta" twice but counted once; "beta gamma" once
+      .toDF("doc_id", "text")
+    val got = Corpus.contamination(train, bench, "text", "doc_id", n = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((0L, 3L, true), (1L, 0L, false), (2L, 2L, true)))
+    val strict = Corpus.contamination(train, bench, "text", "doc_id",
+        n = 2, minOverlap = 3L)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(strict.map(_._3) == Seq(true, false, false))
+  }
+
+  test("contamination: shuffle-join fallback agrees with broadcast") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((0L, "alpha beta gamma"), (1L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val a = Corpus.contamination(train, bench, "text", "doc_id", n = 2)
+      .orderBy("doc_id").collect().toSeq
+    val b = Corpus.contamination(train, bench, "text", "doc_id", n = 2,
+      broadcastBench = false).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("dedupSegments: first occurrence wins, order kept, rows never dropped") {
+    // k=2 segments: doc0 = [a b][c d]; doc1 = [c d][e f] (c d repeated);
+    // doc2 = [a b][c d] (everything repeated → empty); doc3 odd tail [g]
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "c d e f"),
+      (2L, "a b c d"),
+      (3L, "g"))
+      .toDF("doc_id", "text")
+    val got = Corpus.dedupSegments(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, "a b c d"),
+      (1L, "e f"),
+      (2L, ""),
+      (3L, "g")))
+  }
+
+  test("dedupSegments: within-doc repetition collapses to first") {
+    val docs = Seq((0L, "x y x y x y")).toDF("doc_id", "text")
+    val got = Corpus.dedupSegments(docs, "text", "doc_id", k = 2)
+      .as[(Long, String)].collect().head
+    assert(got == (0L -> "x y"))
+  }
+
+  test("redactPII: email, ip, phone; ordering prevents half-eaten IPs") {
+    val df = Seq(
+      (0L, "write to alice.smith+x@mail.example.org today"),
+      (1L, "server at 192.168.0.1 port 80"),
+      (2L, "call +1-555-0199 now"),
+      (3L, "mixed bob@x.io 10.0.0.7 +44-20-7946-0958"),
+      (4L, "clean text, no pii at all"))
+      .toDF("id", "text")
+    val got = df.select($"id", Corpus.redactPII($"text").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(0L) == "write to <EMAIL> today")
+    assert(got(1L) == "server at <IP> port 80")
+    assert(got(2L) == "call <PHONE> now")
+    assert(got(3L) == "mixed <EMAIL> <IP> <PHONE>")
+    assert(got(4L) == "clean text, no pii at all")
+  }
+
+  test("gopherRules: each rule flips independently; keep is the conjunction") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog again"), // all pass
+      (1L, "the fox"),                                          // word count
+      (2L, "the aa bb cc dd ee ff gg hh ii"),                   // mean len < 3
+      (3L, "the the the the the the the the the the"),          // unique frac
+      (4L, "quick brown fox jumps over lazy dog runs far fast")) // no stopword
+      .toDF("id", "text")
+    val cols = Corpus.gopherRules($"text", minWords = 5, maxWords = 20,
+      minMeanWordLen = 2.5, maxMeanWordLen = 10.0, minUniqueFrac = 0.5)
+    val out = df.select($"id" +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("id").collect()
+    def b(r: org.apache.spark.sql.Row, n: String) =
+      r.getBoolean(r.fieldIndex(n))
+    assert(b(out(0), "keep"))
+    assert(!b(out(1), "ok_word_count") && !b(out(1), "keep"))
+    assert(!b(out(2), "ok_mean_word_len") && !b(out(2), "keep"))
+    assert(!b(out(3), "ok_unique_frac") && !b(out(3), "keep"))
+    assert(!b(out(4), "ok_stopword") && !b(out(4), "keep"))
+    // golden arithmetic: doc0 has 10 words, 38 letters → mean 3.8
+    val r0 = out(0)
+    assert(r0.getLong(r0.fieldIndex("n_words")) == 10L)
+    assert(math.abs(r0.getDouble(r0.fieldIndex("mean_word_len")) - 3.8) < 1e-9)
+  }
+
+  test("stratifiedSample: exact floor(frac*n) per stratum, deterministic") {
+    val df = (0L until 100L).map(i => (i, if (i < 60) "en" else "fr"))
+      .toDF("id", "lang")
+    val s1 = Corpus.stratifiedSample(df, "lang", "id", frac = 0.25)
+    val counts = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 15L, "fr" -> 10L)) // floor(0.25*60), floor(0.25*40)
+    // deterministic: same call → same ids
+    val s2 = Corpus.stratifiedSample(df, "lang", "id", frac = 0.25)
+    assert(s1.orderBy("id").collect().toSeq == s2.orderBy("id").collect().toSeq)
+    // different salt → (almost surely) different selection, same counts
+    val s3 = Corpus.stratifiedSample(df, "lang", "id", frac = 0.25, salt = "other")
+    assert(s3.count() == 25L)
+    assert(s3.orderBy("id").collect().toSeq != s1.orderBy("id").collect().toSeq)
+    // frac edge cases
+    assert(Corpus.stratifiedSample(df, "lang", "id", 0.0).count() == 0L)
+    assert(Corpus.stratifiedSample(df, "lang", "id", 1.0).count() == 100L)
+  }
+}
