@@ -59,11 +59,19 @@ object Corpus {
                     minOverlap: Long = 1L,
                     broadcastBench: Boolean = true): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    // shuffle/broadcast 64-bit gram hashes, never gram strings: the
+    // broadcast side is 8 bytes/gram and the train-side distinct+join
+    // shuffles (id, long). A hash collision flags one extra gram as shared
+    // (P ≈ n²/2⁶⁴ per doc) — the standard trade in production overlap
+    // checks; the strings themselves never leave their partitions.
     val bg0 = bench
-      .select(explode(wordNgrams(col(textCol), n)).as("__g")).distinct()
+      .select(explode(wordNgrams(col(textCol), n)).as("__gs"))
+      .select(xxhash64(col("__gs")).as("__g")).distinct()
     val bg = if (broadcastBench) broadcast(bg0) else bg0
     val overlaps = train
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(col(idCol),
+        explode(wordNgrams(col(textCol), n)).as("__gs"))
+      .select(col(idCol), xxhash64(col("__gs")).as("__g"))
       .distinct() // count each shared gram once per doc
       .join(bg, "__g")
       .groupBy(col(idCol))
@@ -89,10 +97,13 @@ object Corpus {
     * Output: `(<idCol>, dedup_text)`.
     *
     * 100 TB shape: the first-occurrence choice is a groupBy-min on the
-    * segment (map-side combine; the shuffle carries each distinct segment
-    * once per partition, not per occurrence), the winner check is an
-    * equi-join on the segment, and reassembly shuffles each surviving
-    * segment exactly once keyed by uniform doc id. Nothing is ever
+    * segment's 64-bit content hash (map-side combine; the shuffle carries
+    * each distinct 8-byte hash once per partition, not each occurrence of
+    * the text), the winner check is an equi-join on that hash, and
+    * reassembly shuffles each surviving segment exactly once keyed by
+    * uniform doc id — the only shuffle that carries text, and the output
+    * needs that text. A hash collision merges two distinct segments
+    * (P ≈ n²/2⁶⁴ — the trade every production dedup makes). Nothing is ever
     * quadratic in corpus size and no driver-side state exists. A repeated
     * mega-segment (site boilerplate duplicated 10⁹×) is one groupBy key —
     * partial aggregation absorbs it; the join side is AQE-skew-split
@@ -108,11 +119,16 @@ object Corpus {
         i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
     val exploded = docs
       .select(col(idCol), posexplode(segs).as(Seq("__seg_idx", "__seg")))
-    // min(struct) = lexicographic (id, idx) minimum — the deterministic
-    // "first occurrence" without a window over the whole corpus
-    val firstOcc = exploded.groupBy(col("__seg"))
+    // The dedup DECISION runs on a 64-bit content hash of the segment (what
+    // production dedup shuffles — Lee et al. use hashes too): the groupBy
+    // key and join key are 8 bytes, and segment text crosses the wire only
+    // where the output needs it (the reassembly shuffle). min(struct) =
+    // lexicographic (id, idx) minimum — deterministic first occurrence
+    // without a window over the whole corpus.
+    val hashed = exploded.withColumn("__h", xxhash64(col("__seg")))
+    val firstOcc = hashed.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__seg_idx"))).as("__first"))
-    val kept = exploded.join(firstOcc, "__seg")
+    val kept = hashed.join(firstOcc, "__h")
       .filter(struct(col(idCol), col("__seg_idx")) === col("__first"))
     val reassembled = kept.groupBy(col(idCol))
       .agg(concat_ws(" ", transform(

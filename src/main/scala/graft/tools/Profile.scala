@@ -88,6 +88,13 @@ object Profile {
         SparkEntry.queries("q_dedup_minhash_planted")(spark, sfDir))
     }
 
+    // generic: an exact query name runs that query 3× (steady state = run 2+)
+    only.filter(SparkEntry.queries.contains).foreach { q =>
+      (1 to 3).foreach { i =>
+        time(s"$q:run$i")(SparkEntry.queries(q)(spark, sfDir))
+      }
+    }
+
     spark.stop()
   }
 }
