@@ -693,6 +693,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_curate_pipeline" -> ((s, dir) => {
+      // END-TO-END CURATION THROUGH THE SPEC/RUNNER LAYER: content-addressed
+      // load → benchmark slice (every 20th row, TakeRowsOp) → contamination
+      // flag (broadcast gram hashes) → keep-clean mask → exact dedup (first
+      // copy per digest) → exact stratified half-sample per lang →
+      // JinjaTemplatize render. Five ops deep, three positional re-indexes;
+      // the oracle replays every stage over the same positional identity.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val benchText = SelectTextColumnOp(TakeRowsOp(ds, skip = 20L), "text")
+      val flag = ContaminationFlagOp(
+        SelectTextColumnOp(ds, "text"), benchText, n = 5L)
+      val clean = MaskRowsOp(ds, BooleanLogicOp("not", flag, flag))
+      val dedup = DropExactDuplicatesOp(clean,
+        SelectTextColumnOp(clean, "text"))
+      val samp = StratifiedSampleOp(dedup,
+        SelectCategoricalColumnOp(dedup, "lang"), frac = 0.5)
+      val rendered = JinjaTemplatizeOp("[{{lang}}] {{text}}", Map(
+        "lang" -> SelectCategoricalColumnOp(samp, "lang"),
+        "text" -> SelectTextColumnOp(samp, "text")))
+      r.toFrame(samp).select(col("doc_id"), col(ColumnOps.RowIdx))
+        .join(r.toFrame(rendered)
+          .select(col(ColumnOps.RowIdx), col("value").as("rendered")),
+          ColumnOps.RowIdx)
+        .select(col("doc_id"), col("rendered"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       // benchmark-contamination: docs sharing any word 5-gram with the
       // "benchmark" slice (every 20th doc). Benchmark grams broadcast.
@@ -1148,6 +1176,40 @@ object SparkEntry {
         |       WHEN c_fr = greatest(c_de,c_en,c_es,c_fr) THEN 'fr'
         |       ELSE 'und' END AS pred_lang
         |FROM cnt ORDER BY doc_id""".stripMargin,
+
+    "q_curate_pipeline" ->
+      // each pipeline stage replayed over DuckDB's file-order row ids:
+      // contamination semi-join → mask re-index → first-occurrence dedup
+      // re-index → md5-ranked per-lang half sample → template concat
+      """WITH base AS (
+        |  SELECT doc_id, text, lang, row_number() OVER () - 1 AS rid
+        |  FROM documents),
+        |tw AS (SELECT rid, list_filter(regexp_split_to_array(trim(text), '[ \t\n\f\r]+'),
+        |  x -> length(x) > 0) AS ws FROM base),
+        |gr AS (SELECT rid, list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+        |  i -> array_to_string(ws[i:i+4], ' ')) AS gs FROM tw),
+        |bg AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM gr WHERE rid % 20 = 0)),
+        |cont AS (SELECT DISTINCT rid FROM
+        |  (SELECT rid, unnest(gs) AS g FROM gr) t JOIN bg USING (g)),
+        |clean AS (
+        |  SELECT doc_id, text, lang, row_number() OVER (ORDER BY rid) - 1 AS ridx
+        |  FROM base WHERE rid NOT IN (SELECT rid FROM cont)),
+        |firsts AS (
+        |  SELECT doc_id, text, lang, ridx,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY ridx) AS occ
+        |  FROM clean),
+        |dedup AS (
+        |  SELECT doc_id, text, lang, row_number() OVER (ORDER BY ridx) - 1 AS didx
+        |  FROM firsts WHERE occ = 1),
+        |samp AS (
+        |  SELECT doc_id, text, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(didx AS VARCHAR)), didx) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM dedup)
+        |SELECT doc_id, '[' || lang || '] ' || text AS rendered
+        |FROM samp WHERE rk <= floor(n * 0.5) ORDER BY doc_id""".stripMargin,
 
     "q_contamination" ->
       """WITH w AS (

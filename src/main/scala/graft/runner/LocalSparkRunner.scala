@@ -83,6 +83,8 @@ class LocalSparkRunner(
     case g: LLMGenerateTextOp => lengthOf(g.prompt)
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
     case g: GroupedOp => lengthOf(g.ops.last)
+    case RedactPIIColumnOp(t) => lengthOf(t)
+    case c: ContaminationFlagOp => lengthOf(c.text)
     case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
   }
 
@@ -472,6 +474,60 @@ class LocalSparkRunner(
 
     case viz: UMAPVizOp =>
       FrameResult(graft.ml.Viz.embed2d(this, viz))
+
+    case RedactPIIColumnOp(text) =>
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.Corpus.redactPII(col(ValueCol)).as(ValueCol)))
+
+    case DropExactDuplicatesOp(dataset, text) =>
+      val df = frame(dataset)
+      if (validateLengths) checkSameLength(dataset, text, "text")
+      // first occurrence per content digest = min row idx; the dedup
+      // decision shuffles 16-byte digests + longs, never documents
+      val keyed = frame(text)
+        .select(col(RowIdx), md5(col(ValueCol)).as("__dig"))
+      val firstOcc = keyed.groupBy(col("__dig"))
+        .agg(min(col(RowIdx)).as("__keep"))
+      val keepIdx = keyed.join(firstOcc, "__dig")
+        .filter(col(RowIdx) === col("__keep")).select(col(RowIdx))
+      FrameResult(reindex(df.join(keepIdx, RowIdx), lengthOf(dataset)))
+
+    case ContaminationFlagOp(text, benchmark, n, minOverlap) =>
+      val t = frame(text)
+      // benchmark grams broadcast as 64-bit hashes (ext.Corpus shape)
+      val bg = broadcast(frame(benchmark)
+        .select(explode(graft.ext.Corpus.wordNgrams(col(ValueCol), n.toInt))
+          .as("__gs"))
+        .select(xxhash64(col("__gs")).as("__g")).distinct())
+      val counts = t
+        .select(col(RowIdx),
+          explode(graft.ext.Corpus.wordNgrams(col(ValueCol), n.toInt))
+            .as("__gs"))
+        .select(col(RowIdx), xxhash64(col("__gs")).as("__g"))
+        .distinct()
+        .join(bg, "__g")
+        .groupBy(col(RowIdx)).agg(count(lit(1)).as("__n"))
+      FrameResult(t.select(col(RowIdx))
+        .join(counts, Seq(RowIdx), "left")
+        .select(col(RowIdx),
+          (coalesce(col("__n"), lit(0L)) >= minOverlap).as(ValueCol)))
+
+    case StratifiedSampleOp(dataset, stratum, frac, salt) =>
+      val df = frame(dataset)
+      if (validateLengths) checkSameLength(dataset, stratum, "stratum")
+      // md5 rank on the ROW INDEX: selection depends only on positional
+      // identity + salt, not on how the stratum column was computed
+      val rankKey = md5(concat_ws(":", lit(salt), col(RowIdx).cast("string")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__st")).orderBy(rankKey, col(RowIdx))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("__st"))
+      val keepIdx = frame(stratum)
+        .select(col(RowIdx), col(ValueCol).as("__st"))
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(cw))
+        .filter(col("__rk") <= floor(col("__n") * frac))
+        .select(col(RowIdx))
+      FrameResult(reindex(df.join(keepIdx, RowIdx), lengthOf(dataset)))
 
     case other =>
       throw new UnsupportedOperationException(

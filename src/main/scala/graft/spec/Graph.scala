@@ -351,6 +351,19 @@ object OpRegistry {
         lng(o, "n_neighbors"), lng(o, "n_epochs"), lng(o, "random_state"),
         str(o, "metric"), dbl(o, "learning_rate"), dbl(o, "min_dist"),
         dbl(o, "spread"), bool(o, "densmap"))),
-    "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r)))
+    "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r))),
+    "RedactPIIColumnOp" -> ((o, r) =>
+      RedactPIIColumnOp(op[TextColumnType](o, "text", r))),
+    "DropExactDuplicatesOp" -> ((o, r) =>
+      DropExactDuplicatesOp(op[DatasetType](o, "dataset", r),
+        op[TextColumnType](o, "text", r))),
+    "ContaminationFlagOp" -> ((o, r) =>
+      ContaminationFlagOp(op[TextColumnType](o, "text", r),
+        op[TextColumnType](o, "benchmark", r), lng(o, "n"),
+        lng(o, "min_overlap"))),
+    "StratifiedSampleOp" -> ((o, r) =>
+      StratifiedSampleOp(op[DatasetType](o, "dataset", r),
+        op[CategoricalColumnType](o, "stratum", r), dbl(o, "frac"),
+        str(o, "salt")))
   )
 }

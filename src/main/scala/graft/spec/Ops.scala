@@ -272,3 +272,46 @@ final case class UMAPVizOp(
 // ---------- grouping (reference grouped_ops.py:8-17) ----------
 
 final case class GroupedOp(ops: Seq[OpSpec]) extends OpSpec
+
+// ---------- scale-extension ops (beyond the reference surface) ----------
+// The curation operators a 100 TB training-data pipeline runs (ext/ package)
+// lifted into the spec layer, so dedup/sampling/redaction participate in
+// content-addressed memoization, graph serde, subs() surgery, and the CLI
+// exactly like reference ops. north star: /root/repo/BASELINE.json.
+
+/** Redact emails/IPv4s/phones from a text column ([[graft.ext.Corpus.redactPII]]).
+  * Ephemeral: a pure narrow map that fuses into its consumer's plan. */
+final case class RedactPIIColumnOp(text: TextColumnType)
+  extends TextColumnType with EphemeralOp
+
+/** Drop exact duplicates of `text` corpus-wide, keeping each content's FIRST
+  * occurrence (minimum row index — deterministic); survivors re-indexed
+  * positionally like `MaskRowsOp`. The dedup decision shuffles 16-byte
+  * digests, never documents. */
+final case class DropExactDuplicatesOp(
+    dataset: DatasetType,
+    text: TextColumnType) extends DatasetType
+
+/** Per-row benchmark-contamination flag: true iff the row's text shares at
+  * least `minOverlap` distinct word `n`-grams with the benchmark text column
+  * (broadcast as 64-bit gram hashes — [[graft.ext.Corpus.contamination]]). */
+final case class ContaminationFlagOp(
+    text: TextColumnType,
+    benchmark: TextColumnType,
+    n: Long = 5L,
+    minOverlap: Long = 1L) extends BooleanColumnType {
+  require(n >= 1L, s"n must be >= 1, got $n")
+  require(minOverlap >= 1L, s"minOverlap must be >= 1, got $minOverlap")
+}
+
+/** Exact stratified sample: keep floor(frac * |stratum|) rows per stratum,
+  * md5-ranked on the ROW INDEX (positional identity — the same rows are
+  * kept no matter how the stratum column was derived), seeded by `salt`;
+  * survivors re-indexed positionally. */
+final case class StratifiedSampleOp(
+    dataset: DatasetType,
+    stratum: CategoricalColumnType,
+    frac: Double,
+    salt: String = "graft") extends DatasetType {
+  require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+}
