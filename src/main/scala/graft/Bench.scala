@@ -61,11 +61,15 @@ object Bench {
       // not read as a round-over-round speedup)
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: the driver keeps only a 2000-char tail of this process'
+    // output, and full-precision doubles pushed the one-line JSON past it
+    // (head-truncated JSON → BENCH_r{1..6} all have parsed:null)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // exclude failure sentinels from the headline total (a broken query
     // must not SUBTRACT from it either)
-    val total = results.values.filter(_ >= 0).sum
+    val total = r3(results.values.filter(_ >= 0).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

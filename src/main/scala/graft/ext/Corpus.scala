@@ -19,13 +19,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Corpus {
 
-  /** Word tokens: trimmed, split on runs of RE2-safe whitespace
-    * ([[TextAnalysis.Ws]] — `\s` differs between Java and RE2, and these
-    * results are oracle-replayed in DuckDB). Blank text → empty array.
+  /** Word tokens: split on runs of RE2-safe whitespace ([[TextAnalysis.Ws]]
+    * — `\s` differs between Java and RE2, and these results are
+    * oracle-replayed in DuckDB), then zero-length tokens dropped. Spark's
+    * `split` keeps the empty strings that leading/trailing separators
+    * produce (and `trim` strips only spaces, not tabs/newlines), while the
+    * DuckDB oracles all apply `list_filter(length > 0)` — filtering here
+    * keeps both engines' word lists identical on whitespace-edged text.
+    * Blank text → empty array.
     */
   def words(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), TextAnalysis.Ws + "+"))
+    filter(split(text, TextAnalysis.Ws + "+"), w => length(w) > 0)
 
   /** All word n-grams of `text` joined by single spaces, in order; fewer
     * than `n` words → empty array. Pure expression — the explode/shuffle

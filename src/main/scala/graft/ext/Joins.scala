@@ -88,8 +88,11 @@ object Joins {
     val bin = "__rj_bin"
     val p = points.withColumn(bin, floor(col(ptTs) / binWidth).cast("long"))
     // end is EXCLUSIVE: an interval touching a bin boundary exactly does
-    // not cover the next bin
-    val i = intervals.withColumn(bin, explode(sequence(
+    // not cover the next bin. Empty/inverted intervals (end <= start) can
+    // match no point, but left unfiltered they'd make sequence() count
+    // DOWNWARD (Spark generates descending sequences when start > stop) —
+    // one far-inverted row would explode into a huge bin array.
+    val i = intervals.filter(col(endTs) > col(startTs)).withColumn(bin, explode(sequence(
       floor(col(startTs) / binWidth).cast("long"),
       floor((col(endTs) - 1) / binWidth).cast("long"))))
     i.join(p, keys :+ bin)

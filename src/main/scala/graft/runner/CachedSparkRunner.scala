@@ -58,29 +58,32 @@ class CachedSparkRunner(
   override protected def onResultPersisted(op: OpSpec): Unit = push(op)
 
   /** Transient statuses go through to the shared store too (live remote
-    * visibility); reads prefer local, fall back to shared, and cache only
-    * completed snapshots. */
+    * visibility); reads prefer a COMPLETED local snapshot, fall back to
+    * shared, and cache only completed snapshots. */
   override protected def writeStatus(st: OpStatus): Unit = {
     super.writeStatus(st)
     val (cls, hash) = split(st.uuid)
     val from = Paths.get(storeUri, cls, hash, "status.json")
     val to = Paths.get(sharedUri, cls, hash, "status.json")
     Files.createDirectories(to.getParent)
-    Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    replaceAtomic(from, to)
   }
 
   override def status(op: OpSpec): OpStatus = {
-    val local = cacheDir(op).resolve("status.json")
-    if (Files.exists(local)) return super.status(op)
+    val localPath = cacheDir(op).resolve("status.json")
+    val local = if (Files.exists(localPath)) Some(super.status(op)) else None
+    // A completed local snapshot is immutable truth; anything else (own
+    // live `running`, a stale `failed`) must not shadow a remote completion.
+    if (local.exists(_.state == OpState.Completed)) return local.get
     val remote = sharedDir(op).resolve("status.json")
     if (Files.exists(remote)) {
       val st = OpStatus.fromJson(Json.parse(Files.readString(remote)))
       if (st.state == OpState.Completed) {
-        Files.createDirectories(local.getParent)
-        Files.copy(remote, local, StandardCopyOption.REPLACE_EXISTING)
-      }
-      st
-    } else super.status(op)
+        Files.createDirectories(localPath.getParent)
+        replaceAtomic(remote, localPath)
+        st
+      } else local.getOrElse(st) // own live state beats remote transients
+    } else local.getOrElse(super.status(op))
   }
 
   override def uuidToOp(uuid: String): OpSpec = {
@@ -88,8 +91,21 @@ class CachedSparkRunner(
     val local = Paths.get(storeUri, cls, hash, "status.json")
     val remote = Paths.get(sharedUri, cls, hash, "status.json")
     if (!Files.exists(local) && Files.exists(remote)) {
-      Files.createDirectories(local.getParent)
-      Files.copy(remote, local, StandardCopyOption.REPLACE_EXISTING)
+      val st = OpStatus.fromJson(Json.parse(Files.readString(remote)))
+      if (st.state == OpState.Completed) {
+        Files.createDirectories(local.getParent)
+        replaceAtomic(remote, local)
+      } else {
+        // Rehydrate from the remote snapshot WITHOUT caching it: a cached
+        // `running`/`failed` would shadow the remote's later completion
+        // (status() prefers local only once it's completed, but uuidToOp
+        // must not plant transient local state either).
+        val graph = st.graph.getOrElse(throw new IllegalStateException(
+          s"status for $uuid has no graph"))
+        return Graph.deserialize(graph).find(_.uuid == uuid)
+          .getOrElse(throw new IllegalStateException(
+            s"graph in status for $uuid does not contain it"))
+      }
     }
     super.uuidToOp(uuid)
   }
@@ -122,17 +138,6 @@ class CachedSparkRunner(
     finally s.close()
   }
 
-  /** Copy every regular file under `from` into `to` (skip ones already
-    * present — op dirs are immutable once done), `done` marker ordered
-    * last so a half-copied dir is never mistaken for a result. Safe for
-    * PULLS: the source is a single complete winner, so per-file
-    * skip-if-exists converges even across crashes/retries. */
-  private def syncDir(from: Path, to: Path): Unit = {
-    val files = walkFiles(from)
-      .sortBy(f => (f.getFileName.toString == "done", f.toString))
-    files.foreach(f => copyAtomic(f, to.resolve(from.relativize(f))))
-  }
-
   private def copyAtomic(f: Path, dest: Path): Unit =
     if (!Files.exists(dest)) {
       Files.createDirectories(dest.getParent)
@@ -147,7 +152,56 @@ class CachedSparkRunner(
       }
     }
 
-  private def pull(op: OpSpec): Unit = syncDir(sharedDir(op), cacheDir(op))
+  /** Like [[copyAtomic]] but REPLACING any existing destination — status
+    * files are mutable, unlike results, so skip-if-exists would pin the
+    * first snapshot forever. POSIX rename replaces atomically. */
+  private def replaceAtomic(f: Path, dest: Path): Unit = {
+    val tmp = dest.getParent.resolve(
+      "." + dest.getFileName + ".tmp" + ProcessHandle.current().pid())
+    Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      // materialize the listing before deleting under the open walk stream
+      val paths = {
+        val s = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList
+        } finally s.close()
+      }
+      paths.sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  /** Pull mirrors push's staging discipline: the remote op dir is copied
+    * into a temp sibling, then atomically renamed into the cache. Any
+    * dirty local dir — a crash after the result job committed its part
+    * files but before the `done` marker — is DELETED first, not merged
+    * into: remote part files carry different writer-generated names, so a
+    * per-file skip-if-exists merge would leave both sets side by side and
+    * `spark.read.parquet` would return duplicated rows. */
+  private def pull(op: OpSpec): Unit = {
+    val from = sharedDir(op); val to = cacheDir(op)
+    if (Files.exists(to.resolve("done"))) return
+    Files.createDirectories(to.getParent)
+    val tmp = to.getParent.resolve(
+      "." + to.getFileName + ".pull" + ProcessHandle.current().pid())
+    deleteRecursively(tmp)
+    walkFiles(from).foreach { f =>
+      val d = tmp.resolve(from.relativize(f))
+      Files.createDirectories(d.getParent)
+      Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteRecursively(to) // discard the dirty (done-less) partial state
+    try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
+    catch { // a concurrent puller won the rename; theirs is equally complete
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.DirectoryNotEmptyException =>
+        deleteRecursively(tmp)
+    }
+  }
 
   /** Push is NOT a per-file merge: two machines computing the same op
     * concurrently each produce complete-but-differently-named parquet part

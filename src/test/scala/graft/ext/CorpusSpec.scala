@@ -21,6 +21,19 @@ class CorpusSpec extends SparkTestBase {
     assert(got(3L) == Seq("x y z")) // trim + run-collapsing split
   }
 
+  test("words: tab/newline-edged text yields no empty tokens") {
+    // Spark's trim strips only spaces; split keeps edge empties — both
+    // must be invisible to callers (the DuckDB oracles list_filter them)
+    val df = Seq((0L, "\ta b\t"), (1L, "\n x \n"), (2L, ""), (3L, " \t\n "))
+      .toDF("id", "text")
+    val got = df.select($"id", Corpus.words($"text").as("w"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L) == Seq("a", "b"))
+    assert(got(1L) == Seq("x"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq.empty)
+  }
+
   test("contamination: distinct-gram counting, threshold, clean docs zero") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val train = Seq(

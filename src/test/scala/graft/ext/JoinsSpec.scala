@@ -81,6 +81,22 @@ class JoinsSpec extends SparkTestBase {
     assert(out == Set((1L, 5L), (1L, 24L), (2L, 39L)))
   }
 
+  test("rangeJoinBinned: inverted/empty intervals match nothing, cheaply") {
+    // end <= start can never contain a point, but without the pre-filter
+    // sequence(startBin, endBin) would count DOWNWARD — the far-inverted
+    // row below would otherwise explode into a ~10^8-element bin array
+    val intervals = Seq(
+      ("k", 1L, 5L, 25L),           // normal
+      ("k", 2L, 50L, 50L),          // empty
+      ("k", 3L, 1000000000L, 10L))  // far-inverted
+      .toDF("key", "iid", "s", "e")
+    val points = Seq(("k", 6L), ("k", 50L)).toDF("key", "p")
+    val out = Joins.rangeJoinBinned(points, "p", intervals, "s", "e",
+        Seq("key"), binWidth = 10L)
+      .select("iid", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 6L)))
+  }
+
   test("rangeJoinBinned: each qualifying pair appears exactly once") {
     // a long interval spanning many bins must not duplicate its matches
     val intervals = Seq(("k", 1L, 0L, 100L)).toDF("key", "iid", "s", "e")

@@ -165,6 +165,88 @@ class CachedRunnerSpec extends SparkTestBase {
     Runner.reset()
   }
 
+  test("pull replaces a dirty done-less cache dir instead of merging into it") {
+    val shared = newDir("graft-shared-")
+    val machineA = new CachedSparkRunner(spark, shared, newDir("graft-cacheA-"))
+    val rid = AssignRowIDOp(inline(4))
+    machineA.materialize(rid)
+    val expected = machineA.toValues(rid)
+
+    // machine B crashed mid-run: its cache op dir holds a COMPLETE set of
+    // committed part files (cloned from A's result under different names,
+    // exactly what a crashed write leaves) but no `done` marker
+    val cacheB = newDir("graft-cacheB-")
+    val (cls, hash) = (rid.uuid.split("_")(0), rid.uuid.split("_", 2)(1))
+    val dirtyPq = Paths.get(cacheB, cls, hash, "result.parquet")
+    Files.createDirectories(dirtyPq)
+    val aParts = {
+      val s = Files.walk(machineA.opDir(rid).resolve("result.parquet"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_)).toList
+      } finally s.close()
+    }
+    aParts.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f, dirtyPq.resolve(s"part-crashed-$i-${f.getFileName}"))
+    }
+
+    // B pulls through isDone: the dirty dir must be REPLACED by the shared
+    // copy — a per-file merge would keep both part sets and double the rows
+    val machineB = new CachedSparkRunner(spark, shared, cacheB)
+    assert(machineB.isDone(rid))
+    assert(machineB.toValues(rid) == expected,
+      "pull into a dirty cache dir must not duplicate rows")
+  }
+
+  test("a stale local transient status does not shadow a remote completion") {
+    val shared = newDir("graft-shared-")
+    val cache = newDir("graft-cache-")
+    val r = new CachedSparkRunner(spark, shared, cache)
+    val rid = AssignRowIDOp(inline(3))
+    val (cls, hash) = (rid.uuid.split("_")(0), rid.uuid.split("_", 2)(1))
+
+    // local cache holds a stale RUNNING snapshot (e.g. a crashed run)
+    val localOp = Paths.get(cache, cls, hash)
+    Files.createDirectories(localOp)
+    Files.writeString(localOp.resolve("status.json"), Json.renderPretty(
+      OpStatus(rid.uuid, OpState.Running, startedAt = Some("t0")).toJson))
+    // the shared store has since completed
+    val sharedOp = Paths.get(shared, cls, hash)
+    Files.createDirectories(sharedOp)
+    Files.writeString(sharedOp.resolve("status.json"), Json.renderPretty(
+      OpStatus(rid.uuid, OpState.Completed, startedAt = Some("t0"),
+        completedAt = Some("t1"), resultFormat = Some("parquet"),
+        graph = Some(Graph.serialize(rid))).toJson))
+
+    assert(r.status(rid).state == OpState.Completed,
+      "status() must fall through to the shared store past a non-terminal local snapshot")
+  }
+
+  test("uuidToOp rehydrates a remote transient without caching its status") {
+    val shared = newDir("graft-shared-")
+    val cache = newDir("graft-cache-")
+    val r = new CachedSparkRunner(spark, shared, cache)
+    val rid = AssignRowIDOp(inline(3))
+    val (cls, hash) = (rid.uuid.split("_")(0), rid.uuid.split("_", 2)(1))
+
+    val sharedOp = Paths.get(shared, cls, hash)
+    Files.createDirectories(sharedOp)
+    Files.writeString(sharedOp.resolve("status.json"), Json.renderPretty(
+      OpStatus(rid.uuid, OpState.Running, startedAt = Some("t0"),
+        graph = Some(Graph.serialize(rid))).toJson))
+
+    assert(r.uuidToOp(rid.uuid) == rid)
+    assert(!Files.exists(Paths.get(cache, cls, hash, "status.json")),
+      "a transient remote status must not be planted in the local cache")
+    // once completed remotely, rehydration caches the terminal snapshot
+    Files.writeString(sharedOp.resolve("status.json"), Json.renderPretty(
+      OpStatus(rid.uuid, OpState.Completed, startedAt = Some("t0"),
+        completedAt = Some("t1"), resultFormat = Some("parquet"),
+        graph = Some(Graph.serialize(rid))).toJson))
+    assert(r.uuidToOp(rid.uuid) == rid)
+    assert(Files.exists(Paths.get(cache, cls, hash, "status.json")))
+  }
+
   test("uuidToOp rehydrates from the shared store on a fresh machine") {
     val shared = newDir("graft-shared-")
     val machineA = new CachedSparkRunner(spark, shared, newDir("graft-cacheA-"))
