@@ -31,17 +31,47 @@ object Corpus {
   def words(text: Column): Column =
     filter(split(text, TextAnalysis.Ws + "+"), w => length(w) > 0)
 
+  /** Let-bind an array-valued expression once per row. A higher-order
+    * function's lambda body inlines any OUTER expression it references, so
+    * `transform(sequence(...), i => f(slice(ws, ...)))` with `ws` a
+    * split/filter tree re-evaluates the whole tokenization per element —
+    * O(words²) per document (measured 8× the split's own cost on the sf0.1
+    * corpus). Routing the value through a single-element `transform` turns
+    * every inner reference into a cheap lambda-variable read. */
+  private[ext] def bindArray(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** All word n-grams of `text` joined by single spaces, in order; fewer
     * than `n` words → empty array. Pure expression — the explode/shuffle
     * decision stays with the caller.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ws = words(text)
-    val m = size(ws) - (n - 1)
-    when(m <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), m - 1),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    bindArray(words(text)) { ws =>
+      val m = size(ws) - (n - 1)
+      when(m <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), m - 1),
+          i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
+    }
+  }
+
+  /** 64-bit hashes of all word n-grams of `text`, WITHOUT materializing the
+    * gram strings: each gram is hashed as its word-slice array directly
+    * (`xxhash64` hashes array elements in order, so two grams collide in
+    * identity exactly when their word sequences match — the same equality
+    * [[wordNgrams]] strings encode, since words cannot contain the
+    * separator). Building the joined strings (slice + concat_ws per
+    * position) measured ~8× the cost of the tokenizing split itself at
+    * sf0.1; every consumer that only needs gram IDENTITY (contamination,
+    * dedup) should use this form. */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    bindArray(words(text)) { ws =>
+      val m = size(ws) - (n - 1)
+      when(m <= 0, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(0), m - 1),
+          i => xxhash64(slice(ws, i + 1, lit(n)))))
+    }
   }
 
   /** Benchmark-contamination check (the n-gram-overlap test run before
@@ -69,14 +99,16 @@ object Corpus {
     // (P ≈ n²/2⁶⁴ per doc) — the standard trade in production overlap
     // checks; the strings themselves never leave their partitions.
     val bg0 = bench
-      .select(explode(wordNgrams(col(textCol), n)).as("__gs"))
-      .select(xxhash64(col("__gs")).as("__g")).distinct()
+      .select(explode(wordNgramHashes(col(textCol), n)).as("__g")).distinct()
     val bg = if (broadcastBench) broadcast(bg0) else bg0
+    // "count each shared gram once per doc" is a PER-DOC distinct — done
+    // row-locally (array_distinct over the gram hashes) so no (id, gram)
+    // pair ever shuffles for it; the exploded hashes feed straight into
+    // the broadcast join and the only shuffle is the per-doc overlap count
+    // of the few SURVIVING grams
     val overlaps = train
-      .select(col(idCol),
-        explode(wordNgrams(col(textCol), n)).as("__gs"))
-      .select(col(idCol), xxhash64(col("__gs")).as("__g"))
-      .distinct() // count each shared gram once per doc
+      .select(col(idCol), explode(array_distinct(
+        wordNgramHashes(col(textCol), n))).as("__g"))
       .join(bg, "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap_grams"))
@@ -103,10 +135,10 @@ object Corpus {
     * 100 TB shape: the first-occurrence choice is a groupBy-min on the
     * segment's 64-bit content hash (map-side combine; the shuffle carries
     * each distinct 8-byte hash once per partition, not each occurrence of
-    * the text), the winner check is an equi-join on that hash, and
-    * reassembly shuffles each surviving segment exactly once keyed by
-    * uniform doc id — the only shuffle that carries text, and the output
-    * needs that text. A hash collision merges two distinct segments
+    * the text); the winners fold into one small index-array per doc; and
+    * reassembly joins that array back to the docs and re-splits the text
+    * row-locally — segment text never crosses the wire, only (id,
+    * index-array) decisions do. A hash collision merges two distinct segments
     * (P ≈ n²/2⁶⁴ — the trade every production dedup makes). Nothing is ever
     * quadratic in corpus size and no driver-side state exists. A repeated
     * mega-segment (site boilerplate duplicated 10⁹×) is one groupBy key —
@@ -116,31 +148,49 @@ object Corpus {
   def dedupSegments(docs: DataFrame, textCol: String, idCol: String,
                     k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ws = words(col(textCol))
-    val nseg = ceil(size(ws).cast("double") / k).cast("int")
-    val segs = when(size(ws) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nseg - 1),
-        i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
-    val exploded = docs
-      .select(col(idCol), posexplode(segs).as(Seq("__seg_idx", "__seg")))
+    def segIdx(ws: Column): Column = // indexes 0..nseg-1 of k-word segments
+      sequence(lit(0),
+        ceil(size(ws).cast("double") / k).cast("int") - 1)
+    val segs = bindArray(words(col(textCol))) { ws =>
+      when(size(ws) === 0, array().cast("array<string>"))
+        .otherwise(transform(segIdx(ws),
+          i => concat_ws(" ", slice(ws, i * k + 1, lit(k)))))
+    }
     // The dedup DECISION runs on a 64-bit content hash of the segment (what
-    // production dedup shuffles — Lee et al. use hashes too): the groupBy
-    // key and join key are 8 bytes, and segment text crosses the wire only
-    // where the output needs it (the reassembly shuffle). min(struct) =
-    // lexicographic (id, idx) minimum — deterministic first occurrence
-    // without a window over the whole corpus.
-    val hashed = exploded.withColumn("__h", xxhash64(col("__seg")))
+    // production dedup shuffles — Lee et al. use hashes too), computed from
+    // the word-slice array directly so the segment STRINGS are never built
+    // or exploded: only (id, idx, 8-byte hash) rows leave the row.
+    // min(struct) = lexicographic (id, idx) minimum — deterministic first
+    // occurrence without a window over the whole corpus.
+    val segHashes = bindArray(words(col(textCol))) { ws =>
+      when(size(ws) === 0, array().cast("array<bigint>"))
+        .otherwise(transform(segIdx(ws),
+          i => xxhash64(slice(ws, i * k + 1, lit(k)))))
+    }
+    val hashed = docs
+      .select(col(idCol), posexplode(segHashes).as(Seq("__seg_idx", "__h")))
     val firstOcc = hashed.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__seg_idx"))).as("__first"))
-    val kept = hashed.join(firstOcc, "__h")
-      .filter(struct(col(idCol), col("__seg_idx")) === col("__first"))
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__seg_idx"), col("__seg")))),
-        s => s.getField("__seg"))).as("dedup_text"))
-    docs.select(col(idCol))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+    // The keep-decision is just (doc id, segment index) pairs — fold the
+    // winners into one small int-array per doc and join THAT back to the
+    // original docs, then reassemble by re-splitting the text in place.
+    // Segment text therefore never crosses the wire at all: the winner
+    // groupBy shuffles 8-byte hashes + 12-byte structs, the per-doc fold
+    // shuffles (id, int), and the docs⋈decisions join shuffles each doc
+    // once — which is the output itself. (The previous formulation joined
+    // the exploded TEXT on __h and regrouped TEXT by id: two full
+    // segment-text shuffles for data we already hold row-locally.)
+    val keptIdx = firstOcc
+      .select(col("__first").getField(idCol).as(idCol),
+        col("__first").getField("__seg_idx").as("__seg_idx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__seg_idx"))).as("__keep"))
+    docs.join(keptIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__keep").isNull, lit(""))
+          .otherwise(concat_ws(" ",
+            filter(segs, (s, i) => array_contains(col("__keep"), i))))
+          .as("dedup_text"))
   }
 
   /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`,

@@ -41,13 +41,17 @@ object Dedup {
     * split → slide via sequence+transform → distinct.
     */
   def wordShingles(text: Column, n: Int): Column = {
-    val words = filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
-    val count = size(words)
-    val grams = when(count >= n,
-      transform(sequence(lit(0), count - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(when(count > 0, array(concat_ws(" ", words))).otherwise(array()))
-    array_distinct(grams)
+    // let-bind the split through Corpus.bindArray: a lambda body inlines
+    // outer EXPRESSIONS, so referencing the split directly would re-tokenize
+    // the document once per shingle position (O(words²) per doc)
+    array_distinct(Corpus.bindArray(
+      filter(split(lower(text), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)) { words =>
+      val count = size(words)
+      when(count >= n,
+        transform(sequence(lit(0), count - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+        .otherwise(when(count > 0, array(concat_ws(" ", words))).otherwise(array()))
+    })
   }
 
   // ---------- MinHash ----------

@@ -494,17 +494,15 @@ class LocalSparkRunner(
 
     case ContaminationFlagOp(text, benchmark, n, minOverlap) =>
       val t = frame(text)
-      // benchmark grams broadcast as 64-bit hashes (ext.Corpus shape)
+      // benchmark grams broadcast as 64-bit hashes, computed string-free
+      // and per-doc-distinct'd row-locally (ext.Corpus shape)
       val bg = broadcast(frame(benchmark)
-        .select(explode(graft.ext.Corpus.wordNgrams(col(ValueCol), n.toInt))
-          .as("__gs"))
-        .select(xxhash64(col("__gs")).as("__g")).distinct())
+        .select(explode(
+          graft.ext.Corpus.wordNgramHashes(col(ValueCol), n.toInt)).as("__g"))
+        .distinct())
       val counts = t
-        .select(col(RowIdx),
-          explode(graft.ext.Corpus.wordNgrams(col(ValueCol), n.toInt))
-            .as("__gs"))
-        .select(col(RowIdx), xxhash64(col("__gs")).as("__g"))
-        .distinct()
+        .select(col(RowIdx), explode(array_distinct(
+          graft.ext.Corpus.wordNgramHashes(col(ValueCol), n.toInt))).as("__g"))
         .join(bg, "__g")
         .groupBy(col(RowIdx)).agg(count(lit(1)).as("__n"))
       FrameResult(t.select(col(RowIdx))
