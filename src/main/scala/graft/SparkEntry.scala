@@ -767,6 +767,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mixture_sample" -> ((s, dir) => {
+      // domain re-weighting: keep half of en, all of zh, a quarter of the
+      // rest — exact floor counts per lang, md5-ranked (seed "graft")
+      Corpus.mixtureSample(t(s, dir, "documents"), "lang", "doc_id",
+          fracs = Map("en" -> 0.5, "zh" -> 1.0), defaultFrac = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      // concat-and-chunk training layout at seq_len=512: every doc's token
+      // offset and sequence range via the two-phase distributed prefix-sum
+      // (no global window; the only eager step is the tiny max(doc_id) agg
+      // that seeds the monotone range bucket)
+      val d = t(s, dir, "documents")
+      val upper = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+      Corpus.packSequences(d, "doc_id",
+          size(Corpus.words(col("text"))), seqLen = 512L,
+          ColumnOps.rangeBucket(d, col("doc_id"), upper.toDouble))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_repetition" -> ((s, dir) => {
+      val sig = Corpus.repetitionSignals(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
@@ -1293,6 +1322,75 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang FROM r
         |WHERE rk <= floor(n * 0.3) ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END AS frac
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r
+        |WHERE rk <= floor(n * frac) ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor(token_offset / 512.0) AS BIGINT) END AS first_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
+        |    END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
+        |       - CAST(floor(token_offset / 512.0) AS BIGINT) + 1
+        |    ELSE 0 END AS n_seqs
+        |FROM ps ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, list_filter(
+        |    list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |    l -> length(l) > 0) AS ls
+        |  FROM documents),
+        |lf AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CASE WHEN len(ls) > 0
+        |    THEN CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+        |    ELSE 0.0 END AS dup_line_frac
+        |  FROM lines),
+        |ws AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    w -> length(w) > 0) AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2
+        |      THEN list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i + 1])
+        |      ELSE [] END AS gs
+        |  FROM ws),
+        |gx AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM gx GROUP BY doc_id, g),
+        |gm AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_grams
+        |  FROM gc GROUP BY doc_id)
+        |SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+        |  CAST(coalesce(gm.top_cnt, 0) AS BIGINT) AS top_2gram_count,
+        |  CASE WHEN coalesce(gm.n_grams, 0) > 0
+        |    THEN CAST(gm.top_cnt AS DOUBLE) / gm.n_grams
+        |    ELSE 0.0 END AS top_2gram_frac
+        |FROM lf l LEFT JOIN gm ON l.doc_id = gm.doc_id
+        |ORDER BY l.doc_id""".stripMargin,
 
     "q_ann_brute_topk" ->
       """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv

@@ -272,4 +272,109 @@ object Corpus {
       .filter(col("__rk") <= floor(col("__n") * frac))
       .drop("__rk", "__n")
   }
+
+  /** Domain-mixture sampling: per-stratum target fractions (e.g. web 0.1,
+    * code 0.5, wiki 1.0) applied EXACTLY — floor(frac_s · n_s) rows kept
+    * per stratum, md5-ranked with a seed, fully deterministic. Strata
+    * absent from `fracs` fall back to `defaultFrac`. This is the
+    * "re-weight the corpus to a target domain distribution" step of a
+    * pretraining pipeline, generalizing [[stratifiedSample]] from one
+    * global fraction to a fraction per domain; the md5 rank makes every
+    * run (and the DuckDB oracle replay) pick the identical rows.
+    * Scale note: the per-stratum window ranks within each domain — domains
+    * are few and large, so the rank should go through a two-phase index if
+    * one domain dominates; at the sf scales benched the direct window is
+    * the right plan.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    fracs: Map[String, Double], defaultFrac: Double = 0.0,
+                    salt: String = "graft"): DataFrame = {
+    (fracs.values ++ Seq(defaultFrac)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+    val fracCol =
+      if (fracs.isEmpty) lit(defaultFrac)
+      else coalesce(
+        element_at(
+          map(fracs.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+          col(stratumCol)),
+        lit(defaultFrac))
+    val rankKey = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rankKey, col(idCol))
+    val cw = Window.partitionBy(col(stratumCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rk") <= floor(col("__n") * fracCol))
+      .drop("__rk", "__n")
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: documents laid end to end
+    * in `idCol` order are cut into fixed `seqLen`-token training sequences.
+    * Each document occupies the half-open token interval
+    * `[token_offset, token_offset + n_tokens)` and touches the sequence
+    * range `[first_seq, last_seq]` — exactly the mapping an LLM training
+    * data loader materializes when it concatenates and chunks a shuffled
+    * corpus. The whole computation is one distributed prefix-sum
+    * ([[graft.ops.ColumnOps.withPrefixSum]]): per-bucket window cumsum +
+    * broadcast bucket offsets — no single-partition window, no driver
+    * state, so the layout of a 100 TB corpus is one shuffle of
+    * (bucket, id, count) triples.
+    *
+    * Output: `(idCol, n_tokens, token_offset, first_seq, last_seq,
+    * n_seqs)`; zero-token docs get `n_seqs = 0` and NULL first/last.
+    * `bucket` must be monotone in `idCol` (e.g.
+    * [[graft.ops.ColumnOps.rangeBucket]]).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokens: Column,
+                    seqLen: Long, bucket: Column): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val withTok = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
+    graft.ops.ColumnOps
+      .withPrefixSum(withTok, "token_offset", col("n_tokens"), bucket, col(idCol))
+      .withColumn("first_seq",
+        when(col("n_tokens") > 0, floor(col("token_offset") / seqLen)))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0,
+          floor((col("token_offset") + col("n_tokens") - 1) / seqLen)))
+      .withColumn("n_seqs",
+        coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 table A1, the
+    * repetition family) — all row-local expressions, zero shuffle:
+    *   - `n_lines`, `dup_line_frac`: fraction of non-blank lines that are
+    *     exact duplicates of an earlier line;
+    *   - `top_2gram_count`, `top_2gram_frac`: occurrence count of the most
+    *     repeated word 2-gram and its fraction of all 2-grams.
+    * The top-gram count runs over the SORTED per-doc gram-hash array with a
+    * run-length `aggregate` — O(g log g) per row, no explode, no shuffle —
+    * while the DuckDB oracle replays it as unnest + GROUP BY + max(count):
+    * different method, same number.
+    */
+  def repetitionSignals(text: Column): Seq[(String, Column)] = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(lines)
+    val dupLineFrac = when(nLines > 0,
+      (nLines - size(array_distinct(lines))).cast("double") / nLines)
+      .otherwise(lit(0.0))
+    val topRun = bindArray(array_sort(wordNgramHashes(text, 2))) { sorted =>
+      aggregate(sorted,
+        struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev") && acc.getField("run") > 0,
+            acc.getField("run") + 1).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    }
+    val nGrams = size(wordNgramHashes(text, 2))
+    Seq(
+      "n_lines" -> nLines.cast("long"),
+      "dup_line_frac" -> dupLineFrac,
+      "top_2gram_count" -> topRun,
+      "top_2gram_frac" -> when(nGrams > 0,
+        topRun.cast("double") / nGrams).otherwise(lit(0.0)))
+  }
 }

@@ -127,6 +127,32 @@ object ColumnOps {
       .drop(pid, lrn, off)
   }
 
+  /** Distributed EXCLUSIVE prefix-sum of `value` over the total order
+    * (bucket asc, keys asc): per-bucket inclusive window cumsum (window
+    * PARTITIONED by the bucket — parallel, never single-partition),
+    * per-bucket totals → prefix offsets over the tiny numBuckets-row
+    * aggregate (broadcast inequality self-join), global exclusive sum =
+    * bucket offset + inclusive local − own value. Same two-phase shape as
+    * [[withRowIdxByKnownRange]]; `bucket` must be monotone non-decreasing
+    * in the intended total order (e.g. [[rangeBucket]] over the key).
+    */
+  def withPrefixSum(df: DataFrame, out: String, value: Column,
+                    bucket: Column, keys: Column*): DataFrame = {
+    val pid = "__ps_pid"; val v = "__ps_v"; val inc = "__ps_inc"; val off = "__ps_off"
+    val parted = df.withColumn(pid, bucket).withColumn(v, value.cast("long"))
+    val local = parted.withColumn(inc,
+      sum(col(v)).over(Window.partitionBy(col(pid)).orderBy(keys: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = parted.groupBy(col(pid)).agg(sum(col(v)).as("__ps_tot"))
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col(s"b.$pid") < col(s"a.$pid"), "left")
+      .groupBy(col(s"a.$pid").as(pid))
+      .agg(coalesce(sum(col("b.__ps_tot")), lit(0L)).as(off))
+    local.join(broadcast(offsets), pid)
+      .withColumn(out, col(off) + col(inc) - col(v))
+      .drop(pid, v, inc, off)
+  }
+
   /** Deterministic 0-based row index in file order — for keyless sources
     * (reference: positional identity of a loaded parquet,
     * `local_arrow_runner.py:500-512`).

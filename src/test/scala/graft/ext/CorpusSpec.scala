@@ -62,6 +62,80 @@ class CorpusSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("packSequences: offsets, sequence ranges, zero-token docs") {
+    // tokens: 3, 0, 5, 4 → offsets 0, 3, 3, 8; seqLen=4 →
+    // doc0 spans seq 0 (tokens 0-2), doc2 spans seqs 0-1 (tokens 3-7),
+    // doc3 spans seqs 2-2 (tokens 8-11); doc1 empty
+    val docs = Seq(
+      (0L, "a b c"), (1L, ""), (2L, "d e f g h"), (3L, "i j k l"))
+      .toDF("doc_id", "text")
+    val got = Corpus.packSequences(docs, "doc_id",
+        size(Corpus.words($"text")), seqLen = 4L,
+        graft.ops.ColumnOps.rangeBucket(docs, $"doc_id", 4.0))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "token_offset", "first_seq", "last_seq",
+        "n_seqs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 3L, 0L, 0L, 0L, 1L),
+      (1L, 0L, 3L, -1L, -1L, 0L),
+      (2L, 5L, 3L, 0L, 1L, 2L),
+      (3L, 4L, 8L, 2L, 2L, 1L)))
+  }
+
+  test("packSequences: offsets invariant to bucket count / partition layout") {
+    val docs = (0L until 200L).map(i => (i, ("w " * (i % 7).toInt).trim))
+      .toDF("doc_id", "text").repartition(13)
+    def run(buckets: Double) = Corpus.packSequences(docs, "doc_id",
+        size(Corpus.words($"text")), seqLen = 8L,
+        graft.ops.ColumnOps.rangeBucket(docs, $"doc_id", buckets))
+      .orderBy("doc_id").collect().toSeq
+    assert(run(200.0) == run(3.0))
+  }
+
+  test("mixtureSample: exact floor counts per stratum, default frac") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 40) "en" else if (i < 70) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    val got = Corpus.mixtureSample(docs, "lang", "doc_id",
+        fracs = Map("en" -> 0.5, "zh" -> 1.0), defaultFrac = 0.25)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("en" -> 20L, "zh" -> 30L, "de" -> 7L))
+    // deterministic: same seed → identical rows
+    val a = Corpus.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultFrac = 0.1).orderBy("doc_id").collect().toSeq
+    val b = Corpus.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultFrac = 0.1).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // frac 0 default drops unlisted strata entirely
+    val onlyEn = Corpus.mixtureSample(docs, "lang", "doc_id",
+      Map("en" -> 1.0)).select("lang").distinct().as[String].collect().toSeq
+    assert(onlyEn == Seq("en"))
+  }
+
+  test("repetitionSignals: dup lines and top 2-gram run counting") {
+    val docs = Seq(
+      (0L, "a b\na b\nc d"),        // 3 lines, 1 dup; grams: "a b","b a"? no — per line? grams run over the WHOLE text
+      (1L, "x y x y x y"),          // grams: x y, y x, x y, y x, x y → top "x y" ×3 of 5
+      (2L, ""),                     // empty
+      (3L, "unique words only here"))
+      .toDF("doc_id", "text")
+    val sig = Corpus.repetitionSignals($"text")
+    val got = docs.select($"doc_id" +: sig.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // doc0: lines [a b, a b, c d] → 3 lines, dup 1/3; text "a b\na b\nc d"
+    //   words a,b,a,b,c,d → 2-grams: ab,ba,ab,bc,cd → top "a b" ×2
+    assert(got(0) == (0L, 3L, 1.0 / 3, 2L))
+    assert(got(1)._2 == 1L && got(1)._3 == 0.0 && got(1)._4 == 3L)
+    assert(got(2) == (2L, 0L, 0.0, 0L))
+    assert(got(3)._4 == 1L)
+  }
+
   test("dedupSegments: first occurrence wins, order kept, rows never dropped") {
     // k=2 segments: doc0 = [a b][c d]; doc1 = [c d][e f] (c d repeated);
     // doc2 = [a b][c d] (everything repeated → empty); doc3 odd tail [g]
