@@ -85,6 +85,7 @@ class LocalSparkRunner(
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
     case c: ContaminationFlagOp => lengthOf(c.text)
+    case p: PackSequencesOp => lengthOf(p.tokens)
     case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
   }
 
@@ -511,21 +512,36 @@ class LocalSparkRunner(
           (coalesce(col("__n"), lit(0L)) >= minOverlap).as(ValueCol)))
 
     case StratifiedSampleOp(dataset, stratum, frac, salt) =>
-      val df = frame(dataset)
-      if (validateLengths) checkSameLength(dataset, stratum, "stratum")
-      // md5 rank on the ROW INDEX: selection depends only on positional
-      // identity + salt, not on how the stratum column was computed
-      val rankKey = md5(concat_ws(":", lit(salt), col(RowIdx).cast("string")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__st")).orderBy(rankKey, col(RowIdx))
-      val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("__st"))
-      val keepIdx = frame(stratum)
-        .select(col(RowIdx), col(ValueCol).as("__st"))
-        .withColumn("__rk", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(cw))
-        .filter(col("__rk") <= floor(col("__n") * frac))
-        .select(col(RowIdx))
-      FrameResult(reindex(df.join(keepIdx, RowIdx), lengthOf(dataset)))
+      FrameResult(sampleByStratum(dataset, stratum, lit(frac), salt))
+
+    case MixtureSampleOp(dataset, stratum, fracs, defaultFrac, salt) =>
+      val fracCol =
+        if (fracs.isEmpty) lit(defaultFrac)
+        else coalesce(
+          element_at(
+            map(fracs.toSeq.sortBy(_._1)
+              .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+            col("__st")),
+          lit(defaultFrac))
+      FrameResult(sampleByStratum(dataset, stratum, fracCol, salt))
+
+    case PackSequencesOp(tokens, seqLen) =>
+      val tf = frame(tokens)
+        .select(col(RowIdx), col(ValueCol).cast("long").as("n_tokens"))
+      // monotone range bucket over the row index — the structural length
+      // gives the upper bound with no extra job
+      val n = lengthOf(tokens)
+      val ps = ColumnOps.withPrefixSum(tf, "token_offset", col("n_tokens"),
+        ColumnOps.rangeBucket(tf, col(RowIdx), math.max(1L, n).toDouble),
+        col(RowIdx))
+      FrameResult(ps
+        .withColumn("first_seq",
+          when(col("n_tokens") > 0, floor(col("token_offset") / seqLen)))
+        .withColumn("last_seq",
+          when(col("n_tokens") > 0,
+            floor((col("token_offset") + col("n_tokens") - 1) / seqLen)))
+        .withColumn("n_seqs",
+          coalesce(col("last_seq") - col("first_seq") + 1, lit(0L))))
 
     case other =>
       throw new UnsupportedOperationException(
@@ -587,6 +603,28 @@ class LocalSparkRunner(
         ColumnOps.rangeBucket(renamed, col("__old_idx"), parentLen.toDouble),
         col("__old_idx"))
       .drop("__old_idx")
+  }
+
+  /** Shared core of Stratified/MixtureSampleOp: md5 rank on the ROW INDEX
+    * (selection depends only on positional identity + salt, not on how the
+    * stratum column was computed), keep floor(|stratum| * frac) per
+    * stratum, survivors re-indexed. `fracCol` may reference the stratum
+    * value as `__st` (per-stratum fractions). */
+  private def sampleByStratum(dataset: DatasetType, stratum: OpSpec,
+                              fracCol: Column, salt: String): DataFrame = {
+    val df = frame(dataset)
+    if (validateLengths) checkSameLength(dataset, stratum, "stratum")
+    val rankKey = md5(concat_ws(":", lit(salt), col(RowIdx).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__st")).orderBy(rankKey, col(RowIdx))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("__st"))
+    val keepIdx = frame(stratum)
+      .select(col(RowIdx), col(ValueCol).as("__st"))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("__rk") <= floor(col("__n") * fracCol))
+      .select(col(RowIdx))
+    reindex(df.join(keepIdx, RowIdx), lengthOf(dataset))
   }
 
   private def checkSameLength(a: OpSpec, b: OpSpec, what: String): Unit = {

@@ -236,6 +236,14 @@ object OpRegistry {
     case JObj(fields) => fields.map { case (k, v) => (k, Json.toScala(v)) }.toMap
     case v => bad(n, v, "object")
   }
+  def dblMap(o: JObj, n: String): Map[String, Double] = o(n) match {
+    case JObj(fields) => fields.map {
+      case (k, JDouble(d)) => (k, d)
+      case (k, JLong(l)) => (k, l.toDouble)
+      case (k, v) => bad(s"$n.$k", v, "number")
+    }.toMap
+    case v => bad(n, v, "object")
+  }
   def colSeqMap(o: JObj, n: String): Map[String, Seq[Any]] = o(n) match {
     case JObj(fields) => fields.map {
       case (k, JArr(items)) => (k, items.map(Json.toScala): Seq[Any])
@@ -364,6 +372,12 @@ object OpRegistry {
     "StratifiedSampleOp" -> ((o, r) =>
       StratifiedSampleOp(op[DatasetType](o, "dataset", r),
         op[CategoricalColumnType](o, "stratum", r), dbl(o, "frac"),
-        str(o, "salt")))
+        str(o, "salt"))),
+    "MixtureSampleOp" -> ((o, r) =>
+      MixtureSampleOp(op[DatasetType](o, "dataset", r),
+        op[CategoricalColumnType](o, "stratum", r), dblMap(o, "fracs"),
+        dbl(o, "default_frac"), str(o, "salt"))),
+    "PackSequencesOp" -> ((o, r) =>
+      PackSequencesOp(op[ColumnType](o, "tokens", r), lng(o, "seq_len")))
   )
 }

@@ -315,3 +315,31 @@ final case class StratifiedSampleOp(
     salt: String = "graft") extends DatasetType {
   require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
 }
+
+/** Domain-mixture sample: per-stratum target fractions applied exactly —
+  * floor(fracs(s) * |stratum s|) rows kept per stratum (strata absent from
+  * `fracs` fall back to `defaultFrac`), md5-ranked on the ROW INDEX and
+  * seeded by `salt` like [[StratifiedSampleOp]]; survivors re-indexed
+  * positionally. The corpus re-weighting step of a training pipeline
+  * ([[graft.ext.Corpus.mixtureSample]]). */
+final case class MixtureSampleOp(
+    dataset: DatasetType,
+    stratum: CategoricalColumnType,
+    fracs: Map[String, Double],
+    defaultFrac: Double = 0.0,
+    salt: String = "graft") extends DatasetType {
+  (fracs.values ++ Seq(defaultFrac)).foreach(f =>
+    require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
+}
+
+/** Concat-and-chunk sequence-packing layout over a per-row token-count
+  * column in POSITIONAL order ([[graft.ext.Corpus.packSequences]]): each
+  * row's global token offset and [first_seq, last_seq] sequence range at a
+  * fixed `seqLen`. A dataset whose columns ARE the layout
+  * (n_tokens, token_offset, first_seq, last_seq, n_seqs) — one distributed
+  * prefix-sum, no single-partition window. */
+final case class PackSequencesOp(
+    tokens: ColumnType,
+    seqLen: Long) extends DatasetType {
+  require(seqLen >= 1L, s"seqLen must be >= 1, got $seqLen")
+}
