@@ -43,7 +43,14 @@ object SparkEntry {
     * results are keyed by dataset content hash, so sf dirs don't collide. */
   private lazy val queryStore: String =
     java.nio.file.Files.createTempDirectory("graft-query-store-").toString
-  private def runnerFor(s: SparkSession) = new LocalSparkRunner(s, queryStore)
+  /** One runner per session, not per query invocation: each runner persists
+    * its SelectColumnOp frames into the session-shared block cache, so
+    * per-query runners leak cache entries (and spam `already cached`
+    * warnings) across a multi-query run. */
+  private val runnerCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, LocalSparkRunner]
+  private def runnerFor(s: SparkSession): LocalSparkRunner =
+    runnerCache.computeIfAbsent(s, s2 => new LocalSparkRunner(s2, queryStore))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -779,13 +786,10 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) => {
       // concat-and-chunk training layout at seq_len=512: every doc's token
       // offset and sequence range via the two-phase distributed prefix-sum
-      // (no global window; the only eager step is the tiny max(doc_id) agg
-      // that seeds the monotone range bucket)
-      val d = t(s, dir, "documents")
-      val upper = d.agg(max(col("doc_id"))).head().getLong(0) + 1
-      Corpus.packSequences(d, "doc_id",
-          size(Corpus.words(col("text"))), seqLen = 512L,
-          ColumnOps.rangeBucket(d, col("doc_id"), upper.toDouble))
+      // (no global window, no eager driver action — the range-bucket bound
+      // is a broadcast 1-row max joined in-plan)
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id",
+          size(Corpus.words(col("text"))), seqLen = 512L)
         .orderBy(col("doc_id"))
     }),
 
@@ -1321,7 +1325,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT doc_id, lang FROM r
-        |WHERE rk <= floor(n * 0.3) ORDER BY doc_id""".stripMargin,
+        |WHERE rk <= floor(n * 0.3 + 1e-9) ORDER BY doc_id""".stripMargin,
 
     "q_mixture_sample" ->
       """WITH r AS (
@@ -1332,7 +1336,7 @@ object SparkEntry {
         |    CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 0.25 END AS frac
         |  FROM documents)
         |SELECT doc_id, lang FROM r
-        |WHERE rk <= floor(n * frac) ORDER BY doc_id""".stripMargin,
+        |WHERE rk <= floor(n * frac + 1e-9) ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH tok AS (

@@ -81,6 +81,14 @@ object Corpus {
     * counts DISTINCT shared n-grams and `is_contaminated` is
     * `n_overlap_grams >= minOverlap`.
     *
+    * PRECONDITION: `idCol` must be unique per `train` row. The per-doc
+    * distinct is row-local (`array_distinct` over a row's gram hashes), so
+    * with duplicated ids the overlap counts of same-id rows are SUMMED —
+    * a shared gram appearing in two rows of one id counts twice. Dedup on
+    * id first (or pre-aggregate `(id, gram)` pairs) if uniqueness isn't
+    * guaranteed; the row-local form is what lets a 100 TB train side avoid
+    * a global (id, gram) distinct shuffle.
+    *
     * 100 TB shape: benchmarks are small by construction (10³–10⁶ examples),
     * so the distinct benchmark-gram set is broadcast and the training side
     * never shuffles full documents — only its (id, gram) pairs, which the
@@ -269,7 +277,11 @@ object Corpus {
     val cw = Window.partitionBy(col(stratumCol))
     df.withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cw))
-      .filter(col("__rk") <= floor(col("__n") * frac))
+      // +1e-9 before floor: IEEE double n*frac can land a hair BELOW the
+      // exact decimal product (0.29*100 = 28.999…97), which would keep one
+      // row fewer than the documented floor(frac·n); the epsilon restores
+      // the exact-decimal floor for any frac with < 9 decimal digits
+      .filter(col("__rk") <= floor(col("__n") * frac + 1e-9))
       .drop("__rk", "__n")
   }
 
@@ -304,7 +316,9 @@ object Corpus {
     val cw = Window.partitionBy(col(stratumCol))
     df.withColumn("__rk", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(cw))
-      .filter(col("__rk") <= floor(col("__n") * fracCol))
+      // same epsilon-before-floor as stratifiedSample: keeps the EXACT
+      // decimal floor for non-dyadic fracs under double arithmetic
+      .filter(col("__rk") <= floor(col("__n") * fracCol + 1e-9))
       .drop("__rk", "__n")
   }
 
@@ -326,9 +340,33 @@ object Corpus {
     * [[graft.ops.ColumnOps.rangeBucket]]).
     */
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
-                    seqLen: Long, bucket: Column): DataFrame = {
-    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+                    seqLen: Long, bucket: Column): DataFrame =
+    packSeq(docs.select(col(idCol), tokens.cast("long").as("n_tokens")),
+      idCol, seqLen, bucket)
+
+  /** [[packSequences]] with the range-bucket bound derived IN-PLAN: the
+    * 1-row `max(idCol)` aggregate is broadcast-cross-joined onto the rows
+    * and the bucket expression reads it per row — no eager driver-side
+    * action anywhere in the build (callers that already know the id range
+    * structurally should pass an explicit bucket instead and skip the tiny
+    * extra aggregate job). */
+  def packSequences(docs: DataFrame, idCol: String, tokens: Column,
+                    seqLen: Long): DataFrame = {
     val withTok = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
+    val np = withTok.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val upper = withTok.agg(
+      (max(col(idCol)).cast("double") + 1.0).as("__pk_upper"))
+    val bucket = when(col("__pk_upper") <= 0, lit(0L)).otherwise(
+      least(floor(col(idCol).cast("double") * np / col("__pk_upper")),
+        lit(np - 1L))).cast("long")
+    packSeq(withTok.crossJoin(broadcast(upper)), idCol, seqLen, bucket)
+      .drop("__pk_upper")
+  }
+
+  private def packSeq(withTok: DataFrame, idCol: String,
+                      seqLen: Long, bucket: Column): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
     graft.ops.ColumnOps
       .withPrefixSum(withTok, "token_offset", col("n_tokens"), bucket, col(idCol))
       .withColumn("first_seq",

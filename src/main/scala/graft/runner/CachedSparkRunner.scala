@@ -175,32 +175,60 @@ class CachedSparkRunner(
       paths.sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
     }
 
+  // Pull concurrency discipline: pulls of the SAME op are serialized
+  // within the JVM (per-uuid lock), and each attempt stages into a tmp dir
+  // unique to (pid, thread, attempt#) — a pid-only tmp path let two threads
+  // of one JVM share a staging dir, where each thread's cleanup could wipe
+  // the other's in-progress copy and the rename winner could publish a
+  // partially-populated dir whose `done` marker was already present.
+  private val pullLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  private val pullAttempts = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Pull mirrors push's staging discipline: the remote op dir is copied
     * into a temp sibling, then atomically renamed into the cache. Any
     * dirty local dir — a crash after the result job committed its part
     * files but before the `done` marker — is DELETED first, not merged
     * into: remote part files carry different writer-generated names, so a
     * per-file skip-if-exists merge would leave both sets side by side and
-    * `spark.read.parquet` would return duplicated rows. */
+    * `spark.read.parquet` would return duplicated rows. A lost rename race
+    * (cross-process puller) is convergent: the loop re-verifies the cache
+    * dir actually carries `done` before returning, re-pulling otherwise. */
   private def pull(op: OpSpec): Unit = {
+    val lock = pullLocks.computeIfAbsent(op.uuid, _ => new Object)
+    lock.synchronized {
+      val to = cacheDir(op)
+      var attempts = 0
+      while (!Files.exists(to.resolve("done")) && attempts < 3) {
+        attempts += 1
+        pullOnce(op)
+      }
+      if (!Files.exists(to.resolve("done")))
+        throw new IllegalStateException(
+          s"pull for ${op.uuid} did not converge after $attempts attempts")
+    }
+  }
+
+  private def pullOnce(op: OpSpec): Unit = {
     val from = sharedDir(op); val to = cacheDir(op)
-    if (Files.exists(to.resolve("done"))) return
     Files.createDirectories(to.getParent)
     val tmp = to.getParent.resolve(
-      "." + to.getFileName + ".pull" + ProcessHandle.current().pid())
-    deleteRecursively(tmp)
-    walkFiles(from).foreach { f =>
-      val d = tmp.resolve(from.relativize(f))
-      Files.createDirectories(d.getParent)
-      Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
-    }
-    deleteRecursively(to) // discard the dirty (done-less) partial state
-    try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
-    catch { // a concurrent puller won the rename; theirs is equally complete
-      case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.DirectoryNotEmptyException =>
-        deleteRecursively(tmp)
-    }
+      "." + to.getFileName + ".pull" + ProcessHandle.current().pid() +
+        "t" + Thread.currentThread().getId + "n" + pullAttempts.incrementAndGet())
+    try {
+      walkFiles(from).foreach { f =>
+        val d = tmp.resolve(from.relativize(f))
+        Files.createDirectories(d.getParent)
+        Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
+      }
+      deleteRecursively(to) // discard the dirty (done-less) partial state
+      try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
+      catch { // a cross-process puller won the rename; the caller's loop
+              // re-verifies `done` in `to` rather than trusting the winner
+        case _: java.nio.file.FileAlreadyExistsException
+             | _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    } finally deleteRecursively(tmp)
   }
 
   /** Push is NOT a per-file merge: two machines computing the same op

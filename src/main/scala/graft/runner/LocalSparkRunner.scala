@@ -55,6 +55,24 @@ class LocalSparkRunner(
 
   private val memo = scala.collection.mutable.HashMap.empty[String, MatResult]
   private val lengthMemo = scala.collection.mutable.HashMap.empty[String, Long]
+  // frames this runner persist()'d into the block cache — released by close()
+  private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release this runner's block-cache entries and memo. A runner is cheap
+    * to construct, but its persisted column frames are not: without an
+    * unpersist path, per-runner cache entries accumulate in the shared
+    * Spark block cache for the life of the session (observed as repeated
+    * `CacheManager: Asked to cache already cached data` warnings and
+    * steadily rising storage-memory pressure across a multi-query run).
+    * Call when the runner's results are no longer needed; the
+    * content-addressed store is untouched, so re-materialization after
+    * close() is an O(metadata) store read. */
+  def close(): Unit = synchronized {
+    cachedFrames.foreach(_.unpersist(false))
+    cachedFrames.clear()
+    memo.clear()
+    lengthMemo.clear()
+  }
 
   /** Row count of an op's result, structurally: column ops are positional
     * value maps, so their length IS their input's length — resolved by
@@ -260,8 +278,10 @@ class LocalSparkRunner(
         // via cacheColumns=false for single-pass pipelines at corpus scale.
         compute(op) match {
           case FrameResult(df) if cacheColumns && op.isInstanceOf[SelectColumnOp] =>
-            FrameResult(df.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            val persisted = df.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            synchronized { cachedFrames += persisted }
+            FrameResult(persisted)
           case other => other
         }
       } else {
