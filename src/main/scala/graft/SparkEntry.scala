@@ -52,6 +52,20 @@ object SparkEntry {
   private def runnerFor(s: SparkSession): LocalSparkRunner =
     runnerCache.computeIfAbsent(s, s2 => new LocalSparkRunner(s2, queryStore))
 
+  /** On-disk IVF index over `embeddings`, built once per (JVM, sf dir):
+    * centroids = corpus members vec_id 0..7 (deterministic AND replayable
+    * by the SQL oracle), corpus parquet partitioned by cell id. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def ivfIndexFor(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-ivf-index-").toString
+      val emb = t(s, d, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        Similarity.centroidsByIds(emb, "vec_id", "embedding", 0L until 8L), path)
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -666,6 +680,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_ivf_pruned" -> ((s, dir) => {
+      // stored-bucketed IVF (the 100 TB scan-reduction): the corpus is
+      // WRITTEN partitioned by cell id once per (JVM, sf dir), and the
+      // probe's literal cell set prunes unprobed cell directories at the
+      // source (ExtSpec asserts partitionCount == |probed cells| < nlist).
+      // Centroids are explicit corpus members (vec_id 0..7), so the DuckDB
+      // oracle replays the ENTIRE pipeline — assignment, probe, scoring —
+      // from the base table; nprobe=2 < nlist=8 means this oracle checks
+      // true IVF semantics, not brute force.
+      Similarity.ivfTopKIndexed(s, ivfIndexFor(s, dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 3),
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text analysis extensions ----
 
     "q_token_count" -> ((s, dir) => {
@@ -1185,6 +1214,45 @@ object SparkEntry {
         |s AS (SELECT qid query_id, cid corpus_id, list_cosine_similarity(qv, cv) cosf FROM q, c),
         |r AS (SELECT query_id, corpus_id, cosf,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full IVF replay: centroids = vec_id 0..7 (cell id = vec_id), each
+    // corpus vector assigned to its max-cosine centroid (ties -> smaller
+    // cell), each query probes its top-2 cells, scoring restricted to
+    // probed cells — the same semantics the Spark side executes over the
+    // cell-partitioned store.
+    "q_ann_ivf_pruned" ->
+      """WITH cent AS (
+        |  SELECT CAST(vec_id AS INT) cent_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |assign AS (
+        |  SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+        |  FROM embeddings WHERE vec_id < 3),
+        |probe AS (
+        |  SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |s AS (
+        |  SELECT q.qid query_id, c.cid corpus_id,
+        |    list_cosine_similarity(q.qv, c.v) cosf
+        |  FROM q JOIN probe p ON q.qid = p.qid
+        |    JOIN assign a ON a.cell = p.cell
+        |    JOIN corp c ON c.cid = a.cid),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
         |  FROM s)
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,

@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   *    plan re-analysis is quadratic and executor-loss recovery replays the
   *    whole history. On a real cluster set `spark.sparkContext
   *    .setCheckpointDir` so truncation is fault-tolerant.
-  *  - Convergence is verified structurally (set equality via anti-join
-  *    count), not assumed from an iteration budget.
+  *  - Convergence is verified structurally (set equality via a single
+  *    cardinality + containment aggregation), not assumed from an
+  *    iteration budget.
   */
 object ConnectedComponents {
 
@@ -82,10 +83,18 @@ object ConnectedComponents {
         .distinct()
 
       val e2 = truncate(afterSmall)
-      val c2 = e2.count()
-      // sound set-equality: equal cardinality + empty difference (both
-      // sides are distinct). One extra anti-join job per round.
-      converged = c2 == eCount && e2.except(e).isEmpty
+      // sound set-equality in ONE job: |e2| == |e| and e2 ⊆ e (both sides
+      // are distinct, so equal cardinality + containment ⇔ equality). The
+      // containment count rides the same aggregation as the cardinality —
+      // previously a separate count() + except().isEmpty cost two jobs per
+      // round on the most expensive bench query.
+      val stats = e2
+        .join(e.withColumn("__old", lit(1)), Seq("hi", "lo"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("__old").isNull, 1)).as("novel"))
+        .head()
+      val c2 = stats.getLong(0)
+      converged = c2 == eCount && stats.getLong(1) == 0L
       e = e2; eCount = c2; iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * Scale path: IVF — corpus pre-partitioned into nlist cells by nearest
   * centroid; a query probes only nprobe cells, so the scan is
   * (nprobe/nlist) of the data and the cell assignment is a broadcast join
-  * against the tiny centroid table. At 100 TB the corpus would additionally
-  * be *stored* partitioned by cell id (partition pruning at the source).
+  * against the tiny centroid table. At 100 TB the corpus is additionally
+  * *stored* partitioned by cell id ([[buildIvfIndex]]), so a probe prunes
+  * unprobed cells at the SOURCE ([[ivfTopKIndexed]]) — directories never
+  * listed, files never opened.
   */
 object Similarity {
 
@@ -97,6 +99,54 @@ object Similarity {
     }
   }
 
+  /** Deterministic centroids taken from EXPLICIT corpus member ids (cell id
+    * = position in `ids`). Unlike [[pickCentroids]]' hash draw, this choice
+    * is replayable by any engine that can read the corpus — it is what lets
+    * an external oracle reproduce the full IVF result bit-for-bit.
+    */
+  def centroidsByIds(corpus: DataFrame, idCol: String, vecCol: String,
+                     ids: Seq[Long]): Array[(Int, Seq[Float])] = {
+    val byId = corpus
+      .filter(col(idCol).cast("long").isin(ids.map(Long.box): _*))
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("v").toSeq)
+      .toMap
+    ids.zipWithIndex.map { case (id, i) =>
+      (i, byId.getOrElse(id,
+        throw new NoSuchElementException(s"centroid id $id not in corpus")))
+    }.toArray
+  }
+
+  /** Nearest-centroid cell id, first-max-wins (ties → smaller cell id);
+    * double accumulation in element order so any sequential replay agrees.
+    */
+  private def cellOf(v: scala.collection.Seq[Float],
+                     cents: Array[(Int, Seq[Float])]): Int = {
+    var best = 0; var bestD = Double.MinValue
+    for ((cid, cv) <- cents) {
+      val cos = cosSeq(v, cv)
+      if (cos > bestD) { bestD = cos; best = cid }
+    }
+    best
+  }
+
+  private def cosSeq(v: scala.collection.Seq[Float], cv: Seq[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < v.length) {
+      dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
+      i += 1
+    }
+    if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
+  }
+
+  private def probeCells(v: scala.collection.Seq[Float],
+                         cents: Array[(Int, Seq[Float])],
+                         nprobe: Int): Seq[Int] =
+    cents.map { case (cid, cv) => (cid, cosSeq(v, cv)) }
+      .sortBy(-_._2).take(nprobe).map(_._1).toSeq
+
   /** IVF top-k: assign corpus rows to nearest centroid (broadcast centroid
     * table), probe the nprobe nearest cells per query.
     */
@@ -109,31 +159,9 @@ object Similarity {
       if (kmeansIters > 0) kmeansCentroids(corpus, corpusVec, nlist, kmeansIters)
       else pickCentroids(corpus, corpusId, corpusVec, nlist)
     val bc = spark.sparkContext.broadcast(cents)
-
-    val assignUdf = udf { v: scala.collection.Seq[Float] =>
-      var best = 0; var bestD = Double.MinValue
-      for ((cid, cv) <- bc.value) {
-        var dp = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < v.length) {
-          dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
-          i += 1
-        }
-        val cos = if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
-        if (cos > bestD) { bestD = cos; best = cid }
-      }
-      best
-    }
+    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
-      bc.value.map { case (cid, cv) =>
-        var dp = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < v.length) {
-          dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
-          i += 1
-        }
-        (cid, if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0)
-      }.sortBy(-_._2).take(nprobe).map(_._1)
+      probeCells(v, bc.value, nprobe)
     }
 
     val c = corpus.select(col(corpusId).as("corpus_id"),
@@ -142,7 +170,11 @@ object Similarity {
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
       .withColumn("cell", explode(probeUdf(col("__qv")))))
-    val scored = c.join(q, Seq("cell"))
+    topK(c.join(q, Seq("cell")), k)
+  }
+
+  private def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val scored = pairs
       .withColumn("cosine", when(col("__qn") * col("__cn") > 0,
         dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
         .otherwise(lit(0.0)))
@@ -153,4 +185,75 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
+
+  // ---------------- stored-bucketed IVF (the 100 TB refinement) ----------------
+
+  /** Build an ON-DISK IVF index: the corpus is written as parquet
+    * PARTITIONED BY cell id — `<path>/corpus/cell=N/…` — with the vector
+    * norm precomputed as a stored column, and the centroid table stored
+    * alongside at `<path>/centroids`. A probe then reads only its probed
+    * cells' DIRECTORIES (Catalyst partition pruning at the source), so scan
+    * IO is (|probed cells| / nlist) of the corpus instead of a full pass —
+    * the difference between touching 100 TB and touching 12 TB per query
+    * batch. Storage is one extra corpus copy; cells are hash-balanced for
+    * [[pickCentroids]]/[[centroidsByIds]] draws and distribution-balanced
+    * for [[kmeansCentroids]].
+    */
+  def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    centroids: Array[(Int, Seq[Float])], path: String): Unit = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
+    corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell", assignUdf(col("vec")))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus")
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v) }
+      .toDF("cent_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[buildIvfIndex]] index with partition pruning: the union of
+    * the queries' probed cells becomes a LITERAL `cell IN (…)` predicate,
+    * which Catalyst resolves against the `cell=N` directory layout at plan
+    * time — unprobed cells are never listed, opened, or read. `queries`
+    * must be small (its probe set is collected on the driver and the query
+    * side of the join is broadcast — same contract as [[bruteForceTopK]]).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cent_id"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val probeUdf = udf { v: scala.collection.Seq[Float] =>
+      probeCells(v, bc.value, nprobe)
+    }
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
+      .withColumn("cell", explode(probeUdf(col("__qv"))))
+    // driver-side: the probed-cell union must be a literal for source-level
+    // pruning; bounded by nlist (tiny) regardless of query count
+    val cells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = prunedCorpusScan(spark, path, cells)
+    topK(c.join(broadcast(q), Seq("cell")), k)
+  }
+
+  /** The pruned corpus scan of [[ivfTopKIndexed]], exposed so callers (and
+    * tests) can inspect the plan: `cell` is a partition column, so the
+    * `isin` filter appears as a PartitionFilter and only the matching
+    * `cell=N` directories are listed. */
+  def prunedCorpusScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                       cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("cell"), col("corpus_id"), col("vec").as("__cv"),
+        col("vnorm").as("__cn"))
 }

@@ -169,6 +169,74 @@ class ExtSpec extends SparkTestBase {
     assert(b.map(_.toSeq).toSeq == i.map(_.toSeq).toSeq)
   }
 
+  test("stored-bucketed IVF prunes unprobed cell partitions at the scan") {
+    val rng = new scala.util.Random(13)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-idx-").toString
+    val cents = Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 8L)
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cents, idx)
+
+    // the store really is laid out one directory per cell
+    val cellDirs = new java.io.File(s"$idx/corpus").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.length == 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
+
+    // probing 2 of 8 cells must plan a scan over exactly those 2 partitions
+    val nprobe = 2
+    val queries = corpus.filter($"vec_id" === 42L)
+    val pruned = Similarity.prunedCorpusScan(spark, idx, Seq(3, 5))
+    val scans = pruned.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in pruned plan")
+    val listing = scans.head.selectedPartitions
+    assert(listing.partitionCount == 2,
+      s"scan planned ${listing.partitionCount} partitions, want 2 of 8")
+    // …and its files are strictly fewer than the full index's
+    val all = Similarity.prunedCorpusScan(spark, idx, 0 until 8)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions
+    assert(listing.totalNumberOfFiles < all.totalNumberOfFiles)
+
+    // end-to-end: indexed probe ≡ a driver-side replay of the same IVF
+    // semantics (assign to max-cosine centroid, probe top-nprobe cells,
+    // brute-force within probed cells) over the collected fixture
+    val viaIndex = Similarity.ivfTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 5, nprobe = nprobe)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("cosine"), r.getAs[Long]("rank")))
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1).toSeq)
+      .toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na > 0 && nb > 0) dp / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val cellById = vecs.view.mapValues(v =>
+      cents.maxBy { case (cid, cv) => (cos(v, cv), -cid) }._1).toMap
+    val qv = vecs(42L)
+    val probed = cents.map { case (cid, cv) => (cid, cos(qv, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }.take(nprobe).map(_._1).toSet
+    val expect = vecs.toSeq
+      .filter { case (id, _) => probed.contains(cellById(id)) }
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+      .zipWithIndex
+      .map { case ((id, c), i) =>
+        // Spark round() is HALF_UP, not rint's HALF_EVEN
+        (42L, id, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          (i + 1).toLong) }
+    assert(viaIndex.toSeq == expect,
+      s"indexed probe ${viaIndex.toSeq} != replay $expect")
+  }
+
   test("token counts / quality features / fingerprints") {
     val d = Seq((0L, "Hello World2 FooBar"), (1L, "   "), (2L, "a b c"))
       .toDF("doc_id", "text")
