@@ -15,10 +15,22 @@ import graft.runner.{CachedSparkRunner, FrameResult, JsonResult, LocalSparkRunne
   * rehydrate from status files.
   *
   * Usage:
-  *   graft.Cli run     --store DIR --graph FILE [--filter-uuid S] [--filter-type T]
-  *   graft.Cli status  --store DIR [--graph FILE] [-j]
-  *   graft.Cli summary --store DIR [--graph FILE] [-j]
-  *   graft.Cli print   --store DIR --graph FILE [--format code|jsonl]
+  *   graft.Cli run        --store DIR --graph FILE [filters] [--shard-count N --shard-idx I]
+  *   graft.Cli status     --store DIR [--graph FILE] [filters] [-j]
+  *   graft.Cli summary    --store DIR [--graph FILE] [filters] [-j]
+  *   graft.Cli print      --store DIR --graph FILE [--format code|jsonl|mermaid]
+  *   graft.Cli make-group --store DIR --graph FILE [filters]
+  *
+  * Filters (all repeatable; a repeated filter ORs its patterns, distinct
+  * filters AND — reference `filter_ops`, `cli.py:143-190`, `290-352`):
+  *   --filter-uuid S    op uuid matches S
+  *   --filter-type T    op class name matches T
+  *   --filter-param P   any spec field value's string form matches P
+  *   --filter-code C    pickaxe: the op's own pseudocode statement matches C
+  *   --filter-state ST  runtime state ∈ {new,running,completed,failed,ephemeral}
+  *   --filter-count N   keep only the first N ops after all other filters
+  * A pattern "matches" exactly like the reference: string equality or
+  * case-insensitive substring (`cli.py:276-281`).
   */
 object Cli {
 
@@ -27,8 +39,12 @@ object Cli {
       store: String = "graft-store",
       cache: Option[String] = None,
       graph: Option[String] = None,
-      filterUuid: Option[String] = None,
-      filterType: Option[String] = None,
+      filterUuid: Seq[String] = Nil,
+      filterType: Seq[String] = Nil,
+      filterParam: Seq[String] = Nil,
+      filterCode: Seq[String] = Nil,
+      filterState: Seq[String] = Nil,
+      filterCount: Option[Int] = None,
       shardCount: Int = 0,
       shardIdx: Int = 0,
       json: Boolean = false,
@@ -42,18 +58,26 @@ object Cli {
     while (i < argv.length) {
       argv(i) match {
         case f @ ("--store" | "--cache" | "--graph" | "--filter-uuid" | "--filter-type" |
+                  "--filter-param" | "--filter-code" | "--filter-state" | "--filter-count" |
                   "--shard-count" | "--shard-idx" | "--format" | "--master")
           if i + 1 >= argv.length => usage(s"$f requires a value")
         case "--store" => a = a.copy(store = argv(i + 1)); i += 2
         case "--cache" => a = a.copy(cache = Some(argv(i + 1))); i += 2
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
-        case "--filter-uuid" => a = a.copy(filterUuid = Some(argv(i + 1))); i += 2
-        case "--filter-type" => a = a.copy(filterType = Some(argv(i + 1))); i += 2
-        case f @ ("--shard-count" | "--shard-idx") =>
+        case "--filter-uuid" => a = a.copy(filterUuid = a.filterUuid :+ argv(i + 1)); i += 2
+        case "--filter-type" => a = a.copy(filterType = a.filterType :+ argv(i + 1)); i += 2
+        case "--filter-param" => a = a.copy(filterParam = a.filterParam :+ argv(i + 1)); i += 2
+        case "--filter-code" => a = a.copy(filterCode = a.filterCode :+ argv(i + 1)); i += 2
+        case "--filter-state" => a = a.copy(filterState = a.filterState :+ argv(i + 1)); i += 2
+        case f @ ("--shard-count" | "--shard-idx" | "--filter-count") =>
           val n = try argv(i + 1).toInt catch {
             case _: NumberFormatException => usage(s"$f requires an integer, got '${argv(i + 1)}'")
           }
-          a = if (f == "--shard-count") a.copy(shardCount = n) else a.copy(shardIdx = n)
+          a = f match {
+            case "--shard-count" => a.copy(shardCount = n)
+            case "--shard-idx" => a.copy(shardIdx = n)
+            case _ => a.copy(filterCount = Some(n))
+          }
           i += 2
         case "--format" => a = a.copy(format = argv(i + 1)); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
@@ -67,15 +91,34 @@ object Cli {
   private def usage(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: Cli <run|status|summary|print> --store DIR [--cache DIR] [--graph FILE]\n" +
-        "  [--filter-uuid SUBSTR] [--filter-type TYPE] [--format code|jsonl] [-j]\n" +
+      "usage: Cli <run|status|summary|print|make-group> --store DIR [--cache DIR] [--graph FILE]\n" +
+        "  [--filter-uuid S] [--filter-type T] [--filter-param P] [--filter-code C]\n" +
+        "  [--filter-state new|running|completed|failed|ephemeral] [--filter-count N]\n" +
+        "  [--shard-count N --shard-idx I] [--format code|jsonl|mermaid] [-j]\n" +
         "  --cache DIR: treat --store as a SHARED store reached through a local\n" +
         "  cache at DIR (read-through/write-through, reference LocalCachedRunner)")
     sys.exit(2)
   }
 
+  /** Reference `_matches` (`cli.py:276-281`): exact equality or
+    * case-insensitive substring. */
+  private def matches(pattern: String, test: String): Boolean =
+    pattern == test || test.toLowerCase.contains(pattern.toLowerCase)
+
+  /** String form of a spec field value for `--filter-param`, children
+    * rendered as their UUIDs (the reference filters over `model_dump()`
+    * stringifications, `cli.py:314-329`). */
+  private def paramStrings(op: OpSpec): Seq[String] =
+    op.toJson.fields.collect {
+      case (k, v) if k != "type" =>
+        v match {
+          case JString(s) => s
+          case other => Json.render(other)
+        }
+    }.toSeq
+
   /** Graph outputs + all transitive deps, filtered (reference
-    * `filter_ops`, `cli.py:290-352` — uuid-substring and type filters). */
+    * `filter_ops`, `cli.py:290-352`). */
   private def selectOps(a: Args, runner: LocalSparkRunner): Seq[OpSpec] = {
     val roots: Seq[OpSpec] = a.graph match {
       case Some(path) => Graph.deserializeString(Files.readString(Paths.get(path)))
@@ -88,15 +131,24 @@ object Cli {
       if (!all.contains(r.uuid)) all(r.uuid) = r
       r.allDependencies.foreach(d => if (!all.contains(d.uuid)) all(d.uuid) = d)
     }
-    all.values.toSeq
-      .filter(op => a.filterUuid.forall(op.uuid.contains))
-      .filter(op => a.filterType.forall(_ == op.typeName))
+    val filtered = all.values.toSeq
+      .filter(op => a.filterUuid.isEmpty || a.filterUuid.exists(matches(_, op.uuid)))
+      .filter(op => a.filterType.isEmpty || a.filterType.exists(matches(_, op.typeName)))
+      .filter(op => a.filterParam.isEmpty ||
+        paramStrings(op).exists(v => a.filterParam.exists(matches(_, v))))
+      .filter(op => a.filterCode.isEmpty ||
+        // pickaxe over the op's OWN statement (reference passes
+        // include_deps=False so a dep's code doesn't match its consumers)
+        a.filterCode.exists(matches(_, op.codeStatement)))
+      .filter(op => a.filterState.isEmpty ||
+        a.filterState.exists(_.equalsIgnoreCase(runner.status(op).state)))
       .filter(op => a.shardCount <= 1 ||
         // manual multi-process fan-out, dependency-unaware like the
         // reference (`cli.py:541-556`): hash the uuid digest into shards
         math.floorMod(
           java.lang.Long.parseLong(op.uuidHash.take(15), 16),
           a.shardCount.toLong) == a.shardIdx.toLong)
+    a.filterCount.fold(filtered)(filtered.take)
   }
 
   private def makeRunner(spark: SparkSession, a: Args): LocalSparkRunner =
@@ -125,8 +177,26 @@ object Cli {
       case "status" => cmdStatus(a)
       case "summary" => cmdSummary(a)
       case "print" => cmdPrint(a)
+      case "make-group" | "make_group" => cmdMakeGroup(a)
       case other => usage(s"unknown command $other")
     }
+  }
+
+  /** Build a GroupedOp from the filtered selection, register it in the
+    * store (status + embedded graph, so a later `run --filter-uuid` can
+    * rehydrate it), and print its uuid (reference `make_group`,
+    * `cli.py:520-535`). A single-op selection passes through un-wrapped. */
+  private def cmdMakeGroup(a: Args): Unit = {
+    if (a.graph.isEmpty) usage("make-group requires --graph")
+    val runner = makeRunner(null, a)
+    val ops = selectOps(a, runner)
+    if (ops.isEmpty) { System.err.println("error: no ops matched"); sys.exit(1) }
+    val op = ops match {
+      case Seq(only) => only
+      case many => GroupedOp(many.sortBy(_.uuid))
+    }
+    runner.prepare(op)
+    println(op.uuid)
   }
 
   /** Materialize every selected op, skipping ones already done, with per-op

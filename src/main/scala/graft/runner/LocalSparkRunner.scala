@@ -152,6 +152,14 @@ class LocalSparkRunner(
     Files.writeString(p, Json.renderPretty(st.toJson))
   }
 
+  /** Register an op in the store WITHOUT materializing it: writes a `new`
+    * status embedding the full graph so the op is rehydratable by UUID
+    * (reference `runner.prepare`, used by `make_group` — `cli.py:533`).
+    * Never clobbers an existing status (a completed op stays completed). */
+  def prepare(op: OpSpec): Unit =
+    if (!Files.exists(statusPath(op)))
+      writeStatus(OpStatus(op.uuid, OpState.New, graph = Some(Graph.serialize(op))))
+
   /** Rehydrate an op from the store by UUID: the status file embeds the full
     * graph (reference `local_arrow_runner.py:250-269`). */
   def uuidToOp(uuid: String): OpSpec = {

@@ -110,4 +110,85 @@ class CliSpec extends SparkTestBase {
     assert(only.contains("AssignRowIDOp_"))
     assert(!only.contains("LoadInlineJsonDatasetOp_"))
   }
+
+  test("type filter is case-insensitive substring; repeated filters OR") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
+    val rid = AssignRowIDOp(ds)
+    val split = AssignTrainTestSplitOp(ds, Some(1L))
+    val g = writeGraph(store, rid, split)
+    val sub = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-type", "rowid")))
+    assert(sub.contains("AssignRowIDOp_") && !sub.contains("AssignTrainTestSplitOp_"))
+    val ored = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-type", "rowid", "--filter-type", "traintest")))
+    assert(ored.contains("AssignRowIDOp_") && ored.contains("AssignTrainTestSplitOp_"))
+  }
+
+  test("parameter-value filter matches spec field stringifications") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
+    val s1 = AssignTrainTestSplitOp(ds, Some(1L), randomState = 987654321L)
+    val s2 = AssignTrainTestSplitOp(ds, Some(1L), randomState = 123459876L)
+    val g = writeGraph(store, s1, s2)
+    val only = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-param", "987654321")))
+    assert(only.contains(s1.uuid) && !only.contains(s2.uuid))
+    // a dependency's uuid is a field value of its consumer -> param-matches
+    val byDep = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-param", ds.uuid)))
+    assert(byDep.contains(s1.uuid) && byDep.contains(s2.uuid))
+  }
+
+  test("pickaxe filter searches each op's own pseudocode only") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("needle_col" -> Seq(1L)))
+    val rid = AssignRowIDOp(ds)
+    val g = writeGraph(store, rid)
+    val out = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-code", "needle_col")))
+    // the column name appears in the load's statement, not the consumer's
+    assert(out.contains(ds.uuid) && !out.contains(rid.uuid))
+  }
+
+  test("state filter selects by runtime state; count truncates") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L)))
+    val rid = AssignRowIDOp(ds)
+    val split = AssignTrainTestSplitOp(ds, Some(1L))
+    val g = writeGraph(store, rid, split)
+    new LocalSparkRunner(spark, store).materialize(rid)
+    val done = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-state", "completed")))
+    assert(done.contains(rid.uuid) && !done.contains(split.uuid))
+    val fresh = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-state", "new")))
+    assert(fresh.contains(split.uuid) && !fresh.contains(rid.uuid))
+    val one = withStdout(Cli.main(Array("status", "--store", store, "--graph", g,
+      "--filter-count", "1")))
+    assert(one.trim.linesIterator.size == 1)
+  }
+
+  test("make-group registers a GroupedOp of the filtered ops and prints its uuid") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L)))
+    val rid = AssignRowIDOp(ds)
+    val split = AssignTrainTestSplitOp(ds, Some(1L))
+    val g = writeGraph(store, rid, split)
+    val printed = withStdout(Cli.main(Array("make-group", "--store", store,
+      "--graph", g, "--filter-type", "Assign"))).trim
+    assert(printed.startsWith("GroupedOp_"))
+    // the group is rehydratable from the store and contains exactly the
+    // filtered ops, uuid-sorted (reference make_group, cli.py:520-535)
+    val runner = new LocalSparkRunner(spark, store)
+    val group = runner.uuidToOp(printed).asInstanceOf[GroupedOp]
+    assert(group.ops.map(_.uuid) == Seq(rid, split).map(_.uuid).sorted)
+    // a single-op selection passes through un-wrapped
+    val single = withStdout(Cli.main(Array("make-group", "--store", store,
+      "--graph", g, "--filter-type", "AssignRowIDOp"))).trim
+    assert(single == rid.uuid)
+    // and the registered group materializes end-to-end
+    runner.materialize(group)
+    assert(runner.status(group).state == "completed")
+  }
 }
