@@ -104,9 +104,11 @@ object FakeProvider {
 
 /** HTTP provider: posts batches to an OpenAI-/Ollama-compatible endpoint.
   * Runs on executors inside `mapPartitions` — inference scales with
-  * partitions, the engine never funnels text through the driver. Untestable
-  * in this zero-egress container; the request shape mirrors Ollama
-  * `/api/embed` (reference `model_registry_implementations.py:56-67`).
+  * partitions, the engine never funnels text through the driver. The
+  * request shape mirrors Ollama `/api/embed` (reference
+  * `model_registry_implementations.py:56-67`); batching, value decoding,
+  * and all three error paths are exercised against a loopback mock server
+  * in LLMSpec (no network egress needed).
   */
 final class HttpProvider(endpoint: String) extends ModelProvider {
 

@@ -236,6 +236,12 @@ object OpRegistry {
     case JObj(fields) => fields.map { case (k, v) => (k, Json.toScala(v)) }.toMap
     case v => bad(n, v, "object")
   }
+  def optAnyMap(o: JObj, n: String): Option[Map[String, Any]] = o.get(n) match {
+    case None | Some(JNull) => None
+    case Some(JObj(fields)) =>
+      Some(fields.map { case (k, v) => (k, Json.toScala(v)) }.toMap)
+    case Some(v) => bad(n, v, "object or null")
+  }
   def dblMap(o: JObj, n: String): Map[String, Double] = o(n) match {
     case JObj(fields) => fields.map {
       case (k, JDouble(d)) => (k, d)
@@ -357,8 +363,19 @@ object OpRegistry {
     "UMAPVizOp" -> ((o, r) =>
       UMAPVizOp(op[VectorColumnType](o, "input_embedding", r),
         lng(o, "n_neighbors"), lng(o, "n_epochs"), lng(o, "random_state"),
-        str(o, "metric"), dbl(o, "learning_rate"), dbl(o, "min_dist"),
-        dbl(o, "spread"), bool(o, "densmap"))),
+        str(o, "metric"), optAnyMap(o, "metric_kwds"),
+        str(o, "output_metric"), optAnyMap(o, "output_metric_kwds"),
+        dbl(o, "learning_rate"), dbl(o, "min_dist"), dbl(o, "spread"),
+        dbl(o, "set_op_mix_ratio"), dbl(o, "local_connectivity"),
+        dbl(o, "repulsion_strength"), lng(o, "negative_sample_rate"),
+        dbl(o, "transform_queue_size"), bool(o, "angular_rp_forest"),
+        lng(o, "target_n_neighbors"), str(o, "target_metric"),
+        optAnyMap(o, "target_metric_kwds"), dbl(o, "target_weight"),
+        lng(o, "transform_seed"), str(o, "transform_mode"),
+        bool(o, "force_approximation_algorithm"), bool(o, "unique"),
+        bool(o, "densmap"), dbl(o, "dens_lambda"), dbl(o, "dens_frac"),
+        dbl(o, "dens_var_shift"), bool(o, "output_dens"),
+        optDbl(o, "disconnection_distance"))),
     "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r))),
     "RedactPIIColumnOp" -> ((o, r) =>
       RedactPIIColumnOp(op[TextColumnType](o, "text", r))),

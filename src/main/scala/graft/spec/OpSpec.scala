@@ -179,7 +179,13 @@ object OpSpec {
       .map("%02x".format(_)).mkString
 
   def camelToSnake(name: String): String =
-    name.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    name
+      // split an acronym run before a trailing Word: "targetNNeighbors" →
+      // "targetN_Neighbors" (pydantic-style target_n_neighbors, not
+      // target_nneighbors)
+      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+      .replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      .toLowerCase
 
   /** All OpSpecs inside a field value (direct, Option, Seq, Map values —
     * mirroring the reference's `map_fields` traversal,

@@ -258,16 +258,44 @@ final case class LLMGenerateTextOp(
 /** 2-D embedding of a vector column. The reference runs umap-learn; this
   * engine substitutes a distributed PCA(2) under the same spec shape
   * (SURVEY §2.7) — hyperparameters kept for hash parity of the spec. */
+/** 2-D viz embedding of a vector column. Carries the reference's FULL
+  * hyperparameter surface (`viz_ops.py:10-52`) so richly-parameterized viz
+  * graphs round-trip and hash stably, even though the engine's distributed
+  * stand-in (PCA-2D, SURVEY §2.7) only consumes a subset — spec parity and
+  * implementation fidelity are independent axes, and the spec is the
+  * cross-machine contract. */
 final case class UMAPVizOp(
     inputEmbedding: VectorColumnType,
     nNeighbors: Long = 15L,
     nEpochs: Long = 200L,
     randomState: Long = 42L,
     metric: String = "euclidean",
+    metricKwds: Option[Map[String, Any]] = None,
+    outputMetric: String = "euclidean",
+    outputMetricKwds: Option[Map[String, Any]] = None,
     learningRate: Double = 1.0,
     minDist: Double = 0.1,
     spread: Double = 1.0,
-    densmap: Boolean = false) extends VizEmbeddingColumnType
+    setOpMixRatio: Double = 1.0,
+    localConnectivity: Double = 1.0,
+    repulsionStrength: Double = 1.0,
+    negativeSampleRate: Long = 5L,
+    transformQueueSize: Double = 4.0,
+    angularRpForest: Boolean = false,
+    targetNNeighbors: Long = -1L,
+    targetMetric: String = "categorical",
+    targetMetricKwds: Option[Map[String, Any]] = None,
+    targetWeight: Double = 0.5,
+    transformSeed: Long = 42L,
+    transformMode: String = "embedding",
+    forceApproximationAlgorithm: Boolean = false,
+    unique: Boolean = false,
+    densmap: Boolean = false,
+    densLambda: Double = 2.0,
+    densFrac: Double = 0.3,
+    densVarShift: Double = 0.1,
+    outputDens: Boolean = false,
+    disconnectionDistance: Option[Double] = None) extends VizEmbeddingColumnType
 
 // ---------- grouping (reference grouped_ops.py:8-17) ----------
 

@@ -88,6 +88,75 @@ class LLMSpec extends SparkTestBase {
     assert(r.toValues(acts).length == 1)
   }
 
+  test("http: provider against a loopback mock server — batching, values, error paths") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    import scala.jdk.CollectionConverters._
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    def jsonHandler(f: Seq[String] => Option[String]): HttpHandler = (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      val texts = Json.parse(body) match {
+        case o: JObj => o("input") match {
+          case JArr(xs) => xs.map { case JString(s) => s; case x => x.toString }
+          case x => sys.error(s"bad input $x")
+        }
+        case x => sys.error(s"bad body $x")
+      }
+      f(texts.toSeq) match {
+        case Some(resp) =>
+          val bytes = resp.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case None =>
+          ex.sendResponseHeaders(500, -1)
+      }
+      ex.close()
+    }
+    // embedding of a text = [length, 42.0] — verifiable per row
+    def embed(texts: Seq[String]): String = Json.render(JObj(
+      "embeddings" -> JArr(texts.map(t =>
+        JArr(Vector(JDouble(t.length.toDouble), JDouble(42.0))): JValue).toVector)))
+    server.createContext("/api/embed", jsonHandler { texts =>
+      batchSizes.add(texts.length); Some(embed(texts))
+    })
+    server.createContext("/short", jsonHandler(texts => Some(embed(texts.take(1)))))
+    server.createContext("/broken", jsonHandler(_ => None))
+    server.createContext("/noembeds", jsonHandler(_ => Some("""{"other":1}""")))
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // full engine path: mapPartitions on executors → loopback POST
+      val r = newRunner()
+      val text = SelectTextColumnOp(ds, "text")
+      val act = LLMLayerActivationsOp(s"http:127.0.0.1:$port/api/embed", text,
+        layerNum = -1L, batchSize = 2L)
+      val v = r.toValues(act).map(_.asInstanceOf[scala.collection.Seq[Double]])
+      assert(v.map(_.toSeq) ==
+        Seq(Seq(11.0, 42.0), Seq(7.0, 42.0), Seq(11.0, 42.0), Seq(0.0, 42.0)))
+      // batchSize honored: no request carried more than 2 texts, and all
+      // 4 rows arrived across the batches
+      assert(batchSizes.asScala.forall(_ <= 2))
+      assert(batchSizes.asScala.map(_.toInt).sum == 4)
+
+      // a short response is a hard error (no silent row drop)
+      val shortR = LLMLayerActivationsOp(s"http:127.0.0.1:$port/short", text,
+        layerNum = -1L, batchSize = 2L)
+      val e = intercept[Exception](newRunner().toValues(shortR))
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      assert(messages(e).exists(_.contains("provider returned 1 results")))
+      // HTTP 500 and a schema-less response are hard errors too
+      intercept[Exception](new HttpProvider(s"127.0.0.1:$port/broken")
+        .layerActivations(Iterator.single(Seq("x")), -1L, "last").next())
+      val e2 = intercept[IllegalStateException](
+        new HttpProvider(s"127.0.0.1:$port/noembeds")
+          .layerActivations(Iterator.single(Seq("x")), -1L, "last").next())
+      assert(e2.getMessage.contains("no 'embeddings'"))
+    } finally server.stop(0)
+  }
+
   test("fake provider hash arithmetic matches its spec (SQL-replicable)") {
     val p = FakeProvider(4)
     // md5("x|‑1|last|0")[0:8] parsed as hex → /2^31 - 1

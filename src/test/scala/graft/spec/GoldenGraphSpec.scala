@@ -41,4 +41,25 @@ class GoldenGraphSpec extends AnyFunSuite {
     val rt = Graph.deserialize(Graph.serialize(outputs: _*))
     assert(rt.map(_.uuid) == outputs.map(_.uuid))
   }
+
+  test("fully-parameterized UMAP viz graph hash-matches the external authoring") {
+    // fixture from tools/make_golden_umap.py: every reference hyperparameter
+    // (viz_ops.py:10-52) set to a non-default value — a missing, renamed, or
+    // re-typed spec field fails UUID verification on deserialize
+    val in = getClass.getResourceAsStream("/golden_umap.json")
+    val fixture = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val Seq(viz: UMAPVizOp) = Graph.deserializeString(fixture): @unchecked
+    assert(viz.uuid ==
+      "UMAPVizOp_0bad032d08cef361afa13c52d8dd5fb594e75a0b349584280df813ea57678c5c")
+    assert(viz.nNeighbors == 30L && viz.metric == "cosine")
+    assert(viz.metricKwds.contains(Map("p" -> 2.0)))
+    assert(viz.targetNNeighbors == 12L)
+    assert(viz.disconnectionDistance.contains(0.75))
+    assert(viz.densmap && viz.outputDens && viz.unique)
+    // defaulted construction still carries the full surface: field count
+    // matches the reference's 30 hyperparameters + the input edge
+    assert(viz.productArity == 31)
+    val rt = Graph.deserialize(Graph.serialize(viz))
+    assert(rt.head.uuid == viz.uuid)
+  }
 }
