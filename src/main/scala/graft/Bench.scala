@@ -46,6 +46,9 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       SparkEntry.queries("q_load_parquet")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // RDD local-checkpoint machinery (used by the iterative CC rounds of
+      // q_dedup_clusters) — cold first use measured multi-second
+      tiny.localCheckpoint().write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

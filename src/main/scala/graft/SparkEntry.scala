@@ -66,6 +66,31 @@ object SparkEntry {
       path
     })
 
+  /** JSONL / CSV fixtures derived from `documents.parquet`, written once
+    * per (JVM, sf dir): the q_load_jsonl / q_load_csv round-trips load them
+    * back through the runner's content-addressed source ops. */
+  private val fmtFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def formatFixtureFor(s: SparkSession, dir: String,
+                               fmt: String): String =
+    fmtFixtureCache.computeIfAbsent(s"$fmt:$dir", { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft-$fmt-fixture-").toString + "/docs"
+      val base = t(s, dir, "documents")
+      fmt match {
+        case "jsonl" =>
+          base.select(col("doc_id"), col("lang"), col("text"))
+            .coalesce(1).write.mode("overwrite").json(path)
+        case "csv" =>
+          // no free-text column: CSV's quoted-newline escape needs the
+          // non-splittable multiLine read — wrong trade for a fixture
+          base.select(col("doc_id"), col("lang"))
+            .coalesce(1).write.mode("overwrite")
+            .option("header", "true").csv(path)
+      }
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -153,6 +178,29 @@ object SparkEntry {
       import s.implicits._
       Seq((1L, "alpha", true), (2L, "beta", false), (3L, "gamma", true))
         .toDF("id", "name", "flag").orderBy(col("id"))
+    }),
+
+    "q_load_jsonl" -> ((s, dir) => {
+      // LoadLocalJsonlDatasetOp: documents round-tripped through
+      // newline-delimited JSON (the LLM-corpus interchange format) and
+      // loaded back content-addressed through the runner; the oracle reads
+      // the same rows from the parquet base table, so any encode/decode
+      // mangling (escaping, unicode, schema drift) hash-fails.
+      val r = runnerFor(s)
+      val ds = r.fromJsonl(formatFixtureFor(s, dir, "jsonl"))
+      r.toFrame(ds)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_load_csv" -> ((s, dir) => {
+      // LoadLocalCsvDatasetOp: headered CSV round-trip, inferred types
+      // normalized by explicit cast (CSV inference may narrow to int)
+      val r = runnerFor(s)
+      val ds = r.fromCsv(formatFixtureFor(s, dir, "csv"))
+      r.toFrame(ds)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- projection / typed selects (SURVEY §2.2) ----
@@ -1056,6 +1104,12 @@ object SparkEntry {
 
     "q_load_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "q_load_jsonl" ->
+      "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+
+    "q_load_csv" ->
+      "SELECT doc_id, lang FROM documents ORDER BY doc_id",
 
     "q_load_inline_json" ->
       """SELECT * FROM (VALUES

@@ -134,6 +134,8 @@ class LocalSparkRunner(
     * are ready (`local_arrow_runner.py:230-248`). */
   def hasResult(op: OpSpec): Boolean = op match {
     case LoadLocalParquetDatasetOp(_, path) => Files.exists(Paths.get(path))
+    case LoadLocalJsonlDatasetOp(_, path) => Files.exists(Paths.get(path))
+    case LoadLocalCsvDatasetOp(_, path, _) => Files.exists(Paths.get(path))
     case _ if memo.contains(op.uuid) => true
     case _ if op.isEphemeral => op.children.forall(hasResult)
     case _ => isDone(op)
@@ -200,6 +202,15 @@ class LocalSparkRunner(
     * `local_arrow_runner.py:154-198`). */
   def fromParquet(path: String): LoadLocalParquetDatasetOp =
     LoadLocalParquetDatasetOp(contentHash = contentHashOf(path), filePath = path)
+
+  /** JSONL / CSV analogues of [[fromParquet]]: identity = streamed sha256
+    * of the file bytes, never the path. */
+  def fromJsonl(path: String): LoadLocalJsonlDatasetOp =
+    LoadLocalJsonlDatasetOp(contentHash = contentHashOf(path), filePath = path)
+
+  def fromCsv(path: String, header: Boolean = true): LoadLocalCsvDatasetOp =
+    LoadLocalCsvDatasetOp(contentHash = contentHashOf(path), filePath = path,
+      header = header)
 
   /** Materialize as a DataFrame (datasets and column ops). */
   def toFrame(op: OpSpec): DataFrame = materialize(op) match {
@@ -359,6 +370,14 @@ class LocalSparkRunner(
 
     case LoadLocalParquetDatasetOp(_, path) =>
       FrameResult(ColumnOps.withRowIdxByFileOrder(spark.read.parquet(path)))
+
+    case LoadLocalJsonlDatasetOp(_, path) =>
+      FrameResult(ColumnOps.withRowIdxByFileOrder(spark.read.json(path)))
+
+    case LoadLocalCsvDatasetOp(_, path, header) =>
+      FrameResult(ColumnOps.withRowIdxByFileOrder(
+        spark.read.option("header", header.toString)
+          .option("inferSchema", "true").csv(path)))
 
     case LoadInlineJsonDatasetOp(data) =>
       FrameResult(inlineToFrame(data))

@@ -288,6 +288,11 @@ object OpRegistry {
       LoadLocalParquetDatasetOp(str(o, "content_hash"), str(o, "file_path"))),
     "LoadInlineJsonDatasetOp" -> ((o, _) =>
       LoadInlineJsonDatasetOp(colSeqMap(o, "data"))),
+    "LoadLocalJsonlDatasetOp" -> ((o, _) =>
+      LoadLocalJsonlDatasetOp(str(o, "content_hash"), str(o, "file_path"))),
+    "LoadLocalCsvDatasetOp" -> ((o, _) =>
+      LoadLocalCsvDatasetOp(str(o, "content_hash"), str(o, "file_path"),
+        bool(o, "header"))),
     "SelectTextColumnOp" -> ((o, r) =>
       SelectTextColumnOp(op[DatasetType](o, "dataset", r), str(o, "column_name"))),
     "SelectVectorColumnOp" -> ((o, r) =>

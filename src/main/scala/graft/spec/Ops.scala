@@ -53,6 +53,30 @@ final case class LoadInlineJsonDatasetOp(
     s"inline columns must have equal lengths, got ${data.view.mapValues(_.length).toMap}")
 }
 
+/** Dataset from a JSONL (newline-delimited JSON) file or directory — the
+  * interchange format LLM corpora actually arrive in. Identity and
+  * ephemerality follow [[LoadLocalParquetDatasetOp]] exactly: content-hash
+  * identity (path excluded from the UUID), lazy scan so downstream pruning
+  * reaches the source. Schema is inferred from the data (line-splittable,
+  * so a directory of shards scans in parallel). Beyond the reference's
+  * surface (it loads parquet + inline only). */
+final case class LoadLocalJsonlDatasetOp(
+    contentHash: String,
+    filePath: String) extends DatasetType with EphemeralOp {
+  override def excludeFromUuid: Set[String] = Set("file_path")
+}
+
+/** Dataset from a headered CSV file or directory, same identity contract as
+  * [[LoadLocalJsonlDatasetOp]]. `header=false` reads positional `_c0…`
+  * columns. Types are inferred; cast downstream where exact widths matter.
+  * Beyond the reference's surface. */
+final case class LoadLocalCsvDatasetOp(
+    contentHash: String,
+    filePath: String,
+    header: Boolean = true) extends DatasetType with EphemeralOp {
+  override def excludeFromUuid: Set[String] = Set("file_path")
+}
+
 // ---------- typed column selects (reference dataset_ops.py:99-153) ----------
 
 sealed trait SelectColumnOp extends ColumnType with EphemeralOp {

@@ -198,6 +198,41 @@ class CachedRunnerSpec extends SparkTestBase {
       "pull into a dirty cache dir must not duplicate rows")
   }
 
+  test("concurrent pulls of the same op converge to one complete cache dir") {
+    val shared = newDir("graft-shared-")
+    val seeder = new CachedSparkRunner(spark, shared, newDir("graft-cacheS-"))
+    val rid = AssignRowIDOp(inline(64))
+    seeder.materialize(rid)
+    val expected = seeder.toValues(rid)
+
+    // many threads race isDone→pull on a cold cache; the per-uuid lock +
+    // per-attempt tmp dirs must serialize them into exactly one complete
+    // result (the pre-fix pid-only tmp path let racing threads wipe each
+    // other's staging and publish a partial dir whose `done` was present)
+    val cacheB = newDir("graft-cacheB-")
+    val machineB = new CachedSparkRunner(spark, shared, cacheB)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = machineB.isDone(rid)
+        }))
+      assert(futures.forall(_.get()), "every racing pull must see done")
+    } finally pool.shutdown()
+    // no stray staging dirs left behind
+    val parent = machineB.opDir(rid).getParent
+    val leftovers = {
+      val s = Files.list(parent)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.contains(".pull")).toList
+      } finally s.close()
+    }
+    assert(leftovers.isEmpty, s"staging dirs left behind: $leftovers")
+    assert(machineB.toValues(rid) == expected)
+  }
+
   test("a stale local transient status does not shadow a remote completion") {
     val shared = newDir("graft-shared-")
     val cache = newDir("graft-cache-")

@@ -53,6 +53,40 @@ class RunnerSpec extends SparkTestBase {
     assert(r.toFrame(op1).count() == 2)
   }
 
+  test("fromJsonl / fromCsv: content identity, typed round-trip, select fusion") {
+    val r = newRunner()
+    val dir = Files.createTempDirectory("graft-fmt-")
+    // JSONL with escapes/unicode that a sloppy codec would mangle
+    Files.writeString(Paths.get(s"$dir/d.jsonl"),
+      """{"id":1,"txt":"line\nbreak"}
+        |{"id":2,"txt":"quote\"and\ttab"}
+        |{"id":3,"txt":"emoji 😀 + ümlaut"}
+        |""".stripMargin)
+    val jop = r.fromJsonl(s"$dir/d.jsonl")
+    val jdf = r.toFrame(jop).orderBy("__row_idx")
+    assert(jdf.select("txt").collect().map(_.getString(0)).toSeq ==
+      Seq("line\nbreak", "quote\"and\ttab", "emoji 😀 + ümlaut"))
+    // same bytes at a different path → same op uuid
+    Files.copy(Paths.get(s"$dir/d.jsonl"), Paths.get(s"$dir/d2.jsonl"))
+    assert(r.fromJsonl(s"$dir/d2.jsonl").uuid == jop.uuid)
+    // ...and different content → different uuid
+    Files.writeString(Paths.get(s"$dir/d3.jsonl"), """{"id":9,"txt":"x"}""" + "\n")
+    assert(r.fromJsonl(s"$dir/d3.jsonl").uuid != jop.uuid)
+    // typed select fuses over the source like any dataset
+    val txt = r.toValues(SelectTextColumnOp(jop, "txt"))
+    assert(txt.length == 3 && txt.head == "line\nbreak")
+
+    // CSV: header + quoted field with comma
+    Files.writeString(Paths.get(s"$dir/d.csv"),
+      "id,name\n1,\"a,b\"\n2,plain\n")
+    val cop = r.fromCsv(s"$dir/d.csv")
+    val cdf = r.toFrame(cop).orderBy("__row_idx")
+    assert(cdf.select("name").collect().map(_.getString(0)).toSeq ==
+      Seq("a,b", "plain"))
+    // headerless variant is a DIFFERENT op (header participates in uuid)
+    assert(r.fromCsv(s"$dir/d.csv", header = false).uuid != cop.uuid)
+  }
+
   // ---------------- the SURVEY §7.2.3 minimum slice ----------------
 
   test("minimum slice: load→select→isin→mask→take, twice, second run is a store hit") {
