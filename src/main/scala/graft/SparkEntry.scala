@@ -432,6 +432,36 @@ object SparkEntry {
         .toDF("split", "cnt", "n_true", "n_false")
     }),
 
+    "q_probe_rbf_eval" -> ((s, dir) => {
+      // the kernel-probe chain (RFF feature map → linear SVC) through the
+      // runner: train, score EVERY row, evaluate. The oracle checks the
+      // deterministic eligibility counts plus the scored-row count; the
+      // in-query finiteness gate makes a broken kernel path a hard error
+      // (NO OUTPUT), never a silently-degenerate green row. Kernel QUALITY
+      // (circles fixture, kernel-vs-linear lift) is asserted in KernelSpec.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val x = SelectVectorColumnOp(ds, "embedding")
+      val cat = SelectCategoricalColumnOp(ds, "label")
+      val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
+      val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
+      val model = TrainClassifierOp("rbf_svc", x, pos, neg,
+        params = Map("max_iter" -> 25L, "rff_dim" -> 128L))
+      val predict = ClassifierPredictOp(model, x)
+      val eval = ClassifierEvaluationOp(predict, pos, neg)
+      val all = r.toJson(eval).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
+        .asInstanceOf[JObj]
+      def l(n: String): Long = all(n).asInstanceOf[JLong].value
+      val scored = r.toFrame(predict)
+      val v = scored.agg(count(lit(1)),
+        count(when(isnan(col(r.ValueCol)) ||
+          col(r.ValueCol).isNull, 1))).head()
+      require(v.getLong(1) == 0, "kernel probe produced non-finite scores")
+      import s.implicits._
+      Seq(("all", l("count"), l("n_true"), l("n_false"), v.getLong(0)))
+        .toDF("split", "cnt", "n_true", "n_false", "n_scored")
+    }),
+
     "q_probe_predict" -> ((s, dir) => {
       // probe scores per row — model-dependent values, rows-only check;
       // quality asserted in ProbeSpec
@@ -927,6 +957,13 @@ object SparkEntry {
       """SELECT 'all' AS split, COUNT(*) AS cnt,
         |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false
+        |FROM embeddings""".stripMargin,
+
+    "q_probe_rbf_eval" ->
+      """SELECT 'all' AS split, COUNT(*) AS cnt,
+        |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |COUNT(*) AS n_scored
         |FROM embeddings""".stripMargin,
 
     "q_probe_diffmeans" ->

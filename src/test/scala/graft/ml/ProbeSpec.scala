@@ -192,15 +192,17 @@ class ProbeSpec extends SparkTestBase {
     }
   }
 
-  test("unknown model type and kernel entries raise clear errors") {
+  test("unknown model type and the one-class entry raise clear errors") {
     val r = newRunner()
     val (_, model, _, _) = chain("no_such_model")
     val e = intercept[IllegalArgumentException](r.materialize(
       model.subsFields("model_type" -> "no_such_model")))
     assert(e.getMessage.contains("unknown classifier"))
+    // the RBF names train now (KernelSpec); only the unsupervised
+    // one-class detector remains outside the binary-probe contract
     val e2 = intercept[UnsupportedOperationException](r.materialize(
-      model.subsFields("model_type" -> "rbf_nusvm")))
-    assert(e2.getMessage.contains("RBF"))
+      model.subsFields("model_type" -> "sgd_nystroem_one_class_svm")))
+    assert(e2.getMessage.contains("outlier detector"))
   }
 
   test("overlapping positives/negatives are rejected") {
