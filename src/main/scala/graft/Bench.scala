@@ -44,6 +44,9 @@ object Bench {
       new org.apache.spark.ml.classification.LogisticRegression()
         .setMaxIter(2).fit(feat).transform(feat)
         .write.format("noop").mode("overwrite").save()
+      new org.apache.spark.ml.classification.LinearSVC()
+        .setMaxIter(2).fit(feat).transform(feat)
+        .write.format("noop").mode("overwrite").save()
       SparkEntry.queries("q_load_parquet")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       // RDD local-checkpoint machinery (used by the iterative CC rounds of
