@@ -590,6 +590,27 @@ class LocalSparkRunner(
         .withColumn("n_seqs",
           coalesce(col("last_seq") - col("first_seq") + 1, lit(0L))))
 
+    case MinHashNearDupPairsOp(text, shingleN, numPerms, numBands, threshold) =>
+      val t = frame(text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Dedup.minhashNearDuplicates(t, "__txt", "__id",
+        shingleN.toInt, numPerms.toInt, numBands.toInt, threshold))
+
+    case DropNearDuplicatesOp(dataset, pairs) =>
+      val df = frame(dataset)
+      val p = frame(pairs)
+      require(p.columns.contains("id_a") && p.columns.contains("id_b"),
+        s"pairs dataset must have id_a/id_b columns, got ${p.columns.mkString(",")}")
+      FrameResult(reindex(
+        graft.ext.Dedup.dropNearDuplicates(df, RowIdx, p.select("id_a", "id_b")),
+        lengthOf(dataset)))
+
+    case AnnBruteTopKOp(corpus, queries, k) =>
+      val c = frame(corpus).select(col(RowIdx).as("__cid"), col(ValueCol).as("__cv"))
+      val q = frame(queries).select(col(RowIdx).as("__qid"), col(ValueCol).as("__qv"))
+      FrameResult(graft.ext.Similarity.bruteForceTopK(
+        c, "__cid", "__cv", q, "__qid", "__qv", k.toInt))
+
     case other =>
       throw new UnsupportedOperationException(
         s"no implementation for ${other.typeName}")

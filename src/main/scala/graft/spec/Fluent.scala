@@ -43,6 +43,9 @@ object Fluent {
                              trainSize: Option[Any] = None,
                              randomState: Long = 19190115L): AssignTrainTestSplitOp =
       AssignTrainTestSplitOp(ds, testSize, trainSize, randomState)
+    /** beyond reference: keep one representative per near-dup cluster */
+    def dropNearDuplicates(pairs: DatasetType): DropNearDuplicatesOp =
+      DropNearDuplicatesOp(ds, pairs)
   }
 
   implicit class CategoricalBuilders(private val c: ColumnType) extends AnyVal {
@@ -92,6 +95,9 @@ object Fluent {
     def umapViz(nNeighbors: Long = 15L, nEpochs: Long = 200L,
                 randomState: Long = 42L): UMAPVizOp =
       UMAPVizOp(v, nNeighbors, nEpochs, randomState)
+    /** beyond reference: brute-force cosine top-k against this corpus */
+    def annTopK(queries: VectorColumnType, k: Long = 10L): AnnBruteTopKOp =
+      AnnBruteTopKOp(v, queries, k)
   }
 
   implicit class TextBuilders(private val t: TextColumnType) extends AnyVal {
@@ -114,6 +120,11 @@ object Fluent {
       LLMLogitScoresOp(modelName, t, tokens, batchSize)
     def llmGenerate(modelName: String, maxTokens: Long = 100L): LLMGenerateTextOp =
       LLMGenerateTextOp(modelName, t, maxTokens)
+    /** beyond reference: LSH near-duplicate pairs over this text column */
+    def minhashNearDupPairs(shingleN: Long = 3L, numPerms: Long = 64L,
+                            numBands: Long = 16L,
+                            threshold: Double = 0.8): MinHashNearDupPairsOp =
+      MinHashNearDupPairsOp(t, shingleN, numPerms, numBands, threshold)
   }
 
   implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {

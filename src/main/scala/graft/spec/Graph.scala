@@ -400,6 +400,16 @@ object OpRegistry {
         op[CategoricalColumnType](o, "stratum", r), dblMap(o, "fracs"),
         dbl(o, "default_frac"), str(o, "salt"))),
     "PackSequencesOp" -> ((o, r) =>
-      PackSequencesOp(op[ColumnType](o, "tokens", r), lng(o, "seq_len")))
+      PackSequencesOp(op[ColumnType](o, "tokens", r), lng(o, "seq_len"))),
+    "MinHashNearDupPairsOp" -> ((o, r) =>
+      MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
+        lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),
+        dbl(o, "threshold"))),
+    "DropNearDuplicatesOp" -> ((o, r) =>
+      DropNearDuplicatesOp(op[DatasetType](o, "dataset", r),
+        op[DatasetType](o, "pairs", r))),
+    "AnnBruteTopKOp" -> ((o, r) =>
+      AnnBruteTopKOp(op[VectorColumnType](o, "corpus", r),
+        op[VectorColumnType](o, "queries", r), lng(o, "k")))
   )
 }

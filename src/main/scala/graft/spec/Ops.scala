@@ -395,3 +395,45 @@ final case class PackSequencesOp(
     seqLen: Long) extends DatasetType {
   require(seqLen >= 1L, s"seqLen must be >= 1, got $seqLen")
 }
+
+/** MinHash+LSH near-duplicate PAIRS over a text column
+  * ([[graft.ext.Dedup.minhashNearDuplicates]]): banded signatures →
+  * candidate buckets → exact-Jaccard verify. Result dataset
+  * `(id_a, id_b, jaccard)` where ids are the text's ROW INDICES
+  * (id_a < id_b). Non-ephemeral on purpose: the LSH pass is the expensive
+  * step of a dedup pipeline, and lifting it into the spec layer makes it
+  * content-addressed — recomputed never, shared cross-machine like any
+  * result. */
+final case class MinHashNearDupPairsOp(
+    text: TextColumnType,
+    shingleN: Long = 3L,
+    numPerms: Long = 64L,
+    numBands: Long = 16L,
+    threshold: Double = 0.8) extends DatasetType {
+  require(shingleN >= 1L, s"shingleN must be >= 1, got $shingleN")
+  require(numPerms >= 1L && numBands >= 1L && numPerms % numBands == 0L,
+    s"numPerms ($numPerms) must be a positive multiple of numBands ($numBands)")
+  require(threshold >= 0.0 && threshold <= 1.0,
+    s"threshold must be in [0,1], got $threshold")
+}
+
+/** Keep one representative per near-duplicate cluster: `pairs` (any
+  * dataset with `id_a`/`id_b` row-index columns, e.g.
+  * [[MinHashNearDupPairsOp]]) is closed transitively (connected
+  * components) and only each cluster's min-id member survives; rows in no
+  * pair are untouched. Positional contract: survivors are re-indexed
+  * contiguously ([[graft.ext.Dedup.dropNearDuplicates]]). */
+final case class DropNearDuplicatesOp(
+    dataset: DatasetType,
+    pairs: DatasetType) extends DatasetType
+
+/** Brute-force cosine top-k of `queries` against `corpus` (both vector
+  * columns; ids are row indices): `(query_id, corpus_id, cosine, rank)`
+  * with `rank <= k` ([[graft.ext.Similarity.bruteForceTopK]] — the query
+  * side must be small; it is broadcast). */
+final case class AnnBruteTopKOp(
+    corpus: VectorColumnType,
+    queries: VectorColumnType,
+    k: Long = 10L) extends DatasetType {
+  require(k >= 1L, s"k must be >= 1, got $k")
+}

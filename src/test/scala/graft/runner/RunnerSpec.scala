@@ -87,6 +87,52 @@ class RunnerSpec extends SparkTestBase {
     assert(r.fromCsv(s"$dir/d.csv", header = false).uuid != cop.uuid)
   }
 
+  test("graph-native near-dup chain: LSH pairs -> drop, memoized in the store") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    val ds = LoadInlineJsonDatasetOp(Map("text" -> Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "completely different text about spark engines and scala",
+      "the quick brown fox jumps over the lazy dog", // exact dup of 0
+      "another unrelated document mentioning databases",
+      "the quick brown fox jumps over the lazy cat"))) // near-dup of 0
+    val pairs = MinHashNearDupPairsOp(SelectTextColumnOp(ds, "text"),
+      threshold = 0.5)
+    val found = r.toFrame(pairs).select("id_a", "id_b")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(found.contains((0L, 2L)), s"exact dup pair missing from $found")
+    assert(!found.exists(p => p._1 == 1L || p._2 == 1L))
+
+    val deduped = DropNearDuplicatesOp(ds, pairs)
+    val kept = r.toFrame(deduped).orderBy(col(graft.ops.ColumnOps.RowIdx))
+      .select("text").collect().map(_.getString(0))
+    // row 2 (exact dup) dropped; row 4 dropped iff LSH caught (0,4)
+    assert(!kept.zipWithIndex.exists { case (t, i) =>
+      i > 0 && kept.take(i).contains(t) }, "exact duplicates must not survive")
+    assert(kept.head.contains("lazy dog") && kept.contains(
+      "completely different text about spark engines and scala"))
+    // positional contract: survivors re-indexed contiguously from 0
+    val idx = r.toFrame(deduped).select(graft.ops.ColumnOps.RowIdx)
+      .collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == idx.indices.map(_.toLong))
+
+    // the expensive LSH pass is memoized: a fresh runner on the same store
+    // has the result without recompute
+    val r2 = new LocalSparkRunner(spark, store)
+    assert(r2.isDone(pairs) && r2.isDone(deduped))
+
+    // ANN through the spec layer: top-2 of each query row against corpus
+    val emb = LoadInlineJsonDatasetOp(Map(
+      "v" -> Seq(Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(0.0, 1.0))))
+    val vec = SelectVectorColumnOp(emb, "v")
+    val topk = AnnBruteTopKOp(vec, vec, k = 2L)
+    val rows = r.toFrame(topk).orderBy(col("query_id"), col("rank"))
+      .select("query_id", "corpus_id", "rank")
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2)))
+    assert(rows.length == 6)
+    assert(rows.take(2).toSeq == Seq((0L, 0L, 1), (0L, 1L, 2)))
+  }
+
   // ---------------- the SURVEY §7.2.3 minimum slice ----------------
 
   test("minimum slice: load→select→isin→mask→take, twice, second run is a store hit") {
