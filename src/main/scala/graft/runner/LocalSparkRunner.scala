@@ -596,6 +596,18 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Dedup.minhashNearDuplicates(t, "__txt", "__id",
         shingleN.toInt, numPerms.toInt, numBands.toInt, threshold))
 
+    case SimHashNearDupPairsOp(text, maxHamming, maxBucket) =>
+      val t = frame(text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Dedup.simhashNearDuplicates(t, "__txt", "__id",
+        maxHamming.toInt, maxBucket.toInt))
+
+    case CosineNearDupPairsOp(vectors, dim, nBands, planesPerBand, threshold, maxBucket) =>
+      val v = frame(vectors)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("array<float>").as("__v"))
+      FrameResult(graft.ext.Dedup.cosineNearDuplicates(v, "__v", "__id",
+        dim.toInt, nBands.toInt, planesPerBand.toInt, threshold, maxBucket.toInt))
+
     case DropNearDuplicatesOp(dataset, pairs) =>
       val df = frame(dataset)
       val p = frame(pairs)

@@ -405,6 +405,13 @@ object OpRegistry {
       MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
         lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),
         dbl(o, "threshold"))),
+    "SimHashNearDupPairsOp" -> ((o, r) =>
+      SimHashNearDupPairsOp(op[TextColumnType](o, "text", r),
+        lng(o, "max_hamming"), lng(o, "max_bucket"))),
+    "CosineNearDupPairsOp" -> ((o, r) =>
+      CosineNearDupPairsOp(op[VectorColumnType](o, "vectors", r),
+        lng(o, "dim"), lng(o, "n_bands"), lng(o, "planes_per_band"),
+        dbl(o, "threshold"), lng(o, "max_bucket"))),
     "DropNearDuplicatesOp" -> ((o, r) =>
       DropNearDuplicatesOp(op[DatasetType](o, "dataset", r),
         op[DatasetType](o, "pairs", r))),

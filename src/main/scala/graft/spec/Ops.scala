@@ -417,9 +417,43 @@ final case class MinHashNearDupPairsOp(
     s"threshold must be in [0,1], got $threshold")
 }
 
+/** SimHash near-duplicate PAIRS over a text column
+  * ([[graft.ext.Dedup.simhashNearDuplicates]]): 64-bit token-multiset
+  * sketch, pigeonhole banding derived from `maxHamming` (guaranteed
+  * recall), capped buckets. Result `(id_a, id_b, hamming)`, ids = row
+  * indices. */
+final case class SimHashNearDupPairsOp(
+    text: TextColumnType,
+    maxHamming: Long = 3L,
+    maxBucket: Long = 10000L) extends DatasetType {
+  require(maxHamming >= 0L && maxHamming < 64L,
+    s"maxHamming must be in [0,64), got $maxHamming")
+  require(maxBucket >= 2L, s"maxBucket must be >= 2, got $maxBucket")
+}
+
+/** Embedding-cosine near-duplicate PAIRS over a vector column
+  * ([[graft.ext.Dedup.cosineNearDuplicates]]): random-hyperplane LSH
+  * (OR-construction of `nBands` sketches), in-bucket exact-cosine verify.
+  * Result `(id_a, id_b, cosine)`, ids = row indices. `dim` is the
+  * embedding width (plane matrix is derived from it deterministically). */
+final case class CosineNearDupPairsOp(
+    vectors: VectorColumnType,
+    dim: Long,
+    nBands: Long = 8L,
+    planesPerBand: Long = 8L,
+    threshold: Double = 0.95,
+    maxBucket: Long = 10000L) extends DatasetType {
+  require(dim >= 1L, s"dim must be >= 1, got $dim")
+  require(nBands >= 1L && planesPerBand >= 1L && planesPerBand <= 56L,
+    s"bad banding: nBands=$nBands planesPerBand=$planesPerBand")
+  require(threshold >= -1.0 && threshold <= 1.0,
+    s"threshold must be in [-1,1], got $threshold")
+}
+
 /** Keep one representative per near-duplicate cluster: `pairs` (any
   * dataset with `id_a`/`id_b` row-index columns, e.g.
-  * [[MinHashNearDupPairsOp]]) is closed transitively (connected
+  * [[MinHashNearDupPairsOp]], [[SimHashNearDupPairsOp]],
+  * [[CosineNearDupPairsOp]]) is closed transitively (connected
   * components) and only each cluster's min-id member survives; rows in no
   * pair are untouched. Positional contract: survivors are re-indexed
   * contiguously ([[graft.ext.Dedup.dropNearDuplicates]]). */

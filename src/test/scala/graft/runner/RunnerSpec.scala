@@ -121,6 +121,20 @@ class RunnerSpec extends SparkTestBase {
     val r2 = new LocalSparkRunner(spark, store)
     assert(r2.isDone(pairs) && r2.isDone(deduped))
 
+    // SimHash and cosine pair ops run the same row-index contract
+    val shPairs = r.toFrame(SimHashNearDupPairsOp(
+        SelectTextColumnOp(ds, "text"), maxHamming = 8L))
+      .select("id_a", "id_b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(shPairs.contains((0L, 2L)), s"simhash missed the exact dup: $shPairs")
+    val emb0 = LoadInlineJsonDatasetOp(Map(
+      "v" -> Seq(Seq(1.0, 0.0, 0.0), Seq(0.999, 0.01, 0.0), Seq(0.0, 1.0, 0.0))))
+    val cosPairs = r.toFrame(CosineNearDupPairsOp(
+        SelectVectorColumnOp(emb0, "v"), dim = 3L, threshold = 0.99))
+      .select("id_a", "id_b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(cosPairs == Set((0L, 1L)), s"cosine pairs: $cosPairs")
+
     // ANN through the spec layer: top-2 of each query row against corpus
     val emb = LoadInlineJsonDatasetOp(Map(
       "v" -> Seq(Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(0.0, 1.0))))
