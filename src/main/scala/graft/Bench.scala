@@ -77,6 +77,7 @@ object Bench {
     // must not SUBTRACT from it either)
     val total = r3(results.values.filter(_ >= 0).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    SparkEntry.closeRunner(spark)
     spark.stop()
   }
 }

@@ -52,6 +52,13 @@ object SparkEntry {
   private def runnerFor(s: SparkSession): LocalSparkRunner =
     runnerCache.computeIfAbsent(s, s2 => new LocalSparkRunner(s2, queryStore))
 
+  /** Release the session's runner and its block-cache entries (call before
+    * `spark.stop()`); the content-addressed store itself survives. */
+  def closeRunner(s: SparkSession): Unit = {
+    val r = runnerCache.remove(s)
+    if (r != null) r.close()
+  }
+
   /** On-disk IVF index over `embeddings`, built once per (JVM, sf dir):
     * centroids = corpus members vec_id 0..7 (deterministic AND replayable
     * by the SQL oracle), corpus parquet partitioned by cell id. */
