@@ -157,18 +157,24 @@ object Cli {
       case None => new LocalSparkRunner(spark, a.store)
     }
 
-  private def sparkSession(a: Args): SparkSession = {
-    val s = SparkSession.builder()
-      .master(a.master)
-      .appName("graft-cli")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  /** (session, ownedByUs): reuse an active session when embedded (tests,
+    * notebooks) — and then do NOT stop it on command exit; only a session
+    * this CLI itself created is this CLI's to stop. */
+  private def sparkSession(a: Args): (SparkSession, Boolean) =
+    SparkSession.getActiveSession match {
+      case Some(existing) => (existing, false)
+      case None =>
+        val s = SparkSession.builder()
+          .master(a.master)
+          .appName("graft-cli")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        (s, true)
+    }
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
@@ -203,7 +209,7 @@ object Cli {
     * error capture (reference `cli.py:584-605`). */
   private def cmdRun(a: Args): Unit = {
     if (a.graph.isEmpty) usage("run requires --graph")
-    val spark = sparkSession(a)
+    val (spark, owned) = sparkSession(a)
     val runner = makeRunner(spark, a)
     val ops = selectOps(a, runner)
     var failed = 0
@@ -229,7 +235,8 @@ object Cli {
         }
       }
     }
-    spark.stop()
+    runner.close()
+    if (owned) spark.stop()
     if (failed > 0) sys.exit(1)
   }
 

@@ -2,8 +2,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** One-off 10x scale probe: replicates sf0.1 inputs to ~sf1 volumes and runs
-  * the scale-sensitive operators, as evidence for SCALING.md claims. */
+/** Dev-only 10x scale probe: replicates the given sf dir's inputs to ~10×
+  * volumes and runs the scale-sensitive operators, as evidence for
+  * SCALING.md claims. Usage: `runMain graft.ScaleProbe [sfDir]`. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -15,7 +16,7 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[scale] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
-    val dir = "/root/testdata/sf0.1"
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // 6M-row two-phase row index + slice
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = (0 until 10).map(i =>

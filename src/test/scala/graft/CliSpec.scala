@@ -169,6 +169,26 @@ class CliSpec extends SparkTestBase {
     assert(one.trim.linesIterator.size == 1)
   }
 
+  test("sharded run: each shard materializes its ops; the union covers the graph") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L, 4L)))
+    // three NON-ephemeral ops (ephemerals are rightly skipped by `run`)
+    val ops: Seq[OpSpec] = Seq(AssignRowIDOp(ds),
+      AssignTrainTestSplitOp(ds, Some(1L)),
+      AssignTrainTestSplitOp(ds, Some(2L)))
+    val g = writeGraph(store, ops: _*)
+    val outs = (0 until 2).map { i =>
+      withStdout(Cli.main(Array("run", "--store", store, "--graph", g,
+        "--shard-count", "2", "--shard-idx", i.toString)))
+    }
+    // every non-ephemeral op completed in exactly one shard's run
+    val runner = new LocalSparkRunner(spark, store)
+    ops.foreach(op => assert(runner.isDone(op), s"${op.uuid} not materialized"))
+    val completions = outs.flatMap(_.linesIterator.filter(_.contains("completed")))
+    assert(completions.size == ops.size,
+      s"each op completes exactly once across shards: $completions")
+  }
+
   test("make-group registers a GroupedOp of the filtered ops and prints its uuid") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L)))
