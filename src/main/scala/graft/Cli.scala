@@ -20,6 +20,11 @@ import graft.runner.{CachedSparkRunner, FrameResult, JsonResult, LocalSparkRunne
   *   graft.Cli summary    --store DIR [--graph FILE] [filters] [-j]
   *   graft.Cli print      --store DIR --graph FILE [--format code|jsonl|mermaid]
   *   graft.Cli make-group --store DIR --graph FILE [filters]
+  *   graft.Cli config     [--set-runner-type T] [--set-store-uri U] [--set-cache-path P]
+  *
+  * `--store`/`--cache` default to the configured store/cache ([[GraphConfig]]:
+  * flags > `GRAFT_*` env > `~/.config/graft/graft_config.json` > defaults —
+  * the reference's source priority, `config.py:18-31`).
   *
   * Filters (all repeatable; a repeated filter ORs its patterns, distinct
   * filters AND — reference `filter_ops`, `cli.py:143-190`, `290-352`):
@@ -36,8 +41,11 @@ object Cli {
 
   private case class Args(
       command: String,
-      store: String = "graft-store",
+      storeFlag: Option[String] = None,
       cache: Option[String] = None,
+      setRunnerType: Option[String] = None,
+      setStoreUri: Option[String] = None,
+      setCachePath: Option[String] = None,
       graph: Option[String] = None,
       filterUuid: Seq[String] = Nil,
       filterType: Seq[String] = Nil,
@@ -49,7 +57,13 @@ object Cli {
       shardIdx: Int = 0,
       json: Boolean = false,
       format: String = "code",
-      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]") {
+    // flag > env > config file > default (reference config.py:18-31)
+    lazy val config: GraphConfig = GraphConfig.load()
+    def store: String = storeFlag.getOrElse(config.storeUri)
+    def cacheResolved: Option[String] =
+      cache.orElse(if (config.wantsCache) Some(config.cachePath) else None)
+  }
 
   private def parseArgs(argv: Array[String]): Args = {
     if (argv.isEmpty) usage("missing command")
@@ -59,9 +73,13 @@ object Cli {
       argv(i) match {
         case f @ ("--store" | "--cache" | "--graph" | "--filter-uuid" | "--filter-type" |
                   "--filter-param" | "--filter-code" | "--filter-state" | "--filter-count" |
-                  "--shard-count" | "--shard-idx" | "--format" | "--master")
+                  "--shard-count" | "--shard-idx" | "--format" | "--master" |
+                  "--set-runner-type" | "--set-store-uri" | "--set-cache-path")
           if i + 1 >= argv.length => usage(s"$f requires a value")
-        case "--store" => a = a.copy(store = argv(i + 1)); i += 2
+        case "--store" => a = a.copy(storeFlag = Some(argv(i + 1))); i += 2
+        case "--set-runner-type" => a = a.copy(setRunnerType = Some(argv(i + 1))); i += 2
+        case "--set-store-uri" => a = a.copy(setStoreUri = Some(argv(i + 1))); i += 2
+        case "--set-cache-path" => a = a.copy(setCachePath = Some(argv(i + 1))); i += 2
         case "--cache" => a = a.copy(cache = Some(argv(i + 1))); i += 2
         case "--graph" => a = a.copy(graph = Some(argv(i + 1))); i += 2
         case "--filter-uuid" => a = a.copy(filterUuid = a.filterUuid :+ argv(i + 1)); i += 2
@@ -91,7 +109,9 @@ object Cli {
   private def usage(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: Cli <run|status|summary|print|make-group> --store DIR [--cache DIR] [--graph FILE]\n" +
+      "usage: Cli <run|status|summary|print|make-group|config> [--store DIR] [--cache DIR] [--graph FILE]\n" +
+        "  config [--set-runner-type T] [--set-store-uri U] [--set-cache-path P]\n" +
+        "  (--store defaults to the configured store_uri: flag > GRAFT_* env > config file)\n" +
         "  [--filter-uuid S] [--filter-type T] [--filter-param P] [--filter-code C]\n" +
         "  [--filter-state new|running|completed|failed|ephemeral] [--filter-count N]\n" +
         "  [--shard-count N --shard-idx I] [--format code|jsonl|mermaid] [-j]\n" +
@@ -152,7 +172,7 @@ object Cli {
   }
 
   private def makeRunner(spark: SparkSession, a: Args): LocalSparkRunner =
-    a.cache match {
+    a.cacheResolved match {
       case Some(cacheDir) => new CachedSparkRunner(spark, a.store, cacheDir)
       case None => new LocalSparkRunner(spark, a.store)
     }
@@ -184,7 +204,36 @@ object Cli {
       case "summary" => cmdSummary(a)
       case "print" => cmdPrint(a)
       case "make-group" | "make_group" => cmdMakeGroup(a)
+      case "config" => cmdConfig(a)
       case other => usage(s"unknown command $other")
+    }
+  }
+
+  /** Get or set configuration (reference `cli.py:608-646`): no set-flags →
+    * print the config file path and the resolved config; any set-flag →
+    * merge into the saved file and print the new config. Precedence at use
+    * time stays flags > env (`GRAFT_*`) > file > defaults. */
+  private def cmdConfig(a: Args): Unit = {
+    val changes = Seq(a.setRunnerType, a.setStoreUri, a.setCachePath).flatten
+    if (changes.isEmpty) {
+      println(s"Path to config file: ${GraphConfig.configFile}")
+      val c = a.config
+      println("Current config:")
+      println(s"  runner_type: ${c.runnerType}")
+      println(s"  store_uri: ${c.storeUri}")
+      println(s"  cache_path: ${c.cachePath}")
+    } else {
+      val base = a.config
+      val merged = GraphConfig(
+        a.setRunnerType.getOrElse(base.runnerType),
+        a.setStoreUri.getOrElse(base.storeUri),
+        a.setCachePath.getOrElse(base.cachePath))
+      val path = GraphConfig.save(merged)
+      println("New config:")
+      println(s"  runner_type: ${merged.runnerType}")
+      println(s"  store_uri: ${merged.storeUri}")
+      println(s"  cache_path: ${merged.cachePath}")
+      println(s"Configuration saved in config file: $path")
     }
   }
 

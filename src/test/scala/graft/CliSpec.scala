@@ -189,6 +189,46 @@ class CliSpec extends SparkTestBase {
       s"each op completes exactly once across shards: $completions")
   }
 
+  test("config: file round-trip, store resolution, and env precedence") {
+    val home = Files.createTempDirectory("graft-cfg-").toString
+    val prev = sys.props.get("graft.config.home")
+    sys.props("graft.config.home") = home
+    try {
+      val out0 = withStdout(Cli.main(Array("config")))
+      assert(out0.contains("runner_type: LocalSparkRunner"))
+      assert(out0.contains(home)) // prints the config file path
+
+      val store = newStoreDir()
+      val saved = withStdout(Cli.main(Array("config", "--set-store-uri", store)))
+      assert(saved.contains(s"store_uri: $store"))
+      assert(Files.exists(Paths.get(home, "graft_config.json")))
+
+      // a command with NO --store now resolves to the configured store
+      val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L)))
+      val rid = AssignRowIDOp(ds)
+      new LocalSparkRunner(spark, store).materialize(rid)
+      val out = withStdout(Cli.main(Array("status")))
+      assert(out.contains(s"${rid.uuid}: completed"))
+
+      // env beats the file (GRAFT_STORE_URI; tests inject via sys.props)
+      val store2 = newStoreDir()
+      sys.props("graft.env.GRAFT_STORE_URI") = store2
+      try {
+        val out2 = withStdout(Cli.main(Array("config")))
+        assert(out2.contains(s"store_uri: $store2"))
+      } finally sys.props.remove("graft.env.GRAFT_STORE_URI")
+
+      // ...and an explicit --store flag beats everything
+      val out3 = withStdout(Cli.main(Array("status", "--store", store)))
+      assert(out3.contains(s"${rid.uuid}: completed"))
+    } finally {
+      prev match {
+        case Some(p) => sys.props("graft.config.home") = p
+        case None => sys.props.remove("graft.config.home")
+      }
+    }
+  }
+
   test("make-group registers a GroupedOp of the filtered ops and prints its uuid") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L)))
