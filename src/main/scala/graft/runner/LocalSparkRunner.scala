@@ -162,6 +162,40 @@ class LocalSparkRunner(
     if (!Files.exists(statusPath(op)))
       writeStatus(OpStatus(op.uuid, OpState.New, graph = Some(Graph.serialize(op))))
 
+  /** Inject an EXTERNALLY-computed result for `op` (reference
+    * `base_runner.write_numpy/write_arrow/write_json/write_sklearn_estimator`,
+    * `base_runner.py:363-410`): the op is persisted and marked completed,
+    * so every downstream consumer — this process or any machine sharing
+    * the store — serves it without recompute. Returns false (no write)
+    * when a result already exists: content-addressed results are
+    * immutable, first writer wins. Ephemeral ops have no stored result by
+    * contract and are rejected. */
+  def writeResult(op: OpSpec, result: MatResult): Boolean = {
+    if (op.isEphemeral) throw new IllegalArgumentException(
+      s"${op.typeName} is ephemeral: ephemeral results are never persisted")
+    if (isDone(op)) false
+    else {
+      val started = Instant.now.toString
+      val fmt = persist(op, result)
+      writeStatus(OpStatus(op.uuid, OpState.Completed,
+        startedAt = Some(started),
+        completedAt = Some(Instant.now.toString),
+        resultFormat = Some(fmt),
+        graph = Some(Graph.serialize(op))))
+      Files.writeString(donePath(op), "")
+      onResultPersisted(op)
+      memo.synchronized { memo.remove(op.uuid) } // injected result wins over any lazy plan
+      true
+    }
+  }
+
+  def writeFrame(op: OpSpec, df: DataFrame): Boolean =
+    writeResult(op, FrameResult(df))
+  def writeJson(op: OpSpec, json: JValue): Boolean =
+    writeResult(op, JsonResult(json))
+  def writeModel(op: OpSpec, model: org.apache.spark.ml.Transformer): Boolean =
+    writeResult(op, ModelResult(model))
+
   /** Rehydrate an op from the store by UUID: the status file embeds the full
     * graph (reference `local_arrow_runner.py:250-269`). */
   def uuidToOp(uuid: String): OpSpec = {

@@ -87,6 +87,28 @@ class RunnerSpec extends SparkTestBase {
     assert(r.fromCsv(s"$dir/d.csv", header = false).uuid != cop.uuid)
   }
 
+  test("writeResult injects an external result; first writer wins; no recompute") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(10L, 20L, 30L)))
+    val rid = AssignRowIDOp(ds)
+    // inject a (deliberately recognizable) frame computed "elsewhere"
+    import spark.implicits._
+    val external = Seq((0L, 10L, 0L), (1L, 20L, 1L), (2L, 30L, 2L))
+      .toDF("__row_idx", "x", "row_id")
+    assert(r.writeResult(rid, FrameResult(external)))
+    assert(r.isDone(rid) && r.status(rid).state == "completed")
+    // served from the store — including by a fresh runner — not recomputed
+    val got = new LocalSparkRunner(spark, store).toFrame(rid)
+      .orderBy("__row_idx").select("x").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L, 20L, 30L))
+    // immutable: a second write is refused
+    assert(!r.writeResult(rid, FrameResult(external)))
+    // ephemeral ops are rejected
+    intercept[IllegalArgumentException](
+      r.writeResult(SelectScoreColumnOp(ds, "x"), FrameResult(external)))
+  }
+
   test("graph-native near-dup chain: LSH pairs -> drop, memoized in the store") {
     val store = newStoreDir()
     val r = new LocalSparkRunner(spark, store)
