@@ -658,8 +658,14 @@ class LocalSparkRunner(
         c, "__cid", "__cv", q, "__qid", "__qv", k.toInt))
 
     case other =>
-      throw new UnsupportedOperationException(
-        s"no implementation for ${other.typeName}")
+      // pluggable fallback (reference `@BaseRunner.implementation`,
+      // `base_runner.py:261-300`): custom op types registered at runtime
+      LocalSparkRunner.implementationFor(other.getClass) match {
+        case Some(impl) => impl(this, other)
+        case None => throw new UnsupportedOperationException(
+          s"no implementation for ${other.typeName}; register one via " +
+            "LocalSparkRunner.registerImplementation")
+      }
   }
 
   // ---------------- helpers ----------------
@@ -840,6 +846,24 @@ class LocalSparkRunner(
 }
 
 object LocalSparkRunner {
+
+  /** Implementation function for a custom op: (runner, op) → result. */
+  type OpImpl = (LocalSparkRunner, OpSpec) => MatResult
+
+  // dispatch by exact op class, checked before erroring — the Scala
+  // rendering of the reference's annotation-dispatched `@implementation`
+  // decorator (`base_runner.py:261-300`). Built-in ops keep their match
+  // cases; registration cannot shadow them.
+  private val customImpls =
+    scala.collection.concurrent.TrieMap.empty[Class[_], OpImpl]
+
+  /** Register an implementation for a CUSTOM OpSpec class (pair it with
+    * `OpRegistry.register` so graphs containing the op also deserialize). */
+  def registerImplementation(cls: Class[_ <: OpSpec])(f: OpImpl): Unit =
+    customImpls(cls) = f
+
+  private[runner] def implementationFor(cls: Class[_]): Option[OpImpl] =
+    customImpls.get(cls)
 
   // (path, total size, max mtime) → digest: repeated fromParquet on an
   // unchanged file skips the re-read (every runner-backed query starts by

@@ -74,7 +74,7 @@ object Graph {
         case JString(s) => s
         case other => throw new IllegalArgumentException(s"bad type field $other")
       }
-      val dec = OpRegistry.decoders.getOrElse(tpe,
+      val dec = OpRegistry.decoderFor(tpe).getOrElse(
         throw new IllegalArgumentException(
           s"Class with name $tpe not found in OpSpec registry"))
       val op = dec(node, construct)
@@ -282,6 +282,19 @@ object OpRegistry {
   }
 
   // ---------- the registry ----------
+
+  // user-registered decoders for CUSTOM op types (the deserialization half
+  // of the reference's extension story — a custom op needs this plus a
+  // runner implementation, LocalSparkRunner.registerImplementation)
+  private val custom =
+    scala.collection.concurrent.TrieMap.empty[String, Decoder]
+
+  /** Register a decoder for a custom op type. Registrations shadow
+    * built-ins of the same name (latest wins). */
+  def register(typeName: String)(d: Decoder): Unit = custom(typeName) = d
+
+  def decoderFor(typeName: String): Option[Decoder] =
+    custom.get(typeName).orElse(decoders.get(typeName))
 
   val decoders: Map[String, Decoder] = Map(
     "LoadLocalParquetDatasetOp" -> ((o, _) =>

@@ -87,6 +87,25 @@ class RunnerSpec extends SparkTestBase {
     assert(r.fromCsv(s"$dir/d.csv", header = false).uuid != cop.uuid)
   }
 
+  test("custom op: registered impl + decoder give full engine citizenship") {
+    RunnerSpec.ensureRegistered()
+    val r = newRunner()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L)))
+    val op = RunnerSpec.ScaleScoreOp(SelectScoreColumnOp(ds, "x"), 2.5)
+    // materializes through the pluggable dispatch...
+    assert(r.toValues(op) == Seq(2.5, 5.0, 7.5))
+    // ...persists content-addressed like any built-in (non-ephemeral)
+    assert(r.isDone(op))
+    // ...and round-trips graph serde with a verified uuid
+    val rt = Graph.deserializeString(Graph.serializeToString(op))
+    assert(rt.head.uuid == op.uuid)
+    assert(rt.head.asInstanceOf[RunnerSpec.ScaleScoreOp].factor == 2.5)
+    // an UNREGISTERED custom op still errors clearly
+    val e = intercept[UnsupportedOperationException](r.materialize(
+      RunnerSpec.UnregisteredOp(ds)))
+    assert(e.getMessage.contains("registerImplementation"))
+  }
+
   test("writeResult injects an external result; first writer wins; no recompute") {
     val store = newStoreDir()
     val r = new LocalSparkRunner(spark, store)
@@ -551,5 +570,35 @@ class RunnerSpec extends SparkTestBase {
     val st = r.status(rid)
     assert(st.state == OpState.Failed)
     assert(st.error.nonEmpty)
+  }
+}
+
+/** Custom-op fixtures for the extensibility test: a user-defined op with a
+  * registered runner implementation and graph decoder (the reference's
+  * `@MyRunner.implementation` extension story), plus one left unregistered
+  * to pin the error message. */
+object RunnerSpec {
+
+  final case class ScaleScoreOp(input: ScoreColumnType, factor: Double)
+    extends ScoreColumnType
+
+  final case class UnregisteredOp(dataset: DatasetType) extends DatasetType
+
+  // object initializers run on first touch of the OBJECT, not its nested
+  // classes — tests call this to force the registrations below
+  def ensureRegistered(): Unit = ()
+
+  LocalSparkRunner.registerImplementation(classOf[ScaleScoreOp]) { (r, op0) =>
+    import org.apache.spark.sql.functions._
+    val op = op0.asInstanceOf[ScaleScoreOp]
+    val in = r.toFrame(op.input)
+    FrameResult(in.select(col(graft.ops.ColumnOps.RowIdx),
+      (col(r.ValueCol).cast("double") * op.factor).as(r.ValueCol)))
+  }
+
+  OpRegistry.register("ScaleScoreOp") { (o, resolve) =>
+    ScaleScoreOp(
+      OpRegistry.op[ScoreColumnType](o, "input", resolve),
+      OpRegistry.dbl(o, "factor"))
   }
 }
