@@ -14,11 +14,12 @@ import graft.runner.LocalSparkRunner
   * `probe_implementations.py:29-120`: 11 sklearn factories behind
   * `@register_classifier_model`). Spark ML estimators back the linear and
   * tree names directly; the RBF-kernel names (rbf_svc, rbf_nusvm,
-  * calibrated_rbf_nusvm, sgd_nystroem) are backed by scalable kernel
-  * approximations ([[KernelApprox]]: random Fourier features / Nyström) +
-  * a linear learner — exact kernel SVMs are O(n²) and the approximation IS
-  * the production method at corpus scale. Only the unsupervised
-  * one-class entry raises (it sits outside the binary-probe contract).
+  * calibrated_rbf_nusvm, sgd_nystroem, sgd_nystroem_one_class_svm) are
+  * backed by scalable kernel approximations ([[KernelApprox]]: random
+  * Fourier features / Nyström) + a linear learner — exact kernel SVMs are
+  * O(n²) and the approximation IS the production method at corpus scale.
+  * The one-class entry is a true unsupervised fit ([[OneClassLinearSVM]]
+  * ignores labels, mirroring SGDOneClassSVM). All 11 reference names train.
   */
 object ClassifierRegistry {
 
@@ -135,15 +136,19 @@ object ClassifierRegistry {
         .setMaxIter(intP(sp, "max_iter", 100))
         .setRegParam(dblP(sp, "alpha", 1e-4)))
   }
-  // one-class stays unimplemented on purpose: SGDOneClassSVM is an OUTLIER
-  // DETECTOR fit without labels — outside the binary-probe train/evaluate
-  // contract this harness drives; a silent binary substitute would change
-  // semantics rather than approximate them.
-  register("sgd_nystroem_one_class_svm") { _ =>
-    throw new UnsupportedOperationException(
-      "'sgd_nystroem_one_class_svm' is an unsupervised outlier detector; " +
-        "the binary-probe contract (positives/negatives) does not apply. " +
-        "Register a JVM implementation via `register` to enable it")
+  register("sgd_nystroem_one_class_svm") { p =>
+    // UNSUPERVISED: like the reference's SGDOneClassSVM, the fit ignores
+    // the labels and learns outlierness over ALL training rows; the
+    // harness's evaluation then measures label alignment post hoc
+    val np = nested(p, "nystroem_params"); val sp = nested(p, "sgd_params")
+    new KernelClassifier(
+      new NystroemEstimator()
+        .setNComponents(intP(if (np.contains("n_components")) np else p,
+          "n_components", 100))
+        .setGamma(dblP(if (np.contains("gamma")) np else p, "gamma", -1.0)),
+      new OneClassLinearSVM()
+        .setNu(dblP(if (sp.contains("nu")) sp else p, "nu", 0.5))
+        .setMaxIter(intP(if (sp.contains("max_iter")) sp else p, "max_iter", 20)))
   }
 
   def loadModel(path: String): Transformer = PipelineModel.load(path)

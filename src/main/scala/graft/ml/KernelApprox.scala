@@ -215,6 +215,105 @@ class NystroemEstimator(override val uid: String)
     schema.add($(outputCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
 }
 
+/** Distributed linear one-class SVM (Schölkopf et al. 2001 formulation;
+  * sklearn `SGDOneClassSVM`):
+  *
+  *   min_{w,ρ}  ½‖w‖² − ρ + 1/(νn) Σᵢ max(0, ρ − w·xᵢ),  score = w·x − ρ
+  *
+  * Fit IGNORES the label column — exactly the reference's behavior
+  * (`SGDOneClassSVM.fit(X, y)` discards y; the probe harness then
+  * evaluates how well unsupervised outlierness aligns with the labels).
+  * Training: w initialized at the feature mean (the exact ν→1 solution —
+  * the kernel mean embedding), then full-batch subgradient steps on w with
+  * ρ re-set each round to its optimality condition (the ν-quantile of
+  * scores, where exactly νn points violate). Every step is one
+  * `treeAggregate`-shaped pass over the (cached) training frame — the same
+  * distributed shape as an LBFGS iteration; driver state is O(dim).
+  * Returns a stock LinearSVCModel carrying (w, −ρ), so persistence and
+  * scoring reuse Spark ML's own machinery.
+  */
+class OneClassLinearSVM(override val uid: String)
+  extends Estimator[org.apache.spark.ml.classification.LinearSVCModel] {
+
+  def this() = this(Identifiable.randomUID("one-class-svm"))
+
+  final val featuresCol = new Param[String](this, "featuresCol", "features")
+  final val labelCol = new Param[String](this, "labelCol",
+    "accepted for harness compatibility; IGNORED (unsupervised fit)")
+  final val nu = new DoubleParam(this, "nu", "target outlier fraction in (0,1)")
+  final val maxIter = new IntParam(this, "maxIter", "subgradient rounds")
+  setDefault(featuresCol -> "features", labelCol -> "label",
+    nu -> 0.5, maxIter -> 20)
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setNu(v: Double): this.type = set(nu, v)
+  def setMaxIter(v: Int): this.type = set(maxIter, v)
+
+  override def fit(ds: Dataset[_]):
+      org.apache.spark.ml.classification.LinearSVCModel = {
+    val fCol = $(featuresCol); val v = $(nu); val iters = $(maxIter)
+    require(v > 0.0 && v < 1.0, s"nu must be in (0,1), got $v")
+    val feats = ds.toDF().select(col(fCol)).persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import org.apache.spark.ml.linalg.{Vector => MlVector}
+      val n = feats.count()
+      require(n > 0, "one-class SVM needs at least one row")
+      // init: kernel mean (exact ν→1 solution)
+      var w = feats.agg(
+        org.apache.spark.ml.stat.Summarizer.mean(col(fCol)).as("m"))
+        .head().getAs[MlVector]("m").toArray
+      val c = 1.0 / (v * n)
+      var rho = 0.0
+      for (t <- 1 to iters) {
+        val bw = feats.sparkSession.sparkContext.broadcast(w)
+        val scoreUdf = udf { x: MlVector =>
+          val xa = x.toArray; val ww = bw.value
+          var s = 0.0; var i = 0
+          while (i < ww.length) { s += ww(i) * xa(i); i += 1 }
+          s
+        }
+        val scored = feats.withColumn("__s", scoreUdf(col(fCol)))
+        // ρ at its optimality condition: the ν-quantile of scores
+        rho = scored.stat.approxQuantile("__s", Array(v), 0.01)(0)
+        // subgradient in w over the violators (score < ρ)
+        val agg = scored.filter(col("__s") < rho)
+          .agg(org.apache.spark.ml.stat.Summarizer
+            .sum(col(fCol)).as("sv"), count(lit(1)).as("cnt"))
+          .head()
+        val sumViol: Array[Double] =
+          if (agg.isNullAt(0)) new Array[Double](w.length)
+          else agg.getAs[MlVector]("sv").toArray
+        val eta = 1.0 / (1.0 + t)
+        var i = 0
+        while (i < w.length) {
+          w(i) = (1.0 - eta) * w(i) + eta * c * sumViol(i)
+          i += 1
+        }
+        bw.destroy()
+      }
+      // final ρ on the final w
+      val bw = feats.sparkSession.sparkContext.broadcast(w)
+      val scoreUdf = udf { x: MlVector =>
+        val xa = x.toArray; val ww = bw.value
+        var s = 0.0; var i = 0
+        while (i < ww.length) { s += ww(i) * xa(i); i += 1 }
+        s
+      }
+      rho = feats.withColumn("__s", scoreUdf(col(fCol)))
+        .stat.approxQuantile("__s", Array(v), 0.001)(0)
+      val model = org.apache.spark.ml.GraftMlBridge.svcModel(uid,
+        org.apache.spark.ml.linalg.Vectors.dense(w), -rho)
+      model.setFeaturesCol(fCol)
+      model
+    } finally feats.unpersist()
+  }
+
+  override def copy(extra: ParamMap): OneClassLinearSVM = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = schema
+}
+
 /** A (kernel feature map → linear estimator) pair exposed as ONE estimator
   * with the `setFeaturesCol`/`setLabelCol` surface the probe harness
   * drives reflectively. fit() returns a stock [[PipelineModel]], so

@@ -15,4 +15,20 @@ object GraftMlBridge {
   def logisticModel(uid: String, coefficients: Vector,
                     intercept: Double): LogisticRegressionModel =
     new LogisticRegressionModel(uid, coefficients, intercept)
+
+  /** Stock LinearSVCModel from externally-computed (w, b): rawPrediction =
+    * [-m, m] with m = w·x + b — used by the one-class SVM, whose decision
+    * score w·z(x) − ρ is exactly this margin form. (The constructor is
+    * `private[classification]`, hence the sub-package bridge.) */
+  def svcModel(uid: String, coefficients: Vector,
+               intercept: Double): classification.LinearSVCModel =
+    classification.GraftSvcBridge.svcModel(uid, coefficients, intercept)
+}
+
+package classification {
+  private[ml] object GraftSvcBridge {
+    def svcModel(uid: String, coefficients: Vector,
+                 intercept: Double): LinearSVCModel =
+      new LinearSVCModel(uid, coefficients, intercept)
+  }
 }

@@ -122,12 +122,38 @@ class KernelSpec extends SparkTestBase {
       .map(_.asInstanceOf[Double])
     assert(headScores == scores.take(50),
       "reloaded model must reproduce the original scores")
-    // one-class entry still raises its documented contract error
-    val e = intercept[Exception] {
-      r.materialize(TrainClassifierOp("sgd_nystroem_one_class_svm", x, pos, neg))
+  }
+
+  test("one-class SVM: unsupervised fit scores planted outliers below inliers") {
+    val r = new LocalSparkRunner(spark, newStoreDir())
+    // 180 inliers in a tight cluster around (1,1,1); 20 far-away outliers
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 180).map { _ =>
+      (Seq(1.0 + rng.nextGaussian() * 0.05, 1.0 + rng.nextGaussian() * 0.05,
+        1.0 + rng.nextGaussian() * 0.05), "in")
+    } ++ (0 until 20).map { _ =>
+      (Seq(rng.nextDouble() * 8 - 4, rng.nextDouble() * 8 - 4,
+        rng.nextDouble() * 8 - 4), "out")
     }
-    def msgs(t: Throwable) = Iterator.iterate(t)(_.getCause)
-      .takeWhile(_ != null).map(x0 => String.valueOf(x0.getMessage)).toSeq
-    assert(msgs(e).exists(_.contains("outlier detector")))
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "xy" -> rows.map(_._1), "label" -> rows.map(_._2)))
+    val x = SelectVectorColumnOp(ds, "xy")
+    val cat = SelectCategoricalColumnOp(ds, "label")
+    val pos = CategoryToBooleanOp(cat, Some(Seq("in")))
+    val neg = CategoryToBooleanOp(cat, Some(Seq("out")))
+    // labels are PASSED (harness contract) but the fit ignores them —
+    // outlierness must emerge from the data alone
+    val model = TrainClassifierOp("sgd_nystroem_one_class_svm", x, pos, neg,
+      params = Map("nu" -> 0.15, "n_components" -> 64L, "gamma" -> 0.5))
+    val scores = r.toValues(ClassifierPredictOp(model, x))
+      .map(_.asInstanceOf[Double])
+    val inMean = scores.take(180).sum / 180
+    val outMean = scores.drop(180).sum / 20
+    assert(inMean > outMean,
+      s"inlier mean score $inMean must exceed outlier mean $outMean")
+    // ranking quality: a large majority of outliers sit in the bottom 15%
+    val cut = scores.sorted.apply((scores.size * 0.15).toInt)
+    val outliersFlagged = scores.drop(180).count(_ <= cut)
+    assert(outliersFlagged >= 15, s"only $outliersFlagged/20 outliers in bottom 15%")
   }
 }

@@ -192,17 +192,16 @@ class ProbeSpec extends SparkTestBase {
     }
   }
 
-  test("unknown model type and the one-class entry raise clear errors") {
+  test("unknown model type raises a clear error listing the registry") {
     val r = newRunner()
     val (_, model, _, _) = chain("no_such_model")
     val e = intercept[IllegalArgumentException](r.materialize(
       model.subsFields("model_type" -> "no_such_model")))
     assert(e.getMessage.contains("unknown classifier"))
-    // the RBF names train now (KernelSpec); only the unsupervised
-    // one-class detector remains outside the binary-probe contract
-    val e2 = intercept[UnsupportedOperationException](r.materialize(
-      model.subsFields("model_type" -> "sgd_nystroem_one_class_svm")))
-    assert(e2.getMessage.contains("outlier detector"))
+    // all 11 reference names resolve (KernelSpec covers training behavior)
+    Seq("rbf_nusvm", "rbf_svc", "calibrated_rbf_nusvm", "sgd_nystroem",
+      "sgd_nystroem_one_class_svm").foreach(n =>
+      assert(ClassifierRegistry.names.contains(n)))
   }
 
   test("overlapping positives/negatives are rejected") {
