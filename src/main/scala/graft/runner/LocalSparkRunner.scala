@@ -102,6 +102,11 @@ class LocalSparkRunner(
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
+    case t: TokenCountOp => lengthOf(t.text)
+    case q: QualityScoreOp => lengthOf(q.text)
+    case l: LanguageIdOp => lengthOf(l.text)
+    case f: FingerprintOp => lengthOf(f.text)
+    case g: GopherKeepOp => lengthOf(g.text)
     case c: ContaminationFlagOp => lengthOf(c.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
     case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
@@ -560,6 +565,29 @@ class LocalSparkRunner(
     case RedactPIIColumnOp(text) =>
       FrameResult(frame(text).select(col(RowIdx),
         graft.ext.Corpus.redactPII(col(ValueCol)).as(ValueCol)))
+
+    case TokenCountOp(text) =>
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.TextAnalysis.tokenCount(col(ValueCol))
+          .cast("long").as(ValueCol)))
+
+    case QualityScoreOp(text) =>
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.TextAnalysis.qualityScore(col(ValueCol)).as(ValueCol)))
+
+    case LanguageIdOp(text) =>
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.TextAnalysis.langId(col(ValueCol)).as(ValueCol)))
+
+    case FingerprintOp(text) =>
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.TextAnalysis.fingerprintMd5(col(ValueCol)).as(ValueCol)))
+
+    case GopherKeepOp(text, minW, maxW, minML, maxML, minUF) =>
+      val keep = graft.ext.Corpus.gopherRules(col(ValueCol),
+        minW.toInt, maxW.toInt, minML, maxML, minUF)
+        .toMap.apply("keep")
+      FrameResult(frame(text).select(col(RowIdx), keep.as(ValueCol)))
 
     case DropExactDuplicatesOp(dataset, text) =>
       val df = frame(dataset)

@@ -125,6 +125,16 @@ object Fluent {
                             numBands: Long = 16L,
                             threshold: Double = 0.8): MinHashNearDupPairsOp =
       MinHashNearDupPairsOp(t, shingleN, numPerms, numBands, threshold)
+    /** beyond reference: row-local curation signals (all ephemeral) */
+    def tokenCount: TokenCountOp = TokenCountOp(t)
+    def qualityScore: QualityScoreOp = QualityScoreOp(t)
+    def languageId: LanguageIdOp = LanguageIdOp(t)
+    def fingerprint: FingerprintOp = FingerprintOp(t)
+    def gopherKeep(minWords: Long = 50L, maxWords: Long = 100000L,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   minUniqueFrac: Double = 0.2): GopherKeepOp =
+      GopherKeepOp(t, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        minUniqueFrac)
   }
 
   implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {

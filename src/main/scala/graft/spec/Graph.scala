@@ -414,6 +414,18 @@ object OpRegistry {
         dbl(o, "default_frac"), str(o, "salt"))),
     "PackSequencesOp" -> ((o, r) =>
       PackSequencesOp(op[ColumnType](o, "tokens", r), lng(o, "seq_len"))),
+    "TokenCountOp" -> ((o, r) =>
+      TokenCountOp(op[TextColumnType](o, "text", r))),
+    "QualityScoreOp" -> ((o, r) =>
+      QualityScoreOp(op[TextColumnType](o, "text", r))),
+    "LanguageIdOp" -> ((o, r) =>
+      LanguageIdOp(op[TextColumnType](o, "text", r))),
+    "FingerprintOp" -> ((o, r) =>
+      FingerprintOp(op[TextColumnType](o, "text", r))),
+    "GopherKeepOp" -> ((o, r) =>
+      GopherKeepOp(op[TextColumnType](o, "text", r),
+        lng(o, "min_words"), lng(o, "max_words"), dbl(o, "min_mean_word_len"),
+        dbl(o, "max_mean_word_len"), dbl(o, "min_unique_frac"))),
     "MinHashNearDupPairsOp" -> ((o, r) =>
       MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
         lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),

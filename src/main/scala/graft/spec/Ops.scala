@@ -396,6 +396,40 @@ final case class PackSequencesOp(
   require(seqLen >= 1L, s"seqLen must be >= 1, got $seqLen")
 }
 
+/** Whitespace token count per row — EPHEMERAL pure expression, fuses into
+  * the consumer's plan ([[graft.ext.TextAnalysis.tokenCount]]). */
+final case class TokenCountOp(text: TextColumnType)
+  extends ScoreColumnType with EphemeralOp
+
+/** Composite [0,1] heuristic quality score per row
+  * ([[graft.ext.TextAnalysis.qualityScore]]). */
+final case class QualityScoreOp(text: TextColumnType)
+  extends ScoreColumnType with EphemeralOp
+
+/** N-gram-heuristic language id per row (de/en/es/fr codes or "und" —
+  * [[graft.ext.TextAnalysis.langId]]). */
+final case class LanguageIdOp(text: TextColumnType)
+  extends CategoricalColumnType with EphemeralOp
+
+/** Normalized md5 document fingerprint per row
+  * ([[graft.ext.TextAnalysis.fingerprintMd5]]). */
+final case class FingerprintOp(text: TextColumnType)
+  extends TextColumnType with EphemeralOp
+
+/** Gopher-style quality gate per row: the conjunction of the word-count /
+  * mean-word-length / unique-fraction / stopword rules
+  * ([[graft.ext.Corpus.gopherRules]] "keep"). */
+final case class GopherKeepOp(
+    text: TextColumnType,
+    minWords: Long = 50L,
+    maxWords: Long = 100000L,
+    minMeanWordLen: Double = 3.0,
+    maxMeanWordLen: Double = 10.0,
+    minUniqueFrac: Double = 0.2) extends BooleanColumnType with EphemeralOp {
+  require(minWords >= 0L && maxWords >= minWords,
+    s"bad word bounds [$minWords, $maxWords]")
+}
+
 /** MinHash+LSH near-duplicate PAIRS over a text column
   * ([[graft.ext.Dedup.minhashNearDuplicates]]): banded signatures →
   * candidate buckets → exact-Jaccard verify. Result dataset

@@ -106,6 +106,27 @@ class RunnerSpec extends SparkTestBase {
     assert(e.getMessage.contains("registerImplementation"))
   }
 
+  test("text-signal column ops: ephemeral, fused, and composable with masks") {
+    val r = newRunner()
+    val many = ("word " * 60).trim + " the unique extra tokens spread here"
+    val ds = LoadInlineJsonDatasetOp(Map("text" -> Seq(
+      "Hello World two", many, "")))
+    val text = SelectTextColumnOp(ds, "text")
+    assert(r.toValues(TokenCountOp(text)) == Seq(3L, 66L, 0L))
+    assert(r.toValues(LanguageIdOp(text)).length == 3)
+    val fps = r.toValues(FingerprintOp(text))
+    assert(fps.distinct.length == 3 && fps.forall(_.toString.length == 32))
+    val qs = r.toValues(QualityScoreOp(text)).map(_.asInstanceOf[Double])
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    // gopher gate is a BooleanColumnType: it drives MaskRowsOp directly
+    val keep = GopherKeepOp(text, minWords = 50L, minUniqueFrac = 0.05)
+    assert(r.toValues(keep) == Seq(false, true, false))
+    val kept = r.toFrame(MaskRowsOp(ds, keep))
+    assert(kept.count() == 1)
+    // ephemeral: nothing persisted for the signal itself
+    assert(keep.isEphemeral && !r.isDone(keep))
+  }
+
   test("writeResult injects an external result; first writer wins; no recompute") {
     val store = newStoreDir()
     val r = new LocalSparkRunner(spark, store)
