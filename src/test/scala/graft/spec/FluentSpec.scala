@@ -80,5 +80,17 @@ class FluentSpec extends AnyFunSuite {
       LLMLayerActivationsOp("fake:d8", t, -1L))
     assert(t.parseJson == ParseJSONColumnOp(t))
     assert(ds.colVector("v").umapViz() == UMAPVizOp(ds.colVector("v")))
+    // beyond-reference sugar: signals, dedup, ANN
+    assert(t.tokenCount == TokenCountOp(t))
+    assert(t.qualityScore == QualityScoreOp(t))
+    assert(t.languageId == LanguageIdOp(t))
+    assert(t.fingerprint == FingerprintOp(t))
+    assert(t.gopherKeep(minWords = 10L) == GopherKeepOp(t, minWords = 10L))
+    assert(t.minhashNearDupPairs(threshold = 0.7) ==
+      MinHashNearDupPairsOp(t, threshold = 0.7))
+    val pairs = t.minhashNearDupPairs()
+    assert(ds.dropNearDuplicates(pairs) == DropNearDuplicatesOp(ds, pairs))
+    val v = ds.colVector("v")
+    assert(v.annTopK(v, k = 7L) == AnnBruteTopKOp(v, v, 7L))
   }
 }
