@@ -44,9 +44,12 @@ object ConnectedComponents {
   def labels(edges: DataFrame, srcCol: String, dstCol: String,
              maxIter: Int = 30): DataFrame = {
     val spark = edges.sparkSession
+    // LAZY checkpoint: each round's convergence aggregation is the action
+    // that materializes the round's edge set, so truncation costs no
+    // separate job (eager checkpointing ran one extra evaluation per round)
     def truncate(d: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint()
-      else d.localCheckpoint()
+      if (spark.sparkContext.getCheckpointDir.isDefined) d.checkpoint(false)
+      else d.localCheckpoint(false)
 
     // canonical simple undirected edges: (hi > lo), deduped
     var e = truncate(edges
