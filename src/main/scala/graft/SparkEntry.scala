@@ -570,54 +570,76 @@ object SparkEntry {
     }),
 
     // ---- multimodal binary columns ----
+    // Real codecs as of round 9 (javax.imageio + RIFF/WAVE parser): each
+    // query synthesizes genuine PNG/JPEG/WAV payloads at id-derived
+    // dimensions, runs them through the batched decode path, and the oracle
+    // recomputes the expected metadata from doc_id alone — a broken codec
+    // round-trip fails the hash gate.
 
     "q_mm_decode" -> ((s, dir) => {
-      // opaque binary column (doc text bytes as stand-in payload) through
-      // the batched mapPartitions decode path; metadata is the
-      // deterministic stub → full oracle
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("img"))
-      Multimodal.withImageMeta(docs, "doc_id", "img")
+      // real PNG/JPEG byte streams (format alternating by id) → real
+      // ImageIO container-sniff decode → dims + format
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.withImageMeta(
+          Multimodal.synthImages(docs, "doc_id"), "doc_id", "img")
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("format"))
         .orderBy(col("doc_id"))
     }),
 
     "q_mm_frames" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(Seq(col("doc_id")) ++
-          Multimodal.frameStats(col("text"), 64).map { case (n, c) => c.as(n) }: _*)
+      // video stand-in: concatenated-PNG frame stream; frame count by
+      // signature scan, first-frame dims by really decoding it
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.withFrameStats(
+          Multimodal.synthFrameStreams(docs, "doc_id"), "doc_id", "video")
+        .select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_w").cast("long").as("frame_w"),
+          col("frame_h").cast("long").as("frame_h"))
         .orderBy(col("doc_id"))
     }),
 
     "q_mm_resize" -> ((s, dir) => {
-      // resize planning over decoded metadata: fit-within-256 preserving
-      // aspect (integer math is the real part; pixel resampling is the stub)
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("img"))
-      Multimodal.withResizedMeta(
-          Multimodal.withImageMeta(docs, "doc_id", "img"), maxSide = 256)
+      // real bilinear resample to fit-within-64; emitted dims and channel
+      // means come from decoding the RESIZED payload (round-trip proof) —
+      // solid-color fixtures keep the means exactly oracle-predictable
+      // (bilinear of equal values is that value; verified exhaustively over
+      // the id space in MultimodalSpec)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.withResizedImage(
+          Multimodal.synthImages(docs, "doc_id", pngOnly = true),
+          "doc_id", "img", maxSide = 64)
         .select(col("doc_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
-          col("resized_w"), col("resized_h"))
+          col("resized_w").cast("long").as("resized_w"),
+          col("resized_h").cast("long").as("resized_h"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy(col("doc_id"))
     }),
 
     "q_mm_embed" -> ((s, dir) => {
-      // feature extraction: per-image embedding through the batched
-      // mapPartitions path, flattened for the scalar oracle compare
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("img"))
-      Multimodal.withImageEmbedding(docs, "doc_id", "img", dim = 4)
+      // real feature extraction: 2×2 grid pixel-sample embedding over the
+      // decoded raster of a quadrant-colored fixture — the sampled values
+      // ARE the quadrant colors, so the oracle recomputes them per (id,pos)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.withImageEmbedding(
+          Multimodal.synthQuadImages(docs, "doc_id"), "doc_id", "img", grid = 2)
         .select(col("doc_id"), posexplode(col("embedding")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("val"))
         .orderBy(col("doc_id"), col("pos"))
     }),
 
     "q_mm_audio" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(Seq(col("doc_id")) ++
-          Multimodal.audioWindowStats(col("text"), 256).map { case (n, c) => c.as(n) }: _*)
+      // real RIFF/WAVE PCM16 payloads (square wave, LIST chunk in the way)
+      // → chunk-walking parse + full sample scan: rate/duration/RMS/peak
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.withAudioMeta(
+          Multimodal.synthWavs(docs, "doc_id"), "doc_id", "audio")
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_samples"), col("duration_us"), col("rms"),
+          col("peak").cast("long").as("peak"))
         .orderBy(col("doc_id"))
     }),
 
@@ -938,12 +960,6 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($expr), i+1, 1)) - 1) * pow(16, 7-i)" +
       ")) / 2147483648.0 - 1.0)"
 
-  /** ...and the 4-hex-digit integer variant used by the multimodal stub. */
-  private def duckMd5Int4(expr: String, off: Int): String =
-    s"CAST(list_sum(list_transform(range(4), i -> " +
-      s"(strpos('0123456789abcdef', substr(md5($expr), i+1+$off, 1)) - 1) * pow(16, 3-i)" +
-      ")) AS BIGINT)"
-
   /** DuckDB-equivalent SQL per query (same column names & order-by). */
   def oracleSql: Map[String, String] = Map(
 
@@ -1035,45 +1051,63 @@ object SparkEntry {
         |SELECT 'train' AS split, COUNT(*) - CAST(ceil(0.25 * COUNT(*)) AS BIGINT) AS cnt FROM documents
         |ORDER BY split""".stripMargin,
 
+    // Multimodal oracles recompute the fixture formulas from doc_id (see
+    // Multimodal.imgW/imgH/imgRgb/...): the Spark side must reproduce them
+    // through a REAL encode → decode codec round-trip, so any defect in the
+    // imageio/WAV path breaks the hash match.
     "q_mm_decode" ->
-      s"""SELECT doc_id,
-         |16 + ${duckMd5Int4("text", 0)} % 1008 AS width,
-         |16 + ${duckMd5Int4("text", 4)} % 1008 AS height,
-         |(['jpeg','png','webp'])[CAST(${duckMd5Int4("text", 8)} // 256 AS INT) % 3 + 1] AS format
-         |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |16 + doc_id % 112 AS width,
+        |16 + (doc_id * 7) % 112 AS height,
+        |CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_resize" ->
-      s"""WITH meta AS (
-         |  SELECT doc_id,
-         |  16 + ${duckMd5Int4("text", 0)} % 1008 AS width,
-         |  16 + ${duckMd5Int4("text", 4)} % 1008 AS height
-         |  FROM documents),
-         |scaled AS (
-         |  SELECT doc_id, width, height,
-         |    least(256.0 / width, 256.0 / height, 1.0) AS s
-         |  FROM meta)
-         |SELECT doc_id, width, height,
-         |  greatest(CAST(floor(width * s) AS BIGINT), 1) AS resized_w,
-         |  greatest(CAST(floor(height * s) AS BIGINT), 1) AS resized_h
-         |FROM scaled ORDER BY doc_id""".stripMargin,
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |  16 + doc_id % 112 AS width,
+        |  16 + (doc_id * 7) % 112 AS height
+        |  FROM documents),
+        |scaled AS (
+        |  SELECT doc_id, width, height,
+        |    least(64.0 / width, 64.0 / height, 1.0) AS s
+        |  FROM meta)
+        |SELECT doc_id, width, height,
+        |  greatest(CAST(floor(width * s) AS BIGINT), 1) AS resized_w,
+        |  greatest(CAST(floor(height * s) AS BIGINT), 1) AS resized_h,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 3) % 256 AS DOUBLE) AS mean_g,
+        |  CAST((doc_id * 5) % 256 AS DOUBLE) AS mean_b
+        |FROM scaled ORDER BY doc_id""".stripMargin,
 
     "q_mm_embed" ->
-      s"""WITH e AS (SELECT doc_id, text, unnest(range(4)) AS pos FROM documents)
-         |SELECT doc_id, pos,
-         |${duckMd5Val("text || ':' || CAST(pos AS VARCHAR)")} AS val
-         |FROM e ORDER BY doc_id, pos""".stripMargin,
+      """WITH e AS (SELECT doc_id, unnest(range(4)) AS pos FROM documents)
+        |SELECT doc_id, pos,
+        |((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
+        |  + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     "q_mm_audio" ->
-      """SELECT doc_id,
-        |CAST(ceil(length(text) / 256.0) AS BIGINT) AS n_windows,
-        |md5(substr(text, 1, 256)) AS first_window_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate,
+        |    800 + doc_id % 800 AS n,
+        |    100 + (doc_id * 11) % 900 AS amp
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+        |  CAST(amp AS DOUBLE) AS rms,
+        |  CAST(amp AS BIGINT) AS peak
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q_mm_frames" ->
       """SELECT doc_id,
-        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
-        |md5(substr(text, 1, 64)) AS first_frame_md5
+        |1 + doc_id % 5 AS n_frames,
+        |16 + doc_id % 48 AS frame_w,
+        |16 + (doc_id * 3) % 48 AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q1_agg" ->

@@ -1,0 +1,291 @@
+package graft.ext
+
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
+/** REAL media codec kernels — plain JVM, no Spark types, no external
+  * dependencies. Images go through `javax.imageio` (the JDK's built-in
+  * PNG/JPEG codecs): encode produces genuine PNG/JPEG byte streams, decode
+  * parses them back to pixels, resize is a true bilinear resample over the
+  * decoded raster. Audio is RIFF/WAVE PCM: encode writes a spec-conformant
+  * container (including a non-audio LIST chunk, so decoders must actually
+  * walk the chunk list), decode parses the chunk structure and the PCM
+  * samples. Video stand-in is an MJPEG-style concatenation of PNG frames,
+  * parsed by scanning for the 8-byte PNG signature.
+  *
+  * These kernels replace the round-5 deterministic hash stubs (reference
+  * has no multimodal ops at all — this is the north-star training-pipeline
+  * surface): the fixtures are synthesized at dimensions derived from row
+  * ids, so a DuckDB oracle can recompute every expected width/height/
+  * duration/RMS from the id alone — if the codec path breaks, the hash
+  * comparison fails.
+  *
+  * Thread-safety: all ImageIO entry points used here create their own
+  * reader/writer instances per call; kernels hold no shared mutable state,
+  * so concurrent Spark tasks are safe. Disk caching is disabled (in-memory
+  * streams only) — executor tasks must not contend on a tmp dir.
+  */
+object MediaCodecs {
+
+  ImageIO.setUseCache(false)
+
+  // ---------------- images ----------------
+
+  /** Encode a solid-color image. PNG is lossless (exact round-trip of every
+    * pixel); JPEG is lossy but preserves dimensions exactly. */
+  def encodeImage(width: Int, height: Int, rgb: Int, format: String): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb & 0xffffff))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    if (!ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Encode an image split into 2×2 solid quadrants (colors given row-major:
+    * top-left, top-right, bottom-left, bottom-right) — a non-constant raster
+    * whose region colors are still exactly predictable, used to prove that
+    * feature extraction reads REAL pixel positions, not just metadata. */
+  def encodeQuadImage(width: Int, height: Int, quadRgb: Seq[Int]): Array[Byte] = {
+    require(quadRgb.length == 4, "need 4 quadrant colors")
+    require(width >= 2 && height >= 2, s"quad image needs dims >= 2, got ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    val (hw, hh) = (width / 2, height / 2)
+    val rects = Seq((0, 0, hw, hh), (hw, 0, width - hw, hh),
+      (0, hh, hw, height - hh), (hw, hh, width - hw, height - hh))
+    rects.zip(quadRgb).foreach { case ((x, y, w, h), c) =>
+      g.setColor(new java.awt.Color(c & 0xffffff)); g.fillRect(x, y, w, h)
+    }
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded image metadata: (width, height, normalized format name).
+    * Format comes from the registered reader that recognizes the byte
+    * stream (a REAL container sniff, not an extension guess). */
+  def decodeImageMeta(bytes: Array[Byte]): (Int, Int, String) = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext)
+        throw new IllegalArgumentException("unrecognized image payload")
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val fmt = reader.getFormatName.toLowerCase match {
+          case "jpg" => "jpeg"
+          case f => f
+        }
+        (reader.getWidth(0), reader.getHeight(0), fmt)
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Decode to a raster. */
+  def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException("undecodable image payload")
+    img
+  }
+
+  /** Fit-within-box target dimensions, aspect-preserving, never upscaling —
+    * floor semantics with a 1px floor, matching the SQL oracle formula. */
+  def fitWithin(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    val scale = math.min(1.0, math.min(maxSide.toDouble / w, maxSide.toDouble / h))
+    (math.max(1, math.floor(w * scale).toInt), math.max(1, math.floor(h * scale).toInt))
+  }
+
+  /** REAL resize: decode, bilinear-resample onto the fit-within raster,
+    * re-encode as PNG. Returns the resized payload. */
+  def resizeFit(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
+    val src = decodeImage(bytes)
+    val (tw, th) = fitWithin(src.getWidth, src.getHeight, maxSide)
+    val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, tw, th, null)
+    g.dispose()
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Mean R/G/B over the decoded raster (doubles). On a solid-color image
+    * this equals the fill color exactly — including after bilinear resize,
+    * since interpolating equal values returns that value. */
+  def pixelMeans(bytes: Array[Byte]): (Double, Double, Double) = {
+    val img = decodeImage(bytes)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    (sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+  }
+
+  /** grid×grid pixel-sample embedding over the DECODED raster: luminance
+    * (r+g+b)/765 at each cell center, row-major — a real (if minimal)
+    * visual featurizer whose values on quadrant fixtures are exactly the
+    * quadrant colors. A production vision encoder slots in here with the
+    * same (bytes → fixed-dim doubles) signature. */
+  def gridEmbedding(bytes: Array[Byte], grid: Int): Array[Double] = {
+    val img = decodeImage(bytes)
+    val out = new Array[Double](grid * grid)
+    var gy = 0
+    while (gy < grid) {
+      var gx = 0
+      while (gx < grid) {
+        val x = ((gx + 0.5) * img.getWidth / grid).toInt.min(img.getWidth - 1)
+        val y = ((gy + 0.5) * img.getHeight / grid).toInt.min(img.getHeight - 1)
+        val p = img.getRGB(x, y)
+        out(gy * grid + gx) =
+          (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 765.0
+        gx += 1
+      }
+      gy += 1
+    }
+    out
+  }
+
+  // ---------------- audio: RIFF/WAVE PCM ----------------
+
+  /** Parsed WAV metadata plus PCM statistics computed over the samples. */
+  final case class WavMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                           nSamples: Long, rms: Double, peak: Int)
+
+  /** Encode 16-bit PCM mono/stereo WAV holding a ±amplitude square wave
+    * (alternating sign per frame). Writes fmt, a LIST/INFO chunk (so naive
+    * fixed-offset readers break — the decoder must walk chunks), then data. */
+  def encodeWavPcm16(nSamples: Int, sampleRate: Int, amplitude: Short,
+                     channels: Int = 1): Array[Byte] = {
+    require(nSamples >= 0 && sampleRate > 0 && channels > 0)
+    val blockAlign = channels * 2
+    val dataSize = nSamples * blockAlign
+    val listBody = "INFO".getBytes("US-ASCII")
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign) // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16.toShort)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples) {
+      val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      var c = 0
+      while (c < channels) { buf.putShort(v); c += 1 }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** REAL WAV parse: validates the RIFF/WAVE envelope, walks the chunk list
+    * (skipping unknown chunks and their odd-length pad bytes) to find
+    * `fmt ` and `data`, then reads every PCM16 sample for RMS and peak.
+    * RMS over an exact ±a square wave is exactly `a` (IEEE sqrt of a
+    * perfect square), which is what lets the SQL oracle predict it. */
+  def decodeWav(bytes: Array[Byte]): WavMeta = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF stream")
+    buf.getInt // riff size (trust the chunk walk, not this)
+    require(fourcc() == "WAVE", "not a WAVE stream")
+    var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
+    var nSamples = 0L; var sumSq = 0.0; var peak = 0
+    var sawFmt = false; var sawData = false
+    while (buf.remaining() >= 8) {
+      val id = fourcc(); val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(), s"corrupt chunk $id size=$size")
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + size
+          val audioFormat = buf.getShort
+          require(audioFormat == 1, s"only PCM supported, got format $audioFormat")
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt // byte rate
+          blockAlign = buf.getShort
+          bits = buf.getShort
+          require(bits == 16, s"only PCM16 supported, got $bits bits")
+          buf.position(fmtEnd)
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt chunk")
+          nSamples = size.toLong / blockAlign
+          var i = 0L
+          val frames = nSamples * channels
+          while (i < frames) {
+            val s = buf.getShort.toInt
+            sumSq += s.toDouble * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            i += 1
+          }
+          buf.position(buf.position() + (size - frames * 2).toInt)
+          sawData = true
+        case _ =>
+          buf.position(buf.position() + size) // skip unknown chunk
+      }
+      if (size % 2 == 1 && buf.remaining() > 0) buf.get // RIFF pad byte
+    }
+    require(sawData, "no data chunk")
+    val rms = if (nSamples == 0) 0.0
+      else math.sqrt(sumSq / (nSamples * channels))
+    WavMeta(sampleRate, channels, bits, nSamples, rms, peak)
+  }
+
+  // ---------------- video stand-in: concatenated PNG frames ----------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** Concatenate solid-color PNG frames into one payload (an MJPEG-style
+    * frame stream with PNG codec). */
+  def encodeFrameStream(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    frameRgbs.foreach(c => bos.write(encodeImage(width, height, c, "png")))
+    bos.toByteArray
+  }
+
+  /** Parse a concatenated-PNG stream: count frames by scanning for the PNG
+    * signature, decode the FIRST frame for its dimensions. (ImageIO.read
+    * consumes exactly one image from the stream.) */
+  def frameStreamStats(bytes: Array[Byte]): (Int, Int, Int) = {
+    var count = 0
+    var i = 0
+    while (i <= bytes.length - PngSig.length) {
+      var j = 0
+      while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
+      if (j == PngSig.length) { count += 1; i += PngSig.length } else i += 1
+    }
+    require(count > 0, "no PNG frames in payload")
+    val (w, h, _) = decodeImageMeta(bytes)
+    (count, w, h)
+  }
+}

@@ -1,0 +1,174 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Real media codec kernels (round 9): javax.imageio PNG/JPEG round-trips,
+  * true bilinear resize, RIFF/WAVE chunk-walking PCM parse, concatenated-PNG
+  * frame streams — plus the Spark plumbing that batches them per partition.
+  * The "solid color survives bilinear resize exactly" property that the
+  * q_mm_resize oracle depends on is verified EXHAUSTIVELY over the fixture
+  * id space here (not spot-checked).
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---------------- pure kernels ----------------
+
+  test("PNG encode/decode round-trips dims, format, and exact pixels") {
+    val bytes = MediaCodecs.encodeImage(37, 23, 0x336699, "png")
+    val (w, h, fmt) = MediaCodecs.decodeImageMeta(bytes)
+    assert((w, h, fmt) == (37, 23, "png"))
+    val img = MediaCodecs.decodeImage(bytes)
+    assert((img.getRGB(0, 0) & 0xffffff) == 0x336699)
+    assert((img.getRGB(36, 22) & 0xffffff) == 0x336699)
+    val (mr, mg, mb) = MediaCodecs.pixelMeans(bytes)
+    assert((mr, mg, mb) == (0x33.toDouble, 0x66.toDouble, 0x99.toDouble))
+  }
+
+  test("JPEG encode/decode round-trips dims and sniffs format from bytes") {
+    val bytes = MediaCodecs.encodeImage(41, 19, 0xaabbcc, "jpeg")
+    val (w, h, fmt) = MediaCodecs.decodeImageMeta(bytes)
+    assert((w, h, fmt) == (41, 19, "jpeg"))
+  }
+
+  test("decodeImageMeta rejects non-image payloads") {
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeImageMeta("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("fitWithin preserves aspect, floors, and never upscales") {
+    assert(MediaCodecs.fitWithin(100, 50, 64) == (64, 32))
+    assert(MediaCodecs.fitWithin(50, 100, 64) == (32, 64))
+    assert(MediaCodecs.fitWithin(30, 20, 64) == (30, 20)) // no upscale
+    assert(MediaCodecs.fitWithin(1000, 3, 64) == (64, 1)) // 1px floor
+  }
+
+  test("solid-color bilinear resize is pixel-exact over the WHOLE fixture id space") {
+    // The q_mm_resize oracle predicts mean_r/g/b == the fill color, which
+    // holds only if bilinear interpolation of a constant raster is exactly
+    // constant after the PNG re-encode round-trip. Prove it for every id the
+    // bench/verify data can produce (doc_id 0..4999 covers sf0.001-0.1).
+    (0L until 5000L).foreach { id =>
+      val rgb = Multimodal.imgRgb(id)
+      val bytes = MediaCodecs.encodeImage(
+        Multimodal.imgW(id), Multimodal.imgH(id), rgb, "png")
+      val resized = MediaCodecs.resizeFit(bytes, 64)
+      val (rw, rh, _) = MediaCodecs.decodeImageMeta(resized)
+      val (ew, eh) = MediaCodecs.fitWithin(Multimodal.imgW(id), Multimodal.imgH(id), 64)
+      assert((rw, rh) == (ew, eh), s"dims mismatch for id=$id")
+      val (mr, mg, mb) = MediaCodecs.pixelMeans(resized)
+      assert(mr == ((rgb >> 16) & 0xff).toDouble
+        && mg == ((rgb >> 8) & 0xff).toDouble
+        && mb == (rgb & 0xff).toDouble, s"color drift for id=$id")
+    }
+  }
+
+  test("grid embedding samples real quadrant pixels") {
+    val id = 123L
+    val quads = (0 until 4).map(Multimodal.quadRgb(id, _))
+    val bytes = MediaCodecs.encodeQuadImage(
+      Multimodal.imgW(id), Multimodal.imgH(id), quads)
+    val emb = MediaCodecs.gridEmbedding(bytes, 2)
+    val expected = quads.map(c =>
+      (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 765.0)
+    assert(emb.toSeq == expected)
+  }
+
+  test("WAV encode/decode: chunk walk, header fields, exact RMS and peak") {
+    val bytes = MediaCodecs.encodeWavPcm16(1000, 16000, 250.toShort)
+    val m = MediaCodecs.decodeWav(bytes)
+    assert(m.sampleRate == 16000 && m.channels == 1 && m.bitsPerSample == 16)
+    assert(m.nSamples == 1000L)
+    assert(m.rms == 250.0) // IEEE sqrt of a perfect square is exact
+    assert(m.peak == 250)
+    // stereo + odd sample count still parse
+    val st = MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(333, 8000, 77.toShort, channels = 2))
+    assert(st.channels == 2 && st.nSamples == 333L && st.rms == 77.0 && st.peak == 77)
+  }
+
+  test("WAV parser walks past unknown chunks and validates structure") {
+    // encoder plants a LIST chunk between fmt and data; a fixed-offset
+    // reader would misparse — successful decode proves the chunk walk
+    val bytes = MediaCodecs.encodeWavPcm16(10, 8000, 5.toShort)
+    assert(new String(bytes.slice(36, 40), "US-ASCII") == "LIST")
+    assert(MediaCodecs.decodeWav(bytes).nSamples == 10L)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav("RIFFxxxxNOPE".getBytes("US-ASCII"))
+    }
+  }
+
+  test("frame stream: signature-scan count + first-frame decode") {
+    val payload = MediaCodecs.encodeFrameStream(20, 12, Seq(0x112233, 0x445566, 0x778899))
+    val (n, w, h) = MediaCodecs.frameStreamStats(payload)
+    assert((n, w, h) == (3, 20, 12))
+  }
+
+  // ---------------- Spark plumbing ----------------
+
+  private lazy val ids = (0L until 50L).toDF("doc_id")
+
+  test("withImageMeta decodes a real synthesized PNG/JPEG column") {
+    val rows = Multimodal.withImageMeta(
+        Multimodal.synthImages(ids, "doc_id"), "doc_id", "img")
+      .orderBy("doc_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == Multimodal.imgW(id))
+      assert(r.getAs[Int]("height") == Multimodal.imgH(id))
+      assert(r.getAs[String]("format") == Multimodal.imgFormat(id))
+    }
+  }
+
+  test("withResizedImage round-trips resized dims and solid-color means") {
+    val rows = Multimodal.withResizedImage(
+        Multimodal.synthImages(ids, "doc_id", pngOnly = true),
+        "doc_id", "img", maxSide = 64)
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (ew, eh) = MediaCodecs.fitWithin(Multimodal.imgW(id), Multimodal.imgH(id), 64)
+      assert((r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h")) == (ew, eh))
+      assert(r.getAs[Double]("mean_r") == (Multimodal.imgRgb(id) >> 16 & 0xff).toDouble)
+    }
+  }
+
+  test("withAudioMeta parses a real WAV column with exact statistics") {
+    val rows = Multimodal.withAudioMeta(
+        Multimodal.synthWavs(ids, "doc_id"), "doc_id", "audio")
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("sample_rate") == Multimodal.wavRate(id))
+      assert(r.getAs[Long]("n_samples") == Multimodal.wavSamples(id).toLong)
+      assert(r.getAs[Long]("duration_us") ==
+        Multimodal.wavSamples(id).toLong * 1000000L / Multimodal.wavRate(id))
+      assert(r.getAs[Double]("rms") == Multimodal.wavAmp(id).toDouble)
+      assert(r.getAs[Int]("peak") == Multimodal.wavAmp(id).toInt)
+    }
+  }
+
+  test("withFrameStats counts frames and decodes first-frame dims") {
+    val rows = Multimodal.withFrameStats(
+        Multimodal.synthFrameStreams(ids, "doc_id"), "doc_id", "video")
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("n_frames") == Multimodal.frameCount(id))
+      assert(r.getAs[Int]("frame_w") == Multimodal.frameW(id))
+      assert(r.getAs[Int]("frame_h") == Multimodal.frameH(id))
+    }
+  }
+
+  test("withImageEmbedding flows into the ANN operators' expected shape") {
+    val emb = Multimodal.withImageEmbedding(
+        Multimodal.synthQuadImages(ids, "doc_id"), "doc_id", "img", grid = 2)
+    assert(emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val first = emb.orderBy("doc_id").head()
+    assert(first.getSeq[Double](first.fieldIndex("embedding")).length == 4)
+  }
+}
