@@ -13,70 +13,47 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JVM classloading + first-use codegen otherwise lands
-    // on whichever TIMED query touches each subsystem first — round-6
-    // profiling measured 7-8 s of such one-time attribution (e.g.
-    // q_take_rows 10.6 s cold vs 1.7 s steady in a fresh JVM). Each warmup
-    // below touches one subsystem the queries share, on 64 inline rows:
-    // window exec, shuffle agg, broadcast join, zstd parquet write+read,
-    // Spark ML fit/transform + the array↔vector bridge. Per-query numbers
-    // then measure the query, not global JVM initialization.
-    try {
-      import spark.implicits._
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      val tiny = (0 until 64).map(i => (i.toLong, i % 4, i.toDouble))
-        .toDF("id", "k", "v")
-      tiny.withColumn("rn",
-          row_number().over(Window.partitionBy(col("k")).orderBy(col("id"))))
-        .groupBy(col("k")).agg(sum(col("v")).as("sv"))
-        .join(broadcast(tiny.select(col("k")).distinct()), "k")
-        .write.format("noop").mode("overwrite").save()
-      val wdir = java.nio.file.Files.createTempDirectory("graft-warmup-")
-      tiny.write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$wdir/t")
-      spark.read.parquet(s"$wdir/t")
-        .write.format("noop").mode("overwrite").save()
-      val feat = (0 until 32).map(i => (Seq(i.toDouble, (i % 2).toDouble), (i % 2).toDouble))
-        .toDF("arr", "label")
-        .select(org.apache.spark.ml.functions.array_to_vector(col("arr")).as("features"),
-          col("label"))
-      new org.apache.spark.ml.classification.LogisticRegression()
-        .setMaxIter(2).fit(feat).transform(feat)
-        .write.format("noop").mode("overwrite").save()
-      new org.apache.spark.ml.classification.LinearSVC()
-        .setMaxIter(2).fit(feat).transform(feat)
-        .write.format("noop").mode("overwrite").save()
-      SparkEntry.queries("q_load_parquet")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      // RDD local-checkpoint machinery (used by the iterative CC rounds of
-      // q_dedup_clusters) — cold first use measured multi-second
-      tiny.localCheckpoint().write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column (a bare
-      // count() lets Catalyst prune all projections, which under-measured
-      // narrow-transform queries in round 1)
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+
+    // Two-pass steady-state protocol (round 9): a single cold pass smears
+    // one-time JVM costs — classloading, first-use codegen, JIT warmup —
+    // onto whichever query touches each subsystem first, and WHICH query
+    // pays varies run to run (the round-8 record carried ~30 s of such
+    // noise: q1_agg 21.5 s official vs 1.07 s on re-run). Pass 1 runs every
+    // query once, untimed-for-the-headline but recorded (cold_total); pass
+    // 2 re-runs everything in the warmed JVM and is the headline. Between
+    // passes the runner store is RESET: memoized results must not turn
+    // runner-backed queries into `done`-marker cache hits — steady-state
+    // here means warm JVM + cold store, i.e. the queries really execute.
+    def runPass(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink: forces full evaluation of every output column (a bare
+        // count() lets Catalyst prune all projections, which under-measured
+        // narrow-transform queries in round 1)
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        // -1 sentinel keeps failures visible in the JSON (a broken query
+        // must not read as a round-over-round speedup)
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      // -1 sentinel keeps failures visible in the JSON (a broken query must
-      // not read as a round-over-round speedup)
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+
+    val cold = runPass()
+    SparkEntry.resetRunner(spark)
+    val steady = runPass()
+
     // ms precision: the driver keeps only a 2000-char tail of this process'
     // output, and full-precision doubles pushed the one-line JSON past it
     // (head-truncated JSON → BENCH_r{1..6} all have parsed:null)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // exclude failure sentinels from the headline total (a broken query
     // must not SUBTRACT from it either)
-    val total = r3(results.values.filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def total(m: Map[String, Double]): Double = r3(m.values.filter(_ >= 0).sum)
+    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold_total":${total(cold)},"sf":"$sfDir"}""")
     SparkEntry.closeRunner(spark)
     spark.stop()
   }

@@ -40,8 +40,10 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** One content-addressed store per JVM for the runner-backed queries —
-    * results are keyed by dataset content hash, so sf dirs don't collide. */
-  private lazy val queryStore: String =
+    * results are keyed by dataset content hash, so sf dirs don't collide.
+    * `resetRunner` swaps in a fresh store (Bench's steady-state pass must
+    * re-EXECUTE runner queries, not serve `done`-marker cache hits). */
+  @volatile private var queryStore: String =
     java.nio.file.Files.createTempDirectory("graft-query-store-").toString
   /** One runner per session, not per query invocation: each runner persists
     * its SelectColumnOp frames into the session-shared block cache, so
@@ -57,6 +59,15 @@ object SparkEntry {
   def closeRunner(s: SparkSession): Unit = {
     val r = runnerCache.remove(s)
     if (r != null) r.close()
+  }
+
+  /** Close the session's runner AND point the next one at an empty store:
+    * memoized results from earlier passes stop short-circuiting execution.
+    * Fixture caches (IVF index, jsonl/csv dumps) survive — they are inputs,
+    * not results. */
+  def resetRunner(s: SparkSession): Unit = {
+    closeRunner(s)
+    queryStore = java.nio.file.Files.createTempDirectory("graft-query-store-").toString
   }
 
   /** On-disk IVF index over `embeddings`, built once per (JVM, sf dir):

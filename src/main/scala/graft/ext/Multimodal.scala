@@ -52,14 +52,25 @@ object Multimodal {
     (((id % 256) << 16) | (((id * 3) % 256) << 8) | ((id * 5) % 256)).toInt
   def imgFormat(id: Long): String = if (id % 3 == 0) "jpeg" else "png"
 
+  /** Codec kernels are CPU-bound: a fixture id list read from one small
+    * parquet file arrives as ONE partition, which would serialize every
+    * encode on a single core. Spreading the ids costs a shuffle of 8-byte
+    * longs — nothing — and buys full-cluster codec parallelism (real media
+    * corpora arrive pre-partitioned; this matters only for synthesized
+    * payloads). */
+  private def spreadIds(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val ids = df.select(col(idCol).cast("long"))
+    if (ids.rdd.getNumPartitions >= target) ids else ids.repartition(target)
+  }
+
   /** Real PNG/JPEG payloads (format alternating by id) at id-derived dims. */
   def synthImages(df: DataFrame, idCol: String, pngOnly: Boolean = false,
                   batchSize: Int = 64): DataFrame = {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("img", BinaryType, nullable = false)))
-    val ids = df.select(col(idCol).cast("long"))
-    val out = ids.rdd.mapPartitions { it =>
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val fmt = if (pngOnly) "png" else imgFormat(id)
@@ -80,7 +91,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("img", BinaryType, nullable = false)))
-    val out = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, MediaCodecs.encodeQuadImage(imgW(id), imgH(id),
@@ -99,7 +110,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("audio", BinaryType, nullable = false)))
-    val out = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, MediaCodecs.encodeWavPcm16(wavSamples(id), wavRate(id), wavAmp(id)))
@@ -117,7 +128,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("video", BinaryType, nullable = false)))
-    val out = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         Row(id, MediaCodecs.encodeFrameStream(frameW(id), frameH(id),
