@@ -654,6 +654,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_ann" -> ((s, dir) => {
+      // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
+      // quadrant-colored images, decode them and grid-sample a pixel
+      // embedding from the raster, then brute-force cosine top-5 for the
+      // first 3 images as queries. The fixture colors have period 256 in
+      // doc_id, so the corpus contains exact visual copies every 256 ids —
+      // the top-k provably retrieves them at cosine 1.0, and the oracle
+      // replays the whole decode → featurize → rank chain from the formula.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val emb = Multimodal.withImageEmbedding(
+        Multimodal.synthQuadImages(docs, "doc_id"), "doc_id", "img", grid = 2)
+      val queries = emb.filter(col("doc_id") < 3)
+      Similarity.bruteForceTopK(emb, "doc_id", "embedding",
+          queries, "doc_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- dedup extensions ----
 
     "q_dedup_exact" -> ((s, dir) => {
@@ -1120,6 +1137,21 @@ object SparkEntry {
         |16 + doc_id % 48 AS frame_w,
         |16 + (doc_id * 3) % 48 AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_ann" ->
+      """WITH e AS (
+        |  SELECT doc_id, list_transform(range(4), p ->
+        |    ((doc_id + 37 * p) % 256 + (doc_id * 3 + 59 * p) % 256
+        |      + (doc_id * 5 + 83 * p) % 256) / 765.0) AS v
+        |  FROM documents),
+        |q AS (SELECT doc_id qid, v qv FROM e WHERE doc_id < 3),
+        |s AS (SELECT qid query_id, e.doc_id corpus_id,
+        |  list_cosine_similarity(qv, v) cosf FROM q, e),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

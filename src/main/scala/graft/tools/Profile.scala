@@ -88,6 +88,39 @@ object Profile {
         SparkEntry.queries("q_dedup_minhash_planted")(spark, sfDir))
     }
 
+    if (want("curate")) {
+      // stage-by-stage decomposition of q_curate_pipeline: each toFrame
+      // materializes one more op into the store on top of cached deps
+      import graft.spec._
+      import graft.runner.LocalSparkRunner
+      import graft.ops.ColumnOps
+      val store = java.nio.file.Files.createTempDirectory("graft-prof-store-")
+      val r = new LocalSparkRunner(spark, store.toString)
+      val ds = r.fromParquet(s"$sfDir/documents.parquet")
+      val benchText = SelectTextColumnOp(TakeRowsOp(ds, skip = 20L), "text")
+      time("curate:benchText")(r.toFrame(benchText))
+      val flag = ContaminationFlagOp(SelectTextColumnOp(ds, "text"), benchText, n = 5L)
+      time("curate:flag")(r.toFrame(flag))
+      val clean = MaskRowsOp(ds, BooleanLogicOp("not", flag, flag))
+      time("curate:mask")(r.toFrame(clean))
+      val dedup = DropExactDuplicatesOp(clean, SelectTextColumnOp(clean, "text"))
+      time("curate:dedup")(r.toFrame(dedup))
+      val samp = StratifiedSampleOp(dedup,
+        SelectCategoricalColumnOp(dedup, "lang"), frac = 0.5)
+      time("curate:sample")(r.toFrame(samp))
+      val rendered = JinjaTemplatizeOp("[{{lang}}] {{text}}", Map(
+        "lang" -> SelectCategoricalColumnOp(samp, "lang"),
+        "text" -> SelectTextColumnOp(samp, "text")))
+      time("curate:render")(r.toFrame(rendered))
+      time("curate:join")(
+        r.toFrame(samp).select(col("doc_id"), col(ColumnOps.RowIdx))
+          .join(r.toFrame(rendered)
+            .select(col(ColumnOps.RowIdx), col("value").as("rendered")),
+            ColumnOps.RowIdx)
+          .select(col("doc_id"), col("rendered")))
+      r.close()
+    }
+
     // generic: an exact query name runs that query 3× (steady state = run 2+)
     only.filter(SparkEntry.queries.contains).foreach { q =>
       (1 to 3).foreach { i =>
