@@ -109,6 +109,23 @@ object SparkEntry {
       path
     })
 
+  /** Multimodal fixture parquet (doc_id, img: quad PNG, audio: WAV) written
+    * once per (JVM, sf dir) in doc_id file order — the binary-column SOURCE
+    * for the spec-layer multimodal graph query. */
+  private val mmFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def mmFixtureFor(s: SparkSession, dir: String): String =
+    mmFixtureCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mm-fixture-").toString + "/media"
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.synthQuadImages(docs, "doc_id")
+        .join(Multimodal.synthWavs(docs, "doc_id"), "doc_id")
+        .orderBy("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -654,6 +671,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_graph" -> ((s, dir) => {
+      // MULTIMODAL THROUGH THE SPEC/RUNNER LAYER: a parquet with binary
+      // media columns loaded content-addressed, then SelectBinaryColumnOp →
+      // ImageMetaOp (real decode) / ImageResizeOp → ImageEmbedOp (real
+      // bilinear resample, then real pixel sampling) / AudioMetaOp (real
+      // RIFF walk) — every stage persisted + memoized under its uuid. The
+      // oracle predicts all of it from doc_id (quad colors survive the
+      // resize at grid sample points — proven exhaustively in
+      // MultimodalSpec).
+      val r = runnerFor(s)
+      val ds = r.fromParquet(mmFixtureFor(s, dir))
+      val img = SelectBinaryColumnOp(ds, "img")
+      val meta = ImageMetaOp(img)
+      val emb = ImageEmbedOp(ImageResizeOp(img, maxSide = 64L), grid = 2L)
+      val audio = AudioMetaOp(SelectBinaryColumnOp(ds, "audio"))
+      val idx = col(ColumnOps.RowIdx)
+      val ids = r.toFrame(ds).select(idx, col("doc_id"))
+      val m = r.toFrame(meta)
+      val a = r.toFrame(audio)
+        .select(idx, col("sample_rate"), col("n_samples"), col("rms"))
+      val e = r.toFrame(emb).select(idx, posexplode(col("value")))
+      ids.join(m, ColumnOps.RowIdx).join(a, ColumnOps.RowIdx)
+        .join(e, ColumnOps.RowIdx)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("rms"),
+          col("pos").cast("long").as("pos"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "q_mm_ann" -> ((s, dir) => {
       // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
       // quadrant-colored images, decode them and grid-sample a pixel
@@ -1137,6 +1186,20 @@ object SparkEntry {
         |16 + doc_id % 48 AS frame_w,
         |16 + (doc_id * 3) % 48 AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_graph" ->
+      """WITH e AS (SELECT doc_id, unnest(range(4)) AS pos FROM documents)
+        |SELECT doc_id,
+        |  16 + doc_id % 112 AS width,
+        |  16 + (doc_id * 7) % 112 AS height,
+        |  'png' AS format,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS BIGINT) AS sample_rate,
+        |  CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+        |  CAST(100 + (doc_id * 11) % 900 AS DOUBLE) AS rms,
+        |  pos,
+        |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
+        |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     "q_mm_ann" ->
       """WITH e AS (

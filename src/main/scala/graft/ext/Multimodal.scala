@@ -183,6 +183,20 @@ object Multimodal {
     }
   }
 
+  /** REAL resize emitting the RESIZED PAYLOAD itself as a binary column
+    * (`(id, value: binary)`) — the spec-layer [[graft.spec.ImageResizeOp]]
+    * form, chainable into any other binary-column consumer. */
+  def withResizedPayload(df: DataFrame, idCol: String, binCol: String,
+                         maxSide: Int, batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("value", BinaryType, nullable = false)))
+    mapBatched(df, idCol, binCol, schema, batchSize)(
+      _.map(MediaCodecs.resizeFit(_, maxSide))) { case (id, bytes) =>
+      Row(id, bytes)
+    }
+  }
+
   /** REAL feature extraction: a grid×grid pixel-sample embedding over the
     * decoded raster (luminance at cell centers). A production vision
     * encoder replaces [[MediaCodecs.gridEmbedding]]; schema, batching and

@@ -109,6 +109,10 @@ class LocalSparkRunner(
     case g: GopherKeepOp => lengthOf(g.text)
     case c: ContaminationFlagOp => lengthOf(c.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
+    case m: ImageMetaOp => lengthOf(m.image)
+    case rz: ImageResizeOp => lengthOf(rz.image)
+    case e: ImageEmbedOp => lengthOf(e.image)
+    case a: AudioMetaOp => lengthOf(a.audio)
     case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
   }
 
@@ -685,6 +689,23 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Similarity.bruteForceTopK(
         c, "__cid", "__cv", q, "__qid", "__qv", k.toInt))
 
+    // multimodal: the REAL codec kernels (ext.MediaCodecs) over (idx, bytes)
+    // column frames — narrow batched mapPartitions, positional ids preserved
+    case ImageMetaOp(image) =>
+      FrameResult(graft.ext.Multimodal.withImageMeta(frame(image), RowIdx, ValueCol))
+
+    case ImageResizeOp(image, maxSide) =>
+      FrameResult(graft.ext.Multimodal.withResizedPayload(
+        frame(image), RowIdx, ValueCol, maxSide.toInt))
+
+    case ImageEmbedOp(image, grid) =>
+      FrameResult(graft.ext.Multimodal.withImageEmbedding(
+          frame(image), RowIdx, ValueCol, grid.toInt)
+        .withColumnRenamed("embedding", ValueCol))
+
+    case AudioMetaOp(audio) =>
+      FrameResult(graft.ext.Multimodal.withAudioMeta(frame(audio), RowIdx, ValueCol))
+
     case other =>
       // pluggable fallback (reference `@BaseRunner.implementation`,
       // `base_runner.py:261-300`): custom op types registered at runtime
@@ -732,6 +753,7 @@ class LocalSparkRunner(
         case StringType | _: StructType | _: ArrayType | _: MapType =>
         case _ => fail("string/struct/array/map")
       }
+      case _: SelectBinaryColumnOp => if (dt != BinaryType) fail("binary")
     }
     val value = sel match {
       case _: SelectCategoricalColumnOp if Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt) =>

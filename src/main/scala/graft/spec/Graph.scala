@@ -442,6 +442,17 @@ object OpRegistry {
         op[DatasetType](o, "pairs", r))),
     "AnnBruteTopKOp" -> ((o, r) =>
       AnnBruteTopKOp(op[VectorColumnType](o, "corpus", r),
-        op[VectorColumnType](o, "queries", r), lng(o, "k")))
+        op[VectorColumnType](o, "queries", r), lng(o, "k"))),
+    "SelectBinaryColumnOp" -> ((o, r) =>
+      SelectBinaryColumnOp(op[DatasetType](o, "dataset", r),
+        str(o, "column_name"))),
+    "ImageMetaOp" -> ((o, r) =>
+      ImageMetaOp(op[BinaryColumnType](o, "image", r))),
+    "ImageResizeOp" -> ((o, r) =>
+      ImageResizeOp(op[BinaryColumnType](o, "image", r), lng(o, "max_side"))),
+    "ImageEmbedOp" -> ((o, r) =>
+      ImageEmbedOp(op[BinaryColumnType](o, "image", r), lng(o, "grid"))),
+    "AudioMetaOp" -> ((o, r) =>
+      AudioMetaOp(op[BinaryColumnType](o, "audio", r)))
   )
 }

@@ -13,6 +13,7 @@ trait DatasetType extends OpSpec
 trait ColumnType extends OpSpec
 trait TextColumnType extends ColumnType
 trait VectorColumnType extends ColumnType
+trait BinaryColumnType extends ColumnType
 trait CategoricalColumnType extends ColumnType
 trait BooleanColumnType extends ColumnType
 trait ScoreColumnType extends ColumnType
@@ -100,6 +101,11 @@ final case class SelectJSONColumnOp(dataset: DatasetType, columnName: String)
   extends SelectColumnOp with JSONColumnType
 final case class SelectConversationColumnOp(dataset: DatasetType, columnName: String)
   extends SelectColumnOp with ConversationColumnType
+/** Opaque media payloads (image/audio/video bytes) as a first-class column
+  * kind — beyond the reference's surface, the entry point of the multimodal
+  * op family below. */
+final case class SelectBinaryColumnOp(dataset: DatasetType, columnName: String)
+  extends SelectColumnOp with BinaryColumnType
 
 // ---------- row selection (reference dataset_ops.py:222-316) ----------
 
@@ -505,3 +511,39 @@ final case class AnnBruteTopKOp(
     k: Long = 10L) extends DatasetType {
   require(k >= 1L, s"k must be >= 1, got $k")
 }
+
+// ---------- multimodal ops over binary columns (beyond reference) ----------
+
+/** Image metadata really decoded from the payload bytes
+  * ([[graft.ext.MediaCodecs.decodeImageMeta]] — `javax.imageio` container
+  * sniff, not an extension guess). Result dataset
+  * `(row_idx, width, height, format)`. Non-ephemeral: decode is CPU-bound
+  * codec work worth content-addressing. */
+final case class ImageMetaOp(image: BinaryColumnType) extends DatasetType
+
+/** True bilinear fit-within-`maxSide` resample of every image payload
+  * ([[graft.ext.MediaCodecs.resizeFit]]), re-encoded as PNG — a binary
+  * column in, a binary column out, so resizes chain with [[ImageEmbedOp]]
+  * or any other consumer. Aspect-preserving, never upscales. */
+final case class ImageResizeOp(
+    image: BinaryColumnType,
+    maxSide: Long = 256L) extends BinaryColumnType {
+  require(maxSide >= 1L, s"maxSide must be >= 1, got $maxSide")
+}
+
+/** grid×grid pixel-sample embedding over the DECODED raster
+  * ([[graft.ext.MediaCodecs.gridEmbedding]]): a real (if minimal) visual
+  * featurizer producing a VECTOR column — it flows into TrainClassifierOp,
+  * UMAPVizOp, CosineNearDupPairsOp, AnnBruteTopKOp unchanged. A production
+  * vision encoder replaces the kernel, keeping this op's identity/shape. */
+final case class ImageEmbedOp(
+    image: BinaryColumnType,
+    grid: Long = 2L) extends VectorColumnType {
+  require(grid >= 1L && grid <= 64L, s"grid must be in [1,64], got $grid")
+}
+
+/** RIFF/WAVE metadata + PCM statistics really parsed from the payload
+  * ([[graft.ext.MediaCodecs.decodeWav]] — chunk walk, full sample scan).
+  * Result dataset `(row_idx, sample_rate, channels, n_samples,
+  * duration_us, rms, peak)`. */
+final case class AudioMetaOp(audio: BinaryColumnType) extends DatasetType

@@ -66,6 +66,23 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("quadrant colors survive bilinear resize at grid sample points — WHOLE id space") {
+    // The spec-layer chain ImageEmbedOp(ImageResizeOp(img, 64), 2) is
+    // oracle-predicted to return the quadrant colors: grid samples hit
+    // quadrant INTERIORS (margin ≥ w/4 ≥ 4px from any blend boundary), so
+    // downsampling interpolation never reaches them. Exhaustive over the
+    // fixture id space, like the solid-color sweep above.
+    (0L until 5000L).foreach { id =>
+      val quads = (0 until 4).map(Multimodal.quadRgb(id, _))
+      val bytes = MediaCodecs.encodeQuadImage(
+        Multimodal.imgW(id), Multimodal.imgH(id), quads)
+      val emb = MediaCodecs.gridEmbedding(MediaCodecs.resizeFit(bytes, 64), 2)
+      val expected = quads.map(c =>
+        (((c >> 16) & 0xff) + ((c >> 8) & 0xff) + (c & 0xff)) / 765.0)
+      assert(emb.toSeq == expected, s"embed drift for id=$id")
+    }
+  }
+
   test("grid embedding samples real quadrant pixels") {
     val id = 123L
     val quads = (0 until 4).map(Multimodal.quadRgb(id, _))
