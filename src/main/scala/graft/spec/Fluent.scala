@@ -33,6 +33,8 @@ object Fluent {
     def colJson(name: String): SelectJSONColumnOp = SelectJSONColumnOp(ds, name)
     def colConversation(name: String): SelectConversationColumnOp =
       SelectConversationColumnOp(ds, name)
+    /** beyond reference: opaque media payloads (multimodal entry point) */
+    def colBinary(name: String): SelectBinaryColumnOp = SelectBinaryColumnOp(ds, name)
 
     def takeRows(skip: Long = 1L, offset: Long = 0L,
                  numRows: Option[Long] = None): TakeRowsOp =
@@ -78,6 +80,17 @@ object Fluent {
     def -(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("-", s, other)
     def *(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("*", s, other)
     def /(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("/", s, other)
+  }
+
+  implicit class BinaryBuilders(private val b: BinaryColumnType) extends AnyVal {
+    /** real `javax.imageio` decode → (row_idx, width, height, format) */
+    def imageMeta: ImageMetaOp = ImageMetaOp(b)
+    /** true bilinear fit-within resample → binary column (chainable) */
+    def resize(maxSide: Long): ImageResizeOp = ImageResizeOp(b, maxSide)
+    /** grid×grid pixel-sample embedding → VECTOR column */
+    def imageEmbed(grid: Long = 2L): ImageEmbedOp = ImageEmbedOp(b, grid)
+    /** RIFF/WAVE parse → (row_idx, rate, channels, samples, duration, rms, peak) */
+    def audioMeta: AudioMetaOp = AudioMetaOp(b)
   }
 
   implicit class VectorBuilders(private val v: VectorColumnType) extends AnyVal {

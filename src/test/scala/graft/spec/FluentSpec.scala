@@ -19,6 +19,14 @@ class FluentSpec extends AnyFunSuite {
     assert(ds.colJson("j") == SelectJSONColumnOp(ds, "j"))
   }
 
+  test("multimodal builders chain over binary columns") {
+    val img = ds.colBinary("img")
+    assert(img == SelectBinaryColumnOp(ds, "img"))
+    assert(img.imageMeta == ImageMetaOp(img))
+    assert(img.resize(64L).imageEmbed() == ImageEmbedOp(ImageResizeOp(img, 64L), 2L))
+    assert(ds.colBinary("audio").audioMeta == AudioMetaOp(SelectBinaryColumnOp(ds, "audio")))
+  }
+
   test("membership and split helpers normalize value sets") {
     val c = ds.colCategorical("lang")
     assert(c.isIn("en", "de") == CategoryToBooleanOp(c, Some(Seq("de", "en"))))
