@@ -179,4 +179,26 @@ object Streaming {
       .withColumn("quality", graft.ext.TextAnalysis.qualityScore(text))
       .withColumn("pred_lang", graft.ext.TextAnalysis.langId(text))
   }
+
+  /** Streaming multimodal ingest: REAL image decode on a stream of binary
+    * payloads. The batch form rides `RDD.mapPartitions` (unsupported on
+    * streaming frames); the typed `Dataset.mapPartitions` below is the
+    * streaming-legal formulation of the same narrow per-partition kernel —
+    * stateless, no watermark, no shuffle, so a decode-at-ingest stage drops
+    * into any continuous pipeline. The kernel ([[graft.ext.MediaCodecs]])
+    * is shared with the batch/spec-layer ops, keeping parity by
+    * construction.
+    */
+  def annotateImageMeta(docs: DataFrame, idCol: String,
+                        binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, f) = graft.ext.MediaCodecs.decodeImageMeta(bytes)
+        (id, w, h, f)
+      })
+      .toDF(idCol, "width", "height", "format")
+  }
 }

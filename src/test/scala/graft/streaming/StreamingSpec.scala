@@ -188,4 +188,30 @@ class StreamingSpec extends SparkTestBase {
       assert(got == Seq((1L, 9L, "en"), (2L, 10L, "de")))
     } finally q.stop()
   }
+
+  test("streaming multimodal ingest: real image decode matches batch") {
+    import graft.ext.{MediaCodecs, Multimodal}
+    val payloads = (0L until 8L).map(id => (id, MediaCodecs.encodeImage(
+      Multimodal.imgW(id), Multimodal.imgH(id), Multimodal.imgRgb(id),
+      Multimodal.imgFormat(id))))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val decoded = Streaming.annotateImageMeta(
+      input.toDF.toDF("doc_id", "img"), "doc_id", "img")
+    val q = decoded.writeStream.format("memory")
+      .queryName("mmstream").outputMode("append").start()
+    try {
+      input.addData(payloads: _*)
+      q.processAllAvailable()
+      val got = spark.table("mmstream")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+      val batch = Streaming.annotateImageMeta(
+          payloads.toDF("doc_id", "img"), "doc_id", "img")
+        .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+      assert(got == batch) // batch/streaming parity
+      got.foreach { case (id, w, h, f) =>
+        assert(w == Multimodal.imgW(id) && h == Multimodal.imgH(id)
+          && f == Multimodal.imgFormat(id))
+      }
+    } finally q.stop()
+  }
 }
