@@ -671,6 +671,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_frame_embed" -> ((s, dir) => {
+      // VIDEO SAMPLING, row-multiplying half: frame stream → one row per
+      // frame (real PNG split) → per-frame pixel features (real decode).
+      // Frame f of doc id is solid imgRgb(id + 29f), so the oracle predicts
+      // every frame's mean channels from (id, frame_idx) alone.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val frames = Multimodal.explodeFrames(
+        Multimodal.synthFrameStreams(docs, "doc_id"), "doc_id", "video")
+      Multimodal.withFramePixelMeans(frames, "doc_id", "frame_idx", "frame")
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "q_mm_graph" -> ((s, dir) => {
       // MULTIMODAL THROUGH THE SPEC/RUNNER LAYER: a parquet with binary
       // media columns loaded content-addressed, then SelectBinaryColumnOp →
@@ -1186,6 +1200,16 @@ object SparkEntry {
         |16 + doc_id % 48 AS frame_w,
         |16 + (doc_id * 3) % 48 AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_frame_embed" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(1 + doc_id % 5)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  CAST((doc_id + 29 * frame_idx) % 256 AS DOUBLE) AS mean_r,
+        |  CAST(((doc_id + 29 * frame_idx) * 3) % 256 AS DOUBLE) AS mean_g,
+        |  CAST(((doc_id + 29 * frame_idx) * 5) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_graph" ->
       """WITH e AS (SELECT doc_id, unnest(range(4)) AS pos FROM documents)

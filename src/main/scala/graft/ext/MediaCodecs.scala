@@ -273,17 +273,34 @@ object MediaCodecs {
     bos.toByteArray
   }
 
-  /** Parse a concatenated-PNG stream: count frames by scanning for the PNG
-    * signature, decode the FIRST frame for its dimensions. (ImageIO.read
-    * consumes exactly one image from the stream.) */
-  def frameStreamStats(bytes: Array[Byte]): (Int, Int, Int) = {
-    var count = 0
+  /** Byte offsets of every PNG signature in the stream — the frame index
+    * of a concatenated-PNG payload. */
+  def frameOffsets(bytes: Array[Byte]): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
     var i = 0
     while (i <= bytes.length - PngSig.length) {
       var j = 0
       while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
-      if (j == PngSig.length) { count += 1; i += PngSig.length } else i += 1
+      if (j == PngSig.length) { out += i; i += PngSig.length } else i += 1
     }
+    out.result()
+  }
+
+  /** Split a concatenated-PNG stream into its individual frame payloads. */
+  def splitFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val offs = frameOffsets(bytes)
+    require(offs.nonEmpty, "no PNG frames in payload")
+    offs.zipAll(offs.drop(1).map(Some(_)), 0, None).map {
+      case (start, end) => java.util.Arrays.copyOfRange(
+        bytes, start, end.getOrElse(bytes.length))
+    }
+  }
+
+  /** Parse a concatenated-PNG stream: count frames by scanning for the PNG
+    * signature, decode the FIRST frame for its dimensions. (ImageIO.read
+    * consumes exactly one image from the stream.) */
+  def frameStreamStats(bytes: Array[Byte]): (Int, Int, Int) = {
+    val count = frameOffsets(bytes).length
     require(count > 0, "no PNG frames in payload")
     val (w, h, _) = decodeImageMeta(bytes)
     (count, w, h)

@@ -231,6 +231,46 @@ object Multimodal {
     }
   }
 
+  /** Frame EXPLOSION — the row-multiplying half of video sampling: one
+    * output row per frame, `(id, frame_idx, frame: binary)`, each frame a
+    * standalone decodable payload that feeds any image op downstream.
+    * Narrow (the explode happens inside the partition); output row count is
+    * bounded by total frames, the same data that already sat in the stream
+    * payloads. */
+  def explodeFrames(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val out = df.select(col(idCol).cast("long"), col(binCol).cast("binary")).rdd
+      .mapPartitions(_.flatMap { r =>
+        MediaCodecs.splitFrames(r.getAs[Array[Byte]](1)).zipWithIndex.map {
+          case (frame, i) => Row(r.getLong(0), i, frame)
+        }
+      })
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Per-frame mean channel values over the DECODED raster of each exploded
+    * frame — the per-frame feature step of a video pipeline (a real vision
+    * encoder takes the same `(keys, bytes)` rows). */
+  def withFramePixelMeans(df: DataFrame, idCol: String, frameIdxCol: String,
+                          binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(frameIdxCol, IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false)))
+    val out = df.select(col(idCol).cast("long"), col(frameIdxCol).cast("int"),
+        col(binCol).cast("binary")).rdd
+      .mapPartitions(_.map { r =>
+        val (mr, mg, mb) = MediaCodecs.pixelMeans(r.getAs[Array[Byte]](2))
+        Row(r.getLong(0), r.getInt(1), mr, mg, mb)
+      })
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** REAL frame sampling over a concatenated-PNG stream: frame count by
     * signature scan, first-frame dims by decoding it. */
   def withFrameStats(df: DataFrame, idCol: String, binCol: String,

@@ -123,6 +123,20 @@ class MultimodalSpec extends SparkTestBase {
     assert((n, w, h) == (3, 20, 12))
   }
 
+  test("splitFrames yields standalone decodable frames in order") {
+    val colors = Seq(0x112233, 0x445566, 0x778899)
+    val payload = MediaCodecs.encodeFrameStream(20, 12, colors)
+    val frames = MediaCodecs.splitFrames(payload)
+    assert(frames.length == 3)
+    frames.zip(colors).foreach { case (f, c) =>
+      assert(MediaCodecs.decodeImageMeta(f) == ((20, 12, "png")))
+      assert((MediaCodecs.decodeImage(f).getRGB(5, 5) & 0xffffff) == c)
+    }
+    intercept[IllegalArgumentException] {
+      MediaCodecs.splitFrames("no frames here".getBytes("UTF-8"))
+    }
+  }
+
   // ---------------- Spark plumbing ----------------
 
   private lazy val ids = (0L until 50L).toDF("doc_id")
@@ -177,6 +191,22 @@ class MultimodalSpec extends SparkTestBase {
       assert(r.getAs[Int]("n_frames") == Multimodal.frameCount(id))
       assert(r.getAs[Int]("frame_w") == Multimodal.frameW(id))
       assert(r.getAs[Int]("frame_h") == Multimodal.frameH(id))
+    }
+  }
+
+  test("explodeFrames + withFramePixelMeans recover per-frame colors") {
+    val exploded = Multimodal.explodeFrames(
+      Multimodal.synthFrameStreams(ids, "doc_id"), "doc_id", "video")
+    val rows = Multimodal.withFramePixelMeans(
+        exploded, "doc_id", "frame_idx", "frame")
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(rows.length == (0L until 50L).map(Multimodal.frameCount(_)).sum)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val f = r.getAs[Int]("frame_idx")
+      val c = Multimodal.imgRgb(id + 29L * f)
+      assert(r.getAs[Double]("mean_r") == ((c >> 16) & 0xff).toDouble)
+      assert(r.getAs[Double]("mean_g") == ((c >> 8) & 0xff).toDouble)
+      assert(r.getAs[Double]("mean_b") == (c & 0xff).toDouble)
     }
   }
 
