@@ -671,6 +671,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_corrupt" -> ((s, dir) => {
+      // PERMISSIVE decode under planted corruption: every 97th payload is
+      // replaced with garbage; the job must survive, flag exactly those
+      // rows, and decode the rest — the 100 TB robustness contract. Error
+      // strings are engine-specific, so the oracle checks the ok FLAG plus
+      // null-vs-formula metadata.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val imgs = Multimodal.synthImages(docs, "doc_id")
+        .withColumn("img", when(col("doc_id") % 97 === 0,
+          lit("deadbeef: not an image".getBytes("UTF-8"))).otherwise(col("img")))
+      Multimodal.withImageMetaPermissive(imgs, "doc_id", "img")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"),
+          col("error").isNull.as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_mm_frame_embed" -> ((s, dir) => {
       // VIDEO SAMPLING, row-multiplying half: frame stream → one row per
       // frame (real PNG split) → per-frame pixel features (real decode).
@@ -1199,6 +1216,17 @@ object SparkEntry {
         |1 + doc_id % 5 AS n_frames,
         |16 + doc_id % 48 AS frame_w,
         |16 + (doc_id * 3) % 48 AS frame_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_corrupt" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE 16 + doc_id % 112 END AS width,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       ELSE 16 + (doc_id * 7) % 112 END AS height,
+        |  CASE WHEN doc_id % 97 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+        |  doc_id % 97 <> 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_mm_frame_embed" ->

@@ -183,6 +183,32 @@ object Multimodal {
     }
   }
 
+  /** PERMISSIVE image decode — the 100 TB robustness mode: a corrupt
+    * payload among billions must flag, not kill the job (Spark's
+    * PERMISSIVE-vs-FAILFAST reader convention). Undecodable payloads emit
+    * null metadata plus the decode error; good rows are identical to
+    * [[withImageMeta]]. */
+  def withImageMetaPermissive(df: DataFrame, idCol: String, binCol: String,
+                              batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true),
+      StructField("error", StringType, nullable = true)))
+    mapBatched(df, idCol, binCol, schema, batchSize)(_.map { bytes =>
+      try {
+        val (w, h, f) = MediaCodecs.decodeImageMeta(bytes)
+        (Some((w, h, f)), None: Option[String])
+      } catch {
+        case e: Exception => (None, Some(String.valueOf(e.getMessage)))
+      }
+    }) {
+      case (id, (Some((w, h, f)), _)) => Row(id, w, h, f, null)
+      case (id, (None, err)) => Row(id, null, null, null, err.orNull)
+    }
+  }
+
   /** REAL resize emitting the RESIZED PAYLOAD itself as a binary column
     * (`(id, value: binary)`) — the spec-layer [[graft.spec.ImageResizeOp]]
     * form, chainable into any other binary-column consumer. */

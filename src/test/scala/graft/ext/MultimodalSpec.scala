@@ -210,6 +210,29 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("permissive decode flags corrupt payloads, decodes the rest") {
+    val imgs = Multimodal.synthImages(ids, "doc_id")
+      .withColumn("img", when(col("doc_id") === 7L,
+        lit("garbage".getBytes("UTF-8"))).otherwise(col("img")))
+    val rows = Multimodal.withImageMetaPermissive(imgs, "doc_id", "img")
+      .orderBy("doc_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id == 7L) {
+        assert(r.isNullAt(r.fieldIndex("width")))
+        assert(r.getAs[String]("error") != null)
+      } else {
+        assert(r.getAs[Int]("width") == Multimodal.imgW(id))
+        assert(r.isNullAt(r.fieldIndex("error")))
+      }
+    }
+    // FAILFAST counterpart really fails
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.withImageMeta(imgs, "doc_id", "img").collect()
+    }
+  }
+
   test("withImageEmbedding flows into the ANN operators' expected shape") {
     val emb = Multimodal.withImageEmbedding(
         Multimodal.synthQuadImages(ids, "doc_id"), "doc_id", "img", grid = 2)
