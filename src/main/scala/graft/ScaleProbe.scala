@@ -80,6 +80,21 @@ object ScaleProbe {
       println("  dims=" + graft.ml.DiffOfMeans.weightsExact(
         emb10, col("embedding"), col("label") <= 4).count())
     }
+    // 50k real codec round trips: encode + decode + resize + embed, all
+    // narrow — scaling is pure CPU spread (the fixture id shuffle is 8-byte
+    // longs), evidence for the multimodal rows of SCALING.md
+    val ids10 = (0 until 10).map(i =>
+      docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id")))
+      .reduce(_ union _)
+    time("image decode+resize+embed over 50k real payloads") {
+      val imgs = graft.ext.Multimodal.synthImages(ids10, "doc_id", pngOnly = true)
+      println("  rows=" + graft.ext.Multimodal.withResizedImage(
+        imgs, "doc_id", "img", maxSide = 64).count())
+    }
+    time("WAV parse over 50k real payloads") {
+      println("  rows=" + graft.ext.Multimodal.withAudioMeta(
+        graft.ext.Multimodal.synthWavs(ids10, "doc_id"), "doc_id", "audio").count())
+    }
     spark.stop()
   }
 }
