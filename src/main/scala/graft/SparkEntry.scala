@@ -688,6 +688,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_mm_audio_windows" -> ((s, dir) => {
+      // AUDIO SAMPLING, row-multiplying half: WAV → one row per 300-sample
+      // PCM window (last window partial), per-window RMS/peak from a real
+      // sample scan. Square-wave fixtures make RMS exactly amp in EVERY
+      // window; the window count and last-window size vary by id.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      Multimodal.explodeAudioWindows(
+          Multimodal.synthWavs(docs, "doc_id"), "doc_id", "audio",
+          windowSamples = 300)
+        .select(col("doc_id"), col("window_idx").cast("long").as("window_idx"),
+          col("n_in_window").cast("long").as("n_in_window"),
+          col("rms"), col("peak").cast("long").as("peak"))
+        .orderBy(col("doc_id"), col("window_idx"))
+    }),
+
     "q_mm_frame_embed" -> ((s, dir) => {
       // VIDEO SAMPLING, row-multiplying half: frame stream → one row per
       // frame (real PNG split) → per-frame pixel features (real decode).
@@ -1228,6 +1243,24 @@ object SparkEntry {
         |       WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format,
         |  doc_id % 97 <> 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mm_audio_windows" ->
+      """WITH p AS (
+        |  SELECT doc_id, 800 + doc_id % 800 AS n,
+        |         100 + (doc_id * 11) % 900 AS amp
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, n, amp,
+        |    unnest(range(CAST(ceil(n / 300.0) AS BIGINT))) AS window_idx
+        |  FROM p)
+        |SELECT doc_id, window_idx,
+        |  CAST(CASE WHEN window_idx < CAST(ceil(n / 300.0) AS BIGINT) - 1
+        |       THEN 300
+        |       ELSE n - 300 * (CAST(ceil(n / 300.0) AS BIGINT) - 1)
+        |       END AS BIGINT) AS n_in_window,
+        |  CAST(amp AS DOUBLE) AS rms,
+        |  CAST(amp AS BIGINT) AS peak
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
 
     "q_mm_frame_embed" ->
       """WITH f AS (

@@ -260,6 +260,57 @@ object MediaCodecs {
     WavMeta(sampleRate, channels, bits, nSamples, rms, peak)
   }
 
+  /** Fixed-size PCM windowing over a parsed WAV: per-window sample count,
+    * RMS and peak — real DSP framing (the last window may be partial).
+    * Returns one entry per window in stream order. */
+  def wavWindows(bytes: Array[Byte], windowSamples: Int): Seq[(Int, Double, Int)] = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF stream"); buf.getInt
+    require(fourcc() == "WAVE", "not a WAVE stream")
+    var channels = 0; var blockAlign = 0; var sawFmt = false
+    val out = Seq.newBuilder[(Int, Double, Int)]
+    var done = false
+    while (!done && buf.remaining() >= 8) {
+      val id = fourcc(); val size = buf.getInt
+      require(size >= 0 && size <= buf.remaining(), s"corrupt chunk $id size=$size")
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + size
+          require(buf.getShort == 1, "only PCM supported")
+          channels = buf.getShort; buf.getInt; buf.getInt
+          blockAlign = buf.getShort
+          require(buf.getShort == 16, "only PCM16 supported")
+          buf.position(fmtEnd); sawFmt = true
+        case "data" =>
+          require(sawFmt, "data chunk before fmt chunk")
+          val nSamples = size / blockAlign
+          var i = 0
+          while (i < nSamples) {
+            val n = math.min(windowSamples, nSamples - i)
+            var sumSq = 0.0; var peak = 0
+            var j = 0
+            while (j < n * channels) {
+              val s = buf.getShort.toInt
+              sumSq += s.toDouble * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              j += 1
+            }
+            out += ((n, math.sqrt(sumSq / (n.toLong * channels)), peak))
+            i += n
+          }
+          done = true
+        case _ => buf.position(buf.position() + size)
+      }
+      if (size % 2 == 1 && buf.remaining() > 0 && !done) buf.get
+    }
+    require(done, "no data chunk")
+    out.result()
+  }
+
   // ---------------- video stand-in: concatenated PNG frames ----------------
 
   private val PngSig: Array[Byte] =

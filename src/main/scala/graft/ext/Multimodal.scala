@@ -297,6 +297,28 @@ object Multimodal {
     df.sparkSession.createDataFrame(out, schema)
   }
 
+  /** Audio WINDOW explosion — the row-multiplying half of audio sampling:
+    * one output row per fixed-size PCM window, `(id, window_idx,
+    * n_in_window, rms, peak)`, the last window partial. Narrow like
+    * [[explodeFrames]]; an audio encoder consumes the exploded rows. */
+  def explodeAudioWindows(df: DataFrame, idCol: String, binCol: String,
+                          windowSamples: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("n_in_window", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val out = df.select(col(idCol).cast("long"), col(binCol).cast("binary")).rdd
+      .mapPartitions(_.flatMap { r =>
+        MediaCodecs.wavWindows(r.getAs[Array[Byte]](1), windowSamples)
+          .zipWithIndex.map { case ((n, rms, peak), i) =>
+            Row(r.getLong(0), i, n, rms, peak)
+          }
+      })
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
   /** REAL frame sampling over a concatenated-PNG stream: frame count by
     * signature scan, first-frame dims by decoding it. */
   def withFrameStats(df: DataFrame, idCol: String, binCol: String,

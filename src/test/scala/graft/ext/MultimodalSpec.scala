@@ -194,6 +194,30 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("wavWindows: fixed-size PCM framing with a partial tail window") {
+    // 10 samples, windows of 4 → sizes 4, 4, 2; ±7 square wave → rms 7
+    val bytes = MediaCodecs.encodeWavPcm16(10, 8000, 7.toShort)
+    val ws = MediaCodecs.wavWindows(bytes, 4)
+    assert(ws.map(_._1) == Seq(4, 4, 2))
+    assert(ws.forall { case (_, rms, peak) => rms == 7.0 && peak == 7 })
+    // window larger than the stream → one partial window
+    assert(MediaCodecs.wavWindows(bytes, 100).map(_._1) == Seq(10))
+  }
+
+  test("explodeAudioWindows: one row per window with exact stats") {
+    val rows = Multimodal.explodeAudioWindows(
+        Multimodal.synthWavs(ids, "doc_id"), "doc_id", "audio", 300)
+      .orderBy("doc_id", "window_idx").collect()
+    val expected = (0L until 50L).map(id =>
+      math.ceil(Multimodal.wavSamples(id) / 300.0).toInt).sum
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Double]("rms") == Multimodal.wavAmp(id).toDouble)
+      assert(r.getAs[Int]("n_in_window") <= 300 && r.getAs[Int]("n_in_window") >= 1)
+    }
+  }
+
   test("explodeFrames + withFramePixelMeans recover per-frame colors") {
     val exploded = Multimodal.explodeFrames(
       Multimodal.synthFrameStreams(ids, "doc_id"), "doc_id", "video")
