@@ -44,11 +44,12 @@ object Bench {
     SparkEntry.resetRunner(spark)
     val steady = runPass()
 
-    // ms precision: the driver keeps only a 2000-char tail of this process'
-    // output, and full-precision doubles pushed the one-line JSON past it
-    // (head-truncated JSON → BENCH_r{1..6} all have parsed:null)
+    // 10ms per-query precision: the driver keeps only a 2000-char tail of
+    // this process' output, and at 78 queries even ms-precision pushed the
+    // one-line JSON against that limit (head-truncated JSON → parsed:null)
+    def r2(v: Double): Double = math.rint(v * 100) / 100
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
       .mkString("{", ",", "}")
     // exclude failure sentinels from the headline total (a broken query
     // must not SUBTRACT from it either)
