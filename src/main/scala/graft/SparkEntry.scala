@@ -121,6 +121,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"))
       Multimodal.synthQuadImages(docs, "doc_id")
         .join(Multimodal.synthWavs(docs, "doc_id"), "doc_id")
+        .join(Multimodal.synthFrameStreams(docs, "doc_id"), "doc_id")
         .orderBy("doc_id").coalesce(1)
         .write.mode("overwrite").parquet(path)
       path
@@ -749,6 +750,28 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    "q_mm_frames_graph" -> ((s, dir) => {
+      // ROW-MULTIPLYING op through the spec layer: frame-stream column →
+      // ExplodeFramesOp (fresh positional identity, one row per frame) →
+      // the exploded `frame` column re-enters the image family via
+      // SelectBinaryColumnOp → ImageMetaOp. Oracle predicts per-doc frame
+      // counts and per-frame dims from doc_id.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(mmFixtureFor(s, dir))
+      val frames = ExplodeFramesOp(SelectBinaryColumnOp(ds, "video"))
+      val meta = ImageMetaOp(SelectBinaryColumnOp(frames, "frame"))
+      val idx = col(ColumnOps.RowIdx)
+      val ids = r.toFrame(ds)
+        .select(idx.as("parent_idx"), col("doc_id"))
+      r.toFrame(frames).select(idx, col("parent_idx"), col("frame_idx"))
+        .join(ids, "parent_idx")
+        .join(r.toFrame(meta), ColumnOps.RowIdx)
+        .select(col("doc_id"), col("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "q_mm_ann" -> ((s, dir) => {
       // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
       // quadrant-colored images, decode them and grid-sample a pixel
@@ -1270,6 +1293,16 @@ object SparkEntry {
         |  CAST((doc_id + 29 * frame_idx) % 256 AS DOUBLE) AS mean_r,
         |  CAST(((doc_id + 29 * frame_idx) * 3) % 256 AS DOUBLE) AS mean_g,
         |  CAST(((doc_id + 29 * frame_idx) * 5) % 256 AS DOUBLE) AS mean_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_mm_frames_graph" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(1 + doc_id % 5)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |  16 + doc_id % 48 AS width,
+        |  16 + (doc_id * 3) % 48 AS height,
+        |  'png' AS format
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_mm_graph" ->

@@ -706,6 +706,20 @@ class LocalSparkRunner(
     case AudioMetaOp(audio) =>
       FrameResult(graft.ext.Multimodal.withAudioMeta(frame(audio), RowIdx, ValueCol))
 
+    case ExplodeFramesOp(video) =>
+      // row-multiplying: fresh positional identity in (parent, frame)
+      // order; parent indices are distinct longs in [0, parentLen), so the
+      // range bucket is a pure plan expression (no sampling jobs)
+      val f = frame(video).withColumnRenamed(RowIdx, "__parent_idx")
+      val exploded = graft.ext.Multimodal.explodeFrames(f, "__parent_idx", ValueCol)
+      val indexed = ColumnOps.withRowIdxByKnownRange(exploded,
+        ColumnOps.rangeBucket(exploded, col("__parent_idx"),
+          lengthOf(video).toDouble),
+        col("__parent_idx"), col("frame_idx"))
+      FrameResult(indexed.select(col(RowIdx),
+        col("__parent_idx").as("parent_idx"),
+        col("frame_idx").cast("long").as("frame_idx"), col("frame")))
+
     case other =>
       // pluggable fallback (reference `@BaseRunner.implementation`,
       // `base_runner.py:261-300`): custom op types registered at runtime

@@ -91,6 +91,8 @@ object Fluent {
     def imageEmbed(grid: Long = 2L): ImageEmbedOp = ImageEmbedOp(b, grid)
     /** RIFF/WAVE parse → (row_idx, rate, channels, samples, duration, rms, peak) */
     def audioMeta: AudioMetaOp = AudioMetaOp(b)
+    /** frame-stream column → one row per frame (fresh positional identity) */
+    def explodeFrames: ExplodeFramesOp = ExplodeFramesOp(b)
   }
 
   implicit class VectorBuilders(private val v: VectorColumnType) extends AnyVal {

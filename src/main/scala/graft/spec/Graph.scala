@@ -453,6 +453,8 @@ object OpRegistry {
     "ImageEmbedOp" -> ((o, r) =>
       ImageEmbedOp(op[BinaryColumnType](o, "image", r), lng(o, "grid"))),
     "AudioMetaOp" -> ((o, r) =>
-      AudioMetaOp(op[BinaryColumnType](o, "audio", r)))
+      AudioMetaOp(op[BinaryColumnType](o, "audio", r))),
+    "ExplodeFramesOp" -> ((o, r) =>
+      ExplodeFramesOp(op[BinaryColumnType](o, "video", r)))
   )
 }

@@ -547,3 +547,11 @@ final case class ImageEmbedOp(
   * Result dataset `(row_idx, sample_rate, channels, n_samples,
   * duration_us, rms, peak)`. */
 final case class AudioMetaOp(audio: BinaryColumnType) extends DatasetType
+
+/** Row-multiplying frame explosion over a concatenated-PNG stream column
+  * ([[graft.ext.Multimodal.explodeFrames]]): a NEW dataset with one row per
+  * frame — columns `(parent_idx, frame_idx, frame: binary)` under a fresh
+  * positional identity ordered by (parent, frame). The `frame` column is a
+  * standalone payload, so `SelectBinaryColumnOp(…, "frame")` feeds every
+  * image op: per-frame decode/resize/embed compose through the graph. */
+final case class ExplodeFramesOp(video: BinaryColumnType) extends DatasetType

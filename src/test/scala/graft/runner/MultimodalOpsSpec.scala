@@ -26,6 +26,7 @@ class MultimodalOpsSpec extends SparkTestBase {
     val ids = (0L until 24L).toDF("doc_id")
     Multimodal.synthQuadImages(ids, "doc_id")
       .join(Multimodal.synthWavs(ids, "doc_id"), "doc_id")
+      .join(Multimodal.synthFrameStreams(ids, "doc_id"), "doc_id")
       .orderBy("doc_id").coalesce(1)
       .write.mode("overwrite").parquet(path)
     path
@@ -90,6 +91,34 @@ class MultimodalOpsSpec extends SparkTestBase {
         && r.getAs[Int]("rank") == 1).get
       assert(self.getAs[Long]("corpus_id") == q)
       assert(self.getAs[Any]("cosine").toString.toDouble == 1.0)
+    }
+  }
+
+  test("ExplodeFramesOp multiplies rows under a fresh positional identity") {
+    val frames = ExplodeFramesOp(SelectBinaryColumnOp(ds, "video"))
+    val rows = runner.toFrame(frames).orderBy(ColumnOps.RowIdx).collect()
+    val expected = (0L until 24L).map(Multimodal.frameCount(_).toLong).sum
+    assert(rows.length == expected)
+    // row_idx is a contiguous 0-based permutation in (parent, frame) order
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long](ColumnOps.RowIdx) == i.toLong)
+    }
+    val sorted = rows.map(r => (r.getAs[Long]("parent_idx"), r.getAs[Long]("frame_idx")))
+    assert(sorted.sameElements(sorted.sorted))
+  }
+
+  test("exploded frames re-enter the image family: per-frame ImageMetaOp") {
+    val frames = ExplodeFramesOp(SelectBinaryColumnOp(ds, "video"))
+    val meta = ImageMetaOp(SelectBinaryColumnOp(frames, "frame"))
+    val parents = runner.toFrame(frames)
+      .select(col(ColumnOps.RowIdx), col("parent_idx"))
+    val rows = parents.join(runner.toFrame(meta), ColumnOps.RowIdx)
+      .orderBy(ColumnOps.RowIdx).collect()
+    rows.foreach { r =>
+      val parent = r.getAs[Long]("parent_idx") // fixture order == id
+      assert(r.getAs[Int]("width") == Multimodal.frameW(parent))
+      assert(r.getAs[Int]("height") == Multimodal.frameH(parent))
+      assert(r.getAs[String]("format") == "png")
     }
   }
 
