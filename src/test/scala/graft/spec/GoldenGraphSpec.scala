@@ -42,6 +42,32 @@ class GoldenGraphSpec extends AnyFunSuite {
     assert(rt.map(_.uuid) == outputs.map(_.uuid))
   }
 
+  test("multimodal graph hash-matches the external authoring") {
+    // fixture from tools/make_golden_multimodal.py: the round-9 binary-
+    // column family, authored by an independent canonical-JSON + sha256
+    // implementation — field renames/retypes fail UUID verification here
+    val in = getClass.getResourceAsStream("/golden_multimodal.json")
+    val fixture = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val outputs = Graph.deserializeString(fixture)
+    assert(outputs.map(_.uuid) == Seq(
+      "ImageMetaOp_4cf9885d0df2d455dd1b49913cc1abbc6947f729fbdc310a782da17662550b22",
+      "ImageEmbedOp_71c79f33fbf8e7141ad084ad4bd057c2f6164b3cf09957c9333637b2cb3c0cc4",
+      "AudioMetaOp_8ce97c2d59ec7729c64612e0a033d78a9fa63e34a26ff077a9c02c031e4b77ff",
+      "ExplodeFramesOp_e6da502a6ede15a7f69e3da2e86769850ec5d1620578b32b31f39504baac9529"))
+    val Seq(meta: ImageMetaOp, embed: ImageEmbedOp, audio: AudioMetaOp,
+      frames: ExplodeFramesOp) = outputs: @unchecked
+    // shared dataset instance across all four chains (memoized construct)
+    val ds = meta.image.asInstanceOf[SelectBinaryColumnOp].dataset
+    assert(audio.audio.asInstanceOf[SelectBinaryColumnOp].dataset eq ds)
+    assert(frames.video.asInstanceOf[SelectBinaryColumnOp].dataset eq ds)
+    val rz = embed.image.asInstanceOf[ImageResizeOp]
+    assert(rz.maxSide == 64L && embed.grid == 4L)
+    assert(rz.image eq meta.image) // resize and meta share the select
+    // re-serializing reproduces identical uuids
+    val rt = Graph.deserialize(Graph.serialize(outputs: _*))
+    assert(rt.map(_.uuid) == outputs.map(_.uuid))
+  }
+
   test("fully-parameterized UMAP viz graph hash-matches the external authoring") {
     // fixture from tools/make_golden_umap.py: every reference hyperparameter
     // (viz_ops.py:10-52) set to a non-default value — a missing, renamed, or
