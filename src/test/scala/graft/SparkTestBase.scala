@@ -25,6 +25,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table tests write through the session catalog; keep the
+      // warehouse out of the repo working tree
+      .config("spark.sql.warehouse.dir", java.nio.file.Files
+        .createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
