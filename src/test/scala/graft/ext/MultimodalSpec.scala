@@ -257,6 +257,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("fixture synthesis prunes the source scan to the id column") {
+    // the mm queries read `documents` only for doc_id; a scan that drags
+    // the text column along would read most of the table for nothing
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm-prune-")
+    (0L until 20L).map(i => (i, "x" * 100, s"l$i"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // synthImages plans `df.select(id).rdd` — the `.rdd` boundary
+    // materializes THIS logical plan, so asserting its executed scan is
+    // asserting what the fixture stage actually reads from parquet
+    val feeding = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"))
+    val scans = feeding.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(f =>
+      assert(f.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+        s"scan read ${f.requiredSchema.fieldNames.mkString(",")}"))
+    // and the full pipeline over it still yields real decoded rows
+    val out = Multimodal.withImageMeta(
+      Multimodal.synthImages(feeding, "doc_id"), "doc_id", "img")
+    assert(out.count() == 20L)
+  }
+
   test("withImageEmbedding flows into the ANN operators' expected shape") {
     val emb = Multimodal.withImageEmbedding(
         Multimodal.synthQuadImages(ids, "doc_id"), "doc_id", "img", grid = 2)
