@@ -282,6 +282,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.count() == 20L)
   }
 
+  test("permissive WAV parse flags garbage, parses the rest") {
+    val wavs = Multimodal.synthWavs(ids, "doc_id")
+      .withColumn("audio", when(col("doc_id") % 10 === 3L,
+        lit("RIFFxxxxNOPE".getBytes("US-ASCII"))).otherwise(col("audio")))
+    val rows = Multimodal.withAudioMetaPermissive(wavs, "doc_id", "audio")
+      .orderBy("doc_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 10 == 3L) {
+        assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        assert(r.getAs[String]("error") != null)
+      } else {
+        assert(r.getAs[Int]("sample_rate") == Multimodal.wavRate(id))
+        assert(r.getAs[Double]("rms") == Multimodal.wavAmp(id).toDouble)
+        assert(r.isNullAt(r.fieldIndex("error")))
+      }
+    }
+  }
+
   test("withImageEmbedding flows into the ANN operators' expected shape") {
     val emb = Multimodal.withImageEmbedding(
         Multimodal.synthQuadImages(ids, "doc_id"), "doc_id", "img", grid = 2)
