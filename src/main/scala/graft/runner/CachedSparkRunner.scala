@@ -138,13 +138,22 @@ class CachedSparkRunner(
     finally s.close()
   }
 
+  // staging names carry (pid, thread, attempt#): pid alone collides when
+  // two THREADS of one JVM stage toward the same destination (same hazard
+  // the pull path fixed — a shared tmp file can be half-replaced by the
+  // loser while the winner renames it)
+  private val stageAttempts = new java.util.concurrent.atomic.AtomicLong(0)
+  private def stagingName(dest: Path, kind: String): Path =
+    dest.getParent.resolve(
+      "." + dest.getFileName + "." + kind + ProcessHandle.current().pid() +
+        "t" + Thread.currentThread().getId + "n" + stageAttempts.incrementAndGet())
+
   private def copyAtomic(f: Path, dest: Path): Unit =
     if (!Files.exists(dest)) {
       Files.createDirectories(dest.getParent)
       // copy to a dot-temp then move: readers of the destination never
       // observe a partially-written file (atomic within one FS)
-      val tmp = dest.getParent.resolve(
-        "." + dest.getFileName + ".tmp" + ProcessHandle.current().pid())
+      val tmp = stagingName(dest, "tmp")
       Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
       catch { // another writer won the race; their copy is equally valid
@@ -156,8 +165,7 @@ class CachedSparkRunner(
     * files are mutable, unlike results, so skip-if-exists would pin the
     * first snapshot forever. POSIX rename replaces atomically. */
   private def replaceAtomic(f: Path, dest: Path): Unit = {
-    val tmp = dest.getParent.resolve(
-      "." + dest.getFileName + ".tmp" + ProcessHandle.current().pid())
+    val tmp = stagingName(dest, "tmp")
     Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
   }
@@ -253,8 +261,7 @@ class CachedSparkRunner(
       val dest = to.resolve(e.getFileName.toString)
       if (!Files.exists(dest)) {
         if (Files.isDirectory(e)) {
-          val tmp = to.resolve(
-            "." + e.getFileName + ".tmp" + ProcessHandle.current().pid())
+          val tmp = stagingName(dest, "tmp")
           walkFiles(e).foreach { f =>
             val d = tmp.resolve(e.relativize(f))
             Files.createDirectories(d.getParent)

@@ -53,8 +53,16 @@ class LocalSparkRunner(
   val ValueCol = "value"
   private val RowIdx = ColumnOps.RowIdx
 
-  private val memo = scala.collection.mutable.HashMap.empty[String, MatResult]
-  private val lengthMemo = scala.collection.mutable.HashMap.empty[String, Long]
+  // future-based memo: the map entry is claimed BEFORE computing (so a
+  // concurrent materialize of the same op waits on the first attempt's
+  // future instead of recomputing), and computation happens OUTSIDE any
+  // map lock (computeIfAbsent would deadlock on the recursive dependency
+  // materializations). Failures are evicted — a retry recomputes, matching
+  // the old exception-propagating getOrElseUpdate semantics.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[MatResult]]
+  private val lengthMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
   // frames this runner persist()'d into the block cache — released by close()
   private val cachedFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -113,7 +121,17 @@ class LocalSparkRunner(
     case rz: ImageResizeOp => lengthOf(rz.image)
     case e: ImageEmbedOp => lengthOf(e.image)
     case a: AudioMetaOp => lengthOf(a.audio)
-    case _ => lengthMemo.getOrElseUpdate(op.uuid, toFrame(op).count())
+    case _ =>
+      // get-then-putIfAbsent (NOT computeIfAbsent: the count materializes
+      // dependencies, which may re-enter this memo on other keys); a racing
+      // duplicate count is benign — both arrive at the same value
+      val cached = lengthMemo.get(op.uuid)
+      if (cached != null) cached.longValue()
+      else {
+        val n = toFrame(op).count()
+        lengthMemo.putIfAbsent(op.uuid, n)
+        n
+      }
   }
 
   // ---------------- store layout ----------------
@@ -145,7 +163,10 @@ class LocalSparkRunner(
     case LoadLocalParquetDatasetOp(_, path) => Files.exists(Paths.get(path))
     case LoadLocalJsonlDatasetOp(_, path) => Files.exists(Paths.get(path))
     case LoadLocalCsvDatasetOp(_, path, _) => Files.exists(Paths.get(path))
-    case _ if memo.contains(op.uuid) => true
+    case _ if {
+      val f = memo.get(op.uuid)
+      f != null && f.isDone && !f.isCompletedExceptionally
+    } => true
     case _ if op.isEphemeral => op.children.forall(hasResult)
     case _ => isDone(op)
   }
@@ -193,7 +214,7 @@ class LocalSparkRunner(
         graph = Some(Graph.serialize(op))))
       Files.writeString(donePath(op), "")
       onResultPersisted(op)
-      memo.synchronized { memo.remove(op.uuid) } // injected result wins over any lazy plan
+      memo.remove(op.uuid) // injected result wins over any lazy plan
       true
     }
   }
@@ -281,8 +302,59 @@ class LocalSparkRunner(
 
   // ---------------- materialization core ----------------
 
-  def materialize(op: OpSpec): MatResult = memo.synchronized {
-    materializeAny(op)
+  /** Single memoization gate. Safe to call from MULTIPLE THREADS: ops are
+    * deduped on their uuid (a concurrent second caller blocks on the first
+    * attempt's future), computation runs outside any lock, and Spark itself
+    * schedules jobs from concurrent threads fine — so a multi-threaded
+    * driver (a server handling several users, or [[materializeAll]]) can
+    * overlap independent subgraphs on one cluster. */
+  def materialize(op: OpSpec): MatResult = {
+    val existing = memo.get(op.uuid)
+    if (existing != null) return awaitResult(existing)
+    val fresh = new java.util.concurrent.CompletableFuture[MatResult]()
+    val prior = memo.putIfAbsent(op.uuid, fresh)
+    if (prior != null) return awaitResult(prior)
+    try {
+      val r = materializeAny(op)
+      fresh.complete(r)
+      r
+    } catch {
+      case e: Throwable =>
+        fresh.completeExceptionally(e)
+        memo.remove(op.uuid, fresh) // failures are not cached; retry recomputes
+        throw e
+    }
+  }
+
+  private def awaitResult(
+      f: java.util.concurrent.CompletableFuture[MatResult]): MatResult =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+
+  /** Materialize INDEPENDENT ops concurrently on a bounded pool — overlaps
+    * the scheduling gaps of sequential op-at-a-time driving (the reference
+    * is strictly 1-thread op-at-a-time, `base_runner.py:159-258`; this is
+    * the beyond-reference throughput path for sibling subgraphs). Results
+    * are in input order; the first failure propagates after the pool
+    * drains. */
+  def materializeAll(ops: Seq[OpSpec], parallelism: Int = 4): Seq[MatResult] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    try {
+      val futs = ops.map(op => pool.submit(
+        new java.util.concurrent.Callable[MatResult] {
+          override def call(): MatResult = materialize(op)
+        }))
+      futs.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        })
+    } finally pool.shutdown()
   }
 
   private def materializeAny(op: OpSpec): MatResult = op match {
@@ -296,14 +368,14 @@ class LocalSparkRunner(
     * group's hash would double the store I/O for already content-addressed
     * data. Full status lifecycle (running → completed/failed) is kept so
     * CLI status/summary stay truthful. */
-  private def materializeGroup(g: GroupedOp): MatResult =
-    memo.getOrElseUpdate(g.uuid, {
+  private def materializeGroup(g: GroupedOp): MatResult = {
+      // memoization happens in materialize() — this body runs once per uuid
       val started = Instant.now.toString
       if (!isDone(g))
         writeStatus(OpStatus(g.uuid, OpState.Running,
           startedAt = Some(started), graph = Some(Graph.serialize(g))))
       try {
-        val results = g.ops.map(materializeAny)
+        val results = g.ops.map(materialize)
         if (!isDone(g)) {
           writeStatus(OpStatus(g.uuid, OpState.Completed,
             startedAt = Some(started),
@@ -324,9 +396,10 @@ class LocalSparkRunner(
             graph = Some(Graph.serialize(g))))
           throw e
       }
-    })
+    }
 
-  private def materialize0(op: OpSpec): MatResult = memo.getOrElseUpdate(op.uuid, {
+  private def materialize0(op: OpSpec): MatResult = {
+    // memoization happens in materialize() — this body runs once per uuid
     if (!op.isEphemeral && isDone(op)) readResult(op)
     else {
       if (op.isEphemeral) {
@@ -377,7 +450,7 @@ class LocalSparkRunner(
         }
       }
     }
-  })
+  }
 
   private def persist(op: OpSpec, result: MatResult): String = result match {
     case FrameResult(df) =>
