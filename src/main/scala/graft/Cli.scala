@@ -55,6 +55,7 @@ object Cli {
       filterCount: Option[Int] = None,
       shardCount: Int = 0,
       shardIdx: Int = 0,
+      parallel: Int = 1,
       json: Boolean = false,
       format: String = "code",
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]") {
@@ -73,7 +74,7 @@ object Cli {
       argv(i) match {
         case f @ ("--store" | "--cache" | "--graph" | "--filter-uuid" | "--filter-type" |
                   "--filter-param" | "--filter-code" | "--filter-state" | "--filter-count" |
-                  "--shard-count" | "--shard-idx" | "--format" | "--master" |
+                  "--shard-count" | "--shard-idx" | "--format" | "--master" | "--parallel" |
                   "--set-runner-type" | "--set-store-uri" | "--set-cache-path")
           if i + 1 >= argv.length => usage(s"$f requires a value")
         case "--store" => a = a.copy(storeFlag = Some(argv(i + 1))); i += 2
@@ -87,13 +88,14 @@ object Cli {
         case "--filter-param" => a = a.copy(filterParam = a.filterParam :+ argv(i + 1)); i += 2
         case "--filter-code" => a = a.copy(filterCode = a.filterCode :+ argv(i + 1)); i += 2
         case "--filter-state" => a = a.copy(filterState = a.filterState :+ argv(i + 1)); i += 2
-        case f @ ("--shard-count" | "--shard-idx" | "--filter-count") =>
+        case f @ ("--shard-count" | "--shard-idx" | "--filter-count" | "--parallel") =>
           val n = try argv(i + 1).toInt catch {
             case _: NumberFormatException => usage(s"$f requires an integer, got '${argv(i + 1)}'")
           }
           a = f match {
             case "--shard-count" => a.copy(shardCount = n)
             case "--shard-idx" => a.copy(shardIdx = n)
+            case "--parallel" => a.copy(parallel = n)
             case _ => a.copy(filterCount = Some(n))
           }
           i += 2
@@ -255,14 +257,16 @@ object Cli {
   }
 
   /** Materialize every selected op, skipping ones already done, with per-op
-    * error capture (reference `cli.py:584-605`). */
+    * error capture (reference `cli.py:584-605`). `--parallel N` drives
+    * INDEPENDENT selected ops on N threads through the runner's
+    * thread-safe memo — shared dependencies still compute exactly once. */
   private def cmdRun(a: Args): Unit = {
     if (a.graph.isEmpty) usage("run requires --graph")
     val (spark, owned) = sparkSession(a)
     val runner = makeRunner(spark, a)
     val ops = selectOps(a, runner)
-    var failed = 0
-    ops.foreach { op =>
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    def runOne(op: OpSpec): Unit = {
       if (runner.hasResult(op)) {
         println(s"${op.uuid}: already done, skipping")
       } else if (op.isEphemeral) {
@@ -279,14 +283,22 @@ object Cli {
           }
         } catch {
           case e: Exception =>
-            failed += 1
+            failed.incrementAndGet()
             println(s"${op.uuid}: FAILED ${e.getMessage}")
         }
       }
     }
+    if (a.parallel <= 1) ops.foreach(runOne)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(a.parallel)
+      try ops.map(op => pool.submit(new Runnable {
+        override def run(): Unit = runOne(op)
+      })).foreach(_.get())
+      finally pool.shutdown()
+    }
     runner.close()
     if (owned) spark.stop()
-    if (failed > 0) sys.exit(1)
+    if (failed.get() > 0) sys.exit(1)
   }
 
   private def cmdStatus(a: Args): Unit = {

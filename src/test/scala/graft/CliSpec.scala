@@ -59,6 +59,20 @@ class CliSpec extends SparkTestBase {
     assert(parsed("AssignRowIDOp").asInstanceOf[JObj]("completed") == JLong(1))
   }
 
+  test("run --parallel drives independent ops concurrently to completion") {
+    val store = newStoreDir()
+    val a = AssignRowIDOp(LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L))))
+    val b = AssignRowIDOp(LoadInlineJsonDatasetOp(Map("y" -> Seq(4L, 5L))))
+    val c = AssignRowIDOp(LoadInlineJsonDatasetOp(Map("z" -> Seq(6L))))
+    val g = writeGraph(store, a, b, c)
+    val out = withStdout(Cli.main(Array("run", "--store", store,
+      "--graph", g, "--parallel", "3")))
+    Seq(a, b, c).foreach { op =>
+      assert(out.contains(s"${op.uuid}: completed"), s"missing ${op.uuid} in:\n$out")
+      assert(new LocalSparkRunner(spark, store).isDone(op))
+    }
+  }
+
   test("status without --graph rehydrates ops from the store") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("y" -> Seq("a", "b")))
