@@ -772,6 +772,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "q_mm_phash" -> ((s, dir) => {
+      // PERCEPTUAL image near-dup: noise images (LCG pixels keyed by id)
+      // with exact copies planted at id+100000 for id<50 → real decode →
+      // dHash (9×8 bilinear luminance gradients) → hamming-banded pair
+      // search. Distinct noise images have ~iid gradient bits, so
+      // P(hamming ≤ 2) ≈ 2e3/2^64 per pair — the output is EXACTLY the 50
+      // planted pairs at hamming 0, which the oracle states from doc_id.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val imgs = Multimodal.synthNoiseImages(docs, "doc_id")
+      val planted = imgs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("img"))
+      val hashed = Multimodal.withImageDHash(
+        imgs.union(planted), "doc_id", "img")
+      Dedup.hammingNearDuplicatesBySketch(hashed, "dhash", "doc_id",
+          maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_mm_ann" -> ((s, dir) => {
       // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
       // quadrant-colored images, decode them and grid-sample a pixel
@@ -1318,6 +1337,11 @@ object SparkEntry {
         |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    "q_mm_phash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
 
     "q_mm_ann" ->
       """WITH e AS (

@@ -320,14 +320,26 @@ object Dedup {
     * candidate set).
     */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+                            maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    hammingNearDuplicatesBySketch(
+      df.select(col(idCol), simhash(col(textCol)).as("__sk64")),
+      "__sk64", idCol, maxHamming, maxBucket)
+
+  /** Near-duplicate pairs for ANY 64-bit sketch column under a hamming
+    * bound — the banding core of [[simhashNearDuplicates]], reusable for
+    * other hamming-space sketches (perceptual image hashes, audio
+    * fingerprints). Pigeonhole banding: `maxHamming+1` bands guarantee any
+    * pair within the bound collides in at least one band. */
+  def hammingNearDuplicatesBySketch(df: DataFrame, sketchCol: String,
+                                    idCol: String, maxHamming: Int,
+                                    maxBucket: Int = 10000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming $maxHamming out of range")
     val numBands = maxHamming + 1
     val base = 64 / numBands
     val extra = 64 % numBands // first `extra` bands get one extra bit
     val widths = Array.tabulate(numBands)(b => base + (if (b < extra) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val s = df.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val s = df.select(col(idCol).as("doc_id"), col(sketchCol).cast("long").as("sh"))
     val bandCols = (0 until numBands).map { b =>
       val start = starts(b)
       val width = widths(b)

@@ -166,6 +166,58 @@ object MediaCodecs {
     out
   }
 
+  /** Deterministic noise image: per-pixel colors from an LCG keyed by
+    * (seed, x, y) — the fixture for perceptual-hash tests, where solid
+    * fills would collide (a dHash of a constant raster is all zeros). */
+  def encodeNoiseImage(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var s = seed * 6364136223846793005L + (y.toLong * width + x) * 1442695040888963407L
+        s ^= (s >>> 33); s *= -7046029254386353131L; s ^= (s >>> 29)
+        img.setRGB(x, y, (s & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Difference-hash (dHash) perceptual fingerprint: decode → bilinear
+    * resample to a 9×8 luminance grid → 64 horizontal-gradient sign bits.
+    * Dimension-normalizing by construction (a resized copy keeps a nearly
+    * identical hash), content-sensitive through the REAL decode path. The
+    * standard cheap perceptual hash for image corpus dedup; pair it with
+    * [[graft.ext.Dedup.hammingNearDuplicatesBySketch]]. */
+  def dHash64(bytes: Array[Byte]): Long = {
+    val src = decodeImage(bytes)
+    val grid = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = grid.createGraphics()
+    g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+      RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, 9, 8, null)
+    g.dispose()
+    def lum(x: Int, y: Int): Int = {
+      val p = grid.getRGB(x, y)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(x + 1, y) > lum(x, y)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
   // ---------------- audio: RIFF/WAVE PCM ----------------
 
   /** Parsed WAV metadata plus PCM statistics computed over the samples. */

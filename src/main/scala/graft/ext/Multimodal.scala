@@ -183,6 +183,33 @@ object Multimodal {
     }
   }
 
+  /** Noise-image fixture for the perceptual-hash path: dims from the
+    * standard formulas, pixels from an LCG keyed by the id (solid fills
+    * would make every dHash zero). */
+  def synthNoiseImages(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("img", BinaryType, nullable = false)))
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, MediaCodecs.encodeNoiseImage(imgW(id), imgH(id), seed = id))
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Perceptual dHash column over a binary image column — feeds
+    * [[graft.ext.Dedup.hammingNearDuplicatesBySketch]] for image near-dup. */
+  def withImageDHash(df: DataFrame, idCol: String, binCol: String,
+                     batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    mapBatched(df, idCol, binCol, schema, batchSize)(
+      _.map(MediaCodecs.dHash64)) { case (id, h) => Row(id, h) }
+  }
+
   /** PERMISSIVE image decode — the 100 TB robustness mode: a corrupt
     * payload among billions must flag, not kill the job (Spark's
     * PERMISSIVE-vs-FAILFAST reader convention). Undecodable payloads emit

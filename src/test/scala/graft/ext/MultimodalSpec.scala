@@ -234,6 +234,55 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("dHash: identical payloads collide, distinct noise images are far apart") {
+    val a = MediaCodecs.encodeNoiseImage(64, 48, seed = 1L)
+    val b = MediaCodecs.encodeNoiseImage(64, 48, seed = 2L)
+    assert(MediaCodecs.dHash64(a) == MediaCodecs.dHash64(a.clone()))
+    val dist = java.lang.Long.bitCount(MediaCodecs.dHash64(a) ^ MediaCodecs.dHash64(b))
+    assert(dist > 10, s"distinct noise images at hamming $dist")
+  }
+
+  test("dHash is dimension-normalizing: a resized copy stays perceptually close") {
+    // dHash's resize robustness is a SMOOTH-content property (gradient
+    // signs of a 9×8 downsample): white noise is its worst case (near-tie
+    // gradients flip arbitrarily), natural/smooth images its home turf —
+    // so the fixture is a smooth sinusoid field, not noise
+    def smoothPng(w: Int, h: Int, phase: Double): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = 128 + (127 * math.sin(
+          2 * math.Pi * (x.toDouble / w + 0.5 * y.toDouble / h) + phase)).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    Seq(0.0, 1.3, 2.6).foreach { phase =>
+      val orig = smoothPng(96, 72, phase)
+      val resized = MediaCodecs.resizeFit(orig, 48) // genuine downscale
+      val d = java.lang.Long.bitCount(
+        MediaCodecs.dHash64(orig) ^ MediaCodecs.dHash64(resized))
+      assert(d <= 8, s"phase=$phase drifted to hamming $d")
+      // and the two smooth images at different phases are still FAR apart
+      val other = java.lang.Long.bitCount(
+        MediaCodecs.dHash64(orig) ^ MediaCodecs.dHash64(smoothPng(96, 72, phase + 2.0)))
+      assert(other > 8, s"phase separation collapsed to $other")
+    }
+  }
+
+  test("hamming-banded image near-dup finds exactly the planted copies") {
+    val imgs = Multimodal.synthNoiseImages(ids, "doc_id")
+    val planted = imgs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("img"))
+    val hashed = Multimodal.withImageDHash(imgs.union(planted), "doc_id", "img")
+    val pairs = Dedup.hammingNearDuplicatesBySketch(hashed, "dhash", "doc_id",
+        maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 1000L)).toSet)
+  }
+
   test("permissive decode flags corrupt payloads, decodes the rest") {
     val imgs = Multimodal.synthImages(ids, "doc_id")
       .withColumn("img", when(col("doc_id") === 7L,
