@@ -791,6 +791,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_mm_afp" -> ((s, dir) => {
+      // ACOUSTIC near-dup: energy-varying WAVs (LCG window amplitudes) with
+      // exact copies planted at id+100000 for id<50 → real PCM parse →
+      // 64-bit energy-contour fingerprint → hamming-banded pair search.
+      // Distinct streams have ~iid delta bits, so the output is EXACTLY
+      // the 50 planted pairs at hamming 0.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val wavs = Multimodal.synthPatternWavs(docs, "doc_id")
+      val planted = wavs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("audio"))
+      val hashed = Multimodal.withAudioFingerprint(
+        wavs.union(planted), "doc_id", "audio")
+      Dedup.hammingNearDuplicatesBySketch(hashed, "afp", "doc_id",
+          maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_mm_ann" -> ((s, dir) => {
       // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
       // quadrant-colored images, decode them and grid-sample a pixel
@@ -1339,6 +1357,11 @@ object SparkEntry {
         |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     "q_mm_phash" ->
+      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        |CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mm_afp" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
         |CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,

@@ -363,6 +363,56 @@ object MediaCodecs {
     out.result()
   }
 
+  /** PCM16 WAV whose successive windows carry the given amplitudes
+    * (square wave per window) — the energy-varying fixture for acoustic
+    * fingerprints (a constant-amplitude stream has zero energy deltas,
+    * hence a degenerate all-zero fingerprint). */
+  def encodeWavPattern(windowAmps: Seq[Short], samplesPerWindow: Int,
+                       sampleRate: Int): Array[Byte] = {
+    require(samplesPerWindow >= 1 && sampleRate > 0)
+    val n = windowAmps.length * samplesPerWindow
+    val listBody = "INFO".getBytes("US-ASCII")
+    val dataSize = n * 2
+    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    windowAmps.foreach { amp =>
+      var i = 0
+      while (i < samplesPerWindow) {
+        buf.putShort(if (i % 2 == 0) amp else (-amp).toShort)
+        i += 1
+      }
+    }
+    buf.array()
+  }
+
+  /** 64-bit acoustic fingerprint: per-window RMS energies over the REAL
+    * PCM parse ([[wavWindows]]), then the sign of successive energy deltas
+    * — the energy-contour shape of classic audio fingerprinting, scale-
+    * invariant in amplitude ordering. Window size is derived from the
+    * stream length so the fingerprint is duration-normalizing (a
+    * resampled copy with the same energy contour keeps its hash). */
+  def audioFingerprint64(bytes: Array[Byte]): Long = {
+    val meta = decodeWav(bytes)
+    if (meta.nSamples == 0) return 0L
+    val win = math.max(1L, meta.nSamples / 65L).toInt // 65 windows → 64 deltas
+    val energies = wavWindows(bytes, win).map(_._2)
+    var hash = 0L
+    var i = 0
+    while (i < 64 && i + 1 < energies.length) {
+      if (energies(i + 1) > energies(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
   // ---------------- video stand-in: concatenated PNG frames ----------------
 
   private val PngSig: Array[Byte] =

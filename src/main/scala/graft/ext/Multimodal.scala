@@ -210,6 +210,38 @@ object Multimodal {
       _.map(MediaCodecs.dHash64)) { case (id, h) => Row(id, h) }
   }
 
+  /** Energy-varying WAV fixture: 65 windows of LCG-keyed amplitudes per id
+    * (constant-amplitude streams would fingerprint as all-zeros). */
+  def synthPatternWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("audio", BinaryType, nullable = false)))
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val amps = (0 until 65).map { w =>
+          var s = id * 6364136223846793005L + w * 1442695040888963407L
+          s ^= (s >>> 33); s *= -7046029254386353131L; s ^= (s >>> 29)
+          (100 + (s & 0x7fffffffL) % 30000).toShort
+        }
+        Row(id, MediaCodecs.encodeWavPattern(amps, samplesPerWindow = 64,
+          sampleRate = 8000))
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Acoustic fingerprint column over a binary WAV column — feeds
+    * [[graft.ext.Dedup.hammingNearDuplicatesBySketch]] for audio near-dup. */
+  def withAudioFingerprint(df: DataFrame, idCol: String, binCol: String,
+                           batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("afp", LongType, nullable = false)))
+    mapBatched(df, idCol, binCol, schema, batchSize)(
+      _.map(MediaCodecs.audioFingerprint64)) { case (id, h) => Row(id, h) }
+  }
+
   /** PERMISSIVE image decode — the 100 TB robustness mode: a corrupt
     * payload among billions must flag, not kill the job (Spark's
     * PERMISSIVE-vs-FAILFAST reader convention). Undecodable payloads emit

@@ -283,6 +283,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs == (0L until 5L).map(i => (i, i + 1000L)).toSet)
   }
 
+  test("acoustic fingerprint: copies collide, distinct patterns separate, contour is what matters") {
+    val ampsA = (0 until 65).map(w => (200 + 37 * w % 900).toShort)
+    val ampsB = ampsA.reverse
+    val a = MediaCodecs.encodeWavPattern(ampsA, 64, 8000)
+    val b = MediaCodecs.encodeWavPattern(ampsB, 64, 8000)
+    assert(MediaCodecs.audioFingerprint64(a) == MediaCodecs.audioFingerprint64(a.clone()))
+    assert(MediaCodecs.audioFingerprint64(a) != MediaCodecs.audioFingerprint64(b))
+    // scaling every amplitude by 2 preserves the energy CONTOUR → same hash
+    val scaled = MediaCodecs.encodeWavPattern(ampsA.map(v => (v * 2).toShort), 64, 8000)
+    assert(MediaCodecs.audioFingerprint64(scaled) == MediaCodecs.audioFingerprint64(a))
+  }
+
+  test("hamming-banded audio near-dup finds exactly the planted copies") {
+    val wavs = Multimodal.synthPatternWavs(ids, "doc_id")
+    val planted = wavs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("audio"))
+    val hashed = Multimodal.withAudioFingerprint(wavs.union(planted), "doc_id", "audio")
+    val pairs = Dedup.hammingNearDuplicatesBySketch(hashed, "afp", "doc_id",
+        maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 1000L)).toSet)
+  }
+
   test("permissive decode flags corrupt payloads, decodes the rest") {
     val imgs = Multimodal.synthImages(ids, "doc_id")
       .withColumn("img", when(col("doc_id") === 7L,
