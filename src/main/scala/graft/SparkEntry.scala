@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Corpus, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -772,6 +772,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "q_bpe_pairs" -> ((s, dir) => {
+      // tokenizer induction, round 0: corpus → unique-word frequencies
+      // (ONE shuffle) → adjacent char-pair statistics — the argmax of this
+      // table is BPE's first merge. Top-20 with a total ordering so the
+      // oracle replays it exactly; the full multi-round merge loop is
+      // hand-fixture-verified in BpeSpec (SQL can't express the iteration).
+      Bpe.initialPairCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
+        .limit(20)
+        .select(col("sym_a"), col("sym_b"), col("cnt"))
+    }),
+
     "q_mm_phash" -> ((s, dir) => {
       // PERCEPTUAL image near-dup: noise images (LCG pixels keyed by id)
       // with exact copies planted at id+100000 for id<50 → real decode →
@@ -1355,6 +1367,21 @@ object SparkEntry {
         |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |    x -> length(x) > 0)) AS word
+        |  FROM documents),
+        |wc AS (SELECT word, COUNT(*) AS wcnt FROM w GROUP BY word),
+        |p AS (SELECT word, wcnt, unnest(range(length(word) - 1)) AS i
+        |      FROM wc WHERE length(word) >= 2),
+        |pc AS (SELECT substr(word, CAST(i + 1 AS INT), 1) AS sym_a,
+        |              substr(word, CAST(i + 2 AS INT), 1) AS sym_b,
+        |              SUM(wcnt) AS cnt
+        |       FROM p GROUP BY 1, 2)
+        |SELECT sym_a, sym_b, CAST(cnt AS BIGINT) AS cnt
+        |FROM pc ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
 
     "q_mm_phash" ->
       """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,

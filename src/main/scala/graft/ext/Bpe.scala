@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary induction over a text corpus — the
+  * tokenizer-training step of a pretraining pipeline (Sennrich et al. 2016).
+  *
+  * The 100 TB shape is the standard one: the corpus collapses to a UNIQUE
+  * WORD table with frequencies in ONE shuffle (`wordCounts`), and every
+  * merge iteration then runs over that table only — its size is the
+  * vocabulary of the corpus (~10⁸ rows at web scale, trivially
+  * distributed), never the corpus itself. Each round is one map-side-
+  * combined pair-count aggregation plus a 1-row argmax collect; lineage is
+  * truncated periodically like the connected-components loop.
+  *
+  * Determinism: the argmax tie-break is total (count desc, then symbol
+  * pair ascending), so the learned merge list is a pure function of the
+  * corpus — content-addressable like everything else.
+  */
+object Bpe {
+
+  /** Whitespace word frequencies — the one corpus-wide shuffle. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(split(trim(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-symbol pair frequencies over a (symbols: array<string>, cnt)
+    * table, weighted by word frequency; overlapping occurrences count per
+    * adjacent index (the standard BPE statistic). */
+  def pairCounts(words: DataFrame, symbolsCol: String = "symbols",
+                 cntCol: String = "cnt"): DataFrame = {
+    val n = size(col(symbolsCol))
+    words.filter(n >= 2)
+      .select(col(cntCol),
+        explode(arrays_zip(
+          slice(col(symbolsCol), lit(1), n - 1).as("a"),
+          slice(col(symbolsCol), lit(2), n - 1).as("b"))).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col(cntCol)).as("cnt"))
+  }
+
+  /** Character-pair frequencies of the raw corpus (merge round 0) — the
+    * SQL-oracle-friendly entry point. */
+  def initialPairCounts(df: DataFrame, textCol: String): DataFrame =
+    pairCounts(wordCounts(df, textCol)
+      .select(split(col("word"), "").as("symbols"), col("cnt")))
+
+  /** One greedy left-to-right merge pass of (a, b) → a+b over a symbol
+    * sequence — the exact merge the reference BPE uses. */
+  def mergeOnce(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Learn `numMerges` merges. Returns (merges in order, final symbol
+    * table). Each round: distributed pair count → deterministic 1-row
+    * argmax → merge applied to the unique-word table. */
+  def train(df: DataFrame, textCol: String, numMerges: Int):
+      (Seq[(String, String)], DataFrame) = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val spark = df.sparkSession
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) =>
+      mergeOnce(syms, a, b))
+    var words = wordCounts(df, textCol)
+      .select(split(col("word"), "").as("symbols"), col("cnt"))
+      .persist()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = words
+        words = words.select(
+          mergeUdf(col("symbols"), lit(a), lit(b)).as("symbols"), col("cnt"))
+        // truncate lineage before it compounds across rounds (CC pattern);
+        // localCheckpoint is lazy — materialized by the next round's argmax
+        words = (if ((round + 1) % 4 == 0) words.localCheckpoint(false)
+                 else words).persist()
+        prev.unpersist(false)
+      }
+      round += 1
+    }
+    (merges.toSeq, words)
+  }
+
+  /** Tokenize a text column with a LEARNED merge list: per word, replay the
+    * merges in order (a codegen'd expression chain would beat this UDF for
+    * very long merge lists; at typical list lengths the per-row cost is the
+    * string scan itself). */
+  def tokenizeColumn(text: Column, merges: Seq[(String, String)]): Column = {
+    val tok = udf((t: String) => {
+      val words = t.trim.split("\\s+").filter(_.nonEmpty)
+      words.flatMap { w =>
+        var syms: Seq[String] = w.split("").toSeq
+        merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+        syms
+      }.toSeq
+    })
+    tok(text)
+  }
+}
