@@ -44,17 +44,23 @@ object Bench {
     SparkEntry.resetRunner(spark)
     val steady = runPass()
 
-    // 10ms per-query precision: the driver keeps only a 2000-char tail of
-    // this process' output, and at 78 queries even ms-precision pushed the
-    // one-line JSON against that limit (head-truncated JSON → parsed:null)
-    def r2(v: Double): Double = math.rint(v * 100) / 100
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + r2(v) }
+    // 10ms per-query precision, trailing zeros stripped: the driver keeps
+    // only a 2000-char tail of this process' output, and at 82 queries the
+    // one-line JSON presses against that limit (head-truncated JSON →
+    // parsed:null in early rounds)
+    def fmt(v: Double, dp: Int): String = {
+      val r = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_EVEN)
+      r.bigDecimal.stripTrailingZeros.toPlainString
+    }
+    // 0.1s per query: 82 quoted names already dominate the line; finer
+    // precision is what Profile is for
+    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     // exclude failure sentinels from the headline total (a broken query
     // must not SUBTRACT from it either)
-    def total(m: Map[String, Double]): Double = r3(m.values.filter(_ >= 0).sum)
-    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold_total":${total(cold)},"sf":"$sfDir"}""")
+    def total(m: Map[String, Double]): String =
+      fmt(m.values.filter(_ >= 0).sum, 3)
+    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold":${total(cold)},"sf":"$sfDir"}""")
     SparkEntry.closeRunner(spark)
     spark.stop()
   }
