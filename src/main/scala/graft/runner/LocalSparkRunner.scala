@@ -117,6 +117,7 @@ class LocalSparkRunner(
     case g: GopherKeepOp => lengthOf(g.text)
     case c: ContaminationFlagOp => lengthOf(c.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
+    case b: BpeTokenizeOp => lengthOf(b.text)
     case m: ImageMetaOp => lengthOf(m.image)
     case rz: ImageResizeOp => lengthOf(rz.image)
     case e: ImageEmbedOp => lengthOf(e.image)
@@ -778,6 +779,28 @@ class LocalSparkRunner(
 
     case AudioMetaOp(audio) =>
       FrameResult(graft.ext.Multimodal.withAudioMeta(frame(audio), RowIdx, ValueCol))
+
+    case TrainBpeTokenizerOp(text, numMerges) =>
+      // the tokenizer ARTIFACT is the result: a content-addressed merge
+      // list, trained once per (corpus hash, numMerges) and shared like
+      // any other store entry
+      val (merges, _) = graft.ext.Bpe.train(frame(text), ValueCol, numMerges.toInt)
+      JsonResult(JObj(scala.collection.immutable.ListMap(
+        "merges" -> JArr(merges.map { case (a, b) =>
+          JArr(Vector(JString(a), JString(b)))
+        }.toVector))))
+
+    case BpeTokenizeOp(tokenizer, text) =>
+      val merges = (materialize(tokenizer) match {
+        case JsonResult(j) => j
+        case other => throw new IllegalStateException(
+          s"tokenizer result is not json: $other")
+      }).asInstanceOf[JObj]("merges").asInstanceOf[JArr].items.map {
+        case JArr(Vector(JString(a), JString(b))) => (a, b)
+        case v => throw new IllegalStateException(s"bad merge entry $v")
+      }
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.Bpe.tokenizeColumn(col(ValueCol), merges.toSeq).as(ValueCol)))
 
     case ExplodeFramesOp(video) =>
       // row-multiplying: fresh positional identity in (parent, frame)

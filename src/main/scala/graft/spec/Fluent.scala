@@ -82,6 +82,15 @@ object Fluent {
     def /(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("/", s, other)
   }
 
+  implicit class TokenizerBuilders(private val t: TextColumnType) extends AnyVal {
+    /** train a content-addressed BPE tokenizer on this column's corpus */
+    def trainBpeTokenizer(numMerges: Long = 64L): TrainBpeTokenizerOp =
+      TrainBpeTokenizerOp(t, numMerges)
+    /** tokenize with a learned tokenizer artifact */
+    def bpeTokenize(tokenizer: TokenizerType): BpeTokenizeOp =
+      BpeTokenizeOp(tokenizer, t)
+  }
+
   implicit class BinaryBuilders(private val b: BinaryColumnType) extends AnyVal {
     /** real `javax.imageio` decode → (row_idx, width, height, format) */
     def imageMeta: ImageMetaOp = ImageMetaOp(b)

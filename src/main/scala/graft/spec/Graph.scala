@@ -455,6 +455,12 @@ object OpRegistry {
     "AudioMetaOp" -> ((o, r) =>
       AudioMetaOp(op[BinaryColumnType](o, "audio", r))),
     "ExplodeFramesOp" -> ((o, r) =>
-      ExplodeFramesOp(op[BinaryColumnType](o, "video", r)))
+      ExplodeFramesOp(op[BinaryColumnType](o, "video", r))),
+    "TrainBpeTokenizerOp" -> ((o, r) =>
+      TrainBpeTokenizerOp(op[TextColumnType](o, "text", r),
+        lng(o, "num_merges"))),
+    "BpeTokenizeOp" -> ((o, r) =>
+      BpeTokenizeOp(op[TokenizerType](o, "tokenizer", r),
+        op[TextColumnType](o, "text", r)))
   )
 }

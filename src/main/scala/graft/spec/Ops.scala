@@ -555,3 +555,20 @@ final case class AudioMetaOp(audio: BinaryColumnType) extends DatasetType
   * standalone payload, so `SelectBinaryColumnOp(…, "frame")` feeds every
   * image op: per-frame decode/resize/embed compose through the graph. */
 final case class ExplodeFramesOp(video: BinaryColumnType) extends DatasetType
+
+/** A trained tokenizer artifact (merge list), content-addressed by the
+  * corpus text column + hyperparameters — train once per corpus hash,
+  * reuse from the store everywhere ([[graft.ext.Bpe.train]]). */
+trait TokenizerType extends OpSpec
+
+final case class TrainBpeTokenizerOp(
+    text: TextColumnType,
+    numMerges: Long = 64L) extends TokenizerType {
+  require(numMerges >= 0L, s"numMerges must be >= 0, got $numMerges")
+}
+
+/** Tokenize a text column with a LEARNED tokenizer: value = array<string>
+  * of subword tokens ([[graft.ext.Bpe.tokenizeColumn]]). */
+final case class BpeTokenizeOp(
+    tokenizer: TokenizerType,
+    text: TextColumnType) extends ColumnType

@@ -69,4 +69,28 @@ class BpeSpec extends SparkTestBase {
     assert(m3 == Seq(("a", "b")))
     assert(words.select(size(col("symbols"))).head().getInt(0) == 1)
   }
+
+  test("spec-layer BPE: tokenizer artifact content-addressed, tokenize through the store") {
+    import graft.spec._
+    import graft.runner.LocalSparkRunner
+    val store = java.nio.file.Files.createTempDirectory("graft-bpe-store-").toString
+    val r = new LocalSparkRunner(spark, store)
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "text" -> Seq("low low low low low lower lower",
+        "newest newest newest newest newest newest widest widest widest")))
+    val text = SelectTextColumnOp(ds, "text")
+    val trained = TrainBpeTokenizerOp(text, numMerges = 2L)
+    val toks = BpeTokenizeOp(trained, text)
+    val got = r.toValues(toks)
+      .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
+    assert(got.head.take(3) == Seq("l", "o", "w")) // "low" untouched after es/est
+    assert(got(1).contains("est")) // newest -> n e w est
+    // the artifact persisted as json under its own uuid and rehydrates
+    assert(r.isDone(trained))
+    val j = r.toJson(trained).asInstanceOf[JObj]("merges").asInstanceOf[JArr]
+    assert(j.items.length == 2)
+    // graph round trip preserves uuids
+    assert(Graph.deserialize(Graph.serialize(toks)).exists(_.uuid == toks.uuid))
+    r.close()
+  }
 }
