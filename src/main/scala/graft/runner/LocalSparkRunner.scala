@@ -784,7 +784,8 @@ class LocalSparkRunner(
       // the tokenizer ARTIFACT is the result: a content-addressed merge
       // list, trained once per (corpus hash, numMerges) and shared like
       // any other store entry
-      val (merges, _) = graft.ext.Bpe.train(frame(text), ValueCol, numMerges.toInt)
+      val (merges, trainedWords) = graft.ext.Bpe.train(frame(text), ValueCol, numMerges.toInt)
+      trainedWords.unpersist(false) // train() hands back its persisted table; only the merges matter here
       JsonResult(JObj(scala.collection.immutable.ListMap(
         "merges" -> JArr(merges.map { case (a, b) =>
           JArr(Vector(JString(a), JString(b)))
