@@ -68,6 +68,18 @@ class GoldenGraphSpec extends AnyFunSuite {
     assert(rt.map(_.uuid) == outputs.map(_.uuid))
   }
 
+  test("BPE tokenizer graph hash-matches the external authoring") {
+    val in = getClass.getResourceAsStream("/golden_bpe.json")
+    val fixture = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val Seq(tok: BpeTokenizeOp) = Graph.deserializeString(fixture): @unchecked
+    assert(tok.uuid ==
+      "BpeTokenizeOp_fd504cdf2188487f7de1091862f3ab67cc4b24af91cbeb694ef4817a51084752")
+    val trained = tok.tokenizer.asInstanceOf[TrainBpeTokenizerOp]
+    assert(trained.numMerges == 8L)
+    assert(trained.text eq tok.text) // shared select instance
+    assert(Graph.deserialize(Graph.serialize(tok)).head.uuid == tok.uuid)
+  }
+
   test("fully-parameterized UMAP viz graph hash-matches the external authoring") {
     // fixture from tools/make_golden_umap.py: every reference hyperparameter
     // (viz_ops.py:10-52) set to a non-default value — a missing, renamed, or
