@@ -92,5 +92,14 @@ class BpeSpec extends SparkTestBase {
     // graph round trip preserves uuids
     assert(Graph.deserialize(Graph.serialize(toks)).exists(_.uuid == toks.uuid))
     r.close()
+    // COLD-STORE path: a fresh runner (empty memo) rehydrates the artifact
+    // json from disk and tokenizes NEW text with it — the parse-side shape
+    // of the merge list must match what the trainer wrote
+    val r2 = new LocalSparkRunner(spark, store)
+    val ds2 = LoadInlineJsonDatasetOp(Map("text" -> Seq("lowest newest")))
+    val cold = r2.toValues(BpeTokenizeOp(trained, SelectTextColumnOp(ds2, "text")))
+      .map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
+    assert(cold.head.contains("est")) // learned merge applied from the store
+    r2.close()
   }
 }
