@@ -127,6 +127,27 @@ object SparkEntry {
       path
     })
 
+  /** Disjoint-vocabulary dedup fixture parquet (the q_dedup_minhash_planted
+    * trick, persisted): 100 originals (doc_id 0..99) + exact copies at
+    * +1000, written in doc_id order — the binary contract the spec-layer
+    * dedup query's constant oracle relies on. */
+  private val dedupFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dedupFixtureFor(s: SparkSession): String =
+    dedupFixtureCache.computeIfAbsent("fixture", { _ =>
+      import s.implicits._
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-dedup-fixture-").toString + "/docs"
+      val base = (0 until 100).map { i =>
+        (i.toLong, (0 until 30).map(j => s"tok${i}x$j").mkString(" "))
+      }
+      val copies = base.map { case (id, text) => (id + 1000L, text) }
+      (base ++ copies).toDF("doc_id", "text")
+        .orderBy("doc_id").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -772,6 +793,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "q_dedup_graph" -> ((s, dir) => {
+      // NEAR-DUP DEDUP THROUGH THE SPEC LAYER: content-addressed load →
+      // MinHashNearDupPairsOp (banded LSH over row indices) →
+      // DropNearDuplicatesOp (connected components, min-index survivor,
+      // contiguous re-index) — every stage persisted under its uuid. The
+      // disjoint-vocabulary fixture makes the pair set provably EXACTLY the
+      // planted copies, so the survivor set (the 100 originals, re-indexed
+      // in file order) is a constant the oracle can state.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(dedupFixtureFor(s))
+      val pairs = MinHashNearDupPairsOp(SelectTextColumnOp(ds, "text"),
+        shingleN = 3L, threshold = 0.5)
+      val kept = DropNearDuplicatesOp(ds, pairs)
+      r.toFrame(kept)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("doc_id"))
+        .orderBy(col("row_idx"))
+    }),
+
     "q_bpe_pairs" -> ((s, dir) => {
       // tokenizer induction, round 0: corpus → unique-word frequencies
       // (ONE shuffle) → adjacent char-pair statistics — the argmax of this
@@ -1367,6 +1406,14 @@ object SparkEntry {
         |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    // constant-output oracle (q_lsh_skew_report precedent): the fixture is
+    // engine-synthesized, so the expected survivors are stated directly —
+    // the 100 originals, re-indexed contiguously in file order
+    "q_dedup_graph" ->
+      """WITH s AS (SELECT unnest(range(100)) AS i)
+        |SELECT CAST(i AS BIGINT) AS row_idx, CAST(i AS BIGINT) AS doc_id
+        |FROM s ORDER BY row_idx""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (
