@@ -811,6 +811,22 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_ann_graph" -> ((s, dir) => {
+      // ANN THROUGH THE SPEC LAYER: vector column + positional TakeRows
+      // query slice → AnnBruteTopKOp, ids = row indices; DuckDB replays
+      // the whole ranking over file-order row numbers (q_runner_slice
+      // precedent for positional identity).
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val corpus = SelectVectorColumnOp(ds, "embedding")
+      val queries = SelectVectorColumnOp(
+        TakeRowsOp(ds, numRows = Some(3L)), "embedding")
+      r.toFrame(AnnBruteTopKOp(corpus, queries, k = 5L))
+        .select(col("query_id"), col("corpus_id"), col("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_bpe_pairs" -> ((s, dir) => {
       // tokenizer induction, round 0: corpus → unique-word frequencies
       // (ONE shuffle) → adjacent char-pair statistics — the argmax of this
@@ -1406,6 +1422,20 @@ object SparkEntry {
         |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    "q_ann_graph" ->
+      """WITH base AS (
+        |  SELECT row_number() OVER () - 1 AS rid,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT rid AS qid, v AS qv FROM base WHERE rid < 3),
+        |s AS (SELECT qid AS query_id, b.rid AS corpus_id,
+        |  list_cosine_similarity(qv, v) AS cosf FROM q, base b),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // constant-output oracle (q_lsh_skew_report precedent): the fixture is
     // engine-synthesized, so the expected survivors are stated directly —
