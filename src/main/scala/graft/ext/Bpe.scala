@@ -103,12 +103,18 @@ object Bpe {
     * string scan itself). */
   def tokenizeColumn(text: Column, merges: Seq[(String, String)]): Column = {
     val tok = udf((t: String) => {
-      val words = t.trim.split("\\s+").filter(_.nonEmpty)
-      words.flatMap { w =>
-        var syms: Seq[String] = w.split("").toSeq
-        merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-        syms
-      }.toSeq
+      // null-tolerant like the train path (split(trim(null)) propagates
+      // null and explode drops it): a null text tokenizes to no tokens
+      // rather than NPE-ing the task
+      if (t == null) Seq.empty[String]
+      else {
+        val words = t.trim.split("\\s+").filter(_.nonEmpty)
+        words.flatMap { w =>
+          var syms: Seq[String] = w.split("").toSeq
+          merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+          syms
+        }.toSeq
+      }
     })
     tok(text)
   }

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 /** Co-located joins via storage bucketing — the shuffle-elimination lever
@@ -36,9 +36,12 @@ object Bucketing {
       .saveAsTable(table)
   }
 
-  /** Number of shuffle exchanges in the EXECUTED physical plan (descends
-    * into the adaptive plan if AQE wrapped it). The bucketed-join contract
-    * is `shuffleExchangeCount == 0`. */
+  /** Number of shuffle exchanges in the EXECUTED physical plan. Descends
+    * into every adaptive wrapper: `AdaptiveSparkPlanExec.executedPlan`, and
+    * — crucially — `QueryStageExec.plan`, because after AQE replanning an
+    * exchange becomes a ShuffleQueryStageExec LEAF whose `children` is Nil
+    * (a naive child walk returns a false 0 for any post-execution plan).
+    * The bucketed-join contract is `shuffleExchangeCount == 0`. */
   def shuffleExchangeCount(df: DataFrame): Int = {
     def count(p: SparkPlan): Int = {
       val self = p match {
@@ -47,6 +50,7 @@ object Bucketing {
       }
       val inner = p match {
         case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: QueryStageExec => count(q.plan)
         case _ => 0
       }
       self + inner + p.children.map(count).sum

@@ -108,8 +108,12 @@ object MediaCodecs {
 
   /** REAL resize: decode, bilinear-resample onto the fit-within raster,
     * re-encode as PNG. Returns the resized payload. */
-  def resizeFit(bytes: Array[Byte], maxSide: Int): Array[Byte] = {
-    val src = decodeImage(bytes)
+  def resizeFit(bytes: Array[Byte], maxSide: Int): Array[Byte] =
+    resizeFitRaster(decodeImage(bytes), maxSide)
+
+  /** Raster-input form of [[resizeFit]] — callers that already decoded the
+    * source (for its dims, say) must not pay a second container decode. */
+  def resizeFitRaster(src: BufferedImage, maxSide: Int): Array[Byte] = {
     val (tw, th) = fitWithin(src.getWidth, src.getHeight, maxSide)
     val dst = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
     val g = dst.createGraphics()
@@ -166,7 +170,16 @@ object MediaCodecs {
     out
   }
 
-  /** Deterministic noise image: per-pixel colors from an LCG keyed by
+  /** Deterministic 64-bit mix (LCG step + murmur-style finalizer) shared by
+    * every noise/pattern fixture generator — one hashing scheme to fix if a
+    * statistical artifact ever shows. */
+  def mix64(seed: Long, idx: Long): Long = {
+    var s = seed * 6364136223846793005L + idx * 1442695040888963407L
+    s ^= (s >>> 33); s *= -7046029254386353131L; s ^= (s >>> 29)
+    s
+  }
+
+  /** Deterministic noise image: per-pixel colors from [[mix64]] keyed by
     * (seed, x, y) — the fixture for perceptual-hash tests, where solid
     * fills would collide (a dHash of a constant raster is all zeros). */
   def encodeNoiseImage(width: Int, height: Int, seed: Long): Array[Byte] = {
@@ -175,9 +188,7 @@ object MediaCodecs {
     while (y < height) {
       var x = 0
       while (x < width) {
-        var s = seed * 6364136223846793005L + (y.toLong * width + x) * 1442695040888963407L
-        s ^= (s >>> 33); s *= -7046029254386353131L; s ^= (s >>> 29)
-        img.setRGB(x, y, (s & 0xffffff).toInt)
+        img.setRGB(x, y, (mix64(seed, y.toLong * width + x) & 0xffffff).toInt)
         x += 1
       }
       y += 1
@@ -256,12 +267,15 @@ object MediaCodecs {
     buf.array()
   }
 
-  /** REAL WAV parse: validates the RIFF/WAVE envelope, walks the chunk list
-    * (skipping unknown chunks and their odd-length pad bytes) to find
-    * `fmt ` and `data`, then reads every PCM16 sample for RMS and peak.
-    * RMS over an exact ±a square wave is exactly `a` (IEEE sqrt of a
-    * perfect square), which is what lets the SQL oracle predict it. */
-  def decodeWav(bytes: Array[Byte]): WavMeta = {
+  /** Parsed fmt header plus the (single) data chunk's location — the ONE
+    * RIFF chunk walker behind every WAV reader here, so container fixes
+    * land once. The walk is O(#chunks) with no sample scan, cheap enough
+    * to run separately from the scan passes. */
+  private final case class WavHeader(sampleRate: Int, channels: Int,
+                                     bits: Int, blockAlign: Int,
+                                     dataPos: Int, dataSize: Int)
+
+  private def parseWavHeader(bytes: Array[Byte]): WavHeader = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     def fourcc(): String = {
       val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
@@ -270,8 +284,8 @@ object MediaCodecs {
     buf.getInt // riff size (trust the chunk walk, not this)
     require(fourcc() == "WAVE", "not a WAVE stream")
     var sampleRate = 0; var channels = 0; var bits = 0; var blockAlign = 0
-    var nSamples = 0L; var sumSq = 0.0; var peak = 0
-    var sawFmt = false; var sawData = false
+    var dataPos = -1; var dataSize = 0
+    var sawFmt = false
     while (buf.remaining() >= 8) {
       val id = fourcc(); val size = buf.getInt
       require(size >= 0 && size <= buf.remaining(), s"corrupt chunk $id size=$size")
@@ -290,26 +304,41 @@ object MediaCodecs {
           sawFmt = true
         case "data" =>
           require(sawFmt, "data chunk before fmt chunk")
-          nSamples = size.toLong / blockAlign
-          var i = 0L
-          val frames = nSamples * channels
-          while (i < frames) {
-            val s = buf.getShort.toInt
-            sumSq += s.toDouble * s
-            if (math.abs(s) > peak) peak = math.abs(s)
-            i += 1
-          }
-          buf.position(buf.position() + (size - frames * 2).toInt)
-          sawData = true
+          // a second data chunk is rejected, not silently merged: mixed
+          // overwrite/accumulate semantics would report wrong statistics
+          require(dataPos < 0, "multiple data chunks")
+          dataPos = buf.position(); dataSize = size
+          buf.position(buf.position() + size)
         case _ =>
           buf.position(buf.position() + size) // skip unknown chunk
       }
       if (size % 2 == 1 && buf.remaining() > 0) buf.get // RIFF pad byte
     }
-    require(sawData, "no data chunk")
+    require(dataPos >= 0, "no data chunk")
+    WavHeader(sampleRate, channels, bits, blockAlign, dataPos, dataSize)
+  }
+
+  /** REAL WAV parse: header via the shared chunk walker, then every PCM16
+    * sample scanned for RMS and peak. RMS over an exact ±a square wave is
+    * exactly `a` (IEEE sqrt of a perfect square), which is what lets the
+    * SQL oracle predict it. */
+  def decodeWav(bytes: Array[Byte]): WavMeta = {
+    val h = parseWavHeader(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(h.dataPos)
+    val nSamples = h.dataSize.toLong / h.blockAlign
+    var sumSq = 0.0; var peak = 0
+    var i = 0L
+    val frames = nSamples * h.channels
+    while (i < frames) {
+      val s = buf.getShort.toInt
+      sumSq += s.toDouble * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      i += 1
+    }
     val rms = if (nSamples == 0) 0.0
-      else math.sqrt(sumSq / (nSamples * channels))
-    WavMeta(sampleRate, channels, bits, nSamples, rms, peak)
+      else math.sqrt(sumSq / (nSamples * h.channels))
+    WavMeta(h.sampleRate, h.channels, h.bits, nSamples, rms, peak)
   }
 
   /** Fixed-size PCM windowing over a parsed WAV: per-window sample count,
@@ -317,49 +346,25 @@ object MediaCodecs {
     * Returns one entry per window in stream order. */
   def wavWindows(bytes: Array[Byte], windowSamples: Int): Seq[(Int, Double, Int)] = {
     require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val h = parseWavHeader(bytes)
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    def fourcc(): String = {
-      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
-    }
-    require(fourcc() == "RIFF", "not a RIFF stream"); buf.getInt
-    require(fourcc() == "WAVE", "not a WAVE stream")
-    var channels = 0; var blockAlign = 0; var sawFmt = false
+    buf.position(h.dataPos)
+    val nSamples = h.dataSize / h.blockAlign
     val out = Seq.newBuilder[(Int, Double, Int)]
-    var done = false
-    while (!done && buf.remaining() >= 8) {
-      val id = fourcc(); val size = buf.getInt
-      require(size >= 0 && size <= buf.remaining(), s"corrupt chunk $id size=$size")
-      id match {
-        case "fmt " =>
-          val fmtEnd = buf.position() + size
-          require(buf.getShort == 1, "only PCM supported")
-          channels = buf.getShort; buf.getInt; buf.getInt
-          blockAlign = buf.getShort
-          require(buf.getShort == 16, "only PCM16 supported")
-          buf.position(fmtEnd); sawFmt = true
-        case "data" =>
-          require(sawFmt, "data chunk before fmt chunk")
-          val nSamples = size / blockAlign
-          var i = 0
-          while (i < nSamples) {
-            val n = math.min(windowSamples, nSamples - i)
-            var sumSq = 0.0; var peak = 0
-            var j = 0
-            while (j < n * channels) {
-              val s = buf.getShort.toInt
-              sumSq += s.toDouble * s
-              if (math.abs(s) > peak) peak = math.abs(s)
-              j += 1
-            }
-            out += ((n, math.sqrt(sumSq / (n.toLong * channels)), peak))
-            i += n
-          }
-          done = true
-        case _ => buf.position(buf.position() + size)
+    var i = 0
+    while (i < nSamples) {
+      val n = math.min(windowSamples, nSamples - i)
+      var sumSq = 0.0; var peak = 0
+      var j = 0
+      while (j < n * h.channels) {
+        val s = buf.getShort.toInt
+        sumSq += s.toDouble * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        j += 1
       }
-      if (size % 2 == 1 && buf.remaining() > 0 && !done) buf.get
+      out += ((n, math.sqrt(sumSq / (n.toLong * h.channels)), peak))
+      i += n
     }
-    require(done, "no data chunk")
     out.result()
   }
 
@@ -400,9 +405,12 @@ object MediaCodecs {
     * stream length so the fingerprint is duration-normalizing (a
     * resampled copy with the same energy contour keeps its hash). */
   def audioFingerprint64(bytes: Array[Byte]): Long = {
-    val meta = decodeWav(bytes)
-    if (meta.nSamples == 0) return 0L
-    val win = math.max(1L, meta.nSamples / 65L).toInt // 65 windows → 64 deltas
+    // header-only walk sizes the window; the samples are scanned ONCE (the
+    // full decodeWav here would scan them a second time for discarded stats)
+    val h = parseWavHeader(bytes)
+    val nSamples = h.dataSize.toLong / h.blockAlign
+    if (nSamples == 0) return 0L
+    val win = math.max(1L, nSamples / 65L).toInt // 65 windows → 64 deltas
     val energies = wavWindows(bytes, win).map(_._2)
     var hash = 0L
     var i = 0

@@ -173,11 +173,14 @@ object Multimodal {
       StructField("mean_g", DoubleType, nullable = false),
       StructField("mean_b", DoubleType, nullable = false)))
     mapBatched(df, idCol, binCol, schema, batchSize)(_.map { bytes =>
-      val (w, h, _) = MediaCodecs.decodeImageMeta(bytes)
-      val resized = MediaCodecs.resizeFit(bytes, maxSide)
+      // ONE source decode (dims come off the decoded raster); the resized
+      // payload is decoded back deliberately — its dims/means are the
+      // round-trip proof, not bookkeeping
+      val src = MediaCodecs.decodeImage(bytes)
+      val resized = MediaCodecs.resizeFitRaster(src, maxSide)
       val (rw, rh, _) = MediaCodecs.decodeImageMeta(resized)
       val (mr, mg, mb) = MediaCodecs.pixelMeans(resized)
-      (w, h, rw, rh, mr, mg, mb)
+      (src.getWidth, src.getHeight, rw, rh, mr, mg, mb)
     }) { case (id, (w, h, rw, rh, mr, mg, mb)) =>
       Row(id, w, h, rw, rh, mr, mg, mb)
     }
@@ -220,9 +223,7 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val amps = (0 until 65).map { w =>
-          var s = id * 6364136223846793005L + w * 1442695040888963407L
-          s ^= (s >>> 33); s *= -7046029254386353131L; s ^= (s >>> 29)
-          (100 + (s & 0x7fffffffL) % 30000).toShort
+          (100 + (MediaCodecs.mix64(id, w.toLong) & 0x7fffffffL) % 30000).toShort
         }
         Row(id, MediaCodecs.encodeWavPattern(amps, samplesPerWindow = 64,
           sampleRate = 8000))

@@ -339,8 +339,11 @@ class LocalSparkRunner(
     * the scheduling gaps of sequential op-at-a-time driving (the reference
     * is strictly 1-thread op-at-a-time, `base_runner.py:159-258`; this is
     * the beyond-reference throughput path for sibling subgraphs). Results
-    * are in input order; the first failure propagates after the pool
-    * drains. */
+    * are in input order, and failures propagate in INPUT order as the
+    * caller reaches them — not fail-fast: already-submitted ops run to
+    * completion (their content-addressed results stay valid in the store,
+    * so nothing is wasted), and a later op's failure surfaces only after
+    * earlier ops are awaited. */
   def materializeAll(ops: Seq[OpSpec], parallelism: Int = 4): Seq[MatResult] = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)

@@ -59,6 +59,18 @@ class BpeSpec extends SparkTestBase {
     assert(low == Seq("l", "o", "w"))
   }
 
+  test("tokenization tolerates null text like the train path does") {
+    val withNull = Seq((0L, "low low"), (1L, null)).toDF("doc_id", "text")
+    // train path: the null row contributes no words
+    assert(Bpe.wordCounts(withNull, "text").count() == 1L)
+    // tokenize path: null -> empty token list, not an NPE
+    val toks = withNull.select(col("doc_id"),
+        Bpe.tokenizeColumn(col("text"), Seq(("l", "o"))).as("t"))
+      .orderBy("doc_id").collect()
+    assert(toks(0).getSeq[String](1) == Seq("lo", "w", "lo", "w"))
+    assert(toks(1).getSeq[String](1).isEmpty)
+  }
+
   test("training is deterministic and exhausts gracefully") {
     val (m1, _) = Bpe.train(corpus, "text", numMerges = 8)
     val (m2, _) = Bpe.train(corpus, "text", numMerges = 8)

@@ -35,8 +35,13 @@ class BucketingSpec extends SparkTestBase {
     withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
       val p = docs.join(scores, "doc_id")
         .select(col("doc_id"), col("lang"), col("score"))
-      assert(p.count() == 256L)
+      // BEFORE execution: exchanges are plain plan nodes
       assert(Bucketing.shuffleExchangeCount(p) > 0)
+      // AFTER execution AQE replans them into ShuffleQueryStageExec LEAVES;
+      // the counter must descend into query stages or it returns a false 0
+      p.write.format("noop").mode("overwrite").save()
+      assert(Bucketing.shuffleExchangeCount(p) > 0,
+        "post-execution adaptive plan hid the exchanges")
     }
     // and the results agree
     assert(joined.orderBy("doc_id").collect().toSeq ==

@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(st.channels == 2 && st.nSamples == 333L && st.rms == 77.0 && st.peak == 77)
   }
 
+  test("WAV parser rejects multiple data chunks instead of merging statistics") {
+    // splice a second data chunk onto a valid stream: mixed overwrite/
+    // accumulate semantics would silently report wrong RMS — a hard error
+    // (and a permissive-path flag) is the correct contract
+    val base = MediaCodecs.encodeWavPcm16(10, 8000, 5.toShort)
+    val extra = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    extra.put("data".getBytes("US-ASCII")).putInt(4).putShort(9).putShort(9)
+    val spliced = {
+      val b = java.nio.ByteBuffer.allocate(base.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(base); b.put(extra.array())
+      // patch the RIFF size so the chunk walk accepts the appended chunk
+      b.putInt(4, base.length + 12 - 8)
+      b.array()
+    }
+    val e = intercept[IllegalArgumentException] { MediaCodecs.decodeWav(spliced) }
+    assert(e.getMessage.contains("multiple data chunks"))
+  }
+
   test("WAV parser walks past unknown chunks and validates structure") {
     // encoder plants a LIST chunk between fmt and data; a fixed-offset
     // reader would misparse — successful decode proves the chunk walk
