@@ -148,6 +148,22 @@ object SparkEntry {
       path
     })
 
+  /** Cosine-dedup fixture: the embeddings table in vec_id order with exact
+    * vector copies of the first 50 rows appended (re-keyed +1000000). */
+  private val cosineFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def cosineFixtureFor(s: SparkSession, dir: String): String =
+    cosineFixtureCache.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-cosine-fixture-").toString + "/emb"
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      emb.union(copies).orderBy("vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -811,6 +827,36 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_dedup_graph_simhash" -> ((s, dir) => {
+      // the SimHash spec-op chain over the same disjoint-vocab fixture:
+      // distinct docs' sketches are 64 independent fair bits (P(hamming≤8)
+      // ≈ 3e-10/pair), so pairs = exactly the planted copies and the
+      // survivor set is the same constant
+      val r = runnerFor(s)
+      val ds = r.fromParquet(dedupFixtureFor(s))
+      val pairs = SimHashNearDupPairsOp(SelectTextColumnOp(ds, "text"),
+        maxHamming = 8L)
+      r.toFrame(DropNearDuplicatesOp(ds, pairs))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("doc_id"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_dedup_graph_cosine" -> ((s, dir) => {
+      // the cosine spec-op chain: embeddings + exact vector copies of the
+      // first 50 rows appended → identical sketches guarantee the planted
+      // candidates, random 64-d vectors never reach cos 0.95 → survivors =
+      // the original rows, re-indexed in vec_id order (oracle replays from
+      // the embeddings table)
+      val r = runnerFor(s)
+      val path = cosineFixtureFor(s, dir)
+      val ds = r.fromParquet(path)
+      val pairs = CosineNearDupPairsOp(SelectVectorColumnOp(ds, "embedding"),
+        dim = 64L, threshold = 0.95)
+      r.toFrame(DropNearDuplicatesOp(ds, pairs))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("vec_id"))
+        .orderBy(col("row_idx"))
+    }),
+
     "q_ann_graph" -> ((s, dir) => {
       // ANN THROUGH THE SPEC LAYER: vector column + positional TakeRows
       // query slice → AnnBruteTopKOp, ids = row indices; DuckDB replays
@@ -1422,6 +1468,15 @@ object SparkEntry {
         |  ((doc_id + 37 * pos) % 256 + (doc_id * 3 + 59 * pos) % 256
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+
+    "q_dedup_graph_simhash" ->
+      """WITH s AS (SELECT unnest(range(100)) AS i)
+        |SELECT CAST(i AS BIGINT) AS row_idx, CAST(i AS BIGINT) AS doc_id
+        |FROM s ORDER BY row_idx""".stripMargin,
+
+    "q_dedup_graph_cosine" ->
+      """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,
+        |vec_id FROM embeddings ORDER BY row_idx""".stripMargin,
 
     "q_ann_graph" ->
       """WITH base AS (
