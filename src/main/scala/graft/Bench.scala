@@ -60,7 +60,7 @@ object Bench {
     // must not SUBTRACT from it either)
     def total(m: Map[String, Double]): String =
       fmt(m.values.filter(_ >= 0).sum, 3)
-    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold":${total(cold)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold":${total(cold)},"sf":"${sfDir.split('/').last}"}""")
     SparkEntry.closeRunner(spark)
     spark.stop()
   }

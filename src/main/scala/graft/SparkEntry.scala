@@ -827,7 +827,7 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
-    "q_dedup_graph_simhash" -> ((s, dir) => {
+    "q_sh_graph" -> ((s, dir) => {
       // the SimHash spec-op chain over the same disjoint-vocab fixture:
       // distinct docs' sketches are 64 independent fair bits (P(hamming≤8)
       // ≈ 3e-10/pair), so pairs = exactly the planted copies and the
@@ -841,7 +841,7 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
-    "q_dedup_graph_cosine" -> ((s, dir) => {
+    "q_cos_graph" -> ((s, dir) => {
       // the cosine spec-op chain: embeddings + exact vector copies of the
       // first 50 rows appended → identical sketches guarantee the planted
       // candidates, random 64-d vectors never reach cos 0.95 → survivors =
@@ -1469,12 +1469,12 @@ object SparkEntry {
         |    + (doc_id * 5 + 83 * pos) % 256) / 765.0 AS val
         |FROM e ORDER BY doc_id, pos""".stripMargin,
 
-    "q_dedup_graph_simhash" ->
+    "q_sh_graph" ->
       """WITH s AS (SELECT unnest(range(100)) AS i)
         |SELECT CAST(i AS BIGINT) AS row_idx, CAST(i AS BIGINT) AS doc_id
         |FROM s ORDER BY row_idx""".stripMargin,
 
-    "q_dedup_graph_cosine" ->
+    "q_cos_graph" ->
       """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,
         |vec_id FROM embeddings ORDER BY row_idx""".stripMargin,
 
