@@ -673,14 +673,13 @@ class LocalSparkRunner(
     case DropExactDuplicatesOp(dataset, text) =>
       val df = frame(dataset)
       if (validateLengths) checkSameLength(dataset, text, "text")
-      // first occurrence per content digest = min row idx; the dedup
-      // decision shuffles 16-byte digests + longs, never documents
-      val keyed = frame(text)
+      // first occurrence per content digest = min row idx — and that min
+      // IS the survivor set, no join-back needed; the dedup decision
+      // shuffles 16-byte digests + longs, never documents
+      val keepIdx = frame(text)
         .select(col(RowIdx), md5(col(ValueCol)).as("__dig"))
-      val firstOcc = keyed.groupBy(col("__dig"))
-        .agg(min(col(RowIdx)).as("__keep"))
-      val keepIdx = keyed.join(firstOcc, "__dig")
-        .filter(col(RowIdx) === col("__keep")).select(col(RowIdx))
+        .groupBy(col("__dig")).agg(min(col(RowIdx)).as(RowIdx))
+        .select(col(RowIdx))
       FrameResult(reindex(df.join(keepIdx, RowIdx), lengthOf(dataset)))
 
     case ContaminationFlagOp(text, benchmark, n, minOverlap) =>
