@@ -23,6 +23,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Plant offset for planted-copy fixtures: max(id)+1, so planted ids can
+    * never collide with real ids at any scale factor. One tiny max-agg job
+    * over a pruned single-column scan; the oracle SQL derives the same
+    * offset with `(SELECT max(id)+1 FROM t)`. */
+  private def plantOffset(df: DataFrame, idCol: String): Long =
+    df.agg(max(col(idCol)).cast("long")).head.getLong(0) + 1L
+
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as Long
     * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench).
     * Normalize to microsecond TimestampType — the same ns→µs floor DuckDB
@@ -887,15 +894,19 @@ object SparkEntry {
 
     "q_mm_phash" -> ((s, dir) => {
       // PERCEPTUAL image near-dup: noise images (LCG pixels keyed by id)
-      // with exact copies planted at id+100000 for id<50 → real decode →
+      // with exact copies planted at id+offset for id<50 → real decode →
       // dHash (9×8 bilinear luminance gradients) → hamming-banded pair
       // search. Distinct noise images have ~iid gradient bits, so
       // P(hamming ≤ 2) ≈ 2e3/2^64 per pair — the output is EXACTLY the 50
       // planted pairs at hamming 0, which the oracle states from doc_id.
+      // The offset is max(doc_id)+1 (one tiny pruned-scan agg), derived
+      // identically in the oracle SQL, so planted ids can never collide
+      // with real ids at ANY scale factor.
       val docs = t(s, dir, "documents").select(col("doc_id"))
+      val off = plantOffset(docs, "doc_id")
       val imgs = Multimodal.synthNoiseImages(docs, "doc_id")
       val planted = imgs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("img"))
+        .select((col("doc_id") + off).as("doc_id"), col("img"))
       val hashed = Multimodal.withImageDHash(
         imgs.union(planted), "doc_id", "img")
       Dedup.hammingNearDuplicatesBySketch(hashed, "dhash", "doc_id",
@@ -906,14 +917,16 @@ object SparkEntry {
 
     "q_mm_afp" -> ((s, dir) => {
       // ACOUSTIC near-dup: energy-varying WAVs (LCG window amplitudes) with
-      // exact copies planted at id+100000 for id<50 → real PCM parse →
+      // exact copies planted at id+offset for id<50 → real PCM parse →
       // 64-bit energy-contour fingerprint → hamming-banded pair search.
       // Distinct streams have ~iid delta bits, so the output is EXACTLY
-      // the 50 planted pairs at hamming 0.
+      // the 50 planted pairs at hamming 0. Offset = max(doc_id)+1, derived
+      // identically in the oracle (see q_mm_phash).
       val docs = t(s, dir, "documents").select(col("doc_id"))
+      val off = plantOffset(docs, "doc_id")
       val wavs = Multimodal.synthPatternWavs(docs, "doc_id")
       val planted = wavs.filter(col("doc_id") < 50)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("audio"))
+        .select((col("doc_id") + off).as("doc_id"), col("audio"))
       val hashed = Multimodal.withAudioFingerprint(
         wavs.union(planted), "doc_id", "audio")
       Dedup.hammingNearDuplicatesBySketch(hashed, "afp", "doc_id",
@@ -1516,12 +1529,14 @@ object SparkEntry {
         |FROM pc ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
 
     "q_mm_phash" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      """SELECT doc_id AS id_a,
+        |doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
         |CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
 
     "q_mm_afp" ->
-      """SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+      """SELECT doc_id AS id_a,
+        |doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
         |CAST(0 AS BIGINT) AS hamming
         |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
 

@@ -434,17 +434,41 @@ object MediaCodecs {
     bos.toByteArray
   }
 
-  /** Byte offsets of every PNG signature in the stream — the frame index
-    * of a concatenated-PNG payload. */
+  /** Byte offsets of every PNG frame in the stream — the frame index of a
+    * concatenated-PNG payload. After a signature match the CHUNK LIST is
+    * walked to IEND to find the true frame end, so signature bytes that
+    * happen to occur inside IDAT compressed data can never start a phantom
+    * frame. A trailing frame whose chunk list is truncated still counts
+    * (it extends to end-of-stream), preserving permissive-parse behavior. */
   def frameOffsets(bytes: Array[Byte]): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var i = 0
     while (i <= bytes.length - PngSig.length) {
       var j = 0
       while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
-      if (j == PngSig.length) { out += i; i += PngSig.length } else i += 1
+      if (j == PngSig.length) {
+        out += i
+        i = pngFrameEnd(bytes, i).getOrElse(bytes.length)
+      } else i += 1
     }
     out.result()
+  }
+
+  /** End offset (exclusive) of the PNG frame starting at `start`, found by
+    * walking the chunk list (len BE-u32, type, data, crc) to IEND. None if
+    * the chunk list runs past the buffer or a length is corrupt. */
+  private def pngFrameEnd(bytes: Array[Byte], start: Int): Option[Int] = {
+    var p = start + PngSig.length
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      if (len < 0 || p + 12L + len > bytes.length) return None
+      val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+        bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+      p += 12 + len
+      if (isEnd) return Some(p)
+    }
+    None
   }
 
   /** Split a concatenated-PNG stream into its individual frame payloads. */

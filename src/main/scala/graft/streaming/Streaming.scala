@@ -201,4 +201,30 @@ object Streaming {
       })
       .toDF(idCol, "width", "height", "format")
   }
+
+  /** Permissive twin of [[annotateImageMeta]] — the streaming form of the
+    * batch `withImageMetaPermissive` robustness contract: a corrupt payload
+    * yields a null-meta row with the error message instead of throwing
+    * inside `mapPartitions` and killing the continuous query. Use this (not
+    * the strict form) on any ingest stream whose payloads aren't already
+    * validated upstream.
+    */
+  def annotateImageMetaPermissive(docs: DataFrame, idCol: String,
+                                  binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        try {
+          val (w, h, f) = graft.ext.MediaCodecs.decodeImageMeta(bytes)
+          (id, Option(w), Option(h), Option(f), Option.empty[String])
+        } catch {
+          case e: Exception =>
+            (id, Option.empty[Int], Option.empty[Int], Option.empty[String],
+              Some(String.valueOf(e.getMessage)))
+        }
+      })
+      .toDF(idCol, "width", "height", "format", "error")
+  }
 }

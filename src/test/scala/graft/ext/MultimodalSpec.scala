@@ -143,6 +143,27 @@ class MultimodalSpec extends SparkTestBase {
     assert((n, w, h) == (3, 20, 12))
   }
 
+  test("frameOffsets walks the chunk list — signature bytes inside chunk data don't start a phantom frame") {
+    val sig = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data).putInt(0)
+      b.array()
+    }
+    // a frame whose teXt chunk data CONTAINS the 8 signature bytes — a
+    // byte-scanner would report a phantom frame inside it
+    val booby = sig ++ chunk("teXt", sig ++ "inner".getBytes("US-ASCII")) ++
+      chunk("IEND", Array.emptyByteArray)
+    val stream = booby ++ booby
+    assert(MediaCodecs.frameOffsets(stream) == Seq(0, booby.length))
+    assert(MediaCodecs.splitFrames(stream).map(_.length) ==
+      Seq(booby.length, booby.length))
+    // a truncated trailing frame still counts, extending to end-of-stream
+    val trunc = booby ++ sig ++ chunk("teXt", "x".getBytes("US-ASCII")).take(6)
+    assert(MediaCodecs.frameOffsets(trunc) == Seq(0, booby.length))
+  }
+
   test("splitFrames yields standalone decodable frames in order") {
     val colors = Seq(0x112233, 0x445566, 0x778899)
     val payload = MediaCodecs.encodeFrameStream(20, 12, colors)

@@ -214,4 +214,28 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("permissive streaming ingest: corrupt payload yields an error row, query survives") {
+    import graft.ext.MediaCodecs
+    val good = (0L until 3L).map(id => (id, MediaCodecs.encodeImage(16, 8, 0x123456, "png")))
+    val bad = Seq((99L, "not an image at all".getBytes("UTF-8")))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val decoded = Streaming.annotateImageMetaPermissive(
+      input.toDF.toDF("doc_id", "img"), "doc_id", "img")
+    val q = decoded.writeStream.format("memory")
+      .queryName("mmperm").outputMode("append").start()
+    try {
+      input.addData(good ++ bad: _*)
+      q.processAllAvailable() // would throw here if the strict kernel ran
+      val rows = spark.table("mmperm")
+        .as[(Long, Option[Int], Option[Int], Option[String], Option[String])]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.length == 4)
+      rows.filter(_._1 < 3).foreach { case (_, w, h, f, err) =>
+        assert(w.contains(16) && h.contains(8) && f.contains("png") && err.isEmpty)
+      }
+      val (_, w, h, f, err) = rows.last
+      assert(w.isEmpty && h.isEmpty && f.isEmpty && err.nonEmpty)
+    } finally q.stop()
+  }
 }
