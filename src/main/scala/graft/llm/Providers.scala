@@ -56,8 +56,40 @@ object ModelRegistry {
     (f(rest), rest)
   }
 
+  /** Config lookup for alias endpoints: system property beats env var beats
+    * default. Resolution happens on the DRIVER (providers are constructed in
+    * `LLMOps` before the `mapPartitions` closure is serialized), so cluster
+    * deployments only need the variable set on the driver. */
+  private def cfg(prop: String, env: String, default: => String): String =
+    sys.props.get(prop).orElse(sys.env.get(env)).getOrElse(default)
+
+  /** Ollama server base URL (`GRAFT_OLLAMA_URL` / `-Dgraft.ollama.url`). */
+  def ollamaUrl: String =
+    cfg("graft.ollama.url", "GRAFT_OLLAMA_URL", "http://localhost:11434")
+
+  /** Embedding endpoint for the `st:` alias (`GRAFT_EMBED_URL` /
+    * `-Dgraft.embed.url`); defaults to the Ollama endpoint, which serves
+    * sentence-transformer-family embedding models locally. */
+  def embedUrl: String =
+    cfg("graft.embed.url", "GRAFT_EMBED_URL",
+      s"${ollamaUrl.stripSuffix("/")}/api/embed")
+
   register("fake")(rest => FakeProvider(FakeProvider.parseDim(rest)))
   register("http")(rest => new HttpProvider(rest))
+  // Scheme ALIASES resolving to the http transport. The reference registry
+  // maps SCHEMES to providers, not transports (`model_registry.py:44-64`;
+  // `model_registry_implementations.py:22,460` registers `ollama` and
+  // `sentencetransformer`/`st`), so `ollama:nomic-embed-text` names a MODEL
+  // and the transport endpoint comes from configuration. Ollama's contract
+  // checks (`model_registry_implementations.py:36-41`: last layer, 'last'
+  // token mode only) are enforced at call time.
+  register("ollama")(rest => new HttpProvider(
+    s"${ollamaUrl.stripSuffix("/")}/api/embed", model = Some(rest),
+    lastLayerOnly = true, scheme = "ollama"))
+  private val stFactory: String => ModelProvider =
+    rest => new HttpProvider(embedUrl, model = Some(rest), scheme = "st")
+  register("st")(stFactory)
+  register("sentencetransformer")(stFactory)
 }
 
 /** Deterministic fake provider: every output value is derived from
@@ -109,8 +141,16 @@ object FakeProvider {
   * `model_registry_implementations.py:56-67`); batching, value decoding,
   * and all three error paths are exercised against a loopback mock server
   * in LLMSpec (no network egress needed).
+  *
+  * @param model when set (the `ollama:`/`st:` alias path), sent as the
+  *              `"model"` field of every request, matching Ollama's API.
+  * @param lastLayerOnly Ollama contract: reject layerNum != -1 and
+  *              tokenMode != "last" (reference
+  *              `model_registry_implementations.py:36-41`).
   */
-final class HttpProvider(endpoint: String) extends ModelProvider {
+final class HttpProvider(endpoint: String, model: Option[String] = None,
+                         lastLayerOnly: Boolean = false,
+                         scheme: String = "http") extends ModelProvider {
 
   private def post(body: String): String = {
     val url = java.net.URI.create(
@@ -125,8 +165,9 @@ final class HttpProvider(endpoint: String) extends ModelProvider {
 
   private def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
     import graft.spec._
-    val body = Json.render(JObj(
-      "input" -> JArr(texts.map(t => JString(t): JValue).toVector)))
+    val fields = Vector("input" -> (JArr(texts.map(t => JString(t): JValue).toVector): JValue)) ++
+      model.map(m => "model" -> (JString(m): JValue))
+    val body = Json.render(JObj(fields: _*))
     Json.parse(post(body)) match {
       case o: JObj => o.get("embeddings") match {
         case Some(JArr(vecs)) => vecs.map {
@@ -143,13 +184,20 @@ final class HttpProvider(endpoint: String) extends ModelProvider {
   }
 
   override def layerActivations(texts: Iterator[Seq[String]], layerNum: Long,
-                                tokenMode: String): Iterator[Seq[Array[Double]]] =
+                                tokenMode: String): Iterator[Seq[Array[Double]]] = {
+    if (lastLayerOnly) {
+      require(layerNum == -1L,
+        s"$scheme: does not support layer_num; it always returns the last layer")
+      require(tokenMode == "last",
+        s"$scheme: only supports 'last' token mode for embeddings")
+    }
     texts.map(embedBatch)
+  }
 
   override def logitScores(texts: Iterator[Seq[String]],
                            tokens: Seq[Any]): Iterator[Seq[Array[Double]]] =
     throw new UnsupportedOperationException(
-      "logit scores are not exposed by embedding endpoints")
+      s"$scheme: logit scores are not exposed by embedding endpoints")
 
   override def generate(prompts: Iterator[Seq[String]],
                         maxTokens: Long): Iterator[Seq[String]] =

@@ -20,6 +20,26 @@ class LLMSpec extends SparkTestBase {
     intercept[IllegalArgumentException](ModelRegistry.get("bogus:model"))
   }
 
+  test("ollama:/st: scheme aliases resolve to the http transport") {
+    // reference registers schemes `ollama` and `sentencetransformer`/`st`
+    // (model_registry_implementations.py:22,460); here they alias the
+    // batched HTTP transport with the model name carried in the request
+    val (po, ro) = ModelRegistry.get("ollama:nomic-embed-text")
+    assert(po.isInstanceOf[HttpProvider] && ro == "nomic-embed-text")
+    val (ps, rs) = ModelRegistry.get("st:all-MiniLM-L6-v2")
+    assert(ps.isInstanceOf[HttpProvider] && rs == "all-MiniLM-L6-v2")
+    val (pl, _) = ModelRegistry.get("sentencetransformer:all-MiniLM-L6-v2")
+    assert(pl.isInstanceOf[HttpProvider])
+    // Ollama contract: last layer + 'last' token mode only
+    intercept[IllegalArgumentException](
+      po.layerActivations(Iterator.single(Seq("x")), 3L, "last").next())
+    intercept[IllegalArgumentException](
+      po.layerActivations(Iterator.single(Seq("x")), -1L, "mean").next())
+    // unregistered torch-bound schemes stay hard errors
+    intercept[IllegalArgumentException](ModelRegistry.get("hf:gpt2"))
+    intercept[IllegalArgumentException](ModelRegistry.get("tl:gpt2"))
+  }
+
   test("fake activations: deterministic, layer- and mode-sensitive, right shape") {
     val r = newRunner()
     val text = SelectTextColumnOp(ds, "text")
@@ -93,13 +113,18 @@ class LLMSpec extends SparkTestBase {
     import scala.jdk.CollectionConverters._
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Integer]()
+    val modelNames = new java.util.concurrent.CopyOnWriteArrayList[String]()
     def jsonHandler(f: Seq[String] => Option[String]): HttpHandler = (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
       val texts = Json.parse(body) match {
-        case o: JObj => o("input") match {
-          case JArr(xs) => xs.map { case JString(s) => s; case x => x.toString }
-          case x => sys.error(s"bad input $x")
-        }
+        case o: JObj =>
+          o.fields.get("model").foreach {
+            case JString(m) => modelNames.add(m); case _ => ()
+          }
+          o("input") match {
+            case JArr(xs) => xs.map { case JString(s) => s; case x => x.toString }
+            case x => sys.error(s"bad input $x")
+          }
         case x => sys.error(s"bad body $x")
       }
       f(texts.toSeq) match {
@@ -154,6 +179,28 @@ class LLMSpec extends SparkTestBase {
         new HttpProvider(s"127.0.0.1:$port/noembeds")
           .layerActivations(Iterator.single(Seq("x")), -1L, "last").next())
       assert(e2.getMessage.contains("no 'embeddings'"))
+
+      // full engine path through the ollama: ALIAS — endpoint from config,
+      // model name delivered in the request body
+      sys.props("graft.ollama.url") = s"http://127.0.0.1:$port"
+      try {
+        val actO = LLMLayerActivationsOp("ollama:nomic-embed-text", text,
+          layerNum = -1L, batchSize = 3L)
+        val vO = newRunner().toValues(actO).map(_.asInstanceOf[scala.collection.Seq[Double]])
+        assert(vO.map(_.toSeq) ==
+          Seq(Seq(11.0, 42.0), Seq(7.0, 42.0), Seq(11.0, 42.0), Seq(0.0, 42.0)))
+        assert(modelNames.asScala.contains("nomic-embed-text"))
+      } finally sys.props -= "graft.ollama.url"
+
+      // st: alias with an explicit embedding endpoint
+      sys.props("graft.embed.url") = s"http://127.0.0.1:$port/api/embed"
+      try {
+        val actS = LLMLayerActivationsOp("st:all-MiniLM-L6-v2", text,
+          layerNum = -1L, batchSize = 4L)
+        val vS = newRunner().toValues(actS).map(_.asInstanceOf[scala.collection.Seq[Double]])
+        assert(vS.length == 4)
+        assert(modelNames.asScala.contains("all-MiniLM-L6-v2"))
+      } finally sys.props -= "graft.embed.url"
     } finally server.stop(0)
   }
 
