@@ -492,6 +492,33 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_subs_graph" -> ((s, dir) => {
+      // THE REFERENCE'S SIGNATURE GRAPH SURGERY (`op_spec.py:404-530`)
+      // through the correctness gate: prototype a pipeline on a small
+      // inline "train" dataset, then subs() the dataset node for the full
+      // parquet corpus — the SAME DAG rebuilt node-for-node over the test
+      // data, new content-addressed uuids at every level. Both the train
+      // graph and the subbed test graph materialize through the runner and
+      // both results are oracled (train rows as stated constants, test rows
+      // as the token-count formula over documents).
+      val r = runnerFor(s)
+      val train = LoadInlineJsonDatasetOp(Map(
+        "text" -> Seq("alpha beta gamma", "", "one  two")))
+      val trainCounts = TokenCountOp(SelectTextColumnOp(train, "text"))
+      val test = r.fromParquet(s"$dir/documents.parquet")
+      val testCounts = trainCounts.subs(train, test).asInstanceOf[TokenCountOp]
+      // the surgery rebuilt every node on the path, nothing else
+      require(testCounts.uuid != trainCounts.uuid, "subs must re-uuid the DAG")
+      require(testCounts.text.asInstanceOf[SelectTextColumnOp].dataset == test,
+        "subs must splice the replacement dataset in")
+      def tagged(op: TokenCountOp, phase: String) =
+        r.toFrame(op).select(lit(phase).as("phase"),
+          col(ColumnOps.RowIdx).cast("long").as("rid"),
+          col("value").as("n_tokens"))
+      tagged(trainCounts, "train").union(tagged(testCounts, "test"))
+        .orderBy(col("phase"), col("rid"))
+    }),
+
     "q_probe_eval" -> ((s, dir) => {
       // ML probe chain (train→predict→evaluate) through the runner; the
       // oracle checks the deterministic report fields (eligible counts).
@@ -1284,6 +1311,20 @@ object SparkEntry {
         |  FROM masked WHERE ridx >= 1 AND (ridx - 1) % 3 = 0)
         |SELECT c_custkey, c_name FROM sliced WHERE nidx < 100
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_subs_graph" ->
+      """WITH train AS (
+        |  SELECT 'train' AS phase, rid, n_tokens FROM (VALUES
+        |    (0, 3), (1, 0), (2, 2)) t(rid, n_tokens)),
+        |test AS (
+        |  SELECT 'test' AS phase, row_number() OVER () - 1 AS rid,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT phase, CAST(rid AS BIGINT) AS rid,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens
+        |FROM (SELECT * FROM train UNION ALL SELECT * FROM test)
+        |ORDER BY phase, rid""".stripMargin,
 
     "q_probe_eval" ->
       """SELECT 'all' AS split, COUNT(*) AS cnt,
