@@ -156,8 +156,13 @@ class CachedSparkRunner(
       val tmp = stagingName(dest, "tmp")
       Files.copy(f, tmp, StandardCopyOption.REPLACE_EXISTING)
       try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-      catch { // another writer won the race; their copy is equally valid
-        case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp)
+      catch { // another writer won the race; their copy is equally valid.
+        // EEXIST maps to FileAlreadyExistsException but other race errnos
+        // surface as the GENERIC FileSystemException — only rethrow when
+        // the destination did not actually land (a real IO failure)
+        case e: java.nio.file.FileSystemException =>
+          Files.deleteIfExists(tmp)
+          if (!Files.exists(dest)) throw e
       }
     }
 
@@ -172,7 +177,10 @@ class CachedSparkRunner(
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      // materialize the listing before deleting under the open walk stream
+      // materialize the listing before deleting under the open walk stream;
+      // best-effort per path — a concurrent cross-process writer renaming
+      // INTO the tree mid-delete would make strict deletion throw, and
+      // every caller re-examines or re-verifies the directory afterwards
       val paths = {
         val s = Files.walk(p)
         try {
@@ -180,7 +188,10 @@ class CachedSparkRunner(
           s.iterator().asScala.toList
         } finally s.close()
       }
-      paths.sortBy(_.toString).reverse.foreach(Files.deleteIfExists(_))
+      paths.sortBy(_.toString).reverse.foreach { f =>
+        try Files.deleteIfExists(f)
+        catch { case _: java.nio.file.FileSystemException => () }
+      }
     }
 
   // Pull concurrency discipline: pulls of the SAME op are serialized
@@ -232,9 +243,11 @@ class CachedSparkRunner(
       deleteRecursively(to) // discard the dirty (done-less) partial state
       try Files.move(tmp, to, StandardCopyOption.ATOMIC_MOVE)
       catch { // a cross-process puller won the rename; the caller's loop
-              // re-verifies `done` in `to` rather than trusting the winner
-        case _: java.nio.file.FileAlreadyExistsException
-             | _: java.nio.file.DirectoryNotEmptyException => ()
+              // re-verifies `done` in `to` rather than trusting the winner.
+              // ENOTEMPTY surfaces as the GENERIC FileSystemException, so
+              // the catch must be that broad; a real IO failure leaves `to`
+              // done-less and the convergence loop throws
+        case _: java.nio.file.FileSystemException => ()
       }
     } finally deleteRecursively(tmp)
   }
@@ -268,12 +281,11 @@ class CachedSparkRunner(
             Files.copy(f, d, StandardCopyOption.REPLACE_EXISTING)
           }
           try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException
-                 | _: java.nio.file.DirectoryNotEmptyException =>
-              walkFiles(tmp).foreach(Files.delete)
-              Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => Files.deleteIfExists(p))
+          catch { // lost push race (EEXIST/ENOTEMPTY — the latter is a
+                  // GENERIC FileSystemException): winner's dir is complete
+            case e: java.nio.file.FileSystemException =>
+              deleteRecursively(tmp)
+              if (!Files.exists(dest)) throw e
           }
         } else copyAtomic(e, dest)
       }

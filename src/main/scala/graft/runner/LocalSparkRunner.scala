@@ -1,6 +1,6 @@
 package graft.runner
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import java.time.Instant
 
@@ -182,7 +182,14 @@ class LocalSparkRunner(
   protected def writeStatus(st: OpStatus): Unit = {
     Files.createDirectories(Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2))
     val p = Paths.get(storeUri, split(st.uuid)._1, split(st.uuid)._2, "status.json")
-    Files.writeString(p, Json.renderPretty(st.toJson))
+    // write-to-sibling + atomic rename: a concurrent reader (another
+    // process sharing the store) never observes a truncated status file
+    val tmp = p.getParent.resolve(
+      "." + p.getFileName + ".w" + ProcessHandle.current().pid() +
+        "t" + Thread.currentThread().getId)
+    Files.writeString(tmp, Json.renderPretty(st.toJson))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Register an op in the store WITHOUT materializing it: writes a `new`
@@ -458,18 +465,92 @@ class LocalSparkRunner(
 
   private def persist(op: OpSpec, result: MatResult): String = result match {
     case FrameResult(df) =>
-      df.write.mode("overwrite").option("compression", "zstd")
-        .parquet(resultParquet(op).toString)
+      persistStaged(op, resultParquet(op)) { tmp =>
+        df.write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+      }
       "parquet"
     case JsonResult(j) =>
-      Files.createDirectories(opDir(op))
-      Files.writeString(resultJson(op), Json.renderPretty(j))
+      persistStaged(op, resultJson(op))(tmp =>
+        Files.writeString(tmp, Json.renderPretty(j)))
       "json"
     case ModelResult(m) =>
-      m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
-        .write.overwrite().save(modelDir(op).toString)
+      persistStaged(op, modelDir(op)) { tmp =>
+        m.asInstanceOf[org.apache.spark.ml.util.MLWritable]
+          .write.overwrite().save(tmp.toString)
+      }
       "model"
   }
+
+  private val persistNonce = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Stage-and-rename persist: `write` produces the COMPLETE result in a
+    * (pid, thread, nonce)-unique temp sibling, which is atomically renamed
+    * onto `target`. Concurrent writers of the same content-addressed result
+    * — other threads (the memo normally prevents this) and other PROCESSES
+    * sharing the store (the CLI's multi-process `run` path) — each stage
+    * privately; the first rename wins, losers discard. The target therefore
+    * only ever holds a COMPLETE result, so a reader that saw the `done`
+    * marker can never observe a half-written directory. (The direct
+    * `mode("overwrite")` write this replaces let two JVMs interleave part
+    * files and `_temporary` state in one directory.) A pre-existing target
+    * without `done` is crash debris or a racer that hasn't won yet: it is
+    * REPLACED, never merged — parquet part names differ per writer, and a
+    * per-file merge would duplicate every row. */
+  private def persistStaged(op: OpSpec, target: Path)(write: Path => Unit): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(
+      "." + target.getFileName + ".stage" + ProcessHandle.current().pid() +
+        "t" + Thread.currentThread().getId + "n" + persistNonce.incrementAndGet())
+    try {
+      write(tmp)
+      // NOTE rename onto a non-empty directory surfaces as ENOTEMPTY, which
+      // the JDK maps to a GENERIC FileSystemException (DirectoryNotEmpty-
+      // Exception is only thrown by delete paths) — so the race catches
+      // below must be that broad, with "did the target actually land"
+      // distinguishing a lost race from a genuine IO failure.
+      var attempts = 0
+      var placed = false
+      var lastErr: Option[java.nio.file.FileSystemException] = None
+      while (!placed && attempts < 5) {
+        attempts += 1
+        if (Files.exists(target)) {
+          if (Files.exists(donePath(op))) placed = true // completed winner stands
+          else deleteRecursively(target) // dirty or not-yet-done racer: replace
+        }
+        if (!placed && !Files.exists(target)) {
+          try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
+          catch { // racer renamed in between our check and move; loop re-checks
+            case e: java.nio.file.FileSystemException => lastErr = Some(e)
+          }
+        }
+      }
+      // unplaced with the target present: a racer kept re-winning — its
+      // result is complete and content-addressed-interchangeable. Unplaced
+      // with NO target is a genuine persist failure, not a race.
+      if (!placed && !Files.exists(target))
+        throw lastErr.getOrElse(new IllegalStateException(
+          s"persist of ${op.uuid} could not claim $target"))
+    } finally deleteRecursively(tmp)
+  }
+
+  /** Best-effort recursive delete: a concurrent writer renaming INTO the
+    * tree mid-delete (shared-store race) makes strict deletion throw; the
+    * persist loop re-examines the dir, so partial progress is fine. */
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val paths = {
+        val s = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList
+        } finally s.close()
+      }
+      paths.sortBy(_.toString).reverse.foreach { f =>
+        try Files.deleteIfExists(f)
+        catch { case _: java.nio.file.FileSystemException => () }
+      }
+    }
 
   private def readResult(op: OpSpec): MatResult = {
     if (Files.exists(resultParquet(op)))

@@ -1,0 +1,138 @@
+package graft.runner
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkTestBase
+import graft.spec._
+
+/** Multi-PROCESS shared-store stress: real separate JVMs (the CLI
+  * `run --parallel` path, reference `cli.py:538-605` + the shared-store
+  * semantics of `runners/cached_runner.py:52-164`) hammering ONE store with
+  * no coordination beyond the store protocol itself — per-uuid staging,
+  * atomic rename, first-writer-wins, `done` strictly last. Thread-level
+  * races are covered by CachedRunnerSpec/ConcurrencySpec; this suite is the
+  * separate-JVM story those tests can't reach (no shared memo, no shared
+  * locks, only the filesystem).
+  */
+class MultiProcessStoreSpec extends SparkTestBase {
+
+  // the pipeline every process races to materialize: one shared select
+  // feeding five independent NON-EPHEMERAL outputs (parquet frames, LLM
+  // vectors, generated text) — shared deps must still converge to one
+  // stored result per uuid
+  private val texts: Seq[Any] = (0 until 300).map { i =>
+    s"doc $i body " + ("lorem ipsum dolor " * (i % 5))
+  }
+  private val ds = LoadInlineJsonDatasetOp(Map("text" -> texts))
+  private val sel = SelectTextColumnOp(ds, "text")
+  private val outputs: Seq[OpSpec] = Seq(
+    JinjaTemplatizeOp("[{{ t }}]", Map("t" -> sel)),
+    AssignRowIDOp(ds),
+    LLMLayerActivationsOp("fake:d8", sel, layerNum = -1L, batchSize = 64L),
+    LLMGenerateTextOp("fake:d8", sel, maxTokens = 8L),
+    DropExactDuplicatesOp(ds, sel))
+
+  // sbt forks the test JVM with the full classpath + the JDK17 add-opens
+  // Spark needs; subprocesses replicate both from this JVM's own view
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  private def launchCli(logTo: Path, args: Seq[String]): Process = {
+    val java = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cmd = Seq(java) ++ addOpens ++ Seq(
+      "-Xmx2g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"), "graft.Cli") ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(logTo.toFile)
+    // isolate from any user/test-written graft config (runner-type/cache)
+    pb.environment().put("GRAFT_CONFIG_HOME",
+      Files.createTempDirectory("graft-noconf-").toString)
+    pb.start()
+  }
+
+  private def awaitAll(procs: Seq[(Process, Path)]): Unit = {
+    procs.foreach { case (p, log) =>
+      assert(p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+        s"subprocess timed out; log: $log")
+      assert(p.exitValue() == 0,
+        s"subprocess failed (exit ${p.exitValue()}):\n${Files.readString(log)}")
+    }
+  }
+
+  private def storeDebris(store: String): Seq[Path] = {
+    val s = Files.walk(Paths.get(store))
+    try s.iterator().asScala.toList.filter { p =>
+      val n = p.getFileName.toString
+      n.contains(".stage") || n.contains(".pull") || n.contains(".tmp") ||
+        n == "_temporary"
+    } finally s.close()
+  }
+
+  private def snapshot(r: LocalSparkRunner, op: OpSpec): Seq[Seq[Any]] =
+    r.toFrame(op)
+      .orderBy(org.apache.spark.sql.functions.col(graft.ops.ColumnOps.RowIdx))
+      .collect().toSeq.map(_.toSeq)
+
+  private def assertConverged(store: String): Unit = {
+    val reader = new LocalSparkRunner(spark, store)
+    val expected = new LocalSparkRunner(spark, newStoreDir())
+    outputs.foreach { op =>
+      assert(reader.status(op).state == OpState.Completed,
+        s"${op.typeName} not completed in shared store")
+      // values served FROM THE STORE equal an independent in-process run
+      assert(snapshot(reader, op) == snapshot(expected, op), op.typeName)
+    }
+    assert(storeDebris(store).isEmpty,
+      s"staging debris left in store: ${storeDebris(store)}")
+  }
+
+  test("3 uncoordinated JVMs race one graph on one shared store and converge") {
+    val store = newStoreDir()
+    val graph = Paths.get(store, "graph.json")
+    Files.writeString(graph, Graph.serializeToString(outputs: _*))
+    val procs = (1 to 3).map { i =>
+      val log = Paths.get(store, s"proc$i.log")
+      (launchCli(log, Seq("run", "--store", store, "--graph", graph.toString,
+        "--parallel", "3", "--master", "local[4]")), log)
+    }
+    awaitAll(procs)
+    assertConverged(store)
+    // every process accounted for every output op (completed or skipped-done)
+    procs.foreach { case (_, log) =>
+      val text = Files.readString(log)
+      outputs.foreach(op => assert(text.contains(op.uuid), s"$log missing ${op.uuid}"))
+      assert(!text.contains("FAILED"), s"op failure in $log")
+    }
+  }
+
+  test("write-through cached JVMs sharing one remote store converge too") {
+    val shared = newStoreDir()
+    val graph = Paths.get(shared, "graph.json")
+    Files.writeString(graph, Graph.serializeToString(outputs: _*))
+    // two cached processes (each with a private cache, write-through push
+    // racing on the shared store) plus one direct-store process
+    val cached = (1 to 2).map { i =>
+      val log = Paths.get(shared, s"cached$i.log")
+      (launchCli(log, Seq("run", "--store", shared, "--cache", newStoreDir(),
+        "--graph", graph.toString, "--parallel", "2", "--master", "local[4]")), log)
+    }
+    val direct = {
+      val log = Paths.get(shared, "direct.log")
+      Seq((launchCli(log, Seq("run", "--store", shared, "--graph", graph.toString,
+        "--master", "local[4]")), log))
+    }
+    awaitAll(cached ++ direct)
+    assertConverged(shared)
+  }
+}
