@@ -962,6 +962,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_mm_vfp" -> ((s, dir) => {
+      // VIDEO near-dup: noise frame-streams (odd frame counts, LCG pixels
+      // keyed by (id, frame)) with exact copies planted at id+offset for
+      // id<50 → real per-frame decode → per-frame dHash sequence → per-bit
+      // MAJORITY sketch → hamming-banded pair search. Majorities of iid
+      // fair bits stay fair, so distinct videos collide with the same
+      // ~2e3/2^64 per-pair probability as q_mm_phash and the output is
+      // EXACTLY the 50 planted pairs at hamming 0. Offset = max(doc_id)+1,
+      // derived identically in the oracle (see q_mm_phash).
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val off = plantOffset(docs, "doc_id")
+      val vids = Multimodal.synthNoiseVideos(docs, "doc_id")
+      val planted = vids.filter(col("doc_id") < 50)
+        .select((col("doc_id") + off).as("doc_id"), col("video"))
+      val fp = Multimodal.withVideoFingerprint(
+        vids.union(planted), "doc_id", "video")
+      Dedup.hammingNearDuplicatesBySketch(fp, "vsketch", "doc_id",
+          maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_mm_ann" -> ((s, dir) => {
       // END-TO-END MULTIMODAL RETRIEVAL: real pixels → ANN. Synthesize
       // quadrant-colored images, decode them and grid-sample a pixel
@@ -1576,6 +1598,12 @@ object SparkEntry {
         |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
 
     "q_mm_afp" ->
+      """SELECT doc_id AS id_a,
+        |doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
+        |CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id < 50 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_mm_vfp" ->
       """SELECT doc_id AS id_a,
         |doc_id + (SELECT max(doc_id) + 1 FROM documents) AS id_b,
         |CAST(0 AS BIGINT) AS hamming

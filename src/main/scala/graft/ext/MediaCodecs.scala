@@ -490,4 +490,32 @@ object MediaCodecs {
     val (w, h, _) = decodeImageMeta(bytes)
     (count, w, h)
   }
+
+  /** Per-frame [[dHash64]] sequence of a frame stream — the video
+    * fingerprint: temporal structure preserved (frame order matters),
+    * each element dimension-normalizing like the image hash. */
+  def videoDHashes(bytes: Array[Byte]): Seq[Long] =
+    splitFrames(bytes).map(dHash64)
+
+  /** Collapse a per-frame hash sequence into ONE 64-bit video sketch by
+    * per-bit MAJORITY vote (strict majority → 1, tie → 0) — the simhash
+    * construction applied to frame dHashes. An exact or re-encoded copy
+    * keeps every frame hash and therefore the sketch; distinct noise
+    * videos have ~iid sketch bits (the majority of iid fair bits is a fair
+    * bit), so hamming banding over the sketch
+    * ([[graft.ext.Dedup.hammingNearDuplicatesBySketch]]) has the same
+    * falsifiable collision math as the image dHash path. */
+  def videoSketch64(frameHashes: Seq[Long]): Long = {
+    require(frameHashes.nonEmpty, "no frames to sketch")
+    val n = frameHashes.length
+    var sketch = 0L
+    var bit = 0
+    while (bit < 64) {
+      var ones = 0
+      frameHashes.foreach(h => if ((h >>> bit & 1L) == 1L) ones += 1)
+      if (2 * ones > n) sketch |= 1L << bit
+      bit += 1
+    }
+    sketch
+  }
 }

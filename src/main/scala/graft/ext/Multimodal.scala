@@ -213,6 +213,47 @@ object Multimodal {
       _.map(MediaCodecs.dHash64)) { case (id, h) => Row(id, h) }
   }
 
+  /** Noise-VIDEO fixture for the video-fingerprint path: an ODD number of
+    * noise frames (3 or 5, keyed by id — odd so the sketch's per-bit
+    * majority never ties) with per-frame pixels from an LCG keyed by
+    * (id, frame). */
+  def synthNoiseVideos(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("video", BinaryType, nullable = false)))
+    val out = spreadIds(df, idCol).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until (3 + 2 * (id % 2)).toInt).map(f =>
+          MediaCodecs.encodeNoiseImage(imgW(id), imgH(id),
+            seed = MediaCodecs.mix64(id, 7919L + f)))
+        val bos = new java.io.ByteArrayOutputStream()
+        frames.foreach(bos.write)
+        Row(id, bos.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Video fingerprint column pair over a binary frame-stream column: the
+    * per-frame dHash SEQUENCE (`vfp`, temporal structure preserved) and its
+    * 64-bit majority sketch (`vsketch`) for
+    * [[graft.ext.Dedup.hammingNearDuplicatesBySketch]] banding. */
+  def withVideoFingerprint(df: DataFrame, idCol: String, binCol: String,
+                           batchSize: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("vfp", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("vsketch", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    mapBatched(df, idCol, binCol, schema, batchSize)(_.map { bytes =>
+      val hashes = MediaCodecs.videoDHashes(bytes)
+      (hashes, MediaCodecs.videoSketch64(hashes))
+    }) { case (id, (hashes, sketch)) =>
+      Row(id, hashes, sketch, hashes.length)
+    }
+  }
+
   /** Energy-varying WAV fixture: 65 windows of LCG-keyed amplitudes per id
     * (constant-amplitude streams would fingerprint as all-zeros). */
   def synthPatternWavs(df: DataFrame, idCol: String): DataFrame = {

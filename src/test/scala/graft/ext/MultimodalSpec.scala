@@ -313,6 +313,42 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("video fingerprint: per-frame dHashes + majority sketch, exact formula") {
+    val frames = (0 until 5).map(f =>
+      MediaCodecs.encodeNoiseImage(32, 24, seed = 100L + f))
+    val bos = new java.io.ByteArrayOutputStream()
+    frames.foreach(bos.write)
+    val video = bos.toByteArray
+    val fp = MediaCodecs.videoDHashes(video)
+    // the sequence IS the per-frame image hashes, in frame order
+    assert(fp == frames.map(MediaCodecs.dHash64))
+    // the sketch is the per-bit strict majority of the sequence
+    val sketch = MediaCodecs.videoSketch64(fp)
+    (0 until 64).foreach { bit =>
+      val ones = fp.count(h => (h >>> bit & 1L) == 1L)
+      assert((sketch >>> bit & 1L) == (if (2 * ones > fp.length) 1L else 0L))
+    }
+    // an exact copy sketches identically; frame ORDER does not change the
+    // majority sketch but DOES change the sequence fingerprint
+    assert(MediaCodecs.videoSketch64(fp.reverse) == sketch)
+    assert(MediaCodecs.videoDHashes(video).hashCode == fp.hashCode)
+    intercept[IllegalArgumentException](MediaCodecs.videoSketch64(Nil))
+  }
+
+  test("hamming-banded video near-dup finds exactly the planted copies") {
+    val vids = Multimodal.synthNoiseVideos(ids, "doc_id")
+    val planted = vids.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("video"))
+    val fp = Multimodal.withVideoFingerprint(vids.union(planted), "doc_id", "video")
+    // odd frame counts by construction (majority never ties)
+    assert(fp.select("n_frames").distinct().collect().map(_.getInt(0)).toSet
+      .forall(n => n % 2 == 1))
+    val pairs = Dedup.hammingNearDuplicatesBySketch(fp, "vsketch", "doc_id",
+        maxHamming = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 5L).map(i => (i, i + 1000L)).toSet)
+  }
+
   test("hamming-banded image near-dup finds exactly the planted copies") {
     val imgs = Multimodal.synthNoiseImages(ids, "doc_id")
     val planted = imgs.filter(col("doc_id") < 5)
