@@ -239,22 +239,30 @@ object MediaCodecs {
     * (alternating sign per frame). Writes fmt, a LIST/INFO chunk (so naive
     * fixed-offset readers break — the decoder must walk chunks), then data. */
   def encodeWavPcm16(nSamples: Int, sampleRate: Int, amplitude: Short,
-                     channels: Int = 1): Array[Byte] = {
+                     channels: Int = 1, extensible: Boolean = false): Array[Byte] = {
     require(nSamples >= 0 && sampleRate > 0 && channels > 0)
     val blockAlign = channels * 2
     val dataSize = nSamples * blockAlign
     val listBody = "INFO".getBytes("US-ASCII")
-    val riffSize = 4 + (8 + 16) + (8 + listBody.length) + (8 + dataSize)
+    val fmtSize = if (extensible) 40 else 16
+    val riffSize = 4 + (8 + fmtSize) + (8 + listBody.length) + (8 + dataSize)
     val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
       .put("WAVE".getBytes("US-ASCII"))
-    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1.toShort) // PCM
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(fmtSize)
+      .putShort(if (extensible) WaveFormatExtensible else 1.toShort)
       .putShort(channels.toShort)
       .putInt(sampleRate)
       .putInt(sampleRate * blockAlign) // byte rate
       .putShort(blockAlign.toShort)
       .putShort(16.toShort)
+    if (extensible) {
+      buf.putShort(22.toShort) // cbSize
+        .putShort(16.toShort) // valid bits per sample
+        .putInt((1 << channels) - 1) // channel mask: the first n speakers
+        .putShort(1.toShort) // SubFormat tag: PCM
+        .put(KsDataFormatGuidTail)
+    }
     buf.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody)
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     var i = 0
@@ -266,6 +274,16 @@ object MediaCodecs {
     }
     buf.array()
   }
+
+  /** WAVE_FORMAT_EXTENSIBLE format tag (0xFFFE as a signed short). */
+  private val WaveFormatExtensible: Short = -2
+
+  /** Fixed tail (bytes 2..15) of the KSDATAFORMAT_SUBTYPE_* GUIDs: the
+    * first two bytes carry the real format tag, the rest is constant
+    * `00 00 00 00 10 00 80 00 00 AA 00 38 9B 71`. */
+  private val KsDataFormatGuidTail: Array[Byte] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+    0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).map(_.toByte)
 
   /** Parsed fmt header plus the (single) data chunk's location — the ONE
     * RIFF chunk walker behind every WAV reader here, so container fixes
@@ -293,13 +311,29 @@ object MediaCodecs {
         case "fmt " =>
           val fmtEnd = buf.position() + size
           val audioFormat = buf.getShort
-          require(audioFormat == 1, s"only PCM supported, got format $audioFormat")
+          require(audioFormat == 1 || audioFormat == WaveFormatExtensible,
+            s"only PCM supported, got format $audioFormat")
           channels = buf.getShort
           sampleRate = buf.getInt
           buf.getInt // byte rate
           blockAlign = buf.getShort
           bits = buf.getShort
           require(bits == 16, s"only PCM16 supported, got $bits bits")
+          if (audioFormat == WaveFormatExtensible) {
+            // WAVE_FORMAT_EXTENSIBLE: the REAL format tag lives in the
+            // first two bytes of the 16-byte SubFormat GUID after
+            // cbSize(22)/validBits/channelMask; the GUID tail is fixed
+            require(size >= 40, s"extensible fmt chunk too short ($size)")
+            val cbSize = buf.getShort
+            require(cbSize >= 22, s"extensible cbSize $cbSize < 22")
+            buf.getShort // valid bits per sample (container bits govern)
+            buf.getInt // channel mask
+            val subTag = buf.getShort
+            require(subTag == 1, s"only PCM SubFormat supported, got $subTag")
+            val tail = new Array[Byte](14); buf.get(tail)
+            require(java.util.Arrays.equals(tail, KsDataFormatGuidTail),
+              "SubFormat GUID tail is not the fixed KSDATAFORMAT tail")
+          }
           buf.position(fmtEnd)
           sawFmt = true
         case "data" =>

@@ -64,6 +64,15 @@ object MediaCodecsProps extends Properties("graft.ext.MediaCodecs") {
         m.bitsPerSample == 16 && m.nSamples == n.toLong && stats
     }
 
+  property("WAVE_FORMAT_EXTENSIBLE decodes identically to classic PCM") =
+    forAll(genWav) { case (n, rate, amp, channels) =>
+      val classic = MediaCodecs.decodeWav(
+        MediaCodecs.encodeWavPcm16(n, rate, amp, channels))
+      val ext = MediaCodecs.decodeWav(
+        MediaCodecs.encodeWavPcm16(n, rate, amp, channels, extensible = true))
+      classic == ext
+    }
+
   property("wavWindows partitions samples exactly; every window keeps the amplitude") =
     forAll(genWav.suchThat(_._1 > 0), Gen.choose(1, 500)) {
       case ((n, rate, amp, channels), win) =>

@@ -137,6 +137,26 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE: decodes like classic PCM; non-PCM SubFormat rejected, permissive row not crash") {
+    import spark.implicits._
+    val ext = MediaCodecs.encodeWavPcm16(10, 8000, 5.toShort, extensible = true)
+    assert(MediaCodecs.decodeWav(ext) ==
+      MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm16(10, 8000, 5.toShort)))
+    // the REAL format tag is the SubFormat GUID's first two bytes at offset
+    // 44 (RIFF12 + fmt-header8 + std-fmt16 + cbSize2 + validBits2 + mask4);
+    // flip PCM(1) → IEEE float(3): a strict parse must hard-error
+    val bad = ext.clone()
+    bad(44) = 3
+    val e = intercept[IllegalArgumentException](MediaCodecs.decodeWav(bad))
+    assert(e.getMessage.contains("SubFormat"))
+    // and the permissive Spark path turns it into an error ROW
+    val rows = Multimodal.withAudioMetaPermissive(
+        Seq((1L, ext), (2L, bad)).toDF("doc_id", "audio"), "doc_id", "audio")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Int]("sample_rate") == 8000 && rows(0).isNullAt(5))
+    assert(rows(1).isNullAt(1) && rows(1).getAs[String]("error").contains("SubFormat"))
+  }
+
   test("frame stream: signature-scan count + first-frame decode") {
     val payload = MediaCodecs.encodeFrameStream(20, 12, Seq(0x112233, 0x445566, 0x778899))
     val (n, w, h) = MediaCodecs.frameStreamStats(payload)
