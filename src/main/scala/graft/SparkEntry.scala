@@ -254,10 +254,17 @@ object SparkEntry {
     }),
 
     "q_load_inline_json" -> ((s, dir) => {
-      // LoadInlineJsonDatasetOp: dataset carried in the spec itself
-      import s.implicits._
-      Seq((1L, "alpha", true), (2L, "beta", false), (3L, "gamma", true))
-        .toDF("id", "name", "flag").orderBy(col("id"))
+      // LoadInlineJsonDatasetOp THROUGH THE RUNNER: the dataset rides in
+      // the spec itself (ephemeral — no store write). Materialized by the
+      // engine rather than restated inline, so a broken inline decode path
+      // hash-fails against the oracle's constants.
+      val r = runnerFor(s)
+      val ds = LoadInlineJsonDatasetOp(Map(
+        "id" -> Seq(1L, 2L, 3L),
+        "name" -> Seq("alpha", "beta", "gamma"),
+        "flag" -> Seq(true, false, true)))
+      r.toFrame(ds).select(col("id"), col("name"), col("flag"))
+        .orderBy(col("id"))
     }),
 
     "q_load_jsonl" -> ((s, dir) => {

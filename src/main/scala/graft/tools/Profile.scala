@@ -18,7 +18,9 @@ object Profile {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse {
+      System.err.println("usage: Profile <sfDir> [filter]"); sys.exit(2)
+    }
     val only = args.lift(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
