@@ -116,6 +116,24 @@ class MultiProcessStoreSpec extends SparkTestBase {
     }
   }
 
+  test("crash debris: a dirty done-less result dir is replaced, not merged") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    val op = outputs.head
+    // simulate a writer that died mid-persist under the OLD in-place write:
+    // a result.parquet dir holding a stray part file, with NO done marker
+    val dirty = Paths.get(r.opDir(op).toString, "result.parquet")
+    Files.createDirectories(dirty)
+    Files.writeString(dirty.resolve("part-00000-dead-writer.parquet"), "junk")
+    val expected = snapshot(new LocalSparkRunner(spark, newStoreDir()), op)
+    r.materialize(op)
+    assert(r.status(op).state == OpState.Completed)
+    // the junk part file is gone (a merge would have kept it and a read
+    // would have failed or duplicated rows)
+    assert(!Files.exists(dirty.resolve("part-00000-dead-writer.parquet")))
+    assert(snapshot(new LocalSparkRunner(spark, store), op) == expected)
+  }
+
   test("write-through cached JVMs sharing one remote store converge too") {
     val shared = newStoreDir()
     val graph = Paths.get(shared, "graph.json")
