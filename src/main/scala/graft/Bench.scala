@@ -52,15 +52,32 @@ object Bench {
       val r = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_EVEN)
       r.bigDecimal.stripTrailingZeros.toPlainString
     }
-    // 0.1s per query: 82 quoted names already dominate the line; finer
+    // 0.1s per query: 88 quoted names already dominate the line; finer
     // precision is what Profile is for
-    val qs = steady.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
-      .mkString("{", ",", "}")
+    def renderQs(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
+        .mkString("{", ",", "}")
     // exclude failure sentinels from the headline total (a broken query
     // must not SUBTRACT from it either)
     def total(m: Map[String, Double]): String =
       fmt(m.values.filter(_ >= 0).sum, 3)
-    println(s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs,"cold":${total(cold)},"sf":"${sfDir.split('/').last}"}""")
+    def line(qs: String, omitted: Int): String = {
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${total(steady)},"unit":"sec","queries":$qs$om,"cold":${total(cold)},"sf":"${sfDir.split('/').last}"}"""
+    }
+    // HARD budget: the driver keeps only a 2000-char tail of stdout, and a
+    // head-truncated line is unparseable (parsed:null zeroes the round's
+    // bench). If the full map would cross the budget — 3-4 digit values at
+    // a larger sf, or more queries — drop the FASTEST queries (failures,
+    // -1 sentinels, are never dropped) and say how many were omitted.
+    var kept = steady
+    while (line(renderQs(kept), steady.size - kept.size).length > 1900
+           && kept.nonEmpty) {
+      val droppable = kept.filter(_._2 >= 0)
+      if (droppable.isEmpty) kept = Map.empty
+      else kept = kept - droppable.minBy(_._2)._1
+    }
+    println(line(renderQs(kept), steady.size - kept.size))
     SparkEntry.closeRunner(spark)
     spark.stop()
   }

@@ -26,9 +26,13 @@ object SparkEntry {
   /** Plant offset for planted-copy fixtures: max(id)+1, so planted ids can
     * never collide with real ids at any scale factor. One tiny max-agg job
     * over a pruned single-column scan; the oracle SQL derives the same
-    * offset with `(SELECT max(id)+1 FROM t)`. */
-  private def plantOffset(df: DataFrame, idCol: String): Long =
-    df.agg(max(col(idCol)).cast("long")).head.getLong(0) + 1L
+    * offset with `(SELECT max(id)+1 FROM t)`. An EMPTY table yields offset
+    * 0 — the planted set is empty too, matching the oracle's empty result
+    * instead of throwing on the null max. */
+  private def plantOffset(df: DataFrame, idCol: String): Long = {
+    val row = df.agg(max(col(idCol)).cast("long")).head
+    if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
+  }
 
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as Long
     * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench).

@@ -472,8 +472,11 @@ object MediaCodecs {
     * concatenated-PNG payload. After a signature match the CHUNK LIST is
     * walked to IEND to find the true frame end, so signature bytes that
     * happen to occur inside IDAT compressed data can never start a phantom
-    * frame. A trailing frame whose chunk list is truncated still counts
-    * (it extends to end-of-stream), preserving permissive-parse behavior. */
+    * frame. A frame whose chunk list is corrupt or truncated still counts,
+    * and the scan RESUMES past its signature — later intact frames are
+    * found again at their signatures (the old byte-scanner's mid-stream
+    * recovery), the corrupt frame merely absorbs the garbage up to the
+    * next signature. */
   def frameOffsets(bytes: Array[Byte]): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var i = 0
@@ -482,7 +485,7 @@ object MediaCodecs {
       while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
       if (j == PngSig.length) {
         out += i
-        i = pngFrameEnd(bytes, i).getOrElse(bytes.length)
+        i = pngFrameEnd(bytes, i).getOrElse(i + PngSig.length)
       } else i += 1
     }
     out.result()

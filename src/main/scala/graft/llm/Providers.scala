@@ -86,8 +86,12 @@ object ModelRegistry {
   register("ollama")(rest => new HttpProvider(
     s"${ollamaUrl.stripSuffix("/")}/api/embed", model = Some(rest),
     lastLayerOnly = true, scheme = "ollama"))
+  // st: embedding endpoints also only serve last-layer pooled embeddings —
+  // without the contract check, layerNum=3 would SILENTLY return last-layer
+  // vectors labeled as layer-3 activations
   private val stFactory: String => ModelProvider =
-    rest => new HttpProvider(embedUrl, model = Some(rest), scheme = "st")
+    rest => new HttpProvider(embedUrl, model = Some(rest),
+      lastLayerOnly = true, scheme = "st")
   register("st")(stFactory)
   register("sentencetransformer")(stFactory)
 }

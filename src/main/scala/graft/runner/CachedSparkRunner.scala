@@ -175,24 +175,8 @@ class CachedSparkRunner(
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      // materialize the listing before deleting under the open walk stream;
-      // best-effort per path — a concurrent cross-process writer renaming
-      // INTO the tree mid-delete would make strict deletion throw, and
-      // every caller re-examines or re-verifies the directory afterwards
-      val paths = {
-        val s = Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList
-        } finally s.close()
-      }
-      paths.sortBy(_.toString).reverse.foreach { f =>
-        try Files.deleteIfExists(f)
-        catch { case _: java.nio.file.FileSystemException => () }
-      }
-    }
+  // (recursive delete shared from LocalSparkRunner.deleteRecursively —
+  // one best-effort protocol for both tiers)
 
   // Pull concurrency discipline: pulls of the SAME op are serialized
   // within the JVM (per-uuid lock), and each attempt stages into a tmp dir

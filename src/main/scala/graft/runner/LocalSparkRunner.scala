@@ -509,6 +509,14 @@ class LocalSparkRunner(
       // Exception is only thrown by delete paths) — so the race catches
       // below must be that broad, with "did the target actually land"
       // distinguishing a lost race from a genuine IO failure.
+      //
+      // A pre-existing done-less target (crash debris, or a racer between
+      // its rename and its done write) is claimed by ATOMIC RENAME-ASIDE,
+      // never by slow recursive delete: if the racer's done marker lands
+      // while we hold its result aside, we restore it atomically — so the
+      // done-but-no-result window is two renames wide, not a whole
+      // parquet-directory delete wide, and [[readResult]]'s bounded re-check
+      // absorbs it.
       var attempts = 0
       var placed = false
       var lastErr: Option[java.nio.file.FileSystemException] = None
@@ -516,7 +524,23 @@ class LocalSparkRunner(
         attempts += 1
         if (Files.exists(target)) {
           if (Files.exists(donePath(op))) placed = true // completed winner stands
-          else deleteRecursively(target) // dirty or not-yet-done racer: replace
+          else {
+            val aside = target.getParent.resolve(
+              "." + target.getFileName + ".aside" + ProcessHandle.current().pid() +
+                "t" + Thread.currentThread().getId + "n" + persistNonce.incrementAndGet())
+            try {
+              Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
+              if (Files.exists(donePath(op))) {
+                // the racer committed between our check and the move-aside:
+                // its result is the published one — put it straight back
+                try { Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
+                catch { case _: java.nio.file.FileSystemException =>
+                  () } // yet another racer re-filled target; loop re-checks
+              }
+            } catch { // move-aside lost to a concurrent claim; loop re-checks
+              case e: java.nio.file.FileSystemException => lastErr = Some(e)
+            } finally deleteRecursively(aside)
+          }
         }
         if (!placed && !Files.exists(target)) {
           try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
@@ -525,19 +549,25 @@ class LocalSparkRunner(
           }
         }
       }
-      // unplaced with the target present: a racer kept re-winning — its
-      // result is complete and content-addressed-interchangeable. Unplaced
-      // with NO target is a genuine persist failure, not a race.
-      if (!placed && !Files.exists(target))
-        throw lastErr.getOrElse(new IllegalStateException(
-          s"persist of ${op.uuid} could not claim $target"))
+      if (!placed) {
+        // a surviving target is only trustworthy with its done marker (a
+        // racer's committed result, content-addressed-interchangeable with
+        // ours). Anything else — no target, or an unclaimable done-less
+        // target — must FAIL here rather than let the caller publish a
+        // done marker over state this writer never verified.
+        if (!(Files.exists(target) && Files.exists(donePath(op))))
+          throw lastErr.getOrElse(new IllegalStateException(
+            s"persist of ${op.uuid} could not claim $target"))
+      }
     } finally deleteRecursively(tmp)
   }
 
   /** Best-effort recursive delete: a concurrent writer renaming INTO the
-    * tree mid-delete (shared-store race) makes strict deletion throw; the
-    * persist loop re-examines the dir, so partial progress is fine. */
-  private def deleteRecursively(p: Path): Unit =
+    * tree mid-delete (shared-store race) makes strict deletion throw; every
+    * caller re-examines or re-verifies the directory afterwards, so partial
+    * progress is fine. Shared with the cached tier (one protocol, one
+    * implementation). */
+  protected def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val paths = {
         val s = Files.walk(p)
@@ -553,14 +583,24 @@ class LocalSparkRunner(
     }
 
   private def readResult(op: OpSpec): MatResult = {
-    if (Files.exists(resultParquet(op)))
-      FrameResult(spark.read.parquet(resultParquet(op).toString))
-    else if (Files.exists(resultJson(op)))
-      JsonResult(Json.parse(Files.readString(resultJson(op))))
-    else if (Files.exists(modelDir(op)))
-      ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
-    else throw new IllegalStateException(
-      s"done marker present but no result for ${op.uuid}")
+    // bounded re-check: a cross-process replace claim ([[persistStaged]])
+    // has a two-rename-wide window where done exists but the result is
+    // mid-swap; one short retry absorbs it, a persistent absence still
+    // throws (genuinely missing result)
+    var attempt = 0
+    while (true) {
+      if (Files.exists(resultParquet(op)))
+        return FrameResult(spark.read.parquet(resultParquet(op).toString))
+      else if (Files.exists(resultJson(op)))
+        return JsonResult(Json.parse(Files.readString(resultJson(op))))
+      else if (Files.exists(modelDir(op)))
+        return ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
+      attempt += 1
+      if (attempt >= 3) throw new IllegalStateException(
+        s"done marker present but no result for ${op.uuid}")
+      Thread.sleep(50L * attempt)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   // ---------------- per-op implementations ----------------

@@ -182,6 +182,12 @@ class MultimodalSpec extends SparkTestBase {
     // a truncated trailing frame still counts, extending to end-of-stream
     val trunc = booby ++ sig ++ chunk("teXt", "x".getBytes("US-ASCII")).take(6)
     assert(MediaCodecs.frameOffsets(trunc) == Seq(0, booby.length))
+    // MID-stream corruption must not swallow later frames: the scan resumes
+    // past the corrupt frame's signature and recovers the intact ones
+    val corrupt = sig ++ chunk("teXt", "x".getBytes("US-ASCII")).take(6)
+    val recovered = corrupt ++ booby ++ booby
+    assert(MediaCodecs.frameOffsets(recovered) ==
+      Seq(0, corrupt.length, corrupt.length + booby.length))
   }
 
   test("splitFrames yields standalone decodable frames in order") {
