@@ -111,7 +111,7 @@ object Cli {
   private def usage(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: Cli <run|status|summary|print|make-group|config> [--store DIR] [--cache DIR] [--graph FILE]\n" +
+      "usage: Cli <run|materialize|status|summary|print|make-group|config> [--store DIR] [--cache DIR] [--graph FILE]\n" +
         "  config [--set-runner-type T] [--set-store-uri U] [--set-cache-path P]\n" +
         "  (--store defaults to the configured store_uri: flag > GRAFT_* env > config file)\n" +
         "  [--filter-uuid S] [--filter-type T] [--filter-param P] [--filter-code C]\n" +
@@ -201,7 +201,9 @@ object Cli {
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
     a.command match {
-      case "run" => cmdRun(a)
+      // the reference names the command `materialize` with alias `run`
+      // (`cli.py:538`); both accepted here
+      case "run" | "materialize" => cmdRun(a)
       case "status" => cmdStatus(a)
       case "summary" => cmdSummary(a)
       case "print" => cmdPrint(a)

@@ -73,6 +73,16 @@ class CliSpec extends SparkTestBase {
     }
   }
 
+  test("materialize is accepted as the run command's primary name") {
+    // the reference's command is `materialize` with alias `run` (cli.py:538)
+    val store = newStoreDir()
+    val op = AssignRowIDOp(LoadInlineJsonDatasetOp(Map("m" -> Seq(7L, 8L))))
+    val g = writeGraph(store, op)
+    val out = withStdout(Cli.main(Array("materialize", "--store", store, "--graph", g)))
+    assert(out.contains(s"${op.uuid}: completed"))
+    assert(new LocalSparkRunner(spark, store).isDone(op))
+  }
+
   test("status without --graph rehydrates ops from the store") {
     val store = newStoreDir()
     val ds = LoadInlineJsonDatasetOp(Map("y" -> Seq("a", "b")))
