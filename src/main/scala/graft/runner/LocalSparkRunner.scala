@@ -520,45 +520,72 @@ class LocalSparkRunner(
       var attempts = 0
       var placed = false
       var lastErr: Option[java.nio.file.FileSystemException] = None
-      while (!placed && attempts < 5) {
-        attempts += 1
-        if (Files.exists(target)) {
-          if (Files.exists(donePath(op))) placed = true // completed winner stands
-          else {
-            val aside = target.getParent.resolve(
-              "." + target.getFileName + ".aside" + ProcessHandle.current().pid() +
-                "t" + Thread.currentThread().getId + "n" + persistNonce.incrementAndGet())
-            try {
-              Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
-              if (Files.exists(donePath(op))) {
-                // the racer committed between our check and the move-aside:
-                // its result is the published one — put it straight back
-                try { Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
-                catch { case _: java.nio.file.FileSystemException =>
-                  () } // yet another racer re-filled target; loop re-checks
+      // A claimed-aside racer result is held UNTIL this writer's own
+      // placement succeeds: the racer doesn't know its result was taken and
+      // will still publish its done marker, so discarding the aside before
+      // we have placed OUR result can strand the store in a permanent
+      // done-without-result state if our rename then fails for real. On
+      // final failure the held aside (a COMPLETE, content-addressed-
+      // interchangeable result) is restored onto the target instead.
+      var heldAside: Option[Path] = None
+      def dropAside(): Unit = { heldAside.foreach(deleteRecursively); heldAside = None }
+      try {
+        while (!placed && attempts < 5) {
+          attempts += 1
+          if (Files.exists(target)) {
+            if (Files.exists(donePath(op))) placed = true // completed winner stands
+            else {
+              val aside = target.getParent.resolve(
+                "." + target.getFileName + ".aside" + ProcessHandle.current().pid() +
+                  "t" + Thread.currentThread().getId + "n" + persistNonce.incrementAndGet())
+              try {
+                Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
+                dropAside() // superseded by this fresher claim
+                heldAside = Some(aside)
+                if (Files.exists(donePath(op))) {
+                  // the racer committed between our check and the move-aside:
+                  // its result is the published one — put it straight back
+                  try {
+                    Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
+                    heldAside = None; placed = true
+                  } catch { case _: java.nio.file.FileSystemException =>
+                    () } // yet another racer re-filled target; loop re-checks
+                }
+              } catch { // move-aside lost to a concurrent claim; loop re-checks
+                case e: java.nio.file.FileSystemException => lastErr = Some(e)
               }
-            } catch { // move-aside lost to a concurrent claim; loop re-checks
+            }
+          }
+          if (!placed && !Files.exists(target)) {
+            try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
+            catch { // racer renamed in between our check and move; loop re-checks
               case e: java.nio.file.FileSystemException => lastErr = Some(e)
-            } finally deleteRecursively(aside)
+            }
           }
         }
-        if (!placed && !Files.exists(target)) {
-          try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); placed = true }
-          catch { // racer renamed in between our check and move; loop re-checks
-            case e: java.nio.file.FileSystemException => lastErr = Some(e)
+        if (!placed) {
+          // a surviving target is only trustworthy with its done marker (a
+          // racer's committed result, content-addressed-interchangeable with
+          // ours). Failing that, restore a held aside — the racer whose
+          // result we took may still publish done, and the restore makes
+          // that marker truthful again. Only when neither holds may this
+          // writer FAIL (and it must, rather than let the caller publish a
+          // done marker over state this writer never verified).
+          if (!(Files.exists(target) && Files.exists(donePath(op)))) {
+            heldAside match {
+              case Some(aside) if !Files.exists(target) =>
+                try {
+                  Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
+                  heldAside = None; placed = true
+                } catch { case _: java.nio.file.FileSystemException => () }
+              case _ => ()
+            }
+            if (!placed)
+              throw lastErr.getOrElse(new IllegalStateException(
+                s"persist of ${op.uuid} could not claim $target"))
           }
         }
-      }
-      if (!placed) {
-        // a surviving target is only trustworthy with its done marker (a
-        // racer's committed result, content-addressed-interchangeable with
-        // ours). Anything else — no target, or an unclaimable done-less
-        // target — must FAIL here rather than let the caller publish a
-        // done marker over state this writer never verified.
-        if (!(Files.exists(target) && Files.exists(donePath(op))))
-          throw lastErr.getOrElse(new IllegalStateException(
-            s"persist of ${op.uuid} could not claim $target"))
-      }
+      } finally dropAside()
     } finally deleteRecursively(tmp)
   }
 
@@ -589,12 +616,23 @@ class LocalSparkRunner(
     // throws (genuinely missing result)
     var attempt = 0
     while (true) {
-      if (Files.exists(resultParquet(op)))
-        return FrameResult(spark.read.parquet(resultParquet(op).toString))
-      else if (Files.exists(resultJson(op)))
-        return JsonResult(Json.parse(Files.readString(resultJson(op))))
-      else if (Files.exists(modelDir(op)))
-        return ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
+      // the READ itself is inside the retry, not just the exists() probe: a
+      // cross-process aside/restore swap between exists() and the parquet
+      // footer read (or the JSON/model load) surfaces as AnalysisException /
+      // FileNotFoundException / NoSuchFileException and must be absorbed by
+      // the same bounded re-check, not escape as a materialize failure
+      try {
+        if (Files.exists(resultParquet(op)))
+          return FrameResult(spark.read.parquet(resultParquet(op).toString))
+        else if (Files.exists(resultJson(op)))
+          return JsonResult(Json.parse(Files.readString(resultJson(op))))
+        else if (Files.exists(modelDir(op)))
+          return ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException
+           | _: java.io.FileNotFoundException
+           | _: java.nio.file.NoSuchFileException if attempt < 2 => ()
+      }
       attempt += 1
       if (attempt >= 3) throw new IllegalStateException(
         s"done marker present but no result for ${op.uuid}")
