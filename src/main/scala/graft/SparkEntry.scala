@@ -1329,8 +1329,117 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($expr), i+1, 1)) - 1) * pow(16, 7-i)" +
       ")) / 2147483648.0 - 1.0)"
 
+  /** Full DuckDB replay of the q_dedup_minhash pipeline — the same
+    * falsifiability standard as q_ann_ivf_pruned's IVF replay, applied to
+    * the 64-perm MinHash + 16-band LSH + exact-Jaccard verify chain. All
+    * mod-2⁶⁴ arithmetic (word FNV+avalanche hashes, gram folds, affine
+    * permutations, band folds) runs in HUGEINT with 32-bit-split wrapping
+    * multiplies; the signature min is taken over SIGNED values (the Scala
+    * `v < out(p)` comparison is signed-Long); the per-permutation affine
+    * coefficients come from [[graft.ext.Dedup.minhashCoefficients]] so the
+    * constants can never drift from the engine. String shingles stand in
+    * for the engine's hashed shingles in the Jaccard verify (equal absent
+    * a 64-bit in-pair collision, ≈1e-12 — see hashedShinglesUdf's note). */
+  private def minhashFullOracleSql: String = {
+    val (as_, bs_) = graft.ext.Dedup.minhashCoefficients(64)
+    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+    def h(s: String): String = s"CAST($s AS HUGEINT)"
+    val M64 = "18446744073709551616"
+    val M32 = "4294967296"
+    val FnvPrime = "1099511628211"
+    val FnvOff = h("1469598103934665603")            // hash64 seed-0 init
+    val AvaK = h("18397679294719823053")             // 0xFF51AFD7ED558CCD
+    val GramInit = h("14695981039346656037")         // unsigned(-3750763034362895579)
+    // (x*y) mod 2^64 via 32-bit split: every partial product < 2^97, fits HUGEINT
+    def mulfull(x: String, y: String): String =
+      s"((($x) % $M32) * (($y) % $M32) + (((($x) % $M32) * (($y) // $M32) + " +
+        s"(($x) // $M32) * (($y) % $M32)) % $M32) * $M32) % $M64"
+    // one step of the gram/band FNV chain: h -> ((h*prime) mod 2^64) xor x
+    def gstep(hh: String, x: String): String =
+      s"xor((($hh) * $FnvPrime) % $M64, $x)"
+    val pa = "[" + as_.map(a => h(u(a))).mkString(",") + "]"
+    val pb = "[" + bs_.map(b => h(u(b))).mkString(",") + "]"
+    val bandFold = (0 until 4).map { i =>
+      val prev = if (i == 0) "h0" else s"h$i"
+      s"    ${gstep(prev, s"sig[CAST(b AS INT)*4+${i + 1}]")} AS h${i + 1},"
+    }.mkString("\n")
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0) AS words
+       |  FROM documents),
+       |wh0 AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(
+       |      list_prepend($FnvOff,
+       |        list_transform(range(length(w)), k -> CAST(unicode(substr(w, CAST(k AS INT)+1, 1)) AS HUGEINT))),
+       |      (h, c) -> (xor(h, c) * $FnvPrime) % $M64) AS r0,
+       |    xor(r0, r0 >> 33) AS r1,
+       |    ${mulfull("r1", AvaK)} AS r2,
+       |    xor(r2, r2 >> 33) AS wh
+       |  FROM (SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS w FROM w0)),
+       |whl AS (
+       |  SELECT w0.doc_id, coalesce(g.whl, []) AS whl
+       |  FROM w0 LEFT JOIN (SELECT doc_id, list(wh ORDER BY i) AS whl FROM wh0 GROUP BY doc_id) g
+       |  USING (doc_id)),
+       |gh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(whl) >= 3 THEN
+       |      list_transform(range(len(whl) - 2), g ->
+       |        ${gstep(gstep(gstep(GramInit.toString, "whl[CAST(g AS INT)+1]"), "whl[CAST(g AS INT)+2]"), "whl[CAST(g AS INT)+3]")})
+       |    WHEN len(whl) > 0 THEN
+       |      [list_reduce(list_prepend($GramInit, whl), (h, x) -> ${gstep("h", "x")})]
+       |    ELSE [] END AS ghs
+       |  FROM whl),
+       |sigv AS (
+       |  SELECT doc_id, p,
+       |    min(CAST(v - CASE WHEN v >= 9223372036854775808 THEN $M64 ELSE 0 END AS BIGINT)) AS sv
+       |  FROM (
+       |    SELECT doc_id, pm.p, (${mulfull("pm.a", "gr.h")} + pm.b) % $M64 AS v
+       |    FROM (SELECT doc_id, unnest(ghs) AS h FROM gh WHERE len(ghs) > 0) gr,
+       |         (SELECT CAST(i AS INT) AS p, ($pa)[CAST(i AS INT)+1] AS a, ($pb)[CAST(i AS INT)+1] AS b FROM range(64) t(i)) pm)
+       |  GROUP BY doc_id, p),
+       |sigl AS (
+       |  SELECT gh.doc_id,
+       |    CASE WHEN len(gh.ghs) = 0 THEN [CAST(9223372036854775807 AS HUGEINT) FOR x IN range(64)]
+       |    ELSE s.sig END AS sig
+       |  FROM gh LEFT JOIN (
+       |    SELECT doc_id, list(CAST(sv + CASE WHEN sv < 0 THEN $M64 ELSE 0 END AS HUGEINT) ORDER BY p) AS sig
+       |    FROM sigv GROUP BY doc_id) s USING (doc_id)),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |    xor($FnvOff, CAST(b AS HUGEINT)) AS h0,
+       |$bandFold
+       |    xor(h4, h4 >> 33) AS a1,
+       |    ${mulfull("a1", AvaK)} AS a2,
+       |    xor(a2, a2 >> 33) AS a3,
+       |    ((a3 % 9223372036854775808) | (CAST(b AS HUGEINT) * 72057594037927936)) AS band_key
+       |  FROM sigl, range(16) t(b)),
+       |sz AS (SELECT band_key, count(*) AS n FROM bands GROUP BY 1),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y USING (band_key) JOIN sz USING (band_key)
+       |  WHERE sz.n > 1 AND sz.n <= 1000 AND x.doc_id < y.doc_id),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+       |    SELECT doc_id,
+       |    CASE WHEN len(words) >= 3 THEN
+       |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+       |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+       |    ELSE [] END AS ngrams
+       |    FROM w0))
+       |SELECT id_a, id_b,
+       |  CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0 THEN
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |  ELSE 0.0 END AS jaccard
+       |FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+       |WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (same column names & order-by). */
   def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_minhash" -> minhashFullOracleSql,
 
     "q_runner_slice" ->
       """WITH base AS (

@@ -76,10 +76,17 @@ object Dedup {
     * earlier form (building + hashing O(total chars) shingle strings per
     * doc, ~4.7 s for 5k docs at sf0.1 → string-free integer mixing).
     */
+  /** The deterministic per-permutation affine coefficients of
+    * [[minhashSignatureUdf]], exposed so the DuckDB oracle can replay the
+    * exact signature arithmetic with the same constants (embedded as
+    * HUGEINT literals in the generated SQL). */
+  def minhashCoefficients(numPerms: Int): (Array[Long], Array[Long]) =
+    (Array.tabulate(numPerms)(p => hash64(p, "minhash-a") | 1L),
+     Array.tabulate(numPerms)(p => hash64(p, "minhash-b")))
+
   def minhashSignatureUdf(numPerms: Int, shingleN: Int) = {
     // deterministic per-permutation affine coefficients (odd a)
-    val as = Array.tabulate(numPerms)(p => hash64(p, "minhash-a") | 1L)
-    val bs = Array.tabulate(numPerms)(p => hash64(p, "minhash-b"))
+    val (as, bs) = minhashCoefficients(numPerms)
     udf { words: scala.collection.Seq[String] =>
       val out = Array.fill(numPerms)(Long.MaxValue)
       if (words != null && words.nonEmpty) {

@@ -472,20 +472,33 @@ object MediaCodecs {
     * concatenated-PNG payload. After a signature match the CHUNK LIST is
     * walked to IEND to find the true frame end, so signature bytes that
     * happen to occur inside IDAT compressed data can never start a phantom
-    * frame. A frame whose chunk list is corrupt or truncated still counts,
-    * and the scan RESUMES past its signature — later intact frames are
-    * found again at their signatures (the old byte-scanner's mid-stream
-    * recovery), the corrupt frame merely absorbs the garbage up to the
-    * next signature. */
+    * frame. A frame whose chunk list is corrupt or truncated still counts
+    * (it absorbs the garbage up to the next VALID frame), but while
+    * recovering from a failed walk, a candidate signature is accepted only
+    * if its OWN chunk walk validates — signature bytes embedded inside the
+    * corrupt frame's chunk data cannot start a phantom frame either. The
+    * one undetectable case left: a trailing truncated-but-real frame that
+    * directly follows a corrupt frame is skipped (indistinguishable from
+    * embedded garbage without a complete chunk list). */
   def frameOffsets(bytes: Array[Byte]): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var i = 0
+    var recovering = false
     while (i <= bytes.length - PngSig.length) {
       var j = 0
       while (j < PngSig.length && bytes(i + j) == PngSig(j)) j += 1
       if (j == PngSig.length) {
-        out += i
-        i = pngFrameEnd(bytes, i).getOrElse(i + PngSig.length)
+        val end = pngFrameEnd(bytes, i)
+        if (!recovering) {
+          out += i
+          end match {
+            case Some(e) => i = e
+            case None    => recovering = true; i += PngSig.length
+          }
+        } else end match {
+          case Some(e) => out += i; i = e; recovering = false
+          case None    => i += 1 // embedded signature bytes, keep scanning
+        }
       } else i += 1
     }
     out.result()

@@ -188,6 +188,16 @@ class MultimodalSpec extends SparkTestBase {
     val recovered = corrupt ++ booby ++ booby
     assert(MediaCodecs.frameOffsets(recovered) ==
       Seq(0, corrupt.length, corrupt.length + booby.length))
+    // signature bytes embedded in a CORRUPT frame's chunk data: the failed
+    // chunk walk switches the scan to recovery mode, where a candidate
+    // signature counts only if its own chunk walk validates — the embedded
+    // signature (followed by garbage, walk fails) is skipped, the next
+    // intact frame is still found
+    val hugeLen = Array(0x7f, 0xff, 0xff, 0xff).map(_.toByte)
+    val corruptEmb = sig ++ hugeLen ++ "teXt".getBytes("US-ASCII") ++
+      sig ++ "junk".getBytes("US-ASCII")
+    assert(MediaCodecs.frameOffsets(corruptEmb ++ booby) ==
+      Seq(0, corruptEmb.length))
   }
 
   test("splitFrames yields standalone decodable frames in order") {
