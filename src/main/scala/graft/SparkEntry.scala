@@ -1436,10 +1436,69 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Full DuckDB replay of q_dedup_simhash: per-token hash64 (same word
+    * hash as the minhash oracle), per-bit majority vote over the token
+    * MULTISET, 64-bit sketch reassembly, pigeonhole banding (maxHamming+1
+    * bit-slice bands keyed with the band id folded at bit 58), bucket
+    * self-join under the maxBucket guard, and bit_count hamming verify —
+    * mirroring [[graft.ext.Dedup.simhashNearDuplicates]] constant for
+    * constant. hamming is cast to INTEGER to match Spark's bit_count type. */
+  private def simhashFullOracleSql: String = {
+    val maxH = 8; val maxBucket = 10000
+    val numBands = maxH + 1
+    val base = 64 / numBands; val extra = 64 % numBands
+    val widths = Array.tabulate(numBands)(b => base + (if (b < extra) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val M64 = "18446744073709551616"
+    val M32 = "4294967296"
+    // band id << 58 folded in, same as the engine's lit(b << 58).bitwiseOR
+    val bandExprs = (0 until numBands).map { b =>
+      s"(CAST($b AS HUGEINT) * 288230376151711744 + ((sh >> ${starts(b)}) % ${1L << widths(b)}))"
+    }.mkString(",\n    ")
+    val avaK = "CAST(18397679294719823053 AS HUGEINT)"
+    s"""WITH w0 AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), x -> length(x) > 0) AS words
+       |  FROM documents),
+       |wh0 AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
+       |        list_transform(range(length(w)), k -> CAST(unicode(substr(w, CAST(k AS INT)+1, 1)) AS HUGEINT))),
+       |      (h, c) -> (xor(h, c) * 1099511628211) % $M64) AS r0,
+       |    xor(r0, r0 >> 33) AS r1,
+       |    (((r1) % $M32) * (($avaK) % $M32) + ((((r1) % $M32) * (($avaK) // $M32) + ((r1) // $M32) * (($avaK) % $M32)) % $M32) * $M32) % $M64 AS r2,
+       |    xor(r2, r2 >> 33) AS wh
+       |  FROM (SELECT doc_id, unnest(words) AS w FROM w0)),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CASE WHEN sum(CASE WHEN ((wh >> CAST(b AS INT)) % 2) = 1 THEN 1 ELSE -1 END) > 0
+       |      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS bit
+       |  FROM wh0, range(64) t(b) GROUP BY doc_id, b),
+       |shh AS (
+       |  SELECT w0.doc_id, coalesce(s.sh, CAST(0 AS HUGEINT)) AS sh
+       |  FROM w0 LEFT JOIN (
+       |    SELECT doc_id, sum(bit * (CAST(1 AS HUGEINT) << CAST(b AS INT))) AS sh
+       |    FROM bits GROUP BY doc_id) s USING (doc_id)),
+       |bands AS (
+       |  SELECT doc_id, sh, unnest([
+       |    $bandExprs]) AS band_key
+       |  FROM shh),
+       |sz AS (SELECT band_key, count(*) AS n FROM bands GROUP BY 1)
+       |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+       |FROM bands x JOIN bands y USING (band_key) JOIN sz USING (band_key)
+       |WHERE sz.n > 1 AND sz.n <= $maxBucket AND x.doc_id < y.doc_id
+       |  AND bit_count(xor(x.sh, y.sh)) <= $maxH
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL per query (same column names & order-by). */
   def oracleSql: Map[String, String] = Map(
 
     "q_dedup_minhash" -> minhashFullOracleSql,
+
+    "q_dedup_simhash" -> simhashFullOracleSql,
 
     "q_runner_slice" ->
       """WITH base AS (
