@@ -273,16 +273,18 @@ class LocalSparkRunner(
     * of the file bytes — NOT the path (reference `dataset_ops.py:61-72`,
     * `local_arrow_runner.py:154-198`). */
   def fromParquet(path: String): LoadLocalParquetDatasetOp =
-    LoadLocalParquetDatasetOp(contentHash = contentHashOf(path), filePath = path)
+    LoadLocalParquetDatasetOp(contentHash = contentHashOf(path, Some(spark)),
+      filePath = path)
 
   /** JSONL / CSV analogues of [[fromParquet]]: identity = streamed sha256
     * of the file bytes, never the path. */
   def fromJsonl(path: String): LoadLocalJsonlDatasetOp =
-    LoadLocalJsonlDatasetOp(contentHash = contentHashOf(path), filePath = path)
+    LoadLocalJsonlDatasetOp(contentHash = contentHashOf(path, Some(spark)),
+      filePath = path)
 
   def fromCsv(path: String, header: Boolean = true): LoadLocalCsvDatasetOp =
-    LoadLocalCsvDatasetOp(contentHash = contentHashOf(path), filePath = path,
-      header = header)
+    LoadLocalCsvDatasetOp(contentHash = contentHashOf(path, Some(spark)),
+      filePath = path, header = header)
 
   /** Materialize as a DataFrame (datasets and column ops). */
   def toFrame(op: OpSpec): DataFrame = materialize(op) match {
@@ -1193,41 +1195,95 @@ object LocalSparkRunner {
   private val hashMemo =
     scala.collection.mutable.HashMap.empty[(String, Long, Long), String]
 
-  /** Streamed sha256 of a parquet file or directory of files (sorted by
-    * relative path) — the dataset's identity. Memoized per (path, size,
-    * mtime) snapshot. */
-  def contentHashOf(path: String): String = {
+  // a directory dataset bigger than either bound hashes its files in a
+  // Spark job instead of serially on the driver — at 100 TB the per-file
+  // sha256 work is hours of driver time, but embarrassingly parallel
+  private val DistributeHashMinFiles = 64
+  private val DistributeHashMinBytes = 256L << 20
+
+  /** Dataset-identity digest, scheme `graft-dirhash-v2`:
+    *  - regular file → streamed sha256 of its bytes;
+    *  - directory → sha256 over the scheme tag + the per-file manifest
+    *    lines `<relpath>\n<sha256(bytes)>\n` sorted by relpath (dotfiles
+    *    excluded). Per-file hashes make the digest order-independent in
+    *    COMPUTATION (only the combine is ordered), so the driver computes
+    *    small datasets locally and hands large ones to a Spark job — both
+    *    produce the same digest, and uuids never depend on which path ran.
+    *    The driver only ever holds (relpath, hex) pairs — bounded by file
+    *    count, not data size.
+    * Memoized per (path, size, mtime) snapshot. */
+  def contentHashOf(path: String, spark: Option[SparkSession] = None): String = {
     val p0 = Paths.get(path)
     val (size, mtime) = {
       if (Files.isDirectory(p0)) {
-        val fs = walkRegularFiles(p0)
-        (fs.map(Files.size).sum,
-          fs.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
+        // mtime over files AND directories: a rename inside the dataset
+        // changes no file mtime but does touch its parent directory, and
+        // under the manifest scheme it changes the identity
+        import scala.jdk.CollectionConverters._
+        val s = Files.walk(p0)
+        val all = try s.iterator().asScala.toList finally s.close()
+        (all.filter(Files.isRegularFile(_)).map(Files.size).sum,
+          all.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
       } else (Files.size(p0), Files.getLastModifiedTime(p0).toMillis)
     }
     hashMemo.synchronized {
-      hashMemo.getOrElseUpdate((path, size, mtime), contentHashOf0(path))
+      hashMemo.getOrElseUpdate((path, size, mtime), contentHashOf0(path, spark, size))
     }
   }
 
-  private def contentHashOf0(path: String): String = {
+  private def contentHashOf0(path: String, spark: Option[SparkSession],
+                             totalBytes: Long): String = {
     val p = Paths.get(path)
+    if (!Files.isDirectory(p)) return FileHasher.sha256(path)
+    val files = walkRegularFiles(p)
+      .filterNot(_.getFileName.toString.startsWith("."))
+    val pairs = spark match {
+      case Some(s) if files.length > DistributeHashMinFiles ||
+                      totalBytes > DistributeHashMinBytes =>
+        distributedFileHashes(s, p, files)
+      case _ =>
+        files.map(f => p.relativize(f).toString -> FileHasher.sha256(f.toString))
+    }
+    combineManifest(pairs)
+  }
+
+  /** Per-file sha256 via a Spark job — one task per file (tiny payloads:
+    * only (relpath, hex) strings cross the wire; collect is bounded by
+    * file count). Exposed for the equality spec. */
+  private[graft] def distributedFileHashes(spark: SparkSession, root: Path,
+                                           files: Seq[Path]): Seq[(String, String)] = {
+    val paths = files.map(f => (root.relativize(f).toString, f.toString))
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(paths, slices)
+      .map { case (rel, abs) => (rel, FileHasher.sha256(abs)) }
+      .collect().toSeq
+  }
+
+  /** Combine per-file hashes into the dataset digest (order-canonical). */
+  private[graft] def combineManifest(pairs: Seq[(String, String)]): String = {
     val md = MessageDigest.getInstance("SHA-256")
-    def feed(f: Path): Unit = {
-      val in = Files.newInputStream(f)
+    md.update("graft-dirhash-v2\n".getBytes("UTF-8"))
+    pairs.sortBy(_._1).foreach { case (rel, h) =>
+      md.update(rel.getBytes("UTF-8")); md.update('\n'.toByte)
+      md.update(h.getBytes("UTF-8")); md.update('\n'.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Streamed sha256 of one file — a Serializable holder so the
+    * distributed-hash closure ships no outer state. */
+  private[graft] object FileHasher extends Serializable {
+    def sha256(path: String): String = {
+      val md = MessageDigest.getInstance("SHA-256")
+      val in = Files.newInputStream(Paths.get(path))
       try {
         val buf = new Array[Byte](1 << 16)
         var n = in.read(buf)
         while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
       } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
     }
-    if (Files.isDirectory(p)) {
-      walkRegularFiles(p)
-        .filterNot(_.getFileName.toString.startsWith("."))
-        .sortBy(_.toString)
-        .foreach(feed)
-    } else feed(p)
-    md.digest().map("%02x".format(_)).mkString
   }
 
   private def walkRegularFiles(root: Path): Seq[Path] = {

@@ -53,6 +53,40 @@ class RunnerSpec extends SparkTestBase {
     assert(r.toFrame(op1).count() == 2)
   }
 
+  test("directory hash: driver and distributed agree, dataset-dir rename invariant") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft-dh-")
+    import spark.implicits._
+    (1 to 500).toDF("n").repartition(4).write.parquet(s"$root/ds")
+    val p = Paths.get(s"$root/ds")
+    // driver-side digest (no SparkSession offered)
+    val local = LocalSparkRunner.contentHashOf(s"$root/ds")
+    // distributed per-file hashes + manifest combine must equal it exactly
+    // (bypasses the memo: the Spark job is forced regardless of size)
+    val files = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith(".")).toList
+      finally s.close()
+    }
+    val dist = LocalSparkRunner.combineManifest(
+      LocalSparkRunner.distributedFileHashes(spark, p, files))
+    assert(dist == local)
+    // renaming the DATASET directory keeps every relpath → same identity
+    val renamed = root.resolve("ds-moved")
+    Files.move(p, renamed)
+    assert(LocalSparkRunner.contentHashOf(renamed.toString) == local)
+    // renaming a file INSIDE the dataset changes the manifest → new identity
+    val inner = {
+      val s = Files.list(renamed)
+      try s.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet"))
+        .toList.minBy(_.toString)
+      finally s.close()
+    }
+    Files.move(inner, renamed.resolve("zz-renamed.parquet"))
+    assert(LocalSparkRunner.contentHashOf(renamed.toString) != local)
+  }
+
   test("fromJsonl / fromCsv: content identity, typed round-trip, select fusion") {
     val r = newRunner()
     val dir = Files.createTempDirectory("graft-fmt-")
