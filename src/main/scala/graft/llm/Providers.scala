@@ -27,8 +27,9 @@ trait ModelProvider extends Serializable {
   def logitScores(texts: Iterator[Seq[String]],
                   tokens: Seq[Any]): Iterator[Seq[Array[Double]]]
 
-  /** Text generation (unimplemented in the reference; implemented for the
-    * fake provider only). */
+  /** Text generation (unimplemented in the reference; served by the
+    * `fake:` provider and, beyond-parity, by `ollama:` via
+    * `/api/generate`). */
   def generate(prompts: Iterator[Seq[String]],
                maxTokens: Long): Iterator[Seq[String]]
 }
@@ -74,6 +75,14 @@ object ModelRegistry {
     cfg("graft.embed.url", "GRAFT_EMBED_URL",
       s"${ollamaUrl.stripSuffix("/")}/api/embed")
 
+  /** HTTP transport timeouts. Without these a hung endpoint blocks an
+    * executor task indefinitely; resolved on the driver at provider
+    * construction and serialized into the `mapPartitions` closure. */
+  def httpConnectTimeoutMs: Int =
+    cfg("graft.http.connect.timeout.ms", "GRAFT_HTTP_CONNECT_TIMEOUT_MS", "10000").toInt
+  def httpReadTimeoutMs: Int =
+    cfg("graft.http.read.timeout.ms", "GRAFT_HTTP_READ_TIMEOUT_MS", "300000").toInt
+
   register("fake")(rest => FakeProvider(FakeProvider.parseDim(rest)))
   register("http")(rest => new HttpProvider(rest))
   // Scheme ALIASES resolving to the http transport. The reference registry
@@ -85,7 +94,8 @@ object ModelRegistry {
   // token mode only) are enforced at call time.
   register("ollama")(rest => new HttpProvider(
     s"${ollamaUrl.stripSuffix("/")}/api/embed", model = Some(rest),
-    lastLayerOnly = true, scheme = "ollama"))
+    lastLayerOnly = true, scheme = "ollama",
+    generateEndpoint = Some(s"${ollamaUrl.stripSuffix("/")}/api/generate")))
   // st: embedding endpoints also only serve last-layer pooled embeddings —
   // without the contract check, layerNum=3 would SILENTLY return last-layer
   // vectors labeled as layer-3 activations
@@ -151,21 +161,42 @@ object FakeProvider {
   * @param lastLayerOnly Ollama contract: reject layerNum != -1 and
   *              tokenMode != "last" (reference
   *              `model_registry_implementations.py:36-41`).
+  * @param generateEndpoint when set (the `ollama:` alias), `generate`
+  *              posts Ollama `/api/generate` requests here (reference
+  *              transport shape `model_registry_implementations.py:22-78`;
+  *              the reference leaves the generate OP unimplemented, so this
+  *              is beyond-parity surface).
   */
 final class HttpProvider(endpoint: String, model: Option[String] = None,
                          lastLayerOnly: Boolean = false,
-                         scheme: String = "http") extends ModelProvider {
+                         scheme: String = "http",
+                         generateEndpoint: Option[String] = None) extends ModelProvider {
 
-  private def post(body: String): String = {
+  // resolved on the driver at construction; serialized with the provider
+  private val connectTimeoutMs = ModelRegistry.httpConnectTimeoutMs
+  private val readTimeoutMs = ModelRegistry.httpReadTimeoutMs
+
+  private def post(target: String, body: String): String = {
     val url = java.net.URI.create(
-      if (endpoint.startsWith("http")) endpoint else s"http://$endpoint").toURL
+      if (target.startsWith("http")) target else s"http://$target").toURL
     val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
     conn.setRequestMethod("POST")
     conn.setRequestProperty("Content-Type", "application/json")
     conn.setDoOutput(true)
     conn.getOutputStream.write(body.getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    if (code < 200 || code >= 300) {
+      val detail = Option(conn.getErrorStream)
+        .map(s => new String(s.readAllBytes(), "UTF-8").take(500))
+        .filter(_.nonEmpty).map(d => s": $d").getOrElse("")
+      throw new java.io.IOException(s"$scheme: HTTP $code from $target$detail")
+    }
     new String(conn.getInputStream.readAllBytes(), "UTF-8")
   }
+
+  private def post(body: String): String = post(endpoint, body)
 
   private def embedBatch(texts: Seq[String]): Seq[Array[Double]] = {
     import graft.spec._
@@ -203,7 +234,29 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
     throw new UnsupportedOperationException(
       s"$scheme: logit scores are not exposed by embedding endpoints")
 
+  /** Ollama `/api/generate`: one non-streamed request per prompt —
+    * generation has no batch form in the Ollama API, and batches are
+    * already bounded by the op's `batchSize` so a hung prompt fails the
+    * task (and its retry) rather than the job silently stalling. */
   override def generate(prompts: Iterator[Seq[String]],
-                        maxTokens: Long): Iterator[Seq[String]] =
-    throw new UnsupportedOperationException("generation endpoint not configured")
+                        maxTokens: Long): Iterator[Seq[String]] = {
+    import graft.spec._
+    val genUrl = generateEndpoint.getOrElse(throw new UnsupportedOperationException(
+      s"$scheme: no generation endpoint (generation is served by the ollama: scheme)"))
+    prompts.map(_.map { p =>
+      val body = Json.render(JObj(
+        "model" -> (JString(model.getOrElse("")): JValue),
+        "prompt" -> (JString(p): JValue),
+        "stream" -> (JBool(false): JValue),
+        "options" -> (JObj("num_predict" -> (JLong(maxTokens): JValue)): JValue)))
+      Json.parse(post(genUrl, body)) match {
+        case o: JObj => o.get("response") match {
+          case Some(JString(s)) => s
+          case _ => throw new IllegalStateException(
+            s"$scheme: generate response has no 'response' field")
+        }
+        case other => throw new IllegalStateException(s"bad response $other")
+      }
+    })
+  }
 }

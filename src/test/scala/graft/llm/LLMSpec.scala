@@ -204,6 +204,78 @@ class LLMSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("ollama: generate against a loopback mock — happy path, HTTP error, timeout") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // records each request body so the Ollama /api/generate shape is asserted
+    val bodies = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def handler(f: JObj => Option[String]): HttpHandler = (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      bodies.add(body)
+      f(Json.parse(body).asInstanceOf[JObj]) match {
+        case Some(resp) =>
+          val bytes = resp.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        case None =>
+          val err = """{"error":"model 'missing' not found"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(404, err.length)
+          ex.getResponseBody.write(err)
+      }
+      ex.close()
+    }
+    // response echoes model + reversed prompt — verifiable per row
+    server.createContext("/api/generate", handler { o =>
+      (o("model"), o("prompt")) match {
+        case (JString("missing"), _) => None
+        case (JString(m), JString(p)) =>
+          Some(Json.render(JObj("model" -> (JString(m): JValue),
+            "response" -> (JString(s"[$m]${p.reverse}"): JValue),
+            "done" -> (JBool(true): JValue))))
+        case _ => None
+      }
+    })
+    server.createContext("/slow", (ex: HttpExchange) => {
+      Thread.sleep(5000); ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      sys.props("graft.ollama.url") = s"http://127.0.0.1:$port"
+      try {
+        // full engine path: LLMGenerateTextOp → mapPartitions → /api/generate
+        val text = SelectTextColumnOp(ds, "text")
+        val gen = LLMGenerateTextOp("ollama:llama3", text, maxTokens = 7L)
+        val out = newRunner().toValues(gen).map(_.asInstanceOf[String])
+        assert(out == Seq("[llama3]dlrow olleh", "[llama3]eybdoog",
+          "[llama3]dlrow olleh", "[llama3]"))
+        // request shape: model + prompt + stream:false + options.num_predict
+        val shape = bodies.get(0)
+        assert(shape.contains(""""model":"llama3""""))
+        assert(shape.contains(""""stream":false"""))
+        assert(shape.contains(""""num_predict":7"""))
+        // HTTP error carries the server's error body (getErrorStream read)
+        val (bad, _) = ModelRegistry.get("ollama:missing")
+        val e = intercept[java.io.IOException](
+          bad.generate(Iterator.single(Seq("x")), 5L).next())
+        assert(e.getMessage.contains("HTTP 404") && e.getMessage.contains("not found"))
+        // read timeout: a hung endpoint fails the task instead of blocking it
+        sys.props("graft.http.read.timeout.ms") = "300"
+        try {
+          val slow = new HttpProvider(s"127.0.0.1:$port/slow",
+            generateEndpoint = Some(s"http://127.0.0.1:$port/slow"))
+          intercept[java.net.SocketTimeoutException](
+            slow.generate(Iterator.single(Seq("x")), 5L).next())
+        } finally sys.props -= "graft.http.read.timeout.ms"
+        // schemes without a generation endpoint stay hard errors
+        val (st, _) = ModelRegistry.get("st:all-MiniLM-L6-v2")
+        intercept[UnsupportedOperationException](
+          st.generate(Iterator.single(Seq("x")), 5L).next())
+      } finally sys.props -= "graft.ollama.url"
+    } finally server.stop(0)
+  }
+
   test("fake provider hash arithmetic matches its spec (SQL-replicable)") {
     val p = FakeProvider(4)
     // md5("x|‑1|last|0")[0:8] parsed as hex → /2^31 - 1
