@@ -35,8 +35,10 @@ class CachedSparkRunner(
     val sharedUri: String,
     cachePath: String,
     validateLengths: Boolean = true,
-    cacheColumns: Boolean = true)
-  extends LocalSparkRunner(spark, cachePath, validateLengths, cacheColumns) {
+    cacheColumns: Boolean = true,
+    stampLoads: Boolean = true)
+  extends LocalSparkRunner(spark, cachePath, validateLengths, cacheColumns,
+    stampLoads) {
 
   private def sharedDir(op: OpSpec): Path = {
     val (cls, hash) = split(op.uuid)

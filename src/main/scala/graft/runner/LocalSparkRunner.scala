@@ -46,7 +46,8 @@ class LocalSparkRunner(
     val spark: SparkSession,
     val storeUri: String,
     val validateLengths: Boolean = true,
-    val cacheColumns: Boolean = true) {
+    val cacheColumns: Boolean = true,
+    val stampLoads: Boolean = true) {
 
   import LocalSparkRunner._
 
@@ -647,16 +648,50 @@ class LocalSparkRunner(
 
   private def frame(op: OpSpec): DataFrame = toFrame(op)
 
+  /** Ingest stamping (SCALING.md honest-list item 1): the FIRST
+    * materialization of a file-backed load writes the dataset with its
+    * `__row_idx` column into the content-addressed store (keyed by content
+    * hash, so path aliases share one copy); every later plan — this runner,
+    * this process, or any process/machine sharing the store — scans the
+    * stamped parquet and gets positional identity as a plain pruned column
+    * read. Removes the per-downstream-materialization index recomputation
+    * (an extra pass over the raw files + the counts exchange/broadcast join
+    * of [[ColumnOps.withRowIdxByFileOrder]]) — at 100 TB that pass, repeated
+    * per materialized op, dwarfs the one-time stamped write, and the write
+    * itself is the cached-runner model the store already embodies. The load
+    * op STAYS ephemeral at the spec level (readiness = the file exists,
+    * reference `local_arrow_runner.py:230-248`); the stamped copy is a
+    * runner-level cache written via the same crash/race-hardened
+    * staged-rename protocol as any result. `stampLoads=false` opts out for
+    * strictly one-shot scans where one full copy outweighs repeated index
+    * recomputation. */
+  private def stampedLoad(op: OpSpec, raw: => DataFrame): DataFrame = {
+    if (!stampLoads) return ColumnOps.withRowIdxByFileOrder(raw)
+    if (!(isDone(op) && Files.exists(resultParquet(op)))) {
+      persistStaged(op, resultParquet(op)) { tmp =>
+        ColumnOps.withRowIdxByFileOrder(raw).write
+          .mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+      }
+      Files.writeString(donePath(op), "")
+      onResultPersisted(op)
+    }
+    readResult(op) match {
+      case FrameResult(df) => df
+      case other => throw new IllegalStateException(
+        s"stamped load of ${op.uuid} is not a frame: $other")
+    }
+  }
+
   private def compute(op: OpSpec): MatResult = op match {
 
-    case LoadLocalParquetDatasetOp(_, path) =>
-      FrameResult(ColumnOps.withRowIdxByFileOrder(spark.read.parquet(path)))
+    case load @ LoadLocalParquetDatasetOp(_, path) =>
+      FrameResult(stampedLoad(load, spark.read.parquet(path)))
 
-    case LoadLocalJsonlDatasetOp(_, path) =>
-      FrameResult(ColumnOps.withRowIdxByFileOrder(spark.read.json(path)))
+    case load @ LoadLocalJsonlDatasetOp(_, path) =>
+      FrameResult(stampedLoad(load, spark.read.json(path)))
 
-    case LoadLocalCsvDatasetOp(_, path, header) =>
-      FrameResult(ColumnOps.withRowIdxByFileOrder(
+    case load @ LoadLocalCsvDatasetOp(_, path, header) =>
+      FrameResult(stampedLoad(load,
         spark.read.option("header", header.toString)
           .option("inferSchema", "true").csv(path)))
 
@@ -1211,7 +1246,22 @@ object LocalSparkRunner {
     *    produce the same digest, and uuids never depend on which path ran.
     *    The driver only ever holds (relpath, hex) pairs — bounded by file
     *    count, not data size.
-    * Memoized per (path, size, mtime) snapshot. */
+    *
+    * SCHEME HISTORY: v2 (round 11) replaced the v1 byte-stream directory
+    * digest (concatenated file bytes in listing order). The bump changes
+    * every directory-dataset uuid, so a store populated under v1 keys those
+    * results to uuids nothing will ever ask for again — they are orphans to
+    * garbage-collect, not corruption (content-addressed dirs are immutable
+    * and self-contained). v2 also makes renaming a file INSIDE a dataset an
+    * identity change (the relpath is part of the manifest), where v1 kept
+    * it stable — intended: the reference's dataset identity is the file
+    * set, not the byte stream. Single-FILE datasets hash bytes only and
+    * kept their v1 identity.
+    *
+    * Memoized per (path, size, mtime) snapshot; the digest itself is
+    * computed OUTSIDE the memo lock — a multi-minute distributed hash of
+    * one dataset must not serialize unrelated concurrent loads (racing
+    * duplicates of the same digest are benign and rare). */
   def contentHashOf(path: String, spark: Option[SparkSession] = None): String = {
     val p0 = Paths.get(path)
     val (size, mtime) = {
@@ -1226,8 +1276,11 @@ object LocalSparkRunner {
           all.map(Files.getLastModifiedTime(_).toMillis).maxOption.getOrElse(0L))
       } else (Files.size(p0), Files.getLastModifiedTime(p0).toMillis)
     }
-    hashMemo.synchronized {
-      hashMemo.getOrElseUpdate((path, size, mtime), contentHashOf0(path, spark, size))
+    val key = (path, size, mtime)
+    val cached = hashMemo.synchronized(hashMemo.get(key))
+    cached.getOrElse {
+      val h = contentHashOf0(path, spark, size) // outside the lock (see above)
+      hashMemo.synchronized(hashMemo.getOrElseUpdate(key, h))
     }
   }
 

@@ -18,7 +18,8 @@ object Runner {
 
   private val cache =
     scala.collection.mutable.HashMap.empty[
-      (SparkSession, String, Option[String], Boolean, Boolean), LocalSparkRunner]
+      (SparkSession, String, Option[String], Boolean, Boolean, Boolean),
+      LocalSparkRunner]
 
   def defaultStoreUri: String =
     sys.env.getOrElse("GRAFT_STORE", "graft-store")
@@ -29,15 +30,19 @@ object Runner {
             storeUri: String = null,
             cachePath: String = null,
             validateLengths: Boolean = true,
-            cacheColumns: Boolean = true): LocalSparkRunner = synchronized {
+            cacheColumns: Boolean = true,
+            stampLoads: Boolean = true): LocalSparkRunner = synchronized {
     val store = Option(storeUri).getOrElse(defaultStoreUri)
     val tier = Option(cachePath).orElse(defaultCachePath)
-    cache.getOrElseUpdate((spark, store, tier, validateLengths, cacheColumns),
+    cache.getOrElseUpdate(
+      (spark, store, tier, validateLengths, cacheColumns, stampLoads),
       tier match {
         case Some(c) =>
-          new CachedSparkRunner(spark, store, c, validateLengths, cacheColumns)
+          new CachedSparkRunner(spark, store, c, validateLengths, cacheColumns,
+            stampLoads)
         case None =>
-          new LocalSparkRunner(spark, store, validateLengths, cacheColumns)
+          new LocalSparkRunner(spark, store, validateLengths, cacheColumns,
+            stampLoads)
       })
   }
 

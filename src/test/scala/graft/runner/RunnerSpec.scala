@@ -33,6 +33,36 @@ class RunnerSpec extends SparkTestBase {
       Seq("spam", "ham", "ham", "spam"))
   }
 
+  test("file loads stamp __row_idx into the store once; re-load plan is scan-only") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    val dir = Files.createTempDirectory("graft-stamp-")
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(s"$dir/t")
+    val op = r.fromParquet(s"$dir/t")
+    val df = r.toFrame(op)
+    // the stamped copy landed in the store under the load's content hash
+    assert(r.isDone(op))
+    assert(Files.exists(r.opDir(op).resolve("result.parquet")))
+    // the served plan reads the STAMPED parquet: __row_idx is a stored
+    // column, so there is no counts exchange and no broadcast offsets join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"))
+    // index values are identical to the unstamped construction
+    val unstamped = new LocalSparkRunner(spark, newStoreDir(), stampLoads = false)
+    def byIdx(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("__row_idx").select("id").collect().map(_.getLong(0)).toSeq
+    assert(byIdx(df) == byIdx(unstamped.toFrame(op)))
+    // ...and the unstamped runner left nothing in its store
+    assert(!unstamped.isDone(op))
+    // a fresh runner over the same store serves the stamp without rewriting
+    val mtime = Files.getLastModifiedTime(r.opDir(op).resolve("done"))
+    val r2 = new LocalSparkRunner(spark, store)
+    assert(byIdx(r2.toFrame(op)) == byIdx(df))
+    assert(Files.getLastModifiedTime(r2.opDir(op).resolve("done")) == mtime)
+  }
+
   test("fromParquet: identity is content, not path") {
     val r = newRunner()
     val dir = Files.createTempDirectory("graft-pq-")
