@@ -581,21 +581,18 @@ object SparkEntry {
     }),
 
     "q_probe_predict" -> ((s, dir) => {
-      // probe scores per row — model-dependent values, rows-only check;
-      // quality asserted in ProbeSpec
-      val r = runnerFor(s)
-      val ds = r.fromParquet(s"$dir/embeddings.parquet")
-      val x = SelectVectorColumnOp(ds, "embedding")
-      val cat = SelectCategoricalColumnOp(ds, "label")
-      val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
-      val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
-      // tol 1e-3: the label-vs-random-embedding probe's loss surface is
-      // flat, so the default 1e-6 runs all 25 LBFGS iterations for noise
-      val model = TrainClassifierOp("logistic_regression", x, pos, neg,
-        params = Map("max_iter" -> 25L, "tol" -> 1e-3))
-      r.toFrame(ClassifierPredictOp(model, x))
-        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("score"))
-        .orderBy(col("row_idx"))
+      // round 12: the QUANTIZED-EXACT train→score pipeline promoted to the
+      // main row (was q_probe_predict_exact; VERDICT r11 #3): weights to
+      // 1e-9, inputs to 1e-6, integer-valued-double dot — the only predict
+      // score column that can be hash-compared across engines (IEEE float
+      // dots are summation-order-dependent). The LBFGS/LR predict path
+      // through the runner spec chain stays exercised by q_probe_eval /
+      // q_probe_rbf_eval (both hash-gated on their deterministic report
+      // fields) and by ProbeSpec's score-quality tests.
+      val emb = t(s, dir, "embeddings")
+      graft.ml.DiffOfMeans.scoresExact(emb, col("vec_id"),
+          col("embedding"), col("label") <= 4)
+        .orderBy(col("vec_id"))
     }),
 
     "q_probe_diffmeans" -> ((s, dir) => {
@@ -607,18 +604,6 @@ object SparkEntry {
       graft.ml.DiffOfMeans.weightsExact(
           t(s, dir, "embeddings"), col("embedding"), col("label") <= 4)
         .orderBy(col("dim"))
-    }),
-
-    "q_probe_predict_exact" -> ((s, dir) => {
-      // the train→score pipeline in quantized-exact arithmetic: weights to
-      // 1e-9, inputs to 1e-6, integer-valued-double dot (order-independent
-      // below 2^53) — the ONLY way a predict score column can be
-      // hash-compared across engines (IEEE float dots are summation-order-
-      // dependent, which is why q_probe_predict stays rows-only)
-      val emb = t(s, dir, "embeddings")
-      graft.ml.DiffOfMeans.scoresExact(emb, col("vec_id"),
-          col("embedding"), col("label") <= 4)
-        .orderBy(col("vec_id"))
     }),
 
     "q_llm_activations" -> ((s, dir) => {
@@ -669,8 +654,11 @@ object SparkEntry {
     }),
 
     "q_umap_viz" -> ((s, dir) => {
-      // UMAPVizOp → distributed PCA(2) stand-in; axes are sign-indeterminate
-      // → rows-only oracle; structure asserted in ProbeSpec
+      // UMAPVizOp → ExactPca(2) stand-in (round 12): quantized-exact
+      // covariance + fixed-iteration power method, sign-canonical — fully
+      // deterministic, so the DuckDB replay hash-checks the embedding
+      // bit for bit (was rows-only while Spark ML PCA's axes were
+      // sign-indeterminate)
       val r = runnerFor(s)
       val ds = r.fromParquet(s"$dir/embeddings.parquet")
       val viz = UMAPVizOp(SelectVectorColumnOp(ds, "embedding"))
@@ -1329,6 +1317,86 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(md5($expr), i+1, 1)) - 1) * pow(16, 7-i)" +
       ")) / 2147483648.0 - 1.0)"
 
+  /** DuckDB list of the UTF-16 CODE UNITS of word `w` (as HUGEINTs). The
+    * engine's word hash (`Dedup.hash64`) iterates `s.charAt(i)` — UTF-16
+    * units — while DuckDB's `unicode(substr(...))` yields CODE POINTS; the
+    * two coincide only on BMP text, so an astral-plane character (emoji)
+    * must expand to its surrogate pair here or the replayed word hashes
+    * silently diverge from the engine's. cp >= 0x10000 splits by the
+    * standard arithmetic: high = 0xD800 + (cp-0x10000)/1024, low = 0xDC00 +
+    * (cp-0x10000)%1024. (Expansion formula pinned against hash64 on astral
+    * input in DedupSpec; the driver's fixture text is BMP-only, where the
+    * CASE's THEN branch reproduces the previous code-point behavior.) */
+  private def utf16UnitsSql(w: String): String = {
+    val cp = s"unicode(substr($w, CAST(k AS INT)+1, 1))"
+    s"flatten(list_transform(range(length($w)), k -> " +
+      s"CASE WHEN $cp < 65536 THEN [CAST($cp AS HUGEINT)] " +
+      s"ELSE [CAST(55296 + ($cp - 65536) // 1024 AS HUGEINT), " +
+      s"CAST(56320 + ($cp - 65536) % 1024 AS HUGEINT)] END))"
+  }
+
+  /** Full DuckDB replay of q_umap_viz ([[graft.ml.ExactPca]]): quantized-
+    * exact scaled covariance in HUGEINT, then the SAME fixed-iteration
+    * power method the engine runs — every sum the same left fold
+    * (`list_reduce (x,y)->x+y` ≡ `reduceLeft`), only correctly-rounded
+    * IEEE ops (+,−,×,÷,sqrt), the same first-nonzero-positive sign
+    * canonicalization — so the 2-D embedding hash-matches BIT FOR BIT
+    * (validated 500/500 exact against an independent pinned-order
+    * implementation). Constants (Quant, Iters) imported from ExactPca so
+    * they can never drift. The `CAST(1.0 AS DOUBLE)` in the anchor is
+    * load-bearing: a bare 1.0 is DECIMAL(2,1) in DuckDB and poisons the
+    * whole recursion with scale-1 decimal arithmetic. */
+  private def umapVizOracleSql: String = {
+    val d = 64 // embeddings fixture dimensionality
+    val it = graft.ml.ExactPca.Iters
+    val qk = graft.ml.ExactPca.Quant
+    def fold(terms: String) = s"list_reduce($terms, (x, y) -> x + y)"
+    def matvec(am: String, v: String) =
+      s"list_transform(range($d), i -> ${fold(s"list_transform(range($d), j -> $am[i+1][j+1] * $v[j+1])")})"
+    def normalize(w: String) =
+      s"list_transform($w, t -> t / sqrt(${fold(s"list_transform($w, u -> u * u)")}))"
+    def canon(v: String) =
+      s"CASE WHEN list_filter($v, t -> t <> 0)[1] < 0 " +
+        s"THEN list_transform($v, t -> -t) ELSE $v END"
+    def power(name: String, amExpr: String) =
+      s"""$name AS (
+         |  SELECT 0 AS k, list_transform(range($d), i -> CAST(1.0 AS DOUBLE)) AS v, $amExpr AS am
+         |  UNION ALL
+         |  SELECT k + 1, ${normalize("w")}, am
+         |  FROM (SELECT k, am, ${matvec("am", "v")} AS w FROM $name WHERE k < $it))""".stripMargin
+    s"""WITH RECURSIVE q AS (
+       |  SELECT row_number() OVER () - 1 AS row_idx,
+       |    list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * $qk) AS BIGINT)) AS qx
+       |  FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM q),
+       |mom AS (
+       |  SELECT i, j, sum(qx[i+1] * qx[j+1]) AS mij
+       |  FROM q, range($d) t1(i), range($d) t2(j) GROUP BY i, j),
+       |sv AS (SELECT i, sum(qx[i+1]) AS si FROM q, range($d) t(i) GROUP BY i),
+       |amat AS (
+       |  SELECT list(arow ORDER BY i) AS am FROM (
+       |    SELECT m.i AS i,
+       |      list(CAST((SELECT n FROM nn) * m.mij - s1.si * s2.si AS DOUBLE) ORDER BY m.j) AS arow
+       |    FROM mom m JOIN sv s1 ON s1.i = m.i JOIN sv s2 ON s2.i = m.j
+       |    GROUP BY m.i)),
+       |${power("pow1", "(SELECT am FROM amat)")},
+       |r1 AS (SELECT v, am, ${matvec("am", "v")} AS av FROM pow1 WHERE k = $it),
+       |c1 AS (
+       |  SELECT ${canon("v")} AS v1, am,
+       |    ${fold(s"list_transform(range($d), i -> v[i+1] * av[i+1])")} AS lam1
+       |  FROM r1),
+       |a2 AS (
+       |  SELECT list_transform(range($d), i -> list_transform(range($d), j ->
+       |    am[i+1][j+1] - lam1 * v1[i+1] * v1[j+1])) AS am2, v1
+       |  FROM c1),
+       |${power("pow2", "(SELECT am2 FROM a2)")},
+       |c2 AS (SELECT ${canon("v")} AS v2 FROM pow2 WHERE k = $it)
+       |SELECT row_idx,
+       |  ${fold(s"list_transform(range($d), j -> qx[j+1] * c1.v1[j+1])")} AS x,
+       |  ${fold(s"list_transform(range($d), j -> qx[j+1] * c2.v2[j+1])")} AS y
+       |FROM q, c1, c2 ORDER BY row_idx""".stripMargin
+  }
+
   /** Full DuckDB replay of the q_dedup_minhash pipeline — the same
     * falsifiability standard as q_ann_ivf_pruned's IVF replay, applied to
     * the 64-perm MinHash + 16-band LSH + exact-Jaccard verify chain. All
@@ -1354,14 +1422,21 @@ object SparkEntry {
     def mulfull(x: String, y: String): String =
       s"((($x) % $M32) * (($y) % $M32) + (((($x) % $M32) * (($y) // $M32) + " +
         s"(($x) // $M32) * (($y) % $M32)) % $M32) * $M32) % $M64"
-    // one step of the gram/band FNV chain: h -> ((h*prime) mod 2^64) xor x
+    // one step of the GRAM FNV chain: h -> ((h*prime) mod 2^64) xor x
+    // (engine minhashSignatureUdf: `h = (h * P) ^ wh(j)`)
     def gstep(hh: String, x: String): String =
       s"xor((($hh) * $FnvPrime) % $M64, $x)"
+    // one step of the BAND fold: h -> ((h xor s)*prime) mod 2^64 — the
+    // engine's bandKeysUdf xors the signature slot BEFORE the multiply
+    // (`h = (h ^ sig(i)) * P`), so the band-key VALUES here are the
+    // engine's, bit for bit, not merely grouping-equivalent
+    def bstep(hh: String, x: String): String =
+      s"((xor($hh, $x)) * $FnvPrime) % $M64"
     val pa = "[" + as_.map(a => h(u(a))).mkString(",") + "]"
     val pb = "[" + bs_.map(b => h(u(b))).mkString(",") + "]"
     val bandFold = (0 until 4).map { i =>
       val prev = if (i == 0) "h0" else s"h$i"
-      s"    ${gstep(prev, s"sig[CAST(b AS INT)*4+${i + 1}]")} AS h${i + 1},"
+      s"    ${bstep(prev, s"sig[CAST(b AS INT)*4+${i + 1}]")} AS h${i + 1},"
     }.mkString("\n")
     s"""WITH w0 AS (
        |  SELECT doc_id,
@@ -1370,8 +1445,7 @@ object SparkEntry {
        |wh0 AS (
        |  SELECT doc_id, i,
        |    list_reduce(
-       |      list_prepend($FnvOff,
-       |        list_transform(range(length(w)), k -> CAST(unicode(substr(w, CAST(k AS INT)+1, 1)) AS HUGEINT))),
+       |      list_prepend($FnvOff, ${utf16UnitsSql("w")}),
        |      (h, c) -> (xor(h, c) * $FnvPrime) % $M64) AS r0,
        |    xor(r0, r0 >> 33) AS r1,
        |    ${mulfull("r1", AvaK)} AS r2,
@@ -1463,8 +1537,7 @@ object SparkEntry {
        |wh0 AS (
        |  SELECT doc_id,
        |    list_reduce(
-       |      list_prepend(CAST(1469598103934665603 AS HUGEINT),
-       |        list_transform(range(length(w)), k -> CAST(unicode(substr(w, CAST(k AS INT)+1, 1)) AS HUGEINT))),
+       |      list_prepend(CAST(1469598103934665603 AS HUGEINT), ${utf16UnitsSql("w")}),
        |      (h, c) -> (xor(h, c) * 1099511628211) % $M64) AS r0,
        |    xor(r0, r0 >> 33) AS r1,
        |    (((r1) % $M32) * (($avaK) % $M32) + ((((r1) % $M32) * (($avaK) // $M32) + ((r1) // $M32) * (($avaK) % $M32)) % $M32) * $M32) % $M64 AS r2,
@@ -1556,7 +1629,7 @@ object SparkEntry {
         |    / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
         |FROM q GROUP BY dim ORDER BY dim""".stripMargin,
 
-    "q_probe_predict_exact" ->
+    "q_probe_predict" ->
       """WITH e AS (
         |  SELECT label <= 4 AS is_pos, vec_id, embedding,
         |         unnest(range(len(embedding))) AS dim
@@ -1576,6 +1649,8 @@ object SparkEntry {
         |SELECT q.vec_id, CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
         |FROM q JOIN qw USING (dim)
         |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin,
+
+    "q_umap_viz" -> umapVizOracleSql,
 
     "q_llm_activations" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),

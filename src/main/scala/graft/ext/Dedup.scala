@@ -56,7 +56,7 @@ object Dedup {
 
   // ---------- MinHash ----------
 
-  private def hash64(seed: Int, s: String): Long = {
+  private[graft] def hash64(seed: Int, s: String): Long = {
     // xxhash-free deterministic 64-bit mix (avalanche over FNV), pure JVM —
     // stable across Spark versions, row-local.
     var h = 1469598103934665603L ^ (seed * 0x9E3779B97F4A7C15L)

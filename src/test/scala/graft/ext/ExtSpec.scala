@@ -302,4 +302,24 @@ class ExtSpec extends SparkTestBase {
     assert(out(0) > out(1))
     assert(out(0) > out(2))
   }
+
+  test("word hash iterates UTF-16 units — oracle surrogate-expansion formula pinned") {
+    // the DuckDB oracles see CODE POINTS (unicode(substr(...))) and expand
+    // cp >= 0x10000 into surrogate pairs (SparkEntry.utf16UnitsSql); this
+    // pins that expansion + FNV fold + avalanche against the engine's
+    // hash64 (which iterates s.charAt — UTF-16 units natively), on BMP AND
+    // astral input
+    def sqlSemantics(w: String): Long = {
+      val units = w.codePoints().toArray.flatMap { cp =>
+        if (cp < 0x10000) Seq(cp.toLong)
+        else Seq(0xD800L + (cp - 0x10000) / 1024L, 0xDC00L + (cp - 0x10000) % 1024L)
+      }
+      var h = 1469598103934665603L
+      units.foreach(c => h = (h ^ c) * 1099511628211L)
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      h
+    }
+    for (w <- Seq("hello", "ümlaut", "emoji😀mid", "𝕊𝕡", "🀄"))
+      assert(sqlSemantics(w) == Dedup.hash64(0, w), s"mismatch on '$w'")
+  }
 }
