@@ -445,19 +445,25 @@ object Probes {
 }
 
 /** 2-D embedding op: the reference runs umap-learn (`viz_ops.py:10-52`); a
-  * JVM-native engine substitutes distributed PCA(2) from Spark ML under the
-  * same spec (SURVEY §2.7) — deterministic and cluster-scalable where UMAP
-  * is neither.
+  * JVM-native engine substitutes PCA(2) under the same spec (SURVEY §2.7) —
+  * deterministic and cluster-scalable where UMAP is neither. Since round
+  * 12 the PCA is [[ExactPca]] (quantized-exact covariance + fixed-iteration
+  * power method): bit-reproducible across partitionings AND replayable in
+  * SQL, which lets the driver's DuckDB oracle hash-check the 2-D embedding
+  * (previously rows-only — axes were sign-indeterminate).
   */
 object Viz {
   private val RowIdx = graft.ops.ColumnOps.RowIdx
 
   def embed2d(r: LocalSparkRunner, op: UMAPVizOp): DataFrame = {
-    import org.apache.spark.ml.feature.PCA
+    // two passes over the narrow quantized projection (one exact moment
+    // aggregation, one scoring map); the input column op's frame is either
+    // block-cached by the runner (SelectColumnOp persist) or a stamped
+    // store scan, so the second pass is cheap
     val x = r.toFrame(op.inputEmbedding)
-      .select(col(RowIdx), array_to_vector(col(r.ValueCol).cast("array<double>")).as("__feat"))
-    val model = new PCA().setK(2).setInputCol("__feat").setOutputCol("__pca").fit(x)
-    model.transform(x).select(col(RowIdx),
-      vector_to_array(col("__pca")).as(r.ValueCol))
+      .select(col(RowIdx), ExactPca.quantize(col(r.ValueCol)).as("__qx"))
+    val (n, s, m) = ExactPca.moments(x, "__qx")
+    val (v1, v2) = ExactPca.top2(ExactPca.scaledCovariance(n, s, m))
+    x.select(col(RowIdx), ExactPca.projectUdf(v1, v2)(col("__qx")).as(r.ValueCol))
   }
 }

@@ -244,4 +244,45 @@ class ProbeSpec extends SparkTestBase {
     }
     assert(r.isDone(emb)) // non-ephemeral → persisted
   }
+
+  test("ExactPca: bit-identical across partitionings, variance-ordered, sign-canonical") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // anisotropic data so the top components are unambiguous: dim0 scaled
+    // 5x, dim1 3x, rest unit
+    val scale = Array(5.0, 3.0) ++ Array.fill(6)(1.0)
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (rng.nextDouble() * 2 - 1) * scale(d))))
+    def embed(parts: Int): Seq[(Long, Seq[Double])] = {
+      val df = rows.toDF("id", "emb").repartition(parts)
+        .select(col("id"), ExactPca.quantize(col("emb")).as("qx"))
+      val (n, s, m) = ExactPca.moments(df, "qx")
+      val (v1, v2) = ExactPca.top2(ExactPca.scaledCovariance(n, s, m))
+      // sign canonicalization: first nonzero component positive
+      assert(v1.find(_ != 0.0).forall(_ > 0) && v2.find(_ != 0.0).forall(_ > 0))
+      // near-orthonormal directions
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot(v1, v1) - 1.0) < 1e-9)
+      assert(math.abs(dot(v1, v2)) < 1e-6)
+      df.select(col("id"), ExactPca.projectUdf(v1, v2)(col("qx")).as("p"))
+        .collect().map(r2 => r2.getLong(0) -> r2.getSeq[Double](1).toSeq).toSeq
+        .sortBy(_._1)
+    }
+    val a = embed(2)
+    val b = embed(16)
+    // EXACT integer moments ⇒ the same bits from any partitioning — the
+    // property that makes the DuckDB replay oracle possible
+    assert(a == b)
+    // first component carries more variance than the second, and the top
+    // direction is dominated by the 5x-scaled dim
+    def variance(xs: Seq[Double]) = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    val xs = a.map(_._2.head)
+    val ys = a.map(_._2(1))
+    assert(variance(xs) > variance(ys))
+  }
 }
