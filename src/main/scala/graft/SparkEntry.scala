@@ -1286,6 +1286,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pack_stream" -> ((s, dir) => {
+      // the STREAMING twin under the SAME oracle: an availableNow file
+      // stream over the corpus, per-batch distributed packing + the
+      // running token total carried as one driver scalar (round 12,
+      // VERDICT r11 #7) — for the single-file fixture the layout equals
+      // the batch layout exactly; the multi-batch contiguity contract is
+      // pinned in StreamingSpec
+      val static = t(s, dir, "documents")
+      // the fixture is a single parquet FILE; the streaming file source
+      // needs a directory base, so a glob ([t] matches only 't') makes the
+      // sf dir the base and the file the match
+      val stream = s.readStream.schema(static.schema)
+        .parquet(s"$dir/documents.parque[t]")
+      graft.streaming.Streaming.packSequencesAvailableNow(
+          stream.select(col("doc_id"), col("text")), "doc_id",
+          size(Corpus.words(col("text"))), seqLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_repetition" -> ((s, dir) => {
       val sig = Corpus.repetitionSignals(col("text"))
       t(s, dir, "documents")
@@ -1567,6 +1586,33 @@ object SparkEntry {
   }
 
   /** DuckDB-equivalent SQL per query (same column names & order-by). */
+  /** Shared by q_pack_sequences and its streaming twin q_pack_stream —
+    * the single-file fixture arrives as one micro-batch, so the
+    * streaming layout must equal the batch layout exactly. */
+  private val packSequencesOracleSql: String =
+    """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ps AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor(token_offset / 512.0) AS BIGINT) END AS first_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
+        |    END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
+        |       - CAST(floor(token_offset / 512.0) AS BIGINT) + 1
+        |    ELSE 0 END AS n_seqs
+        |FROM ps ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_dedup_minhash" -> minhashFullOracleSql,
@@ -2306,29 +2352,10 @@ object SparkEntry {
         |SELECT doc_id, lang FROM r
         |WHERE rk <= floor(n * frac + 1e-9) ORDER BY doc_id""".stripMargin,
 
-    "q_pack_sequences" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
-        |      w -> length(w) > 0)) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |ps AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      AS token_offset
-        |  FROM tok)
-        |SELECT doc_id, n_tokens, token_offset,
-        |  CASE WHEN n_tokens > 0
-        |    THEN CAST(floor(token_offset / 512.0) AS BIGINT) END AS first_seq,
-        |  CASE WHEN n_tokens > 0
-        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
-        |    END AS last_seq,
-        |  CASE WHEN n_tokens > 0
-        |    THEN CAST(floor((token_offset + n_tokens - 1) / 512.0) AS BIGINT)
-        |       - CAST(floor(token_offset / 512.0) AS BIGINT) + 1
-        |    ELSE 0 END AS n_seqs
-        |FROM ps ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" -> packSequencesOracleSql,
+
+    // identical layout contract through the STREAMING path
+    "q_pack_stream" -> packSequencesOracleSql,
 
     "q_repetition" ->
       """WITH lines AS (

@@ -349,9 +349,14 @@ object Corpus {
     * and the bucket expression reads it per row — no eager driver-side
     * action anywhere in the build (callers that already know the id range
     * structurally should pass an explicit bucket instead and skip the tiny
-    * extra aggregate job). */
+    * extra aggregate job).
+    *
+    * `baseOffset` shifts the whole layout by an already-packed token count
+    * — the cross-batch coupling of the STREAMING twin
+    * ([[graft.streaming.Streaming.packSequencesAvailableNow]]): each batch
+    * packs distributed, batches concatenate through this one scalar. */
   def packSequences(docs: DataFrame, idCol: String, tokens: Column,
-                    seqLen: Long): DataFrame = {
+                    seqLen: Long, baseOffset: Long = 0L): DataFrame = {
     val withTok = docs.select(col(idCol), tokens.cast("long").as("n_tokens"))
     val np = withTok.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
@@ -360,15 +365,19 @@ object Corpus {
     val bucket = when(col("__pk_upper") <= 0, lit(0L)).otherwise(
       least(floor(col(idCol).cast("double") * np / col("__pk_upper")),
         lit(np - 1L))).cast("long")
-    packSeq(withTok.crossJoin(broadcast(upper)), idCol, seqLen, bucket)
+    packSeq(withTok.crossJoin(broadcast(upper)), idCol, seqLen, bucket,
+        baseOffset)
       .drop("__pk_upper")
   }
 
   private def packSeq(withTok: DataFrame, idCol: String,
-                      seqLen: Long, bucket: Column): DataFrame = {
+                      seqLen: Long, bucket: Column,
+                      baseOffset: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(baseOffset >= 0, s"baseOffset must be >= 0, got $baseOffset")
     graft.ops.ColumnOps
       .withPrefixSum(withTok, "token_offset", col("n_tokens"), bucket, col(idCol))
+      .withColumn("token_offset", col("token_offset") + lit(baseOffset))
       .withColumn("first_seq",
         when(col("n_tokens") > 0, floor(col("token_offset") / seqLen)))
       .withColumn("last_seq",

@@ -202,6 +202,44 @@ object Streaming {
       .toDF(idCol, "width", "height", "format")
   }
 
+  /** Streaming twin of [[graft.ext.Corpus.packSequences]] — the
+    * incremental concat-and-chunk layout of an ARRIVING corpus. Within
+    * each micro-batch the batch engine's DISTRIBUTED two-phase packing
+    * runs unchanged (per-bucket prefix sums + broadcast bucket offsets,
+    * id order within the batch); across batches the only coupling is the
+    * running corpus token total, carried as ONE driver scalar and applied
+    * as the next batch's `baseOffset` — so an arriving 100 TB corpus
+    * packs with full per-batch parallelism and O(1) cross-batch state,
+    * and every document's `[token_offset, token_offset+n_tokens)`
+    * interval is globally contiguous in arrival order. Runs the query to
+    * completion under `Trigger.AvailableNow` and returns the collected
+    * layout — the gate/test form; a production pipeline would write each
+    * annotated batch to a sink from the same `foreachBatch` hook instead
+    * of collecting.
+    */
+  def packSequencesAvailableNow(docs: DataFrame, idCol: String,
+                                tokens: Column, seqLen: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    @volatile var offset = 0L
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val packed = graft.ext.Corpus.packSequences(
+          batch.toDF(), idCol, tokens, seqLen, baseOffset = offset)
+        val collected = packed.collect()
+        rows.synchronized { rows ++= collected }
+        schema = packed.schema
+        offset += collected.map(_.getAs[Long]("n_tokens")).sum
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived to pack")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Permissive twin of [[annotateImageMeta]] — the streaming form of the
     * batch `withImageMetaPermissive` robustness contract: a corrupt payload
     * yields a null-meta row with the error message instead of throwing

@@ -238,4 +238,34 @@ class StreamingSpec extends SparkTestBase {
       assert(w.isEmpty && h.isEmpty && f.isEmpty && err.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming packing: multi-batch layout is contiguous and equals the batch layout") {
+    // two parquet files arriving as TWO micro-batches (maxFilesPerTrigger=1,
+    // ids ordered across files): the streaming layout must equal the batch
+    // layout of the concatenated corpus — per-batch distributed packing +
+    // the carried token-total scalar is all the cross-batch state there is
+    val dir = java.nio.file.Files.createTempDirectory("graft-packstream-")
+    def mkDocs(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong, Seq.fill(i % 7 + (if (i % 11 == 0) 0 else 1))("w").mkString(" ")))
+        .toDF("doc_id", "text")
+    // file names chosen so listing order = id order (file source processes
+    // in modification-time order; write them in sequence)
+    mkDocs(0 until 50).coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    mkDocs(50 until 100).coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val tokens = size(graft.ext.Corpus.words(col("text")))
+    val streamed = Streaming.packSequencesAvailableNow(
+      stream, "doc_id", tokens, seqLen = 8L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.Corpus.packSequences(
+      mkDocs(0 until 100), "doc_id", tokens, seqLen = 8L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // genuine multi-batch: second half starts at the first half's total
+    val firstHalfTokens = streamed.take(50).map(_(1).asInstanceOf[Long]).sum
+    assert(streamed(50)(2) == firstHalfTokens)
+  }
 }
