@@ -2,10 +2,101 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only 10x scale probe: replicates the given sf dir's inputs to ~10×
-  * volumes and runs the scale-sensitive operators, as evidence for
-  * SCALING.md claims. Usage: `runMain graft.ScaleProbe [sfDir]`. */
+/** Dev-only scale probe, evidence for SCALING.md claims.
+  *
+  * `runMain graft.ScaleProbe [sfDir]` — replicates the sf dir's inputs to
+  * ~10× volumes and runs the scale-sensitive operators.
+  *
+  * `runMain graft.ScaleProbe [sfDir] sweep` — 1×/10×/100× sweep of the two
+  * heaviest families (minhash LSH chain, connected components), measuring
+  * wall time, total SHUFFLE WRITE BYTES (SparkListener stage metrics), and
+  * post-GC driver heap — the linearity/flatness evidence the SCALING.md
+  * table cites. */
 object ScaleProbe {
+
+  /** Sum of shuffle-write bytes across completed stages since the last
+    * [[reset]]. Listener events are async: [[read]] sleeps briefly to let
+    * the bus drain (dev probe; coarse is fine). */
+  private final class ShuffleMeter(spark: SparkSession) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def reset(): Unit = { Thread.sleep(1500); bytes.set(0) }
+    def read(): Long = { Thread.sleep(1500); bytes.get() }
+  }
+
+  /** Whole-JVM used heap after a settle. In local mode driver AND
+    * executors share this JVM, so the reading bounds driver retention
+    * from above: the driver-flatness claim is that this does NOT grow
+    * with the data factor once per-job scratch is collected. Three GC
+    * passes with sleeps let ContextCleaner/finalizer queues drain —
+    * a single gc() right after a 100x job reads multi-GB of
+    * not-yet-collected task scratch, not retained state. */
+  private def driverHeapMb(): Long = {
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(500) }
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) >> 20
+  }
+
+  private def sweep(spark: SparkSession, dir: String): Unit = {
+    val meter = new ShuffleMeter(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def measure(what: String, detail: String)(f: => Long): Unit = {
+      meter.reset()
+      val t0 = System.nanoTime()
+      val out = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mb = meter.read() / 1e6
+      println(f"[sweep] $what: $detail out=$out wall=$secs%.1f s " +
+        f"shuffleWrite=$mb%.1f MB driverHeap=${driverHeapMb()} MB")
+    }
+    for (factor <- Seq(1, 10, 100)) {
+      // every replica's WORDS are salted with the replica id: replicas keep
+      // the same token/gram structure (comparable work per doc) but share
+      // no shingles, so the near-dup pair count scales LINEARLY like a real
+      // growing corpus would — unsalted replicas are all mutual exact dups
+      // and the pair count (and the verify join) grows with factor².
+      // Replicas are MATERIALIZED to parquet before the measured run: the
+      // probe then measures the chain over a plain file scan (the real
+      // input shape) rather than a factor-wide union plan whose per-replica
+      // codegen/plan caches would pollute the heap reading.
+      val rep = java.nio.file.Files.createTempDirectory(s"graft-sweep-$factor-")
+      (0 until factor).map(i =>
+        docs.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "([\\p{L}\\p{N}]+)", "$1x" + i).as("text")))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(rep.toString)
+      val d = spark.read.parquet(rep.toString)
+      measure(s"minhash chain ${factor}x", s"docs=${5000 * factor}(sf0.1)") {
+        graft.ext.Dedup.minhashNearDuplicates(
+          d, "text", "doc_id", shingleN = 3, threshold = 0.5).count()
+      }
+      locally { // dev-probe cleanup of the replica dir
+        val s = java.nio.file.Files.walk(rep)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.sortBy(_.toString).reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally s.close()
+      }
+    }
+    for (factor <- Seq(1, 10, 100)) {
+      // 100-node chains: edge count scales linearly, diameter stays 100, so
+      // the large-star/small-star rounds are constant across factors
+      val n = 50000L * factor
+      val edges = spark.range(n).select(col("id").as("src"),
+          (col("id") + 1L).as("dst"))
+        .filter(col("src") % 100 =!= 99)
+      measure(s"connected components ${factor}x", s"edges=${n - n / 100}") {
+        graft.ext.ConnectedComponents.labels(edges, "src", "dst").count()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,7 +107,9 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[scale] $what: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.filterNot(_ == "sweep")
+      .getOrElse("/root/testdata/sf0.1")
+    if (args.contains("sweep")) { sweep(spark, dir); spark.stop(); return }
     // 6M-row two-phase row index + slice
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = (0 until 10).map(i =>
