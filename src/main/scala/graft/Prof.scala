@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Profiling utility: run one named query (repeatedly) against an sf dir
   * with the same forced-evaluation sink as Bench, print per-run seconds, and
-  * optionally the formatted plan. Usage:
-  *   runMain graft.Prof <queryName> [sfDir] [reps] [explain]
+  * optionally the formatted plan. A comma-separated name list runs the whole
+  * sequence in order within one JVM (for measuring cross-query interaction:
+  * does query A degrade a later query B's steady-state?). Usage:
+  *   runMain graft.Prof <name>[,<name>...] [sfDir] [reps] [explain]
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -23,12 +25,14 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
-    if (explain) fn(spark, sfDir).explain("formatted")
+    val names = name.split(',').toSeq
+    if (explain) SparkEntry.queries(names.head)(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      println(f"[prof] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      names.foreach { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[prof] $n run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
