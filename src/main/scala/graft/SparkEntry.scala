@@ -1126,6 +1126,26 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup (cluster-then-pair) over the same planted fixture as
+      // q_dedup_cosine: exact copies of vec_id < 50 at +100000. Identical
+      // vectors assign to identical cells (same centroid cosines, same
+      // first-max tie-break), so each copy meets its original inside one
+      // cell at cosine 1.0 and is dropped (copy id > original id); random
+      // 64-d pairs never reach 0.8, so the survivor set is exactly the
+      // originals. Centroids are explicit members (vec_id 0..7) — the
+      // DuckDB oracle replays assignment, pairing, and the survivor rule.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val u = emb.union(planted)
+      Dedup.semanticDedup(u, "vec_id", "embedding",
+          Similarity.centroidsByIds(u, "vec_id", "embedding", 0L to 7L),
+          threshold = 0.8)
+        .select(col("id").as("vec_id"), col("cell"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search extensions ----
 
     "q_ann_brute_topk" -> ((s, dir) => {
@@ -2151,6 +2171,35 @@ object SparkEntry {
         |  FROM u a, u b WHERE a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // full SemDeDup replay: centroids = vec_id 0..7 (cell id = position),
+    // every row (originals + the 50 planted copies) assigned to its
+    // max-cosine centroid (ties -> smaller cell), duplicates = rows with a
+    // smaller-id same-cell neighbor at cosine >= 0.8
+    "q_dedup_semantic" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+        |cent AS (
+        |  SELECT CAST(vec_id AS INT) cent_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |corp AS (SELECT vec_id cid,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+        |assign AS (
+        |  SELECT cid, cent_id AS cell, v FROM (
+        |    SELECT c.cid, ct.cent_id, c.v,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.cid AS dup_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+        |SELECT a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
+        |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
+        |ORDER BY vec_id""".stripMargin,
 
     "q_ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv

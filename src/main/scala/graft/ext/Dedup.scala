@@ -458,6 +458,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 
+  // ---------- semantic (embedding-cluster) dedup ----------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest centroid
+    * ([[Similarity.assignCells]] — broadcast centroid table, map-only),
+    * then inside each cell mark every row that has a SMALLER-id neighbor
+    * at cosine >= `threshold` as a semantic duplicate. Output one row per
+    * input: (id, cell, keep) — `keep = false` is the drop set.
+    *
+    * Scale shape: the only shuffle keys on the cell id; the within-cell
+    * self-join streams the pair expansion through the join operator (AQE
+    * skew-split applies) instead of materializing O(cell²) structs in one
+    * row. Cells larger than `maxCell` contribute NO pairs — every row of
+    * an overflow cell is KEPT (the conservative direction for dedup: a
+    * degenerate mega-cell keeps its data rather than stalling a task); the
+    * sacrifice is measurable with [[bucketOverflowReport]] over the
+    * assignment frame. Pair-stage parallelism is bounded by the number of
+    * distinct cells, so size the centroid table well above the executor
+    * count (the regime the SemDeDup paper runs: tens of thousands of
+    * clusters) — [[Similarity.kmeansCentroids]] fits any nlist
+    * distributed. With [[Similarity.centroidsByIds]] centroids the whole
+    * pipeline — assignment, pairing, survivor rule — is replayable by an
+    * external SQL engine.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Int, Seq[Float])], threshold: Double,
+                    maxCell: Int = 10000): DataFrame = {
+    val assigned = Similarity.assignCells(emb, idCol, vecCol, centroids)
+    // per-cell counts are at most nlist rows — broadcast back, never a
+    // window over the data
+    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val joinable = assigned.join(broadcast(cellCounts), "cell")
+      .filter(col("__cn") <= maxCell)
+    val a = joinable.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = joinable.select(col("cell"), col("id").as("id_b"), col("__v").as("__vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    assigned.join(dropped, col("id") === col("__dup_id"), "left_outer")
+      .select(col("id"), col("cell"), col("__dup_id").isNull.as("keep"))
+  }
+
   // ---------- pairs → clusters (the dedup DECISION step) ----------
 
   /** Near-duplicate CLUSTERS from candidate pairs: the transitive closure of

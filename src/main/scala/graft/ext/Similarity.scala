@@ -147,6 +147,20 @@ object Similarity {
     cents.map { case (cid, cv) => (cid, cosSeq(v, cv)) }
       .sortBy(-_._2).take(nprobe).map(_._1).toSeq
 
+  /** (id, vector, cell) for every corpus row — nearest-centroid assignment
+    * against a broadcast centroid table (first-max-wins ties, like
+    * [[cellOf]]). The shared front half of IVF search and semantic dedup:
+    * the centroid table is nlist rows regardless of corpus size, so the
+    * assignment is a map-only pass — no shuffle.
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[(Int, Seq[Float])]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("cell", assignUdf(col("__v")))
+  }
+
   /** IVF top-k: assign corpus rows to nearest centroid (broadcast centroid
     * table), probe the nprobe nearest cells per query.
     */
@@ -159,14 +173,13 @@ object Similarity {
       if (kmeansIters > 0) kmeansCentroids(corpus, corpusVec, nlist, kmeansIters)
       else pickCentroids(corpus, corpusId, corpusVec, nlist)
     val bc = spark.sparkContext.broadcast(cents)
-    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
       probeCells(v, bc.value, nprobe)
     }
 
-    val c = corpus.select(col(corpusId).as("corpus_id"),
-        col(corpusVec).as("__cv"), norm(col(corpusVec)).as("__cn"))
-      .withColumn("cell", assignUdf(col("__cv")))
+    val c = assignCells(corpus, corpusId, corpusVec, cents)
+      .select(col("id").as("corpus_id"), col("__v").as("__cv"),
+        norm(col("__v")).as("__cn"), col("cell"))
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
       .withColumn("cell", explode(probeUdf(col("__qv")))))

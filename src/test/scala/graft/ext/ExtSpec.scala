@@ -109,6 +109,43 @@ class ExtSpec extends SparkTestBase {
     assert(found == exact)
   }
 
+  test("semantic dedup drops planted copies, keeps originals, same cell") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+    val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.centroidsByIds(df, "vec_id", "embedding", 0L to 3L)
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.95)
+      .select("id", "cell", "keep").as[(Long, Int, Boolean)].collect()
+    assert(out.length == 65)                      // one row per input
+    val byId = out.map(r => r._1 -> r).toMap
+    (0 until 5).foreach { i =>
+      assert(!byId(i + 1000L)._3, s"planted copy ${i + 1000} not dropped")
+      assert(byId(i.toLong)._3, s"original $i (smaller id) must survive")
+      // an exact copy must land in its original's cell
+      assert(byId(i + 1000L)._2 == byId(i.toLong)._2)
+    }
+    // random 16-d pairs never reach cos 0.95: nothing else drops
+    assert(out.count(!_._3) == 5)
+  }
+
+  test("semantic dedup overflow cells keep every row (maxCell guard)") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+    val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.centroidsByIds(df, "vec_id", "embedding", 0L to 3L)
+    // 65 rows over 4 cells: a cap of 1 overflows every cell -> no pairs,
+    // everything kept (the conservative direction), assignment unchanged
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.95, maxCell = 1)
+      .select("id", "keep").as[(Long, Boolean)].collect()
+    assert(out.length == 65 && out.forall(_._2))
+  }
+
   test("IVF recall@k ≥ 0.9 vs in-engine brute force (nprobe < nlist)") {
     val rng = new scala.util.Random(7)
     val corpus = (0 until 300).map(i =>
