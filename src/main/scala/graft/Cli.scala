@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 
@@ -56,6 +56,8 @@ object Cli {
       shardCount: Int = 0,
       shardIdx: Int = 0,
       parallel: Int = 1,
+      olderThanDays: Option[Int] = None,
+      delete: Boolean = false,
       json: Boolean = false,
       format: String = "code",
       master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]") {
@@ -88,7 +90,8 @@ object Cli {
         case "--filter-param" => a = a.copy(filterParam = a.filterParam :+ argv(i + 1)); i += 2
         case "--filter-code" => a = a.copy(filterCode = a.filterCode :+ argv(i + 1)); i += 2
         case "--filter-state" => a = a.copy(filterState = a.filterState :+ argv(i + 1)); i += 2
-        case f @ ("--shard-count" | "--shard-idx" | "--filter-count" | "--parallel") =>
+        case f @ ("--shard-count" | "--shard-idx" | "--filter-count" | "--parallel"
+                 | "--older-than-days") =>
           val n = try argv(i + 1).toInt catch {
             case _: NumberFormatException => usage(s"$f requires an integer, got '${argv(i + 1)}'")
           }
@@ -96,11 +99,13 @@ object Cli {
             case "--shard-count" => a.copy(shardCount = n)
             case "--shard-idx" => a.copy(shardIdx = n)
             case "--parallel" => a.copy(parallel = n)
+            case "--older-than-days" => a.copy(olderThanDays = Some(n))
             case _ => a.copy(filterCount = Some(n))
           }
           i += 2
         case "--format" => a = a.copy(format = argv(i + 1)); i += 2
         case "--master" => a = a.copy(master = argv(i + 1)); i += 2
+        case "--delete" => a = a.copy(delete = true); i += 1
         case "-j" | "--json" => a = a.copy(json = true); i += 1
         case other => usage(s"unknown argument $other")
       }
@@ -111,7 +116,10 @@ object Cli {
   private def usage(msg: String): Nothing = {
     System.err.println(s"error: $msg")
     System.err.println(
-      "usage: Cli <run|materialize|status|summary|print|make-group|config> [--store DIR] [--cache DIR] [--graph FILE]\n" +
+      "usage: Cli <run|materialize|status|summary|print|make-group|config|gc> [--store DIR] [--cache DIR] [--graph FILE]\n" +
+        "  gc [--graph FILE] [--older-than-days N] [--delete]: report (default)\n" +
+        "  or remove store entries neither reachable from --graph nor younger\n" +
+        "  than N days; --delete needs at least one retention criterion\n" +
         "  config [--set-runner-type T] [--set-store-uri U] [--set-cache-path P]\n" +
         "  (--store defaults to the configured store_uri: flag > GRAFT_* env > config file)\n" +
         "  [--filter-uuid S] [--filter-type T] [--filter-param P] [--filter-code C]\n" +
@@ -209,6 +217,7 @@ object Cli {
       case "print" => cmdPrint(a)
       case "make-group" | "make_group" => cmdMakeGroup(a)
       case "config" => cmdConfig(a)
+      case "gc" => cmdGc(a)
       case other => usage(s"unknown command $other")
     }
   }
@@ -239,6 +248,81 @@ object Cli {
       println(s"  cache_path: ${merged.cachePath}")
       println(s"Configuration saved in config file: $path")
     }
+  }
+
+  /** Garbage-collect the content-addressed store. An entry
+    * `store/<Cls>/<hash>/` is RETAINED if its uuid is reachable from
+    * `--graph` (roots + all transitive dependencies) or younger than
+    * `--older-than-days`; everything else is deletable. Default is a
+    * dry-run report; only `--delete` removes — and then demands at least
+    * one retention criterion, so a bare `gc --delete` can never empty a
+    * store. Entries without a `done` marker (in-flight writers or crash
+    * debris) carry a one-day minimum age regardless of flags: the staged
+    * rename window of a LIVE writer must never be collected under it
+    * (`LocalSparkRunner.persistStaged` would fail its `done` write). Ages
+    * come from the `done` marker's mtime (completion time) for finished
+    * entries, the directory's otherwise.
+    *
+    * Motivation beyond disk pressure: identity-scheme bumps re-key results
+    * — `graft-dirhash-v2` (round 11) re-keyed every directory-backed
+    * dataset, stranding v1-keyed entries as unreachable dead weight
+    * (SCALING.md) — and graph edits strand every orphaned intermediate.
+    */
+  private def cmdGc(a: Args): Unit = {
+    val root = Paths.get(a.store)
+    val keep: Set[String] = a.graph match {
+      case Some(path) =>
+        val roots = Graph.deserializeString(Files.readString(Paths.get(path)))
+        (roots ++ roots.flatMap(_.allDependencies)).map(_.uuid).toSet
+      case None => Set.empty
+    }
+    if (a.delete && keep.isEmpty && a.olderThanDays.isEmpty)
+      usage("gc --delete needs a retention criterion (--graph and/or --older-than-days)")
+    def children(dir: Path): Seq[Path] =
+      if (!Files.isDirectory(dir)) Seq.empty
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.sortBy(_.toString)
+        } finally s.close()
+      }
+    def treeBytes(p: Path): Long = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(f => try Files.size(f) catch { case _: Exception => 0L }).sum
+      } finally s.close()
+    }
+    val now = System.currentTimeMillis()
+    def ageDays(p: Path): Double =
+      (now - Files.getLastModifiedTime(p).toMillis) / 86400000.0
+    var kept = 0; var gone = 0; var freed = 0L
+    for (clsDir <- children(root); entry <- children(clsDir)) {
+      val uuid = s"${clsDir.getFileName}_${entry.getFileName}"
+      val doneFile = entry.resolve("done")
+      val complete = Files.exists(doneFile)
+      val age = ageDays(if (complete) doneFile else entry)
+      val minAge = math.max(a.olderThanDays.getOrElse(0).toDouble,
+        if (complete) 0.0 else 1.0)
+      if (!keep.contains(uuid) && age >= minAge) {
+        gone += 1; freed += treeBytes(entry)
+        if (a.delete) LocalSparkRunner.deleteTreeTolerant(entry)
+        println(s"$uuid: ${if (a.delete) "deleted" else "deletable"}" +
+          (if (complete) "" else " (incomplete)"))
+      } else kept += 1
+    }
+    // prune emptied class dirs — directories ONLY (a store root may hold
+    // stray regular files, e.g. user-dropped graph JSONs; never touch them)
+    if (a.delete) children(root).foreach { clsDir =>
+      if (Files.isDirectory(clsDir) && children(clsDir).isEmpty) {
+        try Files.deleteIfExists(clsDir) catch { case _: Exception => () }
+      }
+    }
+    println(s"gc: ${kept + gone} entries scanned, $kept retained, " +
+      s"$gone ${if (a.delete) "deleted" else "deletable"}, $freed bytes" +
+      (if (a.delete) " freed" else ""))
   }
 
   /** Build a GroupedOp from the filtered selection, register it in the

@@ -595,22 +595,11 @@ class LocalSparkRunner(
   /** Best-effort recursive delete: a concurrent writer renaming INTO the
     * tree mid-delete (shared-store race) makes strict deletion throw; every
     * caller re-examines or re-verifies the directory afterwards, so partial
-    * progress is fine. Shared with the cached tier (one protocol, one
-    * implementation). */
+    * progress is fine. Shared with the cached tier and the CLI `gc`
+    * command (one protocol, one implementation — the static form lives on
+    * the companion). */
   protected def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val paths = {
-        val s = Files.walk(p)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList
-        } finally s.close()
-      }
-      paths.sortBy(_.toString).reverse.foreach { f =>
-        try Files.deleteIfExists(f)
-        catch { case _: java.nio.file.FileSystemException => () }
-      }
-    }
+    LocalSparkRunner.deleteTreeTolerant(p)
 
   private def readResult(op: OpSpec): MatResult = {
     // bounded re-check: a cross-process replace claim ([[persistStaged]])
@@ -1208,6 +1197,23 @@ object LocalSparkRunner {
 
   /** Implementation function for a custom op: (runner, op) → result. */
   type OpImpl = (LocalSparkRunner, OpSpec) => MatResult
+
+  /** See [[LocalSparkRunner.deleteRecursively]] — tolerant of concurrent
+    * writers renaming into the tree mid-delete. */
+  private[graft] def deleteTreeTolerant(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val paths = {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList
+        } finally s.close()
+      }
+      paths.sortBy(_.toString).reverse.foreach { f =>
+        try java.nio.file.Files.deleteIfExists(f)
+        catch { case _: java.nio.file.FileSystemException => () }
+      }
+    }
 
   // dispatch by exact op class, checked before erroring — the Scala
   // rendering of the reference's annotation-dispatched `@implementation`

@@ -275,4 +275,59 @@ class CliSpec extends SparkTestBase {
     runner.materialize(group)
     assert(runner.status(group).state == "completed")
   }
+
+  test("gc: reachable entries survive, orphans report then delete") {
+    val store = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L)))
+    val rid = AssignRowIDOp(ds)
+    val runner = new LocalSparkRunner(spark, store)
+    runner.materialize(rid)
+
+    // full graph: everything reachable, nothing deletable
+    val gFull = writeGraph(store, rid)
+    val clean = withStdout(Cli.main(Array("gc", "--store", store, "--graph", gFull)))
+    assert(clean.contains(", 0 deletable"), clean)
+
+    // graph holding only the load: rid's entry becomes an orphan;
+    // dry-run (no --delete) lists it but leaves the store untouched
+    val p2 = Paths.get(store, "dsonly.json")
+    Files.writeString(p2, Graph.serializeToString(ds))
+    val dry = withStdout(Cli.main(Array("gc", "--store", store, "--graph", p2.toString)))
+    assert(dry.contains(s"${rid.uuid}: deletable"), dry)
+    assert(runner.isDone(rid)) // dry-run left the on-disk entry alone
+
+    val del = withStdout(Cli.main(Array("gc", "--store", store,
+      "--graph", p2.toString, "--delete")))
+    assert(del.contains(s"${rid.uuid}: deleted"), del)
+    assert(!runner.isDone(rid)) // the done marker (and entry) are gone
+    // stray regular files at store root (the graph JSONs) were never
+    // touched, and the store is now empty of entries
+    assert(Files.exists(p2))
+    val after = withStdout(Cli.main(Array("gc", "--store", store, "--graph", gFull)))
+    assert(after.contains("0 entries scanned"), after)
+  }
+
+  test("gc: done-less entries carry a one-day minimum age guard") {
+    val store = newStoreDir()
+    // crash debris: an entry directory with a payload but no done marker
+    val debris = Paths.get(store, "fakeop", "deadbeef")
+    Files.createDirectories(debris)
+    Files.writeString(debris.resolve("result.json"), "{}")
+
+    // fresh: must be RETAINED even by an age-0 sweep (a live writer's
+    // staging window looks exactly like this)
+    val fresh = withStdout(Cli.main(Array("gc", "--store", store,
+      "--older-than-days", "0", "--delete")))
+    assert(fresh.contains("0 deleted"), fresh)
+    assert(Files.exists(debris))
+
+    // two days old: collectable, and the emptied class dir is pruned
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 86400000L)
+    Files.setLastModifiedTime(debris, old)
+    val swept = withStdout(Cli.main(Array("gc", "--store", store,
+      "--older-than-days", "0", "--delete")))
+    assert(swept.contains("fakeop_deadbeef: deleted (incomplete)"), swept)
+    assert(!Files.exists(debris) && !Files.exists(debris.getParent))
+  }
 }
