@@ -34,16 +34,20 @@ object SparkEntry {
     if (row.isNullAt(0)) 0L else row.getLong(0) + 1L
   }
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as Long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench).
-    * Normalize to microsecond TimestampType — the same ns→µs floor DuckDB
-    * applies on read, so both engines see identical instants.
+  /** events.ts arrives in whatever shape the driver's generator last wrote:
+    * TIMESTAMP(NANOS) parquet reads as Long (`spark.sql.legacy.parquet
+    * .nanosAsLong`, set in Verify/Bench), TIMESTAMP(MICROS) without the
+    * UTC-adjusted flag reads as TIMESTAMP_NTZ (which `unix_micros` rejects).
+    * Normalize both to microsecond TimestampType under the UTC session tz —
+    * the same instants DuckDB sees on read, invariant to the writer.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
