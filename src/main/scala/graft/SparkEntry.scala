@@ -1150,6 +1150,27 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_dedup_semantic_skew" -> ((s, dir) => {
+      // mode-collapse regime: ONE centroid puts the whole corpus (plants
+      // included) into a single mega-cell above maxCell, which the old
+      // guard would silently skip. The recursive overflow split
+      // re-partitions cell 0 by its 16 smallest-id members (vec_id 0..15)
+      // and the planted copies — identical vectors, identical sub-cosines,
+      // same first-max tie-break — land in their originals' leaves and are
+      // still dropped. The DuckDB oracle replays the split level
+      // (sub-centroid pick, reassignment, pairing, survivor rule), so the
+      // whole recovery path is hash-checked, not just row-counted.
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val u = emb.union(planted)
+      Dedup.semanticDedup(u, "vec_id", "embedding",
+          Similarity.centroidsByIds(u, "vec_id", "embedding", Seq(0L)),
+          threshold = 0.8, maxCell = 100, splitFanout = 16)
+        .select(col("id").as("vec_id"), col("cell"), col("leaf"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search extensions ----
 
     "q_ann_brute_topk" -> ((s, dir) => {
@@ -2202,6 +2223,39 @@ object SparkEntry {
         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
         |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
         |SELECT a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
+        |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
+        |ORDER BY vec_id""".stripMargin,
+
+    // replay of the recursive overflow split: one centroid -> cell 0 for
+    // every row; sub-centroids = the 16 smallest-id members (vec_id 0..15,
+    // sub index = rank-1); reassign by max cosine (ties -> smaller sub
+    // index); pair + survivor rule within each (cell, sub) leaf. One level
+    // suffices at sf0.01 (max leaf 44 <= maxCell 100), which the engine's
+    // depth-bounded recursion reaches and stops at, so the single-level SQL
+    // replay is exact.
+    "q_dedup_semantic_skew" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+        |corp AS (SELECT vec_id cid,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+        |subc AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS sub_idx,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) sv
+        |  FROM embeddings WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT cid, sub_idx, v FROM (
+        |    SELECT c.cid, s.sub_idx, c.v,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, s.sv) DESC, s.sub_idx) rn
+        |    FROM corp c, subc s) WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.cid AS dup_id
+        |  FROM assign a JOIN assign b ON a.sub_idx = b.sub_idx AND a.cid < b.cid
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+        |SELECT a.cid AS vec_id, CAST(0 AS INT) AS cell,
+        |  '0/' || a.sub_idx AS leaf, (d.dup_id IS NULL) AS keep
         |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
         |ORDER BY vec_id""".stripMargin,
 

@@ -166,13 +166,17 @@ object Dedup {
       .select(col("doc_id"), col("band_key"))
   }
 
-  /** What the `maxBucket` skew cap would DROP for a given banded-keys frame
-    * — the deterministic recall trade-off surfaced as a measurable report
-    * instead of silent semantics. One aggregation over (key) counts:
-    * (n_overflow_buckets, rows_in_overflow, max_bucket_size). Run it on
-    * [[minhashBandKeys]] (or any (id, key) frame) before picking
-    * `maxBucket` for a new corpus; rows_in_overflow / total rows is the
-    * fraction of band-memberships sacrificed to boilerplate skew.
+  /** What the `maxBucket` skew cap DEMOTES to representative-only pairing
+    * for a given banded-keys frame — the deterministic recall trade-off
+    * surfaced as a measurable report instead of silent semantics. One
+    * aggregation over (key) counts: (n_overflow_buckets, rows_in_overflow,
+    * max_bucket_size). Run it on [[minhashBandKeys]] (or any (id, key)
+    * frame) before picking `maxBucket` for a new corpus;
+    * rows_in_overflow / total rows is the fraction of band-memberships that
+    * fall back from all-pairs to min-id-representative pairing
+    * ([[bucketSelfJoinPairs]]). Keyed by `leaf` over [[semanticDedup]]
+    * output, 0 overflow certifies the recursive split left no degenerate
+    * leaves.
     */
   def bucketOverflowReport(keyed: DataFrame, key: String,
                            maxBucket: Int): DataFrame =
@@ -188,34 +192,49 @@ object Dedup {
     * form) materializes O(bucket²) structs inside ONE row, which stalls a
     * single task and thrashes GC exactly when a bucket is big; a self-join
     * on the bucket key shuffles each side once and streams the pair
-    * expansion through the join operator (AQE skew-split applies). Buckets
-    * larger than `maxBucket` are boilerplate-driven skew: dropped entirely
-    * (the standard guard; their members still pair through their OTHER
-    * bands/buckets).
+    * expansion through the join operator (AQE skew-split applies).
+    *
+    * Buckets larger than `maxBucket` are boilerplate-driven skew. They no
+    * longer drop silently: each overflow bucket contributes REPRESENTATIVE
+    * candidate pairs — its min-id member against every other member,
+    * O(bucket) pairs instead of O(bucket²). Mega-buckets are near-identical
+    * boilerplate almost by construction (that is what collides 1000+ docs
+    * into one LSH bucket), so pairing through the representative recovers
+    * the bulk of the lost candidates at linear cost; candidates are always
+    * verified downstream (Jaccard / cosine / hamming), so the extra pairs
+    * can only improve recall, never precision.
     */
   private def bucketSelfJoinPairs(keyed: DataFrame, key: String,
                                   maxBucket: Int): DataFrame = {
-    val pruned = bucketPrune(keyed, key, maxBucket)
-    pruned.select(col(key), col("doc_id").as("id_a"))
+    val counted = bucketAnnotate(keyed, key)
+    val pruned = counted
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .drop("__bn", "__rep")
+    val allPairs = pruned.select(col(key), col("doc_id").as("id_a"))
       .join(pruned.select(col(key), col("doc_id").as("id_b")), key)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val repPairs = counted.filter(col("__bn") > maxBucket)
+      .filter(col("doc_id") > col("__rep"))
+      .select(col("__rep").as("id_a"), col("doc_id").as("id_b"))
+    allPairs.union(repPairs).distinct()
   }
 
-  /** Skew guard as a *window count partitioned by the bucket key*: one
-    * bucket-key shuffle annotates each row with its bucket size (parallel —
-    * partitioned, never global). Crucially this keeps the two sides of the
-    * downstream self-join byte-identical plans, so Spark's ReusedExchange
-    * computes the (expensive) upstream signature UDF once, not once per
-    * side — the groupBy-join form of this guard broke that reuse.
+  /** Skew annotation as *window aggregates partitioned by the bucket key*:
+    * one bucket-key shuffle annotates each row with its bucket size and the
+    * bucket's min doc_id (parallel — partitioned, never global). Crucially
+    * this keeps the two sides of the downstream self-join byte-identical
+    * plans, so Spark's ReusedExchange computes the (expensive) upstream
+    * signature UDF once, not once per side — the groupBy-join form of this
+    * guard broke that reuse; the overflow branch reuses the same exchange.
     */
-  private def bucketPrune(keyed: DataFrame, key: String, maxBucket: Int): DataFrame = {
+  private def bucketAnnotate(keyed: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     keyed
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col(key))))
-      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
-      .drop("__bn")
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__rep", first(col("doc_id")).over(w))
   }
 
   /** Distinct hashed n-gram shingles as a long array — row-local UDF using
@@ -359,14 +378,33 @@ object Dedup {
       .select(col("doc_id"), col("sh"), col("band_key"))
     // streamed self-join within buckets (see bucketSelfJoinPairs scaladoc);
     // sh rides along on both sides so hamming filters inside the join
-    val pruned = bucketPrune(banded, "band_key", maxBucket)
-    pruned.select(col("band_key"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_key")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counted = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__rep", first(col("doc_id")).over(w))
+      .withColumn("__repsh", first(col("sh")).over(w))
+    val pruned = counted
+      .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
+      .drop("__bn", "__rep", "__repsh")
+    val allPairs = pruned
+      .select(col("band_key"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       .join(pruned.select(col("band_key"), col("doc_id").as("id_b"), col("sh").as("sh_b")),
         "band_key")
       .filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").distinct()
+      .select("id_a", "id_b", "hamming")
+    // overflow buckets: representative pairs against the min-id member (see
+    // bucketSelfJoinPairs) — hamming-filtered here because this op has no
+    // downstream verify step
+    val repPairs = counted.filter(col("__bn") > maxBucket)
+      .filter(col("doc_id") > col("__rep"))
+      .withColumn("hamming", bit_count(col("sh").bitwiseXOR(col("__repsh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("__rep").as("id_a"), col("doc_id").as("id_b"), col("hamming"))
+    allPairs.union(repPairs).distinct()
   }
 
   // ---------- embedding cosine near-dup ----------
@@ -391,9 +429,10 @@ object Dedup {
     * `maxBucket`: a degenerate sketch bucket (mass-duplicated vectors, or
     * all-zero vectors — every dot ≤ 0 vector lands in sketch 0 per band)
     * would otherwise make the join and the pair `distinct()` quadratic in
-    * bucket size. Members of a dropped bucket can still pair through their
-    * other bands — the same deterministic recall trade-off the text-LSH
-    * paths make.
+    * bucket size. Overflow buckets contribute min-id representative pairs
+    * (O(bucket), exact-cosine-verified downstream) instead of dropping —
+    * see [[bucketSelfJoinPairs]]; members also still pair through their
+    * other bands.
     */
   def cosineNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
                            dim: Int, nBands: Int = 8, planesPerBand: Int = 8,
@@ -465,40 +504,137 @@ object Dedup {
     * ([[Similarity.assignCells]] — broadcast centroid table, map-only),
     * then inside each cell mark every row that has a SMALLER-id neighbor
     * at cosine >= `threshold` as a semantic duplicate. Output one row per
-    * input: (id, cell, keep) — `keep = false` is the drop set.
+    * input: (id, cell, leaf, keep) — `keep = false` is the drop set,
+    * `cell` the top-level centroid assignment, `leaf` the final pairing
+    * group after overflow splitting (equal to `cell` when no split ran).
     *
-    * Scale shape: the only shuffle keys on the cell id; the within-cell
-    * self-join streams the pair expansion through the join operator (AQE
-    * skew-split applies) instead of materializing O(cell²) structs in one
-    * row. Cells larger than `maxCell` contribute NO pairs — every row of
-    * an overflow cell is KEPT (the conservative direction for dedup: a
-    * degenerate mega-cell keeps its data rather than stalling a task); the
-    * sacrifice is measurable with [[bucketOverflowReport]] over the
-    * assignment frame. Pair-stage parallelism is bounded by the number of
-    * distinct cells, so size the centroid table well above the executor
-    * count (the regime the SemDeDup paper runs: tens of thousands of
-    * clusters) — [[Similarity.kmeansCentroids]] fits any nlist
-    * distributed. With [[Similarity.centroidsByIds]] centroids the whole
-    * pipeline — assignment, pairing, survivor rule — is replayable by an
-    * external SQL engine.
+    * Scale shape: the only data shuffle keys on the cell id; the
+    * within-cell self-join streams the pair expansion through the join
+    * operator (AQE skew-split applies) instead of materializing O(cell²)
+    * structs in one row.
+    *
+    * Overflow cells are RECURSIVELY SPLIT, not skipped: a cell larger than
+    * `maxCell` (a mode-collapsed embedding region — precisely where
+    * SemDeDup's duplicates concentrate) is re-partitioned by nearest
+    * SUB-centroid, the `splitFanout` smallest-id members of the cell, and
+    * the split recurses until every leaf fits. Sub-centroid assignment
+    * preserves near-dup recall where an id/hash split would not: vectors at
+    * cosine ~1 have ~equal cosines to every sub-centroid and therefore land
+    * in the same leaf (exact copies always do — identical cosines, same
+    * first-max tie-break). A leaf still over `maxCell` after
+    * `maxSplitDepth` levels (all members near-identical — centroid geometry
+    * cannot separate them, and should not) falls back to the REPRESENTATIVE
+    * rule: every member is compared against the leaf's min-id member only —
+    * O(leaf) pairs instead of O(leaf²), which drops the near-identical mass
+    * while never stalling a task. Net: no input region silently skips
+    * dedup; [[bucketOverflowReport]] over the output keyed by `leaf`
+    * reports 0 overflow whenever the recursion terminated (the degenerate
+    * fallback leaves are the only rows it can flag).
+    *
+    * Driver-side state is bounded by metadata, not data: per level the
+    * collect is (#overflow cells × `splitFanout`) sub-centroid vectors —
+    * the same scale class as the centroid table itself (a corpus where MOST
+    * cells overflow needs a bigger nlist/maxCell, which the overflow report
+    * measures). Pair-stage parallelism is bounded by the number of distinct
+    * leaves, so size the centroid table well above the executor count (the
+    * regime the SemDeDup paper runs: tens of thousands of clusters) —
+    * [[Similarity.kmeansCentroids]] fits any nlist distributed. With
+    * [[Similarity.centroidsByIds]] centroids the whole pipeline —
+    * assignment, splitting, pairing, survivor rule — is replayable by an
+    * external SQL engine (the split is deterministic: smallest-id members,
+    * first-max cosine, ties to the smaller sub-index).
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[(Int, Seq[Float])], threshold: Double,
-                    maxCell: Int = 10000): DataFrame = {
+                    maxCell: Int = 10000, splitFanout: Int = 16,
+                    maxSplitDepth: Int = 6): DataFrame = {
+    val spark = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
     val assigned = Similarity.assignCells(emb, idCol, vecCol, centroids)
-    // per-cell counts are at most nlist rows — broadcast back, never a
-    // window over the data
-    val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("__cn"))
-    val joinable = assigned.join(broadcast(cellCounts), "cell")
-      .filter(col("__cn") <= maxCell)
-    val a = joinable.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = joinable.select(col("cell"), col("id").as("id_b"), col("__v").as("__vb"))
-    val dropped = a.join(b, Seq("cell"))
+      .withColumn("__leaf", col("cell").cast("string"))
+
+    // ---- recursive overflow split (driver loop, depth-bounded) ----
+    // only levels that actually split are persisted; the common no-overflow
+    // corpus goes through with zero caching and the exact pre-split plan
+    var frame = assigned
+    var persistedPrev: Option[DataFrame] = None
+    var depth = 0
+    var anyOverflow = true
+    while (anyOverflow && depth < maxSplitDepth) {
+      val overflowLeaves = frame.groupBy("__leaf")
+        .agg(count(lit(1)).as("__cn"))
+        .filter(col("__cn") > maxCell)
+        .select("__leaf").collect().map(_.getString(0))
+      if (overflowLeaves.isEmpty) anyOverflow = false
+      else {
+        import spark.implicits._
+        val overflowDf = overflowLeaves.toSeq.toDF("__leaf")
+        // sub-centroids: the splitFanout smallest-id members per overflow
+        // leaf — deterministic and replayable; bounded collect (see scaladoc)
+        val w = Window.partitionBy(col("__leaf")).orderBy(col("id"))
+        val subs = frame.join(broadcast(overflowDf), "__leaf")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= splitFanout)
+          .select(col("__leaf"), col("__rn"), col("__v"))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (leaf, rows) =>
+            leaf -> rows.sortBy(_.getInt(1))
+              .map(_.getAs[scala.collection.Seq[Float]]("__v").toSeq)
+          }
+        val bcSubs = spark.sparkContext.broadcast(subs)
+        val extendLeaf = udf { (leaf: String, v: scala.collection.Seq[Float]) =>
+          bcSubs.value.get(leaf) match {
+            case Some(cents) =>
+              var best = 0
+              var bestD = Double.MinValue
+              var i = 0
+              while (i < cents.length) {
+                val c = Similarity.cosSeq(v, cents(i))
+                if (c > bestD) { bestD = c; best = i }
+                i += 1
+              }
+              leaf + "/" + best
+            case None => leaf
+          }
+        }
+        val next = frame.withColumn("__leaf", extendLeaf(col("__leaf"), col("__v")))
+          .persist()
+        next.count() // materialize before dropping the parent level's cache
+        persistedPrev.foreach(_.unpersist())
+        persistedPrev = Some(next)
+        frame = next
+        depth += 1
+      }
+    }
+
+    // ---- pairing: all-pairs inside fitted leaves, representative rule
+    //      inside degenerate (still-overflow) leaves ----
+    val leafCounts = frame.groupBy("__leaf").agg(count(lit(1)).as("__cn"))
+    val withCn = frame.join(broadcast(leafCounts), "__leaf")
+    val fitted = withCn.filter(col("__cn") <= maxCell)
+    val degen = withCn.filter(col("__cn") > maxCell)
+
+    val a = fitted.select(col("__leaf"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = fitted.select(col("__leaf"), col("id").as("id_b"), col("__v").as("__vb"))
+    val pairDropped = a.join(b, Seq("__leaf"))
       .filter(col("id_a") < col("id_b"))
       .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
-      .select(col("id_b").as("__dup_id")).distinct()
-    assigned.join(dropped, col("id") === col("__dup_id"), "left_outer")
-      .select(col("id"), col("cell"), col("__dup_id").isNull.as("keep"))
+      .select(col("id_b").as("__dup_id"))
+
+    val degenReps = degen.groupBy("__leaf").agg(min(col("id")).as("__rep_id"))
+    val repVecs = degen.join(broadcast(degenReps), Seq("__leaf"))
+      .filter(col("id") === col("__rep_id"))
+      .select(col("__leaf"), col("__rep_id"), col("__v").as("__repv"))
+    val repDropped = degen.join(broadcast(repVecs), Seq("__leaf"))
+      .filter(col("id") > col("__rep_id"))
+      .filter(Similarity.cosine(col("__v"), col("__repv")) >= threshold)
+      .select(col("id").as("__dup_id"))
+
+    val dropped = pairDropped.union(repDropped).distinct()
+    frame.join(dropped, col("id") === col("__dup_id"), "left_outer")
+      .select(col("id"), col("cell"), col("__leaf").as("leaf"),
+        col("__dup_id").isNull.as("keep"))
   }
 
   // ---------- pairs → clusters (the dedup DECISION step) ----------

@@ -131,7 +131,7 @@ object Similarity {
     best
   }
 
-  private def cosSeq(v: scala.collection.Seq[Float], cv: Seq[Float]): Double = {
+  private[ext] def cosSeq(v: scala.collection.Seq[Float], cv: Seq[Float]): Double = {
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < v.length) {

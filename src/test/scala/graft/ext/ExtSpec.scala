@@ -131,19 +131,80 @@ class ExtSpec extends SparkTestBase {
     assert(out.count(!_._3) == 5)
   }
 
-  test("semantic dedup overflow cells keep every row (maxCell guard)") {
+  test("semantic dedup overflow cells split recursively; identical pairs still drop") {
     val rng = new scala.util.Random(3)
     val vecs = (0 until 60).map(i =>
       (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
     val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
     val df = (vecs ++ planted).toDF("vec_id", "embedding")
     val cents = Similarity.centroidsByIds(df, "vec_id", "embedding", 0L to 3L)
-    // 65 rows over 4 cells: a cap of 1 overflows every cell -> no pairs,
-    // everything kept (the conservative direction), assignment unchanged
+    // maxCell = 1 overflows every cell: the recursive split separates
+    // distinct random vectors into singleton leaves (each member is its own
+    // best sub-centroid), while an identical original+copy pair can never
+    // be separated by centroid geometry — it bottoms out at maxSplitDepth
+    // and the representative fallback still drops the copy. Nothing is
+    // silently skipped.
     val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
-        threshold = 0.95, maxCell = 1)
+        threshold = 0.95, maxCell = 1, splitFanout = 16, maxSplitDepth = 4)
       .select("id", "keep").as[(Long, Boolean)].collect()
-    assert(out.length == 65 && out.forall(_._2))
+    assert(out.length == 65)
+    val dropped = out.filter(!_._2).map(_._1).toSet
+    assert(dropped == (0 until 5).map(i => i + 1000L).toSet,
+      s"expected exactly the planted copies dropped, got $dropped")
+  }
+
+  test("semantic dedup mega-cell: one centroid, split to fitted leaves, 0 overflow") {
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+    val planted = vecs.take(20).map { case (id, v) => (id + 10000L, v) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    // a single centroid puts all 220 rows in cell 0 — the mode-collapse
+    // regime where the old guard skipped dedup entirely
+    val cents = Similarity.centroidsByIds(df, "vec_id", "embedding", Seq(0L))
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+      threshold = 0.95, maxCell = 50, splitFanout = 16)
+    val rows = out.select("id", "cell", "leaf", "keep")
+      .as[(Long, Int, String, Boolean)].collect()
+    assert(rows.length == 220)
+    assert(rows.forall(_._2 == 0)) // top-level cell unchanged by the split
+    val dropped = rows.filter(!_._4).map(_._1).toSet
+    assert(dropped == (0 until 20).map(i => i + 10000L).toSet,
+      s"expected exactly the planted copies dropped, got $dropped")
+    // every copy pairs inside its original's leaf
+    val leafById = rows.map(r => r._1 -> r._3).toMap
+    (0 until 20).foreach(i => assert(leafById(i.toLong) == leafById(i + 10000L)))
+    // the split terminated: no leaf above maxCell → 0 sacrificed rows
+    val rep = Dedup.bucketOverflowReport(out, "leaf", maxBucket = 50).head()
+    assert(rep.getLong(0) == 0 && rep.getLong(1) == 0,
+      s"overflow after split: ${rep.getLong(0)} leaves / ${rep.getLong(1)} rows")
+  }
+
+  test("semantic dedup with KMeans-fitted centroids: near-dup recall on clustered data") {
+    // quality gate for the production (kmeansCentroids) path: tight
+    // clusters + noise, planted near-copies (small jitter, cos ≈ 0.999);
+    // fitted centroids must co-assign original and copy often enough that
+    // dedup recall holds — the explicit-member-centroid oracle path proves
+    // correctness, this proves the fitted path is fit for purpose
+    val rng = new scala.util.Random(13)
+    def around(center: Float) =
+      Array.fill(8)(center + rng.nextFloat() * 0.1f).toSeq
+    val base = ((0 until 120).map(i => (i.toLong, around(1.0f))) ++
+      (120 until 240).map(i => (i.toLong, around(-1.0f))) ++
+      (240 until 300).map(i => (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1).toSeq)))
+    val planted = base.take(20).map { case (id, v) =>
+      (id + 10000L, v.map(x => x + (rng.nextFloat() - 0.5f) * 0.002f))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "embedding", nlist = 6)
+    // threshold sits between distinct cluster members (cos ≈ 0.999 — kept)
+    // and the planted jittered copies (cos ≈ 0.9999998 — dropped)
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", cents,
+        threshold = 0.99999)
+      .select("id", "keep").as[(Long, Boolean)].collect()
+    val dropped = out.filter(!_._2).map(_._1).toSet
+    val recall = (0 until 20).count(i => dropped(i + 10000L)) / 20.0
+    assert(recall >= 0.9, s"fitted-centroid semantic dedup recall = $recall")
   }
 
   test("IVF recall@k ≥ 0.9 vs in-engine brute force (nprobe < nlist)") {
