@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.SparkSession
 
 import graft.spec._
-import graft.runner.{CachedSparkRunner, FrameResult, JsonResult, LocalSparkRunner, ModelResult, OpState}
+import graft.runner.{CachedSparkRunner, FrameResult, JsonResult, LocalSparkRunner, ModelResult, OpState, StoreGc}
 
 /** CLI entry points over serialized graphs — the Spark re-expression of the
   * reference CLI (`cli.py:538-605` run/materialize, `:373-414` status,
@@ -269,7 +269,6 @@ object Cli {
     * (SCALING.md) — and graph edits strand every orphaned intermediate.
     */
   private def cmdGc(a: Args): Unit = {
-    val root = Paths.get(a.store)
     val keep: Set[String] = a.graph match {
       case Some(path) =>
         val roots = Graph.deserializeString(Files.readString(Paths.get(path)))
@@ -278,51 +277,27 @@ object Cli {
     }
     if (a.delete && keep.isEmpty && a.olderThanDays.isEmpty)
       usage("gc --delete needs a retention criterion (--graph and/or --older-than-days)")
-    def children(dir: Path): Seq[Path] =
-      if (!Files.isDirectory(dir)) Seq.empty
-      else {
-        val s = Files.list(dir)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.toList.sortBy(_.toString)
-        } finally s.close()
-      }
-    def treeBytes(p: Path): Long = {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(Files.isRegularFile(_))
-          .map(f => try Files.size(f) catch { case _: Exception => 0L }).sum
-      } finally s.close()
-    }
-    val now = System.currentTimeMillis()
-    def ageDays(p: Path): Double =
-      (now - Files.getLastModifiedTime(p).toMillis) / 86400000.0
-    var kept = 0; var gone = 0; var freed = 0L
-    for (clsDir <- children(root); entry <- children(clsDir)) {
-      val uuid = s"${clsDir.getFileName}_${entry.getFileName}"
-      val doneFile = entry.resolve("done")
-      val complete = Files.exists(doneFile)
-      val age = ageDays(if (complete) doneFile else entry)
-      val minAge = math.max(a.olderThanDays.getOrElse(0).toDouble,
-        if (complete) 0.0 else 1.0)
-      if (!keep.contains(uuid) && age >= minAge) {
-        gone += 1; freed += treeBytes(entry)
-        if (a.delete) LocalSparkRunner.deleteTreeTolerant(entry)
-        println(s"$uuid: ${if (a.delete) "deleted" else "deletable"}" +
-          (if (complete) "" else " (incomplete)"))
-      } else kept += 1
-    }
-    // prune emptied class dirs — directories ONLY (a store root may hold
-    // stray regular files, e.g. user-dropped graph JSONs; never touch them)
-    if (a.delete) children(root).foreach { clsDir =>
-      if (Files.isDirectory(clsDir) && children(clsDir).isEmpty) {
-        try Files.deleteIfExists(clsDir) catch { case _: Exception => () }
-      }
-    }
-    println(s"gc: ${kept + gone} entries scanned, $kept retained, " +
-      s"$gone ${if (a.delete) "deleted" else "deletable"}, $freed bytes" +
-      (if (a.delete) " freed" else ""))
+    // same store abstraction as run/materialize: `--store` alone is a
+    // private store; with `--cache` it is the SHARED store of a cached
+    // deployment — collect BOTH tiers under the same retention (the shared
+    // tier is exactly where multi-machine v1-orphans and push debris
+    // accumulate; a collected cache entry re-pulls on demand)
+    val tiers: Seq[(String, String)] =
+      ("store", a.store) +: a.cacheResolved.map("cache" -> _).toSeq
+    val total = tiers.map { case (label, dir) =>
+      val s = StoreGc.gc(Paths.get(dir), keep, a.olderThanDays, a.delete,
+        line => println(s"[$label] $line"))
+      println(s"gc[$label]: ${s.kept + s.collected} entries scanned, " +
+        s"${s.kept} retained, ${s.collected} " +
+        s"${if (a.delete) "deleted" else "deletable"}, ${s.bytes} bytes" +
+        (if (a.delete) " freed" else ""))
+      s
+    }.reduce(_ + _)
+    if (tiers.size > 1)
+      println(s"gc: ${total.kept + total.collected} entries scanned, " +
+        s"${total.kept} retained, ${total.collected} " +
+        s"${if (a.delete) "deleted" else "deletable"}, ${total.bytes} bytes" +
+        (if (a.delete) " freed" else ""))
   }
 
   /** Build a GroupedOp from the filtered selection, register it in the

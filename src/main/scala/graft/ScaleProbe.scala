@@ -100,6 +100,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,8 +145,10 @@ object ScaleProbe {
     }
     // ~1M-event temporal joins (10x replicated events, shifted user ids so
     // key cardinality scales with volume — bucket population stays flat)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts").cast("long") / 1000L).cast("long")))
+    // same dual-shape (nanos-as-long vs TIMESTAMP_NTZ) dispatch as the
+    // queries — a raw cast('long') on an NTZ-shaped file silently yields
+    // epoch seconds and skews every probe timestamp
+    val ev = SparkEntry.normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
     val ev10 = (0 until 10).map(i =>
       ev.withColumn("user_id", col("user_id") + lit(i * 1000000L))
         .withColumn("event_id", col("event_id") + lit(i * 100000000L)))

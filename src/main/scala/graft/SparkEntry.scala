@@ -41,16 +41,24 @@ object SparkEntry {
     * Normalize both to microsecond TimestampType under the UTC session tz —
     * the same instants DuckDB sees on read, invariant to the writer.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ→timestamp cast reinterprets wall-clock fields in the
+        // SESSION zone; only under UTC does that yield the same instants
+        // DuckDB reads. Fail loudly instead of hash-mismatching later.
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events TIMESTAMP_NTZ normalization requires " +
+            "spark.sql.session.timeZone=UTC (got '" +
+            df.sparkSession.conf.get("spark.sql.session.timeZone") + "')")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
-  }
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventsTs(t(s, dir, "events"))
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
@@ -83,6 +91,28 @@ object SparkEntry {
   def resetRunner(s: SparkSession): Unit = {
     closeRunner(s)
     queryStore = java.nio.file.Files.createTempDirectory("graft-query-store-").toString
+  }
+
+  /** Reset for a steady-state bench pass: drop every memoized RESULT so
+    * runner-backed queries re-execute, but KEEP the stamped ingest copies
+    * (`Load*DatasetOp` store entries). Ingest stamping is a once-per-dataset
+    * cost by design — the stamped copy is shared by every later plan,
+    * process, and machine — so a steady pass should measure the post-ingest
+    * regime; a fresh-store reset (round 12) re-paid the stamping write
+    * inside every timed pass, drifting the whole headline upward without
+    * any plan change. */
+  def resetRunnerKeepLoads(s: SparkSession): Unit = {
+    closeRunner(s)
+    val root = java.nio.file.Paths.get(queryStore)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val keep = Set("LoadLocalParquetDatasetOp", "LoadLocalJsonlDatasetOp",
+        "LoadLocalCsvDatasetOp")
+      val children = java.nio.file.Files.list(root)
+      try children.forEach { p =>
+        if (!keep(p.getFileName.toString))
+          graft.runner.LocalSparkRunner.deleteTreeTolerant(p)
+      } finally children.close()
+    }
   }
 
   /** On-disk IVF index over `embeddings`, built once per (JVM, sf dir):

@@ -307,6 +307,33 @@ class CliSpec extends SparkTestBase {
     assert(after.contains("0 entries scanned"), after)
   }
 
+  test("gc collects both tiers of a cached (shared-store) deployment") {
+    val shared = newStoreDir()
+    val cache = newStoreDir()
+    val ds = LoadInlineJsonDatasetOp(Map("x" -> Seq(1L, 2L, 3L)))
+    val rid = AssignRowIDOp(ds)
+    new graft.runner.CachedSparkRunner(spark, shared, cache).materialize(rid)
+    def tierHas(root: String): Boolean = {
+      val i = rid.uuid.indexOf('_')
+      Files.exists(Paths.get(root, rid.uuid.substring(0, i),
+        rid.uuid.substring(i + 1), "done"))
+    }
+    assert(tierHas(shared) && tierHas(cache)) // write-through landed in both
+
+    // dropping rid from the graph orphans its entry in BOTH tiers; the
+    // same `--store`/`--cache` vocabulary as run/materialize drives gc
+    val dsOnly = Paths.get(shared, "dsonly.json")
+    Files.writeString(dsOnly, Graph.serializeToString(ds))
+    val out = withStdout(Cli.main(Array("gc", "--store", shared,
+      "--cache", cache, "--graph", dsOnly.toString, "--delete")))
+    assert(out.contains(s"[store] ${rid.uuid}: deleted"), out)
+    assert(out.contains(s"[cache] ${rid.uuid}: deleted"), out)
+    assert(!tierHas(shared) && !tierHas(cache))
+    // combined summary covers both tiers
+    assert(out.linesIterator.exists(l => l.startsWith("gc: ")
+      && l.contains("2 deleted")), out)
+  }
+
   test("gc: done-less entries carry a one-day minimum age guard") {
     val store = newStoreDir()
     // crash debris: an entry directory with a payload but no done marker

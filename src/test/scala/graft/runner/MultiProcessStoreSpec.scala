@@ -134,6 +134,67 @@ class MultiProcessStoreSpec extends SparkTestBase {
     assert(snapshot(new LocalSparkRunner(spark, store), op) == expected)
   }
 
+  test("gc under a concurrent writer never collects a live staged rename") {
+    // the one-day guard on done-less entries claims a LIVE writer's staging
+    // window can never be collected under it; prove it cross-process: a
+    // separate JVM materializes one op into the store; the moment its entry
+    // dir appears WITHOUT a done marker (i.e. mid staged write), this
+    // process runs maximally aggressive DELETE sweeps — empty keep set,
+    // --older-than-days 0, so nothing but the guard protects the entry —
+    // for as long as the write is in flight. The entry must survive, the
+    // writer must finish with a correct result, and a planted two-day-old
+    // done-less decoy proves the sweeps genuinely collected.
+    val store = newStoreDir()
+    val decoy = Paths.get(store, "fakeop", "deadbeef")
+    Files.createDirectories(decoy)
+    Files.writeString(decoy.resolve("result.json"), "{}")
+    Files.setLastModifiedTime(decoy,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 86400000L))
+    val op = outputs.head // JinjaTemplatizeOp: a real parquet staged write
+    val graph = Paths.get(store, "graph.json")
+    Files.writeString(graph, Graph.serializeToString(op))
+    val log = Paths.get(store, "writer.log")
+    val writer = launchCli(log, Seq("run", "--store", store,
+      "--graph", graph.toString, "--master", "local[4]"))
+    val entry = {
+      val i = op.uuid.indexOf('_')
+      Paths.get(store, op.uuid.substring(0, i), op.uuid.substring(i + 1))
+    }
+    val done = entry.resolve("done")
+    // catch the staging window: entry dir exists, done not yet written
+    val deadline = System.nanoTime() + 240e9.toLong
+    while (!(Files.exists(entry) && !Files.exists(done))
+           && !Files.exists(done) && System.nanoTime() < deadline) {
+      assert(writer.isAlive || Files.exists(done),
+        s"writer died early:\n${Files.readString(log)}")
+      Thread.sleep(2)
+    }
+    assert(Files.exists(entry) && !Files.exists(done),
+      "never observed the done-less staging window")
+    // sweep repeatedly while the write is in flight (each sweep would
+    // delete the entry if the guard were absent: not kept, age 0 >= 0)
+    var sweeps = 0
+    while (!Files.exists(done) && writer.isAlive) {
+      StoreGc.gc(Paths.get(store), Set.empty, Some(0), delete = true)
+      assert(Files.exists(entry),
+        s"gc collected a live staged write after $sweeps sweeps")
+      sweeps += 1
+      Thread.sleep(5)
+    }
+    assert(sweeps > 0, "no sweep ran inside the staging window")
+    assert(!Files.exists(decoy), "the sweeps never actually collected")
+    assert(writer.waitFor(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(writer.exitValue() == 0,
+      s"writer failed under concurrent gc:\n${Files.readString(log)}")
+    // the op's result is complete and correct despite the hostile sweeps
+    val reader = new LocalSparkRunner(spark, store)
+    assert(reader.status(op).state == OpState.Completed)
+    assert(snapshot(reader, op) ==
+      snapshot(new LocalSparkRunner(spark, newStoreDir()), op))
+    assert(storeDebris(store).isEmpty)
+  }
+
   test("write-through cached JVMs sharing one remote store converge too") {
     val shared = newStoreDir()
     val graph = Paths.get(shared, "graph.json")
