@@ -95,6 +95,68 @@ object ScaleProbe {
         graft.ext.ConnectedComponents.labels(edges, "src", "dst").count()
       }
     }
+
+    // ---- embedding families: semantic dedup + stored-IVF probe ----
+    // Replica salting for EMBEDDINGS: flip each coordinate's sign by a
+    // per-replica hash pattern. A fixed sign flip is an isometry of cosine
+    // (s_k² = 1), so intra-replica geometry — cell structure, planted-copy
+    // cosines — is EXACTLY preserved, while inter-replica cosines of the
+    // same base vector become a random ± sum well under any dedup
+    // threshold: replicas share no near-dups, so planted-drop counts and
+    // pair work scale LINEARLY like a genuinely growing corpus (unsalted
+    // replicas are all mutual exact dups — factor² pairs).
+    val baseEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val saltSign = udf { (v: scala.collection.Seq[Float], rep: Int) =>
+      v.zipWithIndex.map { case (x, k) =>
+        if ((graft.ext.Dedup.hash64(rep + 1, k.toString) & 1L) == 0L) x else -x
+      }.toArray
+    }
+    for (factor <- Seq(1, 10, 100)) {
+      val rep = java.nio.file.Files.createTempDirectory(s"graft-esweep-$factor-")
+      (0 until factor).map { i =>
+        val r = baseEmb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          saltSign(col("embedding"), lit(i)).as("embedding"))
+        // 50 planted exact copies per replica (larger ids → they drop):
+        // linear ground truth for the dedup output across decades
+        r.union(r.filter(col("vec_id") % 10000000L < 50)
+          .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding")))
+      }.reduce(_ union _)
+        .write.mode("overwrite").parquet(rep.toString)
+      val emb = spark.read.parquet(rep.toString)
+      val rows = emb.count()
+      // nlist grows with the corpus (the SemDeDup/IVF operating regime:
+      // cells stay ~constant-sized, pair work stays linear, pair-stage
+      // parallelism grows with the data)
+      val nlist = 16 * factor
+      val cents = graft.ext.Similarity.pickCentroids(emb, "vec_id", "embedding", nlist)
+      measure(s"semantic dedup ${factor}x", s"rows=$rows nlist=$nlist") {
+        graft.ext.Dedup.semanticDedup(emb, "vec_id", "embedding", cents,
+          threshold = 0.8).filter(!col("keep")).count()
+      }
+      val idx = java.nio.file.Files.createTempDirectory(s"graft-ivfswp-$factor-")
+      measure(s"ivf index build ${factor}x", s"rows=$rows nlist=$nlist") {
+        graft.ext.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+          cents, idx.toString)
+        nlist.toLong
+      }
+      // the flatness claim: with cells ~constant-sized, a probe touches
+      // nprobe cells' DIRECTORIES regardless of corpus factor — wall and
+      // shuffle for the probe should NOT grow with the decade
+      val queries = baseEmb.filter(col("vec_id") < 10)
+      measure(s"ivf pruned probe ${factor}x", s"nprobe=4/$nlist") {
+        graft.ext.Similarity.ivfTopKIndexed(spark, idx.toString,
+          queries, "vec_id", "embedding", k = 10, nprobe = 4).count()
+      }
+      Seq(rep, idx).foreach { p =>
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toList.sortBy(_.toString).reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } finally s.close()
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

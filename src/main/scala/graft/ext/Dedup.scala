@@ -610,6 +610,14 @@ object Dedup {
 
     // ---- pairing: all-pairs inside fitted leaves, representative rule
     //      inside degenerate (still-overflow) leaves ----
+    // the pairing stage scans the assignment ~5 times (counts, both join
+    // sides, degenerate reps, final keep join); without a cache each scan
+    // re-runs the O(rows × nlist) assignment UDF — at SemDeDup-regime
+    // nlist (tens of thousands) that recompute dwarfs the cache write.
+    // MEMORY_AND_DISK: spills rather than OOMs on a 100 TB corpus slice.
+    if (persistedPrev.isEmpty) {
+      frame = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val leafCounts = frame.groupBy("__leaf").agg(count(lit(1)).as("__cn"))
     val withCn = frame.join(broadcast(leafCounts), "__leaf")
     val fitted = withCn.filter(col("__cn") <= maxCell)

@@ -118,19 +118,65 @@ object Similarity {
     }.toArray
   }
 
-  /** Nearest-centroid cell id, first-max-wins (ties → smaller cell id);
-    * double accumulation in element order so any sequential replay agrees.
-    */
-  private def cellOf(v: scala.collection.Seq[Float],
-                     cents: Array[(Int, Seq[Float])]): Int = {
-    var best = 0; var bestD = Double.MinValue
-    for ((cid, cv) <- cents) {
-      val cos = cosSeq(v, cv)
-      if (cos > bestD) { bestD = cos; best = cid }
+  /** Centroid table unpacked for the hot assignment loop: ids, primitive
+    * vectors, and the squared norms PRECOMPUTED ONCE (the naive per-row
+    * form re-accumulated every centroid's norm for every row — at
+    * rows × nlist that dominates assignment). All hoists are bit-exact:
+    * each sum runs over the same elements in the same order as before,
+    * only earlier and once. */
+  private final class CentArrays(cents: Array[(Int, Seq[Float])])
+      extends Serializable {
+    val ids: Array[Int] = cents.map(_._1)
+    val vecs: Array[Array[Float]] = cents.map(_._2.toArray)
+    val norms2: Array[Double] = vecs.map { cv =>
+      var nb = 0.0; var i = 0
+      while (i < cv.length) { nb += cv(i).toDouble * cv(i); i += 1 }
+      nb
     }
-    best
+
+    /** cos(v, centroid j) with the per-row squared norm `na` hoisted. */
+    def cos(va: Array[Float], na: Double, j: Int): Double = {
+      val cv = vecs(j)
+      var dp = 0.0; var i = 0
+      while (i < va.length) { dp += va(i).toDouble * cv(i); i += 1 }
+      if (na > 0 && norms2(j) > 0) dp / math.sqrt(na * norms2(j)) else 0.0
+    }
+
+    def norm2(v: scala.collection.Seq[Float]): Double = {
+      var na = 0.0; var i = 0
+      while (i < v.length) { na += v(i).toDouble * v(i); i += 1 }
+      na
+    }
+
+    /** Nearest-centroid cell id, first-max-wins (ties → smaller index —
+      * identical tie-break to the original tuple iteration). */
+    def bestCell(v: scala.collection.Seq[Float]): Int = {
+      val va = v.toArray
+      val na = norm2(va)
+      var best = 0; var bestD = Double.MinValue
+      var j = 0
+      while (j < vecs.length) {
+        val c = cos(va, na, j)
+        if (c > bestD) { bestD = c; best = ids(j) }
+        j += 1
+      }
+      best
+    }
+
+    def probe(v: scala.collection.Seq[Float], nprobe: Int): Seq[Int] = {
+      val va = v.toArray
+      val na = norm2(va)
+      ids.indices.map(j => (ids(j), cos(va, na, j)))
+        .sortBy(-_._2).take(nprobe).map(_._1)
+    }
   }
 
+  /** Interleaved-accumulator cosine over boxed seqs — the per-pair form
+    * (used by the semantic-dedup sub-centroid split, where the candidate
+    * set is `splitFanout`-small). Bit-equal to [[CentArrays.cos]]: each
+    * accumulator's operand sequence is identical, only the loop fusion
+    * differs. Double accumulation in element order so any sequential
+    * replay agrees. */
   private[ext] def cosSeq(v: scala.collection.Seq[Float], cv: Seq[Float]): Double = {
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -141,22 +187,20 @@ object Similarity {
     if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
   }
 
-  private def probeCells(v: scala.collection.Seq[Float],
-                         cents: Array[(Int, Seq[Float])],
-                         nprobe: Int): Seq[Int] =
-    cents.map { case (cid, cv) => (cid, cosSeq(v, cv)) }
-      .sortBy(-_._2).take(nprobe).map(_._1).toSeq
 
   /** (id, vector, cell) for every corpus row — nearest-centroid assignment
-    * against a broadcast centroid table (first-max-wins ties, like
-    * [[cellOf]]). The shared front half of IVF search and semantic dedup:
+    * against a broadcast centroid table (first-max-wins, ties → smaller
+    * cell id). The shared front half of IVF search and semantic dedup:
     * the centroid table is nlist rows regardless of corpus size, so the
     * assignment is a map-only pass — no shuffle.
     */
   def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
                   centroids: Array[(Int, Seq[Float])]): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
+    // broadcast the UNPACKED table (primitive vectors + precomputed norms):
+    // the per-row loop is rows × nlist dot products and must not re-box or
+    // re-accumulate centroid norms per row
+    val bc = corpus.sparkSession.sparkContext.broadcast(new CentArrays(centroids))
+    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
     corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("cell", assignUdf(col("__v")))
   }
@@ -172,9 +216,9 @@ object Similarity {
     val cents =
       if (kmeansIters > 0) kmeansCentroids(corpus, corpusVec, nlist, kmeansIters)
       else pickCentroids(corpus, corpusId, corpusVec, nlist)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
-      probeCells(v, bc.value, nprobe)
+      bc.value.probe(v, nprobe)
     }
 
     val c = assignCells(corpus, corpusId, corpusVec, cents)
@@ -215,11 +259,17 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                     centroids: Array[(Int, Seq[Float])], path: String): Unit = {
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { v: scala.collection.Seq[Float] => cellOf(v, bc.value) }
+    val bc = spark.sparkContext.broadcast(new CentArrays(centroids))
+    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
     corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
       .withColumn("vnorm", norm(col("vec")))
       .withColumn("cell", assignUdf(col("vec")))
+      // co-locate each cell before the partitioned write: without this,
+      // partitionBy emits (writing tasks × cells) files — at nlist in the
+      // tens of thousands that is millions of KB-sized parquet files, a
+      // listing/open cost that defeats the pruning the index exists for.
+      // One cell-keyed shuffle at build time buys ~one file per cell.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/corpus")
     import spark.implicits._
@@ -244,9 +294,9 @@ object Similarity {
       .map(r => (r.getAs[Int]("cent_id"),
         r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
       .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
-      probeCells(v, bc.value, nprobe)
+      bc.value.probe(v, nprobe)
     }
     val q = queries.select(col(queryId).as("query_id"),
         col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))

@@ -83,6 +83,14 @@ object ModelRegistry {
   def httpReadTimeoutMs: Int =
     cfg("graft.http.read.timeout.ms", "GRAFT_HTTP_READ_TIMEOUT_MS", "300000").toInt
 
+  /** In-flight `/api/generate` requests per task batch. Generation has no
+    * batch form in the Ollama API, so per-prompt round-trips are the unit;
+    * pipelining them overlaps request latency (the server still schedules
+    * actual decoding by its own OLLAMA_NUM_PARALLEL). 1 restores strictly
+    * sequential posting. */
+  def httpGenerateConcurrency: Int =
+    cfg("graft.http.generate.concurrency", "GRAFT_HTTP_GENERATE_CONCURRENCY", "4").toInt
+
   register("fake")(rest => FakeProvider(FakeProvider.parseDim(rest)))
   register("http")(rest => new HttpProvider(rest))
   // Scheme ALIASES resolving to the http transport. The reference registry
@@ -234,16 +242,28 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
     throw new UnsupportedOperationException(
       s"$scheme: logit scores are not exposed by embedding endpoints")
 
+  // resolved on the driver, serialized with the provider (like the timeouts)
+  private val generateConcurrency = ModelRegistry.httpGenerateConcurrency
+
   /** Ollama `/api/generate`: one non-streamed request per prompt —
     * generation has no batch form in the Ollama API, and batches are
     * already bounded by the op's `batchSize` so a hung prompt fails the
-    * task (and its retry) rather than the job silently stalling. */
+    * task (and its retry) rather than the job silently stalling.
+    *
+    * Within a batch, up to [[ModelRegistry.httpGenerateConcurrency]]
+    * requests are PIPELINED through a small daemon pool: per-prompt
+    * round-trip latency (not server decode throughput) otherwise serializes
+    * the whole partition. Results keep batch order (futures are collected
+    * in submission order); the first failure propagates with its original
+    * exception, so the error contract — HTTP status detail, read timeouts —
+    * is identical to the sequential path, which `concurrency=1` restores.
+    */
   override def generate(prompts: Iterator[Seq[String]],
                         maxTokens: Long): Iterator[Seq[String]] = {
     import graft.spec._
     val genUrl = generateEndpoint.getOrElse(throw new UnsupportedOperationException(
       s"$scheme: no generation endpoint (generation is served by the ollama: scheme)"))
-    prompts.map(_.map { p =>
+    def genOne(p: String): String = {
       val body = Json.render(JObj(
         "model" -> (JString(model.getOrElse("")): JValue),
         "prompt" -> (JString(p): JValue),
@@ -257,6 +277,48 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
         }
         case other => throw new IllegalStateException(s"bad response $other")
       }
-    })
+    }
+    prompts.map { batch =>
+      if (generateConcurrency <= 1 || batch.size <= 1) batch.map(genOne)
+      else {
+        val pool = HttpProvider.generatePool(generateConcurrency)
+        val futures = batch.map { p =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            override def call(): String = genOne(p)
+          })
+        }
+        futures.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw Option(e.getCause).getOrElse(e)
+          }
+        }
+      }
+    }
   }
+}
+
+object HttpProvider {
+  // one JVM-wide daemon pool per concurrency setting (executors reuse the
+  // JVM across tasks — a per-task pool would leak threads); idle core
+  // threads time out, so a quiet executor holds no generate threads at all
+  private val pools =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]
+  private[llm] def generatePool(n: Int): java.util.concurrent.ExecutorService =
+    pools.computeIfAbsent(n, { k =>
+      val tf = new java.util.concurrent.ThreadFactory {
+        private val c = new java.util.concurrent.atomic.AtomicInteger(0)
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-generate-${c.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      }
+      val p = new java.util.concurrent.ThreadPoolExecutor(k, k,
+        30L, java.util.concurrent.TimeUnit.SECONDS,
+        new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+      p.allowCoreThreadTimeOut(true)
+      p
+    })
 }

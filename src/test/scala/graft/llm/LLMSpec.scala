@@ -276,6 +276,58 @@ class LLMSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("ollama: generate pipelines requests within a batch, order preserved") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // track in-flight request concurrency: each request parks briefly, so
+    // pipelined posting must overlap while sequential posting cannot
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/api/generate", (ex: HttpExchange) => {
+      val now = inFlight.incrementAndGet()
+      maxInFlight.accumulateAndGet(now, Math.max(_, _))
+      try {
+        val o = Json.parse(new String(ex.getRequestBody.readAllBytes(), "UTF-8"))
+          .asInstanceOf[JObj]
+        Thread.sleep(150)
+        val JString(p) = o("prompt"): @unchecked
+        val bytes = Json.render(JObj(
+          "response" -> (JString(s"gen:$p"): JValue))).getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      } finally inFlight.decrementAndGet()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val prov = new HttpProvider(s"127.0.0.1:$port", model = Some("m"),
+        generateEndpoint = Some(s"http://127.0.0.1:$port/api/generate"))
+      val prompts = (0 until 8).map(i => s"p$i")
+      val t0 = System.nanoTime()
+      val out = prov.generate(Iterator.single(prompts), 5L).next()
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      // order is the batch order regardless of completion order
+      assert(out == prompts.map(p => s"gen:$p"))
+      // the default concurrency (4) must actually overlap round-trips
+      assert(maxInFlight.get() >= 2,
+        s"no overlap observed (maxInFlight=${maxInFlight.get()})")
+      // 8 × 150ms strictly sequential is ≥1200ms; pipelined at 4 is ~300ms
+      assert(wallMs < 1000, f"pipelined batch took $wallMs%.0f ms")
+      // concurrency=1 restores strictly sequential posting
+      sys.props("graft.http.generate.concurrency") = "1"
+      try {
+        maxInFlight.set(0)
+        val seq1 = new HttpProvider(s"127.0.0.1:$port", model = Some("m"),
+          generateEndpoint = Some(s"http://127.0.0.1:$port/api/generate"))
+        assert(seq1.generate(Iterator.single(prompts.take(3)), 5L).next()
+          == prompts.take(3).map(p => s"gen:$p"))
+        assert(maxInFlight.get() == 1)
+      } finally sys.props -= "graft.http.generate.concurrency"
+    } finally server.stop(0)
+  }
+
   test("fake provider hash arithmetic matches its spec (SQL-replicable)") {
     val p = FakeProvider(4)
     // md5("x|‑1|last|0")[0:8] parsed as hex → /2^31 - 1
