@@ -924,6 +924,24 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_sem_graph" -> ((s, dir) => {
+      // SEMANTIC DEDUP THROUGH THE SPEC LAYER: the same planted fixture as
+      // q_cos_graph (copies of the first 50 rows appended after all
+      // originals in vec_id order), ids = positional row indices,
+      // centroids = row indices 0..7 — content-addressed like the other
+      // dedup chains. Copies land in their originals' cells (identical
+      // cosines, same tie-break) and are flagged keep=false; the DuckDB
+      // oracle replays assignment, pairing, and the survivor rule over
+      // file-order row numbers.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(cosineFixtureFor(s, dir))
+      val sem = SemanticDedupOp(SelectVectorColumnOp(ds, "embedding"),
+        centroidIds = 0L to 7L, threshold = 0.8)
+      r.toFrame(sem)
+        .select(col("id").as("row_idx"), col("cell"), col("leaf"), col("keep"))
+        .orderBy(col("row_idx"))
+    }),
+
     "q_ann_graph" -> ((s, dir) => {
       // ANN THROUGH THE SPEC LAYER: vector column + positional TakeRows
       // query slice → AnnBruteTopKOp, ids = row indices; DuckDB replays
@@ -1928,6 +1946,35 @@ object SparkEntry {
     "q_cos_graph" ->
       """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS row_idx,
         |vec_id FROM embeddings ORDER BY row_idx""".stripMargin,
+
+    // spec-layer SemDeDup replay over the q_cos_graph fixture: positional
+    // row ids in vec_id order (copies sort after every original), centroids
+    // = rows 0..7, max-cosine assignment (ties -> smaller cell), survivor
+    // rule within cells; no cell overflows at sf0.01 so leaf = cell string
+    "q_sem_graph" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 50),
+        |base AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM u),
+        |cent AS (SELECT CAST(rid AS INT) cent_id, v AS cv FROM base WHERE rid < 8),
+        |assign AS (
+        |  SELECT rid, cell, v FROM (
+        |    SELECT b.rid, c.cent_id AS cell, b.v,
+        |      row_number() OVER (PARTITION BY b.rid
+        |        ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cent_id) rn
+        |    FROM base b, cent c) WHERE rn = 1),
+        |dup AS (
+        |  SELECT DISTINCT b.rid AS dup_id
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.rid < b.rid
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+        |SELECT a.rid AS row_idx, a.cell, CAST(a.cell AS VARCHAR) AS leaf,
+        |  (d.dup_id IS NULL) AS keep
+        |FROM assign a LEFT JOIN dup d ON a.rid = d.dup_id
+        |ORDER BY row_idx""".stripMargin,
 
     "q_ann_graph" ->
       """WITH base AS (

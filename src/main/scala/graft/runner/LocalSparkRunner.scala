@@ -935,6 +935,14 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Dedup.cosineNearDuplicates(v, "__v", "__id",
         dim.toInt, nBands.toInt, planesPerBand.toInt, threshold, maxBucket.toInt))
 
+    case SemanticDedupOp(vectors, centroidIds, threshold, maxCell,
+                         splitFanout, maxSplitDepth) =>
+      val v = frame(vectors)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("array<float>").as("__v"))
+      val cents = graft.ext.Similarity.centroidsByIds(v, "__id", "__v", centroidIds)
+      FrameResult(graft.ext.Dedup.semanticDedup(v, "__id", "__v", cents,
+        threshold, maxCell.toInt, splitFanout.toInt, maxSplitDepth.toInt))
+
     case DropNearDuplicatesOp(dataset, pairs) =>
       val df = frame(dataset)
       val p = frame(pairs)

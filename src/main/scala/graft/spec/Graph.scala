@@ -232,6 +232,14 @@ object OpRegistry {
     case JArr(items) => items.map(Json.toScala)
     case v => bad(n, v, "array")
   }
+  def lngSeq(o: JObj, n: String): Seq[Long] = o(n) match {
+    case JArr(items) => items.map {
+      case JLong(l) => l
+      case JDouble(d) if d.isWhole => d.toLong
+      case v => bad(n, v, "integer")
+    }
+    case v => bad(n, v, "array")
+  }
   def anyMap(o: JObj, n: String): Map[String, Any] = o(n) match {
     case JObj(fields) => fields.map { case (k, v) => (k, Json.toScala(v)) }.toMap
     case v => bad(n, v, "object")
@@ -437,6 +445,10 @@ object OpRegistry {
       CosineNearDupPairsOp(op[VectorColumnType](o, "vectors", r),
         lng(o, "dim"), lng(o, "n_bands"), lng(o, "planes_per_band"),
         dbl(o, "threshold"), lng(o, "max_bucket"))),
+    "SemanticDedupOp" -> ((o, r) =>
+      SemanticDedupOp(op[VectorColumnType](o, "vectors", r),
+        lngSeq(o, "centroid_ids"), dbl(o, "threshold"), lng(o, "max_cell"),
+        lng(o, "split_fanout"), lng(o, "max_split_depth"))),
     "DropNearDuplicatesOp" -> ((o, r) =>
       DropNearDuplicatesOp(op[DatasetType](o, "dataset", r),
         op[DatasetType](o, "pairs", r))),

@@ -490,6 +490,31 @@ final case class CosineNearDupPairsOp(
     s"threshold must be in [-1,1], got $threshold")
 }
 
+/** SemDeDup-style semantic duplicate VERDICTS over a vector column
+  * ([[graft.ext.Dedup.semanticDedup]], Abbas et al. 2023): every row
+  * assigns to its max-cosine centroid — the corpus members at the given
+  * ROW INDICES, so the cell structure is deterministic and externally
+  * replayable — and a row with a smaller-id same-cell neighbor at cosine
+  * >= `threshold` is flagged a duplicate. Cells above `maxCell` split
+  * recursively by smallest-id sub-centroids (never silently skipped).
+  * Result `(id, cell, leaf, keep)`, id = row index; `keep = false` is the
+  * drop set. Non-ephemeral like the pair ops: the cell-join pass is the
+  * expensive step, worth content-addressing. */
+final case class SemanticDedupOp(
+    vectors: VectorColumnType,
+    centroidIds: Seq[Long],
+    threshold: Double = 0.95,
+    maxCell: Long = 10000L,
+    splitFanout: Long = 16L,
+    maxSplitDepth: Long = 6L) extends DatasetType {
+  require(centroidIds.nonEmpty, "centroidIds must be non-empty")
+  require(threshold >= -1.0 && threshold <= 1.0,
+    s"threshold must be in [-1,1], got $threshold")
+  require(maxCell >= 1L, s"maxCell must be >= 1, got $maxCell")
+  require(splitFanout >= 2L, s"splitFanout must be >= 2, got $splitFanout")
+  require(maxSplitDepth >= 0L, s"maxSplitDepth must be >= 0, got $maxSplitDepth")
+}
+
 /** Keep one representative per near-duplicate cluster: `pairs` (any
   * dataset with `id_a`/`id_b` row-index columns, e.g.
   * [[MinHashNearDupPairsOp]], [[SimHashNearDupPairsOp]],

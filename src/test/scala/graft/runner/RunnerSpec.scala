@@ -273,6 +273,28 @@ class RunnerSpec extends SparkTestBase {
     assert(rows.take(2).toSeq == Seq((0L, 0L, 1), (0L, 1L, 2)))
   }
 
+  test("graph-native semantic dedup: cells + keep verdicts, memoized") {
+    val store = newStoreDir()
+    val r = new LocalSparkRunner(spark, store)
+    // rows 0/1: near-identical (cos ≈ 1); row 2: orthogonal; row 3: exact
+    // copy of row 0 — centroids = rows 0 and 2, so {0,1,3} share a cell
+    val emb = LoadInlineJsonDatasetOp(Map(
+      "v" -> Seq(Seq(1.0, 0.0, 0.0), Seq(0.999, 0.01, 0.0),
+        Seq(0.0, 1.0, 0.0), Seq(1.0, 0.0, 0.0))))
+    val sem = SemanticDedupOp(SelectVectorColumnOp(emb, "v"),
+      centroidIds = Seq(0L, 2L), threshold = 0.99)
+    val rows = r.toFrame(sem).orderBy(col("id"))
+      .select("id", "cell", "leaf", "keep")
+      .collect().map(r0 => (r0.getLong(0), r0.getInt(1), r0.getString(2),
+        r0.getBoolean(3)))
+    assert(rows.map(_._2).toSeq == Seq(0, 0, 1, 0), s"cells: ${rows.toSeq}")
+    assert(rows.map(_._4).toSeq == Seq(true, false, true, false),
+      s"keep verdicts: ${rows.toSeq}") // rows 1 and 3 have smaller-id near-dups
+    assert(rows.forall(t => t._3 == t._2.toString)) // no overflow → leaf = cell
+    // memoized like every non-ephemeral op
+    assert(new LocalSparkRunner(spark, store).isDone(sem))
+  }
+
   // ---------------- the SURVEY §7.2.3 minimum slice ----------------
 
   test("minimum slice: load→select→isin→mask→take, twice, second run is a store hit") {

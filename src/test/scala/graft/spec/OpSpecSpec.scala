@@ -263,9 +263,12 @@ class OpSpecSpec extends AnyFunSuite {
     val parsed = ParseJSONColumnOp(textCol)
     val logic = BooleanLogicOp("and", pos, neg)
     val rid = AssignRowIDOp(ds)
+    val sem = SemanticDedupOp(vec, Seq(0L, 1L, 7L), threshold = 0.8,
+      maxCell = 500L)
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, SelectBooleanColumnOp(ds, "b"), SelectScoreColumnOp(ds, "s"),
-      SelectJSONColumnOp(ds, "j"), SelectConversationColumnOp(ds, "c"),
+      logic, rid, sem, SelectBooleanColumnOp(ds, "b"),
+      SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
+      SelectConversationColumnOp(ds, "c"),
       SelectTrainTestSplitColumnOp(ds, "sp"), logits))
     val Seq(back) = Graph.deserialize(Graph.serialize(group))
     assert(back == group)
