@@ -122,6 +122,11 @@ object Fluent {
     /** beyond reference: brute-force cosine top-k against this corpus */
     def annTopK(queries: VectorColumnType, k: Long = 10L): AnnBruteTopKOp =
       AnnBruteTopKOp(v, queries, k)
+    /** beyond reference: SemDeDup semantic dedup verdicts, centroids =
+      * row indices */
+    def semanticDedup(centroidIds: Seq[Long], threshold: Double = 0.95,
+                      maxCell: Long = 10000L): SemanticDedupOp =
+      SemanticDedupOp(v, centroidIds, threshold, maxCell)
   }
 
   implicit class TextBuilders(private val t: TextColumnType) extends AnyVal {

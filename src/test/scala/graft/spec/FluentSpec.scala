@@ -100,5 +100,7 @@ class FluentSpec extends AnyFunSuite {
     assert(ds.dropNearDuplicates(pairs) == DropNearDuplicatesOp(ds, pairs))
     val v = ds.colVector("v")
     assert(v.annTopK(v, k = 7L) == AnnBruteTopKOp(v, v, 7L))
+    assert(v.semanticDedup(Seq(0L, 3L), threshold = 0.9) ==
+      SemanticDedupOp(v, Seq(0L, 3L), 0.9))
   }
 }
