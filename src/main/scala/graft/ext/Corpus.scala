@@ -388,40 +388,63 @@ object Corpus {
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021 table A1, the
-    * repetition family) — all row-local expressions, zero shuffle:
+    * repetition family) — ONE row-local pass, zero shuffle:
     *   - `n_lines`, `dup_line_frac`: fraction of non-blank lines that are
     *     exact duplicates of an earlier line;
     *   - `top_2gram_count`, `top_2gram_frac`: occurrence count of the most
     *     repeated word 2-gram and its fraction of all 2-grams.
-    * The top-gram count runs over the SORTED per-doc gram-hash array with a
-    * run-length `aggregate` — O(g log g) per row, no explode, no shuffle —
-    * while the DuckDB oracle replays it as unnest + GROUP BY + max(count):
-    * different method, same number.
+    * A single Scala UDF computes all four in one tokenization (the earlier
+    * higher-order-function form — sort + run-length `aggregate` over gram
+    * hashes — evaluated its boxed lambda per element and re-tokenized per
+    * signal; the UDF swap is the same trade `minhashSignatureUdf` made,
+    * ~4× on the sf0.1 bench row). Semantics pinned to the replaying
+    * oracle: lines split on \n and stripped of SPACES only (Spark/DuckDB
+    * `trim` — not Java's `String.trim`), words split on `TextAnalysis.Ws`,
+    * top gram = max MULTIPLICITY of a word 2-gram (what the sorted-run
+    * form computed, hash collisions aside, and what the oracle's
+    * unnest + GROUP BY + max(count) replays).
     */
   def repetitionSignals(text: Column): Seq[(String, Column)] = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => length(l) > 0)
-    val nLines = size(lines)
-    val dupLineFrac = when(nLines > 0,
-      (nLines - size(array_distinct(lines))).cast("double") / nLines)
-      .otherwise(lit(0.0))
-    val topRun = bindArray(array_sort(wordNgramHashes(text, 2))) { sorted =>
-      aggregate(sorted,
-        struct(lit(0L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev") && acc.getField("run") > 0,
-            acc.getField("run") + 1).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
-    }
-    val nGrams = size(wordNgramHashes(text, 2))
+    val sig = repetitionSignalsUdf(text)
     Seq(
-      "n_lines" -> nLines.cast("long"),
-      "dup_line_frac" -> dupLineFrac,
-      "top_2gram_count" -> topRun,
-      "top_2gram_frac" -> when(nGrams > 0,
-        topRun.cast("double") / nGrams).otherwise(lit(0.0)))
+      "n_lines" -> sig.getField("_1"),
+      "dup_line_frac" -> sig.getField("_2"),
+      "top_2gram_count" -> sig.getField("_3"),
+      "top_2gram_frac" -> sig.getField("_4"))
+  }
+
+  private lazy val repetitionSignalsUdf = udf { text: String =>
+    if (text == null) (0L, 0.0, 0L, 0.0)
+    else {
+      // Spark's trim strips 0x20 only; Java's String.trim strips <= 0x20
+      def stripSpaces(s: String): String = {
+        var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        s.substring(a, b)
+      }
+      val lines = text.split("\n", -1).iterator
+        .map(stripSpaces).filter(_.nonEmpty).toArray
+      val nLines = lines.length.toLong
+      val dupLineFrac =
+        if (nLines > 0) (nLines - lines.distinct.length).toDouble / nLines
+        else 0.0
+      val ws = text.split(TextAnalysis.Ws + "+", -1).filter(_.nonEmpty)
+      val nGrams = math.max(ws.length - 1, 0)
+      var top = 0L
+      if (nGrams > 0) {
+        val counts = new java.util.HashMap[String, Long](nGrams * 2)
+        var i = 0
+        while (i < nGrams) {
+          // words contain no whitespace, so the space join is injective
+          val g = ws(i) + " " + ws(i + 1)
+          val c = counts.merge(g, 1L, (a, b) => a + b)
+          if (c > top) top = c
+          i += 1
+        }
+      }
+      (nLines, dupLineFrac, top,
+        if (nGrams > 0) top.toDouble / nGrams else 0.0)
+    }
   }
 }
