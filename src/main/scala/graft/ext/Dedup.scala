@@ -230,11 +230,12 @@ object Dedup {
     */
   private def bucketAnnotate(keyed: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // UNORDERED window: count + min need no per-bucket sort (an orderBy
+    // here would sort exactly the mega-buckets the guard exists for)
+    val w = Window.partitionBy(col(key))
     keyed
       .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__rep", first(col("doc_id")).over(w))
+      .withColumn("__rep", min(col("doc_id")).over(w))
   }
 
   /** Distinct hashed n-gram shingles as a long array — row-local UDF using
@@ -379,12 +380,17 @@ object Dedup {
     // streamed self-join within buckets (see bucketSelfJoinPairs scaladoc);
     // sh rides along on both sides so hamming filters inside the join
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("band_key")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // unordered window (see bucketAnnotate); the representative's sketch
+    // rides along as min(struct(doc_id, sh)) — struct ordering leads on
+    // doc_id, and a doc appears at most once per bucket (band id folded
+    // into the key), so this IS the min-id member and its sketch
+    val w = Window.partitionBy(col("band_key"))
     val counted = banded
       .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__rep", first(col("doc_id")).over(w))
-      .withColumn("__repsh", first(col("sh")).over(w))
+      .withColumn("__repmin", min(struct(col("doc_id"), col("sh"))).over(w))
+      .withColumn("__rep", col("__repmin").getField("doc_id"))
+      .withColumn("__repsh", col("__repmin").getField("sh"))
+      .drop("__repmin")
     val pruned = counted
       .filter(col("__bn") > 1 && col("__bn") <= maxBucket)
       .drop("__bn", "__rep", "__repsh")
@@ -554,10 +560,16 @@ object Dedup {
       .withColumn("__leaf", col("cell").cast("string"))
 
     // ---- recursive overflow split (driver loop, depth-bounded) ----
-    // only levels that actually split are persisted; the common no-overflow
-    // corpus goes through with zero caching and the exact pre-split plan
+    // the assignment (O(rows × nlist) UDF) is scanned by the overflow
+    // count, the sub-centroid pick, each split level, and ~5 pairing-stage
+    // plans — persist it once up front (MEMORY_AND_DISK: spills rather
+    // than OOMs) instead of recomputing per scan. Split levels roll the
+    // cache forward, unpersisting the parent level; the FINAL frame stays
+    // cached because the returned (lazy) result reads it — in the runner
+    // path it is materialized immediately and the entry is evictable LRU.
     var frame = assigned
-    var persistedPrev: Option[DataFrame] = None
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var persistedPrev: Option[DataFrame] = Some(frame)
     var depth = 0
     var anyOverflow = true
     while (anyOverflow && depth < maxSplitDepth) {
@@ -599,8 +611,12 @@ object Dedup {
           }
         }
         val next = frame.withColumn("__leaf", extendLeaf(col("__leaf"), col("__v")))
-          .persist()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the parent level's cache
+        // executor copies of this level's sub-centroid table are no longer
+        // needed once the level is cached (re-broadcast lazily if the
+        // lineage ever recomputes)
+        bcSubs.unpersist(false)
         persistedPrev.foreach(_.unpersist())
         persistedPrev = Some(next)
         frame = next
@@ -610,14 +626,6 @@ object Dedup {
 
     // ---- pairing: all-pairs inside fitted leaves, representative rule
     //      inside degenerate (still-overflow) leaves ----
-    // the pairing stage scans the assignment ~5 times (counts, both join
-    // sides, degenerate reps, final keep join); without a cache each scan
-    // re-runs the O(rows × nlist) assignment UDF — at SemDeDup-regime
-    // nlist (tens of thousands) that recompute dwarfs the cache write.
-    // MEMORY_AND_DISK: spills rather than OOMs on a 100 TB corpus slice.
-    if (persistedPrev.isEmpty) {
-      frame = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
     val leafCounts = frame.groupBy("__leaf").agg(count(lit(1)).as("__cn"))
     val withCn = frame.join(broadcast(leafCounts), "__leaf")
     val fitted = withCn.filter(col("__cn") <= maxCell)

@@ -250,13 +250,16 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
     * already bounded by the op's `batchSize` so a hung prompt fails the
     * task (and its retry) rather than the job silently stalling.
     *
-    * Within a batch, up to [[ModelRegistry.httpGenerateConcurrency]]
-    * requests are PIPELINED through a small daemon pool: per-prompt
-    * round-trip latency (not server decode throughput) otherwise serializes
-    * the whole partition. Results keep batch order (futures are collected
-    * in submission order); the first failure propagates with its original
-    * exception, so the error contract — HTTP status detail, read timeouts —
-    * is identical to the sequential path, which `concurrency=1` restores.
+    * Within a batch, requests are PIPELINED in chunks of
+    * [[ModelRegistry.httpGenerateConcurrency]]: per-prompt round-trip
+    * latency (not server decode throughput) otherwise serializes the whole
+    * partition. The bound is PER TASK — the executor pool is cached/
+    * unbounded (daemon threads, idle-reaped), so N concurrent tasks drive
+    * N × concurrency requests and one task's chunk never queues behind
+    * another's. Results keep batch order; the first failure cancels the
+    * chunk's remaining futures, is never followed by another chunk, and
+    * propagates with its original exception — the same stop-at-the-failing-
+    * prompt contract as the sequential path, which `concurrency=1` restores.
     */
   override def generate(prompts: Iterator[Seq[String]],
                         maxTokens: Long): Iterator[Seq[String]] = {
@@ -281,44 +284,45 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
     prompts.map { batch =>
       if (generateConcurrency <= 1 || batch.size <= 1) batch.map(genOne)
       else {
-        val pool = HttpProvider.generatePool(generateConcurrency)
-        val futures = batch.map { p =>
-          pool.submit(new java.util.concurrent.Callable[String] {
-            override def call(): String = genOne(p)
-          })
-        }
-        futures.map { f =>
-          try f.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              throw Option(e.getCause).getOrElse(e)
+        val pool = HttpProvider.generatePool
+        batch.grouped(generateConcurrency).flatMap { chunk =>
+          val futures = chunk.map { p =>
+            pool.submit(new java.util.concurrent.Callable[String] {
+              override def call(): String = genOne(p)
+            })
           }
-        }
+          try futures.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }
+          catch {
+            case e: Throwable =>
+              futures.foreach(_.cancel(true)) // no-op on completed futures
+              throw e
+          }
+        }.toSeq
       }
     }
   }
 }
 
 object HttpProvider {
-  // one JVM-wide daemon pool per concurrency setting (executors reuse the
-  // JVM across tasks — a per-task pool would leak threads); idle core
-  // threads time out, so a quiet executor holds no generate threads at all
-  private val pools =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ExecutorService]
-  private[llm] def generatePool(n: Int): java.util.concurrent.ExecutorService =
-    pools.computeIfAbsent(n, { k =>
-      val tf = new java.util.concurrent.ThreadFactory {
+  // one JVM-wide CACHED daemon pool (executors reuse the JVM across tasks —
+  // a per-task pool would leak threads; a fixed-size pool would cap the
+  // whole JVM at one task's concurrency and FIFO-interleave tasks'
+  // batches). Cached = grows to (concurrent tasks × chunk size), idle
+  // threads reaped after 60 s, daemon so it never blocks JVM exit.
+  private[llm] lazy val generatePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
         private val c = new java.util.concurrent.atomic.AtomicInteger(0)
         override def newThread(r: Runnable): Thread = {
           val t = new Thread(r, s"graft-generate-${c.incrementAndGet()}")
           t.setDaemon(true)
           t
         }
-      }
-      val p = new java.util.concurrent.ThreadPoolExecutor(k, k,
-        30L, java.util.concurrent.TimeUnit.SECONDS,
-        new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
-      p.allowCoreThreadTimeOut(true)
-      p
-    })
+      })
 }

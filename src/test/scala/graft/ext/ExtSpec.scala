@@ -77,6 +77,32 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSet == (0 until 100).map(i => (i.toLong, i + 1000L, 0)).toSet)
   }
 
+  test("overflow LSH buckets pair through the min-id representative, never drop silently") {
+    // 30 identical boilerplate docs: with maxBucket=10 every one of their
+    // band buckets overflows, so the old guard emitted ZERO candidates;
+    // the representative branch must still pair doc 0 with every copy
+    val boiler = (0 until 30).map(i => (i.toLong, "same text every time"))
+    val unique = (0 until 5).map(i => (100L + i, s"doc $i alpha$i beta$i gamma$i"))
+    val df = (boiler ++ unique).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "text", "doc_id", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert((1 until 30).forall(i => cands((0L, i.toLong))),
+      s"missing representative candidates: $cands")
+    assert(!cands.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // verified pairs survive with jaccard 1.0 — recall recovered at O(n)
+    val verified = Dedup.jaccardVerify(df, "text", "doc_id",
+      Dedup.minhashCandidates(df, "text", "doc_id", maxBucket = 10),
+      threshold = 0.9)
+    assert(verified.count() == 29)
+    // hamming path: identical sketches, overflow buckets, rep pairs at 0
+    val sh = Dedup.simhashNearDuplicates(df, "text", "doc_id",
+        maxHamming = 3, maxBucket = 10)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert((1 until 30).forall(i => sh((0L, i.toLong, 0))),
+      s"simhash representative pairs missing: $sh")
+  }
+
   test("bucketOverflowReport quantifies what the skew cap drops") {
     val boiler = (0 until 30).map(i => (i.toLong, "same text every time"))
     val unique = (0 until 5).map(i => (100L + i, s"doc $i alpha$i beta$i gamma$i"))
