@@ -584,25 +584,40 @@ object Dedup {
         // sub-centroids: the splitFanout smallest-id members per overflow
         // leaf — deterministic and replayable; bounded collect (see scaladoc)
         val w = Window.partitionBy(col("__leaf")).orderBy(col("id"))
-        val subs = frame.join(broadcast(overflowDf), "__leaf")
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= splitFanout)
-          .select(col("__leaf"), col("__rn"), col("__v"))
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (leaf, rows) =>
-            leaf -> rows.sortBy(_.getInt(1))
-              .map(_.getAs[scala.collection.Seq[Float]]("__v").toSeq)
-          }
+        // sub-centroid vectors unpacked to primitive arrays with squared
+        // norms precomputed once (same bit-exact hoisting as
+        // Similarity.CentArrays: every accumulator keeps its operand order)
+        val subs: Map[String, Array[(Array[Float], Double)]] =
+          frame.join(broadcast(overflowDf), "__leaf")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= splitFanout)
+            .select(col("__leaf"), col("__rn"), col("__v"))
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (leaf, rows) =>
+              leaf -> rows.sortBy(_.getInt(1)).map { r =>
+                val cv = r.getAs[scala.collection.Seq[Float]]("__v").toArray
+                var nb = 0.0; var i = 0
+                while (i < cv.length) { nb += cv(i).toDouble * cv(i); i += 1 }
+                (cv, nb)
+              }
+            }
         val bcSubs = spark.sparkContext.broadcast(subs)
         val extendLeaf = udf { (leaf: String, v: scala.collection.Seq[Float]) =>
           bcSubs.value.get(leaf) match {
             case Some(cents) =>
+              val va = v.toArray
+              var na = 0.0
+              var k = 0
+              while (k < va.length) { na += va(k).toDouble * va(k); k += 1 }
               var best = 0
               var bestD = Double.MinValue
               var i = 0
               while (i < cents.length) {
-                val c = Similarity.cosSeq(v, cents(i))
+                val (cv, nb) = cents(i)
+                var dp = 0.0; var j = 0
+                while (j < va.length) { dp += va(j).toDouble * cv(j); j += 1 }
+                val c = if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
                 if (c > bestD) { bestD = c; best = i }
                 i += 1
               }

@@ -171,21 +171,6 @@ object Similarity {
     }
   }
 
-  /** Interleaved-accumulator cosine over boxed seqs — the per-pair form
-    * (used by the semantic-dedup sub-centroid split, where the candidate
-    * set is `splitFanout`-small). Bit-equal to [[CentArrays.cos]]: each
-    * accumulator's operand sequence is identical, only the loop fusion
-    * differs. Double accumulation in element order so any sequential
-    * replay agrees. */
-  private[ext] def cosSeq(v: scala.collection.Seq[Float], cv: Seq[Float]): Double = {
-    var dp = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < v.length) {
-      dp += v(i).toDouble * cv(i); na += v(i).toDouble * v(i); nb += cv(i).toDouble * cv(i)
-      i += 1
-    }
-    if (na > 0 && nb > 0) dp / math.sqrt(na * nb) else 0.0
-  }
 
 
   /** (id, vector, cell) for every corpus row — nearest-centroid assignment
