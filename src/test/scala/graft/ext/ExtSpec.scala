@@ -77,6 +77,22 @@ class ExtSpec extends SparkTestBase {
     assert(out.toSet == (0 until 100).map(i => (i.toLong, i + 1000L, 0)).toSet)
   }
 
+  test("minhash banded exchange computes the signature once, reused across branches") {
+    // the expensive upstream (signature UDF → band explode → band_key
+    // exchange) must be computed ONCE and REUSED by both self-join sides
+    // AND the overflow-representative branch — three consumers, one stage.
+    // Asserted on the EXECUTED plan: AQE stage reuse (and the non-AQE
+    // ReuseExchange rule) both surface as ReusedExchange nodes.
+    val df = (0 until 200).map(i =>
+      (i.toLong, s"doc $i common words here plus token$i extra"))
+      .toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(df, "text", "doc_id")
+    cands.collect()
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "banded signature exchange must be reused:\n" + plan.take(4000))
+  }
+
   test("overflow LSH buckets pair through the min-id representative, never drop silently") {
     // 30 identical boilerplate docs: with maxBucket=10 every one of their
     // band buckets overflows, so the old guard emitted ZERO candidates;
