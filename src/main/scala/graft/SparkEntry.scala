@@ -1244,6 +1244,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ (Jégou et al., TPAMI 2011): IVF cell pruning + product-
+      // quantized ADC scoring — candidates cost O(m) LUT lookups over
+      // m-int codes, never a vector dot (the billion-scale payload cut:
+      // codes are m bytes/row vs 4·d for raw vectors). Centroids are
+      // explicit members (vec_id 0..7) and codewords explicit member
+      // sub-slices (vec_id 0..15, m=8 subspaces × 8 dims), so the DuckDB
+      // oracle replays the ENTIRE pipeline: assignment, probe, the
+      // per-subspace L2 code argmin, and LUT scoring. nprobe=2 < nlist=8
+      // keeps true IVF semantics in the check.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+          Similarity.centroidsByIds(emb, "vec_id", "embedding", 0L to 7L),
+          Similarity.pqCodebooksByIds(emb, "vec_id", "embedding", m = 8, 0L to 15L),
+          nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text analysis extensions ----
 
     "q_token_count" -> ((s, dir) => {
@@ -2394,6 +2413,64 @@ object SparkEntry {
         |    ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
         |  FROM s)
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // full IVF-PQ replay: centroids = vec_id 0..7, codewords = sub-slices
+    // of vec_id 0..15 (m=8 subspaces of 8 dims); per corpus row and
+    // subspace the code is the L2-argmin codeword (direct Σ(x−y)² in dim
+    // order, ties → smaller code); ADC score = Σ_s dot(q_s, word) over the
+    // coded words divided by |q|·√(Σ_s |word|²) — the same arithmetic the
+    // engine's LUT gather-sum kernel performs.
+    "q_ann_ivfpq" ->
+      """WITH corp AS (SELECT vec_id cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(cid AS INT) cent_id, v cv FROM corp WHERE cid < 8),
+        |subs AS (SELECT CAST(unnest(range(8)) AS INT) sub),
+        |cw AS (SELECT s.sub, CAST(c.cid AS INT) j,
+        |    c.v[s.sub*8+1 : s.sub*8+8] wv
+        |  FROM corp c, subs s WHERE c.cid < 16),
+        |cwn AS (SELECT sub, j, wv,
+        |    list_sum(list_transform(wv, x -> x*x)) w2 FROM cw),
+        |dist AS (SELECT c.cid, w.sub, w.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (c.v[w.sub*8+i] - w.wv[i]) * (c.v[w.sub*8+i] - w.wv[i]))) d
+        |  FROM corp c, cwn w),
+        |codes AS (SELECT cid, sub, j FROM (
+        |    SELECT cid, sub, j,
+        |      row_number() OVER (PARTITION BY cid, sub ORDER BY d, j) rn
+        |    FROM dist) WHERE rn = 1),
+        |assign AS (SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |q AS (SELECT cid qid, v qv,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) qn
+        |  FROM corp WHERE cid < 3),
+        |probe AS (SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |elig AS (SELECT p.qid, a.cid FROM probe p JOIN assign a USING (cell)),
+        |contrib AS (SELECT e.qid, e.cid,
+        |    list_dot_product(q.qv[cd.sub*8+1 : cd.sub*8+8], w.wv) num_s,
+        |    w.w2 r2_s
+        |  FROM elig e JOIN q ON q.qid = e.qid
+        |    JOIN codes cd ON cd.cid = e.cid
+        |    JOIN cwn w ON w.sub = cd.sub AND w.j = cd.j),
+        |sc AS (SELECT qid, cid, sum(num_s) num, sum(r2_s) r2
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (SELECT sc.qid query_id, sc.cid corpus_id,
+        |    CASE WHEN q.qn * sqrt(sc.r2) > 0
+        |      THEN sc.num / (q.qn * sqrt(sc.r2)) ELSE 0.0 END s
+        |  FROM sc JOIN q ON q.qid = sc.qid),
+        |r AS (SELECT query_id, corpus_id, s,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, corpus_id) AS BIGINT) rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(s, 6) AS score, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_lang_id" ->

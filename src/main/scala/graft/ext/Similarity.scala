@@ -304,4 +304,305 @@ object Similarity {
       .filter(col("cell").isin(cells.map(Int.box): _*))
       .select(col("cell"), col("corpus_id"), col("vec").as("__cv"),
         col("vnorm").as("__cn"))
+
+  // ---------------- product quantization (IVF-PQ) ----------------
+
+  /** Product-quantization codebooks: the d-dim space split into `m`
+    * subspaces of `dsub` dims; `words(s)(j)` is codeword `j` of subspace
+    * `s`. PQ is the billion-scale half of the ANN story IVF alone doesn't
+    * cover: IVF prunes WHICH rows a probe scans, PQ shrinks WHAT each
+    * scanned row costs — an m-byte code (plus one precomputed norm) instead
+    * of the 4·d-byte vector, a 4·d/m ≈ 32× payload cut at d=64, m=8 —
+    * and turns per-candidate scoring into O(m) table lookups (asymmetric
+    * distance computation, Jégou et al., TPAMI 2011).
+    *
+    * Per-codeword squared norms are hoisted once ([[norms2]]): ADC cosine
+    * denominators read them instead of re-accumulating, the same treatment
+    * as [[CentArrays]].
+    */
+  final class PqCodebooks(val m: Int, val dsub: Int,
+                          val words: Array[Array[Array[Float]]])
+      extends Serializable {
+    require(m > 0 && dsub > 0 && words.length == m &&
+      words.forall(ws => ws.nonEmpty && ws.forall(_.length == dsub)),
+      s"malformed codebooks: need m=$m non-empty subspaces of width $dsub")
+    val ksub: Int = words(0).length
+    require(words.forall(_.length == ksub),
+      "all subspaces must have the same codeword count")
+
+    /** |codeword|² per (subspace, code) — reconstructed-vector norm² of a
+      * code vector is the sum of its per-subspace entries. */
+    val norms2: Array[Array[Double]] = words.map(_.map { w =>
+      var n = 0.0; var i = 0
+      while (i < w.length) { n += w(i).toDouble * w(i); i += 1 }
+      n
+    })
+
+    /** PQ code of `v`: per subspace the L2-nearest codeword, by DIRECT
+      * Σ(x−y)² in dimension order (not the expanded −2·dot form — the
+      * direct sum is what an external oracle replays term-for-term), ties →
+      * smaller code index. */
+    def encode(v: scala.collection.Seq[Float]): Array[Int] = {
+      val va = v.toArray
+      require(va.length == m * dsub,
+        s"vector dim ${va.length} != m*dsub = ${m * dsub}")
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val base = s * dsub
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < ksub) {
+          val w = words(s)(j)
+          var d = 0.0; var i = 0
+          while (i < dsub) {
+            val diff = va(base + i).toDouble - w(i)
+            d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(s) = best; s += 1
+      }
+      out
+    }
+
+    /** Reconstructed norm² of a code vector (Σ_s |words(s)(code_s)|²) —
+      * query-independent, so [[pqEncode]] stores it as a column and ADC
+      * scoring never touches the codebooks on the corpus side. */
+    def recNorm2(codes: Array[Int]): Double = {
+      var r = 0.0; var s = 0
+      while (s < m) { r += norms2(s)(codes(s)); s += 1 }
+      r
+    }
+
+    /** ADC lookup table of query `q`, flattened: lut(s·ksub + j) =
+      * dot(q_s, words(s)(j)) — m·ksub dot products paid ONCE per query,
+      * after which every candidate costs m lookups
+      * ([[VectorKernels.adcGatherSum]]). */
+    def lut(qv: scala.collection.Seq[Float]): Array[Double] = {
+      val qa = qv.toArray
+      require(qa.length == m * dsub,
+        s"query dim ${qa.length} != m*dsub = ${m * dsub}")
+      val out = new Array[Double](m * ksub)
+      var s = 0
+      while (s < m) {
+        val base = s * dsub
+        var j = 0
+        while (j < ksub) {
+          val w = words(s)(j)
+          var dp = 0.0; var i = 0
+          while (i < dsub) { dp += qa(base + i).toDouble * w(i); i += 1 }
+          out(s * ksub + j) = dp
+          j += 1
+        }
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Codebooks from EXPLICIT corpus member ids: codeword `j` of every
+    * subspace is the sub-slice of `ids(j)`'s vector. Like
+    * [[centroidsByIds]], this trades codebook quality for external
+    * replayability — the oracle path; production uses
+    * [[pqCodebooksKmeans]]. */
+  def pqCodebooksByIds(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, ids: Seq[Long]): PqCodebooks = {
+    val members = centroidsByIds(corpus, idCol, vecCol, ids)
+    val d = members.head._2.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val words = Array.tabulate(m) { s =>
+      members.map(_._2.slice(s * dsub, (s + 1) * dsub).toArray)
+    }
+    new PqCodebooks(m, dsub, words)
+  }
+
+  /** Per-subspace KMeans codebooks (distributed Spark ML Lloyd iterations,
+    * one fit per subspace over the sliced sub-vectors) — the production
+    * path, mirroring [[kmeansCentroids]]: codewords follow the actual
+    * embedding distribution, so quantization error (and ADC ranking error)
+    * stays low under skew. `m` fits over nRows × dsub inputs; the codebook
+    * is m·ksub·dsub floats — always driver-tiny. */
+  def pqCodebooksKmeans(corpus: DataFrame, vecCol: String, m: Int,
+                        ksub: Int, maxIter: Int = 5,
+                        seed: Long = 42L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    val words = Array.tabulate(m) { s =>
+      val feats = corpus.select(array_to_vector(
+        slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>"))
+        .as("features"))
+      new KMeans().setK(ksub).setMaxIter(maxIter).setSeed(seed + s)
+        .fit(feats).clusterCenters
+        .map(_.toArray.map(_.toFloat))
+    }
+    new PqCodebooks(m, dsub, words)
+  }
+
+  /** (id, __v, codes, __r2) for every corpus row: the m-int PQ code plus
+    * the precomputed reconstructed norm². Broadcast codebooks, map-only —
+    * the PQ twin of [[assignCells]]. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebooks): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+    val enc = udf { v: scala.collection.Seq[Float] => bc.value.encode(v) }
+    val r2 = udf { codes: scala.collection.Seq[Int] =>
+      bc.value.recNorm2(codes.toArray) }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .withColumn("codes", enc(col("__v")))
+      .withColumn("__r2", r2(col("codes")))
+  }
+
+  /** IVF-PQ top-k: IVF cell pruning (queries probe `nprobe` cells) with
+    * PQ-compressed candidate scoring — approximate cosine
+    * `Σ_s lut[s·ksub+code_s] / (|q| · √(Σ_s |word|²))` via the codegen'd
+    * gather-sum kernel, so a candidate costs O(m) lookups and the join
+    * carries codes, never corpus vectors. `rerank > 0` adds the standard
+    * two-stage refinement: the top `rerank` ADC candidates per query are
+    * re-scored with exact cosine against the full vectors (one join back by
+    * id) and the final top-k ranked exactly — at 100 TB the exact pass
+    * touches `rerank · nq` rows instead of the corpus.
+    *
+    * Output: (query_id, corpus_id, score, rank); `score` is the ADC
+    * approximation when `rerank == 0`, exact cosine otherwise.
+    */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                queries: DataFrame, queryId: String, queryVec: String,
+                k: Int, centroids: Array[(Int, Seq[Float])],
+                cb: PqCodebooks, nprobe: Int, rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcCents = spark.sparkContext.broadcast(new CentArrays(centroids))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val assignUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.bestCell(v) }
+    val probeUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.probe(v, nprobe) }
+    val lutUdf = udf { v: scala.collection.Seq[Float] => bcCb.value.lut(v) }
+
+    val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
+      .withColumn("cell", assignUdf(col("__v")))
+    // the candidate join carries (id, codes, r2, cell) — the vector column
+    // rides only when the exact rerank pass will need it
+    val c = (if (rerank > 0) encoded
+             else encoded.drop("__v"))
+      .withColumnRenamed("id", "corpus_id")
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
+      .withColumn("__lut", lutUdf(col("__qv")))
+      .withColumn("cell", explode(probeUdf(col("__qv")))))
+    val den = col("__qn") * sqrt(col("__r2"))
+    val scored = c.join(q, Seq("cell"))
+      .withColumn("__adc",
+        when(den > 0,
+          VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub) / den)
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("corpus_id").asc)
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("__adc"), 6).as("score"), col("rank"))
+    } else {
+      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      val cand = scored.withColumn("__arank", row_number().over(w))
+        .filter(col("__arank") <= rerank)
+      val exact = cand.withColumn("__cos",
+        when(col("__qn") * norm(col("__v")) > 0,
+          dot(col("__qv"), col("__v")) / (col("__qn") * norm(col("__v"))))
+          .otherwise(lit(0.0)))
+      val we = Window.partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("corpus_id").asc)
+      exact.withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("__cos"), 6).as("score"), col("rank"))
+    }
+  }
+
+  /** Build an ON-DISK IVF-PQ index: codes-only corpus rows written
+    * partitioned by cell (`<path>/corpus/cell=N/…` with columns
+    * (corpus_id, codes, r2) — m ints + a double per row, NO vectors),
+    * centroids at `<path>/centroids`, codebooks flattened to
+    * (sub, code, word) rows at `<path>/codebooks`. Combines both 100 TB
+    * levers: a probe (a) prunes unprobed cell DIRECTORIES at the source
+    * and (b) scans m-int codes instead of d-float vectors in the cells it
+    * does touch. */
+  def buildIvfPqIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      centroids: Array[(Int, Seq[Float])], cb: PqCodebooks,
+                      path: String): Unit = {
+    val spark = corpus.sparkSession
+    val bcCents = spark.sparkContext.broadcast(new CentArrays(centroids))
+    val assignUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.bestCell(v) }
+    pqEncode(corpus, corpusId, corpusVec, cb)
+      .withColumn("cell", assignUdf(col("__v")))
+      .select(col("id").as("corpus_id"), col("codes"),
+        col("__r2").as("r2"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/corpus")
+    import spark.implicits._
+    centroids.toSeq.map { case (cid, v) => (cid, v) }
+      .toDF("cent_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (s <- 0 until cb.m; j <- 0 until cb.ksub)
+      yield (s, j, cb.words(s)(j).toSeq))
+      .toDF("sub", "code", "word")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Probe a [[buildIvfPqIndex]] index: partition-pruned codes-only scan +
+    * ADC scoring. Same driver-side literal-cell contract as
+    * [[ivfTopKIndexed]]; the scan reads (corpus_id, codes, r2) from the
+    * probed `cell=N` directories only. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cent_id"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
+      .sortBy(_._1)
+    val cwRows = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Float]]("word").toArray))
+    val m = cwRows.map(_._1).max + 1
+    val words = Array.tabulate(m) { s =>
+      cwRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    val cb = new PqCodebooks(m, words(0)(0).length, words)
+    val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val probeUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.probe(v, nprobe) }
+    val lutUdf = udf { v: scala.collection.Seq[Float] => bcCb.value.lut(v) }
+    val q = queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
+      .withColumn("__lut", lutUdf(col("__qv")))
+      .withColumn("cell", explode(probeUdf(col("__qv"))))
+    val cells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(s"$path/corpus")
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("cell"), col("corpus_id"), col("codes"), col("r2"))
+    val den = col("__qn") * sqrt(col("r2"))
+    val scored = c.join(broadcast(q.drop("__qv")), Seq("cell"))
+      .withColumn("__adc",
+        when(den > 0,
+          VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub) / den)
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("__adc"), 6).as("score"), col("rank"))
+  }
 }

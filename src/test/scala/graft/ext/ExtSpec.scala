@@ -377,6 +377,94 @@ class ExtSpec extends SparkTestBase {
       s"indexed probe ${viaIndex.toSeq} != replay $expect")
   }
 
+  test("PQ encode: codebook members code to themselves, exact ADC cosine 1") {
+    val rng = new scala.util.Random(17)
+    val corpus = (0 until 100).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooksByIds(corpus, "vec_id", "embedding",
+      m = 4, 0L until 8L)
+    assert(cb.ksub == 8 && cb.dsub == 4)
+    val members = corpus.filter($"vec_id" < 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    // member j's sub-slices are at L2 distance 0 from codeword j in every
+    // subspace — the argmin must pick j itself (ties cannot beat dist 0
+    // except an identical codeword, impossible for random data)
+    (0L until 8L).foreach { j =>
+      assert(cb.encode(members(j)).toSeq == Seq.fill(4)(j.toInt),
+        s"member $j does not encode to itself")
+    }
+    // and the ADC cosine of a member against its own code is exactly 1:
+    // lut gather-sum = Σ_s dot(v_s, v_s) = |v|², r2 = |v|², so
+    // num / (|v|·√r2) = 1 bit-for-bit
+    val out = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      corpus.filter($"vec_id" === 3L), "vec_id", "embedding", k = 1,
+      Similarity.centroidsByIds(corpus, "vec_id", "embedding", Seq(0L)),
+      cb, nprobe = 1).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("corpus_id") == 3L &&
+      out.head.getAs[Double]("score") == 1.0, s"got ${out.toSeq}")
+  }
+
+  test("IVF-PQ with kmeans codebooks + exact rerank: recall@10 ≥ 0.9") {
+    // the production configuration: fitted per-subspace codebooks, ADC
+    // candidate generation, exact re-scoring of the top-`rerank` pool —
+    // quality gate mirroring the plain-IVF recall tests above
+    val rng = new scala.util.Random(23)
+    val corpus = (0 until 300).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", nlist = 8)
+    val cb = Similarity.pqCodebooksKmeans(corpus, "embedding", m = 4, ksub = 16)
+    val pq = topk(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, cents, cb,
+      nprobe = 6, rerank = 50))
+    val recalls = brute.map { case (q, expected) =>
+      pq.getOrElse(q, Set.empty).intersect(expected).size.toDouble / expected.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"IVF-PQ rerank mean recall@10 = $mean")
+  }
+
+  test("stored IVF-PQ index: codes-only pruned scan matches in-memory ADC") {
+    val rng = new scala.util.Random(29)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq-idx-").toString
+    val cents = Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 8L)
+    val cb = Similarity.pqCodebooksByIds(corpus, "vec_id", "embedding",
+      m = 4, 0L until 16L)
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", cents, cb, idx)
+
+    // the stored rows carry codes + r2 only — vectors never hit the index
+    val stored = spark.read.parquet(s"$idx/corpus")
+    assert(stored.columns.sorted.toSeq == Seq("cell", "codes", "corpus_id", "r2"),
+      s"index schema ${stored.columns.toSeq}")
+
+    val queries = corpus.filter($"vec_id" === 42L)
+    val viaIndex = Similarity.ivfPqTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    // partition pruning: the probe's scan plans only the probed cell dirs
+    val scans = viaIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in indexed-probe plan")
+    assert(scans.head.selectedPartitions.partitionCount == 2,
+      s"scan planned ${scans.head.selectedPartitions.partitionCount} partitions, want 2 of 8")
+    // end-to-end parity with the in-memory IVF-PQ path (same centroids,
+    // same codebooks → identical codes, LUTs, scores, ranks)
+    val inMem = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 5, cents, cb, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex.orderBy("query_id", "rank").collect().map(_.toSeq).toSeq == inMem)
+  }
+
   test("token counts / quality features / fingerprints") {
     val d = Seq((0L, "Hello World2 FooBar"), (1L, "   "), (2L, "a b c"))
       .toDF("doc_id", "text")
