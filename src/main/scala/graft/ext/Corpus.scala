@@ -261,28 +261,81 @@ object Corpus {
     * `md5(<salt>:<id>)` — deterministic, seedable via `salt`, and
     * replayable bit-for-bit in any engine with md5 (the DuckDB oracle).
     *
-    * The rank is a window partitioned by stratum: the shuffle is one
-    * hash-partition on the stratum key. Strata in curation pipelines are
-    * coarse (language × source: thousands of groups), so per-stratum sort
-    * fits executors until a single stratum outgrows a partition — at that
-    * point switch to the two-phase rank used by `AssignTrainTestSplitOp`
-    * (per-partition count + offset join). The exact-count contract is the
-    * same either way.
+    * The default rank is a window partitioned by stratum: the shuffle is
+    * one hash-partition on the stratum key. Strata in curation pipelines
+    * are coarse (language × source: thousands of groups), so per-stratum
+    * sort fits executors until a single stratum outgrows a partition — for
+    * that regime pass `subBuckets > 1` and the rank switches to the
+    * two-phase mega-stratum form (see [[rankedWithinStrata]]): sub-bucket
+    * windows + broadcast per-stratum offsets, parallel even when one
+    * stratum is the whole corpus. The sampled rows are IDENTICAL under
+    * both forms (same rank total order), so the switch is purely a plan
+    * choice.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-                       frac: Double, salt: String = "graft"): DataFrame = {
+                       frac: Double, salt: String = "graft",
+                       subBuckets: Int = 1): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
     val rankKey = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(rankKey, col(idCol))
-    val cw = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
+    rankedWithinStrata(df, stratumCol, idCol, rankKey, subBuckets)
       // +1e-9 before floor: IEEE double n*frac can land a hair BELOW the
       // exact decimal product (0.29*100 = 28.999…97), which would keep one
       // row fewer than the documented floor(frac·n); the epsilon restores
       // the exact-decimal floor for any frac with < 9 decimal digits
       .filter(col("__rk") <= floor(col("__n") * frac + 1e-9))
       .drop("__rk", "__n")
+  }
+
+  /** Per-stratum md5 rank (`__rk`, 1-based) + stratum size (`__n`) behind
+    * both samplers. `subBuckets <= 1` is the direct per-stratum window —
+    * right whenever strata are small relative to an executor partition.
+    * `subBuckets > 1` is the MEGA-STRATUM form (the refinement
+    * [[stratifiedSample]]'s scaladoc names): the rank key's first 8 hex
+    * chars — uniform, and monotone in the (rankKey, id) rank order because
+    * lowercase-hex string order IS numeric order — split every stratum
+    * into `subBuckets` sub-ranges, local ranks run in a window partitioned
+    * by (stratum, sub-bucket) (parallel even when ONE stratum is the whole
+    * corpus), and per-(stratum, bucket) counts fold into per-stratum
+    * prefix offsets through a broadcast inequality self-join over the tiny
+    * #strata × subBuckets aggregate — the exact two-phase shape of
+    * [[graft.ops.ColumnOps.withRowIdxByKnownRange]], with the offsets and
+    * totals per stratum instead of global. Ranks are IDENTICAL either way
+    * (same total order, same tie-break), so the sampled set — and any
+    * external replay — does not depend on the switch.
+    */
+  private def rankedWithinStrata(df: DataFrame, stratumCol: String,
+                                 idCol: String, rankKey: Column,
+                                 subBuckets: Int): DataFrame = {
+    if (subBuckets <= 1) {
+      val w = Window.partitionBy(col(stratumCol)).orderBy(rankKey, col(idCol))
+      val cw = Window.partitionBy(col(stratumCol))
+      df.withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(cw))
+    } else {
+      val sb = "__ss_sb"; val lrn = "__ss_lrn"; val off = "__ss_off"
+      val parted = df.withColumn(sb,
+        (conv(substring(rankKey, 1, 8), 16, 10).cast("long")
+          * subBuckets / 4294967296L).cast("long"))
+      val local = parted.withColumn(lrn, row_number().over(
+        Window.partitionBy(col(stratumCol), col(sb))
+          .orderBy(rankKey, col(idCol))).cast("long"))
+      val counts = parted.groupBy(col(stratumCol), col(sb))
+        .agg(count(lit(1)).as("__ss_cnt"))
+      val offsets = counts.as("a")
+        .join(broadcast(counts.as("b")),
+          col(s"b.$stratumCol") === col(s"a.$stratumCol") &&
+            col(s"b.$sb") < col(s"a.$sb"), "left")
+        .groupBy(col(s"a.$stratumCol").as(stratumCol), col(s"a.$sb").as(sb))
+        .agg(coalesce(sum(col("b.__ss_cnt")), lit(0L)).as(off))
+      val totals = counts.groupBy(col(stratumCol))
+        .agg(sum(col("__ss_cnt")).as("__n"))
+      local.join(broadcast(offsets), Seq(stratumCol, sb))
+        .join(broadcast(totals), Seq(stratumCol))
+        .withColumn("__rk", col(off) + col(lrn))
+        // the joins moved the stratum key to the front; restore the
+        // caller's column order so both ranking forms are drop-in equal
+        .select(df.columns.map(col) :+ col("__rk") :+ col("__n"): _*)
+    }
   }
 
   /** Domain-mixture sampling: per-stratum target fractions (e.g. web 0.1,
@@ -293,14 +346,15 @@ object Corpus {
     * pretraining pipeline, generalizing [[stratifiedSample]] from one
     * global fraction to a fraction per domain; the md5 rank makes every
     * run (and the DuckDB oracle replay) pick the identical rows.
-    * Scale note: the per-stratum window ranks within each domain — domains
-    * are few and large, so the rank should go through a two-phase index if
-    * one domain dominates; at the sf scales benched the direct window is
-    * the right plan.
+    * Scale note: domains are few and LARGE — precisely the mega-stratum
+    * regime — so production mixtures should pass `subBuckets > 1` (the
+    * two-phase rank of [[rankedWithinStrata]], identical output); at the
+    * sf scales benched the direct window is the right plan and stays the
+    * default.
     */
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
                     fracs: Map[String, Double], defaultFrac: Double = 0.0,
-                    salt: String = "graft"): DataFrame = {
+                    salt: String = "graft", subBuckets: Int = 1): DataFrame = {
     (fracs.values ++ Seq(defaultFrac)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
     val fracCol =
@@ -312,10 +366,7 @@ object Corpus {
           col(stratumCol)),
         lit(defaultFrac))
     val rankKey = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(rankKey, col(idCol))
-    val cw = Window.partitionBy(col(stratumCol))
-    df.withColumn("__rk", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
+    rankedWithinStrata(df, stratumCol, idCol, rankKey, subBuckets)
       // same epsilon-before-floor as stratifiedSample: keeps the EXACT
       // decimal floor for non-dyadic fracs under double arithmetic
       .filter(col("__rk") <= floor(col("__n") * fracCol + 1e-9))

@@ -220,4 +220,35 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.stratifiedSample(df, "lang", "id", 0.0).count() == 0L)
     assert(Corpus.stratifiedSample(df, "lang", "id", 1.0).count() == 100L)
   }
+
+  test("mega-stratum two-phase rank samples the identical rows") {
+    // one dominant stratum (the regime the subBuckets switch exists for)
+    // plus a small one; the two-phase rank must pick EXACTLY the same rows
+    // as the per-stratum window — same md5 total order, different plan
+    val df = (0L until 500L).map(i => (i, if (i < 450) "web" else "wiki"))
+      .toDF("id", "lang")
+    val direct = Corpus.stratifiedSample(df, "lang", "id", frac = 0.3)
+      .orderBy("id").collect().toSeq
+    val twoPhase = Corpus.stratifiedSample(df, "lang", "id", frac = 0.3,
+      subBuckets = 8).orderBy("id").collect().toSeq
+    assert(twoPhase == direct)
+    // no single-partition window in the two-phase plan: every window spec
+    // partitions by (stratum, sub-bucket), so a mega-stratum spreads
+    val plan = Corpus.stratifiedSample(df, "lang", "id", frac = 0.3,
+      subBuckets = 8).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(_.partitionSpec.length >= 2),
+      s"expected all windows keyed by (stratum, sub-bucket): " +
+        windows.map(_.partitionSpec.length).mkString(","))
+    // mixtureSample goes through the same core
+    val mixDirect = Corpus.mixtureSample(df, "lang", "id",
+      Map("web" -> 0.1, "wiki" -> 0.9)).orderBy("id").collect().toSeq
+    val mixTwoPhase = Corpus.mixtureSample(df, "lang", "id",
+      Map("web" -> 0.1, "wiki" -> 0.9), subBuckets = 8)
+      .orderBy("id").collect().toSeq
+    assert(mixTwoPhase == mixDirect)
+  }
 }
