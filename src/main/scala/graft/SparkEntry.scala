@@ -950,6 +950,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_pq_graph" -> ((s, dir) => {
+      // IVF-PQ THROUGH THE SPEC LAYER: corpus + positional TakeRows query
+      // slice → IvfPqTopKOp with explicit member centroids (row indices
+      // 0..7) and codewords (0..15, m=8 subspaces) — content-addressed
+      // like the other ANN chains; the DuckDB oracle replays assignment,
+      // probe, per-subspace code argmin, and ADC scoring over file-order
+      // row numbers.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val corpus = SelectVectorColumnOp(ds, "embedding")
+      val queries = SelectVectorColumnOp(
+        TakeRowsOp(ds, numRows = Some(3L)), "embedding")
+      r.toFrame(IvfPqTopKOp(corpus, queries, 0L to 7L, 0L to 15L,
+          k = 5L, m = 8L, nprobe = 2L))
+        .select(col("query_id"), col("corpus_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_bpe_pairs" -> ((s, dir) => {
       // tokenizer induction, round 0: corpus → unique-word frequencies
       // (ONE shuffle) → adjacent char-pair statistics — the argmax of this
@@ -2016,6 +2035,61 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) AS rank
         |  FROM s)
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the q_ann_ivfpq replay over file-order row numbers (the spec layer's
+    // positional ids) instead of vec_id — same assignment, probe, code
+    // argmin, and ADC arithmetic
+    "q_pq_graph" ->
+      """WITH corp AS (SELECT row_number() OVER () - 1 AS cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(cid AS INT) cent_id, v cv FROM corp WHERE cid < 8),
+        |subs AS (SELECT CAST(unnest(range(8)) AS INT) sub),
+        |cw AS (SELECT s.sub, CAST(c.cid AS INT) j,
+        |    c.v[s.sub*8+1 : s.sub*8+8] wv
+        |  FROM corp c, subs s WHERE c.cid < 16),
+        |cwn AS (SELECT sub, j, wv,
+        |    list_sum(list_transform(wv, x -> x*x)) w2 FROM cw),
+        |dist AS (SELECT c.cid, w.sub, w.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (c.v[w.sub*8+i] - w.wv[i]) * (c.v[w.sub*8+i] - w.wv[i]))) d
+        |  FROM corp c, cwn w),
+        |codes AS (SELECT cid, sub, j FROM (
+        |    SELECT cid, sub, j,
+        |      row_number() OVER (PARTITION BY cid, sub ORDER BY d, j) rn
+        |    FROM dist) WHERE rn = 1),
+        |assign AS (SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |q AS (SELECT cid qid, v qv,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) qn
+        |  FROM corp WHERE cid < 3),
+        |probe AS (SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |elig AS (SELECT p.qid, a.cid FROM probe p JOIN assign a USING (cell)),
+        |contrib AS (SELECT e.qid, e.cid,
+        |    list_dot_product(q.qv[cd.sub*8+1 : cd.sub*8+8], w.wv) num_s,
+        |    w.w2 r2_s
+        |  FROM elig e JOIN q ON q.qid = e.qid
+        |    JOIN codes cd ON cd.cid = e.cid
+        |    JOIN cwn w ON w.sub = cd.sub AND w.j = cd.j),
+        |sc AS (SELECT qid, cid, sum(num_s) num, sum(r2_s) r2
+        |  FROM contrib GROUP BY 1, 2),
+        |scored AS (SELECT sc.qid query_id, sc.cid corpus_id,
+        |    CASE WHEN q.qn * sqrt(sc.r2) > 0
+        |      THEN sc.num / (q.qn * sqrt(sc.r2)) ELSE 0.0 END s
+        |  FROM sc JOIN q ON q.qid = sc.qid),
+        |r AS (SELECT query_id, corpus_id, s,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, corpus_id) AS BIGINT) rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(s, 6) AS score, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // constant-output oracle (q_lsh_skew_report precedent): the fixture is

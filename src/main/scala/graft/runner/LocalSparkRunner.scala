@@ -958,6 +958,17 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Similarity.bruteForceTopK(
         c, "__cid", "__cv", q, "__qid", "__qv", k.toInt))
 
+    case IvfPqTopKOp(corpus, queries, centroidIds, codebookIds, k, m, nprobe, rerank) =>
+      val c = frame(corpus)
+        .select(col(RowIdx).as("__cid"), col(ValueCol).cast("array<float>").as("__cv"))
+      val q = frame(queries)
+        .select(col(RowIdx).as("__qid"), col(ValueCol).cast("array<float>").as("__qv"))
+      val cents = graft.ext.Similarity.centroidsByIds(c, "__cid", "__cv", centroidIds)
+      val cb = graft.ext.Similarity.pqCodebooksByIds(c, "__cid", "__cv",
+        m.toInt, codebookIds)
+      FrameResult(graft.ext.Similarity.ivfPqTopK(c, "__cid", "__cv",
+        q, "__qid", "__qv", k.toInt, cents, cb, nprobe.toInt, rerank.toInt))
+
     // multimodal: the REAL codec kernels (ext.MediaCodecs) over (idx, bytes)
     // column frames — narrow batched mapPartitions, positional ids preserved
     case ImageMetaOp(image) =>

@@ -127,6 +127,12 @@ object Fluent {
     def semanticDedup(centroidIds: Seq[Long], threshold: Double = 0.95,
                       maxCell: Long = 10000L): SemanticDedupOp =
       SemanticDedupOp(v, centroidIds, threshold, maxCell)
+    /** beyond reference: IVF-PQ approximate top-k against this corpus,
+      * centroids/codewords = row indices */
+    def ivfPqTopK(queries: VectorColumnType, centroidIds: Seq[Long],
+                  codebookIds: Seq[Long], k: Long = 10L, m: Long = 8L,
+                  nprobe: Long = 2L, rerank: Long = 0L): IvfPqTopKOp =
+      IvfPqTopKOp(v, queries, centroidIds, codebookIds, k, m, nprobe, rerank)
   }
 
   implicit class TextBuilders(private val t: TextColumnType) extends AnyVal {

@@ -455,6 +455,11 @@ object OpRegistry {
     "AnnBruteTopKOp" -> ((o, r) =>
       AnnBruteTopKOp(op[VectorColumnType](o, "corpus", r),
         op[VectorColumnType](o, "queries", r), lng(o, "k"))),
+    "IvfPqTopKOp" -> ((o, r) =>
+      IvfPqTopKOp(op[VectorColumnType](o, "corpus", r),
+        op[VectorColumnType](o, "queries", r),
+        lngSeq(o, "centroid_ids"), lngSeq(o, "codebook_ids"),
+        lng(o, "k"), lng(o, "m"), lng(o, "nprobe"), lng(o, "rerank"))),
     "SelectBinaryColumnOp" -> ((o, r) =>
       SelectBinaryColumnOp(op[DatasetType](o, "dataset", r),
         str(o, "column_name"))),

@@ -537,6 +537,34 @@ final case class AnnBruteTopKOp(
   require(k >= 1L, s"k must be >= 1, got $k")
 }
 
+/** IVF-PQ approximate top-k of `queries` against `corpus` (vector columns;
+  * ids are row indices): IVF cells from corpus members at row indices
+  * `centroidIds`, per-subspace product-quantization codebooks from member
+  * sub-slices at `codebookIds` (`m` subspaces), queries probe `nprobe`
+  * cells and candidates score by ADC lookup
+  * ([[graft.ext.Similarity.ivfPqTopK]]); `rerank > 0` re-scores that many
+  * top ADC candidates with exact cosine. Result
+  * `(query_id, corpus_id, score, rank)` with `rank <= k`. Explicit member
+  * centroids/codewords keep the whole pipeline externally replayable, the
+  * [[SemanticDedupOp]] falsifiability contract. */
+final case class IvfPqTopKOp(
+    corpus: VectorColumnType,
+    queries: VectorColumnType,
+    centroidIds: Seq[Long],
+    codebookIds: Seq[Long],
+    k: Long = 10L,
+    m: Long = 8L,
+    nprobe: Long = 2L,
+    rerank: Long = 0L) extends DatasetType {
+  require(k >= 1L, s"k must be >= 1, got $k")
+  require(m >= 1L, s"m must be >= 1, got $m")
+  require(nprobe >= 1L, s"nprobe must be >= 1, got $nprobe")
+  require(rerank == 0L || rerank >= k,
+    s"rerank must be 0 (off) or >= k, got $rerank (k=$k)")
+  require(centroidIds.nonEmpty, "centroidIds must be non-empty")
+  require(codebookIds.nonEmpty, "codebookIds must be non-empty")
+}
+
 // ---------- multimodal ops over binary columns (beyond reference) ----------
 
 /** Image metadata really decoded from the payload bytes

@@ -102,5 +102,7 @@ class FluentSpec extends AnyFunSuite {
     assert(v.annTopK(v, k = 7L) == AnnBruteTopKOp(v, v, 7L))
     assert(v.semanticDedup(Seq(0L, 3L), threshold = 0.9) ==
       SemanticDedupOp(v, Seq(0L, 3L), 0.9))
+    assert(v.ivfPqTopK(v, 0L to 1L, 0L to 3L, k = 5L, m = 4L) ==
+      IvfPqTopKOp(v, v, 0L to 1L, 0L to 3L, 5L, 4L))
   }
 }

@@ -265,8 +265,10 @@ class OpSpecSpec extends AnyFunSuite {
     val rid = AssignRowIDOp(ds)
     val sem = SemanticDedupOp(vec, Seq(0L, 1L, 7L), threshold = 0.8,
       maxCell = 500L)
+    val pq = IvfPqTopKOp(vec, vec, 0L to 3L, 0L to 7L, k = 5L, m = 4L,
+      nprobe = 2L, rerank = 20L)
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, sem, SelectBooleanColumnOp(ds, "b"),
+      logic, rid, sem, pq, SelectBooleanColumnOp(ds, "b"),
       SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
       SelectConversationColumnOp(ds, "c"),
       SelectTrainTestSplitColumnOp(ds, "sp"), logits))
