@@ -148,7 +148,23 @@ object ScaleProbe {
         graft.ext.Similarity.ivfTopKIndexed(spark, idx.toString,
           queries, "vec_id", "embedding", k = 10, nprobe = 4).count()
       }
-      Seq(rep, idx).foreach { p =>
+      // IVF-PQ: same cells, corpus stored as m-int codes (m=8 over 64-d →
+      // ~32× smaller scan payload than raw vectors); probe scans codes from
+      // nprobe directories and scores by ADC lookup — both build and probe
+      // should track the plain-IVF decades with a smaller shuffle
+      val cb = graft.ext.Similarity.pqCodebooksByIds(
+        emb, "vec_id", "embedding", m = 8, 0L until 16L)
+      val idxPq = java.nio.file.Files.createTempDirectory(s"graft-pqswp-$factor-")
+      measure(s"ivf-pq index build ${factor}x", s"rows=$rows nlist=$nlist m=8") {
+        graft.ext.Similarity.buildIvfPqIndex(emb, "vec_id", "embedding",
+          cents, cb, idxPq.toString)
+        nlist.toLong
+      }
+      measure(s"ivf-pq pruned probe ${factor}x", s"nprobe=4/$nlist") {
+        graft.ext.Similarity.ivfPqTopKIndexed(spark, idxPq.toString,
+          queries, "vec_id", "embedding", k = 10, nprobe = 4).count()
+      }
+      Seq(rep, idx, idxPq).foreach { p =>
         val s = java.nio.file.Files.walk(p)
         try {
           import scala.jdk.CollectionConverters._
