@@ -128,6 +128,10 @@ object Similarity {
       extends Serializable {
     val ids: Array[Int] = cents.map(_._1)
     val vecs: Array[Array[Float]] = cents.map(_._2.toArray)
+    /** cell id → position in `vecs` (ids are positional 0..n-1 for every
+      * centroid constructor in this object, but don't rely on it). */
+    lazy val indexOfId: Map[Int, Int] = ids.zipWithIndex.toMap
+    def vecOfId(cell: Int): Array[Float] = vecs(indexOfId(cell))
     val norms2: Array[Double] = vecs.map { cv =>
       var nb = 0.0; var i = 0
       while (i < cv.length) { nb += cv(i).toDouble * cv(i); i += 1 }
@@ -456,6 +460,118 @@ object Similarity {
     corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .withColumn("codes", enc(col("__v")))
       .withColumn("__r2", r2(col("codes")))
+  }
+
+  /** (id, __v = residual, cell) for every corpus row: `v − centroid(cell)`
+    * after nearest-centroid assignment. The IVFADC preprocessing step
+    * (Jégou et al.): residuals concentrate near 0 once cells are tight, so
+    * the same codebook budget quantizes them with far less error than raw
+    * vectors — fit [[pqCodebooksKmeans]] (or draw [[pqCodebooksByIds]])
+    * on THIS frame for the residual path. Subtraction is per-dimension in
+    * index order — externally replayable. */
+  def pqResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[(Int, Seq[Float])]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(new CentArrays(centroids))
+    val resUdf = udf { v: scala.collection.Seq[Float] =>
+      val cell = bc.value.bestCell(v)
+      val cv = bc.value.vecOfId(cell)
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < out.length) { out(i) = v(i) - cv(i); i += 1 }
+      (cell, out)
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__fv"))
+      .withColumn("__rc", resUdf(col("__fv")))
+      .select(col("id"), col("__rc._2").as("__v"), col("__rc._1").as("cell"))
+  }
+
+  /** Residual-encoded IVF-PQ top-k (IVFADC proper): corpus rows carry
+    * codes of `v − centroid(cell)` under `cb` (fit on [[pqResiduals]]
+    * output); a candidate's reconstruction is `centroid + decode(codes)`,
+    * so ADC cosine = `(dot(q, centroid) + Σ_s lut[s·ksub+code_s]) /
+    * (|q| · √|centroid + decode(codes)|²)` — the per-(query, probed-cell)
+    * centroid dot is nprobe extra dots per query, the per-candidate cost
+    * stays O(m) lookups, and the reconstructed norm² is precomputed at
+    * encode. Same contract as [[ivfPqTopK]]; on clustered corpora the
+    * residual codes rank markedly closer to exact cosine (test-gated in
+    * ExtSpec). */
+  def ivfPqResidualTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                        queries: DataFrame, queryId: String, queryVec: String,
+                        k: Int, centroids: Array[(Int, Seq[Float])],
+                        cb: PqCodebooks, nprobe: Int,
+                        rerank: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val bcCents = spark.sparkContext.broadcast(new CentArrays(centroids))
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val probeUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.probe(v, nprobe) }
+    val lutUdf = udf { v: scala.collection.Seq[Float] => bcCb.value.lut(v) }
+    // full-vector query ⋅ centroid, per probed cell (nprobe per query)
+    val qcUdf = udf { (v: scala.collection.Seq[Float], cell: Int) =>
+      val cv = bcCents.value.vecOfId(cell)
+      var dp = 0.0; var i = 0
+      while (i < cv.length) { dp += v(i).toDouble * cv(i); i += 1 }
+      dp
+    }
+    // encode residual, precompute |centroid + decode(codes)|² in dim order
+    val encUdf = udf { (res: scala.collection.Seq[Float], cell: Int) =>
+      val codes = bcCb.value.encode(res)
+      val cv = bcCents.value.vecOfId(cell)
+      var r2 = 0.0; var s = 0
+      while (s < bcCb.value.m) {
+        val w = bcCb.value.words(s)(codes(s))
+        var i = 0
+        while (i < w.length) {
+          val x = cv(s * bcCb.value.dsub + i).toDouble + w(i)
+          r2 += x * x; i += 1
+        }
+        s += 1
+      }
+      (codes, r2)
+    }
+    val encoded = pqResiduals(corpus, corpusId, corpusVec, centroids)
+      .withColumn("__cr", encUdf(col("__v"), col("cell")))
+      .select(col("id").as("corpus_id"), col("cell"),
+        col("__cr._1").as("codes"), col("__cr._2").as("__r2"))
+    val c =
+      if (rerank > 0)
+        encoded.join(corpus.select(col(corpusId).as("corpus_id"),
+          col(corpusVec).as("__cv")), Seq("corpus_id"))
+      else encoded
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
+      .withColumn("__lut", lutUdf(col("__qv")))
+      .withColumn("cell", explode(probeUdf(col("__qv"))))
+      .withColumn("__qc", qcUdf(col("__qv"), col("cell"))))
+    val den = col("__qn") * sqrt(col("__r2"))
+    val scored = c.join(q, Seq("cell"))
+      .withColumn("__adc",
+        when(den > 0,
+          (col("__qc") +
+            VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub)) / den)
+          .otherwise(lit(0.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").desc, col("corpus_id").asc)
+    if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("__adc"), 6).as("score"), col("rank"))
+    } else {
+      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+      val cand = scored.withColumn("__arank", row_number().over(w))
+        .filter(col("__arank") <= rerank)
+      val exact = cand.withColumn("__cos",
+        when(col("__qn") * norm(col("__cv")) > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * norm(col("__cv"))))
+          .otherwise(lit(0.0)))
+      val we = Window.partitionBy(col("query_id"))
+        .orderBy(col("__cos").desc, col("corpus_id").asc)
+      exact.withColumn("rank", row_number().over(we))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("__cos"), 6).as("score"), col("rank"))
+    }
   }
 
   /** IVF-PQ top-k: IVF cell pruning (queries probe `nprobe` cells) with

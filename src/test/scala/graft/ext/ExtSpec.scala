@@ -431,6 +431,78 @@ class ExtSpec extends SparkTestBase {
     assert(mean >= 0.9, s"IVF-PQ rerank mean recall@10 = $mean")
   }
 
+  test("residual IVF-PQ (IVFADC): beats raw-vector codes on clustered data") {
+    // tight clusters: residuals concentrate near 0, so the same codebook
+    // budget quantizes them with far less error than the raw vectors —
+    // the reason IVFADC encodes residuals. Compare pure-ADC (no rerank)
+    // rankings against exact brute force under an identical budget.
+    val rng = new scala.util.Random(31)
+    def around(center: Float) =
+      Array.fill(16)(center + rng.nextFloat() * 0.3f).toSeq
+    val corpus = ((0 until 100).map(i => (i.toLong, around(1.0f))) ++
+      (100 until 200).map(i => (i.toLong, around(-1.0f))) ++
+      (200 until 300).map(i => (i.toLong, around(0.0f))))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id".isin(0L, 110L, 220L))
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def meanRecall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+      val rs = want.map { case (q, e) =>
+        got.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size }
+      rs.sum / rs.size
+    }
+    val brute = topk(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    val cents = Similarity.kmeansCentroids(corpus, "embedding", nlist = 6)
+    // identical budget (m=8, ksub=16), nprobe = nlist isolates code error
+    val plainCb = Similarity.pqCodebooksKmeans(corpus, "embedding", m = 8, ksub = 16)
+    val plain = meanRecall(topk(Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, cents, plainCb, nprobe = 6)), brute)
+    val residuals = Similarity.pqResiduals(corpus, "vec_id", "embedding", cents)
+    val resCb = Similarity.pqCodebooksKmeans(residuals, "__v", m = 8, ksub = 16)
+    val res = meanRecall(topk(Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10, cents, resCb, nprobe = 6)), brute)
+    // ranking the top-10 among ~100 near-identical cluster members (all
+    // cosines ≈ 0.99) is the hardest regime for pure ADC — the claims that
+    // matter are the residual MARGIN over raw-vector codes (measured 0.70
+    // vs 0.53) and that the standard exact rerank restores full recall
+    assert(res >= plain + 0.1,
+      s"residual codes recall $res not better than raw-vector $plain")
+    val reranked = meanRecall(topk(Similarity.ivfPqResidualTopK(
+      corpus, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 10, cents, resCb, nprobe = 6, rerank = 30)), brute)
+    assert(reranked >= 0.9, s"residual+rerank recall@10 = $reranked")
+  }
+
+  test("residual IVF-PQ: exactly-representable rows score their exact cosine") {
+    // codebooks drawn from explicit member residuals: a member row's
+    // reconstruction is centroid + its own residual = the row itself, so
+    // its ADC score against any query equals the exact cosine (up to
+    // summation-order float noise, orders of magnitude under the 6-dp
+    // rounding)
+    val rng = new scala.util.Random(37)
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 7L)
+    val cents = Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 4L)
+    val residuals = Similarity.pqResiduals(corpus, "vec_id", "embedding", cents)
+    val resCb = Similarity.pqCodebooksByIds(residuals, "id", "__v", m = 4, 0L until 8L)
+    val got = Similarity.ivfPqResidualTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 120, cents, resCb, nprobe = 4)
+      .select("corpus_id", "score").as[(Long, Double)].collect().toMap
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 120)
+      .select("corpus_id", "cosine").as[(Long, Double)].collect().toMap
+    // members 0..7 are exactly representable (their own residual is
+    // codeword j of every subspace)
+    (0L until 8L).foreach { id =>
+      assert(math.abs(got(id) - exact(id)) <= 1e-6,
+        s"member $id: ADC ${got(id)} vs exact ${exact(id)}")
+    }
+  }
+
   test("stored IVF-PQ index: codes-only pruned scan matches in-memory ADC") {
     val rng = new scala.util.Random(29)
     val corpus = (0 until 200).map(i =>
