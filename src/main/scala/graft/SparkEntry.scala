@@ -927,6 +927,12 @@ object SparkEntry {
       // file-order row numbers.
       val r = runnerFor(s)
       val ds = r.fromParquet(cosineFixtureFor(s, dir))
+      // the oracle replays NO split (leaf = cell string) — true only while
+      // every cell fits the default maxCell; guard the regime loudly
+      val nRows = r.toFrame(SelectVectorColumnOp(ds, "embedding")).count()
+      require(nRows <= 10000L,
+        s"q_sem_graph's no-split oracle is pinned to corpora <= default " +
+          s"maxCell (10000) rows; got $nRows")
       val sem = SemanticDedupOp(SelectVectorColumnOp(ds, "embedding"),
         centroidIds = 0L to 7L, threshold = 0.8)
       r.toFrame(sem)
@@ -1223,6 +1229,16 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val u = emb.union(planted)
+      // the DuckDB oracle replays exactly ONE split level, which matches
+      // the engine only while the corpus sits in the single-level regime:
+      // big enough that cell 0 overflows maxCell=100, small enough that
+      // 16 near-uniform sub-leaves all fit. Outside that window (another
+      // sf) the engine recurses where the oracle doesn't — fail LOUD here
+      // instead of surfacing as a silent hash mismatch.
+      val n = u.count()
+      require(n > 100 && n <= 1600,
+        s"q_dedup_semantic_skew's single-level oracle is pinned to the " +
+          s"sf0.01 regime (100 < rows <= 16*maxCell); got $n rows")
       Dedup.semanticDedup(u, "vec_id", "embedding",
           Similarity.centroidsByIds(u, "vec_id", "embedding", Seq(0L)),
           threshold = 0.8, maxCell = 100, splitFanout = 16)

@@ -141,8 +141,11 @@ object Dedup {
     * Pipeline: row-local (shingles → signature → band keys) → explode band
     * keys (numBands rows/doc of fixed width) → self-join within buckets →
     * distinct pairs. The only shuffle is on the band-key groupBy; skewed
-    * mega-buckets (boilerplate docs) are truncated at `maxBucket` with the
-    * drop logged, the standard guard at scale.
+    * mega-buckets (boilerplate docs) above `maxBucket` demote to min-id
+    * REPRESENTATIVE pairing instead of the all-pairs join — linear cost,
+    * nothing silently dropped (see [[bucketSelfJoinPairs]]); the residual
+    * non-representative pairs are measurable via
+    * [[bucketOverflowReport]].
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numPerms: Int = 64,
@@ -663,9 +666,20 @@ object Dedup {
       .select(col("id").as("__dup_id"))
 
     val dropped = pairDropped.union(repDropped).distinct()
-    frame.join(dropped, col("id") === col("__dup_id"), "left_outer")
+    val result = frame.join(dropped, col("id") === col("__dup_id"), "left_outer")
       .select(col("id"), col("cell"), col("__leaf").as("leaf"),
         col("__dup_id").isNull.as("keep"))
+    // the result plan reads `frame` ~6 times (leaf counts, both pair
+    // sides, representative paths, final join) — evaluate it ONCE against
+    // the cached frame and truncate lineage (eager localCheckpoint, the
+    // ConnectedComponents pattern), then RELEASE the cache: the earlier
+    // form left the final split level persisted for the application
+    // lifetime, one leaked corpus-sized cache entry per invocation.
+    // Checkpoint blocks hold only (id, cell, leaf, keep) — no vectors —
+    // and are auto-cleaned when the returned frame is unreferenced.
+    val out = result.localCheckpoint(true)
+    persistedPrev.foreach(_.unpersist(false))
+    out
   }
 
   // ---------- pairs → clusters (the dedup DECISION step) ----------

@@ -529,15 +529,12 @@ object Similarity {
       }
       (codes, r2)
     }
-    val encoded = pqResiduals(corpus, corpusId, corpusVec, centroids)
+    val c = pqResiduals(corpus, corpusId, corpusVec, centroids)
       .withColumn("__cr", encUdf(col("__v"), col("cell")))
+      // codes-only candidate stream; rerank vectors join the survivors
+      // inside pqRank, never the candidate join
       .select(col("id").as("corpus_id"), col("cell"),
         col("__cr._1").as("codes"), col("__cr._2").as("__r2"))
-    val c =
-      if (rerank > 0)
-        encoded.join(corpus.select(col(corpusId).as("corpus_id"),
-          col(corpusVec).as("__cv")), Seq("corpus_id"))
-      else encoded
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
       .withColumn("__lut", lutUdf(col("__qv")))
@@ -550,28 +547,8 @@ object Similarity {
           (col("__qc") +
             VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub)) / den)
           .otherwise(lit(0.0)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("corpus_id").asc)
-    if (rerank <= 0) {
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("corpus_id"),
-          round(col("__adc"), 6).as("score"), col("rank"))
-    } else {
-      require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-      val cand = scored.withColumn("__arank", row_number().over(w))
-        .filter(col("__arank") <= rerank)
-      val exact = cand.withColumn("__cos",
-        when(col("__qn") * norm(col("__cv")) > 0,
-          dot(col("__qv"), col("__cv")) / (col("__qn") * norm(col("__cv"))))
-          .otherwise(lit(0.0)))
-      val we = Window.partitionBy(col("query_id"))
-        .orderBy(col("__cos").desc, col("corpus_id").asc)
-      exact.withColumn("rank", row_number().over(we))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("corpus_id"),
-          round(col("__cos"), 6).as("score"), col("rank"))
-    }
+    pqRank(scored, k, rerank, Some(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))))
   }
 
   /** IVF-PQ top-k: IVF cell pruning (queries probe `nprobe` cells) with
@@ -600,12 +577,11 @@ object Similarity {
       bcCents.value.probe(v, nprobe) }
     val lutUdf = udf { v: scala.collection.Seq[Float] => bcCb.value.lut(v) }
 
-    val encoded = pqEncode(corpus, corpusId, corpusVec, cb)
+    val c = pqEncode(corpus, corpusId, corpusVec, cb)
       .withColumn("cell", assignUdf(col("__v")))
-    // the candidate join carries (id, codes, r2, cell) — the vector column
-    // rides only when the exact rerank pass will need it
-    val c = (if (rerank > 0) encoded
-             else encoded.drop("__v"))
+      // the candidate join carries (id, codes, r2, cell) ONLY — with
+      // rerank the vectors join the top-rerank SURVIVORS afterwards
+      .drop("__v")
       .withColumnRenamed("id", "corpus_id")
     val q = broadcast(queries.select(col(queryId).as("query_id"),
         col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn"))
@@ -617,6 +593,20 @@ object Similarity {
         when(den > 0,
           VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub) / den)
           .otherwise(lit(0.0)))
+    pqRank(scored, k, rerank, Some(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))))
+  }
+
+  /** Shared ranking tail of the IVF-PQ family: top-k by ADC score, or —
+    * with `rerank > 0` — exact-cosine re-scoring of the top-`rerank` ADC
+    * pool per query. `scored` carries (query_id, corpus_id, __adc, __qn,
+    * __qv); `vectors` maps corpus_id → __cv and is joined onto the
+    * rerank·nq SURVIVORS only, never the candidate stream — at 100 TB the
+    * exact pass touches rerank·nq vector rows while candidates stay
+    * m-int codes. One copy of the tie-break / rounding / zero-denominator
+    * conventions for all three entry points. */
+  private def pqRank(scored: DataFrame, k: Int, rerank: Int,
+                     vectors: Option[DataFrame]): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__adc").desc, col("corpus_id").asc)
     if (rerank <= 0) {
@@ -628,9 +618,11 @@ object Similarity {
       require(rerank >= k, s"rerank=$rerank must be >= k=$k")
       val cand = scored.withColumn("__arank", row_number().over(w))
         .filter(col("__arank") <= rerank)
+        .join(vectors.getOrElse(throw new IllegalArgumentException(
+          "rerank needs the corpus vectors")), Seq("corpus_id"))
       val exact = cand.withColumn("__cos",
-        when(col("__qn") * norm(col("__v")) > 0,
-          dot(col("__qv"), col("__v")) / (col("__qn") * norm(col("__v"))))
+        when(col("__qn") * norm(col("__cv")) > 0,
+          dot(col("__qv"), col("__cv")) / (col("__qn") * norm(col("__cv"))))
           .otherwise(lit(0.0)))
       val we = Window.partitionBy(col("query_id"))
         .orderBy(col("__cos").desc, col("corpus_id").asc)
@@ -714,11 +706,6 @@ object Similarity {
         when(den > 0,
           VectorKernels.adcGatherSum(col("__lut"), col("codes"), cb.ksub) / den)
           .otherwise(lit(0.0)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__adc").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("__adc"), 6).as("score"), col("rank"))
+    pqRank(scored, k, rerank = 0, vectors = None)
   }
 }

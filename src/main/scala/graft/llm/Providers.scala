@@ -284,26 +284,48 @@ final class HttpProvider(endpoint: String, model: Option[String] = None,
     prompts.map { batch =>
       if (generateConcurrency <= 1 || batch.size <= 1) batch.map(genOne)
       else {
+        // SLIDING window, not a chunk barrier: a semaphore slot frees the
+        // moment any request completes, so one straggler prompt never
+        // idles the other concurrency−1 slots (grouped(concurrency) +
+        // join-all degraded toward sequential when each chunk held one
+        // slow prompt). Results keep batch order; once a failure is
+        // observed no NEW request is posted (up to concurrency−1 already
+        // in flight may still finish), outstanding futures are cancelled,
+        // and the original exception propagates — concurrency=1 restores
+        // the strictly sequential contract.
         val pool = HttpProvider.generatePool
-        batch.grouped(generateConcurrency).flatMap { chunk =>
-          val futures = chunk.map { p =>
-            pool.submit(new java.util.concurrent.Callable[String] {
-              override def call(): String = genOne(p)
-            })
+        val sem = new java.util.concurrent.Semaphore(generateConcurrency)
+        val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val futures =
+          scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[String]]
+        try {
+          val it = batch.iterator
+          var stop = false
+          while (it.hasNext && !stop) {
+            sem.acquire()
+            if (failed.get()) { sem.release(); stop = true }
+            else {
+              val p = it.next()
+              futures += pool.submit(new java.util.concurrent.Callable[String] {
+                override def call(): String =
+                  try genOne(p)
+                  catch { case e: Throwable => failed.set(true); throw e }
+                  finally sem.release()
+              })
+            }
           }
-          try futures.map { f =>
+          futures.map { f =>
             try f.get()
             catch {
               case e: java.util.concurrent.ExecutionException =>
                 throw Option(e.getCause).getOrElse(e)
             }
-          }
-          catch {
-            case e: Throwable =>
-              futures.foreach(_.cancel(true)) // no-op on completed futures
-              throw e
-          }
-        }.toSeq
+          }.toSeq
+        } catch {
+          case e: Throwable =>
+            futures.foreach(_.cancel(true)) // no-op on completed futures
+            throw e
+        }
       }
     }
   }

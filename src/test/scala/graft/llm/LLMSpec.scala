@@ -305,16 +305,14 @@ class LLMSpec extends SparkTestBase {
       val prov = new HttpProvider(s"127.0.0.1:$port", model = Some("m"),
         generateEndpoint = Some(s"http://127.0.0.1:$port/api/generate"))
       val prompts = (0 until 8).map(i => s"p$i")
-      val t0 = System.nanoTime()
       val out = prov.generate(Iterator.single(prompts), 5L).next()
-      val wallMs = (System.nanoTime() - t0) / 1e6
       // order is the batch order regardless of completion order
       assert(out == prompts.map(p => s"gen:$p"))
-      // the default concurrency (4) must actually overlap round-trips
+      // the default concurrency (4) must actually overlap round-trips;
+      // maxInFlight alone proves the pipelining (an absolute wall-clock
+      // bound here flaked under host contention without adding coverage)
       assert(maxInFlight.get() >= 2,
         s"no overlap observed (maxInFlight=${maxInFlight.get()})")
-      // 8 × 150ms strictly sequential is ≥1200ms; pipelined at 4 is ~300ms
-      assert(wallMs < 1000, f"pipelined batch took $wallMs%.0f ms")
       // concurrency=1 restores strictly sequential posting
       sys.props("graft.http.generate.concurrency") = "1"
       try {
