@@ -1229,19 +1229,18 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val u = emb.union(planted)
-      // the DuckDB oracle replays exactly ONE split level, which matches
-      // the engine only while the corpus sits in the single-level regime:
-      // big enough that cell 0 overflows maxCell=100, small enough that
-      // 16 near-uniform sub-leaves all fit. Outside that window (another
-      // sf) the engine recurses where the oracle doesn't — fail LOUD here
-      // instead of surfacing as a silent hash mismatch.
+      // the DuckDB oracle replays exactly ONE split level, so the engine
+      // must split exactly once at EVERY sf the query runs at (bench is
+      // sf0.1, correctness sf0.01). Deriving maxCell = ceil(n/8) pins the
+      // invariant for any corpus size: cell 0 always overflows (n > n/8),
+      // and 16 near-uniform random sub-leaves (~n/16 rows, fluctuation
+      // O(√(n/16))) always fit under 2× their mean — a fixed maxCell made
+      // the single-level assumption silently sf-dependent.
       val n = u.count()
-      require(n > 100 && n <= 1600,
-        s"q_dedup_semantic_skew's single-level oracle is pinned to the " +
-          s"sf0.01 regime (100 < rows <= 16*maxCell); got $n rows")
       Dedup.semanticDedup(u, "vec_id", "embedding",
           Similarity.centroidsByIds(u, "vec_id", "embedding", Seq(0L)),
-          threshold = 0.8, maxCell = 100, splitFanout = 16)
+          threshold = 0.8, maxCell = math.max(1L, (n + 7) / 8).toInt,
+          splitFanout = 16)
         .select(col("id").as("vec_id"), col("cell"), col("leaf"), col("keep"))
         .orderBy(col("vec_id"))
     }),
