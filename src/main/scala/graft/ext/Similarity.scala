@@ -268,6 +268,71 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new corpus rows to an existing [[buildIvfIndex]] store: rows
+    * assign against the STORED centroid table (cell structure unchanged)
+    * and append into their matching `cell=N` directories. The 100 TB
+    * maintenance story: a daily ingest appends its fraction of the corpus
+    * in one cell-keyed shuffle — the index is never rebuilt until
+    * centroid drift warrants it (probe recall under drift is measurable:
+    * run the recall gate against a brute-force sample). Append is
+    * directory-level and idempotent per Spark job; concurrent probes see
+    * whole files only. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newRows: DataFrame, corpusId: String,
+                       corpusVec: String): Unit = {
+    val cents = readCentroids(spark, path)
+    val bc = spark.sparkContext.broadcast(new CentArrays(cents))
+    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
+    newRows.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell", assignUdf(col("vec")))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/corpus")
+  }
+
+  /** Append new corpus rows to an existing [[buildIvfPqIndex]] store:
+    * assignment against the stored centroids, PQ encoding against the
+    * stored codebooks — codes stay comparable with every existing row, so
+    * probes over the merged store need no special casing. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newRows: DataFrame, corpusId: String,
+                         corpusVec: String): Unit = {
+    val cents = readCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
+    val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
+    val assignUdf = udf { v: scala.collection.Seq[Float] =>
+      bcCents.value.bestCell(v) }
+    pqEncode(newRows, corpusId, corpusVec, cb)
+      .withColumn("cell", assignUdf(col("__v")))
+      .select(col("id").as("corpus_id"), col("codes"),
+        col("__r2").as("r2"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/corpus")
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[(Int, Seq[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("cent_id"),
+        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
+      .sortBy(_._1)
+
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                            path: String): PqCodebooks = {
+    val cwRows = spark.read.parquet(s"$path/codebooks")
+      .collect()
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Float]]("word").toArray))
+    val m = cwRows.map(_._1).max + 1
+    val words = Array.tabulate(m) { s =>
+      cwRows.filter(_._1 == s).sortBy(_._2).map(_._3)
+    }
+    new PqCodebooks(m, words(0)(0).length, words)
+  }
+
   /** Probe a [[buildIvfIndex]] index with partition pruning: the union of
     * the queries' probed cells becomes a LITERAL `cell IN (…)` predicate,
     * which Catalyst resolves against the `cell=N` directory layout at plan
@@ -278,11 +343,7 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getAs[Int]("cent_id"),
-        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
-      .sortBy(_._1)
+    val cents = readCentroids(spark, path)
     val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
       bc.value.probe(v, nprobe)
@@ -672,20 +733,8 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, queryId: String, queryVec: String,
                        k: Int, nprobe: Int): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => (r.getAs[Int]("cent_id"),
-        r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
-      .sortBy(_._1)
-    val cwRows = spark.read.parquet(s"$path/codebooks")
-      .collect()
-      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("code"),
-        r.getAs[scala.collection.Seq[Float]]("word").toArray))
-    val m = cwRows.map(_._1).max + 1
-    val words = Array.tabulate(m) { s =>
-      cwRows.filter(_._1 == s).sortBy(_._2).map(_._3)
-    }
-    val cb = new PqCodebooks(m, words(0)(0).length, words)
+    val cents = readCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
     val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
     val bcCb = spark.sparkContext.broadcast(cb)
     val probeUdf = udf { v: scala.collection.Seq[Float] =>

@@ -84,6 +84,25 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming NEAR-dup dedup at ingest: first-seen row per 64-bit SimHash
+    * sketch wins ([[graft.ext.Dedup.simhash]] — the same sketch the batch
+    * `simhashNearDuplicates` bands on). Sketch collision (hamming 0) is
+    * exactly the boilerplate/near-identical mass that dominates streaming
+    * ingest duplication; hamming > 0 neighbors pass through and remain the
+    * batch operator's job (banded search needs a self-join no streaming
+    * state shape expresses cheaply). State is 8 bytes per distinct sketch
+    * within the watermark, sharded by sketch — strictly smaller state than
+    * the exact twin's 16-byte digests, and a superset of its drops
+    * whenever texts differ only in ways the sketch ignores.
+    */
+  def dropNearDuplicateTexts(docs: DataFrame, textCol: String, tsCol: String,
+                             watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__sk64", graft.ext.Dedup.simhash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sk64")
+      .drop("__sk64")
+
   /** Sessions closed by `maxEvents` OR a time gap — the custom-state escape
     * hatch `session_window` cannot express (count-based closing resets
     * per-session state). `flatMapGroupsWithState` with event-time timeout:

@@ -431,6 +431,45 @@ class ExtSpec extends SparkTestBase {
     assert(mean >= 0.9, s"IVF-PQ rerank mean recall@10 = $mean")
   }
 
+  test("IVF index append: incremental rows probe identically to a full build") {
+    // the 100 TB maintenance path: a daily ingest appends into the cell
+    // directories instead of rebuilding; probes over (build half + append
+    // half) must equal probes over a one-shot full build — same centroids,
+    // same assignment, same scoring
+    val rng = new scala.util.Random(41)
+    val corpus = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1).toSeq))
+      .toDF("vec_id", "embedding")
+    val first = corpus.filter($"vec_id" < 120)
+    val rest = corpus.filter($"vec_id" >= 120)
+    val cents = Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 8L)
+    val queries = corpus.filter($"vec_id" === 42L)
+
+    val incIdx = java.nio.file.Files.createTempDirectory("ivf-inc-").toString
+    Similarity.buildIvfIndex(first, "vec_id", "embedding", cents, incIdx)
+    Similarity.appendToIvfIndex(spark, incIdx, rest, "vec_id", "embedding")
+    val fullIdx = java.nio.file.Files.createTempDirectory("ivf-full-").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cents, fullIdx)
+    def probe(p: String) = Similarity.ivfTopKIndexed(spark, p, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(probe(incIdx) == probe(fullIdx))
+
+    // same for the codes-only PQ store: appended rows encode against the
+    // STORED codebooks, so codes stay comparable across generations
+    val cb = Similarity.pqCodebooksByIds(corpus, "vec_id", "embedding",
+      m = 4, 0L until 8L)
+    val incPq = java.nio.file.Files.createTempDirectory("ivfpq-inc-").toString
+    Similarity.buildIvfPqIndex(first, "vec_id", "embedding", cents, cb, incPq)
+    Similarity.appendToIvfPqIndex(spark, incPq, rest, "vec_id", "embedding")
+    val fullPq = java.nio.file.Files.createTempDirectory("ivfpq-full-").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", cents, cb, fullPq)
+    def probePq(p: String) = Similarity.ivfPqTopKIndexed(spark, p, queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(probePq(incPq) == probePq(fullPq))
+  }
+
   test("residual IVF-PQ (IVFADC): beats raw-vector codes on clustered data") {
     // tight clusters: residuals concentrate near 0, so the same codebook
     // budget quantizes them with far less error than the raw vectors —

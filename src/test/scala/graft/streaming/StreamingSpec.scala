@@ -91,6 +91,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: sketch-identical texts drop, distinct pass") {
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = Streaming.dropNearDuplicateTexts(
+      input.toDF.toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = deduped.writeStream.format("memory")
+      .queryName("neardedup").outputMode("append").start()
+    try {
+      // "Alpha beta!" vs "alpha, BETA" — identical token multiset after
+      // the sketch's lowercase/non-alnum split, so identical 64-bit
+      // sketches: the second drops even though the raw texts differ
+      // (exactly what the exact-digest twin cannot catch)
+      input.addData(
+        (1L, "Alpha beta!", ts(0)),
+        (2L, "alpha, BETA", ts(1)),
+        (3L, "something entirely different here", ts(0)))
+      q.processAllAvailable()
+      input.addData((4L, "  ALPHA   beta  ", ts(2))) // later batch: state drops it
+      q.processAllAvailable()
+      val got = spark.table("neardedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(1L, 3L), s"got $got")
+      // parity with the batch sketch: the surviving/dropped partition is
+      // exactly the batch simhash-collision grouping of the same rows
+      val batchSketches = Seq("Alpha beta!", "alpha, BETA",
+          "something entirely different here", "  ALPHA   beta  ")
+        .toDF("text").select(graft.ext.Dedup.simhash($"text")).as[Long].collect()
+      assert(batchSketches(0) == batchSketches(1) &&
+        batchSketches(0) == batchSketches(3) &&
+        batchSketches(0) != batchSketches(2))
+    } finally q.stop()
+  }
+
   test("count-or-gap sessions: custom state closes by count, gap, and timeout") {
     val input = MemoryStream[(String, Timestamp, Double)]
     val sessions = Streaming.sessionizeByCountOrGap(
