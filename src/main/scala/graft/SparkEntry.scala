@@ -1297,6 +1297,39 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_ivfpq_rerank" -> ((s, dir) => {
+      // the two-stage retrieval the production config runs: ADC selects a
+      // top-8 candidate pool per query, the exact-cosine pass re-ranks it
+      // to the final top-5 — vectors join the 8·nq survivors only. The
+      // oracle replays BOTH rankings (ADC pool cut, then exact), gating
+      // the rerank path's tie-breaks and rounding end-to-end.
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+          Similarity.centroidsByIds(emb, "vec_id", "embedding", 0L to 7L),
+          Similarity.pqCodebooksByIds(emb, "vec_id", "embedding", m = 8, 0L to 15L),
+          nprobe = 2, rerank = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_ann_ivfpq_res" -> ((s, dir) => {
+      // IVFADC proper: codes quantize v − centroid(cell), scoring adds the
+      // query⋅centroid dot to the ADC gather-sum and normalizes by the
+      // reconstruction norm. Codewords are EXPLICIT member residuals
+      // (vec_id 0..15 after their own assignment), so the oracle replays
+      // assignment, member-residual codebooks, the per-subspace argmin
+      // over residuals, and the full ADC arithmetic.
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.centroidsByIds(emb, "vec_id", "embedding", 0L to 7L)
+      val resCb = Similarity.pqCodebooksByIds(
+        Similarity.pqResiduals(emb, "vec_id", "embedding", cents),
+        "id", "__v", m = 8, 0L to 15L)
+      Similarity.ivfPqResidualTopK(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+          cents, resCb, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- text analysis extensions ----
 
     "q_token_count" -> ((s, dir) => {
@@ -2555,6 +2588,141 @@ object SparkEntry {
         |    CASE WHEN q.qn * sqrt(sc.r2) > 0
         |      THEN sc.num / (q.qn * sqrt(sc.r2)) ELSE 0.0 END s
         |  FROM sc JOIN q ON q.qid = sc.qid),
+        |r AS (SELECT query_id, corpus_id, s,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY s DESC, corpus_id) AS BIGINT) rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(s, 6) AS score, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q_ann_ivfpq's replay extended by the second stage: the ADC ranking
+    // cuts a top-8 pool per query, then exact cosine re-ranks the pool to
+    // the final top-5 — both rankings' tie-breaks replayed
+    "q_ann_ivfpq_rerank" ->
+      """WITH corp AS (SELECT vec_id cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(cid AS INT) cent_id, v cv FROM corp WHERE cid < 8),
+        |subs AS (SELECT CAST(unnest(range(8)) AS INT) sub),
+        |cw AS (SELECT s.sub, CAST(c.cid AS INT) j,
+        |    c.v[s.sub*8+1 : s.sub*8+8] wv
+        |  FROM corp c, subs s WHERE c.cid < 16),
+        |cwn AS (SELECT sub, j, wv,
+        |    list_sum(list_transform(wv, x -> x*x)) w2 FROM cw),
+        |dist AS (SELECT c.cid, w.sub, w.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (c.v[w.sub*8+i] - w.wv[i]) * (c.v[w.sub*8+i] - w.wv[i]))) d
+        |  FROM corp c, cwn w),
+        |codes AS (SELECT cid, sub, j FROM (
+        |    SELECT cid, sub, j,
+        |      row_number() OVER (PARTITION BY cid, sub ORDER BY d, j) rn
+        |    FROM dist) WHERE rn = 1),
+        |assign AS (SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |q AS (SELECT cid qid, v qv,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) qn
+        |  FROM corp WHERE cid < 3),
+        |probe AS (SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |elig AS (SELECT p.qid, a.cid FROM probe p JOIN assign a USING (cell)),
+        |contrib AS (SELECT e.qid, e.cid,
+        |    list_dot_product(q.qv[cd.sub*8+1 : cd.sub*8+8], w.wv) num_s,
+        |    w.w2 r2_s
+        |  FROM elig e JOIN q ON q.qid = e.qid
+        |    JOIN codes cd ON cd.cid = e.cid
+        |    JOIN cwn w ON w.sub = cd.sub AND w.j = cd.j),
+        |sc AS (SELECT qid, cid, sum(num_s) num, sum(r2_s) r2
+        |  FROM contrib GROUP BY 1, 2),
+        |adc AS (SELECT sc.qid query_id, sc.cid corpus_id,
+        |    CASE WHEN q.qn * sqrt(sc.r2) > 0
+        |      THEN sc.num / (q.qn * sqrt(sc.r2)) ELSE 0.0 END s
+        |  FROM sc JOIN q ON q.qid = sc.qid),
+        |pool AS (SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY s DESC, corpus_id) rn
+        |    FROM adc) WHERE rn <= 8),
+        |ex AS (SELECT p.query_id, p.corpus_id,
+        |    list_cosine_similarity(q.qv, c.v) cosf
+        |  FROM pool p JOIN q ON q.qid = p.query_id
+        |    JOIN corp c ON c.cid = p.corpus_id),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM ex)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS score, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // IVFADC replay: residuals rounded to REAL mirror the engine's Float
+    // subtraction bit-for-bit (a double difference of two floats is exact,
+    // so CAST(diff AS REAL) IS the engine's float arithmetic); codewords
+    // are member residual sub-slices, scoring adds the query⋅centroid dot
+    // and normalizes by the reconstruction norm |centroid + codeword|²
+    "q_ann_ivfpq_res" ->
+      """WITH corp AS (SELECT vec_id cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |cent AS (SELECT CAST(cid AS INT) cent_id, v cv FROM corp WHERE cid < 8),
+        |assign AS (SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |resid AS (SELECT a.cid, a.cell,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(CAST(c.v[i] - ct.cv[i] AS REAL) AS DOUBLE)) rv
+        |  FROM assign a JOIN corp c ON c.cid = a.cid
+        |    JOIN cent ct ON ct.cent_id = a.cell),
+        |subs AS (SELECT CAST(unnest(range(8)) AS INT) sub),
+        |cw AS (SELECT s.sub, CAST(r.cid AS INT) j,
+        |    r.rv[s.sub*8+1 : s.sub*8+8] wv
+        |  FROM resid r, subs s WHERE r.cid < 16),
+        |dist AS (SELECT r.cid, w.sub, w.j,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (r.rv[w.sub*8+i] - w.wv[i]) * (r.rv[w.sub*8+i] - w.wv[i]))) d
+        |  FROM resid r, cw w),
+        |codes AS (SELECT cid, sub, j FROM (
+        |    SELECT cid, sub, j,
+        |      row_number() OVER (PARTITION BY cid, sub ORDER BY d, j) rn
+        |    FROM dist) WHERE rn = 1),
+        |r2t AS (SELECT cd.cid,
+        |    sum(list_sum(list_transform(range(1, 9),
+        |      i -> (ct.cv[cd.sub*8+i] + w.wv[i]) * (ct.cv[cd.sub*8+i] + w.wv[i])))) r2
+        |  FROM codes cd JOIN assign a ON a.cid = cd.cid
+        |    JOIN cent ct ON ct.cent_id = a.cell
+        |    JOIN cw w ON w.sub = cd.sub AND w.j = cd.j
+        |  GROUP BY cd.cid),
+        |q AS (SELECT cid qid, v qv,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) qn
+        |  FROM corp WHERE cid < 3),
+        |probe AS (SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |qc AS (SELECT q.qid, p.cell, list_dot_product(q.qv, ct.cv) qcdot
+        |  FROM probe p JOIN q ON q.qid = p.qid
+        |    JOIN cent ct ON ct.cent_id = p.cell),
+        |elig AS (SELECT p.qid, a.cid, a.cell FROM probe p JOIN assign a USING (cell)),
+        |contrib AS (SELECT e.qid, e.cid,
+        |    list_dot_product(q.qv[cd.sub*8+1 : cd.sub*8+8], w.wv) num_s
+        |  FROM elig e JOIN q ON q.qid = e.qid
+        |    JOIN codes cd ON cd.cid = e.cid
+        |    JOIN cw w ON w.sub = cd.sub AND w.j = cd.j),
+        |nsum AS (SELECT qid, cid, sum(num_s) num FROM contrib GROUP BY 1, 2),
+        |scored AS (SELECT n.qid query_id, n.cid corpus_id,
+        |    CASE WHEN q.qn * sqrt(r.r2) > 0
+        |      THEN (k.qcdot + n.num) / (q.qn * sqrt(r.r2)) ELSE 0.0 END s
+        |  FROM nsum n JOIN q ON q.qid = n.qid
+        |    JOIN r2t r ON r.cid = n.cid
+        |    JOIN elig e ON e.qid = n.qid AND e.cid = n.cid
+        |    JOIN qc k ON k.qid = n.qid AND k.cell = e.cell),
         |r AS (SELECT query_id, corpus_id, s,
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY s DESC, corpus_id) AS BIGINT) rank
