@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Bpe, Corpus, Dedup, Joins, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -1362,6 +1362,17 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_lm_perplexity" -> ((s, dir) => {
+      // bigram stupid-backoff perplexity (ext.LangModel): fit on the even
+      // doc_ids, score EVERYTHING — odd docs hit the backoff and OOV arms,
+      // so the oracle exercises all three probability paths. Integer
+      // micro-nat per-doc sums are the hash-stable field; ppl derives from
+      // them by one exp + round(6). The oracle replays fit AND score.
+      val docs = t(s, dir, "documents")
+      val lm = LangModel.fit(docs.filter(col("doc_id") % 2 === 0), "text")
+      LangModel.score(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
     }),
 
     "q_curate_pipeline" -> ((s, dir) => {
@@ -3005,6 +3016,58 @@ object SparkEntry {
         |  FROM tf JOIN idf USING (term))
         |SELECT doc_id, rank, term, tf, round(tf * idf, 6) AS tfidf
         |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // Full fit+score replay of ext.LangModel (bigram stupid backoff, fit on
+    // even doc_ids). Every per-token log-prob is ONE correctly-rounded
+    // division (+ one multiply on the backoff arm) then `ln`, quantized to
+    // integer micro-nats BEFORE the per-doc sum — so the sum is order-free
+    // integer arithmetic and the row hashes bit-for-bit. The CAST(0.4 AS
+    // DOUBLE) is load-bearing (bare 0.4 is DECIMAL in DuckDB); `1e6` is
+    // already DOUBLE. Constants come from LangModel so they cannot drift.
+    "q_lm_perplexity" -> {
+      val bos = LangModel.Bos
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id, i AS pos,
+         |    CASE WHEN i = 0 THEN '$bos' ELSE ws[i] END AS prev,
+         |    ws[i + 1] AS cur
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w)),
+         |fitp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+         |uni AS (SELECT cur AS w2, count(*) AS cu FROM fitp GROUP BY 1
+         |        UNION ALL
+         |        SELECT '$bos', count(*) FROM fitp WHERE prev = '$bos'),
+         |bi AS (SELECT prev AS v, cur AS w2, count(*) AS cb
+         |       FROM fitp GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS total_tokens FROM fitp),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(CASE
+         |      WHEN bi.cb IS NOT NULL AND uv.cu IS NOT NULL
+         |        THEN ln(CAST(bi.cb AS DOUBLE) / CAST(uv.cu AS DOUBLE))
+         |      ELSE ln(CAST(${LangModel.Backoff} AS DOUBLE) *
+         |        (CAST(coalesce(uw.cu, 1) AS DOUBLE) /
+         |         CAST(tot.total_tokens AS DOUBLE)))
+         |      END * CAST(${LangModel.Quant} AS DOUBLE)) AS BIGINT) AS qlp
+         |  FROM p
+         |  LEFT JOIN bi ON bi.v = p.prev AND bi.w2 = p.cur
+         |  LEFT JOIN uni uv ON uv.w2 = p.prev
+         |  LEFT JOIN uni uw ON uw.w2 = p.cur
+         |  CROSS JOIN tot),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(qlp) AS BIGINT) AS logp_u6 FROM sc GROUP BY 1)
+         |SELECT docs.doc_id,
+         |  coalesce(d.n_tokens, 0) AS n_tokens,
+         |  coalesce(d.logp_u6, 0) AS logp_u6,
+         |  CASE WHEN d.n_tokens IS NOT NULL THEN
+         |    round(exp(-(CAST(d.logp_u6 AS DOUBLE) /
+         |        CAST(${LangModel.Quant} AS DOUBLE)) /
+         |      CAST(d.n_tokens AS DOUBLE)), 6)
+         |  END AS ppl
+         |FROM documents docs LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_lsh_skew_report" ->
       """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,

@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model perplexity — the CCNet-style quality
+  * signal a pretraining pipeline uses to rank/filter documents (Wenzek et
+  * al. 2020 score web text with a KenLM model; Brants et al. 2007's "Stupid
+  * Backoff" is the standard count-only smoothing at corpus scale). Beyond
+  * the reference's surface.
+  *
+  * The model is a bigram LM with stupid backoff:
+  *
+  *   p(w | v) = c(v,w) / c(v)                    if c(v,w) > 0
+  *            = [[Backoff]] * c(w) / total       otherwise
+  *
+  * and a per-document score sum_i ln p(w_i | w_{i-1}) with a BOS marker in
+  * front of every document (so the first word conditions on `<s>`; c(<s>)
+  * is the number of non-empty fit documents).
+  *
+  * == Determinism (the oracle gate) ==
+  * Each per-token ln is quantized to integer MICRO-NATS
+  * (`round(logp*1e6)` as BIGINT) BEFORE the per-document sum, so the sum
+  * is an integer aggregation — order-free across partitions and
+  * bit-identical in any engine. Each quantized term is the result of a
+  * single correctly-rounded double division (+ one multiply on the backoff
+  * arm) followed by one `ln`, so the only cross-engine wiggle is the last
+  * ulp of `ln`/`exp`, absorbed by the 1e-6 quantum and the final
+  * `round(ppl, 6)`.
+  *
+  * == 100 TB design ==
+  * Fit: tokens/bigram pairs are produced MAP-SIDE from each document's word
+  * array (no window, no per-doc shuffle); the only shuffles key on words /
+  * word pairs (partial aggregation applies). Score: three equi-joins of the
+  * exploded (prev, cur) stream against the count tables — Catalyst
+  * broadcasts them when small (our corpora vocabularies) and sort-merge
+  * joins at web-corpus vocabulary scale — then one groupBy on the doc id
+  * (uniform key). The corpus-total token count travels as a broadcast
+  * 1-row frame, never a driver scalar, so the whole pipeline stays lazy.
+  */
+object LangModel {
+
+  /** Micro-nat quantum for per-token log-probs. */
+  val Quant: Double = 1e6
+
+  /** Stupid-backoff discount (Brants et al. 2007 use 0.4). */
+  val Backoff: Double = 0.4
+
+  /** BOS marker: a token containing a space can never collide with a word
+    * produced by whitespace tokenization. */
+  val Bos = "<s bos>"
+
+  /** Fitted count model. `unigrams` = (w, cu) including one [[Bos]] row
+    * counting non-empty documents; `bigrams` = (v, w, cb); `total` =
+    * 1-row (total_tokens) frame, cross-joined (broadcast) into scoring. */
+  final case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
+                            total: DataFrame)
+
+  /** (pos, prev, cur) triples of one document's word array, BOS-prefixed —
+    * pure expression, evaluated map-side. */
+  private def pairTriples(textCol: Column): Column =
+    Corpus.bindArray(Corpus.words(textCol)) { ws =>
+      // sequence(0, -1) DESCENDS in Spark — guard the empty-document case
+      // explicitly (same pattern as Corpus.wordNgrams)
+      when(size(ws) === 0,
+          array().cast("array<struct<pos:int,prev:string,cur:string>>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 1), i =>
+          struct(i.as("pos"),
+            when(i === 0, lit(Bos)).otherwise(element_at(ws, i)).as("prev"),
+            element_at(ws, i + 1).as("cur"))))
+    }
+
+  /** Fit the bigram model on `docs(textCol)`. Empty documents contribute
+    * nothing (no BOS count either) — mirrored by the oracle. */
+  def fit(docs: DataFrame, textCol: String): BigramLm = {
+    val pairs = docs
+      .select(explode(pairTriples(col(textCol))).as("t"))
+      .select(col("t.prev").as("v"), col("t.cur").as("w"))
+    // c(w) over real words; c(<s>) = number of non-empty docs = count of
+    // rows whose prev is BOS (exactly one per non-empty doc).
+    val uni = pairs.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .unionByName(pairs.filter(col("v") === Bos)
+        .agg(count(lit(1)).as("cu")).select(lit(Bos).as("w"), col("cu")))
+    val bi = pairs.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cb"))
+    val tot = pairs.agg(count(lit(1)).as("total_tokens"))
+    BigramLm(uni, bi, tot)
+  }
+
+  /** Per-token quantized log-prob: BIGINT micro-nats. Single-division
+    * arithmetic, pinned shape `ln(cb/cv)` / `ln(0.4*(cu/total))` — the
+    * DuckDB replay writes the identical expression tree. OOV words (absent
+    * from an externally fitted model) floor at count 1. */
+  private def qlogp(cb: Column, cv: Column, cu: Column, total: Column): Column = {
+    val p = when(cb.isNotNull && cv.isNotNull,
+        log(cb.cast("double") / cv.cast("double")))
+      .otherwise(log(lit(Backoff) *
+        (coalesce(cu, lit(1L)).cast("double") / total.cast("double"))))
+    round(p * Quant).cast("long")
+  }
+
+  /** Score `docs` against `lm`: one row per input document —
+    * (id, n_tokens, logp_u6, ppl) where `logp_u6` is the integer micro-nat
+    * sum (the exact, hash-stable field) and
+    * `ppl = round(exp(-(logp_u6/1e6)/n_tokens), 6)`. Empty documents keep a
+    * row with n_tokens = 0 and NULL ppl. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            lm: BigramLm): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(pairTriples(col(textCol))).as("t"))
+      .select(col(idCol), col("t.pos").as("pos"),
+        col("t.prev").as("prev"), col("t.cur").as("cur"))
+    val uniV = lm.unigrams.select(col("w").as("prev"), col("cu").as("cv"))
+    val uniW = lm.unigrams.select(col("w").as("cur"), col("cu").as("cu"))
+    val bi = lm.bigrams.select(col("v").as("prev"), col("w").as("cur"),
+      col("cb"))
+    val scored = toks
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(uniV, Seq("prev"), "left")
+      .join(uniW, Seq("cur"), "left")
+      .crossJoin(broadcast(lm.total))
+      .select(col(idCol),
+        qlogp(col("cb"), col("cv"), col("cu"), col("total_tokens"))
+          .as("qlp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qlp")).as("logp_u6"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logp_u6"), lit(0L)).as("logp_u6"),
+        when(col("n_tokens").isNotNull,
+          round(exp(-(col("logp_u6").cast("double") / Quant) /
+            col("n_tokens").cast("double")), 6)).as("ppl"))
+  }
+
+  /** Self-perplexity: fit on the corpus, score the corpus. The standard
+    * "how typical is this document of the collection" quality signal when
+    * no external reference model is available. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    score(docs, idCol, textCol, fit(docs, textCol))
+}

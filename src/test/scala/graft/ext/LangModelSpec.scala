@@ -1,0 +1,72 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Bigram stupid-backoff LM ([[LangModel]]): hand-checked probabilities on a
+  * tiny corpus, the quality-signal direction (repetitive/typical text scores
+  * lower perplexity than shuffled gibberish), and the external-model OOV
+  * path. */
+class LangModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bigram probabilities hand-checked on a 3-doc corpus") {
+    // corpus: "a b" "a b" "a c" — c(<s>)=3, c(<s>,a)=3, c(a,b)=2, c(a,c)=1
+    // c(a)=3, c(b)=2, c(c)=1, total tokens = 6
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = LangModel.perplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: ln p(a|<s>) + ln p(b|a) = ln(3/3) + ln(2/3)
+    val lp1 = math.round(math.log(1.0) * 1e6) + math.round(math.log(2.0 / 3.0) * 1e6)
+    assert(out(0).getLong(2) === lp1)
+    assert(out(0).getLong(1) === 2L)
+    val expPpl1 = BigDecimal(math.exp(-(lp1 / 1e6) / 2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(3) === expPpl1)
+    // doc 3: ln p(a|<s>) + ln p(c|a) = 0 + ln(1/3)
+    val lp3 = math.round(math.log(1.0 / 3.0) * 1e6)
+    assert(out(2).getLong(2) === lp3)
+  }
+
+  test("empty documents keep a row with n_tokens=0 and NULL ppl") {
+    val docs = Seq((1L, "x y"), (2L, ""), (3L, " \t ")).toDF("doc_id", "text")
+    val out = LangModel.perplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length === 3)
+    assert(out(1).getLong(1) === 0L && out(1).isNullAt(3))
+    assert(out(2).getLong(1) === 0L && out(2).isNullAt(3))
+  }
+
+  test("typical text scores lower perplexity than gibberish") {
+    // 40 docs of a common phrase + 1 doc of words the LM never pairs
+    val common = (1L to 40L).map(i => (i, "the quick brown fox jumps"))
+    val odd = Seq((99L, "zxq wvu tsr qpo nml"))
+    val docs = (common ++ odd).toDF("doc_id", "text")
+    val ppl = LangModel.perplexity(docs, "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(ppl(1L) < ppl(99L),
+      s"common=${ppl(1L)} should beat gibberish=${ppl(99L)}")
+  }
+
+  test("external model: OOV words floor at count 1 via the backoff arm") {
+    val fitDocs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val lm = LangModel.fit(fitDocs, "text")
+    val out = LangModel.score(Seq((7L, "zz")).toDF("doc_id", "text"),
+      "doc_id", "text", lm).collect()
+    // <s>,zz unseen → backoff: ln(0.4 * 1/4) (c(zz) floored at 1, total=4)
+    val exp = math.round(math.log(0.4 * (1.0 / 4.0)) * 1e6)
+    assert(out(0).getLong(2) === exp)
+  }
+
+  test("fit subset + score all matches self-fit on the fitted half") {
+    val docs = Seq((0L, "m n m"), (2L, "m n o"), (1L, "m zzz")).toDF("doc_id", "text")
+    val lm = LangModel.fit(docs.filter(col("doc_id") % 2 === 0), "text")
+    val scored = LangModel.score(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(scored.length === 3)
+    // the unseen bigram (m,zzz) in doc 1 must take the backoff arm with the
+    // OOV floor — strictly worse than any seen bigram's probability
+    val seenWorst = math.log(1.0 / 2.0) // worst seen conditional: c(n,o)/c(n)
+    assert(scored(1).getLong(2) < math.round(seenWorst * 1e6))
+  }
+}
