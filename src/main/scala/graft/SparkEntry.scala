@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Bpe, Corpus, Dedup, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -1375,6 +1375,30 @@ object SparkEntry {
       LangModel.score(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
     }),
 
+    "q_dsir_select" -> ((s, dir) => {
+      // DSIR data selection (ext.Dsir): target = English docs, raw = the
+      // whole corpus, m=4096 hashed unigram+bigram buckets, add-1
+      // smoothing; deterministic top-50 by integer micro-nat importance
+      // weight. The oracle replays bucketing, fit, scoring, and the cut.
+      val docs = t(s, dir, "documents")
+      val ratios = Dsir.fitLogRatios(s, docs.filter(col("lang") === "en"),
+        docs, "text", m = 4096)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text", ratios, 4096)
+      Dsir.selectTopK(w, "doc_id", 50)
+        .orderBy(col("w_u6").desc, col("doc_id"))
+    }),
+
+    "q_dsir_gumbel" -> ((s, dir) => {
+      // the paper's sampling rule: Gumbel-top-k with md5(seed:id) uniforms
+      // — a pure function of (data, seed), so the draw itself is oracled
+      val docs = t(s, dir, "documents")
+      val ratios = Dsir.fitLogRatios(s, docs.filter(col("lang") === "en"),
+        docs, "text", m = 4096)
+      val w = Dsir.importanceWeights(docs, "doc_id", "text", ratios, 4096)
+      Dsir.gumbelTopK(w, "doc_id", 50, seed = 13L)
+        .orderBy(col("g_u6").desc, col("doc_id"))
+    }),
+
     "q_curate_pipeline" -> ((s, dir) => {
       // END-TO-END CURATION THROUGH THE SPEC/RUNNER LAYER: content-addressed
       // load → benchmark slice (every 20th row, TakeRowsOp) → contamination
@@ -1609,6 +1633,51 @@ object SparkEntry {
     * constants can never drift from the engine. String shingles stand in
     * for the engine's hashed shingles in the Jaccard verify (equal absent
     * a 64-bit in-pair collision, ≈1e-12 — see hashedShinglesUdf's note). */
+  /** Shared CTE prefix of the two DSIR oracles: hashed unigram+bigram
+    * buckets (md5 60-bit prefix mod m — the identical primitive in both
+    * engines, see [[graft.ext.Dsir.md5Bucket60]]), add-1-smoothed
+    * per-bucket log-ratio table over ALL m buckets, integer micro-nat doc
+    * weights. Ends with `aw` = (doc_id, n_feats, w_u6) for every doc. */
+  private def dsirWeightsSqlCtes: String = {
+    val m = 4096
+    def bucket(e: String) =
+      s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT) % $m"
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |feat AS (
+       |  SELECT doc_id, unnest(list_concat(
+       |    list_transform(ws, t -> ${bucket("t")}),
+       |    CASE WHEN len(ws) < 2 THEN [] ELSE
+       |      list_transform(range(len(ws) - 1), i ->
+       |        ${bucket("ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2]")})
+       |    END)) AS f
+       |  FROM w),
+       |tfeat AS (SELECT feat.f FROM feat
+       |          JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+       |ct AS (SELECT f, count(*) AS ct FROM tfeat GROUP BY 1),
+       |cq AS (SELECT f, count(*) AS cq FROM feat GROUP BY 1),
+       |tt AS (SELECT count(*) AS tt FROM tfeat),
+       |tq AS (SELECT count(*) AS tq FROM feat),
+       |r AS (
+       |  SELECT g.f,
+       |    CAST(round((
+       |      ln((CAST(coalesce(ct.ct, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+       |         (CAST(tt.tt AS DOUBLE) + CAST($m.0 AS DOUBLE))) -
+       |      ln((CAST(coalesce(cq.cq, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) /
+       |         (CAST(tq.tq AS DOUBLE) + CAST($m.0 AS DOUBLE)))
+       |    ) * CAST(1e6 AS DOUBLE)) AS BIGINT) AS qllr
+       |  FROM range($m) g(f) LEFT JOIN ct USING (f) LEFT JOIN cq USING (f)
+       |  CROSS JOIN tt CROSS JOIN tq),
+       |dw AS (SELECT feat.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |         CAST(sum(r.qllr) AS BIGINT) AS w_u6
+       |       FROM feat JOIN r USING (f) GROUP BY 1),
+       |aw AS (SELECT d.doc_id, coalesce(dw.n_feats, 0) AS n_feats,
+       |         coalesce(dw.w_u6, 0) AS w_u6
+       |       FROM documents d LEFT JOIN dw USING (doc_id))
+       |""".stripMargin
+  }
+
   private def minhashFullOracleSql: String = {
     val (as_, bs_) = graft.ext.Dedup.minhashCoefficients(64)
     def u(v: Long): String = java.lang.Long.toUnsignedString(v)
@@ -3068,6 +3137,26 @@ object SparkEntry {
          |FROM documents docs LEFT JOIN d USING (doc_id)
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_dsir_select" ->
+      (dsirWeightsSqlCtes +
+        """SELECT doc_id, n_feats, w_u6 FROM aw
+          |ORDER BY w_u6 DESC, doc_id LIMIT 50""".stripMargin),
+
+    // Gumbel-top-k replay: the uniform is the EXACT 52-bit md5 prefix of
+    // 'seed:id' over 2^52 (both factors exactly representable), so the
+    // only cross-engine wiggle is the last ulp of ln, absorbed by the
+    // micro-nat quantization.
+    "q_dsir_gumbel" ->
+      (dsirWeightsSqlCtes +
+        s"""SELECT doc_id, n_feats, w_u6,
+           |  CAST(round((CAST(w_u6 AS DOUBLE) / CAST(1e6 AS DOUBLE) /
+           |      CAST(1.0 AS DOUBLE) +
+           |    -ln(-ln((CAST(CAST(('0x' || substr(md5('13:' ||
+           |        CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE)
+           |      + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE)))) *
+           |    CAST(1e6 AS DOUBLE)) AS BIGINT) AS g_u6
+           |FROM aw ORDER BY g_u6 DESC, doc_id LIMIT 50""".stripMargin),
 
     "q_lsh_skew_report" ->
       """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,
