@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bm25, Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -1373,6 +1373,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val lm = LangModel.fit(docs.filter(col("doc_id") % 2 === 0), "text")
       LangModel.score(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
+    }),
+
+    "q_bm25" -> ((s, dir) => {
+      // BM25 ranked retrieval (ext.Bm25): one stats row broadcast, map-side
+      // tf, fixed-term-order score fold quantized to micro-units; the
+      // oracle replays statistics, arithmetic, and the top-k cut.
+      Bm25.rank(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "merge", "window"), k = 10)
+        .orderBy(col("rank"))
     }),
 
     "q_dsir_select" -> ((s, dir) => {
@@ -3136,6 +3145,44 @@ object SparkEntry {
          |  END AS ppl
          |FROM documents docs LEFT JOIN d USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // BM25 replay: same decimal literals combined with the same IEEE ops
+    // (never pre-evaluated constants), fixed term order in the score fold,
+    // ranking on the quantized integer.
+    "q_bm25" -> {
+      val terms = Seq("spark", "merge", "window")
+      val dfs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN list_contains(ws, '${terms(i)}') THEN 1 " +
+          s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")
+      val contrib = terms.zipWithIndex.map { case (t, i) =>
+        val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
+        val df = s"CAST(df$i AS DOUBLE)"
+        val n = "CAST(n_docs AS DOUBLE)"
+        val dl = "CAST(len(ws) AS DOUBLE)"
+        val avgdl = s"(CAST(total_dl AS DOUBLE) / $n)"
+        val idf = s"ln((($n - $df + CAST(0.5 AS DOUBLE)) / " +
+          s"($df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE))"
+        s"(($idf * ($tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))) / " +
+          s"($tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
+          s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
+      }.reduceLeft((a, c) => s"($a + $c)")
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(ws)) AS BIGINT) AS total_dl,
+         |    $dfs
+         |  FROM w),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(round($contrib * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
+         |  FROM w CROSS JOIN st)
+         |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, score_u6
+         |FROM sc ORDER BY score_u6 DESC, doc_id LIMIT 10""".stripMargin
     },
 
     "q_dsir_select" ->

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+/** BM25 ranking ([[Bm25]]): retrieval direction (term-dense docs first,
+  * rare terms weighted over common ones), absent-term docs score zero, and
+  * deterministic tie-breaks. */
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("docs dense in the query term rank first; absent-term docs score 0") {
+    val docs = Seq(
+      (1L, "apple apple apple pear"),
+      (2L, "apple pear plum quince"),
+      (3L, "pear plum quince fig"),
+      (4L, "apple apple pear plum")).toDF("doc_id", "text")
+    val out = Bm25.rank(docs, "doc_id", "text", Seq("apple"), k = 4)
+      .collect()
+    assert(out.map(_.getLong(1)).take(3).toSeq === Seq(1L, 4L, 2L),
+      "rank must follow tf under equal length")
+    assert(out(3).getLong(1) === 3L && out(3).getLong(2) === 0L,
+      "doc without the term scores exactly 0")
+  }
+
+  test("a rarer term outweighs a common one at equal tf") {
+    // 'rare' in 1 of 10 docs, 'common' in all 10
+    val docs = ((1L to 9L).map(i => (i, "common filler words here")) :+
+      (10L, "common rare filler here")).toDF("doc_id", "text")
+    val out = Bm25.rank(docs, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .collect()
+    assert(out.head.getLong(1) === 10L, "the doc holding the rare term wins")
+    // remaining docs tie exactly → rank resolves by doc_id ascending
+    assert(out.tail.map(_.getLong(1)).toSeq === (1L to 9L).toSeq)
+    assert(out.tail.map(_.getLong(2)).distinct.length === 1)
+  }
+
+  test("longer docs are penalized at equal tf (length normalization)") {
+    val docs = Seq(
+      (1L, "term one two"),
+      (2L, "term one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val out = Bm25.rank(docs, "doc_id", "text", Seq("term"), k = 2).collect()
+    assert(out.head.getLong(1) === 1L)
+    assert(out.head.getLong(2) > out(1).getLong(2))
+  }
+}
