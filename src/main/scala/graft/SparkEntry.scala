@@ -1408,6 +1408,38 @@ object SparkEntry {
         .orderBy(col("g_u6").desc, col("doc_id"))
     }),
 
+    "q_lm_graph" -> ((s, dir) => {
+      // LM PERPLEXITY THROUGH THE SPEC LAYER: content-addressed load →
+      // TakeRowsOp(skip=2) fit slice (the even doc_ids, file order ==
+      // doc_id) → LmPerplexityOp score column. The fitted counts ride the
+      // store: a re-run is a scan, not a re-fit.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val lm = LmPerplexityOp(SelectTextColumnOp(ds, "text"),
+        SelectTextColumnOp(TakeRowsOp(ds, skip = 2L), "text"))
+      r.toFrame(lm)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value").as("ppl"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_dsir_graph" -> ((s, dir) => {
+      // DSIR THROUGH THE SPEC LAYER: lang category → ==en boolean → masked
+      // target slice → DsirSelectOp top-50 against the full text column —
+      // the selection set is content-addressed like every other store
+      // result. Same fit/score/cut as q_dsir_select, ids = row indices.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val isEn = CategoryToBooleanOp(
+        SelectCategoricalColumnOp(ds, "lang"), Some(Seq("en")))
+      val sel = DsirSelectOp(
+        SelectTextColumnOp(ds, "text"),
+        SelectTextColumnOp(MaskRowsOp(ds, isEn), "text"),
+        m = 4096L, k = 50L)
+      r.toFrame(sel)
+        .select(col("id").as("row_idx"), col("n_feats"), col("w_u6"))
+        .orderBy(col("w_u6").desc, col("row_idx"))
+    }),
+
     "q_curate_pipeline" -> ((s, dir) => {
       // END-TO-END CURATION THROUGH THE SPEC/RUNNER LAYER: content-addressed
       // load → benchmark slice (every 20th row, TakeRowsOp) → contamination
@@ -1642,6 +1674,55 @@ object SparkEntry {
     * constants can never drift from the engine. String shingles stand in
     * for the engine's hashed shingles in the Jaccard verify (equal absent
     * a 64-bit in-pair collision, ≈1e-12 — see hashedShinglesUdf's note). */
+  /** Shared CTE prefix of the LM-perplexity oracles (q_lm_perplexity and
+    * its spec-layer twin q_lm_graph): bigram stupid-backoff fit on the even
+    * doc_ids, per-token micro-nat quantization, ending with
+    * `d` = (doc_id, n_tokens, logp_u6). Constants imported from
+    * [[graft.ext.LangModel]] so they cannot drift. */
+  private def lmPerplexitySqlCtes: String = {
+    val bos = LangModel.Bos
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |p AS (
+       |  SELECT doc_id, i AS pos,
+       |    CASE WHEN i = 0 THEN '$bos' ELSE ws[i] END AS prev,
+       |    ws[i + 1] AS cur
+       |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w)),
+       |fitp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+       |uni AS (SELECT cur AS w2, count(*) AS cu FROM fitp GROUP BY 1
+       |        UNION ALL
+       |        SELECT '$bos', count(*) FROM fitp WHERE prev = '$bos'),
+       |bi AS (SELECT prev AS v, cur AS w2, count(*) AS cb
+       |       FROM fitp GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS total_tokens FROM fitp),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    CAST(round(CASE
+       |      WHEN bi.cb IS NOT NULL AND uv.cu IS NOT NULL
+       |        THEN ln(CAST(bi.cb AS DOUBLE) / CAST(uv.cu AS DOUBLE))
+       |      ELSE ln(CAST(${LangModel.Backoff} AS DOUBLE) *
+       |        (CAST(coalesce(uw.cu, 1) AS DOUBLE) /
+       |         CAST(tot.total_tokens AS DOUBLE)))
+       |      END * CAST(${LangModel.Quant} AS DOUBLE)) AS BIGINT) AS qlp
+       |  FROM p
+       |  LEFT JOIN bi ON bi.v = p.prev AND bi.w2 = p.cur
+       |  LEFT JOIN uni uv ON uv.w2 = p.prev
+       |  LEFT JOIN uni uw ON uw.w2 = p.cur
+       |  CROSS JOIN tot),
+       |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(sum(qlp) AS BIGINT) AS logp_u6 FROM sc GROUP BY 1)
+       |""".stripMargin
+  }
+
+  /** The ppl projection shared by both LM oracles. */
+  private def lmPplExprSql: String =
+    s"""CASE WHEN d.n_tokens IS NOT NULL THEN
+       |    round(exp(-(CAST(d.logp_u6 AS DOUBLE) /
+       |        CAST(${LangModel.Quant} AS DOUBLE)) /
+       |      CAST(d.n_tokens AS DOUBLE)), 6)
+       |  END""".stripMargin
+
   /** Shared CTE prefix of the two DSIR oracles: hashed unigram+bigram
     * buckets (md5 60-bit prefix mod m — the identical primitive in both
     * engines, see [[graft.ext.Dsir.md5Bucket60]]), add-1-smoothed
@@ -3102,50 +3183,23 @@ object SparkEntry {
     // integer arithmetic and the row hashes bit-for-bit. The CAST(0.4 AS
     // DOUBLE) is load-bearing (bare 0.4 is DECIMAL in DuckDB); `1e6` is
     // already DOUBLE. Constants come from LangModel so they cannot drift.
-    "q_lm_perplexity" -> {
-      val bos = LangModel.Bos
-      s"""WITH w AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-         |    x -> length(x) > 0) AS ws FROM documents),
-         |p AS (
-         |  SELECT doc_id, i AS pos,
-         |    CASE WHEN i = 0 THEN '$bos' ELSE ws[i] END AS prev,
-         |    ws[i + 1] AS cur
-         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w)),
-         |fitp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
-         |uni AS (SELECT cur AS w2, count(*) AS cu FROM fitp GROUP BY 1
-         |        UNION ALL
-         |        SELECT '$bos', count(*) FROM fitp WHERE prev = '$bos'),
-         |bi AS (SELECT prev AS v, cur AS w2, count(*) AS cb
-         |       FROM fitp GROUP BY 1, 2),
-         |tot AS (SELECT count(*) AS total_tokens FROM fitp),
-         |sc AS (
-         |  SELECT p.doc_id,
-         |    CAST(round(CASE
-         |      WHEN bi.cb IS NOT NULL AND uv.cu IS NOT NULL
-         |        THEN ln(CAST(bi.cb AS DOUBLE) / CAST(uv.cu AS DOUBLE))
-         |      ELSE ln(CAST(${LangModel.Backoff} AS DOUBLE) *
-         |        (CAST(coalesce(uw.cu, 1) AS DOUBLE) /
-         |         CAST(tot.total_tokens AS DOUBLE)))
-         |      END * CAST(${LangModel.Quant} AS DOUBLE)) AS BIGINT) AS qlp
-         |  FROM p
-         |  LEFT JOIN bi ON bi.v = p.prev AND bi.w2 = p.cur
-         |  LEFT JOIN uni uv ON uv.w2 = p.prev
-         |  LEFT JOIN uni uw ON uw.w2 = p.cur
-         |  CROSS JOIN tot),
-         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |        CAST(sum(qlp) AS BIGINT) AS logp_u6 FROM sc GROUP BY 1)
-         |SELECT docs.doc_id,
-         |  coalesce(d.n_tokens, 0) AS n_tokens,
-         |  coalesce(d.logp_u6, 0) AS logp_u6,
-         |  CASE WHEN d.n_tokens IS NOT NULL THEN
-         |    round(exp(-(CAST(d.logp_u6 AS DOUBLE) /
-         |        CAST(${LangModel.Quant} AS DOUBLE)) /
-         |      CAST(d.n_tokens AS DOUBLE)), 6)
-         |  END AS ppl
-         |FROM documents docs LEFT JOIN d USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_lm_perplexity" ->
+      (lmPerplexitySqlCtes +
+        s"""SELECT docs.doc_id,
+           |  coalesce(d.n_tokens, 0) AS n_tokens,
+           |  coalesce(d.logp_u6, 0) AS logp_u6,
+           |  $lmPplExprSql AS ppl
+           |FROM documents docs LEFT JOIN d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin),
+
+    // the spec-layer twin: TakeRowsOp(skip=2) selects the even doc_ids
+    // (file order == doc_id), so the fit corpus is identical; output is
+    // the per-row score column (row_idx, ppl)
+    "q_lm_graph" ->
+      (lmPerplexitySqlCtes +
+        s"""SELECT docs.doc_id AS row_idx, $lmPplExprSql AS ppl
+           |FROM documents docs LEFT JOIN d USING (doc_id)
+           |ORDER BY row_idx""".stripMargin),
 
     // BM25 replay: same decimal literals combined with the same IEEE ops
     // (never pre-evaluated constants), fixed term order in the score fold,
@@ -3204,6 +3258,13 @@ object SparkEntry {
            |      + CAST(0.5 AS DOUBLE)) / CAST(4503599627370496 AS DOUBLE)))) *
            |    CAST(1e6 AS DOUBLE)) AS BIGINT) AS g_u6
            |FROM aw ORDER BY g_u6 DESC, doc_id LIMIT 50""".stripMargin),
+
+    // spec-layer DSIR twin: target mask (lang == 'en') and ids both ride
+    // file-order row indices, which equal doc_id on this table
+    "q_dsir_graph" ->
+      (dsirWeightsSqlCtes +
+        """SELECT doc_id AS row_idx, n_feats, w_u6 FROM aw
+          |ORDER BY w_u6 DESC, row_idx LIMIT 50""".stripMargin),
 
     "q_lsh_skew_report" ->
       """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,

@@ -117,6 +117,7 @@ class LocalSparkRunner(
     case f: FingerprintOp => lengthOf(f.text)
     case g: GopherKeepOp => lengthOf(g.text)
     case c: ContaminationFlagOp => lengthOf(c.text)
+    case l: LmPerplexityOp => lengthOf(l.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
     case b: BpeTokenizeOp => lengthOf(b.text)
     case m: ImageMetaOp => lengthOf(m.image)
@@ -934,6 +935,27 @@ class LocalSparkRunner(
         .select(col(RowIdx).as("__id"), col(ValueCol).cast("array<float>").as("__v"))
       FrameResult(graft.ext.Dedup.cosineNearDuplicates(v, "__v", "__id",
         dim.toInt, nBands.toInt, planesPerBand.toInt, threshold, maxBucket.toInt))
+
+    case LmPerplexityOp(text, fitText) =>
+      val t = frame(text)
+        .select(col(RowIdx), col(ValueCol).cast("string").as("__txt"))
+      val f = frame(fitText)
+        .select(col(ValueCol).cast("string").as("__txt"))
+      val lm = graft.ext.LangModel.fit(f, "__txt")
+      FrameResult(graft.ext.LangModel.score(t, RowIdx, "__txt", lm)
+        .select(col(RowIdx), col("ppl").as(ValueCol)))
+
+    case DsirSelectOp(text, targetText, m, k, alpha) =>
+      val t = frame(text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      val tgt = frame(targetText)
+        .select(col(ValueCol).cast("string").as("__txt"))
+      val ratios = graft.ext.Dsir.fitLogRatios(spark, tgt, t, "__txt",
+        m.toInt, alpha)
+      val w = graft.ext.Dsir.importanceWeights(t, "__id", "__txt", ratios,
+        m.toInt)
+      FrameResult(graft.ext.Dsir.selectTopK(w, "__id", k.toInt)
+        .select(col("__id").as("id"), col("n_feats"), col("w_u6")))
 
     case SemanticDedupOp(vectors, centroidIds, threshold, maxCell,
                          splitFanout, maxSplitDepth) =>

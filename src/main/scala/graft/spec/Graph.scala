@@ -434,6 +434,13 @@ object OpRegistry {
       GopherKeepOp(op[TextColumnType](o, "text", r),
         lng(o, "min_words"), lng(o, "max_words"), dbl(o, "min_mean_word_len"),
         dbl(o, "max_mean_word_len"), dbl(o, "min_unique_frac"))),
+    "LmPerplexityOp" -> ((o, r) =>
+      LmPerplexityOp(op[TextColumnType](o, "text", r),
+        op[TextColumnType](o, "fit_text", r))),
+    "DsirSelectOp" -> ((o, r) =>
+      DsirSelectOp(op[TextColumnType](o, "text", r),
+        op[TextColumnType](o, "target_text", r),
+        lng(o, "m"), lng(o, "k"), dbl(o, "alpha"))),
     "MinHashNearDupPairsOp" -> ((o, r) =>
       MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
         lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),

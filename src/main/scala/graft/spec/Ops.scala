@@ -436,6 +436,36 @@ final case class GopherKeepOp(
     s"bad word bounds [$minWords, $maxWords]")
 }
 
+/** Bigram stupid-backoff LM perplexity per row
+  * ([[graft.ext.LangModel]]): fit the count model on `fitText`, score
+  * `text` — value is the per-row ppl (double; empty rows null). Using the
+  * SAME column for both is self-perplexity; a different fit column is the
+  * external-reference-model form. Non-ephemeral on purpose: the fitted
+  * counts are the expensive, corpus-wide artifact — content-addressing
+  * the scored column means a 100 TB quality-scoring pass happens once per
+  * (corpus, reference) pair, ever. */
+final case class LmPerplexityOp(
+    text: TextColumnType,
+    fitText: TextColumnType) extends ScoreColumnType
+
+/** DSIR data selection over a text column ([[graft.ext.Dsir]], Xie et al.
+  * 2023): importance weights of `text` rows against the `targetText`
+  * corpus (hashed unigram+bigram buckets in `m`, add-`alpha` smoothing),
+  * deterministic top-`k` by (weight desc, id asc). Result
+  * `(id, n_feats, w_u6)`, id = row index into `text`, `w_u6` the integer
+  * micro-nat weight. Non-ephemeral: the fit + scoring pass is the
+  * expensive step. */
+final case class DsirSelectOp(
+    text: TextColumnType,
+    targetText: TextColumnType,
+    m: Long = 4096L,
+    k: Long = 100L,
+    alpha: Double = 1.0) extends DatasetType {
+  require(m >= 1L, s"m must be >= 1, got $m")
+  require(k >= 1L, s"k must be >= 1, got $k")
+  require(alpha > 0.0, s"alpha must be positive, got $alpha")
+}
+
 /** MinHash+LSH near-duplicate PAIRS over a text column
   * ([[graft.ext.Dedup.minhashNearDuplicates]]): banded signatures →
   * candidate buckets → exact-Jaccard verify. Result dataset

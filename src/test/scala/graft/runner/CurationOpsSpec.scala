@@ -115,4 +115,41 @@ class CurationOpsSpec extends SparkTestBase {
     assert(back == flag)
     assert(back.uuid == flag.uuid)
   }
+
+  test("LmPerplexityOp: self-fit scores repeated docs lower; serde + store") {
+    val r = newRunner()
+    val text = SelectTextColumnOp(corpus, "text")
+    val lm = LmPerplexityOp(text, text)
+    val rows = r.toFrame(lm).orderBy("__row_idx").collect()
+    assert(rows.length == 5)
+    val ppl = rows.map(_.getAs[Double]("value"))
+    // the thrice-repeated doc is more typical of the corpus than the
+    // singletons → strictly lower perplexity
+    assert(ppl(0) < ppl(1) && ppl(0) < ppl(3))
+    assert(ppl(0) == ppl(2) && ppl(0) == ppl(4))
+    assert(r.hasResult(lm), "non-ephemeral: the scored column persists")
+    val back = Graph.deserialize(Graph.serialize(lm)).last
+    assert(back == lm && back.uuid == lm.uuid)
+  }
+
+  test("DsirSelectOp: masked target pulls its lookalikes; k cuts; serde") {
+    val r = newRunner()
+    val text = SelectTextColumnOp(corpus, "text")
+    val isEn = CategoryToBooleanOp(
+      SelectCategoricalColumnOp(corpus, "lang"), Some(Seq("en")))
+    val sel = DsirSelectOp(text,
+      SelectTextColumnOp(MaskRowsOp(corpus, isEn), "text"), m = 512L, k = 3L)
+    val rows = r.toFrame(sel).orderBy(org.apache.spark.sql.functions
+      .col("w_u6").desc, org.apache.spark.sql.functions.col("id")).collect()
+    assert(rows.length == 3)
+    // target = en rows {0,1,2}. Under add-1 smoothing the singleton doc 1
+    // (every feature once in target, once in raw) wins:
+    // llr(ct=1,cq=1) = ln((2/537)/(2/555)) > 0, while the alpha-beta docs'
+    // llr(ct=2,cq=3) = ln((3/537)/(4/555)) < 0 — and the fr-only email doc
+    // trails far below. Ties resolve by id: [1, 0, 2].
+    assert(rows.map(_.getAs[Long]("id")).toSeq == Seq(1L, 0L, 2L))
+    assert(rows(1).getAs[Long]("w_u6") == rows(2).getAs[Long]("w_u6"))
+    val back = Graph.deserialize(Graph.serialize(sel)).last
+    assert(back == sel && back.uuid == sel.uuid)
+  }
 }
