@@ -61,6 +61,11 @@ object Dsir {
 
   private def bucketCounts(docs: DataFrame, textCol: String, m: Int): DataFrame =
     docs.select(explode(hashedFeatures(col(textCol), m)).as("f"))
+      // the explicit isNotNull (vacuous — buckets are never null) keeps this
+      // subtree canonically IDENTICAL to the join-side copy, which gets the
+      // same filter injected by join-key null-filtering: with both branches
+      // equal, AQE reuses ONE exchange for the ratio join and the total
+      .filter(col("f").isNotNull)
       .groupBy(col("f")).agg(count(lit(1)).as("c"))
 
   /** Fit the per-bucket quantized log-likelihood-ratio table: EXACTLY m
@@ -70,14 +75,14 @@ object Dsir {
     * scoring joins are total (no OOV arm). */
   def fitLogRatios(spark: SparkSession, target: DataFrame, raw: DataFrame,
                    textCol: String, m: Int, alpha: Double = 1.0): DataFrame = {
+    // totals derive from the count tables (m-bounded) — each corpus is
+    // tokenized and shuffled exactly ONCE
     val ct = bucketCounts(target, textCol, m)
       .withColumnRenamed("c", "ct")
     val cq = bucketCounts(raw, textCol, m)
       .withColumnRenamed("c", "cq")
-    val tt = target.select(explode(hashedFeatures(col(textCol), m)).as("f"))
-      .agg(count(lit(1)).as("tt"))
-    val tq = raw.select(explode(hashedFeatures(col(textCol), m)).as("f"))
-      .agg(count(lit(1)).as("tq"))
+    val tt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+    val tq = cq.agg(coalesce(sum(col("cq")), lit(0L)).as("tq"))
     val am = alpha * m
     spark.range(m).select(col("id").as("f"))
       .join(ct, Seq("f"), "left")

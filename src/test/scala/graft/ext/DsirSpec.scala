@@ -53,6 +53,21 @@ class DsirSpec extends SparkTestBase {
     assert(w(0).getLong(2) > w(2).getLong(2))
   }
 
+  test("fit tokenizes each corpus once: totals reuse the count exchange") {
+    // fitLogRatios derives tt/tq from the (f, count) tables, so the
+    // tokenize→explode→groupBy(f) exchange of each corpus has two
+    // consumers (the ratio join and the total) — one compute, one reuse,
+    // visible as ReusedExchange on the executed plan.
+    val docs = (1L to 100L).map(i => (i, s"tok$i alpha beta gamma", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ratios = Dsir.fitLogRatios(spark, docs.limit(40), docs, "text", m)
+    ratios.collect()
+    val plan = ratios.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "count exchange must feed both the join and the total:\n" +
+        plan.take(4000))
+  }
+
   test("empty docs keep a zero-weight row; gumbel is seed-deterministic") {
     val docs = Seq((1L, "a b", "en"), (2L, "", "xx"), (3L, "c", "xx"))
       .toDF("doc_id", "text", "lang")
