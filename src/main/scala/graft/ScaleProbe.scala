@@ -75,6 +75,27 @@ object ScaleProbe {
         graft.ext.Dedup.minhashNearDuplicates(
           d, "text", "doc_id", shingleN = 3, threshold = 0.5).count()
       }
+      // LM perplexity: word-salted replicas have disjoint vocabularies, so
+      // the vocab/bigram count tables grow ~linearly with the decade — a
+      // CONSERVATIVE bound (real web vocab grows sublinearly); the claim
+      // is shuffle linearity (counts + token-stream joins), heap flatness
+      measure(s"lm perplexity ${factor}x", s"docs=${5000 * factor}") {
+        graft.ext.LangModel.perplexity(d, "doc_id", "text")
+          .filter(col("ppl").isNotNull).count()
+      }
+      // DSIR: the operating regime is a FIXED target (replica 0) against a
+      // growing raw corpus; the ratio table stays m rows at every decade,
+      // so the only corpus-proportional flows are the map-side feature
+      // stream and the per-doc integer sums
+      measure(s"dsir weights ${factor}x",
+        s"docs=${5000 * factor} m=4096 target=base") {
+        val target = d.filter(col("doc_id") < 1000000L)
+        val ratios = graft.ext.Dsir.fitLogRatios(spark, target, d,
+          "text", 4096)
+        val w = graft.ext.Dsir.importanceWeights(d, "doc_id", "text",
+          ratios, 4096)
+        w.agg(coalesce(sum(col("w_u6")), lit(0L))).collect()(0).getLong(0)
+      }
       locally { // dev-probe cleanup of the replica dir
         val s = java.nio.file.Files.walk(rep)
         try {

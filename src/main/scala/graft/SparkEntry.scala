@@ -1422,6 +1422,21 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_lm_stream" -> ((s, dir) => {
+      // the STREAMING twin under the SAME oracle as q_lm_perplexity: an
+      // availableNow file stream scored per micro-batch against the STATIC
+      // model fit on the even doc_ids — no cross-batch state, so the
+      // result equals the batch scorer's bit for bit (multi-batch
+      // invariance pinned in StreamingSpec)
+      val static = t(s, dir, "documents")
+      val lm = LangModel.fit(static.filter(col("doc_id") % 2 === 0), "text")
+      val stream = s.readStream.schema(static.schema)
+        .parquet(s"$dir/documents.parque[t]")
+      graft.streaming.Streaming.scoreLmAvailableNow(
+          stream.select(col("doc_id"), col("text")), "doc_id", "text", lm)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dsir_graph" -> ((s, dir) => {
       // DSIR THROUGH THE SPEC LAYER: lang category → ==en boolean → masked
       // target slice → DsirSelectOp top-50 against the full text column —
@@ -3184,6 +3199,17 @@ object SparkEntry {
     // DOUBLE) is load-bearing (bare 0.4 is DECIMAL in DuckDB); `1e6` is
     // already DOUBLE. Constants come from LangModel so they cannot drift.
     "q_lm_perplexity" ->
+      (lmPerplexitySqlCtes +
+        s"""SELECT docs.doc_id,
+           |  coalesce(d.n_tokens, 0) AS n_tokens,
+           |  coalesce(d.logp_u6, 0) AS logp_u6,
+           |  $lmPplExprSql AS ppl
+           |FROM documents docs LEFT JOIN d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin),
+
+    // the streaming twin scores the same rows against the same even-doc_id
+    // model with no cross-batch state — SAME oracle as the batch query
+    "q_lm_stream" ->
       (lmPerplexitySqlCtes +
         s"""SELECT docs.doc_id,
            |  coalesce(d.n_tokens, 0) AS n_tokens,

@@ -259,6 +259,38 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming twin of [[graft.ext.LangModel.score]]: documents arrive as
+    * a stream, the fitted count model is STATIC (fit once — in production,
+    * content-addressed in the runner store). `foreachBatch` runs the batch
+    * scorer per micro-batch: stream-static equi-joins against the count
+    * tables plus a BATCH-LOCAL groupBy. A document is always scored whole
+    * inside its own batch (the file source never splits a row), so NO
+    * state crosses batches and the union of per-batch results equals the
+    * batch scorer's output on the same rows regardless of where the batch
+    * boundaries fall — the continuous-ingest quality-scoring shape (new
+    * crawl shards scored as they land, against a pinned reference model).
+    * Collecting is the gate/test form; production writes each scored batch
+    * to a sink from the same hook. */
+  def scoreLmAvailableNow(docs: DataFrame, idCol: String, textCol: String,
+                          lm: graft.ext.LangModel.BigramLm): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val scored = graft.ext.LangModel.score(batch.toDF(), idCol, textCol, lm)
+        val collected = scored.collect()
+        rows.synchronized { rows ++= collected }
+        schema = scored.schema
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived to score")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Permissive twin of [[annotateImageMeta]] — the streaming form of the
     * batch `withImageMetaPermissive` robustness contract: a corrupt payload
     * yields a null-meta row with the error message instead of throwing

@@ -300,4 +300,28 @@ class StreamingSpec extends SparkTestBase {
     val firstHalfTokens = streamed.take(50).map(_(1).asInstanceOf[Long]).sum
     assert(streamed(50)(2) == firstHalfTokens)
   }
+
+  test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
+    // the continuous-ingest quality-scoring shape: a PINNED reference model
+    // (fit on the first shard only) scores shards as they arrive; batch
+    // boundaries must not matter because a doc scores whole within its batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmstream-")
+    def mkDocs(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i.toLong,
+        if (i % 3 == 0) "the quick brown fox" else s"rare$i words here"))
+        .toDF("doc_id", "text")
+    mkDocs(0 until 40).coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    mkDocs(40 until 80).coalesce(1).write.parquet(s"$dir/b1")
+    val lm = graft.ext.LangModel.fit(mkDocs(0 until 40), "text")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.scoreLmAvailableNow(stream, "doc_id", "text", lm)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.LangModel.score(mkDocs(0 until 80),
+      "doc_id", "text", lm).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.length == 80)
+  }
 }
