@@ -170,6 +170,14 @@ object Fluent {
                    minUniqueFrac: Double = 0.2): GopherKeepOp =
       GopherKeepOp(t, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
         minUniqueFrac)
+    /** beyond reference: bigram stupid-backoff perplexity of this column
+      * scored against a model fit on `fitOn` (defaults to self-fit) */
+    def lmPerplexity(fitOn: TextColumnType = null): LmPerplexityOp =
+      LmPerplexityOp(t, Option(fitOn).getOrElse(t))
+    /** beyond reference: DSIR top-k selection against a target column */
+    def dsirSelect(target: TextColumnType, m: Long = 4096L, k: Long = 100L,
+                   alpha: Double = 1.0): DsirSelectOp =
+      DsirSelectOp(t, target, m, k, alpha)
   }
 
   implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {

@@ -104,5 +104,9 @@ class FluentSpec extends AnyFunSuite {
       SemanticDedupOp(v, Seq(0L, 3L), 0.9))
     assert(v.ivfPqTopK(v, 0L to 1L, 0L to 3L, k = 5L, m = 4L) ==
       IvfPqTopKOp(v, v, 0L to 1L, 0L to 3L, 5L, 4L))
+    assert(t.lmPerplexity() == LmPerplexityOp(t, t))
+    val ref = TakeRowsOp(ds, 2L).colText("t")
+    assert(t.lmPerplexity(fitOn = ref) == LmPerplexityOp(t, ref))
+    assert(t.dsirSelect(ref, k = 50L) == DsirSelectOp(t, ref, k = 50L))
   }
 }
