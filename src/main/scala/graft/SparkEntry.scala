@@ -1375,6 +1375,18 @@ object SparkEntry {
       LangModel.score(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
     }),
 
+    "q_hash_embed_ann" -> ((s, dir) => {
+      // text → ANN bridge: model-free hashed-TF embeddings (signed bucket
+      // counts — integer-exact floats) feed the SAME bruteForceTopK the
+      // neural-embedding path uses; docs 0..2 as queries. The oracle
+      // rebuilds every vector and replays the ranking.
+      val emb = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.hashedTfEmbedding(col("text"), 64).as("emb"))
+      Similarity.bruteForceTopK(emb, "doc_id", "emb",
+          emb.filter(col("doc_id") < 3), "doc_id", "emb", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 ranked retrieval (ext.Bm25): one stats row broadcast, map-side
       // tf, fixed-term-order score fold quantized to micro-units; the
@@ -3226,6 +3238,42 @@ object SparkEntry {
         s"""SELECT docs.doc_id AS row_idx, $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY row_idx""".stripMargin),
+
+    // hashed-TF embedding replay: the signed bucket-count vectors are
+    // integer-exact, so the rebuilt DOUBLE lists equal the engine's floats
+    // bit for bit; ranking replays via the same cosine + round(6) contract
+    // as q_ann_brute_topk (sign bit 59 and bucket bits are disjoint)
+    "q_hash_embed_ann" -> {
+      val dim = 64
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |e AS (
+         |  SELECT doc_id, list_transform(ws, t ->
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w),
+         |v AS (
+         |  SELECT doc_id, list_transform(range($dim), d ->
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(hs, h -> CASE WHEN h % $dim = d
+         |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+         |        ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS DOUBLE)) AS vv
+         |  FROM e),
+         |q AS (SELECT doc_id qid, vv qv FROM v WHERE doc_id < 3),
+         |s AS (
+         |  SELECT qid query_id, v.doc_id corpus_id,
+         |    CASE WHEN sqrt(list_dot_product(qv, qv)) *
+         |              sqrt(list_dot_product(vv, vv)) > 0
+         |      THEN list_dot_product(qv, vv) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(vv, vv)))
+         |      ELSE CAST(0.0 AS DOUBLE) END AS cosf
+         |  FROM q, v),
+         |r AS (SELECT query_id, corpus_id, cosf,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cosf DESC, corpus_id) AS BIGINT) rank FROM s)
+         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // BM25 replay: same decimal literals combined with the same IEEE ops
     // (never pre-evaluated constants), fixed term order in the score fold,

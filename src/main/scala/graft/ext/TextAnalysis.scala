@@ -154,6 +154,31 @@ object TextAnalysis {
         round(col("tf") * col("idf"), 6).as("tfidf"))
   }
 
+  /** Model-free document embedding by the hashing trick (Weinberger et al.
+    * 2009): each word hashes to a bucket in [0, dim) with a ±1 sign drawn
+    * from an independent bit of the same hash (the signed estimator keeps
+    * collision noise zero-mean), and the embedding is the signed bucket
+    * count vector — INTEGER-valued floats, so every downstream cosine is
+    * exact-dot arithmetic and the whole construction replays in SQL. The
+    * bridge from text into the ANN/semantic-dedup family when no neural
+    * encoder is available (or as the cheap first-pass filter before one):
+    * pure map-side expression, zero shuffle, zero model artifact.
+    *
+    * The word hash is [[Dsir.md5Bucket60]] (the cross-engine md5-prefix
+    * primitive): bucket = low bits mod dim, sign = bit 59 — disjoint bit
+    * ranges for any dim < 2^59. */
+  def hashedTfEmbedding(text: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    Corpus.bindArray(transform(Corpus.words(text), w => Dsir.md5Bucket60(w))) {
+      hs =>
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          aggregate(hs, lit(0L), (acc, h) =>
+            acc + when(h % dim === d,
+              lit(1L) - shiftrightunsigned(h, 59) * lit(2L)).otherwise(0L))
+            .cast("float"))
+    }
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), Ws + "+", " "))
 
