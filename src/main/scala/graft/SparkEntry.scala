@@ -1375,6 +1375,24 @@ object SparkEntry {
       LangModel.score(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
     }),
 
+    "q_dedup_spans" -> ((s, dir) => {
+      // ExactSubstr span dedup (Lee et al. 2021) over the corpus + planted
+      // duplicates: full copies of docs 0..9 (every window duplicated →
+      // whole doc dropped) and one partial plant (5 unique filler words +
+      // doc 0's text → exactly the copied suffix drops, the sliding-window
+      // property stride-k segments can't see). Originals stay first
+      // occurrences and pass untouched.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val partial = docs.filter(col("doc_id") === 0)
+        .select(lit(200000L).as("doc_id"),
+          concat_ws(" ", lit("uq1 uq2 uq3 uq4 uq5"), col("text")).as("text"))
+      Corpus.dedupSpans(docs.union(copies).union(partial),
+          "text", "doc_id", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_hash_embed_ann" -> ((s, dir) => {
       // text → ANN bridge: model-free hashed-TF embeddings (signed bucket
       // counts — integer-exact floats) feed the SAME bruteForceTopK the
@@ -3238,6 +3256,40 @@ object SparkEntry {
         s"""SELECT docs.doc_id AS row_idx, $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY row_idx""".stripMargin),
+
+    // ExactSubstr replay: window STRINGS stand in for the engine's
+    // xxhash64 of the word slice (identical decisions unless a 64-bit
+    // collision, the q_dedup_segments precedent); first occurrence =
+    // row_number over (doc_id, pos), coverage = any duplicate start s with
+    // s <= p < s+k, reassembly whitespace-normalized
+    "q_dedup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10
+        |  UNION ALL SELECT 200000, 'uq1 uq2 uq3 uq4 uq5 ' || text
+        |    FROM documents WHERE doc_id = 0),
+        |w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ws FROM corpus),
+        |win AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i + 1 : i + 8], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |rn AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |st AS (SELECT doc_id, list(pos ORDER BY pos) AS ss
+        |       FROM rn WHERE rn > 1 GROUP BY doc_id),
+        |kept AS (
+        |  SELECT w.doc_id, ws,
+        |    CASE WHEN st.ss IS NULL THEN ws
+        |      ELSE list_filter(ws, (t, p) -> len(list_filter(st.ss,
+        |        s -> s <= p - 1 AND p - 1 < s + 8)) = 0) END AS kw
+        |  FROM w LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |  coalesce(array_to_string(kw, ' '), '') AS dedup_text,
+        |  CAST(len(ws) - len(kw) AS BIGINT) AS n_dropped_tokens
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // hashed-TF embedding replay: the signed bucket-count vectors are
     // integer-exact, so the rebuilt DOUBLE lists equal the engine's floats

@@ -201,6 +201,59 @@ object Corpus {
           .as("dedup_text"))
   }
 
+  /** Overlapping-window exact-substring dedup (the ExactSubstr form of Lee
+    * et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better", word-granular): any k-word window that occurs anywhere else
+    * in the corpus marks a duplicated SPAN; every occurrence except the
+    * corpus-wide first (lexicographic min (id, pos)) has its covered
+    * tokens removed, and each document reassembles from its surviving
+    * tokens. Unlike [[dedupSegments]] (non-overlapping stride-k segments),
+    * windows slide at stride 1 — a duplicated passage is caught at ANY
+    * alignment, the property that makes ExactSubstr the standard
+    * memorization-reduction pass. Self-overlapping repeats (aaaa…) drop
+    * aggressively (every non-first window counts); that is the
+    * conservative direction for training data.
+    *
+    * Result: (id, dedup_text, n_dropped_tokens). Docs shorter than k have
+    * no windows and pass through whole (whitespace-normalized, like every
+    * reassembly here).
+    *
+    * 100 TB: window STRINGS are never built or shuffled — the decision
+    * rides (id, pos, 8-byte xxhash64 of the word slice) rows; the winner
+    * groupBy is hash-keyed with partial aggregation (boilerplate repeated
+    * 10⁹× collapses into one key); the per-doc start-list fold shuffles
+    * (id, int) pairs; the only text-carrying shuffle is the final docs ⋈
+    * decisions join, whose payload is the output itself. Collision risk
+    * n²/2⁶⁴, the standard production trade.
+    */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val winHashes = bindArray(words(col(textCol))) { ws =>
+      when(size(ws) < k, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - k),
+          i => xxhash64(slice(ws, i + 1, lit(k)))))
+    }
+    val occ = docs
+      .select(col(idCol), posexplode(winHashes).as(Seq("__pos", "__h")))
+    val firstOcc = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val dupStarts = occ.join(firstOcc, Seq("__h"))
+      .filter(col("__first") =!= struct(col(idCol), col("__pos")))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), bindArray(words(col(textCol))) { ws =>
+        val kept = when(col("__starts").isNull, ws)
+          .otherwise(filter(ws, (_, p) =>
+            !exists(col("__starts"), s => s <= p && p < s + k)))
+        struct(concat_ws(" ", kept).as("dedup_text"),
+          (size(ws) - size(kept)).cast("long").as("n_dropped_tokens"))
+      }.as("__o"))
+      .select(col(idCol), col("__o.dedup_text").as("dedup_text"),
+        col("__o.n_dropped_tokens").as("n_dropped_tokens"))
+  }
+
   /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
     * international-format phone numbers → `<PHONE>`. Patterns are
     * RE2-compatible (no lookaround/backrefs) so the exact transformation is

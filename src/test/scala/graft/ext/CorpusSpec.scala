@@ -251,4 +251,38 @@ class CorpusSpec extends SparkTestBase {
       .orderBy("id").collect().toSeq
     assert(mixTwoPhase == mixDirect)
   }
+
+  test("dedupSpans: copied passage drops at ANY alignment, first stays") {
+    // doc 0: original; doc 1: the same 10 words behind a 3-word prefix —
+    // stride-k segments would miss this alignment, sliding windows don't
+    val passage = (0 until 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, passage),
+      (1L, s"pre1 pre2 pre3 $passage"),
+      (2L, "totally different words avoiding any shared window here"))
+      .toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(docs, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === passage, "first occurrence untouched")
+    assert(out(0).getLong(2) === 0L)
+    assert(out(1).getString(1) === "pre1 pre2 pre3",
+      "only the copied suffix drops")
+    assert(out(1).getLong(2) === 10L)
+    assert(out(2).getLong(2) === 0L)
+  }
+
+  test("dedupSpans: within-doc repetition keeps the first copy only") {
+    val docs = Seq((7L, "a1 a2 a3 a4 x y a1 a2 a3 a4")).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(docs, "text", "doc_id", k = 4).collect()(0)
+    assert(out.getString(1) === "a1 a2 a3 a4 x y")
+    assert(out.getLong(2) === 4L)
+  }
+
+  test("dedupSpans: docs shorter than k pass through normalized") {
+    val docs = Seq((1L, " a  b "), (2L, "")).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(docs, "text", "doc_id", k = 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) === "a b" && out(0).getLong(2) === 0L)
+    assert(out(1).getString(1) === "" && out(1).getLong(2) === 0L)
+  }
 }
