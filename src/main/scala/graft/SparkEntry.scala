@@ -1393,6 +1393,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_spans_graph" -> ((s, dir) => {
+      // ExactSubstr THROUGH THE SPEC LAYER: the corpus's own planted exact
+      // duplicates (doc 178 etc.) drop; the expensive window pass is
+      // content-addressed in the store. ids = file-order row indices.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(DedupSpansOp(SelectTextColumnOp(ds, "text"), k = 8L))
+        .orderBy(col("id"))
+    }),
+
+    "q_bm25_graph" -> ((s, dir) => {
+      // BM25 THROUGH THE SPEC LAYER: a content-addressed ranked retrieval —
+      // repeated curation queries hit the store, not the corpus
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(Bm25RankOp(SelectTextColumnOp(ds, "text"),
+          Seq("spark", "merge", "window"), k = 10L))
+        .orderBy(col("rank"))
+    }),
+
     "q_hash_embed_ann" -> ((s, dir) => {
       // text → ANN bridge: model-free hashed-TF embeddings (signed bucket
       // counts — integer-exact floats) feed the SAME bruteForceTopK the
@@ -1719,6 +1739,46 @@ object SparkEntry {
     * constants can never drift from the engine. String shingles stand in
     * for the engine's hashed shingles in the Jaccard verify (equal absent
     * a 64-bit in-pair collision, ≈1e-12 — see hashedShinglesUdf's note). */
+  /** BM25 oracle (q_bm25 and its spec-layer twin): same decimal literals
+    * combined with the same IEEE ops as [[graft.ext.Bm25.rank]] (never
+    * pre-evaluated constants), fixed term order in the score fold, ranking
+    * on the quantized integer. `idSel` projects the id column (`doc_id` or
+    * `doc_id AS id` for the row-index twin). */
+  private def bm25OracleSql(idSel: String): String = {
+    val terms = Seq("spark", "merge", "window")
+    val dfs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '${terms(i)}') THEN 1 " +
+        s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")
+    val contrib = terms.zipWithIndex.map { case (t, i) =>
+      val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
+      val df = s"CAST(df$i AS DOUBLE)"
+      val n = "CAST(n_docs AS DOUBLE)"
+      val dl = "CAST(len(ws) AS DOUBLE)"
+      val avgdl = s"(CAST(total_dl AS DOUBLE) / $n)"
+      val idf = s"ln((($n - $df + CAST(0.5 AS DOUBLE)) / " +
+        s"($df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE))"
+      s"(($idf * ($tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))) / " +
+        s"($tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
+        s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
+    }.reduceLeft((a, c) => s"($a + $c)")
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+       |    x -> length(x) > 0) AS ws FROM documents),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(ws)) AS BIGINT) AS total_dl,
+       |    $dfs
+       |  FROM w),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round($contrib * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
+       |  FROM w CROSS JOIN st)
+       |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
+       |    AS BIGINT) AS rank,
+       |  $idSel, score_u6
+       |FROM sc ORDER BY score_u6 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Shared CTE prefix of the LM-perplexity oracles (q_lm_perplexity and
     * its spec-layer twin q_lm_graph): bigram stupid-backoff fit on the even
     * doc_ids, per-token micro-nat quantization, ending with
@@ -3330,41 +3390,36 @@ object SparkEntry {
     // BM25 replay: same decimal literals combined with the same IEEE ops
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
-    "q_bm25" -> {
-      val terms = Seq("spark", "merge", "window")
-      val dfs = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN list_contains(ws, '${terms(i)}') THEN 1 " +
-          s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")
-      val contrib = terms.zipWithIndex.map { case (t, i) =>
-        val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
-        val df = s"CAST(df$i AS DOUBLE)"
-        val n = "CAST(n_docs AS DOUBLE)"
-        val dl = "CAST(len(ws) AS DOUBLE)"
-        val avgdl = s"(CAST(total_dl AS DOUBLE) / $n)"
-        val idf = s"ln((($n - $df + CAST(0.5 AS DOUBLE)) / " +
-          s"($df + CAST(0.5 AS DOUBLE))) + CAST(1.0 AS DOUBLE))"
-        s"(($idf * ($tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))) / " +
-          s"($tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
-          s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
-      }.reduceLeft((a, c) => s"($a + $c)")
-      s"""WITH w AS (
-         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-         |    x -> length(x) > 0) AS ws FROM documents),
-         |st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len(ws)) AS BIGINT) AS total_dl,
-         |    $dfs
-         |  FROM w),
-         |sc AS (
-         |  SELECT doc_id,
-         |    CAST(round($contrib * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
-         |  FROM w CROSS JOIN st)
-         |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
-         |    AS BIGINT) AS rank,
-         |  doc_id, score_u6
-         |FROM sc ORDER BY score_u6 DESC, doc_id LIMIT 10""".stripMargin
-    },
+    "q_bm25" -> bm25OracleSql("doc_id"),
 
+    // spec-layer twin: identical pipeline, ids = file-order row indices
+    "q_bm25_graph" -> bm25OracleSql("doc_id AS id"),
+
+    // spec-layer ExactSubstr twin: the raw corpus (no plants — its own
+    // planted exact-duplicate docs are the drops), ids = row indices
+    "q_spans_graph" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS ws FROM documents),
+        |win AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i + 1 : i + 8], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 7)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |rn AS (SELECT doc_id, pos,
+        |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |st AS (SELECT doc_id, list(pos ORDER BY pos) AS ss
+        |       FROM rn WHERE rn > 1 GROUP BY doc_id),
+        |kept AS (
+        |  SELECT w.doc_id, ws,
+        |    CASE WHEN st.ss IS NULL THEN ws
+        |      ELSE list_filter(ws, (t, p) -> len(list_filter(st.ss,
+        |        s -> s <= p - 1 AND p - 1 < s + 8)) = 0) END AS kw
+        |  FROM w LEFT JOIN st USING (doc_id))
+        |SELECT doc_id AS id,
+        |  coalesce(array_to_string(kw, ' '), '') AS dedup_text,
+        |  CAST(len(ws) - len(kw) AS BIGINT) AS n_dropped_tokens
+        |FROM kept ORDER BY id""".stripMargin,
     "q_dsir_select" ->
       (dsirWeightsSqlCtes +
         """SELECT doc_id, n_feats, w_u6 FROM aw

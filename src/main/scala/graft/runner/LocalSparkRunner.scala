@@ -936,6 +936,19 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Dedup.cosineNearDuplicates(v, "__v", "__id",
         dim.toInt, nBands.toInt, planesPerBand.toInt, threshold, maxBucket.toInt))
 
+    case DedupSpansOp(text, k) =>
+      val t = frame(text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Corpus.dedupSpans(t, "__txt", "__id", k.toInt)
+        .select(col("__id").as("id"), col("dedup_text"),
+          col("n_dropped_tokens")))
+
+    case Bm25RankOp(text, terms, k, k1, b) =>
+      val t = frame(text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Bm25.rank(t, "__id", "__txt", terms, k.toInt,
+        k1, b).withColumnRenamed("__id", "id"))
+
     case LmPerplexityOp(text, fitText) =>
       val t = frame(text)
         .select(col(RowIdx), col(ValueCol).cast("string").as("__txt"))

@@ -178,6 +178,11 @@ object Fluent {
     def dsirSelect(target: TextColumnType, m: Long = 4096L, k: Long = 100L,
                    alpha: Double = 1.0): DsirSelectOp =
       DsirSelectOp(t, target, m, k, alpha)
+    /** beyond reference: ExactSubstr span dedup (stride-1 k-word windows) */
+    def dedupSpans(k: Long = 8L): DedupSpansOp = DedupSpansOp(t, k)
+    /** beyond reference: BM25 top-k retrieval for literal query terms */
+    def bm25(terms: Seq[String], k: Long = 10L, k1: Double = 1.2,
+             b: Double = 0.75): Bm25RankOp = Bm25RankOp(t, terms, k, k1, b)
   }
 
   implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {

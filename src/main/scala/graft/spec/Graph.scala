@@ -232,6 +232,13 @@ object OpRegistry {
     case JArr(items) => items.map(Json.toScala)
     case v => bad(n, v, "array")
   }
+  def strSeq(o: JObj, n: String): Seq[String] = o(n) match {
+    case JArr(items) => items.map {
+      case JString(s) => s
+      case v => bad(n, v, "string")
+    }
+    case v => bad(n, v, "array")
+  }
   def lngSeq(o: JObj, n: String): Seq[Long] = o(n) match {
     case JArr(items) => items.map {
       case JLong(l) => l
@@ -441,6 +448,11 @@ object OpRegistry {
       DsirSelectOp(op[TextColumnType](o, "text", r),
         op[TextColumnType](o, "target_text", r),
         lng(o, "m"), lng(o, "k"), dbl(o, "alpha"))),
+    "DedupSpansOp" -> ((o, r) =>
+      DedupSpansOp(op[TextColumnType](o, "text", r), lng(o, "k"))),
+    "Bm25RankOp" -> ((o, r) =>
+      Bm25RankOp(op[TextColumnType](o, "text", r), strSeq(o, "terms"),
+        lng(o, "k"), dbl(o, "k1"), dbl(o, "b"))),
     "MinHashNearDupPairsOp" -> ((o, r) =>
       MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
         lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),

@@ -466,6 +466,33 @@ final case class DsirSelectOp(
   require(alpha > 0.0, s"alpha must be positive, got $alpha")
 }
 
+/** ExactSubstr span dedup over a text column
+  * ([[graft.ext.Corpus.dedupSpans]], Lee et al. 2021): stride-1 k-word
+  * windows, corpus-wide first occurrence survives, covered tokens of later
+  * occurrences removed. Result `(id, dedup_text, n_dropped_tokens)`, id =
+  * row index. Non-ephemeral: the window pass is the expensive step. */
+final case class DedupSpansOp(
+    text: TextColumnType,
+    k: Long = 8L) extends DatasetType {
+  require(k >= 1L, s"k must be >= 1, got $k")
+}
+
+/** BM25 top-k retrieval over a text column ([[graft.ext.Bm25.rank]]):
+  * result `(rank, id, score_u6)`, id = row index, `score_u6` the
+  * micro-unit-quantized score. Non-ephemeral: content-addressing a ranked
+  * retrieval makes repeated curation queries free. */
+final case class Bm25RankOp(
+    text: TextColumnType,
+    terms: Seq[String],
+    k: Long = 10L,
+    k1: Double = 1.2,
+    b: Double = 0.75) extends DatasetType {
+  require(terms.nonEmpty, "terms must be non-empty")
+  require(k >= 1L, s"k must be >= 1, got $k")
+  require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
+  require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+}
+
 /** MinHash+LSH near-duplicate PAIRS over a text column
   * ([[graft.ext.Dedup.minhashNearDuplicates]]): banded signatures →
   * candidate buckets → exact-Jaccard verify. Result dataset

@@ -152,4 +152,30 @@ class CurationOpsSpec extends SparkTestBase {
     val back = Graph.deserialize(Graph.serialize(sel)).last
     assert(back == sel && back.uuid == sel.uuid)
   }
+
+  test("DedupSpansOp: exact-copy rows empty out, first copy survives; serde") {
+    val r = newRunner()
+    val spans = DedupSpansOp(SelectTextColumnOp(corpus, "text"), k = 4L)
+    val rows = r.toFrame(spans).orderBy("id").collect()
+    // rows 0/2/4 are exact copies; 0 survives whole, 2 and 4 empty out
+    assert(rows(0).getString(1) === "alpha beta gamma delta epsilon")
+    assert(rows(2).getString(1) === "" && rows(2).getLong(2) === 5L)
+    assert(rows(4).getString(1) === "" && rows(4).getLong(2) === 5L)
+    assert(rows(1).getLong(2) === 0L && rows(3).getLong(2) === 0L)
+    val back = Graph.deserialize(Graph.serialize(spans)).last
+    assert(back == spans && back.uuid == spans.uuid)
+  }
+
+  test("Bm25RankOp: ranked retrieval through the store; terms serde round-trips") {
+    val r = newRunner()
+    val bm = Bm25RankOp(SelectTextColumnOp(corpus, "text"),
+      Seq("unique", "alpha"), k = 5L)
+    val rows = r.toFrame(bm).orderBy("rank").collect()
+    assert(rows.length === 5)
+    // 'unique' appears in exactly one doc (row 1) → its idf dominates
+    assert(rows(0).getAs[Long]("id") === 1L)
+    assert(r.hasResult(bm), "non-ephemeral: the ranking persists")
+    val back = Graph.deserialize(Graph.serialize(bm)).last
+    assert(back == bm && back.uuid == bm.uuid)
+  }
 }
