@@ -75,6 +75,14 @@ object ScaleProbe {
         graft.ext.Dedup.minhashNearDuplicates(
           d, "text", "doc_id", shingleN = 3, threshold = 0.5).count()
       }
+      // ExactSubstr spans: replicas share no windows (salted words), so
+      // drops = the sf corpus's own exact-dup docs × factor — linear
+      // ground truth; stride-1 windows make the explode ≈ token count
+      measure(s"span dedup ${factor}x", s"docs=${5000 * factor} k=8") {
+        graft.ext.Corpus.dedupSpans(d, "text", "doc_id", 8)
+          .agg(coalesce(sum(col("n_dropped_tokens")), lit(0L)))
+          .collect()(0).getLong(0)
+      }
       // LM perplexity: word-salted replicas have disjoint vocabularies, so
       // the vocab/bigram count tables grow ~linearly with the decade — a
       // CONSERVATIVE bound (real web vocab grows sublinearly); the claim

@@ -103,9 +103,13 @@ object Dsir {
     * ratios. Docs with no features keep a row at weight 0. */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         ratios: DataFrame, m: Int): DataFrame = {
+    // force the broadcast only while the m-row table is unambiguously
+    // broadcast-sized (2^22 longs ≈ 64 MB); beyond that leave the join
+    // strategy to Catalyst rather than pinning an OOM
+    val r = if (m <= (1 << 22)) broadcast(ratios) else ratios
     val feats = docs
       .select(col(idCol), explode(hashedFeatures(col(textCol), m)).as("f"))
-      .join(broadcast(ratios), Seq("f"))
+      .join(r, Seq("f"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("qllr")).as("w_u6"))
     docs.select(col(idCol)).join(feats, Seq(idCol), "left")
