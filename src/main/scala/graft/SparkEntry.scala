@@ -1393,6 +1393,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_quality_probe" -> ((s, dir) => {
+      // fastText-SHAPE quality classifier with zero neural model: hashed-TF
+      // features (scaled by /1024 — dyadic, exact in float) + the exact
+      // difference-of-means probe, label = "looks like English". The whole
+      // train→score pipeline is integer-exact (weightsExact/scoresExact
+      // contract), so the classifier's OUTPUT hashes bit-for-bit.
+      val docs = t(s, dir, "documents")
+      val emb = docs.select(col("doc_id"), col("lang"),
+        transform(TextAnalysis.hashedTfEmbedding(col("text"), 64),
+          x => x / 1024.0f).as("emb"))
+      graft.ml.DiffOfMeans.scoresExact(emb, col("doc_id"), col("emb"),
+          col("lang") === "en")
+        .orderBy(col("vec_id"))
+    }),
+
     "q_spans_graph" -> ((s, dir) => {
       // ExactSubstr THROUGH THE SPEC LAYER: the corpus's own planted exact
       // duplicates (doc 178 etc.) drop; the expensive window pass is
@@ -3394,6 +3409,39 @@ object SparkEntry {
 
     // spec-layer twin: identical pipeline, ids = file-order row indices
     "q_bm25_graph" -> bm25OracleSql("doc_id AS id"),
+
+    // quality-probe replay: hashed-TF features rebuilt exactly (signed
+    // bucket counts / 1024 — dyadic), then the q_probe_predict
+    // quantized-exact train→score arithmetic verbatim
+    "q_quality_probe" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, lang = 'en' AS is_pos,
+        |    list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |      x -> length(x) > 0) AS ws FROM documents),
+        |h AS (
+        |  SELECT doc_id, is_pos, list_transform(ws, t ->
+        |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w0),
+        |q AS (
+        |  SELECT doc_id, is_pos, dim,
+        |    CAST(round((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(hs, v -> CASE WHEN v % 64 = dim
+        |        THEN CAST(1 AS BIGINT) - ((v >> 59) & 1) * 2
+        |        ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS DOUBLE) / CAST(1024 AS DOUBLE)) * 1e6)
+        |      AS BIGINT) AS qx
+        |  FROM (SELECT doc_id, is_pos, hs, unnest(range(64)) AS dim FROM h)),
+        |w AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN is_pos THEN qx END) AS DOUBLE)
+        |      / COUNT(CASE WHEN is_pos THEN 1 END) / 1e6
+        |    - CAST(SUM(CASE WHEN NOT is_pos THEN qx END) AS DOUBLE)
+        |      / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
+        |  FROM q GROUP BY dim),
+        |qw AS (SELECT dim, CAST(round(w * 1e9) AS BIGINT) AS qw FROM w)
+        |SELECT q.doc_id AS vec_id,
+        |  CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
+        |FROM q JOIN qw USING (dim)
+        |GROUP BY q.doc_id ORDER BY vec_id""".stripMargin,
 
     // spec-layer ExactSubstr twin: the raw corpus (no plants — its own
     // planted exact-duplicate docs are the drops), ids = row indices

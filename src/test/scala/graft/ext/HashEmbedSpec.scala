@@ -56,6 +56,32 @@ class HashEmbedSpec extends SparkTestBase {
       "disjoint-vocabulary doc must be far")
   }
 
+  test("hashed-TF + diff-of-means probe separates held-out styles") {
+    // the fastText-shape quality classifier (q_quality_probe): train on
+    // labeled docs of two word distributions, assert the integer-exact
+    // scores separate HELD-OUT docs of each style
+    val styleA = Seq("the", "quick", "brown", "fox", "jumps", "over")
+    val styleB = Seq("zzq", "wvx", "ppl", "krm", "jjt", "bbn")
+    def doc(style: Seq[String], seed: Int) =
+      (0 until 12).map(i => style((seed * 7 + i * 3) % style.length))
+        .mkString(" ")
+    val train = (0 until 30).map(i =>
+      (i.toLong, doc(if (i % 2 == 0) styleA else styleB, i), i % 2 == 0))
+    val test_ = (100 until 110).map(i =>
+      (i.toLong, doc(if (i % 2 == 0) styleA else styleB, i), i % 2 == 0))
+    val all = (train ++ test_).toDF("id", "text", "is_a")
+    val emb = all.select(col("id"), col("is_a"),
+      transform(TextAnalysis.hashedTfEmbedding(col("text"), 64),
+        x => x / lit(1024.0f)).as("emb"))
+    val scores = graft.ml.DiffOfMeans.scoresExact(
+      emb, col("id"), col("emb"), col("is_a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val heldA = test_.filter(_._3).map(t => scores(t._1))
+    val heldB = test_.filterNot(_._3).map(t => scores(t._1))
+    assert(heldA.min > heldB.max,
+      s"style-A held-out scores ${heldA.toList} must exceed ${heldB.toList}")
+  }
+
   test("empty text embeds to the zero vector and scores cosine 0 safely") {
     val docs = Seq((0L, "some words"), (1L, "")).toDF("doc_id", "text")
     val emb = docs.select(col("doc_id"),
