@@ -48,4 +48,24 @@ class DocCountSpec extends AnyFunSuite {
       s"README quotes $quoted test cases but the sources declare $declared" +
         " — refresh the README line")
   }
+
+  test("README and COVERAGE query counts match SparkEntry.queries") {
+    // same drift class as the test count, same cure: assert, don't maintain
+    val n = SparkEntry.queries.size
+    assert(SparkEntry.oracleSql.size == n,
+      s"every query needs an oracle: ${SparkEntry.queries.keySet
+        .diff(SparkEntry.oracleSql.keySet)} lack one, " +
+        s"${SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)} " +
+        "are orphaned oracles")
+    val root = repoRoot
+    val readme = Files.readString(root.resolve("README.md"))
+    val rq = raw"— (\d+) queries".r.findFirstMatchIn(readme)
+      .getOrElse(fail("README.md lost its '— N queries' anchor")).group(1).toInt
+    assert(rq == n, s"README quotes $rq queries but SparkEntry has $n")
+    val coverage = Files.readString(root.resolve("COVERAGE.md"))
+    val cq = raw"\((\d+)/(\d+) queries oracled".r.findFirstMatchIn(coverage)
+      .getOrElse(fail("COVERAGE.md lost its '(N/N queries oracled' anchor"))
+    assert(cq.group(1).toInt == n && cq.group(2).toInt == n,
+      s"COVERAGE quotes ${cq.group(1)}/${cq.group(2)} but SparkEntry has $n")
+  }
 }
