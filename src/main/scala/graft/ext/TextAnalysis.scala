@@ -14,6 +14,9 @@ object TextAnalysis {
     * vertical tab (\x0B), which DuckDB's RE2 `\s` does not — oracle-replayed
     * normalizations must use this explicit class so both engines agree. */
   val Ws = "[ \\t\\n\\f\\r]"
+  /** Compiled `Ws+` for JVM-side tokenization that must match
+    * [[graft.ext.Corpus.words]] exactly. */
+  val WsPlus: java.util.regex.Pattern = java.util.regex.Pattern.compile(Ws + "+")
 
   /** Whitespace token count; empty/blank text → 0. Pure built-ins. */
   def tokenCount(text: Column): Column =
@@ -169,14 +172,31 @@ object TextAnalysis {
     * ranges for any dim < 2^59. */
   def hashedTfEmbedding(text: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    Corpus.bindArray(transform(Corpus.words(text), w => Dsir.md5Bucket60(w))) {
-      hs =>
-        transform(sequence(lit(0), lit(dim - 1)), d =>
-          aggregate(hs, lit(0L), (acc, h) =>
-            acc + when(h % dim === d,
-              lit(1L) - shiftrightunsigned(h, 59) * lit(2L)).otherwise(0L))
-            .cast("float"))
+    // one primitive pass over the words (the repetitionSignals precedent) —
+    // the expression form (`transform(range(dim), d -> aggregate(...))`)
+    // was O(dim·words) boxed lambdas per row and dominated q_quality_probe.
+    // Bit-equality with the md5Bucket60 SQL primitive is pinned by
+    // HashEmbedSpec's independent reimplementation test: the top 60 bits of
+    // the digest's first 8 bytes ARE the 15-hex-char prefix.
+    val f = udf { s: String =>
+      if (s == null) null
+      else {
+        val v = new Array[Float](dim)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        TextAnalysis.WsPlus.split(s).foreach { w =>
+          if (w.nonEmpty) {
+            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h = 0L
+            var i = 0
+            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            h = h >>> 4 // 64 big-endian bits -> the leading 60 (15 hex chars)
+            v((h % dim).toInt) += (1L - ((h >>> 59) & 1L) * 2L).toFloat
+          }
+        }
+        v
+      }
     }
+    f(text)
   }
 
   def fingerprintMd5(text: Column): Column =
