@@ -1487,6 +1487,16 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_lm_trigram" -> ((s, dir) => {
+      // trigram stupid backoff (LangModel.fit3/score3): all five count
+      // tables derive from ONE BOS²-prefixed triple stream, so every
+      // backoff order is well-normalized; fit on even doc_ids, score all —
+      // the tri, bi, and uni/OOV arms are all exercised and replayed.
+      val docs = t(s, dir, "documents")
+      val lm = LangModel.fit3(docs.filter(col("doc_id") % 2 === 0), "text")
+      LangModel.score3(docs, "doc_id", "text", lm).orderBy(col("doc_id"))
+    }),
+
     "q_lm_stream" -> ((s, dir) => {
       // the STREAMING twin under the SAME oracle as q_lm_perplexity: an
       // availableNow file stream scored per micro-batch against the STATIC
@@ -3311,6 +3321,56 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    // trigram replay: same quantized-arm discipline as the bigram oracle,
+    // one extra context column and one extra backoff order
+    "q_lm_trigram" -> {
+      val bos = LangModel.Bos
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |p AS (
+         |  SELECT doc_id, i AS pos,
+         |    CASE WHEN i <= 1 THEN '$bos' ELSE ws[i - 1] END AS u,
+         |    CASE WHEN i = 0 THEN '$bos' ELSE ws[i] END AS v,
+         |    ws[i + 1] AS w2
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w)),
+         |fitp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+         |tri AS (SELECT u, v, w2, count(*) AS c3 FROM fitp GROUP BY 1, 2, 3),
+         |bctx AS (SELECT u, v, count(*) AS c2c FROM fitp GROUP BY 1, 2),
+         |bi AS (SELECT v, w2, count(*) AS c2 FROM fitp GROUP BY 1, 2),
+         |uctx AS (SELECT v, count(*) AS c1c FROM fitp GROUP BY 1),
+         |uni AS (SELECT w2, count(*) AS c1 FROM fitp GROUP BY 1),
+         |tot AS (SELECT count(*) AS total_tokens FROM fitp),
+         |sc AS (
+         |  SELECT p.doc_id,
+         |    CAST(round(CASE
+         |      WHEN tri.c3 IS NOT NULL AND bctx.c2c IS NOT NULL
+         |        THEN ln(CAST(tri.c3 AS DOUBLE) / CAST(bctx.c2c AS DOUBLE))
+         |      WHEN bi.c2 IS NOT NULL AND uctx.c1c IS NOT NULL
+         |        THEN ln(CAST(${LangModel.Backoff} AS DOUBLE) *
+         |          (CAST(bi.c2 AS DOUBLE) / CAST(uctx.c1c AS DOUBLE)))
+         |      ELSE ln(CAST(${LangModel.Backoff} AS DOUBLE) *
+         |        CAST(${LangModel.Backoff} AS DOUBLE) *
+         |        (CAST(coalesce(uni.c1, 1) AS DOUBLE) /
+         |         CAST(tot.total_tokens AS DOUBLE)))
+         |      END * CAST(${LangModel.Quant} AS DOUBLE)) AS BIGINT) AS qlp
+         |  FROM p
+         |  LEFT JOIN tri ON tri.u = p.u AND tri.v = p.v AND tri.w2 = p.w2
+         |  LEFT JOIN bctx ON bctx.u = p.u AND bctx.v = p.v
+         |  LEFT JOIN bi ON bi.v = p.v AND bi.w2 = p.w2
+         |  LEFT JOIN uctx ON uctx.v = p.v
+         |  LEFT JOIN uni ON uni.w2 = p.w2
+         |  CROSS JOIN tot),
+         |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        CAST(sum(qlp) AS BIGINT) AS logp_u6 FROM sc GROUP BY 1)
+         |SELECT docs.doc_id,
+         |  coalesce(d.n_tokens, 0) AS n_tokens,
+         |  coalesce(d.logp_u6, 0) AS logp_u6,
+         |  $lmPplExprSql AS ppl
+         |FROM documents docs LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // the streaming twin scores the same rows against the same even-doc_id
     // model with no cross-batch state — SAME oracle as the batch query

@@ -137,4 +137,86 @@ object LangModel {
     * no external reference model is available. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     score(docs, idCol, textCol, fit(docs, textCol))
+
+  // ---------------- trigram order ----------------
+
+  /** Fitted trigram model. Every table derives from ONE (prev2, prev, cur)
+    * triple stream — numerators and denominators count the same events, so
+    * conditionals are well-normalized at every backoff order:
+    * `tri` (u,v,w,c3), `biCtx` (u,v,c2c), `bi` (v,w,c2), `uniCtx` (v,c1c),
+    * `uni` (w,c1), `total` 1-row. */
+  final case class TrigramLm(tri: DataFrame, biCtx: DataFrame, bi: DataFrame,
+                             uniCtx: DataFrame, uni: DataFrame,
+                             total: DataFrame)
+
+  /** (pos, prev2, prev, cur) with TWO BOS markers in front — pure
+    * expression, map-side. */
+  private def tripleQuads(textCol: Column): Column =
+    Corpus.bindArray(Corpus.words(textCol)) { ws =>
+      when(size(ws) === 0,
+          array().cast("array<struct<pos:int,prev2:string,prev:string,cur:string>>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 1), i =>
+          struct(i.as("pos"),
+            when(i <= 1, lit(Bos)).otherwise(element_at(ws, i - 1)).as("prev2"),
+            when(i === 0, lit(Bos)).otherwise(element_at(ws, i)).as("prev"),
+            element_at(ws, i + 1).as("cur"))))
+    }
+
+  /** Fit the trigram stupid-backoff model on `docs(textCol)`. */
+  def fit3(docs: DataFrame, textCol: String): TrigramLm = {
+    val t = docs.select(explode(tripleQuads(col(textCol))).as("t"))
+      .select(col("t.prev2").as("u"), col("t.prev").as("v"),
+        col("t.cur").as("w"))
+    TrigramLm(
+      tri = t.groupBy(col("u"), col("v"), col("w"))
+        .agg(count(lit(1)).as("c3")),
+      biCtx = t.groupBy(col("u"), col("v")).agg(count(lit(1)).as("c2c")),
+      bi = t.groupBy(col("v"), col("w")).agg(count(lit(1)).as("c2")),
+      uniCtx = t.groupBy(col("v")).agg(count(lit(1)).as("c1c")),
+      uni = t.groupBy(col("w")).agg(count(lit(1)).as("c1")),
+      total = t.agg(count(lit(1)).as("total_tokens")))
+  }
+
+  /** Per-token quantized log-prob, stupid-backoff chain
+    * tri → bi (×0.4) → uni (×0.4×0.4, OOV floor 1). Pinned single-division
+    * arithmetic per arm; the DuckDB replay writes the identical tree. */
+  private def qlogp3(c3: Column, c2c: Column, c2: Column, c1c: Column,
+                     c1: Column, total: Column): Column = {
+    val p = when(c3.isNotNull && c2c.isNotNull,
+        log(c3.cast("double") / c2c.cast("double")))
+      .when(c2.isNotNull && c1c.isNotNull,
+        log(lit(Backoff) * (c2.cast("double") / c1c.cast("double"))))
+      .otherwise(log(lit(Backoff) * lit(Backoff) *
+        (coalesce(c1, lit(1L)).cast("double") / total.cast("double"))))
+    round(p * Quant).cast("long")
+  }
+
+  /** Score `docs` against a [[TrigramLm]]: same output contract as
+    * [[score]] — (id, n_tokens, logp_u6, ppl). */
+  def score3(docs: DataFrame, idCol: String, textCol: String,
+             lm: TrigramLm): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(tripleQuads(col(textCol))).as("t"))
+      .select(col(idCol), col("t.prev2").as("u"), col("t.prev").as("v"),
+        col("t.cur").as("w"))
+    val scored = toks
+      .join(lm.tri, Seq("u", "v", "w"), "left")
+      .join(lm.biCtx, Seq("u", "v"), "left")
+      .join(lm.bi, Seq("v", "w"), "left")
+      .join(lm.uniCtx, Seq("v"), "left")
+      .join(lm.uni, Seq("w"), "left")
+      .crossJoin(broadcast(lm.total))
+      .select(col(idCol),
+        qlogp3(col("c3"), col("c2c"), col("c2"), col("c1c"), col("c1"),
+          col("total_tokens")).as("qlp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("qlp")).as("logp_u6"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("logp_u6"), lit(0L)).as("logp_u6"),
+        when(col("n_tokens").isNotNull,
+          round(exp(-(col("logp_u6").cast("double") / Quant) /
+            col("n_tokens").cast("double")), 6)).as("ppl"))
+  }
 }

@@ -58,6 +58,47 @@ class LangModelSpec extends SparkTestBase {
     assert(out(0).getLong(2) === exp)
   }
 
+  test("trigram: deterministic corpus self-scores ppl 1; backoff arms hand-checked") {
+    val fit = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val lm3 = LangModel.fit3(fit, "text")
+    // self-fit on a deterministic corpus: every conditional is 1 → ppl 1.0
+    val self = LangModel.score3(fit, "doc_id", "text", lm3).collect()
+    assert(self.forall(_.getLong(2) === 0L))
+    assert(self.forall(_.getDouble(3) === 1.0))
+    // "b c": (B,B,b) unseen tri+bi → uni arm c1(b)=2/6; (B,b,c) unseen tri,
+    // seen bi (b,c)=2 over c1c(b)=2 → bi arm ln(0.4*(2/2))
+    val bc = LangModel.score3(Seq((9L, "b c")).toDF("doc_id", "text"),
+      "doc_id", "text", lm3).collect()(0)
+    val exp = math.round(math.log(0.4 * 0.4 * (2.0 / 6.0)) * 1e6) +
+      math.round(math.log(0.4 * (2.0 / 2.0)) * 1e6)
+    assert(bc.getLong(2) === exp)
+    // OOV floors at count 1 through the double-backoff arm
+    val xx = LangModel.score3(Seq((8L, "a b x")).toDF("doc_id", "text"),
+      "doc_id", "text", lm3).collect()(0)
+    val expX = math.round(math.log(0.4 * 0.4 * (1.0 / 6.0)) * 1e6)
+    assert(xx.getLong(2) === expX)
+  }
+
+  test("trigram scores structured text sharper than bigram") {
+    // corpus where the bigram (b,·) is ambiguous but the trigram resolves
+    // it: "a b c" and "x b y" — after (·,b), the bigram sees {c,y} 50/50,
+    // the trigram knows the continuation exactly
+    val docs = ((1L to 10L).map(i => (i, "a b c")) ++
+      (11L to 20L).map(i => (i, "x b y"))).toDF("doc_id", "text")
+    val p2 = LangModel.perplexity(docs, "doc_id", "text")
+      .agg(max("ppl")).collect()(0).getDouble(0)
+    val p3Rows = LangModel.score3(docs, "doc_id", "text",
+      LangModel.fit3(docs, "text")).collect()
+    val p3 = p3Rows.map(_.getDouble(3)).max
+    assert(p3 < p2, s"trigram max ppl $p3 must beat bigram $p2")
+    // only the first token stays ambiguous (a-vs-x, 50/50) — the trigram
+    // resolves the (·,b) continuation the bigram can't: ppl = 2^(1/3)
+    val expected = BigDecimal(math.exp(
+      -(math.round(math.log(0.5) * 1e6) / 1e6) / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(p3Rows.forall(_.getDouble(3) === expected))
+  }
+
   test("fit subset + score all matches self-fit on the fitted half") {
     val docs = Seq((0L, "m n m"), (2L, "m n o"), (1L, "m zzz")).toDF("doc_id", "text")
     val lm = LangModel.fit(docs.filter(col("doc_id") % 2 === 0), "text")
