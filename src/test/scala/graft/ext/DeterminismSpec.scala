@@ -38,6 +38,18 @@ class DeterminismSpec extends SparkTestBase {
     assert(outs(0) == outs(1) && outs(0) == outs(2))
   }
 
+  test("trigram LM scores are bit-identical across row orders and partitionings") {
+    val rows = corpus(300, seed = 7)
+    val outs = variants(rows).map { df =>
+      LangModel.score3(df, "doc_id", "text",
+          LangModel.fit3(df.filter($"doc_id" % 2 === 0), "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+        .sortBy(_._1).toSeq
+    }
+    assert(outs(0) == outs(1) && outs(0) == outs(2))
+  }
+
   test("DSIR weights are bit-identical across row orders and partitionings") {
     val rows = corpus(300, seed = 11)
     val outs = variants(rows).map { df =>
