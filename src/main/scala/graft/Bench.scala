@@ -131,6 +131,25 @@ object Bench {
         s"from the JSON map (they RAN and count in the total): " +
         dropped.mkString(" "))
     }
+    // the SELF-CONTAINED record (VERDICT r13): the stdout line must fit the
+    // driver's 2000-char tail, so past ~90 queries it can no longer carry
+    // every per-query number — the full map (median + min over the steady
+    // passes + the cold pass, per query, untrimmed) goes to a file instead.
+    // Stdout stays the summary; the file is the archaeology-free artifact.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    try {
+      val qjson = steady.keys.toSeq.sorted.map { name =>
+        val valid = steadyPasses.flatMap(_.get(name)).filter(_ >= 0)
+        val mn = if (valid.isEmpty) -1.0 else valid.min
+        s"""    "$name": {"median":${fmt(steady(name), 3)},"min":${fmt(mn, 3)},"cold":${fmt(cold.getOrElse(name, -1.0), 3)}}"""
+      }.mkString(",\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+        (s"""{\n  "metric": "total", "value": ${total(steady)}, "unit": "sec",\n  "cold": ${total(cold)}, "sf": "${sfDir.split('/').last}",\n  "n_queries": ${steady.size},\n  "queries": {\n$qjson\n  }\n}\n""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full per-query record written to $fullPath")
+    } catch { case e: Throwable => // the summary line must still go out
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     println(line(renderQs(kept), steady.size - kept.size))
     SparkEntry.closeRunner(spark)
     spark.stop()

@@ -242,16 +242,40 @@ object Corpus {
       .filter(col("__first") =!= struct(col(idCol), col("__pos")))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__pos"))).as("__starts"))
+    // Reassembly is ONE linear merge of the token stream against the
+    // sorted start list (two pointers, running coverage horizon): a token
+    // at p is covered iff some start s ≤ p has s + k > p, i.e. p is below
+    // the max(s)+k horizon of the starts already passed. The expression
+    // form this replaces — `filter(ws, p -> !exists(__starts, …))` — was
+    // O(tokens × duplicate-starts) per document, O(tokens²) for a long doc
+    // that is almost entirely duplicated windows (starts ≈ tokens): a
+    // straggler task at 100 TB even though job-level decades measured
+    // linear (VERDICT r13). The primitive pass is O(tokens + starts) with
+    // NO pathological shape; bit-equality with the expression form is
+    // pinned by ExtSpec on adversarial fixtures.
+    val assembleUdf = udf { (ws: scala.collection.Seq[String],
+                             starts: scala.collection.Seq[Int]) =>
+      if (ws == null) ("", -1L) // null text: ("", null) after the -1 map
+      else if (starts == null || starts.isEmpty) (ws.mkString(" "), 0L)
+      else {
+        val sb = new java.lang.StringBuilder
+        var dropped = 0L; var si = 0; var cover = -1; var p = 0
+        while (p < ws.length) {
+          while (si < starts.length && starts(si) <= p) {
+            val c = starts(si) + k; if (c > cover) cover = c; si += 1
+          }
+          if (p < cover) dropped += 1L
+          else { if (sb.length > 0) sb.append(' '); sb.append(ws(p)) }
+          p += 1
+        }
+        (sb.toString, dropped)
+      }
+    }
     docs.join(dupStarts, Seq(idCol), "left")
-      .select(col(idCol), bindArray(words(col(textCol))) { ws =>
-        val kept = when(col("__starts").isNull, ws)
-          .otherwise(filter(ws, (_, p) =>
-            !exists(col("__starts"), s => s <= p && p < s + k)))
-        struct(concat_ws(" ", kept).as("dedup_text"),
-          (size(ws) - size(kept)).cast("long").as("n_dropped_tokens"))
-      }.as("__o"))
-      .select(col(idCol), col("__o.dedup_text").as("dedup_text"),
-        col("__o.n_dropped_tokens").as("n_dropped_tokens"))
+      .select(col(idCol),
+        assembleUdf(words(col(textCol)), col("__starts")).as("__o"))
+      .select(col(idCol), col("__o._1").as("dedup_text"),
+        when(col("__o._2") >= 0L, col("__o._2")).as("n_dropped_tokens"))
   }
 
   /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`,

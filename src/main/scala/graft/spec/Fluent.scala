@@ -170,10 +170,13 @@ object Fluent {
                    minUniqueFrac: Double = 0.2): GopherKeepOp =
       GopherKeepOp(t, minWords, maxWords, minMeanWordLen, maxMeanWordLen,
         minUniqueFrac)
-    /** beyond reference: bigram stupid-backoff perplexity of this column
-      * scored against a model fit on `fitOn` (defaults to self-fit) */
-    def lmPerplexity(fitOn: TextColumnType = null): LmPerplexityOp =
-      LmPerplexityOp(t, Option(fitOn).getOrElse(t))
+    /** beyond reference: bigram stupid-backoff SELF-perplexity of this
+      * column (model fit on the column itself) */
+    def lmPerplexity: LmPerplexityOp = LmPerplexityOp(t, t)
+    /** beyond reference: perplexity of this column scored against a model
+      * fit on `fitOn` (the external-reference-model form) */
+    def lmPerplexity(fitOn: TextColumnType): LmPerplexityOp =
+      LmPerplexityOp(t, fitOn)
     /** beyond reference: DSIR top-k selection against a target column */
     def dsirSelect(target: TextColumnType, m: Long = 4096L, k: Long = 100L,
                    alpha: Double = 1.0): DsirSelectOp =

@@ -461,8 +461,9 @@ final case class DsirSelectOp(
     m: Long = 4096L,
     k: Long = 100L,
     alpha: Double = 1.0) extends DatasetType {
-  require(m >= 1L, s"m must be >= 1, got $m")
-  require(k >= 1L, s"k must be >= 1, got $k")
+  // the runner narrows these to Int; an unchecked .toInt would wrap
+  require(m >= 1L && m <= Int.MaxValue, s"m must be in [1, 2^31), got $m")
+  require(k >= 1L && k <= Int.MaxValue, s"k must be in [1, 2^31), got $k")
   require(alpha > 0.0, s"alpha must be positive, got $alpha")
 }
 
@@ -474,7 +475,7 @@ final case class DsirSelectOp(
 final case class DedupSpansOp(
     text: TextColumnType,
     k: Long = 8L) extends DatasetType {
-  require(k >= 1L, s"k must be >= 1, got $k")
+  require(k >= 1L && k <= Int.MaxValue, s"k must be in [1, 2^31), got $k")
 }
 
 /** BM25 top-k retrieval over a text column ([[graft.ext.Bm25.rank]]):
@@ -488,7 +489,7 @@ final case class Bm25RankOp(
     k1: Double = 1.2,
     b: Double = 0.75) extends DatasetType {
   require(terms.nonEmpty, "terms must be non-empty")
-  require(k >= 1L, s"k must be >= 1, got $k")
+  require(k >= 1L && k <= Int.MaxValue, s"k must be in [1, 2^31), got $k")
   require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
   require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
 }

@@ -43,4 +43,30 @@ class Bm25Spec extends SparkTestBase {
     assert(out.head.getLong(1) === 1L)
     assert(out.head.getLong(2) > out(1).getLong(2))
   }
+
+  test("duplicate query terms count twice, like the per-term fold they sum") {
+    // each duplicate contributes its own term in the score fold — the
+    // one-pass tf must hand BOTH indices the same count
+    val docs = Seq((1L, "apple pear"), (2L, "pear plum")).toDF("doc_id", "text")
+    val once = Bm25.rank(docs, "doc_id", "text", Seq("apple"), k = 2).collect()
+    val twice = Bm25.rank(docs, "doc_id", "text", Seq("apple", "apple"), k = 2)
+      .collect()
+    assert(twice.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      once.map(r => (r.getLong(1), r.getLong(2) * 2)).toSeq)
+  }
+
+  test("degenerate corpus (all documents empty) raises, never scores 0") {
+    // avgdl = 0 would make dl/avgdl NaN and round(NaN·1e6)::long silently
+    // 0 — the guard turns that into a hard error (ADVICE r13)
+    val docs = Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Bm25.rank(docs, "doc_id", "text", Seq("apple"), k = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("degenerate corpus")))
+    // an EMPTY corpus (0 rows) yields an empty result, not an error
+    val empty = docs.filter($"doc_id" < 0L)
+    assert(Bm25.rank(empty, "doc_id", "text", Seq("apple"), k = 1).count() === 0L)
+  }
 }

@@ -104,7 +104,7 @@ class FluentSpec extends AnyFunSuite {
       SemanticDedupOp(v, Seq(0L, 3L), 0.9))
     assert(v.ivfPqTopK(v, 0L to 1L, 0L to 3L, k = 5L, m = 4L) ==
       IvfPqTopKOp(v, v, 0L to 1L, 0L to 3L, 5L, 4L))
-    assert(t.lmPerplexity() == LmPerplexityOp(t, t))
+    assert(t.lmPerplexity == LmPerplexityOp(t, t))
     assert(t.dedupSpans(k = 6L) == DedupSpansOp(t, 6L))
     assert(t.bm25(Seq("x", "y"), k = 3L) == Bm25RankOp(t, Seq("x", "y"), 3L))
     val ref = TakeRowsOp(ds, 2L).colText("t")
