@@ -42,10 +42,14 @@ object ScaleProbe {
     (rt.totalMemory() - rt.freeMemory()) >> 20
   }
 
-  private def sweep(spark: SparkSession, dir: String): Unit = {
+  private def sweep(spark: SparkSession, dir: String,
+                    filters: Seq[String]): Unit = {
     val meter = new ShuffleMeter(spark)
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     def measure(what: String, detail: String)(f: => Long): Unit = {
+      // optional name filters (substring match) re-run a subset of rows
+      // without paying for the whole sweep
+      if (filters.nonEmpty && !filters.exists(what.contains)) return
       meter.reset()
       val t0 = System.nanoTime()
       val out = f
@@ -103,6 +107,41 @@ object ScaleProbe {
         val w = graft.ext.Dsir.importanceWeights(d, "doc_id", "text",
           ratios, 4096)
         w.agg(coalesce(sum(col("w_u6")), lit(0L))).collect()(0).getLong(0)
+      }
+      // BM25: a FIXED literal query against the growing corpus (the
+      // retrieval operating regime) — corpus stats collapse to one
+      // broadcast row, per-doc tf is map-side over the word arrays,
+      // selection is TakeOrdered k: the only corpus-proportional flow is
+      // the scan itself. The terms carry replica 0's word salt, so exactly
+      // one replica matches at every decade — match count stays constant
+      // while N grows, like any fixed query over a growing corpus
+      measure(s"bm25 ${factor}x", s"docs=${5000 * factor} k=10") {
+        graft.ext.Bm25.rank(d, "doc_id", "text",
+            Seq("sparkx0", "mergex0", "windowx0"), k = 10)
+          .agg(coalesce(sum(col("score_u6")), lit(0L)))
+          .collect()(0).getLong(0)
+      }
+      // trigram LM: the five count tables grow ~linearly under word
+      // salting (disjoint replica vocabularies — the conservative bound;
+      // real web vocab grows sublinearly), the token stream joins against
+      // them through the same broadcast→sort-merge regime switch the
+      // bigram row documents
+      measure(s"lm trigram ${factor}x", s"docs=${5000 * factor}") {
+        val lm3 = graft.ext.LangModel.fit3(d, "text")
+        graft.ext.LangModel.score3(d, "doc_id", "text", lm3)
+          .filter(col("ppl").isNotNull).count()
+      }
+      // hashed-TF quality probe: one UDF pass builds the features, the
+      // exact diff-of-means fit is ONE (dim-bounded) aggregation, scoring
+      // is map-only over plan literals — no corpus-proportional shuffle at
+      // any decade (the fastText-shape classifier's 100 TB claim)
+      measure(s"quality probe ${factor}x", s"docs=${5000 * factor} dim=64") {
+        val emb = d.select(col("doc_id"),
+          transform(graft.ext.TextAnalysis.hashedTfEmbedding(col("text"), 64),
+            x => x / 1024.0).as("emb"))
+        graft.ml.DiffOfMeans.scoresExact(emb, col("doc_id"), col("emb"),
+            col("doc_id") % 2 === 0)
+          .agg(count(lit(1))).collect()(0).getLong(0)
       }
       locally { // dev-probe cleanup of the replica dir
         val s = java.nio.file.Files.walk(rep)
@@ -217,7 +256,10 @@ object ScaleProbe {
     }
     val dir = args.headOption.filterNot(_ == "sweep")
       .getOrElse("/root/testdata/sf0.1")
-    if (args.contains("sweep")) { sweep(spark, dir); spark.stop(); return }
+    if (args.contains("sweep")) {
+      sweep(spark, dir, args.toSeq.filterNot(a => a == "sweep" || a == dir))
+      spark.stop(); return
+    }
     // 6M-row two-phase row index + slice
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val li10 = (0 until 10).map(i =>

@@ -1663,6 +1663,130 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.rollingHashUdf(col("text")).as("fp_rolling"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- multiclass probe chain (round 14) ----
+
+    "q_probe_multiclass" -> ((s, dir) => {
+      // the QUANTIZED-EXACT multiclass probe (nearest-class-mean in 1e-6
+      // integer arithmetic — ml.Multiclass): fit on the even vec_ids, score
+      // EVERY row — held-out odd rows replay the same centroid literals.
+      // Long format (vec_id, label, score, pred_label): the per-class score
+      // surface AND the argmax class are both hash-gated; every score is an
+      // exact quotient of integer arithmetic (the scoresExact contract), the
+      // argmax first-max-wins on the sorted label order.
+      val emb = t(s, dir, "embeddings")
+      val fit = graft.ml.Multiclass.fitCentroidsExact(
+        emb.filter(col("vec_id") % 2 === 0), col("embedding"), col("label"))
+      graft.ml.Multiclass.scoresExact(emb, col("vec_id"), col("embedding"), fit)
+        .select(col("id").as("vec_id"), col("label"), col("score"),
+          col("pred_label"))
+        .orderBy(col("vec_id"), col("label"))
+    }),
+
+    "q_probe_mc_eval" -> ((s, dir) => {
+      // multiclass chain THROUGH THE SPEC LAYER: TrainMulticlassClassifierOp
+      // ("nearest_centroid" — the exact registry member) → MulticlassPredictOp
+      // → MulticlassEvaluationOp; the store round-trips the custom
+      // QuantizedCentroidModel stage via PipelineModel.load. The gate row
+      // re-derives every metric from the report's INTEGER confusion counts
+      // by single divisions quantized to micro-units (f1 = 2tp/(2tp+fp+fn) —
+      // one division, so the full metric set is bit-replayable where the
+      // report's composed doubles would not be).
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val x = SelectVectorColumnOp(ds, "embedding")
+      val cls = SelectCategoricalColumnOp(ds, "label")
+      val model = TrainMulticlassClassifierOp("nearest_centroid", x, cls)
+      val pred = MulticlassPredictOp(model, x)
+      val eval = MulticlassEvaluationOp(pred, cls)
+      val all = r.toJson(eval).asInstanceOf[JObj]("splits")
+        .asInstanceOf[JObj]("all").asInstanceOf[JObj]
+      def l(v: JValue): Long = v.asInstanceOf[JLong].value
+      val n = l(all("count"))
+      val classes = all("classes").asInstanceOf[JObj].fields.toSeq.map {
+        case (lab, o: JObj) =>
+          (lab, l(o("support")), l(o("tp")), l(o("fp")), l(o("fn")))
+        case other => throw new IllegalStateException(s"bad class entry $other")
+      }
+      val correct = classes.map(_._3).sum
+      import s.implicits._
+      val perClass = classes
+        .toDF("label", "support", "tp", "fp", "fn")
+        .withColumn("p_u6", when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")) * 1e6)
+            .cast("long")))
+        .withColumn("r_u6", when(col("tp") + col("fn") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fn")) * 1e6)
+            .cast("long")))
+        .withColumn("f1_u6", when(col("tp") * 2 + col("fp") + col("fn") > 0,
+          round(col("tp").cast("double") * 2
+            / (col("tp") * 2 + col("fp") + col("fn")) * 1e6).cast("long")))
+      val agg = perClass.agg(
+        round(sum(col("f1_u6")).cast("double") / count(lit(1))).cast("long")
+          .as("macro_u6")).head().getLong(0)
+      perClass
+        .withColumn("acc_u6",
+          round(lit(correct).cast("double") / lit(n) * 1e6).cast("long"))
+        .withColumn("macro_u6", lit(agg))
+        .orderBy(col("label"))
+    }),
+
+    "q_lang_id_trained" -> ((s, dir) => {
+      // TRAINED language ID (fastText's shape: hashed-TF bag-of-words →
+      // exact linear multiclass) fit on the even doc_ids' lang labels,
+      // predicting every doc. On this synthetic corpus the text carries no
+      // real language signal (shared vocabulary) — the gate checks the
+      // EXACT train→predict arithmetic end to end; classification QUALITY
+      // (trained beats the stopword heuristic on a multilingual fixture)
+      // is asserted in MulticlassSpec.
+      TextAnalysis.langIdTrained(t(s, dir, "documents"),
+          "doc_id", "text", "lang", fitFilter = col("doc_id") % 2 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_graph" -> ((s, dir) => {
+      // the same trained classifier THROUGH THE SPEC LAYER:
+      // HashedTfEmbeddingOp (the text→vector bridge, dyadic /1024 scaling)
+      // → nearest-centroid multiclass fit on ALL rows → predicted label as
+      // a content-addressed CATEGORICAL column; ids = file-order row
+      // indices
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val x = HashedTfEmbeddingOp(SelectTextColumnOp(ds, "text"),
+        dim = 64L, scaleBits = 10L)
+      val model = TrainMulticlassClassifierOp("nearest_centroid", x,
+        SelectCategoricalColumnOp(ds, "lang"))
+      r.toFrame(MulticlassPredictOp(model, x))
+        .select(col(ColumnOps.RowIdx).cast("long").as("id"),
+          col("value").as("pred_label"))
+        .orderBy(col("id"))
+    }),
+
+    "q_sem_stream" -> ((s, dir) => {
+      // the STREAMING SemDeDup twin under the SAME oracle as
+      // q_dedup_semantic: an availableNow stream of the corpus (originals ∪
+      // planted copies, built by the same transformations on the streaming
+      // frame) deduped against PINNED centroids (vec_id 0..7, fit from the
+      // static corpus — the stored-centroid shape). Single-file fixture →
+      // one micro-batch → equals the batch operator exactly; the
+      // multi-batch == batch invariance (carried per-cell seen-set) is
+      // pinned in StreamingSpec.
+      val static = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents = Similarity.centroidsByIds(
+        static.union(static.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))),
+        "vec_id", "embedding", 0L to 7L)
+      val schema = t(s, dir, "embeddings").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/embeddings.parque[t]")
+        .select(col("vec_id"), col("embedding"))
+      val streamU = stream.union(stream.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      graft.streaming.Streaming.semanticDedupAvailableNow(
+          streamU, "vec_id", "embedding", cents, threshold = 0.8)
+        .select(col("id").as("vec_id"), col("cell"), col("keep"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1769,6 +1893,107 @@ object SparkEntry {
     * pre-evaluated constants), fixed term order in the score fold, ranking
     * on the quantized integer. `idSel` projects the id column (`doc_id` or
     * `doc_id AS id` for the row-index twin). */
+  /** Shared CTEs of the multiclass nearest-centroid oracles over the
+    * embeddings table: quantized per-(row, dim) inputs `q`, per-(class,
+    * dim) centroids `m` (fit rows = `fitWhere`, e.g. "WHERE vec_id % 2 =
+    * 0"), exact per-(row, class) scores `s`, ranked predictions `p` (rn=1
+    * = argmax; ORDER BY score DESC, lab = the engine's first-max over the
+    * sorted label array). Every score is integer arithmetic below 2⁵³
+    * followed by one division — bit-identical to
+    * [[graft.ml.QuantizedCentroidModel]]. */
+  private def mcEmbedSqlCtes(fitWhere: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS VARCHAR) AS lab, embedding,
+       |         unnest(range(len(embedding))) AS dim
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id, lab, dim,
+       |  CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1e6) AS BIGINT) AS qx
+       |  FROM e),
+       |m AS (
+       |  SELECT lab, dim,
+       |    CAST(round(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+       |  FROM q $fitWhere GROUP BY lab, dim),
+       |s AS (
+       |  SELECT q.vec_id, m.lab,
+       |    (CAST(SUM(q.qx * m.qm) AS DOUBLE)
+       |      - CAST(SUM(m.qm * m.qm) AS DOUBLE) / 2.0) / 1e12 AS score
+       |  FROM q JOIN m ON q.dim = m.dim
+       |  GROUP BY q.vec_id, m.lab),
+       |p AS (
+       |  SELECT vec_id, lab AS pred_label, score,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, lab) AS rn
+       |  FROM s)""".stripMargin
+
+  /** Shared CTEs of the TRAINED-language-ID oracles over the documents
+    * table: hashed-TF features rebuilt exactly (md5 15-hex prefix = top 60
+    * bits; signed bucket counts / 1024 — dyadic), then the same
+    * centroid-fit/score/argmax replay as [[mcEmbedSqlCtes]]. */
+  private def mcHashTfSqlCtes(fitWhere: String): String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+       |      x -> length(x) > 0) AS ws FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, list_transform(ws, t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w0),
+       |q AS (
+       |  SELECT doc_id, lang, dim,
+       |    CAST(round((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, v -> CASE WHEN v % 64 = dim
+       |        THEN CAST(1 AS BIGINT) - ((v >> 59) & 1) * 2
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS DOUBLE) / CAST(1024 AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS qx
+       |  FROM (SELECT doc_id, lang, hs, unnest(range(64)) AS dim FROM h)),
+       |m AS (
+       |  SELECT lang AS lab, dim,
+       |    CAST(round(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+       |  FROM q $fitWhere GROUP BY lang, dim),
+       |s AS (
+       |  SELECT q.doc_id, m.lab,
+       |    (CAST(SUM(q.qx * m.qm) AS DOUBLE)
+       |      - CAST(SUM(m.qm * m.qm) AS DOUBLE) / 2.0) / 1e12 AS score
+       |  FROM q JOIN m ON q.dim = m.dim
+       |  GROUP BY q.doc_id, m.lab),
+       |p AS (
+       |  SELECT doc_id, lab AS pred_label,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lab) AS rn
+       |  FROM s)""".stripMargin
+
+  /** Full SemDeDup replay (q_dedup_semantic AND its streaming twin
+    * q_sem_stream — identical verdicts over the identical planted fixture):
+    * centroids = vec_id 0..7 (cell id = position), every row (originals +
+    * the 50 planted copies) assigned to its max-cosine centroid (ties →
+    * smaller cell), duplicates = rows with a smaller-id same-cell neighbor
+    * at cosine >= 0.8. */
+  private val semDedupOracleSql: String =
+    """WITH u AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) cent_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |corp AS (SELECT vec_id cid,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+      |assign AS (
+      |  SELECT cid, cent_id AS cell, v FROM (
+      |    SELECT c.cid, ct.cent_id, c.v,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+      |    FROM corp c, cent ct) WHERE rn = 1),
+      |dup AS (
+      |  SELECT DISTINCT b.cid AS dup_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+      |SELECT a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
+      |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
+      |ORDER BY vec_id""".stripMargin
+
   private def bm25OracleSql(idSel: String): String = {
     val terms = Seq("spark", "merge", "window")
     val dfs = terms.indices.map(i =>
@@ -2183,6 +2408,72 @@ object SparkEntry {
         |SELECT q.vec_id, CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
         |FROM q JOIN qw USING (dim)
         |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin,
+
+    // multiclass replay: fit on even vec_ids, score + argmax on every row
+    "q_probe_multiclass" ->
+      (mcEmbedSqlCtes("WHERE vec_id % 2 = 0") +
+        """
+          |SELECT s.vec_id, s.lab AS label, s.score, p.pred_label
+          |FROM s JOIN p ON s.vec_id = p.vec_id AND p.rn = 1
+          |ORDER BY s.vec_id, label""".stripMargin),
+
+    // spec-chain replay: fit on ALL rows, confusion vs the label column,
+    // every metric a single integer division quantized to micro-units
+    "q_probe_mc_eval" ->
+      (mcEmbedSqlCtes("") +
+        """,
+          |pred AS (SELECT vec_id, pred_label FROM p WHERE rn = 1),
+          |gt AS (SELECT vec_id, CAST(label AS VARCHAR) AS gt FROM embeddings),
+          |cellc AS (
+          |  SELECT g.gt, pr.pred_label AS pl, CAST(count(*) AS BIGINT) AS n
+          |  FROM gt g JOIN pred pr USING (vec_id) GROUP BY 1, 2),
+          |cls AS (SELECT DISTINCT lab FROM
+          |  (SELECT gt AS lab FROM cellc UNION SELECT pl FROM cellc)),
+          |stats AS (
+          |  SELECT c.lab AS label,
+          |    CAST(coalesce(SUM(CASE WHEN cc.gt = c.lab AND cc.pl = c.lab
+          |      THEN cc.n END), 0) AS BIGINT) AS tp,
+          |    CAST(coalesce(SUM(CASE WHEN cc.gt <> c.lab AND cc.pl = c.lab
+          |      THEN cc.n END), 0) AS BIGINT) AS fp,
+          |    CAST(coalesce(SUM(CASE WHEN cc.gt = c.lab AND cc.pl <> c.lab
+          |      THEN cc.n END), 0) AS BIGINT) AS fn
+          |  FROM cls c CROSS JOIN cellc cc GROUP BY c.lab),
+          |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+          |  CAST(SUM(CASE WHEN gt = pl THEN n ELSE 0 END) AS BIGINT) AS correct
+          |  FROM cellc),
+          |met AS (
+          |  SELECT label, tp + fn AS support, tp, fp, fn,
+          |    CASE WHEN tp + fp > 0 THEN CAST(round(CAST(tp AS DOUBLE)
+          |      / (tp + fp) * 1e6) AS BIGINT) END AS p_u6,
+          |    CASE WHEN tp + fn > 0 THEN CAST(round(CAST(tp AS DOUBLE)
+          |      / (tp + fn) * 1e6) AS BIGINT) END AS r_u6,
+          |    CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(round(
+          |      CAST(tp AS DOUBLE) * 2 / (2 * tp + fp + fn) * 1e6)
+          |      AS BIGINT) END AS f1_u6
+          |  FROM stats),
+          |mac AS (SELECT CAST(round(CAST(SUM(f1_u6) AS DOUBLE) / COUNT(*))
+          |  AS BIGINT) AS macro_u6 FROM met)
+          |SELECT met.label, met.support, met.tp, met.fp, met.fn,
+          |  met.p_u6, met.r_u6, met.f1_u6,
+          |  CAST(round(CAST(tot.correct AS DOUBLE) / tot.n * 1e6) AS BIGINT)
+          |    AS acc_u6,
+          |  mac.macro_u6
+          |FROM met CROSS JOIN tot CROSS JOIN mac
+          |ORDER BY met.label""".stripMargin),
+
+    // trained language ID replay: hashed-TF fit on even doc_ids, argmax
+    "q_lang_id_trained" ->
+      (mcHashTfSqlCtes("WHERE doc_id % 2 = 0") +
+        """
+          |SELECT doc_id, pred_label FROM p WHERE rn = 1
+          |ORDER BY doc_id""".stripMargin),
+
+    // spec twin: fit on all rows, ids = file-order row indices (== doc_id)
+    "q_lang_graph" ->
+      (mcHashTfSqlCtes("") +
+        """
+          |SELECT doc_id AS id, pred_label FROM p WHERE rn = 1
+          |ORDER BY id""".stripMargin),
 
     "q_umap_viz" -> umapVizOracleSql,
 
@@ -2728,30 +3019,12 @@ object SparkEntry {
     // every row (originals + the 50 planted copies) assigned to its
     // max-cosine centroid (ties -> smaller cell), duplicates = rows with a
     // smaller-id same-cell neighbor at cosine >= 0.8
-    "q_dedup_semantic" ->
-      """WITH u AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
-        |cent AS (
-        |  SELECT CAST(vec_id AS INT) cent_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
-        |  FROM embeddings WHERE vec_id < 8),
-        |corp AS (SELECT vec_id cid,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
-        |assign AS (
-        |  SELECT cid, cent_id AS cell, v FROM (
-        |    SELECT c.cid, ct.cent_id, c.v,
-        |      row_number() OVER (PARTITION BY c.cid
-        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
-        |    FROM corp c, cent ct) WHERE rn = 1),
-        |dup AS (
-        |  SELECT DISTINCT b.cid AS dup_id
-        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
-        |SELECT a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
-        |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
-        |ORDER BY vec_id""".stripMargin,
+    "q_dedup_semantic" -> semDedupOracleSql,
+
+    // the STREAMING twin computes the identical verdict set (single-file
+    // fixture → one micro-batch; multi-batch == batch pinned in
+    // StreamingSpec), so it shares the replay verbatim
+    "q_sem_stream" -> semDedupOracleSql,
 
     // replay of the recursive overflow split: one centroid -> cell 0 for
     // every row; sub-centroids = the 16 smallest-id members (vec_id 0..15,

@@ -199,6 +199,34 @@ object TextAnalysis {
     f(text)
   }
 
+  /** TRAINED language ID — fastText's architecture with zero neural model:
+    * hashed-TF bag-of-words features ([[hashedTfEmbedding]], scaled by the
+    * dyadic /1024 to stay inside the quantized-exact 2⁵³ contract) scored
+    * by the exact nearest-class-mean probe
+    * ([[graft.ml.Multiclass.fitCentroidsExact]]). That is literally the
+    * fastText supervised shape (Joulin et al. 2016: averaged hashed n-gram
+    * embeddings → linear classifier) — and unlike the 6-language stopword
+    * heuristic [[langId]], it learns WHATEVER label vocabulary the training
+    * rows carry, so domains, quality tiers, and unseen languages all work.
+    * Fit rows = `fitFilter`; every row of `docs` is scored. Returns
+    * `(id, pred_label)`. Both passes are map-only over plan literals after
+    * one (class × dim)-bounded training aggregation — the 100 TB shape.
+    * The whole train→predict pipeline is hash-replayable in SQL (the
+    * q_lang_id_trained oracle replays it end to end); held-out accuracy
+    * beating the stopword heuristic on a multilingual fixture is gated in
+    * MulticlassSpec. */
+  def langIdTrained(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, fitFilter: Column,
+                    dim: Int = 64): DataFrame = {
+    val emb = docs.select(col(idCol), col(labelCol),
+      transform(hashedTfEmbedding(col(textCol), dim), x => x / 1024.0)
+        .as("__emb"))
+    val fit = graft.ml.Multiclass.fitCentroidsExact(
+      emb.filter(fitFilter), col("__emb"), col(labelCol))
+    graft.ml.Multiclass.predictExact(emb, col(idCol), col("__emb"), fit)
+      .withColumnRenamed("id", idCol)
+  }
+
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), Ws + "+", " "))
 

@@ -105,6 +105,8 @@ class LocalSparkRunner(
     case AssignTrainTestSplitOp(ds, _, _, _) => lengthOf(ds)
     case AssignRowIDOp(ds) => lengthOf(ds)
     case p: ClassifierPredictOp => lengthOf(p.x)
+    case p: MulticlassPredictOp => lengthOf(p.x)
+    case h: HashedTfEmbeddingOp => lengthOf(h.text)
     case a: LLMLayerActivationsOp => lengthOf(a.text)
     case l: LLMLogitScoresOp => lengthOf(l.text)
     case g: LLMGenerateTextOp => lengthOf(g.prompt)
@@ -816,6 +818,23 @@ class LocalSparkRunner(
 
     case ev: ClassifierEvaluationOp =>
       JsonResult(graft.ml.Probes.evaluate(this, ev))
+
+    case train: TrainMulticlassClassifierOp =>
+      ModelResult(graft.ml.Multiclass.train(this, train))
+
+    case pred: MulticlassPredictOp =>
+      FrameResult(graft.ml.Multiclass.predict(this, pred))
+
+    case ev: MulticlassEvaluationOp =>
+      JsonResult(graft.ml.Multiclass.evaluate(this, ev))
+
+    case HashedTfEmbeddingOp(text, dim, scaleBits) =>
+      // signed bucket counts, scaled by the dyadic 2^-scaleBits (exact in
+      // float — keeps downstream quantized-exact probes inside 2^53)
+      val scale = (1L << scaleBits).toFloat
+      val emb = graft.ext.TextAnalysis.hashedTfEmbedding(col(ValueCol), dim.toInt)
+      val scaled = if (scaleBits == 0L) emb else transform(emb, x => x / scale)
+      FrameResult(frame(text).select(col(RowIdx), scaled.as(ValueCol)))
 
     case acts: LLMLayerActivationsOp =>
       FrameResult(graft.llm.LLMOps.layerActivations(this, acts))

@@ -115,6 +115,16 @@ object Fluent {
                         params: Map[String, Any] = Map.empty): TrainClassifierOp =
       TrainClassifierOp(modelType, v, positives, negatives, trainDomain,
         preprocessing, params)
+    /** beyond reference (its probes are binary-only): multiclass probe
+      * over a categorical label column */
+    def trainMulticlass(labels: CategoricalColumnType,
+                        trainDomain: Option[BooleanColumnType] = None,
+                        modelType: String = "softmax",
+                        preprocessing: String = "none",
+                        params: Map[String, Any] = Map.empty)
+    : TrainMulticlassClassifierOp =
+      TrainMulticlassClassifierOp(modelType, v, labels, trainDomain,
+        preprocessing, params)
     /** reference `types.py:307-334` */
     def umapViz(nNeighbors: Long = 15L, nEpochs: Long = 200L,
                 randomState: Long = 42L): UMAPVizOp =
@@ -186,11 +196,28 @@ object Fluent {
     /** beyond reference: BM25 top-k retrieval for literal query terms */
     def bm25(terms: Seq[String], k: Long = 10L, k1: Double = 1.2,
              b: Double = 0.75): Bm25RankOp = Bm25RankOp(t, terms, k, k1, b)
+    /** beyond reference: hashing-trick document embedding — the spec
+      * layer's text→vector bridge (scaleBits: divide counts by 2^bits) */
+    def hashedTfEmbedding(dim: Long = 64L,
+                          scaleBits: Long = 0L): HashedTfEmbeddingOp =
+      HashedTfEmbeddingOp(t, dim, scaleBits)
   }
 
   implicit class ClassifierBuilders(private val m: ClassifierType) extends AnyVal {
     /** reference `types.py:364-376` */
     def predict(x: VectorColumnType): ClassifierPredictOp = ClassifierPredictOp(m, x)
+    /** beyond reference: multiclass predicted-label column */
+    def predictMulticlass(x: VectorColumnType): MulticlassPredictOp =
+      MulticlassPredictOp(m, x)
+  }
+
+  implicit class MulticlassPredictionBuilders(private val p: CategoricalColumnType) {
+    /** beyond reference: multiclass report against categorical ground truth */
+    def evaluateMulticlass(gtLabels: CategoricalColumnType,
+                           split: Option[ColumnType] = None,
+                           predictDomain: Option[BooleanColumnType] = None)
+    : MulticlassEvaluationOp =
+      MulticlassEvaluationOp(p, gtLabels, split, predictDomain)
   }
 
   implicit class ScorePredictionBuilders(private val s: ScoreColumnType) extends AnyVal {

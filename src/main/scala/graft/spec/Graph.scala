@@ -379,6 +379,23 @@ object OpRegistry {
         optOp[ColumnType](o, "split", r),
         optOp[BooleanColumnType](o, "predict_domain", r),
         optDbl(o, "score_threshold"))),
+    "TrainMulticlassClassifierOp" -> ((o, r) =>
+      TrainMulticlassClassifierOp(str(o, "model_type"),
+        op[VectorColumnType](o, "x", r),
+        op[CategoricalColumnType](o, "labels", r),
+        optOp[BooleanColumnType](o, "train_domain", r),
+        str(o, "preprocessing"), anyMap(o, "params"))),
+    "MulticlassPredictOp" -> ((o, r) =>
+      MulticlassPredictOp(op[ClassifierType](o, "model", r),
+        op[VectorColumnType](o, "x", r))),
+    "MulticlassEvaluationOp" -> ((o, r) =>
+      MulticlassEvaluationOp(op[CategoricalColumnType](o, "predicted", r),
+        op[CategoricalColumnType](o, "gt_labels", r),
+        optOp[ColumnType](o, "split", r),
+        optOp[BooleanColumnType](o, "predict_domain", r))),
+    "HashedTfEmbeddingOp" -> ((o, r) =>
+      HashedTfEmbeddingOp(op[TextColumnType](o, "text", r),
+        lng(o, "dim"), lng(o, "scale_bits"))),
     "LLMLayerActivationsOp" -> ((o, r) =>
       LLMLayerActivationsOp(str(o, "model_name"), op[ColumnType](o, "text", r),
         lng(o, "layer_num"), str(o, "token_mode"), lng(o, "batch_size"),

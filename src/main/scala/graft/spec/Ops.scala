@@ -237,6 +237,59 @@ final case class ClassifierEvaluationOp(
     predictDomain: Option[BooleanColumnType] = None,
     scoreThreshold: Option[Double] = None) extends EvaluationReportType
 
+// ---------- multiclass probe chain (beyond reference: its probes are
+// binary-only — `probe_implementations.py:197` asserts two classes) ----------
+
+/** Train a MULTICLASS probe: features × a CATEGORICAL label column (class
+  * vocabulary = the sorted distinct labels seen in the train domain; the
+  * fitted model carries the label mapping, so prediction yields the
+  * original strings). `model_type` resolves in
+  * [[graft.ml.MulticlassRegistry]] — softmax, one-vs-rest lifts, trees,
+  * gaussian NB, and `nearest_centroid` (the quantized-exact closed-form
+  * member that makes the chain hash-replayable). */
+final case class TrainMulticlassClassifierOp(
+    modelType: String,
+    x: VectorColumnType,
+    labels: CategoricalColumnType,
+    trainDomain: Option[BooleanColumnType] = None,
+    preprocessing: String = "none",
+    params: Map[String, Any] = Map.empty) extends ClassifierType {
+  require(Set("none", "standardize", "normalize")(preprocessing),
+    s"bad preprocessing $preprocessing")
+}
+
+/** Predicted class label per row — a CATEGORICAL column, so the prediction
+  * flows back into every categorical op (is_in masks, grouped filters,
+  * another train's label input). */
+final case class MulticlassPredictOp(
+    model: ClassifierType,
+    x: VectorColumnType) extends CategoricalColumnType
+
+/** Multiclass evaluation report: per split — accuracy, per-class
+  * precision/recall/F1/support, macro-F1, full confusion matrix. All
+  * derived from one bounded (split, gt, pred) count aggregation. */
+final case class MulticlassEvaluationOp(
+    predicted: CategoricalColumnType,
+    gtLabels: CategoricalColumnType,
+    split: Option[ColumnType] = None,
+    predictDomain: Option[BooleanColumnType] = None) extends EvaluationReportType
+
+/** Model-free hashing-trick document embedding
+  * ([[graft.ext.TextAnalysis.hashedTfEmbedding]]): signed bucket counts
+  * over whitespace words, optionally scaled by 2^-`scaleBits` (dyadic —
+  * exact in float, which keeps downstream quantized-exact probes inside
+  * their 2⁵³ contract). The spec layer's text→vector bridge: feeds
+  * TrainClassifierOp / TrainMulticlassClassifierOp / ANN ops with no
+  * neural encoder in the loop. */
+final case class HashedTfEmbeddingOp(
+    text: TextColumnType,
+    dim: Long = 64L,
+    scaleBits: Long = 0L) extends VectorColumnType {
+  require(dim >= 1L && dim <= Int.MaxValue, s"dim must be in [1, 2^31), got $dim")
+  require(scaleBits >= 0L && scaleBits <= 30L,
+    s"scaleBits must be in [0, 30], got $scaleBits")
+}
+
 // ---------- LLM ops (reference llm_ops.py) ----------
 
 /** Residual activations at `layer_num`, pooled by `token_mode`. Provider

@@ -291,6 +291,92 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming twin of [[graft.ext.Dedup.semanticDedup]]: SemDeDup against
+    * PINNED centroids (fit once on a reference corpus — in production,
+    * content-addressed in the runner store like the stored-IVF index), run
+    * per micro-batch under `Trigger.AvailableNow`. Per batch:
+    * nearest-centroid assignment (stream-static against the broadcast
+    * centroid table, map-only), then a row is dropped when it has a
+    * neighbor at cosine ≥ `threshold` either (a) among SMALLER-id rows of
+    * the same cell in its own batch, or (b) among ALL carried rows of the
+    * same cell from earlier batches. Output one row per input:
+    * `(id, cell, keep)`.
+    *
+    * EQUALS the batch operator bit-for-bit whenever batches arrive in
+    * nondecreasing id order (the ingest norm — ids assigned on arrival;
+    * multi-batch == batch pinned in StreamingSpec). Out-of-order ids
+    * degrade gracefully to arrival-order-first-wins — the natural streaming
+    * dedup semantics.
+    *
+    * Cross-batch state is the cell-assigned corpus itself (ALL prior rows,
+    * not just survivors: SemDeDup's rule compares against every smaller-id
+    * row, dropped or not — a kept-only seen-set would resurrect chains
+    * a→b→c where cos(a,c) < threshold). That is inherent to exact SemDeDup,
+    * which is corpus-global; the state shards by cell (the same key the
+    * batch shuffle uses) and each batch joins against it once. A production
+    * deployment bounds the horizon the same way the exact-dedup twin does
+    * (drop state older than the watermark) or keeps per-cell
+    * representatives only — both documented approximations, not silent
+    * ones. The carried frame is eagerly `localCheckpoint`ed per batch so
+    * lineage stays O(1) deep regardless of batch count. No overflow
+    * splitting here: cells are pinned (split decisions are corpus-global);
+    * route mode-collapsed corpora through the batch operator.
+    *
+    * Collecting is the gate/test form; production writes each batch's
+    * verdicts to a sink from the same `foreachBatch` hook. */
+  def semanticDedupAvailableNow(docs: DataFrame, idCol: String, vecCol: String,
+                                centroids: Array[(Int, Seq[Float])],
+                                threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    var carried: Option[DataFrame] = None
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val assigned = graft.ext.Similarity
+          .assignCells(batch.toDF(), idCol, vecCol, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = assigned.select(col("cell"), col("id").as("id_b"),
+          col("__v").as("__vb"))
+        val inBatch = assigned
+          .select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
+          .join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.ext.Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+          .select(col("id_b").as("__dup"))
+        val dropped = (carried match {
+          case Some(c) =>
+            inBatch.union(
+              c.select(col("cell"), col("__v").as("__va")).join(b, Seq("cell"))
+                .filter(graft.ext.Similarity.cosine(col("__va"), col("__vb"))
+                  >= threshold)
+                .select(col("id_b").as("__dup")))
+          case None => inBatch
+        }).distinct()
+        val out = assigned
+          .join(dropped, col("id") === col("__dup"), "left_outer")
+          .select(col("id"), col("cell"), col("__dup").isNull.as("keep"))
+        val collected = out.collect()
+        rows.synchronized { rows ++= collected }
+        schema = out.schema
+        val grown = carried match {
+          case Some(c) => c.union(assigned.select(col("id"), col("cell"), col("__v")))
+          case None => assigned.select(col("id"), col("cell"), col("__v"))
+        }
+        // eager checkpoint: truncates the union lineage AND materializes
+        // before the batch cache is released below
+        carried = Some(grown.localCheckpoint(true))
+        assigned.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived to dedup")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Permissive twin of [[annotateImageMeta]] — the streaming form of the
     * batch `withImageMetaPermissive` robustness contract: a corrupt payload
     * yields a null-meta row with the error message instead of throwing

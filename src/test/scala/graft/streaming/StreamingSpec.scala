@@ -301,6 +301,43 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed(50)(2) == firstHalfTokens)
   }
 
+  test("streaming semantic dedup: multi-batch equals batch, cross-batch dups drop") {
+    // ids in nondecreasing batch order (the ingest contract): batch 1
+    // contains EXACT COPIES of batch-0 vectors (ids 100..104 copy 0..4) —
+    // they must drop against the CARRIED state, not just within-batch;
+    // centroids are pinned from the full corpus (vec ids 0..3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semstream-")
+    val rng = new scala.util.Random(5)
+    def vec(): Seq[Float] = Seq.fill(16)((rng.nextDouble() * 2 - 1).toFloat)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val copies = (0L until 5L).map(i => (i + 100L, base(i.toInt)._2))
+    val b0 = base.take(30)
+    val b1 = base.drop(30) ++ copies
+    b0.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b1")
+    val all = (b0 ++ b1).toDF("vec_id", "embedding")
+    val cents = graft.ext.Similarity.centroidsByIds(
+      all, "vec_id", "embedding", 0L to 3L)
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.semanticDedupAvailableNow(
+        stream, "vec_id", "embedding", cents, threshold = 0.8)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.Dedup.semanticDedup(
+        all, "vec_id", "embedding", cents, threshold = 0.8)
+      .select(col("id"), col("cell"), col("keep"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the planted copies really dropped, and against the carried state
+    // (their originals live in the EARLIER batch)
+    val verdicts = streamed.map(r => r.head.asInstanceOf[Long] ->
+      r(2).asInstanceOf[Boolean]).toMap
+    assert((100L until 105L).forall(id => !verdicts(id)))
+    assert((0L until 30L).forall(id => verdicts(id)))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
