@@ -1763,6 +1763,36 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_ccnet" -> ((s, dir) => {
+      // CCNet-style quality tiers (Wenzek 2020): reference bigram LM fit on
+      // the even doc_ids, every doc scored, per-language head/middle/tail
+      // by exact perplexity-rank thirds — the global two-phase rank, no
+      // per-language window. The oracle replays fit, scoring, ranking, and
+      // the bucket cut.
+      val docs = t(s, dir, "documents")
+      val lm = LangModel.fit(docs.filter(col("doc_id") % 2 === 0), "text")
+      LangModel.ccnetBuckets(docs, "doc_id", "text", "lang", lm)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_ccnet_graph" -> ((s, dir) => {
+      // CCNet THROUGH THE SPEC LAYER, in its true operating shape: the
+      // reference model is fit on TARGET-DOMAIN text (the English slice,
+      // selected by a lang mask — Wenzek 2020 fits on Wikipedia), and the
+      // buckets measure how reference-like each document is within its own
+      // language. The tiering is content-addressed in the store. ids =
+      // file-order row indices.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val isEn = CategoryToBooleanOp(
+        SelectCategoricalColumnOp(ds, "lang"), Some(Seq("en")))
+      r.toFrame(CcnetBucketsOp(
+          SelectTextColumnOp(ds, "text"),
+          SelectCategoricalColumnOp(ds, "lang"),
+          SelectTextColumnOp(MaskRowsOp(ds, isEn), "text")))
+        .orderBy(col("id"))
+    }),
+
     "q_sem_stream" -> ((s, dir) => {
       // the STREAMING SemDeDup twin under the SAME oracle as
       // q_dedup_semantic: an availableNow stream of the corpus (originals ∪
@@ -2034,7 +2064,11 @@ object SparkEntry {
     * doc_ids, per-token micro-nat quantization, ending with
     * `d` = (doc_id, n_tokens, logp_u6). Constants imported from
     * [[graft.ext.LangModel]] so they cannot drift. */
-  private def lmPerplexitySqlCtes: String = {
+  private def lmPerplexitySqlCtes: String =
+    lmPerplexitySqlCtesWith("SELECT * FROM p WHERE doc_id % 2 = 0")
+
+  /** Same CTEs with a caller-chosen fit-row selection (must project p.*). */
+  private def lmPerplexitySqlCtesWith(fitpSql: String): String = {
     val bos = LangModel.Bos
     s"""WITH w AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
@@ -2044,7 +2078,7 @@ object SparkEntry {
        |    CASE WHEN i = 0 THEN '$bos' ELSE ws[i] END AS prev,
        |    ws[i + 1] AS cur
        |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i FROM w)),
-       |fitp AS (SELECT * FROM p WHERE doc_id % 2 = 0),
+       |fitp AS ($fitpSql),
        |uni AS (SELECT cur AS w2, count(*) AS cu FROM fitp GROUP BY 1
        |        UNION ALL
        |        SELECT '$bos', count(*) FROM fitp WHERE prev = '$bos'),
@@ -3594,6 +3628,50 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    // CCNet buckets: the q_lm_perplexity scoring replay + per-language
+    // perplexity rank (unscoreable docs to +∞ → tail) + the exact-thirds
+    // cut ⌊3r/cnt⌋
+    "q_ccnet" ->
+      (lmPerplexitySqlCtes +
+        s""",
+           |scored AS (
+           |  SELECT docs.doc_id, docs.lang,
+           |    coalesce(d.n_tokens, 0) AS n_tokens,
+           |    coalesce(d.logp_u6, 0) AS logp_u6,
+           |    $lmPplExprSql AS ppl
+           |  FROM documents docs LEFT JOIN d USING (doc_id)),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |      ORDER BY coalesce(ppl, 'infinity'::DOUBLE), doc_id) - 1 AS r,
+           |    count(*) OVER (PARTITION BY lang) AS cnt
+           |  FROM scored)
+           |SELECT doc_id, lang, n_tokens, logp_u6, ppl,
+           |  (['head','middle','tail'])[CAST(floor(r * 3 / cnt) AS INT) + 1]
+           |    AS bucket
+           |FROM rk ORDER BY doc_id""".stripMargin),
+
+    // spec twin: reference model fit on the ENGLISH slice (CCNet's
+    // target-domain shape), ids = file-order row indices (== doc_id)
+    "q_ccnet_graph" ->
+      (lmPerplexitySqlCtesWith("SELECT p.* FROM p " +
+        "JOIN documents dd USING (doc_id) WHERE dd.lang = 'en'") +
+        s""",
+           |scored AS (
+           |  SELECT docs.doc_id, docs.lang,
+           |    coalesce(d.n_tokens, 0) AS n_tokens,
+           |    coalesce(d.logp_u6, 0) AS logp_u6,
+           |    $lmPplExprSql AS ppl
+           |  FROM documents docs LEFT JOIN d USING (doc_id)),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |      ORDER BY coalesce(ppl, 'infinity'::DOUBLE), doc_id) - 1 AS r,
+           |    count(*) OVER (PARTITION BY lang) AS cnt
+           |  FROM scored)
+           |SELECT doc_id AS id, lang, n_tokens, logp_u6, ppl,
+           |  (['head','middle','tail'])[CAST(floor(r * 3 / cnt) AS INT) + 1]
+           |    AS bucket
+           |FROM rk ORDER BY id""".stripMargin),
 
     // trigram replay: same quantized-arm discipline as the bigram oracle,
     // one extra context column and one extra backoff order

@@ -138,6 +138,51 @@ object LangModel {
   def perplexity(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     score(docs, idCol, textCol, fit(docs, textCol))
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020, arXiv:1911.00359
+    * — the canonical web-corpus quality tiering): score every document
+    * against a REFERENCE model `lm` (CCNet fits it on target-domain text),
+    * then split each language's documents into equal thirds by perplexity
+    * rank — `head` (most target-like), `middle`, `tail`. Output one row per
+    * input: (id, lang, n_tokens, logp_u6, ppl, bucket).
+    *
+    * Deterministic: rank order is (ppl, id) with unscoreable documents
+    * (n_tokens = 0, NULL ppl) sorted to +∞ — they land in `tail`, the
+    * honest verdict for an empty document; bucket = ⌊3·rank/count⌋ per
+    * language, so the thirds are exact up to integer rounding and every
+    * engine replays them bit-for-bit.
+    *
+    * Scale shape: scoring is the [[score]] plan (count-table joins); the
+    * per-language ranking is the GLOBAL two-phase rank over
+    * (lang, ppl, id) — no `Window.partitionBy(lang)`, so a corpus that is
+    * 90% one language (every real web crawl) cannot serialize into one
+    * task. Within-language ranks are recovered from the global rank by a
+    * broadcast join of per-language (first-rank, count) aggregates —
+    * #languages rows, metadata-scale. */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, lm: BigramLm): DataFrame = {
+    val RowIdx = graft.ops.ColumnOps.RowIdx
+    val scored = score(docs, idCol, textCol, lm)
+    // private id alias: withRowIdxByKey writes the engine's __row_idx
+    // column, which IS the id column when the spec layer calls this
+    val joined = docs
+      .select(col(idCol).as("__ccnet_id"), col(langCol).cast("string").as("lang"))
+      .join(scored.withColumnRenamed(idCol, "__ccnet_id"), Seq("__ccnet_id"))
+      .select(col("__ccnet_id"), col("lang"), col("n_tokens"),
+        col("logp_u6"), col("ppl"))
+    val key = coalesce(col("ppl"), lit(Double.PositiveInfinity))
+    val ranked = graft.ops.ColumnOps.withRowIdxByKey(
+      joined, col("lang"), key, col("__ccnet_id"))
+    val perLang = ranked.groupBy(col("lang"))
+      .agg(min(col(RowIdx)).as("__first"), count(lit(1)).as("__cnt"))
+    ranked.join(broadcast(perLang), "lang")
+      .withColumn("__r", col(RowIdx) - col("__first"))
+      .withColumn("bucket",
+        element_at(typedlit(Seq("head", "middle", "tail")),
+          (floor(col("__r") * 3 / col("__cnt")) + 1).cast("int")))
+      .select(col("__ccnet_id").as(idCol), col("lang"), col("n_tokens"),
+        col("logp_u6"), col("ppl"), col("bucket"))
+  }
+
   // ---------------- trigram order ----------------
 
   /** Fitted trigram model. Every table derives from ONE (prev2, prev, cur)

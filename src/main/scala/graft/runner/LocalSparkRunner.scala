@@ -120,6 +120,7 @@ class LocalSparkRunner(
     case g: GopherKeepOp => lengthOf(g.text)
     case c: ContaminationFlagOp => lengthOf(c.text)
     case l: LmPerplexityOp => lengthOf(l.text)
+    case c: CcnetBucketsOp => lengthOf(c.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
     case b: BpeTokenizeOp => lengthOf(b.text)
     case m: ImageMetaOp => lengthOf(m.image)
@@ -976,6 +977,19 @@ class LocalSparkRunner(
       val lm = graft.ext.LangModel.fit(f, "__txt")
       FrameResult(graft.ext.LangModel.score(t, RowIdx, "__txt", lm)
         .select(col(RowIdx), col("ppl").as(ValueCol)))
+
+    case CcnetBucketsOp(text, lang, fitText) =>
+      val t = frame(text)
+        .select(col(RowIdx), col(ValueCol).cast("string").as("__txt"))
+      val l = frame(lang)
+        .select(col(RowIdx), col(ValueCol).cast("string").as("__lang"))
+      val f = frame(fitText)
+        .select(col(ValueCol).cast("string").as("__txt"))
+      val lm = graft.ext.LangModel.fit(f, "__txt")
+      FrameResult(graft.ext.LangModel.ccnetBuckets(
+          t.join(l, RowIdx), RowIdx, "__txt", "__lang", lm)
+        .select(col(RowIdx).as("id"), col("lang"), col("n_tokens"),
+          col("logp_u6"), col("ppl"), col("bucket")))
 
     case DsirSelectOp(text, targetText, m, k, alpha) =>
       val t = frame(text)

@@ -187,6 +187,11 @@ object Fluent {
       * fit on `fitOn` (the external-reference-model form) */
     def lmPerplexity(fitOn: TextColumnType): LmPerplexityOp =
       LmPerplexityOp(t, fitOn)
+    /** beyond reference: CCNet head/middle/tail perplexity tiers per
+      * language-key value, against a reference model fit on `fitOn` */
+    def ccnetBuckets(lang: CategoricalColumnType,
+                     fitOn: TextColumnType): CcnetBucketsOp =
+      CcnetBucketsOp(t, lang, fitOn)
     /** beyond reference: DSIR top-k selection against a target column */
     def dsirSelect(target: TextColumnType, m: Long = 4096L, k: Long = 100L,
                    alpha: Double = 1.0): DsirSelectOp =

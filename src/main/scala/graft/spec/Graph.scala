@@ -465,6 +465,10 @@ object OpRegistry {
       DsirSelectOp(op[TextColumnType](o, "text", r),
         op[TextColumnType](o, "target_text", r),
         lng(o, "m"), lng(o, "k"), dbl(o, "alpha"))),
+    "CcnetBucketsOp" -> ((o, r) =>
+      CcnetBucketsOp(op[TextColumnType](o, "text", r),
+        op[CategoricalColumnType](o, "lang", r),
+        op[TextColumnType](o, "fit_text", r))),
     "DedupSpansOp" -> ((o, r) =>
       DedupSpansOp(op[TextColumnType](o, "text", r), lng(o, "k"))),
     "Bm25RankOp" -> ((o, r) =>

@@ -501,6 +501,19 @@ final case class LmPerplexityOp(
     text: TextColumnType,
     fitText: TextColumnType) extends ScoreColumnType
 
+/** CCNet-style perplexity quality tiers
+  * ([[graft.ext.LangModel.ccnetBuckets]], Wenzek et al. 2020): score
+  * `text` against a bigram model fit on `fitText`, split each `lang`
+  * value's rows into head/middle/tail by exact perplexity-rank thirds.
+  * Result `(id, lang, n_tokens, logp_u6, ppl, bucket)`, id = row index.
+  * Non-ephemeral: the tiering IS the reusable curation artifact — a
+  * 100 TB corpus is bucketed once per (corpus, reference, language-key)
+  * triple, ever. */
+final case class CcnetBucketsOp(
+    text: TextColumnType,
+    lang: CategoricalColumnType,
+    fitText: TextColumnType) extends DatasetType
+
 /** DSIR data selection over a text column ([[graft.ext.Dsir]], Xie et al.
   * 2023): importance weights of `text` rows against the `targetText`
   * corpus (hashed unigram+bigram buckets in `m`, add-`alpha` smoothing),

@@ -110,4 +110,36 @@ class LangModelSpec extends SparkTestBase {
     val seenWorst = math.log(1.0 / 2.0) // worst seen conditional: c(n,o)/c(n)
     assert(scored(1).getLong(2) < math.round(seenWorst * 1e6))
   }
+
+  test("ccnet buckets: exact thirds per lang, head beats tail, empty → tail") {
+    // reference = repeated target-like text; per lang: 4 target-like docs,
+    // 2 gibberish docs, 1 empty doc (7 per lang → thirds of 3/2/2)
+    val mk = (lang: String, base: Long) =>
+      (0L until 4L).map(i => (base + i, s"the cat sat on the mat $i", lang)) ++
+        Seq((base + 4L, "zz qq vv ww pp kk", lang),
+          (base + 5L, "xx yy uu tt rr ss", lang),
+          (base + 6L, "", lang))
+    val docs = (mk("en", 0L) ++ mk("de", 100L)).toDF("doc_id", "text", "lang")
+    val lm = LangModel.fit(docs.filter(col("doc_id") % 100 < 4), "text")
+    val out = LangModel.ccnetBuckets(docs, "doc_id", "text", "lang", lm)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(5)))
+    assert(out.length == 14)
+    for (lang <- Seq("en", "de")) {
+      val byBucket = out.filter(_._2 == lang).groupBy(_._3)
+        .view.mapValues(_.map(_._1).toSet).toMap
+      // floor(3r/7) → sizes 3, 2, 2
+      assert(byBucket("head").size == 3 && byBucket("middle").size == 2 &&
+        byBucket("tail").size == 2, s"$lang sizes: $byBucket")
+      // target-like docs fill the head; the empty doc lands in tail
+      val base = if (lang == "en") 0L else 100L
+      assert(byBucket("head").subsetOf((0L until 4L).map(base + _).toSet))
+      assert(byBucket("tail").contains(base + 6L))
+    }
+    // deterministic under repartitioning and input order
+    val out2 = LangModel.ccnetBuckets(
+        docs.repartition(7).orderBy(col("doc_id").desc),
+        "doc_id", "text", "lang", lm)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(5)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
 }

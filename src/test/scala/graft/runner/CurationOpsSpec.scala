@@ -178,4 +178,26 @@ class CurationOpsSpec extends SparkTestBase {
     val back = Graph.deserialize(Graph.serialize(bm)).last
     assert(back == bm && back.uuid == bm.uuid)
   }
+
+  test("CcnetBucketsOp: per-lang tiers against a masked reference; serde + store") {
+    val r = newRunner()
+    val text = SelectTextColumnOp(corpus, "text")
+    val lang = SelectCategoricalColumnOp(corpus, "lang")
+    // reference = the English slice (CCNet's target-domain shape)
+    val isEn = CategoryToBooleanOp(lang, Some(Seq("en")))
+    val op = CcnetBucketsOp(text, lang,
+      SelectTextColumnOp(MaskRowsOp(corpus, isEn), "text"))
+    val rows = r.toFrame(op).orderBy("id").collect()
+    assert(rows.length == 5)
+    val bucket = rows.map(r0 => r0.getLong(0) -> r0.getAs[String]("bucket")).toMap
+    // en rows (0,1,2): the twice-repeated reference-typical doc opens the
+    // head; thirds of 3 → one row per bucket
+    assert(bucket(0L) == "head")
+    assert(Set(bucket(1L), bucket(2L)) == Set("middle", "tail"))
+    // fr rows (3,4): thirds of 2 → ⌊0⌋=head, ⌊3·1/2⌋=1 → middle
+    assert(Set(bucket(3L), bucket(4L)) == Set("head", "middle"))
+    assert(r.hasResult(op), "non-ephemeral: the tiering persists")
+    val back = Graph.deserialize(Graph.serialize(op)).last
+    assert(back == op && back.uuid == op.uuid)
+  }
 }

@@ -267,8 +267,13 @@ class OpSpecSpec extends AnyFunSuite {
       maxCell = 500L)
     val pq = IvfPqTopKOp(vec, vec, 0L to 3L, 0L to 7L, k = 5L, m = 4L,
       nprobe = 2L, rerank = 20L)
+    val htf = HashedTfEmbeddingOp(textCol, dim = 32L, scaleBits = 10L)
+    val mcModel = TrainMulticlassClassifierOp("nearest_centroid", htf, catCol,
+      Some(domain), "none", Map("max_abs" -> 1.0))
+    val mcEval = MulticlassEvaluationOp(MulticlassPredictOp(mcModel, htf),
+      catCol, Some(split), Some(domain))
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, sem, pq, SelectBooleanColumnOp(ds, "b"),
+      logic, rid, sem, pq, mcEval, SelectBooleanColumnOp(ds, "b"),
       SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
       SelectConversationColumnOp(ds, "c"),
       SelectTrainTestSplitColumnOp(ds, "sp"), logits))
