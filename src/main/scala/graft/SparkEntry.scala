@@ -1763,6 +1763,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_temp_sample" -> ((s, dir) => {
+      // temperature-flattened language mixture (mT5 α-sampling) at α=0.5
+      // (the √ arm — correctly-rounded, hence replayable), frac=0.5:
+      // high-resource langs trim toward √-proportional shares, small langs
+      // keep more of themselves. The oracle replays the quota table
+      // (integer arithmetic end-to-end past one weight rounding) and the
+      // md5-ranked per-stratum cut.
+      Corpus.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, frac = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ccnet" -> ((s, dir) => {
       // CCNet-style quality tiers (Wenzek 2020): reference bigram LM fit on
       // the even doc_ids, every doc scored, per-language head/middle/tail
@@ -3628,6 +3641,30 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    // temperature sampling: quota table in HUGEINT arithmetic (one sqrt
+    // weight rounding — sqrt IS correctly rounded, so wq matches the
+    // engine bit-for-bit), then the stratified md5-rank cut
+    "q_temp_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT lang, n,
+        |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+        |  FROM c),
+        |t AS (SELECT SUM(wq) AS totw, SUM(n) AS nn FROM w),
+        |q AS (
+        |  SELECT lang, least(n,
+        |    CAST(CAST(floor(0.5 * CAST(nn AS DOUBLE) + 1e-9) AS HUGEINT)
+        |      * wq // totw AS BIGINT)) AS quota
+        |  FROM w CROSS JOIN t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE rk <= quota ORDER BY doc_id""".stripMargin,
 
     // CCNet buckets: the q_lm_perplexity scoring replay + per-language
     // perplexity rank (unscoreable docs to +∞ → tail) + the exact-thirds

@@ -429,6 +429,69 @@ object Corpus {
     * sf scales benched the direct window is the right plan and stays the
     * default.
     */
+  /** Cap on distinct strata for [[temperatureSample]]'s collected quota
+    * table (languages/domains — metadata-scale by construction). */
+  val MaxStrata = 100000
+
+  /** Temperature-flattened mixture sampling (mT5, Xue et al. 2021 §3.1;
+    * XLM-R, Conneau et al. 2020: sample languages ∝ (n_i/N)^α): allocate
+    * per-stratum keep QUOTAS toward the temperature-α distribution
+    * q_i ∝ n_i^α, then keep each stratum's md5-rank-smallest quota rows.
+    * α = 1 reproduces the corpus distribution, α → 0 flattens toward
+    * uniform (mT5 ships α = 0.3, XLM-R ≈ 0.43). High-resource strata above
+    * their flattened share are TRIMMED; strata at/below it keep everything
+    * (quotas are not redistributed — so the realized total is ≤ ⌊frac·N⌋).
+    *
+    * Replayability: quota arithmetic is integer end-to-end past ONE
+    * per-stratum weight rounding — wq_i = round(n_i^α · 1e6) (long),
+    * T = ⌊frac·N + ε⌋, quota_i = min(n_i, ⌊T·wq_i / Σwq⌋) by BigInt
+    * division (T·wq can pass 2⁶³). The α ∈ {0, 0.5, 1} arms use exactly-
+    * rounded primitives (sqrt IS correctly rounded in IEEE; pow is NOT
+    * across libms), so the gate query pins α = 0.5; other α are engine-
+    * deterministic but last-ulp libm-dependent.
+    *
+    * Scale shape: one #strata-row aggregate collected (the quota table —
+    * metadata, capped at [[MaxStrata]]), quotas re-enter the plan as a map
+    * literal, and ranking is the same per-stratum machinery as
+    * [[stratifiedSample]] (pass `subBuckets > 1` in the mega-stratum
+    * regime). Null strata have no quota and are dropped. */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+                        alpha: Double = 0.5, frac: Double = 1.0,
+                        salt: String = "graft",
+                        subBuckets: Int = 1): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__cn"))
+      .limit(MaxStrata + 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(counts.length <= MaxStrata,
+      s"more than $MaxStrata distinct strata — not a mixture key")
+    if (counts.isEmpty) return df.filter(lit(false))
+    val n = counts.map(_._2).sum
+    def weight(ni: Long): Double = alpha match {
+      case 0.0 => 1.0
+      case 0.5 => math.sqrt(ni.toDouble) // correctly rounded — replayable
+      case 1.0 => ni.toDouble
+      case a => math.pow(ni.toDouble, a)
+    }
+    val wq = counts.map { case (s, ni) =>
+      s -> math.round(weight(ni) * 1e6) }.toMap
+    val totW = wq.values.map(BigInt(_)).sum
+    val t = math.floor(frac * n + 1e-9).toLong
+    val quotas: Seq[(String, Long)] = counts.toSeq.map { case (s, ni) =>
+      s -> math.min(ni, ((BigInt(t) * wq(s)) / totW).toLong)
+    }.sortBy(_._1)
+    val quotaCol = element_at(
+      map(quotas.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      col(stratumCol).cast("string"))
+    val rankKey = md5(concat_ws(":", lit(salt), col(idCol).cast("string")))
+    rankedWithinStrata(df, stratumCol, idCol, rankKey, subBuckets)
+      .filter(col("__rk") <= quotaCol)
+      .drop("__rk", "__n")
+  }
+
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
                     fracs: Map[String, Double], defaultFrac: Double = 0.0,
                     salt: String = "graft", subBuckets: Int = 1): DataFrame = {

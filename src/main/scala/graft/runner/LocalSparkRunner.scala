@@ -909,6 +909,15 @@ class LocalSparkRunner(
     case StratifiedSampleOp(dataset, stratum, frac, salt) =>
       FrameResult(sampleByStratum(dataset, stratum, lit(frac), salt))
 
+    case TemperatureSampleOp(dataset, stratum, alpha, frac, salt) =>
+      val df = frame(dataset)
+      if (validateLengths) checkSameLength(dataset, stratum, "stratum")
+      val keepIdx = graft.ext.Corpus.temperatureSample(
+          frame(stratum).select(col(RowIdx), col(ValueCol).as("__st")),
+          "__st", RowIdx, alpha, frac, salt)
+        .select(col(RowIdx))
+      FrameResult(reindex(df.join(keepIdx, RowIdx), lengthOf(dataset)))
+
     case MixtureSampleOp(dataset, stratum, fracs, defaultFrac, salt) =>
       val fracCol =
         if (fracs.isEmpty) lit(defaultFrac)

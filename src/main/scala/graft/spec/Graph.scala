@@ -465,6 +465,10 @@ object OpRegistry {
       DsirSelectOp(op[TextColumnType](o, "text", r),
         op[TextColumnType](o, "target_text", r),
         lng(o, "m"), lng(o, "k"), dbl(o, "alpha"))),
+    "TemperatureSampleOp" -> ((o, r) =>
+      TemperatureSampleOp(op[DatasetType](o, "dataset", r),
+        op[CategoricalColumnType](o, "stratum", r),
+        dbl(o, "alpha"), dbl(o, "frac"), str(o, "salt"))),
     "CcnetBucketsOp" -> ((o, r) =>
       CcnetBucketsOp(op[TextColumnType](o, "text", r),
         op[CategoricalColumnType](o, "lang", r),

@@ -443,6 +443,21 @@ final case class MixtureSampleOp(
     require(f >= 0.0 && f <= 1.0, s"fractions must be in [0,1], got $f"))
 }
 
+/** Temperature-flattened mixture sample
+  * ([[graft.ext.Corpus.temperatureSample]], mT5 α-sampling): per-stratum
+  * quotas toward q_i ∝ n_i^α at total ≤ ⌊frac·N⌋, md5-ranked on the row
+  * index, survivors re-indexed positionally. The language-balancing draw
+  * of a multilingual training mixture. */
+final case class TemperatureSampleOp(
+    dataset: DatasetType,
+    stratum: CategoricalColumnType,
+    alpha: Double = 0.5,
+    frac: Double = 1.0,
+    salt: String = "graft") extends DatasetType {
+  require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+  require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+}
+
 /** Concat-and-chunk sequence-packing layout over a per-row token-count
   * column in POSITIONAL order ([[graft.ext.Corpus.packSequences]]): each
   * row's global token offset and [first_seq, last_seq] sequence range at a

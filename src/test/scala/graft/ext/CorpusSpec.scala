@@ -221,6 +221,31 @@ class CorpusSpec extends SparkTestBase {
     assert(Corpus.stratifiedSample(df, "lang", "id", 1.0).count() == 100L)
   }
 
+  test("temperatureSample: hand-checked quotas, α=1 identity, α=0 uniform") {
+    // 16 'a' rows vs 4 'b' rows: at α=0.5, frac=1 → T=20, wq=(4e6, 2e6),
+    // W=6e6 → quota_a = min(16, ⌊20·4e6/6e6⌋=13) = 13, quota_b = min(4, 6)
+    // = 4: the high-resource stratum trims, the small one keeps everything
+    val df = (0L until 20L).map(i => (i, if (i < 16) "a" else "b"))
+      .toDF("id", "lang")
+    val s = Corpus.temperatureSample(df, "lang", "id", alpha = 0.5, frac = 1.0)
+    val counts = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 13L, "b" -> 4L))
+    // α=1, frac=1: quotas equal stratum sizes — the identity sample
+    assert(Corpus.temperatureSample(df, "lang", "id", alpha = 1.0).count() == 20L)
+    // α=0: uniform weights — T·(1/2) each, capped at the stratum size
+    val u = Corpus.temperatureSample(df, "lang", "id", alpha = 0.0, frac = 1.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(u == Map("a" -> 10L, "b" -> 4L))
+    // deterministic, and the kept rows are each stratum's md5-rank smallest
+    // (same machinery as stratifiedSample — cross-checked at matched count)
+    val s2 = Corpus.temperatureSample(df, "lang", "id", alpha = 0.5, frac = 1.0)
+    assert(s.orderBy("id").collect().toSeq == s2.orderBy("id").collect().toSeq)
+    val bRows = s.filter(col("lang") === "b").select("id").as[Long].collect().toSet
+    val bAll = Corpus.stratifiedSample(df.filter(col("lang") === "b"),
+      "lang", "id", frac = 1.0).select("id").as[Long].collect().toSet
+    assert(bRows == bAll)
+  }
+
   test("mega-stratum two-phase rank samples the identical rows") {
     // one dominant stratum (the regime the subBuckets switch exists for)
     // plus a small one; the two-phase rank must pick EXACTLY the same rows

@@ -179,6 +179,23 @@ class CurationOpsSpec extends SparkTestBase {
     assert(back == bm && back.uuid == bm.uuid)
   }
 
+  test("TemperatureSampleOp: quota-trimmed strata, re-indexed, serde") {
+    val r = newRunner()
+    // en: 3 rows, fr: 2 rows; α=0.5, frac=1 → T=5, wq=(1732051, 1414214),
+    // W=3146265 → quota_en = min(3, ⌊5·1732051/W⌋ = 2),
+    // quota_fr = min(2, ⌊5·1414214/W⌋ = 2)
+    val op = TemperatureSampleOp(corpus,
+      SelectCategoricalColumnOp(corpus, "lang"), alpha = 0.5, frac = 1.0)
+    val rows = r.toFrame(op).orderBy("__row_idx").collect()
+    assert(rows.length == 4)
+    val langs = rows.map(_.getAs[String]("lang")).toSeq
+    assert(langs.count(_ == "en") == 2 && langs.count(_ == "fr") == 2)
+    // survivors re-indexed contiguously
+    assert(rows.map(_.getAs[Long]("__row_idx")).toSeq == (0L until 4L))
+    val back = Graph.deserialize(Graph.serialize(op)).last
+    assert(back == op && back.uuid == op.uuid)
+  }
+
   test("CcnetBucketsOp: per-lang tiers against a masked reference; serde + store") {
     val r = newRunner()
     val text = SelectTextColumnOp(corpus, "text")
