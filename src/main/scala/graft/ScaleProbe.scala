@@ -131,6 +131,27 @@ object ScaleProbe {
         graft.ext.LangModel.score3(d, "doc_id", "text", lm3)
           .filter(col("ppl").isNotNull).count()
       }
+      // CCNet buckets: the LM fit/score shape plus the GLOBAL two-phase
+      // perplexity rank (checkpointed scored frame — the rank's bounds
+      // sample, rank shuffle, and bucket join all read blocks, not the
+      // scoring joins) and a #langs-row broadcast
+      measure(s"ccnet buckets ${factor}x", s"docs=${5000 * factor} langs=5") {
+        val lm = graft.ext.LangModel.fit(d, "text")
+        graft.ext.LangModel.ccnetBuckets(
+            d.withColumn("lang", (col("doc_id") % 5).cast("string")),
+            "doc_id", "text", "lang", lm)
+          .filter(col("bucket") === "head").count()
+      }
+      // temperature sampling: one stratum-count aggregate (metadata
+      // collect), quotas as a map literal, and the mega-stratum two-phase
+      // rank (subBuckets=8 — the production path when one lang dominates)
+      measure(s"temperature sample ${factor}x",
+        s"docs=${5000 * factor} alpha=0.5 subBuckets=8") {
+        graft.ext.Corpus.temperatureSample(
+            d.withColumn("lang", (col("doc_id") % 5).cast("string")),
+            "lang", "doc_id", alpha = 0.5, frac = 0.5, subBuckets = 8)
+          .count()
+      }
       // hashed-TF quality probe: one UDF pass builds the features, the
       // exact diff-of-means fit is ONE (dim-bounded) aggregation, scoring
       // is map-only over plan literals — no corpus-proportional shuffle at

@@ -284,7 +284,7 @@ final case class MulticlassEvaluationOp(
 final case class HashedTfEmbeddingOp(
     text: TextColumnType,
     dim: Long = 64L,
-    scaleBits: Long = 0L) extends VectorColumnType {
+    scaleBits: Long = 0L) extends VectorColumnType with EphemeralOp {
   require(dim >= 1L && dim <= Int.MaxValue, s"dim must be in [1, 2^31), got $dim")
   require(scaleBits >= 0L && scaleBits <= 30L,
     s"scaleBits must be in [0, 30], got $scaleBits")

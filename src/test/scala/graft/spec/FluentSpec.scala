@@ -110,5 +110,15 @@ class FluentSpec extends AnyFunSuite {
     val ref = TakeRowsOp(ds, 2L).colText("t")
     assert(t.lmPerplexity(fitOn = ref) == LmPerplexityOp(t, ref))
     assert(t.dsirSelect(ref, k = 50L) == DsirSelectOp(t, ref, k = 50L))
+    val lang = ds.colCategorical("lang")
+    assert(t.ccnetBuckets(lang, fitOn = ref) == CcnetBucketsOp(t, lang, ref))
+    assert(t.hashedTfEmbedding(dim = 32L, scaleBits = 10L) ==
+      HashedTfEmbeddingOp(t, 32L, 10L))
+    val htf = t.hashedTfEmbedding()
+    val mc = htf.trainMulticlass(lang, modelType = "nearest_centroid")
+    assert(mc == TrainMulticlassClassifierOp("nearest_centroid", htf, lang))
+    assert(mc.predictMulticlass(htf) == MulticlassPredictOp(mc, htf))
+    assert(mc.predictMulticlass(htf).evaluateMulticlass(lang) ==
+      MulticlassEvaluationOp(MulticlassPredictOp(mc, htf), lang))
   }
 }
