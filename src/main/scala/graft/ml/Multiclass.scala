@@ -314,24 +314,44 @@ object Multiclass {
 
   /** Fit exact centroids directly from (vector, string-label) columns —
     * the oracle-query / language-ID entry point. Null labels are excluded
-    * (unlabeled rows can't vote). */
+    * (unlabeled rows can't vote).
+    *
+    * ONE corpus pass: the (label, dim) aggregation is computed once and
+    * persisted (its output is classes × dim rows — metadata), and both the
+    * class-cardinality guard and the centroid collect read that tiny
+    * aggregate — no separate label-distinct scan of the corpus. */
   def fitCentroidsExact(df: DataFrame, vec: Column, label: Column,
                         maxAbsInput: Double = 1.0): CentroidFit = {
-    val prepared = df
+    val agg = df
       .select(label.cast("string").as("__lab"), vec.cast("array<double>").as("__xs"))
       .filter(col("__lab").isNotNull)
-    val labels = prepared.select(col("__lab")).distinct()
-      .orderBy(col("__lab")).limit(MaxClasses + 1)
-      .collect().map(_.getString(0))
-    require(labels.length >= 2, "multiclass fit needs >= 2 distinct labels")
-    require(labels.length <= MaxClasses,
-      s"more than $MaxClasses distinct labels — not a classification label")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val idx = broadcast(labels.zipWithIndex.toSeq.toDF("__lab", "__c"))
-    val qm = fitQuantizedMatrix(
-      prepared.join(idx, "__lab").select(col("__c"), col("__xs")), maxAbsInput)
-    CentroidFit(labels, qm, maxAbsInput)
+      .select(col("__lab"), posexplode(col("__xs")))
+      .select(col("__lab"), col("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("__q"))
+      .groupBy(col("__lab"), col("pos"))
+      .agg(round(sum(col("__q")).cast("double") / count(lit(1)))
+        .cast("long").as("__qm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = agg.select(col("__lab")).distinct().count()
+      require(k >= 2, "multiclass fit needs >= 2 distinct labels")
+      require(k <= MaxClasses,
+        s"more than $MaxClasses distinct labels — not a classification label")
+      val rows = agg.collect()
+      val labels = rows.map(_.getString(0)).distinct.sorted
+      val dims = rows.iterator.map(_.getInt(1)).max + 1
+      require(rows.length == labels.length * dims,
+        s"incomplete class x dim grid (${rows.length} cells for " +
+          s"k=${labels.length} dim=$dims)")
+      val index = labels.zipWithIndex.toMap
+      val qm = Array.ofDim[Long](labels.length, dims)
+      rows.foreach(r => qm(index(r.getString(0)))(r.getInt(1)) = r.getLong(2))
+      val bound = (maxAbsInput * 1e6) * (maxAbsInput * 1e6) * dims
+      require(bound < (1L << 53).toDouble,
+        f"quantized centroid dot may exceed 2^53 ($bound%.3g): inputs " +
+          f"larger than maxAbsInput=$maxAbsInput or dimension too high")
+      CentroidFit(labels, qm, maxAbsInput)
+    } finally agg.unpersist()
   }
 
   private def scoresArr(vec: Column, fit: CentroidFit): Column =
@@ -383,13 +403,18 @@ object Multiclass {
     val withLab = rows.filter(col("__lab").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val labels = withLab.select(col("__lab")).distinct()
-        .orderBy(col("__lab")).limit(MaxClasses + 1)
-        .collect().map(_.getString(0))
-      require(labels.length >= 2,
+      // ONE validation pass yields the label vocabulary AND the row count
+      // (the binary train path's merged-validation lesson): per-label
+      // counts are a k-row collect off the persisted training frame
+      val labCounts = withLab.groupBy(col("__lab"))
+        .agg(count(lit(1)).as("__cn"))
+        .limit(MaxClasses + 1).collect()
+        .map(r0 => r0.getString(0) -> r0.getLong(1))
+      require(labCounts.length >= 2,
         "multiclass training needs >= 2 distinct labels")
-      require(labels.length <= MaxClasses,
+      require(labCounts.length <= MaxClasses,
         s"more than $MaxClasses distinct labels — not a classification label")
+      val labels = labCounts.map(_._1).sorted
       val spark = r.spark
       import spark.implicits._
       val idx = broadcast(labels.zipWithIndex
@@ -402,7 +427,7 @@ object Multiclass {
       try {
         // same data-sized partitioning trim as the binary train path: an
         // iterative fit launches a task per partition per iteration
-        val n = labeledWide.count()
+        val n = labCounts.map(_._2).sum
         require(n > 0, "no multiclass training rows (labels ∩ domain empty)")
         val rowsPerPartition = 100000L
         val np = labeledWide.rdd.getNumPartitions.toLong
