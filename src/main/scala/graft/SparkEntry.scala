@@ -694,6 +694,57 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_spectral" -> ((s, dir) => {
+      // Laplacian-eigenmaps 2-D manifold embedding (Belkin & Niyogi 2003)
+      // — the REAL nonlinear layout the ExactPca stand-in can't produce;
+      // quantized-exact integer power iteration, so the DuckDB oracle
+      // replays the kNN graph AND all 2×Iters iterations bit-for-bit
+      val emb = t(s, dir, "embeddings")
+      graft.ml.Spectral.embed2d(emb, "vec_id", "embedding")
+        .orderBy(col("id"))
+    }),
+
+    "q_kmeans" -> ((s, dir) => {
+      // quantized-exact distributed k-means (ml/ExactKMeans.scala):
+      // member-init centroids (vec_ids 0..7 — the SemanticDedupOp
+      // falsifiability contract), 4 Lloyd passes of integer argmax
+      // assignment + integer-mean update — the DuckDB oracle unrolls every
+      // iteration and replays cells AND scores bit-for-bit
+      val emb = t(s, dir, "embeddings")
+      val fit = graft.ml.ExactKMeans.fit(emb, "vec_id", "embedding",
+        KmInitIds, KmIters)
+      graft.ml.ExactKMeans.assign(emb,
+          col("vec_id").cast("long"), col("embedding"), fit)
+        .orderBy(col("id"))
+    }),
+
+    "q_km_graph" -> ((s, dir) => {
+      // spec-layer twin: KMeansClusterOp through the content-addressed
+      // runner — cluster id as a CATEGORICAL value column (composable with
+      // masks / grouped filters / stratified sampling)
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val km = KMeansClusterOp(SelectVectorColumnOp(ds, "embedding"),
+        KmInitIds, KmIters)
+      r.toFrame(km)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_sp_graph" -> ((s, dir) => {
+      // spec-layer twin of q_spectral: SpectralVizOp through the
+      // content-addressed runner — ids are row indices, the [e1,e2] value
+      // column exploded back to scalars for the hash gate
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val viz = SpectralVizOp(SelectVectorColumnOp(ds, "embedding"))
+      r.toFrame(viz)
+        .select(col(ColumnOps.RowIdx).as("row_idx"),
+          element_at(col("value"), 1).as("e1"),
+          element_at(col("value"), 2).as("e2"))
+        .orderBy(col("row_idx"))
+    }),
+
     // ---- multimodal binary columns ----
     // Real codecs as of round 9 (javax.imageio + RIFF/WAVE parser): each
     // query synthesizes genuine PNG/JPEG/WAV payloads at id-derived
@@ -1920,6 +1971,201 @@ object SparkEntry {
        |FROM q, c1, c2 ORDER BY row_idx""".stripMargin
   }
 
+  /** Full DuckDB replay of q_spectral ([[graft.ml.Spectral]]): the kNN
+    * graph (rounded-cosine rank, corpus-id tie-break, symmetrize+distinct)
+    * AND both integer power iterations — 2 × Iters steps, each one SpMV in
+    * BIGINT, exact HUGEINT global sums, the same correctly-rounded IEEE
+    * divide/sqrt/multiply sequence, the same half-up rounds — run in one
+    * recursive CTE per component (the ExactPca-oracle recursion pattern,
+    * applied to a data-sized iterate carried as a LIST in a single row).
+    * Deflation replays `r = (Σy·v₂ − m·Σv₂)/Σv₂²` with the numerator in
+    * HUGEINT and ONE int→double cast each side of the divide, exactly the
+    * BigInt path the engine runs. Constants (Quant, DefaultK, DefaultIters,
+    * the two md5 seed tags) come from [[graft.ml.Spectral]] so they can
+    * never drift. `1e6`-style literals are DOUBLE in DuckDB (a bare
+    * 1000000.0 would be DECIMAL and poison the recursion — the ExactPca
+    * oracle's lesson). */
+  /** q_kmeans gate constants, shared by the queries and the oracle so the
+    * clustering setup can never drift between engine and replay. */
+  private val KmInitIds: Seq[Long] = 0L until 8L
+  private val KmIters: Int = 4
+
+  /** Full DuckDB replay of q_kmeans / q_km_graph
+    * ([[graft.ml.ExactKMeans]]): every Lloyd iteration UNROLLED — score =
+    * `(Σqx·qm − Σqm²/2)/1e12` exactly as [[mcEmbedSqlCtes]] (the proven
+    * bit-identical form), argmax = row_number (score DESC, cell ASC) =
+    * first-max, update = per-(cell, dim) `round(sum/count)` LEFT-merged
+    * onto the previous matrix so empty cells carry. `finalSelect` adapts
+    * the output shape: (id, cell, score) for the direct query, (row_idx,
+    * value) categorical for the spec twin. */
+  private def kmeansOracleSql(idExpr: String, finalSelect: String): String = {
+    val init = KmInitIds.zipWithIndex
+      .map { case (id, c) => s"($c, $id)" }.mkString(", ")
+    val iterCtes = (1 to KmIters).map { i =>
+      s"""s$i AS (
+         |  SELECT qe.id, m.cell,
+         |    (CAST(SUM(qe.qv * m.qm) AS DOUBLE)
+         |      - CAST(SUM(m.qm * m.qm) AS DOUBLE) / 2.0) / 1e12 AS score
+         |  FROM qe JOIN m${i - 1} m ON qe.dim = m.dim
+         |  GROUP BY qe.id, m.cell),
+         |a$i AS (
+         |  SELECT id, cell FROM (
+         |    SELECT id, cell, row_number() OVER (PARTITION BY id
+         |      ORDER BY score DESC, cell) AS rn FROM s$i) WHERE rn = 1),
+         |c$i AS (
+         |  SELECT a.cell, qe.dim,
+         |    CAST(round(CAST(SUM(qe.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+         |  FROM a$i a JOIN qe ON qe.id = a.id GROUP BY a.cell, qe.dim),
+         |m$i AS (
+         |  SELECT m.cell, m.dim, coalesce(c.qm, m.qm) AS qm
+         |  FROM m${i - 1} m LEFT JOIN c$i c
+         |    ON c.cell = m.cell AND c.dim = m.dim)""".stripMargin
+    }.mkString(",\n")
+    val fin = KmIters + 1
+    s"""WITH q AS (
+       |  SELECT $idExpr AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS qx
+       |  FROM embeddings),
+       |qd AS (SELECT id, qx, unnest(range(len(qx))) AS dim FROM q),
+       |qe AS (SELECT id, dim, qx[dim + 1] AS qv FROM qd),
+       |init(cell, iid) AS (VALUES $init),
+       |m0 AS (
+       |  SELECT init.cell, qe.dim, qe.qv AS qm
+       |  FROM init JOIN qe ON qe.id = init.iid),
+       |$iterCtes,
+       |s$fin AS (
+       |  SELECT qe.id, m.cell,
+       |    (CAST(SUM(qe.qv * m.qm) AS DOUBLE)
+       |      - CAST(SUM(m.qm * m.qm) AS DOUBLE) / 2.0) / 1e12 AS score
+       |  FROM qe JOIN m$KmIters m ON qe.dim = m.dim
+       |  GROUP BY qe.id, m.cell),
+       |a$fin AS (
+       |  SELECT id, cell, score FROM (
+       |    SELECT id, cell, score, row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, cell) AS rn FROM s$fin) WHERE rn = 1)
+       |$finalSelect""".stripMargin
+  }
+
+  private def spectralOracleSql: String =
+    spectralOracleSql("CAST(vec_id AS BIGINT)", "id")
+
+  /** `idExpr` selects the node-id source (vec_id for the direct query;
+    * positional row_number for the spec-layer twin whose ids are row
+    * indices — the umapVizOracleSql precedent); `idName` names the output
+    * column to match the Spark side. */
+  private def spectralOracleSql(idExpr: String, idName: String): String = {
+    val it = graft.ml.Spectral.DefaultIters
+    val kk = graft.ml.Spectral.DefaultK
+    val modulus = 2L * graft.ml.Spectral.Quant.toLong + 1L // 2Q+1
+    val q = graft.ml.Spectral.Quant.toLong
+    def fold(terms: String) = s"list_reduce($terms, (a, b) -> a + b)"
+    // VectorKernels.dot: left-to-right double accumulation of per-element
+    // float→double products
+    def dot(a: String, b: String) =
+      fold(s"list_transform(range(len($a)), i -> $a[i+1] * $b[i+1])")
+    def seed(idExpr: String) =
+      s"(CAST('0x' || substr(md5('spectral:' || CAST($idExpr AS VARCHAR)), 1, 15) AS BIGINT) % $modulus) - $q"
+    def canon(v: String) =
+      s"CASE WHEN list_filter($v, t -> t <> 0)[1] < 0 " +
+        s"THEN list_transform($v, t -> -t) ELSE $v END"
+    // one normalization step: z (BIGINT list) → next iterate
+    def renorm(z: String, szz: String) =
+      s"list_transform($z, t -> CAST(round(CAST(t AS DOUBLE) / sqrt(CAST($szz AS DOUBLE)) * 1e6) AS BIGINT))"
+    val spmv =
+      s"list_transform(range(n), i -> (c - degl[i+1]) * x[i+1] + ${fold("list_transform(adjl[i+1], j -> x[j+1])")})"
+    s"""WITH RECURSIVE v AS (
+       |  SELECT $idExpr AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+       |  FROM embeddings),
+       |nrm AS (SELECT id, ev, sqrt(${dot("ev", "ev")}) AS nv FROM v),
+       |pr AS (
+       |  SELECT qn.id AS qid, cn.id AS cid,
+       |    round(CASE WHEN qn.nv * cn.nv > 0
+       |      THEN ${fold("list_transform(range(len(qn.ev)), i -> qn.ev[i+1] * cn.ev[i+1])")} / (qn.nv * cn.nv)
+       |      ELSE 0.0 END, 6) AS c6
+       |  FROM nrm qn, nrm cn),
+       |rk AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, cid) AS rk
+       |  FROM pr),
+       |e0 AS (SELECT qid AS src, cid AS dst FROM rk
+       |  WHERE rk <= ${kk + 1} AND qid <> cid),
+       |edges AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |nodes AS (
+       |  SELECT d.id, d.deg, row_number() OVER (ORDER BY d.id) - 1 AS p
+       |  FROM (SELECT dst AS id, count(*) AS deg FROM edges GROUP BY dst) d),
+       |adj AS (
+       |  SELECT n1.p AS pd, list(n2.p ORDER BY n2.p) AS nbrs
+       |  FROM edges e JOIN nodes n1 ON n1.id = e.dst
+       |    JOIN nodes n2 ON n2.id = e.src
+       |  GROUP BY n1.p),
+       |consts AS (SELECT
+       |  (SELECT list(deg ORDER BY p) FROM nodes) AS degl,
+       |  (SELECT list(nbrs ORDER BY pd) FROM adj) AS adjl,
+       |  (SELECT list(id ORDER BY p) FROM nodes) AS idl,
+       |  (SELECT count(*) FROM nodes) AS n,
+       |  (SELECT 2 * max(deg) FROM nodes) AS c),
+       |pow1 AS (
+       |  SELECT 0 AS k, list_transform(idl, id -> ${seed("id")}) AS x,
+       |    degl, adjl, n, c
+       |  FROM consts
+       |  UNION ALL
+       |  SELECT k + 1, ${renorm("z", "szz")}, degl, adjl, n, c
+       |  FROM (
+       |    SELECT k, degl, adjl, n, c, z,
+       |      ${fold("list_transform(z, t -> CAST(t AS HUGEINT) * t)")} AS szz
+       |    FROM (
+       |      SELECT k, degl, adjl, n, c,
+       |        list_transform(y, t -> t - m) AS z
+       |      FROM (
+       |        SELECT k, degl, adjl, n, c, y,
+       |          CAST(round(CAST(${fold("list_transform(y, t -> CAST(t AS HUGEINT))")} AS DOUBLE) / n) AS BIGINT) AS m
+       |        FROM (
+       |          SELECT k, degl, adjl, n, c, $spmv AS y
+       |          FROM pow1 WHERE k < $it)))) ),
+       |c1 AS (
+       |  SELECT ${canon("x")} AS v2, degl, adjl, n, c
+       |  FROM pow1 WHERE k = $it),
+       |s2 AS (
+       |  SELECT v2,
+       |    ${fold("list_transform(v2, t -> CAST(t AS HUGEINT))")} AS sv,
+       |    ${fold("list_transform(v2, t -> CAST(t AS HUGEINT) * t)")} AS svv,
+       |    degl, adjl, n, c
+       |  FROM c1),
+       |pow2 AS (
+       |  SELECT 0 AS k,
+       |    list_transform((SELECT idl FROM consts),
+       |      id -> ${seed("id + 1000000007")}) AS x,
+       |    v2, sv, svv, degl, adjl, n, c
+       |  FROM s2
+       |  UNION ALL
+       |  SELECT k + 1, ${renorm("z", "szz")}, v2, sv, svv, degl, adjl, n, c
+       |  FROM (
+       |    SELECT k, v2, sv, svv, degl, adjl, n, c, z,
+       |      ${fold("list_transform(z, t -> CAST(t AS HUGEINT) * t)")} AS szz
+       |    FROM (
+       |      SELECT k, v2, sv, svv, degl, adjl, n, c,
+       |        list_transform(range(n), i ->
+       |          y[i+1] - m - CAST(round(r * v2[i+1]) AS BIGINT)) AS z
+       |      FROM (
+       |        SELECT k, v2, sv, svv, degl, adjl, n, c, y, m,
+       |          CAST(syv - CAST(m AS HUGEINT) * sv AS DOUBLE)
+       |            / CAST(svv AS DOUBLE) AS r
+       |        FROM (
+       |          SELECT k, v2, sv, svv, degl, adjl, n, c, y,
+       |            CAST(round(CAST(${fold("list_transform(y, t -> CAST(t AS HUGEINT))")} AS DOUBLE) / n) AS BIGINT) AS m,
+       |            ${fold("list_transform(range(len(y)), i -> CAST(y[i+1] AS HUGEINT) * v2[i+1])")} AS syv
+       |          FROM (
+       |            SELECT k, v2, sv, svv, degl, adjl, n, c, $spmv AS y
+       |            FROM pow2 WHERE k < $it))))) ),
+       |f2 AS (SELECT ${canon("x")} AS v3 FROM pow2 WHERE k = $it)
+       |SELECT nd.id AS $idName,
+       |  CAST(s2.v2[nd.p + 1] AS DOUBLE) / 1e6 AS e1,
+       |  CAST(f2.v3[nd.p + 1] AS DOUBLE) / 1e6 AS e2
+       |FROM nodes nd, s2, f2 ORDER BY $idName""".stripMargin
+  }
+
   /** Full DuckDB replay of the q_dedup_minhash pipeline — the same
     * falsifiability standard as q_ann_ivf_pruned's IVF replay, applied to
     * the 64-perm MinHash + 16-band LSH + exact-Jaccard verify chain. All
@@ -2523,6 +2769,16 @@ object SparkEntry {
           |ORDER BY id""".stripMargin),
 
     "q_umap_viz" -> umapVizOracleSql,
+
+    "q_spectral" -> spectralOracleSql,
+
+    "q_sp_graph" -> spectralOracleSql("row_number() OVER () - 1", "row_idx"),
+
+    "q_kmeans" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
+      s"SELECT id, CAST(cell AS INTEGER) AS cell, score FROM a${KmIters + 1} ORDER BY id"),
+
+    "q_km_graph" -> kmeansOracleSql("row_number() OVER () - 1",
+      s"SELECT id AS row_idx, CAST(cell AS VARCHAR) AS value FROM a${KmIters + 1} ORDER BY row_idx"),
 
     "q_llm_activations" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),

@@ -212,7 +212,10 @@ object QuantizedCentroidModel extends DefaultParamsReadable[QuantizedCentroidMod
       var ss = 0.0
       var i = 0
       while (i < qmc.length) { ss += qmc(i).toDouble * qmc(i); i += 1 }
-      val qmLit = array(qmc.map(v => lit(v.toDouble)): _*)
+      // ONE array literal per centroid (not dim scattered lit() nodes):
+      // k-means re-plans this expression every Lloyd pass, and analysis +
+      // codegen of k×dim CreateArray children dominated small-data fits
+      val qmLit = typedlit(qmc.map(_.toDouble).toSeq)
       (graft.ext.VectorKernels.dot(qx, qmLit) - lit(ss / 2.0)) / 1e12
     }: _*)
   }
@@ -309,7 +312,27 @@ object Multiclass {
     require(bound < (1L << 53).toDouble,
       f"quantized centroid dot may exceed 2^53 ($bound%.3g): inputs larger " +
         f"than maxAbsInput=$maxAbs or dimension too high for exact scoring")
+    requireCentroidBound(qm, maxAbs)
     qm
+  }
+
+  /** Fit inputs are NOT raise_error-guarded (only score inputs are), so an
+    * out-of-bound training feature would silently produce centroid cells
+    * past maxAbs·1e6 and break the 2⁵³ dot bound the scorer's exactness
+    * proof rests on. Enforce the |qm| ≤ round(maxAbs·1e6) invariant on the
+    * fitted matrix itself — driver-side, classes × dim cells, cheap. */
+  private[ml] def requireCentroidBound(qm: Array[Array[Long]],
+                                       maxAbs: Double): Unit = {
+    val cap = math.round(maxAbs * 1e6)
+    qm.iterator.zipWithIndex.foreach { case (row, c) =>
+      row.iterator.zipWithIndex.foreach { case (v, d) =>
+        require(math.abs(v) <= cap,
+          s"nearest_centroid: fitted centroid cell (class=$c, dim=$d) = $v " +
+            s"exceeds maxAbsInput=$maxAbs in 1e-6 units ($cap) — training " +
+            "features are out of the quantized-exact bound; raise max_abs " +
+            "or scale the inputs")
+      }
+    }
   }
 
   /** Fit exact centroids directly from (vector, string-label) columns —
@@ -350,6 +373,7 @@ object Multiclass {
       require(bound < (1L << 53).toDouble,
         f"quantized centroid dot may exceed 2^53 ($bound%.3g): inputs " +
           f"larger than maxAbsInput=$maxAbsInput or dimension too high")
+      requireCentroidBound(qm, maxAbsInput)
       CentroidFit(labels, qm, maxAbsInput)
     } finally agg.unpersist()
   }
@@ -434,6 +458,21 @@ object Multiclass {
         val targetParts = math.max(1L, math.min(np, n / rowsPerPartition + 1)).toInt
         val labeled = labeledWide.coalesce(targetParts)
 
+        // standardize emits z-scores that routinely exceed the quantized-
+        // exact scorer's default |feature| ≤ max_abs bound, so the
+        // combination would only surface as a confusing per-row
+        // raise_error at predict time — reject it at train time unless the
+        // caller explicitly widened max_abs past the default
+        require(op.modelType != "nearest_centroid" ||
+          op.preprocessing != "standardize" ||
+          op.params.get("max_abs").exists {
+            case d: Double => d > 1.0; case l: Long => l > 1L; case i: Int => i > 1
+            case _ => false
+          },
+          "nearest_centroid with preprocessing=standardize: z-scores exceed " +
+            "the default max_abs=1.0 exactness bound at predict time — use " +
+            "preprocessing=none/normalize, or pass an explicit max_abs > 1 " +
+            "(e.g. 16.0) sized to the expected z-score range")
         val stages = scala.collection.mutable.ListBuffer.empty[PipelineStage]
         val featCol = op.preprocessing match {
           case "none" => "__feat"
@@ -499,8 +538,14 @@ object Multiclass {
 
     val bySplit = cells.groupBy(_.getString(0))
     val splits = bySplit.keys.toSeq.sorted.map { sp =>
+      // NULL predictions (rows the model declined / predict-domain gaps
+      // joined as missing) surface as an explicit "<null>" class in the
+      // confusion matrix and per-class rows rather than being silently
+      // folded into a phantom ""-labeled class; "<null>" never has
+      // ground-truth support, so it contributes fp counts and a confusion
+      // row but no macro-F1 term (support-0 rule below)
       val cs = bySplit(sp).map(r0 =>
-        (r0.getString(1), Option(r0.getString(2)).getOrElse(""), r0.getLong(3)))
+        (r0.getString(1), Option(r0.getString(2)).getOrElse("<null>"), r0.getLong(3)))
       val n = cs.map(_._3).sum
       val correct = cs.collect { case (g, p, c) if g == p => c }.sum
       val classes = cs.flatMap(c => Seq(c._1, c._2)).distinct.sorted

@@ -5,17 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic Laplacian-eigenmaps 2-D embedding (Belkin & Niyogi 2003)
   * — a REAL manifold layout, closing the gap the ExactPca stand-in leaves
-  * (PCA is linear; it cannot unfold concentric rings or separate clusters
-  * a hyperplane can't — SpectralSpec pins exactly that case).
+  * (PCA is linear; it cannot separate classes whose means coincide —
+  * SpectralSpec pins exactly that case with the antipodal-cap XOR fixture,
+  * where the engine's own exact linear probe sits at chance and the
+  * spectral plane classifies perfectly).
   *
   * Pipeline: symmetric unweighted kNN graph (the paper's "simple-minded"
   * binary weights — deterministic, no bandwidth parameter) → the two
   * smallest NON-TRIVIAL eigenvectors of the combinatorial Laplacian
   * L = D − A, found as the LARGEST eigenvectors of the integer matrix
-  * M = cI − L = (c − dᵢ)I + A (c = max degree) by fixed-iteration power
-  * iteration with continuous centering (deflates the trivial all-ones
-  * eigenvector) and, for the second component, continuous deflation
-  * against the first.
+  * M = cI − L = (c − dᵢ)I + A with c = 2·max-degree — the Gershgorin
+  * bound on λmax(L), so M is PSD and its top eigenspace is EXACTLY L's
+  * bottom (c = Δ would leave λ(M) ∈ [−Δ, Δ] and the iteration mixing
+  * divergent oscillatory modes — caught by SpectralSpec's tightness gate)
+  * — by fixed-iteration power iteration with continuous centering
+  * (deflates the trivial all-ones eigenvector) and, for the second
+  * component, continuous deflation against the first.
   *
   * DETERMINISM CONTRACT (the engine-wide quantized-exact discipline): the
   * iterate is an INTEGER vector (|x| ≤ 1e6); one SpMV step is pure integer
@@ -44,15 +49,40 @@ object Spectral {
   /** Quantization scale of the iterate (|x| ≤ Quant). */
   val Quant = 1e6
 
+  /** Gate-form defaults, shared with the q_spectral DuckDB oracle so the
+    * constants can never drift between engine and replay. */
+  val DefaultK = 8
+  val DefaultIters = 12
+
   /** Symmetrized unweighted kNN edges (src, dst), both directions, no
     * self-loops: neighbors = the non-self rows of each node's top-(k+1)
-    * cosine ranks (rank ties broken by corpus id — [[graft.ext.Similarity]]
-    * determinism). */
+    * ranks by ROUNDED cosine (6 decimals, [[graft.ext.Similarity]]'s output
+    * precision), ties broken by corpus id. Ranking on the rounded value —
+    * unlike [[graft.ext.Similarity.bruteForceTopK]]'s full-precision rank —
+    * is the replayability choice: two engines whose dot products differ in
+    * the last ulp still agree on the 6-decimal grid (the q_ann oracle
+    * precedent), and a single flipped edge would otherwise cascade through
+    * every power-iteration step. Brute-force O(n²) pairs is the GATE form;
+    * at 100 TB swap [[graft.ext.Similarity.ivfTopK]] for the candidate
+    * generation — the iteration below is agnostic to how edges were found. */
   def knnEdges(emb: DataFrame, idCol: String, vecCol: String,
                k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nn = graft.ext.Similarity
-      .bruteForceTopK(emb, idCol, vecCol, emb, idCol, vecCol, k + 1)
+    val q = broadcast(emb.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"),
+      graft.ext.Similarity.norm(col(vecCol)).as("__qn")))
+    val c = emb.select(col(idCol).cast("long").as("corpus_id"),
+      col(vecCol).as("__cv"),
+      graft.ext.Similarity.norm(col(vecCol)).as("__cn"))
+    val scored = c.crossJoin(q).withColumn("__cos6",
+      round(when(col("__qn") * col("__cn") > 0,
+        graft.ext.VectorKernels.dot(col("__qv"), col("__cv"))
+          / (col("__qn") * col("__cn"))).otherwise(lit(0.0)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__cos6").desc, col("corpus_id").asc)
+    val nn = scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k + 1)
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id").as("src"), col("corpus_id").as("dst"))
     nn.union(nn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
@@ -81,6 +111,9 @@ object Spectral {
     * `state` columns: (id, deg, x [, v2]); `svRef`/`svvRef` are Σv₂ and
     * Σv₂² when deflating. Returns the final iterate column frame
     * (id, deg, x [, v2]). */
+  private def bigDouble(b: BigInt): Double =
+    new java.math.BigDecimal(b.bigInteger).doubleValue
+
   private def iterate(edges: DataFrame, state0: DataFrame, c: Long, n: Long,
                       iters: Int, deflate: Boolean,
                       sv: BigInt, svv: BigInt): DataFrame = {
@@ -92,44 +125,47 @@ object Spectral {
         .join(state.select(col("id").as("src"), col("x").as("__xs")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__xs")).as("__ns"))
+      // LAZY checkpoint: materializes with the first aggregate's job (one
+      // job covers join + cache), and the next-state map below reads the
+      // cache — the per-iteration job count is 1 (2 when deflating), not 4
       val y = state.join(nbr, Seq("id"), "left")
         .withColumn("__y",
           (lit(c) - col("deg")) * col("x") + coalesce(col("__ns"), lit(0L)))
         .drop("x", "__ns")
-        .localCheckpoint(true) // agg1 + agg2 + the map below all read this
+        .localCheckpoint(false)
       // exact global sums (decimal(38): order-independent integer sums)
       val agg1 = y.agg(
         sum(col("__y").cast("decimal(38,0)")).as("sy"),
-        sum((if (deflate) col("__y") * col("v2") else lit(0L))
-          .cast("decimal(38,0)")).as("syv"))
+        sum((if (deflate) col("__y") * col("v2") else col("__y") * col("__y"))
+          .cast("decimal(38,0)")).as("s2"))
         .head()
       val syB = toBig(agg1, 0)
       // centering constant: m = round(Σy / n) — one exact-int cast + one
       // correctly-rounded divide + half-up round, identical in any engine
-      val m = roundHalfUp(
-        new java.math.BigDecimal(syB.bigInteger).doubleValue / n)
-      // deflation ratio r = (y−m)·v₂ / v₂·v₂ = (Σy·v₂ − m·Σv₂) / Σv₂²
-      val r =
-        if (!deflate) 0.0
-        else {
+      val m = roundHalfUp(bigDouble(syB) / n)
+      val (zCol, szz) =
+        if (deflate) {
+          // deflation r = (y−m)·v₂ / v₂·v₂ = (Σy·v₂ − m·Σv₂) / Σv₂²
           val num = toBig(agg1, 1) - BigInt(m) * sv
-          new java.math.BigDecimal(num.bigInteger).doubleValue /
-            new java.math.BigDecimal(svv.bigInteger).doubleValue
+          val r = bigDouble(num) / bigDouble(svv)
+          // the per-element round(r·v₂) makes Σz² irreducible to moments —
+          // one extra exact aggregate over the cached y
+          val zc = col("__y") - lit(m) - round(lit(r) * col("v2")).cast("long")
+          (zc, toBig(y.agg(sum((zc * zc).cast("decimal(38,0)"))).head(), 0))
+        } else {
+          // Σ(y−m)² = Σy² − 2mΣy + n·m² — exact integer identity: the
+          // centered norm needs NO second pass
+          val zc = col("__y") - lit(m)
+          (zc, toBig(agg1, 1) - 2 * BigInt(m) * syB +
+            BigInt(n) * BigInt(m) * BigInt(m))
         }
-      val zCol =
-        if (deflate) col("__y") - lit(m) - round(lit(r) * col("v2")).cast("long")
-        else col("__y") - lit(m)
-      val z = y.withColumn("__z", zCol).drop("__y")
-      val szz = toBig(z.agg(
-        sum((col("__z") * col("__z")).cast("decimal(38,0)")).as("szz")).head(), 0)
       require(szz > 0,
         "spectral iterate collapsed to zero (degenerate graph + seed)")
-      val norm = math.sqrt(new java.math.BigDecimal(szz.bigInteger).doubleValue)
-      val next = z
-        .withColumn("x", round(col("__z") / norm * Quant).cast("long"))
-        .drop("__z")
-        .localCheckpoint(true)
-      state = next
+      val norm = math.sqrt(bigDouble(szz))
+      state = y
+        .withColumn("x", round(zCol / norm * Quant).cast("long"))
+        .drop("__y")
+        .localCheckpoint(false)
       it += 1
     }
     state
@@ -149,7 +185,7 @@ object Spectral {
     * to [−1, 1] (iterate / Quant — a dyadic-free exact division by 1e6 is
     * a single correctly-rounded op, replayed identically). */
   def embed2d(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int = 8, iters: Int = 12): DataFrame = {
+              k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val edges = knnEdges(emb, idCol, vecCol, k).localCheckpoint(true)
     val deg = edges.groupBy(col("dst").as("id"))
@@ -159,9 +195,14 @@ object Spectral {
       .withColumn("x", seedX(col("id")))
       .localCheckpoint(true)
     val stats = base.agg(max(col("deg")), count(lit(1))).head()
-    val c = stats.getLong(0)
+    val c = 2L * stats.getLong(0) // Gershgorin: λmax(L) ≤ 2Δ → M = cI−L PSD
     val n = stats.getLong(1)
     require(n >= 3, s"spectral embedding needs >= 3 rows, got $n")
+    // long-arithmetic bound: |y| ≤ c·Quant and the exact sums square it in
+    // int64 before the decimal cast — keep (c·Quant)² under 2⁶³
+    require(c < 3000L,
+      s"max kNN degree ${c / 2} too high for the integer SpMV bound — a " +
+        "hub node is in nearly every top-k list; reduce k or dedup first")
 
     val v2state = canonicalize(
       iterate(edges, base, c, n, iters, deflate = false, BigInt(0), BigInt(0)),

@@ -111,6 +111,8 @@ class LocalSparkRunner(
     case l: LLMLogitScoresOp => lengthOf(l.text)
     case g: LLMGenerateTextOp => lengthOf(g.prompt)
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
+    case v: SpectralVizOp => lengthOf(v.inputEmbedding)
+    case v: KMeansClusterOp => lengthOf(v.vectors)
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
     case t: TokenCountOp => lengthOf(t.text)
@@ -848,6 +850,21 @@ class LocalSparkRunner(
 
     case viz: UMAPVizOp =>
       FrameResult(graft.ml.Viz.embed2d(this, viz))
+
+    case sv: SpectralVizOp =>
+      FrameResult(graft.ml.Spectral
+        .embed2d(frame(sv.inputEmbedding), RowIdx, ValueCol,
+          sv.k.toInt, sv.iters.toInt)
+        .select(col("id").as(RowIdx),
+          array(col("e1"), col("e2")).as(ValueCol)))
+
+    case km: KMeansClusterOp =>
+      val x = frame(km.vectors)
+      val fit = graft.ml.ExactKMeans.fit(x, RowIdx, ValueCol,
+        km.centroidIds, km.iters.toInt)
+      FrameResult(graft.ml.ExactKMeans
+        .assign(x, col(RowIdx), col(ValueCol), fit)
+        .select(col("id").as(RowIdx), col("cell").cast("string").as(ValueCol)))
 
     case RedactPIIColumnOp(text) =>
       FrameResult(frame(text).select(col(RowIdx),

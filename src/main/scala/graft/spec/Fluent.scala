@@ -129,6 +129,13 @@ object Fluent {
     def umapViz(nNeighbors: Long = 15L, nEpochs: Long = 200L,
                 randomState: Long = 42L): UMAPVizOp =
       UMAPVizOp(v, nNeighbors, nEpochs, randomState)
+    /** beyond reference: Laplacian-eigenmaps spectral 2-D layout */
+    def spectralViz(k: Long = 8L, iters: Long = 12L): SpectralVizOp =
+      SpectralVizOp(v, k, iters)
+    /** beyond reference: exact k-means cluster id, centroids = row
+      * indices */
+    def kmeansCluster(centroidIds: Seq[Long], iters: Long = 4L): KMeansClusterOp =
+      KMeansClusterOp(v, centroidIds, iters)
     /** beyond reference: brute-force cosine top-k against this corpus */
     def annTopK(queries: VectorColumnType, k: Long = 10L): AnnBruteTopKOp =
       AnnBruteTopKOp(v, queries, k)

@@ -426,6 +426,12 @@ object OpRegistry {
         bool(o, "densmap"), dbl(o, "dens_lambda"), dbl(o, "dens_frac"),
         dbl(o, "dens_var_shift"), bool(o, "output_dens"),
         optDbl(o, "disconnection_distance"))),
+    "SpectralVizOp" -> ((o, r) =>
+      SpectralVizOp(op[VectorColumnType](o, "input_embedding", r),
+        lng(o, "k"), lng(o, "iters"))),
+    "KMeansClusterOp" -> ((o, r) =>
+      KMeansClusterOp(op[VectorColumnType](o, "vectors", r),
+        lngSeq(o, "centroid_ids"), lng(o, "iters"))),
     "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r))),
     "RedactPIIColumnOp" -> ((o, r) =>
       RedactPIIColumnOp(op[TextColumnType](o, "text", r))),

@@ -380,6 +380,38 @@ final case class UMAPVizOp(
     outputDens: Boolean = false,
     disconnectionDistance: Option[Double] = None) extends VizEmbeddingColumnType
 
+/** Laplacian-eigenmaps 2-D spectral embedding of a vector column
+  * ([[graft.ml.Spectral]], Belkin & Niyogi 2003): cosine kNN graph +
+  * quantized-exact integer power iteration over M = 2ΔI − L — the
+  * NONLINEAR manifold layout [[UMAPVizOp]]'s PCA stand-in cannot produce
+  * (and the initialization real UMAP itself uses), externally replayable
+  * by construction. Value = [e1, e2] per row. Non-ephemeral: the
+  * 2×`iters` distributed SpMV chain is worth content-addressing. */
+final case class SpectralVizOp(
+    inputEmbedding: VectorColumnType,
+    k: Long = 8L,
+    iters: Long = 12L) extends VizEmbeddingColumnType {
+  require(k >= 1L, s"k must be >= 1, got $k")
+  require(iters >= 1L, s"iters must be >= 1, got $iters")
+}
+
+/** Quantized-exact k-means cluster id per row
+  * ([[graft.ml.ExactKMeans]]): initial centroids = corpus members at row
+  * indices `centroidIds` (cell = list position), `iters` Lloyd passes
+  * (integer argmax assignment, integer-mean update, empty cells carry),
+  * value = final cell index as a CATEGORICAL string — so clusters flow
+  * into masks, grouped filters, stratified/temperature sampling, and
+  * another train's labels like any category. Deterministic and externally
+  * replayable, unlike a seeded sampler init. Non-ephemeral: `iters + 1`
+  * corpus passes are worth content-addressing. */
+final case class KMeansClusterOp(
+    vectors: VectorColumnType,
+    centroidIds: Seq[Long],
+    iters: Long = 4L) extends CategoricalColumnType {
+  require(centroidIds.nonEmpty, "centroidIds must be non-empty")
+  require(iters >= 0L, s"iters must be >= 0, got $iters")
+}
+
 // ---------- grouping (reference grouped_ops.py:8-17) ----------
 
 final case class GroupedOp(ops: Seq[OpSpec]) extends OpSpec

@@ -208,4 +208,61 @@ class MulticlassSpec extends SparkTestBase {
     assert(trainedAcc > heurAcc + 0.5,
       s"trained ($trainedAcc) must clearly beat the heuristic ($heurAcc)")
   }
+
+  test("out-of-bound FIT features are rejected when the fitted centroid breaks the bound") {
+    import spark.implicits._
+    // fit inputs have no raise_error guard; the exactness contract is
+    // enforced on the FITTED matrix instead — a class whose features sit
+    // past maxAbs produces a centroid cell past round(maxAbs·1e6) and the
+    // fit must fail loudly rather than advertise bit-replayable scores
+    // whose integer bound is broken
+    val df = Seq((0L, Seq(1.5, 0.0), "a"), (1L, Seq(1.7, 0.0), "a"),
+      (2L, Seq(-0.2, 0.6), "b"), (3L, Seq(-0.4, 0.8), "b"))
+      .toDF("id", "v", "lab")
+    val e = intercept[IllegalArgumentException] {
+      Multiclass.fitCentroidsExact(df, col("v"), col("lab"))
+    }
+    assert(e.getMessage.contains("exceeds maxAbsInput"))
+    // widening the bound makes the same data legal
+    val fit = Multiclass.fitCentroidsExact(df, col("v"), col("lab"),
+      maxAbsInput = 2.0)
+    assert(fit.qm(0)(0) == 1600000L)
+  }
+
+  test("nearest_centroid + standardize is rejected at train time unless max_abs is widened") {
+    val r = newRunner()
+    val ds = clustered(60)
+    val x = SelectVectorColumnOp(ds, "emb")
+    val cls = SelectCategoricalColumnOp(ds, "cls")
+    val bad = TrainMulticlassClassifierOp("nearest_centroid", x, cls,
+      preprocessing = "standardize")
+    val e = intercept[Exception] { r.materialize(bad) }
+    assert(e.getMessage.contains("standardize"),
+      s"expected the standardize rejection, got: ${e.getMessage}")
+    // an explicit max_abs > 1 sized for z-scores opts in to the combination
+    val ok = TrainMulticlassClassifierOp("nearest_centroid", x, cls,
+      preprocessing = "standardize", params = Map("max_abs" -> 16.0))
+    r.materialize(ok)
+    assert(r.isDone(ok))
+  }
+
+  test("evaluate surfaces null predictions as the <null> sentinel, not a phantom class") {
+    val r = newRunner()
+    val ds = LoadInlineJsonDatasetOp(Map(
+      "gt" -> Seq("a", "a", "b"),
+      "pred" -> Seq("a", null, "b")))
+    val eval = MulticlassEvaluationOp(
+      SelectCategoricalColumnOp(ds, "pred"), SelectCategoricalColumnOp(ds, "gt"))
+    val all = r.toJson(eval).asInstanceOf[JObj]("splits")
+      .asInstanceOf[JObj]("all").asInstanceOf[JObj]
+    val classes = all("classes").asInstanceOf[JObj]
+    assert(classes.fields.contains("<null>"), s"classes: ${classes.fields.keys}")
+    assert(!classes.fields.contains(""))
+    val nul = classes("<null>").asInstanceOf[JObj]
+    // never ground truth: support 0, one false positive, no macro-F1 term
+    assert(nul("support") == JLong(0) && nul("fp") == JLong(1))
+    val JDouble(macroF1) = all("macro_f1"): @unchecked
+    // macro over {a, b}: f1_a = 2·(1·0.5)/(1+0.5) = 2/3, f1_b = 1
+    assert(math.abs(macroF1 - (2.0 / 3.0 + 1.0) / 2.0) < 1e-12)
+  }
 }
