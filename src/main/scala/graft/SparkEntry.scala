@@ -1973,18 +1973,17 @@ object SparkEntry {
 
   /** Full DuckDB replay of q_spectral ([[graft.ml.Spectral]]): the kNN
     * graph (rounded-cosine rank, corpus-id tie-break, symmetrize+distinct)
-    * AND both integer power iterations — 2 × Iters steps, each one SpMV in
-    * BIGINT, exact HUGEINT global sums, the same correctly-rounded IEEE
-    * divide/sqrt/multiply sequence, the same half-up rounds — run in one
-    * recursive CTE per component (the ExactPca-oracle recursion pattern,
-    * applied to a data-sized iterate carried as a LIST in a single row).
-    * Deflation replays `r = (Σy·v₂ − m·Σv₂)/Σv₂²` with the numerator in
-    * HUGEINT and ONE int→double cast each side of the divide, exactly the
-    * BigInt path the engine runs. Constants (Quant, DefaultK, DefaultIters,
-    * the two md5 seed tags) come from [[graft.ml.Spectral]] so they can
-    * never drift. `1e6`-style literals are DOUBLE in DuckDB (a bare
-    * 1000000.0 would be DECIMAL and poison the recursion — the ExactPca
-    * oracle's lesson). */
+    * AND the joint orthogonal iteration — Iters steps, each one double
+    * SpMV in BIGINT, the five exact HUGEINT moments, the micro-quantized
+    * deflation `rq = round(num/den·1e6)` and the pure-integer
+    * `z2 = 1e6(y2−m2) − rq·z1`, the same correctly-rounded IEEE
+    * divide/sqrt/multiply sequence and half-up rounds — run in ONE
+    * recursive CTE (the ExactPca-oracle recursion pattern, applied to a
+    * data-sized iterate carried as LISTs in a single row). Constants
+    * (Quant, DefaultK, DefaultIters, the two md5 seed tags) come from
+    * [[graft.ml.Spectral]] so they can never drift. `1e6`-style literals
+    * are DOUBLE in DuckDB (a bare 1000000.0 would be DECIMAL and poison
+    * the recursion — the ExactPca oracle's lesson). */
   /** q_kmeans gate constants, shared by the queries and the oracle so the
     * clustering setup can never drift between engine and replay. */
   private val KmInitIds: Seq[Long] = 0L until 8L
@@ -2069,11 +2068,8 @@ object SparkEntry {
     def canon(v: String) =
       s"CASE WHEN list_filter($v, t -> t <> 0)[1] < 0 " +
         s"THEN list_transform($v, t -> -t) ELSE $v END"
-    // one normalization step: z (BIGINT list) → next iterate
-    def renorm(z: String, szz: String) =
-      s"list_transform($z, t -> CAST(round(CAST(t AS DOUBLE) / sqrt(CAST($szz AS DOUBLE)) * 1e6) AS BIGINT))"
-    val spmv =
-      s"list_transform(range(n), i -> (c - degl[i+1]) * x[i+1] + ${fold("list_transform(adjl[i+1], j -> x[j+1])")})"
+    def spmv(x: String) =
+      s"list_transform(range(n), i -> (c - degl[i+1]) * $x[i+1] + ${fold(s"list_transform(adjl[i+1], j -> $x[j+1])")})"
     s"""WITH RECURSIVE v AS (
        |  SELECT $idExpr AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
@@ -2106,64 +2102,51 @@ object SparkEntry {
        |  (SELECT list(id ORDER BY p) FROM nodes) AS idl,
        |  (SELECT count(*) FROM nodes) AS n,
        |  (SELECT 2 * max(deg) FROM nodes) AS c),
-       |pow1 AS (
-       |  SELECT 0 AS k, list_transform(idl, id -> ${seed("id")}) AS x,
+       |pow AS (
+       |  SELECT 0 AS k,
+       |    list_transform(idl, id -> ${seed("id")}) AS x1,
+       |    list_transform(idl, id -> ${seed("id + 1000000007")}) AS x2,
        |    degl, adjl, n, c
        |  FROM consts
        |  UNION ALL
-       |  SELECT k + 1, ${renorm("z", "szz")}, degl, adjl, n, c
-       |  FROM (
-       |    SELECT k, degl, adjl, n, c, z,
-       |      ${fold("list_transform(z, t -> CAST(t AS HUGEINT) * t)")} AS szz
-       |    FROM (
-       |      SELECT k, degl, adjl, n, c,
-       |        list_transform(y, t -> t - m) AS z
-       |      FROM (
-       |        SELECT k, degl, adjl, n, c, y,
-       |          CAST(round(CAST(${fold("list_transform(y, t -> CAST(t AS HUGEINT))")} AS DOUBLE) / n) AS BIGINT) AS m
-       |        FROM (
-       |          SELECT k, degl, adjl, n, c, $spmv AS y
-       |          FROM pow1 WHERE k < $it)))) ),
-       |c1 AS (
-       |  SELECT ${canon("x")} AS v2, degl, adjl, n, c
-       |  FROM pow1 WHERE k = $it),
-       |s2 AS (
-       |  SELECT v2,
-       |    ${fold("list_transform(v2, t -> CAST(t AS HUGEINT))")} AS sv,
-       |    ${fold("list_transform(v2, t -> CAST(t AS HUGEINT) * t)")} AS svv,
+       |  SELECT k + 1,
+       |    list_transform(y1, t -> CAST(round(CAST(t - m1 AS DOUBLE) / sqrt(CAST(den AS DOUBLE)) * 1e6) AS BIGINT)),
+       |    list_transform(range(n), i -> CAST(round(CAST((y2[i+1] - m2) * 1000000 - rq * (y1[i+1] - m1) AS DOUBLE) / sqrt(CAST(szz2 AS DOUBLE)) * 1e6) AS BIGINT)),
        |    degl, adjl, n, c
-       |  FROM c1),
-       |pow2 AS (
-       |  SELECT 0 AS k,
-       |    list_transform((SELECT idl FROM consts),
-       |      id -> ${seed("id + 1000000007")}) AS x,
-       |    v2, sv, svv, degl, adjl, n, c
-       |  FROM s2
-       |  UNION ALL
-       |  SELECT k + 1, ${renorm("z", "szz")}, v2, sv, svv, degl, adjl, n, c
        |  FROM (
-       |    SELECT k, v2, sv, svv, degl, adjl, n, c, z,
-       |      ${fold("list_transform(z, t -> CAST(t AS HUGEINT) * t)")} AS szz
+       |    SELECT k, degl, adjl, n, c, y1, y2, m1, m2, den, rq,
+       |      1000000000000 * (s22 - 2 * CAST(m2 AS HUGEINT) * s2 + n * CAST(m2 AS HUGEINT) * m2)
+       |        - 2000000 * CAST(rq AS HUGEINT) * num
+       |        + CAST(rq AS HUGEINT) * rq * den AS szz2
        |    FROM (
-       |      SELECT k, v2, sv, svv, degl, adjl, n, c,
-       |        list_transform(range(n), i ->
-       |          y[i+1] - m - CAST(round(r * v2[i+1]) AS BIGINT)) AS z
+       |      SELECT k, degl, adjl, n, c, y1, y2, m1, m2, s2, s22, den, num,
+       |        CAST(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e6) AS BIGINT) AS rq
        |      FROM (
-       |        SELECT k, v2, sv, svv, degl, adjl, n, c, y, m,
-       |          CAST(syv - CAST(m AS HUGEINT) * sv AS DOUBLE)
-       |            / CAST(svv AS DOUBLE) AS r
+       |        SELECT k, degl, adjl, n, c, y1, y2, m1, m2, s2, s22,
+       |          s11 - 2 * CAST(m1 AS HUGEINT) * s1 + n * CAST(m1 AS HUGEINT) * m1 AS den,
+       |          s12 - CAST(m1 AS HUGEINT) * s2 - CAST(m2 AS HUGEINT) * s1 + n * CAST(m1 AS HUGEINT) * m2 AS num
        |        FROM (
-       |          SELECT k, v2, sv, svv, degl, adjl, n, c, y,
-       |            CAST(round(CAST(${fold("list_transform(y, t -> CAST(t AS HUGEINT))")} AS DOUBLE) / n) AS BIGINT) AS m,
-       |            ${fold("list_transform(range(len(y)), i -> CAST(y[i+1] AS HUGEINT) * v2[i+1])")} AS syv
+       |          SELECT k, degl, adjl, n, c, y1, y2, s1, s11, s2, s22, s12,
+       |            CAST(round(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS m1,
+       |            CAST(round(CAST(s2 AS DOUBLE) / n) AS BIGINT) AS m2
        |          FROM (
-       |            SELECT k, v2, sv, svv, degl, adjl, n, c, $spmv AS y
-       |            FROM pow2 WHERE k < $it))))) ),
-       |f2 AS (SELECT ${canon("x")} AS v3 FROM pow2 WHERE k = $it)
+       |            SELECT k, degl, adjl, n, c, y1, y2,
+       |              ${fold("list_transform(y1, t -> CAST(t AS HUGEINT))")} AS s1,
+       |              ${fold("list_transform(y1, t -> CAST(t AS HUGEINT) * t)")} AS s11,
+       |              ${fold("list_transform(y2, t -> CAST(t AS HUGEINT))")} AS s2,
+       |              ${fold("list_transform(y2, t -> CAST(t AS HUGEINT) * t)")} AS s22,
+       |              ${fold("list_transform(range(len(y1)), i -> CAST(y1[i+1] AS HUGEINT) * y2[i+1])")} AS s12
+       |            FROM (
+       |              SELECT k, degl, adjl, n, c,
+       |                ${spmv("x1")} AS y1, ${spmv("x2")} AS y2
+       |              FROM pow WHERE k < $it)))))) ),
+       |f AS (
+       |  SELECT ${canon("x1")} AS v1f, ${canon("x2")} AS v2f
+       |  FROM pow WHERE k = $it)
        |SELECT nd.id AS $idName,
-       |  CAST(s2.v2[nd.p + 1] AS DOUBLE) / 1e6 AS e1,
-       |  CAST(f2.v3[nd.p + 1] AS DOUBLE) / 1e6 AS e2
-       |FROM nodes nd, s2, f2 ORDER BY $idName""".stripMargin
+       |  CAST(f.v1f[nd.p + 1] AS DOUBLE) / 1e6 AS e1,
+       |  CAST(f.v2f[nd.p + 1] AS DOUBLE) / 1e6 AS e2
+       |FROM nodes nd, f ORDER BY $idName""".stripMargin
   }
 
   /** Full DuckDB replay of the q_dedup_minhash pipeline — the same

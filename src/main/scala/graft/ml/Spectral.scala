@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * bound on λmax(L), so M is PSD and its top eigenspace is EXACTLY L's
   * bottom (c = Δ would leave λ(M) ∈ [−Δ, Δ] and the iteration mixing
   * divergent oscillatory modes — caught by SpectralSpec's tightness gate)
-  * — by fixed-iteration power iteration with continuous centering
-  * (deflates the trivial all-ones eigenvector) and, for the second
-  * component, continuous deflation against the first.
+  * — by fixed-count JOINT orthogonal iteration: both components advance
+  * through one shared SpMV per step, each step centering both (deflating
+  * the trivial all-ones eigenvector) and deflating the second component
+  * against the CURRENT first via an integer micro-quantized ratio (see
+  * [[iterate]]).
   *
   * DETERMINISM CONTRACT (the engine-wide quantized-exact discipline): the
   * iterate is an INTEGER vector (|x| ≤ 1e6); one SpMV step is pure integer
@@ -107,64 +109,84 @@ object Spectral {
     java.math.BigDecimal.valueOf(d)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
-  /** One power-iteration pass of `iters` steps over the integer iterate.
-    * `state` columns: (id, deg, x [, v2]); `svRef`/`svvRef` are Σv₂ and
-    * Σv₂² when deflating. Returns the final iterate column frame
-    * (id, deg, x [, v2]). */
   private def bigDouble(b: BigInt): Double =
     new java.math.BigDecimal(b.bigInteger).doubleValue
 
-  private def iterate(edges: DataFrame, state0: DataFrame, c: Long, n: Long,
-                      iters: Int, deflate: Boolean,
-                      sv: BigInt, svv: BigInt): DataFrame = {
+  /** JOINT orthogonal iteration: both components advance through ONE SpMV
+    * join and ONE moments aggregate per step — half the corpus passes of
+    * two sequential power runs (the 100 TB win; each step is one linear
+    * pass whatever the scale) and a single action per step locally.
+    *
+    * Per step, from state (id, deg, x1, x2):
+    *  1. y1 = (c−d)·x1 + Σ_N x1,  y2 likewise — integer SpMV, one join.
+    *  2. ONE exact aggregate: Σy1, Σy1², Σy2, Σy2², Σy1y2 (decimal(38):
+    *     order-independent; per-element products stay in int64 by the
+    *     c < 3000 bound).
+    *  3. driver (BigInt): means m1, m2 = round(Σy/n); z1 = y1 − m1 with
+    *     ‖z1‖² = Σy1² − 2m1Σy1 + nm1² from moments; deflation ratio
+    *     r = (y2−m2)·z1 / ‖z1‖² with numerator Σy1y2 − m1Σy2 − m2Σy1
+    *     + nm1m2, MICRO-QUANTIZED to rq = round(r·1e6) so the deflated
+    *     z2 = 1e6·(y2−m2) − rq·z1 is PURE INTEGER (no per-element
+    *     rounding) and ‖z2‖² = 1e12·‖y2−m2‖² − 2e6·rq·num + rq²·‖z1‖² is
+    *     again exact moments — no second aggregate.
+    *  4. x1' = round(z1/‖z1‖·Q), x2' = round(z2/‖z2‖·Q) — one
+    *     correctly-rounded divide/sqrt/multiply/half-up-round per element,
+    *     identical in any engine.
+    * Deflating x2 against the CURRENT x1 each step (not a finished v2) is
+    * classical orthogonal iteration — same limit space, better mixing. */
+  private def iterate(edges: DataFrame, state0: DataFrame, c: Long,
+                      n: Long, iters: Int): DataFrame = {
     var state = state0
     var it = 0
     while (it < iters) {
-      // SpMV: y_i = (c − d_i)·x_i + Σ_{j ∈ N(i)} x_j — all integer
       val nbr = edges
-        .join(state.select(col("id").as("src"), col("x").as("__xs")), "src")
+        .join(state.select(col("id").as("src"),
+          col("x1").as("__s1"), col("x2").as("__s2")), "src")
         .groupBy(col("dst").as("id"))
-        .agg(sum(col("__xs")).as("__ns"))
-      // LAZY checkpoint: materializes with the first aggregate's job (one
-      // job covers join + cache), and the next-state map below reads the
-      // cache — the per-iteration job count is 1 (2 when deflating), not 4
+        .agg(sum(col("__s1")).as("__n1"), sum(col("__s2")).as("__n2"))
+      // LAZY checkpoint: materializes inside the moments job; the
+      // next-state map below reads the cache — one job per step
       val y = state.join(nbr, Seq("id"), "left")
-        .withColumn("__y",
-          (lit(c) - col("deg")) * col("x") + coalesce(col("__ns"), lit(0L)))
-        .drop("x", "__ns")
+        .withColumn("__y1",
+          (lit(c) - col("deg")) * col("x1") + coalesce(col("__n1"), lit(0L)))
+        .withColumn("__y2",
+          (lit(c) - col("deg")) * col("x2") + coalesce(col("__n2"), lit(0L)))
+        .drop("x1", "x2", "__n1", "__n2")
         .localCheckpoint(false)
-      // exact global sums (decimal(38): order-independent integer sums)
-      val agg1 = y.agg(
-        sum(col("__y").cast("decimal(38,0)")).as("sy"),
-        sum((if (deflate) col("__y") * col("v2") else col("__y") * col("__y"))
-          .cast("decimal(38,0)")).as("s2"))
+      val mo = y.agg(
+        sum(col("__y1").cast("decimal(38,0)")).as("s1"),
+        sum((col("__y1") * col("__y1")).cast("decimal(38,0)")).as("s11"),
+        sum(col("__y2").cast("decimal(38,0)")).as("s2"),
+        sum((col("__y2") * col("__y2")).cast("decimal(38,0)")).as("s22"),
+        sum((col("__y1") * col("__y2")).cast("decimal(38,0)")).as("s12"))
         .head()
-      val syB = toBig(agg1, 0)
-      // centering constant: m = round(Σy / n) — one exact-int cast + one
-      // correctly-rounded divide + half-up round, identical in any engine
-      val m = roundHalfUp(bigDouble(syB) / n)
-      val (zCol, szz) =
-        if (deflate) {
-          // deflation r = (y−m)·v₂ / v₂·v₂ = (Σy·v₂ − m·Σv₂) / Σv₂²
-          val num = toBig(agg1, 1) - BigInt(m) * sv
-          val r = bigDouble(num) / bigDouble(svv)
-          // the per-element round(r·v₂) makes Σz² irreducible to moments —
-          // one extra exact aggregate over the cached y
-          val zc = col("__y") - lit(m) - round(lit(r) * col("v2")).cast("long")
-          (zc, toBig(y.agg(sum((zc * zc).cast("decimal(38,0)"))).head(), 0))
-        } else {
-          // Σ(y−m)² = Σy² − 2mΣy + n·m² — exact integer identity: the
-          // centered norm needs NO second pass
-          val zc = col("__y") - lit(m)
-          (zc, toBig(agg1, 1) - 2 * BigInt(m) * syB +
-            BigInt(n) * BigInt(m) * BigInt(m))
-        }
-      require(szz > 0,
+      val (s1, s11, s2, s22, s12) =
+        (toBig(mo, 0), toBig(mo, 1), toBig(mo, 2), toBig(mo, 3), toBig(mo, 4))
+      val m1 = roundHalfUp(bigDouble(s1) / n)
+      val m2 = roundHalfUp(bigDouble(s2) / n)
+      val den = s11 - 2 * BigInt(m1) * s1 + BigInt(n) * BigInt(m1) * BigInt(m1)
+      require(den > 0,
         "spectral iterate collapsed to zero (degenerate graph + seed)")
-      val norm = math.sqrt(bigDouble(szz))
+      val num = s12 - BigInt(m1) * s2 - BigInt(m2) * s1 +
+        BigInt(n) * BigInt(m1) * BigInt(m2)
+      val rq = roundHalfUp(bigDouble(num) / bigDouble(den) * 1e6)
+      require(math.abs(rq) <= 100000000L,
+        s"spectral deflation ratio out of range (rq=$rq): components " +
+          "collinear — degenerate graph + seed")
+      val szz2 = BigInt(1000000000000L) *
+        (s22 - 2 * BigInt(m2) * s2 + BigInt(n) * BigInt(m2) * BigInt(m2)) -
+        2 * BigInt(1000000L) * BigInt(rq) * num +
+        BigInt(rq) * BigInt(rq) * den
+      require(szz2 > 0,
+        "second spectral component collapsed (x2 parallel to x1)")
+      val norm1 = math.sqrt(bigDouble(den))
+      val norm2 = math.sqrt(bigDouble(szz2))
+      val z1 = col("__y1") - lit(m1)
+      val z2 = (col("__y2") - lit(m2)) * lit(1000000L) - lit(rq) * z1
       state = y
-        .withColumn("x", round(zCol / norm * Quant).cast("long"))
-        .drop("__y")
+        .withColumn("x1", round(z1 / norm1 * Quant).cast("long"))
+        .withColumn("x2", round(z2 / norm2 * Quant).cast("long"))
+        .drop("__y1", "__y2")
         .localCheckpoint(false)
       it += 1
     }
@@ -192,7 +214,8 @@ object Spectral {
       .agg(count(lit(1)).as("deg"))
     val base = emb.select(col(idCol).cast("long").as("id"))
       .join(deg, Seq("id"), "inner") // every node has ≥ k out-edges → present
-      .withColumn("x", seedX(col("id")))
+      .withColumn("x1", seedX(col("id")))
+      .withColumn("x2", seedX(col("id") + 1000000007L))
       .localCheckpoint(true)
     val stats = base.agg(max(col("deg")), count(lit(1))).head()
     val c = 2L * stats.getLong(0) // Gershgorin: λmax(L) ≤ 2Δ → M = cI−L PSD
@@ -204,24 +227,10 @@ object Spectral {
       s"max kNN degree ${c / 2} too high for the integer SpMV bound — a " +
         "hub node is in nearly every top-k list; reduce k or dedup first")
 
-    val v2state = canonicalize(
-      iterate(edges, base, c, n, iters, deflate = false, BigInt(0), BigInt(0)),
-      "x")
-    val v2 = v2state.select(col("id"), col("deg"), col("x").as("v2"))
-      .localCheckpoint(true)
-    val vAgg = v2.agg(
-      sum(col("v2").cast("decimal(38,0)")).as("sv"),
-      sum((col("v2") * col("v2")).cast("decimal(38,0)")).as("svv")).head()
-    val (sv, svv) = (toBig(vAgg, 0), toBig(vAgg, 1))
-    require(svv > 0, "first spectral component is zero")
-
-    val v3state = canonicalize(
-      iterate(edges, v2.withColumn("x", seedX(col("id") + 1000000007L)),
-        c, n, iters, deflate = true, sv, svv),
-      "x")
-    v2.join(v3state.select(col("id"), col("x").as("v3")), "id")
-      .select(col("id"),
-        (col("v2").cast("double") / Quant).as("e1"),
-        (col("v3").cast("double") / Quant).as("e2"))
+    val fin = canonicalize(canonicalize(
+      iterate(edges, base, c, n, iters), "x1"), "x2")
+    fin.select(col("id"),
+      (col("x1").cast("double") / Quant).as("e1"),
+      (col("x2").cast("double") / Quant).as("e2"))
   }
 }
