@@ -253,6 +253,29 @@ object ScaleProbe {
         graft.ext.Similarity.ivfPqTopKIndexed(spark, idxPq.toString,
           queries, "vec_id", "embedding", k = 10, nprobe = 4).count()
       }
+      // exact k-means: iters+1 one-pass scans; per-pass shuffle carries
+      // only (cell, dim) integer partials — metadata at any decade — and
+      // driver state is the k×dim matrix. Assignment is map-only over
+      // plan literals (no join): the flat-shuffle claim of the family
+      measure(s"exact kmeans ${factor}x", s"rows=$rows k=16 iters=3") {
+        val fit = graft.ml.ExactKMeans.fit(emb, "vec_id", "embedding",
+          0L until 16L, iters = 3)
+        graft.ml.ExactKMeans.assign(emb,
+          col("vec_id"), col("embedding"), fit).count()
+      }
+      // spectral JOINT iteration over INJECTED edges (ring graph, degree
+      // 8 — the LSH/IVF candidate shape; kNN construction is measured by
+      // the ANN family above): per step ONE edge join + ONE moments
+      // aggregate; edge rows scale linearly, state is (id, 2 longs), and
+      // the driver sees five BigInt scalars per step
+      measure(s"spectral iterate ${factor}x", s"nodes=$rows ringDeg=8 iters=12") {
+        val offs = Seq(-4L, -3L, -2L, -1L, 1L, 2L, 3L, 4L)
+        val ring = offs.map(o => spark.range(rows).select(
+            col("id").as("src"), ((col("id") + o + rows) % rows).as("dst")))
+          .reduce(_ union _)
+        graft.ml.Spectral.embed2dFromEdges(ring,
+          spark.range(rows).toDF("id"), iters = 12).count()
+      }
       Seq(rep, idx, idxPq).foreach { p =>
         val s = java.nio.file.Files.walk(p)
         try {

@@ -513,6 +513,82 @@ object Corpus {
       .drop("__rk", "__n")
   }
 
+  /** Token-budget keep verdicts: within each `groupCol` group (language,
+    * domain, source), rows ranked by `priorityCol` DESC (tie-break
+    * `idCol` ASC) are kept while the group's INCLUSIVE cumulative
+    * `tokensCol` stays ≤ `budget` — the "fill each language's token
+    * allowance with its best documents" step of a pretraining data mix
+    * (rank by a quality/recency signal, cut at the budget; the first
+    * over-budget document is DROPPED, not truncated — truncation belongs
+    * to [[packSequences]]). Emits every input row plus `cum_tokens`
+    * (inclusive cumulative) and `keep` — filter or mask downstream.
+    *
+    * `subBuckets ≤ 1`: per-group window cumsum — one hash partition on
+    * the group key, right while groups are executor-sized. `subBuckets >
+    * 1` is the MEGA-GROUP form ([[rankedWithinStrata]]'s shape with SUMS
+    * instead of counts): global priority-quantile sub-buckets (monotone
+    * in the priority order — bucket boundaries only shape the PLAN; the
+    * kept set is the same total order either way), local window cumsums
+    * per (group, bucket), per-(group, bucket) token totals folded into
+    * prefix offsets through a broadcast inequality self-join over the
+    * tiny #groups × subBuckets aggregate. Null priorities sort LAST
+    * (desc_nulls_last) and never displace scored rows.
+    *
+    * Replayability: the cumsum is an integer sum in a deterministic total
+    * order — `SUM(tokens) OVER (PARTITION BY g ORDER BY p DESC, id)`
+    * replays it verbatim in any SQL engine. */
+  def tokenBudgetKeep(df: DataFrame, groupCol: String, idCol: String,
+                      priorityCol: String, tokensCol: String, budget: Long,
+                      subBuckets: Int = 1): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val cum =
+      if (subBuckets <= 1) {
+        val w = Window.partitionBy(col(groupCol))
+          .orderBy(col(priorityCol).desc, col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      } else {
+        // bucket boundaries from global priority quantiles: bucket index
+        // ASC == priority DESC, so the per-(group, bucket) offsets below
+        // accumulate over strictly-higher-priority buckets
+        val probs = (1 until subBuckets).map(_.toDouble / subBuckets).toArray
+        val bounds = df.stat.approxQuantile(priorityCol, probs, 0.001)
+        val sb = "__tb_sb"; val v = "__tb_v"; val inc = "__tb_inc"
+        val off = "__tb_off"
+        val bucket = bounds.foldLeft(lit(0)) { (acc, t) =>
+          acc + when(col(priorityCol) < t, 1).otherwise(0) }
+        val parted = df
+          .withColumn(sb, when(col(priorityCol).isNull, lit(subBuckets))
+            .otherwise(bucket))
+          .withColumn(v, col(tokensCol).cast("long"))
+        val local = parted.withColumn(inc,
+          sum(col(v)).over(Window.partitionBy(col(groupCol), col(sb))
+            .orderBy(col(priorityCol).desc, col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val totals = parted.groupBy(col(groupCol), col(sb))
+          .agg(sum(col(v)).as("__tb_tot"))
+        val offsets = totals.as("a")
+          .join(broadcast(totals.as("b")),
+            col(s"b.$groupCol") === col(s"a.$groupCol") &&
+              col(s"b.$sb") < col(s"a.$sb"), "left")
+          .groupBy(col(s"a.$groupCol").as(groupCol), col(s"a.$sb").as(sb))
+          .agg(coalesce(sum(col("b.__tb_tot")), lit(0L)).as(off))
+        local.join(broadcast(offsets), Seq(groupCol, sb))
+          .withColumn("cum_tokens", col(off) + col(inc))
+          .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+      }
+    cum.withColumn("keep", col("cum_tokens") <= budget)
+  }
+
+  /** Kept rows only — [[tokenBudgetKeep]] filtered, `cum_tokens` kept for
+    * auditing the fill level per group. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String, idCol: String,
+                        priorityCol: String, tokensCol: String, budget: Long,
+                        subBuckets: Int = 1): DataFrame =
+    tokenBudgetKeep(df, groupCol, idCol, priorityCol, tokensCol, budget,
+      subBuckets)
+      .filter(col("keep")).drop("keep")
+
   /** GPT-style concat-and-chunk sequence packing: documents laid end to end
     * in `idCol` order are cut into fixed `seqLen`-token training sequences.
     * Each document occupies the half-open token interval

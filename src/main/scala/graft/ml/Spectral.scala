@@ -54,7 +54,7 @@ object Spectral {
   /** Gate-form defaults, shared with the q_spectral DuckDB oracle so the
     * constants can never drift between engine and replay. */
   val DefaultK = 8
-  val DefaultIters = 12
+  val DefaultIters = 8
 
   /** Symmetrized unweighted kNN edges (src, dst), both directions, no
     * self-loops: neighbors = the non-self rows of each node's top-(k+1)
@@ -73,9 +73,16 @@ object Spectral {
     val q = broadcast(emb.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("__qv"),
       graft.ext.Similarity.norm(col(vecCol)).as("__qn")))
-    val c = emb.select(col(idCol).cast("long").as("corpus_id"),
+    val cRaw = emb.select(col(idCol).cast("long").as("corpus_id"),
       col(vecCol).as("__cv"),
       graft.ext.Similarity.norm(col(vecCol)).as("__cn"))
+    // the O(n²) pair stream inherits the CORPUS side's partitioning: a
+    // single-file scan would run the whole crossJoin in one task (measured
+    // 3× the wall at n=2000) — spread it when the scan is narrower than
+    // the cluster
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val c = if (cRaw.rdd.getNumPartitions < par) cRaw.repartition(par)
+            else cRaw
     val scored = c.crossJoin(q).withColumn("__cos6",
       round(when(col("__qn") * col("__cn") > 0,
         graft.ext.VectorKernels.dot(col("__qv"), col("__cv"))
@@ -139,19 +146,25 @@ object Spectral {
     var state = state0
     var it = 0
     while (it < iters) {
-      val nbr = edges
+      // ONE shuffle per step: the self term (c−d)·x rides the SAME
+      // aggregation as the neighbor contributions (edges carry the
+      // destination's degree as `ddeg`, so y re-emerges with its degree
+      // via first() — constant within each group), replacing the
+      // join-then-join-back shape's second exchange
+      val fromNbrs = edges
         .join(state.select(col("id").as("src"),
           col("x1").as("__s1"), col("x2").as("__s2")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("__s1")).as("__n1"), sum(col("__s2")).as("__n2"))
+        .select(col("dst").as("id"), col("ddeg").as("deg"),
+          col("__s1"), col("__s2"))
+      val self = state.select(col("id"), col("deg"),
+        ((lit(c) - col("deg")) * col("x1")).as("__s1"),
+        ((lit(c) - col("deg")) * col("x2")).as("__s2"))
       // LAZY checkpoint: materializes inside the moments job; the
       // next-state map below reads the cache — one job per step
-      val y = state.join(nbr, Seq("id"), "left")
-        .withColumn("__y1",
-          (lit(c) - col("deg")) * col("x1") + coalesce(col("__n1"), lit(0L)))
-        .withColumn("__y2",
-          (lit(c) - col("deg")) * col("x2") + coalesce(col("__n2"), lit(0L)))
-        .drop("x1", "x2", "__n1", "__n2")
+      val y = fromNbrs.union(self)
+        .groupBy(col("id"))
+        .agg(first(col("deg")).as("deg"),
+          sum(col("__s1")).as("__y1"), sum(col("__s2")).as("__y2"))
         .localCheckpoint(false)
       val mo = y.agg(
         sum(col("__y1").cast("decimal(38,0)")).as("s1"),
@@ -194,12 +207,19 @@ object Spectral {
   }
 
   /** Canonical sign: first nonzero component in id order positive —
-    * eigenvector sign is arbitrary; pin it so the result hash-compares. */
-  private def canonicalize(state: DataFrame, xCol: String): DataFrame = {
-    val firstNonZero = state.filter(col(xCol) =!= 0L)
-      .orderBy(col("id")).select(col(xCol)).limit(1).collect()
-    val flip = firstNonZero.nonEmpty && firstNonZero(0).getLong(0) < 0
-    if (flip) state.withColumn(xCol, -col(xCol)) else state
+    * eigenvector sign is arbitrary; pin it so the result hash-compares.
+    * Both components in ONE aggregate (`min_by` skips the null keys the
+    * `when` leaves on zero entries → the value at the smallest nonzero
+    * id). */
+  private def canonicalize2(state: DataFrame): DataFrame = {
+    val r = state.agg(
+      min_by(col("x1"), when(col("x1") =!= 0L, col("id"))).as("f1"),
+      min_by(col("x2"), when(col("x2") =!= 0L, col("id"))).as("f2")).head()
+    val flip1 = !r.isNullAt(0) && r.getLong(0) < 0
+    val flip2 = !r.isNullAt(1) && r.getLong(1) < 0
+    state
+      .withColumn("x1", if (flip1) -col("x1") else col("x1"))
+      .withColumn("x2", if (flip2) -col("x2") else col("x2"))
   }
 
   /** 2-D spectral embedding of a vector column: one row per input —
@@ -207,13 +227,41 @@ object Spectral {
     * to [−1, 1] (iterate / Quant — a dyadic-free exact division by 1e6 is
     * a single correctly-rounded op, replayed identically). */
   def embed2d(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int = DefaultK, iters: Int = DefaultIters): DataFrame = {
+              k: Int = DefaultK, iters: Int = DefaultIters): DataFrame =
+    embed2dFromEdges(knnEdges(emb, idCol, vecCol, k),
+      emb.select(col(idCol).cast("long").as("id")), iters)
+
+  /** Iteration entry with INJECTED candidate edges — the 100 TB path pairs
+    * this with LSH/IVF-generated neighbor pairs instead of the O(n²)
+    * brute-force [[knnEdges]]; the iteration is agnostic to how edges were
+    * found. Contract: `edges` has long (src, dst) columns, is SYMMETRIC,
+    * self-loop-free, and covers every node of `nodes` (an `id` column)
+    * with degree ≥ 1. */
+  def embed2dFromEdges(edges: DataFrame, nodes: DataFrame,
+                       iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val edges = knnEdges(emb, idCol, vecCol, k).localCheckpoint(true)
-    val deg = edges.groupBy(col("dst").as("id"))
+    // partition the edge list by src ONCE: every step's SpMV joins state
+    // on id = src, so the pre-partitioning is reused across all `iters`
+    // passes (and a 1-partition edge checkpoint would serialize every
+    // step — measured 3× the wall). defaultParallelism ≈ cluster cores.
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .localCheckpoint(true)
+    val deg = e0.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("deg"))
-    val base = emb.select(col(idCol).cast("long").as("id"))
-      .join(deg, Seq("id"), "inner") // every node has ≥ k out-edges → present
+    // each edge carries its DESTINATION's degree so the per-step
+    // aggregation can re-emit (id, deg) without a second join; restore
+    // the src partitioning the per-step state join keys on
+    val e = e0
+      .join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+      .select(col("src"), col("dst"), col("ddeg"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .localCheckpoint(true)
+    val base = nodes.select(col("id").cast("long").as("id"))
+      .join(deg, Seq("id"), "inner") // symmetric edges → every node present
       .withColumn("x1", seedX(col("id")))
       .withColumn("x2", seedX(col("id") + 1000000007L))
       .localCheckpoint(true)
@@ -227,8 +275,21 @@ object Spectral {
       s"max kNN degree ${c / 2} too high for the integer SpMV bound — a " +
         "hub node is in nearly every top-k list; reduce k or dedup first")
 
-    val fin = canonicalize(canonicalize(
-      iterate(edges, base, c, n, iters), "x1"), "x2")
+    // size the iteration's partitioning to the GRAPH, not the session: a
+    // small graph over the session's default width pays `iters` rounds of
+    // near-empty-stage scheduling (the dominant cost at gate scale), a
+    // huge one needs width — ~50k nodes per partition, bounded above
+    val ip = math.max(1L, math.min(n / 50000L + 1L, 20000L)).toInt
+    val eIt =
+      if (ip * 2 < e.rdd.getNumPartitions)
+        e.repartition(ip, col("src")).localCheckpoint(true)
+      else e
+    val baseIt =
+      if (ip * 2 < base.rdd.getNumPartitions)
+        base.repartition(ip, col("id")).localCheckpoint(true)
+      else base
+
+    val fin = canonicalize2(iterate(eIt, baseIt, c, n, iters))
     fin.select(col("id"),
       (col("x1").cast("double") / Quant).as("e1"),
       (col("x2").cast("double") / Quant).as("e2"))

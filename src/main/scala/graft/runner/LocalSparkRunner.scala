@@ -113,6 +113,7 @@ class LocalSparkRunner(
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
     case v: SpectralVizOp => lengthOf(v.inputEmbedding)
     case v: KMeansClusterOp => lengthOf(v.vectors)
+    case t: TokenBudgetKeepOp => lengthOf(t.group)
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
     case t: TokenCountOp => lengthOf(t.text)
@@ -865,6 +866,15 @@ class LocalSparkRunner(
       FrameResult(graft.ml.ExactKMeans
         .assign(x, col(RowIdx), col(ValueCol), fit)
         .select(col("id").as(RowIdx), col("cell").cast("string").as(ValueCol)))
+
+    case tb: TokenBudgetKeepOp =>
+      val g = frame(tb.group).select(col(RowIdx), col(ValueCol).as("__g"))
+      val p = frame(tb.priority).select(col(RowIdx), col(ValueCol).as("__p"))
+      val tk = frame(tb.tokens).select(col(RowIdx), col(ValueCol).as("__t"))
+      val joined = g.join(p, RowIdx).join(tk, RowIdx)
+      FrameResult(graft.ext.Corpus
+        .tokenBudgetKeep(joined, "__g", RowIdx, "__p", "__t", tb.budget)
+        .select(col(RowIdx), col("keep").as(ValueCol)))
 
     case RedactPIIColumnOp(text) =>
       FrameResult(frame(text).select(col(RowIdx),

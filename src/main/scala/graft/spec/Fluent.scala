@@ -62,6 +62,15 @@ object Fluent {
       CategoryToBooleanOp.build(c, None, Some(values))
   }
 
+  implicit class CategoricalColumnBuilders(private val c: CategoricalColumnType)
+      extends AnyVal {
+    /** beyond reference: per-group token-budget keep verdicts (this column
+      * is the group key) */
+    def tokenBudgetKeep(priority: ScoreColumnType, tokens: ScoreColumnType,
+                        budget: Long): TokenBudgetKeepOp =
+      TokenBudgetKeepOp(c, priority, tokens, budget)
+  }
+
   implicit class SplitBuilders(private val s: TrainTestSplitColumnType) extends AnyVal {
     /** reference `types.py:690-709` */
     def isTrain: CategoryToBooleanOp = CategoryToBooleanOp.build(s, Some(Seq("train")), None)
@@ -130,7 +139,7 @@ object Fluent {
                 randomState: Long = 42L): UMAPVizOp =
       UMAPVizOp(v, nNeighbors, nEpochs, randomState)
     /** beyond reference: Laplacian-eigenmaps spectral 2-D layout */
-    def spectralViz(k: Long = 8L, iters: Long = 12L): SpectralVizOp =
+    def spectralViz(k: Long = 8L, iters: Long = 8L): SpectralVizOp =
       SpectralVizOp(v, k, iters)
     /** beyond reference: exact k-means cluster id, centroids = row
       * indices */

@@ -432,6 +432,10 @@ object OpRegistry {
     "KMeansClusterOp" -> ((o, r) =>
       KMeansClusterOp(op[VectorColumnType](o, "vectors", r),
         lngSeq(o, "centroid_ids"), lng(o, "iters"))),
+    "TokenBudgetKeepOp" -> ((o, r) =>
+      TokenBudgetKeepOp(op[CategoricalColumnType](o, "group", r),
+        op[ScoreColumnType](o, "priority", r),
+        op[ScoreColumnType](o, "tokens", r), lng(o, "budget"))),
     "GroupedOp" -> ((o, r) => GroupedOp(opSeq(o, "ops", r))),
     "RedactPIIColumnOp" -> ((o, r) =>
       RedactPIIColumnOp(op[TextColumnType](o, "text", r))),

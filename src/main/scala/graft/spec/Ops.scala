@@ -390,7 +390,7 @@ final case class UMAPVizOp(
 final case class SpectralVizOp(
     inputEmbedding: VectorColumnType,
     k: Long = 8L,
-    iters: Long = 12L) extends VizEmbeddingColumnType {
+    iters: Long = 8L) extends VizEmbeddingColumnType {
   require(k >= 1L, s"k must be >= 1, got $k")
   require(iters >= 1L, s"iters must be >= 1, got $iters")
 }
@@ -410,6 +410,22 @@ final case class KMeansClusterOp(
     iters: Long = 4L) extends CategoricalColumnType {
   require(centroidIds.nonEmpty, "centroidIds must be non-empty")
   require(iters >= 0L, s"iters must be >= 0, got $iters")
+}
+
+/** Token-budget keep verdicts over aligned (group, priority, tokens)
+  * columns ([[graft.ext.Corpus.tokenBudgetKeep]]): within each group,
+  * rows ranked by priority DESC (row-index tie-break) are kept while the
+  * group's inclusive cumulative token count stays ≤ `budget` — the "fill
+  * each language's token allowance with its best documents" step of a
+  * pretraining mix. Value = keep boolean per row; compose with
+  * [[MaskRowsOp]] to realize the cut. Non-ephemeral: the grouped cumsum
+  * shuffle is worth content-addressing. */
+final case class TokenBudgetKeepOp(
+    group: CategoricalColumnType,
+    priority: ScoreColumnType,
+    tokens: ScoreColumnType,
+    budget: Long) extends BooleanColumnType {
+  require(budget >= 0L, s"budget must be >= 0, got $budget")
 }
 
 // ---------- grouping (reference grouped_ops.py:8-17) ----------

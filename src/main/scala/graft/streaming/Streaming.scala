@@ -377,6 +377,36 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming k-means assignment against a PINNED fitted model
+    * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
+    * cluster a 100 TB backlog once, then classify the continuous ingest
+    * into the same cells forever. The scorer is a STATELESS map over plan
+    * literals (no join, no state store), so any micro-batching yields the
+    * batch assignment exactly (StreamingSpec pins multi-batch == batch);
+    * availableNow + collect is the gate/test form — production writes
+    * each batch's `(id, cell, score)` to a sink from the same hook. */
+  def kmeansAssignAvailableNow(docs: DataFrame, idCol: String, vecCol: String,
+                               fit: graft.ml.ExactKMeans.Fit): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = graft.ml.ExactKMeans.assign(
+          batch.toDF(), col(idCol), col(vecCol), fit)
+        val collected = out.collect()
+        rows.synchronized { rows ++= collected }
+        schema = out.schema
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived to assign")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Permissive twin of [[annotateImageMeta]] — the streaming form of the
     * batch `withImageMetaPermissive` robustness contract: a corrupt payload
     * yields a null-meta row with the error message instead of throwing

@@ -367,4 +367,53 @@ class CorpusSpec extends SparkTestBase {
     assert(byId(2L).getString(1) === "u1 u2 u3 u4 u5",
       "shifted copy drops, filler survives")
   }
+
+  test("tokenBudgetKeep: prefix semantics, boundary fill, per-group budgets") {
+    // group A priority order (prio desc, id): a1(40) a2(35) a3(30) a4(25);
+    // tokens 500, 400, 150, 10 — budget 1050: a1 cum 500 keep, a2 cum 900
+    // keep, a3 cum 1050 keep (EXACT fill kept), a4 cum 1060 drop — and a4
+    // is NOT backfilled even though 10 tokens "would fit" after dropping
+    // nothing (prefix, not knapsack). group B fits entirely.
+    val df = Seq(
+      (1L, "A", 40.0, 500L), (2L, "A", 35.0, 400L),
+      (3L, "A", 30.0, 150L), (4L, "A", 25.0, 10L),
+      (5L, "B", 9.0, 600L), (6L, "B", 8.0, 400L))
+      .toDF("id", "g", "prio", "tok")
+    val out = Corpus.tokenBudgetKeep(df, "g", "id", "prio", "tok", 1050L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 500L, true), (2L, 900L, true), (3L, 1050L, true),
+      (4L, 1060L, false), (5L, 600L, true), (6L, 1000L, true)))
+    val kept = Corpus.tokenBudgetSelect(df, "g", "id", "prio", "tok", 1050L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("tokenBudgetKeep: priority ties break by id; null priorities sort last") {
+    val df = Seq(
+      (10L, "A", Some(5.0), 60L), (11L, "A", Some(5.0), 60L),
+      (12L, "A", None: Option[Double], 1L))
+      .toDF("id", "g", "prio", "tok")
+    val out = Corpus.tokenBudgetKeep(df, "g", "id", "prio", "tok", 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5)))
+    // id 10 first (tie-break), cum 60 keep; id 11 cum 120 drop; the null-
+    // priority row sorts LAST (cum 121) and cannot displace scored rows
+    assert(out.toSeq == Seq((10L, true), (11L, false), (12L, false)))
+  }
+
+  test("tokenBudgetKeep: mega-group two-phase form equals the window form") {
+    val rng = new scala.util.Random(41)
+    val df = (0 until 500).map(i => (i.toLong, s"g${i % 3}",
+      rng.nextDouble() * 100, (rng.nextInt(50) + 1).toLong))
+      .toDF("id", "g", "prio", "tok")
+    val a = Corpus.tokenBudgetKeep(df, "g", "id", "prio", "tok", 1000L)
+      .select("id", "cum_tokens", "keep").orderBy("id").collect().map(_.toSeq)
+    val b = Corpus.tokenBudgetKeep(df, "g", "id", "prio", "tok", 1000L,
+        subBuckets = 4)
+      .select("id", "cum_tokens", "keep").orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.exists(r => r(2) == false) && a.exists(r => r(2) == true))
+  }
 }

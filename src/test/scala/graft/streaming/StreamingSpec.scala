@@ -338,6 +338,39 @@ class StreamingSpec extends SparkTestBase {
     assert((0L until 30L).forall(id => verdicts(id)))
   }
 
+  test("streaming k-means assignment: multi-batch equals batch, model pinned") {
+    // fit-batch/serve-stream: the exact model is fitted ONCE on the full
+    // corpus, then the stream re-scores in two micro-batches — stateless
+    // scorer, so the union must equal the batch assignment bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmstream-")
+    val rng = new scala.util.Random(31)
+    def vec(c: Int): Seq[Float] =
+      Seq.tabulate(8)(d => ((if (d == c) 0.5 else 0.0)
+        + (rng.nextDouble() - 0.5) * 0.1).toFloat)
+    val base = (0L until 60L).map(i => (i, vec((i % 3).toInt)))
+    val b0 = base.take(30)
+    val b1 = base.drop(30)
+    b0.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$dir/b1")
+    val all = (b0 ++ b1).toDF("vec_id", "embedding")
+    val fit = graft.ml.ExactKMeans.fit(all, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), iters = 3)
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.kmeansAssignAvailableNow(
+        stream, "vec_id", "embedding", fit)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val batch = graft.ml.ExactKMeans.assign(all,
+        col("vec_id").cast("long"), col("embedding"), fit)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the clusters are the true ones (cells seeded by ids 0/1/2 = classes)
+    assert(streamed.forall(r =>
+      r(1).asInstanceOf[Int] == (r.head.asInstanceOf[Long] % 3).toInt))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
