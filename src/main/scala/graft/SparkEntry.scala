@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Bm25, Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Bm25, Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Profile, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -734,6 +734,29 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_distinct_sketch" -> ((s, dir) => {
+      // per-language KMV distinct-text estimate at k=80: en (218 distinct
+      // at sf0.01) exercises the (k−1)·2⁶⁰/h₍ₖ₎ estimator, the smaller
+      // languages the exact below-k path — the oracle replays the sorted
+      // distinct 60-bit hash prefix and the HUGEINT floor division
+      Profile.distinctEstimate(t(s, dir, "documents"), "lang", "text",
+          KmvK)
+        .orderBy(col("lang"))
+    }),
+
+    "q_corpus_stats" -> ((s, dir) => {
+      // one-pass per-source data card over a corpus with PLANTED exact
+      // duplicates (copies of doc_id < 200 at +100000): est_distinct_texts
+      // < n_docs surfaces the per-source duplication rate a curation run
+      // reports before dedup
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("source"), col("text"))
+        .union(docs.filter(col("doc_id") < 200)
+          .select(col("source"), col("text")))
+      Profile.corpusReport(planted, "source", "text")
+        .orderBy(col("source"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // per-language token-budget fill (the pretraining-mix cut): rank by
       // n_chars DESC (longest-doc priority, deterministic doc_id
@@ -1208,6 +1231,24 @@ object SparkEntry {
         shingleN = 1, threshold = 0.9)
       Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .select(col("doc_id"), col("cluster_id"), col("is_representative"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_best" -> ((s, dir) => {
+      // quality-aware representative selection over the SAME chained
+      // clusters as q_dedup_clusters: keep the LONGEST member (n_chars
+      // priority) of each near-dup cluster instead of the min-id one —
+      // the oracle recomputes the closure AND the per-cluster argmax
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val cands = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select(col("doc_id").as("id_b")),
+          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+      val pairs = Dedup.jaccardVerify(docs, "text", "doc_id", cands,
+        shingleN = 1, threshold = 0.9)
+      Dedup.keepBestPerCluster(
+          docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
+          pairs)
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2046,6 +2087,11 @@ object SparkEntry {
   private val KmInitIds: Seq[Long] = 0L until 8L
   private val KmIters: Int = 4
 
+  /** q_distinct_sketch KMV size (shared engine/oracle): straddles the sf
+    * language cardinalities — en (218 distinct texts at sf0.01) runs the
+    * estimator, de/es/fr/zh (< 80) the exact below-k path. */
+  private val KmvK: Int = 80
+
   /** q_token_budget per-language token allowance (shared engine/oracle):
     * cuts every language of the sf fixtures (en carries ~12k tokens at
     * sf0.01), so the gate exercises a real budget boundary per group. */
@@ -2304,6 +2350,30 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, lab) AS rn
        |  FROM s)""".stripMargin
+
+  /** Transitive closure of the chained unigram-Jaccard window pairs shared
+    * by q_dedup_clusters / q_dedup_best: reach(id, lbl) saturates "lbl can
+    * reach id" via a recursive CTE — an independent closure construction
+    * from the Spark side's large-star/small-star contraction. */
+  private val ccClosureCtes: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      |    w -> length(w) > 0)) AS sh FROM d),
+      |e AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b
+      |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.9),
+      |und AS (SELECT id_a AS u, id_b AS v FROM e
+      |        UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM d
+      |  UNION
+      |  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.id)""".stripMargin
 
   /** Full SemDeDup replay (q_dedup_semantic AND its streaming twin
     * q_sem_stream — identical verdicts over the identical planted fixture):
@@ -2837,6 +2907,56 @@ object SparkEntry {
     "q_km_stream" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
       s"SELECT id, CAST(cell AS INTEGER) AS cell, score FROM a${KmIters + 1} ORDER BY id"),
 
+    "q_distinct_sketch" ->
+      // KMV replay: distinct 60-bit md5 prefixes per language, kth
+      // smallest via row_number, HUGEINT floor division for the estimate
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM h),
+         |g AS (
+         |  SELECT lang, CAST(max(cnt) AS BIGINT) AS cnt,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+         |  FROM r GROUP BY lang),
+         |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM documents GROUP BY lang)
+         |SELECT n.lang, n.n_rows,
+         |  CASE WHEN g.cnt < $KmvK THEN g.cnt
+         |    ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) *
+         |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
+         |  END AS est_distinct
+         |FROM n JOIN g USING (lang) ORDER BY lang""".stripMargin,
+
+    "q_corpus_stats" ->
+      // planted duplicates (doc_id < 200 copied) → per-source distinct <
+      // total; every source sits below k=64, so the sketch IS the exact
+      // distinct-text count here (the estimator path is q_distinct_sketch)
+      s"""WITH u AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT source, text FROM documents WHERE doc_id < 200),
+         |t AS (
+         |  SELECT source, text,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS tok
+         |  FROM u),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |  FROM t GROUP BY source),
+         |c AS (
+         |  SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS dct
+         |  FROM u GROUP BY source)
+         |SELECT agg.source, n_docs, n_tokens, n_chars,
+         |  c.dct AS est_distinct_texts
+         |FROM agg JOIN c USING (source) ORDER BY source""".stripMargin,
+
     "q_token_budget" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, n_chars,
@@ -3364,31 +3484,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_clusters" ->
-      // transitive closure via recursive CTE: reach(id, lbl) saturates
-      // "lbl can reach id", then min(lbl) per id = the component minimum —
-      // an independent closure construction from the Spark side's
-      // large-star/small-star contraction
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_filter(
-        |    regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-        |    w -> length(w) > 0)) AS sh FROM d),
-        |e AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b
-        |    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.9),
-        |und AS (SELECT id_a AS u, id_b AS v FROM e
-        |        UNION ALL SELECT id_b, id_a FROM e),
-        |reach(id, lbl) AS (
-        |  SELECT doc_id, doc_id FROM d
-        |  UNION
-        |  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.id)
+      s"""$ccClosureCtes
         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
         |  (MIN(lbl) = id) AS is_representative
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_best" ->
+      // same closure; the representative is the per-cluster argmax of
+      // n_chars (ties → smaller doc_id) instead of the component minimum
+      s"""$ccClosureCtes,
+        |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |rk AS (
+        |  SELECT cl.doc_id, cl.cluster_id,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY d2.n_chars DESC, cl.doc_id) AS rn
+        |  FROM cl JOIN (SELECT doc_id, n_chars FROM documents
+        |                WHERE doc_id < 200) d2 USING (doc_id))
+        |SELECT doc_id, cluster_id, (rn = 1) AS keep
+        |FROM rk ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cosine" ->
       """WITH u AS (

@@ -716,4 +716,43 @@ object Dedup {
     duplicateClusters(df, idCol, pairs)
       .filter(col("is_representative"))
       .drop("cluster_id", "is_representative")
+
+  /** Quality-aware representative selection: keep the HIGHEST-`priorityCol`
+    * member of each duplicate cluster (ties → smaller id; null priorities
+    * lose to any scored member, ties among nulls → smaller id) — real
+    * curation keeps the best version of a duplicated page (longest, highest
+    * quality score, most recent crawl), not the accidental min-id one that
+    * [[dropNearDuplicates]] picks. Emits every input row plus `cluster_id`
+    * and a `keep` verdict — filter or mask downstream.
+    *
+    * Scale shape: the cluster labels cover DUPLICATED docs only (a small
+    * fraction of the corpus), so the argmax runs entirely on the small
+    * side — a narrow (id, priority) projection joins the labels, one
+    * cluster-keyed `max_by` aggregate picks the winner, and the winner is
+    * folded BACK onto the labels (small ⋈ small). The full-width corpus
+    * rows then move exactly once, in the same id-keyed join
+    * [[duplicateClusters]] already pays; there is no corpus-wide shuffle
+    * on `cluster_id`.
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String, priorityCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val labels = ConnectedComponents.labels(pairs, "id_a", "id_b")
+      .select(col("id").as("__kb_id"), col("cluster_id"))
+    // argmax over the duplicated subset only: (priority, -id) struct order
+    // makes max_by deterministic under priority ties
+    val best = df
+      .select(col(idCol).cast("long").as("__kb_id"),
+        coalesce(col(priorityCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__kb_p"))
+      .join(labels, "__kb_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("__kb_id"),
+        struct(col("__kb_p"), (-col("__kb_id")).as("__kb_n"))).as("__kb_best"))
+    val labelsBest = labels.join(best, "cluster_id") // small ⋈ small
+    df.join(labelsBest, col(idCol) === col("__kb_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("keep",
+        col("__kb_id").isNull || col(idCol) === col("__kb_best"))
+      .drop("__kb_id", "__kb_best")
+  }
 }

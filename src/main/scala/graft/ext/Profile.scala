@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus profiling at 100 TB: per-group statistics a data card needs —
+  * doc/token/char totals and DISTINCT counts — without a corpus-wide
+  * distinct shuffle.
+  *
+  * The distinct counter is a KMV (k-minimum-values) sketch (Bar-Yossef et
+  * al. 2002; the theta-sketch bottom-k special case): hash every value to
+  * a 60-bit uniform, keep the k smallest DISTINCT hashes, estimate
+  * D̂ = (k−1)·2⁶⁰ / h₍ₖ₎. Chosen over HyperLogLog deliberately:
+  *
+  *  - DETERMINISTIC: the sketch is a pure function of the value SET (no
+  *    insertion-order or partitioning dependence), so the driver's DuckDB
+  *    oracle replays it bit-for-bit (`ORDER BY hash LIMIT k` over distinct
+  *    hashes) — an HLL register array is not reasonably SQL-replayable.
+  *  - MERGEABLE: partial sketches union by merging bounded arrays — the
+  *    aggregate runs map-side (ObjectHashAggregate partials), and the
+  *    shuffle carries ≤ k longs per (group, partition) instead of every
+  *    distinct value. Same asymptotics as HLL for the shuffle.
+  *  - EXACT below k: a group with < k distinct values reports its true
+  *    distinct count (the sketch IS the distinct set).
+  *
+  * The hash is [[Dsir.md5Bucket60]] — the engine-wide replayable 60-bit
+  * md5 prefix (DuckDB: `CAST('0x'||substr(md5(v),1,15) AS BIGINT)`).
+  * Values are hashed via their canonical STRING image; collisions in a
+  * 2⁶⁰ space are negligible at any real group cardinality and — because
+  * engine and oracle hash identically — can never produce a gate mismatch.
+  */
+object Profile {
+
+  /** Hash space size: md5Bucket60 is uniform on [0, 2⁶⁰). */
+  val HashSpace: Long = 1L << 60
+
+  /** Bounded sorted-distinct-insert: keep the ≤ k smallest distinct longs
+    * of `b ∪ {h}`. O(log k) reject once the buffer is full (the steady
+    * state — almost every row lands here), O(k) copy on accept. */
+  private def kmvInsert(b: Array[Long], h: Long, k: Int): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(b, h)
+    if (pos >= 0) b // already present
+    else {
+      val ins = -pos - 1
+      if (b.length >= k && ins >= k) b // not among the k smallest
+      else {
+        val n = math.min(b.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(b, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** KMV sketch aggregator over pre-hashed longs: buffer = the sorted
+    * array of the ≤ k smallest distinct hashes seen. Commutative and
+    * idempotent by construction (set semantics), so partial aggregation
+    * and AQE re-partitioning cannot change the result. */
+  final class KmvAggregator(k: Int)
+      extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], h: Long): Array[Long] = kmvInsert(b, h, k)
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge the smaller into the larger; both sorted & bounded by k
+      val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+      var r = big; var i = 0
+      while (i < small.length) { r = kmvInsert(r, small(i), k); i += 1 }
+      r
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  /** The sketch as an aggregate Column over a pre-hashed long column. */
+  def kmvAgg(hashed: Column, k: Int): Column =
+    udaf(new KmvAggregator(k)).apply(hashed)
+
+  /** Replayable value hash: 60-bit md5 prefix of the canonical string
+    * image ([[Dsir.md5Bucket60]]). */
+  def valueHash60(value: Column): Column =
+    Dsir.md5Bucket60(value.cast("string"))
+
+  /** Distinct-count estimate from a KMV sketch array: exact size below k,
+    * else ⌊(k−1)·2⁶⁰ / h₍ₖ₎⌋ in decimal integer arithmetic ((k−1)·2⁶⁰
+    * overflows a long; DuckDB replays with HUGEINT `//`). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(floor(
+        lit((k - 1).toLong).cast(DecimalType(38, 0)) * lit(HashSpace)
+          / element_at(sketch, k)).cast("long"))
+
+  /** Per-group distinct-count estimate of `valueCol`: one map-side
+    * combinable aggregate; shuffle carries ≤ k longs per group partial.
+    * Output: groupCol, n_rows, est_distinct. */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        kmvAgg(valueHash60(col(valueCol)), k).as("__kmv"))
+      .withColumn("est_distinct", kmvEstimate(col("__kmv"), k))
+      .drop("__kmv")
+
+  /** Per-group data-card row over a document table: doc/token/char totals
+    * (exact, map-side combinable sums) + the KMV distinct-text estimate —
+    * the whole report is ONE aggregation pass over the corpus, and every
+    * number is an integer a SQL oracle reproduces exactly. */
+  def corpusReport(docs: DataFrame, groupCol: String, textCol: String,
+                   k: Int = 64): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        kmvAgg(valueHash60(col(textCol)), k).as("__kmv"))
+      .withColumn("est_distinct_texts", kmvEstimate(col("__kmv"), k))
+      .drop("__kmv")
+}

@@ -69,6 +69,26 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(kept == Set(0L, 1L, 4L, 5L))
   }
 
+  test("keepBestPerCluster: argmax priority wins, ties break by id, nulls lose") {
+    val docs = Seq(
+      (0L, Some(9.0)),               // singleton: kept regardless
+      (1L, Some(2.0)), (2L, Some(7.0)), (3L, Some(7.0)), // cluster {1,2,3}
+      (4L, None: Option[Double]),    // singleton with null priority: kept
+      (5L, None: Option[Double]), (6L, Some(1.0)), // cluster {5,6}
+      (7L, None: Option[Double]), (8L, None: Option[Double])) // all-null cluster
+      .toDF("doc_id", "q")
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestPerCluster(docs, "doc_id", "q", pairs)
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    // {1,2,3}: 2 and 3 tie at 7.0 → smaller id 2 wins; {5,6}: null loses
+    // to 1.0 → 6 wins; {7,8}: all null → smaller id 7 wins
+    assert(out == Set(
+      (0L, 0L, true), (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, false), (6L, 5L, true),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
+
   test("extra pair columns (scores) are ignored") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val pairs = Seq((1L, 2L, 0.95)).toDF("id_a", "id_b", "jaccard")

@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** KMV distinct-sketch goldens: exactness below k, set semantics (order /
+  * partitioning / duplication invariance), agreement with a brute-force
+  * k-smallest-distinct reference, and estimator accuracy at realistic
+  * cardinalities.
+  */
+class ProfileSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("kmv insert/merge equals brute-force k smallest distinct hashes") {
+    // seeded values with heavy duplication; reference = sort distinct, take k
+    val rng = new scala.util.Random(7)
+    val vals = Seq.fill(3000)(s"v${rng.nextInt(400)}")
+    val k = 32
+    val hashed = vals.toDF("v")
+      .select(Profile.valueHash60(col("v")).as("h"))
+    val expected = hashed.distinct().as[Long].collect().sorted.take(k).toSeq
+    val sketch = vals.toDF("v").repartition(13)
+      .agg(Profile.kmvAgg(Profile.valueHash60(col("v")), k))
+      .head().getSeq[Long](0)
+    assert(sketch == expected)
+  }
+
+  test("exact below k: a small group reports its true distinct count") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq("c", "d"))
+      .map(v => ("g", v)).toDF("g", "v")
+    val out = Profile.distinctEstimate(df, "g", "v", k = 64)
+      .select("n_rows", "est_distinct").as[(Long, Long)].head()
+    assert(out == ((82L, 4L)))
+  }
+
+  test("sketch is a pure function of the value set: partitioning and dup invariance") {
+    val base = (0 until 500).map(i => ("g", s"x$i")).toDF("g", "v")
+    val dup = base.union(base).union(base).repartition(17)
+    val a = Profile.distinctEstimate(base, "g", "v", 16)
+      .select("est_distinct").as[Long].head()
+    val b = Profile.distinctEstimate(dup, "g", "v", 16)
+      .select("est_distinct").as[Long].head()
+    assert(a == b)
+  }
+
+  test("estimator accuracy: within the ~2/sqrt(k) KMV band at k=256") {
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"doc-$i")).toDF("g", "v")
+    val est = Profile.distinctEstimate(df, "g", "v", 256)
+      .select("est_distinct").as[Long].head()
+    // KMV relative error concentrates around 1/sqrt(k-1) ≈ 6.3%; allow 4σ
+    assert(math.abs(est - n).toDouble / n < 0.25, s"est=$est for n=$n")
+  }
+
+  test("corpusReport: exact totals + distinct estimate in one pass") {
+    val docs = Seq(
+      ("s1", "alpha beta"), ("s1", "alpha beta"), ("s1", "gamma"),
+      ("s2", "one two three")).toDF("source", "text")
+    val out = Profile.corpusReport(docs, "source", "text", k = 8)
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "n_chars", "est_distinct_texts")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("s1", 3L, 5L, 25L, 2L), // "alpha beta" duplicated → 2 distinct
+      ("s2", 1L, 3L, 13L, 1L)))
+  }
+}
