@@ -789,6 +789,25 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_tb_stream" -> ((s, dir) => {
+      // the STREAMING token-budget twin under the SAME oracle as
+      // q_token_budget: the single-file fixture arrives as one batch (the
+      // equality-contract trivial case; the carried-fill multi-batch case
+      // is pinned in StreamingSpec), verdicts realized as the kept cut
+      val schema = t(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+      graft.streaming.Streaming.tokenBudgetAvailableNow(
+          stream, "lang", "doc_id", "n_chars", "n_tokens", TbBudget)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_km_stream" -> ((s, dir) => {
       // the STREAMING k-means twin under the SAME oracle as q_kmeans:
       // the exact model is fitted once on the static corpus
@@ -2351,6 +2370,22 @@ object SparkEntry {
        |      ORDER BY score DESC, lab) AS rn
        |  FROM s)""".stripMargin
 
+  /** Shared replay of q_token_budget AND its streaming twin q_tb_stream:
+    * per-language priority-DESC window cumsum, kept while ≤ the budget. */
+  private lazy val tokenBudgetOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c WHERE cum <= $TbBudget ORDER BY doc_id""".stripMargin
+
   /** Transitive closure of the chained unigram-Jaccard window pairs shared
     * by q_dedup_clusters / q_dedup_best: reach(id, lbl) saturates "lbl can
     * reach id" via a recursive CTE — an independent closure construction
@@ -2957,19 +2992,12 @@ object SparkEntry {
          |  c.dct AS est_distinct_texts
          |FROM agg JOIN c USING (source) ORDER BY source""".stripMargin,
 
-    "q_token_budget" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, n_chars,
-         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
-         |FROM c WHERE cum <= $TbBudget ORDER BY doc_id""".stripMargin,
+    "q_token_budget" -> tokenBudgetOracleSql,
+
+    // the STREAMING twin computes the identical kept cut (single-file
+    // fixture → one micro-batch; carried-fill multi-batch equality pinned
+    // in StreamingSpec), so it shares the replay verbatim
+    "q_tb_stream" -> tokenBudgetOracleSql,
 
     "q_tb_graph" ->
       s"""WITH t AS (

@@ -377,6 +377,75 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming twin of [[graft.ext.Corpus.tokenBudgetKeep]]: a LIVE
+    * per-group token-budget counter. Per micro-batch, rows are cumsummed in
+    * the batch-local (priority DESC, id) order on top of each group's
+    * CARRIED fill level, kept while the inclusive cumulative stays ≤
+    * `budget` — the "stop ingesting a language once its allowance is full"
+    * shape. State is one long per group (the fill level), metadata at any
+    * scale, applied as a broadcast map and advanced by a #groups-row
+    * collect per batch.
+    *
+    * EQUALS the batch operator bit-for-bit whenever arrival order respects
+    * the per-group priority order (each batch's rows rank below everything
+    * the group already ingested — the curated-backfill norm; pinned in
+    * StreamingSpec). Arbitrary arrival degrades to arrival-order-first-fill
+    * — the natural semantics of a live budget counter.
+    *
+    * Collecting is the gate/test form; production writes each batch's
+    * verdicts to a sink from the same `foreachBatch` hook. */
+  def tokenBudgetAvailableNow(docs: DataFrame, groupCol: String, idCol: String,
+                              priorityCol: String, tokensCol: String,
+                              budget: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    @volatile var schema: StructType = null
+    // group (string image) -> tokens ingested so far, kept or not: the
+    // batch cumsum counts EVERY row toward the fill, so the carried level
+    // must too
+    val fill = scala.collection.mutable.Map.empty[String, Long]
+    val offSchema = StructType(Seq(StructField("__tb_g", StringType),
+      StructField("__tb_off", LongType)))
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col(priorityCol).desc, col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val off = spark.createDataFrame(
+          fill.toSeq.map { case (g, t) => Row(g, t) }.asJava, offSchema)
+        val out = b
+          .withColumn("__tb_inc", sum(col(tokensCol).cast("long")).over(w))
+          .withColumn("__tb_g", col(groupCol).cast("string"))
+          .join(broadcast(off), Seq("__tb_g"), "left")
+          .withColumn("cum_tokens",
+            col("__tb_inc") + coalesce(col("__tb_off"), lit(0L)))
+          .withColumn("keep", col("cum_tokens") <= budget)
+          .drop("__tb_g", "__tb_inc", "__tb_off")
+        val collected = out.collect()
+        rows.synchronized { rows ++= collected }
+        schema = out.schema
+        b.groupBy(col(groupCol).cast("string").as("g"))
+          .agg(sum(col(tokensCol).cast("long")).as("t"))
+          .collect()
+          .foreach(r => fill(r.getString(0)) =
+            fill.getOrElse(r.getString(0), 0L) + r.getLong(1))
+        b.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived")
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Streaming k-means assignment against a PINNED fitted model
     * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
     * cluster a 100 TB backlog once, then classify the continuous ingest

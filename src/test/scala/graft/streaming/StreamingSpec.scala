@@ -371,6 +371,42 @@ class StreamingSpec extends SparkTestBase {
       r(1).asInstanceOf[Int] == (r.head.asInstanceOf[Long] % 3).toInt))
   }
 
+  test("streaming token budget: priority-ordered batches equal batch, state carries the fill") {
+    // two batches, priority-descending arrival per group (the curated-
+    // backfill norm the twin's equality contract names): batch0 carries
+    // each group's high-priority half, batch1 the rest — the carried fill
+    // level must make batch1's verdicts match the global batch cumsum
+    val dir = java.nio.file.Files.createTempDirectory("graft-tbstream-")
+    val rng = new scala.util.Random(23)
+    val all = (0L until 80L).map { i =>
+      (i, s"g${i % 3}", rng.nextDouble() * 100, (rng.nextInt(40) + 1).toLong)
+    }
+    // per group, split at the median priority: top half first
+    val byG = all.groupBy(_._2)
+    val b0 = byG.values.flatMap { rs =>
+      rs.sortBy(-_._3).take(rs.length / 2) }.toSeq.sortBy(_._1)
+    val b0Ids = b0.map(_._1).toSet
+    val b1 = all.filterNot(r => b0Ids(r._1))
+    b0.toDF("id", "g", "prio", "tok").coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    b1.toDF("id", "g", "prio", "tok").coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.tokenBudgetAvailableNow(
+        stream, "g", "id", "prio", "tok", budget = 300L)
+      .select("id", "cum_tokens", "keep")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.Corpus.tokenBudgetKeep(
+        all.toDF("id", "g", "prio", "tok"), "g", "id", "prio", "tok", 300L)
+      .select("id", "cum_tokens", "keep")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the budget actually cuts: some group has both kept and dropped rows
+    val kept = streamed.count(_(2) == true)
+    assert(kept > 0 && kept < streamed.length)
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
