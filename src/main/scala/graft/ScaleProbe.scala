@@ -164,6 +164,31 @@ object ScaleProbe {
             col("doc_id") % 2 === 0)
           .agg(count(lit(1))).collect()(0).getLong(0)
       }
+      // token budget: the budget per language is FIXED while the corpus
+      // grows, so the kept set saturates at ~budget tokens per lang at
+      // every decade — work scales with the scan, output stays bounded.
+      // subBuckets=8 exercises the mega-group two-phase cumsum (the
+      // production path when one language dominates a crawl)
+      measure(s"token budget ${factor}x",
+        s"docs=${5000 * factor} budget=50k subBuckets=8") {
+        graft.ext.Corpus.tokenBudgetKeep(
+            d.withColumn("lang", (col("doc_id") % 5).cast("string"))
+              .withColumn("__pr", length(col("text")).cast("double"))
+              .withColumn("__tok",
+                graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")),
+            "lang", "doc_id", "__pr", "__tok", budget = 50000L,
+            subBuckets = 8)
+          .filter(col("keep")).count()
+      }
+      // KMV data card: distinct texts grow linearly (salted replicas) but
+      // the sketch is k-bounded — per-group shuffle bytes must stay FLAT
+      // across decades (the claim that separates it from a distinct count)
+      measure(s"kmv report ${factor}x", s"docs=${5000 * factor} k=1024") {
+        graft.ext.Profile.corpusReport(
+            d.withColumn("src", (col("doc_id") % 20).cast("string")),
+            "src", "text", k = 1024)
+          .agg(sum(col("est_distinct_texts"))).collect()(0).getLong(0)
+      }
       locally { // dev-probe cleanup of the replica dir
         val s = java.nio.file.Files.walk(rep)
         try {
