@@ -299,7 +299,8 @@ object ScaleProbe {
             col("id").as("src"), ((col("id") + o + rows) % rows).as("dst")))
           .reduce(_ union _)
         graft.ml.Spectral.embed2dFromEdges(ring,
-          spark.range(rows).toDF("id"), iters = 12).count()
+          spark.range(rows).toDF("id"), iters = 12,
+          localSolveMaxNodes = 0L).count() // decades probe the DISTRIBUTED path
       }
       Seq(rep, idx, idxPq).foreach { p =>
         val s = java.nio.file.Files.walk(p)

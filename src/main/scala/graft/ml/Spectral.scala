@@ -56,6 +56,18 @@ object Spectral {
   val DefaultK = 8
   val DefaultIters = 8
 
+  /** Driver-local solve thresholds: below both, the iteration runs in
+    * driver arrays instead of `iters` rounds of near-empty Spark stages —
+    * the same broadcast-when-small judgment Spark itself applies to join
+    * sides, and BIT-IDENTICAL by construction (identical integer ops and
+    * correctly-rounded IEEE primitives on identical operands; pinned by
+    * SpectralSpec's forced-distributed equality test). 20k nodes × deg
+    * ≤ 1500 caps the collected edge list at ~30M rows worst case but
+    * [[LocalSolveMaxEdges]] cuts far earlier; gate graphs are ≤ 1k nodes,
+    * real corpora route to the distributed path untouched. */
+  val LocalSolveMaxNodes = 20000L
+  val LocalSolveMaxEdges = 1000000L
+
   /** Symmetrized unweighted kNN edges (src, dst), both directions, no
     * self-loops: neighbors = the non-self rows of each node's top-(k+1)
     * ranks by ROUNDED cosine (6 decimals, [[graft.ext.Similarity]]'s output
@@ -119,6 +131,32 @@ object Spectral {
   private def bigDouble(b: BigInt): Double =
     new java.math.BigDecimal(b.bigInteger).doubleValue
 
+  /** Per-step driver scalars from the five exact moments — ONE shared
+    * implementation for the distributed and local paths, so the two can
+    * never diverge: means, deflation ratio (micro-quantized), and the two
+    * normalization constants. */
+  private def stepScalars(s1: BigInt, s11: BigInt, s2: BigInt, s22: BigInt,
+                          s12: BigInt, n: Long): (Long, Long, Long, Double, Double) = {
+    val m1 = roundHalfUp(bigDouble(s1) / n)
+    val m2 = roundHalfUp(bigDouble(s2) / n)
+    val den = s11 - 2 * BigInt(m1) * s1 + BigInt(n) * BigInt(m1) * BigInt(m1)
+    require(den > 0,
+      "spectral iterate collapsed to zero (degenerate graph + seed)")
+    val num = s12 - BigInt(m1) * s2 - BigInt(m2) * s1 +
+      BigInt(n) * BigInt(m1) * BigInt(m2)
+    val rq = roundHalfUp(bigDouble(num) / bigDouble(den) * 1e6)
+    require(math.abs(rq) <= 100000000L,
+      s"spectral deflation ratio out of range (rq=$rq): components " +
+        "collinear — degenerate graph + seed")
+    val szz2 = BigInt(1000000000000L) *
+      (s22 - 2 * BigInt(m2) * s2 + BigInt(n) * BigInt(m2) * BigInt(m2)) -
+      2 * BigInt(1000000L) * BigInt(rq) * num +
+      BigInt(rq) * BigInt(rq) * den
+    require(szz2 > 0,
+      "second spectral component collapsed (x2 parallel to x1)")
+    (m1, m2, rq, math.sqrt(bigDouble(den)), math.sqrt(bigDouble(szz2)))
+  }
+
   /** JOINT orthogonal iteration: both components advance through ONE SpMV
     * join and ONE moments aggregate per step — half the corpus passes of
     * two sequential power runs (the 100 TB win; each step is one linear
@@ -173,27 +211,8 @@ object Spectral {
         sum((col("__y2") * col("__y2")).cast("decimal(38,0)")).as("s22"),
         sum((col("__y1") * col("__y2")).cast("decimal(38,0)")).as("s12"))
         .head()
-      val (s1, s11, s2, s22, s12) =
-        (toBig(mo, 0), toBig(mo, 1), toBig(mo, 2), toBig(mo, 3), toBig(mo, 4))
-      val m1 = roundHalfUp(bigDouble(s1) / n)
-      val m2 = roundHalfUp(bigDouble(s2) / n)
-      val den = s11 - 2 * BigInt(m1) * s1 + BigInt(n) * BigInt(m1) * BigInt(m1)
-      require(den > 0,
-        "spectral iterate collapsed to zero (degenerate graph + seed)")
-      val num = s12 - BigInt(m1) * s2 - BigInt(m2) * s1 +
-        BigInt(n) * BigInt(m1) * BigInt(m2)
-      val rq = roundHalfUp(bigDouble(num) / bigDouble(den) * 1e6)
-      require(math.abs(rq) <= 100000000L,
-        s"spectral deflation ratio out of range (rq=$rq): components " +
-          "collinear — degenerate graph + seed")
-      val szz2 = BigInt(1000000000000L) *
-        (s22 - 2 * BigInt(m2) * s2 + BigInt(n) * BigInt(m2) * BigInt(m2)) -
-        2 * BigInt(1000000L) * BigInt(rq) * num +
-        BigInt(rq) * BigInt(rq) * den
-      require(szz2 > 0,
-        "second spectral component collapsed (x2 parallel to x1)")
-      val norm1 = math.sqrt(bigDouble(den))
-      val norm2 = math.sqrt(bigDouble(szz2))
+      val (m1, m2, rq, norm1, norm2) = stepScalars(
+        toBig(mo, 0), toBig(mo, 1), toBig(mo, 2), toBig(mo, 3), toBig(mo, 4), n)
       val z1 = col("__y1") - lit(m1)
       val z2 = (col("__y2") - lit(m2)) * lit(1000000L) - lit(rq) * z1
       state = y
@@ -204,6 +223,96 @@ object Spectral {
       it += 1
     }
     state
+  }
+
+  /** JVM twin of [[graft.ext.Dsir.md5Bucket60]] (15-hex-char prefix as a
+    * non-negative long) for the local solve's seed. */
+  private def md5Bucket60Local(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def seedXLocal(id: Long): Long =
+    md5Bucket60Local(s"spectral:$id") % (2L * Quant.toLong + 1L) - Quant.toLong
+
+  /** Driver-local exact solve — the SAME algorithm in driver arrays:
+    * identical integer SpMV, identical exact moments (BigInt), identical
+    * [[stepScalars]], identical correctly-rounded per-element IEEE ops —
+    * so the output is bit-identical to the distributed path (pinned by
+    * SpectralSpec). Returns None when the input violates the contract the
+    * distributed join enforces structurally (an edge endpoint outside the
+    * node set) — the caller falls back rather than silently diverging. */
+  private def solveLocal(es: Array[(Long, Long)], nodeIds: Array[Long],
+                         iters: Int): Option[Array[(Long, Double, Double)]] = {
+    val degMap = new java.util.HashMap[Long, Int]()
+    es.foreach { case (_, d) => degMap.merge(d, 1, (a: Int, b: Int) => a + b) }
+    // state = nodes ∩ deg (the distributed inner join), ascending id for
+    // the canonical-sign scan
+    val ids = nodeIds.filter(degMap.containsKey(_)).sorted
+    val n = ids.length
+    if (n < 3) return None // distributed path raises the proper error
+    val pos = new java.util.HashMap[Long, Int](n * 2)
+    var i = 0
+    while (i < n) { pos.put(ids(i), i); i += 1 }
+    val srcI = new Array[Int](es.length)
+    val dstI = new Array[Int](es.length)
+    i = 0
+    while (i < es.length) {
+      val s = pos.getOrDefault(es(i)._1, -1)
+      val d = pos.getOrDefault(es(i)._2, -1)
+      if (s < 0 || d < 0) return None // out-of-contract edge: fall back
+      srcI(i) = s; dstI(i) = d; i += 1
+    }
+    val deg = ids.map(degMap.get(_).toLong)
+    val c = 2L * deg.max
+    require(c < 3000L,
+      s"max kNN degree ${c / 2} too high for the integer SpMV bound — a " +
+        "hub node is in nearly every top-k list; reduce k or dedup first")
+    var x1 = ids.map(seedXLocal)
+    var x2 = ids.map(id => seedXLocal(id + 1000000007L))
+    var it = 0
+    while (it < iters) {
+      val y1 = new Array[Long](n); val y2 = new Array[Long](n)
+      var j = 0
+      while (j < n) {
+        y1(j) = (c - deg(j)) * x1(j); y2(j) = (c - deg(j)) * x2(j); j += 1
+      }
+      j = 0
+      while (j < es.length) {
+        y1(dstI(j)) += x1(srcI(j)); y2(dstI(j)) += x2(srcI(j)); j += 1
+      }
+      var l1 = 0L; var l2 = 0L
+      var s11 = BigInt(0); var s22 = BigInt(0); var s12 = BigInt(0)
+      j = 0
+      while (j < n) {
+        l1 += y1(j); l2 += y2(j) // Σ|y| ≤ n·c·Quant < 2⁶³ at the caps
+        s11 += BigInt(y1(j)) * BigInt(y1(j))
+        s22 += BigInt(y2(j)) * BigInt(y2(j))
+        s12 += BigInt(y1(j)) * BigInt(y2(j))
+        j += 1
+      }
+      val (m1, m2, rq, norm1, norm2) =
+        stepScalars(BigInt(l1), s11, BigInt(l2), s22, s12, n)
+      val n1 = new Array[Long](n); val n2 = new Array[Long](n)
+      j = 0
+      while (j < n) {
+        val z1 = y1(j) - m1
+        val z2 = (y2(j) - m2) * 1000000L - rq * z1
+        n1(j) = roundHalfUp(z1.toDouble / norm1 * Quant)
+        n2(j) = roundHalfUp(z2.toDouble / norm2 * Quant)
+        j += 1
+      }
+      x1 = n1; x2 = n2; it += 1
+    }
+    // canonical sign: first nonzero in ascending-id order positive
+    def canon(x: Array[Long]): Array[Long] = {
+      val f = x.find(_ != 0L)
+      if (f.exists(_ < 0L)) x.map(-_) else x
+    }
+    val c1 = canon(x1); val c2 = canon(x2)
+    Some(Array.tabulate(n)(j =>
+      (ids(j), c1(j).toDouble / Quant, c2(j).toDouble / Quant)))
   }
 
   /** Canonical sign: first nonzero component in id order positive —
@@ -238,8 +347,32 @@ object Spectral {
     * self-loop-free, and covers every node of `nodes` (an `id` column)
     * with degree ≥ 1. */
   def embed2dFromEdges(edges: DataFrame, nodes: DataFrame,
-                       iters: Int = DefaultIters): DataFrame = {
+                       iters: Int = DefaultIters,
+                       localSolveMaxNodes: Long = LocalSolveMaxNodes): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // small-graph fast path: `iters` rounds of near-empty distributed
+    // stages are pure scheduler overhead below the thresholds — solve in
+    // driver arrays (bit-identical; see solveLocal) and skip every
+    // checkpoint/job of the distributed plan. The take() guard bounds the
+    // collect before it happens; oversize or out-of-contract inputs fall
+    // through to the distributed path.
+    if (localSolveMaxNodes > 0 &&
+        nodes.agg(count(lit(1))).head().getLong(0) <= localSolveMaxNodes) {
+      val es = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .take(LocalSolveMaxEdges.toInt + 1)
+      if (es.length <= LocalSolveMaxEdges) {
+        val ids = nodes.select(col("id").cast("long")).collect()
+          .map(_.getLong(0))
+        val solved =
+          solveLocal(es.map(r => (r.getLong(0), r.getLong(1))), ids, iters)
+        if (solved.isDefined) {
+          val spark = edges.sparkSession
+          import spark.implicits._
+          return solved.get.toSeq.toDF("id", "e1", "e2")
+        }
+      }
+    }
     // partition the edge list by src ONCE: every step's SpMV joins state
     // on id = src, so the pre-partitioning is reused across all `iters`
     // passes (and a 1-partition edge checkpoint would serialize every

@@ -126,6 +126,22 @@ class SpectralSpec extends SparkTestBase {
     }
   }
 
+  test("local solve is bit-identical to the forced-distributed path") {
+    // the gate graphs ride the driver-local fast path; this pins the
+    // equality contract that makes that legal — identical (id, e1, e2)
+    // triples, bit for bit, on a graph with asymmetric degrees
+    val df = caps(12).toDF("id", "vec", "cls")
+    val edges = Spectral.knnEdges(df, "id", "vec", k = 5)
+      .localCheckpoint(true) // one shared edge set for both runs
+    val nodes = df.select(col("id"))
+    val local = Spectral.embed2dFromEdges(edges, nodes, iters = 8)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val dist = Spectral.embed2dFromEdges(edges, nodes, iters = 8,
+        localSolveMaxNodes = 0L)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(local == dist)
+  }
+
   test("embed2d rejects degenerate inputs") {
     val tiny = Seq((0L, Seq(1.0f, 0.0f), "A"), (1L, Seq(0.0f, 1.0f), "B"))
       .toDF("id", "vec", "cls")
