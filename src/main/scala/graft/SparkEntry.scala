@@ -121,6 +121,20 @@ object SparkEntry {
       path
     })
 
+  /** On-disk MinHash index over the OLD corpus (doc_id < 1000), built once
+    * per (JVM, sf dir) — q_dedup_incr probes new batches against it. */
+  private val minhashIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def minhashIndexFor(s: SparkSession, dir: String): String =
+    minhashIndexCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-mh-index-").toString
+      Dedup.buildMinhashIndex(s, path,
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 1000),
+        "text", "doc_id")
+      path
+    })
+
   /** JSONL / CSV fixtures derived from `documents.parquet`, written once
     * per (JVM, sf dir): the q_load_jsonl / q_load_csv round-trips load them
     * back through the runner's content-addressed source ops. */
@@ -1293,6 +1307,26 @@ object SparkEntry {
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
       Dedup.minhashNearDuplicates(docs.union(planted), "text", "doc_id",
           shingleN = 3, threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_dedup_incr" -> ((s, dir) => {
+      // INCREMENTAL dedup: a new batch (copies of doc_id < 200 at +100000,
+      // double-copies of doc_id < 50 at +200000 — the latter plant
+      // within-batch pairs) against the STORED index of the old corpus —
+      // old band keys and shingles read from the store, never rehashed.
+      // Same falsifiability argument as q_dedup_minhash_planted: at θ=0.9
+      // the LSH candidate set equals the exact all-pairs Jaccard≥0.9 set,
+      // which the oracle computes independently and restricts to pairs
+      // touching the batch.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+      val batch = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.minhashDedupAgainstIndex(s, minhashIndexFor(s, dir), batch,
+          "text", "doc_id", threshold = 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -4429,6 +4463,38 @@ object SparkEntry {
       """SELECT CAST(16 AS BIGINT) AS n_overflow_buckets,
         |CAST(3200 AS BIGINT) AS rows_in_overflow,
         |CAST(200 AS BIGINT) AS max_bucket_size""".stripMargin,
+
+    "q_dedup_incr" ->
+      // exact all-pairs Jaccard over old ∪ batch, restricted to pairs
+      // touching the batch (new ids ≥ 100000 sort above every old id, so
+      // id_b ≥ 100000 ⟺ ≥ 1 new side) — the incremental path must emit
+      // exactly what the batch-over-everything operator would
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+        |    SELECT doc_id,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+        |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+        |    ELSE [] END AS ngrams
+        |    FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
+        |      FROM u))),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    ELSE 0.0 END AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.9 AND id_b >= 100000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (

@@ -298,6 +298,13 @@ object Dedup {
     val sh = df.join(broadcast(candIds), col(idCol) === col("jid"), "left_semi")
       .select(col(idCol).as("jid"),
         hashedShinglesUdf(shingleN)(words).as("sh"))
+    verifyShingledPairs(sh, candidates, threshold)
+  }
+
+  /** Exact-Jaccard verification over a PRE-SHINGLED `(jid, sh)` frame —
+    * the tail [[jaccardVerify]] and the stored-index path share. */
+  private def verifyShingledPairs(sh: DataFrame, candidates: DataFrame,
+                                  threshold: Double): DataFrame =
     candidates
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -307,7 +314,6 @@ object Dedup {
         col("inter").cast("double") / col("uni")).otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Full MinHash near-dup pipeline: candidates → exact-Jaccard verify. */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
@@ -316,6 +322,125 @@ object Dedup {
     jaccardVerify(df, textCol, idCol,
       minhashCandidates(df, textCol, idCol, shingleN, numPerms, numBands),
       shingleN, threshold)
+
+  // ---------- incremental MinHash index ----------
+
+  /** Build a STORED MinHash index at `path` — the "dedup each new crawl
+    * against the accumulated corpus without recomputing the corpus"
+    * workflow (the [[graft.ext.Similarity.buildIvfIndex]] treatment applied
+    * to text dedup). Layout:
+    *
+    *  - `path/meta` — one row (shingle_n, num_perms, num_bands): queries
+    *    and appends read parameters from the store, so a probe can never
+    *    silently hash with different constants than the index.
+    *  - `path/keys` — (doc_id, band_key): the banded LSH keys, 16 longs
+    *    per doc; the only thing a probe joins at candidate time.
+    *  - `path/shingles` — (jid, sh): each doc's distinct hashed shingles,
+    *    8 bytes/gram — what exact-Jaccard verification of an old↔new
+    *    candidate needs without re-reading old TEXT. The verify scan is
+    *    candidate-semi-joined and columnar; storing it is the price of
+    *    keeping verification exact, and it is still ≈ an order smaller
+    *    than the documents.
+    *
+    * Ids must be globally unique across the index and every future batch
+    * (the ingest norm — ids assigned on arrival). */
+  def buildMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, numPerms: Int = 64,
+                        numBands: Int = 16): Unit = {
+    import spark.implicits._
+    Seq((shingleN, numPerms, numBands))
+      .toDF("shingle_n", "num_perms", "num_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMinhashRows(df, textCol, idCol, shingleN, numPerms, numBands,
+      path, "overwrite")
+  }
+
+  /** Append a new batch to an existing [[buildMinhashIndex]] store: keys
+    * and shingles hash with the STORED parameters, so appended rows stay
+    * comparable with every existing row (append == rebuild is
+    * test-asserted). Typically called after [[minhashDedupAgainstIndex]]
+    * has emitted the batch's duplicate verdicts. */
+  def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newDocs: DataFrame,
+                           textCol: String, idCol: String): Unit = {
+    val (sn, np, nb) = readMinhashMeta(spark, path)
+    writeMinhashRows(newDocs, textCol, idCol, sn, np, nb, path, "append")
+  }
+
+  private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                              path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_perms"),
+      m.getAs[Int]("num_bands"))
+  }
+
+  private def writeMinhashRows(df: DataFrame, textCol: String, idCol: String,
+                               shingleN: Int, numPerms: Int, numBands: Int,
+                               path: String, mode: String): Unit = {
+    minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
+      .write.mode(mode).parquet(s"$path/keys")
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    df.select(col(idCol).cast("long").as("jid"),
+        hashedShinglesUdf(shingleN)(words).as("sh"))
+      .write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  /** Near-duplicate pairs of a NEW batch against a [[buildMinhashIndex]]
+    * store AND within itself — the incremental form of
+    * [[minhashNearDuplicates]]: the old corpus contributes its stored band
+    * keys (never rehashed, never rescanned beyond the candidate joins).
+    * Output `(id_a, id_b, jaccard)` with `id_a < id_b`, exactly the pairs
+    * of the batch-over-everything operator that involve ≥ 1 new doc
+    * (absent LSH candidate misses — the planted gate makes that exact).
+    *
+    * Skew: old↔new candidates go through the same `maxBucket` demotion as
+    * the self-join — an overflow OLD bucket (boilerplate the index has
+    * seen thousands of times) contributes its min-id representative
+    * against the batch instead of |bucket|×|batch-bucket| pairs; the
+    * within-batch side is [[bucketSelfJoinPairs]] unchanged. Only buckets
+    * TOUCHED by the batch's keys are ever counted or joined. */
+  def minhashDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, newDocs: DataFrame,
+                               textCol: String, idCol: String,
+                               threshold: Double = 0.8,
+                               maxBucket: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (sn, np, nb) = readMinhashMeta(spark, path)
+    val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
+      .localCheckpoint(true) // reused by three joins below
+    val touched = spark.read.parquet(s"$path/keys")
+      .join(newKeys.select(col("band_key")).distinct(), Seq("band_key"),
+        "left_semi")
+    val w = Window.partitionBy(col("band_key"))
+    val annotated = touched
+      .withColumn("__on", count(lit(1)).over(w))
+      .withColumn("__orep", min(col("doc_id")).over(w))
+    val oldSide = annotated.filter(col("__on") <= maxBucket)
+      .select(col("band_key"), col("doc_id").as("__old"))
+      .union(annotated.filter(col("__on") > maxBucket)
+        .select(col("band_key"), col("__orep").as("__old")).distinct())
+    val oldNew = oldSide
+      .join(newKeys.select(col("band_key"), col("doc_id").as("__new")),
+        Seq("band_key"))
+      .filter(col("__old") =!= col("__new"))
+      .select(least(col("__old"), col("__new")).as("id_a"),
+        greatest(col("__old"), col("__new")).as("id_b"))
+    val cands = oldNew
+      .union(bucketSelfJoinPairs(newKeys, "band_key", maxBucket))
+      .distinct()
+    val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    val candIds = cands.select(col("id_a").as("jid"))
+      .union(cands.select(col("id_b").as("jid"))).distinct()
+    val sh = newDocs
+      .select(col(idCol).cast("long").as("jid"),
+        hashedShinglesUdf(sn)(words).as("sh"))
+      .union(spark.read.parquet(s"$path/shingles"))
+      .join(broadcast(candIds), Seq("jid"), "left_semi")
+    verifyShingledPairs(sh, cands, threshold)
+  }
 
   // ---------- SimHash ----------
 

@@ -54,6 +54,56 @@ class ExtSpec extends SparkTestBase {
     assert(j((0L, 2L)) == 0.0)
   }
 
+  test("incremental minhash index: batch-vs-store equals batch-over-everything") {
+    // disjoint-vocabulary corpus (independent band keys for distinct
+    // docs) + planted copies: old corpus A, new batch B with copies of
+    // A docs AND a within-B copy pair — the incremental result must be
+    // exactly the pairs of minhashNearDuplicates(A ∪ B) touching B
+    val a = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"at${i}x$j").mkString(" ")))
+    val b = (0 until 10).map(i => // copies of A docs 0..9
+        (1000L + i, a(i)._2)) ++
+      Seq((1100L, "fresh uvw1 uvw2 uvw3 uvw4 uvw5 uvw6 uvw7 uvw8 uvw9"),
+        (1101L, "fresh uvw1 uvw2 uvw3 uvw4 uvw5 uvw6 uvw7 uvw8 uvw9"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-").toString
+    Dedup.buildMinhashIndex(spark, dir, a.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val inc = Dedup.minhashDedupAgainstIndex(spark, dir,
+        b.toDF("doc_id", "text"), "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashNearDuplicates(
+        (a ++ b).toDF("doc_id", "text"), "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 1000L || p._2 >= 1000L)
+    assert(inc == full)
+    assert(inc.contains((0L, 1000L)) && inc.contains((1100L, 1101L)))
+  }
+
+  test("incremental minhash index: append == rebuild, probes stay comparable") {
+    val a = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"ap${i}x$j").mkString(" ")))
+    val b = (20 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"ap${i}x$j").mkString(" ")))
+    val d1 = java.nio.file.Files.createTempDirectory("graft-mhidx-app-").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-mhidx-full-").toString
+    Dedup.buildMinhashIndex(spark, d1, a.toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.appendToMinhashIndex(spark, d1, b.toDF("doc_id", "text"), "text", "doc_id")
+    Dedup.buildMinhashIndex(spark, d2, (a ++ b).toDF("doc_id", "text"),
+      "text", "doc_id")
+    def keySet(p: String) = spark.read.parquet(s"$p/keys")
+      .as[(Long, Long)].collect().toSet
+    def shSet(p: String) = spark.read.parquet(s"$p/shingles")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet
+    assert(keySet(d1) == keySet(d2))
+    assert(shSet(d1) == shSet(d2))
+    // a probe over the appended store sees the appended docs as duplicates
+    val probe = Dedup.minhashDedupAgainstIndex(spark, d1,
+        Seq((5000L, b.head._2)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe == Set((20L, 5000L)))
+  }
+
   test("simhash: hamming≤max candidates guaranteed by pigeonhole banding") {
     val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
