@@ -193,7 +193,10 @@ object SparkEntry {
         (i.toLong, (0 until 30).map(j => s"tok${i}x$j").mkString(" "))
       }
       val copies = base.map { case (id, text) => (id + 1000L, text) }
-      (base ++ copies).toDF("doc_id", "text")
+      // quality = doc_id: every COPY outscores its original, so the
+      // keep-best rule (q_best_graph) provably inverts the min-index rule
+      (base ++ copies).map { case (id, text) => (id, text, id.toDouble) }
+        .toDF("doc_id", "text", "quality")
         .orderBy("doc_id").coalesce(1)
         .write.mode("overwrite").parquet(path)
       path
@@ -1047,6 +1050,20 @@ object SparkEntry {
       val kept = DropNearDuplicatesOp(ds, pairs)
       r.toFrame(kept)
         .select(col(ColumnOps.RowIdx).as("row_idx"), col("doc_id"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_best_graph" -> ((s, dir) => {
+      // QUALITY-AWARE survivor selection through the spec layer, same
+      // fixture and pair op as q_dedup_graph: quality = doc_id, so every
+      // planted COPY outscores its original and the keep set is exactly
+      // the INVERSE of the min-index rule — rows 100..199 true
+      val r = runnerFor(s)
+      val ds = r.fromParquet(dedupFixtureFor(s))
+      val pairs = MinHashNearDupPairsOp(SelectTextColumnOp(ds, "text"),
+        shingleN = 3L, threshold = 0.5)
+      r.toFrame(KeepBestPerClusterOp(SelectScoreColumnOp(ds, "quality"), pairs))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
         .orderBy(col("row_idx"))
     }),
 
@@ -3306,6 +3323,13 @@ object SparkEntry {
     "q_dedup_graph" ->
       """WITH s AS (SELECT unnest(range(100)) AS i)
         |SELECT CAST(i AS BIGINT) AS row_idx, CAST(i AS BIGINT) AS doc_id
+        |FROM s ORDER BY row_idx""".stripMargin,
+
+    // keep-best inverts the survivor set: the copies (rows 100..199,
+    // quality = doc_id + 1000) win every cluster
+    "q_best_graph" ->
+      """WITH s AS (SELECT unnest(range(200)) AS i)
+        |SELECT CAST(i AS BIGINT) AS row_idx, (i >= 100) AS value
         |FROM s ORDER BY row_idx""".stripMargin,
 
     "q_bpe_pairs" ->

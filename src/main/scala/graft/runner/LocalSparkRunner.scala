@@ -114,6 +114,7 @@ class LocalSparkRunner(
     case v: SpectralVizOp => lengthOf(v.inputEmbedding)
     case v: KMeansClusterOp => lengthOf(v.vectors)
     case t: TokenBudgetKeepOp => lengthOf(t.group)
+    case k: KeepBestPerClusterOp => lengthOf(k.priority)
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
     case t: TokenCountOp => lengthOf(t.text)
@@ -866,6 +867,15 @@ class LocalSparkRunner(
       FrameResult(graft.ml.ExactKMeans
         .assign(x, col(RowIdx), col(ValueCol), fit)
         .select(col("id").as(RowIdx), col("cell").cast("string").as(ValueCol)))
+
+    case kb: KeepBestPerClusterOp =>
+      val pr = frame(kb.priority).select(col(RowIdx), col(ValueCol))
+      val p = frame(kb.pairs)
+      require(p.columns.contains("id_a") && p.columns.contains("id_b"),
+        s"pairs dataset must have id_a/id_b columns, got ${p.columns.mkString(",")}")
+      FrameResult(graft.ext.Dedup
+        .keepBestPerCluster(pr, RowIdx, ValueCol, p.select("id_a", "id_b"))
+        .select(col(RowIdx), col("keep").as(ValueCol)))
 
     case tb: TokenBudgetKeepOp =>
       val g = frame(tb.group).select(col(RowIdx), col(ValueCol).as("__g"))

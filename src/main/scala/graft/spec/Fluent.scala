@@ -89,6 +89,10 @@ object Fluent {
     def -(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("-", s, other)
     def *(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("*", s, other)
     def /(other: ScoreColumnType): PairwiseArithmeticOp = PairwiseArithmeticOp("/", s, other)
+    /** beyond reference: keep the max-priority member of each near-dup
+      * cluster (this column is the priority) */
+    def keepBestPerCluster(pairs: DatasetType): KeepBestPerClusterOp =
+      KeepBestPerClusterOp(s, pairs)
   }
 
   implicit class TokenizerBuilders(private val t: TextColumnType) extends AnyVal {

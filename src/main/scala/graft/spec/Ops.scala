@@ -713,6 +713,19 @@ final case class DropNearDuplicatesOp(
     dataset: DatasetType,
     pairs: DatasetType) extends DatasetType
 
+/** Quality-aware keep verdicts per near-duplicate cluster
+  * ([[graft.ext.Dedup.keepBestPerCluster]]): `pairs` (row-index
+  * `id_a`/`id_b` columns, e.g. the near-dup pair ops) is closed
+  * transitively and within each cluster the max-`priority` member
+  * survives — ties → smaller row index, null priorities lose — instead of
+  * [[DropNearDuplicatesOp]]'s min-index accident; rows in no pair keep.
+  * Value = keep boolean aligned to `priority`'s rows; compose with
+  * [[MaskRowsOp]] to realize the cut. Non-ephemeral: the verdicts ride
+  * the pair op's expensive closure and are worth content-addressing. */
+final case class KeepBestPerClusterOp(
+    priority: ScoreColumnType,
+    pairs: DatasetType) extends BooleanColumnType
+
 /** Brute-force cosine top-k of `queries` against `corpus` (both vector
   * columns; ids are row indices): `(query_id, corpus_id, cosine, rank)`
   * with `rank <= k` ([[graft.ext.Similarity.bruteForceTopK]] — the query

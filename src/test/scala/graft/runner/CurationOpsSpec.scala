@@ -166,6 +166,26 @@ class CurationOpsSpec extends SparkTestBase {
     assert(back == spans && back.uuid == spans.uuid)
   }
 
+  test("KeepBestPerClusterOp: max-priority survivor, ties to smaller index, serde") {
+    val r = newRunner()
+    val c2 = LoadInlineJsonDatasetOp(Map(
+      "text" -> Seq(
+        "alpha beta gamma delta", // 0: cluster, q 1.0 — loses
+        "alpha beta gamma delta", // 1: cluster, q 5.0 — wins the 5.0 tie
+        "solo document here",     // 2: no pair — keeps
+        "alpha beta gamma delta"), // 3: cluster, q 5.0 — loses the tie
+      "q" -> Seq(1.0, 5.0, 0.5, 5.0)))
+    val pairs = MinHashNearDupPairsOp(SelectTextColumnOp(c2, "text"),
+      threshold = 0.9)
+    val op = KeepBestPerClusterOp(SelectScoreColumnOp(c2, "q"), pairs)
+    val vals = r.toFrame(op).orderBy("__row_idx")
+      .collect().map(_.getAs[Boolean]("value"))
+    assert(vals.toSeq == Seq(false, true, true, false))
+    assert(r.hasResult(op), "non-ephemeral: verdicts persist")
+    val back = Graph.deserialize(Graph.serialize(op)).last
+    assert(back == op && back.uuid == op.uuid)
+  }
+
   test("Bm25RankOp: ranked retrieval through the store; terms serde round-trips") {
     val r = newRunner()
     val bm = Bm25RankOp(SelectTextColumnOp(corpus, "text"),

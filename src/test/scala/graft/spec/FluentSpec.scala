@@ -98,6 +98,8 @@ class FluentSpec extends AnyFunSuite {
       MinHashNearDupPairsOp(t, threshold = 0.7))
     val pairs = t.minhashNearDupPairs()
     assert(ds.dropNearDuplicates(pairs) == DropNearDuplicatesOp(ds, pairs))
+    assert(ds.colScore("sc").keepBestPerCluster(pairs) ==
+      KeepBestPerClusterOp(ds.colScore("sc"), pairs))
     val v = ds.colVector("v")
     assert(v.annTopK(v, k = 7L) == AnnBruteTopKOp(v, v, 7L))
     assert(v.semanticDedup(Seq(0L, 3L), threshold = 0.9) ==
