@@ -164,6 +164,33 @@ object ScaleProbe {
             col("doc_id") % 2 === 0)
           .agg(count(lit(1))).collect()(0).getLong(0)
       }
+      // incremental dedup: a FIXED 500-doc batch probes an index that
+      // grows with the decade — the claim is that probe cost tracks the
+      // batch + the NARROW stored key/shingle scans (16 longs + grams per
+      // doc, no corpus rehash), so the 100× step should cost far under
+      // 100× the 1× probe. Build cost is the one-time price and is
+      // measured separately.
+      locally {
+        val idx = java.nio.file.Files.createTempDirectory(s"graft-mhidx-$factor-")
+        measure(s"mh index build ${factor}x", s"docs=${5000 * factor}") {
+          graft.ext.Dedup.buildMinhashIndex(spark, idx.toString, d,
+            "text", "doc_id")
+          spark.read.parquet(s"$idx/keys").count()
+        }
+        val batch = d.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+        measure(s"mh index probe ${factor}x",
+          s"batch=500 vs idx=${5000 * factor}") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx.toString,
+            batch, "text", "doc_id", threshold = 0.9).count()
+        }
+        val st = java.nio.file.Files.walk(idx)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator.asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally st.close()
+      }
       // token budget: the budget per language is FIXED while the corpus
       // grows, so the kept set saturates at ~budget tokens per lang at
       // every decade — work scales with the scan, output stays bounded.

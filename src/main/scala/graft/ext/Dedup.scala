@@ -410,9 +410,14 @@ object Dedup {
     val (sn, np, nb) = readMinhashMeta(spark, path)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
       .localCheckpoint(true) // reused by three joins below
+    // the batch's distinct band keys are BROADCAST: 16 longs per batch doc
+    // — the incremental regime is batch ≪ index, and without the hint the
+    // semi-join shuffles the whole stored key table (measured 112 MB at
+    // the 100× decade vs ~1 MB broadcast). A batch too big to broadcast
+    // belongs in the batch operator, not the incremental probe.
     val touched = spark.read.parquet(s"$path/keys")
-      .join(newKeys.select(col("band_key")).distinct(), Seq("band_key"),
-        "left_semi")
+      .join(broadcast(newKeys.select(col("band_key")).distinct()),
+        Seq("band_key"), "left_semi")
     val w = Window.partitionBy(col("band_key"))
     val annotated = touched
       .withColumn("__on", count(lit(1)).over(w))
