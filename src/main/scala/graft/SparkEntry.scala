@@ -135,6 +135,25 @@ object SparkEntry {
       path
     })
 
+  /** The q_dedup_incr planted batch as a parquet directory (one file ⇒ one
+    * micro-batch for the streaming ingest twin), written once per
+    * (JVM, sf dir). */
+  private val incrBatchFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def incrBatchFixtureFor(s: SparkSession, dir: String): String =
+    incrBatchFixtureCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-incr-batch-").toString + "/batch"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+      docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** JSONL / CSV fixtures derived from `documents.parquet`, written once
     * per (JVM, sf dir): the q_load_jsonl / q_load_csv round-trips load them
     * back through the runner's content-addressed source ops. */
@@ -1347,6 +1366,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_incr_stream" -> ((s, dir) => {
+      // the STREAMING ingest twin of q_dedup_incr: the planted batch
+      // arrives as one micro-batch over a FRESH copy of the old-corpus
+      // index (the twin MUTATES its index — probe then append — so the
+      // q_dedup_incr cache cannot be shared); the probe-then-append
+      // multi-batch equality is pinned in StreamingSpec
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-mh-ingest-").toString
+      Dedup.buildMinhashIndex(s, idx,
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .filter(col("doc_id") < 1000), "text", "doc_id")
+      val batchPath = incrBatchFixtureFor(s, dir)
+      val stream = s.readStream
+        .schema(s.read.parquet(batchPath).schema).parquet(batchPath)
+      graft.streaming.Streaming.minhashDedupIngestAvailableNow(
+          stream, idx, "text", "doc_id", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 8)
@@ -2436,6 +2474,39 @@ object SparkEntry {
        |  FROM t)
        |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TbBudget ORDER BY doc_id""".stripMargin
+
+  /** Shared replay of q_dedup_incr AND its streaming ingest twin
+    * q_incr_stream: exact all-pairs Jaccard over old ∪ batch, restricted
+    * to pairs touching the batch (new ids ≥ 100000 sort above every old
+    * id, so id_b ≥ 100000 ⟺ ≥ 1 new side) — the incremental path must
+    * emit exactly what the batch-over-everything operator would. */
+  private lazy val incrDedupOracleSql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+      |    SELECT doc_id,
+      |    CASE WHEN len(words) >= 3 THEN
+      |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+      |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+      |    ELSE [] END AS ngrams
+      |    FROM (SELECT doc_id,
+      |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
+      |      FROM u))),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+      |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.sh, b.sh)))
+      |    ELSE 0.0 END AS jaccard
+      |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, jaccard FROM p
+      |WHERE jaccard >= 0.9 AND id_b >= 100000
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Transitive closure of the chained unigram-Jaccard window pairs shared
     * by q_dedup_clusters / q_dedup_best: reach(id, lbl) saturates "lbl can
@@ -4488,37 +4559,13 @@ object SparkEntry {
         |CAST(3200 AS BIGINT) AS rows_in_overflow,
         |CAST(200 AS BIGINT) AS max_bucket_size""".stripMargin,
 
-    "q_dedup_incr" ->
-      // exact all-pairs Jaccard over old ∪ batch, restricted to pairs
-      // touching the batch (new ids ≥ 100000 sort above every old id, so
-      // id_b ≥ 100000 ⟺ ≥ 1 new side) — the incremental path must emit
-      // exactly what the batch-over-everything operator would
-      """WITH u AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200
-        |  UNION ALL
-        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
-        |    SELECT doc_id,
-        |    CASE WHEN len(words) >= 3 THEN
-        |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
-        |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
-        |    ELSE [] END AS ngrams
-        |    FROM (SELECT doc_id,
-        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
-        |      FROM u))),
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
-        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / len(list_distinct(list_concat(a.sh, b.sh)))
-        |    ELSE 0.0 END AS jaccard
-        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM p
-        |WHERE jaccard >= 0.9 AND id_b >= 100000
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incr" -> incrDedupOracleSql,
+
+    // the STREAMING ingest twin probes the same planted batch against a
+    // fresh copy of the old-corpus index (single-file fixture → one
+    // micro-batch; the probe-then-append multi-batch equality is pinned
+    // in StreamingSpec), so it shares the replay verbatim
+    "q_incr_stream" -> incrDedupOracleSql,
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (

@@ -446,6 +446,51 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming twin of [[graft.ext.Dedup.minhashDedupAgainstIndex]] — the
+    * continuous-ingest dedup loop: each micro-batch PROBES the stored
+    * MinHash index (near-dup pairs against everything indexed so far plus
+    * itself), then APPENDS its own keys/shingles so later batches dedup
+    * against it. Because near-dup pairs are symmetric and every pair's
+    * earlier side is indexed by the time its later side arrives, the
+    * accumulated pair set equals the single-shot
+    * `minhashDedupAgainstIndex(all batches)` EXACTLY regardless of how
+    * arrival slices the stream (pinned in StreamingSpec) — no ordering
+    * caveat, unlike the order-sensitive budget/SemDeDup twins. (Bucket-cap
+    * demotion is the one exception: an overflow bucket's representative
+    * set can differ by slicing — route mode-collapsed corpora through the
+    * batch operator.)
+    *
+    * MUTATES the index at `path` (that is the point); collecting the pairs
+    * is the gate/test form — production writes each batch's pairs to a
+    * sink from the same hook. */
+  def minhashDedupIngestAvailableNow(docs: DataFrame, path: String,
+                                     textCol: String, idCol: String,
+                                     threshold: Double = 0.8,
+                                     maxBucket: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    @volatile var schema: org.apache.spark.sql.types.StructType = null
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = graft.ext.Dedup.minhashDedupAgainstIndex(
+          spark, path, b, textCol, idCol, threshold, maxBucket)
+        val collected = pairs.collect()
+        rows.synchronized { rows ++= collected }
+        schema = pairs.schema
+        graft.ext.Dedup.appendToMinhashIndex(spark, path, b, textCol, idCol)
+        b.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    require(schema != null, "empty stream: no batch ever arrived to dedup")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.toList.asJava, schema)
+  }
+
   /** Streaming k-means assignment against a PINNED fitted model
     * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
     * cluster a 100 TB backlog once, then classify the continuous ingest

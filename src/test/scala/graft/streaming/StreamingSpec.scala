@@ -407,6 +407,47 @@ class StreamingSpec extends SparkTestBase {
     assert(kept > 0 && kept < streamed.length)
   }
 
+  test("streaming incremental dedup: probe-then-append equals single-shot, any slicing") {
+    // old corpus indexed once; the stream delivers two batches — a copy of
+    // an old doc in EACH batch, a cross-BATCH copy pair (b0 doc duplicated
+    // in b1: only the append step can catch it), and fresh docs. The
+    // accumulated pairs must equal the single-shot probe of b0 ∪ b1.
+    val old = (0 until 30).map(i =>
+      (i.toLong, (0 until 30).map(j => s"sd${i}x$j").mkString(" ")))
+    val b0 = Seq((2000L, old(3)._2), // old↔new
+      (2001L, "fresh batchzero doc alpha beta gamma delta epsilon zeta"))
+    val b1 = Seq((3000L, old(7)._2), // old↔new in the later batch
+      (3001L, b0(1)._2),             // cross-batch copy: needs the append
+      (3002L, "fresh batchone doc eta theta iota kappa lambda mu"))
+    val idx1 = java.nio.file.Files.createTempDirectory("graft-ingest1-").toString
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-ingest2-").toString
+    graft.ext.Dedup.buildMinhashIndex(spark, idx1, old.toDF("doc_id", "text"),
+      "text", "doc_id")
+    graft.ext.Dedup.buildMinhashIndex(spark, idx2, old.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-src-")
+    b0.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.minhashDedupIngestAvailableNow(
+        stream, idx1, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx2,
+        (b0 ++ b1).toDF("doc_id", "text"), "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == single)
+    assert(streamed == Set((3L, 2000L), (7L, 3000L), (2001L, 3001L)))
+    // the mutation is real: a later probe of idx1 sees the ingested docs
+    val late = graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx1,
+        Seq((9000L, b1(2)._2)).toDF("doc_id", "text"),
+        "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(late == Set((3002L, 9000L)))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
