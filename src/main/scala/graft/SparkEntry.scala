@@ -135,6 +135,26 @@ object SparkEntry {
       path
     })
 
+  /** Recursive file copy of a (small, fixture-scale) directory tree into a
+    * fresh temp dir — hands a mutating consumer (the streaming ingest
+    * twin) its own disposable copy of a cached immutable index. */
+  private def copyDir(src: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val from = Paths.get(src)
+    val to = Files.createTempDirectory("graft-idx-copy-")
+    val walk = Files.walk(from)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator.asScala.foreach { p: Path =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+    to.toString
+  }
+
   /** The q_dedup_incr planted batch as a parquet directory (one file ⇒ one
     * micro-batch for the streaming ingest twin), written once per
     * (JVM, sf dir). */
@@ -1372,11 +1392,7 @@ object SparkEntry {
       // index (the twin MUTATES its index — probe then append — so the
       // q_dedup_incr cache cannot be shared); the probe-then-append
       // multi-batch equality is pinned in StreamingSpec
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-mh-ingest-").toString
-      Dedup.buildMinhashIndex(s, idx,
-        t(s, dir, "documents").select(col("doc_id"), col("text"))
-          .filter(col("doc_id") < 1000), "text", "doc_id")
+      val idx = copyDir(minhashIndexFor(s, dir))
       val batchPath = incrBatchFixtureFor(s, dir)
       val stream = s.readStream
         .schema(s.read.parquet(batchPath).schema).parquet(batchPath)
