@@ -813,6 +813,18 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    "q_stats_graph" -> ((s, dir) => {
+      // the data card as a CONTENT-ADDRESSED spec op: per-lang totals +
+      // KMV distinct estimate through the runner store — profiled once per
+      // corpus hash, ever. Shares q_distinct_sketch's estimator/exact
+      // straddle at k=80
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(CorpusStatsOp(SelectCategoricalColumnOp(ds, "lang"),
+          SelectTextColumnOp(ds, "text"), k = KmvK.toLong))
+        .orderBy(col("group"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // per-language token-budget fill (the pretraining-mix cut): rank by
       // n_chars DESC (longest-doc priority, deterministic doc_id
@@ -3129,6 +3141,36 @@ object SparkEntry {
          |SELECT agg.source, n_docs, n_tokens, n_chars,
          |  c.dct AS est_distinct_texts
          |FROM agg JOIN c USING (source) ORDER BY source""".stripMargin,
+
+    "q_stats_graph" ->
+      // the q_distinct_sketch KMV replay + exact token/char totals, keyed
+      // by the lang column as `group`
+      s"""WITH h AS (
+         |  SELECT DISTINCT lang,
+         |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, h,
+         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM h),
+         |g AS (
+         |  SELECT lang, CAST(max(cnt) AS BIGINT) AS cnt,
+         |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+         |  FROM r GROUP BY lang),
+         |t AS (
+         |  SELECT lang,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+         |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY lang)
+         |SELECT t.lang AS "group", t.n_docs, t.n_tokens, t.n_chars,
+         |  CASE WHEN g.cnt < $KmvK THEN g.cnt
+         |    ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) *
+         |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
+         |  END AS est_distinct_texts
+         |FROM t JOIN g USING (lang) ORDER BY "group"""".stripMargin,
 
     "q_token_budget" -> tokenBudgetOracleSql,
 

@@ -868,6 +868,14 @@ class LocalSparkRunner(
         .assign(x, col(RowIdx), col(ValueCol), fit)
         .select(col("id").as(RowIdx), col("cell").cast("string").as(ValueCol)))
 
+    case cs: CorpusStatsOp =>
+      val g = frame(cs.group).select(col(RowIdx), col(ValueCol).as("group"))
+      val t = frame(cs.text).select(col(RowIdx),
+        col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Profile
+        .corpusReport(g.join(t, RowIdx), "group", "__txt", cs.k.toInt)
+        .orderBy(col("group")))
+
     case kb: KeepBestPerClusterOp =>
       val pr = frame(kb.priority).select(col(RowIdx), col(ValueCol))
       val p = frame(kb.pairs)

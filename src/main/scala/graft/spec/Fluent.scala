@@ -69,6 +69,10 @@ object Fluent {
     def tokenBudgetKeep(priority: ScoreColumnType, tokens: ScoreColumnType,
                         budget: Long): TokenBudgetKeepOp =
       TokenBudgetKeepOp(c, priority, tokens, budget)
+    /** beyond reference: per-group data card — totals + KMV distinct
+      * estimate (this column is the group key) */
+    def corpusStats(text: TextColumnType, k: Long = 64L): CorpusStatsOp =
+      CorpusStatsOp(c, text, k)
   }
 
   implicit class SplitBuilders(private val s: TrainTestSplitColumnType) extends AnyVal {

@@ -432,6 +432,9 @@ object OpRegistry {
     "KMeansClusterOp" -> ((o, r) =>
       KMeansClusterOp(op[VectorColumnType](o, "vectors", r),
         lngSeq(o, "centroid_ids"), lng(o, "iters"))),
+    "CorpusStatsOp" -> ((o, r) =>
+      CorpusStatsOp(op[CategoricalColumnType](o, "group", r),
+        op[TextColumnType](o, "text", r), lng(o, "k"))),
     "KeepBestPerClusterOp" -> ((o, r) =>
       KeepBestPerClusterOp(op[ScoreColumnType](o, "priority", r),
         op[DatasetType](o, "pairs", r))),

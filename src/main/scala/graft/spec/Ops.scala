@@ -726,6 +726,20 @@ final case class KeepBestPerClusterOp(
     priority: ScoreColumnType,
     pairs: DatasetType) extends BooleanColumnType
 
+/** Per-group corpus data card ([[graft.ext.Profile.corpusReport]]):
+  * aligned (group, text) columns → one result row per distinct group with
+  * `(group, n_docs, n_tokens, n_chars, est_distinct_texts)` — exact
+  * integer totals plus the KMV distinct-text estimate at sketch size `k`
+  * (deterministic function of the text SET; exact below k). Non-ephemeral:
+  * a corpus-wide profile pass is worth content-addressing — the data card
+  * of an immutable 100 TB corpus is computed once, ever. */
+final case class CorpusStatsOp(
+    group: CategoricalColumnType,
+    text: TextColumnType,
+    k: Long = 64L) extends DatasetType {
+  require(k >= 2L && k <= 1000000L, s"k must be in [2, 1e6], got $k")
+}
+
 /** Brute-force cosine top-k of `queries` against `corpus` (both vector
   * columns; ids are row indices): `(query_id, corpus_id, cosine, rank)`
   * with `rank <= k` ([[graft.ext.Similarity.bruteForceTopK]] — the query

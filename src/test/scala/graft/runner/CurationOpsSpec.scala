@@ -166,6 +166,20 @@ class CurationOpsSpec extends SparkTestBase {
     assert(back == spans && back.uuid == spans.uuid)
   }
 
+  test("CorpusStatsOp: per-group data card through the store, serde") {
+    val r = newRunner()
+    val op = CorpusStatsOp(SelectCategoricalColumnOp(corpus, "lang"),
+      SelectTextColumnOp(corpus, "text"), k = 8L)
+    val rows = r.toFrame(op).orderBy("group").collect()
+      .map(x => (x.getAs[String]("group"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("n_tokens"), x.getAs[Long]("est_distinct_texts")))
+    // en rows 0,1,2: two distinct texts (0 == 2); fr rows 3,4: distinct
+    assert(rows.toSeq == Seq(("en", 3L, 14L, 2L), ("fr", 2L, 10L, 2L)))
+    assert(r.hasResult(op), "non-ephemeral: the data card persists")
+    val back = Graph.deserialize(Graph.serialize(op)).last
+    assert(back == op && back.uuid == op.uuid)
+  }
+
   test("KeepBestPerClusterOp: max-priority survivor, ties to smaller index, serde") {
     val r = newRunner()
     val c2 = LoadInlineJsonDatasetOp(Map(
