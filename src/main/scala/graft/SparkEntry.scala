@@ -825,6 +825,15 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    "q_len_quantiles" -> ((s, dir) => {
+      // exact per-language token-length quantiles (the data card's p50/p90
+      // rows): rank ⌈q·n⌉ picks over the (lang, length) count table — the
+      // oracle replays the cumulative walk and every pick
+      Profile.lengthQuantiles(t(s, dir, "documents"), "lang", "text",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy(col("lang"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // per-language token-budget fill (the pretraining-mix cut): rank by
       // n_chars DESC (longest-doc priority, deterministic doc_id
@@ -3171,6 +3180,26 @@ object SparkEntry {
          |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
          |  END AS est_distinct_texts
          |FROM t JOIN g USING (lang) ORDER BY "group"""".stripMargin,
+
+    "q_len_quantiles" ->
+      """WITH l AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS len
+        |  FROM documents),
+        |c AS (SELECT lang, len, count(*) AS c FROM l GROUP BY lang, len),
+        |cum AS (
+        |  SELECT lang, len,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY len) AS cum
+        |  FROM c),
+        |t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM l GROUP BY lang)
+        |SELECT lang, n_docs,
+        |  min(CASE WHEN cum >= ceil(0.5 * n_docs) THEN len END) AS p50,
+        |  min(CASE WHEN cum >= ceil(0.9 * n_docs) THEN len END) AS p90,
+        |  min(CASE WHEN cum >= ceil(0.99 * n_docs) THEN len END) AS p99
+        |FROM cum JOIN t USING (lang)
+        |GROUP BY lang, n_docs ORDER BY lang""".stripMargin,
 
     "q_token_budget" -> tokenBudgetOracleSql,
 

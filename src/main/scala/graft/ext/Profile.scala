@@ -109,6 +109,41 @@ object Profile {
       .withColumn("est_distinct", kmvEstimate(col("__kmv"), k))
       .drop("__kmv")
 
+  /** EXACT per-group token-length quantiles — the "p50/p90 document
+    * length" rows of a data card. Quantile q = the value at 1-indexed rank
+    * ⌈q·n⌉ of the sorted lengths (the classic lower-value definition:
+    * integer, deterministic, and SQL-replayable — no interpolation).
+    *
+    * Scale shape: lengths collapse to a (group, length) COUNT table first
+    * (map-side combinable; bounded by #groups × #distinct lengths, which
+    * is metadata next to the corpus), the cumulative walk and the rank
+    * picks run over that table only — the corpus is scanned once and
+    * never shuffled. This is the exact-quantile two-phase shape the CCNet
+    * rank machinery uses, specialized to integer lengths; an approximate
+    * sketch is unnecessary when the value domain is this small. */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+                      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val counts = df
+      .select(col(groupCol), TextAnalysis.tokenCount(col(textCol))
+        .cast("long").as("__len"))
+      .groupBy(col(groupCol), col("__len"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__len"))
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val tot = counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_docs"))
+    val picks = qs.map { q =>
+      min(when(col("__cum") >= ceil(lit(q) * col("n_docs")), col("__len")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("n_docs")).as("n_docs"), picks: _*)
+  }
+
   /** Per-group data-card row over a document table: doc/token/char totals
     * (exact, map-side combinable sums) + the KMV distinct-text estimate —
     * the whole report is ONE aggregation pass over the corpus, and every

@@ -53,6 +53,27 @@ class ProfileSpec extends SparkTestBase {
     assert(math.abs(est - n).toDouble / n < 0.25, s"est=$est for n=$n")
   }
 
+  test("lengthQuantiles: exact rank-pick goldens, per group") {
+    // group A lengths sorted: 1,2,2,3,10 (n=5): p50 → rank ⌈2.5⌉=3 → 2;
+    // p90 → rank ⌈4.5⌉=5 → 10; p100 → rank 5 → 10.
+    // group B: single doc of 7 → every quantile is 7.
+    val docs = Seq(
+      ("A", "w"), ("A", "w w"), ("A", "w w"), ("A", "w w w"),
+      ("A", (1 to 10).map(_ => "t").mkString(" ")),
+      ("B", "a b c d e f g")).toDF("g", "text")
+    val out = Profile.lengthQuantiles(docs, "g", "text", Seq(0.5, 0.9, 1.0))
+      .orderBy("g")
+      .select("g", "n_docs", "p50", "p90", "p100")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("A", 5L, 2L, 10L, 10L), ("B", 1L, 7L, 7L, 7L)))
+    // partition invariance: the two-phase rank is order-free
+    val re = Profile.lengthQuantiles(docs.repartition(7), "g", "text",
+        Seq(0.5, 0.9, 1.0))
+      .orderBy("g").select("g", "n_docs", "p50", "p90", "p100")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(re == out)
+  }
+
   test("corpusReport: exact totals + distinct estimate in one pass") {
     val docs = Seq(
       ("s1", "alpha beta"), ("s1", "alpha beta"), ("s1", "gamma"),
