@@ -89,6 +89,36 @@ class ConnectedComponentsSpec extends SparkTestBase {
       (7L, 7L, true), (8L, 7L, false)))
   }
 
+  test("keepBestPerCluster randomized: agrees with union-find + argmax reference") {
+    // deterministic pseudo-random graph + priorities (LCG, fixed seed);
+    // reference = union-find closure, then per-component argmax by
+    // (priority desc, id asc), singletons keep
+    var s = 987654321L
+    def next(n: Int): Int = { s = s * 6364136223846793005L + 1442695040888963407L
+      (math.abs(s >>> 33) % n).toInt }
+    val n = 50
+    val edges = Seq.fill(35)((next(n).toLong, next(n).toLong))
+      .filter { case (a, b) => a != b }
+    val prio = (0L until n.toLong).map(i => i -> next(1000).toDouble).toMap
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = par.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); par(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) par(math.max(ra, rb)) = math.min(ra, rb) }
+    val comps = (0L until n.toLong).groupBy(i =>
+      if (par.contains(i)) find(i) else i)
+    val expected = (0L until n.toLong).map { i =>
+      val members = comps(if (par.contains(i)) find(i) else i)
+      val best = members.minBy(m => (-prio(m), m))
+      i -> (members.size == 1 || i == best)
+    }.toMap
+    val df = (0L until n.toLong).map(i => (i, prio(i))).toDF("id", "q")
+    val out = Dedup.keepBestPerCluster(df, "id", "q",
+        edges.toDF("id_a", "id_b"))
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out == expected)
+  }
+
   test("extra pair columns (scores) are ignored") {
     val docs = Seq(1L, 2L).toDF("doc_id")
     val pairs = Seq((1L, 2L, 0.95)).toDF("id_a", "id_b", "jaccard")
