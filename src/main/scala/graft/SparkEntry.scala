@@ -825,6 +825,13 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    "q_top_sources" -> ((s, dir) => {
+      // exact top-3 sources per language — the two-phase heavy-hitters
+      // rank over the bounded (lang, source) count table
+      Profile.topValues(t(s, dir, "documents"), "lang", "source", n = 3)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     "q_len_quantiles" -> ((s, dir) => {
       // exact per-language token-length quantiles (the data card's p50/p90
       // rows): rank ⌈q·n⌉ picks over the (lang, length) count table — the
@@ -3180,6 +3187,18 @@ object SparkEntry {
          |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
          |  END AS est_distinct_texts
          |FROM t JOIN g USING (lang) ORDER BY "group"""".stripMargin,
+
+    "q_top_sources" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS cnt
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, source, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, source) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin,
 
     "q_len_quantiles" ->
       """WITH l AS (

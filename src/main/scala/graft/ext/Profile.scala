@@ -109,6 +109,25 @@ object Profile {
       .withColumn("est_distinct", kmvEstimate(col("__kmv"), k))
       .drop("__kmv")
 
+  /** EXACT per-group top-`n` most frequent values — the "top sources per
+    * language" data-card row. Two-phase: the corpus collapses to a
+    * (group, value) count table (map-side combinable — the only
+    * corpus-sized pass), then a per-group rank window runs over that
+    * table alone. Deterministic: ties break by value ascending, so the
+    * result is a pure function of the multiset and replays in SQL.
+    * Output (group, value, cnt, rank ≤ n). */
+  def topValues(df: DataFrame, groupCol: String, valueCol: String,
+                n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val counts = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(valueCol))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** EXACT per-group token-length quantiles — the "p50/p90 document
     * length" rows of a data card. Quantile q = the value at 1-indexed rank
     * ⌈q·n⌉ of the sorted lengths (the classic lower-value definition:

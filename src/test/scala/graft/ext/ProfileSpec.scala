@@ -74,6 +74,19 @@ class ProfileSpec extends SparkTestBase {
     assert(re == out)
   }
 
+  test("topValues: exact per-group frequency rank, ties by value") {
+    val df = (Seq.fill(5)(("g1", "a")) ++ Seq.fill(3)(("g1", "b")) ++
+      Seq.fill(3)(("g1", "c")) ++ Seq.fill(1)(("g1", "d")) ++
+      Seq.fill(2)(("g2", "z"))).toDF("g", "v")
+    val out = Profile.topValues(df, "g", "v", 2)
+      .orderBy("g", "rank")
+      .select("g", "v", "cnt", "rank")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // g1: a(5) first; b and c tie at 3 → b by value order; d cut at n=2
+    assert(out == Seq(("g1", "a", 5L, 1L), ("g1", "b", 3L, 2L),
+      ("g2", "z", 2L, 1L)))
+  }
+
   test("corpusReport: exact totals + distinct estimate in one pass") {
     val docs = Seq(
       ("s1", "alpha beta"), ("s1", "alpha beta"), ("s1", "gamma"),
