@@ -841,6 +841,18 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q_stats_stream" -> ((s, dir) => {
+      // the STREAMING data card under the SAME oracle as q_stats_graph:
+      // single-file fixture → one micro-batch; the adversarial-slicing
+      // monoid equality is pinned in StreamingSpec
+      val schema = t(s, dir, "documents").schema
+      val stream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+      graft.streaming.Streaming.corpusReportAvailableNow(
+          stream, "lang", "text", KmvK)
+        .orderBy(col("group"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // per-language token-budget fill (the pretraining-mix cut): rank by
       // n_chars DESC (longest-doc priority, deterministic doc_id
@@ -2519,6 +2531,37 @@ object SparkEntry {
        |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TbBudget ORDER BY doc_id""".stripMargin
 
+  /** Shared replay of q_stats_graph AND its streaming twin q_stats_stream:
+    * the q_distinct_sketch KMV chain + exact token/char totals, keyed by
+    * the lang column as `group`. */
+  private lazy val statsCardOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT lang,
+       |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM h),
+       |g AS (
+       |  SELECT lang, CAST(max(cnt) AS BIGINT) AS cnt,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM r GROUP BY lang),
+       |t AS (
+       |  SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents GROUP BY lang)
+       |SELECT t.lang AS "group", t.n_docs, t.n_tokens, t.n_chars,
+       |  CASE WHEN g.cnt < $KmvK THEN g.cnt
+       |    ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) *
+       |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
+       |  END AS est_distinct_texts
+       |FROM t JOIN g USING (lang) ORDER BY "group"""".stripMargin
+
   /** Shared replay of q_dedup_incr AND its streaming ingest twin
     * q_incr_stream: exact all-pairs Jaccard over old ∪ batch, restricted
     * to pairs touching the batch (new ids ≥ 100000 sort above every old
@@ -3158,35 +3201,13 @@ object SparkEntry {
          |  c.dct AS est_distinct_texts
          |FROM agg JOIN c USING (source) ORDER BY source""".stripMargin,
 
-    "q_stats_graph" ->
-      // the q_distinct_sketch KMV replay + exact token/char totals, keyed
-      // by the lang column as `group`
-      s"""WITH h AS (
-         |  SELECT DISTINCT lang,
-         |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
-         |  FROM documents),
-         |r AS (
-         |  SELECT lang, h,
-         |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
-         |    count(*) OVER (PARTITION BY lang) AS cnt
-         |  FROM h),
-         |g AS (
-         |  SELECT lang, CAST(max(cnt) AS BIGINT) AS cnt,
-         |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
-         |  FROM r GROUP BY lang),
-         |t AS (
-         |  SELECT lang,
-         |    CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
-         |    CAST(sum(length(text)) AS BIGINT) AS n_chars
-         |  FROM documents GROUP BY lang)
-         |SELECT t.lang AS "group", t.n_docs, t.n_tokens, t.n_chars,
-         |  CASE WHEN g.cnt < $KmvK THEN g.cnt
-         |    ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) *
-         |      CAST(${Profile.HashSpace} AS HUGEINT)) // g.hk AS BIGINT)
-         |  END AS est_distinct_texts
-         |FROM t JOIN g USING (lang) ORDER BY "group"""".stripMargin,
+    "q_stats_graph" -> statsCardOracleSql,
+
+    // the STREAMING data card folds per-batch monoid state (sums add,
+    // sketches merge), so any slicing yields the identical card — the
+    // single-file gate shares the replay verbatim; adversarial multi-batch
+    // equality is pinned in StreamingSpec
+    "q_stats_stream" -> statsCardOracleSql,
 
     "q_top_sources" ->
       """WITH c AS (

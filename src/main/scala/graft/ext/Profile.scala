@@ -66,13 +66,8 @@ object Profile {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], h: Long): Array[Long] = kmvInsert(b, h, k)
-    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-      // merge the smaller into the larger; both sorted & bounded by k
-      val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
-      var r = big; var i = 0
-      while (i < small.length) { r = kmvInsert(r, small(i), k); i += 1 }
-      r
-    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      mergeKmv(a, b, k)
     def finish(b: Array[Long]): Array[Long] = b
     def bufferEncoder: ExpressionEncoder[Array[Long]] =
       ExpressionEncoder[Array[Long]]()
@@ -83,6 +78,23 @@ object Profile {
   /** The sketch as an aggregate Column over a pre-hashed long column. */
   def kmvAgg(hashed: Column, k: Int): Column =
     udaf(new KmvAggregator(k)).apply(hashed)
+
+  /** Union of two sketches at size k — the SAME bounded merge the
+    * aggregator's partials use, exposed for cross-batch state (the
+    * streaming data-card twin merges each batch's sketch into its carried
+    * one; set semantics make the merged card exact under any slicing). */
+  def mergeKmv(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    val (big, small) = if (a.length >= b.length) (a, b) else (b, a)
+    var r = big; var i = 0
+    while (i < small.length) { r = kmvInsert(r, small(i), k); i += 1 }
+    r
+  }
+
+  /** Driver-side twin of [[kmvEstimate]]: BigInt floor division —
+    * identical value to the decimal-arithmetic column for every sketch. */
+  def estimateKmv(sketch: Array[Long], k: Int): Long =
+    if (sketch.length < k) sketch.length.toLong
+    else (BigInt(k - 1) * BigInt(HashSpace) / BigInt(sketch(k - 1))).toLong
 
   /** Replayable value hash: 60-bit md5 prefix of the canonical string
     * image ([[Dsir.md5Bucket60]]). */
@@ -163,17 +175,24 @@ object Profile {
       .agg(first(col("n_docs")).as("n_docs"), picks: _*)
   }
 
+  /** The data-card aggregates with the RAW sketch still attached — what
+    * [[corpusReport]] finalizes and the streaming twin carries as
+    * mergeable per-group state. */
+  def corpusAggregates(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int): DataFrame =
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        kmvAgg(valueHash60(col(textCol)), k).as("__kmv"))
+
   /** Per-group data-card row over a document table: doc/token/char totals
     * (exact, map-side combinable sums) + the KMV distinct-text estimate —
     * the whole report is ONE aggregation pass over the corpus, and every
     * number is an integer a SQL oracle reproduces exactly. */
   def corpusReport(docs: DataFrame, groupCol: String, textCol: String,
                    k: Int = 64): DataFrame =
-    docs.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
-        sum(length(col(textCol)).cast("long")).as("n_chars"),
-        kmvAgg(valueHash60(col(textCol)), k).as("__kmv"))
+    corpusAggregates(docs, groupCol, textCol, k)
       .withColumn("est_distinct_texts", kmvEstimate(col("__kmv"), k))
       .drop("__kmv")
 }

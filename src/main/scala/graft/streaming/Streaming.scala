@@ -491,6 +491,61 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming twin of [[graft.ext.Profile.corpusReport]] — the data card
+    * of a continuously-growing corpus. Per micro-batch, one aggregation
+    * pass produces per-group (count, token, char) partials plus the KMV
+    * sketch; the carried per-group state folds them in — sums add, the
+    * sketch MERGES (a bounded set union). Because every piece of state is
+    * a commutative monoid over the row multiset, the final card equals
+    * the batch operator EXACTLY under ANY arrival slicing — no ordering
+    * caveat at all, the cleanest of the streaming twins. State: #groups ×
+    * (3 longs + k longs) — metadata at any scale.
+    *
+    * Collecting is the gate/test form; production emits the running card
+    * to a sink from the same hook (the card is valid after EVERY batch —
+    * it is the exact card of everything ingested so far). */
+  def corpusReportAvailableNow(docs: DataFrame, groupCol: String,
+                               textCol: String, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spark = docs.sparkSession
+    val state = scala.collection.mutable.Map
+      .empty[Any, (Long, Long, Long, Array[Long])]
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ext.Profile
+          .corpusAggregates(batch.toDF(), groupCol, textCol, k)
+          .collect()
+          .foreach { r =>
+            val g = r.get(0)
+            val add = (r.getLong(1), r.getLong(2), r.getLong(3),
+              r.getSeq[Long](4).toArray)
+            state(g) = state.get(g) match {
+              case Some((n, t, c, sk)) =>
+                (n + add._1, t + add._2, c + add._3,
+                  graft.ext.Profile.mergeKmv(sk, add._4, k))
+              case None => add
+            }
+          }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    require(state.nonEmpty, "empty stream: no batch ever arrived to profile")
+    val schema = StructType(Seq(
+      StructField("group", StringType),
+      StructField("n_docs", LongType), StructField("n_tokens", LongType),
+      StructField("n_chars", LongType),
+      StructField("est_distinct_texts", LongType)))
+    val rows = state.toSeq.map { case (g, (n, t, c, sk)) =>
+      Row(if (g == null) null else g.toString, n, t, c,
+        graft.ext.Profile.estimateKmv(sk, k))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Streaming k-means assignment against a PINNED fitted model
     * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
     * cluster a 100 TB backlog once, then classify the continuous ingest

@@ -122,5 +122,9 @@ class FluentSpec extends AnyFunSuite {
     assert(mc.predictMulticlass(htf) == MulticlassPredictOp(mc, htf))
     assert(mc.predictMulticlass(htf).evaluateMulticlass(lang) ==
       MulticlassEvaluationOp(MulticlassPredictOp(mc, htf), lang))
+    val pr = ds.colScore("nc")
+    assert(lang.tokenBudgetKeep(pr, t.tokenCount, 5000L) ==
+      TokenBudgetKeepOp(lang, pr, TokenCountOp(t), 5000L))
+    assert(lang.corpusStats(t, k = 32L) == CorpusStatsOp(lang, t, 32L))
   }
 }

@@ -448,6 +448,33 @@ class StreamingSpec extends SparkTestBase {
     assert(late == Set((3002L, 9000L)))
   }
 
+  test("streaming data card: monoid state makes multi-batch exact under arbitrary slicing") {
+    // batches sliced ADVERSARIALLY (groups interleaved, duplicates split
+    // across batches) — sums add and sketches merge, so the card must
+    // equal the batch operator bit-for-bit with no ordering assumption
+    val all = (0 until 120).map { i =>
+      (s"g${i % 3}", if (i % 10 == 0) "a repeated document" else s"doc $i words w$i")
+    }
+    val (b0, b1) = (all.zipWithIndex.filter(_._2 % 2 == 0).map(_._1),
+      all.zipWithIndex.filter(_._2 % 2 == 1).map(_._1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-card-src-")
+    b0.toDF("g", "text").coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    b1.toDF("g", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.corpusReportAvailableNow(stream, "g", "text", k = 16)
+      .orderBy("group").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.Profile.corpusReport(all.toDF("g", "text"), "g", "text", k = 16)
+      .select(col("g").as("group"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("est_distinct_texts"))
+      .orderBy("group").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the sketch actually estimated: each group has 40 docs, >16 distinct
+    assert(streamed.forall(r => r(1).asInstanceOf[Long] == 40L))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
