@@ -235,6 +235,19 @@ object ScaleProbe {
       measure(s"connected components ${factor}x", s"edges=${n - n / 100}") {
         graft.ext.ConnectedComponents.labels(edges, "src", "dst").count()
       }
+      // keep-best over the same chains: the argmax adds one narrow
+      // (id, priority) projection + cluster-keyed aggregate on the
+      // DUPLICATED side and a broadcast fold-back — the full-width rows
+      // still move exactly once; md5-derived priorities make the winner
+      // content-determined (kept count = #clusters + 0 singletons = n/100)
+      measure(s"keep best ${factor}x", s"nodes=$n clusters=${n / 100}") {
+        val docs = spark.range(n).select(col("id"),
+          graft.ext.Dsir.md5Bucket60(concat(lit("kb:"),
+            col("id").cast("string"))).cast("double").as("q"))
+        graft.ext.Dedup.keepBestPerCluster(docs, "id", "q",
+            edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+          .filter(col("keep")).count()
+      }
     }
 
     // ---- embedding families: semantic dedup + stored-IVF probe ----
