@@ -567,13 +567,18 @@ object Corpus {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val totals = parted.groupBy(col(groupCol), col(sb))
           .agg(sum(col(v)).as("__tb_tot"))
+        // NULL-SAFE group equality throughout: a null group key is a real
+        // group (the window form treats it as one partition), so the
+        // offset fold and the fold-back join must match it too — plain
+        // `===` would silently drop every null-group row from the output
         val offsets = totals.as("a")
           .join(broadcast(totals.as("b")),
-            col(s"b.$groupCol") === col(s"a.$groupCol") &&
+            col(s"b.$groupCol") <=> col(s"a.$groupCol") &&
               col(s"b.$sb") < col(s"a.$sb"), "left")
-          .groupBy(col(s"a.$groupCol").as(groupCol), col(s"a.$sb").as(sb))
+          .groupBy(col(s"a.$groupCol").as("__tb_og"), col(s"a.$sb").as("__tb_osb"))
           .agg(coalesce(sum(col("b.__tb_tot")), lit(0L)).as(off))
-        local.join(broadcast(offsets), Seq(groupCol, sb))
+        local.join(broadcast(offsets),
+            col(groupCol) <=> col("__tb_og") && col(sb) === col("__tb_osb"))
           .withColumn("cum_tokens", col(off) + col(inc))
           .select(df.columns.map(col) :+ col("cum_tokens"): _*)
       }

@@ -406,7 +406,6 @@ object Dedup {
                                textCol: String, idCol: String,
                                threshold: Double = 0.8,
                                maxBucket: Int = 1000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (sn, np, nb) = readMinhashMeta(spark, path)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
       .localCheckpoint(true) // reused by three joins below
@@ -418,14 +417,13 @@ object Dedup {
     val touched = spark.read.parquet(s"$path/keys")
       .join(broadcast(newKeys.select(col("band_key")).distinct()),
         Seq("band_key"), "left_semi")
-    val w = Window.partitionBy(col("band_key"))
-    val annotated = touched
-      .withColumn("__on", count(lit(1)).over(w))
-      .withColumn("__orep", min(col("doc_id")).over(w))
-    val oldSide = annotated.filter(col("__on") <= maxBucket)
+    // the SAME maxBucket demotion the self-join uses — shared annotation,
+    // not a parallel re-implementation
+    val annotated = bucketAnnotate(touched, "band_key")
+    val oldSide = annotated.filter(col("__bn") <= maxBucket)
       .select(col("band_key"), col("doc_id").as("__old"))
-      .union(annotated.filter(col("__on") > maxBucket)
-        .select(col("band_key"), col("__orep").as("__old")).distinct())
+      .union(annotated.filter(col("__bn") > maxBucket)
+        .select(col("band_key"), col("__rep").as("__old")).distinct())
     val oldNew = oldSide
       .join(newKeys.select(col("band_key"), col("doc_id").as("__new")),
         Seq("band_key"))

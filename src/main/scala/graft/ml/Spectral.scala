@@ -350,17 +350,19 @@ object Spectral {
                        iters: Int = DefaultIters,
                        localSolveMaxNodes: Long = LocalSolveMaxNodes): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    var eSel: DataFrame = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
     // small-graph fast path: `iters` rounds of near-empty distributed
     // stages are pure scheduler overhead below the thresholds — solve in
     // driver arrays (bit-identical; see solveLocal) and skip every
-    // checkpoint/job of the distributed plan. The take() guard bounds the
-    // collect before it happens; oversize or out-of-contract inputs fall
-    // through to the distributed path.
+    // checkpoint/job of the distributed plan. The edge plan is
+    // checkpointed BEFORE the take() probe, so a fallthrough (oversize or
+    // out-of-contract input) reuses the materialized edges instead of
+    // recomputing the (possibly O(n²)) upstream plan.
     if (localSolveMaxNodes > 0 &&
         nodes.agg(count(lit(1))).head().getLong(0) <= localSolveMaxNodes) {
-      val es = edges
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .take(LocalSolveMaxEdges.toInt + 1)
+      eSel = eSel.localCheckpoint(true)
+      val es = eSel.take(LocalSolveMaxEdges.toInt + 1)
       if (es.length <= LocalSolveMaxEdges) {
         val ids = nodes.select(col("id").cast("long")).collect()
           .map(_.getLong(0))
@@ -377,8 +379,7 @@ object Spectral {
     // on id = src, so the pre-partitioning is reused across all `iters`
     // passes (and a 1-partition edge checkpoint would serialize every
     // step — measured 3× the wall). defaultParallelism ≈ cluster cores.
-    val e0 = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
+    val e0 = eSel
       .repartition(edges.sparkSession.sparkContext.defaultParallelism,
         col("src"))
       .localCheckpoint(true)
@@ -407,6 +408,19 @@ object Spectral {
     require(c < 3000L,
       s"max kNN degree ${c / 2} too high for the integer SpMV bound — a " +
         "hub node is in nearly every top-k list; reduce k or dedup first")
+    // contract enforcement (one setup job): every edge endpoint must be an
+    // embedded node — a dst outside `nodes` would otherwise inject phantom
+    // rows into the per-step aggregation (the moments divide by n =
+    // |nodes ∩ deg|), and a src outside would silently drop contributions.
+    // solveLocal bails to here on the same violation; the error is the
+    // single behavior for both paths.
+    val strays = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(base.select(col("id")), Seq("id"), "left_anti")
+    require(strays.isEmpty,
+      "edges reference ids outside the node set — the edge contract " +
+        "(symmetric, self-loop-free, endpoints ⊆ nodes) is violated; " +
+        "filter the candidate pairs to the embedded node set first")
 
     // size the iteration's partitioning to the GRAPH, not the session: a
     // small graph over the session's default width pays `iters` rounds of

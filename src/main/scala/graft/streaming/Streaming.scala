@@ -421,10 +421,12 @@ object Streaming {
             org.apache.spark.sql.expressions.Window.currentRow)
         val off = spark.createDataFrame(
           fill.toSeq.map { case (g, t) => Row(g, t) }.asJava, offSchema)
+        // NULL-SAFE offset match: a null group is a real group with a real
+        // carried fill — `===` would reset its counter every batch
         val out = b
           .withColumn("__tb_inc", sum(col(tokensCol).cast("long")).over(w))
-          .withColumn("__tb_g", col(groupCol).cast("string"))
-          .join(broadcast(off), Seq("__tb_g"), "left")
+          .join(broadcast(off),
+            col(groupCol).cast("string") <=> col("__tb_g"), "left")
           .withColumn("cum_tokens",
             col("__tb_inc") + coalesce(col("__tb_off"), lit(0L)))
           .withColumn("keep", col("cum_tokens") <= budget)
@@ -512,36 +514,39 @@ object Streaming {
     val spark = docs.sparkSession
     val state = scala.collection.mutable.Map
       .empty[Any, (Long, Long, Long, Array[Long])]
+    // the group column's ORIGINAL type, captured from the per-batch
+    // aggregate — the twin must return the batch operator's schema, not a
+    // stringified image
+    @volatile var groupType: DataType = null
     val query = docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        graft.ext.Profile
+        val agg = graft.ext.Profile
           .corpusAggregates(batch.toDF(), groupCol, textCol, k)
-          .collect()
-          .foreach { r =>
-            val g = r.get(0)
-            val add = (r.getLong(1), r.getLong(2), r.getLong(3),
-              r.getSeq[Long](4).toArray)
-            state(g) = state.get(g) match {
-              case Some((n, t, c, sk)) =>
-                (n + add._1, t + add._2, c + add._3,
-                  graft.ext.Profile.mergeKmv(sk, add._4, k))
-              case None => add
-            }
+        groupType = agg.schema.head.dataType
+        agg.collect().foreach { r =>
+          val g = r.get(0)
+          val add = (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getSeq[Long](4).toArray)
+          state(g) = state.get(g) match {
+            case Some((n, t, c, sk)) =>
+              (n + add._1, t + add._2, c + add._3,
+                graft.ext.Profile.mergeKmv(sk, add._4, k))
+            case None => add
           }
+        }
         ()
       }
       .start()
     query.awaitTermination()
     require(state.nonEmpty, "empty stream: no batch ever arrived to profile")
     val schema = StructType(Seq(
-      StructField("group", StringType),
+      StructField("group", groupType),
       StructField("n_docs", LongType), StructField("n_tokens", LongType),
       StructField("n_chars", LongType),
       StructField("est_distinct_texts", LongType)))
     val rows = state.toSeq.map { case (g, (n, t, c, sk)) =>
-      Row(if (g == null) null else g.toString, n, t, c,
-        graft.ext.Profile.estimateKmv(sk, k))
+      Row(g, n, t, c, graft.ext.Profile.estimateKmv(sk, k))
     }
     spark.createDataFrame(rows.asJava, schema)
   }

@@ -404,8 +404,11 @@ class CorpusSpec extends SparkTestBase {
   }
 
   test("tokenBudgetKeep: mega-group two-phase form equals the window form") {
+    // includes a NULL group (g = None) — a real group in the window form,
+    // so the two-phase offset fold-back must null-safe-match it too
     val rng = new scala.util.Random(41)
-    val df = (0 until 500).map(i => (i.toLong, s"g${i % 3}",
+    val df = (0 until 500).map(i => (i.toLong,
+      if (i % 7 == 0) None else Some(s"g${i % 3}"),
       rng.nextDouble() * 100, (rng.nextInt(50) + 1).toLong))
       .toDF("id", "g", "prio", "tok")
     val a = Corpus.tokenBudgetKeep(df, "g", "id", "prio", "tok", 1000L)

@@ -378,8 +378,10 @@ class StreamingSpec extends SparkTestBase {
     // level must make batch1's verdicts match the global batch cumsum
     val dir = java.nio.file.Files.createTempDirectory("graft-tbstream-")
     val rng = new scala.util.Random(23)
+    // a NULL group rides along: its carried fill must survive batches too
     val all = (0L until 80L).map { i =>
-      (i, s"g${i % 3}", rng.nextDouble() * 100, (rng.nextInt(40) + 1).toLong)
+      (i, if (i % 5 == 0) None else Some(s"g${i % 3}"),
+        rng.nextDouble() * 100, (rng.nextInt(40) + 1).toLong)
     }
     // per group, split at the median priority: top half first
     val byG = all.groupBy(_._2)
@@ -473,6 +475,19 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     // the sketch actually estimated: each group has 40 docs, >16 distinct
     assert(streamed.forall(r => r(1).asInstanceOf[Long] == 40L))
+    // group TYPE is preserved (not stringified): an int-keyed stream
+    // returns an int group column equal to the batch card's
+    val intDir = java.nio.file.Files.createTempDirectory("graft-card-int-")
+    (0 until 40).map(i => (i % 4, s"doc $i"))
+      .toDF("g", "text").coalesce(1).write.parquet(s"$intDir/b0")
+    val intStream = spark.readStream
+      .schema(spark.read.parquet(s"$intDir/b0").schema)
+      .parquet(intDir.toString + "/b0")
+    val intCard = Streaming.corpusReportAvailableNow(intStream, "g", "text", k = 8)
+    assert(intCard.schema("group").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(intCard.orderBy("group").collect().map(_.getInt(0)).toSeq ==
+      Seq(0, 1, 2, 3))
   }
 
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
