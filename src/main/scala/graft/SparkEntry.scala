@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.ColumnOps
-import graft.ext.{Bm25, Bpe, Corpus, Dedup, Dsir, Joins, LangModel, Multimodal, Profile, Similarity, TextAnalysis}
+import graft.ext.{Bm25, Bpe, Corpus, Dedup, Diversify, Dsir, Joins, LangModel, Multimodal, Profile, Retrieval, Similarity, TextAnalysis}
 import graft.spec._
 import graft.runner.LocalSparkRunner
 
@@ -786,6 +786,34 @@ object SparkEntry {
       val km = KMeansClusterOp(SelectVectorColumnOp(ds, "embedding"),
         KmInitIds, KmIters)
       r.toFrame(km)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_proto_drop" -> ((s, dir) => {
+      // D4 prototype-drop (ext/Diversify.scala, Tirumala 2023): the SAME
+      // exact k-means fit as q_kmeans (member-init ids 0..7, 4 Lloyd
+      // passes), then drop the 1/4 of each cell CLOSEST to its centroid —
+      // diversity-keeping selection; the oracle extends the unrolled
+      // k-means replay with the per-cell rank and the integer
+      // floor-division drop count
+      val emb = t(s, dir, "embeddings")
+      val fit = graft.ml.ExactKMeans.fit(emb, "vec_id", "embedding",
+        KmInitIds, KmIters)
+      Diversify.prototypeDrop(emb, "vec_id", "embedding", fit,
+          ProtoDropNum, ProtoDropDen)
+        .orderBy(col("id"))
+    }),
+
+    "q_d4_graph" -> ((s, dir) => {
+      // spec-layer twin: PrototypeDropOp keep verdicts as a BOOLEAN value
+      // column — composable with MaskRowsOp exactly like the token-budget
+      // and keep-best verdicts
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val pd = PrototypeDropOp(SelectVectorColumnOp(ds, "embedding"),
+        KmInitIds, KmIters, ProtoDropNum, ProtoDropDen)
+      r.toFrame(pd)
         .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
         .orderBy(col("row_idx"))
     }),
@@ -1753,12 +1781,54 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_rrf" -> ((s, dir) => {
+      // hybrid retrieval (ext/Retrieval.scala, Cormack 2009 RRF): BM25
+      // top-20 for the query terms fused with hashed-TF cosine top-20 for
+      // the SAME query text by reciprocal-rank fusion — both legs and the
+      // pico-quantized fusion replay in SQL
+      val docs = t(s, dir, "documents")
+      val sparse = Bm25.rank(docs, "doc_id", "text", RrfTerms, RrfPoolK)
+      val emb = docs.select(col("doc_id"),
+        TextAnalysis.hashedTfEmbedding(col("text"), 64).as("emb"))
+      val qdf = s.range(1).select(col("id").as("qid"),
+        TextAnalysis.hashedTfEmbedding(lit(RrfTerms.mkString(" ")), 64)
+          .as("emb"))
+      val dense = Similarity.bruteForceTopK(emb, "doc_id", "emb",
+        qdf, "qid", "emb", k = RrfPoolK)
+      Retrieval.rrfFuse(
+          sparse.select(col("doc_id"), col("rank")),
+          dense.select(col("corpus_id").as("doc_id"), col("rank")),
+          "doc_id", RrfKConst, RrfN)
+        .orderBy(col("rank"))
+    }),
+
+    "q_rrf_graph" -> ((s, dir) => {
+      // hybrid retrieval THROUGH THE SPEC LAYER: content-addressed
+      // Bm25RankOp (sparse leg) + AnnBruteTopKOp over hashed-TF embeddings
+      // with an INLINE one-row query dataset (dense leg), fused by
+      // RrfFuseOp — each leg rides the store independently, so re-running
+      // the hybrid query with new fusion params reuses both ranked lists
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val text = SelectTextColumnOp(ds, "text")
+      val sparse = Bm25RankOp(text, RrfTerms, RrfPoolK.toLong)
+      val qds = LoadInlineJsonDatasetOp(Map(
+        "qtext" -> Seq(RrfTerms.mkString(" "))))
+      val dense = AnnBruteTopKOp(
+        HashedTfEmbeddingOp(text),
+        HashedTfEmbeddingOp(SelectTextColumnOp(qds, "qtext")),
+        RrfPoolK.toLong)
+      r.toFrame(RrfFuseOp(sparse, dense, "id", "corpus_id",
+          RrfKConst.toLong, RrfN.toLong))
+        .orderBy(col("rank"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 ranked retrieval (ext.Bm25): one stats row broadcast, map-side
       // tf, fixed-term-order score fold quantized to micro-units; the
       // oracle replays statistics, arithmetic, and the top-k cut.
       Bm25.rank(t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "merge", "window"), k = 10)
+        RrfTerms, k = 10)
         .orderBy(col("rank"))
     }),
 
@@ -2251,6 +2321,20 @@ object SparkEntry {
   private val KmInitIds: Seq[Long] = 0L until 8L
   private val KmIters: Int = 4
 
+  /** q_proto_drop / q_d4_graph gate fraction (shared engine/oracle): drop
+    * the 1/4 of each k-means cell closest to its centroid. */
+  private val ProtoDropNum: Long = 1L
+  private val ProtoDropDen: Long = 4L
+
+  /** Hybrid-retrieval gate constants (shared engine/oracle): the query
+    * terms double as the BM25 term list and the dense query text; each leg
+    * contributes its top-`RrfPoolK`, fused at `rrfK = RrfKConst` into the
+    * top-`RrfN`. */
+  private val RrfTerms: Seq[String] = Seq("spark", "merge", "window")
+  private val RrfPoolK: Int = 20
+  private val RrfKConst: Int = 60
+  private val RrfN: Int = 10
+
   /** q_distinct_sketch KMV size (shared engine/oracle): straddles the sf
     * language cardinalities — en (218 distinct texts at sf0.01) runs the
     * estimator, de/es/fr/zh (< 80) the exact below-k path. */
@@ -2267,6 +2351,30 @@ object SparkEntry {
     * table (500 rows) sits under the cap, so the correctness gate covers
     * the whole table; the cap only bounds the larger bench inputs. */
   private val SpectralCap: Long = 1000L
+
+  /** Shared CTE suffix of the prototype-drop oracles (appended to
+    * [[kmeansOracleSql]]'s unrolled iterations): exact-squared-distance
+    * re-assignment against the final centroid matrix `m_KmIters` (pure
+    * BIGINT arithmetic — [[graft.ml.ExactKMeans.assignByDistance]]),
+    * within-cell closeness rank, per-cell counts. */
+  private def protoDropCtes: String =
+    s""", dx AS (
+       |  SELECT qe.id, m.cell,
+       |    CAST(SUM((qe.qv - m.qm) * (qe.qv - m.qm)) AS BIGINT) AS d2
+       |  FROM qe JOIN m$KmIters m ON qe.dim = m.dim
+       |  GROUP BY qe.id, m.cell),
+       |ax AS (
+       |  SELECT id, cell, d2 FROM (
+       |    SELECT id, cell, d2, row_number() OVER (PARTITION BY id
+       |      ORDER BY d2, cell) AS rn FROM dx) WHERE rn = 1),
+       |rnk AS (
+       |  SELECT id, cell, d2,
+       |    CAST(row_number() OVER (PARTITION BY cell
+       |      ORDER BY d2, id) AS BIGINT) AS rnk
+       |  FROM ax),
+       |cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ax GROUP BY cell)
+       |""".stripMargin
 
   /** Full DuckDB replay of q_kmeans / q_km_graph
     * ([[graft.ml.ExactKMeans]]): every Lloyd iteration UNROLLED — score =
@@ -2650,8 +2758,10 @@ object SparkEntry {
       |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
       |ORDER BY vec_id""".stripMargin
 
-  private def bm25OracleSql(idSel: String): String = {
-    val terms = Seq("spark", "merge", "window")
+  /** CTE body (w → st → sc) shared by the BM25 oracles and the RRF hybrid
+    * oracle: tokenized docs `w(doc_id, ws)`, ONE exact stats row `st`, and
+    * per-doc micro-quantized scores `sc(doc_id, score_u6)`. */
+  private def bm25ScCtes(terms: Seq[String]): String = {
     val dfs = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN list_contains(ws, '${terms(i)}') THEN 1 " +
         s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")
@@ -2667,7 +2777,7 @@ object SparkEntry {
         s"($tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
         s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
     }.reduceLeft((a, c) => s"($a + $c)")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0) AS ws FROM documents),
        |st AS (
@@ -2678,11 +2788,84 @@ object SparkEntry {
        |sc AS (
        |  SELECT doc_id,
        |    CAST(round($contrib * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
-       |  FROM w CROSS JOIN st)
+       |  FROM w CROSS JOIN st)""".stripMargin
+  }
+
+  private def bm25OracleSql(idSel: String): String =
+    s"""WITH ${bm25ScCtes(RrfTerms)}
        |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
        |    AS BIGINT) AS rank,
        |  $idSel, score_u6
        |FROM sc ORDER BY score_u6 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** RRF hybrid oracle (q_rrf and its spec twin): BM25 leg =
+    * [[bm25ScCtes]] cut to the top-RrfPoolK; dense leg = the
+    * q_hash_embed_ann hashed-TF replay scoring the QUERY TEXT's vector
+    * against every document; fusion =
+    * `round((1/(K+br) + 1/(K+dr))·1e12)` with an absent rank contributing
+    * exactly 0 — same decimal literals, same IEEE op order (sparse term
+    * first) as [[graft.ext.Retrieval.rrfFuse]]. */
+  private def rrfOracleSql(idSel: String): String = {
+    val dim = 64
+    val qtext = RrfTerms.mkString(" ")
+    val K = RrfKConst
+    s"""WITH ${bm25ScCtes(RrfTerms)},
+       |bt AS (
+       |  SELECT doc_id, br FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS br FROM sc)
+       |  WHERE br <= $RrfPoolK),
+       |hv AS (
+       |  SELECT doc_id, list_transform(range($dim), d ->
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, h -> CASE WHEN h % $dim = d
+       |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS DOUBLE)) AS vv
+       |  FROM (SELECT doc_id, list_transform(ws, t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w)),
+       |qv AS (
+       |  SELECT list_transform(range($dim), d ->
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, h -> CASE WHEN h % $dim = d
+       |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS DOUBLE)) AS vv
+       |  FROM (SELECT list_transform(list_filter(
+       |      regexp_split_to_array('$qtext', '[ \\t\\n\\f\\r]+'),
+       |      x -> length(x) > 0), t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs)),
+       |dsc AS (
+       |  SELECT hv.doc_id,
+       |    CASE WHEN sqrt(list_dot_product(qv.vv, qv.vv)) *
+       |              sqrt(list_dot_product(hv.vv, hv.vv)) > 0
+       |      THEN list_dot_product(qv.vv, hv.vv) /
+       |        (sqrt(list_dot_product(qv.vv, qv.vv)) *
+       |         sqrt(list_dot_product(hv.vv, hv.vv)))
+       |      ELSE CAST(0.0 AS DOUBLE) END AS cosf
+       |  FROM hv CROSS JOIN qv),
+       |dt AS (
+       |  SELECT doc_id, dr FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY cosf DESC, doc_id) AS BIGINT) AS dr FROM dsc)
+       |  WHERE dr <= $RrfPoolK),
+       |f AS (
+       |  SELECT coalesce(bt.doc_id, dt.doc_id) AS doc_id,
+       |    bt.br AS sparse_rank, dt.dr AS dense_rank,
+       |    coalesce(CAST(1.0 AS DOUBLE) /
+       |        (CAST($K AS DOUBLE) + CAST(bt.br AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE))
+       |    + coalesce(CAST(1.0 AS DOUBLE) /
+       |        (CAST($K AS DOUBLE) + CAST(dt.dr AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE)) AS fs
+       |  FROM bt FULL OUTER JOIN dt ON bt.doc_id = dt.doc_id),
+       |g AS (
+       |  SELECT doc_id, CAST(round(fs * 1e12) AS BIGINT) AS rrf_u12,
+       |    sparse_rank, dense_rank FROM f)
+       |SELECT CAST(row_number() OVER (ORDER BY rrf_u12 DESC, doc_id)
+       |    AS BIGINT) AS rank,
+       |  $idSel, rrf_u12, sparse_rank, dense_rank
+       |FROM g ORDER BY rrf_u12 DESC, doc_id LIMIT $RrfN""".stripMargin
   }
 
   /** Shared CTE prefix of the LM-perplexity oracles (q_lm_perplexity and
@@ -3146,6 +3329,26 @@ object SparkEntry {
 
     "q_km_graph" -> kmeansOracleSql("row_number() OVER () - 1",
       s"SELECT id AS row_idx, CAST(cell AS VARCHAR) AS value FROM a${KmIters + 1} ORDER BY row_idx"),
+
+    // D4 prototype-drop replay: the unrolled k-means oracle's FITTED
+    // centroids, then a pure-integer exact-squared-distance assignment
+    // (dx/ax — ExactKMeans.assignByDistance: argmin d2, ties → smaller
+    // cell), the per-cell prototypicality rank (d2 ASC = closest first)
+    // and the integer floor-division drop count — survivors only
+    "q_proto_drop" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
+      protoDropCtes +
+      s"""SELECT r.id, CAST(r.cell AS INTEGER) AS cell, r.rnk, r.d2
+         |FROM rnk r JOIN cnt c ON c.cell = r.cell
+         |WHERE r.rnk > (c.cnt * $ProtoDropNum) // $ProtoDropDen
+         |ORDER BY r.id""".stripMargin),
+
+    // spec twin: keep verdicts for EVERY row as a boolean value column
+    "q_d4_graph" -> kmeansOracleSql("row_number() OVER () - 1",
+      protoDropCtes +
+      s"""SELECT r.id AS row_idx,
+         |  (r.rnk > (c.cnt * $ProtoDropNum) // $ProtoDropDen) AS value
+         |FROM rnk r JOIN cnt c ON c.cell = r.cell
+         |ORDER BY row_idx""".stripMargin),
 
     // identical assignment contract through the STREAMING path
     "q_km_stream" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
@@ -4592,6 +4795,12 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // RRF hybrid replay: both legs + the pico-quantized fusion
+    "q_rrf" -> rrfOracleSql("doc_id"),
+
+    // spec twin: ids are file-order row indices == doc_id
+    "q_rrf_graph" -> rrfOracleSql("doc_id AS id"),
 
     // spec-layer twin: identical pipeline, ids = file-order row indices
     "q_bm25_graph" -> bm25OracleSql("doc_id AS id"),

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid-retrieval rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009,
+  * "Reciprocal Rank Fusion outperforms Condorcet and individual rank
+  * learning methods"): fuse a SPARSE ranked list (e.g. [[Bm25.rank]]) with
+  * a DENSE one (e.g. [[Similarity.bruteForceTopK]] over
+  * [[TextAnalysis.hashedTfEmbedding]] vectors) by
+  * `score(d) = Σ_lists 1/(rrfK + rank_list(d))` — the standard first stage
+  * of a modern retrieval stack, and the piece that turns the engine's
+  * independent BM25 and ANN families into one hybrid search.
+  *
+  * == Determinism ==
+  * Each input contributes `1/(rrfK + rank)` — two IEEE double divisions
+  * summed in a FIXED order (sparse first, then dense; a document absent
+  * from a list contributes exactly 0.0). The fused score is quantized to
+  * pico-units (`round(score·1e12)` — max 2/(rrfK+1) ≈ 0.033, so the
+  * integer stays tiny) and ordering is (quantized DESC, id ASC): the whole
+  * computation replays bit-for-bit in SQL from the same two ranked lists.
+  *
+  * == 100 TB design ==
+  * The inputs are top-K lists — K rows each, BOUNDED regardless of corpus
+  * size; the heavy lifting (corpus-wide scoring) happened upstream in the
+  * map-side BM25 / brute-cosine passes with TakeOrdered cuts. The fusion
+  * itself is a K-row full-outer join + a K-row sort: metadata. (The final
+  * `row_number` window is global but runs over the ≤ n fused survivors —
+  * same bounded shape as [[Bm25.rank]]'s output ranking. Multi-query
+  * fusion would partition every step by `query_id`; the single-query form
+  * is the gate shape.)
+  */
+object Retrieval {
+
+  /** Pico-unit quantum for fused-score ranking. */
+  val Quant: Double = 1e12
+
+  /** Fuse two ranked lists `(idCol, rank)` into the top-`n` hybrid result
+    * `(rank, <idCol>, rrf_u12, sparse_rank, dense_rank)` — `rrf_u12` the
+    * pico-quantized RRF score, per-list ranks NULL where the document was
+    * outside that list's top-K. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, idCol: String,
+              rrfK: Int, n: Int): DataFrame = {
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val a = sparse.select(col(idCol).as("__id"),
+      col("rank").cast("long").as("sparse_rank"))
+    val b = dense.select(col(idCol).as("__id"),
+      col("rank").cast("long").as("dense_rank"))
+    // both sides are top-K lists — bounded — so the join is trivially
+    // broadcastable; `using`-join coalesces the id across the full outer
+    val j = a.join(b, Seq("__id"), "full_outer")
+    def contrib(r: Column): Column = coalesce(
+      lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")), lit(0.0))
+    // FIXED addition order: sparse + dense — mirrored in the oracle
+    val fused = contrib(col("sparse_rank")) + contrib(col("dense_rank"))
+    val top = j
+      .withColumn("rrf_u12", round(fused * Quant).cast("long"))
+      .orderBy(col("rrf_u12").desc, col("__id"))
+      .limit(n)
+    top.select(
+      row_number().over(Window.orderBy(col("rrf_u12").desc, col("__id")))
+        .cast("long").as("rank"),
+      col("__id").as(idCol), col("rrf_u12"),
+      col("sparse_rank"), col("dense_rank"))
+  }
+}

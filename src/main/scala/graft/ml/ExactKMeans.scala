@@ -136,4 +136,34 @@ object ExactKMeans {
           .cast("int").as("cell"),
         array_max(col("__s")).as("score"))
   }
+
+  /** Assignment carrying the EXACT squared distance: `(id, cell, d2)` —
+    * `d2 = Σ_d (qx_d − qm_d)²` in squared 1e-6 units, a pure LONG
+    * integer (each term ≤ (2·maxAbs·1e6)², the sum far below 2⁶³ for any
+    * real dim). The cell is the first argmin of d2 — provably the same
+    * cell as [[assign]]'s score argmax up to double-rounding of the score
+    * quotient, but comparisons here never leave integer arithmetic, so
+    * WITHIN-cell orderings (the [[graft.ext.Diversify]] prototypicality
+    * rank) are collapse-free and replay as integer SQL. Map-only over
+    * k×dim plan literals, like [[assign]]. */
+  def assignByDistance(df: DataFrame, idCol: Column, vec: Column,
+                       fit: Fit): DataFrame = {
+    val maxAbs = fit.maxAbsInput
+    val qx = transform(vec.cast("array<double>"), x =>
+      when(abs(x) > maxAbs, raise_error(concat(
+        lit(s"ExactKMeans: |feature| exceeds maxAbsInput=$maxAbs " +
+          "(quantized-exact contract): "), x.cast("string"))))
+        .otherwise(round(x * 1e6).cast("long")))
+    val d2s = array(fit.qm.map { qmc =>
+      // ONE array literal per centroid (the exactScores planning lesson)
+      val qmLit = typedlit(qmc.toSeq)
+      aggregate(zip_with(qx, qmLit, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    df.select(idCol.as("id"), d2s.as("__d"))
+      .select(col("id"),
+        (array_position(col("__d"), array_min(col("__d"))) - 1)
+          .cast("int").as("cell"),
+        array_min(col("__d")).as("d2"))
+  }
 }

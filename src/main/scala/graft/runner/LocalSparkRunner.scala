@@ -113,6 +113,7 @@ class LocalSparkRunner(
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
     case v: SpectralVizOp => lengthOf(v.inputEmbedding)
     case v: KMeansClusterOp => lengthOf(v.vectors)
+    case p: PrototypeDropOp => lengthOf(p.vectors)
     case t: TokenBudgetKeepOp => lengthOf(t.group)
     case k: KeepBestPerClusterOp => lengthOf(k.priority)
     case g: GroupedOp => lengthOf(g.ops.last)
@@ -868,6 +869,14 @@ class LocalSparkRunner(
         .assign(x, col(RowIdx), col(ValueCol), fit)
         .select(col("id").as(RowIdx), col("cell").cast("string").as(ValueCol)))
 
+    case pd: PrototypeDropOp =>
+      val x = frame(pd.vectors)
+      val fit = graft.ml.ExactKMeans.fit(x, RowIdx, ValueCol,
+        pd.centroidIds, pd.iters.toInt)
+      FrameResult(graft.ext.Diversify
+        .prototypeKeepFlags(x, RowIdx, ValueCol, fit, pd.dropNum, pd.dropDen)
+        .select(col("id").as(RowIdx), col("kept").as(ValueCol)))
+
     case cs: CorpusStatsOp =>
       val g = frame(cs.group).select(col(RowIdx), col(ValueCol).as("group"))
       val t = frame(cs.text).select(col(RowIdx),
@@ -1022,6 +1031,20 @@ class LocalSparkRunner(
         .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
       FrameResult(graft.ext.Bm25.rank(t, "__id", "__txt", terms, k.toInt,
         k1, b).withColumnRenamed("__id", "id"))
+
+    case rf: RrfFuseOp =>
+      val sp = frame(rf.sparse)
+      val dn = frame(rf.dense)
+      require(sp.columns.contains(rf.sparseId) && sp.columns.contains("rank"),
+        s"sparse dataset must have ${rf.sparseId}/rank columns, " +
+          s"got ${sp.columns.mkString(",")}")
+      require(dn.columns.contains(rf.denseId) && dn.columns.contains("rank"),
+        s"dense dataset must have ${rf.denseId}/rank columns, " +
+          s"got ${dn.columns.mkString(",")}")
+      FrameResult(graft.ext.Retrieval.rrfFuse(
+        sp.select(col(rf.sparseId).as("id"), col("rank")),
+        dn.select(col(rf.denseId).as("id"), col("rank")),
+        "id", rf.rrfK.toInt, rf.n.toInt))
 
     case LmPerplexityOp(text, fitText) =>
       val t = frame(text)

@@ -48,6 +48,12 @@ object Fluent {
     /** beyond reference: keep one representative per near-dup cluster */
     def dropNearDuplicates(pairs: DatasetType): DropNearDuplicatesOp =
       DropNearDuplicatesOp(ds, pairs)
+    /** beyond reference: RRF-fuse this ranked list (sparse side) with a
+      * dense one into one hybrid top-n */
+    def rrfFuse(dense: DatasetType, sparseId: String = "id",
+                denseId: String = "corpus_id", rrfK: Long = 60L,
+                n: Long = 10L): RrfFuseOp =
+      RrfFuseOp(ds, dense, sparseId, denseId, rrfK, n)
   }
 
   implicit class CategoricalBuilders(private val c: ColumnType) extends AnyVal {
@@ -153,6 +159,11 @@ object Fluent {
       * indices */
     def kmeansCluster(centroidIds: Seq[Long], iters: Long = 4L): KMeansClusterOp =
       KMeansClusterOp(v, centroidIds, iters)
+    /** beyond reference: D4 prototype-drop keep verdicts (drop the
+      * dropNum/dropDen closest-to-centroid fraction per k-means cell) */
+    def prototypeDrop(centroidIds: Seq[Long], iters: Long = 4L,
+                      dropNum: Long = 1L, dropDen: Long = 4L): PrototypeDropOp =
+      PrototypeDropOp(v, centroidIds, iters, dropNum, dropDen)
     /** beyond reference: brute-force cosine top-k against this corpus */
     def annTopK(queries: VectorColumnType, k: Long = 10L): AnnBruteTopKOp =
       AnnBruteTopKOp(v, queries, k)

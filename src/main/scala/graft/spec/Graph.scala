@@ -432,6 +432,10 @@ object OpRegistry {
     "KMeansClusterOp" -> ((o, r) =>
       KMeansClusterOp(op[VectorColumnType](o, "vectors", r),
         lngSeq(o, "centroid_ids"), lng(o, "iters"))),
+    "PrototypeDropOp" -> ((o, r) =>
+      PrototypeDropOp(op[VectorColumnType](o, "vectors", r),
+        lngSeq(o, "centroid_ids"), lng(o, "iters"),
+        lng(o, "drop_num"), lng(o, "drop_den"))),
     "CorpusStatsOp" -> ((o, r) =>
       CorpusStatsOp(op[CategoricalColumnType](o, "group", r),
         op[TextColumnType](o, "text", r), lng(o, "k"))),
@@ -494,6 +498,11 @@ object OpRegistry {
     "Bm25RankOp" -> ((o, r) =>
       Bm25RankOp(op[TextColumnType](o, "text", r), strSeq(o, "terms"),
         lng(o, "k"), dbl(o, "k1"), dbl(o, "b"))),
+    "RrfFuseOp" -> ((o, r) =>
+      RrfFuseOp(op[DatasetType](o, "sparse", r),
+        op[DatasetType](o, "dense", r),
+        str(o, "sparse_id"), str(o, "dense_id"),
+        lng(o, "rrf_k"), lng(o, "n"))),
     "MinHashNearDupPairsOp" -> ((o, r) =>
       MinHashNearDupPairsOp(op[TextColumnType](o, "text", r),
         lng(o, "shingle_n"), lng(o, "num_perms"), lng(o, "num_bands"),

@@ -412,6 +412,29 @@ final case class KMeansClusterOp(
   require(iters >= 0L, s"iters must be >= 0, got $iters")
 }
 
+/** D4-style prototype-drop keep verdicts over a vector column
+  * ([[graft.ext.Diversify.prototypeKeepFlags]], Tirumala 2023): cluster
+  * with [[graft.ml.ExactKMeans]] (member-init centroids at row indices
+  * `centroidIds`, `iters` Lloyd passes), then within each cell mark the
+  * `floor(cellSize·dropNum/dropDen)` members CLOSEST to their centroid as
+  * dropped — diversity-keeping selection, the complement of
+  * [[SemanticDedupOp]]'s too-close-to-each-other rule. Value = keep
+  * boolean per row; compose with [[MaskRowsOp]] to realize the cut.
+  * Non-ephemeral: rides `iters + 1` corpus passes plus the ranked
+  * assignment — worth content-addressing. */
+final case class PrototypeDropOp(
+    vectors: VectorColumnType,
+    centroidIds: Seq[Long],
+    iters: Long = 4L,
+    dropNum: Long = 1L,
+    dropDen: Long = 4L) extends BooleanColumnType {
+  require(centroidIds.nonEmpty, "centroidIds must be non-empty")
+  require(iters >= 0L, s"iters must be >= 0, got $iters")
+  require(dropDen >= 1L, s"dropDen must be >= 1, got $dropDen")
+  require(dropNum >= 0L && dropNum <= dropDen,
+    s"dropNum must be in [0, dropDen], got $dropNum/$dropDen")
+}
+
 /** Token-budget keep verdicts over aligned (group, priority, tokens)
   * columns ([[graft.ext.Corpus.tokenBudgetKeep]]): within each group,
   * rows ranked by priority DESC (row-index tie-break) are kept while the
@@ -621,6 +644,30 @@ final case class Bm25RankOp(
   require(k >= 1L && k <= Int.MaxValue, s"k must be in [1, 2^31), got $k")
   require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
   require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+}
+
+/** Reciprocal-rank fusion of two ranked-list datasets
+  * ([[graft.ext.Retrieval.rrfFuse]], Cormack 2009):
+  * `score = 1/(rrfK + sparse_rank) + 1/(rrfK + dense_rank)`, absent list
+  * membership contributing 0 — e.g. fuse a [[Bm25RankOp]] (id column
+  * `id`) with an [[AnnBruteTopKOp]] (id column `corpus_id`) into one
+  * hybrid top-`n`. `sparseId`/`denseId` name each input's document-id
+  * column; both inputs must carry a `rank` column. Result
+  * `(rank, id, rrf_u12, sparse_rank, dense_rank)` with pico-quantized
+  * fused scores. Non-ephemeral: fusing content-addressed ranked lists is
+  * itself worth addressing — re-running a hybrid query is a store read. */
+final case class RrfFuseOp(
+    sparse: DatasetType,
+    dense: DatasetType,
+    sparseId: String = "id",
+    denseId: String = "corpus_id",
+    rrfK: Long = 60L,
+    n: Long = 10L) extends DatasetType {
+  require(sparseId.nonEmpty && denseId.nonEmpty,
+    "sparseId/denseId must be non-empty")
+  require(rrfK >= 0L && rrfK <= Int.MaxValue,
+    s"rrfK must be in [0, 2^31), got $rrfK")
+  require(n >= 1L && n <= Int.MaxValue, s"n must be in [1, 2^31), got $n")
 }
 
 /** MinHash+LSH near-duplicate PAIRS over a text column

@@ -1,0 +1,62 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion ([[Retrieval.rrfFuse]]): fused ordering, exact
+  * pico-quantized scores, null per-list ranks outside a list's top-K, the
+  * id tie-break, and the n cut. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def u12(terms: Double*): Long =
+    math.round(terms.reduceLeft(_ + _) * 1e12)
+
+  test("a doc in both lists outranks single-list docs; absent ranks are null") {
+    val sparse = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val dense = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, "id", rrfK = 60, n = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(20L, 10L, 40L, 30L))
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // exact fused scores: same IEEE ops, sparse term first
+    assert(out.map(_.getLong(2)).toSeq === Seq(
+      u12(1.0 / 62, 1.0 / 61), u12(1.0 / 61, 0.0),
+      u12(1.0 / 62, 0.0), u12(1.0 / 63, 0.0)))
+    val byId = out.map(r => r.getLong(1) ->
+      (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(byId(20L) === (Some(2L), Some(1L)))
+    assert(byId(10L) === (Some(1L), None), "absent dense rank is null")
+    assert(byId(40L) === (None, Some(2L)), "absent sparse rank is null")
+  }
+
+  test("equal fused scores break by id ascending") {
+    val sparse = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val dense = Seq((3L, 1L), (4L, 2L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, "id", rrfK = 60, n = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("n cuts the fused list; ranks stay 1..n") {
+    val sparse = (1L to 8L).map(i => (i, i)).toDF("id", "rank")
+    val dense = (5L to 12L).map(i => (i, i - 4L)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(sparse, dense, "id", rrfK = 60, n = 3)
+      .collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    // docs 5..8 appear in both lists; 5 carries the best rank pair (5, 1)
+    assert(out.head.getLong(1) === 5L)
+  }
+
+  test("fusion is invariant under input partitioning and row order") {
+    val sparse = (1L to 30L).map(i => (i, i)).toDF("id", "rank")
+    val dense = (15L to 45L).map(i => (i, i - 14L)).toDF("id", "rank")
+    val base = Retrieval.rrfFuse(sparse, dense, "id", 60, 10)
+      .collect().toSeq
+    val shuffled = Retrieval.rrfFuse(
+      sparse.orderBy(rand(3)).repartition(5),
+      dense.orderBy(rand(4)).repartition(3), "id", 60, 10).collect().toSeq
+    assert(shuffled === base)
+  }
+}

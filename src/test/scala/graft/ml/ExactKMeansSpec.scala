@@ -27,6 +27,27 @@ class ExactKMeansSpec extends SparkTestBase {
     assert(a(1).getDouble(2) == 0.075)
   }
 
+  test("assignByDistance: same cells as assign, exact integer d2") {
+    val df = Seq(
+      (0L, Seq(0.2, 0.0)), (1L, Seq(0.4, 0.0)),
+      (2L, Seq(-0.2, 0.1)), (3L, Seq(-0.4, 0.1)))
+      .toDF("id", "v")
+    val fit = ExactKMeans.fit(df, "id", "v", Seq(0L, 2L), iters = 1)
+    val byScore = ExactKMeans.assign(df, col("id"), col("v"), fit)
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    val byDist = ExactKMeans.assignByDistance(df, col("id"), col("v"), fit)
+      .orderBy("id").collect()
+    assert(byDist.map(_.getInt(1)).toSeq == byScore)
+    // id1 vs fitted m0 = (300000, 0): (400000−300000)² + 0² = 1e10
+    assert(byDist(1).getLong(2) == 10000000000L)
+    // the bound is enforced on the way in, like exactScores
+    val bad = Seq((0L, Seq(1.5, 0.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      ExactKMeans.assignByDistance(bad, col("id"), col("v"), fit).collect()
+    }
+    assert(e.getMessage.contains("maxAbsInput"))
+  }
+
   test("empty cells carry their previous centroid (duplicate-vector init)") {
     // two inits with IDENTICAL vectors: in iteration 1 every row ties on
     // score and first-max sends ALL members to cell 0 — cell 1 is empty

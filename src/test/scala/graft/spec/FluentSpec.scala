@@ -109,6 +109,11 @@ class FluentSpec extends AnyFunSuite {
     assert(t.lmPerplexity == LmPerplexityOp(t, t))
     assert(t.dedupSpans(k = 6L) == DedupSpansOp(t, 6L))
     assert(t.bm25(Seq("x", "y"), k = 3L) == Bm25RankOp(t, Seq("x", "y"), 3L))
+    assert(v.prototypeDrop(Seq(0L, 3L), dropNum = 1L, dropDen = 5L) ==
+      PrototypeDropOp(v, Seq(0L, 3L), 4L, 1L, 5L))
+    assert(t.bm25(Seq("x")).rrfFuse(v.annTopK(v), n = 7L) ==
+      RrfFuseOp(Bm25RankOp(t, Seq("x")), AnnBruteTopKOp(v, v),
+        "id", "corpus_id", 60L, 7L))
     val ref = TakeRowsOp(ds, 2L).colText("t")
     assert(t.lmPerplexity(fitOn = ref) == LmPerplexityOp(t, ref))
     assert(t.dsirSelect(ref, k = 50L) == DsirSelectOp(t, ref, k = 50L))

@@ -272,8 +272,12 @@ class OpSpecSpec extends AnyFunSuite {
       Some(domain), "none", Map("max_abs" -> 1.0))
     val mcEval = MulticlassEvaluationOp(MulticlassPredictOp(mcModel, htf),
       catCol, Some(split), Some(domain))
+    val proto = PrototypeDropOp(vec, Seq(0L, 3L), iters = 2L,
+      dropNum = 1L, dropDen = 5L)
+    val rrf = RrfFuseOp(Bm25RankOp(textCol, Seq("x", "y"), 20L),
+      AnnBruteTopKOp(htf, htf, 20L), "id", "corpus_id", 60L, 10L)
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, sem, pq, mcEval, SelectBooleanColumnOp(ds, "b"),
+      logic, rid, sem, pq, mcEval, proto, rrf, SelectBooleanColumnOp(ds, "b"),
       SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
       SelectConversationColumnOp(ds, "c"),
       SelectTrainTestSplitColumnOp(ds, "sp"), logits))
