@@ -121,6 +121,27 @@ object ScaleProbe {
           .agg(coalesce(sum(col("score_u6")), lit(0L)))
           .collect()(0).getLong(0)
       }
+      // RRF hybrid: a FIXED query against the growing corpus — the BM25
+      // leg and the hashed-TF cosine leg are each one map-side pass +
+      // TakeOrdered-20, the fusion joins two 20-row lists; the only
+      // corpus-proportional flows are the two scans (replica 0's salt
+      // keeps the sparse match set constant across decades, like bm25)
+      measure(s"rrf hybrid ${factor}x", s"docs=${5000 * factor} poolK=20") {
+        val sparse = graft.ext.Bm25.rank(d, "doc_id", "text",
+          Seq("sparkx0", "mergex0", "windowx0"), k = 20)
+        val hemb = d.select(col("doc_id"),
+          graft.ext.TextAnalysis.hashedTfEmbedding(col("text"), 64)
+            .as("emb"))
+        val qdf = spark.range(1).select(col("id").as("qid"),
+          graft.ext.TextAnalysis.hashedTfEmbedding(
+            lit("sparkx0 mergex0 windowx0"), 64).as("emb"))
+        val dense = graft.ext.Similarity.bruteForceTopK(hemb, "doc_id",
+          "emb", qdf, "qid", "emb", k = 20)
+        graft.ext.Retrieval.rrfFuse(
+          sparse.select(col("doc_id"), col("rank")),
+          dense.select(col("corpus_id").as("doc_id"), col("rank")),
+          "doc_id", 60, 10).count()
+      }
       // trigram LM: the five count tables grow ~linearly under word
       // salting (disjoint replica vocabularies — the conservative bound;
       // real web vocab grows sublinearly), the token stream joins against
@@ -327,6 +348,18 @@ object ScaleProbe {
           0L until 16L, iters = 3)
         graft.ml.ExactKMeans.assign(emb,
           col("vec_id"), col("embedding"), fit).count()
+      }
+      // D4 prototype drop: one map-only exact-d2 assignment pass, ONE
+      // shuffle by cell shared by the rank and count windows. With nlist
+      // growing like the corpus, cells stay ~constant-sized (window
+      // parallelism grows with the data); the shuffle carries narrow
+      // (id, cell, d2) rows — linear — and the dropped count tracks
+      // Σ floor(cell/4) ≈ rows/4 at every decade (exact ground truth)
+      measure(s"prototype drop ${factor}x", s"rows=$rows k=$nlist drop=1/4") {
+        val fit = graft.ml.ExactKMeans.fit(emb, "vec_id", "embedding",
+          0L until nlist.toLong, iters = 0)
+        graft.ext.Diversify.prototypeKeepFlags(emb, "vec_id", "embedding",
+          fit, 1L, 4L).filter(!col("kept")).count()
       }
       // spectral JOINT iteration over INJECTED edges (ring graph, degree
       // 8 — the LSH/IVF candidate shape; kNN construction is measured by

@@ -1823,6 +1823,41 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_bm25_multi" -> ((s, dir) => {
+      // BATCH retrieval (ext.Bm25.rankMany): three term-list queries
+      // priced as ONE corpus pass — union-terms stats row broadcast, one
+      // tf UDF pass, per-query two-phase WindowGroupLimit top-k; the
+      // oracle replays every query's own fold order and the per-query cut
+      Bm25.rankMany(t(s, dir, "documents"), "doc_id", "text",
+        MultiQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q_rrf_multi" -> ((s, dir) => {
+      // BATCH hybrid retrieval: rankMany sparse legs + multi-query
+      // hashed-TF cosine dense legs (bruteForceTopK already batches
+      // queries), fused per query by rrfFusePerQuery — every window
+      // partitioned by query_id, nothing corpus-proportional past the
+      // two scans
+      val docs = t(s, dir, "documents")
+      val sparse = Bm25.rankMany(docs, "doc_id", "text", MultiQueries,
+          RrfPoolK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val hemb = docs.select(col("doc_id"),
+        TextAnalysis.hashedTfEmbedding(col("text"), 64).as("emb"))
+      import s.implicits._
+      val q = MultiQueries.map { case (qid, ts) => (qid, ts.mkString(" ")) }
+        .toDF("query_id", "qtext")
+        .select(col("query_id"),
+          TextAnalysis.hashedTfEmbedding(col("qtext"), 64).as("emb"))
+      val dense = Similarity.bruteForceTopK(hemb, "doc_id", "emb",
+          q, "query_id", "emb", k = RrfPoolK)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFusePerQuery(sparse, dense, "query_id", "doc_id",
+          RrfKConst, RrfN)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 ranked retrieval (ext.Bm25): one stats row broadcast, map-side
       // tf, fixed-term-order score fold quantized to micro-units; the
@@ -2335,6 +2370,14 @@ object SparkEntry {
   private val RrfKConst: Int = 60
   private val RrfN: Int = 10
 
+  /** Batch-retrieval gate queries (shared engine/oracle): overlapping
+    * term sets exercise the union-stats df sharing, query 1 reverses the
+    * fold order, query 2 is a single term. */
+  private val MultiQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "merge", "window"),
+    1L -> Seq("merge", "spark"),
+    2L -> Seq("window"))
+
   /** q_distinct_sketch KMV size (shared engine/oracle): straddles the sf
     * language cardinalities — en (218 distinct texts at sf0.01) runs the
     * estimator, de/es/fr/zh (< 80) the exact below-k path. */
@@ -2758,16 +2801,14 @@ object SparkEntry {
       |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
       |ORDER BY vec_id""".stripMargin
 
-  /** CTE body (w → st → sc) shared by the BM25 oracles and the RRF hybrid
-    * oracle: tokenized docs `w(doc_id, ws)`, ONE exact stats row `st`, and
-    * per-doc micro-quantized scores `sc(doc_id, score_u6)`. */
-  private def bm25ScCtes(terms: Seq[String]): String = {
-    val dfs = terms.indices.map(i =>
-      s"CAST(sum(CASE WHEN list_contains(ws, '${terms(i)}') THEN 1 " +
-        s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")
-    val contrib = terms.zipWithIndex.map { case (t, i) =>
+  /** One query's BM25 score fold as SQL — same decimal literals, same
+    * IEEE op order as [[graft.ext.Bm25]]'s `termContribution` fold;
+    * `dfIdx` maps each term to its df column index in the stats row. */
+  private def bm25ContribSql(terms: Seq[String],
+                             dfIdx: String => Int): String =
+    terms.map { t =>
       val tf = s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE)"
-      val df = s"CAST(df$i AS DOUBLE)"
+      val df = s"CAST(df${dfIdx(t)} AS DOUBLE)"
       val n = "CAST(n_docs AS DOUBLE)"
       val dl = "CAST(len(ws) AS DOUBLE)"
       val avgdl = s"(CAST(total_dl AS DOUBLE) / $n)"
@@ -2777,6 +2818,13 @@ object SparkEntry {
         s"($tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - " +
         s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
     }.reduceLeft((a, c) => s"($a + $c)")
+
+  /** Tokenized docs `w(doc_id, ws)` + ONE exact stats row `st` with a df
+    * column per term — shared by every BM25-family oracle. */
+  private def bm25StatsCtes(allTerms: Seq[String]): String = {
+    val dfs = allTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(ws, '${allTerms(i)}') THEN 1 " +
+        s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
     s"""w AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0) AS ws FROM documents),
@@ -2784,11 +2832,41 @@ object SparkEntry {
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(ws)) AS BIGINT) AS total_dl,
        |    $dfs
-       |  FROM w),
+       |  FROM w)""".stripMargin
+  }
+
+  /** CTE body (w → st → sc) shared by the BM25 oracles and the RRF hybrid
+    * oracle: per-doc micro-quantized scores `sc(doc_id, score_u6)`. */
+  private def bm25ScCtes(terms: Seq[String]): String = {
+    val allTerms = terms.distinct
+    val posOf = allTerms.zipWithIndex.toMap
+    s"""${bm25StatsCtes(allTerms)},
        |sc AS (
        |  SELECT doc_id,
-       |    CAST(round($contrib * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
+       |    CAST(round(${bm25ContribSql(terms, posOf)} * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
        |  FROM w CROSS JOIN st)""".stripMargin
+  }
+
+  /** Batch-BM25 oracle ([[graft.ext.Bm25.rankMany]]): one stats row over
+    * the UNION of all query terms, one UNION ALL branch per query folding
+    * ITS terms in ITS order, per-query rank + cut. */
+  private def bm25MultiOracleSql(queries: Seq[(Long, Seq[String])], k: Int,
+                                 idSel: String): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val posOf = allTerms.zipWithIndex.toMap
+    val unions = queries.map { case (qid, ts) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(round(${bm25ContribSql(ts, posOf)} * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
+         |  FROM w CROSS JOIN st""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bm25StatsCtes(allTerms)},
+       |e AS (
+       |  $unions),
+       |r AS (SELECT query_id, doc_id, score_u6,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS rank FROM e)
+       |SELECT query_id, rank, $idSel, score_u6 FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private def bm25OracleSql(idSel: String): String =
@@ -2866,6 +2944,92 @@ object SparkEntry {
        |    AS BIGINT) AS rank,
        |  $idSel, rrf_u12, sparse_rank, dense_rank
        |FROM g ORDER BY rrf_u12 DESC, doc_id LIMIT $RrfN""".stripMargin
+  }
+
+  /** Batch-RRF oracle (q_rrf_multi): the batch-BM25 branches cut to
+    * top-RrfPoolK per query, the hashed-TF dense replay against a VALUES
+    * table of the query texts, per-query full-outer fusion — every window
+    * PARTITIONED by query_id, mirroring
+    * [[graft.ext.Retrieval.rrfFusePerQuery]]. */
+  private def rrfMultiOracleSql: String = {
+    val dim = 64
+    val K = RrfKConst
+    val allTerms = MultiQueries.flatMap(_._2).distinct
+    val posOf = allTerms.zipWithIndex.toMap
+    val unions = MultiQueries.map { case (qid, ts) =>
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+         |    CAST(round(${bm25ContribSql(ts, posOf)} * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
+         |  FROM w CROSS JOIN st""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val qvals = MultiQueries.map { case (qid, ts) =>
+      s"($qid, '${ts.mkString(" ")}')" }.mkString(", ")
+    s"""WITH ${bm25StatsCtes(allTerms)},
+       |e AS (
+       |  $unions),
+       |bt AS (
+       |  SELECT query_id, doc_id, br FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS br FROM e)
+       |  WHERE br <= $RrfPoolK),
+       |hv AS (
+       |  SELECT doc_id, list_transform(range($dim), d ->
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, h -> CASE WHEN h % $dim = d
+       |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS DOUBLE)) AS vv
+       |  FROM (SELECT doc_id, list_transform(ws, t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w)),
+       |qq(query_id, qt) AS (VALUES $qvals),
+       |qv AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |    list_transform(range($dim), d ->
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(hs, h -> CASE WHEN h % $dim = d
+       |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+       |        ELSE CAST(0 AS BIGINT) END)),
+       |      (a, b) -> a + b) AS DOUBLE)) AS vv
+       |  FROM (SELECT query_id, list_transform(list_filter(
+       |      regexp_split_to_array(qt, '[ \\t\\n\\f\\r]+'),
+       |      x -> length(x) > 0), t ->
+       |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM qq)),
+       |dsc AS (
+       |  SELECT qv.query_id, hv.doc_id,
+       |    CASE WHEN sqrt(list_dot_product(qv.vv, qv.vv)) *
+       |              sqrt(list_dot_product(hv.vv, hv.vv)) > 0
+       |      THEN list_dot_product(qv.vv, hv.vv) /
+       |        (sqrt(list_dot_product(qv.vv, qv.vv)) *
+       |         sqrt(list_dot_product(hv.vv, hv.vv)))
+       |      ELSE CAST(0.0 AS DOUBLE) END AS cosf
+       |  FROM hv CROSS JOIN qv),
+       |dt AS (
+       |  SELECT query_id, doc_id, dr FROM (
+       |    SELECT query_id, doc_id, CAST(row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY cosf DESC, doc_id) AS BIGINT) AS dr FROM dsc)
+       |  WHERE dr <= $RrfPoolK),
+       |f AS (
+       |  SELECT coalesce(bt.query_id, dt.query_id) AS query_id,
+       |    coalesce(bt.doc_id, dt.doc_id) AS doc_id,
+       |    bt.br AS sparse_rank, dt.dr AS dense_rank,
+       |    coalesce(CAST(1.0 AS DOUBLE) /
+       |        (CAST($K AS DOUBLE) + CAST(bt.br AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE))
+       |    + coalesce(CAST(1.0 AS DOUBLE) /
+       |        (CAST($K AS DOUBLE) + CAST(dt.dr AS DOUBLE)),
+       |      CAST(0.0 AS DOUBLE)) AS fs
+       |  FROM bt FULL OUTER JOIN dt
+       |    ON bt.query_id = dt.query_id AND bt.doc_id = dt.doc_id),
+       |g AS (
+       |  SELECT query_id, doc_id, CAST(round(fs * 1e12) AS BIGINT) AS rrf_u12,
+       |    sparse_rank, dense_rank FROM f),
+       |r2 AS (
+       |  SELECT query_id, doc_id, rrf_u12, sparse_rank, dense_rank,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_u12 DESC, doc_id) AS BIGINT) AS rank FROM g)
+       |SELECT query_id, rank, doc_id, rrf_u12, sparse_rank, dense_rank
+       |FROM r2 WHERE rank <= $RrfN ORDER BY query_id, rank""".stripMargin
   }
 
   /** Shared CTE prefix of the LM-perplexity oracles (q_lm_perplexity and
@@ -4795,6 +4959,12 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // batch-BM25 replay: union stats row, per-query fold branches
+    "q_bm25_multi" -> bm25MultiOracleSql(MultiQueries, 10, "doc_id"),
+
+    // batch-RRF replay: per-query legs + per-query fusion windows
+    "q_rrf_multi" -> rrfMultiOracleSql,
 
     // RRF hybrid replay: both legs + the pico-quantized fusion
     "q_rrf" -> rrfOracleSql("doc_id"),

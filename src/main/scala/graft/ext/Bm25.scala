@@ -32,6 +32,19 @@ object Bm25 {
   /** Micro-unit quantum for score ranking. */
   val Quant: Double = 1e6
 
+  /** One term's BM25 contribution — the SINGLE definition of the score
+    * arithmetic, shared by [[rank]] and [[rankMany]] so the IEEE op order
+    * (and therefore the SQL replay) can never drift between them. */
+  private def termContribution(tf0: Column, df0: Column, n: Column,
+                               dl: Column, avgdl: Column,
+                               k1: Double, b: Double): Column = {
+    val tf = tf0.cast("double")
+    val df = df0.cast("double")
+    val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+    idf * (tf * (lit(k1) + lit(1.0))) /
+      (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dl / avgdl)))
+  }
+
   /** Top-`k` documents for `terms`: (rank, id, score_u6) with `score_u6`
     * the micro-unit-quantized BM25 score and rank 1-based over
     * (score_u6 desc, id asc). */
@@ -81,11 +94,8 @@ object Bm25 {
     val scored = withWs.crossJoin(broadcast(stats))
       .withColumn("__tf", tfUdf(ws))
     val contribs = terms.zipWithIndex.map { case (_, i) =>
-      val tf = element_at(col("__tf"), i + 1).cast("double")
-      val df = col(s"df$i").cast("double")
-      val idf = log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
-      idf * (tf * (lit(k1) + lit(1.0))) /
-        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dl / avgdl)))
+      termContribution(element_at(col("__tf"), i + 1), col(s"df$i"),
+        n, dl, avgdl, k1, b)
     }
     val score = contribs.reduceLeft(_ + _)
     val top = scored
@@ -98,5 +108,83 @@ object Bm25 {
         .orderBy(col("score_u6").desc, col(idCol)))
         .cast("long").as("rank"),
       col(idCol), col("score_u6"))
+  }
+
+  /** BATCH retrieval: top-`k` per query for a bounded set of term-list
+    * queries — `(query_id, rank, <idCol>, score_u6)`. The production
+    * serving shape (contamination probes, eval-suite retrieval, dedup
+    * lookups run as a batch), priced as ONE corpus pass instead of
+    * |queries| separate [[rank]] jobs.
+    *
+    * == 100 TB design ==
+    * The stats row covers the UNION of all query terms (still one
+    * aggregation, one broadcast row); one hash-lookup UDF pass yields
+    * every query's tfs; per-query scores explode to NARROW
+    * `(query_id, id, score_u6)` rows and the per-query top-k is the
+    * two-phase `WindowGroupLimit` cut — each partition forwards at most k
+    * rows per query into the shuffle, so the exchange carries
+    * ≤ |queries|·k·partitions rows regardless of corpus size. Queries are
+    * plan literals like [[rank]]'s term list: the batch must be
+    * driver-bounded.
+    *
+    * Determinism matches [[rank]] term for term: the same
+    * [[termContribution]] ops folded in each query's own term order,
+    * micro-quantized, ties by id ASC. */
+  def rankMany(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, Seq[String])], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.map(_._1).distinct.length == queries.length,
+      s"duplicate query ids: ${queries.map(_._1)}")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms") }
+    require(k >= 1, s"k must be >= 1, got $k")
+    val allTerms: Seq[String] = queries.flatMap(_._2).distinct
+    val withWs = docs.select(col(idCol),
+      Corpus.words(col(textCol)).as("__ws"))
+    val ws = col("__ws")
+    val stats = withWs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(ws).cast("long")).as("total_dl") +:
+        allTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(ws, t), 1L).otherwise(0L)).as(s"df$i")
+        }: _*)
+    val n = col("n_docs").cast("double")
+    val dl = size(ws).cast("double")
+    val avgdl = col("total_dl").cast("double") /
+      when(col("total_dl") > 0L, n).otherwise(raise_error(concat(
+        lit("Bm25.rankMany: degenerate corpus (all documents empty; " +
+          "n_docs="), col("n_docs"), lit(")"))))
+    val posOf: Map[String, Int] = allTerms.zipWithIndex.toMap
+    val nTerms = allTerms.length
+    val tfUdf = udf { ws0: scala.collection.Seq[String] =>
+      if (ws0 == null) null
+      else {
+        val c = new Array[Long](nTerms)
+        ws0.foreach(w => posOf.get(w).foreach(c(_) += 1L))
+        c
+      }
+    }
+    val scored = withWs.crossJoin(broadcast(stats))
+      .withColumn("__tf", tfUdf(ws))
+    val perQuery = queries.map { case (qid, ts) =>
+      val score = ts.map { t =>
+        val i = posOf(t)
+        termContribution(element_at(col("__tf"), i + 1), col(s"df$i"),
+          n, dl, avgdl, k1, b)
+      }.reduceLeft(_ + _)
+      struct(lit(qid).cast("long").as("query_id"),
+        round(score * Quant).cast("long").as("score_u6"))
+    }
+    val exploded = scored
+      .select(col(idCol), explode(array(perQuery: _*)).as("__q"))
+      .select(col("__q.query_id").as("query_id"), col(idCol),
+        col("__q.score_u6").as("score_u6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_u6").desc, col(idCol))
+    exploded.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol), col("score_u6"))
   }
 }

@@ -65,4 +65,37 @@ object Retrieval {
       col("__id").as(idCol), col("rrf_u12"),
       col("sparse_rank"), col("dense_rank"))
   }
+
+  /** BATCH fusion: per-query RRF over two multi-query ranked lists
+    * `(queryCol, idCol, rank)` — the serving shape that pairs with
+    * [[Bm25.rankMany]] and the multi-query [[Similarity.bruteForceTopK]].
+    * Result `(<queryCol>, rank, <idCol>, rrf_u12, sparse_rank,
+    * dense_rank)`, top-`n` per query.
+    *
+    * Same arithmetic as [[rrfFuse]] (one definition of the contribution,
+    * fixed sparse-then-dense order); every window is PARTITIONED by the
+    * query — with per-query lists bounded at K the join carries
+    * ≤ |queries|·2K rows and the rank window is the two-phase
+    * WindowGroupLimit cut, so nothing scales with the corpus. */
+  def rrfFusePerQuery(sparse: DataFrame, dense: DataFrame,
+                      queryCol: String, idCol: String,
+                      rrfK: Int, n: Int): DataFrame = {
+    require(rrfK >= 0, s"rrfK must be >= 0, got $rrfK")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val a = sparse.select(col(queryCol).cast("long").as("__qid"),
+      col(idCol).as("__id"), col("rank").cast("long").as("sparse_rank"))
+    val b = dense.select(col(queryCol).cast("long").as("__qid"),
+      col(idCol).as("__id"), col("rank").cast("long").as("dense_rank"))
+    val j = a.join(b, Seq("__qid", "__id"), "full_outer")
+    def contrib(r: Column): Column = coalesce(
+      lit(1.0) / (lit(rrfK).cast("double") + r.cast("double")), lit(0.0))
+    val fused = contrib(col("sparse_rank")) + contrib(col("dense_rank"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("rrf_u12").desc, col("__id"))
+    j.withColumn("rrf_u12", round(fused * Quant).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select(col("__qid").as(queryCol), col("rank"), col("__id").as(idCol),
+        col("rrf_u12"), col("sparse_rank"), col("dense_rank"))
+  }
 }

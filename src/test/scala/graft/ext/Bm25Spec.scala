@@ -69,4 +69,42 @@ class Bm25Spec extends SparkTestBase {
     val empty = docs.filter($"doc_id" < 0L)
     assert(Bm25.rank(empty, "doc_id", "text", Seq("apple"), k = 1).count() === 0L)
   }
+
+  test("rankMany: each query's batch result equals its solo rank run") {
+    val docs = Seq(
+      (1L, "apple apple pear plum"),
+      (2L, "apple pear plum quince"),
+      (3L, "pear plum quince fig"),
+      (4L, "fig quince plum apple")).toDF("doc_id", "text")
+    val queries = Seq(
+      0L -> Seq("apple", "pear"),
+      1L -> Seq("pear", "apple"), // reversed fold order
+      2L -> Seq("fig"))
+    val batch = Bm25.rankMany(docs, "doc_id", "text", queries, k = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      }
+    queries.foreach { case (qid, ts) =>
+      val solo = Bm25.rank(docs, "doc_id", "text", ts, k = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch(qid) === solo, s"query $qid diverged from the solo run")
+    }
+  }
+
+  test("rankMany validates ids, empty queries, and empty term lists") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Bm25.rankMany(docs, "doc_id", "text", Seq.empty, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.rankMany(docs, "doc_id", "text",
+        Seq(0L -> Seq("a"), 0L -> Seq("b")), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.rankMany(docs, "doc_id", "text", Seq(0L -> Seq.empty), k = 1)
+    }
+  }
 }

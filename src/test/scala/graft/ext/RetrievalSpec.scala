@@ -49,6 +49,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.head.getLong(1) === 5L)
   }
 
+  test("per-query fusion equals single-query fusion per query") {
+    val sparse = Seq((0L, 10L, 1L), (0L, 20L, 2L), (1L, 30L, 1L))
+      .toDF("qid", "id", "rank")
+    val dense = Seq((0L, 20L, 1L), (0L, 40L, 2L), (1L, 10L, 1L))
+      .toDF("qid", "id", "rank")
+    val batch = Retrieval.rrfFusePerQuery(sparse, dense, "qid", "id", 60, 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getLong(1))
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq }
+    Seq(0L, 1L).foreach { q =>
+      val solo = Retrieval.rrfFuse(
+          sparse.filter(col("qid") === q).select(col("id"), col("rank")),
+          dense.filter(col("qid") === q).select(col("id"), col("rank")),
+          "id", 60, 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(batch(q) === solo, s"query $q diverged from single fusion")
+    }
+  }
+
   test("fusion is invariant under input partitioning and row order") {
     val sparse = (1L to 30L).map(i => (i, i)).toDF("id", "rank")
     val dense = (15L to 45L).map(i => (i, i - 14L)).toDF("id", "rank")
