@@ -121,6 +121,41 @@ object ScaleProbe {
           .agg(coalesce(sum(col("score_u6")), lit(0L)))
           .collect()(0).getLong(0)
       }
+      // batch BM25: 8 term-list queries in ONE corpus pass — the claim is
+      // that the batch costs ~one rank run, not 8 (union stats row, one
+      // tf pass, per-query WindowGroupLimit cutting to k rows per query
+      // per partition before the shuffle)
+      measure(s"bm25 batch ${factor}x", s"docs=${5000 * factor} q=8 k=10") {
+        val qs = (0L until 8L).map(q =>
+          q -> Seq(s"sparkx$q", s"mergex$q", s"windowx$q"))
+        graft.ext.Bm25.rankMany(d, "doc_id", "text", qs, k = 10)
+          .agg(coalesce(sum(col("score_u6")), lit(0L)))
+          .collect()(0).getLong(0)
+      }
+      // inverted-index serving: build once (the linear token-stream
+      // shuffle), then a FIXED query probes ONLY its terms' bucket
+      // directories with term-sorted row groups — probe wall and shuffle
+      // should stay near-FLAT across decades while the scan-based bm25
+      // row above grows with the corpus
+      locally {
+        val bidx = java.nio.file.Files.createTempDirectory(s"graft-bm25idx-$factor-")
+        measure(s"bm25 index build ${factor}x", s"docs=${5000 * factor}") {
+          graft.ext.Bm25.buildIndex(d, "doc_id", "text", bidx.toString)
+          spark.read.parquet(s"$bidx/stats").count()
+        }
+        measure(s"bm25 index probe ${factor}x", s"terms=3 k=10") {
+          graft.ext.Bm25.topKIndexed(spark, bidx.toString,
+              Seq("sparkx0", "mergex0", "windowx0"), k = 10)
+            .agg(coalesce(sum(col("score_u6")), lit(0L)))
+            .collect()(0).getLong(0)
+        }
+        val st = java.nio.file.Files.walk(bidx)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator.asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally st.close()
+      }
       // RRF hybrid: a FIXED query against the growing corpus — the BM25
       // leg and the hashed-TF cosine leg are each one map-side pass +
       // TakeOrdered-20, the fusion joins two 20-row lists; the only

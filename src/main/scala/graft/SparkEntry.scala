@@ -121,6 +121,43 @@ object SparkEntry {
       path
     })
 
+  /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
+    * q_bm25_indexed probes it instead of scanning the corpus. */
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25IndexCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-index-").toString
+      Bm25.buildIndex(t(s, d, "documents"), "doc_id", "text", path)
+      path
+    })
+
+  /** Head-of-corpus BM25 index (doc_id < 250) + the tail as a 3-file
+    * parquet fixture (3 micro-batches under maxFilesPerTrigger=1) — the
+    * streaming-ingest twin appends the tail into a COPY of the head
+    * index, then its standing query must equal the full-corpus scan. */
+  private val bm25HeadIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def bm25HeadIndexFor(s: SparkSession, dir: String): String =
+    bm25HeadIndexCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-bm25-head-").toString
+      Bm25.buildIndex(t(s, d, "documents").filter(col("doc_id") < 250),
+        "doc_id", "text", path)
+      path
+    })
+  private val bm25TailFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def bm25TailFixtureFor(s: SparkSession, dir: String): String =
+    bm25TailFixtureCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-tail-").toString + "/tail"
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") >= 250)
+        .repartitionByRange(3, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   /** On-disk MinHash index over the OLD corpus (doc_id < 1000), built once
     * per (JVM, sf dir) — q_dedup_incr probes new batches against it. */
   private val minhashIndexCache =
@@ -1820,6 +1857,35 @@ object SparkEntry {
         RrfPoolK.toLong)
       r.toFrame(RrfFuseOp(sparse, dense, "id", "corpus_id",
           RrfKConst.toLong, RrfN.toLong))
+        .orderBy(col("rank"))
+    }),
+
+    "q_bm25_indexed" -> ((s, dir) => {
+      // stored INVERTED-INDEX probe (the 100 TB retrieval serving shape,
+      // the text analog of q_ann_ivf_pruned): postings bucket-partitioned
+      // by term hash, the probe reads ONLY the query terms' bucket
+      // directories with the term equality pushed into the scan. k=10 is
+      // far under the matched-doc count at every sf, so the result is
+      // bit-identical to the q_bm25 corpus scan — the oracle IS q_bm25's.
+      Bm25.topKIndexed(s, bm25IndexFor(s, dir), RrfTerms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    "q_bm25_stream" -> ((s, dir) => {
+      // STREAMING INGEST of the inverted index: the corpus tail arrives
+      // in 3 micro-batches appended into a fresh COPY of the head-built
+      // index (postings append + vocab-bounded df merge behind a staged
+      // rename + additive stats LAST — probe-anytime consistency); the
+      // standing query against the final index shares q_bm25's oracle:
+      // streamed build == batch corpus scan, bit for bit
+      val idx = copyDir(bm25HeadIndexFor(s, dir))
+      val tail = bm25TailFixtureFor(s, dir)
+      val stream = s.readStream
+        .schema(s.read.parquet(tail).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tail)
+      graft.streaming.Streaming.bm25IngestAvailableNow(stream, idx,
+          "doc_id", "text", RrfTerms, k = 10)
         .orderBy(col("rank"))
     }),
 
@@ -4959,6 +5025,12 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // the stored-index probe must equal the corpus scan bit for bit
+    "q_bm25_indexed" -> bm25OracleSql("doc_id"),
+
+    // streamed ingest == batch build == corpus scan
+    "q_bm25_stream" -> bm25OracleSql("doc_id"),
 
     // batch-BM25 replay: union stats row, per-query fold branches
     "q_bm25_multi" -> bm25MultiOracleSql(MultiQueries, 10, "doc_id"),

@@ -187,4 +187,191 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol), col("score_u6"))
   }
+
+  /** Term-bucket count of the stored index and the seed of its bucket
+    * hash — recorded in the stats row so a probe can never disagree with
+    * the layout it reads. */
+  private val BucketSeed: Int = 0xB25
+
+  private def bucketOf(term: String, numBuckets: Int): Int =
+    math.floorMod(graft.ext.Dedup.hash64(BucketSeed, term).toInt, numBuckets)
+
+  /** Build a stored INVERTED INDEX at `path` — the BM25 serving shape:
+    * once the corpus is indexed, a query reads only its own terms'
+    * posting lists instead of scanning 100 TB of text per query (the
+    * text-retrieval analog of [[Similarity.buildIvfIndex]]'s
+    * cell-partitioned store).
+    *
+    * Layout:
+    *  - `postings/bucket=N/` — rows `(term, doc_id, tf, dl)`, one per
+    *    (document, distinct term), partitioned by `bucket =
+    *    hash(term) % numBuckets` with one cell-keyed shuffle before the
+    *    write (one file per bucket, not tasks×buckets)
+    *  - `df/bucket=N/` — rows `(term, df)` in the same layout
+    *  - `stats/` — ONE row `(n_docs, total_dl, n_buckets)`
+    *
+    * Build cost: one token-stream shuffle (the `(doc, term)` tf
+    * aggregation) + a term-keyed df aggregation — both linear, paid once
+    * per corpus. A probe prunes to the query terms' bucket DIRECTORIES at
+    * the source and pushes the term equality into the parquet scan. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val spark = docs.sparkSession
+    val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
+      Corpus.words(col(textCol)).as("__ws"))
+    withWs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("total_dl"),
+        lit(numBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    val nb = numBuckets
+    val bUdf = udf { t: String => math.floorMod(
+      graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
+    val postings = withWs
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", bUdf(col("term")))
+    // sortWithinPartitions(term): a bucket directory holds 1/numBuckets of
+    // ALL postings, which grows with the corpus — term-sorted row groups
+    // give the probe's pushed term-equality parquet min/max skipping, so
+    // the probe reads ~the matched postings, not the whole bucket
+    postings.repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // df from the postings themselves (one row per (doc, term) = exactly
+    // the document frequency), re-read from the store so the df pass
+    // scans narrow columns instead of re-tokenizing the corpus
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bUdf(col("term")))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/df")
+  }
+
+  /** Append new documents to a [[buildIndex]] store — the 100 TB
+    * maintenance story (the text analog of
+    * [[Similarity.appendToIvfIndex]]): a daily crawl appends its postings
+    * into their bucket directories in one bucket-keyed shuffle; the index
+    * is never rebuilt. The stats row is an additive integer rewrite; the
+    * df table is merged VOCABULARY-bounded (old df rows + the batch's own
+    * df — never a corpus rescan) and swapped in with a staged rename, so
+    * a concurrent probe reads either the old or the new table, never a
+    * partial one. Append == full rebuild is test-asserted bit-for-bit. */
+  def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
+                    path: String): Unit = {
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(s"$path/stats").head
+    val oldN = st.getAs[Long]("n_docs")
+    val oldDl = st.getAs[Long]("total_dl")
+    val nb = st.getAs[Int]("n_buckets")
+    val bUdf = udf { t: String => math.floorMod(
+      graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
+    val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
+      Corpus.words(col(textCol)).as("__ws"))
+    val postings = withWs
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .withColumn("bucket", bUdf(col("term")))
+      .persist()
+    try {
+      postings.repartition(col("bucket"))
+        .sortWithinPartitions(col("term"), col("doc_id"))
+        .write.mode("append").partitionBy("bucket")
+        .parquet(s"$path/postings")
+      // vocab-bounded df merge: old table + the batch's own term counts
+      val merged = spark.read.parquet(s"$path/df")
+        .select(col("term"), col("df"))
+        .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("bucket", bUdf(col("term")))
+      merged.repartition(col("bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/df_staged")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dfPath = new org.apache.hadoop.fs.Path(s"$path/df")
+      val staged = new org.apache.hadoop.fs.Path(s"$path/df_staged")
+      val fs = dfPath.getFileSystem(hconf)
+      fs.delete(dfPath, true)
+      require(fs.rename(staged, dfPath),
+        s"Bm25.appendToIndex: staged df rename failed at $path")
+      // additive stats rewrite LAST: a probe racing the append sees a
+      // consistent (if momentarily stale) smaller index
+      val add = withWs.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
+      import spark.implicits._
+      Seq((oldN + add.getAs[Long]("n"), oldDl + add.getAs[Long]("dl"), nb))
+        .toDF("n_docs", "total_dl", "n_buckets")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally postings.unpersist()
+  }
+
+  /** Top-`k` for `terms` against a [[buildIndex]] store — identical
+    * scores, ranks, and output shape to [[rank]] for every document that
+    * matches at least one term (an unmatched document scores exactly 0 in
+    * [[rank]] and has no posting here; with k under the match count the
+    * two are bit-identical, which is how the gate oracles this).
+    *
+    * == 100 TB design ==
+    * Reads ONLY the query terms' bucket directories (source-level
+    * partition pruning) with the term equality pushed into the scan: probe
+    * cost tracks the matched postings, NOT the corpus — the per-query
+    * corpus scan [[rank]] pays is gone. The per-term contribution columns
+    * aggregate in a fixed fold order (each per-term sum touches at most
+    * one posting row per document), so the IEEE arithmetic replays
+    * [[rank]] term for term. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  terms: Seq[String], k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val st = spark.read.parquet(s"$path/stats").head
+    val nDocs = st.getAs[Long]("n_docs")
+    val totalDl = st.getAs[Long]("total_dl")
+    val nb = st.getAs[Int]("n_buckets")
+    require(totalDl > 0L,
+      s"Bm25.topKIndexed: degenerate index (all documents empty; " +
+        s"n_docs=$nDocs)")
+    val distinctTerms = terms.distinct
+    val qBuckets = distinctTerms.map(bucketOf(_, nb)).distinct
+    val dfMap: Map[String, Long] = spark.read.parquet(s"$path/df")
+      .filter(col("bucket").isin(qBuckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = lit(nDocs.toDouble)
+    val avgdl = lit(totalDl.toDouble) / n // same IEEE division as rank's
+    val dl = col("dl").cast("double")
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qBuckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t,
+        termContribution(col("tf"), lit(dfMap.getOrElse(t, 0L)).cast("long"),
+          n, dl, avgdl, k1, b))).as(s"__c$i")
+    }
+    // coalesce-to-0.0 equals rank's tf=0 contribution exactly (the fold
+    // adds +0.0 either way), keeping the term-order IEEE fold identical
+    val score = terms.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val top = post.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("doc_id"),
+        round(score * Quant).cast("long").as("score_u6"))
+      .orderBy(col("score_u6").desc, col("doc_id"))
+      .limit(k)
+    top.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_u6").desc, col("doc_id")))
+        .cast("long").as("rank"),
+      col("doc_id"), col("score_u6"))
+  }
 }

@@ -153,14 +153,28 @@ object ExactKMeans {
       when(abs(x) > maxAbs, raise_error(concat(
         lit(s"ExactKMeans: |feature| exceeds maxAbsInput=$maxAbs " +
           "(quantized-exact contract): "), x.cast("string"))))
-        .otherwise(round(x * 1e6).cast("long")))
+        .otherwise(round(x * 1e6)))
+    // d2_c = ‖qx‖² − 2·qx·qm_c + ‖qm_c‖² — every term an INTEGER-valued
+    // double below 2⁵³ (dim·(2·maxAbs·1e6)² ≈ 2.6e14 at dim 64), so the
+    // doubles ARE the integers and the final long cast is exact. The
+    // per-cell work is one codegen'd dot against an array literal — a
+    // zip_with/aggregate form allocates an intermediate array per CELL
+    // per ROW and measured 23× slower at k=1600 (the D4 regime where k
+    // grows with the corpus: 803 → 34 s at the 100× ScaleProbe decade).
+    // ‖qx‖² and the quantized vector are NAMED columns: one evaluation
+    // per row, not per cell.
     val d2s = array(fit.qm.map { qmc =>
-      // ONE array literal per centroid (the exactScores planning lesson)
-      val qmLit = typedlit(qmc.toSeq)
-      aggregate(zip_with(qx, qmLit, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      var ss = 0.0 // exact driver-side Σqm² (each term ≤ (maxAbs·1e6)²)
+      var i = 0
+      while (i < qmc.length) { ss += qmc(i).toDouble * qmc(i); i += 1 }
+      val qmLit = typedlit(qmc.map(_.toDouble).toSeq)
+      (col("__qq") - lit(2.0) * graft.ext.VectorKernels.dot(col("__qx"), qmLit)
+        + lit(ss)).cast("long")
     }: _*)
-    df.select(idCol.as("id"), d2s.as("__d"))
+    df.select(idCol.as("id"), qx.as("__qx"))
+      .withColumn("__qq",
+        aggregate(col("__qx"), lit(0.0), (a, x) => a + x * x))
+      .select(col("id"), d2s.as("__d"))
       .select(col("id"),
         (array_position(col("__d"), array_min(col("__d"))) - 1)
           .cast("int").as("cell"),

@@ -493,6 +493,34 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** Streaming INGEST of the inverted BM25 index
+    * ([[graft.ext.Bm25.buildIndex]]): each micro-batch appends its
+    * postings via [[graft.ext.Bm25.appendToIndex]] — bucket-keyed append,
+    * vocabulary-bounded df merge behind a staged rename, additive stats
+    * rewrite LAST, so the index is CONSISTENT (if momentarily stale)
+    * after every batch and a standing query can probe it at any time.
+    * Postings, df counts, and stats are all order-independent sums over
+    * the row multiset, so the accumulated index equals
+    * `buildIndex(all batches)` EXACTLY regardless of arrival slicing —
+    * the monoid-state twin class, like the data card. Returns the
+    * standing query's top-k against the final index; production probes
+    * from the same hook per batch (alerting over a growing corpus).
+    * MUTATES the index at `path` — that is the point. */
+  def bm25IngestAvailableNow(docs: DataFrame, path: String, idCol: String,
+                             textCol: String, terms: Seq[String],
+                             k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ext.Bm25.appendToIndex(batch.toDF(), idCol, textCol, path)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    graft.ext.Bm25.topKIndexed(spark, path, terms, k)
+  }
+
   /** Streaming twin of [[graft.ext.Profile.corpusReport]] — the data card
     * of a continuously-growing corpus. Per micro-batch, one aggregation
     * pass produces per-group (count, token, char) partials plus the KMV

@@ -94,6 +94,83 @@ class Bm25Spec extends SparkTestBase {
     }
   }
 
+  test("stored index probe equals the corpus scan, bit for bit") {
+    val rng = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(3 + rng.nextInt(9))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-idx-").toString
+    Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 8)
+    val terms = Seq("alpha", "gamma", "alpha") // duplicate fold included
+    // every doc draws from the vocab, so >> 10 docs match: scan == index
+    val scan = Bm25.rank(docs, "doc_id", "text", terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val probe = Bm25.topKIndexed(spark, idx, terms, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probe === scan)
+  }
+
+  test("the index probe prunes to the query terms' bucket directories") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"w${i % 7} w${i % 5} shared")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-idx2-").toString
+    Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 16)
+    val buckets = new java.io.File(s"$idx/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(buckets > 2, s"fixture too small to show pruning ($buckets dirs)")
+    val probe = Bm25.topKIndexed(spark, idx, Seq("shared"), k = 5)
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in probe plan")
+    // one term → exactly one bucket directory planned
+    assert(scans.map(_.selectedPartitions.partitionCount).min == 1,
+      s"probe planned ${scans.map(_.selectedPartitions.partitionCount).toSeq}" +
+        s" partitions over $buckets bucket dirs, want a 1")
+  }
+
+  test("an indexed term absent from the corpus scores like the scan") {
+    val docs = Seq((1L, "apple pear"), (2L, "pear plum")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-idx3-").toString
+    Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val scan = Bm25.rank(docs, "doc_id", "text", Seq("apple", "missing"), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val probe = Bm25.topKIndexed(spark, idx, Seq("apple", "missing"), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // doc 2 matches no positive term in the probe (pear unqueried): the
+    // scan ranks it at score 0, the index returns matched docs only
+    assert(scan === Seq((1L, scan.head._2), (2L, 0L)))
+    assert(probe === scan.filter(_._2 > 0L))
+  }
+
+  test("incremental append equals a full rebuild, probe for probe") {
+    val rng = new scala.util.Random(23)
+    val vocab = Seq("ein", "zwei", "drei", "vier", "fuenf")
+    val all = (1L to 50L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(7))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val full = all.toDF("doc_id", "text")
+    val head = all.filter(_._1 <= 20).toDF("doc_id", "text")
+    val tail = all.filter(_._1 > 20).toDF("doc_id", "text")
+    val idxFull = java.nio.file.Files.createTempDirectory("bm25-full-").toString
+    val idxIncr = java.nio.file.Files.createTempDirectory("bm25-incr-").toString
+    Bm25.buildIndex(full, "doc_id", "text", idxFull, numBuckets = 8)
+    Bm25.buildIndex(head, "doc_id", "text", idxIncr, numBuckets = 8)
+    // two appends: the df merge must compose, not just apply once
+    Bm25.appendToIndex(tail.filter($"doc_id" <= 35), "doc_id", "text", idxIncr)
+    Bm25.appendToIndex(tail.filter($"doc_id" > 35), "doc_id", "text", idxIncr)
+    val terms = Seq("ein", "drei")
+    def probe(p: String) = Bm25.topKIndexed(spark, p, terms, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probe(idxIncr) === probe(idxFull))
+    // …and both equal the corpus scan on the matched prefix
+    val scan = Bm25.rank(full, "doc_id", "text", terms, k = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .filter(_._3 > 0L)
+    assert(probe(idxFull).take(scan.length) === scan)
+  }
+
   test("rankMany validates ids, empty queries, and empty term lists") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
