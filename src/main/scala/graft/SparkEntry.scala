@@ -1899,6 +1899,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_multi_graph" -> ((s, dir) => {
+      // batch retrieval THROUGH THE SPEC LAYER: Bm25RankManyOp
+      // content-addresses a whole eval-suite's retrievals (query_id =
+      // position in the nested term-list param — nested-seq serde)
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(Bm25RankManyOp(SelectTextColumnOp(ds, "text"),
+          MultiQueries.map(_._2), k = 10L))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_rrf_multi" -> ((s, dir) => {
       // BATCH hybrid retrieval: rankMany sparse legs + multi-query
       // hashed-TF cosine dense legs (bruteForceTopK already batches
@@ -5034,6 +5045,9 @@ object SparkEntry {
 
     // batch-BM25 replay: union stats row, per-query fold branches
     "q_bm25_multi" -> bm25MultiOracleSql(MultiQueries, 10, "doc_id"),
+
+    // spec twin: ids are file-order row indices == doc_id
+    "q_multi_graph" -> bm25MultiOracleSql(MultiQueries, 10, "doc_id AS id"),
 
     // batch-RRF replay: per-query legs + per-query fusion windows
     "q_rrf_multi" -> rrfMultiOracleSql,

@@ -1032,6 +1032,14 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Bm25.rank(t, "__id", "__txt", terms, k.toInt,
         k1, b).withColumnRenamed("__id", "id"))
 
+    case bm: Bm25RankManyOp =>
+      val t = frame(bm.text)
+        .select(col(RowIdx).as("__id"), col(ValueCol).cast("string").as("__txt"))
+      FrameResult(graft.ext.Bm25.rankMany(t, "__id", "__txt",
+          bm.queries.zipWithIndex.map { case (ts, i) => (i.toLong, ts) },
+          bm.k.toInt, bm.k1, bm.b)
+        .withColumnRenamed("__id", "id"))
+
     case rf: RrfFuseOp =>
       val sp = frame(rf.sparse)
       val dn = frame(rf.dense)

@@ -236,6 +236,11 @@ object Fluent {
     /** beyond reference: BM25 top-k retrieval for literal query terms */
     def bm25(terms: Seq[String], k: Long = 10L, k1: Double = 1.2,
              b: Double = 0.75): Bm25RankOp = Bm25RankOp(t, terms, k, k1, b)
+    /** beyond reference: batch BM25 — N term-list queries, one corpus
+      * pass; query_id = position */
+    def bm25Many(queries: Seq[Seq[String]], k: Long = 10L, k1: Double = 1.2,
+                 b: Double = 0.75): Bm25RankManyOp =
+      Bm25RankManyOp(t, queries, k, k1, b)
     /** beyond reference: hashing-trick document embedding — the spec
       * layer's text→vector bridge (scaleBits: divide counts by 2^bits) */
     def hashedTfEmbedding(dim: Long = 64L,

@@ -239,6 +239,16 @@ object OpRegistry {
     }
     case v => bad(n, v, "array")
   }
+  def strSeqSeq(o: JObj, n: String): Seq[Seq[String]] = o(n) match {
+    case JArr(items) => items.map {
+      case JArr(inner) => inner.map {
+        case JString(s) => s
+        case v => bad(n, v, "string")
+      }: Seq[String]
+      case v => bad(n, v, "array")
+    }
+    case v => bad(n, v, "array")
+  }
   def lngSeq(o: JObj, n: String): Seq[Long] = o(n) match {
     case JArr(items) => items.map {
       case JLong(l) => l
@@ -498,6 +508,9 @@ object OpRegistry {
     "Bm25RankOp" -> ((o, r) =>
       Bm25RankOp(op[TextColumnType](o, "text", r), strSeq(o, "terms"),
         lng(o, "k"), dbl(o, "k1"), dbl(o, "b"))),
+    "Bm25RankManyOp" -> ((o, r) =>
+      Bm25RankManyOp(op[TextColumnType](o, "text", r),
+        strSeqSeq(o, "queries"), lng(o, "k"), dbl(o, "k1"), dbl(o, "b"))),
     "RrfFuseOp" -> ((o, r) =>
       RrfFuseOp(op[DatasetType](o, "sparse", r),
         op[DatasetType](o, "dense", r),

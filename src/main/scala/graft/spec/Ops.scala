@@ -646,6 +646,25 @@ final case class Bm25RankOp(
   require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
 }
 
+/** BATCH BM25 retrieval ([[graft.ext.Bm25.rankMany]]): a bounded set of
+  * term-list queries priced as ONE corpus pass (union-terms stats row,
+  * one tf pass, per-query two-phase top-k). `query_id` = position in
+  * `queries`. Result `(query_id, rank, id, score_u6)`, id = row index.
+  * Non-ephemeral: content-addressing a whole eval-suite's retrievals
+  * makes the re-run free. */
+final case class Bm25RankManyOp(
+    text: TextColumnType,
+    queries: Seq[Seq[String]],
+    k: Long = 10L,
+    k1: Double = 1.2,
+    b: Double = 0.75) extends DatasetType {
+  require(queries.nonEmpty, "queries must be non-empty")
+  require(queries.forall(_.nonEmpty), "every query needs at least one term")
+  require(k >= 1L && k <= Int.MaxValue, s"k must be in [1, 2^31), got $k")
+  require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
+  require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+}
+
 /** Reciprocal-rank fusion of two ranked-list datasets
   * ([[graft.ext.Retrieval.rrfFuse]], Cormack 2009):
   * `score = 1/(rrfK + sparse_rank) + 1/(rrfK + dense_rank)`, absent list

@@ -70,6 +70,37 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("end to end: the hybrid surfaces lexical-only AND semantic-only " +
+      "hits that each single leg misses") {
+    // doc 10 matches the query TERMS (alpha/beta) but shares little other
+    // vocabulary; doc 20 shares most of the query TEXT's vocabulary but
+    // none of the BM25 terms — a term-only retrieval misses 20, a
+    // cosine-only retrieval can miss 10; the fusion must surface both
+    val docs = (Seq(
+      (10L, "alpha beta filler misc"),
+      (20L, "gamma delta epsilon zeta")) ++
+      (30L to 45L).map(i => (i, s"noise$i other$i words$i junk$i")))
+      .toDF("doc_id", "text")
+    val qTerms = Seq("alpha", "beta")
+    val qText = "alpha beta gamma delta epsilon zeta"
+    val sparse = Bm25.rank(docs, "doc_id", "text", qTerms, k = 3)
+      .select(col("doc_id"), col("rank"))
+    val emb = docs.select(col("doc_id"),
+      TextAnalysis.hashedTfEmbedding(col("text"), 64).as("emb"))
+    val qdf = spark.range(1).select(col("id").as("qid"),
+      TextAnalysis.hashedTfEmbedding(lit(qText), 64).as("emb"))
+    val dense = Similarity.bruteForceTopK(emb, "doc_id", "emb",
+        qdf, "qid", "emb", k = 3)
+      .select(col("corpus_id").as("doc_id"), col("rank"))
+    // each leg alone finds its own hit first
+    assert(sparse.orderBy(col("rank")).head.getLong(0) === 10L)
+    assert(dense.orderBy(col("rank")).head.getLong(0) === 20L)
+    val fusedTop = Retrieval.rrfFuse(sparse, dense, "doc_id", 60, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(fusedTop === Set(10L, 20L),
+      s"hybrid top-2 must be the lexical hit AND the semantic hit, got $fusedTop")
+  }
+
   test("fusion is invariant under input partitioning and row order") {
     val sparse = (1L to 30L).map(i => (i, i)).toDF("id", "rank")
     val dense = (15L to 45L).map(i => (i, i - 14L)).toDF("id", "rank")

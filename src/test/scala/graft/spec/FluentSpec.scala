@@ -109,6 +109,8 @@ class FluentSpec extends AnyFunSuite {
     assert(t.lmPerplexity == LmPerplexityOp(t, t))
     assert(t.dedupSpans(k = 6L) == DedupSpansOp(t, 6L))
     assert(t.bm25(Seq("x", "y"), k = 3L) == Bm25RankOp(t, Seq("x", "y"), 3L))
+    assert(t.bm25Many(Seq(Seq("x", "y"), Seq("z")), k = 3L) ==
+      Bm25RankManyOp(t, Seq(Seq("x", "y"), Seq("z")), 3L))
     assert(v.prototypeDrop(Seq(0L, 3L), dropNum = 1L, dropDen = 5L) ==
       PrototypeDropOp(v, Seq(0L, 3L), 4L, 1L, 5L))
     assert(t.bm25(Seq("x")).rrfFuse(v.annTopK(v), n = 7L) ==

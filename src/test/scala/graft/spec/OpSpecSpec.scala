@@ -276,8 +276,10 @@ class OpSpecSpec extends AnyFunSuite {
       dropNum = 1L, dropDen = 5L)
     val rrf = RrfFuseOp(Bm25RankOp(textCol, Seq("x", "y"), 20L),
       AnnBruteTopKOp(htf, htf, 20L), "id", "corpus_id", 60L, 10L)
+    val many = Bm25RankManyOp(textCol, Seq(Seq("x", "y"), Seq("z")), 5L)
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, sem, pq, mcEval, proto, rrf, SelectBooleanColumnOp(ds, "b"),
+      logic, rid, sem, pq, mcEval, proto, rrf, many,
+      SelectBooleanColumnOp(ds, "b"),
       SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
       SelectConversationColumnOp(ds, "c"),
       SelectTrainTestSplitColumnOp(ds, "sp"), logits))
