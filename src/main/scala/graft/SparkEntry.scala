@@ -1860,6 +1860,28 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_phrase" -> ((s, dir) => {
+      // exact phrase search (TextAnalysis.phraseCount): contiguous-window
+      // positional matching, pure map-side — one scan, zero shuffle at
+      // any corpus size; occurrence counts per matching document
+      val cnt = TextAnalysis.phraseCount(col("text"), PhraseTerms)
+      t(s, dir, "documents")
+        .select(col("doc_id"), cnt.as("n_hits"))
+        .filter(col("n_hits") > 0L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_phrase_rank" -> ((s, dir) => {
+      // phrase-CONSTRAINED retrieval: BM25 over only the documents
+      // containing the exact phrase (the "must-match quote + ranked terms"
+      // search shape) — the phrase filter composes map-side ahead of the
+      // one-pass ranking, statistics computed over the constrained corpus
+      val docs = t(s, dir, "documents")
+        .filter(TextAnalysis.phraseCount(col("text"), PhraseTerms) > 0L)
+      Bm25.rank(docs, "doc_id", "text", RrfTerms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
     "q_bm25_indexed" -> ((s, dir) => {
       // stored INVERTED-INDEX probe (the 100 TB retrieval serving shape,
       // the text analog of q_ann_ivf_pruned): postings bucket-partitioned
@@ -2455,6 +2477,10 @@ object SparkEntry {
     1L -> Seq("merge", "spark"),
     2L -> Seq("window"))
 
+  /** Phrase-search gate (shared engine/oracle): a 2-word phrase that
+    * occurs in the synthetic corpus at every sf. */
+  private val PhraseTerms: Seq[String] = Seq("table", "hash")
+
   /** q_distinct_sketch KMV size (shared engine/oracle): straddles the sf
     * language cardinalities — en (218 distinct texts at sf0.01) runs the
     * estimator, de/es/fr/zh (< 80) the exact below-k path. */
@@ -2896,15 +2922,19 @@ object SparkEntry {
         s"CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * ($dl / $avgdl))))"
     }.reduceLeft((a, c) => s"($a + $c)")
 
-  /** Tokenized docs `w(doc_id, ws)` + ONE exact stats row `st` with a df
-    * column per term — shared by every BM25-family oracle. */
-  private def bm25StatsCtes(allTerms: Seq[String]): String = {
+  /** Tokenized docs `w(doc_id, ws)` (optionally filtered by `wFilter`, a
+    * `WHERE …` clause over `ws` — the phrase-constrained corpus) + ONE
+    * exact stats row `st` with a df column per term — shared by every
+    * BM25-family oracle. */
+  private def bm25StatsCtes(allTerms: Seq[String],
+                            wFilter: String = ""): String = {
     val dfs = allTerms.indices.map(i =>
       s"CAST(sum(CASE WHEN list_contains(ws, '${allTerms(i)}') THEN 1 " +
         s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
-    s"""w AS (
+    s"""w0 AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0) AS ws FROM documents),
+       |w AS (SELECT doc_id, ws FROM w0 $wFilter),
        |st AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(len(ws)) AS BIGINT) AS total_dl,
@@ -2914,14 +2944,27 @@ object SparkEntry {
 
   /** CTE body (w → st → sc) shared by the BM25 oracles and the RRF hybrid
     * oracle: per-doc micro-quantized scores `sc(doc_id, score_u6)`. */
-  private def bm25ScCtes(terms: Seq[String]): String = {
+  private def bm25ScCtes(terms: Seq[String],
+                         wFilter: String = ""): String = {
     val allTerms = terms.distinct
     val posOf = allTerms.zipWithIndex.toMap
-    s"""${bm25StatsCtes(allTerms)},
+    s"""${bm25StatsCtes(allTerms, wFilter)},
        |sc AS (
        |  SELECT doc_id,
        |    CAST(round(${bm25ContribSql(terms, posOf)} * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
        |  FROM w CROSS JOIN st)""".stripMargin
+  }
+
+  /** SQL mirror of [[graft.ext.TextAnalysis.phraseCount]] over a tokenized
+    * `ws` list: contiguous-window occurrence count, 0 when shorter than
+    * the phrase. */
+  private def phraseCountSql(phrase: Seq[String]): String = {
+    val p = phrase.length
+    val conj = phrase.zipWithIndex
+      .map { case (t, j) => s"ws[i + ${j + 1}] = '$t'" }.mkString(" AND ")
+    s"CASE WHEN len(ws) >= $p THEN CAST(len(list_filter(" +
+      s"range(0, len(ws) - ${p - 1}), i -> $conj)) AS BIGINT) " +
+      s"ELSE CAST(0 AS BIGINT) END"
   }
 
   /** Batch-BM25 oracle ([[graft.ext.Bm25.rankMany]]): one stats row over
@@ -2946,8 +2989,8 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
-  private def bm25OracleSql(idSel: String): String =
-    s"""WITH ${bm25ScCtes(RrfTerms)}
+  private def bm25OracleSql(idSel: String, wFilter: String = ""): String =
+    s"""WITH ${bm25ScCtes(RrfTerms, wFilter)}
        |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
        |    AS BIGINT) AS rank,
        |  $idSel, score_u6
@@ -5036,6 +5079,19 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // phrase replay: the same contiguous-window count over the tokens
+    "q_phrase" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents)
+         |SELECT doc_id, n_hits FROM (
+         |  SELECT doc_id, ${phraseCountSql(PhraseTerms)} AS n_hits FROM w)
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+
+    // phrase-constrained BM25: stats and ranking over the filtered corpus
+    "q_phrase_rank" -> bm25OracleSql("doc_id",
+      s"WHERE ${phraseCountSql(PhraseTerms)} > 0"),
 
     // the stored-index probe must equal the corpus scan bit for bit
     "q_bm25_indexed" -> bm25OracleSql("doc_id"),

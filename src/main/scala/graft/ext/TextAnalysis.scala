@@ -23,6 +23,28 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), Ws + "+")))
 
+  /** Exact PHRASE occurrence count: how many times the word sequence
+    * `phrase` appears contiguously in the text's whitespace tokens
+    * ([[graft.ext.Corpus.words]] tokenization). Pure map-side built-ins —
+    * the per-position window test unrolls to |phrase| array lookups, so a
+    * phrase query over 100 TB is one scan with zero shuffle (compose with
+    * a filter to restrict BM25/RRF retrieval to phrase-matching
+    * documents). Overlapping occurrences each count ("a a a" contains
+    * "a a" twice); text shorter than the phrase (or null) counts 0. */
+  def phraseCount(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val ws = Corpus.words(text)
+    val p = phrase.length
+    // CaseWhen evaluates the matched branch only, so the sequence bound
+    // is never negative at runtime
+    when(size(ws) >= p,
+      size(filter(sequence(lit(0), size(ws) - p), i =>
+        phrase.zipWithIndex.map { case (t, j) =>
+          element_at(ws, (i + j + 1).cast("int")) === t
+        }.reduceLeft(_ && _))).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** BPE-ish subword count: split on case/digit transitions as well as
     * whitespace — an approximation of byte-pair token counts without a
     * vocab. Implemented by inserting spaces at transitions then counting

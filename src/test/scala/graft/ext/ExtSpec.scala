@@ -711,4 +711,26 @@ class ExtSpec extends SparkTestBase {
     for (w <- Seq("hello", "ümlaut", "emoji😀mid", "𝕊𝕡", "🀄"))
       assert(sqlSemantics(w) == Dedup.hash64(0, w), s"mismatch on '$w'")
   }
+
+  test("phraseCount: contiguous matches, overlaps, boundaries, null text") {
+    val df = Seq(
+      (1L, "a b c a b"),        // two disjoint "a b"
+      (2L, "a a a"),            // overlapping "a a" counts twice
+      (3L, "a"),                // shorter than the phrase
+      (4L, "b a"),              // reversed order is no match
+      (5L, null.asInstanceOf[String]),
+      (6L, "x a b")             // match at the very end
+    ).toDF("id", "text")
+    def counts(phrase: Seq[String]): Map[Long, Long] =
+      df.select(col("id"), TextAnalysis.phraseCount(col("text"), phrase)
+        .as("c")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(Seq("a", "b")) ===
+      Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L, 6L -> 1L))
+    assert(counts(Seq("a", "a")) === Map(1L -> 0L, 2L -> 2L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L))
+    assert(counts(Seq("a", "b", "c")) === Map(1L -> 1L, 2L -> 0L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L))
+    assert(counts(Seq("a")) === Map(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 1L, 5L -> 0L, 6L -> 1L))
+  }
 }
