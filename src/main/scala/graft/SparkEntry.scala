@@ -1882,6 +1882,15 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_phrase_indexed" -> ((s, dir) => {
+      // phrase search as an INDEX PROBE: the positional payload in the
+      // stored postings answers the same contiguous-window query by
+      // meeting the phrase terms' position lists per document — no corpus
+      // scan, no re-tokenization; shares q_phrase's oracle verbatim
+      Bm25.phraseCountIndexed(s, bm25IndexFor(s, dir), PhraseTerms)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_bm25_indexed" -> ((s, dir) => {
       // stored INVERTED-INDEX probe (the 100 TB retrieval serving shape,
       // the text analog of q_ann_ivf_pruned): postings bucket-partitioned
@@ -5092,6 +5101,15 @@ object SparkEntry {
     // phrase-constrained BM25: stats and ranking over the filtered corpus
     "q_phrase_rank" -> bm25OracleSql("doc_id",
       s"WHERE ${phraseCountSql(PhraseTerms)} > 0"),
+
+    // the positional-index probe must equal the scan-based phrase count
+    "q_phrase_indexed" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents)
+         |SELECT doc_id, n_hits FROM (
+         |  SELECT doc_id, ${phraseCountSql(PhraseTerms)} AS n_hits FROM w)
+         |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
 
     // the stored-index probe must equal the corpus scan bit for bit
     "q_bm25_indexed" -> bm25OracleSql("doc_id"),

@@ -227,12 +227,7 @@ object Bm25 {
     val nb = numBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
-    val postings = withWs
-      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
-        explode(col("__ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("bucket", bUdf(col("term")))
+    val postings = postingsOf(withWs, bUdf)
     // sortWithinPartitions(term): a bucket directory holds 1/numBuckets of
     // ALL postings, which grows with the corpus — term-sorted row groups
     // give the probe's pushed term-equality parquet min/max skipping, so
@@ -252,6 +247,21 @@ object Bm25 {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/df")
   }
+
+  /** Postings rows `(term, doc_id, tf, dl, pos, bucket)` for a tokenized
+    * corpus — `pos` the sorted 0-based token positions of the term in the
+    * document (the POSITIONAL payload that makes the index answer phrase
+    * queries without a corpus scan; Lucene stores the same). */
+  private def postingsOf(withWs: DataFrame,
+                         bUdf: org.apache.spark.sql.expressions
+                           .UserDefinedFunction): DataFrame =
+    withWs
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
+        posexplode(col("__ws")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("pos"))
+      .withColumn("bucket", bUdf(col("term")))
 
   /** Append new documents to a [[buildIndex]] store — the 100 TB
     * maintenance story (the text analog of
@@ -273,13 +283,7 @@ object Bm25 {
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
     val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
       Corpus.words(col(textCol)).as("__ws"))
-    val postings = withWs
-      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"),
-        explode(col("__ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .withColumn("bucket", bUdf(col("term")))
-      .persist()
+    val postings = postingsOf(withWs, bUdf).persist()
     try {
       postings.repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
@@ -311,6 +315,47 @@ object Bm25 {
         .toDF("n_docs", "total_dl", "n_buckets")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     } finally postings.unpersist()
+  }
+
+  /** Exact PHRASE occurrence counts against a [[buildIndex]] store —
+    * `(doc_id, n_hits)` for every document containing the contiguous word
+    * sequence, identical to filtering
+    * [[TextAnalysis.phraseCount]]` > 0` over the corpus (the scan form),
+    * which is how the gate oracles it.
+    *
+    * == 100 TB design ==
+    * Reads ONLY the phrase's distinct terms' bucket directories (pruned,
+    * term-pushed — the same scan shape as [[topKIndexed]]); each
+    * document's per-term POSITION lists meet in one doc-keyed
+    * aggregation, and an occurrence is a first-term position `p` with
+    * term `j` present at `p + j` — set-membership over tf-sized arrays,
+    * no corpus scan, no token re-tokenization. */
+  def phraseCountIndexed(spark: org.apache.spark.sql.SparkSession,
+                         path: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val st = spark.read.parquet(s"$path/stats").head
+    val nb = st.getAs[Int]("n_buckets")
+    val distinctTerms = phrase.distinct
+    val qBuckets = distinctTerms.map(bucketOf(_, nb)).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(qBuckets: _*) &&
+        col("term").isin(distinctTerms: _*))
+    def posCol(t: String): String = s"__p${distinctTerms.indexOf(t)}"
+    // each per-term max touches at most one (doc, term) posting row
+    val perTerm = distinctTerms.map(t =>
+      max(when(col("term") === t, col("pos"))).as(posCol(t)))
+    val g = post.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
+    val present = distinctTerms.map(t => col(posCol(t)).isNotNull)
+      .reduceLeft(_ && _)
+    val cnt =
+      if (phrase.length == 1) size(col(posCol(phrase.head))).cast("long")
+      else size(filter(col(posCol(phrase.head)), p =>
+        phrase.zipWithIndex.tail.map { case (t, j) =>
+          array_contains(col(posCol(t)), p + j)
+        }.reduceLeft(_ && _))).cast("long")
+    g.filter(present)
+      .select(col("doc_id"), cnt.as("n_hits"))
+      .filter(col("n_hits") > 0L)
   }
 
   /** Top-`k` for `terms` against a [[buildIndex]] store — identical

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 /** BM25 ranking ([[Bm25]]): retrieval direction (term-dense docs first,
   * rare terms weighted over common ones), absent-term docs score zero, and
@@ -142,6 +143,31 @@ class Bm25Spec extends SparkTestBase {
     // scan ranks it at score 0, the index returns matched docs only
     assert(scan === Seq((1L, scan.head._2), (2L, 0L)))
     assert(probe === scan.filter(_._2 > 0L))
+  }
+
+  test("positional index answers phrase queries like the corpus scan") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // two "a b"
+      (2L, "a a a"),       // overlapping "a a"
+      (3L, "b a c"),       // both terms present, never contiguous
+      (4L, "x y z"),
+      (5L, "c a b")        // match at the end
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-pos-").toString
+    Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    def scan(phrase: Seq[String]) = docs
+      .select(col("doc_id"),
+        TextAnalysis.phraseCount(col("text"), phrase).as("n"))
+      .filter(col("n") > 0L).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def probe(phrase: Seq[String]) = Bm25
+      .phraseCountIndexed(spark, idx, phrase).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (p <- Seq(Seq("a", "b"), Seq("a", "a"), Seq("a", "b", "c"),
+        Seq("a"), Seq("missing", "b")))
+      assert(probe(p) === scan(p), s"phrase $p diverged from the scan")
+    // doc 3 has both terms but no contiguous run: excluded by both forms
+    assert(!scan(Seq("a", "b")).exists(_._1 == 3L))
   }
 
   test("incremental append equals a full rebuild, probe for probe") {
