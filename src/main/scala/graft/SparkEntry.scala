@@ -133,7 +133,7 @@ object SparkEntry {
     })
 
   /** Head-of-corpus BM25 index (doc_id < 250) + the tail as a 3-file
-    * parquet fixture (3 micro-batches under maxFilesPerTrigger=1) — the
+    * parquet fixture (2 micro-batches under maxFilesPerTrigger=1) — the
     * streaming-ingest twin appends the tail into a COPY of the head
     * index, then its standing query must equal the full-corpus scan. */
   private val bm25HeadIndexCache =
@@ -153,7 +153,7 @@ object SparkEntry {
         .createTempDirectory("graft-bm25-tail-").toString + "/tail"
       t(s, d, "documents").select(col("doc_id"), col("text"))
         .filter(col("doc_id") >= 250)
-        .repartitionByRange(3, col("doc_id"))
+        .repartitionByRange(2, col("doc_id"))
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -853,6 +853,21 @@ object SparkEntry {
       r.toFrame(pd)
         .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
         .orderBy(col("row_idx"))
+    }),
+
+    "q_d4_pipeline" -> ((s, dir) => {
+      // the diversity op composing INTO the reference op algebra:
+      // PrototypeDropOp keep verdicts → MaskRowsOp (positional re-index
+      // through the content-addressed store) → per-label survivor counts
+      // — the "diversify, then measure what the cut did to the class mix"
+      // curation step
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val pd = PrototypeDropOp(SelectVectorColumnOp(ds, "embedding"),
+        KmInitIds, KmIters, ProtoDropNum, ProtoDropDen)
+      r.toFrame(MaskRowsOp(ds, pd))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .orderBy(col("label"))
     }),
 
     "q_distinct_sketch" -> ((s, dir) => {
@@ -1818,6 +1833,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_rrf_indexed" -> ((s, dir) => {
+      // the FULLY-SERVED hybrid: sparse leg = inverted-text-index probe,
+      // dense leg = the stored cell-partitioned IVF probe at nprobe=2
+      // (REAL pruning) querying doc 0's embedding — neither leg scans the
+      // corpus at query time; fusion over the shared 0-based row-id space
+      val sparse = Bm25.topKIndexed(s, bm25IndexFor(s, dir), RrfTerms,
+          k = RrfPoolK)
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val dense = Similarity.ivfTopKIndexed(s, ivfIndexFor(s, dir),
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+          k = RrfPoolK, nprobe = 2)
+        .select(col("corpus_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(sparse, dense, "doc_id", RrfKConst, RrfN)
+        .orderBy(col("rank"))
+    }),
+
     "q_rrf" -> ((s, dir) => {
       // hybrid retrieval (ext/Retrieval.scala, Cormack 2009 RRF): BM25
       // top-20 for the query terms fused with hashed-TF cosine top-20 for
@@ -1904,7 +1936,7 @@ object SparkEntry {
 
     "q_bm25_stream" -> ((s, dir) => {
       // STREAMING INGEST of the inverted index: the corpus tail arrives
-      // in 3 micro-batches appended into a fresh COPY of the head-built
+      // in 2 micro-batches appended into a fresh COPY of the head-built
       // index (postings append + vocab-bounded df merge behind a staged
       // rename + additive stats LAST — probe-anytime consistency); the
       // standing query against the final index shares q_bm25's oracle:
@@ -3635,6 +3667,18 @@ object SparkEntry {
          |WHERE r.rnk > (c.cnt * $ProtoDropNum) // $ProtoDropDen
          |ORDER BY r.id""".stripMargin),
 
+    // diversify → mask → class-mix: the drop replay joined back onto the
+    // labels, grouped — the per-label survivor counts
+    "q_d4_pipeline" -> kmeansOracleSql("row_number() OVER () - 1",
+      protoDropCtes +
+      s"""SELECT e.label AS label, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT label, row_number() OVER () - 1 AS rid
+         |      FROM embeddings) e
+         |JOIN rnk r ON r.id = e.rid
+         |JOIN cnt c ON c.cell = r.cell
+         |WHERE r.rnk > (c.cnt * $ProtoDropNum) // $ProtoDropDen
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // spec twin: keep verdicts for EVERY row as a boolean value column
     "q_d4_graph" -> kmeansOracleSql("row_number() OVER () - 1",
       protoDropCtes +
@@ -5128,6 +5172,66 @@ object SparkEntry {
 
     // RRF hybrid replay: both legs + the pico-quantized fusion
     "q_rrf" -> rrfOracleSql("doc_id"),
+
+    // fully-served hybrid replay: bm25 top-20 (the index probe equals the
+    // scan) fused with the FULL IVF replay at nprobe=2 — assignment,
+    // probe pruning, scoring, per-leg cuts, then the same fusion
+    "q_rrf_indexed" ->
+      s"""WITH ${bm25ScCtes(RrfTerms)},
+         |bt AS (
+         |  SELECT doc_id, br FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS br FROM sc)
+         |  WHERE br <= $RrfPoolK),
+         |cent AS (
+         |  SELECT CAST(vec_id AS INT) cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |corp AS (SELECT vec_id cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+         |  FROM embeddings),
+         |assign AS (
+         |  SELECT cid, cent_id AS cell FROM (
+         |    SELECT c.cid, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.cid
+         |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+         |    FROM corp c, cent ct) WHERE rn = 1),
+         |q AS (SELECT vec_id qid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |probe AS (
+         |  SELECT qid, cent_id AS cell FROM (
+         |    SELECT q.qid, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+         |    FROM q, cent ct) WHERE rn <= 2),
+         |dsc AS (
+         |  SELECT c.cid doc_id, list_cosine_similarity(q.qv, c.v) cosf
+         |  FROM q JOIN probe p ON q.qid = p.qid
+         |    JOIN assign a ON a.cell = p.cell
+         |    JOIN corp c ON c.cid = a.cid),
+         |dt AS (
+         |  SELECT doc_id, dr FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY cosf DESC, doc_id) AS BIGINT) AS dr FROM dsc)
+         |  WHERE dr <= $RrfPoolK),
+         |f AS (
+         |  SELECT coalesce(bt.doc_id, dt.doc_id) AS doc_id,
+         |    bt.br AS sparse_rank, dt.dr AS dense_rank,
+         |    coalesce(CAST(1.0 AS DOUBLE) /
+         |        (CAST($RrfKConst AS DOUBLE) + CAST(bt.br AS DOUBLE)),
+         |      CAST(0.0 AS DOUBLE))
+         |    + coalesce(CAST(1.0 AS DOUBLE) /
+         |        (CAST($RrfKConst AS DOUBLE) + CAST(dt.dr AS DOUBLE)),
+         |      CAST(0.0 AS DOUBLE)) AS fs
+         |  FROM bt FULL OUTER JOIN dt ON bt.doc_id = dt.doc_id),
+         |g AS (
+         |  SELECT doc_id, CAST(round(fs * 1e12) AS BIGINT) AS rrf_u12,
+         |    sparse_rank, dense_rank FROM f)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf_u12 DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, rrf_u12, sparse_rank, dense_rank
+         |FROM g ORDER BY rrf_u12 DESC, doc_id LIMIT $RrfN""".stripMargin,
 
     // spec twin: ids are file-order row indices == doc_id
     "q_rrf_graph" -> rrfOracleSql("doc_id AS id"),

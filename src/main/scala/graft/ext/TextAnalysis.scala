@@ -25,24 +25,35 @@ object TextAnalysis {
 
   /** Exact PHRASE occurrence count: how many times the word sequence
     * `phrase` appears contiguously in the text's whitespace tokens
-    * ([[graft.ext.Corpus.words]] tokenization). Pure map-side built-ins —
-    * the per-position window test unrolls to |phrase| array lookups, so a
-    * phrase query over 100 TB is one scan with zero shuffle (compose with
-    * a filter to restrict BM25/RRF retrieval to phrase-matching
-    * documents). Overlapping occurrences each count ("a a a" contains
-    * "a a" twice); text shorter than the phrase (or null) counts 0. */
+    * ([[graft.ext.Corpus.words]] tokenization). Map-side — one scan with
+    * zero shuffle at any corpus size (compose with a filter to restrict
+    * BM25/RRF retrieval to phrase-matching documents). A primitive UDF
+    * over the words array, the hashed-TF lesson: the expression form
+    * (`filter(sequence(0, n−p), i -> element_at(ws, i+j) === …)`)
+    * re-evaluates the words SPLIT inside the lambda per window position —
+    * no common-subexpression elimination across lambda bodies — and
+    * measured 12× slower (6.5 s → 0.5 s at sf0.1). Overlapping
+    * occurrences each count ("a a a" contains "a a" twice); text shorter
+    * than the phrase (or null) counts 0. */
   def phraseCount(text: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val ws = Corpus.words(text)
-    val p = phrase.length
-    // CaseWhen evaluates the matched branch only, so the sequence bound
-    // is never negative at runtime
-    when(size(ws) >= p,
-      size(filter(sequence(lit(0), size(ws) - p), i =>
-        phrase.zipWithIndex.map { case (t, j) =>
-          element_at(ws, (i + j + 1).cast("int")) === t
-        }.reduceLeft(_ && _))).cast("long"))
-      .otherwise(lit(0L))
+    val p = phrase.toArray
+    val f = udf { ws: scala.collection.Seq[String] =>
+      if (ws == null || ws.length < p.length) 0L
+      else {
+        var c = 0L
+        var i = 0
+        val last = ws.length - p.length
+        while (i <= last) {
+          var j = 0
+          while (j < p.length && ws(i + j) == p(j)) j += 1
+          if (j == p.length) c += 1
+          i += 1
+        }
+        c
+      }
+    }
+    f(Corpus.words(text))
   }
 
   /** BPE-ish subword count: split on case/digit transitions as well as
