@@ -23,6 +23,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The chained unigram-Jaccard near-dup pairs (doc i ~ i+1 ~ i+2 at
+    * θ=0.9 without i ~ i+2) shared by the CC / PageRank / keep-best
+    * gates — mirrors [[jaccardPairCtes]]. */
+  private def chainedPairs(docs: DataFrame): DataFrame = {
+    val cands = docs.select(col("doc_id").as("id_a"))
+      .join(docs.select(col("doc_id").as("id_b")),
+        col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
+    Dedup.jaccardVerify(docs, "text", "doc_id", cands,
+      shingleN = 1, threshold = 0.9)
+  }
+
   /** Plant offset for planted-copy fixtures: max(id)+1, so planted ids can
     * never collide with real ids at any scale factor. One tiny max-agg job
     * over a pruned single-column scan; the oracle SQL derives the same
@@ -1433,13 +1444,43 @@ object SparkEntry {
       // implied (never directly edged) memberships at sf0.01, so a CC bug
       // cannot hide behind the pair list.
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-      val cands = docs.select(col("doc_id").as("id_a"))
-        .join(docs.select(col("doc_id").as("id_b")),
-          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
-      val pairs = Dedup.jaccardVerify(docs, "text", "doc_id", cands,
-        shingleN = 1, threshold = 0.9)
+      val pairs = chainedPairs(docs)
       Dedup.duplicateClusters(docs.select(col("doc_id")), "doc_id", pairs)
         .select(col("doc_id"), col("cluster_id"), col("is_representative"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // quantized-exact PageRank (ext/PageRank.scala) over the SAME
+      // chained near-dup graph: centrality in integer micro-units — every
+      // floor-division iteration unrolled and replayed by the oracle, the
+      // ExactKMeans pattern applied to graph analytics
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = chainedPairs(docs)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.ext.PageRank.ranks(sym, "src", "dst", PrIters)
+        .orderBy(col("id"))
+    }),
+
+    "q_rank_best" -> ((s, dir) => {
+      // CENTRALITY-BASED representative selection: within each transitive
+      // near-dup cluster the most central member (max PageRank, ties →
+      // smaller id) survives — the "canonical version of a boilerplate
+      // family" heuristic, composing the CC and PageRank families
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = chainedPairs(docs)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val pr = graft.ext.PageRank.ranks(sym, "src", "dst", PrIters)
+      val cl = Dedup.duplicateClusters(docs.select(col("doc_id")),
+        "doc_id", pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(coalesce(col("pr_u6"), lit(0L)).desc, col("doc_id"))
+      cl.join(pr.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("keep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1449,11 +1490,7 @@ object SparkEntry {
       // priority) of each near-dup cluster instead of the min-id one —
       // the oracle recomputes the closure AND the per-cluster argmax
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-      val cands = docs.select(col("doc_id").as("id_a"))
-        .join(docs.select(col("doc_id").as("id_b")),
-          col("id_b") > col("id_a") && col("id_b") <= col("id_a") + 5)
-      val pairs = Dedup.jaccardVerify(docs, "text", "doc_id", cands,
-        shingleN = 1, threshold = 0.9)
+      val pairs = chainedPairs(docs)
       Dedup.keepBestPerCluster(
           docs.select(col("doc_id"), col("n_chars")), "doc_id", "n_chars",
           pairs)
@@ -2894,8 +2931,11 @@ object SparkEntry {
     * by q_dedup_clusters / q_dedup_best: reach(id, lbl) saturates "lbl can
     * reach id" via a recursive CTE — an independent closure construction
     * from the Spark side's large-star/small-star contraction. */
-  private val ccClosureCtes: String =
-    """WITH RECURSIVE d AS (
+  /** Chained unigram-Jaccard pairs over doc_id < 200 (the q_dedup_clusters
+    * graph) as CTEs `d`/`sh`/`e`/`und` — shared by the CC closure and the
+    * PageRank oracles so the pair derivation can never drift. */
+  private val jaccardPairCtes: String =
+    """d AS (
       |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
       |sh AS (
       |  SELECT doc_id, list_distinct(list_filter(
@@ -2908,11 +2948,42 @@ object SparkEntry {
       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.9),
       |und AS (SELECT id_a AS u, id_b AS v FROM e
-      |        UNION ALL SELECT id_b, id_a FROM e),
+      |        UNION ALL SELECT id_b, id_a FROM e)""".stripMargin
+
+  private val ccClosureCtes: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
       |reach(id, lbl) AS (
       |  SELECT doc_id, doc_id FROM d
       |  UNION
       |  SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.id)""".stripMargin
+
+  /** q_pagerank iteration count (shared engine/oracle). */
+  private val PrIters: Int = 8
+
+  /** Unrolled quantized-exact PageRank CTEs over the `und` edges
+    * ([[graft.ext.PageRank.ranks]]): `pnodes`/`pdeg`, `p0` = Quant ⌊/⌋ n,
+    * each `p{i}` one floor-division step — ending at `p$PrIters`. */
+  private def pageRankCtes: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""p$i AS (
+         |  SELECT nn.id,
+         |    CAST((15 * 1000000) // (100 * (SELECT count(*) FROM pnodes))
+         |      AS BIGINT)
+         |    + CAST((85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS pr_u6
+         |  FROM pnodes nn LEFT JOIN (
+         |    SELECT e.v AS id, SUM(p.pr_u6 // d.dg) AS s
+         |    FROM und e JOIN p${i - 1} p ON p.id = e.u
+         |      JOIN pdeg d ON d.id = e.u
+         |    GROUP BY 1) s$i ON s$i.id = nn.id)""".stripMargin
+    }.mkString(",\n")
+    s"""pnodes AS (SELECT DISTINCT u AS id FROM und),
+       |pdeg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
+       |  FROM und GROUP BY 1),
+       |p0 AS (SELECT id,
+       |  CAST(1000000 // (SELECT count(*) FROM pnodes) AS BIGINT) AS pr_u6
+       |  FROM pnodes),
+       |$iters""".stripMargin
+  }
 
   /** Full SemDeDup replay (q_dedup_semantic AND its streaming twin
     * q_sem_stream — identical verdicts over the identical planted fixture):
@@ -4312,6 +4383,27 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(lbl) AS cluster_id,
         |  (MIN(lbl) = id) AS is_representative
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // PageRank replay: same pair derivation, every floor-division
+    // iteration unrolled (the ExactKMeans pattern on a graph)
+    "q_pagerank" ->
+      s"""WITH $jaccardPairCtes,
+         |$pageRankCtes
+         |SELECT id, pr_u6 FROM p$PrIters ORDER BY id""".stripMargin,
+
+    // CC closure + PageRank + per-cluster centrality argmax
+    "q_rank_best" ->
+      s"""$ccClosureCtes,
+         |$pageRankCtes,
+         |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |rk AS (
+         |  SELECT cl.doc_id, cl.cluster_id,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY coalesce(p.pr_u6, 0) DESC, cl.doc_id) AS rn
+         |  FROM cl LEFT JOIN p$PrIters p ON p.id = cl.doc_id)
+         |SELECT doc_id, cluster_id, (rn = 1) AS keep
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     "q_dedup_best" ->
       // same closure; the representative is the per-cluster argmax of
