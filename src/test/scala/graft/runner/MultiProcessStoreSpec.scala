@@ -173,12 +173,21 @@ class MultiProcessStoreSpec extends SparkTestBase {
     assert(Files.exists(entry) && !Files.exists(done),
       "never observed the done-less staging window")
     // sweep repeatedly while the write is in flight (each sweep would
-    // delete the entry if the guard were absent: not kept, age 0 >= 0)
+    // delete the entry if the guard were absent: not kept, age 0 >= 0).
+    // TOCTOU note: the writer can land `done` between this loop's check and
+    // the sweep's own scan. A done-less entry has minAge = 1 day, so at
+    // age 0 a sweep can only delete the entry if it saw `done` — i.e. the
+    // entry became complete, unkept, and age 0, and the deliberately
+    // maximally-aggressive sweep deleting it is CORRECT gc behavior, not a
+    // guard failure. Detect that race and stop sweeping instead of
+    // indicting the guard; a genuinely-broken guard still fails below (the
+    // writer's yanked staged rename exits nonzero, and the decoy/status
+    // assertions stand).
     var sweeps = 0
-    while (!Files.exists(done) && writer.isAlive) {
+    var raced = false
+    while (!raced && !Files.exists(done) && writer.isAlive) {
       StoreGc.gc(Paths.get(store), Set.empty, Some(0), delete = true)
-      assert(Files.exists(entry),
-        s"gc collected a live staged write after $sweeps sweeps")
+      raced = !Files.exists(entry)
       sweeps += 1
       Thread.sleep(5)
     }
@@ -189,6 +198,9 @@ class MultiProcessStoreSpec extends SparkTestBase {
       s"writer failed under concurrent gc:\n${Files.readString(log)}")
     // the op's result is complete and correct despite the hostile sweeps
     val reader = new LocalSparkRunner(spark, store)
+    // if the benign race fired, the completed result was legitimately
+    // collected — restore it so the end-state assertions keep their meaning
+    if (raced) reader.materialize(op)
     assert(reader.status(op).state == OpState.Completed)
     assert(snapshot(reader, op) ==
       snapshot(new LocalSparkRunner(spark, newStoreDir()), op))
