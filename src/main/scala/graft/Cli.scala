@@ -194,7 +194,7 @@ object Cli {
     SparkSession.getActiveSession match {
       case Some(existing) => (existing, false)
       case None =>
-        val s = SparkSession.builder()
+        val s = GraftSession.tune(SparkSession.builder())
           .master(a.master)
           .appName("graft-cli")
           .config("spark.sql.shuffle.partitions",

@@ -16,7 +16,7 @@ object Prof {
     val reps = if (args.length > 2) args(2).toInt else 2
     val explain = args.length > 3 && args(3) == "explain"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

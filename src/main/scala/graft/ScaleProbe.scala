@@ -304,6 +304,20 @@ object ScaleProbe {
             edges.select(col("src").as("id_a"), col("dst").as("id_b")))
           .filter(col("keep")).count()
       }
+      // PageRank: the iterated-SpMV family — per step ONE edge⋈rank join
+      // (both sides pre-keyed on the node id) + one sum agg, eager
+      // localCheckpoint pinning lineage at O(1). Ring + skip chords keep
+      // every node at outdeg 2 across factors, so the claim measured here
+      // is pure linearity: edges ×10 → per-iteration shuffle ×10, wall
+      // ~×10 at fixed iters, driver heap flat (ranks never collect).
+      measure(s"pagerank ${factor}x", s"nodes=$n edges=${2 * n} iters=5") {
+        val pr = spark.range(n).select(col("id").as("src"),
+            pmod(col("id") + 1L, lit(n)).as("dst"))
+          .union(spark.range(n).select(col("id").as("src"),
+            pmod(col("id") + 7L, lit(n)).as("dst")))
+        graft.ext.PageRank.ranks(pr, "src", "dst", iters = 5)
+          .agg(sum(col("pr_u6"))).head.getLong(0)
+      }
     }
 
     // ---- embedding families: semantic dedup + stored-IVF probe ----
@@ -396,6 +410,28 @@ object ScaleProbe {
         graft.ext.Diversify.prototypeKeepFlags(emb, "vec_id", "embedding",
           fit, 1L, 4L).filter(!col("kept")).count()
       }
+      // D4 at LARGE k (k = 10⁴ ≥ PrunedAssignMinK → the triangle-
+      // inequality pruned assignment; the dense form at this k is ~10⁴
+      // plan literals per row, past codegen limits): rows are synthetic
+      // so k centroids exist at every factor; work/row is O(√k·dim) and
+      // the claim is the same linear decade as the dense-path D4 row
+      measure(s"d4 pruned assign ${factor}x",
+        s"rows=${20000 * factor} k=10000 dim=16") {
+        val vecUdf = udf { id: Long =>
+          Array.tabulate(16)(d =>
+            (graft.ext.Dedup.hash64(d, s"d4k:$id") % 1000000L) / 1000000.0)
+        }
+        val synth = spark.range(20000L * factor)
+          .select(col("id"), vecUdf(col("id")).as("vec"))
+          .localCheckpoint(true)
+        val fit = graft.ml.ExactKMeans.Fit(
+          synth.filter(col("id") < 10000L).orderBy(col("id"))
+            .collect().map(_.getSeq[Double](1)
+              .map(x => math.round(x * 1e6)).toArray),
+          maxAbsInput = 1.0)
+        graft.ext.Diversify.prototypeKeepFlags(synth, "id", "vec",
+          fit, 1L, 4L).filter(!col("kept")).count()
+      }
       // spectral JOINT iteration over INJECTED edges (ring graph, degree
       // 8 — the LSH/IVF candidate shape; kNN construction is measured by
       // the ANN family above): per step ONE edge join + ONE moments
@@ -422,7 +458,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = GraftSession.tune(SparkSession.builder()).master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1960,6 +1960,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_phrase_multi" -> ((s, dir) => {
+      // BATCH phrase probe (Bm25.phraseCountManyIndexed): thousands of
+      // contamination phrases priced as ONE read of the union of their
+      // buckets — per phrase it must equal the scan-form count, which is
+      // how the oracle replays it (one UNION ALL branch per phrase)
+      Bm25.phraseCountManyIndexed(s, bm25IndexFor(s, dir), MultiPhrases)
+        .orderBy(col("phrase_id"), col("doc_id"))
+    }),
+
     "q_bm25_indexed" -> ((s, dir) => {
       // stored INVERTED-INDEX probe (the 100 TB retrieval serving shape,
       // the text analog of q_ann_ivf_pruned): postings bucket-partitioned
@@ -2558,6 +2567,17 @@ object SparkEntry {
   /** Phrase-search gate (shared engine/oracle): a 2-word phrase that
     * occurs in the synthetic corpus at every sf. */
   private val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** Batch-phrase gate (shared engine/oracle): the decontamination shape —
+    * many phrases, one index read. Covers the scan phrase itself, reversed
+    * word order, a single-word phrase, a 3-word phrase, and a phrase with
+    * an absent term (must contribute zero rows, not an error). */
+  private val MultiPhrases: Seq[(Long, Seq[String])] = Seq(
+    0L -> PhraseTerms,
+    1L -> PhraseTerms.reverse,
+    2L -> Seq("hash"),
+    3L -> Seq("the", "table", "hash"),
+    4L -> Seq("zzz_absent_term", "table"))
 
   /** q_distinct_sketch KMV size (shared engine/oracle): straddles the sf
     * language cardinalities — en (218 distinct texts at sf0.01) runs the
@@ -5246,6 +5266,21 @@ object SparkEntry {
          |SELECT doc_id, n_hits FROM (
          |  SELECT doc_id, ${phraseCountSql(PhraseTerms)} AS n_hits FROM w)
          |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+
+    // batch phrase probe: one UNION ALL branch per phrase, each replaying
+    // the contiguous-window scan count — the absent-term phrase's branch
+    // yields no rows by construction
+    "q_phrase_multi" -> {
+      val branches = MultiPhrases.map { case (pid, p) =>
+        s"""SELECT CAST($pid AS BIGINT) AS phrase_id, doc_id,
+           |  ${phraseCountSql(p)} AS n_hits FROM w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents)
+         |SELECT phrase_id, doc_id, n_hits FROM ($branches)
+         |WHERE n_hits > 0 ORDER BY phrase_id, doc_id""".stripMargin
+    },
 
     // the stored-index probe must equal the corpus scan bit for bit
     "q_bm25_indexed" -> bm25OracleSql("doc_id"),

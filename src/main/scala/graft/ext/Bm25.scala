@@ -202,13 +202,18 @@ object Bm25 {
     * text-retrieval analog of [[Similarity.buildIvfIndex]]'s
     * cell-partitioned store).
     *
-    * Layout:
-    *  - `postings/bucket=N/` — rows `(term, doc_id, tf, dl)`, one per
-    *    (document, distinct term), partitioned by `bucket =
+    * Layout (VERSIONED — the stats row is the pointer):
+    *  - `postings_vK/bucket=N/` — rows `(term, doc_id, tf, dl, pos)`, one
+    *    per (document, distinct term), partitioned by `bucket =
     *    hash(term) % numBuckets` with one cell-keyed shuffle before the
     *    write (one file per bucket, not tasks×buckets)
-    *  - `df/bucket=N/` — rows `(term, df)` in the same layout
-    *  - `stats/` — ONE row `(n_docs, total_dl, n_buckets)`
+    *  - `df_vK/bucket=N/` — rows `(term, df)` in the same layout
+    *  - `stats/` — ONE row `(n_docs, total_dl, n_buckets, postings_dir,
+    *    df_dir)`, always written LAST: a probe resolves the postings and
+    *    df directories through the stats row it read, so a table swap
+    *    (df merge on append, postings rewrite on [[compactIndex]]) is an
+    *    atomic pointer flip — no probe can ever see a missing or partial
+    *    table (the ADVICE r15 delete-then-rename window is gone).
     *
     * Build cost: one token-stream shuffle (the `(doc, term)` tf
     * aggregation) + a term-keyed df aggregation — both linear, paid once
@@ -220,10 +225,6 @@ object Bm25 {
     val spark = docs.sparkSession
     val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
       Corpus.words(col(textCol)).as("__ws"))
-    withWs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("total_dl"),
-        lit(numBuckets).as("n_buckets"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     val nb = numBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
@@ -235,17 +236,66 @@ object Bm25 {
     postings.repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$path/postings_v0")
     // df from the postings themselves (one row per (doc, term) = exactly
     // the document frequency), re-read from the store so the df pass
     // scans narrow columns instead of re-tokenizing the corpus
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"$path/postings_v0")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", bUdf(col("term")))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/df")
+      .parquet(s"$path/df_v0")
+    writeStats(spark, path, withWs.agg(count(lit(1)),
+        coalesce(sum(size(col("__ws")).cast("long")), lit(0L))).head
+      match { case r => (r.getLong(0), r.getLong(1)) },
+      nb, "postings_v0", "df_v0")
+  }
+
+  /** Resolved index metadata: counts + the CURRENT table directories. */
+  private final case class IndexStats(nDocs: Long, totalDl: Long,
+                                      nBuckets: Int, postingsDir: String,
+                                      dfDir: String)
+
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): IndexStats = {
+    val st = spark.read.parquet(s"$path/stats").head
+    IndexStats(st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"),
+      st.getAs[Int]("n_buckets"), st.getAs[String]("postings_dir"),
+      st.getAs[String]("df_dir"))
+  }
+
+  private def writeStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String, counts: (Long, Long), nBuckets: Int,
+                         postingsDir: String, dfDir: String): Unit = {
+    import spark.implicits._
+    Seq((counts._1, counts._2, nBuckets, postingsDir, dfDir))
+      .toDF("n_docs", "total_dl", "n_buckets", "postings_dir", "df_dir")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** `dir_vK` → K. */
+  private def versionOf(dir: String): Int =
+    dir.substring(dir.lastIndexOf("_v") + 2).toInt
+
+  /** Best-effort removal of superseded `prefix_vK` dirs older than the
+    * PREVIOUS version: the previous version outlives one flip so a probe
+    * that resolved the old pointer just before a flip can finish its read
+    * (single-writer; probes are bounded by one writer cycle). */
+  private def pruneVersions(spark: org.apache.spark.sql.SparkSession,
+                            path: String, prefix: String,
+                            current: Int): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(s"${prefix}_v") &&
+          scala.util.Try(versionOf(n)).toOption.exists(_ < current - 1)) {
+        try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+    }
   }
 
   /** Postings rows `(term, doc_id, tf, dl, pos, bucket)` for a tokenized
@@ -267,18 +317,23 @@ object Bm25 {
     * maintenance story (the text analog of
     * [[Similarity.appendToIvfIndex]]): a daily crawl appends its postings
     * into their bucket directories in one bucket-keyed shuffle; the index
-    * is never rebuilt. The stats row is an additive integer rewrite; the
-    * df table is merged VOCABULARY-bounded (old df rows + the batch's own
-    * df — never a corpus rescan) and swapped in with a staged rename, so
-    * a concurrent probe reads either the old or the new table, never a
-    * partial one. Append == full rebuild is test-asserted bit-for-bit. */
+    * is never rebuilt. The df table is merged VOCABULARY-bounded (old df
+    * rows + the batch's own df — never a corpus rescan) into a NEW
+    * versioned directory, and the stats pointer row is rewritten LAST, so
+    * a probe resolving directories through stats always reads a complete
+    * df table. Append == full rebuild is test-asserted bit-for-bit.
+    *
+    * Consistency contract (SINGLE WRITER; appends and compactions must
+    * not overlap each other): a probe racing an append sees either the
+    * old index, the new one, or — in the window between the postings
+    * append and the stats flip — the appended postings scored with the
+    * still-old df/stats: bounded staleness on the batch's docs, never a
+    * missing table or a partial df. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
                     path: String): Unit = {
     val spark = docs.sparkSession
-    val st = spark.read.parquet(s"$path/stats").head
-    val oldN = st.getAs[Long]("n_docs")
-    val oldDl = st.getAs[Long]("total_dl")
-    val nb = st.getAs[Int]("n_buckets")
+    val st = readStats(spark, path)
+    val nb = st.nBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
     val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -288,33 +343,51 @@ object Bm25 {
       postings.repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("append").partitionBy("bucket")
-        .parquet(s"$path/postings")
-      // vocab-bounded df merge: old table + the batch's own term counts
-      val merged = spark.read.parquet(s"$path/df")
+        .parquet(s"$path/${st.postingsDir}")
+      // vocab-bounded df merge: old table + the batch's own term counts,
+      // into a fresh versioned dir (the old one stays readable until the
+      // pointer flips + one more cycle, see pruneVersions)
+      val newDfDir = s"df_v${versionOf(st.dfDir) + 1}"
+      spark.read.parquet(s"$path/${st.dfDir}")
         .select(col("term"), col("df"))
         .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
         .withColumn("bucket", bUdf(col("term")))
-      merged.repartition(col("bucket"))
+        .repartition(col("bucket"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/df_staged")
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val dfPath = new org.apache.hadoop.fs.Path(s"$path/df")
-      val staged = new org.apache.hadoop.fs.Path(s"$path/df_staged")
-      val fs = dfPath.getFileSystem(hconf)
-      fs.delete(dfPath, true)
-      require(fs.rename(staged, dfPath),
-        s"Bm25.appendToIndex: staged df rename failed at $path")
-      // additive stats rewrite LAST: a probe racing the append sees a
-      // consistent (if momentarily stale) smaller index
+        .parquet(s"$path/$newDfDir")
+      // additive stats + pointer flip LAST — the atomic commit point
       val add = withWs.agg(count(lit(1)).as("n"),
         coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
-      import spark.implicits._
-      Seq((oldN + add.getAs[Long]("n"), oldDl + add.getAs[Long]("dl"), nb))
-        .toDF("n_docs", "total_dl", "n_buckets")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      writeStats(spark, path,
+        (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
+        nb, st.postingsDir, newDfDir)
+      pruneVersions(spark, path, "df", versionOf(newDfDir))
     } finally postings.unpersist()
+  }
+
+  /** Compact the postings table of a [[buildIndex]] store: after many
+    * [[appendToIndex]] micro-batches a bucket directory holds one small
+    * file (and one row group) per batch, so the probe's term min/max
+    * skipping degrades toward reading every file's footer. Compaction
+    * rewrites the CURRENT postings term-sorted into a fresh versioned
+    * directory — restoring one-file-per-bucket, full-bucket row-group
+    * runs — and flips the stats pointer last (same counts, new dir), so
+    * probes racing it read either layout, both complete. Cost: one
+    * bucket-keyed shuffle of the postings, no corpus access. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val st = readStats(spark, path)
+    val newDir = s"postings_v${versionOf(st.postingsDir) + 1}"
+    spark.read.parquet(s"$path/${st.postingsDir}")
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$newDir")
+    writeStats(spark, path, (st.nDocs, st.totalDl), st.nBuckets,
+      newDir, st.dfDir)
+    pruneVersions(spark, path, "postings", versionOf(newDir))
   }
 
   /** Exact PHRASE occurrence counts against a [[buildIndex]] store —
@@ -333,11 +406,39 @@ object Bm25 {
   def phraseCountIndexed(spark: org.apache.spark.sql.SparkSession,
                          path: String, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must be non-empty")
-    val st = spark.read.parquet(s"$path/stats").head
-    val nb = st.getAs[Int]("n_buckets")
-    val distinctTerms = phrase.distinct
-    val qBuckets = distinctTerms.map(bucketOf(_, nb)).distinct
-    val post = spark.read.parquet(s"$path/postings")
+    phraseCountManyIndexed(spark, path, Seq(0L -> phrase))
+      .select(col("doc_id"), col("n_hits"))
+  }
+
+  /** BATCH phrase counts against a [[buildIndex]] store —
+    * `(phrase_id, doc_id, n_hits)` for every (phrase, document) pair with
+    * ≥ 1 exact contiguous occurrence; each phrase's rows are identical to
+    * its own [[phraseCountIndexed]] (which is how the gate oracles it).
+    * The contamination-probe serving shape: real decontamination runs
+    * check THOUSANDS of benchmark phrases, priced here as ONE read of the
+    * union of the phrases' buckets instead of |phrases| separate jobs —
+    * the [[rankMany]] batching shape applied to positions.
+    *
+    * == 100 TB design ==
+    * Reads only the distinct terms' bucket directories once (pruned +
+    * term-pushed scan); ONE doc-keyed aggregation assembles every term's
+    * position list per doc (each per-term max touches ≤ 1 posting row);
+    * each phrase's occurrence count is then a row-local array expression,
+    * exploded to narrow `(phrase_id, doc_id, n_hits)` rows. Phrases are
+    * plan literals — the batch must be driver-bounded (like [[rankMany]]'s
+    * queries). */
+  def phraseCountManyIndexed(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    require(phrases.map(_._1).distinct.length == phrases.length,
+      s"duplicate phrase ids: ${phrases.map(_._1)}")
+    phrases.foreach { case (pid, ts) =>
+      require(ts.nonEmpty, s"phrase $pid is empty") }
+    val st = readStats(spark, path)
+    val distinctTerms = phrases.flatMap(_._2).distinct
+    val qBuckets = distinctTerms.map(bucketOf(_, st.nBuckets)).distinct
+    val post = spark.read.parquet(s"$path/${st.postingsDir}")
       .filter(col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
     def posCol(t: String): String = s"__p${distinctTerms.indexOf(t)}"
@@ -345,16 +446,21 @@ object Bm25 {
     val perTerm = distinctTerms.map(t =>
       max(when(col("term") === t, col("pos"))).as(posCol(t)))
     val g = post.groupBy(col("doc_id")).agg(perTerm.head, perTerm.tail: _*)
-    val present = distinctTerms.map(t => col(posCol(t)).isNotNull)
-      .reduceLeft(_ && _)
-    val cnt =
-      if (phrase.length == 1) size(col(posCol(phrase.head))).cast("long")
-      else size(filter(col(posCol(phrase.head)), p =>
-        phrase.zipWithIndex.tail.map { case (t, j) =>
-          array_contains(col(posCol(t)), p + j)
-        }.reduceLeft(_ && _))).cast("long")
-    g.filter(present)
-      .select(col("doc_id"), cnt.as("n_hits"))
+    val perPhrase = phrases.map { case (pid, phrase) =>
+      val present = phrase.distinct.map(t => col(posCol(t)).isNotNull)
+        .reduceLeft(_ && _)
+      val cnt =
+        if (phrase.length == 1) size(col(posCol(phrase.head))).cast("long")
+        else size(filter(col(posCol(phrase.head)), p =>
+          phrase.zipWithIndex.tail.map { case (t, j) =>
+            array_contains(col(posCol(t)), p + j)
+          }.reduceLeft(_ && _))).cast("long")
+      struct(lit(pid).cast("long").as("phrase_id"),
+        when(present, cnt).otherwise(lit(0L)).as("n_hits"))
+    }
+    g.select(col("doc_id"), explode(array(perPhrase: _*)).as("__ph"))
+      .select(col("__ph.phrase_id").as("phrase_id"), col("doc_id"),
+        col("__ph.n_hits").as("n_hits"))
       .filter(col("n_hits") > 0L)
   }
 
@@ -377,16 +483,15 @@ object Bm25 {
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
-    val st = spark.read.parquet(s"$path/stats").head
-    val nDocs = st.getAs[Long]("n_docs")
-    val totalDl = st.getAs[Long]("total_dl")
-    val nb = st.getAs[Int]("n_buckets")
+    val st = readStats(spark, path)
+    val nDocs = st.nDocs
+    val totalDl = st.totalDl
     require(totalDl > 0L,
       s"Bm25.topKIndexed: degenerate index (all documents empty; " +
         s"n_docs=$nDocs)")
     val distinctTerms = terms.distinct
-    val qBuckets = distinctTerms.map(bucketOf(_, nb)).distinct
-    val dfMap: Map[String, Long] = spark.read.parquet(s"$path/df")
+    val qBuckets = distinctTerms.map(bucketOf(_, st.nBuckets)).distinct
+    val dfMap: Map[String, Long] = spark.read.parquet(s"$path/${st.dfDir}")
       .filter(col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
       .select(col("term"), col("df")).collect()
@@ -394,7 +499,7 @@ object Bm25 {
     val n = lit(nDocs.toDouble)
     val avgdl = lit(totalDl.toDouble) / n // same IEEE division as rank's
     val dl = col("dl").cast("double")
-    val post = spark.read.parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$path/${st.postingsDir}")
       .filter(col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
     val perTerm = terms.zipWithIndex.map { case (t, i) =>

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Ceiling on the probe-key literals [[minhashDedupAgainstIndex]] will
+    * push into the stored-key parquet scan (16 keys/doc → a ≤ 16-doc
+    * micro-batch, the trickle-ingest shape). Beyond it the probe falls
+    * back to the broadcast semi-join; results are identical either way.
+    * Bounded at 256 because parquet-mr's pushed In is a RECURSIVE
+    * or(or(...)) tree — thousands of literals overflow the evaluator's
+    * stack (observed at ~8k), and Spark's own default threshold (10)
+    * exists for that reason. */
+  val MaxPushedProbeKeys: Int = 256
+
   // ---------- exact ----------
 
   /** Exact dedup: keep the minimum-id row per distinct normalized text.
@@ -347,13 +357,15 @@ object Dedup {
   def buildMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                         df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numPerms: Int = 64,
-                        numBands: Int = 16): Unit = {
+                        numBands: Int = 16, numKeyBuckets: Int = 64): Unit = {
     import spark.implicits._
-    Seq((shingleN, numPerms, numBands))
-      .toDF("shingle_n", "num_perms", "num_bands")
+    require(numKeyBuckets >= 1,
+      s"numKeyBuckets must be >= 1, got $numKeyBuckets")
+    Seq((shingleN, numPerms, numBands, numKeyBuckets))
+      .toDF("shingle_n", "num_perms", "num_bands", "num_key_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     writeMinhashRows(df, textCol, idCol, shingleN, numPerms, numBands,
-      path, "overwrite")
+      numKeyBuckets, path, "overwrite")
   }
 
   /** Append a new batch to an existing [[buildMinhashIndex]] store: keys
@@ -364,27 +376,49 @@ object Dedup {
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, newDocs: DataFrame,
                            textCol: String, idCol: String): Unit = {
-    val (sn, np, nb) = readMinhashMeta(spark, path)
-    writeMinhashRows(newDocs, textCol, idCol, sn, np, nb, path, "append")
+    val (sn, np, nb, nkb) = readMinhashMeta(spark, path)
+    writeMinhashRows(newDocs, textCol, idCol, sn, np, nb, nkb, path, "append")
   }
 
   private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
-                              path: String): (Int, Int, Int) = {
+                              path: String): (Int, Int, Int, Int) = {
     val m = spark.read.parquet(s"$path/meta").head()
     (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_perms"),
-      m.getAs[Int]("num_bands"))
+      m.getAs[Int]("num_bands"), m.getAs[Int]("num_key_buckets"))
   }
+
+  /** Directory bucket of a band key — `pmod(band_key, B)`: band keys are
+    * already uniform 64-bit hashes, so the modulus is a uniform shard. */
+  private def keyBucket(bandKey: Column, numKeyBuckets: Int): Column =
+    pmod(bandKey, lit(numKeyBuckets.toLong)).cast("int")
 
   private def writeMinhashRows(df: DataFrame, textCol: String, idCol: String,
                                shingleN: Int, numPerms: Int, numBands: Int,
-                               path: String, mode: String): Unit = {
-    minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
-      .write.mode(mode).parquet(s"$path/keys")
+                               numKeyBuckets: Int, path: String,
+                               mode: String): Unit = {
+    // SHINGLES land before KEYS: a candidate pair can only exist once both
+    // ids' band keys are visible, and verification inner-joins shingles —
+    // so writing shingles first means a probe racing an append can never
+    // generate a candidate whose shingles are not yet stored (which
+    // verifyShingledPairs would silently drop, a missed duplicate). The
+    // reverse order was the ADVICE r15 race. A probe between the two
+    // writes simply doesn't see the new docs yet — clean, not wrong.
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
     df.select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(shingleN)(words).as("sh"))
       .write.mode(mode).parquet(s"$path/shingles")
+    // keys land bucket-partitioned (`bucket = pmod(band_key, B)` directory
+    // partitions) and band_key-SORTED within each file: a probe prunes to
+    // the batch's touched bucket directories at the source, so its read
+    // tracks the matched shards — not the whole key table — and the
+    // sorted row groups keep min/max footer stats tight for any future
+    // key-range push. The same treatment as [[graft.ext.Bm25.buildIndex]].
+    minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
+      .withColumn("bucket", keyBucket(col("band_key"), numKeyBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("band_key"), col("doc_id"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/keys")
   }
 
   /** Near-duplicate pairs of a NEW batch against a [[buildMinhashIndex]]
@@ -406,16 +440,36 @@ object Dedup {
                                textCol: String, idCol: String,
                                threshold: Double = 0.8,
                                maxBucket: Int = 1000): DataFrame = {
-    val (sn, np, nb) = readMinhashMeta(spark, path)
+    val (sn, np, nb, nkb) = readMinhashMeta(spark, path)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
       .localCheckpoint(true) // reused by three joins below
-    // the batch's distinct band keys are BROADCAST: 16 longs per batch doc
-    // — the incremental regime is batch ≪ index, and without the hint the
-    // semi-join shuffles the whole stored key table (measured 112 MB at
-    // the 100× decade vs ~1 MB broadcast). A batch too big to broadcast
-    // belongs in the batch operator, not the incremental probe.
-    val touched = spark.read.parquet(s"$path/keys")
-      .join(broadcast(newKeys.select(col("band_key")).distinct()),
+    // SOURCE-LEVEL pruning first: the stored key table is bucket-
+    // partitioned by pmod(band_key, B), so the batch's touched bucket set
+    // (≤ B ints, collected driver-side — bounded by the layout, not the
+    // data) prunes whole directories out of the scan; the probe's stored-
+    // key read tracks the matched shards instead of the full table.
+    val touchedBuckets = newKeys
+      .select(keyBucket(col("band_key"), nkb).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // POINT-LOOKUP regime: when the batch's distinct band keys fit the
+    // driver trivially (≤ MaxPushedProbeKeys — the streaming micro-batch
+    // shape), the key-membership test goes INTO the parquet scan as an
+    // isin predicate over the band_key-SORTED row groups: with the
+    // engine's `spark.sql.parquet.pushdown.inFilterThreshold` raised
+    // (GraftSession.tune), parquet min/max skips every row group holding
+    // none of the probed keys, so stored-key scan bytes track the BATCH,
+    // not the index (sublinear — the honest-list-5 close). Larger batches
+    // fall back to the broadcast semi-join over the pruned buckets
+    // (linear in the matched shards, still never a full-table shuffle).
+    val storedKeys = spark.read.parquet(s"$path/keys")
+      .filter(col("bucket").isin(touchedBuckets: _*))
+      .select(col("doc_id"), col("band_key"))
+    val probeKeys = newKeys.select(col("band_key")).distinct()
+      .limit(MaxPushedProbeKeys + 1).collect().map(_.getLong(0))
+    val touched =
+      if (probeKeys.length <= MaxPushedProbeKeys)
+        storedKeys.filter(col("band_key").isin(probeKeys.sorted: _*))
+      else storedKeys.join(broadcast(newKeys.select(col("band_key")).distinct()),
         Seq("band_key"), "left_semi")
     // the SAME maxBucket demotion the self-join uses — shared annotation,
     // not a parallel re-implementation

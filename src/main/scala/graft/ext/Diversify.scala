@@ -40,6 +40,13 @@ import graft.ml.ExactKMeans
   */
 object Diversify {
 
+  /** k at or above which assignment routes to
+    * [[ExactKMeans.assignByDistancePruned]] (bit-identical output —
+    * test-pinned): the dense form's k plan literals per row pass codegen
+    * limits and O(k·dim)/row work around this point, while the pruned
+    * form is O(√k·dim)/row. Below it, the codegen'd dense form wins. */
+  val PrunedAssignMinK: Int = 4096
+
   /** Per-row keep verdicts: `(id, kept)` for EVERY input row — `kept` is
     * false for the `floor(cellSize·dropNum/dropDen)` most-prototypical
     * members of each k-means cell. Compose with a row mask to realize the
@@ -67,8 +74,12 @@ object Diversify {
     require(dropDen >= 1L, s"dropDen must be >= 1, got $dropDen")
     require(dropNum >= 0L && dropNum <= dropDen,
       s"dropNum must be in [0, dropDen], got $dropNum/$dropDen")
-    val assigned = ExactKMeans.assignByDistance(df, col(idCol).cast("long"),
-      col(vecCol), fit)
+    val assigned =
+      if (fit.k >= PrunedAssignMinK)
+        ExactKMeans.assignByDistancePruned(df, col(idCol).cast("long"),
+          col(vecCol), fit)
+      else ExactKMeans.assignByDistance(df, col(idCol).cast("long"),
+        col(vecCol), fit)
     // per-cell rank AND per-cell count over the SAME partitioning: both
     // windows are PARTITIONED by cell (parallel, never a single-partition
     // global window) and share one exchange + one corpus scan — a

@@ -65,7 +65,9 @@ object Profile {
       extends Aggregator[Long, Array[Long], Array[Long]] {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     def zero: Array[Long] = Array.emptyLongArray
-    def reduce(b: Array[Long], h: Long): Array[Long] = kmvInsert(b, h, k)
+    def reduce(b: Array[Long], h: Long): Array[Long] =
+      if (h < 0L) b // null sentinel from kmvAgg — skipped, see below
+      else kmvInsert(b, h, k)
     def merge(a: Array[Long], b: Array[Long]): Array[Long] =
       mergeKmv(a, b, k)
     def finish(b: Array[Long]): Array[Long] = b
@@ -75,9 +77,16 @@ object Profile {
       ExpressionEncoder[Array[Long]]()
   }
 
-  /** The sketch as an aggregate Column over a pre-hashed long column. */
+  /** The sketch as an aggregate Column over a pre-hashed long column.
+    * NULL inputs (a null value hashes to null) are SKIPPED — the sketch
+    * counts distinct non-null values, matching `count(DISTINCT x)` /
+    * `sum()` null semantics and the DuckDB oracle's `WHERE x IS NOT NULL`
+    * replay. Mechanically: the hash space is [0, 2⁶⁰), so nulls coalesce
+    * to −1 before the primitive-Long input encoder (which would otherwise
+    * throw on a null in a non-nullable field) and `reduce` ignores
+    * negatives. */
   def kmvAgg(hashed: Column, k: Int): Column =
-    udaf(new KmvAggregator(k)).apply(hashed)
+    udaf(new KmvAggregator(k)).apply(coalesce(hashed, lit(-1L)))
 
   /** Union of two sketches at size k — the SAME bounded merge the
     * aggregator's partials use, exposed for cross-batch state (the

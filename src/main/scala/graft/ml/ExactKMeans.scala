@@ -146,6 +146,126 @@ object ExactKMeans {
     * WITHIN-cell orderings (the [[graft.ext.Diversify]] prototypicality
     * rank) are collapse-free and replay as integer SQL. Map-only over
     * k×dim plan literals, like [[assign]]. */
+  /** EXACT pruned assignment — identical `(id, cell, d2)` to
+    * [[assignByDistance]] at any k (equality is test-pinned, including
+    * the first-min tie-break), but per-row cost O((g + probed)·dim)
+    * instead of O(k·dim): the k centroids are grouped driver-side into
+    * g ≈ √k balls (center + max-member radius), and for a row x the
+    * triangle inequality d(x,m) ≥ d(x,c_j) − r_j skips every group whose
+    * lower bound already exceeds the best exact distance found — a
+    * PRUNING rule, never an approximation (the bound comparison is done
+    * with an integer-safe slack, so float sqrt error can only UNDER-prune).
+    * This is the D4 large-k regime ([[graft.ext.Diversify]] routes k ≥
+    * its threshold here): at k = 10⁴ the dense form is ~10⁴ plan literals
+    * per row — past codegen limits and 30–50× this path's work. One
+    * mapPartitions-free UDF pass, no join, no shuffle; driver state is
+    * the same k×dim matrix the dense form already broadcasts as literals.
+    */
+  def assignByDistancePruned(df: DataFrame, idCol: Column, vec: Column,
+                             fit: Fit): DataFrame = {
+    val qm = fit.qm
+    val maxAbs = fit.maxAbsInput
+    require(qm.nonEmpty, "assignByDistancePruned: empty centroid set")
+    val dim = qm(0).length
+    val g = math.max(1, math.ceil(math.sqrt(qm.length.toDouble)).toInt)
+    val (centers, members, r2) = groupCentroids(qm, g)
+    val assignUdf = udf { v: scala.collection.Seq[Double] =>
+      if (v == null) null
+      else {
+        require(v.length == dim,
+          s"ExactKMeans: vector length ${v.length} != centroid dim $dim")
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          val x = v(i)
+          if (math.abs(x) > maxAbs) throw new IllegalArgumentException(
+            s"ExactKMeans: |feature| exceeds maxAbsInput=$maxAbs " +
+              s"(quantized-exact contract): $x")
+          q(i) = roundHalfUp(x * 1e6)
+          i += 1
+        }
+        def d2To(m: Array[Long]): Long = {
+          var s = 0L; var d = 0
+          while (d < dim) { val t = q(d) - m(d); s += t * t; d += 1 }
+          s
+        }
+        val dxc = centers.map(d2To)
+        // nearest-group-first visit order maximizes early pruning
+        val order = centers.indices.sortBy(dxc(_))
+        var best = Long.MaxValue
+        var bestIdx = -1
+        for (j <- order) {
+          // prune group j iff sqrt(dxc) − sqrt(r2) > sqrt(best), i.e.
+          // dxc > best + r2 + 2·sqrt(best·r2); the +4.0 slack covers the
+          // double sqrt's rounding (operands ≤ 2⁵³), making the prune
+          // strictly conservative over the exact integer inequality
+          val skip = best != Long.MaxValue &&
+            dxc(j).toDouble >
+              best.toDouble + r2(j).toDouble +
+                2.0 * math.sqrt(best.toDouble * r2(j).toDouble) + 4.0
+          if (!skip) {
+            for (ci <- members(j)) {
+              val d2 = d2To(qm(ci))
+              if (d2 < best || (d2 == best && ci < bestIdx)) {
+                best = d2; bestIdx = ci
+              }
+            }
+          }
+        }
+        (bestIdx, best)
+      }
+    }
+    df.select(idCol.as("id"), assignUdf(vec.cast("array<double>")).as("__a"))
+      .select(col("id"), col("__a._1").as("cell"), col("__a._2").as("d2"))
+  }
+
+  /** Driver-side Lloyd grouping of the centroid matrix into `g` balls:
+    * (group centers, member centroid indices per group, squared radius
+    * per group). Deterministic: evenly-strided member seeds, 5 integer
+    * Lloyd rounds with first-min ties and half-up rounded means, empty
+    * groups keep their center. Cost O(k·g·dim·rounds) driver flops —
+    * trivial next to one executor task at the k this serves. */
+  private def groupCentroids(qm: Array[Array[Long]], g: Int)
+      : (Array[Array[Long]], Array[Array[Int]], Array[Long]) = {
+    val k = qm.length
+    val dim = qm(0).length
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var d = 0
+      while (d < dim) { val t = a(d) - b(d); s += t * t; d += 1 }
+      s
+    }
+    var centers = Array.tabulate(math.min(g, k))(i =>
+      qm((i.toLong * k / g).toInt).clone())
+    var assign = new Array[Int](k)
+    for (_ <- 0 until 5) {
+      var c = 0
+      while (c < k) {
+        var best = Long.MaxValue; var bi = 0; var j = 0
+        while (j < centers.length) {
+          val dd = d2(qm(c), centers(j))
+          if (dd < best) { best = dd; bi = j }
+          j += 1
+        }
+        assign(c) = bi
+        c += 1
+      }
+      centers = centers.indices.map { j =>
+        val mem = (0 until k).filter(assign(_) == j)
+        if (mem.isEmpty) centers(j)
+        else Array.tabulate(dim) { d =>
+          roundHalfUp(mem.map(ci => qm(ci)(d).toDouble).sum / mem.length)
+        }
+      }.toArray
+    }
+    val members = centers.indices
+      .map(j => (0 until k).filter(assign(_) == j).toArray).toArray
+    val r2 = centers.indices.map { j =>
+      if (members(j).isEmpty) 0L
+      else members(j).map(ci => d2(qm(ci), centers(j))).max
+    }.toArray
+    (centers, members, r2)
+  }
+
   def assignByDistance(df: DataFrame, idCol: Column, vec: Column,
                        fit: Fit): DataFrame = {
     val maxAbs = fit.maxAbsInput

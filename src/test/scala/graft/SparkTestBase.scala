@@ -31,6 +31,6 @@ object SparkTestBase {
         .createTempDirectory("graft-warehouse-").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    s
+    GraftSession.tune(s)
   }
 }

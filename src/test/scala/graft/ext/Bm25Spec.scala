@@ -117,7 +117,7 @@ class Bm25Spec extends SparkTestBase {
       (i, s"w${i % 7} w${i % 5} shared")).toDF("doc_id", "text")
     val idx = java.nio.file.Files.createTempDirectory("bm25-idx2-").toString
     Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 16)
-    val buckets = new java.io.File(s"$idx/postings").listFiles()
+    val buckets = new java.io.File(s"$idx/postings_v0").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(buckets > 2, s"fixture too small to show pruning ($buckets dirs)")
     val probe = Bm25.topKIndexed(spark, idx, Seq("shared"), k = 5)
@@ -195,6 +195,79 @@ class Bm25Spec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       .filter(_._3 > 0L)
     assert(probe(idxFull).take(scan.length) === scan)
+  }
+
+  test("compaction shrinks postings files and changes no probe answer") {
+    val rng = new scala.util.Random(31)
+    val vocab = Seq("uno", "dos", "tres", "cuatro")
+    val all = (1L to 48L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-cpt-").toString
+    Bm25.buildIndex(all.filter(_._1 <= 12).toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 4)
+    // many micro-appends: each leaves one more file per touched bucket
+    for (lo <- Seq(13L, 22L, 31L, 40L))
+      Bm25.appendToIndex(
+        all.filter(t => t._1 >= lo && t._1 < lo + 9).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+    def parquetFiles(dir: String): Int = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.iterator().asScala.count(p =>
+        p.toString.contains(dir) && p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    def probes() = (
+      Bm25.topKIndexed(spark, idx, Seq("uno", "tres"), k = 15).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      Bm25.phraseCountIndexed(spark, idx, Seq("dos", "dos"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    val before = probes()
+    val filesBefore = parquetFiles("postings_v0")
+    Bm25.compactIndex(spark, idx)
+    val filesAfter = parquetFiles("postings_v1")
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink: $filesBefore -> $filesAfter files")
+    assert(probes() === before, "compaction changed a probe answer")
+    // superseded versions are pruned down to current + previous
+    val dirs = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(dirs.contains("postings_v1") && dirs.contains("postings_v0"))
+    // a second compaction prunes v0 (older than previous)
+    Bm25.compactIndex(spark, idx)
+    val dirs2 = new java.io.File(idx).listFiles().map(_.getName).toSet
+    assert(dirs2.contains("postings_v2") && dirs2.contains("postings_v1")
+      && !dirs2.contains("postings_v0"))
+    assert(probes() === before)
+  }
+
+  test("batch phrase probe equals each phrase's own indexed count") {
+    val docs = Seq(
+      (1L, "a b c a b"), (2L, "a a a"), (3L, "b a c"),
+      (4L, "x y z"), (5L, "c a b")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-mph-").toString
+    Bm25.buildIndex(docs, "doc_id", "text", idx, numBuckets = 4)
+    val phrases = Seq(0L -> Seq("a", "b"), 1L -> Seq("a", "a"),
+      2L -> Seq("a", "b", "c"), 3L -> Seq("a"), 4L -> Seq("missing", "b"))
+    val batch = Bm25.phraseCountManyIndexed(spark, idx, phrases)
+      .orderBy(col("phrase_id"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val solo = phrases.flatMap { case (pid, p) =>
+      Bm25.phraseCountIndexed(spark, idx, p).orderBy(col("doc_id"))
+        .collect().map(r => (pid, r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(batch === solo)
+    intercept[IllegalArgumentException] {
+      Bm25.phraseCountManyIndexed(spark, idx, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.phraseCountManyIndexed(spark, idx,
+        Seq(0L -> Seq("a"), 0L -> Seq("b")))
+    }
+    intercept[IllegalArgumentException] {
+      Bm25.phraseCountManyIndexed(spark, idx, Seq(0L -> Seq.empty))
+    }
   }
 
   test("rankMany validates ids, empty queries, and empty term lists") {

@@ -91,7 +91,7 @@ class ExtSpec extends SparkTestBase {
     Dedup.buildMinhashIndex(spark, d2, (a ++ b).toDF("doc_id", "text"),
       "text", "doc_id")
     def keySet(p: String) = spark.read.parquet(s"$p/keys")
-      .as[(Long, Long)].collect().toSet
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
     def shSet(p: String) = spark.read.parquet(s"$p/shingles")
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet
     assert(keySet(d1) == keySet(d2))
@@ -102,6 +102,37 @@ class ExtSpec extends SparkTestBase {
         "text", "doc_id", threshold = 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(probe == Set((20L, 5000L)))
+  }
+
+  test("incremental minhash probe prunes to the batch's key buckets") {
+    // the stored key table is bucket-partitioned by pmod(band_key, B); a
+    // small batch touches few buckets, so the probe's stored-key scan must
+    // plan a strict subset of the bucket directories (honest-list 5)
+    val a = (0 until 40).map(i =>
+      (i.toLong, (0 until 30).map(j => s"pb${i}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhprn-").toString
+    Dedup.buildMinhashIndex(spark, dir, a.toDF("doc_id", "text"),
+      "text", "doc_id", numKeyBuckets = 32)
+    val allBuckets = new java.io.File(s"$dir/keys").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(allBuckets > 4, s"fixture too small ($allBuckets bucket dirs)")
+    val probe = Dedup.minhashDedupAgainstIndex(spark, dir,
+      Seq((9000L, a.head._2)).toDF("doc_id", "text"), "text", "doc_id")
+    val keysScans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("keys")) => f
+    }
+    assert(keysScans.nonEmpty, "no stored-keys scan in the probe plan")
+    // one batch doc → 16 band keys → at most 16 of the 32 bucket dirs
+    assert(keysScans.map(_.selectedPartitions.partitionCount).max <= 16,
+      s"probe planned ${keysScans.map(_.selectedPartitions.partitionCount)}" +
+        s" of $allBuckets key buckets — pruning is not happening")
+    // point-lookup regime: the batch's key membership is PUSHED into the
+    // scan (per-value parquet predicates over key-sorted row groups —
+    // the sublinear-read mechanism), not just joined after the read
+    assert(keysScans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("In(band_key"))),
+      keysScans.map(_.metadata.getOrElse("PushedFilters", "?")).mkString("; "))
   }
 
   test("simhash: hamming≤max candidates guaranteed by pigeonhole banding") {

@@ -34,6 +34,21 @@ class ProfileSpec extends SparkTestBase {
     assert(out == ((82L, 4L)))
   }
 
+  test("null values are skipped, matching count(DISTINCT) semantics") {
+    // a corpus with null text must not crash the primitive-Long encoder
+    // (ADVICE r15) and must count distinct NON-null values
+    val df = Seq(("g", "a"), ("g", null), ("g", "b"), ("g", null),
+      ("g", "a")).toDF("g", "v")
+    val out = Profile.distinctEstimate(df, "g", "v", k = 16)
+      .select("n_rows", "est_distinct").as[(Long, Long)].head()
+    assert(out == ((5L, 2L))) // n_rows counts all rows; distinct skips nulls
+    // all-null group: empty sketch, estimate 0
+    val allNull = Seq(("g", null: String), ("g", null: String)).toDF("g", "v")
+    val z = Profile.distinctEstimate(allNull, "g", "v", k = 16)
+      .select("est_distinct").as[Long].head()
+    assert(z == 0L)
+  }
+
   test("sketch is a pure function of the value set: partitioning and dup invariance") {
     val base = (0 until 500).map(i => ("g", s"x$i")).toDF("g", "v")
     val dup = base.union(base).union(base).repartition(17)

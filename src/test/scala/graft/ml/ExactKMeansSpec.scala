@@ -104,6 +104,35 @@ class ExactKMeansSpec extends SparkTestBase {
     }
   }
 
+  test("pruned assignment equals dense, cell for cell, d2 for d2") {
+    // 400 rows, 48 member-init centroids: enough groups (g = 7) that the
+    // triangle-inequality pruning genuinely fires, seeded so reruns pin
+    // the same fixture; equality must hold including ties (duplicate
+    // centroid vectors map to the FIRST index, both paths)
+    val rng = new scala.util.Random(101)
+    val base = (0L until 400L).map(i =>
+      (i, Seq.fill(8)(math.floor(rng.nextDouble() * 200) / 100.0 - 1.0)))
+    // plant a duplicate centroid pair: members 7 and 11 share a vector
+    val rows = base.map { case (i, v) => if (i == 11L) (i, base(7)._2) else (i, v) }
+    val df = rows.toDF("id", "vec").repartition(5)
+    val fit = ExactKMeans.fit(df, "id", "vec", initIds = 0L until 48L,
+      iters = 2)
+    def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val dense = canon(ExactKMeans.assignByDistance(df, col("id"), col("vec"), fit))
+    val pruned = canon(ExactKMeans.assignByDistancePruned(df, col("id"), col("vec"), fit))
+    assert(pruned === dense)
+    // the quantized-exact input contract holds in the pruned path too
+    val bad = Seq((0L, Seq(0.1, 2.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "vec")
+    val e = intercept[org.apache.spark.SparkException] {
+      ExactKMeans.assignByDistancePruned(bad, col("id"), col("vec"), fit)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxAbsInput") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxAbsInput")))
+  }
+
   test("init validation: missing, duplicate, and out-of-bound member ids") {
     val df = Seq((0L, Seq(0.2, 0.0)), (1L, Seq(1.4, 0.0)), (2L, Seq(0.1, 0.3)))
       .toDF("id", "v")
