@@ -250,29 +250,51 @@ object Bm25 {
     writeStats(spark, path, withWs.agg(count(lit(1)),
         coalesce(sum(size(col("__ws")).cast("long")), lit(0L))).head
       match { case r => (r.getLong(0), r.getLong(1)) },
-      nb, "postings_v0", "df_v0")
+      nb, "postings_v0", "df_v0", Nil, "")
   }
 
-  /** Resolved index metadata: counts + the CURRENT table directories. */
+  /** Resolved index metadata: counts + the CURRENT table directories —
+    * `postingsDir` the compacted base, `deltaDirs` the committed append
+    * segments (LSM/Lucene-segment shape), `lastTag` the most recent
+    * append's idempotence tag. */
   private final case class IndexStats(nDocs: Long, totalDl: Long,
                                       nBuckets: Int, postingsDir: String,
-                                      dfDir: String)
+                                      dfDir: String, deltaDirs: List[String],
+                                      lastTag: String)
 
   private def readStats(spark: org.apache.spark.sql.SparkSession,
                         path: String): IndexStats = {
     val st = spark.read.parquet(s"$path/stats").head
     IndexStats(st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"),
       st.getAs[Int]("n_buckets"), st.getAs[String]("postings_dir"),
-      st.getAs[String]("df_dir"))
+      st.getAs[String]("df_dir"),
+      st.getAs[scala.collection.Seq[String]]("delta_dirs").toList,
+      st.getAs[String]("last_tag"))
   }
 
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
                          path: String, counts: (Long, Long), nBuckets: Int,
-                         postingsDir: String, dfDir: String): Unit = {
+                         postingsDir: String, dfDir: String,
+                         deltaDirs: List[String], lastTag: String): Unit = {
     import spark.implicits._
-    Seq((counts._1, counts._2, nBuckets, postingsDir, dfDir))
-      .toDF("n_docs", "total_dl", "n_buckets", "postings_dir", "df_dir")
+    Seq((counts._1, counts._2, nBuckets, postingsDir, dfDir, deltaDirs,
+        lastTag))
+      .toDF("n_docs", "total_dl", "n_buckets", "postings_dir", "df_dir",
+        "delta_dirs", "last_tag")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The index's postings as ONE DataFrame: the compacted base plus every
+    * committed delta segment, `pred` applied to EACH root scan so the
+    * bucket partition pruning and the term pushdown happen per segment. */
+  private def readPostings(spark: org.apache.spark.sql.SparkSession,
+                           path: String, st: IndexStats,
+                           pred: Column): DataFrame = {
+    val cols = Seq("term", "doc_id", "tf", "dl", "pos", "bucket")
+    (st.postingsDir :: st.deltaDirs)
+      .map(d => spark.read.parquet(s"$path/$d").filter(pred)
+        .select(cols.map(col): _*))
+      .reduce(_ unionByName _)
   }
 
   /** `dir_vK` → K. */
@@ -315,24 +337,31 @@ object Bm25 {
 
   /** Append new documents to a [[buildIndex]] store — the 100 TB
     * maintenance story (the text analog of
-    * [[Similarity.appendToIvfIndex]]): a daily crawl appends its postings
-    * into their bucket directories in one bucket-keyed shuffle; the index
-    * is never rebuilt. The df table is merged VOCABULARY-bounded (old df
-    * rows + the batch's own df — never a corpus rescan) into a NEW
-    * versioned directory, and the stats pointer row is rewritten LAST, so
-    * a probe resolving directories through stats always reads a complete
-    * df table. Append == full rebuild is test-asserted bit-for-bit.
+    * [[Similarity.appendToIvfIndex]]): a daily crawl lands as a NEW
+    * bucket-partitioned DELTA SEGMENT (the LSM / Lucene-segment shape —
+    * the live postings are never touched), the df table is merged
+    * VOCABULARY-bounded (old df rows + the batch's own df — never a
+    * corpus rescan) into a new versioned directory, and the stats pointer
+    * row is rewritten LAST. The flip is therefore the batch's ATOMIC
+    * commit: a probe racing an append sees either the whole old index or
+    * the whole new one — never a partial table, never appended postings
+    * scored with stale df. Append == full rebuild is test-asserted
+    * bit-for-bit; [[compactIndex]] folds accumulated segments back into
+    * one base.
     *
-    * Consistency contract (SINGLE WRITER; appends and compactions must
-    * not overlap each other): a probe racing an append sees either the
-    * old index, the new one, or — in the window between the postings
-    * append and the stats flip — the appended postings scored with the
-    * still-old df/stats: bounded staleness on the batch's docs, never a
-    * missing table or a partial df. */
+    * EXACTLY-ONCE ingest: pass a non-empty `tag` (e.g. the micro-batch
+    * id). Every pre-flip effect is written to tag-derived names with
+    * overwrite semantics, and the flip records the tag — so a crashed
+    * attempt leaves only invisible orphans that the retry overwrites, and
+    * a RE-DELIVERED batch (streaming restart replaying an uncommitted
+    * micro-batch whose effects DID land) is detected by `tag ==
+    * last_tag` and skipped whole. Single writer; appends and compactions
+    * must not overlap each other. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-                    path: String): Unit = {
+                    path: String, tag: String = ""): Unit = {
     val spark = docs.sparkSession
     val st = readStats(spark, path)
+    if (tag.nonEmpty && st.lastTag == tag) return // replayed, already applied
     val nb = st.nBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
@@ -340,10 +369,13 @@ object Bm25 {
       Corpus.words(col(textCol)).as("__ws"))
     val postings = postingsOf(withWs, bUdf).persist()
     try {
+      val deltaDir =
+        if (tag.nonEmpty) s"postings_d$tag"
+        else s"postings_d${st.deltaDirs.length}"
       postings.repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("append").partitionBy("bucket")
-        .parquet(s"$path/${st.postingsDir}")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/$deltaDir")
       // vocab-bounded df merge: old table + the batch's own term counts,
       // into a fresh versioned dir (the old one stays readable until the
       // pointer flips + one more cycle, see pruneVersions)
@@ -362,31 +394,45 @@ object Bm25 {
         coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
       writeStats(spark, path,
         (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
-        nb, st.postingsDir, newDfDir)
+        nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag)
       pruneVersions(spark, path, "df", versionOf(newDfDir))
     } finally postings.unpersist()
   }
 
-  /** Compact the postings table of a [[buildIndex]] store: after many
-    * [[appendToIndex]] micro-batches a bucket directory holds one small
-    * file (and one row group) per batch, so the probe's term min/max
-    * skipping degrades toward reading every file's footer. Compaction
-    * rewrites the CURRENT postings term-sorted into a fresh versioned
-    * directory — restoring one-file-per-bucket, full-bucket row-group
-    * runs — and flips the stats pointer last (same counts, new dir), so
-    * probes racing it read either layout, both complete. Cost: one
+  /** Compact a [[buildIndex]] store: fold the accumulated delta segments
+    * and the base into ONE fresh bucket-partitioned, term-sorted postings
+    * version — after thousands of micro-batch appends the probe would
+    * otherwise touch one small file (and row group) per batch and its
+    * term min/max skipping degrades toward footer-reading every segment.
+    * The stats flip (same counts, new base, empty delta list) is the
+    * atomic cutover; probes racing it read either layout, both complete.
+    * Orphan delta dirs on disk but absent from the CURRENT stats —
+    * crashed-append leftovers and segments retired by a previous
+    * compaction, all ≥ one writer cycle old — are swept first. Cost: one
     * bucket-keyed shuffle of the postings, no corpus access. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
     val st = readStats(spark, path)
+    // sweep orphans (not referenced by the stats a concurrent probe could
+    // currently hold): anything postings_d* outside st.deltaDirs
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val live = st.deltaDirs.toSet
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("postings_d") && !live.contains(n)) {
+        try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+    }
     val newDir = s"postings_v${versionOf(st.postingsDir) + 1}"
-    spark.read.parquet(s"$path/${st.postingsDir}")
+    readPostings(spark, path, st, lit(true))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$newDir")
     writeStats(spark, path, (st.nDocs, st.totalDl), st.nBuckets,
-      newDir, st.dfDir)
+      newDir, st.dfDir, Nil, st.lastTag)
     pruneVersions(spark, path, "postings", versionOf(newDir))
   }
 
@@ -438,8 +484,8 @@ object Bm25 {
     val st = readStats(spark, path)
     val distinctTerms = phrases.flatMap(_._2).distinct
     val qBuckets = distinctTerms.map(bucketOf(_, st.nBuckets)).distinct
-    val post = spark.read.parquet(s"$path/${st.postingsDir}")
-      .filter(col("bucket").isin(qBuckets: _*) &&
+    val post = readPostings(spark, path, st,
+      col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
     def posCol(t: String): String = s"__p${distinctTerms.indexOf(t)}"
     // each per-term max touches at most one (doc, term) posting row
@@ -499,8 +545,8 @@ object Bm25 {
     val n = lit(nDocs.toDouble)
     val avgdl = lit(totalDl.toDouble) / n // same IEEE division as rank's
     val dl = col("dl").cast("double")
-    val post = spark.read.parquet(s"$path/${st.postingsDir}")
-      .filter(col("bucket").isin(qBuckets: _*) &&
+    val post = readPostings(spark, path, st,
+      col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t,

@@ -521,6 +521,40 @@ object Streaming {
     graft.ext.Bm25.topKIndexed(spark, path, terms, k)
   }
 
+  /** The PRODUCTION form of [[bm25IngestAvailableNow]] — per-batch results
+    * to a durable SINK instead of a driver collect, EXACTLY-ONCE end to
+    * end across restarts. Per micro-batch: (1) the batch appends to the
+    * index as a delta segment committed by the atomic stats flip, with
+    * the micro-batch id as the idempotence tag — a restart that replays an
+    * uncommitted-but-applied batch is detected and skipped
+    * ([[graft.ext.Bm25.appendToIndex]]); (2) the standing top-k against
+    * the as-of-now index lands at `sink/batch_id=N` with per-directory
+    * overwrite — a replayed batch overwrites its own directory with the
+    * identical verdicts (the index state it probes is identical, because
+    * the replayed append was skipped), never duplicating rows. The sink
+    * is a plain partitioned parquet table: `spark.read.parquet(sink)`
+    * yields (batch_id, rank, doc_id, score_u6) — the per-batch alerting
+    * ledger of a growing corpus. Checkpointed: pass the same
+    * `checkpoint` across restarts; committed batches are never re-read.
+    * Single writer, like every index mutation. */
+  def bm25IngestToSink(docs: DataFrame, path: String, idCol: String,
+                       textCol: String, terms: Seq[String], k: Int,
+                       sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        graft.ext.Bm25.appendToIndex(batch.toDF(), idCol, textCol, path,
+          tag = s"b$bid")
+        graft.ext.Bm25.topKIndexed(spark, path, terms, k)
+          .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming twin of [[graft.ext.Profile.corpusReport]] — the data card
     * of a continuously-growing corpus. Per micro-batch, one aggregation
     * pass produces per-group (count, token, char) partials plus the KMV

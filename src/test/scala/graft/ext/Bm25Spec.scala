@@ -225,7 +225,11 @@ class Bm25Spec extends SparkTestBase {
         .orderBy(col("doc_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq)
     val before = probes()
-    val filesBefore = parquetFiles("postings_v0")
+    // four appends → four delta segments beside the base
+    val deltasBefore = new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("postings_d"))
+    assert(deltasBefore === 4, s"expected 4 delta segments, $deltasBefore")
+    val filesBefore = parquetFiles("postings_")
     Bm25.compactIndex(spark, idx)
     val filesAfter = parquetFiles("postings_v1")
     assert(filesAfter < filesBefore,
@@ -234,12 +238,26 @@ class Bm25Spec extends SparkTestBase {
     // superseded versions are pruned down to current + previous
     val dirs = new java.io.File(idx).listFiles().map(_.getName).toSet
     assert(dirs.contains("postings_v1") && dirs.contains("postings_v0"))
-    // a second compaction prunes v0 (older than previous)
-    Bm25.compactIndex(spark, idx)
+    // the folded-in segments are retired from stats; the orphan sweep of
+    // the NEXT compaction removes them from disk (one writer cycle later)
+    Bm25.appendToIndex(all.filter(_._1 == 1L)
+      .map { case (i, t) => (i + 1000L, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val afterAppend = probes()
+    Bm25.compactIndex(spark, idx) // -> v2
+    val remaining = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("postings_d")).toSet
+    // only the segment retired by THIS compaction may linger; the four
+    // retired by the previous one are gone
+    assert(remaining.subsetOf(Set("postings_d0")),
+      s"stale delta segments not swept: $remaining")
+    // base versions prune down to current + previous
+    Bm25.compactIndex(spark, idx) // -> v3, prunes v0 and v1
     val dirs2 = new java.io.File(idx).listFiles().map(_.getName).toSet
-    assert(dirs2.contains("postings_v2") && dirs2.contains("postings_v1")
-      && !dirs2.contains("postings_v0"))
-    assert(probes() === before)
+    assert(dirs2.contains("postings_v3") && dirs2.contains("postings_v2")
+      && !dirs2.contains("postings_v1") && !dirs2.contains("postings_v0"))
+    assert(probes() === afterAppend,
+      "compaction changed a probe answer after the extra append")
   }
 
   test("batch phrase probe equals each phrase's own indexed count") {

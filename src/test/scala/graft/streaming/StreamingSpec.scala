@@ -490,6 +490,73 @@ class StreamingSpec extends SparkTestBase {
       Seq(0, 1, 2, 3))
   }
 
+  test("bm25 ingest-to-sink: exactly-once across a forced restart replay") {
+    // the PRODUCTION sink form proven end to end: three micro-batches
+    // ingest into the index and write per-batch verdicts to a parquet
+    // sink under a checkpoint; then the last batch's checkpoint COMMIT is
+    // deleted (the standard crash-between-effect-and-commit simulation)
+    // and the stream restarts — Structured Streaming replays batch 2, and
+    // BOTH effects must be idempotent: the index append is skipped by its
+    // tag, the sink directory is overwritten with identical rows.
+    val rng = new scala.util.Random(47)
+    val vocab = Seq("ara", "bele", "cedi", "dodo")
+    def mk(ids: Range) = ids.map(i => (i.toLong,
+      Seq.fill(3 + rng.nextInt(5))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val head = mk(0 until 12)
+    val (b0, b1, b2) = (mk(100 until 108), mk(200 until 208), mk(300 until 308))
+    val idx = java.nio.file.Files.createTempDirectory("graft-sink-idx-").toString
+    val idxFull = java.nio.file.Files.createTempDirectory("graft-sink-full-").toString
+    graft.ext.Bm25.buildIndex(head.toDF("doc_id", "text"),
+      "doc_id", "text", idx, numBuckets = 4)
+    graft.ext.Bm25.buildIndex((head ++ b0 ++ b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", idxFull, numBuckets = 4)
+    val src = java.nio.file.Files.createTempDirectory("graft-sink-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1,b2}/*.parquet")
+    val terms = Seq("ara", "cedi")
+    Streaming.bm25IngestToSink(stream, idx, "doc_id", "text", terms,
+      k = 8, sink, ckpt)
+    def sinkRows() = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("rank"), col("doc_id"),
+        col("score_u6"))
+      .collect().map(_.toSeq).toSet
+    def statsNDocs() = spark.read.parquet(s"$idx/stats")
+      .head.getAs[Long]("n_docs")
+    val rowsBefore = sinkRows()
+    assert(rowsBefore.map(_.head) == Set(0L, 1L, 2L))
+    assert(statsNDocs() == (12 + 24).toLong)
+    // forced replay: drop the LAST batch's commit marker — on restart the
+    // engine believes batch 2 never completed and re-delivers it
+    val commit2 = java.nio.file.Paths.get(ckpt, "commits", "2")
+    assert(java.nio.file.Files.exists(commit2), "checkpoint layout changed")
+    java.nio.file.Files.delete(commit2)
+    // the local FS keeps a checksum sibling; a stale one makes the commit
+    // log's atomic re-create throw FileAlreadyExists ("multiple streaming
+    // queries") instead of committing the replayed batch
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    Streaming.bm25IngestToSink(stream, idx, "doc_id", "text", terms,
+      k = 8, sink, ckpt)
+    // exactly-once: the replay changed NOTHING — no double-counted docs
+    // in the index, no duplicate or altered sink rows
+    assert(statsNDocs() == (12 + 24).toLong,
+      "replayed batch was double-appended to the index")
+    assert(sinkRows() == rowsBefore, "replay altered the sink")
+    // and the final standing query equals the batch build over everything
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(canon(graft.ext.Bm25.topKIndexed(spark, idx, terms, k = 12)) ==
+      canon(graft.ext.Bm25.topKIndexed(spark, idxFull, terms, k = 12)))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
