@@ -231,12 +231,35 @@ object ScaleProbe {
         measure(s"mh index build ${factor}x", s"docs=${5000 * factor}") {
           graft.ext.Dedup.buildMinhashIndex(spark, idx.toString, d,
             "text", "doc_id")
-          spark.read.parquet(s"$idx/keys").count()
+          graft.ext.Dedup.minhashIndexKeys(spark, idx.toString).count()
         }
         val batch = d.filter(col("doc_id") < 500)
           .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
         measure(s"mh index probe ${factor}x",
           s"batch=500 vs idx=${5000 * factor}") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx.toString,
+            batch, "text", "doc_id", threshold = 0.9).count()
+        }
+        // segment accumulation: 16 micro-batch appends (the streaming
+        // ingest shape), then the SAME probe — the per-segment scan
+        // fan-out compaction exists to undo — then compact and re-probe
+        (0 until 16).foreach { i =>
+          graft.ext.Dedup.appendToMinhashIndex(spark, idx.toString,
+            d.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100)
+              .select((col("doc_id") + 90000000L).as("doc_id"), col("text")),
+            "text", "doc_id", tag = s"sw$i")
+        }
+        measure(s"mh probe 17-segment ${factor}x",
+          s"batch=500 vs idx=${5000 * factor}+1600 in 17 segs") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx.toString,
+            batch, "text", "doc_id", threshold = 0.9).count()
+        }
+        measure(s"mh compact ${factor}x", "17 segments -> 1") {
+          graft.ext.Dedup.compactMinhashIndex(spark, idx.toString)
+          graft.ext.Dedup.minhashIndexKeys(spark, idx.toString).count()
+        }
+        measure(s"mh probe compacted ${factor}x",
+          s"batch=500 vs idx=${5000 * factor}+1600 compacted") {
           graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx.toString,
             batch, "text", "doc_id", threshold = 0.9).count()
         }

@@ -944,6 +944,24 @@ object SparkEntry {
         .orderBy(col("group"))
     }),
 
+    "q_doremi" -> ((s, dir) => {
+      // DoReMi-shape domain-mixture reweighting (ext.Mixing, Xie 2023):
+      // domain = language; proxy/reference losses here are cheap
+      // deterministic μ-nat stand-ins (chars·1000 vs tokens·4000 — the
+      // per-language chars-per-token ratio makes the excess genuinely
+      // differ across domains); production feeds LangModel.score /
+      // LLM-logit losses through the same operator. 3 linearized
+      // multiplicative-weights rounds, every iteration replayed as
+      // HUGEINT // chains in the oracle.
+      val d = t(s, dir, "documents")
+        .withColumn("__proxy", (col("n_chars") * lit(1000L)).cast("long"))
+        .withColumn("__ref",
+          TextAnalysis.tokenCount(col("text")).cast("long") * lit(4000L))
+      graft.ext.Mixing.domainWeights(d, "lang", "__proxy", "__ref",
+          rounds = 3, etaU6 = 100000L, smoothU6 = 100000L)
+        .orderBy(col("domain"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       // per-language token-budget fill (the pretraining-mix cut): rank by
       // n_chars DESC (longest-doc priority, deterministic doc_id
@@ -1558,6 +1576,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_compact" -> ((s, dir) => {
+      // MINHASH INDEX COMPACTION under the gate (the q_bm25_compact
+      // treatment): the old corpus arrives as a head build + two TAGGED
+      // segment appends, then compactMinhashIndex folds the three
+      // segments into one bucket-partitioned band_key-sorted table — and
+      // the probe after compaction must STILL equal q_dedup_incr's probe
+      // of the single-shot index bit for bit (shared oracle; compaction
+      // is pure layout).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-mh-compact-").toString
+      // modulo splits: non-empty at every sf (sf0.001 has only 500 docs)
+      Dedup.buildMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 0),
+        "text", "doc_id")
+      Dedup.appendToMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 1),
+        "text", "doc_id", tag = "a")
+      Dedup.appendToMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 2),
+        "text", "doc_id", tag = "b")
+      Dedup.compactMinhashIndex(s, idx)
+      val batch = docs.filter(col("doc_id") < 200)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.minhashDedupAgainstIndex(s, idx, batch,
+          "text", "doc_id", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 8)
@@ -1995,6 +2042,25 @@ object SparkEntry {
         .parquet(tail)
       graft.streaming.Streaming.bm25IngestAvailableNow(stream, idx,
           "doc_id", "text", RrfTerms, k = 10)
+        .orderBy(col("rank"))
+    }),
+
+    "q_bm25_compact" -> ((s, dir) => {
+      // INDEX COMPACTION under the gate: head index + the tail appended
+      // as two delta segments, then compactIndex folds everything into
+      // one term-sorted base (orphan sweep, atomic stats cutover) — the
+      // probe after compaction must STILL equal the q_bm25 corpus scan
+      // bit for bit (shared oracle). This is the long-running-ingest
+      // maintenance path: thousands of micro-batch segments fold back to
+      // one-file-per-bucket min/max-skippable row groups.
+      val idx = copyDir(bm25HeadIndexFor(s, dir))
+      val tailDocs = s.read.parquet(bm25TailFixtureFor(s, dir))
+      Bm25.appendToIndex(tailDocs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, tag = "even")
+      Bm25.appendToIndex(tailDocs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", idx, tag = "odd")
+      Bm25.compactIndex(s, idx)
+      Bm25.topKIndexed(s, idx, RrfTerms, k = 10)
         .orderBy(col("rank"))
     }),
 
@@ -2981,14 +3047,14 @@ object SparkEntry {
   private val PrIters: Int = 8
 
   /** Unrolled quantized-exact PageRank CTEs over the `und` edges
-    * ([[graft.ext.PageRank.ranks]]): `pnodes`/`pdeg`, `p0` = Quant ⌊/⌋ n,
+    * ([[graft.ext.PageRank.ranks]]): `pnodes`/`pdeg`, `p0` = Quant
+    * per node (the per-NODE quantum — n never appears in the update),
     * each `p{i}` one floor-division step — ending at `p$PrIters`. */
   private def pageRankCtes: String = {
     val iters = (1 to PrIters).map { i =>
       s"""p$i AS (
          |  SELECT nn.id,
-         |    CAST((15 * 1000000) // (100 * (SELECT count(*) FROM pnodes))
-         |      AS BIGINT)
+         |    CAST((15 * 1000000) // 100 AS BIGINT)
          |    + CAST((85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS pr_u6
          |  FROM pnodes nn LEFT JOIN (
          |    SELECT e.v AS id, SUM(p.pr_u6 // d.dg) AS s
@@ -2999,9 +3065,7 @@ object SparkEntry {
     s"""pnodes AS (SELECT DISTINCT u AS id FROM und),
        |pdeg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
        |  FROM und GROUP BY 1),
-       |p0 AS (SELECT id,
-       |  CAST(1000000 // (SELECT count(*) FROM pnodes) AS BIGINT) AS pr_u6
-       |  FROM pnodes),
+       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr_u6 FROM pnodes),
        |$iters""".stripMargin
   }
 
@@ -3871,6 +3935,42 @@ object SparkEntry {
         |  min(CASE WHEN cum >= ceil(0.99 * n_docs) THEN len END) AS p99
         |FROM cum JOIN t USING (lang)
         |GROUP BY lang, n_docs ORDER BY lang""".stripMargin,
+
+    // DoReMi mixture replay: per-domain integer mean-excess aggregation,
+    // then every multiplicative-weights round unrolled as a HUGEINT CTE
+    // (u = w·(1e6 + (η·excess)//1e6), normalize by the exact integer Σu,
+    // re-add the uniform smoothing floor) — the PageRank // discipline
+    "q_doremi" -> {
+      val (eta, smooth, rounds) = (100000L, 100000L, 3)
+      val base =
+        s"""WITH ex AS (
+           |  SELECT domain, n_docs, GREATEST(CAST(0 AS BIGINT),
+           |      sp // n_docs - sr // n_docs) AS excess_u6
+           |  FROM (SELECT lang AS domain, COUNT(*) AS n_docs,
+           |    SUM(CAST(n_chars AS BIGINT) * 1000) AS sp,
+           |    SUM(CAST(tok AS BIGINT) * 4000) AS sr
+           |    FROM (SELECT lang, n_chars,
+           |      CASE WHEN length(trim(text)) = 0 THEN 0
+           |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+           |      FROM documents) GROUP BY 1)),
+           |r0 AS (SELECT domain, n_docs, excess_u6,
+           |  CAST(1000000 // (SELECT COUNT(*) FROM ex) AS HUGEINT) AS w
+           |  FROM ex)""".stripMargin
+      val rs = (1 to rounds).map { i =>
+        s"""r$i AS (SELECT domain, n_docs, excess_u6,
+           |  (CAST(${1000000L - smooth} AS HUGEINT) * u) // (SELECT SUM(u)
+           |    FROM (SELECT w * (1000000 + ($eta * excess_u6) // 1000000)
+           |          AS u FROM r${i - 1}))
+           |  + $smooth // (SELECT COUNT(*) FROM ex) AS w
+           |  FROM (SELECT domain, n_docs, excess_u6,
+           |    w * (1000000 + ($eta * excess_u6) // 1000000) AS u
+           |    FROM r${i - 1}))""".stripMargin
+      }
+      (base +: rs).mkString(",\n") +
+        s"""
+           |SELECT domain, n_docs, excess_u6, CAST(w AS BIGINT) AS weight_u6
+           |FROM r$rounds ORDER BY domain""".stripMargin
+    },
 
     "q_token_budget" -> tokenBudgetOracleSql,
 
@@ -5288,6 +5388,9 @@ object SparkEntry {
     // streamed ingest == batch build == corpus scan
     "q_bm25_stream" -> bm25OracleSql("doc_id"),
 
+    // append → append → compact == corpus scan (compaction is pure layout)
+    "q_bm25_compact" -> bm25OracleSql("doc_id"),
+
     // batch-BM25 replay: union stats row, per-query fold branches
     "q_bm25_multi" -> bm25MultiOracleSql(MultiQueries, 10, "doc_id"),
 
@@ -5463,6 +5566,10 @@ object SparkEntry {
     // micro-batch; the probe-then-append multi-batch equality is pinned
     // in StreamingSpec), so it shares the replay verbatim
     "q_incr_stream" -> incrDedupOracleSql,
+
+    // build → tagged append ×2 → compact == the single-shot index
+    // (compaction is pure layout), so the probe shares the replay verbatim
+    "q_dedup_compact" -> incrDedupOracleSql,
 
     "q_dedup_minhash_planted" ->
       """WITH u AS (

@@ -340,17 +340,19 @@ object Dedup {
     * workflow (the [[graft.ext.Similarity.buildIvfIndex]] treatment applied
     * to text dedup). Layout:
     *
-    *  - `path/meta` — one row (shingle_n, num_perms, num_bands): queries
-    *    and appends read parameters from the store, so a probe can never
-    *    silently hash with different constants than the index.
-    *  - `path/keys` — (doc_id, band_key): the banded LSH keys, 16 longs
-    *    per doc; the only thing a probe joins at candidate time.
-    *  - `path/shingles` — (jid, sh): each doc's distinct hashed shingles,
-    *    8 bytes/gram — what exact-Jaccard verification of an old↔new
-    *    candidate needs without re-reading old TEXT. The verify scan is
-    *    candidate-semi-joined and columnar; storing it is the price of
-    *    keeping verification exact, and it is still ≈ an order smaller
-    *    than the documents.
+    *  - `path/meta` — one row (shingle_n, num_perms, num_bands, …,
+    *    segments, last_tag): queries and appends read parameters from the
+    *    store, so a probe can never silently hash with different
+    *    constants than the index; `segments` is the MANIFEST — the list
+    *    of committed segment dirs, flipped atomically on every append.
+    *  - `path/&lt;seg&gt;/keys` — (doc_id, band_key): the banded LSH keys, 16
+    *    longs per doc; the only thing a probe joins at candidate time.
+    *  - `path/&lt;seg&gt;/shingles` — (jid, sh): each doc's distinct hashed
+    *    shingles, 8 bytes/gram — what exact-Jaccard verification of an
+    *    old↔new candidate needs without re-reading old TEXT. The verify
+    *    scan is candidate-semi-joined and columnar; storing it is the
+    *    price of keeping verification exact, and it is still ≈ an order
+    *    smaller than the documents.
     *
     * Ids must be globally unique across the index and every future batch
     * (the ingest norm — ids assigned on arrival). */
@@ -358,33 +360,170 @@ object Dedup {
                         df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numPerms: Int = 64,
                         numBands: Int = 16, numKeyBuckets: Int = 64): Unit = {
-    import spark.implicits._
     require(numKeyBuckets >= 1,
       s"numKeyBuckets must be >= 1, got $numKeyBuckets")
-    Seq((shingleN, numPerms, numBands, numKeyBuckets))
-      .toDF("shingle_n", "num_perms", "num_bands", "num_key_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     writeMinhashRows(df, textCol, idCol, shingleN, numPerms, numBands,
-      numKeyBuckets, path, "overwrite")
+      numKeyBuckets, s"$path/seg_base")
+    writeMinhashMeta(spark, path, shingleN, numPerms, numBands,
+      numKeyBuckets, List("seg_base"), "")
   }
 
-  /** Append a new batch to an existing [[buildMinhashIndex]] store: keys
-    * and shingles hash with the STORED parameters, so appended rows stay
-    * comparable with every existing row (append == rebuild is
-    * test-asserted). Typically called after [[minhashDedupAgainstIndex]]
-    * has emitted the batch's duplicate verdicts. */
+  /** Append a new batch to an existing [[buildMinhashIndex]] store as a
+    * SEGMENT committed by the meta manifest flip (the
+    * [[graft.ext.Bm25.appendToIndex]] LSM discipline): keys and shingles
+    * hash with the STORED parameters so appended rows stay comparable
+    * with every existing row (append == rebuild is test-asserted), the
+    * segment lands whole under a fresh directory, and the meta row —
+    * written LAST — is the batch's atomic commit: a probe racing an
+    * append sees the whole old index or the whole new one. With a
+    * non-empty `tag` the append is EXACTLY-ONCE: a replayed batch whose
+    * effects landed (streaming restart) is detected by `tag == last_tag`
+    * and skipped whole; a crashed attempt's segment dir is invisible
+    * (unreferenced) and the retry overwrites it. Duplicate segment rows
+    * would CORRUPT exact-Jaccard verification (shingle multisets joined
+    * twice), which is why ingest idempotence is structural here, not
+    * best-effort. Single writer. Typically called after
+    * [[minhashDedupAgainstIndex]] has emitted the batch's verdicts. */
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, newDocs: DataFrame,
-                           textCol: String, idCol: String): Unit = {
-    val (sn, np, nb, nkb) = readMinhashMeta(spark, path)
-    writeMinhashRows(newDocs, textCol, idCol, sn, np, nb, nkb, path, "append")
+                           textCol: String, idCol: String,
+                           tag: String = ""): Unit = {
+    val m = readMinhashMeta(spark, path)
+    if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
+    if (newDocs.isEmpty) return // idle micro-batch: no junk segment
+    val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.segments.length}"
+    writeMinhashRows(newDocs, textCol, idCol, m.shingleN, m.numPerms,
+      m.numBands, m.numKeyBuckets, s"$path/$seg")
+    writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
+      m.numKeyBuckets, m.segments :+ seg, tag)
   }
 
+  /** COMPACT a segmented [[buildMinhashIndex]] store back to one segment —
+    * the maintenance path after long-running ingest (thousands of
+    * micro-batch segments each a sliver of the key space): every
+    * committed segment's keys fold into one bucket-partitioned,
+    * band_key-sorted table (restoring one-file-per-bucket min/max
+    * skipping) and the shingles into one table, under a FRESH segment dir
+    * committed by the manifest flip. Probe-identical by construction —
+    * both tables are plain row multisets and the fold is a union
+    * (test-pinned). `last_tag` survives compaction, so a replayed tagged
+    * append is still detected afterward. Unreferenced segment dirs
+    * (crashed-append debris, and prior compactions' inputs left for
+    * in-flight readers) are swept at the START of the next compaction —
+    * the [[graft.ext.Bm25.compactIndex]] grace-window discipline. Single
+    * writer; quiesce streaming ingest around it (a probe holding the old
+    * manifest keeps reading the old segments, which survive until the
+    * NEXT compaction's sweep). */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val m = readMinhashMeta(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    // sweep orphans: seg dirs the live manifest does not reference
+    val live = m.segments.toSet
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("seg_") && !live.contains(n)) {
+        try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+    }
+    // fresh generation name: max existing seg_c<N> + 1
+    val gen = m.segments.collect {
+      case s if s.startsWith("seg_c") =>
+        scala.util.Try(s.drop(5).toInt).getOrElse(-1)
+    } match { case Nil => 0; case gs => gs.max + 1 }
+    val newSeg = s"seg_c$gen"
+    minhashIndexKeys(spark, path)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("band_key"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/$newSeg/keys")
+    minhashIndexShingles(spark, path)
+      .write.mode("overwrite").parquet(s"$path/$newSeg/shingles")
+    writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
+      m.numKeyBuckets, List(newSeg), m.lastTag)
+  }
+
+  private final case class MinhashMeta(shingleN: Int, numPerms: Int,
+                                       numBands: Int, numKeyBuckets: Int,
+                                       segments: List[String],
+                                       lastTag: String)
+
   private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
-                              path: String): (Int, Int, Int, Int) = {
+                              path: String): MinhashMeta = {
     val m = spark.read.parquet(s"$path/meta").head()
-    (m.getAs[Int]("shingle_n"), m.getAs[Int]("num_perms"),
-      m.getAs[Int]("num_bands"), m.getAs[Int]("num_key_buckets"))
+    MinhashMeta(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_perms"),
+      m.getAs[Int]("num_bands"), m.getAs[Int]("num_key_buckets"),
+      m.getAs[scala.collection.Seq[String]]("segments").toList,
+      m.getAs[String]("last_tag"))
+  }
+
+  private def writeMinhashMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, shingleN: Int, numPerms: Int,
+                               numBands: Int, numKeyBuckets: Int,
+                               segments: List[String],
+                               lastTag: String): Unit = {
+    import spark.implicits._
+    Seq((shingleN, numPerms, numBands, numKeyBuckets, segments, lastTag))
+      .toDF("shingle_n", "num_perms", "num_bands", "num_key_buckets",
+        "segments", "last_tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The index's stored band keys as ONE DataFrame
+    * `(doc_id, band_key, bucket)` — every committed segment, `pred`
+    * applied per segment scan so bucket partition pruning and key
+    * pushdown happen at each source. `excludeSeg` drops one segment from
+    * the view — the restart-replay mechanism: a probe that excludes its
+    * OWN batch's already-committed segment sees exactly the pre-append
+    * index and reproduces the original verdicts bit for bit. */
+  // explicit segment schemas: an EMPTY append's partitionBy write leaves
+  // only _SUCCESS behind, and schema inference on that directory throws —
+  // an empty micro-batch must not make the whole index unreadable
+  private val minhashKeysSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("band_key",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+  private val minhashShinglesSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("jid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sh",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+
+  def minhashIndexKeys(spark: org.apache.spark.sql.SparkSession,
+                       path: String,
+                       pred: Column = lit(true),
+                       excludeSeg: String = ""): DataFrame = {
+    val m = readMinhashMeta(spark, path)
+    val segs = m.segments.filterNot(_ == excludeSeg)
+    require(segs.nonEmpty,
+      s"minhashIndexKeys: no segments at $path (excluding '$excludeSeg')")
+    segs
+      .map(s => spark.read.schema(minhashKeysSchema)
+        .parquet(s"$path/$s/keys").filter(pred)
+        .select(col("doc_id"), col("band_key"), col("bucket")))
+      .reduce(_ unionByName _)
+  }
+
+  /** The index's stored shingle sets `(jid, sh)` across all committed
+    * segments (minus `excludeSeg` — see [[minhashIndexKeys]]). */
+  def minhashIndexShingles(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           excludeSeg: String = ""): DataFrame = {
+    val m = readMinhashMeta(spark, path)
+    val segs = m.segments.filterNot(_ == excludeSeg)
+    require(segs.nonEmpty,
+      s"minhashIndexShingles: no segments at $path (excluding '$excludeSeg')")
+    segs
+      .map(s => spark.read.schema(minhashShinglesSchema)
+        .parquet(s"$path/$s/shingles")
+        .select(col("jid"), col("sh")))
+      .reduce(_ unionByName _)
   }
 
   /** Directory bucket of a band key — `pmod(band_key, B)`: band keys are
@@ -394,31 +533,28 @@ object Dedup {
 
   private def writeMinhashRows(df: DataFrame, textCol: String, idCol: String,
                                shingleN: Int, numPerms: Int, numBands: Int,
-                               numKeyBuckets: Int, path: String,
-                               mode: String): Unit = {
-    // SHINGLES land before KEYS: a candidate pair can only exist once both
-    // ids' band keys are visible, and verification inner-joins shingles —
-    // so writing shingles first means a probe racing an append can never
-    // generate a candidate whose shingles are not yet stored (which
-    // verifyShingledPairs would silently drop, a missed duplicate). The
-    // reverse order was the ADVICE r15 race. A probe between the two
-    // writes simply doesn't see the new docs yet — clean, not wrong.
+                               numKeyBuckets: Int, segDir: String): Unit = {
+    // one SEGMENT = this batch's shingles + keys under an unreferenced
+    // directory (overwrite semantics — a crashed attempt's debris is
+    // simply rewritten); it becomes visible only when the caller commits
+    // the manifest, so probes can never see half a batch.
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
     df.select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(shingleN)(words).as("sh"))
-      .write.mode(mode).parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$segDir/shingles")
     // keys land bucket-partitioned (`bucket = pmod(band_key, B)` directory
     // partitions) and band_key-SORTED within each file: a probe prunes to
     // the batch's touched bucket directories at the source, so its read
     // tracks the matched shards — not the whole key table — and the
-    // sorted row groups keep min/max footer stats tight for any future
-    // key-range push. The same treatment as [[graft.ext.Bm25.buildIndex]].
+    // sorted row groups give the pushed key-membership predicates min/max
+    // skipping. The same treatment as [[graft.ext.Bm25.buildIndex]].
     minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
       .withColumn("bucket", keyBucket(col("band_key"), numKeyBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("band_key"), col("doc_id"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$path/keys")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$segDir/keys")
   }
 
   /** Near-duplicate pairs of a NEW batch against a [[buildMinhashIndex]]
@@ -439,21 +575,25 @@ object Dedup {
                                path: String, newDocs: DataFrame,
                                textCol: String, idCol: String,
                                threshold: Double = 0.8,
-                               maxBucket: Int = 1000): DataFrame = {
-    val (sn, np, nb, nkb) = readMinhashMeta(spark, path)
+                               maxBucket: Int = 1000,
+                               excludeSeg: String = ""): DataFrame = {
+    val m = readMinhashMeta(spark, path)
+    val (sn, np, nb, nkb) =
+      (m.shingleN, m.numPerms, m.numBands, m.numKeyBuckets)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
       .localCheckpoint(true) // reused by three joins below
-    // SOURCE-LEVEL pruning first: the stored key table is bucket-
-    // partitioned by pmod(band_key, B), so the batch's touched bucket set
-    // (≤ B ints, collected driver-side — bounded by the layout, not the
-    // data) prunes whole directories out of the scan; the probe's stored-
-    // key read tracks the matched shards instead of the full table.
+    // SOURCE-LEVEL pruning first: every stored segment's key table is
+    // bucket-partitioned by pmod(band_key, B), so the batch's touched
+    // bucket set (≤ B ints, collected driver-side — bounded by the
+    // layout, not the data) prunes whole directories out of EACH
+    // segment's scan; the probe's stored-key read tracks the matched
+    // shards instead of the full table.
     val touchedBuckets = newKeys
       .select(keyBucket(col("band_key"), nkb).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     // POINT-LOOKUP regime: when the batch's distinct band keys fit the
     // driver trivially (≤ MaxPushedProbeKeys — the streaming micro-batch
-    // shape), the key-membership test goes INTO the parquet scan as an
+    // shape), the key-membership test goes INTO the parquet scans as an
     // isin predicate over the band_key-SORTED row groups: with the
     // engine's `spark.sql.parquet.pushdown.inFilterThreshold` raised
     // (GraftSession.tune), parquet min/max skips every row group holding
@@ -461,14 +601,17 @@ object Dedup {
     // not the index (sublinear — the honest-list-5 close). Larger batches
     // fall back to the broadcast semi-join over the pruned buckets
     // (linear in the matched shards, still never a full-table shuffle).
-    val storedKeys = spark.read.parquet(s"$path/keys")
-      .filter(col("bucket").isin(touchedBuckets: _*))
-      .select(col("doc_id"), col("band_key"))
     val probeKeys = newKeys.select(col("band_key")).distinct()
       .limit(MaxPushedProbeKeys + 1).collect().map(_.getLong(0))
-    val touched =
+    val srcPred =
       if (probeKeys.length <= MaxPushedProbeKeys)
-        storedKeys.filter(col("band_key").isin(probeKeys.sorted: _*))
+        col("bucket").isin(touchedBuckets: _*) &&
+          col("band_key").isin(probeKeys.sorted: _*)
+      else col("bucket").isin(touchedBuckets: _*)
+    val storedKeys = minhashIndexKeys(spark, path, srcPred, excludeSeg)
+      .select(col("doc_id"), col("band_key"))
+    val touched =
+      if (probeKeys.length <= MaxPushedProbeKeys) storedKeys
       else storedKeys.join(broadcast(newKeys.select(col("band_key")).distinct()),
         Seq("band_key"), "left_semi")
     // the SAME maxBucket demotion the self-join uses — shared annotation,
@@ -494,7 +637,7 @@ object Dedup {
     val sh = newDocs
       .select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(sn)(words).as("sh"))
-      .union(spark.read.parquet(s"$path/shingles"))
+      .union(minhashIndexShingles(spark, path, excludeSeg))
       .join(broadcast(candIds), Seq("jid"), "left_semi")
     verifyShingledPairs(sh, cands, threshold)
   }

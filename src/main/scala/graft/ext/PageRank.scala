@@ -11,15 +11,22 @@ import org.apache.spark.sql.functions._
   * and at crawl scale the same operator scores domain/link authority.
   *
   * == Determinism ==
-  * Ranks live in integer micro-units (`pr_u6`, Σ ≈ 1e6). Every step is
-  * integer FLOOR arithmetic:
-  * `pr'(v) = ((dampDen−dampNum)·1e6) ⌊/⌋ (dampDen·n)
+  * Ranks live in PER-NODE integer micro-units (`pr_u6`; uniform rank =
+  * 1e6 per node, Σ ≈ n·1e6 — the "×n" normalization of the standard
+  * PageRank vector). Every step is integer FLOOR arithmetic:
+  * `pr'(v) = ((dampDen−dampNum)·1e6) ⌊/⌋ dampDen
   *           + (dampNum · Σ_{u→v} (pr(u) ⌊/⌋ outdeg(u))) ⌊/⌋ dampDen` —
   * no float summation anywhere, so the result is independent of
   * partitioning and replays in SQL as `//` chains (the oracle unrolls
   * every iteration, the [[graft.ml.ExactKMeans]] pattern). The floor
   * divisions leak ≤ 1 micro-unit per term — PageRank is a RANKING signal
   * and the leak is deterministic, not a correctness hazard.
+  *
+  * The per-node quantum is the SCALE choice: a total-mass quantum (Σ =
+  * 1e6) floors every node's share to ZERO once n ≳ 10⁶ — the ScaleProbe
+  * decade caught exactly that collapse at the 10× graph — whereas
+  * per-node units stay integral to n ≈ 10¹² (hub accumulation Σ-bounded
+  * below 2⁶³) with n never appearing in the update at all.
   *
   * == 100 TB design ==
   * Per iteration: ONE edge⋈rank join (shuffle keyed on the node id — edge
@@ -33,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Micro-unit quantum: total rank mass ≈ Quant. */
+  /** Micro-unit quantum PER NODE: uniform rank = Quant, total ≈ n·Quant. */
   val Quant: Long = 1000000L
 
   /** Ranks for every node incident to an edge: `(id, pr_u6)`. Pass BOTH
@@ -50,13 +57,12 @@ object PageRank {
       .union(e.select(col("dst").as("id")))
       .distinct()
       .localCheckpoint(true)
-    val n = nodes.count()
-    require(n > 0L, "PageRank.ranks: empty graph")
+    require(!nodes.isEmpty, "PageRank.ranks: empty graph")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // static per-edge degree: joined once, carried through every iteration
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    val base = ((dampDen - dampNum) * Quant) / (dampDen * n)
-    var pr = nodes.withColumn("pr_u6", lit(Quant / n))
+    val base = ((dampDen - dampNum) * Quant) / dampDen
+    var pr = nodes.withColumn("pr_u6", lit(Quant))
     var it = 0
     while (it < iters) {
       val sums = eDeg

@@ -493,6 +493,48 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** The PRODUCTION form of [[minhashDedupIngestAvailableNow]] — per-batch
+    * near-dup verdicts to a durable SINK, EXACTLY-ONCE across restarts
+    * (the [[bm25IngestToSink]] discipline applied to the dedup loop).
+    * Per micro-batch: (1) the batch PROBES the index with its own
+    * would-be segment EXCLUDED from the view — on the first delivery the
+    * segment does not exist and the exclusion is vacuous; on a restart
+    * replay whose append already committed, excluding `seg_b&lt;id&gt;`
+    * reconstructs the exact pre-append index, so the replayed probe
+    * reproduces the original verdicts bit for bit; (2) the pairs land at
+    * `sink/batch_id=N` with per-directory overwrite (a replay overwrites
+    * identical rows, never duplicates); (3) the batch APPENDS as a
+    * segment committed by the manifest flip, tagged `b&lt;id&gt;` — a replayed
+    * append is detected by the tag and skipped whole, so shingle rows
+    * can never be double-stored (which would corrupt exact-Jaccard
+    * verification for every later batch). The sink reads back as
+    * (batch_id, id_a, id_b, jaccard) — the duplicate ledger of a growing
+    * corpus. Pass the same `checkpoint` across restarts; single writer. */
+  def minhashDedupIngestToSink(docs: DataFrame, path: String,
+                               textCol: String, idCol: String,
+                               sink: String, checkpoint: String,
+                               threshold: Double = 0.8,
+                               maxBucket: Int = 1000): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ext.Dedup.minhashDedupAgainstIndex(
+            spark, path, b, textCol, idCol, threshold, maxBucket,
+            excludeSeg = s"seg_b$bid")
+          .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+        graft.ext.Dedup.appendToMinhashIndex(spark, path, b, textCol, idCol,
+          tag = s"b$bid")
+        b.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming INGEST of the inverted BM25 index
     * ([[graft.ext.Bm25.buildIndex]]): each micro-batch appends its
     * postings via [[graft.ext.Bm25.appendToIndex]] — bucket-keyed append,

@@ -90,9 +90,9 @@ class ExtSpec extends SparkTestBase {
     Dedup.appendToMinhashIndex(spark, d1, b.toDF("doc_id", "text"), "text", "doc_id")
     Dedup.buildMinhashIndex(spark, d2, (a ++ b).toDF("doc_id", "text"),
       "text", "doc_id")
-    def keySet(p: String) = spark.read.parquet(s"$p/keys")
+    def keySet(p: String) = Dedup.minhashIndexKeys(spark, p)
       .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
-    def shSet(p: String) = spark.read.parquet(s"$p/shingles")
+    def shSet(p: String) = Dedup.minhashIndexShingles(spark, p)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet
     assert(keySet(d1) == keySet(d2))
     assert(shSet(d1) == shSet(d2))
@@ -104,6 +104,114 @@ class ExtSpec extends SparkTestBase {
     assert(probe == Set((20L, 5000L)))
   }
 
+  test("minhash index: tagged append is exactly-once; excludeSeg replays the pre-append probe") {
+    val a = (0 until 15).map(i =>
+      (i.toLong, (0 until 30).map(j => s"eo${i}x$j").mkString(" ")))
+    val b = (15 until 25).map(i =>
+      (i.toLong, (0 until 30).map(j => s"eo${i}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-eo-").toString
+    Dedup.buildMinhashIndex(spark, dir, a.toDF("doc_id", "text"),
+      "text", "doc_id")
+    // batch b contains a copy of an indexed doc — its probe has a verdict
+    val batch = (b :+ (7777L, a(3)._2)).toDF("doc_id", "text")
+    val verdictBefore = Dedup.minhashDedupAgainstIndex(spark, dir, batch,
+        "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verdictBefore.contains((3L, 7777L)))
+    Dedup.appendToMinhashIndex(spark, dir, batch, "text", "doc_id", tag = "b7")
+    val keysAfter = Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+    val shCountAfter = Dedup.minhashIndexShingles(spark, dir).count()
+    // REPLAY: the same tag must be detected and skipped WHOLE — duplicate
+    // shingle rows would corrupt exact-Jaccard verification downstream
+    Dedup.appendToMinhashIndex(spark, dir, batch, "text", "doc_id", tag = "b7")
+    assert(Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+      == keysAfter)
+    assert(Dedup.minhashIndexShingles(spark, dir).count() == shCountAfter)
+    // excludeSeg = the committed segment reconstructs the PRE-append index:
+    // the replayed probe reproduces the original verdicts bit for bit
+    val verdictReplay = Dedup.minhashDedupAgainstIndex(spark, dir, batch,
+        "text", "doc_id", threshold = 0.9, excludeSeg = "seg_b7")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verdictReplay == verdictBefore)
+    // and WITHOUT the exclusion the batch's own rows are indexed (sanity
+    // that the exclusion was load-bearing, not vacuous)
+    assert(keysAfter.exists(_._1 == 7777L))
+    // an EMPTY batch (idle streaming micro-batch) is a no-op — no junk
+    // segment, index stays fully readable
+    val segsBefore = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_")).length
+    Dedup.appendToMinhashIndex(spark, dir,
+      a.toDF("doc_id", "text").filter(col("doc_id") < 0), "text", "doc_id")
+    assert(new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_")).length
+      == segsBefore)
+    assert(Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+      == keysAfter)
+  }
+
+  test("minhash index compaction: probe-identical, tag survives, orphans swept") {
+    val a = (0 until 12).map(i =>
+      (i.toLong, (0 until 30).map(j => s"cp${i}x$j").mkString(" ")))
+    val b = (12 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"cp${i}x$j").mkString(" ")))
+    val c = (20 until 28).map(i =>
+      (i.toLong, (0 until 30).map(j => s"cp${i}x$j").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-cmp-").toString
+    Dedup.buildMinhashIndex(spark, dir, a.toDF("doc_id", "text"),
+      "text", "doc_id")
+    Dedup.appendToMinhashIndex(spark, dir, b.toDF("doc_id", "text"),
+      "text", "doc_id", tag = "t1")
+    Dedup.appendToMinhashIndex(spark, dir, c.toDF("doc_id", "text"),
+      "text", "doc_id", tag = "t2")
+    val keysBefore = Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+    val shBefore = Dedup.minhashIndexShingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet
+    // plant crashed-append debris: an unreferenced segment dir
+    val debris = java.nio.file.Paths.get(dir, "seg_zz")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.writeString(debris.resolve("junk"), "x")
+    Dedup.compactMinhashIndex(spark, dir)
+    // pure layout: the folded tables are the same row multisets
+    assert(Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+      == keysBefore)
+    assert(Dedup.minhashIndexShingles(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).toSet
+      == shBefore)
+    assert(!java.nio.file.Files.exists(debris), "orphan debris not swept")
+    // one live segment; the pre-compaction inputs survive one grace
+    // generation for in-flight readers
+    def segDirs() = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("seg_"))
+      .map(_.getName).toSet
+    assert(segDirs().contains("seg_c0"))
+    assert(segDirs().contains("seg_base"), "grace window violated")
+    // the exactly-once tag survives compaction: replaying the last batch
+    // is still a no-op
+    Dedup.appendToMinhashIndex(spark, dir, c.toDF("doc_id", "text"),
+      "text", "doc_id", tag = "t2")
+    assert(Dedup.minhashIndexKeys(spark, dir)
+      .select("doc_id", "band_key").as[(Long, Long)].collect().toSet
+      == keysBefore)
+    // a probe over the compacted index equals the rebuild-over-everything
+    val full = java.nio.file.Files.createTempDirectory("graft-mhidx-cfull-").toString
+    Dedup.buildMinhashIndex(spark, full, (a ++ b ++ c).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val probeBatch = Seq((6000L, b.head._2)).toDF("doc_id", "text")
+    def probe(p: String) = Dedup.minhashDedupAgainstIndex(spark, p,
+        probeBatch, "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probe(dir) == probe(full) && probe(dir) == Set((12L, 6000L)))
+    // a SECOND compaction sweeps the previous generation's inputs
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(segDirs() == Set("seg_c0", "seg_c1"),
+      s"expected the grace sweep, got ${segDirs()}")
+  }
+
   test("incremental minhash probe prunes to the batch's key buckets") {
     // the stored key table is bucket-partitioned by pmod(band_key, B); a
     // small batch touches few buckets, so the probe's stored-key scan must
@@ -113,7 +221,7 @@ class ExtSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhprn-").toString
     Dedup.buildMinhashIndex(spark, dir, a.toDF("doc_id", "text"),
       "text", "doc_id", numKeyBuckets = 32)
-    val allBuckets = new java.io.File(s"$dir/keys").listFiles()
+    val allBuckets = new java.io.File(s"$dir/seg_base/keys").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(allBuckets > 4, s"fixture too small ($allBuckets bucket dirs)")
     val probe = Dedup.minhashDedupAgainstIndex(spark, dir,

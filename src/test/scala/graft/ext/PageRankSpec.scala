@@ -21,31 +21,34 @@ class PageRankSpec extends SparkTestBase {
     .toDF("src", "dst")
 
   test("one iteration matches the hand-computed floor arithmetic") {
-    // init pr = 1000000 div 3 = 333333 each; base = 15e6 div 300 = 50000
-    // contribs: 1 sends 333333 div 2 = 166666 to {2,3}; 2 sends 333333 to
-    // 3; 3 sends 333333 to 1 → sums: 1:333333, 2:166666, 3:499999
-    // pr'(v) = 50000 + (85·s) div 100
+    // per-NODE quantum: init pr = 1000000 each; base = 15e6 div 100 =
+    // 150000. contribs: 1 sends 1000000 div 2 = 500000 to {2,3}; 2 sends
+    // 1000000 to 3; 3 sends 1000000 to 1 → sums: 1:1000000, 2:500000,
+    // 3:1500000. pr'(v) = 150000 + (85·s) div 100
     val got = prMap(PageRank.ranks(triangle, "src", "dst", iters = 1))
     assert(got === Map(
-      1L -> (50000L + (85L * 333333L) / 100L),   // 333333
-      2L -> (50000L + (85L * 166666L) / 100L),   // 191666
-      3L -> (50000L + (85L * 499999L) / 100L)))  // 474999
-    assert(got(1L) === 333333L && got(2L) === 191666L && got(3L) === 474999L)
+      1L -> (150000L + (85L * 1000000L) / 100L),   // 1000000
+      2L -> (150000L + (85L * 500000L) / 100L),    //  575000
+      3L -> (150000L + (85L * 1500000L) / 100L)))  // 1425000
+    assert(got(1L) === 1000000L && got(2L) === 575000L
+      && got(3L) === 1425000L)
+    // mass conserved exactly on this no-dangling fixture
+    assert(got.values.sum === 3L * PageRank.Quant)
   }
 
-  test("iters=0 is the uniform init: Quant div n per node") {
+  test("iters=0 is the uniform init: Quant per node") {
     val got = prMap(PageRank.ranks(triangle, "src", "dst", iters = 0))
-    assert(got === Map(1L -> 333333L, 2L -> 333333L, 3L -> 333333L))
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
   }
 
   test("dangling nodes leak mass (directed input, outdeg 0)") {
     // 1→2, 3→2: node 2 has no out-edges, so its mass vanishes each step
     val e = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
     val got = prMap(PageRank.ranks(e, "src", "dst", iters = 1))
-    // sums: 2 gets 333333+333333; 1 and 3 get nothing (base only)
-    assert(got === Map(1L -> 50000L, 3L -> 50000L,
-      2L -> (50000L + (85L * 666666L) / 100L)))
-    assert(got.values.sum < PageRank.Quant,
+    // sums: 2 gets 1000000+1000000; 1 and 3 get nothing (base only)
+    assert(got === Map(1L -> 150000L, 3L -> 150000L,
+      2L -> (150000L + (85L * 2000000L) / 100L)))
+    assert(got.values.sum < 3L * PageRank.Quant,
       "dangling mass must leak, not be redistributed")
   }
 
@@ -56,9 +59,9 @@ class PageRankSpec extends SparkTestBase {
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
     val got = prMap(PageRank.ranks(undirected, "src", "dst", iters = 10))
     val total = got.values.sum
-    assert(total <= PageRank.Quant)
-    assert(total > PageRank.Quant - 1000L,
-      s"floor leak should be micro-units, lost ${PageRank.Quant - total}")
+    assert(total <= 4L * PageRank.Quant)
+    assert(total > 4L * PageRank.Quant - 1000L,
+      s"floor leak should be micro-units, lost ${4L * PageRank.Quant - total}")
     // symmetric regular graph → uniform fixed point (all degrees equal)
     assert(got.values.toSet.size === 1)
   }

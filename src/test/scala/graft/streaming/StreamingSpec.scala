@@ -557,6 +557,67 @@ class StreamingSpec extends SparkTestBase {
       canon(graft.ext.Bm25.topKIndexed(spark, idxFull, terms, k = 12)))
   }
 
+  test("minhash ingest-to-sink: exactly-once across a forced restart replay") {
+    // the dedup loop's PRODUCTION sink form: three micro-batches probe the
+    // stored index and append themselves; the last batch's checkpoint
+    // commit is deleted (crash-between-effect-and-commit) and the stream
+    // restarts — the replayed append is skipped by its tag, the replayed
+    // PROBE excludes the already-committed segment (reconstructing the
+    // pre-append index, so its verdicts are identical), and the sink
+    // directory overwrite changes nothing.
+    def doc(id: Long, tag: String) =
+      (id, (0 until 30).map(j => s"sd${tag}x$j").mkString(" "))
+    val head = (0 until 12).map(i => doc(i.toLong, s"h$i"))
+    val b0 = Seq(doc(100L, "h0"), doc(101L, "u101"), doc(102L, "u102"))
+    val b1 = Seq(doc(200L, "h1"), doc(201L, "u101"), doc(202L, "u202"))
+    val b2 = Seq(doc(300L, "h2"), doc(301L, "u301"), doc(302L, "u302"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhsink-idx-").toString
+    graft.ext.Dedup.buildMinhashIndex(spark, idx,
+      head.toDF("doc_id", "text"), "text", "doc_id")
+    val src = java.nio.file.Files.createTempDirectory("graft-mhsink-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100) // distinct mtimes: deterministic batch order
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-mhsink-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mhsink-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1,b2}/*.parquet")
+    Streaming.minhashDedupIngestToSink(stream, idx, "text", "doc_id",
+      sink, ckpt, threshold = 0.9)
+    def sinkPairs() = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    def shingleCount() = graft.ext.Dedup.minhashIndexShingles(spark, idx).count()
+    val before = sinkPairs()
+    // disjoint vocabularies → exactly the planted copies, including the
+    // CROSS-BATCH pair (101, 201) that only an accumulated index can see
+    assert(before == Set((0L, 0L, 100L), (1L, 1L, 200L), (1L, 101L, 201L),
+      (2L, 2L, 300L)))
+    assert(shingleCount() == (12 + 9).toLong)
+    // forced replay of batch 2
+    val commit2 = java.nio.file.Paths.get(ckpt, "commits", "2")
+    assert(java.nio.file.Files.exists(commit2), "checkpoint layout changed")
+    java.nio.file.Files.delete(commit2)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    Streaming.minhashDedupIngestToSink(stream, idx, "text", "doc_id",
+      sink, ckpt, threshold = 0.9)
+    // exactly-once: no double-stored shingles (Jaccard corruption), no
+    // duplicate segments, identical sink
+    assert(shingleCount() == (12 + 9).toLong,
+      "replayed batch was double-appended to the index")
+    assert(sinkPairs() == before, "replay altered the sink")
+    // a fresh probe over the final index still verifies exactly (shingle
+    // store uncorrupted): a copy of head doc 3 matches only head doc 3
+    val post = graft.ext.Dedup.minhashDedupAgainstIndex(spark, idx,
+        Seq(doc(9999L, "h3")).toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(post == Set((3L, 9999L)))
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
