@@ -1348,12 +1348,42 @@ object SparkEntry {
       // tokenizer induction, round 0: corpus → unique-word frequencies
       // (ONE shuffle) → adjacent char-pair statistics — the argmax of this
       // table is BPE's first merge. Top-20 with a total ordering so the
-      // oracle replays it exactly; the full multi-round merge loop is
-      // hand-fixture-verified in BpeSpec (SQL can't express the iteration).
+      // oracle replays it exactly; the full multi-round loop is oracled by
+      // q_bpe_train / q_bpe_encode below.
       Bpe.initialPairCounts(t(s, dir, "documents"), "text")
         .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
         .limit(20)
         .select(col("sym_a"), col("sym_b"), col("cnt"))
+    }),
+
+    "q_bpe_train" -> ((s, dir) => {
+      // the FULL tokenizer-training loop, hash-oracled: `BpeMerges` merge
+      // rounds, each = one distributed pair-count aggregation over the
+      // unique-word table (corpus never rescanned after round 0's single
+      // shuffle) + a total-order 1-row argmax. The oracle unrolls every
+      // round as a recursive leftmost-replacement CTE chain — see
+      // bpeOracleCtes for why leftmost-until-fixpoint == the engine's
+      // greedy left-to-right mergeOnce pass.
+      import s.implicits._
+      val (merges, _) = Bpe.train(t(s, dir, "documents"), "text", BpeMerges)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rank", "sym_a", "sym_b")
+        .orderBy("rank")
+    }),
+
+    "q_bpe_encode" -> ((s, dir) => {
+      // ENCODE with the learned tokenizer: the corpus re-tokenized under
+      // the learned merges — map-only, the (bounded) merge list rides the
+      // closure like a broadcast dim — then top-30 token frequencies.
+      // Oracle = the training chain's final unique-word table with tokens
+      // exploded and weighted by word counts (identical by construction:
+      // tokenizeColumn replays the same merges per word).
+      val docs = t(s, dir, "documents")
+      val (merges, _) = Bpe.train(docs, "text", BpeMerges)
+      docs.select(explode(Bpe.tokenizeColumn(col("text"), merges)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(30)
     }),
 
     "q_mm_phash" -> ((s, dir) => {
@@ -2649,6 +2679,62 @@ object SparkEntry {
     * language cardinalities — en (218 distinct texts at sf0.01) runs the
     * estimator, de/es/fr/zh (< 80) the exact below-k path. */
   private val KmvK: Int = 80
+
+  /** q_bpe_train / q_bpe_encode merge-round count (shared engine/oracle).
+    * Each extra round adds one unrolled CTE block to the oracle; 6 is deep
+    * enough that later rounds merge PAIRS OF MERGED SYMBOLS (not just
+    * chars), exercising the loop's fixpoint semantics end-to-end. */
+  private val BpeMerges: Int = 6
+
+  /** Unrolled DuckDB replay of the [[graft.ext.Bpe.train]] merge loop:
+    * round k = pair counts over the unique-word symbol table (`p{k}`),
+    * total-order argmax (`b{k}`), and a RECURSIVE leftmost-replacement
+    * CTE (`m{k}`) applying the merge until fixpoint. Leftmost-until-
+    * fixpoint equals [[graft.ext.Bpe.mergeOnce]]'s greedy left-to-right
+    * single pass: a merged token `a+b` can never create a NEW `(a, b)`
+    * adjacency (that would need `a+b == a` or `a+b == b`, impossible for
+    * non-empty symbols), so replacement order cannot change the result.
+    * Segmentations ride as chr(31)-delimited strings (boundary-shared:
+    * `<US>a<US>b<US>` consumes and restores the shared
+    * delimiter). Every CTE is MATERIALIZED — DuckDB inlines plain CTEs
+    * per reference, and each round references its predecessor twice
+    * (pair counts + merge), which re-derives the whole prefix chain
+    * exponentially in rounds without it. */
+  private def bpeOracleCtes(numMerges: Int): String = {
+    val S = "chr(31)"
+    def pat(k: Int) = s"(SELECT $S||sym_a||$S||sym_b||$S FROM b$k)"
+    def rep(k: Int) = s"(SELECT $S||sym_a||sym_b||$S FROM b$k)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""w0 AS MATERIALIZED (
+         |  SELECT $S || regexp_replace(word, '(.)', '\\1' || $S, 'g') AS seg,
+         |         COUNT(*) AS cnt
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |               x -> length(x) > 0)) AS word FROM documents)
+         |  GROUP BY 1)""".stripMargin)
+    for (k <- 0 until numMerges) {
+      sb.append(s""",
+        |p$k AS MATERIALIZED (
+        |  SELECT l[CAST(i+1 AS INT)] AS sym_a, l[CAST(i+2 AS INT)] AS sym_b,
+        |         SUM(cnt) AS cnt
+        |  FROM (SELECT list_filter(string_split(seg, $S), x -> length(x) > 0) AS l,
+        |               cnt FROM w$k),
+        |       LATERAL (SELECT unnest(range(len(l)-1)) AS i) u
+        |  GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (
+        |  SELECT sym_a, sym_b FROM p$k ORDER BY cnt DESC, sym_a, sym_b LIMIT 1),
+        |m$k AS MATERIALIZED (
+        |  SELECT seg, cnt, strpos(seg, ${pat(k)}) AS pos FROM w$k
+        |  UNION ALL
+        |  SELECT substr(seg, 1, pos-1) || ${rep(k)} ||
+        |         substr(seg, pos + length(${pat(k)})) AS seg, cnt,
+        |         strpos(substr(seg, 1, pos-1) || ${rep(k)} ||
+        |                substr(seg, pos + length(${pat(k)})), ${pat(k)}) AS pos
+        |  FROM m$k WHERE pos > 0),
+        |w${k + 1} AS MATERIALIZED (SELECT seg, cnt FROM m$k WHERE pos = 0)""".stripMargin)
+    }
+    "WITH RECURSIVE\n" + sb.toString
+  }
 
   /** q_token_budget per-language token allowance (shared engine/oracle):
     * cuts every language of the sf fixtures (en carries ~12k tokens at
@@ -4275,6 +4361,17 @@ object SparkEntry {
         |       FROM p GROUP BY 1, 2)
         |SELECT sym_a, sym_b, CAST(cnt AS BIGINT) AS cnt
         |FROM pc ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
+
+    "q_bpe_train" -> (bpeOracleCtes(BpeMerges) + "\n" +
+      (0 until BpeMerges)
+        .map(k => s"SELECT CAST($k AS BIGINT) AS rank, sym_a, sym_b FROM b$k")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL ", "\n) ORDER BY rank")),
+
+    "q_bpe_encode" -> (bpeOracleCtes(BpeMerges) + s""",
+        |tk AS (SELECT unnest(list_filter(string_split(seg, chr(31)),
+        |         x -> length(x) > 0)) AS token, cnt FROM w$BpeMerges)
+        |SELECT token, CAST(SUM(cnt) AS BIGINT) AS cnt FROM tk GROUP BY 1
+        |ORDER BY cnt DESC, token LIMIT 30""".stripMargin),
 
     "q_mm_phash" ->
       """SELECT doc_id AS id_a,
