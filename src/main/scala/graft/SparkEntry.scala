@@ -923,6 +923,50 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q_cms" -> ((s, dir) => {
+      // Count-Min word-frequency sketch at depth 4 × width 128 over the
+      // corpus word stream (thousands of distinct words → every bucket
+      // carries collision mass), probed for the exact top-20 words:
+      // est_cnt ≥ exact_cnt row by row, min-over-rows replayed by the
+      // oracle counter for counter. The sketch shuffle is bounded by
+      // depth·width whatever the corpus size — the per-value-count twin
+      // of the KMV distinct card.
+      val occ = t(s, dir, "documents")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      val sk = Profile.cmsSketch(occ, "word", CmsDepth, CmsWidth)
+      val top = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+      Profile.cmsEstimate(sk, top, "word", CmsDepth, CmsWidth)
+        .join(top, "word")
+        .select(col("word"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    }),
+
+    "q_cms_stream" -> ((s, dir) => {
+      // the STREAMING Count-Min sketch under the SAME oracle as q_cms:
+      // the word stream folds into the carried counter matrix per
+      // micro-batch (sum monoid ⇒ slicing-invariant; multi-batch == batch
+      // pinned in StreamingSpec), then the identical top-20 probe runs
+      // against the streamed counters
+      val schema = t(s, dir, "documents").schema
+      val words = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      val sk = graft.streaming.Streaming.cmsSketchAvailableNow(
+        words, "word", CmsDepth, CmsWidth)
+      val occ = t(s, dir, "documents")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      val top = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+      Profile.cmsEstimate(sk, top, "word", CmsDepth, CmsWidth)
+        .join(top, "word")
+        .select(col("word"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    }),
+
     "q_len_quantiles" -> ((s, dir) => {
       // exact per-language token-length quantiles (the data card's p50/p90
       // rows): rank ⌈q·n⌉ picks over the (lang, length) count table — the
@@ -2680,6 +2724,39 @@ object SparkEntry {
     * estimator, de/es/fr/zh (< 80) the exact below-k path. */
   private val KmvK: Int = 80
 
+  /** q_cms sketch shape (shared engine/oracle): width 128 against
+    * thousands of distinct corpus words forces real collision mass into
+    * every counter, so the gate exercises the min-over-rows estimate, not
+    * a collision-free identity. */
+  private val CmsDepth: Int = 4
+  private val CmsWidth: Int = 128
+
+  /** DuckDB replay of q_cms / q_cms_stream: word counts once, then every
+    * occupied counter as the per-(row, bucket) sum over the words hashing
+    * there — the min-over-rows probe replayed counter for counter. */
+  private def cmsOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0)) AS word FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+       |sk AS (SELECT r,
+       |         CAST('0x'||substr(md5('cms'||r||chr(31)||word),1,15)
+       |           AS BIGINT) % $CmsWidth AS bucket,
+       |         SUM(cnt) AS cnt
+       |       FROM wc, rs GROUP BY 1, 2),
+       |top AS (SELECT word, cnt AS exact_cnt FROM wc
+       |        ORDER BY cnt DESC, word LIMIT 20),
+       |probe AS (SELECT word, exact_cnt, r,
+       |            CAST('0x'||substr(md5('cms'||r||chr(31)||word),1,15)
+       |              AS BIGINT) % $CmsWidth AS bucket
+       |          FROM top, rs)
+       |SELECT word, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(MIN(sk.cnt) AS BIGINT) AS est_cnt
+       |FROM probe JOIN sk USING (r, bucket)
+       |GROUP BY word, exact_cnt
+       |ORDER BY exact_cnt DESC, word""".stripMargin
+
   /** q_bpe_train / q_bpe_encode merge-round count (shared engine/oracle).
     * Each extra round adds one unrolled CTE block to the oracle; 6 is deep
     * enough that later rounds merge PAIRS OF MERGED SYMBOLS (not just
@@ -4001,6 +4078,12 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_cms" -> cmsOracleSql,
+
+    // the streaming sketch is the SAME counter matrix (sum monoid ⇒
+    // slicing-invariant), so the twin shares the batch oracle verbatim
+    "q_cms_stream" -> cmsOracleSql,
 
     "q_len_quantiles" ->
       """WITH l AS (

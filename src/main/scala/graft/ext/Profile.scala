@@ -204,4 +204,60 @@ object Profile {
     corpusAggregates(docs, groupCol, textCol, k)
       .withColumn("est_distinct_texts", kmvEstimate(col("__kmv"), k))
       .drop("__kmv")
+
+  // ----------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005): approximate
+  // per-value frequencies over a stream whose distinct-value set is too
+  // large to count exactly. Complements KMV (distinct COUNT) with
+  // per-value COUNTS — the data-card pair.
+  //
+  // Spark-first shape: the depth×width counter matrix IS an aggregate
+  // table (row, bucket, cnt) — one groupBy whose key space is bounded by
+  // depth·width, so the map-side combine collapses every partition to
+  // ≤ depth·width partial rows and the shuffle carries the SKETCH, not
+  // the values (the KMV story, applied to counts). No custom Aggregator
+  // needed: the monoid is `sum`, which also makes the streaming twin a
+  // plain stateful aggregation. Deterministic (pure function of the value
+  // multiset — [[Dsir.md5Bucket60]] row-salted hashes, no RNG), so the
+  // DuckDB oracle replays every counter exactly.
+  // ----------------------------------------------------------------------
+
+  /** Row-`r` bucket of a value: the engine-wide replayable 60-bit md5
+    * hash, salted by the row index (DuckDB:
+    * `CAST('0x'||substr(md5('cms'||r||chr(31)||v),1,15) AS BIGINT) % width`).
+    * chr(31) keeps `("cms1", "0x")`-style salt/value concatenation
+    * collisions impossible. */
+  def cmsBucket(value: Column, row: Int, width: Int): Column =
+    Dsir.md5Bucket60(
+      concat(lit(s"cms$row\u001f"), value.cast("string"))) % width
+
+  /** Build the sketch: (row, bucket, cnt) for every occupied counter.
+    * NULL values are skipped (the sketch counts non-null occurrences,
+    * matching [[kmvAgg]]'s null semantics). Rows with the same value hit
+    * `depth` counters — the posexplode is map-side, and the aggregate's
+    * key space is ≤ depth·width whatever the input cardinality. */
+  def cmsSketch(df: DataFrame, valueCol: String,
+                depth: Int, width: Int): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.filter(col(valueCol).isNotNull)
+      .select(posexplode(array((0 until depth).map(r =>
+        cmsBucket(col(valueCol), r, width)): _*)).as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `items`: min over rows of the counter at
+    * (r, h_r(item)) — the classic one-sided overestimate
+    * (est ≥ true; est ≤ true + εN w.h.p. at width = ⌈e/ε⌉). The sketch
+    * is ≤ depth·width rows — broadcast, so probing any number of items
+    * is map-side. Items absent from the sketch's stream report the
+    * collision mass in their buckets (0 if the buckets are empty). */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int, width: Int): DataFrame =
+    items.select(col(itemCol),
+        posexplode(array((0 until depth).map(r =>
+          cmsBucket(col(itemCol), r, width)): _*)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
 }

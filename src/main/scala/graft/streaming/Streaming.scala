@@ -655,6 +655,38 @@ object Streaming {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Streaming Count-Min sketch: the counter matrix's sum monoid makes
+    * the running sketch EXACT under any micro-batch slicing — each batch
+    * collapses to its own ≤ depth·width (row, bucket, cnt) aggregate
+    * (map-side combined; the collect is bounded by the sketch shape, not
+    * the batch), which folds into the carried counters by plain addition.
+    * availableNow + the in-memory fold is the gate/test form; production
+    * keeps the counters in the state store (update-mode groupBy) or
+    * merges per-batch sketches sink-side — same monoid either way.
+    * Returns the sketch table [[graft.ext.Profile.cmsSketch]] would
+    * produce over the whole stream (StreamingSpec pins the equality). */
+  def cmsSketchAvailableNow(values: DataFrame, valueCol: String,
+                            depth: Int, width: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = values.sparkSession
+    val state = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    val query = values.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ext.Profile.cmsSketch(batch.toDF(), valueCol, depth, width)
+          .collect().foreach { r =>
+            val key = (r.getInt(0), r.getLong(1))
+            state(key) = state.getOrElse(key, 0L) + r.getLong(2)
+          }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    import spark.implicits._
+    state.toSeq.map { case ((r, b), c) => (r, b, c) }
+      .toDF("row", "bucket", "cnt")
+  }
+
   /** Streaming k-means assignment against a PINNED fitted model
     * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
     * cluster a 100 TB backlog once, then classify the continuous ingest

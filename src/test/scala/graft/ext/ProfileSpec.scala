@@ -114,4 +114,56 @@ class ProfileSpec extends SparkTestBase {
       ("s1", 3L, 5L, 25L, 2L), // "alpha beta" duplicated → 2 distinct
       ("s2", 1L, 3L, 13L, 1L)))
   }
+
+  test("cms: one-sided overestimate, exact at collision-free width") {
+    val rng = new scala.util.Random(11)
+    val vals = Seq.fill(4000)(s"w${rng.nextInt(300)}")
+    val df = vals.toDF("v")
+    val exact = vals.groupBy(identity).map { case (v, o) =>
+      v -> o.size.toLong }
+    val items = exact.keys.toSeq.toDF("v")
+    // tight width → collisions → est >= exact everywhere, > somewhere
+    val skTight = Profile.cmsSketch(df, "v", depth = 4, width = 16)
+    val estTight = Profile.cmsEstimate(skTight, items, "v", 4, 16)
+      .as[(String, Long)].collect().toMap
+    assert(exact.forall { case (v, c) => estTight(v) >= c })
+    assert(exact.exists { case (v, c) => estTight(v) > c })
+    // huge width → no collisions in practice at 300 distinct → exact
+    val skWide = Profile.cmsSketch(df, "v", depth = 4, width = 1 << 20)
+    val estWide = Profile.cmsEstimate(skWide, items, "v", 4, 1 << 20)
+      .as[(String, Long)].collect().toMap
+    assert(estWide == exact)
+  }
+
+  test("cms: partitioning-invariant, null-skipping, absent item bounded") {
+    val vals = Seq("a", "a", "b", null, "c", null, "a")
+    val a = Profile.cmsSketch(vals.toDF("v"), "v", 3, 8)
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Profile.cmsSketch(vals.toDF("v").repartition(7), "v", 3, 8)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a == b)
+    // total mass = depth × non-null occurrences
+    assert(a.toSeq.map(_._3).sum == 3L * 5L)
+    // an item never inserted reports only collision mass (possibly 0) —
+    // never negative, and 0 at a width where its buckets are empty
+    val est = Profile.cmsEstimate(
+      Profile.cmsSketch(vals.toDF("v"), "v", 3, 1 << 16),
+      Seq("zzz").toDF("v"), "v", 3, 1 << 16)
+      .as[(String, Long)].head()
+    assert(est == ("zzz", 0L))
+  }
+
+  test("cms: streaming fold equals the batch sketch (sum monoid)") {
+    // the monoid law the streaming twin relies on: sketch(A ∪ B) =
+    // sketch(A) + sketch(B) counter-wise
+    val xs = Seq.tabulate(500)(i => s"t${i % 37}").toDF("v")
+    val ys = Seq.tabulate(300)(i => s"t${i % 23}").toDF("v")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Profile.cmsSketch(df, "v", 4, 32).as[(Int, Long, Long)]
+        .collect().map { case (r, bk, c) => (r, bk) -> c }.toMap
+    val whole = m(xs.union(ys))
+    val folded = (m(xs).toSeq ++ m(ys).toSeq)
+      .groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).sum }
+    assert(whole == folded)
+  }
 }

@@ -641,4 +641,24 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.length == 80)
   }
+
+  test("streaming count-min sketch: multi-batch fold equals the batch sketch") {
+    // two micro-batches with OVERLAPPING value sets: the per-batch
+    // counter folds must sum into exactly the whole-stream sketch
+    val dir = java.nio.file.Files.createTempDirectory("graft-cmsstream-")
+    def mk(ids: Range) = ids.map(i => s"v${i % 29}").toDF("v")
+    mk(0 until 120).coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    mk(120 until 200).coalesce(1).write.parquet(s"$dir/b1")
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.cmsSketchAvailableNow(stream, "v", 4, 32)
+      .orderBy("row", "bucket").collect().map(_.toSeq).toSeq
+    val batch = graft.ext.Profile.cmsSketch(mk(0 until 200), "v", 4, 32)
+      .orderBy("row", "bucket").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // total counter mass = depth × occurrences, proof both batches landed
+    assert(streamed.map(_(2).asInstanceOf[Long]).sum == 4L * 200L)
+  }
 }
