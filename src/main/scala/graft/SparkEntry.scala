@@ -2367,6 +2367,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_epoch_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch shuffle into 8 training shards, two
+      // epochs side by side: shard = epoch-salted replayable hash mod 8
+      // (map-only), pos ranks within a shard only — no corpus-wide sort
+      // anywhere. The oracle replays both epochs' layouts row for row;
+      // epoch re-salting makes them uncorrelated yet each reproducible.
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val e1 = Corpus.epochShards(docs, "doc_id", epoch = 1L, numShards = 8)
+        .withColumn("epoch", lit(1L))
+      val e2 = Corpus.epochShards(docs, "doc_id", epoch = 2L, numShards = 8)
+        .withColumn("epoch", lit(2L))
+      e1.union(e2)
+        .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("epoch"), col("shard"), col("pos"))
+    }),
+
     "q_pack_stream" -> ((s, dir) => {
       // the STREAMING twin under the SAME oracle: an availableNow file
       // stream over the corpus, per-batch distributed packing + the
@@ -5170,6 +5186,19 @@ object SparkEntry {
         |WHERE rk <= floor(n * frac + 1e-9) ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" -> packSequencesOracleSql,
+
+    "q_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(range(1, 3)) AS epoch),
+        |h AS (SELECT epoch, doc_id,
+        |        CAST('0x'||substr(md5('epoch'||chr(31)||epoch||chr(31)||
+        |          CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS eh
+        |      FROM documents, e),
+        |s AS (SELECT epoch, doc_id, eh % 8 AS shard,
+        |        CAST(row_number() OVER (PARTITION BY epoch, eh % 8
+        |          ORDER BY eh, doc_id) AS BIGINT) - 1 AS pos
+        |      FROM h)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, shard, pos
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
 
     // identical layout contract through the STREAMING path
     "q_pack_stream" -> packSequencesOracleSql,

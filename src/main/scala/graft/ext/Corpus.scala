@@ -719,4 +719,36 @@ object Corpus {
         if (nGrams > 0) top.toDouble / nGrams else 0.0)
     }
   }
+
+  /** Deterministic per-epoch shuffle + training-shard assignment — the
+    * export step between curation and the trainer: every epoch needs a
+    * fresh, uncorrelated, REPRODUCIBLE global order, sliced into shards a
+    * data loader streams independently.
+    *
+    * Global-sort-free by construction: `shard` is the epoch-salted
+    * replayable hash mod `numShards` (map-only), and `pos` ranks only
+    * WITHIN a shard — numShards independent windows, one shuffle on the
+    * shard key, no corpus-wide ordering anywhere. At 100 TB you size
+    * numShards so a shard fits an executor sort (10⁴–10⁵ shards); the
+    * hash is uniform, so shard skew is binomial-tight. Re-salting by
+    * epoch decorrelates successive epochs' orders (the "reshuffle every
+    * epoch" trainers expect), and the whole layout is a pure function of
+    * (id set, epoch, numShards): any run, any cluster, any partitioning
+    * reproduces byte-identical shards — what makes a training run's data
+    * order auditable and resumable. The chr(31) salt separator keeps
+    * (epoch, id) images injective (epoch 1 + id "23" vs epoch 12 + id
+    * "3"); hash ties (2⁻⁶⁰) break by id. */
+  def epochShards(df: DataFrame, idCol: String, epoch: Long,
+                  numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val sep = 31.toChar.toString
+    val h = Dsir.md5Bucket60(concat_ws(sep,
+      lit("epoch"), lit(epoch), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__eh"), col(idCol))
+    df.withColumn("__eh", h)
+      .withColumn("shard", col("__eh") % numShards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("__eh")
+  }
 }

@@ -419,4 +419,27 @@ class CorpusSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq)
     assert(a.exists(r => r(2) == false) && a.exists(r => r(2) == true))
   }
+
+  test("epochShards: dense per-shard positions, partition-invariant, epochs decorrelate") {
+    val ids = (0L until 400L).toDF("id")
+    val out = Corpus.epochShards(ids, "id", epoch = 1L, numShards = 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    // a permutation into shards: every id exactly once, shards in range,
+    // positions dense 0..n-1 within each shard
+    assert(out.map(_._1).sorted == (0L until 400L))
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size.toLong)) }
+    // pure function of (id set, epoch, numShards): partitioning never
+    // changes the layout
+    val re = Corpus.epochShards(ids.repartition(13), "id", 1L, 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet == re.toSet)
+    // a different epoch re-salts: same ids, different order (overlap of
+    // the two epochs' (shard, pos) cells is chance-level, not identity)
+    val e2 = Corpus.epochShards(ids, "id", 2L, 8)
+      .select("id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(e2.toSet != out.toSet)
+    assert(e2.map(_._1).sorted == (0L until 400L))
+  }
 }
