@@ -943,6 +943,27 @@ object SparkEntry {
         .orderBy(col("exact_cnt").desc, col("word"))
     }),
 
+    "q_bloom" -> ((s, dir) => {
+      // Bloom membership pre-filter: the doc_id < 2000 snapshot's texts
+      // pack into a 16 Kib bitmap that rides probe plans as a LITERAL —
+      // the whole corpus then tests k bits per row, map-only, no join
+      // with the reference anywhere. Output pins the one-sided contract
+      // row for row: bloom_hit true for every member (no false
+      // negatives), plus the ~3% deterministic false positives the load
+      // factor forces; exact_hit is the gate-only truth column.
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 2000).select(col("text"))
+      val words = Profile.bloomBitmap(ref, "text", BloomK, BloomM)
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("bloom_hit",
+          Profile.bloomMightContain(words, col("text"), BloomK, BloomM))
+        .join(ref.distinct().withColumn("__in", lit(true)),
+          Seq("text"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("__in"), lit(false)).as("exact_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cms_stream" -> ((s, dir) => {
       // the STREAMING Count-Min sketch under the SAME oracle as q_cms:
       // the word stream folds into the carried counter matrix per
@@ -2773,6 +2794,13 @@ object SparkEntry {
        |GROUP BY word, exact_cnt
        |ORDER BY exact_cnt DESC, word""".stripMargin
 
+  /** q_bloom filter shape (shared engine/oracle): ~2k reference texts ×
+    * 3 hashes into 16384 bits ⇒ load ≈ 0.37 per hash, FP rate ≈ 3% — the
+    * gate sees REAL false positives (one-sidedness exercised, not a
+    * collision-free identity) while every verdict stays deterministic. */
+  private val BloomK: Int = 3
+  private val BloomM: Int = 16384
+
   /** q_bpe_train / q_bpe_encode merge-round count (shared engine/oracle).
     * Each extra round adds one unrolled CTE block to the oracle; 6 is deep
     * enough that later rounds merge PAIRS OF MERGED SYMBOLS (not just
@@ -4094,6 +4122,26 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_bloom" ->
+      s"""WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id < 2000),
+         |rs AS (SELECT unnest(range($BloomK)) AS i),
+         |bits AS (SELECT DISTINCT
+         |           CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+         |             AS BIGINT) % $BloomM AS bit
+         |         FROM ref, rs),
+         |ph AS (SELECT doc_id,
+         |         CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+         |           AS BIGINT) % $BloomM AS bit
+         |       FROM documents, rs),
+         |bm AS (SELECT doc_id,
+         |         COUNT(*) FILTER (WHERE bit IN (SELECT bit FROM bits))
+         |           = $BloomK AS bloom_hit
+         |       FROM ph GROUP BY doc_id)
+         |SELECT d.doc_id, bm.bloom_hit,
+         |       (d.text IN (SELECT text FROM ref)) AS exact_hit
+         |FROM documents d JOIN bm USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_cms" -> cmsOracleSql,
 

@@ -246,6 +246,68 @@ object Profile {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  // ----------------------------------------------------------------------
+  // Bloom filter (Bloom 1970): set membership in O(1) bits per element —
+  // the cross-snapshot dedup pre-filter. At 100 TB the reference id/text
+  // set is itself huge; its Bloom image is a few MB that BROADCASTS, so
+  // the probe side never joins the reference — it tests k bits per row,
+  // map-only, and only the (tiny) surviving candidate set pays the exact
+  // verification join. One-sided like CMS: no false negatives ever;
+  // false-positive rate ≈ (1 − e^(−kn/m))^k, a size/precision dial.
+  // Deterministic md5-salted positions ⇒ the DuckDB oracle replays every
+  // bit and every verdict.
+  // ----------------------------------------------------------------------
+
+  /** The k bit positions of a value (replayable: row-salted md5 mod m,
+    * the [[cmsBucket]] convention). */
+  def bloomPositions(value: Column, numHashes: Int, numBits: Int): Column =
+    array((0 until numHashes).map(i =>
+      Dsir.md5Bucket60(concat(
+        lit("bloom" + i + 31.toChar), value.cast("string"))) % numBits): _*)
+
+  /** Build the filter as a packed word array — a BOUNDED driver collect
+    * (≤ numBits set-bit rows after the distinct, the centroid-table
+    * class: the whole point is that numBits ≪ reference cardinality).
+    * The heavy half — hashing the reference and deduplicating bit
+    * positions — is distributed; only the ≤ m/64-long bitmap lands on
+    * the driver, to ride into probe plans as a literal. */
+  def bloomBitmap(df: DataFrame, valueCol: String,
+                  numHashes: Int, numBits: Int): Array[Long] = {
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bits = df.filter(col(valueCol).isNotNull)
+      .select(explode(
+        bloomPositions(col(valueCol), numHashes, numBits)).as("bit"))
+      .distinct().as[Long].collect()
+    val words = new Array[Long](numBits / 64)
+    bits.foreach(b => words(b.toInt / 64) |= 1L << (b.toInt % 64))
+    words
+  }
+
+  /** Map-only membership probe against a built bitmap: the word array is
+    * a plan LITERAL (the broadcast-dim idiom for a value that fits in
+    * every task), each hash tests one bit via element_at + a variable
+    * shift — k O(1) codegen'd tests per row, no join, no shuffle. */
+  def bloomMightContain(words: Array[Long], value: Column,
+                        numHashes: Int, numBits: Int): Column = {
+    require(words.length * 64 == numBits,
+      s"bitmap has ${words.length * 64} bits, expected $numBits")
+    val w = typedlit(words.toSeq)
+    (0 until numHashes).map { i =>
+      val h = Dsir.md5Bucket60(concat(
+        lit("bloom" + i + 31.toChar), value.cast("string"))) % numBits
+      // shiftrightUNSIGNED (an arithmetic shift sign-extends bit 63) and
+      // bitwiseAND, not `% 2` (Spark % keeps the dividend's sign: a
+      // negative word at shift 0 gives −1 % 2 = −1, failing === 1)
+      call_function("shiftrightunsigned",
+        element_at(w, (h / 64).cast("int") + 1),
+        (h % 64).cast("int")).bitwiseAND(lit(1L)) === 1
+    }.reduce(_ && _)
+  }
+
   /** Point estimates for `items`: min over rows of the counter at
     * (r, h_r(item)) — the classic one-sided overestimate
     * (est ≥ true; est ≤ true + εN w.h.p. at width = ⌈e/ε⌉). The sketch
