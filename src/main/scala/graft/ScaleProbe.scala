@@ -226,7 +226,13 @@ object ScaleProbe {
       // doc, no corpus rehash), so the 100× step should cost far under
       // 100× the 1× probe. Build cost is the one-time price and is
       // measured separately.
-      locally {
+      // the whole block is skipped when no filter matches any of its
+      // measures: the append PREP between the measures runs against the
+      // index the first measure builds, so a filter set that excludes
+      // "mh index build" would otherwise read a never-built store
+      if (filters.isEmpty || Seq("mh index build", "mh index probe",
+          "mh probe 17-segment", "mh compact", "mh probe compacted")
+          .exists(n => filters.exists(n.contains))) locally {
         val idx = java.nio.file.Files.createTempDirectory(s"graft-mhidx-$factor-")
         measure(s"mh index build ${factor}x", s"docs=${5000 * factor}") {
           graft.ext.Dedup.buildMinhashIndex(spark, idx.toString, d,
@@ -295,6 +301,54 @@ object ScaleProbe {
             "src", "text", k = 1024)
           .agg(sum(col("est_distinct_texts"))).collect()(0).getLong(0)
       }
+      // Count-Min sketch: word occurrences grow linearly (salted replicas
+      // also widen the vocabulary linearly — the worst case), but the
+      // counter matrix is depth×width — shuffle bytes must stay FLAT
+      // across decades, the same bounded-aggregate claim as KMV
+      measure(s"cms sketch ${factor}x",
+        s"docs=${5000 * factor} depth=4 width=4096") {
+        val occ = d.select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+        graft.ext.Profile.cmsSketch(occ, "word", 4, 4096)
+          .agg(sum(col("cnt"))).collect()(0).getLong(0)
+      }
+      // Bloom: build is one distinct over ≤ m bit positions (bounded
+      // shuffle); the probe is map-only against the bitmap literal —
+      // probe shuffle must be ZERO at every decade, wall linear in the
+      // scanned corpus only
+      locally {
+        var bm: Array[Long] = null
+        measure(s"bloom build ${factor}x",
+          s"refs=${5000 * factor} k=3 m=262144") {
+          bm = graft.ext.Profile.bloomBitmap(d, "text", 3, 262144)
+          bm.map(java.lang.Long.bitCount).sum.toLong
+        }
+        measure(s"bloom probe ${factor}x", s"docs=${5000 * factor}") {
+          d.select(graft.ext.Profile.bloomMightContain(
+              bm, col("text"), 3, 262144).as("hit"))
+            .filter(col("hit")).count()
+        }
+      }
+      // epoch shuffle: shard assignment is map-only; the per-shard rank
+      // windows shuffle each row once on the shard key — shuffle linear
+      // in the corpus, no global sort at any decade; shards scale with
+      // the data so per-shard sort stays bounded
+      measure(s"epoch shards ${factor}x",
+        s"docs=${5000 * factor} shards=${32 * factor}") {
+        graft.ext.Corpus.epochShards(d.select(col("doc_id")), "doc_id",
+            epoch = 1L, numShards = 32 * factor)
+          .agg(max(col("pos"))).collect()(0).getLong(0)
+      }
+      // BPE training: round 0 collapses the corpus to the unique-word
+      // table in ONE shuffle; every merge round then runs over that
+      // table only (vocab grows linearly here by salting — conservative;
+      // real web vocab is sublinear), so per-round cost tracks the vocab,
+      // not the corpus
+      measure(s"bpe train ${factor}x",
+        s"docs=${5000 * factor} merges=4") {
+        val (merges, words) = graft.ext.Bpe.train(d, "text", numMerges = 4)
+        val n = words.count(); words.unpersist(false); n + merges.length
+      }
       locally { // dev-probe cleanup of the replica dir
         val s = java.nio.file.Files.walk(rep)
         try {
@@ -358,7 +412,14 @@ object ScaleProbe {
         if ((graft.ext.Dedup.hash64(rep + 1, k.toString) & 1L) == 0L) x else -x
       }.toArray
     }
-    for (factor <- Seq(1, 10, 100)) {
+    // skip the whole embedding sweep (replication + centroid/codebook
+    // prep runs outside the measures) when no filter matches its rows
+    val embeddingRows = Seq("semantic dedup", "ivf index", "ivf pruned",
+      "ivf-pq", "exact kmeans", "prototype drop", "d4 pruned",
+      "spectral iterate")
+    for (factor <- Seq(1, 10, 100)
+         if filters.isEmpty
+           || embeddingRows.exists(n => filters.exists(n.contains))) {
       val rep = java.nio.file.Files.createTempDirectory(s"graft-esweep-$factor-")
       (0 until factor).map { i =>
         val r = baseEmb.select(

@@ -964,6 +964,45 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_cms_graph" -> ((s, dir) => {
+      // the Count-Min card as a CONTENT-ADDRESSED spec op — profiled once
+      // per corpus hash; shares q_cms's oracle verbatim (same corpus,
+      // same sketch shape, same top-20 probe)
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(CmsWordCountsOp(SelectTextColumnOp(ds, "text"),
+          depth = CmsDepth.toLong, width = CmsWidth.toLong, topN = 20L))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    }),
+
+    "q_bloom_graph" -> ((s, dir) => {
+      // Bloom membership as a composable BOOLEAN value column: the
+      // reference set is the first-2000-rows slice (TakeRowsOp — the op
+      // algebra's own row selection), the verdict column aligns to every
+      // corpus row and composes with MaskRowsOp like any other mask
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val text = SelectTextColumnOp(ds, "text")
+      val ref = SelectTextColumnOp(
+        TakeRowsOp(ds, numRows = Some(2000L)), "text")
+      r.toFrame(BloomMembershipOp(text, ref,
+          numHashes = BloomK.toLong, numBits = BloomM.toLong))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("value"))
+        .orderBy(col("row_idx"))
+    }),
+
+    "q_shard_graph" -> ((s, dir) => {
+      // the epoch-shard layout as a spec op over the runner's positional
+      // identity: (row_idx, shard, pos) for epoch 3 — content-addressed,
+      // so an epoch's layout is computed once per (corpus, epoch) ever
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(EpochShardOp(ds, epoch = 3L, numShards = 8L))
+        .select(col(ColumnOps.RowIdx).as("row_idx"),
+          col("shard"), col("pos"))
+        .orderBy(col("row_idx"))
+    }),
+
     "q_cms_stream" -> ((s, dir) => {
       // the STREAMING Count-Min sketch under the SAME oracle as q_cms:
       // the word stream folds into the carried counter matrix per
@@ -4148,6 +4187,43 @@ object SparkEntry {
     // the streaming sketch is the SAME counter matrix (sum monoid ⇒
     // slicing-invariant), so the twin shares the batch oracle verbatim
     "q_cms_stream" -> cmsOracleSql,
+
+    // the spec twin profiles the same corpus with the same sketch shape
+    "q_cms_graph" -> cmsOracleSql,
+
+    // spec twin: verdicts keyed by the runner's positional identity, the
+    // reference set = the first-2000-rows slice
+    "q_bloom_graph" ->
+      s"""WITH d AS (SELECT text,
+         |  CAST(row_number() OVER () AS BIGINT) - 1 AS row_idx
+         |  FROM documents),
+         |ref AS (SELECT DISTINCT text FROM d WHERE row_idx < 2000),
+         |rs AS (SELECT unnest(range($BloomK)) AS i),
+         |bits AS (SELECT DISTINCT
+         |           CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+         |             AS BIGINT) % $BloomM AS bit
+         |         FROM ref, rs),
+         |ph AS (SELECT row_idx,
+         |         CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+         |           AS BIGINT) % $BloomM AS bit
+         |       FROM d, rs)
+         |SELECT row_idx,
+         |       COUNT(*) FILTER (WHERE bit IN (SELECT bit FROM bits))
+         |         = $BloomK AS value
+         |FROM ph GROUP BY row_idx ORDER BY row_idx""".stripMargin,
+
+    // spec twin: the epoch-3 shard layout over positional row ids
+    "q_shard_graph" ->
+      """WITH d AS (SELECT CAST(row_number() OVER () AS BIGINT) - 1 AS row_idx
+        |  FROM documents),
+        |h AS (SELECT row_idx,
+        |        CAST('0x'||substr(md5('epoch'||chr(31)||3||chr(31)||
+        |          CAST(row_idx AS VARCHAR)),1,15) AS BIGINT) AS eh
+        |      FROM d)
+        |SELECT row_idx, eh % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY eh % 8
+        |         ORDER BY eh, row_idx) AS BIGINT) - 1 AS pos
+        |FROM h ORDER BY row_idx""".stripMargin,
 
     "q_len_quantiles" ->
       """WITH l AS (

@@ -116,6 +116,8 @@ class LocalSparkRunner(
     case p: PrototypeDropOp => lengthOf(p.vectors)
     case t: TokenBudgetKeepOp => lengthOf(t.group)
     case k: KeepBestPerClusterOp => lengthOf(k.priority)
+    case b: BloomMembershipOp => lengthOf(b.value)
+    case e: EpochShardOp => lengthOf(e.dataset)
     case g: GroupedOp => lengthOf(g.ops.last)
     case RedactPIIColumnOp(t) => lengthOf(t)
     case t: TokenCountOp => lengthOf(t.text)
@@ -884,6 +886,40 @@ class LocalSparkRunner(
       FrameResult(graft.ext.Profile
         .corpusReport(g.join(t, RowIdx), "group", "__txt", cs.k.toInt)
         .orderBy(col("group")))
+
+    case cw: CmsWordCountsOp =>
+      val occ = frame(cw.text).select(explode(filter(
+          org.apache.spark.sql.functions.split(
+            trim(col(ValueCol).cast("string")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      val sk = graft.ext.Profile.cmsSketch(occ, "word",
+        cw.depth.toInt, cw.width.toInt)
+      val top = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(cw.topN.toInt)
+      FrameResult(graft.ext.Profile
+        .cmsEstimate(sk, top, "word", cw.depth.toInt, cw.width.toInt)
+        .join(top, "word")
+        .select(col("word"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")))
+
+    case bmo: BloomMembershipOp =>
+      val ref = frame(bmo.reference)
+        .select(col(ValueCol).cast("string").as("__v"))
+      val words = graft.ext.Profile.bloomBitmap(ref, "__v",
+        bmo.numHashes.toInt, bmo.numBits.toInt)
+      // a null value is not a member of anything: coalesce the null
+      // verdict (md5(null) propagates) to false
+      FrameResult(frame(bmo.value).select(col(RowIdx),
+        coalesce(graft.ext.Profile.bloomMightContain(words,
+            col(ValueCol).cast("string"),
+            bmo.numHashes.toInt, bmo.numBits.toInt),
+          lit(false)).as(ValueCol)))
+
+    case es: EpochShardOp =>
+      FrameResult(graft.ext.Corpus
+        .epochShards(frame(es.dataset).select(col(RowIdx)), RowIdx,
+          es.epoch, es.numShards.toInt)
+        .select(col(RowIdx), col("shard"), col("pos")))
 
     case kb: KeepBestPerClusterOp =>
       val pr = frame(kb.priority).select(col(RowIdx), col(ValueCol))

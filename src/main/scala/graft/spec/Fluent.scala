@@ -112,6 +112,15 @@ object Fluent {
     /** tokenize with a learned tokenizer artifact */
     def bpeTokenize(tokenizer: TokenizerType): BpeTokenizeOp =
       BpeTokenizeOp(tokenizer, t)
+    /** beyond reference: Count-Min word-frequency card of this corpus */
+    def cmsWordCounts(depth: Long = 4L, width: Long = 128L,
+                      topN: Long = 20L): CmsWordCountsOp =
+      CmsWordCountsOp(t, depth, width, topN)
+    /** beyond reference: Bloom membership of this column's values in
+      * `reference`'s value set (no false negatives, tunable FP rate) */
+    def bloomMember(reference: TextColumnType, numHashes: Long = 3L,
+                    numBits: Long = 16384L): BloomMembershipOp =
+      BloomMembershipOp(t, reference, numHashes, numBits)
   }
 
   implicit class BinaryBuilders(private val b: BinaryColumnType) extends AnyVal {

@@ -449,6 +449,16 @@ object OpRegistry {
     "CorpusStatsOp" -> ((o, r) =>
       CorpusStatsOp(op[CategoricalColumnType](o, "group", r),
         op[TextColumnType](o, "text", r), lng(o, "k"))),
+    "CmsWordCountsOp" -> ((o, r) =>
+      CmsWordCountsOp(op[TextColumnType](o, "text", r),
+        lng(o, "depth"), lng(o, "width"), lng(o, "top_n"))),
+    "BloomMembershipOp" -> ((o, r) =>
+      BloomMembershipOp(op[TextColumnType](o, "value", r),
+        op[TextColumnType](o, "reference", r),
+        lng(o, "num_hashes"), lng(o, "num_bits"))),
+    "EpochShardOp" -> ((o, r) =>
+      EpochShardOp(op[DatasetType](o, "dataset", r),
+        lng(o, "epoch"), lng(o, "num_shards"))),
     "KeepBestPerClusterOp" -> ((o, r) =>
       KeepBestPerClusterOp(op[ScoreColumnType](o, "priority", r),
         op[DatasetType](o, "pairs", r))),

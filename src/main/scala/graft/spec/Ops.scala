@@ -806,6 +806,57 @@ final case class CorpusStatsOp(
   require(k >= 2L && k <= 1000000L, s"k must be in [2, 1e6], got $k")
 }
 
+/** Count-Min word-frequency card ([[graft.ext.Profile.cmsSketch]] /
+  * `cmsEstimate`, Cormode & Muthukrishnan 2005): the corpus word stream
+  * folds into a depth×width counter matrix (bounded aggregate — the
+  * shuffle carries the sketch, never the words), then the exact top-`topN`
+  * words are probed against it. One row per probed word:
+  * `(word, exact_cnt, est_cnt)` with est ≥ exact (one-sided collision
+  * mass). Deterministic md5-salted row hashes make the whole card a pure
+  * function of the corpus — content-addressable like [[CorpusStatsOp]]. */
+final case class CmsWordCountsOp(
+    text: TextColumnType,
+    depth: Long = 4L,
+    width: Long = 128L,
+    topN: Long = 20L) extends DatasetType {
+  require(depth >= 1L && depth <= 16L, s"depth must be in [1, 16], got $depth")
+  require(width >= 2L && width <= 10000000L,
+    s"width must be in [2, 1e7], got $width")
+  require(topN >= 1L, s"topN must be >= 1, got $topN")
+}
+
+/** Bloom membership verdicts ([[graft.ext.Profile.bloomBitmap]] /
+  * `bloomMightContain`, Bloom 1970): `reference`'s values pack into a
+  * `numBits`-bit filter; every row of `value` gets the k-bit test —
+  * `true` for every member (no false negatives) plus the filter's
+  * deterministic false positives. The cross-snapshot dedup pre-filter as
+  * a composable boolean column: feed it to [[MaskRowsOp]] to cut the
+  * probable-dup candidates, or negate for the certainly-new set. */
+final case class BloomMembershipOp(
+    value: TextColumnType,
+    reference: TextColumnType,
+    numHashes: Long = 3L,
+    numBits: Long = 16384L) extends BooleanColumnType {
+  require(numHashes >= 1L && numHashes <= 16L,
+    s"numHashes must be in [1, 16], got $numHashes")
+  require(numBits >= 64L && numBits % 64L == 0L && numBits <= (1L << 30),
+    s"numBits must be a positive multiple of 64 <= 2^30, got $numBits")
+}
+
+/** Deterministic per-epoch training-shard layout
+  * ([[graft.ext.Corpus.epochShards]] over the row index): each row gets
+  * `(shard, pos)` — shard = epoch-salted replayable hash mod `numShards`
+  * (map-only), pos dense within the shard (per-shard windows, no global
+  * sort). A pure function of (row count, epoch, numShards): the exported
+  * data order of a training run, reproducible on any cluster. */
+final case class EpochShardOp(
+    dataset: DatasetType,
+    epoch: Long,
+    numShards: Long = 32L) extends DatasetType {
+  require(numShards >= 1L && numShards <= 10000000L,
+    s"numShards must be in [1, 1e7], got $numShards")
+}
+
 /** Brute-force cosine top-k of `queries` against `corpus` (both vector
   * columns; ids are row indices): `(query_id, corpus_id, cosine, rank)`
   * with `rank <= k` ([[graft.ext.Similarity.bruteForceTopK]] — the query

@@ -133,5 +133,9 @@ class FluentSpec extends AnyFunSuite {
     assert(lang.tokenBudgetKeep(pr, t.tokenCount, 5000L) ==
       TokenBudgetKeepOp(lang, pr, TokenCountOp(t), 5000L))
     assert(lang.corpusStats(t, k = 32L) == CorpusStatsOp(lang, t, 32L))
+    assert(t.cmsWordCounts(depth = 3L, width = 64L, topN = 10L) ==
+      CmsWordCountsOp(t, 3L, 64L, 10L))
+    assert(t.bloomMember(ref, numHashes = 4L, numBits = 128L) ==
+      BloomMembershipOp(t, ref, 4L, 128L))
   }
 }

@@ -100,4 +100,18 @@ class GoldenGraphSpec extends AnyFunSuite {
     val rt = Graph.deserialize(Graph.serialize(viz))
     assert(rt.head.uuid == viz.uuid)
   }
+
+  test("sketch/membership/shard ops round-trip the graph serde") {
+    val ds = LoadLocalParquetDatasetOp("abc123", "/tmp/x.parquet")
+    val t = SelectTextColumnOp(ds, "text")
+    val ops = Seq[OpSpec](
+      CmsWordCountsOp(t, depth = 3L, width = 64L, topN = 10L),
+      BloomMembershipOp(t,
+        SelectTextColumnOp(TakeRowsOp(ds, numRows = Some(5L)), "text"),
+        numHashes = 4L, numBits = 128L),
+      EpochShardOp(ds, epoch = 2L, numShards = 16L))
+    val rt = Graph.deserialize(Graph.serialize(ops: _*))
+    assert(rt == ops)
+    assert(rt.map(_.uuid) == ops.map(_.uuid))
+  }
 }
