@@ -1615,6 +1615,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_ppr" -> ((s, dir) => {
+      // PERSONALIZED PageRank (random walk with restart): teleport mass
+      // returns only to the vetted-seed docs (doc_id % 40 == 0) — rank
+      // becomes graph PROXIMITY TO THE TRUSTED SET propagated through
+      // the same chained near-dup graph (quality/trust propagation, the
+      // label-propagation ranking cousin); every floor-division
+      // iteration replayed, seed-gated init and base included
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val pairs = chainedPairs(docs)
+      val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = docs.filter(col("doc_id") % 40 === 0).select(col("doc_id"))
+      graft.ext.PageRank.personalizedRanks(sym, "src", "dst",
+          seeds, "doc_id", PrIters)
+        .orderBy(col("id"))
+    }),
+
     "q_rank_best" -> ((s, dir) => {
       // CENTRALITY-BASED representative selection: within each transitive
       // near-dup cluster the most central member (max PageRank, ties →
@@ -3295,12 +3312,17 @@ object SparkEntry {
   /** Unrolled quantized-exact PageRank CTEs over the `und` edges
     * ([[graft.ext.PageRank.ranks]]): `pnodes`/`pdeg`, `p0` = Quant
     * per node (the per-NODE quantum — n never appears in the update),
-    * each `p{i}` one floor-division step — ending at `p$PrIters`. */
-  private def pageRankCtes: String = {
+    * each `p{i}` one floor-division step — ending at `p$PrIters`.
+    * `seedPred` (a predicate over the given node-id expression) selects
+    * the PERSONALIZED form ([[graft.ext.PageRank.personalizedRanks]]):
+    * init and teleport base go only to seed nodes. */
+  private def pageRankCtes(seedPred: String => String = _ => "TRUE")
+      : String = {
     val iters = (1 to PrIters).map { i =>
       s"""p$i AS (
          |  SELECT nn.id,
-         |    CAST((15 * 1000000) // 100 AS BIGINT)
+         |    CAST(CASE WHEN ${seedPred("nn.id")}
+         |      THEN (15 * 1000000) // 100 ELSE 0 END AS BIGINT)
          |    + CAST((85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS pr_u6
          |  FROM pnodes nn LEFT JOIN (
          |    SELECT e.v AS id, SUM(p.pr_u6 // d.dg) AS s
@@ -3311,7 +3333,8 @@ object SparkEntry {
     s"""pnodes AS (SELECT DISTINCT u AS id FROM und),
        |pdeg AS (SELECT u AS id, CAST(count(*) AS BIGINT) AS dg
        |  FROM und GROUP BY 1),
-       |p0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr_u6 FROM pnodes),
+       |p0 AS (SELECT id, CAST(CASE WHEN ${seedPred("id")}
+       |  THEN 1000000 ELSE 0 END AS BIGINT) AS pr_u6 FROM pnodes),
        |$iters""".stripMargin
   }
 
@@ -4828,13 +4851,19 @@ object SparkEntry {
     // iteration unrolled (the ExactKMeans pattern on a graph)
     "q_pagerank" ->
       s"""WITH $jaccardPairCtes,
-         |$pageRankCtes
+         |${pageRankCtes()}
+         |SELECT id, pr_u6 FROM p$PrIters ORDER BY id""".stripMargin,
+
+    // the personalized form: init and teleport base gated to the seeds
+    "q_ppr" ->
+      s"""WITH $jaccardPairCtes,
+         |${pageRankCtes(id => s"$id % 40 = 0")}
          |SELECT id, pr_u6 FROM p$PrIters ORDER BY id""".stripMargin,
 
     // CC closure + PageRank + per-cluster centrality argmax
     "q_rank_best" ->
       s"""$ccClosureCtes,
-         |$pageRankCtes,
+         |${pageRankCtes()},
          |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |       FROM reach GROUP BY id),
          |rk AS (

@@ -46,23 +46,54 @@ object PageRank {
   /** Ranks for every node incident to an edge: `(id, pr_u6)`. Pass BOTH
     * directions of an undirected graph. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-            dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+            dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    iterate(edges, srcCol, dstCol, None, iters, dampNum, dampDen)
+
+  /** PERSONALIZED PageRank (random walk with restart): the teleport mass
+    * returns only to the `seeds` set — seed nodes init at Quant and
+    * receive the per-step base, every other node inits at 0 and earns
+    * rank only through in-links — so `pr_u6` measures graph PROXIMITY TO
+    * THE SEEDS, not global centrality. The curation use: propagate a
+    * trust/quality signal from a vetted document set through the
+    * similarity graph (label propagation's ranking cousin), or score
+    * crawl pages by closeness to known-good domains. Identical integer
+    * arithmetic and per-iteration plan shape as [[ranks]]; seeds not
+    * present in the graph are ignored (they have no edges to walk). */
+  def personalizedRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                        seeds: DataFrame, seedCol: String, iters: Int,
+                        dampNum: Long = 85L,
+                        dampDen: Long = 100L): DataFrame =
+    iterate(edges, srcCol, dstCol,
+      Some(seeds.select(col(seedCol).cast("long").as("id")).distinct()),
+      iters, dampNum, dampDen)
+
+  private def iterate(edges: DataFrame, srcCol: String, dstCol: String,
+                      seeds: Option[DataFrame], iters: Int,
+                      dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampDen >= 1L, s"dampDen must be >= 1, got $dampDen")
     require(dampNum >= 0L && dampNum <= dampDen,
       s"dampNum must be in [0, dampDen], got $dampNum/$dampDen")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("id"))
+    val nodesPlain = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    require(!nodes.isEmpty, "PageRank.ranks: empty graph")
+    // the seed flag rides the (bounded, checkpointed) node frame so the
+    // per-iteration join shape is IDENTICAL to the global form
+    val nodes = (seeds match {
+      case Some(sd) => nodesPlain
+        .join(sd.withColumn("__seed", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(false)).as("__seed"))
+      case None => nodesPlain.withColumn("__seed", lit(true))
+    }).localCheckpoint(true)
+    require(!nodes.isEmpty, "PageRank: empty graph")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     // static per-edge degree: joined once, carried through every iteration
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
     val base = ((dampDen - dampNum) * Quant) / dampDen
-    var pr = nodes.withColumn("pr_u6", lit(Quant))
+    var pr = nodes.select(col("id"),
+      when(col("__seed"), lit(Quant)).otherwise(lit(0L)).as("pr_u6"))
     var it = 0
     while (it < iters) {
       val sums = eDeg
@@ -72,7 +103,7 @@ object PageRank {
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
       pr = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) +
+          (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
             .as("pr_u6"))
         .localCheckpoint(true)

@@ -91,4 +91,31 @@ class PageRankSpec extends SparkTestBase {
       PageRank.ranks(triangle.filter(lit(false)), "src", "dst", 1)
     }
   }
+
+  test("personalized: seed-gated init and base, hand-computed step") {
+    val seeds = Seq(1L).toDF("id")
+    // iters=0: seed starts at Quant, others at 0
+    val init = prMap(PageRank.personalizedRanks(
+      triangle, "src", "dst", seeds, "id", iters = 0))
+    assert(init === Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L))
+    // one step: contribs from init — 1 sends 500000 to {2,3}, 2 and 3
+    // send 0. base 150000 lands ONLY at the seed; non-seeds earn rank
+    // through in-links alone
+    val got = prMap(PageRank.personalizedRanks(
+      triangle, "src", "dst", seeds, "id", iters = 1))
+    assert(got === Map(
+      1L -> 150000L,                              // base + 85%·0
+      2L -> (85L * 500000L) / 100L,               // 425000
+      3L -> (85L * 500000L) / 100L))              // 425000
+    // global form with an all-node seed set equals plain ranks
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    assert(prMap(PageRank.personalizedRanks(
+        triangle, "src", "dst", all, "id", iters = 3))
+      === prMap(PageRank.ranks(triangle, "src", "dst", iters = 3)))
+    // seeds not in the graph are ignored (no phantom nodes)
+    val stray = Seq(1L, 99L).toDF("id")
+    val withStray = PageRank.personalizedRanks(
+      triangle, "src", "dst", stray, "id", iters = 1)
+    assert(prMap(withStray).keySet === Set(1L, 2L, 3L))
+  }
 }
