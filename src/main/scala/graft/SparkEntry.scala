@@ -2444,6 +2444,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk" -> ((s, dir) => {
+      // RAG chunking: overlapping 32-word windows (stride 24) per doc —
+      // the map-only prep step before embedding + ANN indexing; chunk
+      // identity (doc_id, chunk_idx) is what attribution joins back on.
+      // ONE tokenization per row (bindArray), windows as a higher-order
+      // expression, the explode never shuffles.
+      Corpus.chunkWords(t(s, dir, "documents"), "doc_id", "text",
+          size = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch shuffle into 8 training shards, two
       // epochs side by side: shard = epoch-salted replayable hash mod 8
@@ -5339,6 +5350,20 @@ object SparkEntry {
         |WHERE rk <= floor(n * frac + 1e-9) ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" -> packSequencesOracleSql,
+
+    "q_chunk" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS l FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n FROM w WHERE len(l) > 0),
+        |x AS (SELECT doc_id, l, n,
+        |        unnest(range(greatest((n - 8 + 24 - 1) // 24, 1))) AS i
+        |      FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(l[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(32, n - i*24) AS BIGINT) AS n_words
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_epoch_shuffle" ->
       """WITH e AS (SELECT unnest(range(1, 3)) AS epoch),

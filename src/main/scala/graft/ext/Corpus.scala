@@ -720,6 +720,58 @@ object Corpus {
     }
   }
 
+  /** Overlapping word-window chunks of every document — the
+    * retrieval/embedding prep step (RAG chunking): a 100 TB corpus is
+    * chunked BEFORE embedding and ANN indexing, and chunk identity
+    * `(doc id, chunk_idx)` is what attribution joins back on.
+    *
+    * Output: one row per chunk — `(idCol, chunk_idx, chunk_text,
+    * n_words)`, chunk i covering words `[i·stride, i·stride + size)` with
+    * `stride = size − overlap`; the last chunk is the (possibly short)
+    * remainder, empty/whitespace docs produce no rows. Map-only: the
+    * windows are a per-row higher-order expression over ONE tokenization
+    * ([[bindArray]] — an inlined `ws` would re-split per chunk), the
+    * explode never shuffles, and downstream ops see chunk rows exactly
+    * like document rows. Deterministic and SQL-replayable (list slicing
+    * + range). */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+                 size: Int, overlap: Int): DataFrame = {
+    require(size >= 1, s"size must be >= 1, got $size")
+    require(overlap >= 0 && overlap < size,
+      s"overlap must be in [0, size), got $overlap")
+    val stride = size - overlap
+    val chunks = bindArray(words(col(textCol))) { ws =>
+      val n = org.apache.spark.sql.functions.size(ws)
+      // max(ceil((n − overlap) / stride), 1) chunks for n > 0: the last
+      // window starts at the largest i·stride < n − overlap (every chunk
+      // adds ≥ stride new words; a trailing sliver shorter than that is
+      // already covered by the previous window's tail); the floor of 1
+      // covers 0 < n ≤ overlap, where the ceil alone would drop the doc
+      // the null guard must be explicit: a null text gives ws = null and
+      // n = null, and greatest/least IGNORE nulls — without it the
+      // otherwise-branch manufactures one phantom null chunk
+      val nChunks = when(n.isNull || n === 0, lit(0L))
+        .otherwise(greatest(
+          floor((n - lit(overlap) + lit(stride) - 1) / lit(stride))
+            .cast("long"),
+          lit(1L)))
+      // sequence(0, nChunks−1) is invalid at nChunks = 0 (Spark infers a
+      // NEGATIVE step for start > stop, yielding phantom [0,−1]): build
+      // over max(nChunks−1, 0) and slice to exactly nChunks elements
+      val idxs = slice(sequence(lit(0L), greatest(nChunks - 1L, lit(0L))),
+        lit(1), nChunks.cast("int"))
+      transform(idxs, i => struct(
+        i.as("chunk_idx"),
+        array_join(slice(ws, (i * stride + 1L).cast("int"), lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size.toLong), n.cast("long") - i * stride)
+          .as("n_words")))
+    }
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_text"),
+        col("__c.n_words"))
+  }
+
   /** Deterministic per-epoch shuffle + training-shard assignment — the
     * export step between curation and the trainer: every epoch needs a
     * fresh, uncorrelated, REPRODUCIBLE global order, sliced into shards a

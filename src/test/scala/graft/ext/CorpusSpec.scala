@@ -420,6 +420,35 @@ class CorpusSpec extends SparkTestBase {
     assert(a.exists(r => r(2) == false) && a.exists(r => r(2) == true))
   }
 
+  test("chunkWords: window math, short/empty/null docs, overlap coverage") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // n <= overlap → 1 chunk
+      (3L, ""),                                       // empty → no rows
+      (4L, null.asInstanceOf[String]),                // null → no rows
+      (5L, (1 to 4).map(i => s"x$i").mkString(" "))   // n == size → 1 chunk
+    ).toDF("id", "text")
+    val out = Corpus.chunkWords(docs, "id", "text", size = 4, overlap = 3)
+      .as[(Long, Long, String, Long)].collect().toSeq.sorted
+    // doc 1: stride 1 → ceil((10-3)/1)=7 chunks, windows of 4 (last 3
+    // shorter), every consecutive pair overlaps by 3
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) == (0L until 7L))
+    assert(d1.head._3 == "w1 w2 w3 w4" && d1.head._4 == 4L)
+    assert(d1.last._3 == "w7 w8 w9 w10" && d1.last._4 == 4L)
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, "a b c", 3L)))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    assert(out.filter(_._1 == 5L) == Seq((5L, 0L, "x1 x2 x3 x4", 4L)))
+    // stride-2 coverage: concatenating each chunk's NEW words (last
+    // stride of each window plus chunk 0's full window) rebuilds the doc
+    val s2 = Corpus.chunkWords(docs.filter(col("id") === 1L), "id", "text",
+        size = 4, overlap = 2)
+      .orderBy("chunk_idx").as[(Long, Long, String, Long)].collect()
+    val rebuilt = s2.head._3.split(" ").toSeq ++
+      s2.tail.toSeq.flatMap(c => c._3.split(" ").drop(2).toSeq)
+    assert(rebuilt == (1 to 10).map(i => s"w$i"))
+  }
+
   test("epochShards: dense per-shard positions, partition-invariant, epochs decorrelate") {
     val ids = (0L until 400L).toDF("id")
     val out = Corpus.epochShards(ids, "id", epoch = 1L, numShards = 8)
