@@ -2455,6 +2455,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    "q_chunk_bm25" -> ((s, dir) => {
+      // chunk → retrieve → attribute: the RAG serving composition. The
+      // q_chunk windows become the retrieval corpus (composite id
+      // doc_id·10⁴ + chunk_idx), BM25 ranks PASSAGES with chunk-level
+      // statistics, and each hit attributes back to (doc_id, chunk_idx)
+      // — the join key chunking exists to provide.
+      val chunks = Corpus.chunkWords(t(s, dir, "documents"), "doc_id",
+          "text", size = 32, overlap = 8)
+        .select((col("doc_id") * 10000L + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      Bm25.rank(chunks, "chunk_id", "chunk_text", RrfTerms, k = 10)
+        .select(col("rank"),
+          expr("chunk_id div 10000").as("doc_id"),
+          (col("chunk_id") % 10000L).as("chunk_idx"),
+          col("score_u6"))
+        .orderBy(col("rank"))
+    }),
+
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch shuffle into 8 training shards, two
       // epochs side by side: shard = epoch-salted replayable hash mod 8
@@ -3403,13 +3421,12 @@ object SparkEntry {
     * exact stats row `st` with a df column per term — shared by every
     * BM25-family oracle. */
   private def bm25StatsCtes(allTerms: Seq[String],
-                            wFilter: String = ""): String = {
+                            wFilter: String = "",
+                            w0Body: String = bm25DocsW0): String = {
     val dfs = allTerms.indices.map(i =>
       s"CAST(sum(CASE WHEN list_contains(ws, '${allTerms(i)}') THEN 1 " +
         s"ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n    ")
-    s"""w0 AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-       |    x -> length(x) > 0) AS ws FROM documents),
+    s"""w0 AS ($w0Body),
        |w AS (SELECT doc_id, ws FROM w0 $wFilter),
        |st AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -3418,13 +3435,36 @@ object SparkEntry {
        |  FROM w)""".stripMargin
   }
 
+  /** The default BM25 corpus: whole documents, tokenized once. */
+  private val bm25DocsW0: String =
+    """
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+      |    x -> length(x) > 0) AS ws FROM documents""".stripMargin
+
+  /** The CHUNKED corpus as a BM25 `w0` body (q_chunk_bm25): the q_chunk
+    * windows with composite id doc_id·10⁴ + chunk_idx — re-splitting a
+    * joined window equals the slice itself (words carry no whitespace),
+    * so slicing the doc's word list IS the chunk tokenization. */
+  private val bm25ChunksW0: String =
+    """
+      |  SELECT doc_id * 10000 + i AS doc_id,
+      |    l[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)] AS ws
+      |  FROM (SELECT doc_id, l,
+      |          unnest(range(greatest((len(l) - 8 + 24 - 1) // 24, 1))) AS i
+      |        FROM (SELECT doc_id,
+      |                list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+      |                  x -> length(x) > 0) AS l
+      |              FROM documents)
+      |        WHERE len(l) > 0)""".stripMargin
+
   /** CTE body (w → st → sc) shared by the BM25 oracles and the RRF hybrid
     * oracle: per-doc micro-quantized scores `sc(doc_id, score_u6)`. */
   private def bm25ScCtes(terms: Seq[String],
-                         wFilter: String = ""): String = {
+                         wFilter: String = "",
+                         w0Body: String = bm25DocsW0): String = {
     val allTerms = terms.distinct
     val posOf = allTerms.zipWithIndex.toMap
-    s"""${bm25StatsCtes(allTerms, wFilter)},
+    s"""${bm25StatsCtes(allTerms, wFilter, w0Body)},
        |sc AS (
        |  SELECT doc_id,
        |    CAST(round(${bm25ContribSql(terms, posOf)} * CAST(1e6 AS DOUBLE)) AS BIGINT) AS score_u6
@@ -5731,6 +5771,17 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // passage retrieval over the chunked corpus: the same BM25 replay
+    // with the chunk windows as w0 and the composite id decomposed back
+    "q_chunk_bm25" ->
+      s"""WITH ${bm25ScCtes(RrfTerms, w0Body = bm25ChunksW0)}
+         |SELECT CAST(row_number() OVER (ORDER BY score_u6 DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id // 10000 AS doc_id, doc_id % 10000 AS chunk_idx,
+         |  score_u6
+         |FROM sc ORDER BY score_u6 DESC, doc_id // 10000, chunk_idx
+         |LIMIT 10""".stripMargin,
 
     // phrase replay: the same contiguous-window count over the tokens
     "q_phrase" ->
