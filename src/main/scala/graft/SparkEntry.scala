@@ -1003,6 +1003,31 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_bloom_stream" -> ((s, dir) => {
+      // the STREAMING Bloom build under the SAME oracle as q_bloom: the
+      // reference snapshot arrives as a stream and each micro-batch ORs
+      // its bit positions into the carried bitmap (bit-set union is an
+      // OR monoid ⇒ slicing-invariant; multi-batch == batch pinned in
+      // StreamingSpec), then the identical corpus probe runs against the
+      // streamed filter
+      val schema = t(s, dir, "documents").schema
+      val refStream = s.readStream.schema(schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .filter(col("doc_id") < 2000).select(col("text"))
+      val words = graft.streaming.Streaming.bloomBitmapAvailableNow(
+        refStream, "text", BloomK, BloomM)
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 2000).select(col("text"))
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("bloom_hit",
+          Profile.bloomMightContain(words, col("text"), BloomK, BloomM))
+        .join(ref.distinct().withColumn("__in", lit(true)),
+          Seq("text"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("__in"), lit(false)).as("exact_hit"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_cms_stream" -> ((s, dir) => {
       // the STREAMING Count-Min sketch under the SAME oracle as q_cms:
       // the word stream folds into the carried counter matrix per
@@ -2853,6 +2878,29 @@ object SparkEntry {
   private val CmsDepth: Int = 4
   private val CmsWidth: Int = 128
 
+  /** DuckDB replay of q_bloom / q_bloom_stream: the reference's distinct
+    * bit positions, the per-doc k-bit probe, and the exact-membership
+    * truth column. */
+  private def bloomOracleSql: String =
+    s"""WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id < 2000),
+       |rs AS (SELECT unnest(range($BloomK)) AS i),
+       |bits AS (SELECT DISTINCT
+       |           CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+       |             AS BIGINT) % $BloomM AS bit
+       |         FROM ref, rs),
+       |ph AS (SELECT doc_id,
+       |         CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+       |           AS BIGINT) % $BloomM AS bit
+       |       FROM documents, rs),
+       |bm AS (SELECT doc_id,
+       |         COUNT(*) FILTER (WHERE bit IN (SELECT bit FROM bits))
+       |           = $BloomK AS bloom_hit
+       |       FROM ph GROUP BY doc_id)
+       |SELECT d.doc_id, bm.bloom_hit,
+       |       (d.text IN (SELECT text FROM ref)) AS exact_hit
+       |FROM documents d JOIN bm USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB replay of q_cms / q_cms_stream: word counts once, then every
     * occupied counter as the per-(row, bucket) sum over the words hashing
     * there — the min-over-rows probe replayed counter for counter. */
@@ -4236,25 +4284,11 @@ object SparkEntry {
         |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
 
-    "q_bloom" ->
-      s"""WITH ref AS (SELECT DISTINCT text FROM documents WHERE doc_id < 2000),
-         |rs AS (SELECT unnest(range($BloomK)) AS i),
-         |bits AS (SELECT DISTINCT
-         |           CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
-         |             AS BIGINT) % $BloomM AS bit
-         |         FROM ref, rs),
-         |ph AS (SELECT doc_id,
-         |         CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
-         |           AS BIGINT) % $BloomM AS bit
-         |       FROM documents, rs),
-         |bm AS (SELECT doc_id,
-         |         COUNT(*) FILTER (WHERE bit IN (SELECT bit FROM bits))
-         |           = $BloomK AS bloom_hit
-         |       FROM ph GROUP BY doc_id)
-         |SELECT d.doc_id, bm.bloom_hit,
-         |       (d.text IN (SELECT text FROM ref)) AS exact_hit
-         |FROM documents d JOIN bm USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+    "q_bloom" -> bloomOracleSql,
+
+    // the streamed bitmap is the SAME bit set (OR monoid ⇒
+    // slicing-invariant), so the twin shares the batch oracle verbatim
+    "q_bloom_stream" -> bloomOracleSql,
 
     "q_cms" -> cmsOracleSql,
 

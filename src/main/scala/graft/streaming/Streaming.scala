@@ -687,6 +687,30 @@ object Streaming {
       .toDF("row", "bucket", "cnt")
   }
 
+  /** Streaming Bloom-filter build: bit-set union is an OR monoid, so the
+    * running bitmap over any micro-batch slicing equals the batch build
+    * exactly — each batch contributes its (bounded, distinct) bit
+    * positions and the carried word array ORs them in. availableNow +
+    * the in-memory fold is the gate/test form; production ORs per-batch
+    * bitmaps sink-side (a few KB each) or keeps the reference filter hot
+    * in the driver for the probe side of an ingest dedup stream. */
+  def bloomBitmapAvailableNow(values: DataFrame, valueCol: String,
+                              numHashes: Int, numBits: Int): Array[Long] = {
+    import org.apache.spark.sql.Row
+    val words = new Array[Long](numBits / 64)
+    val query = values.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.ext.Profile.bloomBitmap(batch.toDF(), valueCol,
+            numHashes, numBits)
+          .zipWithIndex.foreach { case (w, i) => words(i) |= w }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+    words
+  }
+
   /** Streaming k-means assignment against a PINNED fitted model
     * ([[graft.ml.ExactKMeans]]): the fit-batch/serve-stream shape —
     * cluster a 100 TB backlog once, then classify the continuous ingest

@@ -661,4 +661,24 @@ class StreamingSpec extends SparkTestBase {
     // total counter mass = depth × occurrences, proof both batches landed
     assert(streamed.map(_(2).asInstanceOf[Long]).sum == 4L * 200L)
   }
+
+  test("streaming bloom build: multi-batch OR-fold equals the batch bitmap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomstream-")
+    def mk(ids: Range) = ids.map(i => s"m$i").toDF("v")
+    mk(0 until 150).coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    mk(100 until 300).coalesce(1).write.parquet(s"$dir/b1") // overlap 100-149
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{b0,b1}/*.parquet")
+    val streamed = Streaming.bloomBitmapAvailableNow(stream, "v", 3, 1024)
+    val batch = graft.ext.Profile.bloomBitmap(mk(0 until 300), "v", 3, 1024)
+    assert(streamed.toSeq == batch.toSeq)
+    // and the streamed filter answers probes like the batch one: every
+    // member hits
+    val hits = mk(0 until 300).select(
+        graft.ext.Profile.bloomMightContain(streamed, col("v"), 3, 1024))
+      .as[Boolean].collect()
+    assert(hits.forall(identity))
+  }
 }
