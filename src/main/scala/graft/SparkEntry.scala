@@ -2498,6 +2498,23 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_snapshot_diff" -> ((s, dir) => {
+      // crawl-refresh delta: old = the corpus; new = a synthetic recrawl
+      // (every 17th doc ≡3 dropped, every 17th ≡5 edited, 300 new ids) —
+      // the digest-keyed full-outer join classifies every id so the
+      // pipeline re-processes ONLY added+changed. Documents never
+      // shuffle; the join carries (id, 16-byte digest) rows.
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newer = old.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(old.filter(col("doc_id") < 300)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Corpus.snapshotDiff(old, newer, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch shuffle into 8 training shards, two
       // epochs side by side: shard = epoch-salted replayable hash mod 8
@@ -5438,6 +5455,24 @@ object SparkEntry {
         |    AS chunk_text,
         |  CAST(least(32, n - i*24) AS BIGINT) AS n_words
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+        |nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 17 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM old WHERE doc_id < 300),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |        o.doc_id IS NOT NULL AS op, n.doc_id IS NOT NULL AS np,
+        |        md5(o.text) AS od, md5(n.text) AS nd
+        |      FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN NOT op THEN 'added' WHEN NOT np THEN 'removed'
+        |    WHEN od IS NOT DISTINCT FROM nd THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_epoch_shuffle" ->
       """WITH e AS (SELECT unnest(range(1, 3)) AS epoch),

@@ -772,6 +772,33 @@ object Corpus {
         col("__c.n_words"))
   }
 
+  /** Snapshot delta between two corpus versions — the crawl-refresh
+    * primitive: a monthly recrawl is mostly unchanged, and the pipeline
+    * should re-embed/re-dedup/re-score ONLY the delta. Keyed by `idCol`
+    * (URL/doc id), change detection by content digest, never by content
+    * comparison: the join carries (id, 16-byte md5) rows, documents stay
+    * in their partitions. Output: `(idCol, status)` with status ∈
+    * `added` (id only in `newDf`) | `removed` (only in `oldDf`) |
+    * `changed` (both, digests differ) | `unchanged`. Null text digests
+    * to null; two null texts compare UNCHANGED (null-safe equality) —
+    * a doc flipping between null and non-null text is `changed`. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    // presence must be an explicit flag: a null DIGEST is ambiguous
+    // between "row absent" and "text null", and the full-outer join
+    // nulls both the same way
+    def digested(df: DataFrame, dig: String, pres: String) =
+      df.select(col(idCol), md5(col(textCol)).as(dig), lit(true).as(pres))
+    digested(oldDf, "__od", "__op")
+      .join(digested(newDf, "__nd", "__np"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          .when(col("__od").eqNullSafe(col("__nd")), lit("unchanged"))
+          .otherwise(lit("changed"))
+          .as("status"))
+  }
+
   /** Deterministic per-epoch shuffle + training-shard assignment — the
     * export step between curation and the trainer: every epoch needs a
     * fresh, uncorrelated, REPRODUCIBLE global order, sliced into shards a

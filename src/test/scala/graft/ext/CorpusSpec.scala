@@ -449,6 +449,23 @@ class CorpusSpec extends SparkTestBase {
     assert(rebuilt == (1 to 10).map(i => s"w$i"))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged incl. null texts") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
+      (6L, "f")).toDF("id", "text")
+    val nw = Seq((1L, "a"),                        // unchanged
+      (2L, "B"),                                   // changed
+      // 3 removed
+      (4L, null.asInstanceOf[String]),             // null == null: unchanged
+      (5L, "now-set"),                             // null -> text: changed
+      (6L, null.asInstanceOf[String]),             // text -> null: changed
+      (7L, "new")).toDF("id", "text")              // added
+    val got = Corpus.snapshotDiff(old, nw, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 6L -> "changed", 7L -> "added"))
+  }
+
   test("epochShards: dense per-shard positions, partition-invariant, epochs decorrelate") {
     val ids = (0L until 400L).toDF("id")
     val out = Corpus.epochShards(ids, "id", epoch = 1L, numShards = 8)
