@@ -2498,6 +2498,20 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_train_export" -> ((s, dir) => {
+      // end-to-end tokenizer-aware export: LEARN the tokenizer (6 BPE
+      // merges over the unique-word table), re-tokenize the corpus with
+      // it, and pack the resulting counts into seqLen=256 training rows
+      // — the tokenize→count→pack composition a real export job runs.
+      // The oracle replays the merge loop, every word's learned
+      // tokenization length, and the pack prefix-sum.
+      val docs = t(s, dir, "documents")
+      val (merges, _) = Bpe.train(docs, "text", BpeMerges)
+      Corpus.packSequences(docs, "doc_id",
+          size(Bpe.tokenizeColumn(col("text"), merges)), seqLen = 256L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // crawl-refresh delta: old = the corpus; new = a synthetic recrawl
       // (every 17th doc ≡3 dropped, every 17th ≡5 edited, 300 new ids) —
@@ -5455,6 +5469,40 @@ object SparkEntry {
         |    AS chunk_text,
         |  CAST(least(32, n - i*24) AS BIGINT) AS n_words
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // tokenize → count → pack: the BPE chain's final word table gives
+    // every word's learned tokenization length; per-doc sums feed the
+    // pack prefix-sum replay at seqLen=256
+    "q_train_export" -> (bpeOracleCtes(BpeMerges) + s""",
+        |wt AS (SELECT replace(seg, chr(31), '') AS word,
+        |         CAST(len(list_filter(string_split(seg, chr(31)),
+        |           x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |       FROM w$BpeMerges),
+        |dw AS (SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |           x -> length(x) > 0)) AS word
+        |       FROM documents),
+        |cnt AS (SELECT d.doc_id, SUM(k.n_tok) AS s
+        |        FROM dw d JOIN wt k USING (word) GROUP BY 1),
+        |tok AS (SELECT doc_id, CAST(coalesce(c.s, 0) AS BIGINT) AS n_tokens
+        |        FROM documents LEFT JOIN cnt c USING (doc_id)),
+        |ps AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS token_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, token_offset,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor(token_offset / 256.0) AS BIGINT) END AS first_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 256.0) AS BIGINT)
+        |    END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN CAST(floor((token_offset + n_tokens - 1) / 256.0) AS BIGINT)
+        |       - CAST(floor(token_offset / 256.0) AS BIGINT) + 1
+        |    ELSE 0 END AS n_seqs
+        |FROM ps ORDER BY doc_id""".stripMargin),
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),
