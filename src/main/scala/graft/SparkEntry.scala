@@ -1640,6 +1640,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_hits" -> ((s, dir) => {
+      // HITS hub/authority over the DIRECTED near-dup pairs (smaller id
+      // → larger id: "original endorses later copy"): the two-sided
+      // centrality PageRank's single score can't express — much-copied
+      // originals separate from heavy copiers. Integer max-normalized
+      // iterations, every step replayed by the oracle.
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      graft.ext.Hits.scores(chainedPairs(docs), "id_a", "id_b", HitsIters)
+        .orderBy(col("id"))
+    }),
+
     "q_ppr" -> ((s, dir) => {
       // PERSONALIZED PageRank (random walk with restart): teleport mass
       // returns only to the vetted-seed docs (doc_id % 40 == 0) — rank
@@ -3417,6 +3428,39 @@ object SparkEntry {
   /** q_pagerank iteration count (shared engine/oracle). */
   private val PrIters: Int = 8
 
+  /** q_hits iteration count (shared engine/oracle). */
+  private val HitsIters: Int = 6
+
+  /** Unrolled quantized-exact HITS CTEs over the DIRECTED `e(id_a,
+    * id_b)` pairs ([[graft.ext.Hits.scores]]): per iteration an
+    * authority sum + max-normalization, then a hub sum +
+    * max-normalization — all `//` integer arithmetic, every CTE
+    * MATERIALIZED (each is referenced twice: by its scalar max subquery
+    * and the next step). */
+  private def hitsCtes: String = {
+    val iters = (1 to HitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |  SELECT e.id_b AS id, SUM(h.h_u6) AS s
+         |  FROM de e JOIN hh${i - 1} h ON h.id = e.id_a GROUP BY 1),
+         |aa$i AS MATERIALIZED (
+         |  SELECT n.id, CAST((coalesce(r.s, 0) * 1000000)
+         |    // (SELECT MAX(s) FROM ar$i) AS BIGINT) AS a_u6
+         |  FROM hnodes n LEFT JOIN ar$i r USING (id)),
+         |hr$i AS MATERIALIZED (
+         |  SELECT e.id_a AS id, SUM(a.a_u6) AS s
+         |  FROM de e JOIN aa$i a ON a.id = e.id_b GROUP BY 1),
+         |hh$i AS MATERIALIZED (
+         |  SELECT n.id, CAST((coalesce(r.s, 0) * 1000000)
+         |    // (SELECT MAX(s) FROM hr$i) AS BIGINT) AS h_u6
+         |  FROM hnodes n LEFT JOIN hr$i r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""de AS (SELECT id_a, id_b FROM e),
+       |hnodes AS (SELECT DISTINCT id FROM
+       |  (SELECT id_a AS id FROM de UNION ALL SELECT id_b FROM de)),
+       |hh0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h_u6 FROM hnodes),
+       |$iters""".stripMargin
+  }
+
   /** Unrolled quantized-exact PageRank CTEs over the `und` edges
     * ([[graft.ext.PageRank.ranks]]): `pnodes`/`pdeg`, `p0` = Quant
     * per node (the per-NODE quantum — n never appears in the update),
@@ -4969,6 +5013,14 @@ object SparkEntry {
       s"""WITH $jaccardPairCtes,
          |${pageRankCtes()}
          |SELECT id, pr_u6 FROM p$PrIters ORDER BY id""".stripMargin,
+
+    // HITS over the directed pair table, every max-normalized step replayed
+    "q_hits" ->
+      s"""WITH $jaccardPairCtes,
+         |$hitsCtes
+         |SELECT h.id, h.h_u6 AS hub_u6, a.a_u6 AS auth_u6
+         |FROM hh$HitsIters h JOIN aa$HitsIters a USING (id)
+         |ORDER BY h.id""".stripMargin,
 
     // the personalized form: init and teleport base gated to the seeds
     "q_ppr" ->
