@@ -56,4 +56,14 @@ class BloomSpec extends SparkTestBase {
     }.toMap
     assert(got == expect)
   }
+
+  test("probe plan is map-only: no exchange, no join — the bitmap is a literal") {
+    val ref = (0 until 100).map(i => s"r$i").toDF("v")
+    val words = Profile.bloomBitmap(ref, "v", 3, 4096)
+    val probe = (0 until 1000).map(i => s"p$i").toDF("v")
+      .select(Profile.bloomMightContain(words, col("v"), 3, 4096).as("hit"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe plan shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"probe plan joins:\n$plan")
+  }
 }

@@ -153,6 +153,17 @@ class ProfileSpec extends SparkTestBase {
     assert(est == ("zzz", 0L))
   }
 
+  test("cms: probe joins the BROADCAST sketch (no sort-merge shuffle)") {
+    val df = Seq.tabulate(2000)(i => s"v${i % 97}").toDF("v")
+    val sk = Profile.cmsSketch(df, "v", 4, 64)
+    val items = (0 until 97).map(i => s"v$i").toDF("v")
+    val est = Profile.cmsEstimate(sk, items, "v", 4, 64)
+    val plan = est.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe should broadcast the bounded sketch:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe sort-merge joins:\n$plan")
+  }
+
   test("cms: streaming fold equals the batch sketch (sum monoid)") {
     // the monoid law the streaming twin relies on: sketch(A ∪ B) =
     // sketch(A) + sketch(B) counter-wise
