@@ -387,6 +387,33 @@ object ScaleProbe {
       // every node at outdeg 2 across factors, so the claim measured here
       // is pure linearity: edges ×10 → per-iteration shuffle ×10, wall
       // ~×10 at fixed iters, driver heap flat (ranks never collect).
+      // HITS: same ring+chord graphs as pagerank below; per iteration two
+      // edge⋈score joins + two sums + two 1-row maxes — shuffle should
+      // track edges×iters linearly like pagerank, with the max broadcasts
+      // costing one row each
+      measure(s"hits ${factor}x", s"nodes=$n edges=${2 * n} iters=5") {
+        val edges = spark.range(n).select(col("id").as("src"),
+            ((col("id") + 1L) % n).as("dst"))
+          .union(spark.range(n).select(col("id").as("src"),
+            ((col("id") + 7L) % n).as("dst")))
+        graft.ext.Hits.scores(edges, "src", "dst", iters = 5)
+          .agg(sum(col("auth_u6"))).collect()(0).getLong(0)
+      }
+      // snapshot diff: one digest-keyed full-outer join — shuffle carries
+      // (id, 16-byte md5) rows, linear; the delta fractions are planted
+      // so the classification counts are exact ground truth
+      measure(s"snapshot diff ${factor}x", s"rows=$n") {
+        val old = spark.range(n).select(col("id"),
+          concat(lit("doc"), col("id")).as("text"))
+        val nw = old.filter(col("id") % 10 =!= 0)
+          .select(col("id"),
+            when(col("id") % 10 === 1, concat(col("text"), lit("!")))
+              .otherwise(col("text")).as("text"))
+          .union(spark.range(n, n + n / 10).select(col("id"),
+            concat(lit("doc"), col("id")).as("text")))
+        graft.ext.Corpus.snapshotDiff(old, nw, "id", "text")
+          .filter(col("status") =!= "unchanged").count()
+      }
       measure(s"pagerank ${factor}x", s"nodes=$n edges=${2 * n} iters=5") {
         val pr = spark.range(n).select(col("id").as("src"),
             pmod(col("id") + 1L, lit(n)).as("dst"))
