@@ -498,8 +498,17 @@ object Dedup {
   def minhashIndexKeys(spark: org.apache.spark.sql.SparkSession,
                        path: String,
                        pred: Column = lit(true),
-                       excludeSeg: String = ""): DataFrame = {
-    val m = readMinhashMeta(spark, path)
+                       excludeSeg: String = ""): DataFrame =
+    minhashIndexKeys(spark, path, readMinhashMeta(spark, path), pred,
+      excludeSeg)
+
+  // meta-threaded form: a probe reads the (tiny) meta parquet ONCE and
+  // passes it to the keys/shingles views — three separate meta jobs per
+  // probe is measurable overhead in the micro-batch streaming regime
+  private def minhashIndexKeys(spark: org.apache.spark.sql.SparkSession,
+                               path: String, m: MinhashMeta,
+                               pred: Column,
+                               excludeSeg: String): DataFrame = {
     val segs = m.segments.filterNot(_ == excludeSeg)
     require(segs.nonEmpty,
       s"minhashIndexKeys: no segments at $path (excluding '$excludeSeg')")
@@ -514,8 +523,13 @@ object Dedup {
     * segments (minus `excludeSeg` — see [[minhashIndexKeys]]). */
   def minhashIndexShingles(spark: org.apache.spark.sql.SparkSession,
                            path: String,
-                           excludeSeg: String = ""): DataFrame = {
-    val m = readMinhashMeta(spark, path)
+                           excludeSeg: String = ""): DataFrame =
+    minhashIndexShingles(spark, path, readMinhashMeta(spark, path),
+      excludeSeg)
+
+  private def minhashIndexShingles(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, m: MinhashMeta,
+                                   excludeSeg: String): DataFrame = {
     val segs = m.segments.filterNot(_ == excludeSeg)
     require(segs.nonEmpty,
       s"minhashIndexShingles: no segments at $path (excluding '$excludeSeg')")
@@ -608,7 +622,7 @@ object Dedup {
         col("bucket").isin(touchedBuckets: _*) &&
           col("band_key").isin(probeKeys.sorted: _*)
       else col("bucket").isin(touchedBuckets: _*)
-    val storedKeys = minhashIndexKeys(spark, path, srcPred, excludeSeg)
+    val storedKeys = minhashIndexKeys(spark, path, m, srcPred, excludeSeg)
       .select(col("doc_id"), col("band_key"))
     val touched =
       if (probeKeys.length <= MaxPushedProbeKeys) storedKeys
@@ -637,7 +651,7 @@ object Dedup {
     val sh = newDocs
       .select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(sn)(words).as("sh"))
-      .union(minhashIndexShingles(spark, path, excludeSeg))
+      .union(minhashIndexShingles(spark, path, m, excludeSeg))
       .join(broadcast(candIds), Seq("jid"), "left_semi")
     verifyShingledPairs(sh, cands, threshold)
   }
