@@ -1748,6 +1748,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_delta_pipeline" -> ((s, dir) => {
+      // THE MONTHLY-RECRAWL PIPELINE in one gate: snapshotDiff classifies
+      // the recrawl against the old corpus, and ONLY the delta (added +
+      // changed — ids shifted by 2e6 so an edited doc can match its own
+      // old version) probes the STORED MinHash index — re-processing
+      // cost tracks the delta, never the corpus. Edited docs (one token
+      // appended) stay near-dups of their old selves only when long
+      // enough, so the threshold genuinely cuts; the oracle replays the
+      // diff, the delta selection, and exact all-pairs Jaccard.
+      val old = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 1000)
+      val nw = old.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .union(old.filter(col("doc_id") < 300)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val delta = nw
+        .join(Corpus.snapshotDiff(old, nw, "doc_id", "text")
+          .filter(col("status").isin("added", "changed")), "doc_id")
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.minhashDedupAgainstIndex(s, minhashIndexFor(s, dir), delta,
+          "text", "doc_id", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_incr_stream" -> ((s, dir) => {
       // the STREAMING ingest twin of q_dedup_incr: the planted batch
       // arrives as one micro-batch over a FRESH copy of the old-corpus
@@ -6167,6 +6193,43 @@ object SparkEntry {
         |CAST(200 AS BIGINT) AS max_bucket_size""".stripMargin,
 
     "q_dedup_incr" -> incrDedupOracleSql,
+
+    // recrawl delta replay: diff → delta (added + changed, +2e6 ids) →
+    // exact all-pairs Jaccard restricted to pairs touching the delta
+    "q_delta_pipeline" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |nw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM old WHERE doc_id % 17 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM old WHERE doc_id < 300),
+        |delta AS (
+        |  SELECT n.doc_id + 2000000 AS doc_id, n.text
+        |  FROM nw n LEFT JOIN old o USING (doc_id)
+        |  WHERE o.doc_id IS NULL OR o.text IS DISTINCT FROM n.text),
+        |u AS (SELECT doc_id, text FROM old
+        |      UNION ALL SELECT doc_id, text FROM delta),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+        |    SELECT doc_id,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+        |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+        |    ELSE [] END AS ngrams
+        |    FROM (SELECT doc_id,
+        |      list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> length(w) > 0) AS words
+        |      FROM u))),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0 THEN
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    ELSE 0.0 END AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM p
+        |WHERE jaccard >= 0.9 AND id_b >= 2000000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the STREAMING ingest twin probes the same planted batch against a
     // fresh copy of the old-corpus index (single-file fixture → one
