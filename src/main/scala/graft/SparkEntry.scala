@@ -2566,6 +2566,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_maxp" -> ((s, dir) => {
+      // doc-level retrieval by MAX PASSAGE score (the BERT-maxP pattern:
+      // a long doc is as relevant as its best passage): passage-level
+      // BM25 over ALL chunks (k = corpus-wide cut high enough to keep
+      // every scored passage per doc candidate), then per-doc max + a
+      // deterministic re-rank. Chunk-level statistics, doc-level answer.
+      val chunks = Corpus.chunkWords(t(s, dir, "documents"), "doc_id",
+          "text", size = 32, overlap = 8)
+        .select((col("doc_id") * 10000L + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      Bm25.rank(chunks, "chunk_id", "chunk_text", RrfTerms, k = 200)
+        .select(expr("chunk_id div 10000").as("doc_id"), col("score_u6"))
+        .groupBy(col("doc_id")).agg(max(col("score_u6")).as("best_u6"))
+        .orderBy(col("best_u6").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("best_u6").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("best_u6"))
+    }),
+
     "q_epoch_shuffle" -> ((s, dir) => {
       // deterministic per-epoch shuffle into 8 training shards, two
       // epochs side by side: shard = epoch-salted replayable hash mod 8
@@ -5966,6 +5987,21 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // doc-level maxP: the passage pool's per-doc max, re-ranked — the
+    // pool cut (top-200 passages, total order) replayed exactly
+    "q_chunk_maxp" ->
+      s"""WITH ${bm25ScCtes(RrfTerms, w0Body = bm25ChunksW0)},
+         |pool AS (SELECT doc_id, score_u6,
+         |           row_number() OVER (ORDER BY score_u6 DESC, doc_id) AS rn
+         |         FROM sc),
+         |top AS (SELECT doc_id // 10000 AS doc_id,
+         |          MAX(score_u6) AS best_u6
+         |        FROM pool WHERE rn <= 200 GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY best_u6 DESC, doc_id)
+         |    AS BIGINT) AS rank,
+         |  doc_id, best_u6
+         |FROM top ORDER BY best_u6 DESC, doc_id LIMIT 10""".stripMargin,
 
     // passage retrieval over the chunked corpus: the same BM25 replay
     // with the chunk windows as w0 and the composite id decomposed back
