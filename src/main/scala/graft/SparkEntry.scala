@@ -2549,6 +2549,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_lines" -> ((s, dir) => {
+      // CCNet-style corpus-wide duplicated-LINE removal: every doc gets
+      // a planted boilerplate footer (15k copies — drops) and a unique
+      // line (keeps); corpus-duplicated body lines drop too. The oracle
+      // replays the digest counts, every verdict, and the line-order
+      // rebuild.
+      val d0 = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nCOPYRIGHT BOILERPLATE FOOTER\nunique-"),
+          col("doc_id")).as("text"))
+      Corpus.dropDuplicatedLines(d0, "doc_id", "text", maxCopies = 10L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_snapshot_diff" -> ((s, dir) => {
       // crawl-refresh delta: old = the corpus; new = a synthetic recrawl
       // (every 17th doc ≡3 dropped, every 17th ≡5 edited, 300 new ids) —
@@ -5602,6 +5616,29 @@ object SparkEntry {
         |       - CAST(floor(token_offset / 256.0) AS BIGINT) + 1
         |    ELSE 0 END AS n_seqs
         |FROM ps ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_lines" ->
+      """WITH d0 AS (SELECT doc_id,
+        |  text || chr(10) || 'COPYRIGHT BOILERPLATE FOOTER'
+        |       || chr(10) || 'unique-' || doc_id AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+        |        parts[CAST(i AS INT)] AS line
+        |      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+        |            FROM d0),
+        |           LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) u),
+        |c AS (SELECT md5(trim(line)) AS h, COUNT(*) AS n FROM l
+        |      WHERE length(trim(line)) > 0 GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.pos, l.line,
+        |        (c.h IS NOT NULL AND length(trim(l.line)) > 0) AS dropped
+        |      FROM l LEFT JOIN (SELECT h FROM c WHERE n > 10) c
+        |        ON md5(trim(l.line)) = c.h)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN NOT dropped THEN line END,
+        |    chr(10) ORDER BY pos), '') AS text_clean,
+        |  CAST(coalesce(SUM(CASE WHEN dropped THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_dropped_lines
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, text FROM documents),

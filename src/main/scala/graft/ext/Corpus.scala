@@ -772,6 +772,49 @@ object Corpus {
         col("__c.n_words"))
   }
 
+  /** Corpus-wide duplicated-LINE removal — CCNet's paragraph-hash dedup
+    * (Wenzek et al. 2020) at line granularity: navigation bars, cookie
+    * banners, and license boilerplate repeat VERBATIM across thousands of
+    * pages while each page's body is unique, so lines whose trimmed form
+    * occurs more than `maxCopies` times corpus-wide are dropped from
+    * every document and the text is rebuilt in line order.
+    *
+    * Output: `(idCol, text_clean, n_dropped_lines)` for EVERY input row
+    * (null/empty texts yield `("", 0)`). Whitespace-only lines are
+    * structural — never counted, never dropped.
+    *
+    * Scale shape: the count table is keyed by a 16-byte line digest
+    * (map-side combined — the only corpus-sized aggregation), the verdict
+    * join moves (id, pos, digest) rows, and the rebuild groups each doc's
+    * own lines; full line TEXT rides only the explode and the final
+    * reassembly, both of which are the output's own volume. */
+  def dropDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+                          maxCopies: Long): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n", -1))
+        .as(Seq("__pos", "__line")))
+      .withColumn("__t", trim(col("__line")))
+    val counts = lines.filter(length(col("__t")) > 0)
+      .groupBy(md5(col("__t")).as("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCopies) // verdict table: only the dropped
+    val kept = lines
+      .join(counts, md5(col("__t")) === col("__h"), "left")
+      .withColumn("__drop", col("__n").isNotNull && length(col("__t")) > 0)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("text_clean"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped_lines"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_dropped_lines"), lit(0L)).as("n_dropped_lines"))
+  }
+
   /** Snapshot delta between two corpus versions — the crawl-refresh
     * primitive: a monthly recrawl is mostly unchanged, and the pipeline
     * should re-embed/re-dedup/re-score ONLY the delta. Keyed by `idCol`

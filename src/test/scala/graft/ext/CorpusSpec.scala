@@ -449,6 +449,32 @@ class CorpusSpec extends SparkTestBase {
     assert(rebuilt == (1 to 10).map(i => s"w$i"))
   }
 
+  test("dropDuplicatedLines: verdicts, rebuild order, empty/null docs") {
+    val boiler = "COOKIE BANNER"
+    val docs = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma\n\ndelta"),     // empty line is structural
+      (3L, s"$boiler\n $boiler "),          // all lines boilerplate (trimmed)
+      (4L, ""),                             // empty text
+      (5L, null.asInstanceOf[String]),      // null text
+      (6L, s"epsilon\n$boiler")
+    ).toDF("id", "text")
+    // boiler occurs 5x (> 2); every other line once
+    val out = Corpus.dropDuplicatedLines(docs, "id", "text", maxCopies = 2)
+      .as[(Long, String, Long)].collect()
+      .map { case (k, v, n) => k -> (v, n) }.toMap
+    assert(out(1L) == ("alpha\nbeta", 1L))
+    assert(out(2L) == ("gamma\n\ndelta", 1L)) // empty line survives in place
+    assert(out(3L) == ("", 2L))               // trimmed match drops both
+    assert(out(4L) == ("", 0L))
+    assert(out(5L) == ("", 0L))
+    assert(out(6L) == ("epsilon", 1L))
+    // below the threshold nothing drops
+    val loose = Corpus.dropDuplicatedLines(docs, "id", "text", maxCopies = 5)
+      .as[(Long, String, Long)].collect()
+    assert(loose.forall(_._3 == 0L))
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged incl. null texts") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"),
       (4L, null.asInstanceOf[String]), (5L, null.asInstanceOf[String]),
