@@ -312,6 +312,16 @@ object ScaleProbe {
         graft.ext.Profile.cmsSketch(occ, "word", 4, 4096)
           .agg(sum(col("cnt"))).collect()(0).getLong(0)
       }
+      // line dedup: a boilerplate footer planted on every doc (drops at
+      // every decade) — digest counts are the only corpus-sized agg, the
+      // verdict join carries (id, pos, digest); wall linear, heap flat
+      measure(s"line dedup ${factor}x", s"docs=${5000 * factor}") {
+        val d0 = d.select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("FOOTER BOILERPLATE LINE"),
+            concat(lit("u-"), col("doc_id"))).as("text"))
+        graft.ext.Corpus.dropDuplicatedLines(d0, "doc_id", "text", 10L)
+          .agg(sum(col("n_dropped_lines"))).collect()(0).getLong(0)
+      }
       // Bloom: build is one distinct over ≤ m bit positions (bounded
       // shuffle); the probe is map-only against the bitmap literal —
       // probe shuffle must be ZERO at every decade, wall linear in the
