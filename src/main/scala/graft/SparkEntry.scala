@@ -2580,6 +2580,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_chunk_graph" -> ((s, dir) => {
+      // chunking as a CONTENT-ADDRESSED spec op over the runner's
+      // positional identity — chunk once per (corpus, size, overlap),
+      // (row_idx, chunk_idx) the attribution key
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      r.toFrame(ChunkTextOp(SelectTextColumnOp(ds, "text"),
+          size = 32L, overlap = 8L))
+        .select(col(ColumnOps.RowIdx).as("row_idx"), col("chunk_idx"),
+          col("chunk_text"), col("n_words"))
+        .orderBy(col("row_idx"), col("chunk_idx"))
+    }),
+
     "q_chunk_maxp" -> ((s, dir) => {
       // doc-level retrieval by MAX PASSAGE score (the BERT-maxP pattern:
       // a long doc is as relevant as its best passage): passage-level
@@ -5568,6 +5581,24 @@ object SparkEntry {
         |WHERE rk <= floor(n * frac + 1e-9) ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" -> packSequencesOracleSql,
+
+    // spec twin: same windows, keyed by positional identity
+    "q_chunk_graph" ->
+      """WITH d AS (SELECT text,
+        |  CAST(row_number() OVER () AS BIGINT) - 1 AS row_idx
+        |  FROM documents),
+        |w AS (SELECT row_idx,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS l FROM d),
+        |c AS (SELECT row_idx, l, len(l) AS n FROM w WHERE len(l) > 0),
+        |x AS (SELECT row_idx, l, n,
+        |        unnest(range(greatest((n - 8 + 24 - 1) // 24, 1))) AS i
+        |      FROM c)
+        |SELECT row_idx, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(l[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)], ' ')
+        |    AS chunk_text,
+        |  CAST(least(32, n - i*24) AS BIGINT) AS n_words
+        |FROM x ORDER BY row_idx, chunk_idx""".stripMargin,
 
     "q_chunk" ->
       """WITH w AS (SELECT doc_id,

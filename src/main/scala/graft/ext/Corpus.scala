@@ -824,7 +824,10 @@ object Corpus {
     * `added` (id only in `newDf`) | `removed` (only in `oldDf`) |
     * `changed` (both, digests differ) | `unchanged`. Null text digests
     * to null; two null texts compare UNCHANGED (null-safe equality) —
-    * a doc flipping between null and non-null text is `changed`. */
+    * a doc flipping between null and non-null text is `changed`. `idCol`
+    * must be unique WITHIN each snapshot (URL/doc primary key — the
+    * crawl-table invariant); duplicate ids would row-multiply through
+    * the join. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     // presence must be an explicit flag: a null DIGEST is ambiguous
@@ -859,7 +862,10 @@ object Corpus {
     * reproduces byte-identical shards — what makes a training run's data
     * order auditable and resumable. The chr(31) salt separator keeps
     * (epoch, id) images injective (epoch 1 + id "23" vs epoch 12 + id
-    * "3"); hash ties (2⁻⁶⁰) break by id. */
+    * "3"); hash ties (2⁻⁶⁰) break by id. Ids are assumed non-null unique
+    * keys (as everywhere in the engine): null ids all hash to the
+    * salt-only image (concat_ws skips nulls) and would pile into one
+    * shard cell. */
   def epochShards(df: DataFrame, idCol: String, epoch: Long,
                   numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")

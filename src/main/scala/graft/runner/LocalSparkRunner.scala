@@ -921,6 +921,14 @@ class LocalSparkRunner(
           es.epoch, es.numShards.toInt)
         .select(col(RowIdx), col("shard"), col("pos")))
 
+    case ct: ChunkTextOp =>
+      FrameResult(graft.ext.Corpus
+        .chunkWords(frame(ct.text)
+            .select(col(RowIdx), col(ValueCol).cast("string").as("__t")),
+          RowIdx, "__t", ct.size.toInt, ct.overlap.toInt)
+        .select(col(RowIdx), col("chunk_idx"), col("chunk_text"),
+          col("n_words")))
+
     case kb: KeepBestPerClusterOp =>
       val pr = frame(kb.priority).select(col(RowIdx), col(ValueCol))
       val p = frame(kb.pairs)

@@ -121,6 +121,9 @@ object Fluent {
     def bloomMember(reference: TextColumnType, numHashes: Long = 3L,
                     numBits: Long = 16384L): BloomMembershipOp =
       BloomMembershipOp(t, reference, numHashes, numBits)
+    /** beyond reference: overlapping word-window RAG chunks */
+    def chunkText(size: Long = 256L, overlap: Long = 32L): ChunkTextOp =
+      ChunkTextOp(t, size, overlap)
   }
 
   implicit class BinaryBuilders(private val b: BinaryColumnType) extends AnyVal {

@@ -459,6 +459,9 @@ object OpRegistry {
     "EpochShardOp" -> ((o, r) =>
       EpochShardOp(op[DatasetType](o, "dataset", r),
         lng(o, "epoch"), lng(o, "num_shards"))),
+    "ChunkTextOp" -> ((o, r) =>
+      ChunkTextOp(op[TextColumnType](o, "text", r),
+        lng(o, "size"), lng(o, "overlap"))),
     "KeepBestPerClusterOp" -> ((o, r) =>
       KeepBestPerClusterOp(op[ScoreColumnType](o, "priority", r),
         op[DatasetType](o, "pairs", r))),

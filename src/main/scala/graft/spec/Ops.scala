@@ -843,6 +843,24 @@ final case class BloomMembershipOp(
     s"numBits must be a positive multiple of 64 <= 2^30, got $numBits")
 }
 
+/** RAG chunking ([[graft.ext.Corpus.chunkWords]] over the row index):
+  * one row per overlapping word window — `(row_idx, chunk_idx,
+  * chunk_text, n_words)`, window i covering words `[i·stride,
+  * i·stride + size)` with `stride = size − overlap`; empty/null texts
+  * produce no rows. Map-only (one tokenization per row, the explode
+  * never shuffles); `(row_idx, chunk_idx)` is the attribution key the
+  * downstream embed/ANN/BM25 ops join back on. Non-ephemeral: chunking
+  * an immutable corpus happens once per (corpus, size, overlap). */
+final case class ChunkTextOp(
+    text: TextColumnType,
+    size: Long = 256L,
+    overlap: Long = 32L) extends DatasetType {
+  require(size >= 1L && size <= 1000000L,
+    s"size must be in [1, 1e6], got $size")
+  require(overlap >= 0L && overlap < size,
+    s"overlap must be in [0, size), got $overlap")
+}
+
 /** Deterministic per-epoch training-shard layout
   * ([[graft.ext.Corpus.epochShards]] over the row index): each row gets
   * `(shard, pos)` — shard = epoch-salted replayable hash mod `numShards`

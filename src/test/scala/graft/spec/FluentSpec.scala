@@ -137,5 +137,7 @@ class FluentSpec extends AnyFunSuite {
       CmsWordCountsOp(t, 3L, 64L, 10L))
     assert(t.bloomMember(ref, numHashes = 4L, numBits = 128L) ==
       BloomMembershipOp(t, ref, 4L, 128L))
+    assert(t.chunkText(size = 64L, overlap = 16L) ==
+      ChunkTextOp(t, 64L, 16L))
   }
 }

@@ -109,7 +109,8 @@ class GoldenGraphSpec extends AnyFunSuite {
       BloomMembershipOp(t,
         SelectTextColumnOp(TakeRowsOp(ds, numRows = Some(5L)), "text"),
         numHashes = 4L, numBits = 128L),
-      EpochShardOp(ds, epoch = 2L, numShards = 16L))
+      EpochShardOp(ds, epoch = 2L, numShards = 16L),
+      ChunkTextOp(t, size = 64L, overlap = 16L))
     val rt = Graph.deserialize(Graph.serialize(ops: _*))
     assert(rt == ops)
     assert(rt.map(_.uuid) == ops.map(_.uuid))
