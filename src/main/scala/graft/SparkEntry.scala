@@ -1945,6 +1945,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // contrastive-pair mining: corpus = embeddings + planted COPIES of
+      // vec_id < 50 (cosine 1 with their sources); per query the top-5
+      // similar-but-NOT-duplicate neighbors — each query's own planted
+      // copy is excluded by the 0.95 duplicate threshold, so the mined
+      // negatives are hard, never false
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val corpus = emb.union(emb.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.hardNegatives(corpus, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5, dupThreshold = 0.95)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
@@ -5748,6 +5764,26 @@ object SparkEntry {
         |r AS (SELECT query_id, corpus_id, cosf,
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
         |  FROM s)
+        |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // contrastive mining: same cosine replay, duplicates filtered out
+    "q_hard_negatives" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+        |q AS (SELECT vec_id qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM u),
+        |s AS (SELECT qid query_id, cid corpus_id,
+        |        list_cosine_similarity(qv, cv) cosf FROM q, c),
+        |f AS (SELECT * FROM s WHERE cosf < 0.95 AND query_id != corpus_id),
+        |r AS (SELECT query_id, corpus_id, cosf,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+        |  FROM f)
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

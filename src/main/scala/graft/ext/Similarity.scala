@@ -66,6 +66,38 @@ object Similarity {
         col("rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training (DPR/Contriever-style
+    * pairs): per query, the top-k corpus vectors by cosine among those
+    * BELOW `dupThreshold` — the query itself and its near-duplicates
+    * (cosine ≥ the threshold) are excluded, so negatives are hard but
+    * never false (a duplicate labeled "negative" poisons the loss).
+    * Same plan shape as [[bruteForceTopK]] (broadcast queries, per-query
+    * window); at corpus scale the candidate generation swaps to the IVF
+    * probe and this becomes its post-filter — semantics unchanged. */
+  def hardNegatives(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    k: Int, dupThreshold: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dupThreshold > 0.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be in (0, 1], got $dupThreshold")
+    val q = broadcast(queries.select(col(queryId).as("query_id"),
+      col(queryVec).as("__qv"), norm(col(queryVec)).as("__qn")))
+    val c = corpus.select(col(corpusId).as("corpus_id"),
+      col(corpusVec).as("__cv"), norm(col(corpusVec)).as("__cn"))
+    val scored = c.crossJoin(q)
+      .withColumn("cosine", when(col("__qn") * col("__cn") > 0,
+        dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+        .otherwise(lit(0.0)))
+      .filter(col("cosine") < dupThreshold &&
+        col("query_id") =!= col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Deterministic centroid selection for IVF without iterative k-means:
     * pick nlist corpus vectors by hash of id (stable "k-means||-lite" —
     * random projection seeds). Good enough for uniform data; skewed
