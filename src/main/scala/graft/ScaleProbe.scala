@@ -141,7 +141,7 @@ object ScaleProbe {
         val bidx = java.nio.file.Files.createTempDirectory(s"graft-bm25idx-$factor-")
         measure(s"bm25 index build ${factor}x", s"docs=${5000 * factor}") {
           graft.ext.Bm25.buildIndex(d, "doc_id", "text", bidx.toString)
-          spark.read.parquet(s"$bidx/stats").count()
+          graft.ext.Bm25.indexStatsDf(spark, bidx.toString).count()
         }
         measure(s"bm25 index probe ${factor}x", s"terms=3 k=10") {
           graft.ext.Bm25.topKIndexed(spark, bidx.toString,

@@ -4550,7 +4550,8 @@ object SparkEntry {
       }
       (base +: rs).mkString(",\n") +
         s"""
-           |SELECT domain, n_docs, excess_u6, CAST(w AS BIGINT) AS weight_u6
+           |SELECT domain, n_docs, CAST(excess_u6 AS BIGINT) AS excess_u6,
+           |  CAST(w AS BIGINT) AS weight_u6
            |FROM r$rounds ORDER BY domain""".stripMargin
     },
 

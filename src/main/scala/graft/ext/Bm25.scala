@@ -208,12 +208,14 @@ object Bm25 {
     *    hash(term) % numBuckets` with one cell-keyed shuffle before the
     *    write (one file per bucket, not tasks×buckets)
     *  - `df_vK/bucket=N/` — rows `(term, df)` in the same layout
-    *  - `stats/` — ONE row `(n_docs, total_dl, n_buckets, postings_dir,
-    *    df_dir)`, always written LAST: a probe resolves the postings and
-    *    df directories through the stats row it read, so a table swap
-    *    (df merge on append, postings rewrite on [[compactIndex]]) is an
-    *    atomic pointer flip — no probe can ever see a missing or partial
-    *    table (the ADVICE r15 delete-then-rename window is gone).
+    *  - `stats_mK/` — ONE row `(n_docs, total_dl, n_buckets, postings_dir,
+    *    df_dir, …)`, always written LAST and committed via [[StoreMeta]]'s
+    *    versioned-dir + `_SUCCESS` discipline: a probe resolves the
+    *    postings and df directories through the stats row it read, so a
+    *    table swap (df merge on append, postings rewrite on
+    *    [[compactIndex]]) is an atomic pointer flip — no probe can ever
+    *    see a missing or partial table, and a crash mid-flip leaves the
+    *    previous pointer whole.
     *
     * Build cost: one token-stream shuffle (the `(doc, term)` tf
     * aggregation) + a term-keyed df aggregation — both linear, paid once
@@ -240,7 +242,7 @@ object Bm25 {
     // df from the postings themselves (one row per (doc, term) = exactly
     // the document frequency), re-read from the store so the df pass
     // scans narrow columns instead of re-tokenizing the corpus
-    spark.read.parquet(s"$path/postings_v0")
+    spark.read.schema(postingsSchema).parquet(s"$path/postings_v0")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", bUdf(col("term")))
       .repartition(col("bucket"))
@@ -250,39 +252,82 @@ object Bm25 {
     writeStats(spark, path, withWs.agg(count(lit(1)),
         coalesce(sum(size(col("__ws")).cast("long")), lit(0L))).head
       match { case r => (r.getLong(0), r.getLong(1)) },
-      nb, "postings_v0", "df_v0", Nil, "")
+      nb, "postings_v0", "df_v0", Nil, "", nextSeg = 0L)
   }
 
   /** Resolved index metadata: counts + the CURRENT table directories —
     * `postingsDir` the compacted base, `deltaDirs` the committed append
     * segments (LSM/Lucene-segment shape), `lastTag` the most recent
-    * append's idempotence tag. */
+    * append's idempotence tag, `nextSeg` the monotone counter that names
+    * untagged delta segments (never reused, even across compactions — a
+    * list-position name would recycle `postings_d0` after a compaction
+    * resets the list and overwrite a retired dir a grace-window reader
+    * still holds; ADVICE r16). */
   private final case class IndexStats(nDocs: Long, totalDl: Long,
                                       nBuckets: Int, postingsDir: String,
                                       dfDir: String, deltaDirs: List[String],
-                                      lastTag: String)
+                                      lastTag: String, nextSeg: Long)
+
+  /** The committed stats pointer row as a DataFrame — the public probe
+    * for tests/tools (`n_docs`, `total_dl`, `n_buckets`, the table dirs). */
+  def indexStatsDf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    StoreMeta.read(spark, path, "stats")
 
   private def readStats(spark: org.apache.spark.sql.SparkSession,
                         path: String): IndexStats = {
-    val st = spark.read.parquet(s"$path/stats").head
+    val st = indexStatsDf(spark, path).head
     IndexStats(st.getAs[Long]("n_docs"), st.getAs[Long]("total_dl"),
       st.getAs[Int]("n_buckets"), st.getAs[String]("postings_dir"),
       st.getAs[String]("df_dir"),
       st.getAs[scala.collection.Seq[String]]("delta_dirs").toList,
-      st.getAs[String]("last_tag"))
+      st.getAs[String]("last_tag"), st.getAs[Long]("next_seg"))
   }
 
+  // versioned-dir + _SUCCESS commit via StoreMeta: the pointer row is the
+  // store's commit point and must never be transiently missing (a plain
+  // overwrite deletes-then-writes) or half-written after a crash
   private def writeStats(spark: org.apache.spark.sql.SparkSession,
                          path: String, counts: (Long, Long), nBuckets: Int,
                          postingsDir: String, dfDir: String,
-                         deltaDirs: List[String], lastTag: String): Unit = {
+                         deltaDirs: List[String], lastTag: String,
+                         nextSeg: Long): Unit = {
     import spark.implicits._
-    Seq((counts._1, counts._2, nBuckets, postingsDir, dfDir, deltaDirs,
-        lastTag))
-      .toDF("n_docs", "total_dl", "n_buckets", "postings_dir", "df_dir",
-        "delta_dirs", "last_tag")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    StoreMeta.write(
+      Seq((counts._1, counts._2, nBuckets, postingsDir, dfDir, deltaDirs,
+          lastTag, nextSeg))
+        .toDF("n_docs", "total_dl", "n_buckets", "postings_dir", "df_dir",
+          "delta_dirs", "last_tag", "next_seg"),
+      path, "stats")
   }
+
+  // explicit segment schema: an EMPTY batch's partitionBy write leaves a
+  // _SUCCESS-only directory behind, and schema INFERENCE on it throws —
+  // appendToIndex now refuses to commit such a segment, but a reader must
+  // not depend on every historic segment being non-empty either (the
+  // appendToMinhashIndex discipline, ADVICE r16 high)
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("tf",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private val dfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.IntegerType)))
 
   /** The index's postings as ONE DataFrame: the compacted base plus every
     * committed delta segment, `pred` applied to EACH root scan so the
@@ -292,7 +337,8 @@ object Bm25 {
                            pred: Column): DataFrame = {
     val cols = Seq("term", "doc_id", "tf", "dl", "pos", "bucket")
     (st.postingsDir :: st.deltaDirs)
-      .map(d => spark.read.parquet(s"$path/$d").filter(pred)
+      .map(d => spark.read.schema(postingsSchema).parquet(s"$path/$d")
+        .filter(pred)
         .select(cols.map(col): _*))
       .reduce(_ unionByName _)
   }
@@ -362,6 +408,10 @@ object Bm25 {
     val spark = docs.sparkSession
     val st = readStats(spark, path)
     if (tag.nonEmpty && st.lastTag == tag) return // replayed, already applied
+    // idle micro-batch: committing it would add a _SUCCESS-only delta dir
+    // (zero-row partitionBy write) and a useless df version — skip whole
+    // (the appendToMinhashIndex discipline; ADVICE r16 high)
+    if (docs.isEmpty) return
     val nb = st.nBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
@@ -369,9 +419,13 @@ object Bm25 {
       Corpus.words(col(textCol)).as("__ws"))
     val postings = postingsOf(withWs, bUdf).persist()
     try {
+      // monotone counter, not list position: after a compaction empties
+      // the list, position naming would recycle postings_d0 and overwrite
+      // a retired dir still on disk (and still readable by a grace-window
+      // probe holding the pre-compaction pointer)
       val deltaDir =
         if (tag.nonEmpty) s"postings_d$tag"
-        else s"postings_d${st.deltaDirs.length}"
+        else s"postings_d${st.nextSeg}"
       postings.repartition(col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("bucket")
@@ -380,7 +434,7 @@ object Bm25 {
       // into a fresh versioned dir (the old one stays readable until the
       // pointer flips + one more cycle, see pruneVersions)
       val newDfDir = s"df_v${versionOf(st.dfDir) + 1}"
-      spark.read.parquet(s"$path/${st.dfDir}")
+      spark.read.schema(dfSchema).parquet(s"$path/${st.dfDir}")
         .select(col("term"), col("df"))
         .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
@@ -394,7 +448,8 @@ object Bm25 {
         coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
       writeStats(spark, path,
         (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
-        nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag)
+        nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag,
+        st.nextSeg + 1L)
       pruneVersions(spark, path, "df", versionOf(newDfDir))
     } finally postings.unpersist()
   }
@@ -432,7 +487,7 @@ object Bm25 {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$newDir")
     writeStats(spark, path, (st.nDocs, st.totalDl), st.nBuckets,
-      newDir, st.dfDir, Nil, st.lastTag)
+      newDir, st.dfDir, Nil, st.lastTag, st.nextSeg) // counter survives
     pruneVersions(spark, path, "postings", versionOf(newDir))
   }
 
@@ -537,7 +592,8 @@ object Bm25 {
         s"n_docs=$nDocs)")
     val distinctTerms = terms.distinct
     val qBuckets = distinctTerms.map(bucketOf(_, st.nBuckets)).distinct
-    val dfMap: Map[String, Long] = spark.read.parquet(s"$path/${st.dfDir}")
+    val dfMap: Map[String, Long] = spark.read.schema(dfSchema)
+      .parquet(s"$path/${st.dfDir}")
       .filter(col("bucket").isin(qBuckets: _*) &&
         col("term").isin(distinctTerms: _*))
       .select(col("term"), col("df")).collect()

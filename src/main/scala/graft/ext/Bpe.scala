@@ -97,24 +97,79 @@ object Bpe {
     (merges.toSeq, words)
   }
 
-  /** Tokenize a text column with a LEARNED merge list: per word, replay the
-    * merges in order (a codegen'd expression chain would beat this UDF for
-    * very long merge lists; at typical list lengths the per-row cost is the
-    * string scan itself). */
+  /** Sequential merge-list replay of one word — the DEFINITIONAL encode
+    * (apply every learned merge in training order, each a full greedy
+    * left-to-right pass). O(|merges| × |word|) per word: fine at gate
+    * scale, a per-row scale problem at a real 30k–100k-merge vocabulary.
+    * Kept as the equivalence REFERENCE for [[tokenizeWordRanked]] (the
+    * production path) — BpeSpec pins the two equal on trained lists. */
+  private[graft] def tokenizeWordSequential(
+      w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = w.split("").toSeq
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    syms
+  }
+
+  /** RANK-GREEDY encode of one word: repeatedly merge the LOWEST-RANK
+    * adjacent pair present (all its occurrences, left-to-right) until no
+    * learned pair remains. O(|word| × #applied merges) — INDEPENDENT of
+    * vocabulary size, which is what makes encoding affordable at a real
+    * vocab (the GPT-2 `bpe()` shape, Radford et al. 2019).
+    *
+    * Equivalent to [[tokenizeWordSequential]] on any TRAINED merge list:
+    * a pair (x, y) can only be learned after the merges creating x and y,
+    * so every merge that could (re)create an (x, y) adjacency has HIGHER
+    * rank than (x, y) — when the sequential replay reaches rank r, no
+    * pair of rank &lt; r exists in the word, which is exactly the
+    * invariant the min-rank loop maintains. (An ARBITRARY hand-built list
+    * can violate the precondition and diverge; encode inputs here are
+    * always [[train]] outputs.) */
+  private[graft] def tokenizeWordRanked(
+      w: String, mergesArr: Array[(String, String)],
+      ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms: Seq[String] = w.split("").toSeq
+    var done = syms.length < 2 || mergesArr.isEmpty
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (a, b) = mergesArr(bestRank)
+        syms = mergeOnce(syms, a, b)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** Tokenize a text column with a LEARNED merge list — rank-greedy per
+    * word (see [[tokenizeWordRanked]]): per-row cost tracks the word
+    * length and the merges that actually APPLY, not the vocabulary size,
+    * so the same UDF serves a 6-merge gate corpus and a 100k-merge
+    * production tokenizer. */
   def tokenizeColumn(text: Column, merges: Seq[(String, String)]): Column = {
+    val mergesArr = merges.toArray
+    // first occurrence wins if a pair was ever re-learned (count resurged
+    // after later merges): the sequential replay applies the FIRST one
+    val ranks: Map[(String, String), Int] = {
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+      mergesArr.iterator.zipWithIndex.foreach { case (p, i) =>
+        if (!m.contains(p)) m(p) = i
+      }
+      m.toMap
+    }
     val tok = udf((t: String) => {
       // null-tolerant like the train path (split(trim(null)) propagates
       // null and explode drops it): a null text tokenizes to no tokens
       // rather than NPE-ing the task
       if (t == null) Seq.empty[String]
-      else {
-        val words = t.trim.split("\\s+").filter(_.nonEmpty)
-        words.flatMap { w =>
-          var syms: Seq[String] = w.split("").toSeq
-          merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-          syms
-        }.toSeq
-      }
+      else t.trim.split("\\s+").iterator.filter(_.nonEmpty)
+        .flatMap(w => tokenizeWordRanked(w, mergesArr, ranks)).toSeq
     })
     tok(text)
   }

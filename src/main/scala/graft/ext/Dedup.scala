@@ -340,7 +340,8 @@ object Dedup {
     * workflow (the [[graft.ext.Similarity.buildIvfIndex]] treatment applied
     * to text dedup). Layout:
     *
-    *  - `path/meta` — one row (shingle_n, num_perms, num_bands, …,
+    *  - `path/meta_mK` ([[StoreMeta]]-committed) — one row (shingle_n,
+    *    num_perms, num_bands, …,
     *    segments, last_tag): queries and appends read parameters from the
     *    store, so a probe can never silently hash with different
     *    constants than the index; `segments` is the MANIFEST — the list
@@ -365,7 +366,7 @@ object Dedup {
     writeMinhashRows(df, textCol, idCol, shingleN, numPerms, numBands,
       numKeyBuckets, s"$path/seg_base")
     writeMinhashMeta(spark, path, shingleN, numPerms, numBands,
-      numKeyBuckets, List("seg_base"), "")
+      numKeyBuckets, List("seg_base"), "", nextSeg = 0L)
   }
 
   /** Append a new batch to an existing [[buildMinhashIndex]] store as a
@@ -391,11 +392,12 @@ object Dedup {
     val m = readMinhashMeta(spark, path)
     if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
     if (newDocs.isEmpty) return // idle micro-batch: no junk segment
-    val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.segments.length}"
+    // monotone counter, not list position (see MinhashMeta.nextSeg)
+    val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
     writeMinhashRows(newDocs, textCol, idCol, m.shingleN, m.numPerms,
       m.numBands, m.numKeyBuckets, s"$path/$seg")
     writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
-      m.numKeyBuckets, m.segments :+ seg, tag)
+      m.numKeyBuckets, m.segments :+ seg, tag, m.nextSeg + 1L)
   }
 
   /** COMPACT a segmented [[buildMinhashIndex]] store back to one segment —
@@ -442,33 +444,43 @@ object Dedup {
     minhashIndexShingles(spark, path)
       .write.mode("overwrite").parquet(s"$path/$newSeg/shingles")
     writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
-      m.numKeyBuckets, List(newSeg), m.lastTag)
+      m.numKeyBuckets, List(newSeg), m.lastTag, m.nextSeg) // counter survives
   }
 
+  /** `nextSeg` names untagged append segments monotonically — never
+    * recycled, even after a compaction resets the manifest (a
+    * list-position name would reuse `seg_0` and overwrite a retired dir a
+    * grace-window reader still holds; ADVICE r16). */
   private final case class MinhashMeta(shingleN: Int, numPerms: Int,
                                        numBands: Int, numKeyBuckets: Int,
                                        segments: List[String],
-                                       lastTag: String)
+                                       lastTag: String, nextSeg: Long)
 
   private def readMinhashMeta(spark: org.apache.spark.sql.SparkSession,
                               path: String): MinhashMeta = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = StoreMeta.read(spark, path, "meta").head()
     MinhashMeta(m.getAs[Int]("shingle_n"), m.getAs[Int]("num_perms"),
       m.getAs[Int]("num_bands"), m.getAs[Int]("num_key_buckets"),
       m.getAs[scala.collection.Seq[String]]("segments").toList,
-      m.getAs[String]("last_tag"))
+      m.getAs[String]("last_tag"), m.getAs[Long]("next_seg"))
   }
 
+  // versioned-dir + _SUCCESS commit via StoreMeta: the manifest row is
+  // the store's commit point — a plain overwrite deletes it before
+  // rewriting, so a racing probe could see a MISSING manifest and a crash
+  // mid-write would orphan every committed segment (ADVICE r16 medium)
   private def writeMinhashMeta(spark: org.apache.spark.sql.SparkSession,
                                path: String, shingleN: Int, numPerms: Int,
                                numBands: Int, numKeyBuckets: Int,
                                segments: List[String],
-                               lastTag: String): Unit = {
+                               lastTag: String, nextSeg: Long): Unit = {
     import spark.implicits._
-    Seq((shingleN, numPerms, numBands, numKeyBuckets, segments, lastTag))
-      .toDF("shingle_n", "num_perms", "num_bands", "num_key_buckets",
-        "segments", "last_tag")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    StoreMeta.write(
+      Seq((shingleN, numPerms, numBands, numKeyBuckets, segments, lastTag,
+          nextSeg))
+        .toDF("shingle_n", "num_perms", "num_bands", "num_key_buckets",
+          "segments", "last_tag", "next_seg"),
+      path, "meta")
   }
 
   /** The index's stored band keys as ONE DataFrame

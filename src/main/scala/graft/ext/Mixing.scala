@@ -45,10 +45,17 @@ object Mixing {
 
   /** Per-domain mean excess losses: `(domain, n_docs, excess_u6)` with
     * `excess_u6 = max(0, sumProxy ⌊/⌋ n − sumRef ⌊/⌋ n)` in micro-nats.
-    * One map-side-combinable aggregation; output is k rows. */
+    * One map-side-combinable aggregation; output is k rows.
+    *
+    * Rows with a NULL domain are EXCLUDED: an unlabeled document belongs
+    * to no mixture component, and a null group would otherwise flow into
+    * [[domainWeights]]'s k-way weight vector as a phantom domain (and NPE
+    * the sort). Real corpora do carry null labels; dropping them here is
+    * the documented contract, not an accident of the aggregation. */
   def domainExcess(docs: DataFrame, domainCol: String,
                    proxyLossU6: String, refLossU6: String): DataFrame =
-    docs.groupBy(col(domainCol).as("domain"))
+    docs.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(proxyLossU6).cast("long")).as("__sp"),
         sum(col(refLossU6).cast("long")).as("__sr"))

@@ -248,8 +248,9 @@ class Bm25Spec extends SparkTestBase {
     val remaining = new java.io.File(idx).listFiles().map(_.getName)
       .filter(_.startsWith("postings_d")).toSet
     // only the segment retired by THIS compaction may linger; the four
-    // retired by the previous one are gone
-    assert(remaining.subsetOf(Set("postings_d0")),
+    // retired by the previous one are gone (monotone counter: the 5th
+    // append was postings_d4 — d0..d3 are never reused)
+    assert(remaining.subsetOf(Set("postings_d4")),
       s"stale delta segments not swept: $remaining")
     // base versions prune down to current + previous
     Bm25.compactIndex(spark, idx) // -> v3, prunes v0 and v1

@@ -82,6 +82,63 @@ class BpeSpec extends SparkTestBase {
     assert(words.select(size(col("symbols"))).head().getInt(0) == 1)
   }
 
+  test("rank-greedy encode == sequential replay on a trained 1000+ merge list") {
+    // a LOCAL trainer with the exact Bpe.train semantics (pair counts over
+    // the unique-word table, argmax by cnt desc then pair asc, mergeOnce
+    // application) — so a big merge list exists without 1000 Spark rounds
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abcdef"
+    val vocabWords = (0 until 3000).map { _ =>
+      val len = 3 + rnd.nextInt(10)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    var vocab: Map[Seq[String], Long] = vocabWords
+      .map(w => w.split("").toSeq -> (1L + rnd.nextInt(50).toLong)).toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < 1200 && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val (a, b) = pc.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+        merges += ((a, b))
+        vocab = vocab.toSeq
+          .map { case (syms, cnt) => Bpe.mergeOnce(syms, a, b) -> cnt }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      }
+    }
+    assert(merges.length >= 1000, s"fixture too small: ${merges.length} merges")
+    val mergesArr = merges.toArray
+    val ranks = mergesArr.zipWithIndex.toMap
+    // equality on every corpus word AND on unseen words (fresh draws)
+    val unseen = (0 until 500).map { _ =>
+      val len = 3 + rnd.nextInt(14)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    (vocabWords ++ unseen).foreach { w =>
+      val seqr = Bpe.tokenizeWordSequential(w, mergesArr.toSeq)
+      val rank = Bpe.tokenizeWordRanked(w, mergesArr, ranks)
+      assert(rank == seqr, s"divergence on '$w': ranked=$rank sequential=$seqr")
+    }
+    // and through the column UDF (the production entry point)
+    val df = unseen.take(50).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val viaCol = df.orderBy("doc_id")
+      .select(Bpe.tokenizeColumn(col("text"), mergesArr.toSeq).as("t"))
+      .collect().map(_.getSeq[String](0))
+    unseen.take(50).zip(viaCol).foreach { case (w, got) =>
+      assert(got == Bpe.tokenizeWordSequential(w, mergesArr.toSeq))
+    }
+  }
+
   test("spec-layer BPE: tokenizer artifact content-addressed, tokenize through the store") {
     import graft.spec._
     import graft.runner.LocalSparkRunner

@@ -72,4 +72,16 @@ class MixingSpec extends SparkTestBase {
       Mixing.domainWeights(fixture.filter(lit(false)), "dom", "p", "r", 1)
     }
   }
+
+  test("null domain rows are excluded, not an NPE (documented contract)") {
+    val withNull = fixture.union(Seq((null: String, 9000000L, 1000000L),
+      (null: String, 9000000L, 1000000L)).toDF("dom", "p", "r"))
+    // the unlabeled rows vanish: identical output to the clean fixture
+    assert(weights(withNull, 1) === weights(fixture, 1))
+    // and an ALL-null corpus is the empty-corpus error, not a crash
+    intercept[IllegalArgumentException] {
+      Mixing.domainWeights(
+        Seq((null: String, 1L, 1L)).toDF("dom", "p", "r"), "dom", "p", "r", 1)
+    }
+  }
 }

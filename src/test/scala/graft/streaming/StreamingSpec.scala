@@ -528,7 +528,7 @@ class StreamingSpec extends SparkTestBase {
       .select(col("batch_id").cast("long"), col("rank"), col("doc_id"),
         col("score_u6"))
       .collect().map(_.toSeq).toSet
-    def statsNDocs() = spark.read.parquet(s"$idx/stats")
+    def statsNDocs() = graft.ext.Bm25.indexStatsDf(spark, idx)
       .head.getAs[Long]("n_docs")
     val rowsBefore = sinkRows()
     assert(rowsBefore.map(_.head) == Set(0L, 1L, 2L))
