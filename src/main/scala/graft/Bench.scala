@@ -42,7 +42,12 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
 
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run to the
+    // named queries (the full protocol otherwise — cold + 3 steady passes)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queryList = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = runPass(queryList)
     // Round 12: THREE steady passes, per-query MEDIAN. Min-of-two (round
     // 11) let one query into the official record at +140% when BOTH its

@@ -235,7 +235,9 @@ object Bm25 {
     // ALL postings, which grows with the corpus — term-sorted row groups
     // give the probe's pushed term-equality parquet min/max skipping, so
     // the probe reads ~the matched postings, not the whole bucket
-    postings.repartition(col("bucket"))
+    // pinned partition count: keeps AQE from coalescing a small write to
+    // one task that pays every bucket's parquet-writer init serially
+    postings.repartition(nb, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/postings_v0")
@@ -245,7 +247,7 @@ object Bm25 {
     spark.read.schema(postingsSchema).parquet(s"$path/postings_v0")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("bucket", bUdf(col("term")))
-      .repartition(col("bucket"))
+      .repartition(nb, col("bucket"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/df_v0")
@@ -426,7 +428,7 @@ object Bm25 {
       val deltaDir =
         if (tag.nonEmpty) s"postings_d$tag"
         else s"postings_d${st.nextSeg}"
-      postings.repartition(col("bucket"))
+      postings.repartition(nb, col("bucket"))
         .sortWithinPartitions(col("term"), col("doc_id"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/$deltaDir")
@@ -439,7 +441,7 @@ object Bm25 {
         .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
         .withColumn("bucket", bUdf(col("term")))
-        .repartition(col("bucket"))
+        .repartition(nb, col("bucket"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/$newDfDir")
@@ -482,7 +484,7 @@ object Bm25 {
     }
     val newDir = s"postings_v${versionOf(st.postingsDir) + 1}"
     readPostings(spark, path, st, lit(true))
-      .repartition(col("bucket"))
+      .repartition(st.nBuckets, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$newDir")

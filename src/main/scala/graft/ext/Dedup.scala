@@ -388,16 +388,30 @@ object Dedup {
   def appendToMinhashIndex(spark: org.apache.spark.sql.SparkSession,
                            path: String, newDocs: DataFrame,
                            textCol: String, idCol: String,
-                           tag: String = ""): Unit = {
-    val m = readMinhashMeta(spark, path)
+                           tag: String = ""): Unit =
+    appendToMinhashIndex(new MinhashIndexHandle(spark, path), newDocs,
+      textCol, idCol, tag)
+
+  /** Handle form of [[appendToMinhashIndex]] — the streaming-loop shape:
+    * the handle's in-memory manifest IS the post-commit state (this
+    * writer just wrote it), so the next probe through the same handle
+    * pays zero meta jobs. */
+  def appendToMinhashIndex(h: MinhashIndexHandle, newDocs: DataFrame,
+                           textCol: String, idCol: String,
+                           tag: String): Unit = {
+    val m = h.meta
     if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
     if (newDocs.isEmpty) return // idle micro-batch: no junk segment
     // monotone counter, not list position (see MinhashMeta.nextSeg)
     val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
     writeMinhashRows(newDocs, textCol, idCol, m.shingleN, m.numPerms,
-      m.numBands, m.numKeyBuckets, s"$path/$seg")
-    writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
-      m.numKeyBuckets, m.segments :+ seg, tag, m.nextSeg + 1L)
+      m.numBands, m.numKeyBuckets, s"${h.path}/$seg")
+    val committed = m.copy(segments = m.segments :+ seg, lastTag = tag,
+      nextSeg = m.nextSeg + 1L)
+    writeMinhashMeta(h.spark, h.path, committed.shingleN, committed.numPerms,
+      committed.numBands, committed.numKeyBuckets, committed.segments,
+      committed.lastTag, committed.nextSeg)
+    h.meta = committed
   }
 
   /** COMPACT a segmented [[buildMinhashIndex]] store back to one segment —
@@ -417,8 +431,15 @@ object Dedup {
     * manifest keeps reading the old segments, which survive until the
     * NEXT compaction's sweep). */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit = {
-    val m = readMinhashMeta(spark, path)
+                          path: String): Unit =
+    compactMinhashIndex(new MinhashIndexHandle(spark, path))
+
+  /** Handle form of [[compactMinhashIndex]] (see
+    * [[appendToMinhashIndex(h:graft\.ext\.Dedup\.MinhashIndexHandle*]]). */
+  def compactMinhashIndex(h: MinhashIndexHandle): Unit = {
+    val spark = h.spark
+    val path = h.path
+    val m = h.meta
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)
@@ -436,22 +457,23 @@ object Dedup {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    minhashIndexKeys(spark, path)
-      .repartition(col("bucket"))
+    minhashIndexKeys(h, lit(true), excludeSeg = "")
+      .repartition(m.numKeyBuckets, col("bucket"))
       .sortWithinPartitions(col("band_key"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$newSeg/keys")
-    minhashIndexShingles(spark, path)
+    minhashIndexShingles(h, excludeSeg = "")
       .write.mode("overwrite").parquet(s"$path/$newSeg/shingles")
     writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
       m.numKeyBuckets, List(newSeg), m.lastTag, m.nextSeg) // counter survives
+    h.meta = m.copy(segments = List(newSeg))
   }
 
   /** `nextSeg` names untagged append segments monotonically — never
     * recycled, even after a compaction resets the manifest (a
     * list-position name would reuse `seg_0` and overwrite a retired dir a
     * grace-window reader still holds; ADVICE r16). */
-  private final case class MinhashMeta(shingleN: Int, numPerms: Int,
+  private[ext] final case class MinhashMeta(shingleN: Int, numPerms: Int,
                                        numBands: Int, numKeyBuckets: Int,
                                        segments: List[String],
                                        lastTag: String, nextSeg: Long)
@@ -464,6 +486,51 @@ object Dedup {
       m.getAs[scala.collection.Seq[String]]("segments").toList,
       m.getAs[String]("last_tag"), m.getAs[Long]("next_seg"))
   }
+
+  /** Driver-side HANDLE over a [[buildMinhashIndex]] store for repeated
+    * probe/append cycles — the streaming-ingest shape, where re-reading
+    * the manifest row and re-listing every segment directory on EVERY
+    * micro-batch is pure fixed overhead (it cost `q_incr_stream` +54% in
+    * r16). The handle caches (a) the manifest row, kept current in
+    * memory as the handle's own appends/compactions commit — no
+    * read-back of state this writer just wrote — and (b) each segment's
+    * key/shingle DataFrames: segments are IMMUTABLE once committed, so a
+    * cached scan (and its file listing) stays valid for the segment's
+    * whole life; retired segments simply stop being referenced.
+    *
+    * Single writer (the store's standing contract), and all mutations of
+    * this store must go through the SAME handle; after an out-of-band
+    * write, call [[MinhashIndexHandle.refresh]]. Driver-only object —
+    * never ships to executors. */
+  final class MinhashIndexHandle private[ext] (
+      private[ext] val spark: org.apache.spark.sql.SparkSession,
+      val path: String) {
+    private[ext] var meta: MinhashMeta = readMinhashMeta(spark, path)
+    private val keyDfs =
+      scala.collection.mutable.HashMap.empty[String, DataFrame]
+    private val shingleDfs =
+      scala.collection.mutable.HashMap.empty[String, DataFrame]
+    /** Re-read the manifest and drop cached segment scans — required only
+      * after a DIFFERENT writer mutated the store. */
+    def refresh(): Unit = {
+      meta = readMinhashMeta(spark, path)
+      keyDfs.clear(); shingleDfs.clear()
+    }
+    // cached per-segment scans: same DataFrame object across batches →
+    // the parquet file listing happens once per segment, not once per
+    // (segment × micro-batch); pushed filters still apply per use
+    private[ext] def keysOf(seg: String): DataFrame =
+      keyDfs.getOrElseUpdate(seg, spark.read.schema(minhashKeysSchema)
+        .parquet(s"$path/$seg/keys"))
+    private[ext] def shinglesOf(seg: String): DataFrame =
+      shingleDfs.getOrElseUpdate(seg, spark.read.schema(minhashShinglesSchema)
+        .parquet(s"$path/$seg/shingles"))
+  }
+
+  /** Open a handle on an existing [[buildMinhashIndex]] store. */
+  def openMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): MinhashIndexHandle =
+    new MinhashIndexHandle(spark, path)
 
   // versioned-dir + _SUCCESS commit via StoreMeta: the manifest row is
   // the store's commit point — a plain overwrite deletes it before
@@ -511,22 +578,20 @@ object Dedup {
                        path: String,
                        pred: Column = lit(true),
                        excludeSeg: String = ""): DataFrame =
-    minhashIndexKeys(spark, path, readMinhashMeta(spark, path), pred,
-      excludeSeg)
+    minhashIndexKeys(new MinhashIndexHandle(spark, path), pred, excludeSeg)
 
-  // meta-threaded form: a probe reads the (tiny) meta parquet ONCE and
-  // passes it to the keys/shingles views — three separate meta jobs per
-  // probe is measurable overhead in the micro-batch streaming regime
-  private def minhashIndexKeys(spark: org.apache.spark.sql.SparkSession,
-                               path: String, m: MinhashMeta,
-                               pred: Column,
+  // handle-threaded form: a probe reads the (tiny) meta parquet ONCE per
+  // handle and each segment's scan (with its file listing) is cached for
+  // the segment's immutable life — three separate meta jobs plus a
+  // re-listing of every segment per probe is measurable overhead in the
+  // micro-batch streaming regime
+  private def minhashIndexKeys(h: MinhashIndexHandle, pred: Column,
                                excludeSeg: String): DataFrame = {
-    val segs = m.segments.filterNot(_ == excludeSeg)
+    val segs = h.meta.segments.filterNot(_ == excludeSeg)
     require(segs.nonEmpty,
-      s"minhashIndexKeys: no segments at $path (excluding '$excludeSeg')")
+      s"minhashIndexKeys: no segments at ${h.path} (excluding '$excludeSeg')")
     segs
-      .map(s => spark.read.schema(minhashKeysSchema)
-        .parquet(s"$path/$s/keys").filter(pred)
+      .map(s => h.keysOf(s).filter(pred)
         .select(col("doc_id"), col("band_key"), col("bucket")))
       .reduce(_ unionByName _)
   }
@@ -536,19 +601,16 @@ object Dedup {
   def minhashIndexShingles(spark: org.apache.spark.sql.SparkSession,
                            path: String,
                            excludeSeg: String = ""): DataFrame =
-    minhashIndexShingles(spark, path, readMinhashMeta(spark, path),
-      excludeSeg)
+    minhashIndexShingles(new MinhashIndexHandle(spark, path), excludeSeg)
 
-  private def minhashIndexShingles(spark: org.apache.spark.sql.SparkSession,
-                                   path: String, m: MinhashMeta,
+  private def minhashIndexShingles(h: MinhashIndexHandle,
                                    excludeSeg: String): DataFrame = {
-    val segs = m.segments.filterNot(_ == excludeSeg)
+    val segs = h.meta.segments.filterNot(_ == excludeSeg)
     require(segs.nonEmpty,
-      s"minhashIndexShingles: no segments at $path (excluding '$excludeSeg')")
+      s"minhashIndexShingles: no segments at ${h.path} " +
+        s"(excluding '$excludeSeg')")
     segs
-      .map(s => spark.read.schema(minhashShinglesSchema)
-        .parquet(s"$path/$s/shingles")
-        .select(col("jid"), col("sh")))
+      .map(s => h.shinglesOf(s).select(col("jid"), col("sh")))
       .reduce(_ unionByName _)
   }
 
@@ -575,9 +637,14 @@ object Dedup {
     // tracks the matched shards — not the whole key table — and the
     // sorted row groups give the pushed key-membership predicates min/max
     // skipping. The same treatment as [[graft.ext.Bm25.buildIndex]].
+    // PINNED partition count: repartition(col) alone lets AQE coalesce a
+    // small batch to ONE task, which then pays every bucket directory's
+    // parquet-writer init serially (~1.4 s per micro-batch at gate
+    // scale); pinning numKeyBuckets partitions writes the buckets in
+    // parallel and still lands exactly one file per bucket dir
     minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
       .withColumn("bucket", keyBucket(col("band_key"), numKeyBuckets))
-      .repartition(col("bucket"))
+      .repartition(numKeyBuckets, col("bucket"))
       .sortWithinPartitions(col("band_key"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$segDir/keys")
@@ -602,8 +669,19 @@ object Dedup {
                                textCol: String, idCol: String,
                                threshold: Double = 0.8,
                                maxBucket: Int = 1000,
-                               excludeSeg: String = ""): DataFrame = {
-    val m = readMinhashMeta(spark, path)
+                               excludeSeg: String = ""): DataFrame =
+    minhashDedupAgainstIndex(new MinhashIndexHandle(spark, path), newDocs,
+      textCol, idCol, threshold, maxBucket, excludeSeg)
+
+  /** Handle form of [[minhashDedupAgainstIndex]] — reuses the handle's
+    * cached manifest and segment scans across micro-batches (see
+    * [[MinhashIndexHandle]]). */
+  def minhashDedupAgainstIndex(h: MinhashIndexHandle, newDocs: DataFrame,
+                               textCol: String, idCol: String,
+                               threshold: Double, maxBucket: Int,
+                               excludeSeg: String): DataFrame = {
+    val spark = h.spark
+    val m = h.meta
     val (sn, np, nb, nkb) =
       (m.shingleN, m.numPerms, m.numBands, m.numKeyBuckets)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
@@ -614,9 +692,6 @@ object Dedup {
     // layout, not the data) prunes whole directories out of EACH
     // segment's scan; the probe's stored-key read tracks the matched
     // shards instead of the full table.
-    val touchedBuckets = newKeys
-      .select(keyBucket(col("band_key"), nkb).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
     // POINT-LOOKUP regime: when the batch's distinct band keys fit the
     // driver trivially (≤ MaxPushedProbeKeys — the streaming micro-batch
     // shape), the key-membership test goes INTO the parquet scans as an
@@ -627,14 +702,27 @@ object Dedup {
     // not the index (sublinear — the honest-list-5 close). Larger batches
     // fall back to the broadcast semi-join over the pruned buckets
     // (linear in the matched shards, still never a full-table shuffle).
-    val probeKeys = newKeys.select(col("band_key")).distinct()
-      .limit(MaxPushedProbeKeys + 1).collect().map(_.getLong(0))
+    //
+    // ONE collect serves both pruning levels: the distinct (band_key,
+    // bucket) pairs give the probe keys AND the touched buckets in a
+    // single job (two separate collects were a measurable per-micro-batch
+    // tax in the streaming regime); only an over-limit batch pays a
+    // second, bucket-only pass.
+    val probePairs = newKeys
+      .select(col("band_key"), keyBucket(col("band_key"), nkb).as("b"))
+      .distinct().limit(MaxPushedProbeKeys + 1).collect()
+    val probeKeys = probePairs.map(_.getLong(0))
+    val touchedBuckets: Seq[Int] =
+      if (probeKeys.length <= MaxPushedProbeKeys)
+        probePairs.map(_.getInt(1)).distinct.toSeq
+      else newKeys.select(keyBucket(col("band_key"), nkb).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
     val srcPred =
       if (probeKeys.length <= MaxPushedProbeKeys)
         col("bucket").isin(touchedBuckets: _*) &&
           col("band_key").isin(probeKeys.sorted: _*)
       else col("bucket").isin(touchedBuckets: _*)
-    val storedKeys = minhashIndexKeys(spark, path, m, srcPred, excludeSeg)
+    val storedKeys = minhashIndexKeys(h, srcPred, excludeSeg)
       .select(col("doc_id"), col("band_key"))
     val touched =
       if (probeKeys.length <= MaxPushedProbeKeys) storedKeys
@@ -647,15 +735,23 @@ object Dedup {
       .select(col("band_key"), col("doc_id").as("__old"))
       .union(annotated.filter(col("__bn") > maxBucket)
         .select(col("band_key"), col("__rep").as("__old")).distinct())
+    // micro-batch (point-lookup) regime: the new side is driver-bounded
+    // tiny, so BROADCAST it into the old⋈new join — the stored side flows
+    // map-side with no exchange or sort, cutting AQE stage-jobs out of
+    // the per-batch floor (the streaming regime is latency-, not
+    // bandwidth-, bound). Large batches keep the shuffle join.
+    val pointLookup = probeKeys.length <= MaxPushedProbeKeys
+    val newSide = newKeys.select(col("band_key"), col("doc_id").as("__new"))
     val oldNew = oldSide
-      .join(newKeys.select(col("band_key"), col("doc_id").as("__new")),
+      .join(if (pointLookup) broadcast(newSide) else newSide,
         Seq("band_key"))
       .filter(col("__old") =!= col("__new"))
       .select(least(col("__old"), col("__new")).as("id_a"),
         greatest(col("__old"), col("__new")).as("id_b"))
-    val cands = oldNew
+    val cands0 = oldNew
       .union(bucketSelfJoinPairs(newKeys, "band_key", maxBucket))
       .distinct()
+    val cands = if (pointLookup) broadcast(cands0) else cands0
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
     val candIds = cands.select(col("id_a").as("jid"))
@@ -663,7 +759,7 @@ object Dedup {
     val sh = newDocs
       .select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(sn)(words).as("sh"))
-      .union(minhashIndexShingles(spark, path, m, excludeSeg))
+      .union(minhashIndexShingles(h, excludeSeg))
       .join(broadcast(candIds), Seq("jid"), "left_semi")
     verifyShingledPairs(sh, cands, threshold)
   }

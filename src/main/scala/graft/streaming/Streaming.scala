@@ -470,6 +470,12 @@ object Streaming {
                                      threshold: Double = 0.8,
                                      maxBucket: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
+    // ONE handle for the whole run: the manifest row is read once and
+    // kept current in memory as this loop's own appends commit, and each
+    // immutable segment's scan (file listing included) is cached for the
+    // run — per-batch store overhead tracks the BATCH, not the
+    // accumulated segment count (the r16 q_incr_stream regression)
+    val idx = graft.ext.Dedup.openMinhashIndex(spark, path)
     val rows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
     @volatile var schema: org.apache.spark.sql.types.StructType = null
     val query = docs.writeStream
@@ -478,11 +484,11 @@ object Streaming {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pairs = graft.ext.Dedup.minhashDedupAgainstIndex(
-          spark, path, b, textCol, idCol, threshold, maxBucket)
+          idx, b, textCol, idCol, threshold, maxBucket, excludeSeg = "")
         val collected = pairs.collect()
         rows.synchronized { rows ++= collected }
         schema = pairs.schema
-        graft.ext.Dedup.appendToMinhashIndex(spark, path, b, textCol, idCol)
+        graft.ext.Dedup.appendToMinhashIndex(idx, b, textCol, idCol, tag = "")
         b.unpersist()
         ()
       }
@@ -516,6 +522,9 @@ object Streaming {
                                threshold: Double = 0.8,
                                maxBucket: Int = 1000): Unit = {
     val spark = docs.sparkSession
+    // one handle per run (see minhashDedupIngestAvailableNow); a restart
+    // builds a fresh handle whose manifest read restores replay detection
+    val idx = graft.ext.Dedup.openMinhashIndex(spark, path)
     val query = docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -523,10 +532,10 @@ object Streaming {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ext.Dedup.minhashDedupAgainstIndex(
-            spark, path, b, textCol, idCol, threshold, maxBucket,
+            idx, b, textCol, idCol, threshold, maxBucket,
             excludeSeg = s"seg_b$bid")
           .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
-        graft.ext.Dedup.appendToMinhashIndex(spark, path, b, textCol, idCol,
+        graft.ext.Dedup.appendToMinhashIndex(idx, b, textCol, idCol,
           tag = s"b$bid")
         b.unpersist()
         ()
