@@ -132,6 +132,33 @@ object SparkEntry {
       path
     })
 
+  /** The chunked corpus as an ANN corpus: hashed-TF embeddings of the
+    * q_chunk windows, composite id `doc_id·10⁴ + chunk_idx` (the same
+    * attribution key q_chunk_bm25 uses). Model-free and SQL-replayable —
+    * the dense mirror of the chunk→BM25 leg. */
+  private def chunkEmb(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkWords(t(s, dir, "documents"), "doc_id", "text",
+        size = 32, overlap = 8)
+      .select((col("doc_id") * 10000L + col("chunk_idx")).as("chunk_id"),
+        TextAnalysis.hashedTfEmbedding(col("chunk_text"), 64).as("emb"))
+
+  /** On-disk IVF index over the CHUNKED corpus's hashed-TF embeddings,
+    * built once per (JVM, sf dir): centroids = the first chunk of docs
+    * 0..7 (cell ids positional 0..7 — deterministic AND replayable by the
+    * SQL oracle), chunk parquet partitioned by cell id. The passage-level
+    * index dense RAG serving probes (q_chunk_ann). */
+  private val chunkIvfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def chunkIvfIndexFor(s: SparkSession, dir: String): String =
+    chunkIvfIndexCache.computeIfAbsent(dir, { d =>
+      val path = java.nio.file.Files.createTempDirectory("graft-chunk-ivf-").toString
+      val emb = chunkEmb(s, d)
+      Similarity.buildIvfIndex(emb, "chunk_id", "emb",
+        Similarity.centroidsByIds(emb, "chunk_id", "emb",
+          (0L until 8L).map(_ * 10000L)), path)
+      path
+    })
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -2628,6 +2655,33 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("best_u6").desc, col("doc_id"))).cast("long"))
         .select(col("rank"), col("doc_id"), col("best_u6"))
+    }),
+
+    "q_chunk_ann" -> ((s, dir) => {
+      // DENSE passage retrieval — the RAG-serving composition q_chunk_maxp
+      // runs for BM25, on the ANN leg: chunk → hashed-TF embed → the
+      // STORED cell-partitioned IVF probe (nprobe=2 < nlist=8: true
+      // pruning, only probed cell directories are read) → per-query
+      // passage pool (top-40) → doc-level maxP. Queries = the first chunk
+      // of docs 10..12 (corpus members, so rank 1 is provably their own
+      // doc at cosine 1). The oracle replays the whole chain: chunk
+      // windows, embeddings, centroid assignment, probe, pool cut, max.
+      val emb = chunkEmb(s, dir)
+      val queries = emb.filter(
+        col("chunk_id").isin(100000L, 110000L, 120000L))
+      val hits = Similarity.ivfTopKIndexed(s, chunkIvfIndexFor(s, dir),
+        queries, "chunk_id", "emb", k = 40, nprobe = 2)
+      hits.select(col("query_id"),
+          expr("corpus_id div 10000").as("doc_id"), col("cosine"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(max(col("cosine")).as("best_cos"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("best_cos").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("best_cos"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_epoch_shuffle" -> ((s, dir) => {
@@ -6107,6 +6161,75 @@ object SparkEntry {
          |    AS BIGINT) AS rank,
          |  doc_id, best_u6
          |FROM top ORDER BY best_u6 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // dense passage retrieval replay: chunk windows → hashed-TF vectors →
+    // centroid assignment (first chunk of docs 0..7, cell = positional id,
+    // cos = dot/sqrt(na·nb), ties → smaller cell) → top-2 probe → scoring
+    // restricted to probed cells with the topK contract (rank on unrounded
+    // cos, tie → smaller corpus id, output rounded) → top-40 pool →
+    // per-doc max → top-5 docs. nprobe=2 < nlist=8 keeps true IVF
+    // semantics in the check, exactly like q_ann_ivf_pruned.
+    "q_chunk_ann" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+        |    x -> length(x) > 0) AS l FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n FROM w WHERE len(l) > 0),
+        |x AS (SELECT doc_id, l, n,
+        |        unnest(range(greatest((n - 8 + 24 - 1) // 24, 1))) AS i
+        |      FROM c),
+        |ch AS (SELECT doc_id * 10000 + i AS cid,
+        |         l[CAST(i*24+1 AS INT):CAST(i*24+32 AS INT)] AS ws
+        |       FROM x),
+        |e AS (SELECT cid, list_transform(ws, t ->
+        |        CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+        |      FROM ch),
+        |v AS (SELECT cid, list_transform(range(64), d ->
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(hs, h -> CASE WHEN h % 64 = d
+        |            THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+        |            ELSE CAST(0 AS BIGINT) END)),
+        |          (a, b) -> a + b) AS DOUBLE)) AS vv
+        |      FROM e),
+        |vn AS (SELECT cid, vv, list_dot_product(vv, vv) AS n2 FROM v),
+        |cent AS (SELECT CAST(cid // 10000 AS INT) AS cent_id, vv AS cv,
+        |           n2 AS cn2
+        |         FROM vn WHERE cid % 10000 = 0 AND cid < 80000),
+        |assign AS (SELECT cid, cell FROM (
+        |    SELECT vn.cid, ct.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY vn.cid ORDER BY
+        |        CASE WHEN vn.n2 * ct.cn2 > 0
+        |          THEN list_dot_product(vn.vv, ct.cv) / sqrt(vn.n2 * ct.cn2)
+        |          ELSE 0.0 END DESC, ct.cent_id) AS rn
+        |    FROM vn, cent ct) WHERE rn = 1),
+        |q AS (SELECT cid AS qid, vv AS qv, n2 AS qn2 FROM vn
+        |      WHERE cid IN (100000, 110000, 120000)),
+        |probe AS (SELECT qid, cell FROM (
+        |    SELECT q.qid, ct.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY q.qid ORDER BY
+        |        CASE WHEN q.qn2 * ct.cn2 > 0
+        |          THEN list_dot_product(q.qv, ct.cv) / sqrt(q.qn2 * ct.cn2)
+        |          ELSE 0.0 END DESC, ct.cent_id) AS rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |s AS (SELECT q.qid AS query_id, vn.cid AS corpus_id,
+        |        CASE WHEN sqrt(q.qn2) * sqrt(vn.n2) > 0
+        |          THEN list_dot_product(q.qv, vn.vv)
+        |               / (sqrt(q.qn2) * sqrt(vn.n2))
+        |          ELSE 0.0 END AS cosf
+        |      FROM q JOIN probe p ON q.qid = p.qid
+        |        JOIN assign a ON a.cell = p.cell
+        |        JOIN vn ON vn.cid = a.cid),
+        |pool AS (SELECT query_id, corpus_id // 10000 AS doc_id,
+        |           round(cosf, 6) AS cosine,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cosf DESC, corpus_id) AS rn
+        |         FROM s),
+        |m AS (SELECT query_id, doc_id, max(cosine) AS best_cos
+        |      FROM pool WHERE rn <= 40 GROUP BY 1, 2)
+        |SELECT query_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY best_cos DESC, doc_id) AS BIGINT) AS rank,
+        |  doc_id, best_cos
+        |FROM m QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // passage retrieval over the chunked corpus: the same BM25 replay
     // with the chunk windows as w0 and the composite id decomposed back

@@ -851,6 +851,43 @@ class ExtSpec extends SparkTestBase {
       assert(sqlSemantics(w) == Dedup.hash64(0, w), s"mismatch on '$w'")
   }
 
+  test("dense passage retrieval: chunk → hash-embed → stored IVF → doc maxP") {
+    // 12 docs of disjoint vocabulary; doc 7 carries a VERBATIM copy of doc
+    // 2's opening 32-word window, chunk-aligned (24 filler words + the
+    // window → its chunk 1 = exactly that window under size=32/stride=24).
+    // Querying with doc 2's first chunk, doc-level maxP must surface BOTH
+    // doc 2 (the query's own doc) and doc 7 (the plagiarising doc) at
+    // cosine 1, in doc-id order — the attribution the chunk key exists for.
+    def filler(d: Int, n: Int) = (0 until n).map(i => s"w${d}_$i").mkString(" ")
+    val core = (0 until 40).map(i => s"core_$i").mkString(" ")
+    val docsN = (0 until 12).map { d =>
+      val text =
+        if (d == 2) core
+        else if (d == 7)
+          filler(7, 24) + " " + core.split(" ").take(32).mkString(" ")
+        else filler(d, 40)
+      (d.toLong, text)
+    }.toDF("doc_id", "text")
+    val emb = Corpus.chunkWords(docsN, "doc_id", "text", size = 32, overlap = 8)
+      .select(($"doc_id" * 10000L + $"chunk_idx").as("chunk_id"),
+        TextAnalysis.hashedTfEmbedding($"chunk_text", 64).as("emb"))
+    val idx = java.nio.file.Files.createTempDirectory("chunk-ivf-").toString
+    Similarity.buildIvfIndex(emb, "chunk_id", "emb",
+      Similarity.centroidsByIds(emb, "chunk_id", "emb",
+        (0L until 8L).map(_ * 10000L)), idx)
+    val hits = Similarity.ivfTopKIndexed(spark, idx,
+      emb.filter($"chunk_id" === 20000L), "chunk_id", "emb",
+      k = 10, nprobe = 2)
+    val byDoc = hits.select(expr("corpus_id div 10000").as("doc_id"),
+        $"cosine")
+      .groupBy("doc_id").agg(max($"cosine").as("best"))
+      .orderBy(desc("best"), $"doc_id").collect()
+    assert(byDoc(0).getLong(0) == 2L && byDoc(0).getDouble(1) == 1.0)
+    assert(byDoc(1).getLong(0) == 7L && byDoc(1).getDouble(1) == 1.0,
+      s"verbatim-window doc not surfaced: ${byDoc.toSeq}")
+    assert(byDoc.drop(2).forall(_.getDouble(1) < 1.0))
+  }
+
   test("phraseCount: contiguous matches, overlaps, boundaries, null text") {
     val df = Seq(
       (1L, "a b c a b"),        // two disjoint "a b"
