@@ -879,4 +879,57 @@ object Corpus {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("__eh")
   }
+
+  /** [[epochShards]] fused with per-shard sequence packing — the full
+    * export layout a trainer's data loader consumes: each shard is an
+    * independent token stream, every doc gets its within-shard `pos`,
+    * `token_offset`, and `[first_seq, last_seq]` range at `seqLen`, in the
+    * shard's deterministic (hash, id) order. Same scale shape as
+    * [[epochShards]]: one shuffle on the shard key, numShards independent
+    * window passes, nothing corpus-wide.
+    *
+    * `baseRows`/`baseTokens` shift each shard's ranks and token stream by
+    * already-exported counts — the cross-batch coupling of the STREAMING
+    * export ([[graft.streaming.Streaming.shardedExportToSink]]): a batch
+    * appends to every shard where its predecessors left off, so shard
+    * files concatenate into one contiguous layout. Batch semantics =
+    * both maps empty. Output: `(idCol, shard, pos, n_tokens,
+    * token_offset, first_seq, last_seq, n_seqs)`; zero-token docs keep
+    * their slot (`n_seqs = 0`, NULL first/last — the packSequences
+    * contract). */
+  def epochShardPack(df: DataFrame, idCol: String, tokens: Column,
+                     epoch: Long, numShards: Int, seqLen: Long,
+                     baseRows: Map[Long, Long] = Map.empty,
+                     baseTokens: Map[Long, Long] = Map.empty): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val sep = 31.toChar.toString
+    val h = Dsir.md5Bucket60(concat_ws(sep,
+      lit("epoch"), lit(epoch), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__eh"), col(idCol))
+    def base(m: Map[Long, Long]): Column =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(
+        typedLit(m), col("shard")), lit(0L))
+    df.withColumn("__eh", h)
+      .withColumn("shard", col("__eh") % numShards)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("pos",
+        row_number().over(w).cast("long") - 1L + base(baseRows))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          + base(baseTokens))
+      .withColumn("first_seq",
+        when(col("n_tokens") > 0, floor(col("token_offset") / seqLen)))
+      .withColumn("last_seq",
+        when(col("n_tokens") > 0,
+          floor((col("token_offset") + col("n_tokens") - 1) / seqLen)))
+      .withColumn("n_seqs",
+        coalesce(col("last_seq") - col("first_seq") + 1, lit(0L)))
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"),
+        col("token_offset"), col("first_seq"), col("last_seq"),
+        col("n_seqs"))
+  }
 }

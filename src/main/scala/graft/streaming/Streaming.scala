@@ -606,6 +606,85 @@ object Streaming {
     query.awaitTermination()
   }
 
+  /** End-to-end SHARDED TRAINING EXPORT, exactly-once across restarts:
+    * each micro-batch is tokenized, epoch-shard-assigned, and packed where
+    * its predecessors left off ([[graft.ext.Corpus.epochShardPack]] with
+    * carried per-shard row/token bases), then written as actual per-shard
+    * parquet files under `sink/data/batch_id=B/shard=S/` — the layout a
+    * trainer's data loader streams shard by shard.
+    *
+    * Exactly-once mechanics (the bm25IngestToSink discipline, applied to
+    * BOTH effects):
+    *  - the data write targets the batch's OWN directory with
+    *    mode=overwrite, so a replayed batch rewrites identical files;
+    *  - the per-shard CUMULATIVE (rows, tokens) state after batch B is
+    *    persisted to `sink/_state/batch_id=B` (numShards tiny rows, also
+    *    overwrite-idempotent), and batch B reads its bases from the
+    *    LARGEST persisted batch id < B — so a crash-and-replay of B sees
+    *    exactly the bases the first attempt saw, never its own partial
+    *    effects, and produces byte-identical output.
+    *
+    * Multi-batch contract: within a shard, `pos` and the token stream are
+    * contiguous across batches in arrival order (each batch internally in
+    * its deterministic (hash, id) order); for a single-batch source the
+    * layout equals the batch operator exactly — both pinned in
+    * StreamingSpec, including a forced-restart replay. Pass the same
+    * `checkpoint` across restarts; single writer. */
+  def shardedExportToSink(docs: DataFrame, idCol: String, tokens: Column,
+                          epoch: Long, numShards: Int, seqLen: Long,
+                          sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // empty micro-batch: nothing to export and nothing to record — a
+        // _SUCCESS-only data dir would poison later schema inference (the
+        // Bm25.appendToIndex lesson), and base lookup skips absent ids
+        if (!batch.isEmpty) {
+        val stateDir = new java.io.File(s"$sink/_state")
+        // bases = cumulative state of the newest COMMITTED batch before
+        // this one (replay-safe: batch B never reads its own state row)
+        val prev = Option(stateDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+          .map(_.getName.stripPrefix("batch_id=").toLong)
+          .filter(_ < bid)
+          .sorted.lastOption
+        val (baseRows, baseTokens) = prev match {
+          case None => (Map.empty[Long, Long], Map.empty[Long, Long])
+          case Some(p) =>
+            val st = spark.read.parquet(s"$sink/_state/batch_id=$p")
+              .select(col("shard"), col("rows"), col("tokens")).collect()
+            (st.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+             st.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+        }
+        val out = graft.ext.Corpus.epochShardPack(batch.toDF(), idCol,
+          tokens, epoch, numShards, seqLen, baseRows, baseTokens)
+        out.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$sink/data/batch_id=$bid")
+        // cumulative per-shard state AFTER this batch: base + this batch's
+        // contribution (read back from the just-written files so the state
+        // reflects exactly what a reader will see)
+        val contrib = spark.read.parquet(s"$sink/data/batch_id=$bid")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("r"), sum(col("n_tokens")).as("t"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val allShards = (0L until numShards.toLong).map { sh =>
+          val (br, bt) = (baseRows.getOrElse(sh, 0L), baseTokens.getOrElse(sh, 0L))
+          val (cr, ct) = contrib.getOrElse(sh, (0L, 0L))
+          (sh, br + cr, bt + ct)
+        }
+        import spark.implicits._
+        allShards.toDF("shard", "rows", "tokens").coalesce(1)
+          .write.mode("overwrite").parquet(s"$sink/_state/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming twin of [[graft.ext.Profile.corpusReport]] — the data card
     * of a continuously-growing corpus. Per micro-batch, one aggregation
     * pass produces per-group (count, token, char) partials plus the KMV

@@ -557,6 +557,84 @@ class StreamingSpec extends SparkTestBase {
       canon(graft.ext.Bm25.topKIndexed(spark, idxFull, terms, k = 12)))
   }
 
+  test("sharded export sink: contiguous per-shard layout, exactly-once restart") {
+    // three micro-batches stream through the export: per shard, pos and
+    // the token stream must be CONTIGUOUS across batches (each batch
+    // starts where its predecessors' persisted state left off); then the
+    // last batch's checkpoint commit is deleted and the stream restarts —
+    // the replayed batch must read the PRE-batch state (never its own)
+    // and rewrite byte-identical files.
+    val rng = new scala.util.Random(53)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, (0 until 2 + rng.nextInt(6)).map(j => s"t${i}_$j").mkString(" ")))
+    val (b0, b1, b2) = (mk(0 until 9), mk(100 until 109), mk(200 until 209))
+    val src = java.nio.file.Files.createTempDirectory("graft-shex-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-shex-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shex-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1,b2}/*.parquet")
+    def run(): Unit = Streaming.shardedExportToSink(stream, "doc_id",
+      size(graft.ext.Corpus.words(col("text"))), epoch = 3L, numShards = 4,
+      seqLen = 16L, sink, ckpt)
+    run()
+    def rows() = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("shard").cast("long"),
+        col("doc_id"), col("pos"), col("n_tokens"), col("token_offset"),
+        col("first_seq"), col("last_seq"), col("n_seqs"))
+      .collect().map(_.toSeq).toSet
+    val before = rows()
+    assert(before.map(_.head) == Set(0L, 1L, 2L), "expected 3 batches")
+    // per shard across ALL batches: pos is dense 0..n-1 and token_offset
+    // is the running sum in pos order — the contiguity contract
+    val byShard = before.toSeq.groupBy(_(1)).values
+    for (sh <- byShard) {
+      val inOrder = sh.sortBy(r => r(3).asInstanceOf[Long])
+      assert(inOrder.map(_(3)) == inOrder.indices.map(_.toLong),
+        s"pos not dense: ${inOrder.map(_(3))}")
+      var expected = 0L
+      for (r <- inOrder) {
+        assert(r(5) == expected, s"token_offset gap in shard ${r(1)}: $r")
+        expected += r(4).asInstanceOf[Long]
+      }
+    }
+    // the single-shard slice equals the BATCH operator over the union in
+    // arrival order: batch rows were offset by persisted state, so a
+    // doc's (shard, n_tokens) agrees with the pure map-side assignment
+    val allDocs = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+    val batchAssign = graft.ext.Corpus.epochShards(
+        allDocs, "doc_id", epoch = 3L, numShards = 4)
+      .select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- before)
+      assert(batchAssign(r(2).asInstanceOf[Long]) == r(1),
+        s"shard assignment diverged from the batch operator: $r")
+    // forced replay of batch 2
+    val commit2 = java.nio.file.Paths.get(ckpt, "commits", "2")
+    assert(java.nio.file.Files.exists(commit2), "checkpoint layout changed")
+    java.nio.file.Files.delete(commit2)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert(rows() == before, "replay altered the exported shards")
+    // and the persisted cumulative state matches the data totals
+    val stateIds = new java.io.File(s"$sink/_state").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(stateIds.sameElements(Array("batch_id=0", "batch_id=1", "batch_id=2")))
+    val finalState = spark.read.parquet(s"$sink/_state/batch_id=2")
+      .select(col("shard"), col("rows"), col("tokens")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dataTotals = before.toSeq.groupBy(_(1)).map { case (sh, rs) =>
+      sh -> (rs.size.toLong, rs.map(_(4).asInstanceOf[Long]).sum) }
+    for (sh <- 0L until 4L)
+      assert(finalState(sh) == dataTotals.getOrElse(sh, (0L, 0L)),
+        s"state drifted from data for shard $sh")
+  }
+
   test("minhash ingest-to-sink: exactly-once across a forced restart replay") {
     // the dedup loop's PRODUCTION sink form: three micro-batches probe the
     // stored index and append themselves; the last batch's checkpoint
