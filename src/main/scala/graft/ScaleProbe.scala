@@ -58,7 +58,12 @@ object ScaleProbe {
       println(f"[sweep] $what: $detail out=$out wall=$secs%.1f s " +
         f"shuffleWrite=$mb%.1f MB driverHeap=${driverHeapMb()} MB")
     }
-    for (factor <- Seq(1, 10, 100)) {
+    // the factor decades pay a replica MATERIALIZATION before any measure
+    // runs — skip the whole loop when the filter set only names the
+    // maintenance family (which is factor-independent)
+    val factorLoopNeeded =
+      filters.isEmpty || !filters.forall(_.contains("maint"))
+    for (factor <- Seq(1, 10, 100) if factorLoopNeeded) {
       // every replica's WORDS are salted with the replica id: replicas keep
       // the same token/gram structure (comparable work per doc) but share
       // no shingles, so the near-dup pair count scales LINEARLY like a real
@@ -574,6 +579,119 @@ object ScaleProbe {
           s.iterator().asScala.toList.sortBy(_.toString).reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
         } finally s.close()
+      }
+    }
+
+    // ---- maintenance decades (round 17): the APPEND+COMPACT cycle ----
+    // Two claims the probe rows above don't cover:
+    //  (a) compaction prices by LIVE POSTINGS, not append count — three
+    //      histories with IDENTICAL live content (500-doc head + 500
+    //      appended docs) but 4 / 20 / 100 micro-batch appends must
+    //      compact in ~the same wall;
+    //  (b) the post-compaction probe is flat regardless of how fragmented
+    //      the history was (the pre-compaction probe is the one that pays
+    //      per-segment costs).
+    // Plus a live-size decade at FIXED append count (10): compaction wall
+    // must track live postings ~linearly.
+    def parquetCount(p: java.nio.file.Path, substr: String): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.count(f =>
+          f.toString.contains(substr) && f.toString.endsWith(".parquet"))
+      } finally s.close()
+      }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    val maintNames = Seq("bm25 maint", "mh maint")
+    if (filters.isEmpty || maintNames.exists(n => filters.exists(n.contains))) {
+      for ((nAppends, batchRows) <- Seq((4, 125), (20, 25), (100, 5))) {
+        val lbl = s"a$nAppends"
+        // BM25: head index of docs 0..499, then the append history
+        val bi = java.nio.file.Files.createTempDirectory(s"graft-maint-bm-$lbl-")
+        graft.ext.Bm25.buildIndex(docs.filter(col("doc_id") < 500),
+          "doc_id", "text", bi.toString)
+        measure(s"bm25 maint append $lbl",
+            s"appends=$nAppends rows=$batchRows live=1000") {
+          (0 until nAppends).foreach { i =>
+            graft.ext.Bm25.appendToIndex(
+              docs.filter(col("doc_id") >= i * batchRows &&
+                  col("doc_id") < (i + 1) * batchRows)
+                .select((col("doc_id") + 70000000L).as("doc_id"), col("text")),
+              "doc_id", "text", bi.toString, tag = s"m$i")
+          }
+          parquetCount(bi, "postings_")
+        }
+        measure(s"bm25 maint probe-pre $lbl", s"segments=$nAppends+base") {
+          graft.ext.Bm25.topKIndexed(spark, bi.toString,
+            Seq("spark", "merge", "window"), k = 10).count()
+        }
+        measure(s"bm25 maint compact $lbl",
+            s"live=1000 docs, history=$nAppends appends") {
+          graft.ext.Bm25.compactIndex(spark, bi.toString)
+          parquetCount(bi, "postings_v")
+        }
+        measure(s"bm25 maint probe-post $lbl", "1 segment") {
+          graft.ext.Bm25.topKIndexed(spark, bi.toString,
+            Seq("spark", "merge", "window"), k = 10).count()
+        }
+        rmTree(bi)
+        // MinHash store: same history shapes
+        val mi = java.nio.file.Files.createTempDirectory(s"graft-maint-mh-$lbl-")
+        graft.ext.Dedup.buildMinhashIndex(spark, mi.toString,
+          docs.filter(col("doc_id") < 500), "text", "doc_id")
+        val probeBatch = docs.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+        measure(s"mh maint append $lbl",
+            s"appends=$nAppends rows=$batchRows live=1000") {
+          (0 until nAppends).foreach { i =>
+            graft.ext.Dedup.appendToMinhashIndex(spark, mi.toString,
+              docs.filter(col("doc_id") >= i * batchRows &&
+                  col("doc_id") < (i + 1) * batchRows)
+                .select((col("doc_id") + 70000000L).as("doc_id"), col("text")),
+              "text", "doc_id", tag = s"m$i")
+          }
+          parquetCount(mi, "keys")
+        }
+        measure(s"mh maint probe-pre $lbl", s"segments=$nAppends+base") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, mi.toString,
+            probeBatch, "text", "doc_id", threshold = 0.9).count()
+        }
+        measure(s"mh maint compact $lbl",
+            s"live=1000 docs, history=$nAppends appends") {
+          graft.ext.Dedup.compactMinhashIndex(spark, mi.toString)
+          parquetCount(mi, "keys")
+        }
+        measure(s"mh maint probe-post $lbl", "1 segment") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, mi.toString,
+            probeBatch, "text", "doc_id", threshold = 0.9).count()
+        }
+        rmTree(mi)
+      }
+      // live-size decade at FIXED 10 appends: 500 vs 5000 live docs
+      for (live <- Seq(500, 5000)) {
+        val half = live / 2
+        val bi = java.nio.file.Files.createTempDirectory(s"graft-maint-lv-$live-")
+        graft.ext.Bm25.buildIndex(docs.filter(col("doc_id") < half),
+          "doc_id", "text", bi.toString)
+        (0 until 10).foreach { i =>
+          graft.ext.Bm25.appendToIndex(
+            docs.filter(col("doc_id") >= i * (half / 10) &&
+                col("doc_id") < (i + 1) * (half / 10))
+              .select((col("doc_id") + 70000000L).as("doc_id"), col("text")),
+            "doc_id", "text", bi.toString, tag = s"l$i")
+        }
+        measure(s"bm25 maint compact live=$live", "history=10 appends") {
+          graft.ext.Bm25.compactIndex(spark, bi.toString)
+          parquetCount(bi, "postings_v")
+        }
+        rmTree(bi)
       }
     }
   }

@@ -159,6 +159,37 @@ object SparkEntry {
       path
     })
 
+  /** Deterministic 16→8→4 MLP weight fixture for the in-process `mlp:`
+    * provider (q_llm_mlp): dyadic weights (k/1024) from a replayable
+    * integer formula, so with integer hashed-TF inputs EVERY product and
+    * sum in the forward pass is exact in IEEE double and the oracle
+    * rebuilds the whole net — ReLU layer, affine head — bit for bit.
+    * One JSON file per JVM; the same formula feeds the oracle SQL. */
+  private[graft] object MlpFixture {
+    def w1(j: Int, i: Int): Int = ((3 * j + 5 * i + 1) % 9) - 4
+    def b1(j: Int): Int = (j % 5) - 2
+    def w2(j: Int, i: Int): Int = ((7 * j + 11 * i + 3) % 9) - 4
+    def b2(j: Int): Int = (j % 3) - 1
+    lazy val path: String = {
+      // Double.toString is shortest-roundtrip: Jackson parses back the
+      // identical dyadic double
+      def row(f: Int => Int, n: Int) =
+        (0 until n).map(i => (f(i) / 1024.0).toString).mkString("[", ",", "]")
+      def mat(f: (Int, Int) => Int, out: Int, in: Int) =
+        (0 until out).map(j => row(i => f(j, i), in)).mkString("[", ",", "]")
+      val json =
+        s"""{"dim_in": 16,
+           | "layers": [
+           |  {"w": ${mat(w1, 8, 16)}, "b": ${row(b1, 8)}},
+           |  {"w": ${mat(w2, 4, 8)}, "b": ${row(b2, 4)}}],
+           | "vocab": {"yes": [1.0,0.0,0.0,0.0], "no": [0.0,1.0,0.0,0.0]}}
+           |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft-mlp-", ".json")
+      java.nio.file.Files.writeString(f, json)
+      f.toString
+    }
+  }
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -775,6 +806,43 @@ object SparkEntry {
         .select(col("row_idx"), col("pos").cast("long").as("pos"),
           col("col").as("val"))
         .orderBy(col("row_idx"), col("pos"))
+    }),
+
+    "q_llm_mlp" -> ((s, dir) => {
+      // IN-PROCESS inference (the reference's hf:/tl: provider role, pure
+      // JVM): the mlp: provider's real forward pass — hashed-TF features →
+      // ReLU layer → affine head — over the corpus, through the SAME
+      // content-addressed LLM op the fake:/http: schemes use. Dyadic
+      // weights make every activation EXACT in double; the oracle rebuilds
+      // the entire net from the shared integer formula.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val acts = LLMLayerActivationsOp(s"mlp:${MlpFixture.path}",
+        SelectTextColumnOp(ds, "text"), layerNum = 2L, tokenMode = "last",
+        batchSize = 64L)
+      r.toFrame(acts)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), posexplode(col("value")))
+        .select(col("row_idx"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("row_idx"), col("pos"))
+    }),
+
+    "q_mlp_probe" -> ((s, dir) => {
+      // the reference's CORE chain — model activations → linear probe —
+      // with EVERY stage in-process: the mlp: provider's layer-2
+      // activations feed the exact difference-of-means probe (label:
+      // lang = en), no server, no HTTP, one scan + one (dim × class)
+      // aggregate. Activations are dyadic-exact, the probe is
+      // quantized-exact, so train→score hashes end to end.
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"mlp:${MlpFixture.path}")
+      val mlp = prov.asInstanceOf[graft.llm.MlpProvider]
+      val fw = udf((t: String) => mlp.forward(t, 2))
+      val emb = docs.select(col("doc_id"), (col("lang") === "en").as("pos"),
+        fw(col("text")).as("emb"))
+      graft.ml.DiffOfMeans.scoresExact(emb, col("doc_id"), col("emb"),
+          col("pos"))
+        .orderBy(col("vec_id"))
     }),
 
     "q_llm_logits" -> ((s, dir) => {
@@ -2011,6 +2079,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // index-quality EVALUATION — the measurement that sets the
+      // nprobe/recall trade before a config ships: recall@5 of the stored
+      // pruned IVF probe (nprobe=2 < nlist=8) against the exact
+      // brute-force ranking, per query. Integer output (hits of 5,
+      // recall in micro-units) keeps the gate hash exact. At 100 TB this
+      // runs on a SAMPLE of queries: both legs are bounded by the query
+      // batch, the brute leg by design (it exists to calibrate the
+      // approximate one).
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = Similarity.ivfTopKIndexed(s, ivfIndexFor(s, dir),
+          queries, "vec_id", "embedding", k = 5, nprobe = 2)
+        .select(col("query_id"), col("corpus_id"))
+      exact.join(approx.withColumn("__hit", lit(1L)),
+          Seq("query_id", "corpus_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits") * 200000L).as("recall_u6")) // = hits/5 in µ-units
+        .orderBy(col("query_id"))
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (Jégou et al., TPAMI 2011): IVF cell pruning + product-
       // quantized ADC scoring — candidates cost O(m) LUT lookups over
@@ -2700,6 +2794,26 @@ object SparkEntry {
         .orderBy(col("epoch"), col("shard"), col("pos"))
     }),
 
+    "q_bpe_fertility" -> ((s, dir) => {
+      // tokenizer EVALUATION per language: fertility = BPE tokens per
+      // whitespace word after the learned merges — the metric multilingual
+      // pipelines gate tokenizers on (a vocab trained on one language
+      // over-segments the others; fertility per lang exposes it).
+      // Integer micro-unit ratio keeps the hash exact; one map pass +
+      // one tiny per-lang aggregate at any corpus size.
+      val docs = t(s, dir, "documents")
+      val (merges, _) = Bpe.train(docs, "text", BpeMerges)
+      docs.select(col("lang"),
+          size(Bpe.tokenizeColumn(col("text"), merges)).cast("long").as("t"),
+          size(Corpus.words(col("text"))).cast("long").as("w"))
+        .groupBy(col("lang"))
+        .agg(sum(col("t")).as("tokens"), sum(col("w")).as("words"))
+        .select(col("lang"), col("tokens"), col("words"),
+          when(col("words") > 0,
+            expr("tokens * 1000000 div words")).as("fertility_u6"))
+        .orderBy(col("lang"))
+    }),
+
     "q_shard_export" -> ((s, dir) => {
       // END-TO-END SHARDED TRAINING EXPORT (verdict r16 #6): LEARN the
       // tokenizer (6 BPE merges), stream the corpus through the
@@ -3168,6 +3282,26 @@ object SparkEntry {
     * per reference, and each round references its predecessor twice
     * (pair counts + merge), which re-derives the whole prefix chain
     * exponentially in rounds without it. */
+  /** The two generated SQL fragments of the [[MlpFixture]] forward pass:
+    * layer-1 ReLU columns `h0..h7 FROM v(vv)` and the 4 head expressions
+    * over them — shared by the q_llm_mlp and q_mlp_probe oracles so the
+    * replayed net can never drift from the fixture formula. */
+  private def mlpNetSql: (String, String) = {
+    val l1 = (0 until 8).map { j =>
+      val terms = (0 until 16)
+        .map(i => s"(${MlpFixture.w1(j, i)}*vv[${i + 1}])/1024.0")
+        .mkString(" + ")
+      s"greatest(0.0, (${MlpFixture.b1(j)})/1024.0 + $terms) AS h$j"
+    }.mkString(",\n    ")
+    val hd = (0 until 4).map { j =>
+      val terms = (0 until 8)
+        .map(i => s"(${MlpFixture.w2(j, i)}*h$i)/1024.0")
+        .mkString(" + ")
+      s"(${MlpFixture.b2(j)})/1024.0 + $terms"
+    }.mkString(", ")
+    (l1, hd)
+  }
+
   private def bpeOracleCtes(numMerges: Int): String = {
     val S = "chr(31)"
     def pat(k: Int) = s"(SELECT $S||sym_a||$S||sym_b||$S FROM b$k)"
@@ -4664,6 +4798,70 @@ object SparkEntry {
          |${duckMd5Val("text || '|3|last|' || CAST(pos AS VARCHAR)")} AS val
          |FROM e ORDER BY row_idx, pos""".stripMargin,
 
+    // full MLP forward-pass replay: hashed-TF(16) features, then each
+    // layer's affine+ReLU from the SHARED integer weight formula — all
+    // dyadic-exact, so val hashes bit for bit
+    "q_llm_mlp" -> {
+      val (l1, hd) = mlpNetSql
+      s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx
+         |  FROM documents),
+         |w AS (SELECT row_idx,
+         |  list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM d),
+         |e AS (SELECT row_idx, list_transform(ws, t ->
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM w),
+         |v AS (SELECT row_idx, list_transform(range(16), dd ->
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(hs, h -> CASE WHEN h % 16 = dd
+         |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+         |        ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS DOUBLE)) AS vv
+         |  FROM e),
+         |h1 AS (SELECT row_idx,
+         |    $l1
+         |  FROM v),
+         |hd AS (SELECT row_idx, [$hd] AS es FROM h1)
+         |SELECT row_idx, CAST(p AS BIGINT) AS pos,
+         |  es[CAST(p AS INT) + 1] AS val
+         |FROM hd, range(4) t(p) ORDER BY row_idx, pos""".stripMargin
+    },
+
+    // in-process activations → exact probe, replayed end to end: the
+    // shared net SQL feeds the q_quality_probe scoresExact replay
+    "q_mlp_probe" -> {
+      val (l1, hd) = mlpNetSql
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS is_pos,
+         |  list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+         |    x -> length(x) > 0) AS ws FROM documents),
+         |e AS (SELECT doc_id, is_pos, list_transform(ws, t ->
+         |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM d),
+         |v AS (SELECT doc_id, is_pos, list_transform(range(16), dd ->
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(hs, h -> CASE WHEN h % 16 = dd
+         |        THEN CAST(1 AS BIGINT) - ((h >> 59) & 1) * 2
+         |        ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS DOUBLE)) AS vv
+         |  FROM e),
+         |h1 AS (SELECT doc_id, is_pos,
+         |    $l1
+         |  FROM v),
+         |hdx AS (SELECT doc_id, is_pos, [$hd] AS es FROM h1),
+         |q AS (SELECT doc_id, is_pos, CAST(dm AS BIGINT) AS dim,
+         |        CAST(round(es[CAST(dm AS INT) + 1] * 1e6) AS BIGINT) AS qx
+         |      FROM hdx, range(4) t(dm)),
+         |w AS (SELECT dim,
+         |    CAST(SUM(CASE WHEN is_pos THEN qx END) AS DOUBLE)
+         |      / COUNT(CASE WHEN is_pos THEN 1 END) / 1e6
+         |  - CAST(SUM(CASE WHEN NOT is_pos THEN qx END) AS DOUBLE)
+         |      / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
+         |  FROM q GROUP BY dim),
+         |qw AS (SELECT dim, CAST(round(w * 1e9) AS BIGINT) AS qw FROM w)
+         |SELECT q.doc_id AS vec_id,
+         |  CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
+         |FROM q JOIN qw USING (dim)
+         |GROUP BY q.doc_id ORDER BY vec_id""".stripMargin
+    },
+
     "q_llm_logits" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
          |e AS (SELECT row_idx, text, unnest(range(3)) AS pos FROM d)
@@ -5337,6 +5535,49 @@ object SparkEntry {
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // recall@5 eval replay: the exact brute top-5 and the nprobe=2 pruned
+    // IVF top-5 (both from their gated oracles' CTEs), left-joined per
+    // (query, neighbor) — n_hits counts the overlap
+    "q_ann_recall" ->
+      """WITH q AS (SELECT vec_id qid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |corp AS (SELECT vec_id cid,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+        |  FROM embeddings),
+        |ex AS (SELECT qid AS query_id, cid AS corpus_id FROM (
+        |    SELECT q.qid, c.cid,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) rn
+        |    FROM q, corp c) WHERE rn <= 5),
+        |cent AS (SELECT CAST(vec_id AS INT) cent_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |assign AS (SELECT cid, cent_id AS cell FROM (
+        |    SELECT c.cid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY c.cid
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+        |    FROM corp c, cent ct) WHERE rn = 1),
+        |probe AS (SELECT qid, cent_id AS cell FROM (
+        |    SELECT q.qid, ct.cent_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id) rn
+        |    FROM q, cent ct) WHERE rn <= 2),
+        |ap AS (SELECT query_id, corpus_id FROM (
+        |    SELECT q.qid AS query_id, c.cid AS corpus_id,
+        |      row_number() OVER (PARTITION BY q.qid
+        |        ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) rn
+        |    FROM q JOIN probe p ON q.qid = p.qid
+        |      JOIN assign a ON a.cell = p.cell
+        |      JOIN corp c ON c.cid = a.cid) WHERE rn <= 5),
+        |hits AS (SELECT e.query_id,
+        |    CAST(count(a.corpus_id) AS BIGINT) AS n_hits
+        |  FROM ex e LEFT JOIN ap a
+        |    ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
+        |  GROUP BY 1)
+        |SELECT query_id, n_hits, n_hits * 200000 AS recall_u6
+        |FROM hits ORDER BY query_id""".stripMargin,
+
     // full IVF-PQ replay: centroids = vec_id 0..7, codewords = sub-slices
     // of vec_id 0..15 (m=8 subspaces of 8 dims); per corpus row and
     // subspace the code is the L2-argmin codeword (direct Σ(x−y)² in dim
@@ -5746,6 +5987,35 @@ object SparkEntry {
         |       - CAST(floor(token_offset / 256.0) AS BIGINT) + 1
         |    ELSE 0 END AS n_seqs
         |FROM ps ORDER BY doc_id""".stripMargin),
+
+    // fertility replay: the same merge chain + per-word token lengths,
+    // aggregated per language against the whitespace word counts
+    "q_bpe_fertility" -> (bpeOracleCtes(BpeMerges) + s""",
+        |wt AS (SELECT replace(seg, chr(31), '') AS word,
+        |         CAST(len(list_filter(string_split(seg, chr(31)),
+        |           x -> length(x) > 0)) AS BIGINT) AS n_tok
+        |       FROM w$BpeMerges),
+        |dw AS (SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |           x -> length(x) > 0)) AS word
+        |       FROM documents),
+        |dt AS (SELECT d.doc_id, SUM(k.n_tok) AS t
+        |       FROM dw d JOIN wt k USING (word) GROUP BY 1),
+        |wc AS (SELECT doc_id, CAST(len(list_filter(
+        |         regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+        |         x -> length(x) > 0)) AS BIGINT) AS w
+        |       FROM documents),
+        |pl AS (SELECT lang,
+        |         CAST(SUM(coalesce(dt.t, 0)) AS BIGINT) AS tokens,
+        |         CAST(SUM(wc.w) AS BIGINT) AS words
+        |       FROM documents dd
+        |       LEFT JOIN dt ON dd.doc_id = dt.doc_id
+        |       JOIN wc ON dd.doc_id = wc.doc_id
+        |       GROUP BY 1)
+        |SELECT lang, tokens, words,
+        |  CASE WHEN words > 0 THEN tokens * 1000000 // words END
+        |    AS fertility_u6
+        |FROM pl ORDER BY lang""".stripMargin),
 
     "q_dedup_lines" ->
       """WITH d0 AS (SELECT doc_id,

@@ -208,28 +208,33 @@ object TextAnalysis {
     // one primitive pass over the words (the repetitionSignals precedent) —
     // the expression form (`transform(range(dim), d -> aggregate(...))`)
     // was O(dim·words) boxed lambdas per row and dominated q_quality_probe.
-    // Bit-equality with the md5Bucket60 SQL primitive is pinned by
-    // HashEmbedSpec's independent reimplementation test: the top 60 bits of
-    // the digest's first 8 bytes ARE the 15-hex-char prefix.
-    val f = udf { s: String =>
-      if (s == null) null
-      else {
-        val v = new Array[Float](dim)
-        val md = java.security.MessageDigest.getInstance("MD5")
-        TextAnalysis.WsPlus.split(s).foreach { w =>
-          if (w.nonEmpty) {
-            val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var h = 0L
-            var i = 0
-            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-            h = h >>> 4 // 64 big-endian bits -> the leading 60 (15 hex chars)
-            v((h % dim).toInt) += (1L - ((h >>> 59) & 1L) * 2L).toFloat
-          }
-        }
-        v
-      }
-    }
+    val f = udf { s: String => hashedTfVector(s, dim) }
     f(text)
+  }
+
+  /** The raw JVM function under [[hashedTfEmbedding]] — shared verbatim by
+    * the in-process [[graft.llm.MlpProvider]] so model inputs and SQL
+    * oracles agree bit for bit. Bit-equality with the md5Bucket60 SQL
+    * primitive is pinned by HashEmbedSpec's independent reimplementation
+    * test: the top 60 bits of the digest's first 8 bytes ARE the
+    * 15-hex-char prefix. */
+  def hashedTfVector(s: String, dim: Int): Array[Float] = {
+    if (s == null) null
+    else {
+      val v = new Array[Float](dim)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      TextAnalysis.WsPlus.split(s).foreach { w =>
+        if (w.nonEmpty) {
+          val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          h = h >>> 4 // 64 big-endian bits -> the leading 60 (15 hex chars)
+          v((h % dim).toInt) += (1L - ((h >>> 59) & 1L) * 2L).toFloat
+        }
+      }
+      v
+    }
   }
 
   /** TRAINED language ID — fastText's architecture with zero neural model:

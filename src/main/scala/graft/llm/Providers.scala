@@ -112,6 +112,11 @@ object ModelRegistry {
       lastLayerOnly = true, scheme = "st")
   register("st")(stFactory)
   register("sentencetransformer")(stFactory)
+  // mlp:<weights.json> — IN-PROCESS inference (pure-JVM feature-hashing
+  // MLP, see MlpProvider): the reference's in-process provider role
+  // (`model_registry_implementations.py:81-407`) without torch or a
+  // server; real intermediate layers, logit head, greedy generate.
+  register("mlp")(rest => MlpProvider.fromJson(rest))
 }
 
 /** Deterministic fake provider: every output value is derived from

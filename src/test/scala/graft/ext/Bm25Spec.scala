@@ -261,6 +261,39 @@ class Bm25Spec extends SparkTestBase {
       "compaction changed a probe answer after the extra append")
   }
 
+  test("long append history collapses to one file per bucket on compaction") {
+    // 20 micro-batch appends fragment the store into ≥ 20 postings files;
+    // compaction must fold the WHOLE history back to ≤ numBuckets files in
+    // the new version (one per non-empty bucket — the layout min/max
+    // skipping needs), with every probe answer unchanged.
+    val docs = (0 until 48).map(i =>
+      (i.toLong, s"w$i alpha beta w${i % 7}")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-hist-").toString
+    Bm25.buildIndex(docs.filter($"doc_id" < 8), "doc_id", "text", idx,
+      numBuckets = 4)
+    (0 until 20).foreach { i =>
+      Bm25.appendToIndex(docs.filter($"doc_id" >= 8 + i * 2 &&
+        $"doc_id" < 8 + (i + 1) * 2), "doc_id", "text", idx, tag = s"h$i")
+    }
+    def files(substr: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(idx))
+      try s.iterator().asScala.count(p =>
+        p.toString.contains(substr) && p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    def probe() = Bm25.topKIndexed(spark, idx, Seq("alpha", "w3"), k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(files("postings_") >= 21L,
+      s"expected >= 21 fragmented files, got ${files("postings_")}")
+    val before = probe()
+    Bm25.compactIndex(spark, idx)
+    // current version after the first compaction of a v0 base is v1
+    assert(files("postings_v1") <= 4L,
+      s"compacted version carries ${files("postings_v1")} files, want <= 4")
+    assert(probe() === before, "compaction changed a probe answer")
+  }
+
   test("batch phrase probe equals each phrase's own indexed count") {
     val docs = Seq(
       (1L, "a b c a b"), (2L, "a a a"), (3L, "b a c"),
