@@ -331,18 +331,59 @@ object Bm25 {
     org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.IntegerType)))
 
+  // the schema of the postings FILES themselves: partitionBy("bucket")
+  // strips the bucket column from the data files, so the direct
+  // bucket-dir reads below see only these five columns
+  private val postingsFileSchema = org.apache.spark.sql.types.StructType(
+    postingsSchema.filterNot(_.name == "bucket"))
+
+  /** The bucket= directories present under `path/$dir` (a delta segment
+    * only holds the buckets its batch touched). */
+  private def bucketDirsOf(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dir: String): Array[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.substring("bucket=".length).toInt)
+  }
+
   /** The index's postings as ONE DataFrame: the compacted base plus every
-    * committed delta segment, `pred` applied to EACH root scan so the
-    * bucket partition pruning and the term pushdown happen per segment. */
+    * committed delta segment in a single MULTI-PATH scan — one listing
+    * and one FileSourceScan for the whole history, instead of an N-way
+    * union whose per-segment fixed cost (listing + scan planning) made
+    * long-history probes and compactions linear in append count. Bucket
+    * pruning happens at PATH construction (`buckets` — the probe knows
+    * its terms' buckets driver-side), strictly stronger than partition
+    * pruning: unmatched directories are never even listed. Spark cannot
+    * do this itself: sibling roots each holding bucket= layers trip its
+    * conflicting-directory-structures check, so the bucket column is
+    * recomputed from the term (bit-identical — that is how it was
+    * derived at write time). `pred` carries the row-level predicates
+    * (term isin → parquet min/max skipping over term-sorted row groups). */
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
                            path: String, st: IndexStats,
-                           pred: Column): DataFrame = {
+                           pred: Column,
+                           buckets: Option[Seq[Int]] = None): DataFrame = {
     val cols = Seq("term", "doc_id", "tf", "dl", "pos", "bucket")
-    (st.postingsDir :: st.deltaDirs)
-      .map(d => spark.read.schema(postingsSchema).parquet(s"$path/$d")
+    val sel = buckets.map(_.toSet)
+    val paths = for {
+      d <- st.postingsDir :: st.deltaDirs
+      b <- bucketDirsOf(spark, path, d) if sel.forall(_.contains(b))
+    } yield s"$path/$d/bucket=$b"
+    val nb = st.nBuckets
+    val bUdf = udf { t: String => math.floorMod(
+      graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        postingsSchema).select(cols.map(col): _*)
+    else
+      spark.read.schema(postingsFileSchema).parquet(paths: _*)
         .filter(pred)
-        .select(cols.map(col): _*))
-      .reduce(_ unionByName _)
+        .withColumn("bucket", bUdf(col("term")))
+        .select(cols.map(col): _*)
   }
 
   /** `dir_vK` → K. */
@@ -542,8 +583,7 @@ object Bm25 {
     val distinctTerms = phrases.flatMap(_._2).distinct
     val qBuckets = distinctTerms.map(bucketOf(_, st.nBuckets)).distinct
     val post = readPostings(spark, path, st,
-      col("bucket").isin(qBuckets: _*) &&
-        col("term").isin(distinctTerms: _*))
+      col("term").isin(distinctTerms: _*), Some(qBuckets))
     def posCol(t: String): String = s"__p${distinctTerms.indexOf(t)}"
     // each per-term max touches at most one (doc, term) posting row
     val perTerm = distinctTerms.map(t =>
@@ -604,8 +644,7 @@ object Bm25 {
     val avgdl = lit(totalDl.toDouble) / n // same IEEE division as rank's
     val dl = col("dl").cast("double")
     val post = readPostings(spark, path, st,
-      col("bucket").isin(qBuckets: _*) &&
-        col("term").isin(distinctTerms: _*))
+      col("term").isin(distinctTerms: _*), Some(qBuckets))
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t,
         termContribution(col("tf"), lit(dfMap.getOrElse(t, 0L)).cast("long"),

@@ -457,7 +457,7 @@ object Dedup {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    minhashIndexKeys(h, lit(true), excludeSeg = "")
+    minhashIndexKeys(h, lit(true), excludeSeg = "", buckets = None)
       .repartition(m.numKeyBuckets, col("bucket"))
       .sortWithinPartitions(col("band_key"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -506,25 +506,59 @@ object Dedup {
       private[ext] val spark: org.apache.spark.sql.SparkSession,
       val path: String) {
     private[ext] var meta: MinhashMeta = readMinhashMeta(spark, path)
-    private val keyDfs =
-      scala.collection.mutable.HashMap.empty[String, DataFrame]
     private val shingleDfs =
-      scala.collection.mutable.HashMap.empty[String, DataFrame]
+      scala.collection.mutable.HashMap.empty[Seq[String], DataFrame]
     /** Re-read the manifest and drop cached segment scans — required only
       * after a DIFFERENT writer mutated the store. */
     def refresh(): Unit = {
       meta = readMinhashMeta(spark, path)
-      keyDfs.clear(); shingleDfs.clear()
+      segBuckets.clear(); shingleDfs.clear()
     }
-    // cached per-segment scans: same DataFrame object across batches →
-    // the parquet file listing happens once per segment, not once per
-    // (segment × micro-batch); pushed filters still apply per use
-    private[ext] def keysOf(seg: String): DataFrame =
-      keyDfs.getOrElseUpdate(seg, spark.read.schema(minhashKeysSchema)
-        .parquet(s"$path/$seg/keys"))
-    private[ext] def shinglesOf(seg: String): DataFrame =
-      shingleDfs.getOrElseUpdate(seg, spark.read.schema(minhashShinglesSchema)
-        .parquet(s"$path/$seg/shingles"))
+    // cached per-segment bucket-directory listings: a committed segment
+    // is immutable, so its set of bucket= dirs is listed ONCE per handle
+    // life — the bucket-pruned multi-path reads below select directories
+    // from this map instead of re-listing the store per probe
+    private val segBuckets =
+      scala.collection.mutable.HashMap.empty[String, Array[Int]]
+    private[ext] def bucketsOf(seg: String): Array[Int] =
+      segBuckets.getOrElseUpdate(seg, {
+        val p = new org.apache.hadoop.fs.Path(s"$path/$seg/keys")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) Array.empty
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith("bucket=")).map(_.substring("bucket=".length).toInt)
+      })
+    // ALL live segments' keys as ONE multi-path FileSourceScan — one
+    // listing, files read in parallel — instead of an N-way union of
+    // per-segment scans, whose per-segment fixed cost (listing + scan
+    // planning) made 100-segment probes and compactions linear in APPEND
+    // COUNT, not live bytes. Bucket pruning happens at PATH-construction
+    // time (the touched bucket set is known driver-side), which is
+    // strictly stronger than partition pruning: unmatched directories are
+    // never even listed. The bucket column is recomputed from band_key
+    // (bit-identical: it was derived as pmod(band_key, B) at write time).
+    private[ext] def prunedKeys(segs: Seq[String],
+                                buckets: Option[Seq[Int]]): DataFrame = {
+      val sel = buckets.map(_.toSet)
+      val paths = for {
+        s <- segs
+        b <- bucketsOf(s) if sel.forall(_.contains(b))
+      } yield s"$path/$s/keys/bucket=$b"
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          minhashKeysSchema)
+      else
+        spark.read.schema(minhashKeysFileSchema).parquet(paths: _*)
+          .withColumn("bucket",
+            keyBucket(col("band_key"), meta.numKeyBuckets))
+    }
+    private[ext] def shinglesOfAll(segs: Seq[String]): DataFrame =
+      // shingle files sit directly under each seg root (no partition
+      // layers), so the plain multi-path read is legal
+      shingleDfs.getOrElseUpdate(segs,
+        spark.read.schema(minhashShinglesSchema)
+          .parquet(segs.map(s => s"$path/$s/shingles"): _*))
   }
 
   /** Open a handle on an existing [[buildMinhashIndex]] store. */
@@ -567,6 +601,11 @@ object Dedup {
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("bucket",
       org.apache.spark.sql.types.IntegerType)))
+  // the schema of the key FILES themselves: partitionBy("bucket") strips
+  // the bucket column from the data files, so a direct bucket-dir read
+  // (the pruned multi-path scan) sees only these two columns
+  private val minhashKeysFileSchema = org.apache.spark.sql.types.StructType(
+    minhashKeysSchema.filterNot(_.name == "bucket"))
   private val minhashShinglesSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("jid",
       org.apache.spark.sql.types.LongType),
@@ -578,22 +617,23 @@ object Dedup {
                        path: String,
                        pred: Column = lit(true),
                        excludeSeg: String = ""): DataFrame =
-    minhashIndexKeys(new MinhashIndexHandle(spark, path), pred, excludeSeg)
+    minhashIndexKeys(new MinhashIndexHandle(spark, path), pred, excludeSeg,
+      buckets = None)
 
   // handle-threaded form: a probe reads the (tiny) meta parquet ONCE per
-  // handle and each segment's scan (with its file listing) is cached for
-  // the segment's immutable life — three separate meta jobs plus a
-  // re-listing of every segment per probe is measurable overhead in the
-  // micro-batch streaming regime
+  // handle and each segment's bucket listing is cached for the segment's
+  // immutable life — three separate meta jobs plus a re-listing of every
+  // segment per probe is measurable overhead in the micro-batch
+  // streaming regime. `buckets` prunes whole bucket DIRECTORIES at path
+  // construction (see [[MinhashIndexHandle.prunedKeys]]).
   private def minhashIndexKeys(h: MinhashIndexHandle, pred: Column,
-                               excludeSeg: String): DataFrame = {
+                               excludeSeg: String,
+                               buckets: Option[Seq[Int]]): DataFrame = {
     val segs = h.meta.segments.filterNot(_ == excludeSeg)
     require(segs.nonEmpty,
       s"minhashIndexKeys: no segments at ${h.path} (excluding '$excludeSeg')")
-    segs
-      .map(s => h.keysOf(s).filter(pred)
-        .select(col("doc_id"), col("band_key"), col("bucket")))
-      .reduce(_ unionByName _)
+    h.prunedKeys(segs, buckets).filter(pred)
+      .select(col("doc_id"), col("band_key"), col("bucket"))
   }
 
   /** The index's stored shingle sets `(jid, sh)` across all committed
@@ -609,9 +649,7 @@ object Dedup {
     require(segs.nonEmpty,
       s"minhashIndexShingles: no segments at ${h.path} " +
         s"(excluding '$excludeSeg')")
-    segs
-      .map(s => h.shinglesOf(s).select(col("jid"), col("sh")))
-      .reduce(_ unionByName _)
+    h.shinglesOfAll(segs).select(col("jid"), col("sh"))
   }
 
   /** Directory bucket of a band key — `pmod(band_key, B)`: band keys are
@@ -628,8 +666,13 @@ object Dedup {
     // the manifest, so probes can never see half a batch.
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
+    // jid-SORTED within each file: the probe's point-lookup regime pushes
+    // the candidate-id set into this scan as an isin predicate, and the
+    // sort gives those lookups parquet min/max row-group skipping (the
+    // same treatment the keys table gets on band_key below)
     df.select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(shingleN)(words).as("sh"))
+      .sortWithinPartitions(col("jid"))
       .write.mode("overwrite").parquet(s"$segDir/shingles")
     // keys land bucket-partitioned (`bucket = pmod(band_key, B)` directory
     // partitions) and band_key-SORTED within each file: a probe prunes to
@@ -673,6 +716,51 @@ object Dedup {
     minhashDedupAgainstIndex(new MinhashIndexHandle(spark, path), newDocs,
       textCol, idCol, threshold, maxBucket, excludeSeg)
 
+  /** The pruned stored-keys frame a probe plans for `newKeys`, plus the
+    * collected probe keys (empty sentinel array semantics: length >
+    * [[MaxPushedProbeKeys]] means the batch regime). Split out of
+    * [[minhashDedupAgainstIndex]] so the plan-inspection test can assert
+    * the bucket pruning + pushed isin on the EXACT frame the probe
+    * executes (the probe eagerly checkpoints downstream, so the final
+    * plan no longer exposes this scan). */
+  private def probeStoredKeys(h: MinhashIndexHandle, newKeys: DataFrame,
+                              excludeSeg: String): (DataFrame, Array[Long]) = {
+    val nkb = h.meta.numKeyBuckets
+    val probePairs = newKeys
+      .select(col("band_key"), keyBucket(col("band_key"), nkb).as("b"))
+      .distinct().limit(MaxPushedProbeKeys + 1).collect()
+    val probeKeys = probePairs.map(_.getLong(0))
+    val touchedBuckets: Seq[Int] =
+      if (probeKeys.length <= MaxPushedProbeKeys)
+        probePairs.map(_.getInt(1)).distinct.toSeq
+      else newKeys.select(keyBucket(col("band_key"), nkb).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    // bucket pruning rides the `buckets` path selection (directories the
+    // scan never lists); the key-membership isin is the only row predicate
+    val srcPred =
+      if (probeKeys.length <= MaxPushedProbeKeys)
+        col("band_key").isin(probeKeys.sorted: _*)
+      else lit(true)
+    val storedKeys =
+      minhashIndexKeys(h, srcPred, excludeSeg, Some(touchedBuckets))
+        .select(col("doc_id"), col("band_key"))
+    (storedKeys, probeKeys)
+  }
+
+  /** Test hook: the stored-keys frame [[minhashDedupAgainstIndex]] would
+    * plan for this batch — same code path (shared helper), exposed lazily
+    * so its plan can be inspected. */
+  private[ext] def probeStoredKeysFor(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, newDocs: DataFrame,
+                                      textCol: String, idCol: String): DataFrame = {
+    val h = new MinhashIndexHandle(spark, path)
+    val m = h.meta
+    probeStoredKeys(h,
+      minhashBandKeys(newDocs, textCol, idCol, m.shingleN, m.numPerms,
+        m.numBands),
+      excludeSeg = "")._1
+  }
+
   /** Handle form of [[minhashDedupAgainstIndex]] — reuses the handle's
     * cached manifest and segment scans across micro-batches (see
     * [[MinhashIndexHandle]]). */
@@ -708,22 +796,7 @@ object Dedup {
     // single job (two separate collects were a measurable per-micro-batch
     // tax in the streaming regime); only an over-limit batch pays a
     // second, bucket-only pass.
-    val probePairs = newKeys
-      .select(col("band_key"), keyBucket(col("band_key"), nkb).as("b"))
-      .distinct().limit(MaxPushedProbeKeys + 1).collect()
-    val probeKeys = probePairs.map(_.getLong(0))
-    val touchedBuckets: Seq[Int] =
-      if (probeKeys.length <= MaxPushedProbeKeys)
-        probePairs.map(_.getInt(1)).distinct.toSeq
-      else newKeys.select(keyBucket(col("band_key"), nkb).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-    val srcPred =
-      if (probeKeys.length <= MaxPushedProbeKeys)
-        col("bucket").isin(touchedBuckets: _*) &&
-          col("band_key").isin(probeKeys.sorted: _*)
-      else col("bucket").isin(touchedBuckets: _*)
-    val storedKeys = minhashIndexKeys(h, srcPred, excludeSeg)
-      .select(col("doc_id"), col("band_key"))
+    val (storedKeys, probeKeys) = probeStoredKeys(h, newKeys, excludeSeg)
     val touched =
       if (probeKeys.length <= MaxPushedProbeKeys) storedKeys
       else storedKeys.join(broadcast(newKeys.select(col("band_key")).distinct()),
@@ -748,19 +821,50 @@ object Dedup {
       .filter(col("__old") =!= col("__new"))
       .select(least(col("__old"), col("__new")).as("id_a"),
         greatest(col("__old"), col("__new")).as("id_b"))
+    // TRUNCATE the candidate set's lineage (eager localCheckpoint): the
+    // plan downstream references `cands` FIVE times (twice building
+    // candIds, once in the verify pair join, and candIds itself rides
+    // inside `sh`, which the verify joins twice) — with the stored-keys
+    // N-segment union embedded in `cands`, plan size grew ~5× per live
+    // segment and a 21-segment probe spent minutes in analysis/codegen,
+    // not I/O (measured 220 s vs 2.3 s post-compaction before this fix).
+    // After the checkpoint every reference is a leaf; candidate pairs are
+    // bounded (demoted buckets), so the materialization is small.
     val cands0 = oldNew
       .union(bucketSelfJoinPairs(newKeys, "band_key", maxBucket))
       .distinct()
+      .localCheckpoint(true)
     val cands = if (pointLookup) broadcast(cands0) else cands0
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
-    val candIds = cands.select(col("id_a").as("jid"))
-      .union(cands.select(col("id_b").as("jid"))).distinct()
-    val sh = newDocs
+    val candIds = cands0.select(col("id_a").as("jid"))
+      .union(cands0.select(col("id_b").as("jid"))).distinct()
+    // point-lookup regime: the candidate id set is driver-tiny (it came
+    // off a checkpointed frame bounded by the batch's demoted buckets) —
+    // push it INTO the per-segment shingle scans as an isin predicate so
+    // stored-shingle read bytes track the CANDIDATES via row-group
+    // min/max skipping, mirroring the band-key pushdown above. Larger
+    // candidate sets keep the broadcast semi-join.
+    val candIdRows =
+      if (pointLookup)
+        candIds.limit(MaxPushedProbeKeys + 1).collect().map(_.getLong(0))
+      else Array.empty[Long]
+    val newShingled = newDocs
       .select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(sn)(words).as("sh"))
-      .union(minhashIndexShingles(h, excludeSeg))
-      .join(broadcast(candIds), Seq("jid"), "left_semi")
+    val sh0 =
+      if (pointLookup && candIdRows.length <= MaxPushedProbeKeys) {
+        val p = col("jid").isin(candIdRows.sorted: _*)
+        newShingled.filter(p)
+          .union(minhashIndexShingles(h, excludeSeg).filter(p))
+      } else {
+        newShingled
+          .union(minhashIndexShingles(h, excludeSeg))
+          .join(broadcast(candIds), Seq("jid"), "left_semi")
+      }
+    // same truncation for the shingled side — verify joins it twice, and
+    // it embeds the N-segment shingle union
+    val sh = sh0.localCheckpoint(true)
     verifyShingledPairs(sh, cands, threshold)
   }
 

@@ -212,6 +212,82 @@ class ExtSpec extends SparkTestBase {
       s"expected the grace sweep, got ${segDirs()}")
   }
 
+  test("minhash store: long append history collapses to bucket-count files") {
+    // 20 appends → 21 live segments, each with its own keys files; the
+    // compacted generation must hold ALL keys in ≤ numKeyBuckets files,
+    // and a probe must answer identically before and after.
+    def doc(id: Long, tag: String) =
+      (id, (0 until 30).map(j => s"hx${tag}w$j").mkString(" "))
+    val head = (0 until 10).map(i => doc(i.toLong, s"b$i"))
+    val dir = java.nio.file.Files.createTempDirectory("mh-hist-").toString
+    Dedup.buildMinhashIndex(spark, dir, head.toDF("doc_id", "text"),
+      "text", "doc_id", numKeyBuckets = 8)
+    (0 until 20).foreach { i =>
+      Dedup.appendToMinhashIndex(spark, dir,
+        Seq(doc(100L + i, s"a$i")).toDF("doc_id", "text"),
+        "text", "doc_id", tag = s"h$i")
+    }
+    def keyFiles(substr: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.count(p =>
+        p.toString.contains(substr) && p.toString.contains("keys") &&
+          p.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    def segCount() = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("seg_"))
+    assert(segCount() == 21, s"expected 21 segments, got ${segCount()}")
+    assert(keyFiles("seg_") >= 21L)
+    val probeBatch = Seq(doc(9999L, "a7")).toDF("doc_id", "text")
+    def probe() = Dedup.minhashDedupAgainstIndex(spark, dir, probeBatch,
+        "text", "doc_id", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val before = probe()
+    assert(before == Set((107L, 9999L)), s"unexpected probe result $before")
+    Dedup.compactMinhashIndex(spark, dir)
+    assert(keyFiles("seg_c0") <= 8L,
+      s"compacted keys carry ${keyFiles("seg_c0")} files, want <= 8")
+    assert(probe() == before, "compaction changed the probe answer")
+  }
+
+  test("fragmented-store probe plan size is independent of segment count") {
+    // regression guard for the round-17 plan-blowup: the verify stage
+    // referenced the candidate DAG (which embeds the N-segment stored-key
+    // union) ~5×, so the FINAL probe plan grew ~5 subtrees per live
+    // segment and a 21-segment probe spent minutes in analysis/codegen.
+    // With the candidate + shingled frames eagerly checkpointed, every
+    // downstream reference is a leaf: the physical plan node count of the
+    // returned frame must be the SAME for a 1-segment and a 21-segment
+    // store (the per-segment work happens inside the checkpoint jobs,
+    // linear in segments, off the final plan).
+    def doc(id: Long, tag: String) =
+      (id, (0 until 30).map(j => s"pz${tag}w$j").mkString(" "))
+    def planNodes(nAppends: Int): Int = {
+      val dir = java.nio.file.Files.createTempDirectory(s"mh-pl$nAppends-")
+        .toString
+      Dedup.buildMinhashIndex(spark, dir,
+        (0 until 5).map(i => doc(i.toLong, s"b$i")).toDF("doc_id", "text"),
+        "text", "doc_id", numKeyBuckets = 8)
+      (0 until nAppends).foreach { i =>
+        Dedup.appendToMinhashIndex(spark, dir,
+          Seq(doc(100L + i, s"a$i")).toDF("doc_id", "text"),
+          "text", "doc_id", tag = s"h$i")
+      }
+      val probe = Dedup.minhashDedupAgainstIndex(spark, dir,
+        Seq(doc(9999L, "a0")).toDF("doc_id", "text"), "text", "doc_id",
+        threshold = 0.9)
+      var n = 0
+      probe.queryExecution.sparkPlan.foreach(_ => n += 1)
+      n
+    }
+    val small = planNodes(1)
+    val large = planNodes(21)
+    assert(large == small,
+      s"probe plan grew with segment count: $small nodes at 1 segment vs " +
+        s"$large at 21 — lineage truncation regressed")
+  }
+
   test("incremental minhash probe prunes to the batch's key buckets") {
     // the stored key table is bucket-partitioned by pmod(band_key, B); a
     // small batch touches few buckets, so the probe's stored-key scan must
@@ -224,17 +300,24 @@ class ExtSpec extends SparkTestBase {
     val allBuckets = new java.io.File(s"$dir/seg_base/keys").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(allBuckets > 4, s"fixture too small ($allBuckets bucket dirs)")
-    val probe = Dedup.minhashDedupAgainstIndex(spark, dir,
+    // the probe itself eagerly checkpoints its candidate stage (plan-size
+    // truncation), so inspect the stored-keys frame via the shared helper
+    // the probe executes — same pruning, same pushdown, lazy plan
+    val probe = Dedup.probeStoredKeysFor(spark, dir,
       Seq((9000L, a.head._2)).toDF("doc_id", "text"), "text", "doc_id")
     val keysScans = probe.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
         if f.metadata.get("Location").exists(_.contains("keys")) => f
     }
     assert(keysScans.nonEmpty, "no stored-keys scan in the probe plan")
-    // one batch doc → 16 band keys → at most 16 of the 32 bucket dirs
-    assert(keysScans.map(_.selectedPartitions.partitionCount).max <= 16,
-      s"probe planned ${keysScans.map(_.selectedPartitions.partitionCount)}" +
-        s" of $allBuckets key buckets — pruning is not happening")
+    // bucket pruning is PATH-level now (touched dirs selected before the
+    // read): one batch doc → 16 band keys → the scan's input files must
+    // live in at most 16 of the 32 bucket dirs
+    val scannedBuckets = keysScans.flatMap(_.relation.location.inputFiles)
+      .flatMap(_.split("/").find(_.startsWith("bucket="))).distinct
+    assert(scannedBuckets.nonEmpty && scannedBuckets.length <= 16,
+      s"probe scans ${scannedBuckets.length} of $allBuckets key buckets " +
+        "— pruning is not happening")
     // point-lookup regime: the batch's key membership is PUSHED into the
     // scan (per-value parquet predicates over key-sorted row groups —
     // the sublinear-read mechanism), not just joined after the read
