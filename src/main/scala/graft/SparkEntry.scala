@@ -1018,6 +1018,25 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q_domain_cap" -> ((s, dir) => {
+      // per-source document quota — the CommonCrawl-style per-host cap
+      // that stops one domain from dominating a training mix: keep at
+      // most 5 docs per source, preferring the longest (n_chars desc,
+      // doc_id tiebreak). The window carries only NARROW columns (id,
+      // source, n_chars) — text never enters the exchange — so at 100 TB
+      // the shuffle is O(docs × ~24 bytes) hashed on source, and a
+      // skewed mega-source pays only its own partition's sort; callers
+      // semi-join the kept ids back against the corpus.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("source"), col("rk"))
+    }),
+
     "q_cms" -> ((s, dir) => {
       // Count-Min word-frequency sketch at depth 4 × width 128 over the
       // corpus word stream (thousands of distinct words → every bucket
@@ -2469,6 +2488,27 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    "q_retrieval_eval" -> ((s, dir) => {
+      // retrieval EVALUATION — MRR and nDCG@10 of the BM25 ranking
+      // against term-relevance labels (gain = tf of the query's head
+      // term): the measurement that gates a ranking change before it
+      // ships. DCG discount weights are PRECOMPUTED integer micro-units
+      // (round(1e6/log2(rank+1)), [[DcgWeightsU6]]) shared as literals
+      // with the oracle, so neither engine evaluates a transcendental at
+      // query time and all metric arithmetic is exact integer. Bounded
+      // everywhere: the retrieved leg by k, the ideal leg by a
+      // corpus-wide top-10 (collected — 10 rows by construction). At
+      // 100 TB this runs per query over a SAMPLE of queries; each costs
+      // one BM25 probe plus one narrow top-10.
+      val docs = t(s, dir, "documents")
+      val topk = Bm25.rank(docs, "doc_id", "text", RrfTerms, k = 10)
+      val gains = docs.select(col("doc_id"),
+        size(filter(Corpus.words(col("text")), w => w === RrfTerms.head))
+          .cast("long").as("gain"))
+      Retrieval.rankingMetrics(topk, "rank", "doc_id",
+        gains, "doc_id", "gain", k = 10)
+    }),
+
     "q_dsir_select" -> ((s, dir) => {
       // DSIR data selection (ext.Dsir): target = English docs, raw = the
       // whole corpus, m=4096 hashed unigram+bigram buckets, add-1
@@ -3167,6 +3207,11 @@ object SparkEntry {
     * contributes its top-`RrfPoolK`, fused at `rrfK = RrfKConst` into the
     * top-`RrfN`. */
   private val RrfTerms: Seq[String] = Seq("spark", "merge", "window")
+
+  /** The DCG discount literals the q_retrieval_eval oracle injects —
+    * the SAME values [[graft.ext.Retrieval.rankingMetrics]] embeds in
+    * the Spark plan, so neither engine evaluates log2 at query time. */
+  private val DcgWeightsU6: Seq[Long] = Retrieval.dcgWeightsU6(10)
   private val RrfPoolK: Int = 20
   private val RrfKConst: Int = 60
   private val RrfN: Int = 10
@@ -4664,6 +4709,15 @@ object SparkEntry {
         |  FROM c)
         |SELECT lang, source, cnt, rank FROM r WHERE rank <= 3
         |ORDER BY lang, rank""".stripMargin,
+
+    "q_domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
 
     "q_bloom" -> bloomOracleSql,
 
@@ -6484,6 +6538,42 @@ object SparkEntry {
     // (never pre-evaluated constants), fixed term order in the score fold,
     // ranking on the quantized integer.
     "q_bm25" -> bm25OracleSql("doc_id"),
+
+    // MRR + nDCG@10 replay: the q_bm25 scoring CTEs give the ranking,
+    // gain = tf of the head term from the same tokenized `w` table, DCG
+    // weights are the SAME integer literals the Spark plan embeds
+    // (DcgWeightsU6), ideal = corpus-wide top-10 gains
+    "q_retrieval_eval" -> {
+      val wcases = DcgWeightsU6.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+      s"""WITH ${bm25ScCtes(RrfTerms)},
+         |tk AS (SELECT doc_id, rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |      ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS rank FROM sc)
+         |  WHERE rank <= 10),
+         |g AS (SELECT doc_id,
+         |    CAST(len(list_filter(ws, t -> t = '${RrfTerms.head}'))
+         |      AS BIGINT) AS gain FROM w),
+         |sc2 AS (SELECT tk.rank, g.gain,
+         |    g.gain * (CASE tk.rank $wcases END) AS contrib_u6,
+         |    CASE WHEN g.gain > 0 THEN tk.rank END AS rel_rank
+         |  FROM tk JOIN g USING (doc_id)),
+         |ideal AS (SELECT doc_id, gain, CAST(row_number() OVER (
+         |    ORDER BY gain DESC, doc_id) AS BIGINT) AS rk FROM g),
+         |idcg AS (SELECT CAST(SUM(gain * (CASE rk $wcases END)) AS BIGINT)
+         |    AS idcg_u6 FROM ideal WHERE rk <= 10),
+         |m AS (SELECT CAST(COALESCE(SUM(contrib_u6), 0) AS BIGINT) AS dcg_u6,
+         |    MIN(rel_rank) AS first_rel,
+         |    CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel
+         |  FROM sc2)
+         |SELECT CAST(10 AS BIGINT) AS k, n_rel, dcg_u6, idcg_u6,
+         |  CAST(CASE WHEN idcg_u6 > 0 THEN dcg_u6 * 1000000 // idcg_u6
+         |       ELSE 0 END AS BIGINT) AS ndcg_u6,
+         |  CAST(CASE WHEN first_rel IS NULL THEN 0
+         |       ELSE 1000000 // first_rel END AS BIGINT) AS mrr_u6
+         |FROM m CROSS JOIN idcg""".stripMargin
+    },
 
     // doc-level maxP: the passage pool's per-doc max, re-ranked — the
     // pool cut (top-200 passages, total order) replayed exactly

@@ -98,4 +98,61 @@ object Retrieval {
       .select(col("__qid").as(queryCol), col("rank"), col("__id").as(idCol),
         col("rrf_u12"), col("sparse_rank"), col("dense_rank"))
   }
+
+  /** DCG discount weights for ranks 1..k in integer micro-units:
+    * `round(1e6 / log2(rank+1))`. Computed ONCE driver-side and embedded
+    * as plan literals, so no engine (Spark or an external SQL replay)
+    * evaluates a transcendental at query time — the discipline that
+    * keeps ranking metrics exact-integer and cross-engine hashable. */
+  def dcgWeightsU6(k: Int): Seq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality metrics — MRR and nDCG@k of a ranked list against
+    * per-document integer relevance gains: the measurement that gates a
+    * ranking change (BM25 tuning, hybrid fusion weights, a new ANN
+    * nprobe) before it ships.
+    *
+    * Output is ONE row `(k, n_rel, dcg_u6, idcg_u6, ndcg_u6, mrr_u6)`,
+    * all exact integers: per-rank DCG contributions are
+    * `gain · dcgWeightsU6(rank)` (integer products), nDCG and MRR use
+    * integer floor division in micro-units. `idcg_u6` is computed from
+    * the corpus-wide ideal top-k gains (collected — k rows by
+    * construction).
+    *
+    * == 100 TB design ==
+    * The retrieved leg is bounded by k. The gains frame is corpus-sized
+    * but flows through exactly one TakeOrdered top-k (ideal) and one
+    * broadcast-sized join against the k retrieved ids — no corpus
+    * shuffle. Per-query cost = the upstream ranking probe + one narrow
+    * top-k; a full eval harness maps this over a bounded query sample.
+    */
+  def rankingMetrics(topk: DataFrame, rankCol: String, idCol: String,
+                     gains: DataFrame, gainIdCol: String, gainCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val ws = dcgWeightsU6(k)
+    val g = gains.select(col(gainIdCol).as(idCol),
+      col(gainCol).cast("long").as("__gain"))
+    val weightCol = element_at(array(ws.map(lit): _*),
+      col(rankCol).cast("int"))
+    val scored = topk.filter(col(rankCol) <= k).join(g, idCol)
+      .select(
+        (col("__gain") * weightCol).as("__contrib"),
+        col("__gain"),
+        when(col("__gain") > 0, col(rankCol).cast("long")).as("__rel_rank"))
+    val idealGains = g.orderBy(col("__gain").desc, col(idCol)).limit(k)
+      .select(col("__gain")).collect().map(_.getLong(0))
+    val idcg = idealGains.zip(ws).map { case (a, b) => a * b }.sum
+    scored.agg(
+        coalesce(sum(col("__contrib")), lit(0L)).as("dcg_u6"),
+        min(col("__rel_rank")).as("__first_rel"),
+        coalesce(sum(when(col("__gain") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_rel"))
+      .select(lit(k.toLong).as("k"), col("n_rel"), col("dcg_u6"),
+        lit(idcg).as("idcg_u6"),
+        when(lit(idcg) > 0, expr(s"dcg_u6 * 1000000 div $idcg"))
+          .otherwise(lit(0L)).as("ndcg_u6"),
+        when(col("__first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 div __first_rel")).as("mrr_u6"))
+  }
 }

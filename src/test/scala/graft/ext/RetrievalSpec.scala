@@ -111,4 +111,44 @@ class RetrievalSpec extends SparkTestBase {
       dense.orderBy(rand(4)).repartition(3), "id", 60, 10).collect().toSeq
     assert(shuffled === base)
   }
+
+  test("dcg weights are the pinned integer log2 discounts") {
+    // the exact literals both the Spark plan and an external SQL replay
+    // embed — if a platform's libm ever rounded differently this is the
+    // test that catches it before a hash mismatch does
+    assert(Retrieval.dcgWeightsU6(10) === Seq(1000000L, 630930L, 500000L,
+      430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L))
+  }
+
+  test("rankingMetrics: hand-computed MRR and nDCG@3") {
+    // retrieved: ranks 1..3 = docs 10 (gain 0), 20 (gain 2), 30 (gain 1)
+    // corpus ideal gains: 3 (doc 40, unretrieved), 2, 1
+    val topk = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rank", "id")
+    val gains = Seq((10L, 0L), (20L, 2L), (30L, 1L), (40L, 3L))
+      .toDF("id", "g")
+    val Seq(w1, w2, w3) = Retrieval.dcgWeightsU6(3)
+    val r = Retrieval.rankingMetrics(topk, "rank", "id", gains, "id", "g", 3)
+      .collect().head
+    val dcg = 0L * w1 + 2L * w2 + 1L * w3
+    val idcg = 3L * w1 + 2L * w2 + 1L * w3
+    assert(r.getAs[Long]("k") === 3L)
+    assert(r.getAs[Long]("n_rel") === 2L)
+    assert(r.getAs[Long]("dcg_u6") === dcg)
+    assert(r.getAs[Long]("idcg_u6") === idcg)
+    assert(r.getAs[Long]("ndcg_u6") === dcg * 1000000L / idcg)
+    assert(r.getAs[Long]("mrr_u6") === 500000L, "first relevant at rank 2")
+  }
+
+  test("rankingMetrics: no relevant retrieved -> zero metrics, idcg intact") {
+    val topk = Seq((1L, 10L)).toDF("rank", "id")
+    val gains = Seq((10L, 0L), (40L, 3L)).toDF("id", "g")
+    val r = Retrieval.rankingMetrics(topk, "rank", "id", gains, "id", "g", 3)
+      .collect().head
+    assert(r.getAs[Long]("n_rel") === 0L)
+    assert(r.getAs[Long]("dcg_u6") === 0L)
+    assert(r.getAs[Long]("ndcg_u6") === 0L)
+    assert(r.getAs[Long]("mrr_u6") === 0L)
+    assert(r.getAs[Long]("idcg_u6") === 3L * 1000000L,
+      "ideal covers the corpus, not just the retrieved set")
+  }
 }
