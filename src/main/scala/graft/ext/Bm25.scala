@@ -276,6 +276,12 @@ object Bm25 {
                    path: String): DataFrame =
     StoreMeta.read(spark, path, "stats")
 
+  /** Number of LIVE delta segments accumulated since the last compaction
+    * — the quantity an auto-compaction policy thresholds on. */
+  def deltaSegmentCount(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Int =
+    readStats(spark, path).deltaDirs.length
+
   private def readStats(spark: org.apache.spark.sql.SparkSession,
                         path: String): IndexStats = {
     val st = indexStatsDf(spark, path).head

@@ -508,6 +508,9 @@ object Dedup {
     private[ext] var meta: MinhashMeta = readMinhashMeta(spark, path)
     private val shingleDfs =
       scala.collection.mutable.HashMap.empty[Seq[String], DataFrame]
+    /** The manifest's live segment list — what probes read and an
+      * auto-compaction policy thresholds on. */
+    def liveSegments: List[String] = meta.segments
     /** Re-read the manifest and drop cached segment scans — required only
       * after a DIFFERENT writer mutated the store. */
     def refresh(): Unit = {
@@ -767,7 +770,24 @@ object Dedup {
   def minhashDedupAgainstIndex(h: MinhashIndexHandle, newDocs: DataFrame,
                                textCol: String, idCol: String,
                                threshold: Double, maxBucket: Int,
-                               excludeSeg: String): DataFrame = {
+                               excludeSeg: String): DataFrame =
+    minhashDedupAgainstIndex(h, newDocs, textCol, idCol, threshold,
+      maxBucket, excludeSeg, excludeDocs = None)
+
+  /** Handle form with ID-BASED exclusion: rows whose stored `doc_id` is in
+    * `excludeDocs` (one id column, batch-bounded, broadcast) are dropped
+    * from the stored-keys AND stored-shingles views before any candidate
+    * or bucket-count math. This reconstructs the pre-append index for a
+    * restart replay WITHOUT depending on the batch's segment still
+    * existing — unlike `excludeSeg`, it stays exact after a compaction
+    * has folded the segment away (store ids are unique, so excluding the
+    * batch's ids removes exactly its own appended copies; on first
+    * delivery nothing matches and the exclusion is vacuous). */
+  def minhashDedupAgainstIndex(h: MinhashIndexHandle, newDocs: DataFrame,
+                               textCol: String, idCol: String,
+                               threshold: Double, maxBucket: Int,
+                               excludeSeg: String,
+                               excludeDocs: Option[DataFrame]): DataFrame = {
     val spark = h.spark
     val m = h.meta
     val (sn, np, nb, nkb) =
@@ -796,7 +816,17 @@ object Dedup {
     // single job (two separate collects were a measurable per-micro-batch
     // tax in the streaming regime); only an over-limit batch pays a
     // second, bucket-only pass.
-    val (storedKeys, probeKeys) = probeStoredKeys(h, newKeys, excludeSeg)
+    val (storedKeys0, probeKeys) = probeStoredKeys(h, newKeys, excludeSeg)
+    // id-based exclusion (replay reconstruction, see the overload doc):
+    // applied BEFORE bucket annotation so demotion counts equal the
+    // pre-append index exactly; the excluded-id side is batch-bounded and
+    // broadcast — vacuous (and near-free) on a first delivery
+    val exIds = excludeDocs.map(d => broadcast(
+      d.select(col(d.columns.head).cast("long").as("__exid")).distinct()))
+    def dropExcluded(df: DataFrame, idc: String): DataFrame =
+      exIds.map(e => df.join(e, df(idc) === e("__exid"), "left_anti"))
+        .getOrElse(df)
+    val storedKeys = dropExcluded(storedKeys0, "doc_id")
     val touched =
       if (probeKeys.length <= MaxPushedProbeKeys) storedKeys
       else storedKeys.join(broadcast(newKeys.select(col("band_key")).distinct()),
@@ -852,14 +882,16 @@ object Dedup {
     val newShingled = newDocs
       .select(col(idCol).cast("long").as("jid"),
         hashedShinglesUdf(sn)(words).as("sh"))
+    val storedShingles =
+      dropExcluded(minhashIndexShingles(h, excludeSeg), "jid")
     val sh0 =
       if (pointLookup && candIdRows.length <= MaxPushedProbeKeys) {
         val p = col("jid").isin(candIdRows.sorted: _*)
         newShingled.filter(p)
-          .union(minhashIndexShingles(h, excludeSeg).filter(p))
+          .union(storedShingles.filter(p))
       } else {
         newShingled
-          .union(minhashIndexShingles(h, excludeSeg))
+          .union(storedShingles)
           .join(broadcast(candIds), Seq("jid"), "left_semi")
       }
     // same truncation for the shingled side — verify joins it twice, and

@@ -520,7 +520,8 @@ object Streaming {
                                textCol: String, idCol: String,
                                sink: String, checkpoint: String,
                                threshold: Double = 0.8,
-                               maxBucket: Int = 1000): Unit = {
+                               maxBucket: Int = 1000,
+                               autoCompactAt: Int = 0): Unit = {
     val spark = docs.sparkSession
     // one handle per run (see minhashDedupIngestAvailableNow); a restart
     // builds a fresh handle whose manifest read restores replay detection
@@ -531,12 +532,27 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ID-BASED replay exclusion (round 17): a replayed probe must see
+        // the pre-append index. Excluding the batch's own segment works
+        // only while that segment still EXISTS — auto-compaction can fold
+        // it away between the append and the checkpoint commit. Excluding
+        // the batch's doc IDS reconstructs the same view from any segment
+        // layout (store ids are unique; vacuous on first delivery).
         graft.ext.Dedup.minhashDedupAgainstIndex(
             idx, b, textCol, idCol, threshold, maxBucket,
-            excludeSeg = s"seg_b$bid")
+            excludeSeg = "", excludeDocs = Some(b.select(idCol)))
           .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
         graft.ext.Dedup.appendToMinhashIndex(idx, b, textCol, idCol,
           tag = s"b$bid")
+        // AUTO-COMPACTION policy: fold the accumulated micro-batch
+        // segments back to one sorted base whenever the live count
+        // crosses the threshold — bounds per-probe fragment costs over an
+        // unbounded ingest without a separate maintenance job. Runs AFTER
+        // the batch's own effects; content-preserving and committed by
+        // the atomic manifest flip, so a crash at any point leaves a
+        // readable store and the replay path above stays exact.
+        if (autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
+          graft.ext.Dedup.compactMinhashIndex(idx)
         b.unpersist()
         ()
       }
@@ -590,7 +606,8 @@ object Streaming {
     * Single writer, like every index mutation. */
   def bm25IngestToSink(docs: DataFrame, path: String, idCol: String,
                        textCol: String, terms: Seq[String], k: Int,
-                       sink: String, checkpoint: String): Unit = {
+                       sink: String, checkpoint: String,
+                       autoCompactAt: Int = 0): Unit = {
     val spark = docs.sparkSession
     val query = docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -598,6 +615,16 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         graft.ext.Bm25.appendToIndex(batch.toDF(), idCol, textCol, path,
           tag = s"b$bid")
+        // AUTO-COMPACTION before the probe: fold the delta history to one
+        // bucket-sorted base when it crosses the threshold. Replay-safe
+        // without any exclusion machinery — compaction is
+        // content-preserving and the BM25 probe scores the index's
+        // CONTENT (a replayed batch's append is tag-skipped, so the
+        // replayed probe sees identical postings whatever the layout and
+        // overwrites its sink directory with identical rows).
+        if (autoCompactAt > 0 &&
+            graft.ext.Bm25.deltaSegmentCount(spark, path) > autoCompactAt)
+          graft.ext.Bm25.compactIndex(spark, path)
         graft.ext.Bm25.topKIndexed(spark, path, terms, k)
           .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
         ()

@@ -696,6 +696,101 @@ class StreamingSpec extends SparkTestBase {
     assert(post == Set((3L, 9999L)))
   }
 
+  test("minhash ingest sink: auto-compaction mid-stream, replay after fold") {
+    // the maintenance LOOP closed: with autoCompactAt=1 every batch's
+    // append is immediately folded into one sorted base, so the store
+    // never fragments over an unbounded ingest — and the batch's OWN
+    // segment is gone by the time a crash-replay probes. The id-based
+    // exclusion must reconstruct the pre-append view from the compacted
+    // layout: verdicts (including the cross-batch pair) and the shingle
+    // count must come through the replay unchanged.
+    def doc(id: Long, tag: String) =
+      (id, (0 until 30).map(j => s"ac${tag}x$j").mkString(" "))
+    val head = (0 until 12).map(i => doc(i.toLong, s"h$i"))
+    val b0 = Seq(doc(100L, "h0"), doc(101L, "u101"), doc(102L, "u102"))
+    val b1 = Seq(doc(200L, "h1"), doc(201L, "u101"), doc(202L, "u202"))
+    val b2 = Seq(doc(300L, "h2"), doc(301L, "u301"), doc(302L, "u302"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhac-idx-").toString
+    graft.ext.Dedup.buildMinhashIndex(spark, idx,
+      head.toDF("doc_id", "text"), "text", "doc_id")
+    val src = java.nio.file.Files.createTempDirectory("graft-mhac-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-mhac-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mhac-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1,b2}/*.parquet")
+    Streaming.minhashDedupIngestToSink(stream, idx, "text", "doc_id",
+      sink, ckpt, threshold = 0.9, autoCompactAt = 1)
+    def segs() = graft.ext.Dedup.openMinhashIndex(spark, idx)
+      .liveSegments
+    def sinkPairs() = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    def shingleCount() = graft.ext.Dedup.minhashIndexShingles(spark, idx).count()
+    val expected = Set((0L, 0L, 100L), (1L, 1L, 200L), (1L, 101L, 201L),
+      (2L, 2L, 300L))
+    assert(sinkPairs() == expected,
+      "auto-compaction changed the dedup ledger")
+    assert(segs() == List("seg_c2"),
+      s"expected one folded generation, got ${segs()}")
+    assert(shingleCount() == (12 + 9).toLong)
+    // forced replay of batch 2 — its segment no longer exists (folded);
+    // the id-exclusion path must reproduce the original verdicts
+    val commit2 = java.nio.file.Paths.get(ckpt, "commits", "2")
+    assert(java.nio.file.Files.exists(commit2), "checkpoint layout changed")
+    java.nio.file.Files.delete(commit2)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    Streaming.minhashDedupIngestToSink(stream, idx, "text", "doc_id",
+      sink, ckpt, threshold = 0.9, autoCompactAt = 1)
+    assert(shingleCount() == (12 + 9).toLong,
+      "replayed batch was double-appended after compaction")
+    assert(sinkPairs() == expected, "replay altered the sink")
+  }
+
+  test("bm25 ingest sink: auto-compaction mid-stream, identical probes") {
+    // same policy on the BM25 store: delta history folds whenever it
+    // crosses the threshold; per-batch probes score index CONTENT, so
+    // the ledger equals the non-compacting run's and the store ends with
+    // zero deltas instead of one per batch.
+    val docs = (0 until 24).map(i =>
+      (i.toLong, s"w$i alpha beta w${i % 7}"))
+    val src = java.nio.file.Files.createTempDirectory("graft-bmac-src-")
+    for ((b, i) <- docs.drop(8).grouped(8).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(ac: Int): (Set[(Long, Long, Long, Long)], Int) = {
+      val store = java.nio.file.Files.createTempDirectory("graft-bmac-s-").toString
+      graft.ext.Bm25.buildIndex(
+        docs.take(8).toDF("doc_id", "text"), "doc_id", "text", store,
+        numBuckets = 4)
+      val sink = java.nio.file.Files.createTempDirectory("graft-bmac-o-").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-bmac-c-").toString
+      Streaming.bm25IngestToSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(s"$src/{b0,b1}/*.parquet"),
+        store, "doc_id", "text", Seq("alpha", "w3"), k = 20,
+        sink, ckpt, autoCompactAt = ac)
+      val pairs = spark.read.parquet(sink)
+        .select(col("batch_id").cast("long"), col("rank"), col("doc_id"),
+          col("score_u6"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      (pairs, graft.ext.Bm25.deltaSegmentCount(spark, store))
+    }
+    val (base, baseDeltas) = run(ac = 0)
+    val (compacted, compactedDeltas) = run(ac = 1)
+    assert(baseDeltas == 2 && compactedDeltas == 0,
+      s"expected 2 vs 0 live deltas, got $baseDeltas vs $compactedDeltas")
+    assert(compacted == base,
+      "auto-compaction changed a per-batch probe verdict")
+  }
+
   test("streaming LM scoring: multi-batch stream equals batch, static model pinned") {
     // the continuous-ingest quality-scoring shape: a PINNED reference model
     // (fit on the first shard only) scores shards as they arrive; batch
