@@ -2124,6 +2124,49 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "q_ann_stream" -> ((s, dir) => {
+      // STREAMING ANN ingest (the third stored index on the
+      // probe-then-append discipline): two embedding micro-batches
+      // retrieve their top-5 neighbors from the ACCUMULATED store —
+      // batch 1 can retrieve batch 0's vectors — then append themselves
+      // as tagged segments, with per-batch auto-compaction folding the
+      // store to one generation under the gate. The oracle replays each
+      // batch's full IVF pipeline (assign, probe, score, cut) against
+      // exactly the corpus prefix that batch saw.
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-annstream-idx-").toString
+      val head = emb.filter(col("vec_id") < 20)
+      Similarity.buildIvfIndex(head, "vec_id", "embedding",
+        Similarity.centroidsByIds(head, "vec_id", "embedding", 0L until 8L),
+        idx)
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-annstream-src-")
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .coalesce(1).write.parquet(s"$src/b0")
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+        .coalesce(1).write.parquet(s"$src/b1")
+      // deterministic batch order without sleeping: AvailableNow with
+      // maxFilesPerTrigger=1 triggers in modification-time order
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-annstream-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-annstream-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.ivfIngestToSink(stream, idx, "vec_id",
+        "embedding", k = 5, nprobe = 2, sink, ckpt, autoCompactAt = 1)
+      s.read.parquet(sink)
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+        .orderBy(col("batch_id"), col("query_id"), col("rank"))
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (Jégou et al., TPAMI 2011): IVF cell pruning + product-
       // quantized ADC scoring — candidates cost O(m) LUT lookups over
@@ -5588,6 +5631,59 @@ object SparkEntry {
         |  FROM s)
         |SELECT query_id, corpus_id, round(cosf, 6) AS cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // streaming ANN ingest replay: each batch's full IVF pipeline
+    // (assign, probe top-2 cells, score, top-5 cut) against exactly the
+    // corpus PREFIX that batch saw (head for batch 0, head ∪ batch 0 for
+    // batch 1) — compaction is pure layout, so the replay is
+    // layout-independent
+    "q_ann_stream" -> {
+      val batches = Seq(
+        (0, "vec_id < 20", "vec_id >= 20 AND vec_id < 30"),
+        (1, "vec_id < 30", "vec_id >= 30 AND vec_id < 40"))
+      val branches = batches.map { case (b, corpusPred, queryPred) =>
+        s"""corp$b AS (SELECT vec_id cid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+           |  FROM embeddings WHERE $corpusPred),
+           |assign$b AS (
+           |  SELECT cid, cent_id AS cell FROM (
+           |    SELECT c.cid, ct.cent_id,
+           |      row_number() OVER (PARTITION BY c.cid
+           |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+           |          ct.cent_id) rn
+           |    FROM corp$b c, cent ct) WHERE rn = 1),
+           |q$b AS (SELECT vec_id qid,
+           |    list_transform(embedding, x -> CAST(x AS DOUBLE)) qv
+           |  FROM embeddings WHERE $queryPred),
+           |probe$b AS (
+           |  SELECT qid, cent_id AS cell FROM (
+           |    SELECT q.qid, ct.cent_id,
+           |      row_number() OVER (PARTITION BY q.qid
+           |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+           |          ct.cent_id) rn
+           |    FROM q$b q, cent ct) WHERE rn <= 2),
+           |r$b AS (SELECT query_id, corpus_id, cosf,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosf DESC, corpus_id) AS BIGINT) rank
+           |  FROM (
+           |    SELECT q.qid query_id, c.cid corpus_id,
+           |      list_cosine_similarity(q.qv, c.v) cosf
+           |    FROM q$b q JOIN probe$b p ON q.qid = p.qid
+           |      JOIN assign$b a ON a.cell = p.cell
+           |      JOIN corp$b c ON c.cid = a.cid))""".stripMargin
+      }
+      val selects = batches.map { case (b, _, _) =>
+        s"""SELECT CAST($b AS BIGINT) AS batch_id, query_id, corpus_id,
+           |  round(cosf, 6) AS cosine, rank FROM r$b WHERE rank <= 5""".stripMargin
+      }
+      s"""WITH cent AS (
+         |  SELECT CAST(vec_id AS INT) cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+         |  FROM embeddings WHERE vec_id < 8),
+         |${branches.mkString(",\n")}
+         |${selects.mkString("\nUNION ALL\n")}
+         |ORDER BY batch_id, query_id, rank""".stripMargin
+    },
 
     // recall@5 eval replay: the exact brute top-5 and the nprobe=2 pruned
     // IVF top-5 (both from their gated oracles' CTEs), left-joined per

@@ -267,32 +267,37 @@ object Similarity {
   // ---------------- stored-bucketed IVF (the 100 TB refinement) ----------------
 
   /** Build an ON-DISK IVF index: the corpus is written as parquet
-    * PARTITIONED BY cell id — `<path>/corpus/cell=N/…` — with the vector
-    * norm precomputed as a stored column, and the centroid table stored
-    * alongside at `<path>/centroids`. A probe then reads only its probed
-    * cells' DIRECTORIES (Catalyst partition pruning at the source), so scan
-    * IO is (|probed cells| / nlist) of the corpus instead of a full pass —
+    * PARTITIONED BY cell id under a SEGMENT directory —
+    * `<path>/seg_base/cell=N/…` — with the vector norm precomputed as a
+    * stored column, and the centroid table stored alongside at
+    * `<path>/centroids`. A probe then reads only its probed cells'
+    * DIRECTORIES within the live segments, so scan IO is
+    * (|probed cells| / nlist) of the corpus instead of a full pass —
     * the difference between touching 100 TB and touching 12 TB per query
     * batch. Storage is one extra corpus copy; cells are hash-balanced for
     * [[pickCentroids]]/[[centroidsByIds]] draws and distribution-balanced
     * for [[kmeansCentroids]].
-    */
+    *
+    * Round 17: the store adopted the segment+manifest discipline of the
+    * BM25 and MinHash stores — appends land as immutable tagged segments
+    * committed by an atomic [[StoreMeta]] manifest flip (EXACTLY-ONCE
+    * under streaming replay), [[compactIvfIndex]] folds the history back
+    * to one generation, and probes read only manifest-listed segments, so
+    * a crash mid-append is invisible. The cell id rides INSIDE the data
+    * files too (`cell_d` — partitionBy strips the partition column), so
+    * the multi-segment probe can read explicitly selected cell dirs as
+    * one unpartitioned multi-path scan (Spark rejects sibling partitioned
+    * roots; path-level selection is strictly stronger anyway). */
   def buildIvfIndex(corpus: DataFrame, corpusId: String, corpusVec: String,
                     centroids: Array[(Int, Seq[Float])], path: String): Unit = {
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(new CentArrays(centroids))
-    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
-    corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
-      .withColumn("vnorm", norm(col("vec")))
-      .withColumn("cell", assignUdf(col("vec")))
-      // co-locate each cell before the partitioned write: without this,
-      // partitionBy emits (writing tasks × cells) files — at nlist in the
-      // tens of thousands that is millions of KB-sized parquet files, a
-      // listing/open cost that defeats the pruning the index exists for.
-      // One cell-keyed shuffle at build time buys ~one file per cell.
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/corpus")
+    writeIvfSegment(corpus, corpusId, corpusVec,
+      new CentArrays(centroids), s"$path/seg_base")
+    StoreMeta.write(
+      { import spark.implicits._
+        Seq((List("seg_base"), "", 0L))
+          .toDF("segments", "last_tag", "next_seg") },
+      path, "meta")
     import spark.implicits._
     centroids.toSeq.map { case (cid, v) => (cid, v) }
       .toDF("cent_id", "centroid")
@@ -300,27 +305,134 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  // one IVF segment: cell-partitioned corpus rows under `segDir`, the
+  // cell id duplicated as the data column `cell_d` (see buildIvfIndex)
+  private def writeIvfSegment(rows: DataFrame, corpusId: String,
+                              corpusVec: String, cents: CentArrays,
+                              segDir: String): Unit = {
+    val bc = rows.sparkSession.sparkContext.broadcast(cents)
+    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
+    rows.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell", assignUdf(col("vec")))
+      .withColumn("cell_d", col("cell"))
+      // co-locate each cell before the partitioned write: without this,
+      // partitionBy emits (writing tasks × cells) files — at nlist in the
+      // tens of thousands that is millions of KB-sized parquet files, a
+      // listing/open cost that defeats the pruning the index exists for.
+      // One cell-keyed shuffle at build time buys ~one file per cell.
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(segDir)
+  }
+
+  private final case class IvfMeta(segments: List[String], lastTag: String,
+                                   nextSeg: Long)
+
+  private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                          path: String): IvfMeta = {
+    val m = StoreMeta.read(spark, path, "meta").head()
+    IvfMeta(m.getAs[scala.collection.Seq[String]]("segments").toList,
+      m.getAs[String]("last_tag"), m.getAs[Long]("next_seg"))
+  }
+
+  private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
+                           path: String, m: IvfMeta): Unit = {
+    import spark.implicits._
+    StoreMeta.write(Seq((m.segments, m.lastTag, m.nextSeg))
+      .toDF("segments", "last_tag", "next_seg"), path, "meta")
+  }
+
+  /** The manifest's live segment list (probe view; an auto-compaction
+    * policy thresholds on its length). */
+  def ivfLiveSegments(spark: org.apache.spark.sql.SparkSession,
+                      path: String): List[String] =
+    readIvfMeta(spark, path).segments
+
   /** Append new corpus rows to an existing [[buildIvfIndex]] store: rows
     * assign against the STORED centroid table (cell structure unchanged)
-    * and append into their matching `cell=N` directories. The 100 TB
+    * and land as an immutable SEGMENT committed by the atomic manifest
+    * flip — a crash mid-write leaves an unreferenced directory, never a
+    * half-visible append. A non-empty `tag` makes the append EXACTLY-ONCE
+    * (a replay whose tag equals the manifest's `last_tag` is skipped
+    * whole — the streaming micro-batch contract shared with
+    * [[graft.ext.Bm25.appendToIndex]] / the MinHash store). The 100 TB
     * maintenance story: a daily ingest appends its fraction of the corpus
     * in one cell-keyed shuffle — the index is never rebuilt until
     * centroid drift warrants it (probe recall under drift is measurable:
-    * run the recall gate against a brute-force sample). Append is
-    * directory-level and idempotent per Spark job; concurrent probes see
-    * whole files only. */
+    * run the recall gate against a brute-force sample). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newRows: DataFrame, corpusId: String,
-                       corpusVec: String): Unit = {
+                       corpusVec: String, tag: String = ""): Unit = {
+    val m = readIvfMeta(spark, path)
+    if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
+    if (newRows.isEmpty) return // idle micro-batch: no junk segment
     val cents = readCentroids(spark, path)
-    val bc = spark.sparkContext.broadcast(new CentArrays(cents))
-    val assignUdf = udf { v: scala.collection.Seq[Float] => bc.value.bestCell(v) }
-    newRows.select(col(corpusId).as("corpus_id"), col(corpusVec).as("vec"))
-      .withColumn("vnorm", norm(col("vec")))
-      .withColumn("cell", assignUdf(col("vec")))
+    val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
+    writeIvfSegment(newRows, corpusId, corpusVec, new CentArrays(cents),
+      s"$path/$seg")
+    writeIvfMeta(spark, path, IvfMeta(m.segments :+ seg, tag, m.nextSeg + 1L))
+  }
+
+  /** COMPACT a segmented IVF store back to one generation: every live
+    * segment's rows fold into one cell-partitioned table under a fresh
+    * `seg_c<gen>` dir committed by the manifest flip (content-preserving —
+    * the corpus is a row multiset). Retired dirs are swept on the NEXT
+    * compaction (one-generation grace window for in-flight readers), the
+    * [[graft.ext.Dedup.compactMinhashIndex]] discipline. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Unit = {
+    val m = readIvfMeta(spark, path)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val live = m.segments.toSet
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("seg_") && !live.contains(n)) {
+        try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+    }
+    val gen = m.segments.collect {
+      case s if s.startsWith("seg_c") =>
+        scala.util.Try(s.drop(5).toInt).getOrElse(-1)
+    } match { case Nil => 0; case gs => gs.max + 1 }
+    val newSeg = s"seg_c$gen"
+    ivfCorpus(spark, path, m.segments, cells = None)
+      .withColumn("cell_d", col("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$newSeg")
+    writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
+  }
+
+  /** The live corpus rows `(cell, corpus_id, vec, vnorm)` across `segs`,
+    * optionally restricted to `cells` — ONE unpartitioned multi-path scan
+    * over explicitly selected `cell=N` directories (unmatched dirs are
+    * never listed; the cell id is read from the in-file `cell_d` copy). */
+  private def ivfCorpus(spark: org.apache.spark.sql.SparkSession,
+                        path: String, segs: Seq[String],
+                        cells: Option[Seq[Int]]): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sel = cells.map(_.toSet)
+    val paths = for {
+      s <- segs
+      segPath = new org.apache.hadoop.fs.Path(s"$path/$s")
+      fs = segPath.getFileSystem(hconf)
+      st <- if (fs.exists(segPath)) fs.listStatus(segPath).toSeq else Nil
+      n = st.getPath.getName
+      if n.startsWith("cell=") &&
+        sel.forall(_.contains(n.substring("cell=".length).toInt))
+    } yield st.getPath.toString
+    if (paths.isEmpty)
+      // rare (a probe whose cells match nothing stored): an all-false
+      // filter over the base segment keeps the schema without reading rows
+      spark.read.parquet(s"$path/${segs.head}").filter(lit(false))
+        .select(col("cell"), col("corpus_id"), col("vec"), col("vnorm"))
+    else
+      spark.read.parquet(paths: _*)
+        .select(col("cell_d").as("cell"), col("corpus_id"), col("vec"),
+          col("vnorm"))
   }
 
   /** Append new corpus rows to an existing [[buildIvfPqIndex]] store:
@@ -374,7 +486,21 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, queryId: String, queryVec: String,
-                     k: Int, nprobe: Int): DataFrame = {
+                     k: Int, nprobe: Int): DataFrame =
+    ivfTopKIndexed(spark, path, queries, queryId, queryVec, k, nprobe,
+      excludeIds = None)
+
+  /** [[ivfTopKIndexed]] with ID-BASED exclusion: stored rows whose
+    * `corpus_id` is in `excludeIds` (one id column, batch-bounded,
+    * broadcast anti-join) are dropped before scoring — the replay
+    * reconstruction a streaming ingest's probe needs (a replayed batch
+    * whose append already committed must not retrieve ITSELF; store ids
+    * are unique, so excluding the batch's ids restores the pre-append
+    * view from any segment layout). Vacuous on a first delivery. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, nprobe: Int,
+                     excludeIds: Option[DataFrame]): DataFrame = {
     val cents = readCentroids(spark, path)
     val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
@@ -387,18 +513,22 @@ object Similarity {
     // pruning; bounded by nlist (tiny) regardless of query count
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c = prunedCorpusScan(spark, path, cells)
+    val c0 = prunedCorpusScan(spark, path, cells)
+    val c = excludeIds.map { d =>
+      val ex = broadcast(
+        d.select(col(d.columns.head).as("__exid")).distinct())
+      c0.join(ex, c0("corpus_id") === ex("__exid"), "left_anti")
+    }.getOrElse(c0)
     topK(c.join(broadcast(q), Seq("cell")), k)
   }
 
   /** The pruned corpus scan of [[ivfTopKIndexed]], exposed so callers (and
-    * tests) can inspect the plan: `cell` is a partition column, so the
-    * `isin` filter appears as a PartitionFilter and only the matching
-    * `cell=N` directories are listed. */
+    * tests) can inspect the plan: the probed cells select whole `cell=N`
+    * directories at PATH construction across every live segment, so
+    * unmatched cells are never listed, opened, or read. */
   def prunedCorpusScan(spark: org.apache.spark.sql.SparkSession, path: String,
                        cells: Seq[Int]): DataFrame =
-    spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box): _*))
+    ivfCorpus(spark, path, readIvfMeta(spark, path).segments, Some(cells))
       .select(col("cell"), col("corpus_id"), col("vec").as("__cv"),
         col("vnorm").as("__cn"))
 

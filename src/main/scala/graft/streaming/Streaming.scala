@@ -560,6 +560,51 @@ object Streaming {
     query.awaitTermination()
   }
 
+  /** Streaming INGEST of a stored IVF ANN index — the third stored index
+    * adopting the probe-then-append micro-batch discipline (BM25,
+    * MinHash, now vectors): each batch's embeddings retrieve their top-k
+    * nearest neighbors from the ACCUMULATED index (the standing
+    * similarity alert: "what already in the corpus does this new data
+    * look like" — streaming near-dup candidates, hard-negative streams,
+    * dedup-before-add), land the verdicts at `sink/batch_id=N`, then
+    * append themselves as a tagged segment.
+    *
+    * EXACTLY-ONCE across restarts, the full discipline:
+    *  - the probe excludes the batch's own ids
+    *    ([[graft.ext.Similarity.ivfTopKIndexed]] `excludeIds`) — exact
+    *    from ANY segment layout, so replays stay correct even after
+    *    auto-compaction folded the batch's segment;
+    *  - the append is tag-skipped on replay (atomic manifest flip);
+    *  - the sink write per-directory-overwrites identical rows.
+    * `autoCompactAt` bounds fragmentation exactly like the other two
+    * sinks. Single writer; pass the same `checkpoint` across restarts. */
+  def ivfIngestToSink(vecs: DataFrame, path: String, idCol: String,
+                      vecCol: String, k: Int, nprobe: Int,
+                      sink: String, checkpoint: String,
+                      autoCompactAt: Int = 0): Unit = {
+    val spark = vecs.sparkSession
+    val query = vecs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ext.Similarity.ivfTopKIndexed(spark, path, b, idCol, vecCol,
+            k, nprobe, excludeIds = Some(b.select(idCol)))
+          .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+        graft.ext.Similarity.appendToIvfIndex(spark, path, b, idCol, vecCol,
+          tag = s"b$bid")
+        if (autoCompactAt > 0 &&
+            graft.ext.Similarity.ivfLiveSegments(spark, path).length >
+              autoCompactAt)
+          graft.ext.Similarity.compactIvfIndex(spark, path)
+        b.unpersist()
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming INGEST of the inverted BM25 index
     * ([[graft.ext.Bm25.buildIndex]]): each micro-batch appends its
     * postings via [[graft.ext.Bm25.appendToIndex]] — bucket-keyed append,

@@ -590,12 +590,13 @@ class ExtSpec extends SparkTestBase {
     val cents = Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 8L)
     Similarity.buildIvfIndex(corpus, "vec_id", "embedding", cents, idx)
 
-    // the store really is laid out one directory per cell
-    val cellDirs = new java.io.File(s"$idx/corpus").listFiles()
+    // the store really is laid out one directory per cell (base segment)
+    val cellDirs = new java.io.File(s"$idx/seg_base").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).sorted
     assert(cellDirs.length == 8, s"expected 8 cell dirs, got ${cellDirs.toSeq}")
 
-    // probing 2 of 8 cells must plan a scan over exactly those 2 partitions
+    // probing 2 of 8 cells selects exactly those 2 cell DIRECTORIES at
+    // path construction (round-17 layout: explicit multi-path scan)
     val nprobe = 2
     val queries = corpus.filter($"vec_id" === 42L)
     val pruned = Similarity.prunedCorpusScan(spark, idx, Seq(3, 5))
@@ -603,15 +604,20 @@ class ExtSpec extends SparkTestBase {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty, "no file scan in pruned plan")
-    val listing = scans.head.selectedPartitions
-    assert(listing.partitionCount == 2,
-      s"scan planned ${listing.partitionCount} partitions, want 2 of 8")
+    def scannedCells(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.flatMap(_.relation.location.inputFiles)
+        .flatMap(_.split("/").find(_.startsWith("cell="))).distinct.sorted
+    assert(scannedCells(pruned) == Seq("cell=3", "cell=5"),
+      s"scan reads ${scannedCells(pruned)}, want exactly cells 3 and 5")
     // …and its files are strictly fewer than the full index's
-    val all = Similarity.prunedCorpusScan(spark, idx, 0 until 8)
+    val prunedFiles = scans.flatMap(_.relation.location.inputFiles).length
+    val allFiles = Similarity.prunedCorpusScan(spark, idx, 0 until 8)
       .queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-      }.head.selectedPartitions
-    assert(listing.totalNumberOfFiles < all.totalNumberOfFiles)
+      }.flatMap(_.relation.location.inputFiles).length
+    assert(prunedFiles < allFiles)
 
     // end-to-end: indexed probe ≡ a driver-side replay of the same IVF
     // semantics (assign to max-cosine centroid, probe top-nprobe cells,

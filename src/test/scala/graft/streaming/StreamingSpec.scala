@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
+import graft.ext.Similarity
 
 /** Structured Streaming operators driven through MemoryStream: the same
   * transform functions are applied to a streaming and a batch frame and must
@@ -750,6 +751,65 @@ class StreamingSpec extends SparkTestBase {
     assert(shingleCount() == (12 + 9).toLong,
       "replayed batch was double-appended after compaction")
     assert(sinkPairs() == expected, "replay altered the sink")
+  }
+
+  test("ivf ingest sink: standing ANN alerts, auto-compaction, exact replay") {
+    // the THIRD stored index on the probe-then-append discipline: each
+    // embedding batch retrieves its nearest neighbors from the
+    // accumulated index (batch 1 must see batch 0's vectors — the
+    // cross-batch alert), appends itself as a tagged segment, and the
+    // store auto-folds to one generation per batch. A forced replay of
+    // the last batch — whose own segment has been compacted away — must
+    // reproduce the ledger bit for bit via the id-based exclusion.
+    def basis(j: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == j) 1.0f else 0.0f)
+    val head = (0 until 8).map(i => (i.toLong, basis(i % 4)))
+    val corpus = head.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfs-idx-").toString
+    Similarity.buildIvfIndex(corpus, "vec_id", "embedding",
+      Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 4L),
+      idx)
+    val b0 = Seq((100L, basis(0)), (101L, basis(1)))
+    val b1 = Seq((200L, basis(0)))
+    val src = java.nio.file.Files.createTempDirectory("graft-ivfs-src-")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+      b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-ivfs-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfs-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1}/*.parquet")
+    Streaming.ivfIngestToSink(stream, idx, "vec_id", "embedding",
+      k = 3, nprobe = 1, sink, ckpt, autoCompactAt = 1)
+    def ledger() = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("query_id"),
+        col("corpus_id"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val before = ledger()
+    // exact-copy vectors tie at cosine 1, broken by corpus_id asc; the
+    // batch-1 query sees batch 0's vector 100 — the accumulated index
+    assert(before == Set(
+      (0L, 100L, 0L, 1L), (0L, 100L, 4L, 2L),
+      (0L, 101L, 1L, 1L), (0L, 101L, 5L, 2L),
+      (1L, 200L, 0L, 1L), (1L, 200L, 4L, 2L), (1L, 200L, 100L, 3L)),
+      s"unexpected ledger $before")
+    assert(Similarity.ivfLiveSegments(spark, idx) == List("seg_c1"),
+      "expected one folded generation after per-batch auto-compaction")
+    def storeCount() = Similarity.prunedCorpusScan(spark, idx, 0 until 4)
+      .count()
+    assert(storeCount() == 11L)
+    // forced replay of batch 1 — its segment is already folded away
+    val commit1 = java.nio.file.Paths.get(ckpt, "commits", "1")
+    assert(java.nio.file.Files.exists(commit1), "checkpoint layout changed")
+    java.nio.file.Files.delete(commit1)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    Streaming.ivfIngestToSink(stream, idx, "vec_id", "embedding",
+      k = 3, nprobe = 1, sink, ckpt, autoCompactAt = 1)
+    assert(ledger() == before, "replay altered the ANN alert ledger")
+    assert(storeCount() == 11L, "replayed batch was double-appended")
   }
 
   test("bm25 ingest sink: auto-compaction mid-stream, identical probes") {
