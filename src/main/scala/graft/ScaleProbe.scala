@@ -609,7 +609,7 @@ object ScaleProbe {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       } finally s.close()
     }
-    val maintNames = Seq("bm25 maint", "mh maint")
+    val maintNames = Seq("bm25 maint", "mh maint", "ivf maint")
     if (filters.isEmpty || maintNames.exists(n => filters.exists(n.contains))) {
       for ((nAppends, batchRows) <- Seq((4, 125), (20, 25), (100, 5))) {
         val lbl = s"a$nAppends"
@@ -692,6 +692,49 @@ object ScaleProbe {
           parquetCount(bi, "postings_v")
         }
         rmTree(bi)
+      }
+      // IVF store: the same append/probe/compact history shapes over the
+      // round-17 segmented layout (synthetic 16-dim vectors, 8 cells)
+      val emb = spark.range(0, 2000).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.sequence(lit(0), lit(15)),
+          d => (org.apache.spark.sql.functions
+            .pmod(col("vec_id") * 31 + d * 7, lit(97)) / 97.0).cast("float"))
+          .as("embedding"))
+        .localCheckpoint(true)
+      for ((nAppends, batchRows) <- Seq((4, 125), (20, 25), (100, 5))) {
+        val lbl = s"a$nAppends"
+        val vi = java.nio.file.Files.createTempDirectory(s"graft-maint-iv-$lbl-")
+        val head = emb.filter(col("vec_id") < 500)
+        graft.ext.Similarity.buildIvfIndex(head, "vec_id", "embedding",
+          graft.ext.Similarity.centroidsByIds(head, "vec_id", "embedding",
+            0L until 8L),
+          vi.toString)
+        val probeBatch = emb.filter(col("vec_id") < 10)
+        measure(s"ivf maint append $lbl",
+            s"appends=$nAppends rows=$batchRows live=1000") {
+          (0 until nAppends).foreach { i =>
+            graft.ext.Similarity.appendToIvfIndex(spark, vi.toString,
+              emb.filter(col("vec_id") >= 500 + i * batchRows &&
+                  col("vec_id") < 500 + (i + 1) * batchRows),
+              "vec_id", "embedding", tag = s"m$i")
+          }
+          parquetCount(vi, "cell=")
+        }
+        measure(s"ivf maint probe-pre $lbl", s"segments=$nAppends+base") {
+          graft.ext.Similarity.ivfTopKIndexed(spark, vi.toString,
+            probeBatch, "vec_id", "embedding", k = 10, nprobe = 2).count()
+        }
+        measure(s"ivf maint compact $lbl",
+            s"live=1000 vecs, history=$nAppends appends") {
+          graft.ext.Similarity.compactIvfIndex(spark, vi.toString)
+          parquetCount(vi, "cell=")
+        }
+        measure(s"ivf maint probe-post $lbl", "1 segment") {
+          graft.ext.Similarity.ivfTopKIndexed(spark, vi.toString,
+            probeBatch, "vec_id", "embedding", k = 10, nprobe = 2).count()
+        }
+        rmTree(vi)
       }
     }
   }
