@@ -1018,6 +1018,35 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    "q_domain_cap_stream" -> ((s, dir) => {
+      // the STREAMING form of the per-source quota: two id-ranged
+      // micro-batches flow through the flatMapGroupsWithState counter —
+      // at most 3 docs admitted per source over the stream's life, in
+      // (batch, doc_id) order. Because the batches are id-ranged and
+      // each batch's group admits id-sorted, global admission order per
+      // source IS doc_id order — which is exactly what the oracle's
+      // window replays. (The batch q_domain_cap keeps top-N by LENGTH —
+      // offline it can; the online form admits first-N, the crawler-
+      // frontier semantics. Both gated, each against its own oracle.)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val src = java.nio.file.Files.createTempDirectory("graft-dcs-src-")
+      docs.filter(col("doc_id") < 500).coalesce(1)
+        .write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") >= 500).coalesce(1)
+        .write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.sourceQuotaAvailableNow(
+          stream, "source", "doc_id", maxPerSource = 3)
+        .select(col("source"), col("doc_id"), col("n_kept"))
+        .orderBy(col("source"), col("n_kept"))
+    }),
+
     "q_domain_cap" -> ((s, dir) => {
       // per-source document quota — the CommonCrawl-style per-host cap
       // that stops one domain from dominating a training mix: keep at
@@ -4761,6 +4790,18 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 5
         |ORDER BY source, rk""".stripMargin,
+
+    // online first-N admission: id-ranged batches + id-sorted per-batch
+    // admission make the stream's admission order per source equal
+    // doc_id order, so a plain window replays it
+    "q_domain_cap_stream" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS n_kept
+        |  FROM documents)
+        |SELECT source, doc_id, n_kept FROM r WHERE n_kept <= 3
+        |ORDER BY source, n_kept""".stripMargin,
 
     "q_bloom" -> bloomOracleSql,
 

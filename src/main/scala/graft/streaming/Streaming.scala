@@ -35,6 +35,13 @@ final case class CountGapSession(user_id: String,
     session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
     n_events: Long, session_value: Double, closed_by: String)
 
+/** One document entering [[Streaming.enforceSourceQuota]]. */
+final case class QuotaDoc(key: String, doc_id: Long)
+
+/** A kept document; `n_kept` is its 1-based admission rank within its
+  * source across the whole stream. */
+final case class QuotaKept(source: String, doc_id: Long, n_kept: Long)
+
 object Streaming {
 
   /** Gap-based sessionization (the streaming form of `q_sessionize`):
@@ -558,6 +565,65 @@ object Streaming {
       }
       .start()
     query.awaitTermination()
+  }
+
+  /** Streaming per-source document QUOTA — the continuous-ingest form of
+    * `q_domain_cap`'s CommonCrawl-style per-host cap: admit at most
+    * `maxPerSource` documents per source over the WHOLE stream, in
+    * deterministic (micro-batch, doc_id) order (per-key arrival order
+    * within a batch is not guaranteed, so each batch's group sorts by
+    * id before admitting — the count-or-gap twin's discipline).
+    *
+    * Semantics note vs the batch operator: the batch form keeps the
+    * top-N by QUALITY (it sees the whole corpus); a stream cannot — it
+    * admits the FIRST N in arrival order, the online quota any crawler
+    * frontier enforces. Both are gated, each against its own oracle.
+    *
+    * State: ONE long per distinct source ever seen — bounded by the
+    * domain universe, not the corpus (the smallest state class of all
+    * the stateful twins; a production deployment with unbounded domain
+    * churn would add a processing-time TTL, which changes admission
+    * semantics and is deliberately not defaulted). One state shuffle on
+    * (source); output is append-mode safe. */
+  def enforceSourceQuota(docs: DataFrame, sourceCol: String, idCol: String,
+                         maxPerSource: Int): Dataset[QuotaKept] = {
+    require(maxPerSource >= 1, s"maxPerSource must be >= 1, got $maxPerSource")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val typed = docs.select(col(sourceCol).cast("string").as("key"),
+        col(idCol).cast("long").as("doc_id"))
+      .as[QuotaDoc]
+    typed.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, QuotaKept](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[QuotaDoc], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = maxPerSource - admitted
+          if (room <= 0L) Iterator.empty
+          else {
+            val keep = batch.map(_.doc_id).toArray.sorted.take(room.toInt)
+            if (keep.nonEmpty) state.update(admitted + keep.length)
+            keep.iterator.zipWithIndex.map { case (id, i) =>
+              QuotaKept(key, id, admitted + i + 1) }
+          }
+      }
+  }
+
+  /** Gate/test form of [[enforceSourceQuota]]: drain an AvailableNow
+    * stream into a memory sink and return the kept ledger as a batch
+    * frame (production writes the same append-mode output to a durable
+    * sink). */
+  def sourceQuotaAvailableNow(docs: DataFrame, sourceCol: String,
+                              idCol: String, maxPerSource: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val name = s"quota_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = enforceSourceQuota(docs, sourceCol, idCol, maxPerSource)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** Streaming INGEST of a stored IVF ANN index — the third stored index

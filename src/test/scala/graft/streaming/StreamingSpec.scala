@@ -753,6 +753,34 @@ class StreamingSpec extends SparkTestBase {
     assert(sinkPairs() == expected, "replay altered the sink")
   }
 
+  test("source quota: first-N admission across batches, state caps every key") {
+    // online per-source quota: within a batch admission is id-sorted
+    // (arrival order in a group iterator is not guaranteed); across
+    // batches the count state caps the key for the stream's whole life
+    val input = MemoryStream[(String, Long)]
+    val kept = Streaming.enforceSourceQuota(
+      input.toDF.toDF("source", "doc_id"), "source", "doc_id",
+      maxPerSource = 3)
+    val q = kept.writeStream.format("memory")
+      .queryName("quota").outputMode("append").start()
+    try {
+      input.addData(("A", 5L), ("A", 3L), ("A", 1L), ("A", 9L), ("B", 10L))
+      q.processAllAvailable()
+      val afterB1 = spark.table("quota")
+        .as[(String, Long, Long)].collect().toSet
+      // A admits its 3 smallest ids of the batch; 9 is over quota
+      assert(afterB1 == Set(("A", 1L, 1L), ("A", 3L, 2L), ("A", 5L, 3L),
+        ("B", 10L, 1L)), s"got $afterB1")
+      // A is full: nothing admitted; B admits 2 more (sorted), C opens
+      input.addData(("A", 2L), ("A", 4L), ("B", 12L), ("B", 11L), ("C", 7L))
+      q.processAllAvailable()
+      val afterB2 = spark.table("quota")
+        .as[(String, Long, Long)].collect().toSet
+      assert(afterB2 == afterB1 ++ Set(("B", 11L, 2L), ("B", 12L, 3L),
+        ("C", 7L, 1L)), s"got $afterB2")
+    } finally q.stop()
+  }
+
   test("ivf ingest sink: standing ANN alerts, auto-compaction, exact replay") {
     // the THIRD stored index on the probe-then-append discipline: each
     // embedding batch retrieves its nearest neighbors from the
