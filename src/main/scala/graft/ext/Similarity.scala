@@ -515,9 +515,14 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val c0 = prunedCorpusScan(spark, path, cells)
     val c = excludeIds.map { d =>
+      // normalize BOTH sides to long (the stored-index family's id
+      // contract, same as minhashDedupAgainstIndex's excludeDocs): a
+      // caller whose id column is typed differently from the build-time
+      // corpus id (int vs long) must not silently exclude nothing —
+      // that would break replay reconstruction in the streaming ingest
       val ex = broadcast(
-        d.select(col(d.columns.head).as("__exid")).distinct())
-      c0.join(ex, c0("corpus_id") === ex("__exid"), "left_anti")
+        d.select(col(d.columns.head).cast("long").as("__exid")).distinct())
+      c0.join(ex, c0("corpus_id").cast("long") === ex("__exid"), "left_anti")
     }.getOrElse(c0)
     topK(c.join(broadcast(q), Seq("cell")), k)
   }

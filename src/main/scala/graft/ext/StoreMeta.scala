@@ -81,6 +81,16 @@ object StoreMeta {
     val newV = vs.map(_._1).foldLeft(-1)(math.max) + 1
     df.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/${prefix}_m$newV")
+    // The marker is the commit point, so it must not depend on committer
+    // configuration: with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false (a common object-store setting) the committer writes no
+    // _SUCCESS, every version would look uncommitted, read() would error,
+    // and the prune below would delete the only good pointers as
+    // "crashed attempts". Write it explicitly AFTER the data files land —
+    // idempotent when the committer already created it.
+    val (fsW, _) = fsOf(spark, root)
+    fsW.create(new org.apache.hadoop.fs.Path(
+      s"$root/${prefix}_m$newV/$Marker"), true).close()
     // prune: keep newV and the previous committed version; delete older
     // committed versions and any uncommitted (crashed) attempt dirs
     val (fs, _) = fsOf(spark, root)

@@ -127,6 +127,13 @@ final class MlpProvider(val dimIn: Int,
   override def generate(prompts: Iterator[Seq[String]],
                         maxTokens: Long): Iterator[Seq[String]] =
     prompts.map(_.map { p =>
+      // nothing to decode → nothing generated (the substring arithmetic
+      // below assumes at least one appended token); decoding at all
+      // needs a head to argmax over
+      if (maxTokens <= 0L) ""
+      else {
+      require(vocab.nonEmpty,
+        "generate: model has no vocab head — nothing to decode with")
       val sb = new StringBuilder(if (p == null) "" else p)
       var k = 0L
       while (k < maxTokens) {
@@ -142,6 +149,7 @@ final class MlpProvider(val dimIn: Int,
         k += 1
       }
       sb.toString.substring(if (p == null) 1 else p.length + 1)
+      }
     })
 
   private val vocabSorted: Seq[(String, Array[Double])] = vocab.sortBy(_._1)

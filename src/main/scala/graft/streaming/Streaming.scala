@@ -537,6 +537,11 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // an idle trigger's empty batch has nothing to probe and nothing
+        // to append — skip the whole body rather than paying the probe's
+        // collect/checkpoint work and littering the sink with an empty
+        // batch_id=N partition (the appends already skip empty batches)
+        if (!batch.isEmpty) {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // ID-BASED replay exclusion (round 17): a replayed probe must see
@@ -561,6 +566,7 @@ object Streaming {
         if (autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
           graft.ext.Dedup.compactMinhashIndex(idx)
         b.unpersist()
+        }
         ()
       }
       .start()
@@ -601,7 +607,21 @@ object Streaming {
           val room = maxPerSource - admitted
           if (room <= 0L) Iterator.empty
           else {
-            val keep = batch.map(_.doc_id).toArray.sorted.take(room.toInt)
+            // smallest `room` ids via a bounded max-heap — memory is
+            // O(room) however hot the source runs in this batch (a hot
+            // source in a big batch is exactly the skew this operator
+            // polices; materializing its whole per-key batch to sort it
+            // would make executor memory O(largest per-key batch)).
+            // Identical deterministic output to sorting the full batch.
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[Long](Ordering.Long) // max at head
+            batch.foreach { d =>
+              if (heap.size < room) heap.enqueue(d.doc_id)
+              else if (d.doc_id < heap.head) {
+                heap.dequeue(); heap.enqueue(d.doc_id)
+              }
+            }
+            val keep = heap.dequeueAll.reverse // ascending
             if (keep.nonEmpty) state.update(admitted + keep.length)
             keep.iterator.zipWithIndex.map { case (id, i) =>
               QuotaKept(key, id, admitted + i + 1) }
@@ -653,6 +673,8 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // empty-batch guard: same rationale as minhashDedupIngestToSink
+        if (!batch.isEmpty) {
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.ext.Similarity.ivfTopKIndexed(spark, path, b, idCol, vecCol,
@@ -665,6 +687,7 @@ object Streaming {
               autoCompactAt)
           graft.ext.Similarity.compactIvfIndex(spark, path)
         b.unpersist()
+        }
         ()
       }
       .start()
@@ -780,12 +803,21 @@ object Streaming {
         // _SUCCESS-only data dir would poison later schema inference (the
         // Bm25.appendToIndex lesson), and base lookup skips absent ids
         if (!batch.isEmpty) {
-        val stateDir = new java.io.File(s"$sink/_state")
         // bases = cumulative state of the newest COMMITTED batch before
-        // this one (replay-safe: batch B never reads its own state row)
-        val prev = Option(stateDir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-          .map(_.getName.stripPrefix("batch_id=").toLong)
+        // this one (replay-safe: batch B never reads its own state row).
+        // Listed through the Hadoop FileSystem API, like every other
+        // store in the family (StoreMeta.versions): java.io.File only
+        // works on the local filesystem — on the HDFS/S3 sink this
+        // export contract targets it would return null and every batch
+        // would silently pack from zero bases.
+        val statePath = new org.apache.hadoop.fs.Path(s"$sink/_state")
+        val fs = statePath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val prev = (if (fs.exists(statePath))
+            fs.listStatus(statePath).toSeq else Seq.empty)
+          .filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("batch_id="))
+          .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
           .filter(_ < bid)
           .sorted.lastOption
         val (baseRows, baseTokens) = prev match {

@@ -56,6 +56,30 @@ class StoreMetaSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/p_m2").head.getLong(0) == 3L)
   }
 
+  test("commit survives marksuccessfuljobs=false (explicit marker)") {
+    // on object-store configs the committer writes no _SUCCESS; the
+    // marker is StoreMeta's own commit point, so it must be written
+    // explicitly — otherwise every version looks uncommitted, read()
+    // errors, and the NEXT write sweeps the only good pointers as
+    // "crashed attempts"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val saved = conf.get(key)
+    conf.setBoolean(key, false)
+    try {
+      val root = tmp("graft-storemeta-nosuccess-")
+      StoreMeta.write(row(41L), root, "stats")
+      assert(StoreMeta.currentVersion(spark, root, "stats") == 0)
+      assert(StoreMeta.read(spark, root, "stats").head.getLong(0) == 41L)
+      // the second write must see v0 as committed (prune keeps it)
+      StoreMeta.write(row(42L), root, "stats")
+      assert(StoreMeta.read(spark, root, "stats").head.getLong(0) == 42L)
+      assert(spark.read.parquet(s"$root/stats_m0").head.getLong(0) == 41L)
+    } finally {
+      if (saved == null) conf.unset(key) else conf.set(key, saved)
+    }
+  }
+
   test("reading an uninitialized store is a loud error") {
     val root = tmp("graft-storemeta-")
     val e = intercept[IllegalArgumentException] {

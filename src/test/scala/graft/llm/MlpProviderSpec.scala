@@ -59,6 +59,22 @@ class MlpProviderSpec extends AnyFunSuite {
     assert(g1.split(" ").forall(Set("a", "b")))
   }
 
+  test("generate edge cases: zero budget, empty vocab, null prompt") {
+    // maxTokens=0: nothing generated, empty continuation (not an
+    // out-of-bounds substring)
+    assert(tiny.generate(Iterator(Seq("seed")), 0).next() == Seq(""))
+    assert(tiny.generate(Iterator(Seq(null)), 0).next() == Seq(""))
+    // a headless model cannot decode — loud error, not the literal "null"
+    val headless = new MlpProvider(4,
+      Array(Array(Array(1.0, 0.0, -1.0, 0.0), Array(0.0, 2.0, 0.0, 0.0))),
+      Array(Array(0.5, -0.5)), vocab = Seq.empty)
+    intercept[IllegalArgumentException] {
+      headless.generate(Iterator(Seq("seed")), 2).next()
+    }
+    // but a zero budget never needs the head, even headless
+    assert(headless.generate(Iterator(Seq("seed")), 0).next() == Seq(""))
+  }
+
   test("JSON round-trip and registry resolution") {
     val json = """{"dim_in": 4,
       "layers": [

@@ -781,6 +781,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("source quota: hot source with per-batch size >> room stays bounded") {
+    // the skew case the operator exists to police: one source floods a
+    // single micro-batch with far more documents than its remaining
+    // quota. Admission must keep exactly the smallest `room` ids (the
+    // bounded-heap path — memory O(room), not O(batch)) and the
+    // deterministic output must equal what full-batch sorting would give.
+    val input = MemoryStream[(String, Long)]
+    val kept = Streaming.enforceSourceQuota(
+      input.toDF.toDF("source", "doc_id"), "source", "doc_id",
+      maxPerSource = 4)
+    val q = kept.writeStream.format("memory")
+      .queryName("quota_hot").outputMode("append").start()
+    try {
+      // 5000 ids, shuffled arrival, batch >> room=4
+      val rng = new scala.util.Random(7)
+      val ids = rng.shuffle((1L to 5000L).toVector)
+      input.addData(ids.map(i => ("hot", i)): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("quota_hot")
+        .as[(String, Long, Long)].collect().toSet
+      assert(afterB1 == Set(("hot", 1L, 1L), ("hot", 2L, 2L),
+        ("hot", 3L, 3L), ("hot", 4L, 4L)), s"got $afterB1")
+      // the source is now full: a second flood admits nothing
+      input.addData((5001L to 6000L).map(i => ("hot", i)): _*)
+      q.processAllAvailable()
+      assert(spark.table("quota_hot").count() == 4L)
+    } finally q.stop()
+  }
+
   test("ivf ingest sink: standing ANN alerts, auto-compaction, exact replay") {
     // the THIRD stored index on the probe-then-append discipline: each
     // embedding batch retrieves its nearest neighbors from the
