@@ -2551,6 +2551,44 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_rrf_eval" -> ((s, dir) => {
+      // per-query retrieval-quality SWEEP over the hybrid ranking — the
+      // shape a real relevance sweep runs: every eval query's BM25 +
+      // dense legs fused per query (the q_rrf_multi pipeline), then
+      // per-query MRR/nDCG@10 against that query's own relevance labels
+      // (gain = tf of the query's head term — a deterministic stand-in
+      // for judged qrels; production passes the judged set). All metric
+      // arithmetic exact-integer (shared DcgWeightsU6 plan literals,
+      // micro-unit floor division) and every step PARTITIONED by
+      // query_id — nothing corpus-proportional past the two ranking
+      // scans and the label join.
+      val docs = t(s, dir, "documents")
+      val sparse = Bm25.rankMany(docs, "doc_id", "text", MultiQueries,
+          RrfPoolK)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val hemb = docs.select(col("doc_id"),
+        TextAnalysis.hashedTfEmbedding(col("text"), 64).as("emb"))
+      import s.implicits._
+      val q = MultiQueries.map { case (qid, ts) => (qid, ts.mkString(" ")) }
+        .toDF("query_id", "qtext")
+        .select(col("query_id"),
+          TextAnalysis.hashedTfEmbedding(col("qtext"), 64).as("emb"))
+      val dense = Similarity.bruteForceTopK(hemb, "doc_id", "emb",
+          q, "query_id", "emb", k = RrfPoolK)
+        .select(col("query_id"), col("corpus_id").as("doc_id"), col("rank"))
+      val fused = Retrieval.rrfFusePerQuery(sparse, dense, "query_id",
+        "doc_id", RrfKConst, RrfN)
+      val heads = MultiQueries.map { case (qid, ts) => (qid, ts.head) }
+        .toDF("query_id", "__head")
+      val gains = docs.crossJoin(broadcast(heads))
+        .select(col("query_id"), col("doc_id"),
+          size(filter(Corpus.words(col("text")), w => w === col("__head")))
+            .cast("long").as("gain"))
+      Retrieval.rankingMetricsPerQuery(fused, "query_id", "rank", "doc_id",
+          gains, "query_id", "doc_id", "gain", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // BM25 ranked retrieval (ext.Bm25): one stats row broadcast, map-side
       // tf, fixed-term-order score fold quantized to micro-units; the
@@ -4133,7 +4171,62 @@ object SparkEntry {
     * table of the query texts, per-query full-outer fusion — every window
     * PARTITIONED by query_id, mirroring
     * [[graft.ext.Retrieval.rrfFusePerQuery]]. */
-  private def rrfMultiOracleSql: String = {
+  private def rrfMultiOracleSql: String =
+    s"""WITH $rrfMultiCtes
+       |SELECT query_id, rank, doc_id, rrf_u12, sparse_rank, dense_rank
+       |FROM r2 WHERE rank <= $RrfN ORDER BY query_id, rank""".stripMargin
+
+  /** Per-query hybrid-eval oracle (q_rrf_eval): the q_rrf_multi fusion
+    * CTEs give the per-query hybrid ranking; gains replay the head-term
+    * tf labels from the same tokenized `w` table; metrics mirror
+    * [[graft.ext.Retrieval.rankingMetricsPerQuery]] — shared DcgWeightsU6
+    * literals, per-query ideal top-10, micro-unit floor division. */
+  private def rrfEvalOracleSql: String = {
+    val wcases = DcgWeightsU6.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ")
+    val heads = MultiQueries
+      .map { case (qid, ts) => s"($qid, '${ts.head}')" }.mkString(", ")
+    s"""WITH $rrfMultiCtes,
+       |tk AS (SELECT query_id, doc_id, rank FROM r2 WHERE rank <= 10),
+       |qh(hqid, ht) AS (VALUES $heads),
+       |gq AS (SELECT CAST(q.hqid AS BIGINT) AS query_id, w.doc_id,
+       |    CAST(len(list_filter(w.ws, t -> t = q.ht)) AS BIGINT) AS gain
+       |  FROM w CROSS JOIN qh q),
+       |sc2 AS (SELECT tk.query_id, g.gain,
+       |    g.gain * (CASE tk.rank $wcases END) AS contrib_u6,
+       |    CASE WHEN g.gain > 0 THEN tk.rank END AS rel_rank
+       |  FROM tk JOIN gq g
+       |    ON tk.query_id = g.query_id AND tk.doc_id = g.doc_id),
+       |m AS (SELECT query_id,
+       |    CAST(COALESCE(SUM(contrib_u6), 0) AS BIGINT) AS dcg_u6,
+       |    MIN(rel_rank) AS first_rel,
+       |    CAST(SUM(CASE WHEN gain > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM sc2 GROUP BY 1),
+       |ideal AS (SELECT query_id, gain, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY gain DESC, doc_id) AS BIGINT)
+       |      AS rk FROM gq),
+       |idcg AS (SELECT query_id,
+       |    CAST(SUM(gain * (CASE rk $wcases END)) AS BIGINT) AS idcg_u6
+       |  FROM ideal WHERE rk <= 10 GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM tk)
+       |SELECT qs.query_id, CAST(10 AS BIGINT) AS k,
+       |  CAST(COALESCE(m.n_rel, 0) AS BIGINT) AS n_rel,
+       |  CAST(COALESCE(m.dcg_u6, 0) AS BIGINT) AS dcg_u6,
+       |  CAST(COALESCE(i.idcg_u6, 0) AS BIGINT) AS idcg_u6,
+       |  CAST(CASE WHEN COALESCE(i.idcg_u6, 0) > 0
+       |       THEN COALESCE(m.dcg_u6, 0) * 1000000 // i.idcg_u6
+       |       ELSE 0 END AS BIGINT) AS ndcg_u6,
+       |  CAST(CASE WHEN m.first_rel IS NULL THEN 0
+       |       ELSE 1000000 // m.first_rel END AS BIGINT) AS mrr_u6
+       |FROM qs LEFT JOIN m ON qs.query_id = m.query_id
+       |  LEFT JOIN idcg i ON qs.query_id = i.query_id
+       |ORDER BY qs.query_id""".stripMargin
+  }
+
+  /** CTE chain shared by the batch-RRF oracles (q_rrf_multi and
+    * q_rrf_eval): ends with `r2` = the per-query fused ranking. */
+  private def rrfMultiCtes: String = {
     val dim = 64
     val K = RrfKConst
     val allTerms = MultiQueries.flatMap(_._2).distinct
@@ -4145,7 +4238,7 @@ object SparkEntry {
     }.mkString("\n  UNION ALL\n  ")
     val qvals = MultiQueries.map { case (qid, ts) =>
       s"($qid, '${ts.mkString(" ")}')" }.mkString(", ")
-    s"""WITH ${bm25StatsCtes(allTerms)},
+    s"""${bm25StatsCtes(allTerms)},
        |e AS (
        |  $unions),
        |bt AS (
@@ -4209,9 +4302,7 @@ object SparkEntry {
        |r2 AS (
        |  SELECT query_id, doc_id, rrf_u12, sparse_rank, dense_rank,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf_u12 DESC, doc_id) AS BIGINT) AS rank FROM g)
-       |SELECT query_id, rank, doc_id, rrf_u12, sparse_rank, dense_rank
-       |FROM r2 WHERE rank <= $RrfN ORDER BY query_id, rank""".stripMargin
+       |      ORDER BY rrf_u12 DESC, doc_id) AS BIGINT) AS rank FROM g)""".stripMargin
   }
 
   /** Shared CTE prefix of the LM-perplexity oracles (q_lm_perplexity and
@@ -6861,6 +6952,11 @@ object SparkEntry {
 
     // batch-RRF replay: per-query legs + per-query fusion windows
     "q_rrf_multi" -> rrfMultiOracleSql,
+
+    // per-query hybrid eval replay: fused ranking CTEs from q_rrf_multi,
+    // head-term tf gains, grouped MRR/nDCG@10 with the shared integer
+    // DCG literals — one metrics row per eval query
+    "q_rrf_eval" -> rrfEvalOracleSql,
 
     // RRF hybrid replay: both legs + the pico-quantized fusion
     "q_rrf" -> rrfOracleSql("doc_id"),

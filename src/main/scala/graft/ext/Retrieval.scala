@@ -155,4 +155,73 @@ object Retrieval {
         when(col("__first_rel").isNull, lit(0L))
           .otherwise(expr("1000000 div __first_rel")).as("mrr_u6"))
   }
+
+  /** GROUPED form of [[rankingMetrics]] — per-query MRR and nDCG@k over a
+    * multi-query ranked list `(queryCol, rankCol, idCol)` against
+    * per-query relevance gains `(gainQueryCol, gainIdCol, gainCol)`: the
+    * shape a real relevance sweep runs (every query of the eval set
+    * scored in one plan, e.g. over [[rrfFusePerQuery]] output).
+    *
+    * One row PER QUERY of the ranked input:
+    * `(<queryCol>, k, n_rel, dcg_u6, idcg_u6, ndcg_u6, mrr_u6)` — same
+    * exact-integer arithmetic as the single-query form (shared
+    * [[dcgWeightsU6]] plan literals, micro-unit floor division). A query
+    * whose retrieved docs match no gains row still gets its row
+    * (all-zero metrics); `idcg_u6` comes from that query's own ideal
+    * top-k gains.
+    *
+    * == 100 TB design ==
+    * Every step is partitioned by the query: the retrieved leg is
+    * |queries|·k rows by construction; the gains frame (the judged qrels
+    * set — orders of magnitude smaller than the corpus) flows through one
+    * per-query WindowGroupLimit top-k (the ideal leg) and one join
+    * against the bounded retrieved leg. Nothing is collected and nothing
+    * scales with the corpus — the corpus-sized work happened upstream in
+    * the ranking probes. */
+  def rankingMetricsPerQuery(topk: DataFrame, queryCol: String,
+                             rankCol: String, idCol: String,
+                             gains: DataFrame, gainQueryCol: String,
+                             gainIdCol: String, gainCol: String,
+                             k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val warr = array(dcgWeightsU6(k).map(lit): _*)
+    val g = gains.select(col(gainQueryCol).cast("long").as("__qid"),
+      col(gainIdCol).as("__id"), col(gainCol).cast("long").as("__gain"))
+    val tk = topk.select(col(queryCol).cast("long").as("__qid"),
+      col(idCol).as("__id"), col(rankCol).cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val scored = tk.join(g, Seq("__qid", "__id"))
+      .groupBy(col("__qid"))
+      .agg(
+        coalesce(sum(col("__gain") * element_at(warr,
+          col("__rank").cast("int"))), lit(0L)).as("dcg_u6"),
+        min(when(col("__gain") > 0, col("__rank"))).as("__first_rel"),
+        coalesce(sum(when(col("__gain") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_rel"))
+    // ideal leg: each query's own top-k gains — a per-query
+    // WindowGroupLimit over the qrels frame (zero-gain rows contribute 0
+    // to the ideal sum exactly as in the single-query collect)
+    val iw = Window.partitionBy(col("__qid"))
+      .orderBy(col("__gain").desc, col("__id"))
+    val ideal = g.withColumn("__irk", row_number().over(iw))
+      .filter(col("__irk") <= k)
+      .groupBy(col("__qid"))
+      .agg(coalesce(sum(col("__gain") * element_at(warr, col("__irk"))),
+        lit(0L)).as("idcg_u6"))
+    // one output row per DISTINCT query of the ranked input, even when
+    // nothing retrieved was judged (all-zero metrics) — the eval-harness
+    // contract: a query never silently drops from the sweep
+    tk.select(col("__qid")).distinct()
+      .join(scored, Seq("__qid"), "left")
+      .join(ideal, Seq("__qid"), "left")
+      .select(col("__qid").as(queryCol), lit(k.toLong).as("k"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("dcg_u6"), lit(0L)).as("dcg_u6"),
+        coalesce(col("idcg_u6"), lit(0L)).as("idcg_u6"),
+        when(coalesce(col("idcg_u6"), lit(0L)) > 0,
+          expr("dcg_u6 * 1000000 div idcg_u6"))
+          .otherwise(lit(0L)).as("ndcg_u6"),
+        when(col("__first_rel").isNull, lit(0L))
+          .otherwise(expr("1000000 div __first_rel")).as("mrr_u6"))
+  }
 }

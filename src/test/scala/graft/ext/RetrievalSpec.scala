@@ -151,4 +151,48 @@ class RetrievalSpec extends SparkTestBase {
     assert(r.getAs[Long]("idcg_u6") === 3L * 1000000L,
       "ideal covers the corpus, not just the retrieved set")
   }
+
+  test("rankingMetricsPerQuery equals the single-query form per query") {
+    // three queries with distinct shapes: q0 mixed gains, q1 nothing
+    // relevant retrieved, q2 perfect ranking — the grouped harness must
+    // reproduce the single-query operator's row for each
+    val topk = Seq(
+      (0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L),
+      (1L, 1L, 10L),
+      (2L, 1L, 40L), (2L, 2L, 20L)).toDF("qid", "rank", "id")
+    val gains = Seq(
+      (0L, 10L, 0L), (0L, 20L, 2L), (0L, 30L, 1L), (0L, 40L, 3L),
+      (1L, 10L, 0L), (1L, 40L, 3L),
+      (2L, 40L, 3L), (2L, 20L, 2L), (2L, 10L, 0L))
+      .toDF("qid", "id", "g")
+    val grouped = Retrieval.rankingMetricsPerQuery(topk, "qid", "rank",
+        "id", gains, "qid", "id", "g", 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(grouped.keySet === Set(0L, 1L, 2L))
+    for (q <- Seq(0L, 1L, 2L)) {
+      val single = Retrieval.rankingMetrics(
+        topk.filter(col("qid") === q).drop("qid"), "rank", "id",
+        gains.filter(col("qid") === q).drop("qid"), "id", "g", 3)
+        .collect().head.toSeq
+      assert(grouped(q) === single, s"query $q diverged from single-query")
+    }
+    // spot values: q2 is a perfect ranking -> ndcg = mrr = 1e6
+    val Seq(w1, w2, _) = Retrieval.dcgWeightsU6(3)
+    assert(grouped(2L) === Seq(3L, 2L, 3L * w1 + 2L * w2,
+      3L * w1 + 2L * w2, 1000000L, 1000000L))
+    // q1 retrieved nothing relevant but still gets its row
+    assert(grouped(1L) === Seq(3L, 0L, 0L, 3L * 1000000L, 0L, 0L))
+  }
+
+  test("rankingMetricsPerQuery: a query with no judged docs still rows") {
+    // query 7 retrieved docs that appear nowhere in the gains frame —
+    // the eval-harness contract: it must not silently drop from the sweep
+    val topk = Seq((7L, 1L, 99L)).toDF("qid", "rank", "id")
+    val gains = Seq((0L, 10L, 1L)).toDF("qid", "id", "g")
+    val r = Retrieval.rankingMetricsPerQuery(topk, "qid", "rank", "id",
+        gains, "qid", "id", "g", 3)
+      .collect()
+    assert(r.length === 1 && r.head.getLong(0) === 7L)
+    assert(r.head.toSeq.drop(1) === Seq(3L, 0L, 0L, 0L, 0L, 0L))
+  }
 }
