@@ -1285,6 +1285,78 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_card_sink" -> ((s, dir) => {
+      // DURABLE data card (corpusReportToSink): two documents
+      // micro-batches (even doc_ids, then odd) fold into a persisted
+      // per-group state; the RUNNING card after each batch is read back
+      // from the sink and must equal the batch corpusReport over exactly
+      // the prefix that batch saw — the oracle replays both prefixes.
+      // Exactly-once across restarts is pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-cardsink-src-")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-cardsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cardsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.corpusReportToSink(stream, "lang", "text",
+        KmvK, sink, ckpt)
+      Seq(0, 1).map(b => s.read.parquet(s"$sink/card/batch_id=$b")
+          .select(lit(b.toLong).as("batch_id"), col("lang"),
+            col("n_docs"), col("n_tokens"), col("n_chars"),
+            col("est_distinct_texts")))
+        .reduce(_ unionByName _)
+        .orderBy(col("batch_id"), col("lang"))
+    }),
+
+    "q_tb_sink" -> ((s, dir) => {
+      // DURABLE token-budget admission ledger (tokenBudgetToSink): two
+      // batches (even doc_ids, then odd) cumsum on top of the persisted
+      // per-language fill; because batch 0's WHOLE fill precedes batch 1,
+      // the entire ledger replays as ONE window cumsum keyed
+      // (batch, priority DESC, id) in the oracle. Verdicts for EVERY row
+      // (keep realized as a column), exactly-once pinned in StreamingSpec.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("n_chars"),
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-tbsink-src-")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-tbsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-tbsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.tokenBudgetToSink(stream, "lang", "doc_id",
+        "n_chars", "n_tokens", TbBudget, sink, ckpt)
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+          col("lang"), col("n_tokens"),
+          col("cum_tokens").cast("long").as("cum_tokens"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_km_stream" -> ((s, dir) => {
       // the STREAMING k-means twin under the SAME oracle as q_kmeans:
       // the exact model is fitted once on the static corpus
@@ -3792,6 +3864,70 @@ object SparkEntry {
        |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
        |FROM c WHERE cum <= $TbBudget ORDER BY doc_id""".stripMargin
 
+  /** One per-prefix leg of the q_card_sink oracle: the statsCard CTE
+    * chain (KMV + exact totals) over `documents WHERE <whereSql>`, CTE
+    * names suffixed `$b`, projecting the batch id. */
+  private def cardSinkLegSql(b: Int, whereSql: String): String =
+    s"""h$b AS (
+       |  SELECT DISTINCT lang,
+       |    CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS h
+       |  FROM documents WHERE $whereSql),
+       |r$b AS (
+       |  SELECT lang, h,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM h$b),
+       |g$b AS (
+       |  SELECT lang, CAST(max(cnt) AS BIGINT) AS cnt,
+       |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM r$b GROUP BY lang),
+       |t$b AS (
+       |  SELECT lang,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+       |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |  FROM documents WHERE $whereSql GROUP BY lang)""".stripMargin
+
+  /** q_card_sink replay: the running card after each micro-batch equals
+    * the batch card over exactly the prefix that batch saw — batch 0 =
+    * the even doc_ids, batch 1 = everything. */
+  private def cardSinkOracleSql: String = {
+    val legs = Seq(0 -> "doc_id % 2 = 0", 1 -> "1 = 1")
+    val selects = legs.map { case (b, _) =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, t$b.lang, t$b.n_docs,
+         |  t$b.n_tokens, t$b.n_chars,
+         |  CASE WHEN g$b.cnt < $KmvK THEN g$b.cnt
+         |    ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) *
+         |      CAST(${Profile.HashSpace} AS HUGEINT)) // g$b.hk AS BIGINT)
+         |  END AS est_distinct_texts
+         |FROM t$b JOIN g$b USING (lang)""".stripMargin
+    }
+    s"""WITH ${legs.map { case (b, w) => cardSinkLegSql(b, w) }.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY batch_id, lang""".stripMargin
+  }
+
+  /** q_tb_sink replay: batch 0 (even doc_ids) fills before batch 1 (odd),
+    * so the durable ledger is ONE window cumsum keyed
+    * (batch, priority DESC, id) — keep realized as a column. */
+  private lazy val tbSinkOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+       |    CAST(doc_id % 2 AS BIGINT) AS batch_id
+       |  FROM documents),
+       |c AS (
+       |  SELECT batch_id, doc_id, lang, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY lang
+       |      ORDER BY batch_id, n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT batch_id, doc_id, lang, n_tokens,
+       |  CAST(cum AS BIGINT) AS cum_tokens, cum <= $TbBudget AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Shared replay of q_stats_graph AND its streaming twin q_stats_stream:
     * the q_distinct_sketch KMV chain + exact token/char totals, keyed by
     * the lang column as `group`. */
@@ -5006,6 +5142,11 @@ object SparkEntry {
     // fixture → one micro-batch; carried-fill multi-batch equality pinned
     // in StreamingSpec), so it shares the replay verbatim
     "q_tb_stream" -> tokenBudgetOracleSql,
+
+    // durable-sink twins: running card per batch prefix; admission ledger
+    // as one (batch, priority, id)-keyed window cumsum
+    "q_card_sink" -> cardSinkOracleSql,
+    "q_tb_sink" -> tbSinkOracleSql,
 
     "q_tb_graph" ->
       s"""WITH t AS (

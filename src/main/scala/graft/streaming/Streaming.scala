@@ -804,22 +804,8 @@ object Streaming {
         // Bm25.appendToIndex lesson), and base lookup skips absent ids
         if (!batch.isEmpty) {
         // bases = cumulative state of the newest COMMITTED batch before
-        // this one (replay-safe: batch B never reads its own state row).
-        // Listed through the Hadoop FileSystem API, like every other
-        // store in the family (StoreMeta.versions): java.io.File only
-        // works on the local filesystem — on the HDFS/S3 sink this
-        // export contract targets it would return null and every batch
-        // would silently pack from zero bases.
-        val statePath = new org.apache.hadoop.fs.Path(s"$sink/_state")
-        val fs = statePath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val prev = (if (fs.exists(statePath))
-            fs.listStatus(statePath).toSeq else Seq.empty)
-          .filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith("batch_id="))
-          .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
-          .filter(_ < bid)
-          .sorted.lastOption
+        // this one (replay-safe: batch B never reads its own state row)
+        val prev = newestStateBefore(spark, sink, bid)
         val (baseRows, baseTokens) = prev match {
           case None => (Map.empty[Long, Long], Map.empty[Long, Long])
           case Some(p) =>
@@ -848,6 +834,149 @@ object Streaming {
         import spark.implicits._
         allShards.toDF("shard", "rows", "tokens").coalesce(1)
           .write.mode("overwrite").parquet(s"$sink/_state/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** Newest COMMITTED cumulative-state batch id strictly before `bid`
+    * under `sink/_state/batch_id=N` — the shared replay-safety primitive
+    * of the `*ToSink` family: a replayed batch reads exactly the state
+    * its first attempt saw, never its own partial effects. Listed through
+    * the Hadoop FileSystem API (`java.io.File` only works on the local
+    * filesystem — on the HDFS/S3 sinks these exports target it returns
+    * null and every batch would silently fold from empty state). */
+  private def newestStateBefore(spark: org.apache.spark.sql.SparkSession,
+                                sink: String, bid: Long): Option[Long] = {
+    val statePath = new org.apache.hadoop.fs.Path(s"$sink/_state")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(statePath)) fs.listStatus(statePath).toSeq else Seq.empty)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ < bid)
+      .sorted.lastOption
+  }
+
+  /** The PRODUCTION form of [[corpusReportAvailableNow]] — the data card
+    * as a DURABLE streaming sink, exactly-once across restarts: after
+    * every micro-batch the RUNNING card of everything ingested so far is
+    * written to `sink/card/batch_id=B` (the card is valid after every
+    * batch — monitoring reads the newest one), and the raw mergeable
+    * per-group state (sums + the KMV sketch array) to
+    * `sink/_state/batch_id=B`.
+    *
+    * Exactly-once mechanics (the shardedExportToSink discipline): both
+    * writes are overwrite-idempotent into the batch's OWN directory, and
+    * batch B folds ONLY the newest persisted state with id < B
+    * ([[newestStateBefore]]) — so a crash-and-replay of B sees exactly
+    * what its first attempt saw and rewrites identical files.
+    *
+    * The fold itself is a #groups-row DataFrame aggregation, never a
+    * driver collect: sums add, and the KMV merge is
+    * `slice(array_sort(array_distinct(flatten(...))), 1, k)` — the same
+    * ≤-k-smallest-distinct-hashes set semantics as
+    * [[graft.ext.Profile.mergeKmv]], so the running card equals the batch
+    * operator over everything ingested, under ANY arrival slicing. */
+  def corpusReportToSink(docs: DataFrame, groupCol: String, textCol: String,
+                         k: Int, sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // empty batch: the previous card already IS the running card
+        if (!batch.isEmpty) {
+        val agg = graft.ext.Profile
+          .corpusAggregates(batch.toDF(), groupCol, textCol, k)
+        val folded = newestStateBefore(spark, sink, bid) match {
+          case None => agg
+          case Some(p) =>
+            spark.read.parquet(s"$sink/_state/batch_id=$p")
+              .unionByName(agg)
+              .groupBy(col(groupCol))
+              .agg(sum(col("n_docs")).as("n_docs"),
+                sum(col("n_tokens")).as("n_tokens"),
+                sum(col("n_chars")).as("n_chars"),
+                slice(array_sort(array_distinct(flatten(
+                  collect_list(col("__kmv"))))), 1, k).as("__kmv"))
+        }
+        folded.coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        // the card derives from the READ-BACK state, so it reflects
+        // exactly what the next batch will fold on
+        spark.read.parquet(s"$sink/_state/batch_id=$bid")
+          .withColumn("est_distinct_texts",
+            graft.ext.Profile.kmvEstimate(col("__kmv"), k))
+          .drop("__kmv")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/card/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The PRODUCTION form of [[tokenBudgetAvailableNow]] — the per-group
+    * token-budget admission ledger as a DURABLE streaming sink,
+    * exactly-once across restarts: each micro-batch's verdict rows
+    * (cum_tokens, keep) land in `sink/data/batch_id=B`, and the per-group
+    * fill level AFTER the batch in `sink/_state/batch_id=B` (one long per
+    * group — metadata at any scale).
+    *
+    * Same semantics as the gate form: rows are cumsummed in the
+    * batch-local (priority DESC, id) order on top of the group's CARRIED
+    * fill (every row counts toward the fill, kept or not), which equals
+    * the batch operator whenever arrival respects the per-group priority
+    * order and degrades to arrival-order-first-fill otherwise. Replay of
+    * batch B folds only state < B ([[newestStateBefore]]) and overwrites
+    * its own directories — byte-identical output, forced-restart-tested.
+    * Null-group safety: the state stores the group's STRING image and the
+    * join is null-safe (`<=>`), so a null group keeps its fill. */
+  def tokenBudgetToSink(docs: DataFrame, groupCol: String, idCol: String,
+                        priorityCol: String, tokensCol: String, budget: Long,
+                        sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // empty batch: no verdicts and the fill level is unchanged
+        if (!batch.isEmpty) {
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val off = newestStateBefore(spark, sink, bid) match {
+          case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
+          case None =>
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("__tb_g", "__tb_off")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col(priorityCol).desc, col(idCol))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        b.withColumn("__tb_inc", sum(col(tokensCol).cast("long")).over(w))
+          .join(broadcast(off),
+            col(groupCol).cast("string") <=> col("__tb_g"), "left")
+          .withColumn("cum_tokens",
+            col("__tb_inc") + coalesce(col("__tb_off"), lit(0L)))
+          .withColumn("keep", col("cum_tokens") <= budget)
+          .drop("__tb_g", "__tb_inc", "__tb_off")
+          .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        // fill AFTER this batch: carried + the batch's per-group totals
+        off.unionByName(
+            b.groupBy(col(groupCol).cast("string").as("__tb_g"))
+              .agg(sum(col(tokensCol).cast("long")).as("__tb_off")))
+          .groupBy(col("__tb_g"))
+          .agg(sum(col("__tb_off")).as("__tb_off"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        b.unpersist()
         }
         ()
       }

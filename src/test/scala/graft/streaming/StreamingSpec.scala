@@ -636,6 +636,102 @@ class StreamingSpec extends SparkTestBase {
         s"state drifted from data for shard $sh")
   }
 
+  test("data-card sink: running card per batch, exactly-once restart") {
+    // three micro-batches through corpusReportToSink: the card after
+    // batch B must equal the BATCH corpusReport over everything ingested
+    // through B (the monoid contract, now durable), including the KMV
+    // dedup of a text repeated across batches; then the last checkpoint
+    // commit is deleted and the stream restarts — the replayed fold reads
+    // only pre-batch state and rewrites identical card + state files.
+    val b0 = Seq(("en", "alpha beta"), ("en", "gamma"), ("de", "delta"))
+    val b1 = Seq(("en", "alpha beta"), ("de", "epsilon zeta"), ("fr", "eta"))
+    val b2 = Seq(("fr", "theta iota kappa"), ("en", "lambda"))
+    val src = java.nio.file.Files.createTempDirectory("graft-card-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("lang", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-card-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-card-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.corpusReportToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "lang", "text", k = 4, sink, ckpt)
+    run()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    def card(b: Int) = spark.read.parquet(s"$sink/card/batch_id=$b")
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("est_distinct_texts"))
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    for ((prefix, b) <- prefixes.zipWithIndex)
+      assert(canon(card(b)) == canon(graft.ext.Profile.corpusReport(
+          prefix.toDF("lang", "text"), "lang", "text", k = 4)),
+        s"running card after batch $b != batch operator over the prefix")
+    val before = (0 to 2).map(b => canon(card(b)))
+    // forced replay of batch 2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert((0 to 2).map(b => canon(card(b))) == before,
+      "replay altered the cards")
+  }
+
+  test("token-budget sink: carried fill across batches, exactly-once restart") {
+    // three micro-batches whose priorities DESCEND across batches (the
+    // curated-backfill norm): the kept cut read back from the sink must
+    // equal the BATCH tokenBudgetSelect over the union, with cum_tokens
+    // carried across batches per group; forced replay of the last batch
+    // rewrites identical verdicts and state.
+    val b0 = Seq((1L, "en", 90L, 400L), (2L, "de", 80L, 500L),
+      (3L, "en", 70L, 300L))
+    val b1 = Seq((4L, "en", 60L, 250L), (5L, "de", 50L, 600L))
+    val b2 = Seq((6L, "en", 40L, 100L), (7L, "de", 30L, 50L),
+      (8L, "fr", 20L, 999L))
+    val src = java.nio.file.Files.createTempDirectory("graft-tbsink-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "lang", "prio", "n_tokens")
+        .coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-tbsink-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tbsink-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.tokenBudgetToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "lang", "doc_id", "prio", "n_tokens", budget = 1000L, sink, ckpt)
+    run()
+    def verdicts() = spark.read.parquet(s"$sink/data")
+      .select(col("doc_id"), col("lang"), col("cum_tokens"), col("keep"))
+      .collect().map(_.toSeq).toSet
+    val before = verdicts()
+    // kept cut == the batch operator over the union (priority-respecting
+    // arrival), cum_tokens carried per group across batches
+    val kept = before.filter(_(3) == true).map(r => (r(0), r(2)))
+    val batchOp = graft.ext.Corpus.tokenBudgetSelect(
+        (b0 ++ b1 ++ b2).toDF("doc_id", "lang", "prio", "n_tokens"),
+        "lang", "doc_id", "prio", "n_tokens", budget = 1000L)
+      .select(col("doc_id"), col("cum_tokens").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.map(r => (r._1, r._2)) == batchOp.map(identity),
+      s"sink kept cut diverged from the batch operator: $kept vs $batchOp")
+    // en fill: 400+300 (b0) + 250 (b1) = 950, then 100 in b2 -> 1050 > 1000
+    assert(before.contains(Seq(6L, "en", 1050L, false)),
+      "carried fill must reject the over-budget b2 English doc")
+    assert(before.contains(Seq(8L, "fr", 999L, true)),
+      "a fresh group starts from zero fill")
+    // forced replay of batch 2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert(verdicts() == before, "replay altered the admission ledger")
+  }
+
   test("minhash ingest-to-sink: exactly-once across a forced restart replay") {
     // the dedup loop's PRODUCTION sink form: three micro-batches probe the
     // stored index and append themselves; the last batch's checkpoint
