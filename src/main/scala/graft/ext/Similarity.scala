@@ -327,20 +327,26 @@ object Similarity {
   }
 
   private final case class IvfMeta(segments: List[String], lastTag: String,
-                                   nextSeg: Long)
+                                   nextSeg: Long,
+                                   centDir: String = "centroids")
 
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
                           path: String): IvfMeta = {
     val m = StoreMeta.read(spark, path, "meta").head()
     IvfMeta(m.getAs[scala.collection.Seq[String]]("segments").toList,
-      m.getAs[String]("last_tag"), m.getAs[Long]("next_seg"))
+      m.getAs[String]("last_tag"), m.getAs[Long]("next_seg"),
+      // pre-recentre stores have no cent_dir column — their centroid
+      // table lives at the build-time default
+      if (m.schema.fieldNames.contains("cent_dir"))
+        m.getAs[String]("cent_dir")
+      else "centroids")
   }
 
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
                            path: String, m: IvfMeta): Unit = {
     import spark.implicits._
-    StoreMeta.write(Seq((m.segments, m.lastTag, m.nextSeg))
-      .toDF("segments", "last_tag", "next_seg"), path, "meta")
+    StoreMeta.write(Seq((m.segments, m.lastTag, m.nextSeg, m.centDir))
+      .toDF("segments", "last_tag", "next_seg", "cent_dir"), path, "meta")
   }
 
   /** The manifest's live segment list (probe view; an auto-compaction
@@ -367,11 +373,13 @@ object Similarity {
     val m = readIvfMeta(spark, path)
     if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
     if (newRows.isEmpty) return // idle micro-batch: no junk segment
-    val cents = readCentroids(spark, path)
+    val cents = readCentroids(spark, path, m.centDir)
     val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
     writeIvfSegment(newRows, corpusId, corpusVec, new CentArrays(cents),
       s"$path/$seg")
-    writeIvfMeta(spark, path, IvfMeta(m.segments :+ seg, tag, m.nextSeg + 1L))
+    writeIvfMeta(spark, path,
+      m.copy(segments = m.segments :+ seg, lastTag = tag,
+        nextSeg = m.nextSeg + 1L))
   }
 
   /** COMPACT a segmented IVF store back to one generation: every live
@@ -381,7 +389,29 @@ object Similarity {
     * compaction (one-generation grace window for in-flight readers), the
     * [[graft.ext.Dedup.compactMinhashIndex]] discipline. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-                      path: String): Unit = {
+                      path: String): Unit =
+    compactIvfIndex(spark, path, recentre = false)
+
+  /** [[compactIvfIndex]] with optional RECENTRING: when `recentre` is
+    * true, compaction refits the centroid table on the LIVE corpus
+    * (seeded distributed k-means, [[kmeansCentroids]]) and reassigns
+    * every row to the refit cells while it rewrites them — closing the
+    * drift loop of a streaming-ingest index whose build-time centroids go
+    * stale as the embedding distribution moves (recall at fixed nprobe
+    * decays invisibly; the ExtSpec drift test measures the recovery).
+    * The refit is nearly free: compaction already shuffles every live
+    * row, and the k-means passes read the same scan.
+    *
+    * Commit discipline: the refit centroid table lands in a fresh
+    * `centroids_g<gen>` dir and the manifest's `cent_dir` pointer flips
+    * ATOMICALLY with the segment list (probes read centroids via the
+    * manifest, so an in-flight reader sees old centroids + old segments
+    * or new + new, never a mix); stale centroid dirs are swept on the
+    * NEXT compaction — the same one-generation grace window as segments. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String, recentre: Boolean,
+                      recentreIters: Int = 5,
+                      recentreSeed: Long = 42L): Unit = {
     val m = readIvfMeta(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -389,7 +419,8 @@ object Similarity {
     val live = m.segments.toSet
     fs.listStatus(root).foreach { s =>
       val n = s.getPath.getName
-      if (n.startsWith("seg_") && !live.contains(n)) {
+      if ((n.startsWith("seg_") && !live.contains(n)) ||
+          (n.startsWith("centroids_g") && n != m.centDir)) {
         try fs.delete(s.getPath, true) catch { case _: Exception => () }
       }
     }
@@ -398,12 +429,28 @@ object Similarity {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    ivfCorpus(spark, path, m.segments, cells = None)
-      .withColumn("cell_d", col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/$newSeg")
-    writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
+    val liveRows = ivfCorpus(spark, path, m.segments, cells = None)
+    if (recentre) {
+      val nlist = readCentroids(spark, path, m.centDir).length
+      val cents = kmeansCentroids(liveRows.select(col("vec")), "vec",
+        nlist, recentreIters, recentreSeed)
+      val centDir = s"centroids_g$gen"
+      import spark.implicits._
+      cents.toSeq.map { case (cid, v) => (cid, v) }
+        .toDF("cent_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$centDir")
+      writeIvfSegment(liveRows.select(col("corpus_id"), col("vec")),
+        "corpus_id", "vec", new CentArrays(cents), s"$path/$newSeg")
+      writeIvfMeta(spark, path,
+        m.copy(segments = List(newSeg), centDir = centDir))
+    } else {
+      liveRows
+        .withColumn("cell_d", col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/$newSeg")
+      writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
+    }
   }
 
   /** The live corpus rows `(cell, corpus_id, vec, vnorm)` across `segs`,
@@ -457,8 +504,10 @@ object Similarity {
   }
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
-                            path: String): Array[(Int, Seq[Float])] =
-    spark.read.parquet(s"$path/centroids")
+                            path: String,
+                            dir: String = "centroids")
+      : Array[(Int, Seq[Float])] =
+    spark.read.parquet(s"$path/$dir")
       .collect()
       .map(r => (r.getAs[Int]("cent_id"),
         r.getAs[scala.collection.Seq[Float]]("centroid").toSeq))
@@ -501,7 +550,7 @@ object Similarity {
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, nprobe: Int,
                      excludeIds: Option[DataFrame]): DataFrame = {
-    val cents = readCentroids(spark, path)
+    val cents = readCentroids(spark, path, readIvfMeta(spark, path).centDir)
     val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
       bc.value.probe(v, nprobe)

@@ -568,6 +568,69 @@ class ExtSpec extends SparkTestBase {
       s"kmeans-IVF mean recall = ${recalls.sum / recalls.size}")
   }
 
+  test("IVF recentre-on-compact recovers recall under distribution drift") {
+    // the streaming-ingest failure mode the refit exists for: build-time
+    // centroids fitted on clusters along axes e0/e1, then the ingest
+    // DRIFTS to new clusters along e2/e3 — near-orthogonal to every
+    // stored centroid, so stale assignment scatters each new cluster
+    // across cells by noise and a fixed-nprobe probe misses most true
+    // neighbors. Plain compaction preserves the stale cells (the
+    // control); recentre-compaction refits k-means on the live corpus
+    // and co-locates each cluster again.
+    val rng = new scala.util.Random(17)
+    def around(axis: Int) = {
+      val v = Array.fill(8)(rng.nextFloat() * 0.08f)
+      v(axis) = 1.0f + rng.nextFloat() * 0.05f
+      v.toSeq
+    }
+    val head = ((0 until 40).map(i => (i.toLong, around(0))) ++
+      (40 until 80).map(i => (i.toLong, around(1))))
+      .toDF("vec_id", "embedding")
+    val drift = ((100 until 140).map(i => (i.toLong, around(2))) ++
+      (140 until 180).map(i => (i.toLong, around(3))))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivf-drift-").toString
+    Similarity.buildIvfIndex(head, "vec_id", "embedding",
+      Similarity.kmeansCentroids(head, "embedding", nlist = 4), idx)
+    Similarity.appendToIvfIndex(spark, idx, drift, "vec_id", "embedding")
+    val queries = drift.filter($"vec_id".isin(100L, 120L, 141L, 160L))
+    def topk(df: DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topk(Similarity.bruteForceTopK(head.unionByName(drift),
+      "vec_id", "embedding", queries, "vec_id", "embedding", k = 10))
+    def recall(): Double = {
+      val got = topk(Similarity.ivfTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 10, nprobe = 1))
+      val rs = brute.map { case (q, exp) =>
+        got.getOrElse(q, Set.empty).intersect(exp).size.toDouble / exp.size }
+      rs.sum / rs.size
+    }
+    // stale-centroid control: plain compaction keeps build-time cells
+    Similarity.compactIvfIndex(spark, idx)
+    val stale = recall()
+    // the refit: same live content, centroids follow the drifted corpus
+    Similarity.compactIvfIndex(spark, idx, recentre = true)
+    val refit = recall()
+    assert(refit > stale,
+      s"recentring must beat stale centroids: $refit vs $stale")
+    assert(refit >= 0.9, s"post-refit recall@10 = $refit")
+    assert(stale <= 0.7,
+      s"control lost its teeth — drift no longer hurts stale cells ($stale)")
+    // the refit store stays a faithful row multiset: exhaustive probing
+    // over the recentred cells equals brute force on (query, neighbor)
+    val exhaustive = topk(Similarity.ivfTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(exhaustive == brute, "exhaustive probe diverged post-recentre")
+    // and the append path keeps working against the RECENTRED table via
+    // the manifest's cent_dir pointer
+    val more = Seq((200L, around(2))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, idx, more, "vec_id", "embedding")
+    val got = topk(Similarity.ivfTopKIndexed(spark, idx,
+      more, "vec_id", "embedding", k = 1, nprobe = 1))
+    assert(got(200L) == Set(200L), "fresh append not retrievable post-refit")
+  }
+
   test("IVF with exhaustive probing equals brute force exactly") {
     val rng = new scala.util.Random(9)
     val corpus = (0 until 100).map(i =>
