@@ -674,6 +674,51 @@ object ScaleProbe {
         }
         rmTree(mi)
       }
+      // FILE-COUNT auto-compaction policy (round 18): the unpoliced
+      // 100-append history's probe-pre slope is FILE-count-driven (~4.6k
+      // tiny files — the r17 maint decades measured 14.4 s), and a
+      // segment-count policy under-fires when every segment is a sliver.
+      // Same 100 tiny appends, policy = compact when live parquet files
+      // exceed 2× the base segment's count: the probe under the policy
+      // must stay within ~2× of the fully-compacted probe.
+      locally {
+        val mi = java.nio.file.Files.createTempDirectory("graft-maint-mhpol-")
+        graft.ext.Dedup.buildMinhashIndex(spark, mi.toString,
+          docs.filter(col("doc_id") < 500), "text", "doc_id")
+        val h = graft.ext.Dedup.openMinhashIndex(spark, mi.toString)
+        val cap = h.liveFileCount * 2
+        val probeBatch = docs.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 50000000L).as("doc_id"), col("text"))
+        measure("mh maint policy append a100",
+            s"rows=5 autoCompactFiles=$cap (out = compactions fired)") {
+          var fired = 0L
+          (0 until 100).foreach { i =>
+            graft.ext.Dedup.appendToMinhashIndex(h,
+              docs.filter(col("doc_id") >= i * 5 && col("doc_id") < (i + 1) * 5)
+                .select((col("doc_id") + 70000000L).as("doc_id"), col("text")),
+              "text", "doc_id", tag = s"m$i")
+            if (h.liveFileCount > cap) {
+              graft.ext.Dedup.compactMinhashIndex(h)
+              fired += 1
+            }
+          }
+          fired
+        }
+        measure("mh maint probe policy a100",
+            s"history=100 tiny appends, liveFiles bounded by $cap+batch") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, mi.toString,
+            probeBatch, "text", "doc_id", threshold = 0.9).count()
+        }
+        measure("mh maint compact policy a100", "fold the policied store") {
+          graft.ext.Dedup.compactMinhashIndex(spark, mi.toString)
+          parquetCount(mi, "keys")
+        }
+        measure("mh maint probe-post policy a100", "1 segment") {
+          graft.ext.Dedup.minhashDedupAgainstIndex(spark, mi.toString,
+            probeBatch, "text", "doc_id", threshold = 0.9).count()
+        }
+        rmTree(mi)
+      }
       // live-size decade at FIXED 10 appends: 500 vs 5000 live docs
       for (live <- Seq(500, 5000)) {
         val half = live / 2

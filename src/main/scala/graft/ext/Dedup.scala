@@ -517,6 +517,33 @@ object Dedup {
       meta = readMinhashMeta(spark, path)
       segBuckets.clear(); shingleDfs.clear()
     }
+    // cached per-segment parquet FILE counts (same immutability argument
+    // as the bucket listings): what a file-count auto-compaction policy
+    // thresholds on. Segment counts drive probe cost more faithfully
+    // than segment COUNT — 100 one-row appends are 100 segments but
+    // ~hundreds of tiny files, and per-file open cost is what makes the
+    // pre-compaction probe slope (the r17 maint decades measured it).
+    private val segFileCounts =
+      scala.collection.mutable.HashMap.empty[String, Long]
+    private[ext] def filesOf(seg: String): Long =
+      segFileCounts.getOrElseUpdate(seg, {
+        val p = new org.apache.hadoop.fs.Path(s"$path/$seg")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) 0L
+        else {
+          val it = fs.listFiles(p, true)
+          var n = 0L
+          while (it.hasNext) {
+            if (it.next().getPath.getName.endsWith(".parquet")) n += 1L
+          }
+          n
+        }
+      })
+    /** Live parquet data files across the manifest's segments — each
+      * segment listed ONCE per handle life (immutable once committed),
+      * so an ingest loop pays one tiny-dir listing per append, not a
+      * store re-walk per batch. */
+    def liveFileCount: Long = meta.segments.map(filesOf).sum
     // cached per-segment bucket-directory listings: a committed segment
     // is immutable, so its set of bucket= dirs is listed ONCE per handle
     // life — the bucket-pruned multi-path reads below select directories

@@ -528,7 +528,8 @@ object Streaming {
                                sink: String, checkpoint: String,
                                threshold: Double = 0.8,
                                maxBucket: Int = 1000,
-                               autoCompactAt: Int = 0): Unit = {
+                               autoCompactAt: Int = 0,
+                               autoCompactFiles: Long = 0L): Unit = {
     val spark = docs.sparkSession
     // one handle per run (see minhashDedupIngestAvailableNow); a restart
     // builds a fresh handle whose manifest read restores replay detection
@@ -563,7 +564,15 @@ object Streaming {
         // the batch's own effects; content-preserving and committed by
         // the atomic manifest flip, so a crash at any point leaves a
         // readable store and the replay path above stays exact.
-        if (autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
+        // Two trigger measures: live SEGMENTS (per-segment fixed costs)
+        // and live FILES (per-file open cost — the measure that actually
+        // drives the pre-compaction probe slope; a many-tiny-batch ingest
+        // under-fires a segment-count policy because each segment is a
+        // sliver, ADVICE r17). Segment counts come from the in-memory
+        // manifest; file counts from one cached tiny-dir listing per
+        // append.
+        if ((autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
+            || (autoCompactFiles > 0L && idx.liveFileCount > autoCompactFiles))
           graft.ext.Dedup.compactMinhashIndex(idx)
         b.unpersist()
         }

@@ -849,6 +849,49 @@ class StreamingSpec extends SparkTestBase {
     assert(sinkPairs() == expected, "replay altered the sink")
   }
 
+  test("minhash ingest sink: FILE-count auto-compaction policy") {
+    // the many-tiny-batch regime where a segment-count policy under-fires
+    // (each segment is a sliver but the per-file open cost accumulates —
+    // the r17 maint-decade slope): the trigger measure here is LIVE
+    // PARQUET FILES from the handle's cached per-segment listings. With
+    // the threshold pinned to the head's own file count, every batch's
+    // append crosses it and folds — ledger, layout, and shingle store
+    // must come out exactly as the segment-count policy produces.
+    def doc(id: Long, tag: String) =
+      (id, (0 until 30).map(j => s"fc${tag}x$j").mkString(" "))
+    val head = (0 until 12).map(i => doc(i.toLong, s"h$i"))
+    val b0 = Seq(doc(100L, "h0"), doc(101L, "u101"), doc(102L, "u102"))
+    val b1 = Seq(doc(200L, "h1"), doc(201L, "u101"), doc(202L, "u202"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhfc-idx-").toString
+    graft.ext.Dedup.buildMinhashIndex(spark, idx,
+      head.toDF("doc_id", "text"), "text", "doc_id")
+    val baseFiles = graft.ext.Dedup.openMinhashIndex(spark, idx).liveFileCount
+    assert(baseFiles > 0L, "the handle must see the base segment's files")
+    val src = java.nio.file.Files.createTempDirectory("graft-mhfc-src-")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-mhfc-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mhfc-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    Streaming.minhashDedupIngestToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet"),
+      idx, "text", "doc_id", sink, ckpt, threshold = 0.9,
+      autoCompactAt = 0, autoCompactFiles = baseFiles)
+    val h = graft.ext.Dedup.openMinhashIndex(spark, idx)
+    assert(h.liveSegments == List("seg_c1"),
+      s"file policy never fired: ${h.liveSegments}")
+    val pairs = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("id_a"), col("id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 0L, 100L), (1L, 1L, 200L), (1L, 101L, 201L)),
+      "file-count policy changed the dedup ledger")
+    assert(graft.ext.Dedup.minhashIndexShingles(spark, idx).count() ==
+      (12 + 6).toLong)
+  }
+
   test("source quota: first-N admission across batches, state caps every key") {
     // online per-source quota: within a batch admission is id-sorted
     // (arrival order in a group iterator is not guaranteed); across
