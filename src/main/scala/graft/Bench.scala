@@ -141,7 +141,11 @@ object Bench {
     // every per-query number — the full map (median + min over the steady
     // passes + the cold pass, per query, untrimmed) goes to a file instead.
     // Stdout stays the summary; the file is the archaeology-free artifact.
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+    // a FILTERED run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // committed full-sweep record — it goes to a scratch default instead
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_partial.json"
+      else "BENCH_full.json")
     try {
       val qjson = steady.keys.toSeq.sorted.map { name =>
         val valid = steadyPasses.flatMap(_.get(name)).filter(_ >= 0)
