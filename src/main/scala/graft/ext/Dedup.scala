@@ -457,13 +457,26 @@ object Dedup {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    minhashIndexKeys(h, lit(true), excludeSeg = "", buckets = None)
-      .repartition(m.numKeyBuckets, col("bucket"))
-      .sortWithinPartitions(col("band_key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$path/$newSeg/keys")
-    minhashIndexShingles(h, excludeSeg = "")
-      .write.mode("overwrite").parquet(s"$path/$newSeg/shingles")
+    // independent folds into the same uncommitted dir — concurrent jobs
+    // (the writeMinhashRows treatment): compaction wall is
+    // max(keys, shingles), not their sum
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val keysF = Future {
+        minhashIndexKeys(h, lit(true), excludeSeg = "", buckets = None)
+          .repartition(m.numKeyBuckets, col("bucket"))
+          .sortWithinPartitions(col("band_key"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/$newSeg/keys")
+      }
+      val shinglesF = Future {
+        minhashIndexShingles(h, excludeSeg = "")
+          .write.mode("overwrite").parquet(s"$path/$newSeg/shingles")
+      }
+      Await.result(keysF, scala.concurrent.duration.Duration.Inf)
+      Await.result(shinglesF, scala.concurrent.duration.Duration.Inf)
+    }
     writeMinhashMeta(spark, path, m.shingleN, m.numPerms, m.numBands,
       m.numKeyBuckets, List(newSeg), m.lastTag, m.nextSeg) // counter survives
     h.meta = m.copy(segments = List(newSeg))
@@ -696,14 +709,23 @@ object Dedup {
     // the manifest, so probes can never see half a batch.
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
+    // the two tables are independent writes into the SAME uncommitted
+    // segment dir — run them as CONCURRENT Spark jobs (scheduler threads):
+    // each is small in the micro-batch regime, so the wall cost of the
+    // append is max(shingles, keys) instead of their sum. Both must
+    // complete before the caller's manifest flip, hence the joined await.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     // jid-SORTED within each file: the probe's point-lookup regime pushes
     // the candidate-id set into this scan as an isin predicate, and the
     // sort gives those lookups parquet min/max row-group skipping (the
     // same treatment the keys table gets on band_key below)
-    df.select(col(idCol).cast("long").as("jid"),
-        hashedShinglesUdf(shingleN)(words).as("sh"))
-      .sortWithinPartitions(col("jid"))
-      .write.mode("overwrite").parquet(s"$segDir/shingles")
+    val shinglesF = Future {
+      df.select(col(idCol).cast("long").as("jid"),
+          hashedShinglesUdf(shingleN)(words).as("sh"))
+        .sortWithinPartitions(col("jid"))
+        .write.mode("overwrite").parquet(s"$segDir/shingles")
+    }
     // keys land bucket-partitioned (`bucket = pmod(band_key, B)` directory
     // partitions) and band_key-SORTED within each file: a probe prunes to
     // the batch's touched bucket directories at the source, so its read
@@ -715,12 +737,16 @@ object Dedup {
     // parquet-writer init serially (~1.4 s per micro-batch at gate
     // scale); pinning numKeyBuckets partitions writes the buckets in
     // parallel and still lands exactly one file per bucket dir
-    minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
-      .withColumn("bucket", keyBucket(col("band_key"), numKeyBuckets))
-      .repartition(numKeyBuckets, col("bucket"))
-      .sortWithinPartitions(col("band_key"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$segDir/keys")
+    val keysF = Future {
+      minhashBandKeys(df, textCol, idCol, shingleN, numPerms, numBands)
+        .withColumn("bucket", keyBucket(col("band_key"), numKeyBuckets))
+        .repartition(numKeyBuckets, col("bucket"))
+        .sortWithinPartitions(col("band_key"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$segDir/keys")
+    }
+    Await.result(shinglesF, scala.concurrent.duration.Duration.Inf)
+    Await.result(keysF, scala.concurrent.duration.Duration.Inf)
   }
 
   /** Near-duplicate pairs of a NEW batch against a [[buildMinhashIndex]]
@@ -756,15 +782,30 @@ object Dedup {
   private def probeStoredKeys(h: MinhashIndexHandle, newKeys: DataFrame,
                               excludeSeg: String): (DataFrame, Array[Long]) = {
     val nkb = h.meta.numKeyBuckets
-    val probePairs = newKeys
+    // ONE job for BOTH regimes (the previous shape paid a SECOND
+    // distinct+collect for the touched buckets whenever the batch
+    // overflowed the point-lookup limit — a whole job barrier of the
+    // per-micro-batch floor in the streaming regime): per touched BUCKET,
+    // the exact distinct-key count plus the ≤cap smallest keys. Driver
+    // traffic is bounded by buckets × cap regardless of batch size; the
+    // executor-side set buffers are distributed by bucket (the same
+    // order as the distinct shuffle itself). When the total distinct
+    // count fits the point-lookup cap, every bucket's sliced set is
+    // complete, so the pushed `isin` key list is exact.
+    val cap = MaxPushedProbeKeys + 1
+    val perBucket = newKeys
       .select(col("band_key"), keyBucket(col("band_key"), nkb).as("b"))
-      .distinct().limit(MaxPushedProbeKeys + 1).collect()
-    val probeKeys = probePairs.map(_.getLong(0))
-    val touchedBuckets: Seq[Int] =
-      if (probeKeys.length <= MaxPushedProbeKeys)
-        probePairs.map(_.getInt(1)).distinct.toSeq
-      else newKeys.select(keyBucket(col("band_key"), nkb).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq
+      .distinct()
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"),
+        slice(sort_array(collect_set(col("band_key"))), 1, cap).as("ks"))
+      .collect()
+    val touchedBuckets: Seq[Int] = perBucket.map(_.getInt(0)).toSeq
+    val nDistinct = perBucket.map(_.getLong(1)).sum
+    val probeKeys: Array[Long] =
+      if (nDistinct <= MaxPushedProbeKeys)
+        perBucket.flatMap(_.getAs[scala.collection.Seq[Long]]("ks"))
+      else new Array[Long](MaxPushedProbeKeys + 1) // over-limit sentinel
     // bucket pruning rides the `buckets` path selection (directories the
     // scan never lists); the key-membership isin is the only row predicate
     val srcPred =
