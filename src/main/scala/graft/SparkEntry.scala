@@ -190,6 +190,42 @@ object SparkEntry {
     }
   }
 
+  /** The q_tf_embed transformer weights (shared engine/oracle): every
+    * matrix entry is a small-integer formula over (row, col) scaled by
+    * 1/16 — dyadic, so the q/k/v projections and attention scores are
+    * EXACT in IEEE double and the oracle inlines the same integers. */
+  private[graft] object TfFixture {
+    val Dim = 8
+    val MaxLen = 8
+    def wq(r: Int, c: Int): Int = (3 * r + 5 * c + 1) % 9 - 4
+    def wk(r: Int, c: Int): Int = (7 * r + 2 * c + 3) % 9 - 4
+    def wv(r: Int, c: Int): Int = (2 * r + 7 * c + 5) % 9 - 4
+    def w1(r: Int, c: Int): Int = (5 * r + 3 * c + 2) % 9 - 4
+    def b1(r: Int): Int = r % 5 - 2
+    def w2(r: Int, c: Int): Int = (4 * r + 5 * c + 1) % 9 - 4
+    def b2(r: Int): Int = r % 3 - 1
+    /** p(i,k), in the same 1/16 dyadic units as the weights. */
+    def posEnc(i: Int, k: Int): Int = (5 * i + 3 * k + 1) % 9 - 4
+    lazy val path: String = {
+      def row(f: Int => Int) =
+        (0 until Dim).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
+      def mat(f: (Int, Int) => Int) =
+        (0 until Dim).map(r => (0 until Dim)
+          .map(c => (f(r, c) / 16.0).toString).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      val json =
+        s"""{"dim": $Dim, "max_len": $MaxLen,
+           | "wq": ${mat(wq)}, "wk": ${mat(wk)}, "wv": ${mat(wv)},
+           | "w1": ${mat(w1)}, "b1": ${row(b1)},
+           | "w2": ${mat(w2)}, "b2": ${row(b2)},
+           | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
+           |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft-tf-", ".json")
+      java.nio.file.Files.writeString(f, json)
+      f.toString
+    }
+  }
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -843,6 +879,34 @@ object SparkEntry {
       graft.ml.DiffOfMeans.scoresExact(emb, col("doc_id"), col("emb"),
           col("pos"))
         .orderBy(col("vec_id"))
+    }),
+
+    "q_tf_embed" -> ((s, dir) => {
+      // IN-PROCESS TRANSFORMER inference (tf: provider): a single-layer
+      // single-head CAUSAL-ATTENTION encoder runs entirely in executor
+      // JVMs — real attention over token positions, residuals, LayerNorm,
+      // position-wise FFN — and BOTH layers' mean-pooled states hash-match
+      // the DuckDB replay of the whole forward pass. The exactness
+      // discipline: dyadic weights/embeddings (projections and q·k scores
+      // EXACT), integer-softmax attention (floor-quantized scores,
+      // 2^(s−max) weights — exact powers of two, no exp), fixed-order
+      // folds everywhere else (IEEE-deterministic on both engines). The
+      // closest JVM answer to the reference's in-process hf:/tl: torch
+      // transformers; at 100 TB the same map-side shape serves any
+      // weights the JSON format carries.
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      val f1 = udf((t: String) => tf.pooled(t, 1, "mean"))
+      val f2 = udf((t: String) => tf.pooled(t, 2, "mean"))
+      val base = docs.select(col("doc_id"), f1(col("text")).as("l1"),
+        f2(col("text")).as("l2"))
+      base.select(col("doc_id"), lit(1L).as("layer"), posexplode(col("l1")))
+        .unionAll(base.select(col("doc_id"), lit(2L).as("layer"),
+          posexplode(col("l2"))))
+        .select(col("doc_id"), col("layer"), col("pos").cast("long").as("dim"),
+          col("col").as("val"))
+        .orderBy(col("doc_id"), col("layer"), col("dim"))
     }),
 
     "q_llm_logits" -> ((s, dir) => {
@@ -3513,6 +3577,150 @@ object SparkEntry {
     * layer-1 ReLU columns `h0..h7 FROM v(vv)` and the 4 head expressions
     * over them — shared by the q_llm_mlp and q_mlp_probe oracles so the
     * replayed net can never drift from the fixture formula. */
+  /** q_tf_embed oracle: the transformer forward pass unrolled to SQL —
+    * position-unrolled stage CTEs (embeddings → q/k/v → integer-softmax
+    * causal attention → residual+LayerNorm → FFN+residual → zero-padded
+    * mean pools of BOTH layers). Every weight is the [[TfFixture]]
+    * integer over 16.0 (exact dyadic), attention weights index a literal
+    * table of exact powers of two (no `exp`/`pow` on either engine), and
+    * every inexact fold is written left-associated in the same order the
+    * Scala provider accumulates — bit-identical by construction. */
+  private def tfNetSql: String = {
+    import TfFixture._
+    val L = MaxLen
+    val D = Dim
+    def fr(v: Int) = s"($v)/16.0"
+    // sum of pre-rendered terms, left-associated from `seed`
+    def fold(seed: String, terms: Seq[String]) =
+      terms.foldLeft(seed)((a, t) => s"$a + $t")
+    val xs = (0 until L).map { i =>
+      val elems = (0 until D).map { k =>
+        s"(CAST((hs[${i + 1}] >> ${4 * k}) & 15 AS BIGINT) - 8 + ${posEnc(i, k)})/16.0"
+      }.mkString(", ")
+      s"CASE WHEN n > $i THEN [$elems] ELSE [${Seq.fill(D)("0.0").mkString(", ")}] END AS x$i"
+    }.mkString(",\n    ")
+    def proj(name: String, w: (Int, Int) => Int) = (0 until L).map { i =>
+      val elems = (0 until D).map { r =>
+        fold("0.0", (0 until D).map(c => s"${fr(w(r, c))}*x$i[${c + 1}]"))
+      }.mkString(", ")
+      s"[$elems] AS $name$i"
+    }.mkString(",\n    ")
+    val scores = (for (i <- 0 until L; j <- 0 to i) yield {
+      val dot = fold("0.0", (0 until D).map(d => s"q$i[${d + 1}]*k$j[${d + 1}]"))
+      s"CAST(floor(16.0 * ($dot)) AS BIGINT) AS s_${i}_$j"
+    }).mkString(",\n    ")
+    val maxes = (0 until L).map { i =>
+      val args = (0 to i).map(j => s"s_${i}_$j").mkString(", ")
+      s"greatest($args) AS m_$i"
+    }.mkString(",\n    ")
+    val es = (for (i <- 0 until L; j <- 0 to i) yield
+      s"pw[CAST(least(m_$i - s_${i}_$j, 60) AS INT) + 1] AS e_${i}_$j"
+    ).mkString(",\n    ")
+    val ss = (0 until L).map { i =>
+      fold("0.0", (0 until L).map(j =>
+        if (j <= i) s"e_${i}_$j" else "0.0")) + s" AS sw_$i"
+    }.mkString(",\n    ")
+    val zs = (0 until L).map { i =>
+      val elems = (0 until D).map { d =>
+        val num = fold("0.0", (0 until L).map(j =>
+          (if (j <= i) s"e_${i}_$j" else "0.0") + s"*v$j[${d + 1}]"))
+        s"x$i[${d + 1}] + ($num) / sw_$i"
+      }.mkString(", ")
+      s"[$elems] AS z$i"
+    }.mkString(",\n    ")
+    val mus = (0 until L).map { i =>
+      s"(${fold("0.0", (0 until D).map(d => s"z$i[${d + 1}]"))})/$D.0 AS mu_$i"
+    }.mkString(",\n    ")
+    val vas = (0 until L).map { i =>
+      s"(${fold("0.0", (0 until D).map(d =>
+        s"(z$i[${d + 1}]-mu_$i)*(z$i[${d + 1}]-mu_$i)"))})/$D.0 AS va_$i"
+    }.mkString(",\n    ")
+    val lns = (0 until L).map { i =>
+      s"list_transform(z$i, zz -> (zz - mu_$i)/sqrt(va_$i + 0.0000152587890625)) AS ln$i"
+    }.mkString(",\n    ")
+    val ffs = (0 until L).map { i =>
+      val elems = (0 until D).map { c =>
+        val a = fold(fr(b1(c)), (0 until D).map(kk =>
+          s"${fr(w1(c, kk))}*ln$i[${kk + 1}]"))
+        s"CASE WHEN ($a) < 0 THEN 0.0 ELSE ($a) END"
+      }.mkString(", ")
+      s"[$elems] AS f$i"
+    }.mkString(",\n    ")
+    val ys = (0 until L).map { i =>
+      val elems = (0 until D).map { d =>
+        val a = fold(fr(b2(d)), (0 until D).map(c =>
+          s"${fr(w2(d, c))}*f$i[${c + 1}]"))
+        s"ln$i[${d + 1}] + ($a)"
+      }.mkString(", ")
+      s"[$elems] AS y$i"
+    }.mkString(",\n    ")
+    def pool(st: String) = {
+      val acc = fold("0.0", (0 until L).map(i =>
+        s"CASE WHEN n > $i THEN $st$i[CAST(dm AS INT) + 1] ELSE 0.0 END"))
+      s"CASE WHEN n = 0 THEN 0.0 ELSE ($acc) / n END"
+    }
+    // exact decimal images of 2^0 .. 2^-60 (BigDecimal: every negative
+    // power of two is a finite decimal) — the no-`pow` weight table
+    val pw = (0 to 60).map(m =>
+      (BigDecimal(1) / BigDecimal(2).pow(m)).underlying.toPlainString)
+      .mkString("[", ", ", "]")
+    s"""WITH tf0 AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+       |    x -> length(x) > 0)[1:$L] AS ws FROM documents),
+       |tf1 AS (
+       |  SELECT doc_id, len(ws) AS n, $pw AS pw,
+       |    list_transform(ws, t ->
+       |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+       |  FROM tf0),
+       |tfx AS (SELECT doc_id, n, pw,
+       |    $xs
+       |  FROM tf1),
+       |tfq AS (SELECT *,
+       |    ${proj("q", wq)},
+       |    ${proj("k", wk)},
+       |    ${proj("v", wv)}
+       |  FROM tfx),
+       |tfs AS (SELECT *,
+       |    $scores
+       |  FROM tfq),
+       |tfm AS (SELECT *,
+       |    $maxes
+       |  FROM tfs),
+       |tfe AS (SELECT *,
+       |    $es
+       |  FROM tfm),
+       |tfsum AS (SELECT *,
+       |    $ss
+       |  FROM tfe),
+       |tfa AS (SELECT *,
+       |    $zs
+       |  FROM tfsum),
+       |tfl AS (SELECT *,
+       |    $mus
+       |  FROM tfa),
+       |tfv AS (SELECT *,
+       |    $vas
+       |  FROM tfl),
+       |tfn AS (SELECT *,
+       |    $lns
+       |  FROM tfv),
+       |tff AS (SELECT *,
+       |    $ffs
+       |  FROM tfn),
+       |tfy AS (SELECT *,
+       |    $ys
+       |  FROM tff),
+       |dims AS (SELECT CAST(unnest(range($D)) AS BIGINT) AS dm)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS layer, dm AS dim,
+       |  ${pool("ln")} AS val
+       |FROM tfy CROSS JOIN dims
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT) AS layer, dm AS dim,
+       |  ${pool("y")} AS val
+       |FROM tfy CROSS JOIN dims
+       |ORDER BY doc_id, layer, dim""".stripMargin
+  }
+
   private def mlpNetSql: (String, String) = {
     val l1 = (0 until 8).map { j =>
       val terms = (0 until 16)
@@ -5231,6 +5439,10 @@ object SparkEntry {
          |FROM q JOIN qw USING (dim)
          |GROUP BY q.doc_id ORDER BY vec_id""".stripMargin
     },
+
+    // full transformer forward-pass replay: embeddings → q/k/v → causal
+    // integer-softmax attention → LayerNorm → FFN → both pooled layers
+    "q_tf_embed" -> tfNetSql,
 
     "q_llm_logits" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),

@@ -117,6 +117,11 @@ object ModelRegistry {
   // (`model_registry_implementations.py:81-407`) without torch or a
   // server; real intermediate layers, logit head, greedy generate.
   register("mlp")(rest => MlpProvider.fromJson(rest))
+  // tf:<weights.json> — IN-PROCESS single-layer causal TRANSFORMER (pure
+  // JVM, see TransformerProvider): real attention over positions,
+  // LayerNorm, FFN, token modes "mean"/"last" — the reference's torch
+  // in-process role for the architecture class a JVM can execute exactly.
+  register("tf")(rest => TransformerProvider.fromJson(rest))
 }
 
 /** Deterministic fake provider: every output value is derived from

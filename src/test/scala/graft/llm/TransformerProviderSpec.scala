@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The in-process transformer: causality, order sensitivity (the property
+  * the bag-of-words MLP cannot have), token modes, truncation, decoding,
+  * and the JSON/registry round-trip. */
+class TransformerProviderSpec extends AnyFunSuite {
+
+  private def dyad(v: Int): Double = v / 16.0
+  private def mat(f: (Int, Int) => Int): Array[Array[Double]] =
+    Array.tabulate(8, 8)((r, c) => dyad(f(r, c)))
+  private def vec(f: Int => Int): Array[Double] =
+    Array.tabulate(8)(r => dyad(f(r)))
+
+  private val tiny = new TransformerProvider(8, 8,
+    wq = mat((r, c) => (3 * r + 5 * c + 1) % 9 - 4),
+    wk = mat((r, c) => (7 * r + 2 * c + 3) % 9 - 4),
+    wv = mat((r, c) => (2 * r + 7 * c + 5) % 9 - 4),
+    w1 = mat((r, c) => (5 * r + 3 * c + 2) % 9 - 4),
+    b1 = vec(r => r % 5 - 2),
+    w2 = mat((r, c) => (4 * r + 5 * c + 1) % 9 - 4),
+    b2 = vec(r => r % 3 - 1),
+    vocab = Seq("alpha" -> Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0),
+      "beta" -> Array.tabulate(8)(i => if (i == 1) 1.0 else 0.0)))
+
+  test("shape validation is a hard error") {
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, mat((_, _) => 0), mat((_, _) => 0),
+        mat((_, _) => 0), mat((_, _) => 0), Array(0.0), // bad b1
+        mat((_, _) => 0), vec(_ => 0), Seq.empty)
+    }
+    intercept[IllegalArgumentException] { tiny.pooled("x", 3, "mean") }
+    intercept[IllegalArgumentException] { tiny.pooled("x", 1, "first") }
+  }
+
+  test("deterministic; empty text pools to the zero vector") {
+    val a = tiny.pooled("the quick fox", 2, "mean")
+    val b = tiny.pooled("the quick fox", 2, "mean")
+    assert(a.toSeq == b.toSeq)
+    assert(tiny.pooled("", 2, "mean").toSeq == Seq.fill(8)(0.0))
+    assert(tiny.pooled("   ", 1, "last").toSeq == Seq.fill(8)(0.0))
+  }
+
+  test("causal mask: position states depend only on the prefix") {
+    // same first two tokens, different third: positions 0 and 1 of the
+    // per-position states must be identical — attention never looks ahead
+    val (ln1, y1, _) = tiny.states("alpha beta gamma")
+    val (ln2, y2, _) = tiny.states("alpha beta OMEGA")
+    for (i <- 0 to 1) {
+      assert(ln1(i).toSeq == ln2(i).toSeq, s"LayerNorm state $i looked ahead")
+      assert(y1(i).toSeq == y2(i).toSeq, s"FFN state $i looked ahead")
+    }
+    assert(y1(2).toSeq != y2(2).toSeq, "third position must differ")
+  }
+
+  test("order sensitivity: same bag of words, different embedding") {
+    // the property a bag-of-words MLP cannot have: attention sees order
+    // through the positional encodings
+    val ab = tiny.pooled("alpha beta", 2, "mean")
+    val ba = tiny.pooled("beta alpha", 2, "mean")
+    assert(ab.toSeq != ba.toSeq)
+  }
+
+  test("token modes: 'last' is the final real position, truncation at max_len") {
+    val (_, y, n) = tiny.states("one two three")
+    assert(n == 3)
+    assert(tiny.pooled("one two three", 2, "last").toSeq == y(2).toSeq)
+    // a 9th token is truncated away — embeddings equal on the first 8
+    val eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    assert(tiny.pooled(s"$eight extra", 2, "mean").toSeq ==
+      tiny.pooled(eight, 2, "mean").toSeq)
+  }
+
+  test("logits and greedy generate are deterministic; ties break lexicographically") {
+    val l = tiny.logitScores(Iterator(Seq("alpha beta")), Seq("alpha", "beta"))
+      .next().head
+    val emb = tiny.pooled("alpha beta", 2, "mean")
+    assert(l(0) == emb(0) && l(1) == emb(1), "unit vocab vectors pick dims")
+    val g = tiny.generate(Iterator(Seq("seed text")), 3).next().head
+    assert(g.split(" ").length == 3 && g.split(" ").forall(Set("alpha", "beta")))
+    assert(tiny.generate(Iterator(Seq("seed text")), 0).next().head == "")
+  }
+
+  test("JSON round-trip through the registry") {
+    def js2(m: Array[Array[Double]]) =
+      m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def js1(v: Array[Double]) = v.mkString("[", ",", "]")
+    val json =
+      s"""{"dim": 8, "max_len": 8,
+         | "wq": ${js2(tiny.wq)}, "wk": ${js2(tiny.wk)}, "wv": ${js2(tiny.wv)},
+         | "w1": ${js2(tiny.w1)}, "b1": ${js1(tiny.b1)},
+         | "w2": ${js2(tiny.w2)}, "b2": ${js1(tiny.b2)},
+         | "vocab": {"alpha": [1,0,0,0,0,0,0,0], "beta": [0,1,0,0,0,0,0,0]}}
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-tf-", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val (prov, _) = ModelRegistry.get(s"tf:$f")
+    val loaded = prov.asInstanceOf[TransformerProvider]
+    assert(loaded.pooled("round trip check", 2, "mean").toSeq ==
+      tiny.pooled("round trip check", 2, "mean").toSeq)
+    assert(loaded.pooled("round trip check", 1, "last").toSeq ==
+      tiny.pooled("round trip check", 1, "last").toSeq)
+  }
+}
