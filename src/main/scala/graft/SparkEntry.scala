@@ -1349,6 +1349,100 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_cms_sink" -> ((s, dir) => {
+      // DURABLE Count-Min sketch (cmsSketchToSink): the word stream of
+      // two micro-batches (even doc_ids, then odd) folds into a persisted
+      // counter matrix; the RUNNING sketch after each batch is read back
+      // from the sink and probed for the corpus-wide top-20 — batch 0's
+      // estimates replay against the even-docs prefix sketch, batch 1's
+      // against everything (the sum monoid makes it equal the batch
+      // operator). Exactly-once restart pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val src = java.nio.file.Files.createTempDirectory("graft-cmssink-src-")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-cmssink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cmssink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+        .select(explode(filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 0)).as("word"))
+      graft.streaming.Streaming.cmsSketchToSink(stream, "word",
+        CmsDepth, CmsWidth, sink, ckpt)
+      val occ = docs.select(explode(filter(split(trim(col("text")), "\\s+"),
+        w => length(w) > 0)).as("word"))
+      val top = occ.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+      Seq(0, 1).map { b =>
+        val sk = s.read.parquet(s"$sink/_state/batch_id=$b")
+          .select(col("row").cast("int").as("row"),
+            col("bucket").cast("long").as("bucket"),
+            col("cnt").cast("long").as("cnt"))
+        Profile.cmsEstimate(sk, top, "word", CmsDepth, CmsWidth)
+          .join(top, "word")
+          .select(lit(b.toLong).as("batch_id"), col("word"),
+            col("exact_cnt"), col("est_cnt"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("batch_id"), col("exact_cnt").desc, col("word"))
+    }),
+
+    "q_bloom_sink" -> ((s, dir) => {
+      // DURABLE Bloom filter (bloomBitmapToSink): the reference snapshot
+      // streams in two batches (even doc_ids, then odd); the RUNNING
+      // bitmap after each batch probes the whole corpus — batch 0's
+      // verdicts replay against the even-refs prefix filter (exact_hit =
+      // prefix membership, so one-sidedness is pinned per prefix),
+      // batch 1's equal the batch build (OR monoid). Exactly-once
+      // restart pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val src = java.nio.file.Files.createTempDirectory("graft-blsink-src-")
+      ref.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/b0")
+      ref.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-blsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-blsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+        .select(col("text"))
+      graft.streaming.Streaming.bloomBitmapToSink(stream, "text",
+        BloomK, BloomM, sink, ckpt)
+      Seq(0, 1).map { b =>
+        val words = s.read.parquet(s"$sink/_state/batch_id=$b")
+          .select(col("idx"), col("word")).orderBy(col("idx"))
+          .collect().map(_.getLong(1))
+        val prefRef =
+          if (b == 0) ref.filter(col("doc_id") % 2 === 0).select(col("text"))
+          else ref.select(col("text"))
+        docs.select(col("doc_id"), col("text"))
+          .withColumn("bloom_hit",
+            Profile.bloomMightContain(words, col("text"), BloomK, BloomM))
+          .join(prefRef.distinct().withColumn("__in", lit(true)),
+            Seq("text"), "left")
+          .select(lit(b.toLong).as("batch_id"), col("doc_id"),
+            col("bloom_hit"), coalesce(col("__in"), lit(false)).as("exact_hit"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("batch_id"), col("doc_id"))
+    }),
+
     "q_card_sink" -> ((s, dir) => {
       // DURABLE data card (corpusReportToSink): two documents
       // micro-batches (even doc_ids, then odd) fold into a persisted
@@ -3546,6 +3640,62 @@ object SparkEntry {
        |GROUP BY word, exact_cnt
        |ORDER BY exact_cnt DESC, word""".stripMargin
 
+  /** q_cms_sink replay: per batch prefix (even doc_ids; everything), the
+    * prefix's counter matrix probed for the CORPUS-WIDE top-20 — the sum
+    * monoid makes batch 1 equal the plain q_cms oracle. */
+  private def cmsSinkOracleSql: String = {
+    val legs = Seq(0 -> "doc_id % 2 = 0", 1 -> "1 = 1").map { case (b, w) =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, word,
+         |  CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         |  CAST(MIN(sk$b.cnt) AS BIGINT) AS est_cnt
+         |FROM probe JOIN (
+         |  SELECT r, CAST('0x'||substr(md5('cms'||r||chr(31)||word),1,15)
+         |      AS BIGINT) % $CmsWidth AS bucket, SUM(cnt) AS cnt
+         |  FROM (SELECT word, COUNT(*) AS cnt FROM (
+         |      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |        x -> length(x) > 0)) AS word FROM documents WHERE $w)
+         |    GROUP BY 1), rs GROUP BY 1, 2) sk$b USING (r, bucket)
+         |GROUP BY word, exact_cnt""".stripMargin
+    }
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0)) AS word FROM documents),
+       |wc AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1),
+       |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+       |top AS (SELECT word, cnt AS exact_cnt FROM wc
+       |        ORDER BY cnt DESC, word LIMIT 20),
+       |probe AS (SELECT word, exact_cnt, r,
+       |            CAST('0x'||substr(md5('cms'||r||chr(31)||word),1,15)
+       |              AS BIGINT) % $CmsWidth AS bucket
+       |          FROM top, rs)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY batch_id, exact_cnt DESC, word""".stripMargin
+  }
+
+  /** q_bloom_sink replay: per batch prefix of the reference snapshot, the
+    * prefix bitmap's corpus probe with exact_hit = prefix membership. */
+  private def bloomSinkOracleSql: String = {
+    val legs = Seq(0, 1).map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, d.doc_id, bm.bloom_hit,
+         |  (d.text IN (SELECT text FROM ref$b)) AS exact_hit
+         |FROM documents d JOIN (
+         |  SELECT doc_id, COUNT(*) FILTER (WHERE bit IN (
+         |      SELECT DISTINCT CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+         |        AS BIGINT) % $BloomM FROM ref$b, rs)) = $BloomK AS bloom_hit
+         |  FROM ph GROUP BY doc_id) bm USING (doc_id)""".stripMargin
+    }
+    s"""WITH rs AS (SELECT unnest(range($BloomK)) AS i),
+       |ref0 AS (SELECT DISTINCT text FROM documents
+       |         WHERE doc_id < 2000 AND doc_id % 2 = 0),
+       |ref1 AS (SELECT DISTINCT text FROM documents WHERE doc_id < 2000),
+       |ph AS (SELECT doc_id,
+       |         CAST('0x'||substr(md5('bloom'||i||chr(31)||text),1,15)
+       |           AS BIGINT) % $BloomM AS bit
+       |       FROM documents, rs)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY batch_id, doc_id""".stripMargin
+  }
+
   /** q_bloom filter shape (shared engine/oracle): ~2k reference texts ×
     * 3 hashes into 16384 bits ⇒ load ≈ 0.37 per hash, FP rate ≈ 3% — the
     * gate sees REAL false positives (one-sidedness exercised, not a
@@ -5355,6 +5505,11 @@ object SparkEntry {
     // as one (batch, priority, id)-keyed window cumsum
     "q_card_sink" -> cardSinkOracleSql,
     "q_tb_sink" -> tbSinkOracleSql,
+
+    // sketch sinks: each batch prefix's persisted counter matrix / bitmap
+    // probed against the corpus
+    "q_cms_sink" -> cmsSinkOracleSql,
+    "q_bloom_sink" -> bloomSinkOracleSql,
 
     "q_tb_graph" ->
       s"""WITH t AS (

@@ -1083,6 +1083,82 @@ object Streaming {
       .toDF("row", "bucket", "cnt")
   }
 
+  /** The PRODUCTION form of [[cmsSketchAvailableNow]] — the Count-Min
+    * counter matrix as a DURABLE streaming artifact, exactly-once across
+    * restarts: after every micro-batch the RUNNING sketch (≤ depth×width
+    * `(row, bucket, cnt)` rows — the state IS the queryable artifact)
+    * lands at `sink/_state/batch_id=B`. The fold is the sketch's sum
+    * monoid as a DataFrame aggregation; replay of batch B folds only the
+    * newest state < B ([[newestStateBefore]]) and overwrites its own
+    * directory — byte-identical, forced-restart-tested. A monitoring
+    * probe reads the newest batch dir at any time and sees the exact
+    * sketch of everything ingested so far. */
+  def cmsSketchToSink(values: DataFrame, valueCol: String,
+                      depth: Int, width: Int,
+                      sink: String, checkpoint: String): Unit = {
+    val spark = values.sparkSession
+    val query = values.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+        val bs = graft.ext.Profile.cmsSketch(batch.toDF(), valueCol,
+          depth, width)
+        val folded = newestStateBefore(spark, sink, bid) match {
+          case None => bs
+          case Some(p) =>
+            spark.read.parquet(s"$sink/_state/batch_id=$p")
+              .unionByName(bs)
+              .groupBy(col("row"), col("bucket"))
+              .agg(sum(col("cnt")).as("cnt"))
+        }
+        folded.coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The PRODUCTION form of [[bloomBitmapAvailableNow]] — the Bloom
+    * bitmap as a DURABLE streaming artifact, exactly-once across
+    * restarts: after every micro-batch the RUNNING bitmap (numBits/64
+    * `(idx, word)` rows) lands at `sink/_state/batch_id=B`; the fold is
+    * the OR monoid over the carried words (bitmap-sized — KBs — so the
+    * driver-side OR is metadata work). Same replay discipline as every
+    * `*ToSink`: fold only state < B, overwrite own dir. */
+  def bloomBitmapToSink(values: DataFrame, valueCol: String,
+                        numHashes: Int, numBits: Int,
+                        sink: String, checkpoint: String): Unit = {
+    val spark = values.sparkSession
+    val query = values.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+        val bw = graft.ext.Profile.bloomBitmap(batch.toDF(), valueCol,
+          numHashes, numBits)
+        val prev = newestStateBefore(spark, sink, bid) match {
+          case None => new Array[Long](numBits / 64)
+          case Some(p) =>
+            spark.read.parquet(s"$sink/_state/batch_id=$p")
+              .select(col("idx"), col("word")).orderBy(col("idx"))
+              .collect().map(_.getLong(1))
+        }
+        import spark.implicits._
+        prev.zip(bw).map { case (a, b) => a | b }.zipWithIndex
+          .map { case (w, i) => (i.toLong, w) }.toSeq
+          .toDF("idx", "word")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming Bloom-filter build: bit-set union is an OR monoid, so the
     * running bitmap over any micro-batch slicing equals the batch build
     * exactly — each batch contributes its (bounded, distinct) bit

@@ -732,6 +732,76 @@ class StreamingSpec extends SparkTestBase {
     assert(verdicts() == before, "replay altered the admission ledger")
   }
 
+  test("cms sink: running counters per batch, exactly-once restart") {
+    // the sum monoid, durable: the persisted sketch after batch B must
+    // equal the batch operator over the prefix; a forced replay of the
+    // last batch folds only pre-batch state and rewrites identical rows
+    val b0 = Seq("a", "b", "a")
+    val b1 = Seq("b", "c")
+    val b2 = Seq("a", "c", "c", "d")
+    val src = java.nio.file.Files.createTempDirectory("graft-cmss-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("v").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-cmss-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cmss-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.cmsSketchToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "v", depth = 3, width = 16, sink, ckpt)
+    run()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    for ((prefix, b) <- prefixes.zipWithIndex)
+      assert(canon(spark.read.parquet(s"$sink/_state/batch_id=$b")) ==
+        canon(graft.ext.Profile.cmsSketch(prefix.toDF("v"), "v", 3, 16)),
+        s"running sketch after batch $b != batch operator over the prefix")
+    val before = (0 to 2).map(b =>
+      canon(spark.read.parquet(s"$sink/_state/batch_id=$b")))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert((0 to 2).map(b =>
+      canon(spark.read.parquet(s"$sink/_state/batch_id=$b"))) == before,
+      "replay altered the sketches")
+  }
+
+  test("bloom sink: running bitmap per batch, exactly-once restart") {
+    val b0 = Seq("alpha", "beta")
+    val b1 = Seq("gamma")
+    val b2 = Seq("delta", "alpha")
+    val src = java.nio.file.Files.createTempDirectory("graft-bls-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("v").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-bls-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bls-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.bloomBitmapToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "v", numHashes = 3, numBits = 256, sink, ckpt)
+    run()
+    def bits(b: Int) = spark.read.parquet(s"$sink/_state/batch_id=$b")
+      .orderBy(col("idx")).collect().map(_.getLong(1)).toSeq
+    val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
+    for ((prefix, b) <- prefixes.zipWithIndex)
+      assert(bits(b) == graft.ext.Profile.bloomBitmap(
+          prefix.toDF("v"), "v", 3, 256).toSeq,
+        s"running bitmap after batch $b != batch build over the prefix")
+    val before = (0 to 2).map(bits)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert((0 to 2).map(bits) == before, "replay altered the bitmaps")
+  }
+
   test("minhash ingest-to-sink: exactly-once across a forced restart replay") {
     // the dedup loop's PRODUCTION sink form: three micro-batches probe the
     // stored index and append themselves; the last batch's checkpoint
