@@ -482,25 +482,105 @@ object Similarity {
           col("vnorm"))
   }
 
-  /** Append new corpus rows to an existing [[buildIvfPqIndex]] store:
-    * assignment against the stored centroids, PQ encoding against the
-    * stored codebooks — codes stay comparable with every existing row, so
-    * probes over the merged store need no special casing. */
-  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                         newRows: DataFrame, corpusId: String,
-                         corpusVec: String): Unit = {
-    val cents = readCentroids(spark, path)
-    val cb = readCodebooks(spark, path)
-    val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
+  // one IVF-PQ segment: codes-only cell-partitioned rows, the cell id
+  // duplicated as `cell_d` (the writeIvfSegment treatment — partitionBy
+  // strips the partition column, and the multi-segment probe reads
+  // explicitly selected cell dirs as one unpartitioned multi-path scan)
+  private def writePqSegment(rows: DataFrame, corpusId: String,
+                             corpusVec: String, cents: CentArrays,
+                             cb: PqCodebooks, segDir: String): Unit = {
+    val bcCents = rows.sparkSession.sparkContext.broadcast(cents)
     val assignUdf = udf { v: scala.collection.Seq[Float] =>
       bcCents.value.bestCell(v) }
-    pqEncode(newRows, corpusId, corpusVec, cb)
+    pqEncode(rows, corpusId, corpusVec, cb)
       .withColumn("cell", assignUdf(col("__v")))
       .select(col("id").as("corpus_id"), col("codes"),
         col("__r2").as("r2"), col("cell"))
+      .withColumn("cell_d", col("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(segDir)
+  }
+
+  /** The live codes rows `(cell, corpus_id, codes, r2)` across `segs`,
+    * optionally restricted to `cells` — the [[ivfCorpus]] explicit-path
+    * multi-scan applied to the PQ store. */
+  private def pqCorpus(spark: org.apache.spark.sql.SparkSession,
+                       path: String, segs: Seq[String],
+                       cells: Option[Seq[Int]]): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sel = cells.map(_.toSet)
+    val paths = for {
+      s <- segs
+      segPath = new org.apache.hadoop.fs.Path(s"$path/$s")
+      fs = segPath.getFileSystem(hconf)
+      st <- if (fs.exists(segPath)) fs.listStatus(segPath).toSeq else Nil
+      n = st.getPath.getName
+      if n.startsWith("cell=") &&
+        sel.forall(_.contains(n.substring("cell=".length).toInt))
+    } yield st.getPath.toString
+    if (paths.isEmpty)
+      spark.read.parquet(s"$path/${segs.head}").filter(lit(false))
+        .select(col("cell"), col("corpus_id"), col("codes"), col("r2"))
+    else
+      spark.read.parquet(paths: _*)
+        .select(col("cell_d").as("cell"), col("corpus_id"), col("codes"),
+          col("r2"))
+  }
+
+  /** Append new corpus rows to an existing [[buildIvfPqIndex]] store:
+    * assignment against the stored centroids, PQ encoding against the
+    * stored codebooks — codes stay comparable with every existing row, so
+    * probes over the merged store need no special casing. Round 18: the
+    * PQ store joined the segment+manifest discipline of the other three
+    * stored indexes — the batch lands as an immutable SEGMENT committed
+    * by the atomic [[StoreMeta]] flip (a crash mid-write leaves an
+    * unreferenced dir, never a half-visible append), and a non-empty
+    * `tag` makes the append EXACTLY-ONCE under streaming replay. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newRows: DataFrame, corpusId: String,
+                         corpusVec: String, tag: String = ""): Unit = {
+    val m = readIvfMeta(spark, path)
+    if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
+    if (newRows.isEmpty) return // idle micro-batch: no junk segment
+    val cents = readCentroids(spark, path, m.centDir)
+    val cb = readCodebooks(spark, path)
+    val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
+    writePqSegment(newRows, corpusId, corpusVec, new CentArrays(cents), cb,
+      s"$path/$seg")
+    writeIvfMeta(spark, path,
+      m.copy(segments = m.segments :+ seg, lastTag = tag,
+        nextSeg = m.nextSeg + 1L))
+  }
+
+  /** COMPACT a segmented [[buildIvfPqIndex]] store back to one
+    * generation — the [[compactIvfIndex]] discipline on the codes rows
+    * (content-preserving; codes never re-derived, so compaction cannot
+    * drift the quantization). Orphans swept with the one-generation
+    * grace window. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val m = readIvfMeta(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = m.segments.toSet
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("seg_") && !live.contains(n)) {
+        try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+    }
+    val gen = m.segments.collect {
+      case s if s.startsWith("seg_c") =>
+        scala.util.Try(s.drop(5).toInt).getOrElse(-1)
+    } match { case Nil => 0; case gs => gs.max + 1 }
+    val newSeg = s"seg_c$gen"
+    pqCorpus(spark, path, m.segments, cells = None)
+      .withColumn("cell_d", col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/$newSeg")
+    writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
   }
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -922,16 +1002,8 @@ object Similarity {
                       centroids: Array[(Int, Seq[Float])], cb: PqCodebooks,
                       path: String): Unit = {
     val spark = corpus.sparkSession
-    val bcCents = spark.sparkContext.broadcast(new CentArrays(centroids))
-    val assignUdf = udf { v: scala.collection.Seq[Float] =>
-      bcCents.value.bestCell(v) }
-    pqEncode(corpus, corpusId, corpusVec, cb)
-      .withColumn("cell", assignUdf(col("__v")))
-      .select(col("id").as("corpus_id"), col("codes"),
-        col("__r2").as("r2"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/corpus")
+    writePqSegment(corpus, corpusId, corpusVec, new CentArrays(centroids),
+      cb, s"$path/seg_base")
     import spark.implicits._
     centroids.toSeq.map { case (cid, v) => (cid, v) }
       .toDF("cent_id", "centroid")
@@ -940,6 +1012,11 @@ object Similarity {
       yield (s, j, cb.words(s)(j).toSeq))
       .toDF("sub", "code", "word")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    // the manifest commits LAST — same build discipline as buildIvfIndex
+    StoreMeta.write(
+      Seq((List("seg_base"), "", 0L, "centroids"))
+        .toDF("segments", "last_tag", "next_seg", "cent_dir"),
+      path, "meta")
   }
 
   /** Probe a [[buildIvfPqIndex]] index: partition-pruned codes-only scan +
@@ -949,7 +1026,8 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, queryId: String, queryVec: String,
                        k: Int, nprobe: Int): DataFrame = {
-    val cents = readCentroids(spark, path)
+    val m = readIvfMeta(spark, path)
+    val cents = readCentroids(spark, path, m.centDir)
     val cb = readCodebooks(spark, path)
     val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
     val bcCb = spark.sparkContext.broadcast(cb)
@@ -962,9 +1040,7 @@ object Similarity {
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(s"$path/corpus")
-      .filter(col("cell").isin(cells.map(Int.box): _*))
-      .select(col("cell"), col("corpus_id"), col("codes"), col("r2"))
+    val c = pqCorpus(spark, path, m.segments, Some(cells))
     val den = col("__qn") * sqrt(col("r2"))
     val scored = c.join(broadcast(q.drop("__qv")), Seq("cell"))
       .withColumn("__adc",

@@ -809,6 +809,23 @@ class ExtSpec extends SparkTestBase {
       "vec_id", "embedding", k = 5, nprobe = 3)
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(probePq(incPq) == probePq(fullPq))
+    // round 18 — the PQ store joined the segment+manifest discipline: a
+    // tagged append replayed with the same tag is skipped whole, and
+    // compaction folds the history probe-identically
+    val extra = corpus.filter($"vec_id" >= 190)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    Similarity.appendToIvfPqIndex(spark, incPq, extra, "vec_id", "embedding",
+      tag = "t1")
+    val afterTag = probePq(incPq)
+    Similarity.appendToIvfPqIndex(spark, incPq, extra, "vec_id", "embedding",
+      tag = "t1") // replay: must be a no-op
+    assert(probePq(incPq) == afterTag, "replayed tagged append double-stored")
+    Similarity.compactIvfPqIndex(spark, incPq)
+    assert(probePq(incPq) == afterTag, "PQ compaction changed probe results")
+    val segs = new java.io.File(incPq).listFiles()
+      .map(_.getName).filter(_.startsWith("seg_")).toSeq
+    assert(segs.count(_.startsWith("seg_c")) == 1,
+      s"expected one folded generation, got $segs")
   }
 
   test("residual IVF-PQ (IVFADC): beats raw-vector codes on clustered data") {
@@ -895,20 +912,23 @@ class ExtSpec extends SparkTestBase {
     Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding", cents, cb, idx)
 
     // the stored rows carry codes + r2 only — vectors never hit the index
-    val stored = spark.read.parquet(s"$idx/corpus")
-    assert(stored.columns.sorted.toSeq == Seq("cell", "codes", "corpus_id", "r2"),
+    // (round-18 layout: segment dir + manifest, cell duplicated as cell_d)
+    val stored = spark.read.parquet(s"$idx/seg_base")
+    assert(stored.columns.sorted.toSeq ==
+      Seq("cell", "cell_d", "codes", "corpus_id", "r2"),
       s"index schema ${stored.columns.toSeq}")
 
     val queries = corpus.filter($"vec_id" === 42L)
     val viaIndex = Similarity.ivfPqTopKIndexed(spark, idx, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)
-    // partition pruning: the probe's scan plans only the probed cell dirs
-    val scans = viaIndex.queryExecution.sparkPlan.collect {
+    // cell pruning: the probe's explicit multi-path scan reads only the
+    // probed cell DIRECTORIES (2 of 8)
+    val scannedCells = viaIndex.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }
-    assert(scans.nonEmpty, "no file scan in indexed-probe plan")
-    assert(scans.head.selectedPartitions.partitionCount == 2,
-      s"scan planned ${scans.head.selectedPartitions.partitionCount} partitions, want 2 of 8")
+    }.flatMap(_.relation.location.inputFiles)
+      .flatMap(_.split("/").find(_.startsWith("cell="))).distinct
+    assert(scannedCells.length == 2,
+      s"scan reads cells $scannedCells, want exactly the 2 probed")
     // end-to-end parity with the in-memory IVF-PQ path (same centroids,
     // same codebooks → identical codes, LUTs, scores, ranks)
     val inMem = Similarity.ivfPqTopK(corpus, "vec_id", "embedding",
