@@ -909,6 +909,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("layer"), col("dim"))
     }),
 
+    "q_tf_probe" -> ((s, dir) => {
+      // the reference's CORE chain with a TRANSFORMER: tf: pooled
+      // final-layer states feed the exact difference-of-means probe
+      // (label: lang = en) — attention-derived features through the same
+      // quantized-exact probe as q_mlp_probe, so train→score hashes end
+      // to end against the full forward-pass + probe replay.
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      val fw = udf((t: String) => tf.pooled(t, 2, "mean"))
+      val emb = docs.select(col("doc_id"), (col("lang") === "en").as("pos"),
+        fw(col("text")).as("emb"))
+      graft.ml.DiffOfMeans.scoresExact(emb, col("doc_id"), col("emb"),
+          col("pos"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_llm_logits" -> ((s, dir) => {
       val r = runnerFor(s)
       val ds = r.fromParquet(s"$dir/documents.parquet")
@@ -3735,7 +3752,7 @@ object SparkEntry {
     * table of exact powers of two (no `exp`/`pow` on either engine), and
     * every inexact fold is written left-associated in the same order the
     * Scala provider accumulates — bit-identical by construction. */
-  private def tfNetSql: String = {
+  private def tfCtes: String = {
     import TfFixture._
     val L = MaxLen
     val D = Dim
@@ -3804,25 +3821,20 @@ object SparkEntry {
       }.mkString(", ")
       s"[$elems] AS y$i"
     }.mkString(",\n    ")
-    def pool(st: String) = {
-      val acc = fold("0.0", (0 until L).map(i =>
-        s"CASE WHEN n > $i THEN $st$i[CAST(dm AS INT) + 1] ELSE 0.0 END"))
-      s"CASE WHEN n = 0 THEN 0.0 ELSE ($acc) / n END"
-    }
     // exact decimal images of 2^0 .. 2^-60 (BigDecimal: every negative
     // power of two is a finite decimal) — the no-`pow` weight table
     val pw = (0 to 60).map(m =>
       (BigDecimal(1) / BigDecimal(2).pow(m)).underlying.toPlainString)
       .mkString("[", ", ", "]")
-    s"""WITH tf0 AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+    s"""tf0 AS (
+       |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0)[1:$L] AS ws FROM documents),
        |tf1 AS (
-       |  SELECT doc_id, len(ws) AS n, $pw AS pw,
+       |  SELECT doc_id, lang, len(ws) AS n, $pw AS pw,
        |    list_transform(ws, t ->
        |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
        |  FROM tf0),
-       |tfx AS (SELECT doc_id, n, pw,
+       |tfx AS (SELECT doc_id, lang, n, pw,
        |    $xs
        |  FROM tf1),
        |tfq AS (SELECT *,
@@ -3859,16 +3871,55 @@ object SparkEntry {
        |  FROM tfn),
        |tfy AS (SELECT *,
        |    $ys
-       |  FROM tff),
-       |dims AS (SELECT CAST(unnest(range($D)) AS BIGINT) AS dm)
+       |  FROM tff)""".stripMargin
+  }
+
+  /** Zero-padded mean pool of per-position state lists `st0..st7` at list
+    * index `idx` — the exact fold the provider's `pooled` runs. */
+  private def tfPool(st: String, idx: String): String = {
+    val acc = (0 until TfFixture.MaxLen).foldLeft("0.0")((a, i) =>
+      s"$a + CASE WHEN n > $i THEN $st$i[$idx] ELSE 0.0 END")
+    s"CASE WHEN n = 0 THEN 0.0 ELSE ($acc) / n END"
+  }
+
+  private def tfNetSql: String =
+    s"""WITH $tfCtes,
+       |dims AS (SELECT CAST(unnest(range(${TfFixture.Dim})) AS BIGINT) AS dm)
        |SELECT doc_id, CAST(1 AS BIGINT) AS layer, dm AS dim,
-       |  ${pool("ln")} AS val
+       |  ${tfPool("ln", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |UNION ALL
        |SELECT doc_id, CAST(2 AS BIGINT) AS layer, dm AS dim,
-       |  ${pool("y")} AS val
+       |  ${tfPool("y", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |ORDER BY doc_id, layer, dim""".stripMargin
+
+  /** q_tf_probe oracle: the transformer CTEs give each doc's pooled
+    * final state; the q_mlp_probe diff-of-means replay runs on top —
+    * quantized activations, per-dim class-mean difference weights,
+    * micro-unit integer scores. */
+  private def tfProbeOracleSql: String = {
+    val D = TfFixture.Dim
+    val es = (0 until D).map(d => tfPool("y", (d + 1).toString))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH $tfCtes,
+       |hdx AS (SELECT doc_id, lang = 'en' AS is_pos,
+       |    $es AS es
+       |  FROM tfy),
+       |q AS (SELECT doc_id, is_pos, CAST(dm AS BIGINT) AS dim,
+       |        CAST(round(es[CAST(dm AS INT) + 1] * 1e6) AS BIGINT) AS qx
+       |      FROM hdx, range($D) t(dm)),
+       |w AS (SELECT dim,
+       |    CAST(SUM(CASE WHEN is_pos THEN qx END) AS DOUBLE)
+       |      / COUNT(CASE WHEN is_pos THEN 1 END) / 1e6
+       |  - CAST(SUM(CASE WHEN NOT is_pos THEN qx END) AS DOUBLE)
+       |      / COUNT(CASE WHEN NOT is_pos THEN 1 END) / 1e6 AS w
+       |  FROM q GROUP BY dim),
+       |qw AS (SELECT dim, CAST(round(w * 1e9) AS BIGINT) AS qw FROM w)
+       |SELECT q.doc_id AS vec_id,
+       |  CAST(SUM(q.qx * qw.qw) AS DOUBLE) / 1e15 AS score
+       |FROM q JOIN qw USING (dim)
+       |GROUP BY q.doc_id ORDER BY vec_id""".stripMargin
   }
 
   private def mlpNetSql: (String, String) = {
@@ -5598,6 +5649,9 @@ object SparkEntry {
     // full transformer forward-pass replay: embeddings → q/k/v → causal
     // integer-softmax attention → LayerNorm → FFN → both pooled layers
     "q_tf_embed" -> tfNetSql,
+
+    // transformer activations → diff-of-means probe, replayed end to end
+    "q_tf_probe" -> tfProbeOracleSql,
 
     "q_llm_logits" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
