@@ -475,26 +475,43 @@ object Bm25 {
       val deltaDir =
         if (tag.nonEmpty) s"postings_d$tag"
         else s"postings_d${st.nextSeg}"
-      postings.repartition(nb, col("bucket"))
-        .sortWithinPartitions(col("term"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/$deltaDir")
+      // the delta write, the df merge, and the additive stats aggregate
+      // are three INDEPENDENT jobs before the pointer flip (the df merge
+      // reads the persisted postings and the OLD df table, never the new
+      // delta dir) — run them as concurrent Spark jobs so the per-batch
+      // append wall is max(...), not their sum (the writeMinhashRows
+      // treatment; all three complete before the atomic commit below)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val deltaF = Future {
+        postings.repartition(nb, col("bucket"))
+          .sortWithinPartitions(col("term"), col("doc_id"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/$deltaDir")
+      }
       // vocab-bounded df merge: old table + the batch's own term counts,
       // into a fresh versioned dir (the old one stays readable until the
       // pointer flips + one more cycle, see pruneVersions)
       val newDfDir = s"df_v${versionOf(st.dfDir) + 1}"
-      spark.read.schema(dfSchema).parquet(s"$path/${st.dfDir}")
-        .select(col("term"), col("df"))
-        .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .withColumn("bucket", bUdf(col("term")))
-        .repartition(nb, col("bucket"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(s"$path/$newDfDir")
+      val dfF = Future {
+        spark.read.schema(dfSchema).parquet(s"$path/${st.dfDir}")
+          .select(col("term"), col("df"))
+          .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .withColumn("bucket", bUdf(col("term")))
+          .repartition(nb, col("bucket"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$path/$newDfDir")
+      }
+      val addF = Future {
+        withWs.agg(count(lit(1)).as("n"),
+          coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
+      }
+      Await.result(deltaF, scala.concurrent.duration.Duration.Inf)
+      Await.result(dfF, scala.concurrent.duration.Duration.Inf)
       // additive stats + pointer flip LAST — the atomic commit point
-      val add = withWs.agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
+      val add = Await.result(addF, scala.concurrent.duration.Duration.Inf)
       writeStats(spark, path,
         (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
         nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag,

@@ -407,7 +407,14 @@ object Similarity {
     * ATOMICALLY with the segment list (probes read centroids via the
     * manifest, so an in-flight reader sees old centroids + old segments
     * or new + new, never a mix); stale centroid dirs are swept on the
-    * NEXT compaction — the same one-generation grace window as segments. */
+    * NEXT compaction — the same one-generation grace window as segments.
+    *
+    * Streaming caveat: recentring REASSIGNS rows, so a fixed-nprobe
+    * probe's results (correctly) change — quiesce a streaming ingest
+    * (checkpoint committed) before recentring, or a crash-replay probe
+    * could see different cells than its first attempt. The ingest sinks'
+    * own `autoCompactAt` stays on plain compaction, which preserves
+    * assignments and is replay-exact. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, recentre: Boolean,
                       recentreIters: Int = 5,
