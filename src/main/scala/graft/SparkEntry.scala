@@ -2443,6 +2443,50 @@ object SparkEntry {
         .orderBy(col("batch_id"), col("query_id"), col("rank"))
     }),
 
+    "q_pq_stream" -> ((s, dir) => {
+      // STREAMING PQ ingest — the FOURTH stored index on the
+      // probe-then-append discipline (enabled by the round-18 segment
+      // port of the PQ store): two embedding micro-batches retrieve
+      // their codes-only ADC top-5 from the ACCUMULATED store (batch 1
+      // sees batch 0's codes), then append themselves as tagged segments
+      // encoded against the STORED codebooks; per-batch auto-compaction
+      // folds the store under the gate. The oracle replays each batch's
+      // full IVF-PQ pipeline (assignment, code argmin, probe, ADC)
+      // against exactly the corpus prefix that batch saw.
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-pqstream-idx-").toString
+      val head = emb.filter(col("vec_id") < 20)
+      Similarity.buildIvfPqIndex(head, "vec_id", "embedding",
+        Similarity.centroidsByIds(head, "vec_id", "embedding", 0L to 7L),
+        Similarity.pqCodebooksByIds(head, "vec_id", "embedding", m = 8,
+          0L to 15L),
+        idx)
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-pqstream-src-")
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+        .coalesce(1).write.parquet(s"$src/b0")
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-pqstream-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-pqstream-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.pqIngestToSink(stream, idx, "vec_id",
+        "embedding", k = 5, nprobe = 2, sink, ckpt, autoCompactAt = 1)
+      s.read.parquet(sink)
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("query_id"), col("corpus_id"), col("score"), col("rank"))
+        .orderBy(col("batch_id"), col("query_id"), col("rank"))
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       // IVF-PQ (Jégou et al., TPAMI 2011): IVF cell pruning + product-
       // quantized ADC scoring — candidates cost O(m) LUT lookups over
@@ -3893,6 +3937,75 @@ object SparkEntry {
        |  ${tfPool("y", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |ORDER BY doc_id, layer, dim""".stripMargin
+
+  /** q_pq_stream oracle: the q_ann_ivfpq replay per BATCH PREFIX — shared
+    * CTEs for the head-built codebooks/centroids and the per-row code
+    * argmin + cell assignment (both are row-local and
+    * batch-independent), then per batch the probe/ADC chain restricted
+    * to exactly the corpus prefix that batch saw (`cid < lo`). */
+  private def pqStreamOracleSql: String = {
+    val batches = Seq((0, 20, 30), (1, 30, 40))
+    val legs = batches.map { case (b, lo, hi) =>
+      s"""q$b AS (SELECT cid qid, v qv,
+         |    sqrt(list_sum(list_transform(v, x -> x*x))) qn
+         |  FROM corp WHERE cid >= $lo AND cid < $hi),
+         |probe$b AS (SELECT qid, cent_id AS cell FROM (
+         |    SELECT q.qid, ct.cent_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC,
+         |          ct.cent_id) rn
+         |    FROM q$b q, cent ct) WHERE rn <= 2),
+         |elig$b AS (SELECT p.qid, a.cid FROM probe$b p
+         |  JOIN assign a USING (cell) WHERE a.cid < $lo),
+         |contrib$b AS (SELECT e.qid, e.cid,
+         |    list_dot_product(q.qv[cd.sub*8+1 : cd.sub*8+8], w.wv) num_s,
+         |    w.w2 r2_s
+         |  FROM elig$b e JOIN q$b q ON q.qid = e.qid
+         |    JOIN codes cd ON cd.cid = e.cid
+         |    JOIN cwn w ON w.sub = cd.sub AND w.j = cd.j),
+         |sc$b AS (SELECT qid, cid, sum(num_s) num, sum(r2_s) r2
+         |  FROM contrib$b GROUP BY 1, 2),
+         |scored$b AS (SELECT sc.qid query_id, sc.cid corpus_id,
+         |    CASE WHEN q.qn * sqrt(sc.r2) > 0
+         |      THEN sc.num / (q.qn * sqrt(sc.r2)) ELSE 0.0 END s
+         |  FROM sc$b sc JOIN q$b q ON q.qid = sc.qid),
+         |r$b AS (SELECT query_id, corpus_id, s,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY s DESC, corpus_id) AS BIGINT) rank
+         |  FROM scored$b)""".stripMargin
+    }
+    val selects = batches.map { case (b, _, _) =>
+      s"""SELECT CAST($b AS BIGINT) AS batch_id, query_id, corpus_id,
+         |  round(s, 6) AS score, rank FROM r$b WHERE rank <= 5""".stripMargin
+    }
+    s"""WITH corp AS (SELECT vec_id cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+       |  FROM embeddings WHERE vec_id < 40),
+       |cent AS (SELECT CAST(cid AS INT) cent_id, v cv FROM corp WHERE cid < 8),
+       |subs AS (SELECT CAST(unnest(range(8)) AS INT) sub),
+       |cw AS (SELECT s.sub, CAST(c.cid AS INT) j,
+       |    c.v[s.sub*8+1 : s.sub*8+8] wv
+       |  FROM corp c, subs s WHERE c.cid < 16),
+       |cwn AS (SELECT sub, j, wv,
+       |    list_sum(list_transform(wv, x -> x*x)) w2 FROM cw),
+       |dist AS (SELECT c.cid, w.sub, w.j,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (c.v[w.sub*8+i] - w.wv[i]) * (c.v[w.sub*8+i] - w.wv[i]))) d
+       |  FROM corp c, cwn w),
+       |codes AS (SELECT cid, sub, j FROM (
+       |    SELECT cid, sub, j,
+       |      row_number() OVER (PARTITION BY cid, sub ORDER BY d, j) rn
+       |    FROM dist) WHERE rn = 1),
+       |assign AS (SELECT cid, cent_id AS cell FROM (
+       |    SELECT c.cid, ct.cent_id,
+       |      row_number() OVER (PARTITION BY c.cid
+       |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+       |          ct.cent_id) rn
+       |    FROM corp c, cent ct) WHERE rn = 1),
+       |${legs.mkString(",\n")}
+       |${selects.mkString("\nUNION ALL\n")}
+       |ORDER BY batch_id, query_id, rank""".stripMargin
+  }
 
   /** q_tf_probe oracle: the transformer CTEs give each doc's pooled
     * final state; the q_mlp_probe diff-of-means replay runs on top —
@@ -6331,6 +6444,10 @@ object SparkEntry {
     // corpus PREFIX that batch saw (head for batch 0, head ∪ batch 0 for
     // batch 1) — compaction is pure layout, so the replay is
     // layout-independent
+    // the PQ twin: per batch prefix, the full IVF-PQ replay (code argmin
+    // and cell assignment shared row-local CTEs; probe/ADC per prefix)
+    "q_pq_stream" -> pqStreamOracleSql,
+
     "q_ann_stream" -> {
       val batches = Seq(
         (0, "vec_id < 20", "vec_id >= 20 AND vec_id < 30"),

@@ -1032,7 +1032,18 @@ object Similarity {
     * probed `cell=N` directories only. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, queryId: String, queryVec: String,
-                       k: Int, nprobe: Int): DataFrame = {
+                       k: Int, nprobe: Int): DataFrame =
+    ivfPqTopKIndexed(spark, path, queries, queryId, queryVec, k, nprobe,
+      excludeIds = None)
+
+  /** [[ivfPqTopKIndexed]] with ID-BASED exclusion — the replay
+    * reconstruction a streaming ingest's probe needs (the
+    * [[ivfTopKIndexed]] contract: both sides cast to long so a
+    * differently-typed caller id can never silently exclude nothing). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nprobe: Int,
+                       excludeIds: Option[DataFrame]): DataFrame = {
     val m = readIvfMeta(spark, path)
     val cents = readCentroids(spark, path, m.centDir)
     val cb = readCodebooks(spark, path)
@@ -1047,7 +1058,12 @@ object Similarity {
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c = pqCorpus(spark, path, m.segments, Some(cells))
+    val c0 = pqCorpus(spark, path, m.segments, Some(cells))
+    val c = excludeIds.map { d =>
+      val ex = broadcast(
+        d.select(col(d.columns.head).cast("long").as("__exid")).distinct())
+      c0.join(ex, c0("corpus_id").cast("long") === ex("__exid"), "left_anti")
+    }.getOrElse(c0)
     val den = col("__qn") * sqrt(col("r2"))
     val scored = c.join(broadcast(q.drop("__qv")), Seq("cell"))
       .withColumn("__adc",

@@ -703,6 +703,46 @@ object Streaming {
     query.awaitTermination()
   }
 
+  /** Streaming INGEST of a stored IVF-PQ ANN index — the FOURTH stored
+    * index on the probe-then-append discipline (round 18, enabled by the
+    * PQ store's segment+manifest port): each embedding micro-batch
+    * retrieves its codes-only ADC top-k from the ACCUMULATED store, then
+    * appends itself as a tagged segment (assignment against the stored
+    * centroids, encoding against the stored codebooks — codes stay
+    * comparable forever). Exactly-once mechanics are the
+    * [[ivfIngestToSink]] trio verbatim: id-based probe exclusion
+    * (layout-independent replay reconstruction), tag-skipped appends,
+    * per-batch-dir sink overwrite; `autoCompactAt` bounds fragmentation
+    * with the assignment-preserving fold. */
+  def pqIngestToSink(vecs: DataFrame, path: String, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int,
+                     sink: String, checkpoint: String,
+                     autoCompactAt: Int = 0): Unit = {
+    val spark = vecs.sparkSession
+    val query = vecs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ext.Similarity.ivfPqTopKIndexed(spark, path, b, idCol, vecCol,
+            k, nprobe, excludeIds = Some(b.select(idCol)))
+          .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
+        graft.ext.Similarity.appendToIvfPqIndex(spark, path, b, idCol,
+          vecCol, tag = s"b$bid")
+        if (autoCompactAt > 0 &&
+            graft.ext.Similarity.ivfLiveSegments(spark, path).length >
+              autoCompactAt)
+          graft.ext.Similarity.compactIvfPqIndex(spark, path)
+        b.unpersist()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming INGEST of the inverted BM25 index
     * ([[graft.ext.Bm25.buildIndex]]): each micro-batch appends its
     * postings via [[graft.ext.Bm25.appendToIndex]] — bucket-keyed append,

@@ -1078,6 +1078,60 @@ class StreamingSpec extends SparkTestBase {
     assert(storeCount() == 11L, "replayed batch was double-appended")
   }
 
+  test("pq ingest sink: codes-only alerts, auto-compaction, exact replay") {
+    // the FOURTH stored index on the probe-then-append discipline: same
+    // shape as the IVF sink test, but the store holds m-int codes — the
+    // batch encodes against the STORED codebooks, so exact copies of
+    // head vectors score ADC cosine 1.0 and the ledger is deterministic.
+    def basis(j: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == j) 1.0f else 0.0f)
+    val corpus = (0 until 8).map(i => (i.toLong, basis(i % 4)))
+      .toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-pqs-idx-").toString
+    Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding",
+      Similarity.centroidsByIds(corpus, "vec_id", "embedding", 0L until 4L),
+      Similarity.pqCodebooksByIds(corpus, "vec_id", "embedding", m = 4,
+        0L until 8L),
+      idx)
+    val b0 = Seq((100L, basis(0)), (101L, basis(1)))
+    val b1 = Seq((200L, basis(0)))
+    val src = java.nio.file.Files.createTempDirectory("graft-pqs-src-")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+      b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-pqs-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-pqs-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/{b0,b1}/*.parquet")
+    def run(): Unit = Streaming.pqIngestToSink(stream, idx, "vec_id",
+      "embedding", k = 3, nprobe = 1, sink, ckpt, autoCompactAt = 1)
+    run()
+    def ledger() = spark.read.parquet(sink)
+      .select(col("batch_id").cast("long"), col("query_id"),
+        col("corpus_id"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val before = ledger()
+    assert(before == Set(
+      (0L, 100L, 0L, 1L), (0L, 100L, 4L, 2L),
+      (0L, 101L, 1L, 1L), (0L, 101L, 5L, 2L),
+      (1L, 200L, 0L, 1L), (1L, 200L, 4L, 2L), (1L, 200L, 100L, 3L)),
+      s"unexpected PQ ledger $before")
+    assert(Similarity.ivfLiveSegments(spark, idx) == List("seg_c1"),
+      "expected one folded generation after per-batch auto-compaction")
+    def storeCount() = spark.read.parquet(s"$idx/seg_c1").count()
+    assert(storeCount() == 11L)
+    // forced replay of batch 1 — its segment is already folded away; the
+    // id-based exclusion must reconstruct the pre-append codes view
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(ledger() == before, "replay altered the PQ alert ledger")
+    assert(storeCount() == 11L, "replayed batch was double-appended")
+  }
+
   test("bm25 ingest sink: auto-compaction mid-stream, identical probes") {
     // same policy on the BM25 store: delta history folds whenever it
     // crosses the threshold; per-batch probes score index CONTENT, so
