@@ -609,7 +609,7 @@ object ScaleProbe {
           .foreach(java.nio.file.Files.deleteIfExists(_))
       } finally s.close()
     }
-    val maintNames = Seq("bm25 maint", "mh maint", "ivf maint")
+    val maintNames = Seq("bm25 maint", "mh maint", "ivf maint", "pqmaint")
     if (filters.isEmpty || maintNames.exists(n => filters.exists(n.contains))) {
       for ((nAppends, batchRows) <- Seq((4, 125), (20, 25), (100, 5))) {
         val lbl = s"a$nAppends"
@@ -780,6 +780,40 @@ object ScaleProbe {
             probeBatch, "vec_id", "embedding", k = 10, nprobe = 2).count()
         }
         rmTree(vi)
+        // PQ store, same histories (round 18 — the fourth segmented
+        // store): codes-only appends encode against the stored codebooks,
+        // probes are ADC over explicitly selected cell dirs
+        val pi = java.nio.file.Files.createTempDirectory(s"graft-maint-pq-$lbl-")
+        graft.ext.Similarity.buildIvfPqIndex(head, "vec_id", "embedding",
+          graft.ext.Similarity.centroidsByIds(head, "vec_id", "embedding",
+            0L until 8L),
+          graft.ext.Similarity.pqCodebooksByIds(head, "vec_id", "embedding",
+            m = 8, 0L until 16L),
+          pi.toString)
+        measure(s"pqmaint append $lbl",
+            s"appends=$nAppends rows=$batchRows live=1000") {
+          (0 until nAppends).foreach { i =>
+            graft.ext.Similarity.appendToIvfPqIndex(spark, pi.toString,
+              emb.filter(col("vec_id") >= 500 + i * batchRows &&
+                  col("vec_id") < 500 + (i + 1) * batchRows),
+              "vec_id", "embedding", tag = s"m$i")
+          }
+          parquetCount(pi, "cell=")
+        }
+        measure(s"pqmaint probe-pre $lbl", s"segments=$nAppends+base") {
+          graft.ext.Similarity.ivfPqTopKIndexed(spark, pi.toString,
+            probeBatch, "vec_id", "embedding", k = 10, nprobe = 2).count()
+        }
+        measure(s"pqmaint compact $lbl",
+            s"live=1000 vecs, history=$nAppends appends") {
+          graft.ext.Similarity.compactIvfPqIndex(spark, pi.toString)
+          parquetCount(pi, "cell=")
+        }
+        measure(s"pqmaint probe-post $lbl", "1 segment") {
+          graft.ext.Similarity.ivfPqTopKIndexed(spark, pi.toString,
+            probeBatch, "vec_id", "embedding", k = 10, nprobe = 2).count()
+        }
+        rmTree(pi)
       }
     }
   }
