@@ -3466,6 +3466,43 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_sem_sink" -> ((s, dir) => {
+      // DURABLE SemDeDup (semanticDedupToSink): two id-ordered embedding
+      // micro-batches (vec_id < 30; then 30..59 ∪ planted copies of
+      // 30..39 at +100000) dedup against pinned centroids — batch 1's
+      // rows must drop against batch 0's PERSISTED cell-assigned state
+      // (the append-shaped, cell-pruned state store), so the whole
+      // ledger equals the batch operator over the union (nondecreasing
+      // arrival). Exactly-once restart pinned in StreamingSpec.
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.centroidsByIds(emb, "vec_id", "embedding",
+        0L to 7L)
+      val src = java.nio.file.Files.createTempDirectory("graft-semsink-src-")
+      emb.filter(col("vec_id") < 30).coalesce(1).write.parquet(s"$src/b0")
+      emb.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+        .union(emb.filter(col("vec_id") >= 30 && col("vec_id") < 40)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-semsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-semsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.semanticDedupToSink(stream, "vec_id",
+        "embedding", cents, threshold = 0.8, sink, ckpt)
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("id").as("vec_id"), col("cell"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_sem_stream" -> ((s, dir) => {
       // the STREAMING SemDeDup twin under the SAME oracle as
       // q_dedup_semantic: an availableNow stream of the corpus (originals ∪
@@ -4615,6 +4652,39 @@ object SparkEntry {
     * the 50 planted copies) assigned to its max-cosine centroid (ties →
     * smaller cell), duplicates = rows with a smaller-id same-cell neighbor
     * at cosine >= 0.8. */
+  /** q_sem_sink replay: the q_dedup_semantic dup rule over the two-batch
+    * union (nondecreasing ids make stream == batch), batch_id derived
+    * from the id ranges the gate streams. */
+  private val semSinkOracleSql: String =
+    """WITH u AS (
+      |  SELECT CAST(0 AS BIGINT) AS batch_id, vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 30
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), vec_id, embedding
+      |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 60
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), vec_id + 100000, embedding
+      |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 40),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) cent_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |corp AS (SELECT batch_id, vec_id cid,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+      |assign AS (
+      |  SELECT batch_id, cid, cent_id AS cell, v FROM (
+      |    SELECT c.batch_id, c.cid, ct.cent_id, c.v,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+      |    FROM corp c, cent ct) WHERE rn = 1),
+      |dup AS (
+      |  SELECT DISTINCT b.cid AS dup_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
+      |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+      |SELECT a.batch_id, a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
+      |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
+      |ORDER BY vec_id""".stripMargin
+
   private val semDedupOracleSql: String =
     """WITH u AS (
       |  SELECT vec_id, embedding FROM embeddings
@@ -6354,6 +6424,7 @@ object SparkEntry {
     // fixture → one micro-batch; multi-batch == batch pinned in
     // StreamingSpec), so it shares the replay verbatim
     "q_sem_stream" -> semDedupOracleSql,
+    "q_sem_sink" -> semSinkOracleSql,
 
     // replay of the recursive overflow split: one centroid -> cell 0 for
     // every row; sub-centroids = the 16 smallest-id members (vec_id 0..15,

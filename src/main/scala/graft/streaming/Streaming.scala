@@ -384,6 +384,93 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** The PRODUCTION form of [[semanticDedupAvailableNow]] — SemDeDup as a
+    * DURABLE, exactly-once streaming sink. Per micro-batch: verdicts land
+    * at `sink/data/batch_id=B`, and the batch's CELL-ASSIGNED rows at
+    * `sink/_state/batch_id=B/cell=N/…` — the state is APPEND-SHAPED (each
+    * batch persists only its own rows, the segmented-store discipline),
+    * so durable state costs one batch-sized write per batch, never a
+    * corpus rewrite. The probe unions the PRIOR batches' state restricted
+    * to the batch's touched cell DIRECTORIES (explicit multi-path
+    * selection — untouched cells are never listed or read), which keeps
+    * the cross-batch join pruned the same way the batch operator's cell
+    * shuffle is.
+    *
+    * Replay safety is structural: batch B joins only state dirs with
+    * id < B — its own (possibly partially re-written) dir is excluded by
+    * construction, and both writes are per-dir overwrites, so a
+    * crash-and-replay reproduces byte-identical verdicts. Same ordering
+    * contract as the in-memory twin: equals the batch operator when
+    * arrival respects nondecreasing ids; arbitrary arrival degrades to
+    * arrival-order-first-wins. */
+  def semanticDedupToSink(docs: DataFrame, idCol: String, vecCol: String,
+                          centroids: Array[(Int, Seq[Float])],
+                          threshold: Double,
+                          sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+        val assigned = graft.ext.Similarity
+          .assignCells(batch.toDF(), idCol, vecCol, centroids)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = assigned.select(col("cell"), col("id").as("id_b"),
+          col("__v").as("__vb"))
+        val inBatch = assigned
+          .select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
+          .join(b, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(graft.ext.Similarity.cosine(col("__va"), col("__vb"))
+            >= threshold)
+          .select(col("id_b").as("__dup"))
+        // prior rows: every committed state dir BEFORE this batch,
+        // restricted to the batch's touched cells at path construction
+        val touched = assigned.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val statePaths = for {
+          p <- {
+            val root = new org.apache.hadoop.fs.Path(s"$sink/_state")
+            val fs = root.getFileSystem(hconf)
+            (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
+              .filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith("batch_id="))
+              .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < bid)
+              .map(_.getPath)
+          }
+          st <- p.getFileSystem(hconf).listStatus(p).toSeq
+          n = st.getPath.getName
+          if n.startsWith("cell=") &&
+            touched.contains(n.substring("cell=".length).toInt)
+        } yield st.getPath.toString
+        val dropped = (if (statePaths.isEmpty) inBatch
+          else inBatch.union(
+            spark.read.parquet(statePaths: _*)
+              .select(col("cell_d").as("cell"), col("__v").as("__va"))
+              .join(b, Seq("cell"))
+              .filter(graft.ext.Similarity.cosine(col("__va"), col("__vb"))
+                >= threshold)
+              .select(col("id_b").as("__dup")))).distinct()
+        assigned
+          .join(dropped, col("id") === col("__dup"), "left_outer")
+          .select(col("id"), col("cell"), col("__dup").isNull.as("keep"))
+          .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        assigned
+          .select(col("id"), col("__v"), col("cell"),
+            col("cell").as("cell_d"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        assigned.unpersist()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming twin of [[graft.ext.Corpus.tokenBudgetKeep]]: a LIVE
     * per-group token-budget counter. Per micro-batch, rows are cumsummed in
     * the batch-local (priority DESC, id) order on top of each group's

@@ -1078,6 +1078,53 @@ class StreamingSpec extends SparkTestBase {
     assert(storeCount() == 11L, "replayed batch was double-appended")
   }
 
+  test("semantic dedup sink: cross-batch drops from persisted state, exact replay") {
+    // the 7th durable family: batch 1's copy of a batch-0 vector must
+    // drop against the PERSISTED cell-assigned state (not driver memory);
+    // a forced replay of the last batch joins only state dirs < its id —
+    // its own partially-rewritten dir is structurally excluded — and
+    // reproduces identical verdicts and state.
+    def basis(j: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == j) 1.0f else 0.0f)
+    val cents = (0 until 4).map(j => (j, basis(j).toSeq)).toArray
+    val b0 = Seq((0L, basis(0)), (1L, basis(1)))
+    val b1 = Seq((10L, basis(0)), (11L, basis(2)))  // 10 dups 0 cross-batch
+    val b2 = Seq((20L, basis(2)), (21L, basis(3)), (22L, basis(3)))
+    val src = java.nio.file.Files.createTempDirectory("graft-sems-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-sems-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sems-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.semanticDedupToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "vec_id", "embedding", cents, threshold = 0.95, sink, ckpt)
+    run()
+    def verdicts() = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val before = verdicts()
+    assert(before == Set(
+      (0L, 0L, true), (0L, 1L, true),
+      (1L, 10L, false), // cross-batch dup of 0 — via persisted state
+      (1L, 11L, true),
+      (2L, 20L, false), // cross-batch dup of 11
+      (2L, 21L, true), (2L, 22L, false)), // in-batch dup of 21
+      s"unexpected verdicts $before")
+    def stateRows() = spark.read.parquet(s"$sink/_state").count()
+    assert(stateRows() == 7L, "state must hold every assigned row")
+    // forced replay of batch 2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert(verdicts() == before, "replay altered the verdicts")
+    assert(stateRows() == 7L, "replay altered the state store")
+  }
+
   test("pq ingest sink: codes-only alerts, auto-compaction, exact replay") {
     // the FOURTH stored index on the probe-then-append discipline: same
     // shape as the IVF sink test, but the store holds m-int codes — the
