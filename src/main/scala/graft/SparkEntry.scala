@@ -926,6 +926,35 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_tf_rerank" -> ((s, dir) => {
+      // MODEL-SCORED RERANKING — the modern two-stage retrieval stack
+      // composed entirely from the engine's pieces: BM25 selects a top-10
+      // candidate pool (corpus-wide, map-side), then the in-process
+      // transformer scores each (query, doc) PAIR — the logit of the
+      // "yes" head over "<query> [SEP] <doc>" — and the pool re-ranks by
+      // quantized model score. The cross-encoder serving shape: the
+      // expensive model touches k rows, never the corpus; the oracle
+      // replays BM25, the full transformer forward pass over the pair
+      // images, and both rankings.
+      val docs = t(s, dir, "documents")
+      val topk = Bm25.rank(docs, "doc_id", "text", RrfTerms, k = 10)
+        .select(col("doc_id"), col("rank").as("bm25_rank"))
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      val q = RrfTerms.mkString(" ")
+      val scoreUdf = udf((t: String) =>
+        tf.logitScores(Iterator(Seq(s"$q [SEP] $t")), Seq("yes"))
+          .next().head(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("model_u6").desc, col("doc_id"))
+      topk.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("model_u6",
+          round(scoreUdf(col("text")) * 1e6).cast("long"))
+        .select(col("doc_id"), col("bm25_rank"), col("model_u6"))
+        .withColumn("rerank", row_number().over(w).cast("long"))
+        .orderBy(col("rerank"))
+    }),
+
     "q_llm_logits" -> ((s, dir) => {
       val r = runnerFor(s)
       val ds = r.fromParquet(s"$dir/documents.parquet")
@@ -3833,7 +3862,12 @@ object SparkEntry {
     * table of exact powers of two (no `exp`/`pow` on either engine), and
     * every inexact fold is written left-associated in the same order the
     * Scala provider accumulates — bit-identical by construction. */
-  private def tfCtes: String = {
+  private def tfCtes: String = tfCtes("documents")
+
+  /** Same CTE chain over an arbitrary `(doc_id, lang, text)` source —
+    * the composition hook (e.g. the rerank oracle scores BM25 survivors
+    * whose text is the (query, doc) pair image). */
+  private def tfCtes(srcSql: String): String = {
     import TfFixture._
     val L = MaxLen
     val D = Dim
@@ -3909,7 +3943,7 @@ object SparkEntry {
       .mkString("[", ", ", "]")
     s"""tf0 AS (
        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-       |    x -> length(x) > 0)[1:$L] AS ws FROM documents),
+       |    x -> length(x) > 0)[1:$L] AS ws FROM $srcSql),
        |tf1 AS (
        |  SELECT doc_id, lang, len(ws) AS n, $pw AS pw,
        |    list_transform(ws, t ->
@@ -3974,6 +4008,30 @@ object SparkEntry {
        |  ${tfPool("y", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |ORDER BY doc_id, layer, dim""".stripMargin
+
+  /** q_tf_rerank oracle: the q_bm25 scoring CTEs cut the candidate pool,
+    * then the transformer CTE chain runs over the (query, doc) PAIR
+    * images of the survivors; model score = the "yes" head's logit =
+    * pooled final dim 1 (unit vocab vector), quantized to micro-units;
+    * both rankings replayed with their tie-breaks. */
+  private def tfRerankOracleSql: String = {
+    val q = RrfTerms.mkString(" ")
+    s"""WITH ${bm25ScCtes(RrfTerms)},
+       |tk AS (SELECT doc_id, rank AS bm25_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (
+       |      ORDER BY score_u6 DESC, doc_id) AS BIGINT) AS rank FROM sc)
+       |  WHERE rank <= 10),
+       |${tfCtes(s"(SELECT d.doc_id, d.lang, '$q [SEP] ' || d.text AS text" +
+          " FROM documents d JOIN tk USING (doc_id))")},
+       |scored2 AS (SELECT doc_id,
+       |    CAST(round((${tfPool("y", "1")}) * 1e6) AS BIGINT) AS model_u6
+       |  FROM tfy)
+       |SELECT t.doc_id, t.bm25_rank, s2.model_u6,
+       |  CAST(row_number() OVER (ORDER BY s2.model_u6 DESC, t.doc_id)
+       |    AS BIGINT) AS rerank
+       |FROM tk t JOIN scored2 s2 USING (doc_id)
+       |ORDER BY rerank""".stripMargin
+  }
 
   /** q_pq_stream oracle: the q_ann_ivfpq replay per BATCH PREFIX — shared
     * CTEs for the head-built codebooks/centroids and the per-row code
@@ -5835,6 +5893,9 @@ object SparkEntry {
 
     // transformer activations → diff-of-means probe, replayed end to end
     "q_tf_probe" -> tfProbeOracleSql,
+
+    // BM25 pool → transformer pair-scored rerank, both rankings replayed
+    "q_tf_rerank" -> tfRerankOracleSql,
 
     "q_llm_logits" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
