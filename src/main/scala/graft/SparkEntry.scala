@@ -3495,6 +3495,61 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_curate_stream" -> ((s, dir) => {
+      // END-TO-END STREAMING CURATION (curateIngestToSink): the whole
+      // admission pipeline — quality gate → near-dup vs the CURATED
+      // corpus (a stored MinHash index that grows by exactly the
+      // admitted rows) → per-language token budget with carried fill —
+      // run over two micro-batches with planted cross-batch copies, all
+      // three gates' verdicts for EVERY row read back from the durable
+      // sink. The oracle replays the full cascade: batch 0's admissions
+      // feed batch 1's dedup candidates, the fill carries across batches
+      // as one batch-keyed window cumsum, exact Jaccard stands in for
+      // the LSH probe (the q_dedup_incr falsifiability argument covers
+      // this id range).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      val head = docs.filter(col("doc_id") < 50)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-curstream-idx-").toString
+      Dedup.buildMinhashIndex(s, idx, head, "text", "doc_id")
+      import s.implicits._
+      val shortRow = Seq((99999L, "en", "too short", 9L))
+        .toDF("doc_id", "lang", "text", "n_chars")
+      val b0 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 150)
+        .unionByName(docs.filter(col("doc_id") === 3 || col("doc_id") === 60)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("lang"),
+            col("text"), col("n_chars")))
+        .unionByName(shortRow)
+      val b1 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+        .unionByName(docs.filter(col("doc_id") === 3 || col("doc_id") === 70)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("lang"),
+            col("text"), col("n_chars")))
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-curstream-src-")
+      b0.coalesce(1).write.parquet(s"$src/b0")
+      b1.coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-curstream-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-curstream-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.curateIngestToSink(stream, "doc_id",
+        "text", "lang", "n_chars", idx, threshold = 0.9, minTokens = 5L,
+        budget = TbBudget, sink, ckpt)
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+          col("quality_ok"), col("is_dup"), col("cum_tokens"),
+          col("admitted"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sem_sink" -> ((s, dir) => {
       // DURABLE SemDeDup (semanticDedupToSink): two id-ordered embedding
       // micro-batches (vec_id < 30; then 30..59 ∪ planted copies of
@@ -4710,6 +4765,95 @@ object SparkEntry {
     * the 50 planted copies) assigned to its max-cosine centroid (ties →
     * smaller cell), duplicates = rows with a smaller-id same-cell neighbor
     * at cosine >= 0.8. */
+  /** q_curate_stream replay — the full cascade unrolled per batch:
+    * quality (token count), exact-Jaccard dedup against head ∪ earlier
+    * admissions ∪ smaller-id batch rows, and the per-language budget as
+    * one batch-keyed window cumsum over both batches' budget-stage rows
+    * (batch 0's fill precedes batch 1 by the ordering key). Batch 0's
+    * ADMITTED set feeds batch 1's candidate pool — the curated-corpus
+    * feedback loop, replayed acyclically. */
+  private def curateStreamOracleSql: String = {
+    val jac = "CASE WHEN len(list_distinct(list_concat(sx.sh, sy.sh))) > 0" +
+      " THEN CAST(len(list_intersect(sx.sh, sy.sh)) AS DOUBLE)" +
+      " / len(list_distinct(list_concat(sx.sh, sy.sh))) ELSE 0.0 END"
+    s"""WITH headc AS (
+       |  SELECT doc_id, lang, text, n_chars FROM documents WHERE doc_id < 50),
+       |ba0 AS (
+       |  SELECT CAST(0 AS BIGINT) batch_id, doc_id, lang, text, n_chars
+       |  FROM documents WHERE doc_id >= 50 AND doc_id < 150
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), doc_id + 100000, lang, text, n_chars
+       |  FROM documents WHERE doc_id = 3 OR doc_id = 60
+       |  UNION ALL
+       |  SELECT CAST(0 AS BIGINT), 99999, 'en', 'too short', 9),
+       |ba1 AS (
+       |  SELECT CAST(1 AS BIGINT) batch_id, doc_id, lang, text, n_chars
+       |  FROM documents WHERE doc_id >= 150 AND doc_id < 250
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), doc_id + 200000, lang, text, n_chars
+       |  FROM documents WHERE doc_id = 3 OR doc_id = 70),
+       |allr AS (SELECT * FROM ba0 UNION ALL SELECT * FROM ba1),
+       |tok AS (SELECT batch_id, doc_id, lang, n_chars,
+       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+       |      AS BIGINT) AS nt
+       |  FROM allr),
+       |shsrc AS (SELECT doc_id, text FROM headc
+       |          UNION ALL SELECT doc_id, text FROM allr),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(ngrams) AS sh FROM (
+       |    SELECT doc_id,
+       |    CASE WHEN len(words) >= 3 THEN
+       |      [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words) - 1)]
+       |    WHEN len(words) > 0 THEN [array_to_string(words, ' ')]
+       |    ELSE [] END AS ngrams
+       |    FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+       |        w -> length(w) > 0) AS words
+       |      FROM shsrc))),
+       |q0 AS (SELECT * FROM tok WHERE batch_id = 0 AND nt >= 5),
+       |cand0 AS (SELECT doc_id FROM headc UNION ALL SELECT doc_id FROM q0),
+       |dup0 AS (SELECT DISTINCT x.doc_id
+       |  FROM q0 x JOIN sh sx ON sx.doc_id = x.doc_id,
+       |    cand0 c JOIN sh sy ON sy.doc_id = c.doc_id
+       |  WHERE c.doc_id < x.doc_id AND $jac >= 0.9),
+       |nd0 AS (SELECT * FROM q0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dup0)),
+       |bud0 AS (SELECT doc_id,
+       |    CAST(SUM(nt) OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM nd0),
+       |adm0 AS (SELECT doc_id FROM bud0 WHERE cum <= $TbBudget),
+       |q1 AS (SELECT * FROM tok WHERE batch_id = 1 AND nt >= 5),
+       |cand1 AS (SELECT doc_id FROM headc
+       |  UNION ALL SELECT doc_id FROM adm0
+       |  UNION ALL SELECT doc_id FROM q1),
+       |dup1 AS (SELECT DISTINCT x.doc_id
+       |  FROM q1 x JOIN sh sx ON sx.doc_id = x.doc_id,
+       |    cand1 c JOIN sh sy ON sy.doc_id = c.doc_id
+       |  WHERE c.doc_id < x.doc_id AND $jac >= 0.9),
+       |nd1 AS (SELECT * FROM q1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+       |ndall AS (SELECT * FROM nd0 UNION ALL SELECT * FROM nd1),
+       |budall AS (SELECT doc_id,
+       |    CAST(SUM(nt) OVER (PARTITION BY lang
+       |      ORDER BY batch_id, n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM ndall),
+       |dupall AS (SELECT doc_id FROM dup0 UNION ALL SELECT doc_id FROM dup1)
+       |SELECT t.batch_id, t.doc_id, t.nt >= 5 AS quality_ok,
+       |  (t.nt >= 5 AND d.doc_id IS NOT NULL) AS is_dup,
+       |  bl.cum AS cum_tokens,
+       |  COALESCE(bl.cum <= $TbBudget, false) AS admitted
+       |FROM tok t
+       |LEFT JOIN dupall d ON d.doc_id = t.doc_id
+       |LEFT JOIN budall bl ON bl.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   /** q_sem_sink replay: the q_dedup_semantic dup rule over the two-batch
     * union (nondecreasing ids make stream == batch), batch_id derived
     * from the id ranges the gate streams. */
@@ -6486,6 +6630,10 @@ object SparkEntry {
     // StreamingSpec), so it shares the replay verbatim
     "q_sem_stream" -> semDedupOracleSql,
     "q_sem_sink" -> semSinkOracleSql,
+
+    // the full streaming curation cascade: quality → dedup-vs-curated →
+    // budget, batch 0's admissions feeding batch 1's candidates
+    "q_curate_stream" -> curateStreamOracleSql,
 
     // replay of the recursive overflow split: one centroid -> cell 0 for
     // every row; sub-centroids = the 16 smallest-id members (vec_id 0..15,

@@ -669,6 +669,111 @@ object Streaming {
     query.awaitTermination()
   }
 
+  /** END-TO-END STREAMING CURATION — the whole admission pipeline a
+    * training corpus runs at ingest, as ONE exactly-once sink. Per
+    * micro-batch, three gates in sequence:
+    *
+    *  1. QUALITY: token count ≥ `minTokens` (stateless, map-side).
+    *  2. NEAR-DUP vs the CURATED corpus: the quality survivors probe the
+    *     stored MinHash index (batch-internal smaller-id pairs included);
+    *     a row is a dup when it is the LARGER side of any verified pair —
+    *     keep-first semantics against everything already admitted.
+    *  3. PER-LANGUAGE TOKEN BUDGET: survivors cumsum in (priority DESC,
+    *     id) order on top of the language's carried fill; admitted while
+    *     cumulative ≤ `budget` (every budget-stage row counts toward the
+    *     fill, kept or not — the [[tokenBudgetToSink]] contract).
+    *
+    * ADMITTED rows — and only they — append to the MinHash index as the
+    * batch's tagged segment: the index IS the curated corpus, so later
+    * batches dedup against exactly what was admitted. Verdicts for EVERY
+    * input row land at `sink/data/batch_id=B`
+    * (`doc_id, quality_ok, is_dup, cum_tokens, admitted` — cum_tokens
+    * NULL for rows cut before the budget stage); the per-language fill at
+    * `sink/_state/batch_id=B`.
+    *
+    * Exactly-once across restarts, compositionally: the probe excludes
+    * the batch's own IDS (replay reconstruction from any layout), the
+    * fill fold reads only state < B, the append is tag-skipped, and both
+    * sink writes are per-dir overwrites — a crash anywhere replays to
+    * byte-identical verdicts, state, and index. */
+  def curateIngestToSink(docs: DataFrame, idCol: String, textCol: String,
+                         langCol: String, priorityCol: String,
+                         indexPath: String, threshold: Double,
+                         minTokens: Long, budget: Long,
+                         sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val idx = graft.ext.Dedup.openMinhashIndex(spark, indexPath)
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+        val b = batch.toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val withQ = b
+          .withColumn("__nt",
+            graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+          .withColumn("quality_ok", col("__nt") >= minTokens)
+        val qual = withQ.filter(col("quality_ok"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dupIds = graft.ext.Dedup.minhashDedupAgainstIndex(idx, qual,
+            textCol, idCol, threshold, maxBucket = 1000, excludeSeg = "",
+            excludeDocs = Some(qual.select(idCol)))
+          .select(col("id_b").cast("long").as("__dup")).distinct()
+        val notDup = qual.join(broadcast(dupIds),
+          qual(idCol).cast("long") === col("__dup"), "left_anti")
+        val off = newestStateBefore(spark, sink, bid) match {
+          case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
+          case None =>
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("__tb_g", "__tb_off")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(langCol))
+          .orderBy(col(priorityCol).desc, col(idCol))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val bud = notDup
+          .withColumn("__inc", sum(col("__nt")).over(w))
+          .join(broadcast(off),
+            col(langCol).cast("string") <=> col("__tb_g"), "left")
+          .withColumn("cum_tokens",
+            (col("__inc") + coalesce(col("__tb_off"), lit(0L))).cast("long"))
+          .withColumn("admitted", col("cum_tokens") <= budget)
+          .select(col(idCol).cast("long").as("__bid"), col("cum_tokens"),
+            col("admitted"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        withQ
+          .select(col(idCol).cast("long").as("doc_id"), col("quality_ok"))
+          .join(broadcast(dupIds), col("doc_id") === col("__dup"), "left")
+          .join(broadcast(bud), col("doc_id") === col("__bid"), "left")
+          .select(col("doc_id"), col("quality_ok"),
+            (col("quality_ok") && col("__dup").isNotNull).as("is_dup"),
+            col("cum_tokens"),
+            coalesce(col("admitted"), lit(false)).as("admitted"))
+          .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        // fill AFTER this batch: carried + ALL budget-stage rows' tokens
+        off.unionByName(
+            notDup.groupBy(col(langCol).cast("string").as("__tb_g"))
+              .agg(sum(col("__nt")).as("__tb_off")))
+          .groupBy(col("__tb_g"))
+          .agg(sum(col("__tb_off")).as("__tb_off"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        // the curated corpus grows by exactly the admitted rows
+        val survivors = b.join(broadcast(bud.filter(col("admitted"))),
+          b(idCol).cast("long") === col("__bid"), "left_semi")
+        graft.ext.Dedup.appendToMinhashIndex(idx, survivors, textCol,
+          idCol, tag = s"b$bid")
+        bud.unpersist(); qual.unpersist(); b.unpersist()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming per-source document QUOTA — the continuous-ingest form of
     * `q_domain_cap`'s CommonCrawl-style per-host cap: admit at most
     * `maxPerSource` documents per source over the WHOLE stream, in

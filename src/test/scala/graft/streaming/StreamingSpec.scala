@@ -1078,6 +1078,73 @@ class StreamingSpec extends SparkTestBase {
     assert(storeCount() == 11L, "replayed batch was double-appended")
   }
 
+  test("curation sink: quality -> dedup-vs-curated -> budget, exact replay") {
+    // the end-to-end admission pipeline with every gate exercised:
+    // a short row fails quality; an exact copy of a HEAD doc and a copy
+    // of an earlier ADMITTED doc both drop as dups (the index grows by
+    // admissions only); a copy of a REJECTED (over-budget) doc is NOT a
+    // dup and gets its own budget verdict; the fill carries per language.
+    def doc(id: Long, lang: String, nWords: Int, tag: String) =
+      (id, lang, (0 until nWords).map(j => s"cu${tag}w$j").mkString(" "),
+        nWords.toLong) // priority = nWords here
+    val head = Seq(doc(0L, "en", 30, "h0"), doc(1L, "de", 30, "h1"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-cur-idx-").toString
+    graft.ext.Dedup.buildMinhashIndex(spark, idx,
+      head.toDF("doc_id", "lang", "text", "prio"), "text", "doc_id")
+    // budget 80: b0 admits 100 (60 tokens) and 102 (20; cum 80), REJECTS
+    // nothing... make 103 overflow: 60+20+30>80 -> 103 cut
+    val b0 = Seq(doc(100L, "en", 60, "a"), (101L, "en", head.head._3, 5L),
+      doc(102L, "en", 20, "b"), doc(103L, "en", 30, "c"),
+      (104L, "en", "tiny", 1L))
+    val b1 = Seq((200L, "en", b0.head._3, 9L), // copy of ADMITTED 100 -> dup
+      (201L, "en", (0 until 30).map(j => s"cucw$j").mkString(" "), 8L),
+      // ^ copy of REJECTED 103 -> NOT a dup (103 never entered the index)
+      doc(202L, "de", 40, "d")) // fresh language, own budget
+    val src = java.nio.file.Files.createTempDirectory("graft-cur-src-")
+    for ((b, i) <- Seq(b0, b1).zipWithIndex) {
+      b.toDF("doc_id", "lang", "text", "prio")
+        .coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-cur-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.curateIngestToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet"),
+      "doc_id", "text", "lang", "prio", idx, threshold = 0.9,
+      minTokens = 3L, budget = 80L, sink, ckpt)
+    run()
+    def verdicts() = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("doc_id"),
+        col("quality_ok"), col("is_dup"),
+        coalesce(col("cum_tokens"), lit(-1L)), col("admitted"))
+      .as[(Long, Long, Boolean, Boolean, Long, Boolean)].collect().toSet
+    val before = verdicts()
+    assert(before == Set(
+      (0L, 100L, true, false, 60L, true),  // priority 60 fills first
+      (0L, 101L, true, true, -1L, false),  // copy of head doc 0
+      (0L, 102L, true, false, 110L, false), // 60+30+20 — prio order: 103 first
+      (0L, 103L, true, false, 90L, false), // 60+30 > 80 — cut
+      (0L, 104L, false, false, -1L, false), // quality fail
+      (1L, 200L, true, true, -1L, false),  // copy of ADMITTED 100
+      (1L, 201L, true, false, 140L, false), // copy of REJECTED 103: no dup,
+      // but en fill already 110 -> 110+30 over budget
+      (1L, 202L, true, false, 40L, true)), // de budget independent
+      s"unexpected verdicts $before")
+    // the curated index = head + admitted only (100 and 202)
+    val shingles = graft.ext.Dedup.minhashIndexShingles(spark, idx).count()
+    assert(shingles == 4L, s"index must hold head(2) + admitted(2), got $shingles")
+    // forced replay of batch 1
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(verdicts() == before, "replay altered the curation verdicts")
+    assert(graft.ext.Dedup.minhashIndexShingles(spark, idx).count() == 4L,
+      "replay double-appended the curated corpus")
+  }
+
   test("semantic dedup sink: cross-batch drops from persisted state, exact replay") {
     // the 7th durable family: batch 1's copy of a batch-0 vector must
     // drop against the PERSISTED cell-assigned state (not driver memory);
