@@ -926,6 +926,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_tf_graph" -> ((s, dir) => {
+      // the transformer through the SAME content-addressed LLM op every
+      // other scheme uses (spec-layer parity): layer-1 — the
+      // post-attention LayerNorm state, a REAL intermediate layer —
+      // mean-pooled per doc, keyed by positional row identity. The
+      // oracle runs the forward-pass CTEs over row_number-keyed docs.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val acts = LLMLayerActivationsOp(s"tf:${TfFixture.path}",
+        SelectTextColumnOp(ds, "text"), layerNum = 1L, tokenMode = "mean",
+        batchSize = 64L)
+      r.toFrame(acts)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), posexplode(col("value")))
+        .select(col("row_idx"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("row_idx"), col("pos"))
+    }),
+
     "q_tf_rerank" -> ((s, dir) => {
       // MODEL-SCORED RERANKING — the modern two-stage retrieval stack
       // composed entirely from the engine's pieces: BM25 selects a top-10
@@ -6040,6 +6058,18 @@ object SparkEntry {
 
     // BM25 pool → transformer pair-scored rerank, both rankings replayed
     "q_tf_rerank" -> tfRerankOracleSql,
+
+    // spec-layer twin: the layer-1 (post-attention LayerNorm) pooled
+    // states over row_number-keyed docs
+    "q_tf_graph" -> {
+      s"""WITH ${tfCtes("(SELECT row_number() OVER () - 1 AS doc_id, lang," +
+            " text FROM documents)")},
+         |dims AS (SELECT CAST(unnest(range(${TfFixture.Dim})) AS BIGINT) AS dm)
+         |SELECT doc_id AS row_idx, dm AS pos,
+         |  ${tfPool("ln", "CAST(dm AS INT) + 1")} AS val
+         |FROM tfy CROSS JOIN dims
+         |ORDER BY row_idx, pos""".stripMargin
+    },
 
     "q_llm_logits" ->
       s"""WITH d AS (SELECT text, row_number() OVER () - 1 AS row_idx FROM documents),
