@@ -238,6 +238,8 @@ object UmapLayout {
     require(init == "random" || init == "spectral",
       s"init must be random|spectral, got '$init'")
     val spark = edges.sparkSession
+    val n = nodes.agg(count(lit(1))).head().getLong(0)
+    require(n >= 2, "UMAP layout needs at least 2 nodes")
     var eSel = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
 
@@ -251,8 +253,7 @@ object UmapLayout {
           round(col("e2") * 1e7).cast("long").as("qy0"))
 
     // small-graph fast path (bit-identical; see solveLocal)
-    if (localSolveMaxNodes > 0 &&
-        nodes.agg(count(lit(1))).head().getLong(0) <= localSolveMaxNodes) {
+    if (localSolveMaxNodes > 0 && n <= localSolveMaxNodes) {
       eSel = eSel.localCheckpoint(true)
       val es = eSel.take(Spectral.LocalSolveMaxEdges.toInt + 1)
       if (es.length <= Spectral.LocalSolveMaxEdges) {
@@ -277,8 +278,6 @@ object UmapLayout {
 
     // distributed epochs: edges pre-partitioned by src once, reused by
     // every epoch's attraction join
-    val n = nodes.agg(count(lit(1))).head().getLong(0)
-    require(n >= 2, "UMAP layout needs at least 2 nodes")
     val eP = eSel.repartition(col("src")).localCheckpoint(true)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
     val base = nodes.select(col("id").cast("long").as("id"))

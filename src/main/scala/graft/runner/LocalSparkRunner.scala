@@ -112,6 +112,7 @@ class LocalSparkRunner(
     case g: LLMGenerateTextOp => lengthOf(g.prompt)
     case v: UMAPVizOp => lengthOf(v.inputEmbedding)
     case v: SpectralVizOp => lengthOf(v.inputEmbedding)
+    case v: UmapLayoutOp => lengthOf(v.inputEmbedding)
     case v: KMeansClusterOp => lengthOf(v.vectors)
     case p: PrototypeDropOp => lengthOf(p.vectors)
     case t: TokenBudgetKeepOp => lengthOf(t.group)
@@ -860,6 +861,13 @@ class LocalSparkRunner(
       FrameResult(graft.ml.Spectral
         .embed2d(frame(sv.inputEmbedding), RowIdx, ValueCol,
           sv.k.toInt, sv.iters.toInt)
+        .select(col("id").as(RowIdx),
+          array(col("e1"), col("e2")).as(ValueCol)))
+
+    case ul: UmapLayoutOp =>
+      FrameResult(graft.ml.UmapLayout
+        .embed(frame(ul.inputEmbedding), RowIdx, ValueCol,
+          ul.k.toInt, ul.iters.toInt, ul.negatives.toInt, ul.init)
         .select(col("id").as(RowIdx),
           array(col("e1"), col("e2")).as(ValueCol)))
 

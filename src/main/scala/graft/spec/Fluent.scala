@@ -167,6 +167,10 @@ object Fluent {
     /** beyond reference: Laplacian-eigenmaps spectral 2-D layout */
     def spectralViz(k: Long = 8L, iters: Long = 8L): SpectralVizOp =
       SpectralVizOp(v, k, iters)
+    /** beyond reference: REAL UMAP force layout (quantized-exact) */
+    def umapLayout(k: Long = 8L, iters: Long = 30L, negatives: Long = 4L,
+                   init: String = "spectral"): UmapLayoutOp =
+      UmapLayoutOp(v, k, iters, negatives, init)
     /** beyond reference: exact k-means cluster id, centroids = row
       * indices */
     def kmeansCluster(centroidIds: Seq[Long], iters: Long = 4L): KMeansClusterOp =

@@ -439,6 +439,9 @@ object OpRegistry {
     "SpectralVizOp" -> ((o, r) =>
       SpectralVizOp(op[VectorColumnType](o, "input_embedding", r),
         lng(o, "k"), lng(o, "iters"))),
+    "UmapLayoutOp" -> ((o, r) =>
+      UmapLayoutOp(op[VectorColumnType](o, "input_embedding", r),
+        lng(o, "k"), lng(o, "iters"), lng(o, "negatives"), str(o, "init"))),
     "KMeansClusterOp" -> ((o, r) =>
       KMeansClusterOp(op[VectorColumnType](o, "vectors", r),
         lngSeq(o, "centroid_ids"), lng(o, "iters"))),

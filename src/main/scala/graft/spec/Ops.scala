@@ -395,6 +395,28 @@ final case class SpectralVizOp(
   require(iters >= 1L, s"iters must be >= 1, got $iters")
 }
 
+/** REAL UMAP 2-D layout ([[graft.ml.UmapLayout]], round 18): the paper's
+  * force-directed optimization phase itself — Cauchy-kernel attract /
+  * repulse epochs over the cosine kNN graph, md5-derived negative
+  * sampling, linear lr decay — quantized-exact and externally replayable,
+  * where [[UMAPVizOp]] substitutes a PCA projection. `init` = "spectral"
+  * (the paper's default, composing [[SpectralVizOp]]'s eigenmaps) or
+  * "random" (the ±10-unit md5 box). Value = [e1, e2] per row.
+  * Non-ephemeral: `iters` distributed force passes are worth
+  * content-addressing. */
+final case class UmapLayoutOp(
+    inputEmbedding: VectorColumnType,
+    k: Long = 8L,
+    iters: Long = 30L,
+    negatives: Long = 4L,
+    init: String = "spectral") extends VizEmbeddingColumnType {
+  require(k >= 1L, s"k must be >= 1, got $k")
+  require(iters >= 1L, s"iters must be >= 1, got $iters")
+  require(negatives >= 0L, s"negatives must be >= 0, got $negatives")
+  require(init == "random" || init == "spectral",
+    s"init must be random|spectral, got '$init'")
+}
+
 /** Quantized-exact k-means cluster id per row
   * ([[graft.ml.ExactKMeans]]): initial centroids = corpus members at row
   * indices `centroidIds` (cell = list position), `iters` Lloyd passes

@@ -277,8 +277,10 @@ class OpSpecSpec extends AnyFunSuite {
     val rrf = RrfFuseOp(Bm25RankOp(textCol, Seq("x", "y"), 20L),
       AnnBruteTopKOp(htf, htf, 20L), "id", "corpus_id", 60L, 10L)
     val many = Bm25RankManyOp(textCol, Seq(Seq("x", "y"), Seq("z")), 5L)
+    val ulay = UmapLayoutOp(vec, k = 3L, iters = 5L, negatives = 2L,
+      init = "random")
     val group = GroupedOp(Seq(eval, umap, gen, inline, arith, tmpl, parsed,
-      logic, rid, sem, pq, mcEval, proto, rrf, many,
+      logic, rid, sem, pq, mcEval, proto, rrf, many, ulay,
       SelectBooleanColumnOp(ds, "b"),
       SelectScoreColumnOp(ds, "s"), SelectJSONColumnOp(ds, "j"),
       SelectConversationColumnOp(ds, "c"),
