@@ -853,6 +853,66 @@ object SparkEntry {
         .toDF("split", "cnt", "n_true", "n_false", "n_scored")
     }),
 
+    "q_probe_nusvm" -> ((s, dir) => {
+      // round 18: the exact ν-SVM + Platt calibration chain — the
+      // reference's calibrated_rbf_nusvm (CalibratedClassifierCV(NuSVC))
+      // as the REAL thing: Solver_NU dual solve, LIBSVM margin rescale,
+      // sigmoid fit on the training decisions. Counts oracle + hard
+      // gates: the rescaled model must satisfy the C-SVM-form KKT with
+      // C = 1/ρ, every probability must live in [0,1], and the ν-property
+      // must hold (margin-error fraction ≤ ν ≤ SV fraction — Schölkopf
+      // 2000, Prop. 5, checked on the persisted duals).
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/embeddings.parquet")
+      val x = SelectVectorColumnOp(ds, "embedding")
+      val cat = SelectCategoricalColumnOp(ds, "label")
+      val pos = CategoryToBooleanOp(cat, Some(Seq("0", "1", "2", "3", "4")))
+      val neg = CategoryToBooleanOp(cat, Some(Seq("5", "6", "7", "8", "9")))
+      val nuVal = 0.3
+      val nuTol = 1e-5
+      val model = TrainClassifierOp("calibrated_rbf_nusvm", x, pos, neg,
+        params = Map("nu" -> nuVal, "tol" -> nuTol))
+      val predict = ClassifierPredictOp(model, x)
+      val eval = ClassifierEvaluationOp(predict, pos, neg)
+      val all = r.toJson(eval).asInstanceOf[JObj]("splits").asInstanceOf[JObj]("all")
+        .asInstanceOf[JObj]
+      def l(n: String): Long = all(n).asInstanceOf[JLong].value
+      val pm = r.toModel(model).asInstanceOf[org.apache.spark.ml.PipelineModel]
+      val svm = pm.stages.last.asInstanceOf[graft.ml.ExactSvmModel]
+      val tr = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("embedding").cast("array<double>"), col("label")).collect()
+      val xs = tr.map(_.getSeq[Double](0).toArray)
+      val ys = tr.map(rr => if (rr.getInt(1) <= 4) 1 else -1)
+      // the KKT tolerance is SCALE-AWARE: LIBSVM's rescale divides every
+      // margin by ρ (= 1/effC), so the ACHIEVED stopping gap bounds the
+      // scaled residual by gap·effC — on heavily-overlapping data ρ is
+      // tiny and an absolute threshold would either gate nothing or
+      // everything. A broken rescale/offset derivation violates this
+      // bound by orders of magnitude (the r/rho swap measured 5000×).
+      val effC = svm.getOrDefault(svm.cM)
+      val achievedGap = svm.getOrDefault(svm.solveGapM)
+      val resid = svm.kktResidual(xs, ys)
+      require(resid <= math.max(1e-6, 2.0 * achievedGap * effC),
+        s"nu-SVM KKT residual $resid vs bound ${2.0 * achievedGap * effC} " +
+          s"(gap=$achievedGap, effC=$effC)")
+      val nTr = xs.length
+      val nBound = svm.getOrDefault(svm.dualCoef)
+        .count(d => math.abs(d) >= effC * (1 - 1e-6))
+      require(nBound <= nuVal * nTr + 1,
+        s"nu-property: $nBound margin errors > nu*n = ${nuVal * nTr}")
+      require(svm.numSupportVectors + 1 >= nuVal * nTr,
+        s"nu-property: ${svm.numSupportVectors} SVs < nu*n = ${nuVal * nTr}")
+      val scored = r.toFrame(predict)
+      val v = scored.agg(count(lit(1)),
+        count(when(isnan(col(r.ValueCol)) || col(r.ValueCol).isNull ||
+          col(r.ValueCol) < 0 || col(r.ValueCol) > 1, 1))).head()
+      require(v.getLong(1) == 0,
+        "calibrated nu-SVM produced scores outside [0,1]")
+      import s.implicits._
+      Seq(("all", l("count"), l("n_true"), l("n_false"), v.getLong(0)))
+        .toDF("split", "cnt", "n_true", "n_false", "n_scored")
+    }),
+
     "q_probe_predict" -> ((s, dir) => {
       // round 12: the QUANTIZED-EXACT train→score pipeline promoted to the
       // main row (was q_probe_predict_exact; VERDICT r11 #3): weights to
@@ -5788,6 +5848,15 @@ object SparkEntry {
     // the exact-SMO twin reports the same deterministic eligibility counts;
     // the solver's optimality is enforced by the query's hard KKT gates
     "q_probe_svm" ->
+      """SELECT 'all' AS split, COUNT(*) AS cnt,
+        |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,
+        |COUNT(*) AS n_scored
+        |FROM embeddings""".stripMargin,
+
+    // exact ν-SVM + Platt calibration: same counts; ν-property, KKT, and
+    // probability-range enforcement are the query's hard gates
+    "q_probe_nusvm" ->
       """SELECT 'all' AS split, COUNT(*) AS cnt,
         |CAST(SUM(CASE WHEN label <= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
         |CAST(SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_false,

@@ -128,17 +128,44 @@ object ClassifierRegistry {
         .setEps(dblP(p, "tol", 1e-3))
         .setMaxRows(intP(p, "exact_max_rows", ExactSvm.DefaultMaxRows))
   }
+  // ν names: EXACT ν-SVM by default (round 18 — Solver_NU re-implemented
+  // from Chang & Lin 2001, exactly what sklearn's NuSVC binds; infeasible
+  // ν errors like sklearn does); rff_dim opts into the scalable
+  // feature-map + linear-learner substitution (ν then has no closed-form
+  // mapping — reg_param governs regularization there).
   register("rbf_nusvm") { p =>
-    new KernelClassifier(rffStage(p), new LinearSVC()
-      .setMaxIter(intP(p, "max_iter", 100))
-      .setRegParam(dblP(p, "reg_param", 0.01)))
+    if (p.contains("rff_dim"))
+      new KernelClassifier(rffStage(p), new LinearSVC()
+        .setMaxIter(intP(p, "max_iter", 100))
+        .setRegParam(dblP(p, "reg_param", 0.01)))
+    else
+      new ExactSvmClassifier().setSvmMode("nu")
+        .setNu(dblP(p, "nu", 0.5))
+        .setGamma(dblP(p, "gamma", -1.0))
+        .setKernelName(p.get("kernel").map(_.toString).getOrElse("rbf"))
+        .setDegree(intP(p, "degree", 3))
+        .setCoef0(dblP(p, "coef0", 1.0))
+        .setEps(dblP(p, "tol", 1e-3))
+        .setMaxRows(intP(p, "exact_max_rows", ExactSvm.DefaultMaxRows))
   }
   register("calibrated_rbf_nusvm") { p =>
-    // Platt-style calibration folded into the fit: logistic loss over the
-    // same kernel features yields calibrated probabilities directly
-    new KernelClassifier(rffStage(p), new LogisticRegression()
-      .setMaxIter(intP(p, "max_iter", 100))
-      .setRegParam(dblP(p, "reg_param", 0.01)))
+    // CalibratedClassifierCV(NuSVC): exact ν-SVM + Platt sigmoid fitted on
+    // the training decisions (Platt 1999; Lin/Lin/Weng 2007 Newton) →
+    // a real `probability` column. With rff_dim: logistic loss over the
+    // kernel features yields calibrated probabilities directly.
+    if (p.contains("rff_dim"))
+      new KernelClassifier(rffStage(p), new LogisticRegression()
+        .setMaxIter(intP(p, "max_iter", 100))
+        .setRegParam(dblP(p, "reg_param", 0.01)))
+    else
+      new ExactSvmClassifier().setSvmMode("nu").setCalibrate(true)
+        .setNu(dblP(p, "nu", 0.5))
+        .setGamma(dblP(p, "gamma", -1.0))
+        .setKernelName(p.get("kernel").map(_.toString).getOrElse("rbf"))
+        .setDegree(intP(p, "degree", 3))
+        .setCoef0(dblP(p, "coef0", 1.0))
+        .setEps(dblP(p, "tol", 1e-3))
+        .setMaxRows(intP(p, "exact_max_rows", ExactSvm.DefaultMaxRows))
   }
   register("sgd_nystroem") { p =>
     // sklearn nests the params (make_pipeline(Nystroem(**nystroem_params),

@@ -196,6 +196,229 @@ object ExactSvm {
     Solution(alpha, b, it, gap)
   }
 
+  /** Deterministic SMO for the ν-SVM dual (Schölkopf et al. 2000;
+    * solver structure from Chang & Lin, "Training ν-Support Vector
+    * Classifiers: Theory and Algorithms", Neural Computation 2001 — what
+    * LIBSVM calls Solver_NU, the backend of sklearn's NuSVC):
+    *
+    *   min ½ αᵀQα   s.t. 0 ≤ α_i ≤ 1,  yᵀα = 0,  eᵀα = ν·n
+    *
+    * Working-set pairs are SAME-CLASS (two equality constraints); the
+    * selection picks the class with the larger violating-pair gap. After
+    * convergence the solution is rescaled by r = (r1−r2)/2 exactly as
+    * LIBSVM does, so the returned (alpha·y/r, b) plug into the SAME
+    * decision function — and the SAME KKT conditions with C = 1/r — as
+    * the C-SVM path. Returned alphas are the SCALED y_i·α_i/r values
+    * (signed duals), b the scaled intercept, effC = 1/r. */
+  final case class NuSolution(signedDuals: Array[Double], b: Double,
+                              effC: Double, iters: Int, gap: Double)
+
+  def solveNu(xs: Array[Array[Double]], y: Array[Int], nu: Double,
+              k: (Array[Double], Array[Double]) => Double,
+              eps: Double = 1e-3, maxIterIn: Int = 0): NuSolution = {
+    val n = xs.length
+    require(n > 0, "empty training set")
+    require(y.forall(v => v == 1 || v == -1), "labels must be ±1")
+    val nPos = y.count(_ == 1); val nNeg = n - nPos
+    require(nPos > 0 && nNeg > 0, "nu-SVM needs both classes present")
+    val nuMax = 2.0 * math.min(nPos, nNeg) / n
+    require(nu > 0 && nu <= nuMax,
+      f"nu=$nu%.4f infeasible: must be in (0, ${nuMax}%.4f] = 2·min(n+,n−)/n")
+    val maxIter = if (maxIterIn > 0) maxIterIn else math.max(10000, 100 * n)
+
+    val maxCached = math.max(2L, math.min(n.toLong,
+      CacheBudgetDoubles / math.max(1, n))).toInt
+    val cache = new Array[Array[Double]](n)
+    val fifo = new java.util.ArrayDeque[Int]()
+    def kRow(i: Int): Array[Double] = {
+      var r = cache(i)
+      if (r == null) {
+        r = Array.tabulate(n)(j => k(xs(i), xs(j)))
+        if (fifo.size >= maxCached) cache(fifo.pollFirst()) = null
+        cache(i) = r; fifo.addLast(i)
+      }
+      r
+    }
+    val kDiag = Array.tabulate(n)(i => k(xs(i), xs(i)))
+
+    // LIBSVM's deterministic feasible start: fill each class in row order
+    // up to ν·n/2 mass
+    val alpha = new Array[Double](n)
+    var sumPos = nu * n / 2; var sumNeg = nu * n / 2
+    var t = 0
+    while (t < n) {
+      if (y(t) == 1) { alpha(t) = math.min(1.0, sumPos); sumPos -= alpha(t) }
+      else { alpha(t) = math.min(1.0, sumNeg); sumNeg -= alpha(t) }
+      t += 1
+    }
+    // initial gradient G = Qα (no linear term in the ν dual)
+    val grad = new Array[Double](n)
+    t = 0
+    while (t < n) {
+      if (alpha(t) > 0) {
+        val kt = kRow(t)
+        var u = 0
+        while (u < n) {
+          grad(u) += y(u) * y(t) * kt(u) * alpha(t); u += 1
+        }
+      }
+      t += 1
+    }
+
+    var it = 0
+    var gap = Double.PositiveInfinity
+    var converged = false
+    while (it < maxIter && !converged) {
+      // per class (same-class moves preserve both equality constraints):
+      // INCREASE the member with the smallest gradient among α<1 (i),
+      // DECREASE the one with the largest among α>0 (j) — descent along
+      // e_i − e_j; violating-pair gap = G_j − G_i (LIBSVM Solver_NU's
+      // selection, first-order form — for y=+1 this is the familiar
+      // max(−G|up) + max(G|low))
+      var ip = -1; var gminP = Double.PositiveInfinity
+      var jp = -1; var gmaxP = Double.NegativeInfinity
+      var in_ = -1; var gminN = Double.PositiveInfinity
+      var jn = -1; var gmaxN = Double.NegativeInfinity
+      var u = 0
+      while (u < n) {
+        val g = grad(u)
+        if (y(u) == 1) {
+          if (alpha(u) < 1 && g < gminP) { gminP = g; ip = u }
+          if (alpha(u) > 0 && g > gmaxP) { gmaxP = g; jp = u }
+        } else {
+          if (alpha(u) < 1 && g < gminN) { gminN = g; in_ = u }
+          if (alpha(u) > 0 && g > gmaxN) { gmaxN = g; jn = u }
+        }
+        u += 1
+      }
+      val gapP = if (ip >= 0 && jp >= 0) gmaxP - gminP else Double.NegativeInfinity
+      val gapN = if (in_ >= 0 && jn >= 0) gmaxN - gminN else Double.NegativeInfinity
+      gap = math.max(gapP, gapN)
+      if (gap < eps) converged = true
+      else {
+        val (i, j) = if (gapP >= gapN) (ip, jp) else (in_, jn)
+        val ki = kRow(i); val kj = kRow(j)
+        val yi = y(i); val yj = y(j) // same class: yi == yj
+        val qij = yi * yj * ki(j)
+        val oldAi = alpha(i); val oldAj = alpha(j)
+        val quad = math.max(kDiag(i) + kDiag(j) - 2 * qij, Tau)
+        val delta = (grad(i) - grad(j)) / quad
+        val sum = alpha(i) + alpha(j)
+        alpha(i) -= delta; alpha(j) += delta
+        if (sum > 1) { if (alpha(i) > 1) { alpha(i) = 1; alpha(j) = sum - 1 } }
+        else { if (alpha(j) < 0) { alpha(j) = 0; alpha(i) = sum } }
+        if (sum > 1) { if (alpha(j) > 1) { alpha(j) = 1; alpha(i) = sum - 1 } }
+        else { if (alpha(i) < 0) { alpha(i) = 0; alpha(j) = sum } }
+        val dai = alpha(i) - oldAi; val daj = alpha(j) - oldAj
+        var w = 0
+        while (w < n) {
+          grad(w) += y(w) * (yi * ki(w) * dai + yj * kj(w) * daj)
+          w += 1
+        }
+        it += 1
+      }
+    }
+
+    // per-class constants (Chang & Lin §4 / LIBSVM Solver_NU
+    // calculate_rho): over class rows, free SVs average G; all-bound
+    // classes take the midpoint of the binding G bounds. With
+    // G_i = y_i·u(x_i) these are r1 = ρ − b₀ (y=+1) and r2 = ρ + b₀
+    // (y=−1), so the MARGIN is ρ = (r1+r2)/2 (LIBSVM's scale `r`) and the
+    // pre-scale offset −b₀ = (r1−r2)/2 (LIBSVM's `rho`).
+    def classR(cls: Int): Double = {
+      var s = 0.0; var c = 0
+      var lb = Double.NegativeInfinity; var ub = Double.PositiveInfinity
+      var u = 0
+      while (u < n) {
+        if (y(u) == cls) {
+          val g = grad(u)
+          if (alpha(u) > 0 && alpha(u) < 1) { s += g; c += 1 }
+          else if (alpha(u) >= 1) lb = math.max(lb, g) // upper bound
+          else ub = math.min(ub, g) // lower bound (α = 0)
+        }
+        u += 1
+      }
+      if (c > 0) s / c else (lb + ub) / 2
+    }
+    val r1 = classR(1); val r2 = classR(-1)
+    val r = (r1 + r2) / 2 // the margin ρ — the LIBSVM rescale factor
+    require(r > 0, s"nu-SVM margin scale r=$r not positive: degenerate solve")
+    val rho = (r1 - r2) / 2 // = −b₀
+    val duals = Array.tabulate(n)(i => alpha(i) * y(i) / r)
+    NuSolution(duals, -rho / r, 1.0 / r, it, gap)
+  }
+
+  /** Platt probability calibration (Platt 1999), fitted with the robust
+    * Newton implementation of Lin, Lin & Weng, "A Note on Platt's
+    * Probabilistic Outputs for Support Vector Machines", ML 2007 — the
+    * LIBSVM `sigmoid_train` algorithm re-implemented from the paper.
+    * Returns (A, B) of P(y=1|f) = 1/(1+exp(A·f+B)). Deterministic: fixed
+    * iteration schedule over the given order. */
+  def plattFit(f: Array[Double], isPos: Array[Boolean],
+               maxIter: Int = 100): (Double, Double) = {
+    val n = f.length
+    val prior1 = isPos.count(identity).toDouble
+    val prior0 = n - prior1
+    require(prior1 > 0 && prior0 > 0, "calibration needs both classes")
+    val hiTarget = (prior1 + 1) / (prior1 + 2)
+    val loTarget = 1.0 / (prior0 + 2)
+    val tArr = Array.tabulate(n)(i => if (isPos(i)) hiTarget else loTarget)
+    var a = 0.0
+    var b = math.log((prior0 + 1) / (prior1 + 1))
+    val minStep = 1e-10; val sigma = 1e-12; val epsF = 1e-5
+    def fval(a0: Double, b0: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        val fApB = f(i) * a0 + b0
+        s += (if (fApB >= 0) tArr(i) * fApB + math.log1p(math.exp(-fApB))
+              else (tArr(i) - 1) * fApB + math.log1p(math.exp(fApB)))
+        i += 1
+      }
+      s
+    }
+    var fv = fval(a, b)
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      var h11 = sigma; var h22 = sigma; var h21 = 0.0
+      var g1 = 0.0; var g2 = 0.0
+      var i = 0
+      while (i < n) {
+        val fApB = f(i) * a + b
+        val (p, q) =
+          if (fApB >= 0) {
+            val e = math.exp(-fApB); (e / (1 + e), 1 / (1 + e))
+          } else {
+            val e = math.exp(fApB); (1 / (1 + e), e / (1 + e))
+          }
+        val d2 = p * q
+        h11 += f(i) * f(i) * d2; h22 += d2; h21 += f(i) * d2
+        val d1 = tArr(i) - p
+        g1 += f(i) * d1; g2 += d1
+        i += 1
+      }
+      if (math.abs(g1) < epsF && math.abs(g2) < epsF) done = true
+      else {
+        val det = h11 * h22 - h21 * h21
+        val dA = -(h22 * g1 - h21 * g2) / det
+        val dB = -(-h21 * g1 + h11 * g2) / det
+        val gd = g1 * dA + g2 * dB
+        var step = 1.0
+        var stepped = false
+        while (step >= minStep && !stepped) {
+          val na = a + step * dA; val nb = b + step * dB
+          val nf = fval(na, nb)
+          if (nf < fv + 1e-4 * step * gd) {
+            a = na; b = nb; fv = nf; stepped = true
+          } else step /= 2
+        }
+        if (!stepped) done = true // line search failed: local optimum
+      }
+      iter += 1
+    }
+    (a, b)
+  }
+
   /** KKT residual of a solved model over its training set: max over rows of
     * the one-sided margin violation (0 at an exact optimum; ≤ eps·O(1) at
     * the SMO stopping gap). Used as a hard in-query gate — a broken solver
@@ -241,8 +464,15 @@ class ExactSvmClassifier(override val uid: String)
   final val c = new DoubleParam(this, "c", "margin penalty C")
   final val eps = new DoubleParam(this, "eps", "SMO stopping gap")
   final val maxRows = new IntParam(this, "maxRows", "driver-solve row cap")
+  final val svmMode = new Param[String](this, "svmMode",
+    "c (C-SVM) | nu (ν-SVM, Solver_NU)")
+  final val nu = new DoubleParam(this, "nu",
+    "ν ∈ (0, 2·min(n+,n−)/n]: margin-error/SV fraction bound (nu mode)")
+  final val calibrate = new org.apache.spark.ml.param.BooleanParam(this,
+    "calibrate", "fit Platt sigmoid on training decisions → probability column")
   setDefault(kernelName -> "rbf", gamma -> -1.0, degree -> 3, coef0 -> 1.0,
-    c -> 1.0, eps -> 1e-3, maxRows -> ExactSvm.DefaultMaxRows)
+    c -> 1.0, eps -> 1e-3, maxRows -> ExactSvm.DefaultMaxRows,
+    svmMode -> "c", nu -> 0.5, calibrate -> false)
 
   private var featuresCol: String = "features"
   private var labelCol: String = "label"
@@ -255,6 +485,9 @@ class ExactSvmClassifier(override val uid: String)
   def setC(v: Double): this.type = set(c, v)
   def setEps(v: Double): this.type = set(eps, v)
   def setMaxRows(v: Int): this.type = set(maxRows, v)
+  def setSvmMode(v: String): this.type = set(svmMode, v)
+  def setNu(v: Double): this.type = set(nu, v)
+  def setCalibrate(v: Boolean): this.type = set(calibrate, v)
 
   override def fit(ds: Dataset[_]): ExactSvmModel = {
     val rowIdx = graft.ops.ColumnOps.RowIdx
@@ -274,16 +507,41 @@ class ExactSvmClassifier(override val uid: String)
     val xs = rows.map(_.getAs[Vector](0).toArray)
     val y = rows.map(r => if (r.getDouble(1) > 0.5) 1 else -1)
     val k = ExactSvm.kernel($(kernelName), $(gamma), $(degree), $(coef0))
-    val sol = ExactSvm.solve(xs, y, $(c), k, $(eps))
-    // only support vectors ride into the model
-    val sv = xs.indices.filter(i => sol.alpha(i) > 0)
+    // (signed dual y_i·α_i per row, intercept, effective C) — both modes
+    // land in the same decision-function and KKT form
+    val (signed, b, effC, achievedGap) = $(svmMode) match {
+      case "c" =>
+        val sol = ExactSvm.solve(xs, y, $(c), k, $(eps))
+        (xs.indices.map(i => y(i) * sol.alpha(i)).toArray, sol.b, $(c), sol.gap)
+      case "nu" =>
+        val sol = ExactSvm.solveNu(xs, y, $(nu), k, $(eps))
+        (sol.signedDuals, sol.b, sol.effC, sol.gap)
+      case other => throw new IllegalArgumentException(
+        s"svmMode must be c|nu, got '$other'")
+    }
+    val sv = xs.indices.filter(i => signed(i) != 0.0)
     val model = new ExactSvmModel(Identifiable.randomUID("exact-svm-model"))
       .setSupportVectors(sv.map(xs).toArray)
-      .setDualCoef(sv.map(i => y(i) * sol.alpha(i)).toArray)
-      .setIntercept(sol.b)
+      .setDualCoef(sv.map(signed).toArray)
+      .setIntercept(b)
       .setKernelNameM($(kernelName)).setGammaM($(gamma))
-      .setDegreeM($(degree)).setCoef0M($(coef0)).setCM($(c))
+      .setDegreeM($(degree)).setCoef0M($(coef0)).setCM(effC)
+      .setSolveGap(achievedGap)
     model.setFeaturesCol(featuresCol)
+    if ($(calibrate)) {
+      // Platt scaling on the training decisions (CalibratedClassifierCV's
+      // sigmoid method, fitted in-sample — the probe harness's splits are
+      // carried by the evaluation op, not the calibration)
+      val kfn = ExactSvm.kernel($(kernelName), $(gamma), $(degree), $(coef0))
+      val svArr = sv.map(xs).toArray; val dc = sv.map(signed).toArray
+      val f = xs.map { x =>
+        var s = b; var j = 0
+        while (j < svArr.length) { s += dc(j) * kfn(svArr(j), x); j += 1 }
+        s
+      }
+      val (pa, pb) = ExactSvm.plattFit(f, y.map(_ == 1))
+      model.setPlattA(pa).setPlattB(pb).setCalibrated(true)
+    }
     model
   }
 
@@ -314,8 +572,16 @@ class ExactSvmModel(override val uid: String)
   final val coef0M = new DoubleParam(this, "coef0M", "poly coef0")
   final val featuresColP = new Param[String](this, "featuresColP", "features column")
   final val cM = new DoubleParam(this, "cM", "margin penalty C used at fit")
+  final val plattA = new DoubleParam(this, "plattA", "Platt sigmoid slope A")
+  final val plattB = new DoubleParam(this, "plattB", "Platt sigmoid offset B")
+  final val calibratedM = new org.apache.spark.ml.param.BooleanParam(this,
+    "calibratedM", "emit probability = 1/(1+exp(A·f+B))")
+  final val solveGapM = new DoubleParam(this, "solveGapM",
+    "achieved SMO stopping gap (UNSCALED units) — with cM it bounds the " +
+      "scaled KKT residual: resid ≲ gap·effC")
   setDefault(kernelNameM -> "rbf", gammaM -> -1.0, degreeM -> 3,
-    coef0M -> 1.0, intercept -> 0.0, featuresColP -> "features", cM -> 1.0)
+    coef0M -> 1.0, intercept -> 0.0, featuresColP -> "features", cM -> 1.0,
+    plattA -> 0.0, plattB -> 0.0, calibratedM -> false, solveGapM -> 0.0)
 
   def setSupportVectors(v: Array[Array[Double]]): this.type = set(supportVectors, v)
   def setDualCoef(v: Array[Double]): this.type = set(dualCoef, v)
@@ -326,6 +592,10 @@ class ExactSvmModel(override val uid: String)
   def setCoef0M(v: Double): this.type = set(coef0M, v)
   def setFeaturesCol(v: String): this.type = set(featuresColP, v)
   def setCM(v: Double): this.type = set(cM, v)
+  def setPlattA(v: Double): this.type = set(plattA, v)
+  def setPlattB(v: Double): this.type = set(plattB, v)
+  def setCalibrated(v: Boolean): this.type = set(calibratedM, v)
+  def setSolveGap(v: Double): this.type = set(solveGapM, v)
 
   def numSupportVectors: Int = $(supportVectors).length
 
@@ -371,7 +641,19 @@ class ExactSvmModel(override val uid: String)
       while (j < sv.length) { s += dc(j) * k(sv(j), x); j += 1 }
       Vectors.dense(-s, s)
     }
-    ds.withColumn("rawPrediction", f(col($(featuresColP))))
+    val out = ds.withColumn("rawPrediction", f(col($(featuresColP))))
+    if (!$(calibratedM)) out
+    else {
+      val a = $(plattA); val pb = $(plattB)
+      val prob = udf { raw: Vector =>
+        val fApB = raw(1) * a + pb
+        // the numerically-stable split form (Lin/Lin/Weng 2007)
+        val p = if (fApB >= 0) math.exp(-fApB) / (1.0 + math.exp(-fApB))
+                else 1.0 / (1.0 + math.exp(fApB))
+        Vectors.dense(1.0 - p, p)
+      }
+      out.withColumn("probability", prob(col("rawPrediction")))
+    }
   }
 
   override def copy(extra: ParamMap): ExactSvmModel = defaultCopy(extra)

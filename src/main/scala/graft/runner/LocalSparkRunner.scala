@@ -425,9 +425,12 @@ class LocalSparkRunner(
     }
 
   private def materialize0(op: OpSpec): MatResult = {
-    // memoization happens in materialize() — this body runs once per uuid
-    if (!op.isEphemeral && isDone(op)) readResult(op)
-    else {
+    // memoization happens in materialize() — this body runs once per uuid.
+    // readResult = None means a concurrent gc collected the completed
+    // entry between the isDone probe and the read: fall through and
+    // recompute (the entry was legitimately unkept; correctness is
+    // content-addressed, not location-addressed)
+    (if (!op.isEphemeral && isDone(op)) readResult(op) else None).getOrElse {
       if (op.isEphemeral) {
         // stays lazy; nothing persisted (ephemeral fusion). Select frames —
         // narrow (idx, value) projections pulled by many consumers (train
@@ -463,8 +466,10 @@ class LocalSparkRunner(
           Files.writeString(donePath(op), "")
           onResultPersisted(op)
           // re-read data results from the store so downstream consumers scan
-          // the compact persisted parquet, not the original lineage
-          if (fmt == "parquet") readResult(op) else result
+          // the compact persisted parquet, not the original lineage; if a
+          // concurrent gc swept our freshly-completed entry already, the
+          // in-hand computed result is the semantically-identical fallback
+          if (fmt == "parquet") readResult(op).getOrElse(result) else result
         } catch {
           case e: Throwable =>
             writeStatus(OpStatus(op.uuid, OpState.Failed,
@@ -613,13 +618,18 @@ class LocalSparkRunner(
   protected def deleteRecursively(p: Path): Unit =
     LocalSparkRunner.deleteTreeTolerant(p)
 
-  private def readResult(op: OpSpec): MatResult = {
+  /** Read a completed entry's result. None = the entry was COLLECTED out
+    * from under us (done marker gone too — a concurrent gc legitimately
+    * swept a completed, unkept entry; deleteTreeTolerant removes the
+    * marker first, so the collected state is unambiguous): the caller
+    * recomputes. A STANDING done with persistently absent results remains
+    * a hard error — that is real store corruption. */
+  private def readResult(op: OpSpec): Option[MatResult] = {
     // bounded re-check: a cross-process replace claim ([[persistStaged]])
     // has a two-rename-wide window where done exists but the result is
-    // mid-swap; one short retry absorbs it, a persistent absence still
-    // throws (genuinely missing result)
+    // mid-swap; one short retry absorbs it
     var attempt = 0
-    while (true) {
+    while (attempt < 3) {
       // the READ itself is inside the retry, not just the exists() probe: a
       // cross-process aside/restore swap between exists() and the parquet
       // footer read (or the JSON/model load) surfaces as AnalysisException /
@@ -627,22 +637,23 @@ class LocalSparkRunner(
       // the same bounded re-check, not escape as a materialize failure
       try {
         if (Files.exists(resultParquet(op)))
-          return FrameResult(spark.read.parquet(resultParquet(op).toString))
+          return Some(FrameResult(spark.read.parquet(resultParquet(op).toString)))
         else if (Files.exists(resultJson(op)))
-          return JsonResult(Json.parse(Files.readString(resultJson(op))))
+          return Some(JsonResult(Json.parse(Files.readString(resultJson(op)))))
         else if (Files.exists(modelDir(op)))
-          return ModelResult(graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString))
+          return Some(ModelResult(
+            graft.ml.ClassifierRegistry.loadModel(modelDir(op).toString)))
       } catch {
         case _: org.apache.spark.sql.AnalysisException
            | _: java.io.FileNotFoundException
            | _: java.nio.file.NoSuchFileException if attempt < 2 => ()
       }
       attempt += 1
-      if (attempt >= 3) throw new IllegalStateException(
-        s"done marker present but no result for ${op.uuid}")
-      Thread.sleep(50L * attempt)
+      if (attempt < 3) Thread.sleep(50L * attempt)
     }
-    throw new IllegalStateException("unreachable")
+    if (isDone(op)) throw new IllegalStateException(
+      s"done marker present but no result for ${op.uuid}")
+    None
   }
 
   // ---------------- per-op implementations ----------------
@@ -677,8 +688,11 @@ class LocalSparkRunner(
       onResultPersisted(op)
     }
     readResult(op) match {
-      case FrameResult(df) => df
-      case other => throw new IllegalStateException(
+      case Some(FrameResult(df)) => df
+      // stamp collected mid-read by a concurrent gc: serve the unstamped
+      // computation (same rows, same index) — a later load re-stamps
+      case None => ColumnOps.withRowIdxByFileOrder(raw)
+      case Some(other) => throw new IllegalStateException(
         s"stamped load of ${op.uuid} is not a frame: $other")
     }
   }
@@ -1433,10 +1447,20 @@ object LocalSparkRunner {
           s.iterator().asScala.toList
         } finally s.close()
       }
-      paths.sortBy(_.toString).reverse.foreach { f =>
-        try java.nio.file.Files.deleteIfExists(f)
-        catch { case _: java.nio.file.FileSystemException => () }
-      }
+      // the store's completion marker is written LAST ([[persistStaged]]
+      // callers), so it must be deleted FIRST: a collection that removed
+      // result files before `done` would present done-without-result to
+      // every concurrent reader — the exact corruption readResult treats
+      // as fatal. Caught live by MultiProcessStoreSpec's hostile-gc test
+      // under load (round 18); the stable second sort keys the top-level
+      // marker ahead of the deepest-first remainder.
+      val marker = p.resolve("done")
+      paths.sortBy(_.toString).reverse
+        .sortBy(f => if (f == marker) 0 else 1)
+        .foreach { f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: java.nio.file.FileSystemException => () }
+        }
     }
 
   // dispatch by exact op class, checked before erroring — the Scala

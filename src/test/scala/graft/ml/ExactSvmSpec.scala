@@ -129,6 +129,91 @@ class ExactSvmSpec extends SparkTestBase {
     assert(rff.isInstanceOf[KernelClassifier])
   }
 
+  test("nu-SVM: the nu-property brackets margin errors and support vectors") {
+    // overlapping 1-D classes: errors are unavoidable, so ν's two-sided
+    // bound (Schölkopf 2000, Prop. 5: #margin-errors/n ≤ ν ≤ #SVs/n) binds
+    val rng = new scala.util.Random(29)
+    val xs = Array.fill(200)(Array(rng.nextGaussian()))
+    val y = Array.tabulate(200)(i =>
+      if (xs(i)(0) + rng.nextGaussian() * 0.8 > 0) 1 else -1)
+    val k = ExactSvm.kernel("rbf", 1.0, 3, 1.0)
+    val nu = 0.3
+    val sol = ExactSvm.solveNu(xs, y, nu, k, eps = 1e-5)
+    val n = xs.length
+    val nSv = sol.signedDuals.count(_ != 0.0)
+    // margin errors = duals at the (scaled) upper bound effC
+    val nBound = sol.signedDuals.count(d =>
+      math.abs(d) >= sol.effC * (1 - 1e-6))
+    assert(nBound.toDouble / n <= nu + 0.02,
+      s"margin-error fraction ${nBound.toDouble / n} exceeds nu=$nu")
+    assert(nSv.toDouble / n >= nu - 0.02,
+      s"SV fraction ${nSv.toDouble / n} below nu=$nu")
+  }
+
+  test("nu-SVM separates circles exactly and satisfies scaled KKT") {
+    val df = circlesDf(160, 31)
+    val est = new ExactSvmClassifier().setSvmMode("nu").setNu(0.2)
+      .setGamma(1.0).setEps(1e-5)
+      .setFeaturesCol("features").setLabelCol("label")
+    val model = est.fit(df)
+    val scored = model.transform(df).select($"label", $"rawPrediction").collect()
+    val acc = scored.count { r =>
+      (r.getAs[Vector](1)(1) > 0) == (r.getDouble(0) > 0.5)
+    }.toDouble / scored.length
+    assert(acc == 1.0, s"exact nu-SVM should nail circles, got $acc")
+    // scaled solution satisfies the C-SVM KKT form with C = effC = 1/r
+    val rows = df.collect()
+    val xs = rows.map(_.getAs[Vector](1).toArray)
+    val ys = rows.map(r => if (r.getDouble(2) > 0.5) 1 else -1)
+    assert(model.kktResidual(xs, ys) < 0.05)
+  }
+
+  test("infeasible nu errors like sklearn (2·min class fraction bound)") {
+    val xs = Array.fill(20)(Array(1.0))
+    val y = Array.tabulate(20)(i => if (i < 2) 1 else -1) // min frac 0.1
+    val e = intercept[IllegalArgumentException](
+      ExactSvm.solveNu(xs, y, 0.5, ExactSvm.kernel("linear", -1, 3, 1)))
+    assert(e.getMessage.contains("infeasible"))
+  }
+
+  test("Platt calibration: probabilities ordered by decision value, both classes") {
+    val df = circlesDf(160, 37)
+    val model = new ExactSvmClassifier().setSvmMode("nu").setNu(0.2)
+      .setGamma(1.0).setCalibrate(true)
+      .setFeaturesCol("features").setLabelCol("label").fit(df)
+    val out = model.transform(df)
+      .select($"label", $"rawPrediction", $"probability").collect()
+    val probs = out.map(r => (r.getDouble(0), r.getAs[Vector](1)(1),
+      r.getAs[Vector](2)(1)))
+    assert(probs.forall { case (_, _, p) => p >= 0 && p <= 1 })
+    // monotone in f: sigmoid slope A < 0 in Platt's form ⇒ larger decision
+    // value, larger probability
+    val sorted = probs.sortBy(_._2)
+    assert(sorted.zip(sorted.tail).forall { case ((_, _, p1), (_, _, p2)) =>
+      p2 >= p1 - 1e-12 })
+    val posMean = probs.filter(_._1 > 0.5).map(_._3).sum /
+      probs.count(_._1 > 0.5)
+    val negMean = probs.filter(_._1 < 0.5).map(_._3).sum /
+      probs.count(_._1 < 0.5)
+    assert(posMean > 0.9 && negMean < 0.1,
+      s"calibrated separation: pos $posMean vs neg $negMean")
+    // persistence keeps the sigmoid
+    val dir = java.nio.file.Files.createTempDirectory("nusvm").toString
+    model.write.overwrite().save(dir)
+    val back = ExactSvmModel.load(dir)
+    val p2 = back.transform(df).select($"probability").head().getAs[Vector](0)
+    assert(p2(0) >= 0 && p2(1) >= 0)
+  }
+
+  test("registry: nusvm names route exact by default and emit probability") {
+    assert(ClassifierRegistry.create("rbf_nusvm", Map("nu" -> 0.3))
+      .isInstanceOf[ExactSvmClassifier])
+    assert(ClassifierRegistry.create("calibrated_rbf_nusvm", Map.empty)
+      .isInstanceOf[ExactSvmClassifier])
+    assert(ClassifierRegistry.create("rbf_nusvm", Map("rff_dim" -> 64L))
+      .isInstanceOf[KernelClassifier])
+  }
+
   test("poly and linear kernels are available through params") {
     val df = circlesDf(60, 23)
     // poly degree 2 separates circles too (r² is a degree-2 monomial)
