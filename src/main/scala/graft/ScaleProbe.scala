@@ -458,7 +458,7 @@ object ScaleProbe {
     // prep runs outside the measures) when no filter matches its rows
     val embeddingRows = Seq("semantic dedup", "ivf index", "ivf pruned",
       "ivf-pq", "exact kmeans", "prototype drop", "d4 pruned",
-      "spectral iterate")
+      "spectral iterate", "umap iterate")
     for (factor <- Seq(1, 10, 100)
          if filters.isEmpty
            || embeddingRows.exists(n => filters.exists(n.contains))) {
@@ -571,6 +571,21 @@ object ScaleProbe {
         graft.ml.Spectral.embed2dFromEdges(ring,
           spark.range(rows).toDF("id"), iters = 12,
           localSolveMaxNodes = 0L).count() // decades probe the DISTRIBUTED path
+      }
+      // UMAP force epochs over the SAME injected ring (round 18): per
+      // epoch one edges⋈state join (n·8 rows), one generated-negatives
+      // join (n·4 rows), one update map — linearity in nodes is the
+      // claim; kNN construction is the ANN family's row, init=random
+      // keeps the row independent of the spectral row above
+      measure(s"umap iterate ${factor}x",
+        s"nodes=$rows ringDeg=8 iters=8 negs=4") {
+        val offs = Seq(-4L, -3L, -2L, -1L, 1L, 2L, 3L, 4L)
+        val ring = offs.map(o => spark.range(rows).select(
+            col("id").as("src"), ((col("id") + o + rows) % rows).as("dst")))
+          .reduce(_ union _)
+        graft.ml.UmapLayout.embedFromEdges(ring,
+          spark.range(rows).toDF("id"), iters = 8, negatives = 4,
+          init = "random", localSolveMaxNodes = 0L).count()
       }
       Seq(rep, idx, idxPq).foreach { p =>
         val s = java.nio.file.Files.walk(p)
