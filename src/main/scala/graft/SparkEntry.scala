@@ -2068,6 +2068,31 @@ object SparkEntry {
         .select(col("sym_a"), col("sym_b"), col("cnt"))
     }),
 
+    "q_unigram_train" -> ((s, dir) => {
+      // round 18: the OTHER major tokenizer family — unigram-LM
+      // SentencePiece-style Viterbi-EM (ext/Unigram.scala, Kudo 2018)
+      // next to the existing BPE. The oracle replays the seed substring
+      // counts, the total-order top-`UniSeedMulti` selection, the
+      // micro-nat scores, and EVERY EM round's per-word Viterbi DP (a
+      // recursive CTE with a packed-int argmax) bit-for-bit.
+      graft.ext.Unigram.trainTable(t(s, dir, "documents"), "text",
+          seedMulti = UniSeedMulti, rounds = UniRounds, pieceLen = UniPieceLen)
+        .orderBy(col("piece"))
+    }),
+
+    "q_unigram_encode" -> ((s, dir) => {
+      // ENCODE with the trained unigram model: every unique corpus word
+      // Viterbi-segmented under the final scores (map-only; the bounded
+      // vocabulary rides as a broadcast). The oracle runs one MORE DP
+      // round over the final score table and rebuilds each word's
+      // segmentation string in piece order.
+      val docs = t(s, dir, "documents")
+      val fit = graft.ext.Unigram.train(docs, "text",
+        seedMulti = UniSeedMulti, rounds = UniRounds, pieceLen = UniPieceLen)
+      graft.ext.Unigram.encodeWords(docs, "text", fit, pieceLen = UniPieceLen)
+        .orderBy(col("word"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // the FULL tokenizer-training loop, hash-oracled: `BpeMerges` merge
       // rounds, each = one distributed pair-count aggregation over the
@@ -4055,6 +4080,15 @@ object SparkEntry {
     * chars), exercising the loop's fixpoint semantics end-to-end. */
   private val BpeMerges: Int = 6
 
+  /** q_unigram_* gate shape (shared engine/oracle): pieces to 4 chars,
+    * 40 multi-char seeds, 2 Viterbi-EM rounds — deep enough that round 2
+    * re-segments under round-1 counts (pieces the first decoder pass
+    * dropped change the lattice) while the oracle stays two unrolled DP
+    * recursions. */
+  private val UniPieceLen: Int = graft.ext.Unigram.DefaultPieceLen
+  private val UniSeedMulti: Int = graft.ext.Unigram.DefaultSeedMulti
+  private val UniRounds: Int = graft.ext.Unigram.DefaultRounds
+
   /** Unrolled DuckDB replay of the [[graft.ext.Bpe.train]] merge loop:
     * round k = pair counts over the unique-word symbol table (`p{k}`),
     * total-order argmax (`b{k}`), and a RECURSIVE leftmost-replacement
@@ -4363,6 +4397,94 @@ object SparkEntry {
       s"(${MlpFixture.b2(j)})/1024.0 + $terms"
     }.mkString(", ")
     (l1, hd)
+  }
+
+  /** Full DuckDB replay of the [[graft.ext.Unigram]] Viterbi-EM loop
+    * through `rounds` rounds: the seed substring counts over the
+    * unique-word table, the top-`seedMulti` total-order selection, the
+    * micro-nat scores (`round(1e6·ln(cnt/total))` — the LangModel ln
+    * precedent), and per round a per-word Viterbi DP as a recursive CTE
+    * carrying the dp/backpointer LISTS. The argmax at each position is
+    * ONE integer MAX over a packed key `(dp[j]+s+2⁴⁰)·1024 + (1023−j)` —
+    * maximal value, ties to the smallest j, exactly the engine's
+    * ascending-scan strict-improvement rule. Produces CTEs up to
+    * `v{rounds}`/`s{rounds}` (final counts/scores) plus `wl`, `pos`,
+    * `chars`, `multi0`; callers append the output select (and optionally
+    * one more DP round for the encode replay via [[unigramDpCtes]]). */
+  private def unigramOracleCtes(rounds: Int, seedMulti: Int,
+                                pieceLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wl AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt, length(word) AS len
+         |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |               x -> length(x) > 0)) AS word FROM documents)
+         |  GROUP BY 1),
+         |pos AS MATERIALIZED (
+         |  SELECT word, j, unnest(range(j + 1, least(j + $pieceLen, len) + 1)) AS i
+         |  FROM (SELECT word, len, unnest(range(len)) AS j FROM wl)),
+         |seedc AS (
+         |  SELECT substr(w.word, CAST(p.j + 1 AS INT), CAST(p.i - p.j AS INT)) AS piece,
+         |         SUM(w.cnt) AS cnt
+         |  FROM wl w JOIN pos p USING (word) GROUP BY 1),
+         |chars AS (SELECT piece, cnt FROM seedc WHERE length(piece) = 1),
+         |multi0 AS (SELECT piece, cnt FROM seedc WHERE length(piece) > 1
+         |           ORDER BY cnt DESC, piece LIMIT $seedMulti),
+         |v0 AS (SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM multi0),
+         |s0 AS (SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE)
+         |         / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v0))) AS BIGINT) AS s
+         |       FROM v0)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(",\n").append(unigramDpCtes(r, r - 1, pieceLen))
+      sb.append(s""",
+        |c$r AS (SELECT p.piece, SUM(w.cnt) AS cnt
+        |        FROM pc$r p JOIN wl w USING (word) GROUP BY 1),
+        |v$r AS (SELECT ch.piece, COALESCE(c$r.cnt, 0) + 1 AS cnt
+        |        FROM chars ch LEFT JOIN c$r ON c$r.piece = ch.piece
+        |        UNION ALL
+        |        SELECT m0.piece, c$r.cnt FROM multi0 m0
+        |        JOIN c$r ON c$r.piece = m0.piece),
+        |s$r AS (SELECT piece, CAST(round(1e6 * ln(CAST(cnt AS DOUBLE)
+        |          / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM v$r))) AS BIGINT) AS s
+        |        FROM v$r)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** One Viterbi-DP round's CTEs (`m$r`, `rec$r`, `walk$r`, `pc$r`) over
+    * the scores CTE `s$sr`: the forward DP recursion (packed argmax) and
+    * the backpointer walk emitting (word, j, piece) rows. */
+  private def unigramDpCtes(r: Int, sr: Int, pieceLen: Int): String = {
+    val Off = 1099511627776L // 2^40: shifts every packed dp value positive
+    s"""m$r AS MATERIALIZED (
+       |  SELECT p.word, p.j, p.i, s.s
+       |  FROM pos p JOIN s$sr s
+       |    ON s.piece = substr(p.word, CAST(p.j + 1 AS INT), CAST(p.i - p.j AS INT))),
+       |rec$r AS (
+       |  SELECT word, len, [CAST(0 AS BIGINT)] AS dpl,
+       |         [CAST(0 AS BIGINT)] AS bpl, CAST(1 AS BIGINT) AS i
+       |  FROM wl
+       |  UNION ALL
+       |  SELECT word, len,
+       |    dpl || [pk // 1024 - $Off], bpl || [1023 - (pk % 1024)], i + 1
+       |  FROM (
+       |    SELECT r.word, any_value(r.len) AS len, any_value(r.dpl) AS dpl,
+       |      any_value(r.bpl) AS bpl, any_value(r.i) AS i,
+       |      MAX((r.dpl[CAST(m.j + 1 AS INT)] + m.s + $Off) * 1024
+       |          + (1023 - m.j)) AS pk
+       |    FROM rec$r r JOIN m$r m ON m.word = r.word AND m.i = r.i
+       |    WHERE r.i <= r.len
+       |    GROUP BY r.word)),
+       |walk$r AS (
+       |  SELECT word, len AS pos, bpl FROM rec$r WHERE i = len + 1
+       |  UNION ALL
+       |  SELECT word, bpl[CAST(pos + 1 AS INT)] AS pos, bpl
+       |  FROM walk$r WHERE pos > 0),
+       |pc$r AS (
+       |  SELECT word, bpl[CAST(pos + 1 AS INT)] AS j,
+       |    substr(word, CAST(bpl[CAST(pos + 1 AS INT)] + 1 AS INT),
+       |      CAST(pos - bpl[CAST(pos + 1 AS INT)] AS INT)) AS piece
+       |  FROM walk$r WHERE pos > 0)""".stripMargin
   }
 
   private def bpeOracleCtes(numMerges: Int): String = {
@@ -6612,6 +6734,22 @@ object SparkEntry {
         |       FROM p GROUP BY 1, 2)
         |SELECT sym_a, sym_b, CAST(cnt AS BIGINT) AS cnt
         |FROM pc ORDER BY cnt DESC, sym_a, sym_b LIMIT 20""".stripMargin,
+
+    "q_unigram_train" -> ("WITH RECURSIVE " +
+      unigramOracleCtes(UniRounds, UniSeedMulti, UniPieceLen) + s"""
+      |SELECT v.piece, CAST(v.cnt AS BIGINT) AS cnt, s.s AS score_u6
+      |FROM v$UniRounds v JOIN s$UniRounds s USING (piece)
+      |ORDER BY piece""".stripMargin),
+
+    "q_unigram_encode" -> ("WITH RECURSIVE " +
+      unigramOracleCtes(UniRounds, UniSeedMulti, UniPieceLen) + ",\n" +
+      unigramDpCtes(UniRounds + 1, UniRounds, UniPieceLen) + s"""
+      |SELECT w.word, CAST(w.cnt AS BIGINT) AS cnt,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+      |  string_agg(p.piece, chr(31) ORDER BY p.j) AS seg
+      |FROM pc${UniRounds + 1} p JOIN wl w USING (word)
+      |GROUP BY w.word, w.cnt
+      |ORDER BY w.word""".stripMargin),
 
     "q_bpe_train" -> (bpeOracleCtes(BpeMerges) + "\n" +
       (0 until BpeMerges)
