@@ -2093,6 +2093,25 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    "q_uni_graph" -> ((s, dir) => {
+      // spec-layer twin of the unigram family: TrainUnigramTokenizerOp
+      // (the content-addressed integer vocab artifact) composed with
+      // UnigramTokenizeOp through the runner — per-document piece arrays
+      // over positional identity. The oracle replays training, one more
+      // Viterbi round, and every document's word-ordered rebuild.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val text = SelectTextColumnOp(ds, "text")
+      val tok = TrainUnigramTokenizerOp(text, seedMulti = UniSeedMulti.toLong,
+        rounds = UniRounds.toLong, pieceLen = UniPieceLen.toLong)
+      val pieces = UnigramTokenizeOp(tok, text)
+      r.toFrame(pieces)
+        .select(col(ColumnOps.RowIdx).as("row_idx"),
+          size(col("value")).cast("long").as("n_pieces"),
+          array_join(col("value"), "\u001f").as("seg"))
+        .orderBy(col("row_idx"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // the FULL tokenizer-training loop, hash-oracled: `BpeMerges` merge
       // rounds, each = one distributed pair-count aggregation over the
@@ -6750,6 +6769,27 @@ object SparkEntry {
       |FROM pc${UniRounds + 1} p JOIN wl w USING (word)
       |GROUP BY w.word, w.cnt
       |ORDER BY w.word""".stripMargin),
+
+    "q_uni_graph" -> ("WITH RECURSIVE " +
+      unigramOracleCtes(UniRounds, UniSeedMulti, UniPieceLen) + ",\n" +
+      unigramDpCtes(UniRounds + 1, UniRounds, UniPieceLen) + s""",
+      |wseg AS (SELECT word, string_agg(piece, chr(31) ORDER BY j) AS seg,
+      |           COUNT(*) AS np
+      |         FROM pc${UniRounds + 1} GROUP BY word),
+      |docs0 AS (SELECT row_number() OVER () - 1 AS row_idx,
+      |            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+      |              x -> length(x) > 0) AS arr
+      |          FROM documents),
+      |docw AS (SELECT row_idx, u.i AS ord, arr[CAST(u.i + 1 AS INT)] AS word
+      |         FROM docs0, LATERAL (SELECT unnest(range(len(arr))) AS i) u)
+      |SELECT d.row_idx,
+      |  COALESCE(CAST(SUM(ws.np) AS BIGINT), 0) AS n_pieces,
+      |  COALESCE(string_agg(ws.seg, chr(31) ORDER BY dw.ord), '') AS seg
+      |FROM docs0 d
+      |LEFT JOIN docw dw ON dw.row_idx = d.row_idx
+      |LEFT JOIN wseg ws ON ws.word = dw.word
+      |GROUP BY d.row_idx
+      |ORDER BY d.row_idx""".stripMargin),
 
     "q_bpe_train" -> (bpeOracleCtes(BpeMerges) + "\n" +
       (0 until BpeMerges)

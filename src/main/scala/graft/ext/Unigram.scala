@@ -170,6 +170,20 @@ object Unigram {
       .toDF("piece", "cnt", "score_u6")
   }
 
+  /** Tokenize a text column with a learned fit: array<string> of pieces,
+    * words segmented independently in order (the [[Bpe.tokenizeColumn]]
+    * contract — the bounded vocabulary rides the task closure). Null or
+    * empty text yields an empty array. */
+  def tokenizeColumn(text: org.apache.spark.sql.Column, fit: Fit,
+                     pieceLen: Int = DefaultPieceLen): org.apache.spark.sql.Column = {
+    val scores = fit.scores
+    val f = udf { words: Seq[String] =>
+      if (words == null) Seq.empty[String]
+      else words.flatMap(w => viterbi(w, scores, pieceLen))
+    }
+    f(filter(split(trim(text), "\\s+"), w => length(w) > 0))
+  }
+
   /** Segment every unique word of a corpus under a fit: (word, cnt,
     * n_pieces, seg) with pieces 0x1F-joined — the encode gate. */
   def encodeWords(df: DataFrame, textCol: String, fit: Fit,

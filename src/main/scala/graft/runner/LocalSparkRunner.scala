@@ -131,6 +131,7 @@ class LocalSparkRunner(
     case c: CcnetBucketsOp => lengthOf(c.text)
     case p: PackSequencesOp => lengthOf(p.tokens)
     case b: BpeTokenizeOp => lengthOf(b.text)
+    case u: UnigramTokenizeOp => lengthOf(u.text)
     case m: ImageMetaOp => lengthOf(m.image)
     case rz: ImageResizeOp => lengthOf(rz.image)
     case e: ImageEmbedOp => lengthOf(e.image)
@@ -1227,6 +1228,34 @@ class LocalSparkRunner(
       }
       FrameResult(frame(text).select(col(RowIdx),
         graft.ext.Bpe.tokenizeColumn(col(ValueCol), merges.toSeq).as(ValueCol)))
+
+    case TrainUnigramTokenizerOp(text, seedMulti, rounds, pieceLen) =>
+      // the artifact is the (piece, count) vocabulary — counts, not
+      // scores, persist (scores re-derive exactly via the shared
+      // micro-nat formula), so the stored JSON is integer-only
+      val fit = graft.ext.Unigram.train(frame(text), ValueCol,
+        seedMulti.toInt, rounds.toInt, pieceLen.toInt)
+      JsonResult(JObj(scala.collection.immutable.ListMap(
+        "piece_len" -> JLong(pieceLen),
+        "vocab" -> JArr(fit.vocab.map { case (p, c) =>
+          JArr(Vector(JString(p), JLong(c)))
+        }.toVector))))
+
+    case UnigramTokenizeOp(tokenizer, text) =>
+      val j = (materialize(tokenizer) match {
+        case JsonResult(x) => x
+        case other => throw new IllegalStateException(
+          s"tokenizer result is not json: $other")
+      }).asInstanceOf[JObj]
+      val pieceLen = j("piece_len").asInstanceOf[JLong].value.toInt
+      val vocab = j("vocab").asInstanceOf[JArr].items.map {
+        case JArr(Vector(JString(p), JLong(c))) => (p, c)
+        case v => throw new IllegalStateException(s"bad vocab entry $v")
+      }
+      val fit = graft.ext.Unigram.Fit(vocab.toSeq)
+      FrameResult(frame(text).select(col(RowIdx),
+        graft.ext.Unigram.tokenizeColumn(col(ValueCol), fit, pieceLen)
+          .as(ValueCol)))
 
     case ExplodeFramesOp(video) =>
       // row-multiplying: fresh positional identity in (parent, frame)

@@ -112,6 +112,14 @@ object Fluent {
     /** tokenize with a learned tokenizer artifact */
     def bpeTokenize(tokenizer: TokenizerType): BpeTokenizeOp =
       BpeTokenizeOp(tokenizer, t)
+    /** train a content-addressed unigram-LM (SentencePiece-family)
+      * tokenizer on this column's corpus */
+    def trainUnigramTokenizer(seedMulti: Long = 40L, rounds: Long = 2L,
+                              pieceLen: Long = 4L): TrainUnigramTokenizerOp =
+      TrainUnigramTokenizerOp(t, seedMulti, rounds, pieceLen)
+    /** tokenize with a learned unigram artifact */
+    def unigramTokenize(tokenizer: TokenizerType): UnigramTokenizeOp =
+      UnigramTokenizeOp(tokenizer, t)
     /** beyond reference: Count-Min word-frequency card of this corpus */
     def cmsWordCounts(depth: Long = 4L, width: Long = 128L,
                       topN: Long = 20L): CmsWordCountsOp =

@@ -576,6 +576,12 @@ object OpRegistry {
         lng(o, "num_merges"))),
     "BpeTokenizeOp" -> ((o, r) =>
       BpeTokenizeOp(op[TokenizerType](o, "tokenizer", r),
+        op[TextColumnType](o, "text", r))),
+    "TrainUnigramTokenizerOp" -> ((o, r) =>
+      TrainUnigramTokenizerOp(op[TextColumnType](o, "text", r),
+        lng(o, "seed_multi"), lng(o, "rounds"), lng(o, "piece_len"))),
+    "UnigramTokenizeOp" -> ((o, r) =>
+      UnigramTokenizeOp(op[TokenizerType](o, "tokenizer", r),
         op[TextColumnType](o, "text", r)))
   )
 }

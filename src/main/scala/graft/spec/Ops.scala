@@ -996,3 +996,22 @@ final case class TrainBpeTokenizerOp(
 final case class BpeTokenizeOp(
     tokenizer: TokenizerType,
     text: TextColumnType) extends ColumnType
+
+/** Train a unigram-LM tokenizer ([[graft.ext.Unigram]], Kudo 2018 — the
+  * SentencePiece family next to BPE): the artifact is the content-
+  * addressed (piece, count) vocabulary; scores re-derive from counts. */
+final case class TrainUnigramTokenizerOp(
+    text: TextColumnType,
+    seedMulti: Long = 40L,
+    rounds: Long = 2L,
+    pieceLen: Long = 4L) extends TokenizerType {
+  require(seedMulti >= 0L, s"seedMulti must be >= 0, got $seedMulti")
+  require(rounds >= 0L, s"rounds must be >= 0, got $rounds")
+  require(pieceLen >= 1L, s"pieceLen must be >= 1, got $pieceLen")
+}
+
+/** Tokenize with a learned unigram model: value = array<string> of
+  * Viterbi pieces, words segmented independently in order. */
+final case class UnigramTokenizeOp(
+    tokenizer: TokenizerType,
+    text: TextColumnType) extends ColumnType

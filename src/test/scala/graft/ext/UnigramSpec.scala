@@ -105,6 +105,40 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("spec ops: tokenizer artifact round-trips the store; tokenize composes") {
+    import graft.spec._
+    val r = new graft.runner.LocalSparkRunner(spark,
+      java.nio.file.Files.createTempDirectory("unistore").toString)
+    val ds = r.fromParquet("/root/testdata/sf0.001/documents.parquet")
+    val text = SelectTextColumnOp(ds, "text")
+    val tok = TrainUnigramTokenizerOp(text, seedMulti = 10L, rounds = 1L,
+      pieceLen = 3L)
+    val pieces = UnigramTokenizeOp(tok, text)
+    // serde round-trip preserves identity
+    val Seq(back) = Graph.deserialize(Graph.serialize(pieces))
+    assert(back == pieces && back.uuid == pieces.uuid)
+    val out = r.toFrame(pieces).collect()
+    assert(out.nonEmpty)
+    // a SECOND runner over the same store reuses the artifact and agrees
+    val r2 = new graft.runner.LocalSparkRunner(spark, r.storeUri)
+    val again = r2.toFrame(pieces).collect()
+    assert(out.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+    // rebuilt text: pieces of each word concatenate back to the word
+    val fitDf = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val words = Bpe.wordCounts(fitDf.select(col("text")), "text")
+      .collect().map(_.getString(0)).toSet
+    out.foreach { row =>
+      val seq = row.getSeq[String](1)
+      if (seq.nonEmpty) {
+        // piece stream must be partitioned into the document's words
+        val joined = seq.mkString("")
+        assert(words.exists(w => joined.startsWith(w)),
+          s"piece stream '${joined.take(30)}' must start at a word boundary")
+      }
+    }
+  }
+
   private def t(name: String) =
     spark.read.parquet(s"/root/testdata/sf0.001/$name.parquet")
 }
