@@ -2112,6 +2112,33 @@ object SparkEntry {
         .orderBy(col("row_idx"))
     }),
 
+    "q_tok_compare" -> ((s, dir) => {
+      // round 18: TOKENIZER SELECTION — both subword families trained on
+      // the same corpus and compared on corpus fertility (pieces per
+      // whitespace word, integer micro-unit ratio): the eval a pipeline
+      // runs before committing a tokenizer. One map pass per family +
+      // one 1-row aggregate; the oracle replays BOTH training loops
+      // (all BPE merge rounds AND all unigram EM rounds) in one query.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val (merges, _) = Bpe.train(docs, "text", BpeMerges)
+      val fit = graft.ext.Unigram.train(docs, "text",
+        seedMulti = UniSeedMulti, rounds = UniRounds, pieceLen = UniPieceLen)
+      val wordsCol = filter(split(trim(col("text")), "\\s+"),
+        w => length(w) > 0)
+      val agg = docs.select(
+          size(Bpe.tokenizeColumn(col("text"), merges)).cast("long").as("bt"),
+          size(graft.ext.Unigram.tokenizeColumn(col("text"), fit,
+            UniPieceLen)).cast("long").as("ut"),
+          size(wordsCol).cast("long").as("w"))
+        .agg(sum(col("bt")), sum(col("ut")), sum(col("w"))).head()
+      Seq(("bpe", agg.getLong(0), agg.getLong(2)),
+          ("unigram", agg.getLong(1), agg.getLong(2)))
+        .toDF("tokenizer", "tokens", "words")
+        .withColumn("fertility_u6", expr("tokens * 1000000 div words"))
+        .orderBy(col("tokenizer"))
+    }),
+
     "q_bpe_train" -> ((s, dir) => {
       // the FULL tokenizer-training loop, hash-oracled: `BpeMerges` merge
       // rounds, each = one distributed pair-count aggregation over the
@@ -4457,7 +4484,7 @@ object SparkEntry {
       sb.append(",\n").append(unigramDpCtes(r, r - 1, pieceLen))
       sb.append(s""",
         |c$r AS (SELECT p.piece, SUM(w.cnt) AS cnt
-        |        FROM pc$r p JOIN wl w USING (word) GROUP BY 1),
+        |        FROM upc$r p JOIN wl w USING (word) GROUP BY 1),
         |v$r AS (SELECT ch.piece, COALESCE(c$r.cnt, 0) + 1 AS cnt
         |        FROM chars ch LEFT JOIN c$r ON c$r.piece = ch.piece
         |        UNION ALL
@@ -4475,11 +4502,11 @@ object SparkEntry {
     * the backpointer walk emitting (word, j, piece) rows. */
   private def unigramDpCtes(r: Int, sr: Int, pieceLen: Int): String = {
     val Off = 1099511627776L // 2^40: shifts every packed dp value positive
-    s"""m$r AS MATERIALIZED (
+    s"""um$r AS MATERIALIZED (
        |  SELECT p.word, p.j, p.i, s.s
        |  FROM pos p JOIN s$sr s
        |    ON s.piece = substr(p.word, CAST(p.j + 1 AS INT), CAST(p.i - p.j AS INT))),
-       |rec$r AS (
+       |urec$r AS (
        |  SELECT word, len, [CAST(0 AS BIGINT)] AS dpl,
        |         [CAST(0 AS BIGINT)] AS bpl, CAST(1 AS BIGINT) AS i
        |  FROM wl
@@ -4491,19 +4518,19 @@ object SparkEntry {
        |      any_value(r.bpl) AS bpl, any_value(r.i) AS i,
        |      MAX((r.dpl[CAST(m.j + 1 AS INT)] + m.s + $Off) * 1024
        |          + (1023 - m.j)) AS pk
-       |    FROM rec$r r JOIN m$r m ON m.word = r.word AND m.i = r.i
+       |    FROM urec$r r JOIN um$r m ON m.word = r.word AND m.i = r.i
        |    WHERE r.i <= r.len
        |    GROUP BY r.word)),
-       |walk$r AS (
-       |  SELECT word, len AS pos, bpl FROM rec$r WHERE i = len + 1
+       |uwalk$r AS (
+       |  SELECT word, len AS pos, bpl FROM urec$r WHERE i = len + 1
        |  UNION ALL
        |  SELECT word, bpl[CAST(pos + 1 AS INT)] AS pos, bpl
-       |  FROM walk$r WHERE pos > 0),
-       |pc$r AS (
+       |  FROM uwalk$r WHERE pos > 0),
+       |upc$r AS (
        |  SELECT word, bpl[CAST(pos + 1 AS INT)] AS j,
        |    substr(word, CAST(bpl[CAST(pos + 1 AS INT)] + 1 AS INT),
        |      CAST(pos - bpl[CAST(pos + 1 AS INT)] AS INT)) AS piece
-       |  FROM walk$r WHERE pos > 0)""".stripMargin
+       |  FROM uwalk$r WHERE pos > 0)""".stripMargin
   }
 
   private def bpeOracleCtes(numMerges: Int): String = {
@@ -6766,7 +6793,7 @@ object SparkEntry {
       |SELECT w.word, CAST(w.cnt AS BIGINT) AS cnt,
       |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
       |  string_agg(p.piece, chr(31) ORDER BY p.j) AS seg
-      |FROM pc${UniRounds + 1} p JOIN wl w USING (word)
+      |FROM upc${UniRounds + 1} p JOIN wl w USING (word)
       |GROUP BY w.word, w.cnt
       |ORDER BY w.word""".stripMargin),
 
@@ -6775,7 +6802,7 @@ object SparkEntry {
       unigramDpCtes(UniRounds + 1, UniRounds, UniPieceLen) + s""",
       |wseg AS (SELECT word, string_agg(piece, chr(31) ORDER BY j) AS seg,
       |           COUNT(*) AS np
-      |         FROM pc${UniRounds + 1} GROUP BY word),
+      |         FROM upc${UniRounds + 1} GROUP BY word),
       |docs0 AS (SELECT row_number() OVER () - 1 AS row_idx,
       |            list_filter(regexp_split_to_array(trim(text), '\\s+'),
       |              x -> length(x) > 0) AS arr
@@ -6790,6 +6817,24 @@ object SparkEntry {
       |LEFT JOIN wseg ws ON ws.word = dw.word
       |GROUP BY d.row_idx
       |ORDER BY d.row_idx""".stripMargin),
+
+    // both tokenizer-training loops replayed in ONE query: the BPE merge
+    // chain (w0..w6) and the unigram EM chain (seed → rounds → final DP)
+    "q_tok_compare" -> (bpeOracleCtes(BpeMerges) + ",\n" +
+      unigramOracleCtes(UniRounds, UniSeedMulti, UniPieceLen) + ",\n" +
+      unigramDpCtes(UniRounds + 1, UniRounds, UniPieceLen) + s""",
+      |bt AS (SELECT CAST(SUM(cnt * len(list_filter(string_split(seg, chr(31)),
+      |         x -> length(x) > 0))) AS BIGINT) AS tokens FROM w$BpeMerges),
+      |ut AS (SELECT CAST(SUM(w.cnt) AS BIGINT) AS tokens
+      |       FROM upc${UniRounds + 1} p JOIN wl w USING (word)),
+      |tw AS (SELECT CAST(SUM(cnt) AS BIGINT) AS words FROM wl)
+      |SELECT * FROM (
+      |  SELECT 'bpe' AS tokenizer, bt.tokens, tw.words,
+      |    bt.tokens * 1000000 // tw.words AS fertility_u6 FROM bt, tw
+      |  UNION ALL
+      |  SELECT 'unigram', ut.tokens, tw.words,
+      |    ut.tokens * 1000000 // tw.words FROM ut, tw)
+      |ORDER BY tokenizer""".stripMargin),
 
     "q_bpe_train" -> (bpeOracleCtes(BpeMerges) + "\n" +
       (0 until BpeMerges)
