@@ -1541,6 +1541,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_lm_sink" -> ((s, dir) => {
+      // round 18: the ONLINE perplexity filter as a durable exactly-once
+      // sink (lmScoreToSink): two micro-batches (even doc_ids, then odd).
+      // Batch 0 bootstraps by self-fit (== the batch operator on the even
+      // docs); batch 1 is scored by the STANDING even-docs model — odd
+      // docs hit the backoff and OOV arms against a model they never fit,
+      // the true online-curation semantics. Verdicts are read back from
+      // the sink per batch; forced-restart replay pinned in StreamingSpec.
+      val docs = t(s, dir, "documents")
+      val src = java.nio.file.Files.createTempDirectory("graft-lmsink-src-")
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-lmsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-lmsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.streaming.Streaming.lmScoreToSink(stream, "doc_id", "text",
+        sink, ckpt)
+      Seq(0, 1).map { b =>
+        s.read.parquet(s"$sink/data/batch_id=$b")
+          .select(lit(b.toLong).as("batch_id"), col("doc_id"),
+            col("n_tokens"), col("logp_u6"), col("ppl"))
+      }.reduce(_ unionByName _).orderBy(col("batch_id"), col("doc_id"))
+    }),
+
     "q_cms_sink" -> ((s, dir) => {
       // DURABLE Count-Min sketch (cmsSketchToSink): the word stream of
       // two micro-batches (even doc_ids, then odd) folds into a persisted
@@ -8030,6 +8065,25 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    // durable online-LM sink: both legs fit on the EVEN docs (batch 0's
+    // self-fit == the standing model batch 1 scores against), each leg
+    // restricted to its batch's documents
+    "q_lm_sink" -> {
+      def leg(b: Int, where: String) =
+        "(" + lmPerplexitySqlCtesWith("SELECT * FROM p WHERE doc_id % 2 = 0") +
+          s"""SELECT CAST($b AS BIGINT) AS batch_id, docs.doc_id,
+             |  coalesce(d.n_tokens, 0) AS n_tokens,
+             |  coalesce(d.logp_u6, 0) AS logp_u6,
+             |  $lmPplExprSql AS ppl
+             |FROM (SELECT doc_id FROM documents WHERE $where) docs
+             |LEFT JOIN d USING (doc_id))""".stripMargin
+      s"""SELECT * FROM (
+         |${leg(0, "doc_id % 2 = 0")}
+         |UNION ALL
+         |${leg(1, "doc_id % 2 = 1")})
+         |ORDER BY batch_id, doc_id""".stripMargin
+    },
 
     // temperature sampling: quota table in HUGEINT arithmetic (one sqrt
     // weight rounding — sqrt IS correctly rounded, so wq matches the

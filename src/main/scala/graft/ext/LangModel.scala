@@ -70,6 +70,28 @@ object LangModel {
             element_at(ws, i + 1).as("cur"))))
     }
 
+  /** The bigram SUFFICIENT STATISTIC: (v, w, cnt) pair counts. The whole
+    * model derives from this table ([[fromPairCounts]]), and it merges by
+    * plain count addition — the sum monoid the streaming LM sink folds
+    * ([[graft.streaming.Streaming.lmScoreToSink]]). */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(pairTriples(col(textCol))).as("t"))
+      .select(col("t.prev").as("v"), col("t.cur").as("w"))
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Rebuild the scoring model from a (v, w, cnt) pair-count table —
+    * identical to [[fit]] on the originating corpus (unigram, BOS, and
+    * total counts are all linear in the pair counts). */
+  def fromPairCounts(pairs: DataFrame): BigramLm = {
+    val uni = pairs.groupBy(col("w")).agg(sum(col("cnt")).as("cu"))
+      .unionByName(pairs.filter(col("v") === Bos)
+        .agg(sum(col("cnt")).as("cu")).select(lit(Bos).as("w"),
+          coalesce(col("cu"), lit(0L)).as("cu")))
+    val bi = pairs.select(col("v"), col("w"), col("cnt").as("cb"))
+    val tot = pairs.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_tokens"))
+    BigramLm(uni, bi, tot)
+  }
+
   /** Fit the bigram model on `docs(textCol)`. Empty documents contribute
     * nothing (no BOS count either) — mirrored by the oracle. */
   def fit(docs: DataFrame, textCol: String): BigramLm = {

@@ -298,6 +298,64 @@ object Streaming {
     spark.createDataFrame(rows.toList.asJava, schema)
   }
 
+  /** The PRODUCTION form of [[scoreLmAvailableNow]] — the ONLINE
+    * perplexity filter as a durable exactly-once sink. Per micro-batch B:
+    *
+    *  1. score B's documents against the model accumulated over all PRIOR
+    *     batches — the true online-curation semantics (incoming docs are
+    *     judged by the standing corpus model, never by themselves); the
+    *     FIRST batch bootstraps by self-fit (the batch operator's
+    *     semantics), deterministically;
+    *  2. write the verdicts (id, n_tokens, logp_u6, ppl) to
+    *     `sink/data/batch_id=B`;
+    *  3. fold B's bigram pair counts (the model's sufficient statistic —
+    *     a plain sum monoid, [[graft.ext.LangModel.pairCounts]]) into
+    *     `sink/_state/batch_id=B`.
+    *
+    * EXACTLY-ONCE: the replay of a batch reads only state < B
+    * ([[newestStateBefore]]) and overwrites its own two directories, so a
+    * crash between steps re-derives bit-identical verdicts and state —
+    * the same discipline as every `*ToSink` (forced-restart-tested in
+    * StreamingSpec). State size is the model's vocabulary² upper bound in
+    * theory, observed-bigram count in practice — the same table the batch
+    * fit builds, shuffled once per batch. */
+  def lmScoreToSink(docs: DataFrame, idCol: String, textCol: String,
+                    sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF().localCheckpoint(true)
+          val bp = graft.ext.LangModel.pairCounts(b, textCol)
+            .localCheckpoint(true)
+          val prior = newestStateBefore(spark, sink, bid)
+          val modelPairs = prior match {
+            case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
+            case None => bp // bootstrap: the batch operator's self-fit
+          }
+          val scored = graft.ext.LangModel.score(b, idCol, textCol,
+            graft.ext.LangModel.fromPairCounts(modelPairs))
+          scored.coalesce(1).write.mode("overwrite")
+            .parquet(s"$sink/data/batch_id=$bid")
+          val folded = prior match {
+            case None => bp
+            case Some(p) =>
+              spark.read.parquet(s"$sink/_state/batch_id=$p")
+                .unionByName(bp)
+                .groupBy(col("v"), col("w"))
+                .agg(sum(col("cnt")).as("cnt"))
+          }
+          folded.coalesce(1).write.mode("overwrite")
+            .parquet(s"$sink/_state/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming twin of [[graft.ext.Dedup.semanticDedup]]: SemDeDup against
     * PINNED centroids (fit once on a reference corpus — in production,
     * content-addressed in the runner store like the stored-IVF index), run

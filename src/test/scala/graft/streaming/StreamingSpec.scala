@@ -770,6 +770,63 @@ class StreamingSpec extends SparkTestBase {
       "replay altered the sketches")
   }
 
+  test("lm sink: prior-model scoring, state folds, exactly-once restart") {
+    // three batches of docs; batch 0 scored by self-fit (== the batch
+    // operator on batch 0), later batches by the STANDING prior model;
+    // state after B = pair counts over the prefix; forced replay of the
+    // last batch re-derives identical verdicts and state
+    val b0 = Seq((0L, "the cat sat"), (1L, "the cat ran"))
+    val b1 = Seq((2L, "the cat sat"), (3L, "a dog ran"))
+    val b2 = Seq((4L, "the dog sat on the cat"))
+    val src = java.nio.file.Files.createTempDirectory("graft-lms-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-lms-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lms-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.lmScoreToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "doc_id", "text", sink, ckpt)
+    run()
+    def verdicts(b: Int) = spark.read.parquet(s"$sink/data/batch_id=$b")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // batch 0 == the batch operator's self-fit on batch 0
+    val self0 = graft.ext.LangModel.score(b0.toDF("doc_id", "text"),
+        "doc_id", "text",
+        graft.ext.LangModel.fit(b0.toDF("doc_id", "text"), "text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(verdicts(0) == self0, "batch 0 must equal the self-fit operator")
+    // batch B > 0 == the batch operator fit on the PREFIX BEFORE B
+    for ((fitRows, b) <- Seq(b0, b0 ++ b1).zipWithIndex.map(t => (t._1, t._2 + 1))) {
+      val scoreRows = Seq(b0, b1, b2)(b)
+      val expect = graft.ext.LangModel.score(scoreRows.toDF("doc_id", "text"),
+          "doc_id", "text",
+          graft.ext.LangModel.fit(fitRows.toDF("doc_id", "text"), "text"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(verdicts(b) == expect,
+        s"batch $b must be scored by the standing prior model")
+    }
+    // state after the last batch = pair counts over everything
+    def stateSet(b: Int) = spark.read.parquet(s"$sink/_state/batch_id=$b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(stateSet(2) == graft.ext.LangModel.pairCounts(
+      (b0 ++ b1 ++ b2).toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
+    val before = ((0 to 2).map(verdicts), (0 to 2).map(stateSet))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert(((0 to 2).map(verdicts), (0 to 2).map(stateSet)) == before,
+      "replay altered verdicts or state")
+  }
+
   test("bloom sink: running bitmap per batch, exactly-once restart") {
     val b0 = Seq("alpha", "beta")
     val b1 = Seq("gamma")
