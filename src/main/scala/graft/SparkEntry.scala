@@ -1541,6 +1541,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_len_batches" -> ((s, dir) => {
+      // round 18: LENGTH-BUCKETED BATCH ASSEMBLY (Corpus.
+      // lengthBucketBatches) — the padding-efficiency layout trainers use
+      // (fairseq/t2t-style dynamic bucketing): similar lengths batch
+      // together, each batch pads to its own max. Per-doc layout
+      // hash-oracled; the in-query gate asserts the layout actually
+      // BEATS arrival-order batching on total pad (the op's reason to
+      // exist), computed over the same batch size.
+      val docs = t(s, dir, "documents")
+      val nTok = size(filter(split(trim(col("text")), "\\s+"),
+        w => length(w) > 0))
+      val out = graft.ext.Corpus.lengthBucketBatches(
+        docs, "doc_id", nTok, bucketWidth = 16L, batchSize = 8)
+      val bucketPad = out.agg(sum(col("pad"))).head().getLong(0)
+      // arrival-order control: batches of 8 by doc_id order
+      val wN = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val naive = docs.select(col("doc_id"), nTok.cast("long").as("n"))
+        .withColumn("__rk", row_number().over(wN).cast("long") - 1L)
+        .withColumn("b", expr("__rk div 8"))
+      val naivePad = naive
+        .withColumn("m", max(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
+        .agg(sum(col("m") - col("n"))).head().getLong(0)
+      require(bucketPad <= naivePad,
+        s"bucketed pad $bucketPad must not exceed arrival-order $naivePad")
+      out.orderBy(col("doc_id"))
+    }),
+
     "q_lm_sink" -> ((s, dir) => {
       // round 18: the ONLINE perplexity filter as a durable exactly-once
       // sink (lmScoreToSink): two micro-batches (even doc_ids, then odd).
@@ -8065,6 +8093,26 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    "q_len_batches" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'),
+        |    x -> length(x) > 0)) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS bucket FROM w),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1 AS rk
+        |      FROM b),
+        |x AS (SELECT doc_id, n_tokens, bucket,
+        |        rk // 8 AS batch_idx, rk % 8 AS pos_in_batch FROM r),
+        |m AS (SELECT bucket, batch_idx, MAX(n_tokens) AS batch_max
+        |      FROM x GROUP BY 1, 2)
+        |SELECT x.doc_id, x.n_tokens, CAST(x.bucket AS BIGINT) AS bucket,
+        |  CAST(x.batch_idx AS BIGINT) AS batch_idx,
+        |  CAST(x.pos_in_batch AS BIGINT) AS pos_in_batch,
+        |  m.batch_max, m.batch_max - x.n_tokens AS pad
+        |FROM x JOIN m USING (bucket, batch_idx)
+        |ORDER BY doc_id""".stripMargin,
 
     // durable online-LM sink: both legs fit on the EVEN docs (batch 0's
     // self-fit == the standing model batch 1 scores against), each leg

@@ -866,6 +866,42 @@ object Corpus {
     * keys (as everywhere in the engine): null ids all hash to the
     * salt-only image (concat_ws skips nulls) and would pile into one
     * shard cell. */
+  /** LENGTH-BUCKETED BATCH ASSEMBLY (round 18): group documents by
+    * token-length bucket and form fixed-size training batches within each
+    * bucket — the standard padding-efficiency layout (dynamic batching /
+    * bucketing; e.g. the bucketed mini-batch schemes of fairseq and
+    * tensor2tensor): a batch is padded to ITS OWN max length, so batching
+    * similar lengths together cuts the pad-token waste that
+    * arrival-order batching pays.
+    *
+    * Deterministic layout: bucket = n_tokens / bucketWidth; within a
+    * bucket, docs order by (n_tokens, id) and batch = rank / batchSize —
+    * a pure function of the corpus. Per doc: `(idCol, n_tokens, bucket,
+    * batch_idx, pos_in_batch, batch_max, pad)` where `batch_max` is the
+    * batch's padded length and `pad = batch_max − n_tokens` the doc's
+    * waste. The LAST batch of a bucket may be short (its `pos_in_batch`
+    * just stops early) — callers that need exact batch shapes drop it.
+    *
+    * Scale shape: ONE shuffle on the bucket key; each bucket is an
+    * independent window pass (ranks + per-batch max) — the
+    * [[epochShards]] cost class; no corpus-wide window anywhere. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokens: Column,
+                          bucketWidth: Long, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens"), col(idCol))
+    val wb = Window.partitionBy(col("bucket"), col("batch_idx"))
+    df.select(col(idCol), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .withColumn("__rk", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_idx", expr(s"__rk div $batchSize"))
+      .withColumn("pos_in_batch", col("__rk") % batchSize)
+      .withColumn("batch_max", max(col("n_tokens")).over(wb))
+      .withColumn("pad", col("batch_max") - col("n_tokens"))
+      .drop("__rk")
+  }
+
   def epochShards(df: DataFrame, idCol: String, epoch: Long,
                   numShards: Int): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")

@@ -514,4 +514,43 @@ class CorpusSpec extends SparkTestBase {
     assert(e2.toSet != out.toSet)
     assert(e2.map(_._1).sorted == (0L until 400L))
   }
+
+  test("lengthBucketBatches: shapes, pad accounting, beats arrival order") {
+    import spark.implicits._
+    // lengths 1..200 in shuffled arrival order: bucketing by 16 groups
+    // near-equal lengths; arrival-order batches mix 1s with 200s
+    val rng = new scala.util.Random(41)
+    val rows = rng.shuffle((1 to 200).toList).zipWithIndex
+      .map { case (len, i) => (i.toLong, len.toLong) }
+    val df = rows.toDF("id", "n")
+    val out = Corpus.lengthBucketBatches(df, "id", col("n"),
+      bucketWidth = 16L, batchSize = 8)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(got.length == 200)
+    // every doc in its length bucket; batch_max really is the batch max;
+    // pad = batch_max − n; positions dense within each batch
+    got.foreach { case (_, n, b, _, _, bm, pad) =>
+      assert(b == n / 16)
+      assert(pad == bm - n && pad >= 0)
+    }
+    val byBatch = got.groupBy(t => (t._3, t._4))
+    byBatch.foreach { case ((_, _), g) =>
+      assert(g.map(_._5).sorted.toSeq == (0L until g.length))
+      assert(g.map(_._6).distinct.length == 1)
+      assert(g.map(_._2).max == g.head._6)
+      assert(g.length <= 8)
+    }
+    // the point of the op: bucketed pad strictly beats arrival order here
+    val bucketPad = got.map(_._7).sum
+    val naivePad = rows.sortBy(_._1).map(_._2).grouped(8)
+      .map(g => g.map(g.max - _).sum).sum
+    assert(bucketPad < naivePad / 4,
+      s"bucketed pad $bucketPad vs arrival-order $naivePad")
+    // deterministic across partitionings
+    val re = Corpus.lengthBucketBatches(df.repartition(16), "id", col("n"),
+      16L, 8).collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(re.sortBy(_._1).toSeq ==
+      got.map(t => (t._1, t._4, t._5)).sortBy(_._1).toSeq)
+  }
 }
