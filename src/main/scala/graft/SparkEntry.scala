@@ -1541,6 +1541,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q_group_split" -> ((s, dir) => {
+      // round 18: GROUP-AWARE train/test split (Corpus.groupAwareSplit) —
+      // whole sources to one side, the leakage-safe split web corpora
+      // need (a row split lets near-dups from one site straddle the
+      // boundary). In-query hard gates: no source straddles, and the
+      // test-group count is exactly ceil(G/3); the oracle replays the
+      // md5 group ranking and the verdict join row-for-row.
+      val docs = t(s, dir, "documents")
+      val out = graft.ext.Corpus.groupAwareSplit(docs, "source", 1L, 3L)
+        .select(col("doc_id"), col("source"), col("is_test"))
+      val sides = out.groupBy(col("source"))
+        .agg(countDistinct(col("is_test")).as("k"))
+        .agg(max(col("k"))).head().getLong(0)
+      require(sides == 1L, "a source straddles the split boundary")
+      val g = out.select(col("source"), col("is_test")).distinct()
+        .agg(count(lit(1)), count(when(col("is_test"), 1))).head()
+      require(g.getLong(1) == (g.getLong(0) + 2) / 3,
+        s"test groups ${g.getLong(1)} != ceil(${g.getLong(0)}/3)")
+      out.orderBy(col("doc_id"))
+    }),
+
     "q_len_batches" -> ((s, dir) => {
       // round 18: LENGTH-BUCKETED BATCH ASSEMBLY (Corpus.
       // lengthBucketBatches) — the padding-efficiency layout trainers use
@@ -8093,6 +8114,19 @@ object SparkEntry {
            |  $lmPplExprSql AS ppl
            |FROM documents docs LEFT JOIN d USING (doc_id)
            |ORDER BY doc_id""".stripMargin),
+
+    "q_group_split" ->
+      """WITH g AS (SELECT DISTINCT source FROM documents),
+        |h AS (SELECT source,
+        |        CAST('0x' || substr(md5('gsplit' || chr(31) || '19190115'
+        |          || chr(31) || source), 1, 15) AS BIGINT) AS hh
+        |      FROM g),
+        |r AS (SELECT source,
+        |        row_number() OVER (ORDER BY hh, source) - 1 AS rk FROM h),
+        |n AS (SELECT count(*) AS ng FROM g)
+        |SELECT d.doc_id, d.source, (r.rk * 3 < 1 * n.ng) AS is_test
+        |FROM documents d JOIN r USING (source) CROSS JOIN n
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_len_batches" ->
       """WITH w AS (

@@ -866,6 +866,42 @@ object Corpus {
     * keys (as everywhere in the engine): null ids all hash to the
     * salt-only image (concat_ws skips nulls) and would pile into one
     * shard cell. */
+  /** GROUP-AWARE train/test split (round 18): every GROUP (source site,
+    * domain, crawl host...) lands wholly in train or test, so
+    * near-duplicate documents from one source can never straddle the
+    * boundary — the evaluation-leakage mode a ROW-level split
+    * ([[graft.spec.AssignTrainTestSplitOp]]) cannot prevent, and the
+    * standard discipline for web corpora (dedup-aware splits). Exact
+    * count at the group level: groups rank by the replayable md5 of
+    * (seed, group) and the first ceil(testNum·G/testDen) become test
+    * (rank·den < num·G) — a pure function of the group SET, independent
+    * of row order, partitioning, and per-group row counts.
+    *
+    * Scale shape: the rank runs over the DISTINCT-group table only (one
+    * shuffle of group-cardinality rows — domains, not documents); the
+    * verdict joins back on the group key, broadcast when small. Output:
+    * the input plus `is_test`. */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+                      testNum: Long, testDen: Long,
+                      seed: Long = 19190115L): DataFrame = {
+    require(testDen >= 1, s"testDen must be >= 1, got $testDen")
+    require(testNum >= 0 && testNum <= testDen,
+      s"testNum must be in [0, $testDen], got $testNum")
+    val sep = 31.toChar.toString
+    val groups = df.select(col(groupCol).cast("string").as("__g")).distinct()
+    val ranked = groups
+      .withColumn("__h", Dsir.md5Bucket60(concat_ws(sep,
+        lit("gsplit"), lit(seed), col("__g"))))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__h"), col("__g"))).cast("long") - 1L)
+    val flagged = ranked
+      .crossJoin(broadcast(groups.agg(count(lit(1)).as("__ng"))))
+      .select(col("__g"),
+        (col("__rk") * testDen < lit(testNum) * col("__ng")).as("is_test"))
+    df.join(flagged, df(groupCol).cast("string") === flagged("__g"))
+      .drop("__g")
+  }
+
   /** LENGTH-BUCKETED BATCH ASSEMBLY (round 18): group documents by
     * token-length bucket and form fixed-size training batches within each
     * bucket — the standard padding-efficiency layout (dynamic batching /

@@ -515,6 +515,36 @@ class CorpusSpec extends SparkTestBase {
     assert(e2.map(_._1).sorted == (0L until 400L))
   }
 
+  test("groupAwareSplit: whole groups per side, exact count, seeded") {
+    import spark.implicits._
+    // 10 groups × uneven row counts: the split must be by GROUP, exact
+    // ceil(num·G/den) groups test, independent of row multiplicity
+    val rows = for (g <- 0 until 10; i <- 0 to g) yield (s"site$g", g * 100 + i)
+    val df = rows.toDF("src", "id")
+    val out = Corpus.groupAwareSplit(df, "src", 3L, 10L)
+    val byGroup = out.collect().map(r => (r.getString(0), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    assert(byGroup.size == 10)
+    assert(byGroup.values.forall(_.length == 1), "a group straddled the split")
+    assert(byGroup.count(_._2.head) == 3, "exactly ceil(3·10/10) = 3 test groups")
+    // row counts preserved; partition-invariant; seed changes the draw
+    assert(out.count() == rows.length)
+    val re = Corpus.groupAwareSplit(df.repartition(16), "src", 3L, 10L)
+      .collect().map(r => (r.getInt(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(re == out.collect().map(r => (r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1).toSeq)
+    val other = Corpus.groupAwareSplit(df, "src", 3L, 10L, seed = 7L)
+      .select(col("src"), col("is_test")).distinct()
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(other != byGroup.view.mapValues(_.head).toMap,
+      "a different seed should redraw the test set")
+    // degenerate fractions
+    assert(Corpus.groupAwareSplit(df, "src", 0L, 3L)
+      .filter(col("is_test")).count() == 0)
+    assert(Corpus.groupAwareSplit(df, "src", 3L, 3L)
+      .filter(!col("is_test")).count() == 0)
+  }
+
   test("lengthBucketBatches: shapes, pad accounting, beats arrival order") {
     import spark.implicits._
     // lengths 1..200 in shuffled arrival order: bucketing by 16 groups
