@@ -347,7 +347,12 @@ object Streaming {
                 .groupBy(col("v"), col("w"))
                 .agg(sum(col("cnt")).as("cnt"))
           }
-          folded.coalesce(1).write.mode("overwrite")
+          // UNLIKE the sketch sinks (whose state is KBs by construction),
+          // the pair-count table is vocabulary-sized — it keeps the fold's
+          // natural partitioning rather than funneling through one writer.
+          // Replay only requires the state's CONTENT to be deterministic
+          // (it is — an exact count table); nothing reads file layout.
+          folded.write.mode("overwrite")
             .parquet(s"$sink/_state/batch_id=$bid")
         }
         ()
