@@ -17,11 +17,12 @@ import org.apache.spark.sql.types.StructType
   * "What's missing" #3).
   *
   * Algorithm: sequential minimal optimization (Platt 1998) with the
-  * first-order maximal-violating-pair working-set selection and stopping
-  * rule of Fan, Chen & Lin, "Working Set Selection Using Second Order
-  * Information for Training SVM", JMLR 2005 (the selection LIBSVM calls
-  * WSS1) — both published, public algorithms re-implemented from the
-  * papers. The dual problem:
+  * SECOND-ORDER working-set selection and first-order stopping rule of
+  * Fan, Chen & Lin, "Working Set Selection Using Second Order
+  * Information for Training SVM", JMLR 2005 (the selection LIBSVM runs
+  * by default, their WSS2: i = the maximal violator, j = the candidate
+  * minimizing −b²/a against it) — both published, public algorithms
+  * re-implemented from the papers. The dual problem:
   *
   *   min_α  ½ αᵀQα − eᵀα   s.t. 0 ≤ α_i ≤ C,  yᵀα = 0,   Q_ij = y_i y_j K(x_i,x_j)
   *
@@ -122,21 +123,40 @@ object ExactSvm {
     var gap = Double.PositiveInfinity
     var converged = false
     while (it < maxIter && !converged) {
-      // WSS1: i = argmax_{t∈I_up} −y_t G_t, j = argmin_{t∈I_low} −y_t G_t
+      // WSS2 (Fan/Chen/Lin 2005 — LIBSVM's default): i = the maximal
+      // violator among I_up; j = the I_low member minimizing the
+      // second-order pair objective −b²/a against i (b = violation,
+      // a = ‖φ(x_i)−φ(x_t)‖²). Stopping stays the first-order gap.
       var i = -1; var gmax = Double.NegativeInfinity
-      var j = -1; var gmin = Double.PositiveInfinity
+      var gmin = Double.PositiveInfinity
       var t = 0
       while (t < n) {
         val v = -y(t) * grad(t)
         val up = if (y(t) > 0) alpha(t) < c else alpha(t) > 0
         val low = if (y(t) > 0) alpha(t) > 0 else alpha(t) < c
         if (up && v > gmax) { gmax = v; i = t }
-        if (low && v < gmin) { gmin = v; j = t }
+        if (low && v < gmin) gmin = v
         t += 1
       }
       gap = gmax - gmin
-      if (gap < eps || i < 0 || j < 0) converged = true
+      if (gap < eps || i < 0) converged = true
       else {
+        val kiSel = kRow(i)
+        var j = -1; var objMin = Double.PositiveInfinity
+        t = 0
+        while (t < n) {
+          val low = if (y(t) > 0) alpha(t) > 0 else alpha(t) < c
+          if (low) {
+            val b = gmax - (-y(t) * grad(t))
+            if (b > 0) {
+              val a = math.max(kDiag(i) + kDiag(t) - 2 * kiSel(t), Tau)
+              val o = -(b * b) / a
+              if (o < objMin) { objMin = o; j = t }
+            }
+          }
+          t += 1
+        }
+        if (j < 0) { converged = true } else {
         val ki = kRow(i); val kj = kRow(j)
         val yi = y(i); val yj = y(j)
         val qij = yi * yj * ki(j)
@@ -167,6 +187,7 @@ object ExactSvm {
           u += 1
         }
         it += 1
+        }
       }
     }
 
@@ -296,7 +317,35 @@ object ExactSvm {
       gap = math.max(gapP, gapN)
       if (gap < eps) converged = true
       else {
-        val (i, j) = if (gapP >= gapN) (ip, jp) else (in_, jn)
+        // WSS2 within the same-class constraint (LIBSVM Solver_NU): each
+        // class's i is its minimal-gradient up member; j minimizes the
+        // second-order −b²/a over BOTH classes' candidates, paired with
+        // its own class's i
+        val kip = if (ip >= 0) kRow(ip) else null
+        val kin = if (in_ >= 0) kRow(in_) else null
+        var i = -1; var j = -1; var objMin = Double.PositiveInfinity
+        var u2 = 0
+        while (u2 < n) {
+          if (alpha(u2) > 0) {
+            if (y(u2) == 1 && ip >= 0) {
+              val b = grad(u2) - gminP
+              if (b > 0) {
+                val a = math.max(kDiag(ip) + kDiag(u2) - 2 * kip(u2), Tau)
+                val o = -(b * b) / a
+                if (o < objMin) { objMin = o; i = ip; j = u2 }
+              }
+            } else if (y(u2) == -1 && in_ >= 0) {
+              val b = grad(u2) - gminN
+              if (b > 0) {
+                val a = math.max(kDiag(in_) + kDiag(u2) - 2 * kin(u2), Tau)
+                val o = -(b * b) / a
+                if (o < objMin) { objMin = o; i = in_; j = u2 }
+              }
+            }
+          }
+          u2 += 1
+        }
+        if (j < 0) { converged = true } else {
         val ki = kRow(i); val kj = kRow(j)
         val yi = y(i); val yj = y(j) // same class: yi == yj
         val qij = yi * yj * ki(j)
@@ -316,6 +365,7 @@ object ExactSvm {
           w += 1
         }
         it += 1
+        }
       }
     }
 
