@@ -1567,26 +1567,21 @@ object SparkEntry {
       // lengthBucketBatches) — the padding-efficiency layout trainers use
       // (fairseq/t2t-style dynamic bucketing): similar lengths batch
       // together, each batch pads to its own max. Per-doc layout
-      // hash-oracled; the in-query gate asserts the layout actually
-      // BEATS arrival-order batching on total pad (the op's reason to
-      // exist), computed over the same batch size.
+      // hash-oracled; the in-query gate asserts the op's ACTUAL
+      // invariant: every batch's members share one length bucket, so a
+      // doc's pad is bounded by bucketWidth−1. (Comparing against
+      // doc_id-arrival batching is NOT an invariant — bucket boundaries
+      // can pair distant lengths while arrival order happens to pair
+      // near ones — and its control needed a single-partition window.)
       val docs = t(s, dir, "documents")
       val nTok = size(filter(split(trim(col("text")), "\\s+"),
         w => length(w) > 0))
       val out = graft.ext.Corpus.lengthBucketBatches(
         docs, "doc_id", nTok, bucketWidth = 16L, batchSize = 8)
-      val bucketPad = out.agg(sum(col("pad"))).head().getLong(0)
-      // arrival-order control: batches of 8 by doc_id order
-      val wN = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      val naive = docs.select(col("doc_id"), nTok.cast("long").as("n"))
-        .withColumn("__rk", row_number().over(wN).cast("long") - 1L)
-        .withColumn("b", expr("__rk div 8"))
-      val naivePad = naive
-        .withColumn("m", max(col("n")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("b"))))
-        .agg(sum(col("m") - col("n"))).head().getLong(0)
-      require(bucketPad <= naivePad,
-        s"bucketed pad $bucketPad must not exceed arrival-order $naivePad")
+      val maxPad = out.agg(max(col("pad"))).head().getLong(0)
+      require(maxPad < 16L,
+        s"pad $maxPad breaches the bucket-width bound: batch members " +
+          "must share a 16-token length bucket")
       out.orderBy(col("doc_id"))
     }),
 

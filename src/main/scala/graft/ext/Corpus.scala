@@ -898,7 +898,10 @@ object Corpus {
       .crossJoin(broadcast(groups.agg(count(lit(1)).as("__ng"))))
       .select(col("__g"),
         (col("__rk") * testDen < lit(testNum) * col("__ng")).as("is_test"))
-    df.join(flagged, df(groupCol).cast("string") === flagged("__g"))
+    // null-safe join: a NULL group is a legitimate group (it hashes as
+    // the empty concat_ws image) and must get a deterministic side — an
+    // inner `===` would silently DROP null-group rows from a split
+    df.join(flagged, df(groupCol).cast("string") <=> flagged("__g"))
       .drop("__g")
   }
 

@@ -56,7 +56,12 @@ object Unigram {
   private def mkScores(vocab: Seq[(String, Long)]): Map[String, Long] = {
     val total = vocab.map(_._2).sum
     vocab.map { case (p, c) =>
-      p -> math.round(1e6 * math.log(c.toDouble / total.toDouble))
+      // HALF_UP (away from zero), matching the DuckDB round() and the
+      // LangModel quantization discipline — math.round would round a
+      // negative half-tie toward +infinity instead
+      p -> java.math.BigDecimal
+        .valueOf(1e6 * math.log(c.toDouble / total.toDouble))
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     }.toMap
   }
 

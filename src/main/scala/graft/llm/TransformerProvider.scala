@@ -1,16 +1,32 @@
 package graft.llm
 
-/** IN-PROCESS TRANSFORMER inference — the round-18 narrowing of the one
-  * remaining provider gap (the reference's in-process `hf:`/`tl:` torch
+/** One transformer block's weights: H-head causal attention (full
+  * `dim × dim` q/k/v projections whose output components are split into
+  * `heads` contiguous slices) followed by residual + LayerNorm and a
+  * position-wise FFN with its own residual. `heads` must divide the
+  * model dim; `heads = 1` is exactly the round-18 single-head block. */
+final case class TfBlock(heads: Int,
+                         wq: Array[Array[Double]],
+                         wk: Array[Array[Double]],
+                         wv: Array[Array[Double]],
+                         w1: Array[Array[Double]],
+                         b1: Array[Double],
+                         w2: Array[Array[Double]],
+                         b2: Array[Double])
+
+/** IN-PROCESS TRANSFORMER inference — the narrowing of the one remaining
+  * provider gap (the reference's in-process `hf:`/`tl:` torch
   * transformers, `/root/reference/src/krnel/graph/runners/local_runner/
-  * model_registry_implementations.py:81-407`): a single-layer,
-  * single-head causal-attention text encoder executed entirely in the
-  * executor JVM — REAL attention over token positions, residual
-  * connections, LayerNorm, and a position-wise FFN, not a bag-of-words
-  * pool. The ONNX Runtime Java path for arbitrary checkpoints stays
-  * blocked by the zero-egress container; this provider executes the
-  * transformer computation that CAN be complete in pure JVM, with weights
-  * from a plain JSON file (trivially exportable from any framework).
+  * model_registry_implementations.py:81-407`): an L-layer, H-head
+  * causal-attention text encoder executed entirely in the executor JVM —
+  * REAL multi-head attention over token positions, residual connections,
+  * LayerNorm, and position-wise FFNs, not a bag-of-words pool. Round 19
+  * generalizes the round-18 single-layer single-head block to a STACK of
+  * [[TfBlock]]s (the architecture shape of the reference's pretrained
+  * checkpoints); the ONNX Runtime Java path for arbitrary checkpoints
+  * stays blocked by the zero-egress container, but any checkpoint whose
+  * tensors fit this block shape converts offline via
+  * `tools/make_tf_weights.py` into the JSON weight format.
   *
   * == The exactness discipline (what makes this oracle-able) ==
   * Every step is either EXACT in IEEE double or CORRECTLY ROUNDED with a
@@ -22,63 +38,88 @@ package graft.llm
   *    and all weight matrices are dyadic (n/16) too, so the q/k/v
   *    projections and q·k scores are EXACT (every product and sum stays
   *    inside the 52-bit mantissa).
-  *  - Attention uses an INTEGER-SOFTMAX: score = floor(16 · q·k) (exact →
-  *    floor is deterministic, no round-half ambiguity), row-max
-  *    subtraction in integers, and weights 2^(s−max) built by
-  *    `Math.scalb` — exact powers of two (no `exp`, no `pow`; the SQL
-  *    twin indexes a literal table of the same 61 values). The weighted
-  *    value sums and the single normalizing division are correctly
+  *  - Attention uses an INTEGER-SOFTMAX per head: score =
+  *    floor(16 · q_h·k_h) over the head's component slice (exact → floor
+  *    is deterministic, no round-half ambiguity), row-max subtraction in
+  *    integers, and weights 2^(s−max) built by `Math.scalb` — exact
+  *    powers of two (no `exp`, no `pow`; the SQL twin indexes a literal
+  *    table of the same 61 values). The weighted value sums and the
+  *    single normalizing division per output component are correctly
   *    rounded with a fixed j-ascending fold — deterministic on both
-  *    engines.
+  *    engines. An output component at index d belongs to head d/(dim/H)
+  *    — the standard concat-of-heads layout.
   *  - LayerNorm divides by dim (a power of two — exact) and uses IEEE
   *    `sqrt` (correctly rounded everywhere); the FFN's ReLU is written as
   *    `if (v < 0) 0 else v` and replayed as the identical CASE (not
   *    `greatest`, which would normalize −0.0).
   *  - Absent positions (text shorter than `maxLen`) contribute EXACT
-  *    zeros to every masked sum, so one unrolled expression serves every
-  *    length; mean-pooling divides by the real token count.
+  *    zeros to every masked sum — and stay exactly zero through every
+  *    block, because masked positions are carried as zero vectors rather
+  *    than pushed through the (bias-carrying) FFN.
+  *  - Later blocks' activations are no longer dyadic, but every
+  *    operation on them is still correctly rounded with pinned operand
+  *    order, so the bit-replay property survives arbitrary depth.
   *
-  * Provider surface (the [[ModelProvider]] contract):
-  *  - `layerActivations(1, mode)` = the post-attention LayerNorm state,
-  *    `layerActivations(2, mode)` = the post-FFN residual state — REAL
-  *    intermediate layers. `tokenMode` is honored: "mean" pools over
-  *    positions, "last" returns the final real position's vector (the
-  *    two modes the reference's torch providers serve).
-  *  - `logitScores(tokens)` = pooled final state · vocab[token].
-  *  - `generate(prompts, max)`: greedy argmax over the vocab head,
-  *    re-encoding the grown prompt each step (ties → lexicographically
-  *    smaller token).
+  * Provider surface (the [[ModelProvider]] contract): with B blocks,
+  * `layerActivations(2b+1, mode)` = block b's post-attention LayerNorm
+  * state and `layerActivations(2b+2, mode)` = block b's post-FFN
+  * residual state (b 0-based) — `nLayers = 2B` REAL intermediate layers.
+  * `tokenMode` is honored: "mean" pools over positions, "last" returns
+  * the final real position's vector (the two modes the reference's torch
+  * providers serve). `logitScores(tokens)` = pooled final state ·
+  * vocab[token]; `generate` is greedy argmax over the vocab head,
+  * re-encoding the grown prompt each step (ties → lexicographically
+  * smaller token).
   *
   * Scale shape: identical to [[MlpProvider]] — weights ride the task
-  * closure (KB-scale here; a broadcast is the one-line variant for big
-  * heads), inference is map-side, throughput scales with partitions.
+  * closure (KB–MB heads; a broadcast is the one-line variant for bigger
+  * ones), inference is map-side, throughput scales with partitions.
   */
 final class TransformerProvider(val dim: Int, val maxLen: Int,
-                                val wq: Array[Array[Double]],
-                                val wk: Array[Array[Double]],
-                                val wv: Array[Array[Double]],
-                                val w1: Array[Array[Double]],
-                                val b1: Array[Double],
-                                val w2: Array[Array[Double]],
-                                val b2: Array[Double],
+                                val blocks: Seq[TfBlock],
                                 val vocab: Seq[(String, Array[Double])])
     extends ModelProvider {
 
+  /** Round-18 single-block, single-head signature (kept for callers and
+    * as the shape the flat JSON format loads into). */
+  def this(dim: Int, maxLen: Int,
+           wq: Array[Array[Double]], wk: Array[Array[Double]],
+           wv: Array[Array[Double]],
+           w1: Array[Array[Double]], b1: Array[Double],
+           w2: Array[Array[Double]], b2: Array[Double],
+           vocab: Seq[(String, Array[Double])]) =
+    this(dim, maxLen, Seq(TfBlock(1, wq, wk, wv, w1, b1, w2, b2)), vocab)
+
   require(dim >= 1, s"dim must be >= 1, got $dim")
   require(maxLen >= 1, s"max_len must be >= 1, got $maxLen")
-  private def reqMat(m: Array[Array[Double]], name: String): Unit =
-    require(m.length == dim && m.forall(_.length == dim),
-      s"$name must be $dim x $dim")
-  reqMat(wq, "wq"); reqMat(wk, "wk"); reqMat(wv, "wv")
-  reqMat(w1, "w1"); reqMat(w2, "w2")
-  require(b1.length == dim && b2.length == dim, "biases must have length dim")
+  require(blocks.nonEmpty, "at least one transformer block is required")
+  blocks.zipWithIndex.foreach { case (blk, bi) =>
+    require(blk.heads >= 1 && dim % blk.heads == 0,
+      s"block $bi: heads (${blk.heads}) must divide dim ($dim)")
+    def reqMat(m: Array[Array[Double]], name: String): Unit =
+      require(m.length == dim && m.forall(_.length == dim),
+        s"block $bi: $name must be $dim x $dim")
+    reqMat(blk.wq, "wq"); reqMat(blk.wk, "wk"); reqMat(blk.wv, "wv")
+    reqMat(blk.w1, "w1"); reqMat(blk.w2, "w2")
+    require(blk.b1.length == dim && blk.b2.length == dim,
+      s"block $bi: biases must have length dim")
+  }
   require(vocab.forall(_._2.length == dim),
     s"vocab vectors must have the final dim $dim")
+
+  // single-block accessors (tests and the flat JSON round-trip)
+  def wq: Array[Array[Double]] = blocks.head.wq
+  def wk: Array[Array[Double]] = blocks.head.wk
+  def wv: Array[Array[Double]] = blocks.head.wv
+  def w1: Array[Array[Double]] = blocks.head.w1
+  def b1: Array[Double] = blocks.head.b1
+  def w2: Array[Array[Double]] = blocks.head.w2
+  def b2: Array[Double] = blocks.head.b2
 
   private val vocabMap: Map[String, Array[Double]] = vocab.toMap
   private val vocabSorted: Seq[(String, Array[Double])] = vocab.sortBy(_._1)
 
-  def nLayers: Int = 2
+  def nLayers: Int = 2 * blocks.length
 
   /** 60-bit md5 prefix of the token — the engine-wide replayable string
     * hash (DuckDB: `CAST('0x'||substr(md5(t),1,15) AS BIGINT)`). */
@@ -104,15 +145,16 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     out
   }
 
-  /** Full forward pass: (post-attention-LayerNorm states, post-FFN
-    * states, n real tokens). Positions ≥ n carry zeros and are masked
-    * out of attention and pooling exactly like the SQL twin. */
-  private[llm] def states(text: String): (Array[Array[Double]], Array[Array[Double]], Int) = {
+  /** Full forward pass: per block, the (post-attention-LayerNorm states,
+    * post-FFN states); plus n real tokens. Positions ≥ n carry zeros and
+    * are masked out of attention and pooling exactly like the SQL twin. */
+  private[llm] def statesAll(text: String)
+      : (Seq[(Array[Array[Double]], Array[Array[Double]])], Int) = {
     val toks = (if (text == null) "" else text)
       .split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
     val n = toks.length
     // x_i = nibble embedding of hash60(token) + positional encoding
-    val x = Array.tabulate(maxLen) { i =>
+    var x = Array.tabulate(maxLen) { i =>
       if (i >= n) new Array[Double](dim)
       else {
         val h = hash60(toks(i))
@@ -120,94 +162,124 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
           (((h >>> (4 * (k % 15))) & 0xFL) - 8L) / 16.0 + pos(i, k))
       }
     }
-    val q = x.map(matVec(wq, _))
-    val k = x.map(matVec(wk, _))
-    val v = x.map(matVec(wv, _))
-    // integer-softmax causal attention: s_ij = floor(16 q_i k_j) (exact),
-    // weights 2^(s - rowmax) via scalb (exact powers of two), masked
-    // positions contribute exact zeros; ONE division per output component
-    val ln = new Array[Array[Double]](maxLen)
-    val y = new Array[Array[Double]](maxLen)
-    var i = 0
-    while (i < maxLen) {
-      if (i >= n) { ln(i) = new Array[Double](dim); y(i) = new Array[Double](dim) }
-      else {
-        val s = new Array[Long](maxLen)
-        var mx = Long.MinValue
-        var j = 0
-        while (j <= i) {
-          var dp = 0.0; var d = 0
-          while (d < dim) { dp += q(i)(d) * k(j)(d); d += 1 }
-          s(j) = math.floor(16.0 * dp).toLong
-          if (s(j) > mx) mx = s(j)
-          j += 1
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Array[Double]], Array[Array[Double]])]
+    for (blk <- blocks) {
+      val q = x.map(matVec(blk.wq, _))
+      val kM = x.map(matVec(blk.wk, _))
+      val v = x.map(matVec(blk.wv, _))
+      val H = blk.heads
+      val dh = dim / H
+      // integer-softmax causal attention PER HEAD: s^h_ij =
+      // floor(16 q^h_i·k^h_j) over the head's slice (exact at block 0;
+      // floor of a correctly-rounded double after — deterministic both
+      // ways), weights 2^(s − rowmax) via scalb (exact powers of two),
+      // masked positions contribute exact zeros; ONE division per output
+      // component, whose head is d / dh (concat-of-heads layout)
+      val ln = new Array[Array[Double]](maxLen)
+      val y = new Array[Array[Double]](maxLen)
+      var i = 0
+      while (i < maxLen) {
+        if (i >= n) {
+          ln(i) = new Array[Double](dim); y(i) = new Array[Double](dim)
+        } else {
+          val e = Array.ofDim[Double](H, maxLen)
+          val sw = new Array[Double](H)
+          var h = 0
+          while (h < H) {
+            val s = new Array[Long](maxLen)
+            var mx = Long.MinValue
+            var j = 0
+            while (j <= i) {
+              var dp = 0.0; var d = h * dh
+              while (d < (h + 1) * dh) { dp += q(i)(d) * kM(j)(d); d += 1 }
+              s(j) = math.floor(16.0 * dp).toLong
+              if (s(j) > mx) mx = s(j)
+              j += 1
+            }
+            j = 0
+            while (j <= i) {
+              val ex = math.max(s(j) - mx, -60L)
+              e(h)(j) = Math.scalb(1.0, ex.toInt)
+              j += 1
+            }
+            var sS = 0.0
+            j = 0
+            while (j < maxLen) { sS += e(h)(j); j += 1 }
+            sw(h) = sS
+            h += 1
+          }
+          val z = new Array[Double](dim)
+          var d = 0
+          while (d < dim) {
+            val hd = d / dh
+            var num = 0.0
+            var j = 0
+            while (j < maxLen) { num += e(hd)(j) * v(j)(d); j += 1 }
+            z(d) = x(i)(d) + num / sw(hd)
+            d += 1
+          }
+          // LayerNorm: /dim is a power-of-two division (exact), sqrt is
+          // IEEE-correctly-rounded on both engines; eps = 2^-16
+          var mu = 0.0
+          d = 0
+          while (d < dim) { mu += z(d); d += 1 }
+          mu = mu / dim
+          var va = 0.0
+          d = 0
+          while (d < dim) { val t = z(d) - mu; va += t * t; d += 1 }
+          va = va / dim
+          val sd = math.sqrt(va + 0.0000152587890625)
+          val lni = Array.tabulate(dim)(d => (z(d) - mu) / sd)
+          ln(i) = lni
+          // position-wise FFN + residual; ReLU spelled to preserve -0.0
+          val f = new Array[Double](dim)
+          var c = 0
+          while (c < dim) {
+            var acc = blk.b1(c); var kk = 0
+            while (kk < dim) { acc += blk.w1(c)(kk) * lni(kk); kk += 1 }
+            f(c) = if (acc < 0.0) 0.0 else acc
+            c += 1
+          }
+          val yi = new Array[Double](dim)
+          d = 0
+          while (d < dim) {
+            var acc = blk.b2(d); var cc = 0
+            while (cc < dim) { acc += blk.w2(d)(cc) * f(cc); cc += 1 }
+            yi(d) = lni(d) + acc
+            d += 1
+          }
+          y(i) = yi
         }
-        val e = new Array[Double](maxLen)
-        j = 0
-        while (j <= i) {
-          val ex = math.max(s(j) - mx, -60L)
-          e(j) = Math.scalb(1.0, ex.toInt)
-          j += 1
-        }
-        var sS = 0.0
-        j = 0
-        while (j < maxLen) { sS += e(j); j += 1 }
-        val z = new Array[Double](dim)
-        var d = 0
-        while (d < dim) {
-          var num = 0.0
-          j = 0
-          while (j < maxLen) { num += e(j) * v(j)(d); j += 1 }
-          z(d) = x(i)(d) + num / sS
-          d += 1
-        }
-        // LayerNorm: /dim is a power-of-two division (exact), sqrt is
-        // IEEE-correctly-rounded on both engines; eps = 2^-16
-        var mu = 0.0
-        d = 0
-        while (d < dim) { mu += z(d); d += 1 }
-        mu = mu / dim
-        var va = 0.0
-        d = 0
-        while (d < dim) { val t = z(d) - mu; va += t * t; d += 1 }
-        va = va / dim
-        val sd = math.sqrt(va + 0.0000152587890625)
-        val lni = Array.tabulate(dim)(d => (z(d) - mu) / sd)
-        ln(i) = lni
-        // position-wise FFN + residual; ReLU spelled to preserve -0.0
-        val f = new Array[Double](dim)
-        var c = 0
-        while (c < dim) {
-          var acc = b1(c); var kk = 0
-          while (kk < dim) { acc += w1(c)(kk) * lni(kk); kk += 1 }
-          f(c) = if (acc < 0.0) 0.0 else acc
-          c += 1
-        }
-        val yi = new Array[Double](dim)
-        d = 0
-        while (d < dim) {
-          var acc = b2(d); var cc = 0
-          while (cc < dim) { acc += w2(d)(cc) * f(cc); cc += 1 }
-          yi(d) = lni(d) + acc
-          d += 1
-        }
-        y(i) = yi
+        i += 1
       }
-      i += 1
+      out += ((ln, y))
+      x = y // the next block reads this block's residual stream
     }
-    (ln, y, n)
+    (out.toSeq, n)
   }
 
-  /** Pooled state at `layerNum` (1 = post-attention LayerNorm, 2 =
-    * post-FFN residual) under `tokenMode` ("mean" | "last"). Empty text →
-    * the zero vector (nothing to pool). */
+  /** The LAST block's (post-attention LayerNorm, post-FFN) states — the
+    * round-18 single-block signature, still what the bit-equality specs
+    * pin. */
+  private[llm] def states(text: String)
+      : (Array[Array[Double]], Array[Array[Double]], Int) = {
+    val (st, n) = statesAll(text)
+    (st.last._1, st.last._2, n)
+  }
+
+  /** Pooled state at `layerNum` (2b+1 = block b's post-attention
+    * LayerNorm, 2b+2 = its post-FFN residual, b 0-based) under
+    * `tokenMode` ("mean" | "last"). Empty text → the zero vector
+    * (nothing to pool). */
   def pooled(text: String, layerNum: Int, tokenMode: String): Array[Double] = {
     require(layerNum >= 1 && layerNum <= nLayers,
       s"layerNum must be in [1, $nLayers], got $layerNum")
     require(tokenMode == "mean" || tokenMode == "last",
       s"tokenMode must be 'mean' or 'last', got '$tokenMode'")
-    val (ln, y, n) = states(text)
-    val st = if (layerNum == 1) ln else y
+    val (all, n) = statesAll(text)
+    val (lnB, yB) = all((layerNum - 1) / 2)
+    val st = if (layerNum % 2 == 1) lnB else yB
     if (n == 0) new Array[Double](dim)
     else if (tokenMode == "last") st(n - 1)
     else {
@@ -272,18 +344,23 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
 
 object TransformerProvider {
 
-  /** Load from a JSON weight file:
+  /** Load from a JSON weight file. Flat single-block form (round 18,
+    * optional `"heads"`):
     * {{{
-    * {"dim": 8, "max_len": 8,
+    * {"dim": 8, "max_len": 8, "heads": 1,
     *  "wq": [[..dim x dim..]], "wk": [[..]], "wv": [[..]],
     *  "w1": [[..]], "b1": [..], "w2": [[..]], "b2": [..],
     *  "vocab": {"yes": [..dim..], "no": [..]}}
+    * }}}
+    * or the stacked form `tools/make_tf_weights.py` emits:
+    * {{{
+    * {"dim": 8, "max_len": 8,
+    *  "blocks": [{"heads": 2, "wq": [[..]], ..., "b2": [..]}, ...],
+    *  "vocab": {...}}
     * }}} */
   def fromJson(path: String): TransformerProvider = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(new java.io.File(path))
-    for (f <- Seq("dim", "max_len", "wq", "wk", "wv", "w1", "b1", "w2", "b2"))
-      require(root.has(f), s"$path: missing field '$f'")
     def arr1(n: com.fasterxml.jackson.databind.JsonNode): Array[Double] = {
       val out = new Array[Double](n.size())
       var i = 0
@@ -292,6 +369,24 @@ object TransformerProvider {
     }
     def arr2(n: com.fasterxml.jackson.databind.JsonNode): Array[Array[Double]] =
       (0 until n.size()).map(i => arr1(n.get(i))).toArray
+    def block(n: com.fasterxml.jackson.databind.JsonNode,
+              where: String): TfBlock = {
+      for (f <- Seq("wq", "wk", "wv", "w1", "b1", "w2", "b2"))
+        require(n.has(f), s"$path: missing field '$f' in $where")
+      TfBlock(if (n.has("heads")) n.get("heads").asInt() else 1,
+        arr2(n.get("wq")), arr2(n.get("wk")), arr2(n.get("wv")),
+        arr2(n.get("w1")), arr1(n.get("b1")),
+        arr2(n.get("w2")), arr1(n.get("b2")))
+    }
+    for (f <- Seq("dim", "max_len"))
+      require(root.has(f), s"$path: missing field '$f'")
+    val blocks =
+      if (root.has("blocks")) {
+        val bs = root.get("blocks")
+        require(bs.isArray && bs.size() >= 1,
+          s"$path: 'blocks' must be a non-empty array")
+        (0 until bs.size()).map(i => block(bs.get(i), s"blocks[$i]"))
+      } else Seq(block(root, "the flat layout"))
     val vocab =
       if (!root.has("vocab")) Seq.empty[(String, Array[Double])]
       else {
@@ -302,9 +397,6 @@ object TransformerProvider {
         names.toSeq.sortBy(_._1) // field order is not identity; pin it
       }
     new TransformerProvider(root.get("dim").asInt(),
-      root.get("max_len").asInt(),
-      arr2(root.get("wq")), arr2(root.get("wk")), arr2(root.get("wv")),
-      arr2(root.get("w1")), arr1(root.get("b1")),
-      arr2(root.get("w2")), arr1(root.get("b2")), vocab)
+      root.get("max_len").asInt(), blocks, vocab)
   }
 }

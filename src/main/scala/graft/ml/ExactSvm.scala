@@ -656,25 +656,36 @@ class ExactSvmModel(override val uid: String)
   /** Worst one-sided KKT violation of THIS fitted model over a training
     * set: non-SV rows must clear the margin, free SVs sit on it, bound SVs
     * may violate it — evaluated from the persisted (SVs, duals, b, C)
-    * alone, so it validates the model AFTER any store round-trip. Rows are
-    * matched to their dual coefficient by exact feature equality (training
-    * rows are distinct in every caller; a duplicated row would reuse one
-    * coefficient, which only loosens the check). */
+    * alone, so it validates the model AFTER any store round-trip. Rows
+    * are matched to dual coefficients by exact feature equality with the
+    * dual MASS AGGREGATED per distinct feature vector: k duplicated
+    * training rows carry up to k·C of |α|, so the point counts as
+    * bound only when its summed |α| reaches (its duplicate count)·C —
+    * a per-row lookup that kept one arbitrary coefficient could
+    * misclassify a bound duplicate as free and tighten the check into a
+    * false gate failure. */
   def kktResidual(xs: Array[Array[Double]], y: Array[Int]): Double = {
     val k = ExactSvm.kernel($(kernelNameM), $(gammaM), $(degreeM), $(coef0M))
     val sv = $(supportVectors); val dc = $(dualCoef)
     val c = $(cM); val b = $(intercept)
-    val byFeat = sv.indices.map(j => sv(j).toSeq -> dc(j)).toMap
+    val sumAbs = sv.indices.groupBy(j => sv(j).toSeq)
+      .map { case (ft, js) => ft -> js.map(j => math.abs(dc(j))).sum }
+    val dupCnt = xs.map(_.toSeq).groupBy(identity)
+      .map { case (ft, rows) => ft -> rows.length }
     var worst = 0.0
     var i = 0
     while (i < xs.length) {
       var f = b; var j = 0
       while (j < sv.length) { f += dc(j) * k(sv(j), xs(i)); j += 1 }
       val m = y(i) * f
-      val a = math.abs(byFeat.getOrElse(xs(i).toSeq, 0.0))
+      val ft = xs(i).toSeq
+      val a = sumAbs.getOrElse(ft, 0.0)
+      val cap = c * dupCnt.getOrElse(ft, 1).toDouble
+      // all-at-bound → m ≤ 1; no dual mass → m ≥ 1; anything in between
+      // (a free dual, or a bound+zero mix) pins m = 1 exactly
       val viol =
         if (a <= 1e-12) math.max(0.0, 1.0 - m)
-        else if (a >= c - 1e-9) math.max(0.0, m - 1.0)
+        else if (a >= cap - 1e-9) math.max(0.0, m - 1.0)
         else math.abs(m - 1.0)
       if (viol > worst) worst = viol
       i += 1

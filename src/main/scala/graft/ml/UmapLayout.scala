@@ -279,9 +279,14 @@ object UmapLayout {
     // distributed epochs: edges pre-partitioned by src once, reused by
     // every epoch's attraction join
     val eP = eSel.repartition(col("src")).localCheckpoint(true)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    val base = nodes.select(col("id").cast("long").as("id"))
-      .withColumn("p", row_number().over(w).cast("long") - 1L)
+    // dense 0-based positions in id order via the two-phase rank (same
+    // values as a global row_number window, no single-partition sort —
+    // this is the declared 100×-scale path)
+    val base = graft.ops.ColumnOps
+      .withRowIdxByKey(nodes.select(col("id").cast("long").as("id")),
+        col("id"))
+      .withColumnRenamed(graft.ops.ColumnOps.RowIdx, "p")
+      .select(col("id"), col("p").cast("long").as("p"))
     var state = (if (init == "random")
         base.withColumn("qx", seedQ(col("id"), "x"))
             .withColumn("qy", seedQ(col("id"), "y"))

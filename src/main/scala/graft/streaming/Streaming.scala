@@ -337,7 +337,10 @@ object Streaming {
           }
           val scored = graft.ext.LangModel.score(b, idCol, textCol,
             graft.ext.LangModel.fromPairCounts(modelPairs))
-          scored.coalesce(1).write.mode("overwrite")
+          // batch-sized verdict table — keep its natural partitioning
+          // (same argument as the state leg); nothing reads file layout,
+          // the oracle reads content
+          scored.write.mode("overwrite")
             .parquet(s"$sink/data/batch_id=$bid")
           val folded = prior match {
             case None => bp
@@ -354,6 +357,7 @@ object Streaming {
           // (it is — an exact count table); nothing reads file layout.
           folded.write.mode("overwrite")
             .parquet(s"$sink/_state/batch_id=$bid")
+          pruneStateHistory(spark, sink, bid)
         }
         ()
       }
@@ -824,6 +828,7 @@ object Streaming {
           .agg(sum(col("__tb_off")).as("__tb_off"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         // the curated corpus grows by exactly the admitted rows
         val survivors = b.join(broadcast(bud.filter(col("admitted"))),
           b(idCol).cast("long") === col("__bid"), "left_semi")
@@ -1138,6 +1143,7 @@ object Streaming {
         import spark.implicits._
         allShards.toDF("shard", "rows", "tokens").coalesce(1)
           .write.mode("overwrite").parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         }
         ()
       }
@@ -1162,6 +1168,35 @@ object Streaming {
       .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
       .filter(_ < bid)
       .sorted.lastOption
+  }
+
+  /** Bound the cumulative-state history once batch `bid`'s state has
+    * committed: delete every `sink/_state/batch_id=N` dir except the
+    * just-written `bid` and the newest one strictly below it (one grace
+    * generation — the segment stores' retention discipline). Replay-safe
+    * by construction: Structured Streaming can only replay the last
+    * uncommitted batch, whose fold reads exactly
+    * [[newestStateBefore]](B) — the retained grace dir; anything older
+    * is never read again once B's state exists. Each retained dir is the
+    * FULL fold, so storage stays O(2 × state size) instead of
+    * O(batches × state size). CUMULATIVE-state sinks only — the
+    * append-shaped SemDeDup state, where every batch dir stays live,
+    * must never call this. */
+  private def pruneStateHistory(spark: org.apache.spark.sql.SparkSession,
+                                sink: String, bid: Long): Unit = {
+    val statePath = new org.apache.hadoop.fs.Path(s"$sink/_state")
+    val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statePath)) {
+      val ids = fs.listStatus(statePath).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      val grace = ids.filter(_ < bid).sorted.lastOption
+      ids.filter(i => i < bid && !grace.contains(i)).foreach { i =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$sink/_state/batch_id=$i"), true)
+      }
+    }
   }
 
   /** The PRODUCTION form of [[corpusReportAvailableNow]] — the data card
@@ -1217,6 +1252,7 @@ object Streaming {
           .drop("__kmv")
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$sink/card/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         }
         ()
       }
@@ -1280,6 +1316,7 @@ object Streaming {
           .agg(sum(col("__tb_off")).as("__tb_off"))
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         b.unpersist()
         }
         ()
@@ -1409,6 +1446,7 @@ object Streaming {
         }
         folded.coalesce(1).write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         }
         ()
       }
@@ -1447,6 +1485,7 @@ object Streaming {
           .toDF("idx", "word")
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
         }
         ()
       }

@@ -622,10 +622,12 @@ class StreamingSpec extends SparkTestBase {
       java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
     run()
     assert(rows() == before, "replay altered the exported shards")
-    // and the persisted cumulative state matches the data totals
+    // and the persisted cumulative state matches the data totals; the
+    // history is GC'd to newest + one grace generation (batch 0's full
+    // fold is gone — replay can only ever need newestStateBefore)
     val stateIds = new java.io.File(s"$sink/_state").listFiles()
       .map(_.getName).filter(_.startsWith("batch_id=")).sorted
-    assert(stateIds.sameElements(Array("batch_id=0", "batch_id=1", "batch_id=2")))
+    assert(stateIds.sameElements(Array("batch_id=1", "batch_id=2")))
     val finalState = spark.read.parquet(s"$sink/_state/batch_id=2")
       .select(col("shard"), col("rows"), col("tokens")).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -754,20 +756,56 @@ class StreamingSpec extends SparkTestBase {
     run()
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // state GC keeps newest + one grace generation, so only batches 1,2
+    // survive a 3-batch run — check those against the batch operator
     val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
-    for ((prefix, b) <- prefixes.zipWithIndex)
+    for ((prefix, b) <- prefixes.zipWithIndex.drop(1))
       assert(canon(spark.read.parquet(s"$sink/_state/batch_id=$b")) ==
         canon(graft.ext.Profile.cmsSketch(prefix.toDF("v"), "v", 3, 16)),
         s"running sketch after batch $b != batch operator over the prefix")
-    val before = (0 to 2).map(b =>
+    val before = (1 to 2).map(b =>
       canon(spark.read.parquet(s"$sink/_state/batch_id=$b")))
     java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
     run()
-    assert((0 to 2).map(b =>
+    assert((1 to 2).map(b =>
       canon(spark.read.parquet(s"$sink/_state/batch_id=$b"))) == before,
       "replay altered the sketches")
+  }
+
+  test("cumulative-state GC: ≥4 batches retain ≤2 _state dirs, fold exact") {
+    // the storage contract of the whole *ToSink family: each batch writes
+    // the FULL fold, so after GC only the newest + one grace generation
+    // may remain — storage O(2 × state size), not O(batches × state size).
+    // The surviving newest state must still equal the batch operator over
+    // EVERYTHING ingested (the fold chain never lost a batch).
+    val batches = Seq(Seq("a", "b", "a"), Seq("b", "c"), Seq("a", "d"),
+      Seq("d", "d", "e"), Seq("a"))
+    val src = java.nio.file.Files.createTempDirectory("graft-gc-src-")
+    for ((b, i) <- batches.zipWithIndex) {
+      b.toDF("v").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-gc-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gc-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    Streaming.cmsSketchToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2,b3,b4}/*.parquet"),
+      "v", depth = 3, width = 16, sink, ckpt)
+    val stateDirs = new java.io.File(s"$sink/_state").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(stateDirs.length <= 2,
+      s"state history unbounded: ${stateDirs.mkString(",")}")
+    assert(stateDirs.sameElements(Array("batch_id=3", "batch_id=4")),
+      s"GC must keep exactly newest + grace: ${stateDirs.mkString(",")}")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(canon(spark.read.parquet(s"$sink/_state/batch_id=4")) ==
+      canon(graft.ext.Profile.cmsSketch(
+        batches.flatten.toDF("v"), "v", 3, 16)),
+      "GC'd fold chain diverged from the batch operator over everything")
   }
 
   test("lm sink: prior-model scoring, state folds, exactly-once restart") {
@@ -818,12 +856,14 @@ class StreamingSpec extends SparkTestBase {
     assert(stateSet(2) == graft.ext.LangModel.pairCounts(
       (b0 ++ b1 ++ b2).toDF("doc_id", "text"), "text")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet)
-    val before = ((0 to 2).map(verdicts), (0 to 2).map(stateSet))
+    // verdicts survive for every batch (data is never pruned); state only
+    // for the GC-retained batches 1,2 (newest + one grace generation)
+    val before = ((0 to 2).map(verdicts), (1 to 2).map(stateSet))
     java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
     run()
-    assert(((0 to 2).map(verdicts), (0 to 2).map(stateSet)) == before,
+    assert(((0 to 2).map(verdicts), (1 to 2).map(stateSet)) == before,
       "replay altered verdicts or state")
   }
 
@@ -846,17 +886,18 @@ class StreamingSpec extends SparkTestBase {
     run()
     def bits(b: Int) = spark.read.parquet(s"$sink/_state/batch_id=$b")
       .orderBy(col("idx")).collect().map(_.getLong(1)).toSeq
+    // state GC retains only batches 1,2 (newest + one grace generation)
     val prefixes = Seq(b0, b0 ++ b1, b0 ++ b1 ++ b2)
-    for ((prefix, b) <- prefixes.zipWithIndex)
+    for ((prefix, b) <- prefixes.zipWithIndex.drop(1))
       assert(bits(b) == graft.ext.Profile.bloomBitmap(
           prefix.toDF("v"), "v", 3, 256).toSeq,
         s"running bitmap after batch $b != batch build over the prefix")
-    val before = (0 to 2).map(bits)
+    val before = (1 to 2).map(bits)
     java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
     run()
-    assert((0 to 2).map(bits) == before, "replay altered the bitmaps")
+    assert((1 to 2).map(bits) == before, "replay altered the bitmaps")
   }
 
   test("minhash ingest-to-sink: exactly-once across a forced restart replay") {
