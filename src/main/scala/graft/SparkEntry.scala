@@ -226,6 +226,56 @@ object SparkEntry {
     }
   }
 
+  /** The q_tf_deep weights: a 2-BLOCK × 2-HEAD stack under the same
+    * dyadic discipline as [[TfFixture]], with DISTINCT small-integer
+    * formulas per block so the layers are genuinely different functions
+    * (a shared-weight stack would let a depth bug cancel out). Rendered
+    * once here and consumed twice: as the provider's stacked-JSON weight
+    * file and as the SQL oracle's inlined integers. */
+  private[graft] object TfFixture2 {
+    val Dim = 8
+    val MaxLen = 8
+    val Blocks: Seq[TfBlockFix] = Seq(
+      TfBlockFix(2,
+        wq = (r, c) => (3 * r + 5 * c + 2) % 9 - 4,
+        wk = (r, c) => (7 * r + 2 * c + 1) % 9 - 4,
+        wv = (r, c) => (2 * r + 7 * c + 3) % 9 - 4,
+        w1 = (r, c) => (5 * r + 3 * c + 4) % 9 - 4,
+        b1 = r => r % 5 - 2,
+        w2 = (r, c) => (4 * r + 5 * c + 2) % 9 - 4,
+        b2 = r => r % 3 - 1),
+      TfBlockFix(2,
+        wq = (r, c) => (6 * r + c + 2) % 9 - 4,
+        wk = (r, c) => (r + 6 * c + 5) % 9 - 4,
+        wv = (r, c) => (5 * r + 4 * c + 1) % 9 - 4,
+        w1 = (r, c) => (2 * r + 5 * c + 3) % 9 - 4,
+        b1 = r => r % 4 - 2,
+        w2 = (r, c) => (7 * r + 3 * c + 2) % 9 - 4,
+        b2 = r => (r + 1) % 3 - 1))
+    lazy val path: String = {
+      def row(f: Int => Int) =
+        (0 until Dim).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
+      def mat(f: (Int, Int) => Int) =
+        (0 until Dim).map(r => (0 until Dim)
+          .map(c => (f(r, c) / 16.0).toString).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      val bjs = Blocks.map(b =>
+        s"""{"heads": ${b.heads},
+           |  "wq": ${mat(b.wq)}, "wk": ${mat(b.wk)}, "wv": ${mat(b.wv)},
+           |  "w1": ${mat(b.w1)}, "b1": ${row(b.b1)},
+           |  "w2": ${mat(b.w2)}, "b2": ${row(b.b2)}}""".stripMargin)
+        .mkString("[", ",\n", "]")
+      val json =
+        s"""{"dim": $Dim, "max_len": $MaxLen,
+           | "blocks": $bjs,
+           | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
+           |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft-tf2-", ".json")
+      java.nio.file.Files.writeString(f, json)
+      f.toString
+    }
+  }
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -1080,6 +1130,30 @@ object SparkEntry {
         .select(col("doc_id"), col("bm25_rank"), col("model_u6"))
         .withColumn("rerank", row_number().over(w).cast("long"))
         .orderBy(col("rerank"))
+    }),
+
+    "q_tf_deep" -> ((s, dir) => {
+      // round 19: the DEEP transformer — a 2-BLOCK × 2-HEAD causal
+      // stack ([[TfFixture2]]) through the generalized tf: provider,
+      // with ALL FOUR intermediate layers' mean pools (per block:
+      // post-attention LayerNorm, post-FFN residual) hash-matching the
+      // DuckDB replay of the full two-block multi-head forward pass.
+      // This is the architecture shape of the reference's pretrained
+      // hf:/tl: checkpoints; tools/make_tf_weights.py converts real
+      // checkpoint tensors into this JSON layout offline.
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture2.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      require(tf.nLayers == 4 && tf.blocks.forall(_.heads == 2),
+        s"q_tf_deep expects 2 blocks x 2 heads, loaded ${tf.blocks}")
+      val base = (1 to 4).map { l =>
+        val f = udf((t: String) => tf.pooled(t, l, "mean"))
+        docs.select(col("doc_id"), lit(l.toLong).as("layer"),
+          posexplode(f(col("text"))))
+      }.reduce(_ unionAll _)
+      base.select(col("doc_id"), col("layer"),
+          col("pos").cast("long").as("dim"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("layer"), col("dim"))
     }),
 
     "q_llm_logits" -> ((s, dir) => {
@@ -4232,23 +4306,31 @@ object SparkEntry {
     * layer-1 ReLU columns `h0..h7 FROM v(vv)` and the 4 head expressions
     * over them — shared by the q_llm_mlp and q_mlp_probe oracles so the
     * replayed net can never drift from the fixture formula. */
-  /** q_tf_embed oracle: the transformer forward pass unrolled to SQL —
-    * position-unrolled stage CTEs (embeddings → q/k/v → integer-softmax
-    * causal attention → residual+LayerNorm → FFN+residual → zero-padded
-    * mean pools of BOTH layers). Every weight is the [[TfFixture]]
-    * integer over 16.0 (exact dyadic), attention weights index a literal
-    * table of exact powers of two (no `exp`/`pow` on either engine), and
-    * every inexact fold is written left-associated in the same order the
-    * Scala provider accumulates — bit-identical by construction. */
-  private def tfCtes: String = tfCtes("documents")
+  /** One transformer block's ORACLE weights: integer dyadic formulas
+    * (value/16) over (row, col), plus the head count. The SQL generator
+    * and the JSON the provider loads are both rendered from these same
+    * integers, so engine and oracle share one source of truth. */
+  private[graft] final case class TfBlockFix(heads: Int,
+      wq: (Int, Int) => Int, wk: (Int, Int) => Int, wv: (Int, Int) => Int,
+      w1: (Int, Int) => Int, b1: Int => Int,
+      w2: (Int, Int) => Int, b2: Int => Int)
 
-  /** Same CTE chain over an arbitrary `(doc_id, lang, text)` source —
-    * the composition hook (e.g. the rerank oracle scores BM25 survivors
-    * whose text is the (query, doc) pair image). */
-  private def tfCtes(srcSql: String): String = {
-    import TfFixture._
-    val L = MaxLen
-    val D = Dim
+  /** q_tf_embed / q_tf_deep oracle core: the transformer forward pass of
+    * an ARBITRARY block stack unrolled to SQL — position-unrolled stage
+    * CTEs per block (embeddings → q/k/v → per-head integer-softmax
+    * causal attention → residual+LayerNorm → FFN+residual), block b
+    * reading block b−1's residual stream. Every weight is an integer
+    * over 16.0 (exact dyadic), attention weights index a literal table
+    * of exact powers of two (no `exp`/`pow` on either engine), and every
+    * inexact fold is written left-associated in the same order the Scala
+    * provider accumulates — bit-identical by construction. Masked
+    * positions (i ≥ n) carry garbage through the SQL stages, harmlessly:
+    * the causal mask means no real position ever attends to j > i, and
+    * the pools gate on `n > i` — exactly the positions the provider
+    * zeroes. Block b's states are columns `ln{b}_{i}` / `y{b}_{i}`; the
+    * final CTE is always `tfy`. */
+  private def tfStackCtes(blocks: Seq[TfBlockFix], srcSql: String): String = {
+    import TfFixture.{Dim => D, MaxLen => L, posEnc}
     def fr(v: Int) = s"($v)/16.0"
     // sum of pre-rendered terms, left-associated from `seed`
     def fold(seed: String, terms: Seq[String]) =
@@ -4259,66 +4341,109 @@ object SparkEntry {
       }.mkString(", ")
       s"CASE WHEN n > $i THEN [$elems] ELSE [${Seq.fill(D)("0.0").mkString(", ")}] END AS x$i"
     }.mkString(",\n    ")
-    def proj(name: String, w: (Int, Int) => Int) = (0 until L).map { i =>
-      val elems = (0 until D).map { r =>
-        fold("0.0", (0 until D).map(c => s"${fr(w(r, c))}*x$i[${c + 1}]"))
-      }.mkString(", ")
-      s"[$elems] AS $name$i"
-    }.mkString(",\n    ")
-    val scores = (for (i <- 0 until L; j <- 0 to i) yield {
-      val dot = fold("0.0", (0 until D).map(d => s"q$i[${d + 1}]*k$j[${d + 1}]"))
-      s"CAST(floor(16.0 * ($dot)) AS BIGINT) AS s_${i}_$j"
-    }).mkString(",\n    ")
-    val maxes = (0 until L).map { i =>
-      val args = (0 to i).map(j => s"s_${i}_$j").mkString(", ")
-      s"greatest($args) AS m_$i"
-    }.mkString(",\n    ")
-    val es = (for (i <- 0 until L; j <- 0 to i) yield
-      s"pw[CAST(least(m_$i - s_${i}_$j, 60) AS INT) + 1] AS e_${i}_$j"
-    ).mkString(",\n    ")
-    val ss = (0 until L).map { i =>
-      fold("0.0", (0 until L).map(j =>
-        if (j <= i) s"e_${i}_$j" else "0.0")) + s" AS sw_$i"
-    }.mkString(",\n    ")
-    val zs = (0 until L).map { i =>
-      val elems = (0 until D).map { d =>
-        val num = fold("0.0", (0 until L).map(j =>
-          (if (j <= i) s"e_${i}_$j" else "0.0") + s"*v$j[${d + 1}]"))
-        s"x$i[${d + 1}] + ($num) / sw_$i"
-      }.mkString(", ")
-      s"[$elems] AS z$i"
-    }.mkString(",\n    ")
-    val mus = (0 until L).map { i =>
-      s"(${fold("0.0", (0 until D).map(d => s"z$i[${d + 1}]"))})/$D.0 AS mu_$i"
-    }.mkString(",\n    ")
-    val vas = (0 until L).map { i =>
-      s"(${fold("0.0", (0 until D).map(d =>
-        s"(z$i[${d + 1}]-mu_$i)*(z$i[${d + 1}]-mu_$i)"))})/$D.0 AS va_$i"
-    }.mkString(",\n    ")
-    val lns = (0 until L).map { i =>
-      s"list_transform(z$i, zz -> (zz - mu_$i)/sqrt(va_$i + 0.0000152587890625)) AS ln$i"
-    }.mkString(",\n    ")
-    val ffs = (0 until L).map { i =>
-      val elems = (0 until D).map { c =>
-        val a = fold(fr(b1(c)), (0 until D).map(kk =>
-          s"${fr(w1(c, kk))}*ln$i[${kk + 1}]"))
-        s"CASE WHEN ($a) < 0 THEN 0.0 ELSE ($a) END"
-      }.mkString(", ")
-      s"[$elems] AS f$i"
-    }.mkString(",\n    ")
-    val ys = (0 until L).map { i =>
-      val elems = (0 until D).map { d =>
-        val a = fold(fr(b2(d)), (0 until D).map(c =>
-          s"${fr(w2(d, c))}*f$i[${c + 1}]"))
-        s"ln$i[${d + 1}] + ($a)"
-      }.mkString(", ")
-      s"[$elems] AS y$i"
-    }.mkString(",\n    ")
     // exact decimal images of 2^0 .. 2^-60 (BigDecimal: every negative
     // power of two is a finite decimal) — the no-`pow` weight table
     val pw = (0 to 60).map(m =>
       (BigDecimal(1) / BigDecimal(2).pow(m)).underlying.toPlainString)
       .mkString("[", ", ", "]")
+    val blockCtes = blocks.zipWithIndex.map { case (blk, b) =>
+      val H = blk.heads
+      val dh = D / H
+      def xcol(i: Int) = if (b == 0) s"x$i" else s"y${b - 1}_$i"
+      def proj(name: String, w: (Int, Int) => Int) = (0 until L).map { i =>
+        val elems = (0 until D).map { r =>
+          fold("0.0", (0 until D).map(c => s"${fr(w(r, c))}*${xcol(i)}[${c + 1}]"))
+        }.mkString(", ")
+        s"[$elems] AS ${name}${b}_$i"
+      }.mkString(",\n    ")
+      val scores = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield {
+        val dot = fold("0.0", (h * dh until (h + 1) * dh).map(d =>
+          s"q${b}_$i[${d + 1}]*k${b}_$j[${d + 1}]"))
+        s"CAST(floor(16.0 * ($dot)) AS BIGINT) AS s${b}_${h}_${i}_$j"
+      }).mkString(",\n    ")
+      val maxes = (for (h <- 0 until H; i <- 0 until L) yield {
+        val args = (0 to i).map(j => s"s${b}_${h}_${i}_$j").mkString(", ")
+        s"greatest($args) AS m${b}_${h}_$i"
+      }).mkString(",\n    ")
+      val es = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield
+        s"pw[CAST(least(m${b}_${h}_$i - s${b}_${h}_${i}_$j, 60) AS INT) + 1] AS e${b}_${h}_${i}_$j"
+      ).mkString(",\n    ")
+      val ss = (for (h <- 0 until H; i <- 0 until L) yield
+        fold("0.0", (0 until L).map(j =>
+          if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0")) + s" AS sw${b}_${h}_$i"
+      ).mkString(",\n    ")
+      val zs = (0 until L).map { i =>
+        val elems = (0 until D).map { d =>
+          val h = d / dh
+          val num = fold("0.0", (0 until L).map(j =>
+            (if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0") + s"*v${b}_$j[${d + 1}]"))
+          s"${xcol(i)}[${d + 1}] + ($num) / sw${b}_${h}_$i"
+        }.mkString(", ")
+        s"[$elems] AS z${b}_$i"
+      }.mkString(",\n    ")
+      val mus = (0 until L).map { i =>
+        s"(${fold("0.0", (0 until D).map(d => s"z${b}_$i[${d + 1}]"))})/$D.0 AS mu${b}_$i"
+      }.mkString(",\n    ")
+      val vas = (0 until L).map { i =>
+        s"(${fold("0.0", (0 until D).map(d =>
+          s"(z${b}_$i[${d + 1}]-mu${b}_$i)*(z${b}_$i[${d + 1}]-mu${b}_$i)"))})/$D.0 AS va${b}_$i"
+      }.mkString(",\n    ")
+      val lns = (0 until L).map { i =>
+        s"list_transform(z${b}_$i, zz -> (zz - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)) AS ln${b}_$i"
+      }.mkString(",\n    ")
+      val ffs = (0 until L).map { i =>
+        val elems = (0 until D).map { c =>
+          val a = fold(fr(blk.b1(c)), (0 until D).map(kk =>
+            s"${fr(blk.w1(c, kk))}*ln${b}_$i[${kk + 1}]"))
+          s"CASE WHEN ($a) < 0 THEN 0.0 ELSE ($a) END"
+        }.mkString(", ")
+        s"[$elems] AS f${b}_$i"
+      }.mkString(",\n    ")
+      val ys = (0 until L).map { i =>
+        val elems = (0 until D).map { d =>
+          val a = fold(fr(blk.b2(d)), (0 until D).map(c =>
+            s"${fr(blk.w2(d, c))}*f${b}_$i[${c + 1}]"))
+          s"ln${b}_$i[${d + 1}] + ($a)"
+        }.mkString(", ")
+        s"[$elems] AS y${b}_$i"
+      }.mkString(",\n    ")
+      val prev = if (b == 0) "tfx" else s"tfy_${b - 1}"
+      s"""tfq_$b AS (SELECT *,
+         |    ${proj("q", blk.wq)},
+         |    ${proj("k", blk.wk)},
+         |    ${proj("v", blk.wv)}
+         |  FROM $prev),
+         |tfs_$b AS (SELECT *,
+         |    $scores
+         |  FROM tfq_$b),
+         |tfm_$b AS (SELECT *,
+         |    $maxes
+         |  FROM tfs_$b),
+         |tfe_$b AS (SELECT *,
+         |    $es
+         |  FROM tfm_$b),
+         |tfsum_$b AS (SELECT *,
+         |    $ss
+         |  FROM tfe_$b),
+         |tfa_$b AS (SELECT *,
+         |    $zs
+         |  FROM tfsum_$b),
+         |tfl_$b AS (SELECT *,
+         |    $mus
+         |  FROM tfa_$b),
+         |tfv_$b AS (SELECT *,
+         |    $vas
+         |  FROM tfl_$b),
+         |tfn_$b AS (SELECT *,
+         |    $lns
+         |  FROM tfv_$b),
+         |tff_$b AS (SELECT *,
+         |    $ffs
+         |  FROM tfn_$b),
+         |tfy_$b AS (SELECT *,
+         |    $ys
+         |  FROM tff_$b)""".stripMargin
+    }.mkString(",\n")
     s"""tf0 AS (
        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0)[1:$L] AS ws FROM $srcSql),
@@ -4330,41 +4455,20 @@ object SparkEntry {
        |tfx AS (SELECT doc_id, lang, n, pw,
        |    $xs
        |  FROM tf1),
-       |tfq AS (SELECT *,
-       |    ${proj("q", wq)},
-       |    ${proj("k", wk)},
-       |    ${proj("v", wv)}
-       |  FROM tfx),
-       |tfs AS (SELECT *,
-       |    $scores
-       |  FROM tfq),
-       |tfm AS (SELECT *,
-       |    $maxes
-       |  FROM tfs),
-       |tfe AS (SELECT *,
-       |    $es
-       |  FROM tfm),
-       |tfsum AS (SELECT *,
-       |    $ss
-       |  FROM tfe),
-       |tfa AS (SELECT *,
-       |    $zs
-       |  FROM tfsum),
-       |tfl AS (SELECT *,
-       |    $mus
-       |  FROM tfa),
-       |tfv AS (SELECT *,
-       |    $vas
-       |  FROM tfl),
-       |tfn AS (SELECT *,
-       |    $lns
-       |  FROM tfv),
-       |tff AS (SELECT *,
-       |    $ffs
-       |  FROM tfn),
-       |tfy AS (SELECT *,
-       |    $ys
-       |  FROM tff)""".stripMargin
+       |$blockCtes,
+       |tfy AS (SELECT * FROM tfy_${blocks.length - 1})""".stripMargin
+  }
+
+  /** The q_tf_embed single-block chain (the [[TfFixture]] weights, one
+    * head) — block-0 state columns `ln0_{i}` / `y0_{i}`. */
+  private def tfCtes: String = tfCtes("documents")
+
+  /** Same CTE chain over an arbitrary `(doc_id, lang, text)` source —
+    * the composition hook (e.g. the rerank oracle scores BM25 survivors
+    * whose text is the (query, doc) pair image). */
+  private def tfCtes(srcSql: String): String = {
+    import TfFixture._
+    tfStackCtes(Seq(TfBlockFix(1, wq, wk, wv, w1, b1, w2, b2)), srcSql)
   }
 
   /** Zero-padded mean pool of per-position state lists `st0..st7` at list
@@ -4379,13 +4483,30 @@ object SparkEntry {
     s"""WITH $tfCtes,
        |dims AS (SELECT CAST(unnest(range(${TfFixture.Dim})) AS BIGINT) AS dm)
        |SELECT doc_id, CAST(1 AS BIGINT) AS layer, dm AS dim,
-       |  ${tfPool("ln", "CAST(dm AS INT) + 1")} AS val
+       |  ${tfPool("ln0_", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |UNION ALL
        |SELECT doc_id, CAST(2 AS BIGINT) AS layer, dm AS dim,
-       |  ${tfPool("y", "CAST(dm AS INT) + 1")} AS val
+       |  ${tfPool("y0_", "CAST(dm AS INT) + 1")} AS val
        |FROM tfy CROSS JOIN dims
        |ORDER BY doc_id, layer, dim""".stripMargin
+
+  /** q_tf_deep oracle: the [[TfFixture2]] 2-block × 2-head stack
+    * replayed in full — layer 2b+1 pools block b's post-attention
+    * LayerNorm columns, layer 2b+2 its post-FFN residual columns. */
+  private def tfDeepSql: String = {
+    val pools = (0 until TfFixture2.Blocks.length).flatMap { b =>
+      Seq((2 * b + 1, s"ln${b}_"), (2 * b + 2, s"y${b}_"))
+    }.map { case (layer, pre) =>
+      s"""SELECT doc_id, CAST($layer AS BIGINT) AS layer, dm AS dim,
+         |  ${tfPool(pre, "CAST(dm AS INT) + 1")} AS val
+         |FROM tfy CROSS JOIN dims""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${tfStackCtes(TfFixture2.Blocks, "documents")},
+       |dims AS (SELECT CAST(unnest(range(${TfFixture2.Dim})) AS BIGINT) AS dm)
+       |$pools
+       |ORDER BY doc_id, layer, dim""".stripMargin
+  }
 
   /** q_tf_rerank oracle: the q_bm25 scoring CTEs cut the candidate pool,
     * then the transformer CTE chain runs over the (query, doc) PAIR
@@ -4402,7 +4523,7 @@ object SparkEntry {
        |${tfCtes(s"(SELECT d.doc_id, d.lang, '$q [SEP] ' || d.text AS text" +
           " FROM documents d JOIN tk USING (doc_id))")},
        |scored2 AS (SELECT doc_id,
-       |    CAST(round((${tfPool("y", "1")}) * 1e6) AS BIGINT) AS model_u6
+       |    CAST(round((${tfPool("y0_", "1")}) * 1e6) AS BIGINT) AS model_u6
        |  FROM tfy)
        |SELECT t.doc_id, t.bm25_rank, s2.model_u6,
        |  CAST(row_number() OVER (ORDER BY s2.model_u6 DESC, t.doc_id)
@@ -4486,7 +4607,7 @@ object SparkEntry {
     * micro-unit integer scores. */
   private def tfProbeOracleSql: String = {
     val D = TfFixture.Dim
-    val es = (0 until D).map(d => tfPool("y", (d + 1).toString))
+    val es = (0 until D).map(d => tfPool("y0_", (d + 1).toString))
       .mkString("[", ",\n      ", "]")
     s"""WITH $tfCtes,
        |hdx AS (SELECT doc_id, lang = 'en' AS is_pos,
@@ -6565,6 +6686,9 @@ object SparkEntry {
     // integer-softmax attention → LayerNorm → FFN → both pooled layers
     "q_tf_embed" -> tfNetSql,
 
+    // the 2-block × 2-head stack replayed end to end — all 4 layers
+    "q_tf_deep" -> tfDeepSql,
+
     // transformer activations → diff-of-means probe, replayed end to end
     "q_tf_probe" -> tfProbeOracleSql,
 
@@ -6578,7 +6702,7 @@ object SparkEntry {
             " text FROM documents)")},
          |dims AS (SELECT CAST(unnest(range(${TfFixture.Dim})) AS BIGINT) AS dm)
          |SELECT doc_id AS row_idx, dm AS pos,
-         |  ${tfPool("ln", "CAST(dm AS INT) + 1")} AS val
+         |  ${tfPool("ln0_", "CAST(dm AS INT) + 1")} AS val
          |FROM tfy CROSS JOIN dims
          |ORDER BY row_idx, pos""".stripMargin
     },

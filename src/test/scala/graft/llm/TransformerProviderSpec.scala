@@ -82,6 +82,96 @@ class TransformerProviderSpec extends AnyFunSuite {
     assert(tiny.generate(Iterator(Seq("seed text")), 0).next().head == "")
   }
 
+  private def blk(seed: Int, heads: Int): TfBlock = TfBlock(heads,
+    wq = mat((r, c) => (3 * r + 5 * c + seed) % 9 - 4),
+    wk = mat((r, c) => (7 * r + 2 * c + seed + 1) % 9 - 4),
+    wv = mat((r, c) => (2 * r + 7 * c + seed + 2) % 9 - 4),
+    w1 = mat((r, c) => (5 * r + 3 * c + seed) % 9 - 4),
+    b1 = vec(r => r % 5 - 2),
+    w2 = mat((r, c) => (4 * r + 5 * c + seed) % 9 - 4),
+    b2 = vec(r => r % 3 - 1))
+
+  test("a 1-block stack equals the legacy single-block constructor bit-for-bit") {
+    val b = TfBlock(1, tiny.wq, tiny.wk, tiny.wv, tiny.w1, tiny.b1,
+      tiny.w2, tiny.b2)
+    val stacked = new TransformerProvider(8, 8, Seq(b), Seq.empty)
+    for (mode <- Seq("mean", "last"); l <- 1 to 2)
+      assert(stacked.pooled("the quick fox jumps", l, mode).toSeq ==
+        tiny.pooled("the quick fox jumps", l, mode).toSeq,
+        s"layer $l/$mode diverged")
+  }
+
+  test("multi-head shape validation: heads must divide dim") {
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, Seq(blk(1, 3)), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, Seq(blk(1, 0)), Seq.empty)
+    }
+    new TransformerProvider(8, 8, Seq(blk(1, 4)), Seq.empty) // 4 | 8: fine
+  }
+
+  test("heads change the function: 1-head vs 2-head same weights differ") {
+    val h1 = new TransformerProvider(8, 8, Seq(blk(2, 1)), Seq.empty)
+    val h2 = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty)
+    assert(h1.pooled("alpha beta gamma", 2, "mean").toSeq !=
+      h2.pooled("alpha beta gamma", 2, "mean").toSeq)
+  }
+
+  test("deep stack: 4 layers, depth composes, causality holds at depth") {
+    val deep = new TransformerProvider(8, 8, Seq(blk(2, 2), blk(5, 2)),
+      Seq("yes" -> Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)))
+    assert(deep.nLayers == 4)
+    // layers 1,2 ARE block 0's states: a single-block model with block 0's
+    // weights must agree on them exactly
+    val shallow = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty)
+    for (l <- 1 to 2)
+      assert(deep.pooled("one two three", l, "mean").toSeq ==
+        shallow.pooled("one two three", l, "mean").toSeq,
+        s"block-0 layer $l must not depend on later blocks")
+    // depth does something: layer 4 != layer 2
+    assert(deep.pooled("one two three", 4, "mean").toSeq !=
+      deep.pooled("one two three", 2, "mean").toSeq)
+    intercept[IllegalArgumentException] { deep.pooled("x", 5, "mean") }
+    // causality through BOTH blocks: prefix states blind to the suffix
+    val (_, y1, _) = deep.states("alpha beta gamma")
+    val (_, y2, _) = deep.states("alpha beta OMEGA")
+    for (i <- 0 to 1)
+      assert(y1(i).toSeq == y2(i).toSeq, s"deep state $i looked ahead")
+    // masked positions stay exact zeros through every block
+    val (all, n) = deep.statesAll("alpha beta")
+    assert(n == 2)
+    for (((ln, y), b) <- all.zipWithIndex; i <- 2 until 8) {
+      assert(ln(i).forall(_ == 0.0), s"block $b ln($i) not zero")
+      assert(y(i).forall(_ == 0.0), s"block $b y($i) not zero")
+    }
+  }
+
+  test("stacked JSON form round-trips through the registry") {
+    def js2(m: Array[Array[Double]]) =
+      m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def js1(v: Array[Double]) = v.mkString("[", ",", "]")
+    val deep = new TransformerProvider(8, 8, Seq(blk(2, 2), blk(5, 2)),
+      Seq("yes" -> Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)))
+    def bJson(b: TfBlock) =
+      s"""{"heads": ${b.heads}, "wq": ${js2(b.wq)}, "wk": ${js2(b.wk)},
+         | "wv": ${js2(b.wv)}, "w1": ${js2(b.w1)}, "b1": ${js1(b.b1)},
+         | "w2": ${js2(b.w2)}, "b2": ${js1(b.b2)}}""".stripMargin
+    val json =
+      s"""{"dim": 8, "max_len": 8,
+         | "blocks": [${deep.blocks.map(bJson).mkString(",\n")}],
+         | "vocab": {"yes": [1,0,0,0,0,0,0,0]}}
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-tf-deep-", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val (prov, _) = ModelRegistry.get(s"tf:$f")
+    val loaded = prov.asInstanceOf[TransformerProvider]
+    assert(loaded.nLayers == 4)
+    for (l <- 1 to 4)
+      assert(loaded.pooled("round trip check", l, "mean").toSeq ==
+        deep.pooled("round trip check", l, "mean").toSeq, s"layer $l")
+  }
+
   test("JSON round-trip through the registry") {
     def js2(m: Array[Array[Double]]) =
       m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")

@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""Convert a small transformer checkpoint's tensors into the JSON weight
+format `graft.llm.TransformerProvider.fromJson` loads (the `tf:` scheme)
+— the OFFLINE half of the in-process inference path: the zero-egress JVM
+never needs torch/ONNX, because any checkpoint whose tensors fit the
+provider's block shape (dim x dim q/k/v projections, H contiguous head
+slices, a dim-wide FFN) is converted to plain JSON here, on whatever
+machine holds the checkpoint, and shipped as a file.
+
+Supported inputs
+  *.npz           numpy archive: one array per tensor name
+  *.safetensors   parsed directly (the format is a JSON header + raw
+                  little-endian tensor bytes — no safetensors/torch
+                  dependency needed)
+
+Tensor naming: either pass tensors already named `blocks.<i>.<field>`
+(fields: wq wk wv w1 b1 w2 b2, plus a per-block or global `heads`
+scalar), or give --map with lines `src_name -> blocks.<i>.<field>` to
+rename checkpoint conventions (e.g. TransformerLens's
+`blocks.0.attn.W_Q`, which is also auto-recognized). A HxDxd_h-shaped
+attention tensor is flattened to the provider's (dim x dim,
+concat-of-heads) layout; `vocab` rows come from --vocab-tokens plus the
+unembedding matrix `w_u` (dim x |tokens|) if present.
+
+The provider's arithmetic is IEEE double with pinned fold order, so the
+JSON carries full repr() precision — the conversion is lossless for
+float32/float64 checkpoints.
+
+Usage:
+  python3 tools/make_tf_weights.py ckpt.npz -o weights.json \
+      --dim 8 --max-len 8 [--heads 2] [--map mapping.txt] \
+      [--vocab-tokens yes,no]
+"""
+import argparse
+import json
+import re
+import struct
+import sys
+
+import numpy as np
+
+
+def load_safetensors(path):
+    """Minimal safetensors reader: u64-LE header length, JSON header with
+    per-tensor {dtype, shape, data_offsets}, then the raw buffer."""
+    dtypes = {"F64": np.float64, "F32": np.float32, "F16": np.float16,
+              "I64": np.int64, "I32": np.int32}
+    with open(path, "rb") as f:
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        buf = f.read()
+    out = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        lo, hi = meta["data_offsets"]
+        arr = np.frombuffer(buf[lo:hi], dtype=dtypes[meta["dtype"]])
+        out[name] = arr.reshape(meta["shape"]).astype(np.float64)
+    return out
+
+
+def load_tensors(path):
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    with np.load(path) as z:
+        return {k: np.asarray(z[k], dtype=np.float64) for k in z.files}
+
+
+# TransformerLens / HF-style names -> provider fields, applied after --map
+AUTO_PATTERNS = [
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_Q$"), "wq"),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_K$"), "wk"),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_V$"), "wv"),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.W_in$"), "w1"),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.b_in$"), "b1"),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.W_out$"), "w2"),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.b_out$"), "b2"),
+    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|w1|b1|w2|b2|heads)$"), None),
+]
+
+
+def canonical_name(name, mapping):
+    if name in mapping:
+        name = mapping[name]
+    for pat, field in AUTO_PATTERNS:
+        m = pat.match(name)
+        if m:
+            f = field if field is not None else m.group(2)
+            return int(m.group(1)), f
+    return None
+
+
+def to_proj(arr, dim, heads, name):
+    """Accept (dim, dim), (heads, dim, d_h) [TL W_Q: d_model x d_head per
+    head, transposed to rows-of-output], or (heads, d_h, dim); emit the
+    provider's dim x dim row-major list with head h owning output rows
+    [h*d_h, (h+1)*d_h)."""
+    a = np.asarray(arr, dtype=np.float64)
+    if a.shape == (dim, dim):
+        return a
+    dh = dim // heads
+    if a.shape == (heads, dim, dh):      # TL: [head, d_model, d_head]
+        return np.concatenate([a[h].T for h in range(heads)], axis=0)
+    if a.shape == (heads, dh, dim):      # [head, d_head, d_model]
+        return np.concatenate(list(a), axis=0)
+    raise SystemExit(f"{name}: shape {a.shape} does not fit dim={dim} "
+                     f"heads={heads} (want ({dim},{dim}), "
+                     f"({heads},{dim},{dh}) or ({heads},{dh},{dim}))")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("checkpoint")
+    ap.add_argument("-o", "--out", required=True)
+    ap.add_argument("--dim", type=int, required=True)
+    ap.add_argument("--max-len", type=int, required=True)
+    ap.add_argument("--heads", type=int, default=1,
+                    help="heads for every block unless a per-block "
+                         "'blocks.<i>.heads' scalar overrides it")
+    ap.add_argument("--map", help="file of 'src -> blocks.<i>.<field>' lines")
+    ap.add_argument("--vocab-tokens",
+                    help="comma-separated tokens; vectors from the "
+                         "checkpoint's 'w_u' (dim x |tokens|) columns")
+    args = ap.parse_args()
+
+    mapping = {}
+    if args.map:
+        for line in open(args.map):
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            src, dst = [p.strip() for p in line.split("->")]
+            mapping[src] = dst
+
+    tensors = load_tensors(args.checkpoint)
+    blocks = {}
+    for name, arr in tensors.items():
+        hit = canonical_name(name, mapping)
+        if hit is None:
+            continue
+        bi, field = hit
+        blocks.setdefault(bi, {})[field] = arr
+    if not blocks:
+        raise SystemExit("no tensors matched blocks.<i>.<field> (use --map)")
+
+    out_blocks = []
+    for bi in range(max(blocks) + 1):
+        b = blocks.get(bi)
+        if b is None:
+            raise SystemExit(f"missing block {bi} (blocks must be contiguous)")
+        missing = [f for f in ("wq", "wk", "wv", "w1", "b1", "w2", "b2")
+                   if f not in b]
+        if missing:
+            raise SystemExit(f"block {bi}: missing {missing}")
+        heads = int(b["heads"]) if "heads" in b else args.heads
+        if args.dim % heads != 0:
+            raise SystemExit(f"block {bi}: heads={heads} must divide "
+                             f"dim={args.dim}")
+        ob = {"heads": heads}
+        for f in ("wq", "wk", "wv"):
+            ob[f] = to_proj(b[f], args.dim, heads, f"blocks.{bi}.{f}").tolist()
+        for f in ("w1", "w2"):
+            m = np.asarray(b[f], dtype=np.float64)
+            if m.shape != (args.dim, args.dim):
+                raise SystemExit(f"blocks.{bi}.{f}: shape {m.shape}, want "
+                                 f"({args.dim},{args.dim})")
+            ob[f] = m.tolist()
+        for f in ("b1", "b2"):
+            v = np.asarray(b[f], dtype=np.float64).reshape(-1)
+            if v.shape != (args.dim,):
+                raise SystemExit(f"blocks.{bi}.{f}: shape {v.shape}, want "
+                                 f"({args.dim},)")
+            ob[f] = v.tolist()
+        out_blocks.append(ob)
+
+    doc = {"dim": args.dim, "max_len": args.max_len, "blocks": out_blocks}
+    if args.vocab_tokens:
+        toks = args.vocab_tokens.split(",")
+        if "w_u" not in tensors:
+            raise SystemExit("--vocab-tokens needs a 'w_u' (dim x |tokens|) "
+                             "unembedding tensor")
+        wu = np.asarray(tensors["w_u"], dtype=np.float64)
+        if wu.shape != (args.dim, len(toks)):
+            raise SystemExit(f"w_u: shape {wu.shape}, want "
+                             f"({args.dim},{len(toks)})")
+        doc["vocab"] = {t: wu[:, i].tolist() for i, t in enumerate(toks)}
+
+    # repr-precision floats: json.dump's default float repr is shortest
+    # round-trip in py3 — lossless back into IEEE double in the JVM
+    with open(args.out, "w") as f:
+        json.dump(doc, f)
+    n = sum(np.asarray(v).size for b in out_blocks for k, v in b.items()
+            if k != "heads")
+    print(f"wrote {args.out}: {len(out_blocks)} block(s), {n} weights")
+
+
+if __name__ == "__main__":
+    main()
