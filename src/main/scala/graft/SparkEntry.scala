@@ -1377,6 +1377,41 @@ object SparkEntry {
         .orderBy(col("source"), col("n_kept"))
     }),
 
+    "q_quota_sink" -> ((s, dir) => {
+      // round 19: the per-source admission quota as a DURABLE
+      // exactly-once sink (sourceQuotaToSink) — the last
+      // production-shaped admission operator graduates from the
+      // state-store twin to the state-fold sink family (parquet state,
+      // GC'd to newest + grace). Two id-ranged micro-batches, at most 3
+      // docs per source over the stream's life; batch 1 admits on top
+      // of batch 0's CARRIED counts, so the union equals the global
+      // doc_id-order first-3 and each verdict's batch_id is determined
+      // by its id range. Forced-restart replay pinned in StreamingSpec.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val src = java.nio.file.Files.createTempDirectory("graft-qsink-src-")
+      docs.filter(col("doc_id") < 500).coalesce(1)
+        .write.parquet(s"$src/b0")
+      docs.filter(col("doc_id") >= 500).coalesce(1)
+        .write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-qsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-qsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.sourceQuotaToSink(stream, "source",
+        "doc_id", maxPerSource = 3, sink, ckpt)
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+          col("doc_id"), col("n_kept"))
+        .orderBy(col("source"), col("n_kept"))
+    }),
+
     "q_domain_cap" -> ((s, dir) => {
       // per-source document quota — the CommonCrawl-style per-host cap
       // that stops one domain from dominating a training mix: keep at
@@ -6473,6 +6508,20 @@ object SparkEntry {
         |      ORDER BY doc_id) AS BIGINT) AS n_kept
         |  FROM documents)
         |SELECT source, doc_id, n_kept FROM r WHERE n_kept <= 3
+        |ORDER BY source, n_kept""".stripMargin,
+
+    // durable-sink quota: same admission law (id-ranged batches ⇒ the
+    // union is the global doc_id-order first-3 per source), plus each
+    // verdict's batch is pinned by its id range
+    "q_quota_sink" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS n_kept
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN doc_id < 500 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS batch_id,
+        |  source, doc_id, n_kept FROM r WHERE n_kept <= 3
         |ORDER BY source, n_kept""".stripMargin,
 
     "q_bloom" -> bloomOracleSql,

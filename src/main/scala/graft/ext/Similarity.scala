@@ -414,11 +414,26 @@ object Similarity {
     * (checkpoint committed) before recentring, or a crash-replay probe
     * could see different cells than its first attempt. The ingest sinks'
     * own `autoCompactAt` stays on plain compaction, which preserves
-    * assignments and is replay-exact. */
+    * assignments and is replay-exact. Round 19 makes the quiesce
+    * ENFORCEABLE: pass the ingest sink's `quiesceCheckpoint` and a
+    * recentring compaction REFUSES to run while the checkpoint's commit
+    * log trails its offsets log (a started-but-uncommitted batch —
+    * exactly the crash-replay window the caveat describes). */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String, recentre: Boolean,
                       recentreIters: Int = 5,
-                      recentreSeed: Long = 42L): Unit = {
+                      recentreSeed: Long = 42L,
+                      quiesceCheckpoint: Option[String] = None): Unit = {
+    if (recentre) quiesceCheckpoint.foreach { ckpt =>
+      val started = newestCheckpointBatch(spark, s"$ckpt/offsets")
+      val committed = newestCheckpointBatch(spark, s"$ckpt/commits")
+      require(started.isEmpty || started == committed,
+        s"recentre refused: checkpoint $ckpt shows batch " +
+          s"${started.get} started but not committed — a crash-replay " +
+          "probe against recentred cells could emit different verdicts " +
+          "than its first attempt. Let the ingest quiesce (commit log " +
+          "catch up) and retry.")
+    }
     val m = readIvfMeta(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
@@ -458,6 +473,19 @@ object Similarity {
         .parquet(s"$path/$newSeg")
       writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
     }
+  }
+
+  /** Newest batch id recorded in a Structured Streaming checkpoint log
+    * dir (`<ckpt>/offsets` or `<ckpt>/commits`): entries are files named
+    * by batch id. Hadoop-FS-listed (the checkpoint may live on HDFS/S3
+    * beside the sink); a missing dir is an idle/never-started stream. */
+  private def newestCheckpointBatch(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .sorted.lastOption
   }
 
   /** The live corpus rows `(cell, corpus_id, vec, vnorm)` across `segs`,

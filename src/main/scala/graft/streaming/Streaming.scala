@@ -915,6 +915,76 @@ object Streaming {
     spark.table(name)
   }
 
+  /** The PRODUCTION form of [[enforceSourceQuota]] — the per-source
+    * first-N admission quota as a DURABLE exactly-once sink on the
+    * state-fold discipline (no state store: the carried per-source
+    * admitted count is ordinary parquet — inspectable, replayable, and
+    * shared with any other consumer of the admission ledger). Per
+    * micro-batch B: each source's rows admit in `idCol` order on top of
+    * the CARRIED admitted count, at most `maxPerSource` over the
+    * stream's life; the kept ledger `(sourceCol, idCol, n_kept)` lands
+    * at `sink/data/batch_id=B`, the per-source counts after B at
+    * `sink/_state/batch_id=B`.
+    *
+    * Same admission semantics as the flatMapGroupsWithState twin:
+    * equals the stream-order quota exactly (each batch's group admits
+    * id-sorted on top of the carried count), and only ADMITTED rows
+    * advance the count. Replay of B folds only state < B
+    * ([[newestStateBefore]]) and overwrites its own two dirs —
+    * byte-identical, forced-restart-tested; state GC keeps newest + one
+    * grace generation ([[pruneStateHistory]]). Null-safe on the source
+    * key (the tokenBudget discipline). Scale shape: one shuffle on the
+    * source key for the per-batch rank (a skewed mega-source pays only
+    * its own partition), and the state stays one long per distinct
+    * source ever seen — domain-universe metadata, broadcast to the
+    * admission join. */
+  def sourceQuotaToSink(docs: DataFrame, sourceCol: String, idCol: String,
+                        maxPerSource: Int,
+                        sink: String, checkpoint: String): Unit = {
+    require(maxPerSource >= 1, s"maxPerSource must be >= 1, got $maxPerSource")
+    val spark = docs.sparkSession
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // empty batch: no verdicts, counts unchanged
+        if (!batch.isEmpty) {
+        val b = batch.toDF()
+        val off = newestStateBefore(spark, sink, bid) match {
+          case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
+          case None =>
+            import spark.implicits._
+            Seq.empty[(String, Long)].toDF("__sq_key", "__sq_adm")
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(col(idCol))
+        val kept = b.select(col(sourceCol), col(idCol))
+          .withColumn("__sq_rk", row_number().over(w).cast("long"))
+          .join(broadcast(off),
+            col(sourceCol).cast("string") <=> col("__sq_key"), "left")
+          .withColumn("n_kept",
+            col("__sq_rk") + coalesce(col("__sq_adm"), lit(0L)))
+          .filter(col("n_kept") <= maxPerSource)
+          .select(col(sourceCol), col(idCol), col("n_kept"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        // counts AFTER this batch: carried + the batch's ADMITTED rows
+        off.unionByName(
+            kept.groupBy(col(sourceCol).cast("string").as("__sq_key"))
+              .agg(count(lit(1)).as("__sq_adm")))
+          .groupBy(col("__sq_key"))
+          .agg(sum(col("__sq_adm")).as("__sq_adm"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$sink/_state/batch_id=$bid")
+        pruneStateHistory(spark, sink, bid)
+        kept.unpersist()
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   /** Streaming INGEST of a stored IVF ANN index — the third stored index
     * adopting the probe-then-append micro-batch discipline (BM25,
     * MinHash, now vectors): each batch's embeddings retrieve their top-k

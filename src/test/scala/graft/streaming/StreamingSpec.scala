@@ -1117,6 +1117,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("source-quota sink: carried counts, exactly-once restart, state GC") {
+    // the durable form of the quota: three micro-batches, at most 3 per
+    // source over the stream's life; the kept ledger must equal the
+    // state-store twin's admission law (per batch, id-sorted on top of
+    // the carried count, only admitted rows advance it); a forced replay
+    // of the last batch rewrites identical verdicts and state, and the
+    // state history is GC'd to newest + one grace generation.
+    val b0 = Seq(("A", 5L), ("A", 3L), ("A", 1L), ("A", 9L), ("B", 10L))
+    val b1 = Seq(("A", 2L), ("B", 12L), ("B", 11L), ("C", 7L))
+    val b2 = Seq(("B", 20L), ("C", 8L), ("D", 30L))
+    val src = java.nio.file.Files.createTempDirectory("graft-sqs-src-")
+    for ((b, i) <- Seq(b0, b1, b2).zipWithIndex) {
+      b.toDF("source", "doc_id").coalesce(1).write.parquet(s"$src/b$i")
+      Thread.sleep(1100)
+    }
+    val sink = java.nio.file.Files.createTempDirectory("graft-sqs-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sqs-ck-").toString
+    val schema = spark.read.parquet(s"$src/b0").schema
+    def run(): Unit = Streaming.sourceQuotaToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet"),
+      "source", "doc_id", maxPerSource = 3, sink, ckpt)
+    run()
+    def verdicts() = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("source"), col("doc_id"),
+        col("n_kept"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val before = verdicts()
+    assert(before == Set(
+      (0L, "A", 1L, 1L), (0L, "A", 3L, 2L), (0L, "A", 5L, 3L),
+      (0L, "B", 10L, 1L),                    // batch 0: A full, 9 cut
+      (1L, "B", 11L, 2L), (1L, "B", 12L, 3L),
+      (1L, "C", 7L, 1L),                     // batch 1: A stays full
+      (2L, "C", 8L, 2L), (2L, "D", 30L, 1L)  // batch 2: B now full
+    ), s"unexpected ledger $before")
+    // final counts = admitted per source, only admitted rows advanced
+    val counts = spark.read.parquet(s"$sink/_state/batch_id=2")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("A" -> 3L, "B" -> 3L, "C" -> 2L, "D" -> 1L))
+    // GC: newest + grace only
+    val stateDirs = new java.io.File(s"$sink/_state").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+    assert(stateDirs.sameElements(Array("batch_id=1", "batch_id=2")),
+      s"state history not GC'd: ${stateDirs.mkString(",")}")
+    // forced replay of batch 2
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "2"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".2.crc"))
+    run()
+    assert(verdicts() == before, "replay altered the admission ledger")
+    assert(spark.read.parquet(s"$sink/_state/batch_id=2")
+      .as[(String, Long)].collect().toMap == counts,
+      "replay altered the counts")
+  }
+
   test("ivf ingest sink: standing ANN alerts, auto-compaction, exact replay") {
     // the THIRD stored index on the probe-then-append discipline: each
     // embedding batch retrieves its nearest neighbors from the
@@ -1174,6 +1229,25 @@ class StreamingSpec extends SparkTestBase {
       k = 3, nprobe = 1, sink, ckpt, autoCompactAt = 1)
     assert(ledger() == before, "replay altered the ANN alert ledger")
     assert(storeCount() == 11L, "replayed batch was double-appended")
+    // the quiesce guard (SCALING.md §7, now enforced): with the commit
+    // log intact, a recentring compaction guarded by this checkpoint is
+    // allowed; with the newest commit removed (a started-but-uncommitted
+    // batch — the crash-replay window) it must REFUSE, because a
+    // replayed probe against recentred cells could emit different
+    // verdicts than its first attempt. Plain compaction stays allowed
+    // either way — it preserves assignments and is replay-exact.
+    Similarity.compactIvfIndex(spark, idx, recentre = true,
+      quiesceCheckpoint = Some(ckpt))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idx, recentre = true,
+        quiesceCheckpoint = Some(ckpt))
+    }
+    assert(e.getMessage.contains("recentre refused"))
+    Similarity.compactIvfIndex(spark, idx, recentre = false,
+      quiesceCheckpoint = Some(ckpt)) // assignment-preserving: always ok
   }
 
   test("curation sink: quality -> dedup-vs-curated -> budget, exact replay") {
