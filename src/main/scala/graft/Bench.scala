@@ -141,10 +141,14 @@ object Bench {
     // every per-query number — the full map (median + min over the steady
     // passes + the cold pass, per query, untrimmed) goes to a file instead.
     // Stdout stays the summary; the file is the archaeology-free artifact.
-    // a FILTERED run (SPARK_GRAFT_BENCH_ONLY) must not clobber the
-    // committed full-sweep record — it goes to a scratch default instead
+    // a FILTERED run (SPARK_GRAFT_BENCH_ONLY) or an off-protocol scale
+    // factor (the record protocol is sf0.1) must not clobber the
+    // committed full-sweep record — both go to scratch defaults instead
+    // (a round-19 sf0.001 smoke silently overwrote the sf0.1 record)
+    val sfName = sfDir.split('/').last
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_partial.json"
+      else if (sfName != "sf0.1") s"BENCH_smoke_$sfName.json"
       else "BENCH_full.json")
     try {
       val qjson = steady.keys.toSeq.sorted.map { name =>

@@ -244,6 +244,9 @@ object SparkEntry {
         b1 = r => r % 5 - 2,
         w2 = (r, c) => (4 * r + 5 * c + 2) % 9 - 4,
         b2 = r => r % 3 - 1),
+      // block 1 exercises the FULL real-checkpoint block shape oracled:
+      // attention output projection wo, learned LayerNorm γ (near-1
+      // dyadics) and β
       TfBlockFix(2,
         wq = (r, c) => (6 * r + c + 2) % 9 - 4,
         wk = (r, c) => (r + 6 * c + 5) % 9 - 4,
@@ -251,7 +254,10 @@ object SparkEntry {
         w1 = (r, c) => (2 * r + 5 * c + 3) % 9 - 4,
         b1 = r => r % 4 - 2,
         w2 = (r, c) => (7 * r + 3 * c + 2) % 9 - 4,
-        b2 = r => (r + 1) % 3 - 1))
+        b2 = r => (r + 1) % 3 - 1,
+        wo = Some((r, c) => (3 * r + 7 * c + 4) % 9 - 4),
+        lnG = Some(r => 14 + r % 3),
+        lnB = Some(r => r % 3 - 1)))
     lazy val path: String = {
       def row(f: Int => Int) =
         (0 until Dim).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
@@ -259,12 +265,15 @@ object SparkEntry {
         (0 until Dim).map(r => (0 until Dim)
           .map(c => (f(r, c) / 16.0).toString).mkString("[", ",", "]"))
           .mkString("[", ",", "]")
-      val bjs = Blocks.map(b =>
+      val bjs = Blocks.map { b =>
+        val opt = b.wo.map(m => s""", "wo": ${mat(m)}""").getOrElse("") +
+          b.lnG.map(g => s""", "ln_g": ${row(g)}""").getOrElse("") +
+          b.lnB.map(be => s""", "ln_b": ${row(be)}""").getOrElse("")
         s"""{"heads": ${b.heads},
            |  "wq": ${mat(b.wq)}, "wk": ${mat(b.wk)}, "wv": ${mat(b.wv)},
            |  "w1": ${mat(b.w1)}, "b1": ${row(b.b1)},
-           |  "w2": ${mat(b.w2)}, "b2": ${row(b.b2)}}""".stripMargin)
-        .mkString("[", ",\n", "]")
+           |  "w2": ${mat(b.w2)}, "b2": ${row(b.b2)}$opt}""".stripMargin
+      }.mkString("[", ",\n", "]")
       val json =
         s"""{"dim": $Dim, "max_len": $MaxLen,
            | "blocks": $bjs,
@@ -1134,7 +1143,9 @@ object SparkEntry {
 
     "q_tf_deep" -> ((s, dir) => {
       // round 19: the DEEP transformer — a 2-BLOCK × 2-HEAD causal
-      // stack ([[TfFixture2]]) through the generalized tf: provider,
+      // stack ([[TfFixture2]]; block 1 carries the FULL real-checkpoint
+      // block shape — attention output projection wo + learned
+      // LayerNorm γ/β) through the generalized tf: provider,
       // with ALL FOUR intermediate layers' mean pools (per block:
       // post-attention LayerNorm, post-FFN residual) hash-matching the
       // DuckDB replay of the full two-block multi-head forward pass.
@@ -4348,7 +4359,10 @@ object SparkEntry {
   private[graft] final case class TfBlockFix(heads: Int,
       wq: (Int, Int) => Int, wk: (Int, Int) => Int, wv: (Int, Int) => Int,
       w1: (Int, Int) => Int, b1: Int => Int,
-      w2: (Int, Int) => Int, b2: Int => Int)
+      w2: (Int, Int) => Int, b2: Int => Int,
+      wo: Option[(Int, Int) => Int] = None,
+      lnG: Option[Int => Int] = None,
+      lnB: Option[Int => Int] = None)
 
   /** q_tf_embed / q_tf_deep oracle core: the transformer forward pass of
     * an ARBITRARY block stack unrolled to SQL — position-unrolled stage
@@ -4407,12 +4421,29 @@ object SparkEntry {
         fold("0.0", (0 until L).map(j =>
           if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0")) + s" AS sw${b}_${h}_$i"
       ).mkString(",\n    ")
+      // attention-mix quotient per component; with an output projection
+      // wo the mix lands in its own a{b}_i stage and z = x + wo·a
+      def mix(i: Int, d: Int): String = {
+        val h = d / dh
+        val num = fold("0.0", (0 until L).map(j =>
+          (if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0") + s"*v${b}_$j[${d + 1}]"))
+        s"($num) / sw${b}_${h}_$i"
+      }
+      val as = blk.wo.map { _ =>
+        (0 until L).map { i =>
+          val elems = (0 until D).map(d => mix(i, d)).mkString(", ")
+          s"[$elems] AS a${b}_$i"
+        }.mkString(",\n    ")
+      }
       val zs = (0 until L).map { i =>
         val elems = (0 until D).map { d =>
-          val h = d / dh
-          val num = fold("0.0", (0 until L).map(j =>
-            (if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0") + s"*v${b}_$j[${d + 1}]"))
-          s"${xcol(i)}[${d + 1}] + ($num) / sw${b}_${h}_$i"
+          blk.wo match {
+            case None => s"${xcol(i)}[${d + 1}] + ${mix(i, d)}"
+            case Some(m) =>
+              val proj = fold("0.0", (0 until D).map(c =>
+                s"${fr(m(d, c))}*a${b}_$i[${c + 1}]"))
+              s"${xcol(i)}[${d + 1}] + ($proj)"
+          }
         }.mkString(", ")
         s"[$elems] AS z${b}_$i"
       }.mkString(",\n    ")
@@ -4423,8 +4454,21 @@ object SparkEntry {
         s"(${fold("0.0", (0 until D).map(d =>
           s"(z${b}_$i[${d + 1}]-mu${b}_$i)*(z${b}_$i[${d + 1}]-mu${b}_$i)"))})/$D.0 AS va${b}_$i"
       }.mkString(",\n    ")
+      val affine = blk.lnG.isDefined || blk.lnB.isDefined
       val lns = (0 until L).map { i =>
-        s"list_transform(z${b}_$i, zz -> (zz - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)) AS ln${b}_$i"
+        if (!affine)
+          s"list_transform(z${b}_$i, zz -> (zz - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)) AS ln${b}_$i"
+        else {
+          // ((z−μ)/σ)·γ + β with γ/β as parenthesized dyadic factors —
+          // the parens force the same single-rounding order as the
+          // provider's base * γ(d) + β(d)
+          val g = blk.lnG.getOrElse((_: Int) => 16)
+          val be = blk.lnB.getOrElse((_: Int) => 0)
+          val elems = (0 until D).map { d =>
+            s"(z${b}_$i[${d + 1}] - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)*(${fr(g(d))}) + (${fr(be(d))})"
+          }.mkString(", ")
+          s"[$elems] AS ln${b}_$i"
+        }
       }.mkString(",\n    ")
       val ffs = (0 until L).map { i =>
         val elems = (0 until D).map { c =>
@@ -4459,10 +4503,13 @@ object SparkEntry {
          |  FROM tfm_$b),
          |tfsum_$b AS (SELECT *,
          |    $ss
-         |  FROM tfe_$b),
+         |  FROM tfe_$b),${as.map(a => s"""
+         |tfatt_$b AS (SELECT *,
+         |    $a
+         |  FROM tfsum_$b),""").getOrElse("")}
          |tfa_$b AS (SELECT *,
          |    $zs
-         |  FROM tfsum_$b),
+         |  FROM ${if (as.isDefined) s"tfatt_$b" else s"tfsum_$b"}),
          |tfl_$b AS (SELECT *,
          |    $mus
          |  FROM tfa_$b),

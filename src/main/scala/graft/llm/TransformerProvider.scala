@@ -4,7 +4,15 @@ package graft.llm
   * `dim × dim` q/k/v projections whose output components are split into
   * `heads` contiguous slices) followed by residual + LayerNorm and a
   * position-wise FFN with its own residual. `heads` must divide the
-  * model dim; `heads = 1` is exactly the round-18 single-head block. */
+  * model dim; `heads = 1` is exactly the round-18 single-head block.
+  *
+  * Optional pieces of the REAL checkpoint architecture (absent = the
+  * round-18 block, bit-for-bit):
+  *  - `wo` — the attention OUTPUT projection: the per-head mix is
+  *    multiplied by a `dim × dim` matrix before the residual add
+  *    (absent ⇒ identity, the concat-of-heads shortcut);
+  *  - `lnG`/`lnB` — learned LayerNorm scale γ and bias β applied as
+  *    `(z−μ)/σ · γ_d + β_d` (absent ⇒ γ=1, β=0). */
 final case class TfBlock(heads: Int,
                          wq: Array[Array[Double]],
                          wk: Array[Array[Double]],
@@ -12,7 +20,10 @@ final case class TfBlock(heads: Int,
                          w1: Array[Array[Double]],
                          b1: Array[Double],
                          w2: Array[Array[Double]],
-                         b2: Array[Double])
+                         b2: Array[Double],
+                         wo: Option[Array[Array[Double]]] = None,
+                         lnG: Option[Array[Double]] = None,
+                         lnB: Option[Array[Double]] = None)
 
 /** IN-PROCESS TRANSFORMER inference — the narrowing of the one remaining
   * provider gap (the reference's in-process `hf:`/`tl:` torch
@@ -101,8 +112,11 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
         s"block $bi: $name must be $dim x $dim")
     reqMat(blk.wq, "wq"); reqMat(blk.wk, "wk"); reqMat(blk.wv, "wv")
     reqMat(blk.w1, "w1"); reqMat(blk.w2, "w2")
+    blk.wo.foreach(reqMat(_, "wo"))
     require(blk.b1.length == dim && blk.b2.length == dim,
       s"block $bi: biases must have length dim")
+    for ((v, n) <- Seq(blk.lnG -> "ln_g", blk.lnB -> "ln_b"); a <- v)
+      require(a.length == dim, s"block $bi: $n must have length dim")
   }
   require(vocab.forall(_._2.length == dim),
     s"vocab vectors must have the final dim $dim")
@@ -209,18 +223,29 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
             sw(h) = sS
             h += 1
           }
-          val z = new Array[Double](dim)
+          // attention mix, optionally through the output projection wo
+          // (absent ⇒ identity — z(d) = x + num/sw, the round-18 form,
+          // bit-identical since a(d) IS that quotient)
+          val att = new Array[Double](dim)
           var d = 0
           while (d < dim) {
             val hd = d / dh
             var num = 0.0
             var j = 0
             while (j < maxLen) { num += e(hd)(j) * v(j)(d); j += 1 }
-            z(d) = x(i)(d) + num / sw(hd)
+            att(d) = num / sw(hd)
             d += 1
           }
+          val ao = blk.wo match {
+            case Some(m) => matVec(m, att)
+            case None => att
+          }
+          val z = new Array[Double](dim)
+          d = 0
+          while (d < dim) { z(d) = x(i)(d) + ao(d); d += 1 }
           // LayerNorm: /dim is a power-of-two division (exact), sqrt is
-          // IEEE-correctly-rounded on both engines; eps = 2^-16
+          // IEEE-correctly-rounded on both engines; eps = 2^-16; learned
+          // γ/β (when present) apply as ((z−μ)/σ)·γ + β, left-associated
           var mu = 0.0
           d = 0
           while (d < dim) { mu += z(d); d += 1 }
@@ -230,7 +255,13 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
           while (d < dim) { val t = z(d) - mu; va += t * t; d += 1 }
           va = va / dim
           val sd = math.sqrt(va + 0.0000152587890625)
-          val lni = Array.tabulate(dim)(d => (z(d) - mu) / sd)
+          val affine = blk.lnG.isDefined || blk.lnB.isDefined
+          val lni = Array.tabulate(dim) { d =>
+            val base = (z(d) - mu) / sd
+            if (!affine) base
+            else base * blk.lnG.map(_(d)).getOrElse(1.0) +
+              blk.lnB.map(_(d)).getOrElse(0.0)
+          }
           ln(i) = lni
           // position-wise FFN + residual; ReLU spelled to preserve -0.0
           val f = new Array[Double](dim)
@@ -376,7 +407,10 @@ object TransformerProvider {
       TfBlock(if (n.has("heads")) n.get("heads").asInt() else 1,
         arr2(n.get("wq")), arr2(n.get("wk")), arr2(n.get("wv")),
         arr2(n.get("w1")), arr1(n.get("b1")),
-        arr2(n.get("w2")), arr1(n.get("b2")))
+        arr2(n.get("w2")), arr1(n.get("b2")),
+        wo = if (n.has("wo")) Some(arr2(n.get("wo"))) else None,
+        lnG = if (n.has("ln_g")) Some(arr1(n.get("ln_g"))) else None,
+        lnB = if (n.has("ln_b")) Some(arr1(n.get("ln_b"))) else None)
     }
     for (f <- Seq("dim", "max_len"))
       require(root.has(f), s"$path: missing field '$f'")

@@ -147,6 +147,66 @@ class TransformerProviderSpec extends AnyFunSuite {
     }
   }
 
+  test("wo / LayerNorm γβ: optional, validated, and change the function") {
+    val plain = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty)
+    // an explicit identity wo equals the absent-wo shortcut bit-for-bit
+    val idM = Array.tabulate(8, 8)((r, c) => if (r == c) 1.0 else 0.0)
+    val withId = new TransformerProvider(8, 8,
+      Seq(blk(2, 2).copy(wo = Some(idM))), Seq.empty)
+    assert(withId.pooled("alpha beta gamma", 2, "mean").toSeq ==
+      plain.pooled("alpha beta gamma", 2, "mean").toSeq)
+    // a real wo changes the function; so do γ/β
+    val withWo = new TransformerProvider(8, 8,
+      Seq(blk(2, 2).copy(wo = Some(mat((r, c) => (3 * r + 7 * c + 4) % 9 - 4)))),
+      Seq.empty)
+    assert(withWo.pooled("alpha beta gamma", 2, "mean").toSeq !=
+      plain.pooled("alpha beta gamma", 2, "mean").toSeq)
+    val withLn = new TransformerProvider(8, 8,
+      Seq(blk(2, 2).copy(lnG = Some(vec(r => 14 + r % 3)),
+        lnB = Some(vec(r => r % 3 - 1)))), Seq.empty)
+    assert(withLn.pooled("alpha beta gamma", 1, "mean").toSeq !=
+      plain.pooled("alpha beta gamma", 1, "mean").toSeq)
+    // γ=1, β=0 through the affine path equals the plain path (the
+    // round-trip safety of a checkpoint that ships identity norms)
+    val withUnit = new TransformerProvider(8, 8,
+      Seq(blk(2, 2).copy(lnG = Some(Array.fill(8)(1.0)),
+        lnB = Some(Array.fill(8)(0.0)))), Seq.empty)
+    assert(withUnit.pooled("alpha beta gamma", 2, "mean").toSeq ==
+      plain.pooled("alpha beta gamma", 2, "mean").toSeq)
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8,
+        Seq(blk(2, 2).copy(wo = Some(Array(Array(1.0))))), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8,
+        Seq(blk(2, 2).copy(lnG = Some(Array(1.0)))), Seq.empty)
+    }
+  }
+
+  test("wo / γβ survive the stacked-JSON round-trip") {
+    def js2(m: Array[Array[Double]]) =
+      m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def js1(v: Array[Double]) = v.mkString("[", ",", "]")
+    val b = blk(2, 2).copy(
+      wo = Some(mat((r, c) => (3 * r + 7 * c + 4) % 9 - 4)),
+      lnG = Some(vec(r => 14 + r % 3)), lnB = Some(vec(r => r % 3 - 1)))
+    val full = new TransformerProvider(8, 8, Seq(b), Seq.empty)
+    val json =
+      s"""{"dim": 8, "max_len": 8,
+         | "blocks": [{"heads": 2, "wq": ${js2(b.wq)}, "wk": ${js2(b.wk)},
+         |   "wv": ${js2(b.wv)}, "w1": ${js2(b.w1)}, "b1": ${js1(b.b1)},
+         |   "w2": ${js2(b.w2)}, "b2": ${js1(b.b2)}, "wo": ${js2(b.wo.get)},
+         |   "ln_g": ${js1(b.lnG.get)}, "ln_b": ${js1(b.lnB.get)}}]}
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-tf-wo-", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val (prov, _) = ModelRegistry.get(s"tf:$f")
+    val loaded = prov.asInstanceOf[TransformerProvider]
+    for (l <- 1 to 2)
+      assert(loaded.pooled("round trip", l, "mean").toSeq ==
+        full.pooled("round trip", l, "mean").toSeq, s"layer $l")
+  }
+
   test("stacked JSON form round-trips through the registry") {
     def js2(m: Array[Array[Double]]) =
       m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")

@@ -71,11 +71,14 @@ AUTO_PATTERNS = [
     (re.compile(r"^blocks\.(\d+)\.attn\.W_Q$"), "wq"),
     (re.compile(r"^blocks\.(\d+)\.attn\.W_K$"), "wk"),
     (re.compile(r"^blocks\.(\d+)\.attn\.W_V$"), "wv"),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_O$"), "wo"),
+    (re.compile(r"^blocks\.(\d+)\.ln1\.w$"), "ln_g"),
+    (re.compile(r"^blocks\.(\d+)\.ln1\.b$"), "ln_b"),
     (re.compile(r"^blocks\.(\d+)\.mlp\.W_in$"), "w1"),
     (re.compile(r"^blocks\.(\d+)\.mlp\.b_in$"), "b1"),
     (re.compile(r"^blocks\.(\d+)\.mlp\.W_out$"), "w2"),
     (re.compile(r"^blocks\.(\d+)\.mlp\.b_out$"), "b2"),
-    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|w1|b1|w2|b2|heads)$"), None),
+    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|wo|w1|b1|w2|b2|ln_g|ln_b|heads)$"), None),
 ]
 
 
@@ -159,6 +162,27 @@ def main():
         ob = {"heads": heads}
         for f in ("wq", "wk", "wv"):
             ob[f] = to_proj(b[f], args.dim, heads, f"blocks.{bi}.{f}").tolist()
+        if "wo" in b:
+            # TL W_O is [head, d_head, d_model]: out_d = sum_c a[c]*WO[c,d]
+            # with c = h*d_h + j — flatten heads along the INPUT axis then
+            # transpose to the provider's row-major (out, in) layout
+            a = np.asarray(b["wo"], dtype=np.float64)
+            if a.shape == (args.dim, args.dim):
+                ob["wo"] = a.tolist()
+            else:
+                dh = args.dim // heads
+                if a.shape != (heads, dh, args.dim):
+                    raise SystemExit(f"blocks.{bi}.wo: shape {a.shape}, want "
+                                     f"({args.dim},{args.dim}) or "
+                                     f"({heads},{dh},{args.dim})")
+                ob["wo"] = np.concatenate(list(a), axis=0).T.tolist()
+        for f in ("ln_g", "ln_b"):
+            if f in b:
+                v = np.asarray(b[f], dtype=np.float64).reshape(-1)
+                if v.shape != (args.dim,):
+                    raise SystemExit(f"blocks.{bi}.{f}: shape {v.shape}, "
+                                     f"want ({args.dim},)")
+                ob[f] = v.tolist()
         for f in ("w1", "w2"):
             m = np.asarray(b[f], dtype=np.float64)
             if m.shape != (args.dim, args.dim):
