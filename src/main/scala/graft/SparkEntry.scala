@@ -258,6 +258,15 @@ object SparkEntry {
         wo = Some((r, c) => (3 * r + 7 * c + 4) % 9 - 4),
         lnG = Some(r => 14 + r % 3),
         lnB = Some(r => r % 3 - 1)))
+    /** Learned input layer (round 19): a token-embedding table over six
+      * corpus-frequent words (every doc hits the learned path AND the
+      * md5-nibble OOV fallback) and a learned positional matrix — the
+      * W_E/W_pos of a real checkpoint, dyadic like everything else. */
+    val EmbedTokens = Seq("scan", "column", "window", "order", "sort", "join")
+    def embedV(t: Int)(k: Int): Int = (2 * t + 3 * k + 1) % 9 - 4
+    val Embed: Seq[(String, Int => Int)] =
+      EmbedTokens.zipWithIndex.map { case (tok, t) => tok -> embedV(t) _ }
+    def posM(i: Int, k: Int): Int = (7 * i + 2 * k + 3) % 9 - 4
     lazy val path: String = {
       def row(f: Int => Int) =
         (0 until Dim).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
@@ -277,6 +286,13 @@ object SparkEntry {
       val json =
         s"""{"dim": $Dim, "max_len": $MaxLen,
            | "blocks": $bjs,
+           | "embed": ${Embed.map { case (tok, f) =>
+                s""""$tok": ${(0 until Dim).map(k => (f(k) / 16.0).toString)
+                  .mkString("[", ",", "]")}"""
+              }.mkString("{", ", ", "}")},
+           | "pos": ${(0 until MaxLen).map(i => (0 until Dim)
+                .map(k => (posM(i, k) / 16.0).toString)
+                .mkString("[", ",", "]")).mkString("[", ",", "]")},
            | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
            |""".stripMargin
       val f = java.nio.file.Files.createTempFile("graft-tf2-", ".json")
@@ -1143,9 +1159,12 @@ object SparkEntry {
 
     "q_tf_deep" -> ((s, dir) => {
       // round 19: the DEEP transformer — a 2-BLOCK × 2-HEAD causal
-      // stack ([[TfFixture2]]; block 1 carries the FULL real-checkpoint
-      // block shape — attention output projection wo + learned
-      // LayerNorm γ/β) through the generalized tf: provider,
+      // stack ([[TfFixture2]]) carrying the FULL real-checkpoint
+      // architecture: learned token embeddings W_E (six corpus-frequent
+      // words; every doc also exercises the md5-nibble OOV fallback),
+      // learned positional table W_pos, and on block 1 the attention
+      // output projection wo + LayerNorm γ/β — through the generalized
+      // tf: provider,
       // with ALL FOUR intermediate layers' mean pools (per block:
       // post-attention LayerNorm, post-FFN residual) hash-matching the
       // DuckDB replay of the full two-block multi-head forward pass.
@@ -4378,15 +4397,29 @@ object SparkEntry {
     * the pools gate on `n > i` — exactly the positions the provider
     * zeroes. Block b's states are columns `ln{b}_{i}` / `y{b}_{i}`; the
     * final CTE is always `tfy`. */
-  private def tfStackCtes(blocks: Seq[TfBlockFix], srcSql: String): String = {
+  private def tfStackCtes(blocks: Seq[TfBlockFix], srcSql: String,
+                          embed: Seq[(String, Int => Int)] = Seq.empty,
+                          posM: Option[(Int, Int) => Int] = None): String = {
     import TfFixture.{Dim => D, MaxLen => L, posEnc}
     def fr(v: Int) = s"($v)/16.0"
     // sum of pre-rendered terms, left-associated from `seed`
     def fold(seed: String, terms: Seq[String]) =
       terms.foldLeft(seed)((a, t) => s"$a + $t")
+    // input layer: LEARNED token embedding (CASE over the table's tokens,
+    // the real-checkpoint W_E) with the md5-nibble OOV fallback, plus the
+    // learned or formulaic positional row — all integer dyadics summed
+    // before ONE /16 division (exact, so it equals the provider's
+    // e/16 + p/16 elementwise add bit-for-bit)
+    val posF = posM.getOrElse(posEnc _)
     val xs = (0 until L).map { i =>
       val elems = (0 until D).map { k =>
-        s"(CAST((hs[${i + 1}] >> ${4 * k}) & 15 AS BIGINT) - 8 + ${posEnc(i, k)})/16.0"
+        val nib = s"CAST((hs[${i + 1}] >> ${4 * k}) & 15 AS BIGINT) - 8"
+        val e =
+          if (embed.isEmpty) nib
+          else "CASE " + embed.map { case (t, f) =>
+            s"WHEN ws[${i + 1}] = '${t.replace("'", "''")}' THEN ${f(k)}"
+          }.mkString(" ") + s" ELSE $nib END"
+        s"($e + ${posF(i, k)})/16.0"
       }.mkString(", ")
       s"CASE WHEN n > $i THEN [$elems] ELSE [${Seq.fill(D)("0.0").mkString(", ")}] END AS x$i"
     }.mkString(",\n    ")
@@ -4530,7 +4563,7 @@ object SparkEntry {
        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
        |    x -> length(x) > 0)[1:$L] AS ws FROM $srcSql),
        |tf1 AS (
-       |  SELECT doc_id, lang, len(ws) AS n, $pw AS pw,
+       |  SELECT doc_id, lang, ws, len(ws) AS n, $pw AS pw,
        |    list_transform(ws, t ->
        |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
        |  FROM tf0),
@@ -4584,7 +4617,8 @@ object SparkEntry {
          |  ${tfPool(pre, "CAST(dm AS INT) + 1")} AS val
          |FROM tfy CROSS JOIN dims""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${tfStackCtes(TfFixture2.Blocks, "documents")},
+    s"""WITH ${tfStackCtes(TfFixture2.Blocks, "documents",
+          embed = TfFixture2.Embed, posM = Some(TfFixture2.posM))},
        |dims AS (SELECT CAST(unnest(range(${TfFixture2.Dim})) AS BIGINT) AS dm)
        |$pools
        |ORDER BY doc_id, layer, dim""".stripMargin

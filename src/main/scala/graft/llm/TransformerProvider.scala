@@ -44,11 +44,14 @@ final case class TfBlock(heads: Int,
   * FIXED operand order, so an external SQL replay (DuckDB) reproduces
   * every activation bit for bit:
   *
-  *  - Token embeddings are 4-bit nibbles of the replayable 60-bit md5
-  *    hash, scaled by 1/16 — exact dyadic rationals; positional encodings
-  *    and all weight matrices are dyadic (n/16) too, so the q/k/v
-  *    projections and q·k scores are EXACT (every product and sum stays
-  *    inside the 52-bit mantissa).
+  *  - Token embeddings come from the model's LEARNED table (`embed` —
+  *    the real checkpoint's W_E) when it knows the token, else from
+  *    4-bit nibbles of the replayable 60-bit md5 hash scaled by 1/16 —
+  *    a tokenizer-free OOV embedding that keeps every text encodable;
+  *    positional encodings (learned `posEmbed` = W_pos, or the built-in
+  *    dyadic formula) and all weight matrices are dyadic (n/16) too, so
+  *    the q/k/v projections and q·k scores are EXACT (every product and
+  *    sum stays inside the 52-bit mantissa).
   *  - Attention uses an INTEGER-SOFTMAX per head: score =
   *    floor(16 · q_h·k_h) over the head's component slice (exact → floor
   *    is deterministic, no round-half ambiguity), row-max subtraction in
@@ -88,7 +91,11 @@ final case class TfBlock(heads: Int,
   */
 final class TransformerProvider(val dim: Int, val maxLen: Int,
                                 val blocks: Seq[TfBlock],
-                                val vocab: Seq[(String, Array[Double])])
+                                val vocab: Seq[(String, Array[Double])],
+                                val embed: Seq[(String, Array[Double])] =
+                                  Seq.empty,
+                                val posEmbed: Option[Array[Array[Double]]] =
+                                  None)
     extends ModelProvider {
 
   /** Round-18 single-block, single-head signature (kept for callers and
@@ -120,6 +127,11 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   }
   require(vocab.forall(_._2.length == dim),
     s"vocab vectors must have the final dim $dim")
+  require(embed.forall(_._2.length == dim),
+    s"embed vectors must have length dim ($dim)")
+  posEmbed.foreach(p => require(p.length == maxLen &&
+    p.forall(_.length == dim),
+    s"pos embeddings must be $maxLen x $dim"))
 
   // single-block accessors (tests and the flat JSON round-trip)
   def wq: Array[Array[Double]] = blocks.head.wq
@@ -132,6 +144,7 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
 
   private val vocabMap: Map[String, Array[Double]] = vocab.toMap
   private val vocabSorted: Seq[(String, Array[Double])] = vocab.sortBy(_._1)
+  private val embedMap: Map[String, Array[Double]] = embed.toMap
 
   def nLayers: Int = 2 * blocks.length
 
@@ -167,13 +180,30 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     val toks = (if (text == null) "" else text)
       .split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
     val n = toks.length
-    // x_i = nibble embedding of hash60(token) + positional encoding
+    // x_i = token embedding + positional encoding. Token embedding: the
+    // LEARNED table entry when the model ships one and knows the token
+    // (the real-checkpoint input layer), else the md5-nibble fallback —
+    // a tokenizer-free OOV embedding that keeps every text encodable.
+    // Positional: the learned W_pos row when present, else the dyadic
+    // formula. All addends stay exact dyadics in the fixture regime, and
+    // the k-indexed elementwise add is the same single rounding either
+    // way.
     var x = Array.tabulate(maxLen) { i =>
       if (i >= n) new Array[Double](dim)
       else {
-        val h = hash60(toks(i))
-        Array.tabulate(dim)(k =>
-          (((h >>> (4 * (k % 15))) & 0xFL) - 8L) / 16.0 + pos(i, k))
+        val learned = embedMap.get(toks(i))
+        val h = if (learned.isEmpty) hash60(toks(i)) else 0L
+        Array.tabulate(dim) { k =>
+          val e = learned match {
+            case Some(v) => v(k)
+            case None => (((h >>> (4 * (k % 15))) & 0xFL) - 8L) / 16.0
+          }
+          val p = posEmbed match {
+            case Some(m) => m(i)(k)
+            case None => pos(i, k)
+          }
+          e + p
+        }
       }
     }
     val out = scala.collection.mutable.ArrayBuffer
@@ -386,7 +416,10 @@ object TransformerProvider {
     * or the stacked form `tools/make_tf_weights.py` emits:
     * {{{
     * {"dim": 8, "max_len": 8,
-    *  "blocks": [{"heads": 2, "wq": [[..]], ..., "b2": [..]}, ...],
+    *  "blocks": [{"heads": 2, "wq": [[..]], ..., "b2": [..],
+    *              "wo": [[..]], "ln_g": [..], "ln_b": [..]}, ...],
+    *  "embed": {"the": [..dim..], ...},   // learned W_E (md5 fallback)
+    *  "pos": [[..max_len x dim..]],       // learned W_pos (formula else)
     *  "vocab": {...}}
     * }}} */
   def fromJson(path: String): TransformerProvider = {
@@ -421,16 +454,18 @@ object TransformerProvider {
           s"$path: 'blocks' must be a non-empty array")
         (0 until bs.size()).map(i => block(bs.get(i), s"blocks[$i]"))
       } else Seq(block(root, "the flat layout"))
-    val vocab =
-      if (!root.has("vocab")) Seq.empty[(String, Array[Double])]
+    def strMap(field: String): Seq[(String, Array[Double])] =
+      if (!root.has(field)) Seq.empty[(String, Array[Double])]
       else {
-        val v = root.get("vocab")
+        val v = root.get(field)
         val names = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Double])]
         val it = v.fieldNames()
         while (it.hasNext) { val k = it.next(); names += k -> arr1(v.get(k)) }
         names.toSeq.sortBy(_._1) // field order is not identity; pin it
       }
     new TransformerProvider(root.get("dim").asInt(),
-      root.get("max_len").asInt(), blocks, vocab)
+      root.get("max_len").asInt(), blocks, strMap("vocab"),
+      embed = strMap("embed"),
+      posEmbed = if (root.has("pos")) Some(arr2(root.get("pos"))) else None)
   }
 }

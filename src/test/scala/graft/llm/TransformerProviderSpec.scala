@@ -183,6 +183,67 @@ class TransformerProviderSpec extends AnyFunSuite {
     }
   }
 
+  test("learned embeddings + positional table: hits, OOV fallback, validation") {
+    val plain = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty)
+    val emb = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty,
+      embed = Seq("alpha" -> vec(k => (3 * k + 1) % 9 - 4)))
+    // a text containing the learned token embeds differently
+    assert(emb.pooled("alpha beta", 2, "mean").toSeq !=
+      plain.pooled("alpha beta", 2, "mean").toSeq)
+    // an all-OOV text falls back to md5 nibbles — identical to plain
+    assert(emb.pooled("gamma delta", 2, "mean").toSeq ==
+      plain.pooled("gamma delta", 2, "mean").toSeq)
+    // a learned positional table equal to the built-in formula is a
+    // bit-for-bit identity (the checkpoint-faithful no-op)
+    val posAsFormula = Array.tabulate(8, 8)((i, k) =>
+      (((5 * i + 3 * k + 1) % 9) - 4) / 16.0)
+    val posProv = new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty,
+      posEmbed = Some(posAsFormula))
+    assert(posProv.pooled("one two three", 2, "mean").toSeq ==
+      plain.pooled("one two three", 2, "mean").toSeq)
+    // a different positional table changes the function
+    val posOther = Array.tabulate(8, 8)((i, k) =>
+      (((7 * i + 2 * k + 3) % 9) - 4) / 16.0)
+    assert(new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty,
+      posEmbed = Some(posOther)).pooled("one two three", 2, "mean").toSeq !=
+      plain.pooled("one two three", 2, "mean").toSeq)
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty,
+        embed = Seq("x" -> Array(1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, Seq(blk(2, 2)), Seq.empty,
+        posEmbed = Some(Array(Array(1.0))))
+    }
+  }
+
+  test("embed / pos survive the JSON round-trip") {
+    def js1(v: Array[Double]) = v.mkString("[", ",", "]")
+    def js2(m: Array[Array[Double]]) =
+      m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    val b = blk(2, 2)
+    val eTab = Seq("alpha" -> vec(k => (3 * k + 1) % 9 - 4),
+      "beta" -> vec(k => (5 * k + 2) % 9 - 4))
+    val posT = Array.tabulate(8, 8)((i, k) => (((7 * i + 2 * k + 3) % 9) - 4) / 16.0)
+    val full = new TransformerProvider(8, 8, Seq(b), Seq.empty,
+      embed = eTab, posEmbed = Some(posT))
+    val json =
+      s"""{"dim": 8, "max_len": 8,
+         | "blocks": [{"heads": 2, "wq": ${js2(b.wq)}, "wk": ${js2(b.wk)},
+         |   "wv": ${js2(b.wv)}, "w1": ${js2(b.w1)}, "b1": ${js1(b.b1)},
+         |   "w2": ${js2(b.w2)}, "b2": ${js1(b.b2)}}],
+         | "embed": {${eTab.map { case (t, v) => s""""$t": ${js1(v)}""" }
+            .mkString(", ")}},
+         | "pos": ${js2(posT)}}
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-tf-emb-", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val (prov, _) = ModelRegistry.get(s"tf:$f")
+    val loaded = prov.asInstanceOf[TransformerProvider]
+    assert(loaded.pooled("alpha OOV beta", 2, "mean").toSeq ==
+      full.pooled("alpha OOV beta", 2, "mean").toSeq)
+  }
+
   test("wo / γβ survive the stacked-JSON round-trip") {
     def js2(m: Array[Array[Double]]) =
       m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")

@@ -124,6 +124,12 @@ def main():
     ap.add_argument("--vocab-tokens",
                     help="comma-separated tokens; vectors from the "
                          "checkpoint's 'w_u' (dim x |tokens|) columns")
+    ap.add_argument("--embed-tokens",
+                    help="comma-separated tokens (or @file, one per line); "
+                         "learned input embeddings from 'embed.W_E' "
+                         "(|tokens| x dim) rows in order; 'pos_embed.W_pos' "
+                         "(>=max_len x dim), when present, becomes the "
+                         "learned positional table")
     args = ap.parse_args()
 
     mapping = {}
@@ -208,6 +214,26 @@ def main():
             raise SystemExit(f"w_u: shape {wu.shape}, want "
                              f"({args.dim},{len(toks)})")
         doc["vocab"] = {t: wu[:, i].tolist() for i, t in enumerate(toks)}
+
+    if args.embed_tokens:
+        toks = (open(args.embed_tokens[1:]).read().split()
+                if args.embed_tokens.startswith("@")
+                else args.embed_tokens.split(","))
+        if "embed.W_E" not in tensors:
+            raise SystemExit("--embed-tokens needs an 'embed.W_E' "
+                             "(|tokens| x dim) tensor")
+        we = np.asarray(tensors["embed.W_E"], dtype=np.float64)
+        if we.shape != (len(toks), args.dim):
+            raise SystemExit(f"embed.W_E: shape {we.shape}, want "
+                             f"({len(toks)},{args.dim})")
+        doc["embed"] = {t: we[i].tolist() for i, t in enumerate(toks)}
+    if "pos_embed.W_pos" in tensors:
+        wp = np.asarray(tensors["pos_embed.W_pos"], dtype=np.float64)
+        if wp.ndim != 2 or wp.shape[0] < args.max_len or \
+                wp.shape[1] != args.dim:
+            raise SystemExit(f"pos_embed.W_pos: shape {wp.shape}, want "
+                             f"(>={args.max_len},{args.dim})")
+        doc["pos"] = wp[:args.max_len].tolist()
 
     # repr-precision floats: json.dump's default float repr is shortest
     # round-trip in py3 — lossless back into IEEE double in the JVM
