@@ -337,27 +337,40 @@ object Streaming {
           }
           val scored = graft.ext.LangModel.score(b, idCol, textCol,
             graft.ext.LangModel.fromPairCounts(modelPairs))
-          // batch-sized verdict table — keep its natural partitioning
-          // (same argument as the state leg); nothing reads file layout,
-          // the oracle reads content
-          scored.write.mode("overwrite")
-            .parquet(s"$sink/data/batch_id=$bid")
-          val folded = prior match {
-            case None => bp
-            case Some(p) =>
-              spark.read.parquet(s"$sink/_state/batch_id=$p")
-                .unionByName(bp)
-                .groupBy(col("v"), col("w"))
-                .agg(sum(col("cnt")).as("cnt"))
+          // the verdict write and the state fold are INDEPENDENT jobs
+          // (both read only localCheckpointed batch frames and PRIOR
+          // state dirs) and individually idempotent per-dir overwrites —
+          // run them concurrently; the batch wall is max(score, fold).
+          // The verdict table is batch-sized and keeps its natural
+          // partitioning; nothing reads file layout, the oracle reads
+          // content.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val dataF = Future {
+            scored.write.mode("overwrite")
+              .parquet(s"$sink/data/batch_id=$bid")
           }
           // UNLIKE the sketch sinks (whose state is KBs by construction),
           // the pair-count table is vocabulary-sized — it keeps the fold's
           // natural partitioning rather than funneling through one writer.
           // Replay only requires the state's CONTENT to be deterministic
           // (it is — an exact count table); nothing reads file layout.
-          folded.write.mode("overwrite")
-            .parquet(s"$sink/_state/batch_id=$bid")
-          pruneStateHistory(spark, sink, bid)
+          val stateF = Future {
+            val folded = prior match {
+              case None => bp
+              case Some(p) =>
+                spark.read.parquet(s"$sink/_state/batch_id=$p")
+                  .unionByName(bp)
+                  .groupBy(col("v"), col("w"))
+                  .agg(sum(col("cnt")).as("cnt"))
+            }
+            folded.write.mode("overwrite")
+              .parquet(s"$sink/_state/batch_id=$bid")
+            pruneStateHistory(spark, sink, bid)
+          }
+          val inf = scala.concurrent.duration.Duration.Inf
+          Await.result(dataF, inf)
+          Await.result(stateF, inf)
         }
         ()
       }
@@ -783,10 +796,17 @@ object Streaming {
           .withColumn("quality_ok", col("__nt") >= minTokens)
         val qual = withQ.filter(col("quality_ok"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // pinned EAGERLY (localCheckpoint(true)): the dup set feeds two
+        // of the three concurrent effect legs below — pinning makes
+        // every leg read one materialization instead of re-probing the
+        // index, and keeps the probe strictly BEFORE the append's
+        // manifest flip (the id-exclusion makes a re-probe race benign
+        // for correctness, but not for determinism of work done)
         val dupIds = graft.ext.Dedup.minhashDedupAgainstIndex(idx, qual,
             textCol, idCol, threshold, maxBucket = 1000, excludeSeg = "",
             excludeDocs = Some(qual.select(idCol)))
           .select(col("id_b").cast("long").as("__dup")).distinct()
+          .localCheckpoint(true)
         val notDup = qual.join(broadcast(dupIds),
           qual(idCol).cast("long") === col("__dup"), "left_anti")
         val off = newestStateBefore(spark, sink, bid) match {
@@ -811,29 +831,49 @@ object Streaming {
           .select(col(idCol).cast("long").as("__bid"), col("cum_tokens"),
             col("admitted"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        withQ
-          .select(col(idCol).cast("long").as("doc_id"), col("quality_ok"))
-          .join(broadcast(dupIds), col("doc_id") === col("__dup"), "left")
-          .join(broadcast(bud), col("doc_id") === col("__bid"), "left")
-          .select(col("doc_id"), col("quality_ok"),
-            (col("quality_ok") && col("__dup").isNotNull).as("is_dup"),
-            col("cum_tokens"),
-            coalesce(col("admitted"), lit(false)).as("admitted"))
-          .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        bud.count() // materialize once, before the concurrent legs
+        // the three per-batch effects — verdict write, state fold,
+        // index append — are INDEPENDENT and individually idempotent
+        // (per-dir overwrites; tag-skipped append), so their relative
+        // order carries no replay semantics: a crash leaves any subset
+        // committed and the replay re-derives the rest bit-identically.
+        // Run them as concurrent Spark jobs so the batch wall is
+        // max(...), not their sum (the Bm25.appendToIndex treatment).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val dataF = Future {
+          withQ
+            .select(col(idCol).cast("long").as("doc_id"), col("quality_ok"))
+            .join(broadcast(dupIds), col("doc_id") === col("__dup"), "left")
+            .join(broadcast(bud), col("doc_id") === col("__bid"), "left")
+            .select(col("doc_id"), col("quality_ok"),
+              (col("quality_ok") && col("__dup").isNotNull).as("is_dup"),
+              col("cum_tokens"),
+              coalesce(col("admitted"), lit(false)).as("admitted"))
+            .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        }
         // fill AFTER this batch: carried + ALL budget-stage rows' tokens
-        off.unionByName(
-            notDup.groupBy(col(langCol).cast("string").as("__tb_g"))
-              .agg(sum(col("__nt")).as("__tb_off")))
-          .groupBy(col("__tb_g"))
-          .agg(sum(col("__tb_off")).as("__tb_off"))
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$sink/_state/batch_id=$bid")
-        pruneStateHistory(spark, sink, bid)
+        val stateF = Future {
+          off.unionByName(
+              notDup.groupBy(col(langCol).cast("string").as("__tb_g"))
+                .agg(sum(col("__nt")).as("__tb_off")))
+            .groupBy(col("__tb_g"))
+            .agg(sum(col("__tb_off")).as("__tb_off"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$sink/_state/batch_id=$bid")
+          pruneStateHistory(spark, sink, bid)
+        }
         // the curated corpus grows by exactly the admitted rows
-        val survivors = b.join(broadcast(bud.filter(col("admitted"))),
-          b(idCol).cast("long") === col("__bid"), "left_semi")
-        graft.ext.Dedup.appendToMinhashIndex(idx, survivors, textCol,
-          idCol, tag = s"b$bid")
+        val appendF = Future {
+          val survivors = b.join(broadcast(bud.filter(col("admitted"))),
+            b(idCol).cast("long") === col("__bid"), "left_semi")
+          graft.ext.Dedup.appendToMinhashIndex(idx, survivors, textCol,
+            idCol, tag = s"b$bid")
+        }
+        val inf = scala.concurrent.duration.Duration.Inf
+        Await.result(dataF, inf)
+        Await.result(stateF, inf)
+        Await.result(appendF, inf)
         bud.unpersist(); qual.unpersist(); b.unpersist()
         }
         ()
