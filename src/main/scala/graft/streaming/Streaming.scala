@@ -1000,7 +1000,12 @@ object Streaming {
           .partitionBy(col(sourceCol)).orderBy(col(idCol))
         val kept = b.select(col(sourceCol), col(idCol))
           .withColumn("__sq_rk", row_number().over(w).cast("long"))
-          .join(broadcast(off),
+          // NO forced broadcast: the per-source state is domain-universe-
+          // sized — metadata for most deployments, but a web-scale source
+          // set can reach GBs; the parquet-backed state has accurate size
+          // stats, so Catalyst/AQE broadcasts while small and shuffles
+          // when it isn't, instead of a forced hint OOMing the driver
+          .join(off,
             col(sourceCol).cast("string") <=> col("__sq_key"), "left")
           .withColumn("n_kept",
             col("__sq_rk") + coalesce(col("__sq_adm"), lit(0L)))
@@ -1303,8 +1308,12 @@ object Streaming {
         .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
       val grace = ids.filter(_ < bid).sorted.lastOption
       ids.filter(i => i < bid && !grace.contains(i)).foreach { i =>
-        fs.delete(
+        // best-effort, like the segment stores' sweep: a transient FS
+        // failure must not fail the batch — the dir is re-listed and
+        // swept on the next batch's prune
+        try fs.delete(
           new org.apache.hadoop.fs.Path(s"$sink/_state/batch_id=$i"), true)
+        catch { case _: Exception => () }
       }
     }
   }
@@ -1411,7 +1420,11 @@ object Streaming {
             org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
         b.withColumn("__tb_inc", sum(col(tokensCol).cast("long")).over(w))
-          .join(broadcast(off),
+          // no forced broadcast — the group universe is caller-chosen and
+          // can be domain-sized; parquet-backed state has accurate stats,
+          // so the optimizer picks broadcast vs shuffle (see the quota
+          // sink's identical argument)
+          .join(off,
             col(groupCol).cast("string") <=> col("__tb_g"), "left")
           .withColumn("cum_tokens",
             col("__tb_inc") + coalesce(col("__tb_off"), lit(0L)))
