@@ -1176,12 +1176,13 @@ object SparkEntry {
       val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
       require(tf.nLayers == 4 && tf.blocks.forall(_.heads == 2),
         s"q_tf_deep expects 2 blocks x 2 heads, loaded ${tf.blocks}")
-      val base = (1 to 4).map { l =>
-        val f = udf((t: String) => tf.pooled(t, l, "mean"))
-        docs.select(col("doc_id"), lit(l.toLong).as("layer"),
-          posexplode(f(col("text"))))
-      }.reduce(_ unionAll _)
-      base.select(col("doc_id"), col("layer"),
+      // ONE scan, ONE forward pass per document (pooledAll) — per-layer
+      // UDFs would re-run the whole stack 4× and re-scan the table 4×
+      val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
+      docs.select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("layer"),
           col("pos").cast("long").as("dim"), col("col").as("val"))
         .orderBy(col("doc_id"), col("layer"), col("dim"))
     }),

@@ -508,10 +508,14 @@ object Bm25 {
         withWs.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
       }
-      Await.result(deltaF, scala.concurrent.duration.Duration.Inf)
-      Await.result(dfF, scala.concurrent.duration.Duration.Inf)
+      val inf = scala.concurrent.duration.Duration.Inf
+      // settle ALL three before leaving on failure — a detached delta/df
+      // writer racing a same-JVM retry of this append could interleave
+      // with its fresh writes (the concurrent-legs discipline)
+      try { Await.result(deltaF, inf); Await.result(dfF, inf) }
+      finally Seq(deltaF, dfF, addF).foreach(f => Await.ready(f, inf))
       // additive stats + pointer flip LAST — the atomic commit point
-      val add = Await.result(addF, scala.concurrent.duration.Duration.Inf)
+      val add = Await.result(addF, inf)
       writeStats(spark, path,
         (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
         nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag,

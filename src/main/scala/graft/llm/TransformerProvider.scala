@@ -174,8 +174,11 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
 
   /** Full forward pass: per block, the (post-attention-LayerNorm states,
     * post-FFN states); plus n real tokens. Positions ≥ n carry zeros and
-    * are masked out of attention and pooling exactly like the SQL twin. */
-  private[llm] def statesAll(text: String)
+    * are masked out of attention and pooling exactly like the SQL twin.
+    * `nBlocks` truncates the stack — a caller addressing an early layer
+    * never pays for the suffix blocks' attention+FFN. */
+  private[llm] def statesAll(text: String,
+                             nBlocks: Int = Int.MaxValue)
       : (Seq[(Array[Array[Double]], Array[Array[Double]])], Int) = {
     val toks = (if (text == null) "" else text)
       .split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
@@ -208,7 +211,7 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Array[Array[Double]], Array[Array[Double]])]
-    for (blk <- blocks) {
+    for (blk <- blocks.take(nBlocks)) {
       val q = x.map(matVec(blk.wq, _))
       val kM = x.map(matVec(blk.wk, _))
       val v = x.map(matVec(blk.wv, _))
@@ -338,9 +341,28 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
       s"layerNum must be in [1, $nLayers], got $layerNum")
     require(tokenMode == "mean" || tokenMode == "last",
       s"tokenMode must be 'mean' or 'last', got '$tokenMode'")
-    val (all, n) = statesAll(text)
-    val (lnB, yB) = all((layerNum - 1) / 2)
+    val blockIdx = (layerNum - 1) / 2
+    val (all, n) = statesAll(text, blockIdx + 1)
+    val (lnB, yB) = all(blockIdx)
     val st = if (layerNum % 2 == 1) lnB else yB
+    poolStates(st, n, tokenMode)
+  }
+
+  /** EVERY layer's pooled state from ONE forward pass — the batch form a
+    * caller reading multiple layers should use (per-layer [[pooled]]
+    * calls each re-run the stack). Returns `nLayers` vectors, layer
+    * order (block 0 ln, block 0 y, block 1 ln, ...). */
+  def pooledAll(text: String, tokenMode: String): Seq[Array[Double]] = {
+    require(tokenMode == "mean" || tokenMode == "last",
+      s"tokenMode must be 'mean' or 'last', got '$tokenMode'")
+    val (all, n) = statesAll(text)
+    all.flatMap { case (lnB, yB) =>
+      Seq(poolStates(lnB, n, tokenMode), poolStates(yB, n, tokenMode))
+    }
+  }
+
+  private def poolStates(st: Array[Array[Double]], n: Int,
+                         tokenMode: String): Array[Double] = {
     if (n == 0) new Array[Double](dim)
     else if (tokenMode == "last") st(n - 1)
     else {

@@ -369,8 +369,10 @@ object Streaming {
             pruneStateHistory(spark, sink, bid)
           }
           val inf = scala.concurrent.duration.Duration.Inf
-          Await.result(dataF, inf)
-          Await.result(stateF, inf)
+          // settle BOTH legs before leaving the batch even on failure —
+          // no detached writer may race a same-JVM restart's replay
+          try Seq(dataF, stateF).foreach(Await.result(_, inf))
+          finally Seq(dataF, stateF).foreach(f => Await.ready(f, inf))
         }
         ()
       }
@@ -871,10 +873,17 @@ object Streaming {
             idCol, tag = s"b$bid")
         }
         val inf = scala.concurrent.duration.Duration.Inf
-        Await.result(dataF, inf)
-        Await.result(stateF, inf)
-        Await.result(appendF, inf)
-        bud.unpersist(); qual.unpersist(); b.unpersist()
+        val legs = Seq(dataF, stateF, appendF)
+        try legs.foreach(Await.result(_, inf))
+        finally {
+          // a failed leg must not leave SIBLING legs running detached —
+          // a zombie append racing a same-JVM stream restart's replay
+          // would break the tag-skipped exactly-once invariant. Block
+          // until every leg has settled (secondary failures surface via
+          // the first Await's exception), then release the caches.
+          legs.foreach(f => Await.ready(f, inf))
+          bud.unpersist(); qual.unpersist(); b.unpersist()
+        }
         }
         ()
       }

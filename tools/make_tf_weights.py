@@ -24,7 +24,16 @@ unembedding matrix `w_u` (dim x |tokens|) if present.
 
 The provider's arithmetic is IEEE double with pinned fold order, so the
 JSON carries full repr() precision — the conversion is lossless for
-float32/float64 checkpoints.
+float32/float64/bfloat16 checkpoints.
+
+ARCHITECTURE CONTRACT: the provider's block is post-LN with a ReLU FFN
+(x -> x+attn(x) -> LN(.)*g+b -> LN+FFN residual). Tensor conversion is
+faithful for checkpoints of that shape. TransformerLens checkpoints are
+PRE-LN (ln1 before attention, ln2 before the MLP, GELU FFN): their
+attention/MLP tensors convert layout-correctly, but the composed model
+is a different function — ln1/ln2 tensors are therefore NOT auto-mapped
+(a warning is printed); re-purpose them explicitly via --map only if
+you accept the architectural difference.
 
 Usage:
   python3 tools/make_tf_weights.py ckpt.npz -o weights.json \
@@ -54,7 +63,16 @@ def load_safetensors(path):
         if name == "__metadata__":
             continue
         lo, hi = meta["data_offsets"]
-        arr = np.frombuffer(buf[lo:hi], dtype=dtypes[meta["dtype"]])
+        if meta["dtype"] == "BF16":
+            # bf16 = float32's top 16 bits: widen via uint16 << 16 (exact)
+            arr = (np.frombuffer(buf[lo:hi], dtype=np.uint16)
+                   .astype(np.uint32) << 16).view(np.float32)
+        elif meta["dtype"] in dtypes:
+            arr = np.frombuffer(buf[lo:hi], dtype=dtypes[meta["dtype"]])
+        else:
+            raise SystemExit(f"{name}: unsupported safetensors dtype "
+                             f"{meta['dtype']} (have F64/F32/F16/BF16/"
+                             f"I64/I32)")
         out[name] = arr.reshape(meta["shape"]).astype(np.float64)
     return out
 
@@ -67,29 +85,37 @@ def load_tensors(path):
 
 
 # TransformerLens / HF-style names -> provider fields, applied after --map
+# (name pattern, provider field, needs_ffn_transpose) — TL stores the
+# MLP as x @ W_in (in, out); the provider computes w1[out][in] row-major,
+# so TL-sourced FFN matrices transpose on conversion. TL's ln1/ln2 are
+# deliberately NOT auto-mapped: they are the PRE-LN norms of a different
+# architecture (see the module docstring) — use --map to re-purpose them
+# knowingly.
 AUTO_PATTERNS = [
-    (re.compile(r"^blocks\.(\d+)\.attn\.W_Q$"), "wq"),
-    (re.compile(r"^blocks\.(\d+)\.attn\.W_K$"), "wk"),
-    (re.compile(r"^blocks\.(\d+)\.attn\.W_V$"), "wv"),
-    (re.compile(r"^blocks\.(\d+)\.attn\.W_O$"), "wo"),
-    (re.compile(r"^blocks\.(\d+)\.ln1\.w$"), "ln_g"),
-    (re.compile(r"^blocks\.(\d+)\.ln1\.b$"), "ln_b"),
-    (re.compile(r"^blocks\.(\d+)\.mlp\.W_in$"), "w1"),
-    (re.compile(r"^blocks\.(\d+)\.mlp\.b_in$"), "b1"),
-    (re.compile(r"^blocks\.(\d+)\.mlp\.W_out$"), "w2"),
-    (re.compile(r"^blocks\.(\d+)\.mlp\.b_out$"), "b2"),
-    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|wo|w1|b1|w2|b2|ln_g|ln_b|heads)$"), None),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_Q$"), "wq", False),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_K$"), "wk", False),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_V$"), "wv", False),
+    (re.compile(r"^blocks\.(\d+)\.attn\.W_O$"), "wo", False),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.W_in$"), "w1", True),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.b_in$"), "b1", False),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.W_out$"), "w2", True),
+    (re.compile(r"^blocks\.(\d+)\.mlp\.b_out$"), "b2", False),
+    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|wo|w1|b1|w2|b2|ln_g|ln_b|heads)$"),
+     None, False),
 ]
+
+LN_PRE = re.compile(r"^blocks\.(\d+)\.ln[12]\.[wb]$")
 
 
 def canonical_name(name, mapping):
+    """-> (block, field, needs_ffn_transpose) or None."""
     if name in mapping:
         name = mapping[name]
-    for pat, field in AUTO_PATTERNS:
+    for pat, field, t in AUTO_PATTERNS:
         m = pat.match(name)
         if m:
             f = field if field is not None else m.group(2)
-            return int(m.group(1)), f
+            return int(m.group(1)), f, t
     return None
 
 
@@ -143,12 +169,20 @@ def main():
 
     tensors = load_tensors(args.checkpoint)
     blocks = {}
+    transpose_ffn = set()
     for name, arr in tensors.items():
+        if LN_PRE.match(mapping.get(name, name)):
+            print(f"warning: {name} is a pre-LN tensor of a different "
+                  "architecture — not auto-mapped (see --map and the "
+                  "architecture contract in --help)", file=sys.stderr)
+            continue
         hit = canonical_name(name, mapping)
         if hit is None:
             continue
-        bi, field = hit
+        bi, field, t = hit
         blocks.setdefault(bi, {})[field] = arr
+        if t:
+            transpose_ffn.add((bi, field))
     if not blocks:
         raise SystemExit("no tensors matched blocks.<i>.<field> (use --map)")
 
@@ -194,6 +228,10 @@ def main():
             if m.shape != (args.dim, args.dim):
                 raise SystemExit(f"blocks.{bi}.{f}: shape {m.shape}, want "
                                  f"({args.dim},{args.dim})")
+            # TL stores the MLP as x @ W (in, out); the provider's FFN is
+            # row-major (out, in) — transpose TL-sourced matrices
+            if (bi, f) in transpose_ffn:
+                m = m.T
             ob[f] = m.tolist()
         for f in ("b1", "b2"):
             v = np.asarray(b[f], dtype=np.float64).reshape(-1)
