@@ -481,19 +481,22 @@ object Bm25 {
       // delta dir) — run them as concurrent Spark jobs so the per-batch
       // append wall is max(...), not their sum (the writeMinhashRows
       // treatment; all three complete before the atomic commit below)
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, Future, blocking}
       import scala.concurrent.ExecutionContext.Implicits.global
-      val deltaF = Future {
+      // blocking{}: each leg parks its EC thread on a multi-second Spark
+      // job — mark it so the global EC grows past #cores rather than
+      // serializing the legs on a small driver
+      val deltaF = Future { blocking {
         postings.repartition(nb, col("bucket"))
           .sortWithinPartitions(col("term"), col("doc_id"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/$deltaDir")
-      }
+      } }
       // vocab-bounded df merge: old table + the batch's own term counts,
       // into a fresh versioned dir (the old one stays readable until the
       // pointer flips + one more cycle, see pruneVersions)
       val newDfDir = s"df_v${versionOf(st.dfDir) + 1}"
-      val dfF = Future {
+      val dfF = Future { blocking {
         spark.read.schema(dfSchema).parquet(s"$path/${st.dfDir}")
           .select(col("term"), col("df"))
           .union(postings.groupBy(col("term")).agg(count(lit(1)).as("df")))
@@ -503,11 +506,11 @@ object Bm25 {
           .sortWithinPartitions(col("term"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(s"$path/$newDfDir")
-      }
-      val addF = Future {
+      } }
+      val addF = Future { blocking {
         withWs.agg(count(lit(1)).as("n"),
           coalesce(sum(size(col("__ws")).cast("long")), lit(0L)).as("dl")).head
-      }
+      } }
       val inf = scala.concurrent.duration.Duration.Inf
       // settle ALL three before leaving on failure — a detached delta/df
       // writer racing a same-JVM retry of this append could interleave

@@ -344,18 +344,21 @@ object Streaming {
           // The verdict table is batch-sized and keeps its natural
           // partitioning; nothing reads file layout, the oracle reads
           // content.
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, Future, blocking}
           import scala.concurrent.ExecutionContext.Implicits.global
-          val dataF = Future {
+          // blocking{}: each leg parks a global-EC thread on a Spark job
+          // for seconds — mark it so the EC grows past #cores instead of
+          // serializing the legs on a low-core driver
+          val dataF = Future { blocking {
             scored.write.mode("overwrite")
               .parquet(s"$sink/data/batch_id=$bid")
-          }
+          } }
           // UNLIKE the sketch sinks (whose state is KBs by construction),
           // the pair-count table is vocabulary-sized — it keeps the fold's
           // natural partitioning rather than funneling through one writer.
           // Replay only requires the state's CONTENT to be deterministic
           // (it is — an exact count table); nothing reads file layout.
-          val stateF = Future {
+          val stateF = Future { blocking {
             val folded = prior match {
               case None => bp
               case Some(p) =>
@@ -367,7 +370,7 @@ object Streaming {
             folded.write.mode("overwrite")
               .parquet(s"$sink/_state/batch_id=$bid")
             pruneStateHistory(spark, sink, bid)
-          }
+          } }
           val inf = scala.concurrent.duration.Duration.Inf
           // settle BOTH legs before leaving the batch even on failure —
           // no detached writer may race a same-JVM restart's replay
@@ -841,9 +844,13 @@ object Streaming {
         // committed and the replay re-derives the rest bit-identically.
         // Run them as concurrent Spark jobs so the batch wall is
         // max(...), not their sum (the Bm25.appendToIndex treatment).
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.ExecutionContext.Implicits.global
-        val dataF = Future {
+        // blocking{} on every leg: each parks its EC thread on a Spark
+        // job — without the marker a low-core driver's global EC
+        // (parallelism = #cores) can serialize the legs and lose the
+        // max(...) wall the comment above promises
+        val dataF = Future { blocking {
           withQ
             .select(col(idCol).cast("long").as("doc_id"), col("quality_ok"))
             .join(broadcast(dupIds), col("doc_id") === col("__dup"), "left")
@@ -853,9 +860,12 @@ object Streaming {
               col("cum_tokens"),
               coalesce(col("admitted"), lit(false)).as("admitted"))
             .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
-        }
+        } }
         // fill AFTER this batch: carried + ALL budget-stage rows' tokens
-        val stateF = Future {
+        // (per-LANGUAGE fill — an ISO-bounded universe, so the one-file
+        // coalesce is metadata work, unlike the caller-shaped quota/
+        // token-budget sinks)
+        val stateF = Future { blocking {
           off.unionByName(
               notDup.groupBy(col(langCol).cast("string").as("__tb_g"))
                 .agg(sum(col("__nt")).as("__tb_off")))
@@ -864,14 +874,14 @@ object Streaming {
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$sink/_state/batch_id=$bid")
           pruneStateHistory(spark, sink, bid)
-        }
+        } }
         // the curated corpus grows by exactly the admitted rows
-        val appendF = Future {
+        val appendF = Future { blocking {
           val survivors = b.join(broadcast(bud.filter(col("admitted"))),
             b(idCol).cast("long") === col("__bid"), "left_semi")
           graft.ext.Dedup.appendToMinhashIndex(idx, survivors, textCol,
             idCol, tag = s"b$bid")
-        }
+        } }
         val inf = scala.concurrent.duration.Duration.Inf
         val legs = Seq(dataF, stateF, appendF)
         try legs.foreach(Await.result(_, inf))
@@ -1028,7 +1038,12 @@ object Streaming {
               .agg(count(lit(1)).as("__sq_adm")))
           .groupBy(col("__sq_key"))
           .agg(sum(col("__sq_adm")).as("__sq_adm"))
-          .coalesce(1).write.mode("overwrite")
+          // natural partitioning, like the join above argues: the source
+          // universe is caller-shaped and can reach GBs at web scale — a
+          // coalesce(1) here would fold that table through ONE task every
+          // batch (the lmScoreToSink precedent: replay needs only content
+          // determinism, nothing reads file layout)
+          .write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
         pruneStateHistory(spark, sink, bid)
         kept.unpersist()
@@ -1446,7 +1461,9 @@ object Streaming {
               .agg(sum(col(tokensCol).cast("long")).as("__tb_off")))
           .groupBy(col("__tb_g"))
           .agg(sum(col("__tb_off")).as("__tb_off"))
-          .coalesce(1).write.mode("overwrite")
+          // natural partitioning (the quota sink's argument, verbatim):
+          // the group universe is domain-sized — no single-task funnel
+          .write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
         pruneStateHistory(spark, sink, bid)
         b.unpersist()
