@@ -301,6 +301,77 @@ object SparkEntry {
     }
   }
 
+  /** The q_tf_preln weights: a 2-block × 2-head PRE-LN stack with GELU
+    * FFNs — the GPT-2 / TransformerLens architecture shape (reference
+    * `model_registry_implementations.py:81-407` serves exactly such
+    * checkpoints): LN1 (learned γ/β) before the projections, the
+    * attention output added onto the RAW residual stream, LN2 (its own
+    * γ/β) before a RECTANGULAR FFN (hid = 12 ≠ dim = 8, the real 4×dim
+    * shape scaled down), GELU via the pinned tanh-approximation chain.
+    * Block 1 adds the output projection wo. Distinct small-integer
+    * dyadic formulas per block, same discipline as [[TfFixture2]]. */
+  private[graft] object TfFixture3 {
+    val Dim = 8
+    val MaxLen = 8
+    val Hid = 12
+    val Blocks: Seq[TfBlockFix] = Seq(
+      TfBlockFix(2,
+        wq = (r, c) => (4 * r + 3 * c + 1) % 9 - 4,
+        wk = (r, c) => (2 * r + 5 * c + 4) % 9 - 4,
+        wv = (r, c) => (6 * r + c + 2) % 9 - 4,
+        w1 = (r, c) => (3 * r + 4 * c + 5) % 9 - 4,
+        b1 = r => r % 5 - 2,
+        w2 = (r, c) => (5 * r + 2 * c + 3) % 9 - 4,
+        b2 = r => r % 3 - 1,
+        lnG = Some(r => 14 + (r + 1) % 3),
+        lnB = Some(r => (r + 2) % 3 - 1),
+        preLn = true,
+        ln2G = Some(r => 15 + r % 2),
+        ln2B = Some(r => r % 3 - 1),
+        act = "gelu", hid = Hid),
+      TfBlockFix(2,
+        wq = (r, c) => (r + 7 * c + 3) % 9 - 4,
+        wk = (r, c) => (5 * r + 3 * c + 2) % 9 - 4,
+        wv = (r, c) => (3 * r + 6 * c + 1) % 9 - 4,
+        w1 = (r, c) => (7 * r + 2 * c + 4) % 9 - 4,
+        b1 = r => (r + 1) % 4 - 2,
+        w2 = (r, c) => (2 * r + 7 * c + 1) % 9 - 4,
+        b2 = r => (r + 2) % 3 - 1,
+        wo = Some((r, c) => (4 * r + 5 * c + 2) % 9 - 4),
+        lnG = Some(r => 14 + r % 3),
+        lnB = Some(r => r % 2),
+        preLn = true,
+        ln2G = Some(r => 16 - r % 3),
+        ln2B = Some(r => (r + 1) % 3 - 1),
+        act = "gelu", hid = Hid))
+    lazy val path: String = {
+      def rowN(f: Int => Int, n: Int) =
+        (0 until n).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
+      def matN(f: (Int, Int) => Int, rows: Int, cols: Int) =
+        (0 until rows).map(r => (0 until cols)
+          .map(c => (f(r, c) / 16.0).toString).mkString("[", ",", "]"))
+          .mkString("[", ",", "]")
+      val bjs = Blocks.map { b =>
+        val opt = b.wo.map(m => s""", "wo": ${matN(m, Dim, Dim)}""").getOrElse("")
+        s"""{"heads": ${b.heads}, "pre_ln": true, "act": "gelu",
+           |  "wq": ${matN(b.wq, Dim, Dim)}, "wk": ${matN(b.wk, Dim, Dim)},
+           |  "wv": ${matN(b.wv, Dim, Dim)},
+           |  "w1": ${matN(b.w1, Hid, Dim)}, "b1": ${rowN(b.b1, Hid)},
+           |  "w2": ${matN(b.w2, Dim, Hid)}, "b2": ${rowN(b.b2, Dim)},
+           |  "ln_g": ${rowN(b.lnG.get, Dim)}, "ln_b": ${rowN(b.lnB.get, Dim)},
+           |  "ln2_g": ${rowN(b.ln2G.get, Dim)}, "ln2_b": ${rowN(b.ln2B.get, Dim)}$opt}""".stripMargin
+      }.mkString("[", ",\n", "]")
+      val json =
+        s"""{"dim": $Dim, "max_len": $MaxLen,
+           | "blocks": $bjs,
+           | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
+           |""".stripMargin
+      val f = java.nio.file.Files.createTempFile("graft-tf3-", ".json")
+      java.nio.file.Files.writeString(f, json)
+      f.toString
+    }
+  }
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -1178,6 +1249,33 @@ object SparkEntry {
         s"q_tf_deep expects 2 blocks x 2 heads, loaded ${tf.blocks}")
       // ONE scan, ONE forward pass per document (pooledAll) — per-layer
       // UDFs would re-run the whole stack 4× and re-scan the table 4×
+      val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
+      docs.select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("layer"),
+          col("pos").cast("long").as("dim"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("layer"), col("dim"))
+    }),
+
+    "q_tf_preln" -> ((s, dir) => {
+      // round 20: the PRE-LN + GELU stack ([[TfFixture3]]) — the GPT-2 /
+      // TransformerLens architecture the reference's hf:/tl: providers
+      // serve: LN before each sublayer (ln1 feeding q/k/v, ln2 feeding
+      // the FFN), the residual stream never normalized, a RECTANGULAR
+      // 12-hidden FFN, and GELU rendered as the pinned tanh-approximation
+      // chain. All four intermediate layers (per block: resid_mid =
+      // post-attention residual, resid_post = post-FFN residual) pooled
+      // and hash-matched against the full DuckDB replay — converted real
+      // checkpoints now run with their own ln1/ln2 mapped (the round-19
+      // "same shape, different function" gap closed up to the
+      // integer-softmax attention).
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture3.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      require(tf.nLayers == 4 && tf.blocks.forall(b =>
+          b.preLn && b.act == "gelu" && b.b1.length == TfFixture3.Hid),
+        s"q_tf_preln expects a 2-block pre-LN GELU stack, loaded ${tf.blocks}")
       val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
       docs.select(col("doc_id"), posexplode(f(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
@@ -4382,7 +4480,18 @@ object SparkEntry {
       w2: (Int, Int) => Int, b2: Int => Int,
       wo: Option[(Int, Int) => Int] = None,
       lnG: Option[Int => Int] = None,
-      lnB: Option[Int => Int] = None)
+      lnB: Option[Int => Int] = None,
+      // round 20: the pre-LN block variant — LN1 (lnG/lnB) before the
+      // projections, LN2 (ln2G/ln2B) before a possibly-RECTANGULAR FFN
+      // (hid hidden units), GELU or ReLU activation
+      preLn: Boolean = false,
+      ln2G: Option[Int => Int] = None,
+      ln2B: Option[Int => Int] = None,
+      act: String = "relu",
+      hid: Int = -1) {
+    /** FFN hidden width: dim unless overridden (rectangular FFN). */
+    def hidOr(dim: Int): Int = if (hid > 0) hid else dim
+  }
 
   /** q_tf_embed / q_tf_deep oracle core: the transformer forward pass of
     * an ARBITRARY block stack unrolled to SQL — position-unrolled stage
@@ -4400,8 +4509,18 @@ object SparkEntry {
     * final CTE is always `tfy`. */
   private def tfStackCtes(blocks: Seq[TfBlockFix], srcSql: String,
                           embed: Seq[(String, Int => Int)] = Seq.empty,
-                          posM: Option[(Int, Int) => Int] = None): String = {
-    import TfFixture.{Dim => D, MaxLen => L, posEnc}
+                          posM: Option[(Int, Int) => Int] = None,
+                          // explicit model shape (ADVICE r19): sourced
+                          // from the fixture being RENDERED, not from
+                          // TfFixture — a stack with a different shape
+                          // gets the right oracle by construction
+                          dim: Int = TfFixture.Dim,
+                          maxLen: Int = TfFixture.MaxLen,
+                          posEncF: (Int, Int) => Int = TfFixture.posEnc)
+      : String = {
+    val D = dim
+    val L = maxLen
+    val posEnc = posEncF
     def fr(v: Int) = s"($v)/16.0"
     // sum of pre-rendered terms, left-associated from `seed`
     def fold(seed: String, terms: Seq[String]) =
@@ -4411,7 +4530,7 @@ object SparkEntry {
     // learned or formulaic positional row — all integer dyadics summed
     // before ONE /16 division (exact, so it equals the provider's
     // e/16 + p/16 elementwise add bit-for-bit)
-    val posF = posM.getOrElse(posEnc _)
+    val posF = posM.getOrElse(posEnc)
     val xs = (0 until L).map { i =>
       val elems = (0 until D).map { k =>
         val nib = s"CAST((hs[${i + 1}] >> ${4 * k}) & 15 AS BIGINT) - 8"
@@ -4432,13 +4551,48 @@ object SparkEntry {
     val blockCtes = blocks.zipWithIndex.map { case (blk, b) =>
       val H = blk.heads
       val dh = D / H
+      val hid = blk.hidOr(D)
       def xcol(i: Int) = if (b == 0) s"x$i" else s"y${b - 1}_$i"
+      // pre-LN: the projections read h{b}_i = LN1(x) (rendered below);
+      // post-LN: they read the residual stream directly
+      def projIn(i: Int) = if (blk.preLn) s"h${b}_$i" else xcol(i)
       def proj(name: String, w: (Int, Int) => Int) = (0 until L).map { i =>
         val elems = (0 until D).map { r =>
-          fold("0.0", (0 until D).map(c => s"${fr(w(r, c))}*${xcol(i)}[${c + 1}]"))
+          fold("0.0", (0 until D).map(c => s"${fr(w(r, c))}*${projIn(i)}[${c + 1}]"))
         }.mkString(", ")
         s"[$elems] AS ${name}${b}_$i"
       }.mkString(",\n    ")
+      // LN1 stages (pre-LN only): mean/variance of the INCOMING stream,
+      // then the affine-normalized h{b}_i the projections read. Masked
+      // positions normalize garbage (block 0: the zero vector → β)
+      // harmlessly — the causal mask means no real position reads them.
+      val ln1Ctes = if (!blk.preLn) "" else {
+        val mus1 = (0 until L).map { i =>
+          s"(${fold("0.0", (0 until D).map(d => s"${xcol(i)}[${d + 1}]"))})/$D.0 AS nu${b}_$i"
+        }.mkString(",\n    ")
+        val vas1 = (0 until L).map { i =>
+          s"(${fold("0.0", (0 until D).map(d =>
+            s"(${xcol(i)}[${d + 1}]-nu${b}_$i)*(${xcol(i)}[${d + 1}]-nu${b}_$i)"))})/$D.0 AS na${b}_$i"
+        }.mkString(",\n    ")
+        val g1 = blk.lnG.getOrElse((_: Int) => 16)
+        val be1 = blk.lnB.getOrElse((_: Int) => 0)
+        val hs1 = (0 until L).map { i =>
+          val elems = (0 until D).map { d =>
+            s"(${xcol(i)}[${d + 1}] - nu${b}_$i)/sqrt(na${b}_$i + 0.0000152587890625)*(${fr(g1(d))}) + (${fr(be1(d))})"
+          }.mkString(", ")
+          s"[$elems] AS h${b}_$i"
+        }.mkString(",\n    ")
+        s"""tfp1_$b AS (SELECT *,
+           |    $mus1
+           |  FROM ${if (b == 0) "tfx" else s"tfy_${b - 1}"}),
+           |tfp2_$b AS (SELECT *,
+           |    $vas1
+           |  FROM tfp1_$b),
+           |tfp3_$b AS (SELECT *,
+           |    $hs1
+           |  FROM tfp2_$b),
+           |""".stripMargin
+      }
       val scores = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield {
         val dot = fold("0.0", (h * dh until (h + 1) * dh).map(d =>
           s"q${b}_$i[${d + 1}]*k${b}_$j[${d + 1}]"))
@@ -4488,7 +4642,11 @@ object SparkEntry {
         s"(${fold("0.0", (0 until D).map(d =>
           s"(z${b}_$i[${d + 1}]-mu${b}_$i)*(z${b}_$i[${d + 1}]-mu${b}_$i)"))})/$D.0 AS va${b}_$i"
       }.mkString(",\n    ")
-      val affine = blk.lnG.isDefined || blk.lnB.isDefined
+      // the SECOND norm: post-LN's single LN (γ/β = lnG/lnB) over the
+      // residual, or pre-LN's LN2 (γ/β = ln2G/ln2B) feeding the FFN
+      val (gSel, bSel) =
+        if (blk.preLn) (blk.ln2G, blk.ln2B) else (blk.lnG, blk.lnB)
+      val affine = gSel.isDefined || bSel.isDefined
       val lns = (0 until L).map { i =>
         if (!affine)
           s"list_transform(z${b}_$i, zz -> (zz - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)) AS ln${b}_$i"
@@ -4496,32 +4654,84 @@ object SparkEntry {
           // ((z−μ)/σ)·γ + β with γ/β as parenthesized dyadic factors —
           // the parens force the same single-rounding order as the
           // provider's base * γ(d) + β(d)
-          val g = blk.lnG.getOrElse((_: Int) => 16)
-          val be = blk.lnB.getOrElse((_: Int) => 0)
+          val g = gSel.getOrElse((_: Int) => 16)
+          val be = bSel.getOrElse((_: Int) => 0)
           val elems = (0 until D).map { d =>
             s"(z${b}_$i[${d + 1}] - mu${b}_$i)/sqrt(va${b}_$i + 0.0000152587890625)*(${fr(g(d))}) + (${fr(be(d))})"
           }.mkString(", ")
           s"[$elems] AS ln${b}_$i"
         }
       }.mkString(",\n    ")
+      // FFN pre-activations over the hid hidden units (rectangular when
+      // hid != D). ReLU renders in-stage; GELU expands to the staged
+      // pinned-rounding chain below (geluCtes).
+      val pas = (0 until L).map { i =>
+        val elems = (0 until hid).map { c =>
+          "(" + fold(fr(blk.b1(c)), (0 until D).map(kk =>
+            s"${fr(blk.w1(c, kk))}*ln${b}_$i[${kk + 1}]")) + ")"
+        }.mkString(", ")
+        s"[$elems] AS pa${b}_$i"
+      }.mkString(",\n    ")
+      // GELU = 0.5·v·(1 + tanhA(s)), s = √(2/π)·(v + 0.044715·v³), with
+      // tanhA = clamp → ÷64 (exact) → [7/6] Padé → 6 doublings — the
+      // EXACT textual chain TransformerProvider.tanhA/gelu runs, each
+      // stage one list_transform so the expression tree stays linear in
+      // depth instead of exponential
+      val geluCtes = if (blk.act != "gelu") "" else {
+        val dbl = (1 to 6).map { k =>
+          val src = if (k == 1) s"tq${b}_" else s"td${k - 1}${b}_"
+          val sas = (0 until L).map(i =>
+            s"list_transform($src$i, t -> 2.0*t/(1.0+t*t)) AS td$k${b}_$i")
+            .mkString(",\n    ")
+          s"""tfd${k}_$b AS (SELECT *,
+             |    $sas
+             |  FROM ${if (k == 1) s"tfgp_$b" else s"tfd${k - 1}_$b"}),""".stripMargin
+        }.mkString("\n")
+        val sArgs = (0 until L).map(i =>
+          s"list_transform(pa${b}_$i, v -> 0.7978845608028654*(v + 0.044715*(v*v*v))) AS sa${b}_$i")
+          .mkString(",\n    ")
+        val t0s = (0 until L).map(i =>
+          s"list_transform(sa${b}_$i, s -> s/64.0) AS t0${b}_$i")
+          .mkString(",\n    ")
+        val pades = (0 until L).map(i =>
+          s"list_transform(t0${b}_$i, t -> (t*(135135.0 + (t*t)*(17325.0 + (t*t)*(378.0 + (t*t))))) / (135135.0 + (t*t)*(62370.0 + (t*t)*(3150.0 + (t*t)*28.0)))) AS tq${b}_$i")
+          .mkString(",\n    ")
+        s"""tfga_$b AS (SELECT *,
+           |    $sArgs
+           |  FROM tff_$b),
+           |tfg0_$b AS (SELECT *,
+           |    $t0s
+           |  FROM tfga_$b),
+           |tfgp_$b AS (SELECT *,
+           |    $pades
+           |  FROM tfg0_$b),
+           |$dbl
+           |""".stripMargin
+      }
       val ffs = (0 until L).map { i =>
-        val elems = (0 until D).map { c =>
-          val a = fold(fr(blk.b1(c)), (0 until D).map(kk =>
-            s"${fr(blk.w1(c, kk))}*ln${b}_$i[${kk + 1}]"))
-          s"CASE WHEN ($a) < 0 THEN 0.0 ELSE ($a) END"
+        val elems = (0 until hid).map { c =>
+          if (blk.act == "gelu")
+            s"0.5*pa${b}_$i[${c + 1}]*(1.0 + CASE WHEN sa${b}_$i[${c + 1}] > 19.0 THEN 1.0 WHEN sa${b}_$i[${c + 1}] < -19.0 THEN -1.0 ELSE td6${b}_$i[${c + 1}] END)"
+          else
+            s"CASE WHEN pa${b}_$i[${c + 1}] < 0 THEN 0.0 ELSE pa${b}_$i[${c + 1}] END"
         }.mkString(", ")
         s"[$elems] AS f${b}_$i"
       }.mkString(",\n    ")
+      // the FFN adds back onto ln (post-LN) or onto the raw residual z
+      // (pre-LN — the stream is never normalized)
+      val resBase = if (blk.preLn) "z" else "ln"
       val ys = (0 until L).map { i =>
         val elems = (0 until D).map { d =>
-          val a = fold(fr(blk.b2(d)), (0 until D).map(c =>
+          val a = fold(fr(blk.b2(d)), (0 until hid).map(c =>
             s"${fr(blk.w2(d, c))}*f${b}_$i[${c + 1}]"))
-          s"ln${b}_$i[${d + 1}] + ($a)"
+          s"$resBase${b}_$i[${d + 1}] + ($a)"
         }.mkString(", ")
         s"[$elems] AS y${b}_$i"
       }.mkString(",\n    ")
-      val prev = if (b == 0) "tfx" else s"tfy_${b - 1}"
-      s"""tfq_$b AS (SELECT *,
+      val prev =
+        if (blk.preLn) s"tfp3_$b"
+        else if (b == 0) "tfx" else s"tfy_${b - 1}"
+      s"""${ln1Ctes}tfq_$b AS (SELECT *,
          |    ${proj("q", blk.wq)},
          |    ${proj("k", blk.wk)},
          |    ${proj("v", blk.wv)}
@@ -4554,11 +4764,14 @@ object SparkEntry {
          |    $lns
          |  FROM tfv_$b),
          |tff_$b AS (SELECT *,
-         |    $ffs
+         |    $pas
          |  FROM tfn_$b),
+         |${geluCtes}tffz_$b AS (SELECT *,
+         |    $ffs
+         |  FROM ${if (blk.act == "gelu") s"tfd6_$b" else s"tff_$b"}),
          |tfy_$b AS (SELECT *,
          |    $ys
-         |  FROM tff_$b)""".stripMargin
+         |  FROM tffz_$b)""".stripMargin
     }.mkString(",\n")
     s"""tf0 AS (
        |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
@@ -4619,8 +4832,28 @@ object SparkEntry {
          |FROM tfy CROSS JOIN dims""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH ${tfStackCtes(TfFixture2.Blocks, "documents",
-          embed = TfFixture2.Embed, posM = Some(TfFixture2.posM))},
+          embed = TfFixture2.Embed, posM = Some(TfFixture2.posM),
+          dim = TfFixture2.Dim, maxLen = TfFixture2.MaxLen)},
        |dims AS (SELECT CAST(unnest(range(${TfFixture2.Dim})) AS BIGINT) AS dm)
+       |$pools
+       |ORDER BY doc_id, layer, dim""".stripMargin
+  }
+
+  /** q_tf_preln oracle: the [[TfFixture3]] pre-LN GELU stack replayed in
+    * full. Per pre-LN block the MID state is the RAW post-attention
+    * residual (`z{b}_` columns — TransformerLens `resid_mid`), not a
+    * LayerNorm output, so layer 2b+1 pools z and layer 2b+2 pools y. */
+  private def tfPrelnSql: String = {
+    val pools = (0 until TfFixture3.Blocks.length).flatMap { b =>
+      Seq((2 * b + 1, s"z${b}_"), (2 * b + 2, s"y${b}_"))
+    }.map { case (layer, pre) =>
+      s"""SELECT doc_id, CAST($layer AS BIGINT) AS layer, dm AS dim,
+         |  ${tfPool(pre, "CAST(dm AS INT) + 1")} AS val
+         |FROM tfy CROSS JOIN dims""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${tfStackCtes(TfFixture3.Blocks, "documents",
+          dim = TfFixture3.Dim, maxLen = TfFixture3.MaxLen)},
+       |dims AS (SELECT CAST(unnest(range(${TfFixture3.Dim})) AS BIGINT) AS dm)
        |$pools
        |ORDER BY doc_id, layer, dim""".stripMargin
   }
@@ -6819,6 +7052,7 @@ object SparkEntry {
 
     // the 2-block × 2-head stack replayed end to end — all 4 layers
     "q_tf_deep" -> tfDeepSql,
+    "q_tf_preln" -> tfPrelnSql,
 
     // transformer activations → diff-of-means probe, replayed end to end
     "q_tf_probe" -> tfProbeOracleSql,

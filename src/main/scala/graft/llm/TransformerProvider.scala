@@ -12,7 +12,26 @@ package graft.llm
   *    multiplied by a `dim × dim` matrix before the residual add
   *    (absent ⇒ identity, the concat-of-heads shortcut);
   *  - `lnG`/`lnB` — learned LayerNorm scale γ and bias β applied as
-  *    `(z−μ)/σ · γ_d + β_d` (absent ⇒ γ=1, β=0). */
+  *    `(z−μ)/σ · γ_d + β_d` (absent ⇒ γ=1, β=0).
+  *
+  * Round 20 — the PRE-LN block variant (`preLn = true`), the GPT-2 /
+  * TransformerLens architecture shape (reference:
+  * `model_registry_implementations.py:81-407` serves exactly such
+  * checkpoints):
+  *  - LayerNorm moves BEFORE each sublayer: h1 = LN1(x) feeds the q/k/v
+  *    projections (γ/β = `lnG`/`lnB`), the attention output adds onto
+  *    the RAW residual stream `z = x + wo·att(h1)`, then h2 = LN2(z)
+  *    (γ/β = `ln2G`/`ln2B`) feeds the FFN whose output adds onto z:
+  *    `y = z + FFN(h2)` — the residual stream is never normalized.
+  *  - `act` picks the FFN nonlinearity: `"relu"` (default, the post-LN
+  *    fixture function) or `"gelu"` — the tanh-approximation GELU
+  *    rendered in the pinned-rounding discipline (see
+  *    [[TransformerProvider.tanhA]]).
+  *  - the FFN may be RECTANGULAR (the real 4×dim hidden): `w1` is
+  *    `hid × dim`, `b1` length `hid`, `w2` is `dim × hid`, with
+  *    `hid = b1.length` free.
+  * `ln2G`/`ln2B` are meaningful only when `preLn` (the post-LN block has
+  * a single norm). */
 final case class TfBlock(heads: Int,
                          wq: Array[Array[Double]],
                          wk: Array[Array[Double]],
@@ -23,7 +42,11 @@ final case class TfBlock(heads: Int,
                          b2: Array[Double],
                          wo: Option[Array[Array[Double]]] = None,
                          lnG: Option[Array[Double]] = None,
-                         lnB: Option[Array[Double]] = None)
+                         lnB: Option[Array[Double]] = None,
+                         preLn: Boolean = false,
+                         ln2G: Option[Array[Double]] = None,
+                         ln2B: Option[Array[Double]] = None,
+                         act: String = "relu")
 
 /** IN-PROCESS TRANSFORMER inference — the narrowing of the one remaining
   * provider gap (the reference's in-process `hf:`/`tl:` torch
@@ -75,9 +98,12 @@ final case class TfBlock(heads: Int,
   *    order, so the bit-replay property survives arbitrary depth.
   *
   * Provider surface (the [[ModelProvider]] contract): with B blocks,
-  * `layerActivations(2b+1, mode)` = block b's post-attention LayerNorm
-  * state and `layerActivations(2b+2, mode)` = block b's post-FFN
-  * residual state (b 0-based) — `nLayers = 2B` REAL intermediate layers.
+  * `layerActivations(2b+1, mode)` = block b's MID state — the
+  * post-attention LayerNorm output for a post-LN block, the raw
+  * post-attention residual (TransformerLens `resid_mid`) for a pre-LN
+  * block — and `layerActivations(2b+2, mode)` = block b's post-FFN
+  * residual state (`resid_post`), b 0-based — `nLayers = 2B` REAL
+  * intermediate layers.
   * `tokenMode` is honored: "mean" pools over positions, "last" returns
   * the final real position's vector (the two modes the reference's torch
   * providers serve). `logitScores(tokens)` = pooled final state ·
@@ -114,16 +140,26 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   blocks.zipWithIndex.foreach { case (blk, bi) =>
     require(blk.heads >= 1 && dim % blk.heads == 0,
       s"block $bi: heads (${blk.heads}) must divide dim ($dim)")
-    def reqMat(m: Array[Array[Double]], name: String): Unit =
-      require(m.length == dim && m.forall(_.length == dim),
-        s"block $bi: $name must be $dim x $dim")
+    def reqMat(m: Array[Array[Double]], name: String,
+               rows: Int = dim, cols: Int = dim): Unit =
+      require(m.length == rows && m.forall(_.length == cols),
+        s"block $bi: $name must be $rows x $cols")
     reqMat(blk.wq, "wq"); reqMat(blk.wk, "wk"); reqMat(blk.wv, "wv")
-    reqMat(blk.w1, "w1"); reqMat(blk.w2, "w2")
+    // the FFN may be rectangular: hid = b1.length (real checkpoints run
+    // hid = 4*dim); the square post-LN fixtures pass through unchanged
+    val hid = blk.b1.length
+    require(hid >= 1, s"block $bi: b1 must be non-empty")
+    reqMat(blk.w1, "w1", rows = hid)
+    reqMat(blk.w2, "w2", cols = hid)
     blk.wo.foreach(reqMat(_, "wo"))
-    require(blk.b1.length == dim && blk.b2.length == dim,
-      s"block $bi: biases must have length dim")
-    for ((v, n) <- Seq(blk.lnG -> "ln_g", blk.lnB -> "ln_b"); a <- v)
+    require(blk.b2.length == dim, s"block $bi: b2 must have length dim")
+    for ((v, n) <- Seq(blk.lnG -> "ln_g", blk.lnB -> "ln_b",
+        blk.ln2G -> "ln2_g", blk.ln2B -> "ln2_b"); a <- v)
       require(a.length == dim, s"block $bi: $n must have length dim")
+    require(blk.act == "relu" || blk.act == "gelu",
+      s"block $bi: act must be 'relu' or 'gelu', got '${blk.act}'")
+    require(blk.preLn || (blk.ln2G.isEmpty && blk.ln2B.isEmpty),
+      s"block $bi: ln2_g/ln2_b require pre_ln (the post-LN block has one norm)")
   }
   require(vocab.forall(_._2.length == dim),
     s"vocab vectors must have the final dim $dim")
@@ -162,14 +198,35 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     (((5 * i + 3 * k + 1) % 9) - 4) / 16.0
 
   private def matVec(w: Array[Array[Double]], x: Array[Double]): Array[Double] = {
-    val out = new Array[Double](dim)
+    val out = new Array[Double](w.length)
     var r = 0
-    while (r < dim) {
+    while (r < w.length) {
       var acc = 0.0; val row = w(r); var c = 0
-      while (c < dim) { acc += row(c) * x(c); c += 1 }
+      while (c < row.length) { acc += row(c) * x(c); c += 1 }
       out(r) = acc; r += 1
     }
     out
+  }
+
+  /** LayerNorm with optional learned γ/β — /dim is a power-of-two
+    * division only in the fixture regime, but the single rounding per
+    * step is pinned either way; eps = 2^-16; `((z−μ)/σ)·γ + β`
+    * left-associated, exactly the SQL twin's rendering. */
+  private def layerNorm(z: Array[Double], g: Option[Array[Double]],
+                        be: Option[Array[Double]]): Array[Double] = {
+    var mu = 0.0; var d = 0
+    while (d < dim) { mu += z(d); d += 1 }
+    mu = mu / dim
+    var va = 0.0; d = 0
+    while (d < dim) { val t = z(d) - mu; va += t * t; d += 1 }
+    va = va / dim
+    val sd = math.sqrt(va + 0.0000152587890625)
+    val affine = g.isDefined || be.isDefined
+    Array.tabulate(dim) { d =>
+      val base = (z(d) - mu) / sd
+      if (!affine) base
+      else base * g.map(_(d)).getOrElse(1.0) + be.map(_(d)).getOrElse(0.0)
+    }
   }
 
   /** Full forward pass: per block, the (post-attention-LayerNorm states,
@@ -212,9 +269,20 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Array[Array[Double]], Array[Array[Double]])]
     for (blk <- blocks.take(nBlocks)) {
-      val q = x.map(matVec(blk.wq, _))
-      val kM = x.map(matVec(blk.wk, _))
-      val v = x.map(matVec(blk.wv, _))
+      val hid = blk.b1.length
+      // pre-LN: the projections read LN1(x); the residual stream itself
+      // is never normalized. Masked positions keep their exact zero
+      // vectors in EITHER mode (LN1 of a zero vector would emit β) —
+      // sound because the causal mask j <= i < n means no real position
+      // ever attends to a masked one.
+      val attIn =
+        if (!blk.preLn) x
+        else Array.tabulate(maxLen)(i =>
+          if (i >= n) new Array[Double](dim)
+          else layerNorm(x(i), blk.lnG, blk.lnB))
+      val q = attIn.map(matVec(blk.wq, _))
+      val kM = attIn.map(matVec(blk.wk, _))
+      val v = attIn.map(matVec(blk.wv, _))
       val H = blk.heads
       val dh = dim / H
       // integer-softmax causal attention PER HEAD: s^h_ij =
@@ -276,41 +344,33 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
           val z = new Array[Double](dim)
           d = 0
           while (d < dim) { z(d) = x(i)(d) + ao(d); d += 1 }
-          // LayerNorm: /dim is a power-of-two division (exact), sqrt is
-          // IEEE-correctly-rounded on both engines; eps = 2^-16; learned
-          // γ/β (when present) apply as ((z−μ)/σ)·γ + β, left-associated
-          var mu = 0.0
-          d = 0
-          while (d < dim) { mu += z(d); d += 1 }
-          mu = mu / dim
-          var va = 0.0
-          d = 0
-          while (d < dim) { val t = z(d) - mu; va += t * t; d += 1 }
-          va = va / dim
-          val sd = math.sqrt(va + 0.0000152587890625)
-          val affine = blk.lnG.isDefined || blk.lnB.isDefined
-          val lni = Array.tabulate(dim) { d =>
-            val base = (z(d) - mu) / sd
-            if (!affine) base
-            else base * blk.lnG.map(_(d)).getOrElse(1.0) +
-              blk.lnB.map(_(d)).getOrElse(0.0)
-          }
-          ln(i) = lni
-          // position-wise FFN + residual; ReLU spelled to preserve -0.0
-          val f = new Array[Double](dim)
+          // post-LN: normalize the residual and feed the FFN from it
+          // (mid state = the LN output). pre-LN: the mid state is the
+          // RAW residual z; LN2(z) feeds the FFN and the FFN adds back
+          // onto z. LayerNorm discipline in [[layerNorm]].
+          val ffnIn =
+            if (blk.preLn) layerNorm(z, blk.ln2G, blk.ln2B)
+            else layerNorm(z, blk.lnG, blk.lnB)
+          val base = if (blk.preLn) z else ffnIn
+          ln(i) = base
+          // position-wise FFN + residual; ReLU spelled to preserve -0.0,
+          // GELU = the pinned tanh-approximation (TransformerProvider.gelu)
+          val geluAct = blk.act == "gelu"
+          val f = new Array[Double](hid)
           var c = 0
-          while (c < dim) {
+          while (c < hid) {
             var acc = blk.b1(c); var kk = 0
-            while (kk < dim) { acc += blk.w1(c)(kk) * lni(kk); kk += 1 }
-            f(c) = if (acc < 0.0) 0.0 else acc
+            while (kk < dim) { acc += blk.w1(c)(kk) * ffnIn(kk); kk += 1 }
+            f(c) = if (geluAct) TransformerProvider.gelu(acc)
+                   else (if (acc < 0.0) 0.0 else acc)
             c += 1
           }
           val yi = new Array[Double](dim)
           d = 0
           while (d < dim) {
             var acc = blk.b2(d); var cc = 0
-            while (cc < dim) { acc += blk.w2(d)(cc) * f(cc); cc += 1 }
-            yi(d) = lni(d) + acc
+            while (cc < hid) { acc += blk.w2(d)(cc) * f(cc); cc += 1 }
+            yi(d) = base(d) + acc
             d += 1
           }
           y(i) = yi
@@ -427,6 +487,43 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
 
 object TransformerProvider {
 
+  /** tanh rendered as a FIXED, SQL-replayable operation chain — the
+    * pinned-rounding discipline's answer to "no `exp`, no library
+    * `tanh`" (Java's `Math.tanh` and DuckDB's libm `tanh` are each
+    * <1 ulp but NOT guaranteed to round identically, so a library call
+    * could silently diverge the oracle by one bit). Instead: clamp
+    * (|x| > 19 ⇒ ±1, where true tanh rounds to ±1.0 in double anyway),
+    * then 6 exact halvings (÷64, a power of two), the [7/6] Padé
+    * approximant of tanh at the reduced argument (|t| ≤ 19/64, where
+    * its relative error is ~1e-15), and 6 doubling steps
+    * t ← 2t/(1+t²). Every multiply/add/divide is correctly rounded
+    * IEEE with a pinned operand order, so DuckDB replaying the same
+    * textual chain reproduces every bit; accuracy vs true tanh is
+    * ~1e-15 relative (pinned in TransformerProviderSpec). */
+  private[graft] def tanhA(x: Double): Double = {
+    if (x > 19.0) 1.0
+    else if (x < -19.0) -1.0
+    else {
+      var t = x / 64.0
+      val t2 = t * t
+      t = (t * (135135.0 + t2 * (17325.0 + t2 * (378.0 + t2)))) /
+        (135135.0 + t2 * (62370.0 + t2 * (3150.0 + t2 * 28.0)))
+      var k = 0
+      while (k < 6) { t = 2.0 * t / (1.0 + t * t); k += 1 }
+      t
+    }
+  }
+
+  /** The tanh-approximation GELU (Hendrycks & Gimpel 2016, the GPT-2
+    * `gelu_new`): 0.5·v·(1 + tanh(√(2/π)·(v + 0.044715·v³))), with tanh
+    * = [[tanhA]] and both constants as shared decimal literals (decimal
+    * → double parsing is correctly rounded on both engines, so the same
+    * literal IS the same double). */
+  private[graft] def gelu(v: Double): Double = {
+    val s = 0.7978845608028654 * (v + 0.044715 * (v * v * v))
+    0.5 * v * (1.0 + tanhA(s))
+  }
+
   /** Load from a JSON weight file. Flat single-block form (round 18,
     * optional `"heads"`):
     * {{{
@@ -439,7 +536,11 @@ object TransformerProvider {
     * {{{
     * {"dim": 8, "max_len": 8,
     *  "blocks": [{"heads": 2, "wq": [[..]], ..., "b2": [..],
-    *              "wo": [[..]], "ln_g": [..], "ln_b": [..]}, ...],
+    *              "wo": [[..]], "ln_g": [..], "ln_b": [..],
+    *              "pre_ln": true, "ln2_g": [..], "ln2_b": [..],
+    *              "act": "gelu"}, ...],   // pre-LN + rectangular FFN:
+    *                                      // w1 is hid x dim, b1 len hid,
+    *                                      // w2 is dim x hid
     *  "embed": {"the": [..dim..], ...},   // learned W_E (md5 fallback)
     *  "pos": [[..max_len x dim..]],       // learned W_pos (formula else)
     *  "vocab": {...}}
@@ -465,7 +566,11 @@ object TransformerProvider {
         arr2(n.get("w2")), arr1(n.get("b2")),
         wo = if (n.has("wo")) Some(arr2(n.get("wo"))) else None,
         lnG = if (n.has("ln_g")) Some(arr1(n.get("ln_g"))) else None,
-        lnB = if (n.has("ln_b")) Some(arr1(n.get("ln_b"))) else None)
+        lnB = if (n.has("ln_b")) Some(arr1(n.get("ln_b"))) else None,
+        preLn = n.has("pre_ln") && n.get("pre_ln").asBoolean(),
+        ln2G = if (n.has("ln2_g")) Some(arr1(n.get("ln2_g"))) else None,
+        ln2B = if (n.has("ln2_b")) Some(arr1(n.get("ln2_b"))) else None,
+        act = if (n.has("act")) n.get("act").asText() else "relu")
     }
     for (f <- Seq("dim", "max_len"))
       require(root.has(f), s"$path: missing field '$f'")

@@ -26,19 +26,24 @@ The provider's arithmetic is IEEE double with pinned fold order, so the
 JSON carries full repr() precision — the conversion is lossless for
 float32/float64/bfloat16 checkpoints.
 
-ARCHITECTURE CONTRACT: the provider's block is post-LN with a ReLU FFN
-(x -> x+attn(x) -> LN(.)*g+b -> LN+FFN residual). Tensor conversion is
-faithful for checkpoints of that shape. TransformerLens checkpoints are
-PRE-LN (ln1 before attention, ln2 before the MLP, GELU FFN): their
-attention/MLP tensors convert layout-correctly, but the composed model
-is a different function — ln1/ln2 tensors are therefore NOT auto-mapped
-(a warning is printed); re-purpose them explicitly via --map only if
-you accept the architectural difference.
+ARCHITECTURE CONTRACT: the provider supports BOTH block wirings.
+Default (post-LN, ReLU): x -> x+attn(x) -> LN(.)*g+b -> LN+FFN residual.
+With --pre-ln (the GPT-2 / TransformerLens wiring): ln1 before the
+projections, the attention output added onto the raw residual, ln2
+before a (possibly rectangular) GELU FFN, the FFN added onto the
+residual — so pre-LN checkpoints' ln1/ln2 tensors ARE auto-mapped under
+--pre-ln (blocks.<i>.ln1.w -> ln_g, ln1.b -> ln_b, ln2.w -> ln2_g,
+ln2.b -> ln2_b) and every block is emitted with "pre_ln": true and the
+--act nonlinearity (default gelu under --pre-ln, relu otherwise).
+Without --pre-ln, ln1/ln2 tensors are still skipped with a warning —
+they belong to the other wiring; pass --pre-ln instead of --map
+re-purposing. The one remaining semantic delta vs a torch run is the
+provider's integer-softmax attention (documented, bit-replayable).
 
 Usage:
   python3 tools/make_tf_weights.py ckpt.npz -o weights.json \
-      --dim 8 --max-len 8 [--heads 2] [--map mapping.txt] \
-      [--vocab-tokens yes,no]
+      --dim 8 --max-len 8 [--heads 2] [--pre-ln] [--act gelu] \
+      [--map mapping.txt] [--vocab-tokens yes,no]
 """
 import argparse
 import json
@@ -100,11 +105,15 @@ AUTO_PATTERNS = [
     (re.compile(r"^blocks\.(\d+)\.mlp\.b_in$"), "b1", False),
     (re.compile(r"^blocks\.(\d+)\.mlp\.W_out$"), "w2", True),
     (re.compile(r"^blocks\.(\d+)\.mlp\.b_out$"), "b2", False),
-    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|wo|w1|b1|w2|b2|ln_g|ln_b|heads)$"),
+    (re.compile(r"^blocks\.(\d+)\.(wq|wk|wv|wo|w1|b1|w2|b2|ln_g|ln_b|"
+                r"ln2_g|ln2_b|heads)$"),
      None, False),
 ]
 
-LN_PRE = re.compile(r"^blocks\.(\d+)\.ln[12]\.[wb]$")
+LN_PRE = re.compile(r"^blocks\.(\d+)\.ln([12])\.([wb])$")
+# --pre-ln: TL's ln1 is the provider's (lnG, lnB), ln2 its (ln2G, ln2B)
+LN_FIELDS = {("1", "w"): "ln_g", ("1", "b"): "ln_b",
+             ("2", "w"): "ln2_g", ("2", "b"): "ln2_b"}
 
 
 def canonical_name(name, mapping):
@@ -119,15 +128,28 @@ def canonical_name(name, mapping):
     return None
 
 
-def to_proj(arr, dim, heads, name):
+def to_proj(arr, dim, heads, name, layout3d=None):
     """Accept (dim, dim), (heads, dim, d_h) [TL W_Q: d_model x d_head per
     head, transposed to rows-of-output], or (heads, d_h, dim); emit the
     provider's dim x dim row-major list with head h owning output rows
-    [h*d_h, (h+1)*d_h)."""
+    [h*d_h, (h+1)*d_h). At heads == 1 the two 3-D layouts have the SAME
+    shape (1, dim, dim) — an explicit --attn-3d-layout is required then
+    (a silent default would transpose single-head checkpoints stored
+    d_head-major)."""
     a = np.asarray(arr, dtype=np.float64)
     if a.shape == (dim, dim):
         return a
     dh = dim // heads
+    if heads == 1 and a.shape == (1, dim, dim):
+        if layout3d == "dmodel-dhead":
+            return a[0].T
+        if layout3d == "dhead-dmodel":
+            return a[0]
+        raise SystemExit(
+            f"{name}: shape (1,{dim},{dim}) is ambiguous at heads=1 — "
+            "pass --attn-3d-layout dmodel-dhead (TransformerLens "
+            "[head, d_model, d_head]) or dhead-dmodel "
+            "([head, d_head, d_model])")
     if a.shape == (heads, dim, dh):      # TL: [head, d_model, d_head]
         return np.concatenate([a[h].T for h in range(heads)], axis=0)
     if a.shape == (heads, dh, dim):      # [head, d_head, d_model]
@@ -146,6 +168,19 @@ def main():
     ap.add_argument("--heads", type=int, default=1,
                     help="heads for every block unless a per-block "
                          "'blocks.<i>.heads' scalar overrides it")
+    ap.add_argument("--pre-ln", action="store_true",
+                    help="emit pre-LN blocks (GPT-2/TransformerLens "
+                         "wiring): auto-map blocks.<i>.ln1/ln2 tensors "
+                         "to ln_g/ln_b/ln2_g/ln2_b and default --act to "
+                         "gelu")
+    ap.add_argument("--act", choices=["relu", "gelu"], default=None,
+                    help="FFN nonlinearity for every block (default: "
+                         "gelu under --pre-ln, relu otherwise)")
+    ap.add_argument("--attn-3d-layout",
+                    choices=["dmodel-dhead", "dhead-dmodel"], default=None,
+                    help="required for heads=1 checkpoints whose q/k/v "
+                         "are stored 3-D (1, dim, dim): which axis is "
+                         "d_model (the two layouts coincide in shape)")
     ap.add_argument("--map", help="file of 'src -> blocks.<i>.<field>' lines")
     ap.add_argument("--vocab-tokens",
                     help="comma-separated tokens; vectors from the "
@@ -171,10 +206,17 @@ def main():
     blocks = {}
     transpose_ffn = set()
     for name, arr in tensors.items():
-        if LN_PRE.match(mapping.get(name, name)):
-            print(f"warning: {name} is a pre-LN tensor of a different "
-                  "architecture — not auto-mapped (see --map and the "
-                  "architecture contract in --help)", file=sys.stderr)
+        ln_hit = LN_PRE.match(mapping.get(name, name))
+        if ln_hit:
+            if args.pre_ln:
+                bi = int(ln_hit.group(1))
+                field = LN_FIELDS[(ln_hit.group(2), ln_hit.group(3))]
+                blocks.setdefault(bi, {})[field] = arr
+            else:
+                print(f"warning: {name} is a pre-LN tensor — skipped "
+                      "under the default post-LN wiring; pass --pre-ln "
+                      "to convert the checkpoint architecture-faithfully",
+                      file=sys.stderr)
             continue
         hit = canonical_name(name, mapping)
         if hit is None:
@@ -200,8 +242,14 @@ def main():
             raise SystemExit(f"block {bi}: heads={heads} must divide "
                              f"dim={args.dim}")
         ob = {"heads": heads}
+        if args.pre_ln:
+            ob["pre_ln"] = True
+        act = args.act if args.act else ("gelu" if args.pre_ln else "relu")
+        if act != "relu":
+            ob["act"] = act
         for f in ("wq", "wk", "wv"):
-            ob[f] = to_proj(b[f], args.dim, heads, f"blocks.{bi}.{f}").tolist()
+            ob[f] = to_proj(b[f], args.dim, heads, f"blocks.{bi}.{f}",
+                            layout3d=args.attn_3d_layout).tolist()
         if "wo" in b:
             # TL W_O is [head, d_head, d_model]: out_d = sum_c a[c]*WO[c,d]
             # with c = h*d_h + j — flatten heads along the INPUT axis then
@@ -216,28 +264,37 @@ def main():
                                      f"({args.dim},{args.dim}) or "
                                      f"({heads},{dh},{args.dim})")
                 ob["wo"] = np.concatenate(list(a), axis=0).T.tolist()
-        for f in ("ln_g", "ln_b"):
+        for f in ("ln_g", "ln_b", "ln2_g", "ln2_b"):
             if f in b:
                 v = np.asarray(b[f], dtype=np.float64).reshape(-1)
                 if v.shape != (args.dim,):
                     raise SystemExit(f"blocks.{bi}.{f}: shape {v.shape}, "
                                      f"want ({args.dim},)")
                 ob[f] = v.tolist()
-        for f in ("w1", "w2"):
+        # the FFN may be RECTANGULAR (real checkpoints: hid = 4*dim);
+        # hid comes from b1's length. TL stores the MLP as x @ W
+        # (in, out); the provider's FFN is row-major (out, in) —
+        # transpose TL-sourced matrices: W_in (dim, hid) -> w1 (hid, dim),
+        # W_out (hid, dim) -> w2 (dim, hid).
+        hid = np.asarray(b["b1"], dtype=np.float64).reshape(-1).shape[0]
+        for f, want, tl_want in (("w1", (hid, args.dim), (args.dim, hid)),
+                                 ("w2", (args.dim, hid), (hid, args.dim))):
             m = np.asarray(b[f], dtype=np.float64)
-            if m.shape != (args.dim, args.dim):
-                raise SystemExit(f"blocks.{bi}.{f}: shape {m.shape}, want "
-                                 f"({args.dim},{args.dim})")
-            # TL stores the MLP as x @ W (in, out); the provider's FFN is
-            # row-major (out, in) — transpose TL-sourced matrices
             if (bi, f) in transpose_ffn:
+                if m.shape != tl_want:
+                    raise SystemExit(f"blocks.{bi}.{f}: shape {m.shape}, "
+                                     f"want {tl_want} (TL layout, "
+                                     f"hid={hid} from b1)")
                 m = m.T
+            elif m.shape != want:
+                raise SystemExit(f"blocks.{bi}.{f}: shape {m.shape}, want "
+                                 f"{want} (hid={hid} from b1)")
             ob[f] = m.tolist()
-        for f in ("b1", "b2"):
+        for f, n in (("b1", hid), ("b2", args.dim)):
             v = np.asarray(b[f], dtype=np.float64).reshape(-1)
-            if v.shape != (args.dim,):
+            if v.shape != (n,):
                 raise SystemExit(f"blocks.{bi}.{f}: shape {v.shape}, want "
-                                 f"({args.dim},)")
+                                 f"({n},)")
             ob[f] = v.tolist()
         out_blocks.append(ob)
 
