@@ -372,6 +372,63 @@ object SparkEntry {
     }
   }
 
+  /** q_tf_bpe fixture: [[TfFixture]]'s single post-LN block plus a
+    * learned embed table keyed on single-CHARACTER subword tokens (chars
+    * survive a short merge list in every corpus, so the learned-W_E path
+    * is exercised at any SF; merged multi-char tokens take the
+    * md5-nibble OOV fallback) and a STORED BPE TOKENIZER artifact — the
+    * path is injected per sf-dir because the merges are trained on the
+    * corpus itself ([[graft.ext.Bpe.train]], replayed by the oracle's
+    * training CTEs). */
+  private[graft] object TfFixtureBpe {
+    val Dim = 8
+    val MaxLen = 8
+    val EmbedTokens = Seq("e", "t", "a", "o", "i", "n")
+    def embedV(t: Int)(k: Int): Int = (3 * t + 2 * k + 2) % 9 - 4
+    val Embed: Seq[(String, Int => Int)] =
+      EmbedTokens.zipWithIndex.map { case (tok, t) => tok -> embedV(t) _ }
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, String]
+    def path(tokenizerPath: String): String =
+      cache.computeIfAbsent(tokenizerPath, { tp =>
+        import TfFixture.{wq, wk, wv, w1, b1, w2, b2}
+        def row(f: Int => Int) =
+          (0 until Dim).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
+        def mat(f: (Int, Int) => Int) =
+          (0 until Dim).map(r => (0 until Dim)
+            .map(c => (f(r, c) / 16.0).toString).mkString("[", ",", "]"))
+            .mkString("[", ",", "]")
+        val json =
+          s"""{"dim": $Dim, "max_len": $MaxLen,
+             | "wq": ${mat(wq)}, "wk": ${mat(wk)}, "wv": ${mat(wv)},
+             | "w1": ${mat(w1)}, "b1": ${row(b1)},
+             | "w2": ${mat(w2)}, "b2": ${row(b2)},
+             | "embed": ${Embed.map { case (tok, f) =>
+                  s""""$tok": ${(0 until Dim).map(k => (f(k) / 16.0).toString)
+                    .mkString("[", ",", "]")}"""
+                }.mkString("{", ", ", "}")},
+             | "tokenizer_path": "${tp.replace("\\", "\\\\")}",
+             | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
+             |""".stripMargin
+        val f = java.nio.file.Files.createTempFile("graft-tfbpe-", ".json")
+        java.nio.file.Files.writeString(f, json)
+        f.toString
+      })
+  }
+
+  /** Content-addressed BPE tokenizer artifact, trained once per
+    * (JVM, sf dir) on the documents corpus — the stored-tokenizer input
+    * the q_tf_bpe provider loads. */
+  private val bpeTokCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def bpeTokenizerFor(s: SparkSession, dir: String): String =
+    bpeTokCache.computeIfAbsent(dir, { d =>
+      val (merges, _) =
+        graft.ext.Bpe.train(t(s, d, "documents"), "text", BpeMerges)
+      graft.ext.Bpe.saveTokenizer(merges,
+        java.nio.file.Files.createTempDirectory("graft-bpe-tok-").toString)
+    })
+
   /** On-disk inverted BM25 index, built once per (JVM, sf dir) —
     * q_bm25_indexed probes it instead of scanning the corpus. */
   private val bm25IndexCache =
@@ -1276,6 +1333,34 @@ object SparkEntry {
       require(tf.nLayers == 4 && tf.blocks.forall(b =>
           b.preLn && b.act == "gelu" && b.b1.length == TfFixture3.Hid),
         s"q_tf_preln expects a 2-block pre-LN GELU stack, loaded ${tf.blocks}")
+      val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
+      docs.select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("layer"),
+          col("pos").cast("long").as("dim"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("layer"), col("dim"))
+    }),
+
+    "q_tf_bpe" -> ((s, dir) => {
+      // round 20: the CHECKPOINT-TOKENIZER input path — the reference
+      // tokenizes with the checkpoint's OWN tokenizer; here a BPE merge
+      // list is TRAINED on the corpus (graft.ext.Bpe, the engine's own
+      // induction), stored as a content-addressed artifact, and the tf:
+      // provider loads it via tokenizer_path: embedding inputs are real
+      // SUBWORD tokens into W_E (single-char tokens hit the learned
+      // table, merged tokens the md5-nibble OOV fallback). The oracle
+      // replays BOTH stages end to end: the BPE training CTEs re-derive
+      // the merges, per-doc tokenization maps words through the final
+      // segmented-word table, and the forward pass runs over the token
+      // stream — tokenization + inference, one hash gate.
+      val docs = t(s, dir, "documents")
+      val tokPath = bpeTokenizerFor(s, dir)
+      val (prov, _) = graft.llm.ModelRegistry
+        .get(s"tf:${TfFixtureBpe.path(tokPath)}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      require(tf.tokenizer.exists(_.nonEmpty),
+        "q_tf_bpe expects a stored tokenizer on the provider")
       val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
       docs.select(col("doc_id"), posexplode(f(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
@@ -4516,7 +4601,11 @@ object SparkEntry {
                           // gets the right oracle by construction
                           dim: Int = TfFixture.Dim,
                           maxLen: Int = TfFixture.MaxLen,
-                          posEncF: (Int, Int) => Int = TfFixture.posEnc)
+                          posEncF: (Int, Int) => Int = TfFixture.posEnc,
+                          // true: srcSql already carries a token-list
+                          // column `ws` (the stored-tokenizer path) —
+                          // tf0 truncates instead of whitespace-splitting
+                          preTokenized: Boolean = false)
       : String = {
     val D = dim
     val L = maxLen
@@ -4773,9 +4862,13 @@ object SparkEntry {
          |    $ys
          |  FROM tffz_$b)""".stripMargin
     }.mkString(",\n")
+    val tf0Body =
+      if (preTokenized) s"SELECT doc_id, lang, ws[1:$L] AS ws FROM $srcSql"
+      else
+        s"""SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
+           |    x -> length(x) > 0)[1:$L] AS ws FROM $srcSql""".stripMargin
     s"""tf0 AS (
-       |  SELECT doc_id, lang, list_filter(regexp_split_to_array(text, '[ \\t\\n\\f\\r]+'),
-       |    x -> length(x) > 0)[1:$L] AS ws FROM $srcSql),
+       |  $tf0Body),
        |tf1 AS (
        |  SELECT doc_id, lang, ws, len(ws) AS n, $pw AS pw,
        |    list_transform(ws, t ->
@@ -4855,6 +4948,49 @@ object SparkEntry {
           dim = TfFixture3.Dim, maxLen = TfFixture3.MaxLen)},
        |dims AS (SELECT CAST(unnest(range(${TfFixture3.Dim})) AS BIGINT) AS dm)
        |$pools
+       |ORDER BY doc_id, layer, dim""".stripMargin
+  }
+
+  /** q_tf_bpe oracle: the BPE training CTEs ([[bpeOracleCtes]]) re-derive
+    * the stored tokenizer's merges, the final segmented-word table maps
+    * every word to its token list (`replace(seg, chr(31), '')`
+    * reconstructs the word; the segments ARE the tokens), each doc's
+    * first-maxLen words expand to the flattened subword stream, and the
+    * forward pass runs over it (`preTokenized` tf0 truncates at maxLen
+    * tokens) — tokenization and inference replayed under one hash. */
+  private def tfBpeSql: String = {
+    val S = "chr(31)"
+    val L = TfFixtureBpe.MaxLen
+    bpeOracleCtes(BpeMerges) + s""",
+       |wmap AS (SELECT replace(seg, $S, '') AS word,
+       |    list_filter(string_split(seg, $S), x -> length(x) > 0) AS toks
+       |  FROM w$BpeMerges),
+       |bwords AS (SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |      x -> length(x) > 0)[1:$L] AS words
+       |  FROM documents),
+       |bw AS (SELECT doc_id, i, words[CAST(i+1 AS INT)] AS w
+       |  FROM bwords, LATERAL (SELECT unnest(range(len(words))) AS i) u),
+       |bt AS (SELECT b.doc_id, b.i, m.toks
+       |  FROM bw b JOIN wmap m ON m.word = b.w),
+       |bagg AS (SELECT doc_id, flatten(list(toks ORDER BY i)) AS ws
+       |  FROM bt GROUP BY doc_id),
+       |bsrc AS (SELECT d.doc_id, d.lang,
+       |    coalesce(a.ws, CAST([] AS VARCHAR[])) AS ws
+       |  FROM documents d LEFT JOIN bagg a USING (doc_id)),
+       |${tfStackCtes(Seq(TfBlockFix(1, TfFixture.wq, TfFixture.wk,
+            TfFixture.wv, TfFixture.w1, TfFixture.b1, TfFixture.w2,
+            TfFixture.b2)), "bsrc", embed = TfFixtureBpe.Embed,
+            dim = TfFixtureBpe.Dim, maxLen = TfFixtureBpe.MaxLen,
+            preTokenized = true)},
+       |dims AS (SELECT CAST(unnest(range(${TfFixtureBpe.Dim})) AS BIGINT) AS dm)
+       |SELECT doc_id, CAST(1 AS BIGINT) AS layer, dm AS dim,
+       |  ${tfPool("ln0_", "CAST(dm AS INT) + 1")} AS val
+       |FROM tfy CROSS JOIN dims
+       |UNION ALL
+       |SELECT doc_id, CAST(2 AS BIGINT) AS layer, dm AS dim,
+       |  ${tfPool("y0_", "CAST(dm AS INT) + 1")} AS val
+       |FROM tfy CROSS JOIN dims
        |ORDER BY doc_id, layer, dim""".stripMargin
   }
 
@@ -7053,6 +7189,7 @@ object SparkEntry {
     // the 2-block × 2-head stack replayed end to end — all 4 layers
     "q_tf_deep" -> tfDeepSql,
     "q_tf_preln" -> tfPrelnSql,
+    "q_tf_bpe" -> tfBpeSql,
 
     // transformer activations → diff-of-means probe, replayed end to end
     "q_tf_probe" -> tfProbeOracleSql,

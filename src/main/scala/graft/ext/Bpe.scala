@@ -147,6 +147,59 @@ object Bpe {
     syms
   }
 
+  /** Persist a learned merge list as a CONTENT-ADDRESSED tokenizer
+    * artifact (the runner-store discipline applied to the tokenizer: the
+    * file name carries the SHA-256 of the canonical serialization, so
+    * identical merge lists land at identical paths and a consumer can
+    * pin a tokenizer by path knowing the content can never drift under
+    * it). Atomic write (temp + rename); returns the artifact path. The
+    * `tf:` provider accepts this path as its `tokenizer_path`, turning
+    * whitespace words into real subword ids into W_E. */
+  def saveTokenizer(merges: Seq[(String, String)], dir: String): String = {
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = merges.map { case (a, b) => s"[${jstr(a)}, ${jstr(b)}]" }
+      .mkString("{\"merges\": [", ", ", "]}")
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes).map("%02x".format(_)).mkString.substring(0, 16)
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val path = d.resolve(s"bpe_$hash.json")
+    if (!java.nio.file.Files.exists(path)) {
+      val tmp = java.nio.file.Files.createTempFile(d, s".bpe_$hash", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, path,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { // a concurrent writer of the SAME content won the rename
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    path.toString
+  }
+
+  /** Load a [[saveTokenizer]] artifact back into its merge list. */
+  def loadTokenizer(path: String): Seq[(String, String)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(path))
+    require(root.has("merges") && root.get("merges").isArray,
+      s"$path: not a tokenizer artifact (no 'merges' array)")
+    val m = root.get("merges")
+    (0 until m.size()).map { i =>
+      val p = m.get(i)
+      require(p.isArray && p.size() == 2, s"$path: merges[$i] must be a pair")
+      (p.get(0).asText(), p.get(1).asText())
+    }
+  }
+
   /** Tokenize a text column with a LEARNED merge list — rank-greedy per
     * word (see [[tokenizeWordRanked]]): per-row cost tracks the word
     * length and the merges that actually APPLY, not the vocabulary size,

@@ -121,6 +121,8 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
                                 val embed: Seq[(String, Array[Double])] =
                                   Seq.empty,
                                 val posEmbed: Option[Array[Array[Double]]] =
+                                  None,
+                                val tokenizer: Option[Seq[(String, String)]] =
                                   None)
     extends ModelProvider {
 
@@ -182,6 +184,38 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   private val vocabSorted: Seq[(String, Array[Double])] = vocab.sortBy(_._1)
   private val embedMap: Map[String, Array[Double]] = embed.toMap
 
+  // round 20: the CHECKPOINT-TOKENIZER input path — with a stored BPE
+  // merge list the provider feeds real SUBWORD tokens into W_E (the
+  // reference tokenizes with the checkpoint's own tokenizer) instead of
+  // whitespace words. Rank-greedy encode (graft.ext.Bpe's production
+  // path, == the sequential definitional replay on any TRAINED list —
+  // BpeSpec pins the equivalence, and the SQL oracle replays the
+  // sequential form). First maxLen words, then first maxLen tokens.
+  private val tokMergesArr: Array[(String, String)] =
+    tokenizer.getOrElse(Seq.empty).toArray
+  private val tokRanks: Map[(String, String), Int] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    tokMergesArr.iterator.zipWithIndex.foreach { case (p, i) =>
+      if (!m.contains(p)) m(p) = i
+    }
+    m.toMap
+  }
+
+  /** The provider's token stream for `text`. Without a tokenizer: the
+    * round-18 whitespace split (`[ \t\n\f\r]+`). With one: the Bpe
+    * discipline's trim + `\s+` word split, each word BPE-encoded, the
+    * flattened stream truncated at maxLen subwords. */
+  private def tokenize(text: String): Array[String] = {
+    val t = if (text == null) "" else text
+    if (tokenizer.isEmpty)
+      t.split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
+    else
+      t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(maxLen)
+        .flatMap(w =>
+          graft.ext.Bpe.tokenizeWordRanked(w, tokMergesArr, tokRanks))
+        .take(maxLen).toArray
+  }
+
   def nLayers: Int = 2 * blocks.length
 
   /** 60-bit md5 prefix of the token — the engine-wide replayable string
@@ -237,8 +271,7 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   private[llm] def statesAll(text: String,
                              nBlocks: Int = Int.MaxValue)
       : (Seq[(Array[Array[Double]], Array[Array[Double]])], Int) = {
-    val toks = (if (text == null) "" else text)
-      .split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
+    val toks = tokenize(text)
     val n = toks.length
     // x_i = token embedding + positional encoding. Token embedding: the
     // LEARNED table entry when the model ships one and knows the token
@@ -590,9 +623,23 @@ object TransformerProvider {
         while (it.hasNext) { val k = it.next(); names += k -> arr1(v.get(k)) }
         names.toSeq.sortBy(_._1) // field order is not identity; pin it
       }
+    // the stored-tokenizer input path: "tokenizer_path" points at a
+    // graft.ext.Bpe.saveTokenizer artifact (content-addressed merge
+    // list); "tokenizer": {"merges": [["a","b"], ...]} inlines one
+    val tok: Option[Seq[(String, String)]] =
+      if (root.has("tokenizer_path"))
+        Some(graft.ext.Bpe.loadTokenizer(root.get("tokenizer_path").asText()))
+      else if (root.has("tokenizer")) {
+        val m = root.get("tokenizer").get("merges")
+        require(m != null && m.isArray,
+          s"$path: tokenizer needs a 'merges' array")
+        Some((0 until m.size()).map(i =>
+          (m.get(i).get(0).asText(), m.get(i).get(1).asText())))
+      } else None
     new TransformerProvider(root.get("dim").asInt(),
       root.get("max_len").asInt(), blocks, strMap("vocab"),
       embed = strMap("embed"),
-      posEmbed = if (root.has("pos")) Some(arr2(root.get("pos"))) else None)
+      posEmbed = if (root.has("pos")) Some(arr2(root.get("pos"))) else None,
+      tokenizer = tok)
   }
 }

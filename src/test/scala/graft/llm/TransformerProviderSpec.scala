@@ -452,4 +452,71 @@ class TransformerProviderSpec extends AnyFunSuite {
       assert(loaded.pooled("bit for bit", l, "mean").toSeq ==
         direct.pooled("bit for bit", l, "mean").toSeq, s"layer $l")
   }
+
+  // ---- round 20: the stored-tokenizer input path ----
+
+  private val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"))
+
+  test("tokenizer changes the token stream and therefore the function") {
+    val base = new TransformerProvider(8, 8, tiny.blocks, tiny.vocab)
+    val tok = new TransformerProvider(8, 8, tiny.blocks, tiny.vocab,
+      tokenizer = Some(merges))
+    // 'the' tokenizes to the single subword 'the' (t+h -> th, th+e ->
+    // the) under the merges but to the whole word under whitespace —
+    // same string! Pick input where they differ: 'them' -> [the, m]
+    val a = base.pooled("them and", 2, "mean")
+    val b = tok.pooled("them and", 2, "mean")
+    assert(a.toSeq != b.toSeq)
+    // determinism
+    assert(tok.pooled("them and", 2, "mean").toSeq == b.toSeq)
+  }
+
+  test("tokenizer truncation: maxLen words in, maxLen subwords out") {
+    val tok = new TransformerProvider(8, 2, tiny.blocks, tiny.vocab,
+      tokenizer = Some(merges))
+    // 'them' alone yields [the, m] — already 2 subwords: appending more
+    // words cannot change the pooled state (truncated at maxLen=2)
+    val a = tok.pooled("them", 2, "mean")
+    val b = tok.pooled("them extra words beyond", 2, "mean")
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("saveTokenizer/loadTokenizer round-trip is content-addressed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-").toString
+    val p1 = graft.ext.Bpe.saveTokenizer(merges, dir)
+    val p2 = graft.ext.Bpe.saveTokenizer(merges, dir)
+    assert(p1 == p2, "identical merge lists must land at identical paths")
+    assert(graft.ext.Bpe.loadTokenizer(p1) == merges)
+    val p3 = graft.ext.Bpe.saveTokenizer(merges :+ ("x", "y"), dir)
+    assert(p3 != p1, "different content, different address")
+    // escaping survives: merges containing JSON-hostile characters
+    val hostile = Seq(("\"", "\\"), ("a\tb", "\n"))
+    val p4 = graft.ext.Bpe.saveTokenizer(hostile, dir)
+    assert(graft.ext.Bpe.loadTokenizer(p4) == hostile)
+  }
+
+  test("tokenizer_path JSON load matches the in-memory tokenizer") {
+    def js2(m: Array[Array[Double]]) =
+      m.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    def js1(v: Array[Double]) = v.mkString("[", ",", "]")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tok-").toString
+    val tp = graft.ext.Bpe.saveTokenizer(merges, dir)
+    val json =
+      s"""{"dim": 8, "max_len": 8,
+         | "wq": ${js2(tiny.wq)}, "wk": ${js2(tiny.wk)}, "wv": ${js2(tiny.wv)},
+         | "w1": ${js2(tiny.w1)}, "b1": ${js1(tiny.b1)},
+         | "w2": ${js2(tiny.w2)}, "b2": ${js1(tiny.b2)},
+         | "tokenizer_path": "${tp.replace("\\", "\\\\")}",
+         | "vocab": {"alpha": [1,0,0,0,0,0,0,0]}}
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-tf-tok-", ".json")
+    java.nio.file.Files.writeString(f, json)
+    val loaded = TransformerProvider.fromJson(f.toString)
+    assert(loaded.tokenizer.contains(merges))
+    val direct = new TransformerProvider(8, 8, tiny.blocks,
+      Seq("alpha" -> Array.tabulate(8)(i => if (i == 0) 1.0 else 0.0)),
+      tokenizer = Some(merges))
+    assert(loaded.pooled("them and the others", 2, "mean").toSeq ==
+      direct.pooled("them and the others", 2, "mean").toSeq)
+  }
 }
