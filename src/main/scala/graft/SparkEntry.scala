@@ -4224,6 +4224,55 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "q_sem_horizon" -> ((s, dir) => {
+      // round 20: BOUNDED-HORIZON SemDeDup — the production state bound
+      // the unbounded sink only documented. Three id-ordered batches,
+      // horizonBatches = 1: batch 1's planted copies of batch 0 rows
+      // (+100000) drop against the carried b0 state (within horizon),
+      // batch 2's copies of batch 1 rows (+200000) drop against b1 —
+      // but batch 2's copies of batch 0 rows (+300000) see NO b0 state
+      // (beyond horizon) and survive unless a within-horizon neighbor
+      // matches. The oracle replays exactly that batch-distance rule;
+      // state dirs older than the horizon are GC'd (StreamingSpec pins
+      // the cap and the exact==horizoned equality on a within-horizon
+      // corpus).
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = Similarity.centroidsByIds(emb, "vec_id", "embedding",
+        0L to 7L)
+      val src = java.nio.file.Files.createTempDirectory("graft-semhor-src-")
+      emb.filter(col("vec_id") < 20).coalesce(1).write.parquet(s"$src/b0")
+      emb.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .union(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+        .coalesce(1).write.parquet(s"$src/b1")
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 60)
+        .union(emb.filter(col("vec_id") >= 20 && col("vec_id") < 30)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("embedding")))
+        .union(emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 300000L).as("vec_id"), col("embedding")))
+        .coalesce(1).write.parquet(s"$src/b2")
+      for ((b, t) <- Seq("b0" -> 1000000000000L, "b1" -> 1100000000000L))
+        java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/$b"))
+          .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-semhor-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-semhor-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1,b2}/*.parquet")
+      graft.streaming.Streaming.semanticDedupToSink(stream, "vec_id",
+        "embedding", cents, threshold = 0.8, sink, ckpt,
+        horizonBatches = 1)
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("id").as("vec_id"), col("cell"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_sem_stream" -> ((s, dir) => {
       // the STREAMING SemDeDup twin under the SAME oracle as
       // q_dedup_semantic: an availableNow stream of the corpus (originals ∪
@@ -6000,6 +6049,53 @@ object SparkEntry {
       |  SELECT DISTINCT b.cid AS dup_id
       |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.cid < b.cid
       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.8)
+      |SELECT a.batch_id, a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
+      |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
+      |ORDER BY vec_id""".stripMargin
+
+  /** q_sem_horizon replay: the sink's BATCH-DISTANCE dedup rule made
+    * explicit — a row drops iff a same-cell cosine-≥0.8 neighbor exists
+    * either (a) in its OWN batch with a smaller id, or (b) in an earlier
+    * batch within `horizonBatches = 1` (b.batch − 1 ≤ a.batch < b.batch)
+    * — NO id condition on carried rows (the engine probes the whole
+    * retained state), and batch 0's rows are invisible to batch 2. */
+  private val semHorizonOracleSql: String =
+    """WITH u AS (
+      |  SELECT CAST(0 AS BIGINT) AS batch_id, vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 20
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), vec_id, embedding
+      |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 40
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), vec_id + 100000, embedding
+      |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), vec_id, embedding
+      |  FROM embeddings WHERE vec_id >= 40 AND vec_id < 60
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), vec_id + 200000, embedding
+      |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 30
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), vec_id + 300000, embedding
+      |  FROM embeddings WHERE vec_id < 10),
+      |cent AS (
+      |  SELECT CAST(vec_id AS INT) cent_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cv
+      |  FROM embeddings WHERE vec_id < 8),
+      |corp AS (SELECT batch_id, vec_id cid,
+      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM u),
+      |assign AS (
+      |  SELECT batch_id, cid, cent_id AS cell, v FROM (
+      |    SELECT c.batch_id, c.cid, ct.cent_id, c.v,
+      |      row_number() OVER (PARTITION BY c.cid
+      |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id) rn
+      |    FROM corp c, cent ct) WHERE rn = 1),
+      |dup AS (
+      |  SELECT DISTINCT b.cid AS dup_id
+      |  FROM assign a JOIN assign b ON a.cell = b.cell
+      |  WHERE ((a.batch_id = b.batch_id AND a.cid < b.cid)
+      |      OR (a.batch_id < b.batch_id AND a.batch_id >= b.batch_id - 1))
+      |    AND list_cosine_similarity(a.v, b.v) >= 0.8)
       |SELECT a.batch_id, a.cid AS vec_id, a.cell, (d.dup_id IS NULL) AS keep
       |FROM assign a LEFT JOIN dup d ON a.cid = d.dup_id
       |ORDER BY vec_id""".stripMargin
@@ -7853,6 +7949,7 @@ object SparkEntry {
     // StreamingSpec), so it shares the replay verbatim
     "q_sem_stream" -> semDedupOracleSql,
     "q_sem_sink" -> semSinkOracleSql,
+    "q_sem_horizon" -> semHorizonOracleSql,
 
     // the full streaming curation cascade: quality → dedup-vs-curated →
     // budget, batch 0's admissions feeding batch 1's candidates

@@ -408,8 +408,9 @@ object Streaming {
     * batch shuffle uses) and each batch joins against it once. A production
     * deployment bounds the horizon the same way the exact-dedup twin does
     * (drop state older than the watermark) or keeps per-cell
-    * representatives only — both documented approximations, not silent
-    * ones. The carried frame is eagerly `localCheckpoint`ed per batch so
+    * representatives only — the sink form implements the first
+    * ([[semanticDedupToSink]] `horizonBatches`, gated by q_sem_horizon);
+    * both are documented approximations, not silent ones. The carried frame is eagerly `localCheckpoint`ed per batch so
     * lineage stays O(1) deep regardless of batch count. No overflow
     * splitting here: cells are pinned (split decisions are corpus-global);
     * route mode-collapsed corpora through the batch operator.
@@ -487,11 +488,25 @@ object Streaming {
     * crash-and-replay reproduces byte-identical verdicts. Same ordering
     * contract as the in-memory twin: equals the batch operator when
     * arrival respects nondecreasing ids; arbitrary arrival degrades to
-    * arrival-order-first-wins. */
+    * arrival-order-first-wins.
+    *
+    * `horizonBatches` (round 20) BOUNDS the carried corpus — the
+    * production option the gate form only documented: batch B probes
+    * only the last `horizonBatches` batches' state and state older than
+    * B − horizon is GC'd after each batch (best-effort deletes; replay
+    * of B probes [B − horizon, B), all retained). Semantics: a row is
+    * deduped against its own batch and the previous `horizonBatches`
+    * batches only — EQUAL to the exact run whenever every duplicate
+    * pair is within-horizon (the ingest norm for time-localized
+    * near-dups: crawl recrawls, wire-story bursts), and an explicit,
+    * gated approximation otherwise (`q_sem_horizon` pins a beyond-
+    * horizon twin surviving). 0 = exact/unbounded (every prior batch).
+    * Durable state: horizon × batch size, flat in stream length. */
   def semanticDedupToSink(docs: DataFrame, idCol: String, vecCol: String,
                           centroids: Array[(Int, Seq[Float])],
                           threshold: Double,
-                          sink: String, checkpoint: String): Unit = {
+                          sink: String, checkpoint: String,
+                          horizonBatches: Int = 0): Unit = {
     val spark = docs.sparkSession
     val query = docs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -522,7 +537,12 @@ object Streaming {
             (if (fs.exists(root)) fs.listStatus(root).toSeq else Seq.empty)
               .filter(s => s.isDirectory &&
                 s.getPath.getName.startsWith("batch_id="))
-              .filter(_.getPath.getName.stripPrefix("batch_id=").toLong < bid)
+              .filter { s =>
+                val id = s.getPath.getName.stripPrefix("batch_id=").toLong
+                // bounded horizon: batch B probes only the last
+                // `horizonBatches` batches' state (0 = exact/unbounded)
+                id < bid && (horizonBatches <= 0 || id >= bid - horizonBatches)
+              }
               .map(_.getPath)
           }
           st <- p.getFileSystem(hconf).listStatus(p).toSeq
@@ -548,6 +568,23 @@ object Streaming {
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(s"$sink/_state/batch_id=$bid")
+        // horizon GC: state older than the probe window of EVERY future
+        // batch — and of a crash-replay of THIS batch (which probes
+        // [bid - horizon, bid)) — is dead; best-effort deletes, the
+        // pruneStateHistory discipline. Caps durable state at
+        // horizon × batch size instead of the whole corpus.
+        if (horizonBatches > 0) {
+          val root = new org.apache.hadoop.fs.Path(s"$sink/_state")
+          val fs = root.getFileSystem(hconf)
+          if (fs.exists(root)) fs.listStatus(root)
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("batch_id="))
+            .filter(_.getPath.getName.stripPrefix("batch_id=").toLong <
+              bid - horizonBatches)
+            .foreach(s =>
+              try fs.delete(s.getPath, true)
+              catch { case _: java.io.IOException => () })
+        }
         assigned.unpersist()
         }
         ()

@@ -1364,6 +1364,78 @@ class StreamingSpec extends SparkTestBase {
     assert(stateRows() == 7L, "replay altered the state store")
   }
 
+  test("semantic dedup sink: bounded horizon equals exact within-horizon, caps state, replays") {
+    // round 20: horizonBatches — (a) on a corpus whose duplicate pairs
+    // are all within ONE batch of each other, the horizoned run equals
+    // the exact (unbounded) run verdict-for-verdict; (b) state dirs are
+    // GC'd beyond the horizon (5 batches -> at most horizon+1 = 2 dirs,
+    // vs 5 for exact); (c) a forced replay of the last batch reproduces
+    // identical verdicts from the RETAINED window.
+    def basis(j: Int): Array[Float] =
+      Array.tabulate(8)(i => if (i == j) 1.0f else 0.0f)
+    val cents = (0 until 5).map(j => (j, basis(j).toSeq)).toArray
+    // duplicates only within adjacent batches: b1 dups b0, b3 dups b2;
+    // b4 is fresh — nothing spans a batch gap > 1
+    val batches = Seq(
+      Seq((0L, basis(0)), (1L, basis(1))),
+      Seq((10L, basis(1)), (11L, basis(2))), // 10 dups 1 (adjacent)
+      Seq((20L, basis(3))),
+      Seq((30L, basis(3)), (31L, basis(4))), // 30 dups 20 (adjacent)
+      Seq((40L, basis(0))))                  // dups 0 — but 4 batches away
+    def mkSrc(): String = {
+      val src = java.nio.file.Files.createTempDirectory("graft-semh-src-")
+      for ((b, i) <- batches.zipWithIndex) {
+        b.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$src/b$i")
+        Thread.sleep(1100)
+      }
+      src.toString
+    }
+    def run(src: String, sink: String, ckpt: String, horizon: Int): Unit =
+      Streaming.semanticDedupToSink(
+        spark.readStream.schema(spark.read.parquet(s"$src/b0").schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$src/{b0,b1,b2,b3,b4}/*.parquet"),
+        "vec_id", "embedding", cents, threshold = 0.95, sink, ckpt,
+        horizonBatches = horizon)
+    def verdicts(sink: String) = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("id"), col("keep"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val srcE = mkSrc()
+    val sinkE = java.nio.file.Files.createTempDirectory("graft-semh-e-").toString
+    run(srcE, sinkE,
+      java.nio.file.Files.createTempDirectory("graft-semh-ec-").toString, 0)
+    val srcH = mkSrc()
+    val sinkH = java.nio.file.Files.createTempDirectory("graft-semh-h-").toString
+    val ckptH = java.nio.file.Files.createTempDirectory("graft-semh-hc-").toString
+    run(srcH, sinkH, ckptH, 1)
+    // (a) within-horizon corpus: horizoned == exact. EXCEPT row 40 —
+    // its only twin (row 0) is 4 batches back: the exact run drops it,
+    // the horizoned run keeps it. Everything else identical.
+    val e = verdicts(sinkE)
+    val h = verdicts(sinkH)
+    assert(e - ((4L, 40L, false)) == h - ((4L, 40L, true)),
+      s"horizoned diverged beyond the planted far pair: exact=$e horizon=$h")
+    assert(e.contains((4L, 40L, false)) && h.contains((4L, 40L, true)),
+      "the far twin must drop under exact and survive under horizon=1")
+    // (b) state capped: exact retains all 5 dirs, horizon=1 at most 2
+    def stateDirs(sink: String): Int = {
+      val d = new java.io.File(s"$sink/_state")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        f.getName.startsWith("batch_id="))
+    }
+    assert(stateDirs(sinkE) == 5, s"exact run: ${stateDirs(sinkE)} dirs")
+    assert(stateDirs(sinkH) <= 2,
+      s"horizon=1 must cap state at 2 dirs, found ${stateDirs(sinkH)}")
+    // (c) forced replay of the last batch from the retained window
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckptH, "commits", "4"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckptH, "commits", ".4.crc"))
+    run(srcH, sinkH, ckptH, 1)
+    assert(verdicts(sinkH) == h, "replay altered the horizoned verdicts")
+    assert(stateDirs(sinkH) <= 2, "replay broke the state cap")
+  }
+
   test("pq ingest sink: codes-only alerts, auto-compaction, exact replay") {
     // the FOURTH stored index on the probe-then-append discipline: same
     // shape as the IVF sink test, but the store holds m-int codes — the
