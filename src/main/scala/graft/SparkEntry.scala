@@ -2126,6 +2126,49 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q_km_sink" -> ((s, dir) => {
+      // round 20: q_km_stream's DURABLE graduation — the centroid set
+      // (the serving model) is PINNED at sink/_model before the stream
+      // starts, per-batch assignments land exactly-once at
+      // sink/data/batch_id=B. Two id-ordered batches; the model readback
+      // must equal the fit (the artifact gate), and the assignment
+      // ledger replays under the same unrolled-Lloyd oracle as q_kmeans
+      // with batch_id derived from the id split.
+      val static = t(s, dir, "embeddings")
+      val fit = graft.ml.ExactKMeans.fit(static, "vec_id", "embedding",
+        KmInitIds, KmIters)
+      val emb = static
+        .select(col("vec_id").cast("long").as("vid"), col("embedding"))
+      val src = java.nio.file.Files.createTempDirectory("graft-kmsink-src-")
+      emb.filter(col("vid") < 30).coalesce(1).write.parquet(s"$src/b0")
+      emb.filter(col("vid") >= 30).coalesce(1).write.parquet(s"$src/b1")
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$src/b0"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L)))
+      val sink = java.nio.file.Files
+        .createTempDirectory("graft-kmsink-out-").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-kmsink-ck-").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$src/b0").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/{b0,b1}/*.parquet")
+      graft.streaming.Streaming.kmeansAssignToSink(stream, "vid",
+        "embedding", fit, sink, ckpt)
+      // artifact gate: the pinned model must read back as the fit
+      val model = s.read.parquet(s"$sink/_model")
+        .select(col("cell"), col("dim"), col("qm")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val expect = fit.qm.zipWithIndex.flatMap { case (row, cell) =>
+        row.zipWithIndex.map { case (q, d) => (cell, d, q) }
+      }.toSet
+      require(model == expect, "pinned model diverged from the fit")
+      s.read.parquet(s"$sink/data")
+        .select(col("batch_id").cast("long").as("batch_id"), col("id"),
+          col("cell"), col("score"))
+        .orderBy(col("id"))
+    }),
+
     "q_sp_graph" -> ((s, dir) => {
       // spec-layer twin of q_spectral: SpectralVizOp through the
       // content-addressed runner — ids are row indices, the [e1,e2] value
@@ -6965,6 +7008,15 @@ object SparkEntry {
     // identical assignment contract through the STREAMING path
     "q_km_stream" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
       s"SELECT id, CAST(cell AS INTEGER) AS cell, score FROM a${KmIters + 1} ORDER BY id"),
+
+    // q_km_sink: the same unrolled-Lloyd replay; batch_id = the id split
+    // the gate streams (assignment is row-local, so sink rows == batch
+    // operator rows under any slicing)
+    "q_km_sink" -> kmeansOracleSql("CAST(vec_id AS BIGINT)",
+      s"""SELECT CASE WHEN id < 30 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(1 AS BIGINT) END AS batch_id,
+         |  id, CAST(cell AS INTEGER) AS cell, score
+         |FROM a${KmIters + 1} ORDER BY id""".stripMargin),
 
     "q_distinct_sketch" ->
       // KMV replay: distinct 60-bit md5 prefixes per language, kth

@@ -328,7 +328,8 @@ object Similarity {
 
   private final case class IvfMeta(segments: List[String], lastTag: String,
                                    nextSeg: Long,
-                                   centDir: String = "centroids")
+                                   centDir: String = "centroids",
+                                   ingestCkpt: String = "")
 
   private def readIvfMeta(spark: org.apache.spark.sql.SparkSession,
                           path: String): IvfMeta = {
@@ -339,14 +340,34 @@ object Similarity {
       // table lives at the build-time default
       if (m.schema.fieldNames.contains("cent_dir"))
         m.getAs[String]("cent_dir")
-      else "centroids")
+      else "centroids",
+      // round 20: stream-fed stores record their ingest checkpoint so a
+      // recentring compaction enforces the quiesce guard AUTOMATICALLY
+      if (m.schema.fieldNames.contains("ingest_ckpt"))
+        m.getAs[String]("ingest_ckpt")
+      else "")
   }
 
   private def writeIvfMeta(spark: org.apache.spark.sql.SparkSession,
                            path: String, m: IvfMeta): Unit = {
     import spark.implicits._
-    StoreMeta.write(Seq((m.segments, m.lastTag, m.nextSeg, m.centDir))
-      .toDF("segments", "last_tag", "next_seg", "cent_dir"), path, "meta")
+    StoreMeta.write(
+      Seq((m.segments, m.lastTag, m.nextSeg, m.centDir, m.ingestCkpt))
+        .toDF("segments", "last_tag", "next_seg", "cent_dir", "ingest_ckpt"),
+      path, "meta")
+  }
+
+  /** Record the streaming-ingest checkpoint on a stored IVF index — the
+    * ingest sink calls this before its query starts, so
+    * [[compactIvfIndex]]`(recentre = true)` can enforce the quiesce
+    * guard WITHOUT the caller remembering to pass `quiesceCheckpoint`
+    * (ADVICE r19: the opt-in guard left the crash-replay hazard
+    * reachable by default on stream-fed stores). */
+  def recordIvfIngestCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                                path: String, checkpoint: String): Unit = {
+    val m = readIvfMeta(spark, path)
+    if (m.ingestCkpt != checkpoint)
+      writeIvfMeta(spark, path, m.copy(ingestCkpt = checkpoint))
   }
 
   /** The manifest's live segment list (probe view; an auto-compaction
@@ -424,7 +445,13 @@ object Similarity {
                       recentreIters: Int = 5,
                       recentreSeed: Long = 42L,
                       quiesceCheckpoint: Option[String] = None): Unit = {
-    if (recentre) quiesceCheckpoint.foreach { ckpt =>
+    val m = readIvfMeta(spark, path)
+    // round 20: the guard is AUTOMATIC for stream-fed stores — the
+    // ingest sink records its checkpoint in the meta, so recentring
+    // enforces the quiesce even when the caller passes nothing
+    val guardCkpt =
+      quiesceCheckpoint.orElse(Some(m.ingestCkpt).filter(_.nonEmpty))
+    if (recentre) guardCkpt.foreach { ckpt =>
       val started = newestCheckpointBatch(spark, s"$ckpt/offsets")
       val committed = newestCheckpointBatch(spark, s"$ckpt/commits")
       require(started.isEmpty || started == committed,
@@ -434,7 +461,6 @@ object Similarity {
           "than its first attempt. Let the ingest quiesce (commit log " +
           "catch up) and retry.")
     }
-    val m = readIvfMeta(spark, path)
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(hconf)

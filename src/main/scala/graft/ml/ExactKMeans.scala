@@ -77,45 +77,51 @@ object ExactKMeans {
   /** Lloyd iterations from explicit member init. `iters = 0` is pure
     * member-centroid assignment (the SemDeDup regime).
     *
-    * The update is a grouped VECTOR SUM (`Summarizer.sum` over the
-    * quantized array as an ML vector): the cell argmax evaluates ONCE per
-    * row (an explode-then-group form re-evaluates the k-dot scoring
-    * expression once per exploded DIMENSION — measured 64× slower at
-    * dim=64), and the shuffle carries only k × partitions partial vectors
-    * — metadata at any corpus size. Partial double sums of 1e-6-quantized
-    * integers stay EXACT below 2⁵³; the per-cell `count·maxAbs·1e6` bound
-    * is enforced after each pass. */
+    * The update is a grouped per-dimension LONG SUM over the quantized
+    * array: the cell argmax and the quantized vector evaluate ONCE per
+    * row in a child projection (an explode-then-group form re-shuffles
+    * once per exploded DIMENSION — measured 64× slower at dim=64; the
+    * Aggregate's `element_at` reads reference the PROJECTED array
+    * attribute, so the k-dot scoring never re-evaluates), and the
+    * shuffle carries only k × dim partial longs per partition —
+    * metadata at any corpus size. Integer sums are EXACT by type
+    * (round 20: the previous `Summarizer.sum` is mean-based internally
+    * and drifted integer sums by ~1 ulp, flipping round-half centroid
+    * updates against the exact SQL replay at some corpus sizes); the
+    * per-cell `count·maxAbs·1e6` long-overflow bound is enforced per
+    * pass. */
   def fit(df: DataFrame, idCol: String, vecCol: String, initIds: Seq[Long],
           iters: Int, maxAbs: Double = 1.0): Fit = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    import org.apache.spark.ml.stat.Summarizer
     var qm = centroidsByIds(df, idCol, vecCol, initIds, maxAbs)
+    val dim = qm.head.length
     val cap = math.round(maxAbs * 1e6)
     var it = 0
     while (it < iters) {
       val s = scoresCol(col(vecCol), qm, maxAbs)
       val qx = transform(col(vecCol).cast("array<double>"),
-        x => round(x * 1e6))
+        x => round(x * 1e6).cast("long"))
+      val sumCols = (0 until dim).map(d =>
+        sum(element_at(col("__qx"), d + 1)).as(s"__s$d"))
       val agg = df
         .select((array_position(s, array_max(s)) - 1).cast("int").as("__cell"),
-          array_to_vector(qx).as("__qx"))
+          qx.as("__qx"))
         .groupBy(col("__cell"))
-        .agg(vector_to_array(Summarizer.sum(col("__qx"))).as("__s"),
-          count(lit(1)).as("__n"))
+        .agg(count(lit(1)).as("__n"), sumCols: _*)
         .collect()
       val next = qm.map(_.clone()) // empty cells carry their previous value
       agg.foreach { r =>
         val cell = r.getInt(0)
-        val sums = r.getSeq[Double](1)
-        val cnt = r.getLong(2)
-        require(cnt.toDouble * cap < (1L << 53).toDouble,
+        val cnt = r.getLong(1)
+        require(cnt.toDouble * cap < Long.MaxValue.toDouble,
           s"cell $cell has $cnt members: the exact-sum bound " +
-            s"count*maxAbs*1e6 < 2^53 is violated — raise the quantum or " +
+            s"count*maxAbs*1e6 < 2^63 is violated — raise the quantum or " +
             "shard the corpus")
         var d = 0
-        while (d < sums.length) {
-          next(cell)(d) = roundHalfUp(sums(d) / cnt)
+        while (d < dim) {
+          // exact long sum -> ONE double division -> half-up: the same
+          // two roundings, in the same order, as the SQL replay
+          next(cell)(d) = roundHalfUp(r.getLong(2 + d).toDouble / cnt)
           d += 1
         }
       }

@@ -1114,6 +1114,10 @@ object Streaming {
                       sink: String, checkpoint: String,
                       autoCompactAt: Int = 0): Unit = {
     val spark = vecs.sparkSession
+    // record the checkpoint in the index meta BEFORE the stream starts:
+    // a later recentring compaction enforces the quiesce guard against
+    // THIS checkpoint automatically (no opt-in parameter to forget)
+    graft.ext.Similarity.recordIvfIngestCheckpoint(spark, path, checkpoint)
     val query = vecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
@@ -1711,6 +1715,49 @@ object Streaming {
     * batch assignment exactly (StreamingSpec pins multi-batch == batch);
     * availableNow + collect is the gate/test form — production writes
     * each batch's `(id, cell, score)` to a sink from the same hook. */
+  /** The PRODUCTION form of [[kmeansAssignAvailableNow]] — streaming
+    * k-means assignment as a DURABLE, exactly-once sink (round 20,
+    * graduating the collect-gated twin). Fit-batch / serve-stream: the
+    * exact model IS the pinned artifact — the quantized centroid rows
+    * `(cell, dim, qm)` plus `max_abs_input` land at `sink/_model`
+    * BEFORE the stream starts (k × dim rows, model metadata; the write
+    * is idempotent because the content is a pure function of `fit`),
+    * so any consumer — a dashboard, a restarted serving job, an audit —
+    * reads exactly the model the verdicts were scored with. Per
+    * micro-batch the stateless map-only assignment `(id, cell, score)`
+    * lands at `sink/data/batch_id=B`.
+    *
+    * Exactly-once is the per-dir-overwrite discipline alone: assignment
+    * carries NO cross-batch state, so a crash-and-replay of any batch
+    * rewrites byte-identical files (forced-restart-tested). Scale
+    * shape: the model rides the closure (KBs), scoring is map-side,
+    * throughput tracks partitions — no shuffle anywhere. */
+  def kmeansAssignToSink(docs: DataFrame, idCol: String, vecCol: String,
+                         fit: graft.ml.ExactKMeans.Fit,
+                         sink: String, checkpoint: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fit.qm.zipWithIndex.flatMap { case (row, cell) =>
+      row.zipWithIndex.map { case (q, d) => (cell, d, q) }
+    }.toSeq.toDF("cell", "dim", "qm")
+      .withColumn("max_abs_input", lit(fit.maxAbsInput))
+      .coalesce(1) // k x dim rows — model metadata by construction
+      .write.mode("overwrite").parquet(s"$sink/_model")
+    val query = docs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          graft.ml.ExactKMeans
+            .assign(batch.toDF(), col(idCol), col(vecCol), fit)
+            .write.mode("overwrite").parquet(s"$sink/data/batch_id=$bid")
+        }
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
   def kmeansAssignAvailableNow(docs: DataFrame, idCol: String, vecCol: String,
                                fit: graft.ml.ExactKMeans.Fit): DataFrame = {
     val spark = docs.sparkSession

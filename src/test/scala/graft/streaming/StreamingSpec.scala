@@ -372,6 +372,62 @@ class StreamingSpec extends SparkTestBase {
       r(1).asInstanceOf[Int] == (r.head.asInstanceOf[Long] % 3).toInt))
   }
 
+  test("k-means sink: pinned model artifact, per-batch ledger, exactly-once restart") {
+    // round 20: the durable graduation of the collect-gated twin — the
+    // centroid set lands at _model BEFORE the stream, per-batch verdicts
+    // at data/batch_id=B, and a forced replay of the last batch (the
+    // scorer is stateless) rewrites byte-identical verdicts.
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmsink-")
+    val rng = new scala.util.Random(47)
+    def vec(c: Int): Seq[Float] =
+      Seq.tabulate(8)(d => ((if (d == c) 0.5 else 0.0)
+        + (rng.nextDouble() - 0.5) * 0.1).toFloat)
+    val base = (0L until 40L).map(i => (i, vec((i % 2).toInt)))
+    base.take(20).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b0")
+    Thread.sleep(1100)
+    base.drop(20).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$dir/b1")
+    val all = base.toDF("vec_id", "embedding")
+    val fit = graft.ml.ExactKMeans.fit(all, "vec_id", "embedding",
+      Seq(0L, 1L), iters = 3)
+    val sink = java.nio.file.Files.createTempDirectory("graft-kms-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-kms-ck-").toString
+    val schema = spark.read.parquet(s"$dir/b0").schema
+    def run(): Unit = Streaming.kmeansAssignToSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/{b0,b1}/*.parquet"),
+      "vec_id", "embedding", fit, sink, ckpt)
+    run()
+    // the pinned model equals the fit, and the ledger equals the batch
+    // operator over the union
+    val model = spark.read.parquet(s"$sink/_model")
+      .select(col("cell"), col("dim"), col("qm"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(model == fit.qm.zipWithIndex.flatMap { case (row, cell) =>
+      row.zipWithIndex.map { case (q, d) => (cell, d, q) }
+    }.toSet)
+    def verdicts() = spark.read.parquet(s"$sink/data")
+      .select(col("batch_id").cast("long"), col("id"), col("cell"))
+      .as[(Long, Long, Int)].collect().toSet
+    val before = verdicts()
+    val batch = graft.ml.ExactKMeans.assign(all,
+        col("vec_id").cast("long"), col("embedding"), fit)
+      .select(col("id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(before.map(v => (v._2, v._3)) == batch)
+    assert(before.map(_._1) == Set(0L, 1L))
+    // forced replay of batch 1
+    java.nio.file.Files.delete(java.nio.file.Paths.get(ckpt, "commits", "1"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(ckpt, "commits", ".1.crc"))
+    run()
+    assert(verdicts() == before, "replay altered the ledger")
+    assert(spark.read.parquet(s"$sink/_model")
+      .select(col("cell"), col("dim"), col("qm"))
+      .as[(Int, Int, Long)].collect().toSet == model,
+      "replay altered the pinned model")
+  }
+
   test("streaming token budget: priority-ordered batches equal batch, state carries the fill") {
     // two batches, priority-descending arrival per group (the curated-
     // backfill norm the twin's equality contract names): batch0 carries
@@ -1246,6 +1302,14 @@ class StreamingSpec extends SparkTestBase {
         quiesceCheckpoint = Some(ckpt))
     }
     assert(e.getMessage.contains("recentre refused"))
+    // round 20: the guard is AUTOMATIC on stream-fed stores — the sink
+    // recorded its checkpoint in the index meta, so recentring with NO
+    // quiesceCheckpoint must refuse too (the r19 guard was opt-in and
+    // the default path kept the hazard reachable)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.compactIvfIndex(spark, idx, recentre = true)
+    }
+    assert(e2.getMessage.contains("recentre refused"))
     Similarity.compactIvfIndex(spark, idx, recentre = false,
       quiesceCheckpoint = Some(ckpt)) // assignment-preserving: always ok
   }
