@@ -364,6 +364,33 @@ object ScaleProbe {
         val (merges, words) = graft.ext.Bpe.train(d, "text", numMerges = 4)
         val n = words.count(); words.unpersist(false); n + merges.length
       }
+      // pre-LN transformer forward (round 20): inference is ONE map-side
+      // UDF pass — wall linear in docs, shuffle ~ZERO at every decade
+      // (the action is a 1-row count); depth/heads/hid multiply per-row
+      // CPU only, never the plan shape
+      measure(s"tf preln forward ${factor}x",
+        s"docs=${5000 * factor} L=2 H=2 hid=12") {
+        val (prov, _) = graft.llm.ModelRegistry
+          .get(s"tf:${SparkEntry.TfFixture3.path}")
+        val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+        val f = udf((t: String) => tf.pooled(t, 4, "mean")(0))
+        d.select(f(col("text")).as("v")).filter(!isnan(col("v"))).count()
+      }
+      // stored-tokenizer forward (round 20): the operating regime is a
+      // FIXED tokenizer artifact (trained once, content-addressed)
+      // against the growing corpus — tokenize cost is row-local
+      // O(word len × merges applied), independent of corpus factor
+      measure(s"tf bpe forward ${factor}x",
+        s"docs=${5000 * factor} merges=6 fixed-tokenizer") {
+        val tokPath = graft.ext.Bpe.saveTokenizer(
+          graft.ext.Bpe.train(docs, "text", numMerges = 6)._1,
+          java.nio.file.Files.createTempDirectory("graft-swp-tok-").toString)
+        val (prov, _) = graft.llm.ModelRegistry
+          .get(s"tf:${SparkEntry.TfFixtureBpe.path(tokPath)}")
+        val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+        val f = udf((t: String) => tf.pooled(t, 2, "mean")(0))
+        d.select(f(col("text")).as("v")).filter(!isnan(col("v"))).count()
+      }
       locally { // dev-probe cleanup of the replica dir
         val s = java.nio.file.Files.walk(rep)
         try {

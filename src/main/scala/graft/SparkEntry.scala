@@ -344,7 +344,7 @@ object SparkEntry {
         ln2G = Some(r => 16 - r % 3),
         ln2B = Some(r => (r + 1) % 3 - 1),
         act = "gelu", hid = Hid))
-    lazy val path: String = {
+    private[graft] def renderPath(softmax: String): String = {
       def rowN(f: Int => Int, n: Int) =
         (0 until n).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
       def matN(f: (Int, Int) => Int, rows: Int, cols: Int) =
@@ -354,6 +354,7 @@ object SparkEntry {
       val bjs = Blocks.map { b =>
         val opt = b.wo.map(m => s""", "wo": ${matN(m, Dim, Dim)}""").getOrElse("")
         s"""{"heads": ${b.heads}, "pre_ln": true, "act": "gelu",
+           |  "softmax": "$softmax",
            |  "wq": ${matN(b.wq, Dim, Dim)}, "wk": ${matN(b.wk, Dim, Dim)},
            |  "wv": ${matN(b.wv, Dim, Dim)},
            |  "w1": ${matN(b.w1, Hid, Dim)}, "b1": ${rowN(b.b1, Hid)},
@@ -370,6 +371,22 @@ object SparkEntry {
       java.nio.file.Files.writeString(f, json)
       f.toString
     }
+    lazy val path: String = renderPath("int")
+  }
+
+  /** The q_tf_float weights: [[TfFixture3]]'s pre-LN GELU stack with
+    * FLOAT-SOFTMAX attention — the COMPLETE GPT-2-class block function
+    * (s = q·k/√d_h, real e^x weights via the pinned exp chain): the
+    * round-19 "same function up to the integer-softmax attention" delta
+    * is closed. Same weights as TfFixture3, different attention
+    * function — both gates green pins exactly the softmax semantics. */
+  private[graft] object TfFixture4 {
+    val Dim = TfFixture3.Dim
+    val MaxLen = TfFixture3.MaxLen
+    val Hid = TfFixture3.Hid
+    val Blocks: Seq[TfBlockFix] =
+      TfFixture3.Blocks.map(_.copy(softmax = "float"))
+    lazy val path: String = TfFixture3.renderPath("float")
   }
 
   /** q_tf_bpe fixture: [[TfFixture]]'s single post-LN block plus a
@@ -1333,6 +1350,28 @@ object SparkEntry {
       require(tf.nLayers == 4 && tf.blocks.forall(b =>
           b.preLn && b.act == "gelu" && b.b1.length == TfFixture3.Hid),
         s"q_tf_preln expects a 2-block pre-LN GELU stack, loaded ${tf.blocks}")
+      val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
+      docs.select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("layer"),
+          col("pos").cast("long").as("dim"), col("col").as("val"))
+        .orderBy(col("doc_id"), col("layer"), col("dim"))
+    }),
+
+    "q_tf_float" -> ((s, dir) => {
+      // round 20: FLOAT-SOFTMAX attention — the last architecture delta
+      // closed: s = q·k/√d_h in double, weights = real e^(s−max) via the
+      // pinned exp chain (expA: reduction + [6/6] Padé + exact 2^n
+      // rescale), on top of the pre-LN + GELU stack. Same WEIGHTS as
+      // q_tf_preln (TfFixture3), different attention function — the two
+      // gates together pin the softmax semantics exactly. A converted
+      // GPT-2-class checkpoint now runs its own function to ~1e-13.
+      val docs = t(s, dir, "documents")
+      val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture4.path}")
+      val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
+      require(tf.blocks.forall(b => b.preLn && b.softmax == "float"),
+        s"q_tf_float expects a float-softmax pre-LN stack, loaded ${tf.blocks}")
       val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
       docs.select(col("doc_id"), posexplode(f(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
@@ -4665,7 +4704,8 @@ object SparkEntry {
       ln2G: Option[Int => Int] = None,
       ln2B: Option[Int => Int] = None,
       act: String = "relu",
-      hid: Int = -1) {
+      hid: Int = -1,
+      softmax: String = "int") {
     /** FFN hidden width: dim unless overridden (rectangular FFN). */
     def hidOr(dim: Int): Int = if (hid > 0) hid else dim
   }
@@ -4729,6 +4769,13 @@ object SparkEntry {
     val pw = (0 to 60).map(m =>
       (BigDecimal(1) / BigDecimal(2).pow(m)).underlying.toPlainString)
       .mkString("[", ", ", "]")
+    // float-softmax rescale table: 2^0 .. 2^-87 (x ≥ −60 ⇒ n ≥ −87) —
+    // every negative power of two is a finite decimal, multiply is exact
+    val pwfCol =
+      if (!blocks.exists(_.softmax == "float")) ""
+      else ", " + (0 to 87).map(m =>
+        (BigDecimal(1) / BigDecimal(2).pow(m)).underlying.toPlainString)
+        .mkString("[", ", ", "]") + " AS pwf"
     val blockCtes = blocks.zipWithIndex.map { case (blk, b) =>
       val H = blk.heads
       val dh = D / H
@@ -4774,18 +4821,38 @@ object SparkEntry {
            |  FROM tfp2_$b),
            |""".stripMargin
       }
+      val floatSm = blk.softmax == "float"
       val scores = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield {
         val dot = fold("0.0", (h * dh until (h + 1) * dh).map(d =>
           s"q${b}_$i[${d + 1}]*k${b}_$j[${d + 1}]"))
-        s"CAST(floor(16.0 * ($dot)) AS BIGINT) AS s${b}_${h}_${i}_$j"
+        if (floatSm)
+          // REAL attention scores: (q·k)/√d_h in double — no
+          // quantization; √ of an integer literal is correctly rounded
+          // identically on both engines
+          s"($dot) / sqrt($dh.0) AS s${b}_${h}_${i}_$j"
+        else
+          s"CAST(floor(16.0 * ($dot)) AS BIGINT) AS s${b}_${h}_${i}_$j"
       }).mkString(",\n    ")
       val maxes = (for (h <- 0 until H; i <- 0 until L) yield {
         val args = (0 to i).map(j => s"s${b}_${h}_${i}_$j").mkString(", ")
         s"greatest($args) AS m${b}_${h}_$i"
       }).mkString(",\n    ")
-      val es = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield
-        s"pw[CAST(least(m${b}_${h}_$i - s${b}_${h}_${i}_$j, 60) AS INT) + 1] AS e${b}_${h}_${i}_$j"
-      ).mkString(",\n    ")
+      // expA(xx): the provider's pinned exp chain, inlined — clamp,
+      // n = floor(xx·log2e), r = xx − n·ln2 (recomputed identically at
+      // each use), [6/6] Padé, exact 2^n rescale via the pwf table
+      def expASql(xx: String): String = {
+        val r = s"($xx - floor($xx * 1.4426950408889634) * 0.6931471805599453)"
+        val num = s"(665280.0 + $r*(332640.0 + $r*(75600.0 + $r*(10080.0 + $r*(840.0 + $r*(42.0 + $r))))))"
+        val den = s"(665280.0 - $r*(332640.0 - $r*(75600.0 - $r*(10080.0 - $r*(840.0 - $r*(42.0 - $r))))))"
+        s"CASE WHEN $xx < -60.0 THEN 0.0 ELSE ($num/$den) * " +
+          s"pwf[CAST(-floor($xx * 1.4426950408889634) AS INT) + 1] END"
+      }
+      val es = (for (h <- 0 until H; i <- 0 until L; j <- 0 to i) yield {
+        if (floatSm)
+          s"${expASql(s"(s${b}_${h}_${i}_$j - m${b}_${h}_$i)")} AS e${b}_${h}_${i}_$j"
+        else
+          s"pw[CAST(least(m${b}_${h}_$i - s${b}_${h}_${i}_$j, 60) AS INT) + 1] AS e${b}_${h}_${i}_$j"
+      }).mkString(",\n    ")
       val ss = (for (h <- 0 until H; i <- 0 until L) yield
         fold("0.0", (0 until L).map(j =>
           if (j <= i) s"e${b}_${h}_${i}_$j" else "0.0")) + s" AS sw${b}_${h}_$i"
@@ -4962,11 +5029,11 @@ object SparkEntry {
     s"""tf0 AS (
        |  $tf0Body),
        |tf1 AS (
-       |  SELECT doc_id, lang, ws, len(ws) AS n, $pw AS pw,
+       |  SELECT doc_id, lang, ws, len(ws) AS n, $pw AS pw$pwfCol,
        |    list_transform(ws, t ->
        |      CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
        |  FROM tf0),
-       |tfx AS (SELECT doc_id, lang, n, pw,
+       |tfx AS (SELECT doc_id, lang, n, pw${if (pwfCol.isEmpty) "" else ", pwf"},
        |    $xs
        |  FROM tf1),
        |$blockCtes,
@@ -5039,6 +5106,24 @@ object SparkEntry {
     s"""WITH ${tfStackCtes(TfFixture3.Blocks, "documents",
           dim = TfFixture3.Dim, maxLen = TfFixture3.MaxLen)},
        |dims AS (SELECT CAST(unnest(range(${TfFixture3.Dim})) AS BIGINT) AS dm)
+       |$pools
+       |ORDER BY doc_id, layer, dim""".stripMargin
+  }
+
+  /** q_tf_float oracle: the [[TfFixture4]] stack — tfPrelnSql's replay
+    * with float-softmax score/weight stages (REAL s = q·k/√d_h, the
+    * expA chain against the pwf power-of-two table). */
+  private def tfFloatSql: String = {
+    val pools = (0 until TfFixture4.Blocks.length).flatMap { b =>
+      Seq((2 * b + 1, s"z${b}_"), (2 * b + 2, s"y${b}_"))
+    }.map { case (layer, pre) =>
+      s"""SELECT doc_id, CAST($layer AS BIGINT) AS layer, dm AS dim,
+         |  ${tfPool(pre, "CAST(dm AS INT) + 1")} AS val
+         |FROM tfy CROSS JOIN dims""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${tfStackCtes(TfFixture4.Blocks, "documents",
+          dim = TfFixture4.Dim, maxLen = TfFixture4.MaxLen)},
+       |dims AS (SELECT CAST(unnest(range(${TfFixture4.Dim})) AS BIGINT) AS dm)
        |$pools
        |ORDER BY doc_id, layer, dim""".stripMargin
   }
@@ -7337,6 +7422,7 @@ object SparkEntry {
     // the 2-block × 2-head stack replayed end to end — all 4 layers
     "q_tf_deep" -> tfDeepSql,
     "q_tf_preln" -> tfPrelnSql,
+    "q_tf_float" -> tfFloatSql,
     "q_tf_bpe" -> tfBpeSql,
 
     // transformer activations → diff-of-means probe, replayed end to end

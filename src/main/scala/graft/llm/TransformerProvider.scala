@@ -46,7 +46,8 @@ final case class TfBlock(heads: Int,
                          preLn: Boolean = false,
                          ln2G: Option[Array[Double]] = None,
                          ln2B: Option[Array[Double]] = None,
-                         act: String = "relu")
+                         act: String = "relu",
+                         softmax: String = "int")
 
 /** IN-PROCESS TRANSFORMER inference — the narrowing of the one remaining
   * provider gap (the reference's in-process `hf:`/`tl:` torch
@@ -160,6 +161,8 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
       require(a.length == dim, s"block $bi: $n must have length dim")
     require(blk.act == "relu" || blk.act == "gelu",
       s"block $bi: act must be 'relu' or 'gelu', got '${blk.act}'")
+    require(blk.softmax == "int" || blk.softmax == "float",
+      s"block $bi: softmax must be 'int' or 'float', got '${blk.softmax}'")
     require(blk.preLn || (blk.ln2G.isEmpty && blk.ln2B.isEmpty),
       s"block $bi: ln2_g/ln2_b require pre_ln (the post-LN block has one norm)")
   }
@@ -335,24 +338,46 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
           val sw = new Array[Double](H)
           var h = 0
           while (h < H) {
-            val s = new Array[Long](maxLen)
-            var mx = Long.MinValue
-            var j = 0
-            while (j <= i) {
-              var dp = 0.0; var d = h * dh
-              while (d < (h + 1) * dh) { dp += q(i)(d) * kM(j)(d); d += 1 }
-              s(j) = math.floor(16.0 * dp).toLong
-              if (s(j) > mx) mx = s(j)
-              j += 1
-            }
-            j = 0
-            while (j <= i) {
-              val ex = math.max(s(j) - mx, -60L)
-              e(h)(j) = Math.scalb(1.0, ex.toInt)
-              j += 1
+            if (blk.softmax == "float") {
+              // REAL float softmax (round 20): s_j = (q·k)/√d_h in
+              // double, weights e^(s_j − max) via the pinned exp chain
+              // — the function a real checkpoint computes, up to expA's
+              // ~2e-15 (closing the "up to the integer-softmax" delta)
+              val s = new Array[Double](maxLen)
+              var mx = Double.NegativeInfinity
+              var j = 0
+              while (j <= i) {
+                var dp = 0.0; var d = h * dh
+                while (d < (h + 1) * dh) { dp += q(i)(d) * kM(j)(d); d += 1 }
+                s(j) = dp / math.sqrt(dh.toDouble)
+                if (s(j) > mx) mx = s(j)
+                j += 1
+              }
+              j = 0
+              while (j <= i) {
+                e(h)(j) = TransformerProvider.expA(s(j) - mx)
+                j += 1
+              }
+            } else {
+              val s = new Array[Long](maxLen)
+              var mx = Long.MinValue
+              var j = 0
+              while (j <= i) {
+                var dp = 0.0; var d = h * dh
+                while (d < (h + 1) * dh) { dp += q(i)(d) * kM(j)(d); d += 1 }
+                s(j) = math.floor(16.0 * dp).toLong
+                if (s(j) > mx) mx = s(j)
+                j += 1
+              }
+              j = 0
+              while (j <= i) {
+                val ex = math.max(s(j) - mx, -60L)
+                e(h)(j) = Math.scalb(1.0, ex.toInt)
+                j += 1
+              }
             }
             var sS = 0.0
-            j = 0
+            var j = 0
             while (j < maxLen) { sS += e(h)(j); j += 1 }
             sw(h) = sS
             h += 1
@@ -547,6 +572,30 @@ object TransformerProvider {
     }
   }
 
+  /** exp(x) for x ≤ 0 as a FIXED, SQL-replayable chain — the float-
+    * softmax sibling of [[tanhA]] (library `exp` is <1 ulp on each
+    * engine but not identically rounded across them): clamp (x < −60 ⇒
+    * 0.0 — a weight ≤ e⁻⁶⁰ ≈ 9e-27 of the row max), then the standard
+    * argument reduction n = ⌊x·log₂e⌋, r = x − n·ln2 ∈ [0, ln2), the
+    * [6/6] Padé approximant of eʳ (relative error ~2e-15 at r = ln2),
+    * and an EXACT 2ⁿ rescale (n ∈ [−87, 0]: Math.scalb here, a
+    * multiply by a literal exact-decimal power-of-two table in SQL —
+    * both exact, no subnormals at these magnitudes). Every op is
+    * correctly rounded IEEE in a pinned order; accuracy vs true exp is
+    * ~2e-15 relative (spec-swept). */
+  private[graft] def expA(x: Double): Double = {
+    if (x < -60.0) 0.0
+    else {
+      val n = math.floor(x * 1.4426950408889634)
+      val r = x - n * 0.6931471805599453
+      val num = 665280.0 + r * (332640.0 + r * (75600.0 + r * (10080.0 +
+        r * (840.0 + r * (42.0 + r)))))
+      val den = 665280.0 - r * (332640.0 - r * (75600.0 - r * (10080.0 -
+        r * (840.0 - r * (42.0 - r)))))
+      Math.scalb(num / den, n.toInt)
+    }
+  }
+
   /** The tanh-approximation GELU (Hendrycks & Gimpel 2016, the GPT-2
     * `gelu_new`): 0.5·v·(1 + tanh(√(2/π)·(v + 0.044715·v³))), with tanh
     * = [[tanhA]] and both constants as shared decimal literals (decimal
@@ -603,7 +652,8 @@ object TransformerProvider {
         preLn = n.has("pre_ln") && n.get("pre_ln").asBoolean(),
         ln2G = if (n.has("ln2_g")) Some(arr1(n.get("ln2_g"))) else None,
         ln2B = if (n.has("ln2_b")) Some(arr1(n.get("ln2_b"))) else None,
-        act = if (n.has("act")) n.get("act").asText() else "relu")
+        act = if (n.has("act")) n.get("act").asText() else "relu",
+        softmax = if (n.has("softmax")) n.get("softmax").asText() else "int")
     }
     for (f <- Seq("dim", "max_len"))
       require(root.has(f), s"$path: missing field '$f'")

@@ -37,8 +37,10 @@ ln2.b -> ln2_b) and every block is emitted with "pre_ln": true and the
 --act nonlinearity (default gelu under --pre-ln, relu otherwise).
 Without --pre-ln, ln1/ln2 tensors are still skipped with a warning —
 they belong to the other wiring; pass --pre-ln instead of --map
-re-purposing. The one remaining semantic delta vs a torch run is the
-provider's integer-softmax attention (documented, bit-replayable).
+re-purposing. Under --pre-ln the attention softmax defaults to "float"
+(real q.k/sqrt(d_h) scores + e^x weights — the checkpoint's own
+function, replayed via the provider's pinned exp chain, ~1e-13 vs a
+torch float64 run); --softmax int selects the legacy integer-softmax.
 
 Usage:
   python3 tools/make_tf_weights.py ckpt.npz -o weights.json \
@@ -176,6 +178,12 @@ def main():
     ap.add_argument("--act", choices=["relu", "gelu"], default=None,
                     help="FFN nonlinearity for every block (default: "
                          "gelu under --pre-ln, relu otherwise)")
+    ap.add_argument("--softmax", choices=["int", "float"], default=None,
+                    help="attention softmax for every block: 'float' = "
+                         "the real q.k/sqrt(d_h) + e^x softmax (the "
+                         "checkpoint's own function, SQL-replayable via "
+                         "the provider's pinned exp chain); default: "
+                         "float under --pre-ln, int otherwise")
     ap.add_argument("--attn-3d-layout",
                     choices=["dmodel-dhead", "dhead-dmodel"], default=None,
                     help="required for heads=1 checkpoints whose q/k/v "
@@ -247,6 +255,10 @@ def main():
         act = args.act if args.act else ("gelu" if args.pre_ln else "relu")
         if act != "relu":
             ob["act"] = act
+        sm = args.softmax if args.softmax else (
+            "float" if args.pre_ln else "int")
+        if sm != "int":
+            ob["softmax"] = sm
         for f in ("wq", "wk", "wv"):
             ob[f] = to_proj(b[f], args.dim, heads, f"blocks.{bi}.{f}",
                             layout3d=args.attn_3d_layout).tolist()
