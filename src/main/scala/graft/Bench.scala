@@ -158,14 +158,49 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_partial.json"
       else if (sfName != "sf0.1") s"BENCH_smoke_$sfName.json"
       else "BENCH_run.json")
-    val noisy = steady.keys.toSeq.sorted.flatMap { name =>
-      val valid = steadyPasses.flatMap(_.get(name)).filter(_ >= 0)
-      val mn = if (valid.isEmpty) -1.0 else valid.min
-      val med = steady(name)
-      if (med < 0 || (valid.length == 3 && mn > 0 && med > 1.5 * mn))
-        Some(f"$name%s med=${med}%.2f min=${mn}%.2f")
-      else None
+    // Store-paired twins: these pairs share a content-addressed runner
+    // result, so within a pass whichever runs FIRST computes and the
+    // other reads the store — under the seeded-shuffled pass orders the
+    // per-QUERY median-vs-min is structurally bimodal (r19's
+    // q_d4_pipeline 0.29→1.52 / q_d4_graph 1.24→0.08 swap). The noise
+    // check therefore scores these as a GROUP (sum the pair per pass):
+    // the family total is the stable quantity, per the record notes.
+    val twinGroups = Seq(
+      Seq("q_d4_pipeline", "q_d4_graph"))
+    val grouped = twinGroups.filter(_.forall(steady.contains))
+    val inGroup = grouped.flatten.toSet
+    def medMin(samples: Seq[Seq[Double]]): Option[(Double, Double)] = {
+      // per-pass sums; all members must be valid in all 3 passes
+      if (samples.exists(_.exists(_ < 0)) || samples.exists(_.length != 3))
+        None
+      else {
+        val sums = (0 until 3).map(p => samples.map(_(p)).sum).sorted
+        Some((sums(1), sums.head))
+      }
     }
+    // noise bound: median > 1.5× its own min AND more than 0.5 s above
+    // it — the relative bound alone trips on sub-second scheduling
+    // jitter (a 0.27 s query at 0.43 s is not a contended record)
+    def isNoisy(med: Double, mn: Double): Boolean =
+      mn > 0 && med > 1.5 * mn && med - mn > 0.5
+    val noisySingles = steady.keys.toSeq.sorted
+      .filterNot(inGroup.contains).flatMap { name =>
+        val valid = steadyPasses.flatMap(_.get(name)).filter(_ >= 0)
+        val mn = if (valid.isEmpty) -1.0 else valid.min
+        val med = steady(name)
+        if (med < 0 || (valid.length == 3 && isNoisy(med, mn)))
+          Some(f"$name%s med=${med}%.2f min=${mn}%.2f")
+        else None
+      }
+    val noisyGroups = grouped.flatMap { g =>
+      medMin(g.map(n => steadyPasses.map(_.getOrElse(n, -1.0)))) match {
+        case Some((med, mn)) if isNoisy(med, mn) =>
+          Some(f"${g.mkString("+")}%s med=${med}%.2f min=${mn}%.2f (group)")
+        case None => Some(s"${g.mkString("+")} (group had failures)")
+        case _ => None
+      }
+    }
+    val noisy = noisySingles ++ noisyGroups
     try {
       val qjson = steady.keys.toSeq.sorted.map { name =>
         val valid = steadyPasses.flatMap(_.get(name)).filter(_ >= 0)
