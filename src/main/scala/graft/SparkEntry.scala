@@ -344,7 +344,16 @@ object SparkEntry {
         ln2G = Some(r => 16 - r % 3),
         ln2B = Some(r => (r + 1) % 3 - 1),
         act = "gelu", hid = Hid))
-    private[graft] def renderPath(softmax: String): String = {
+    /** Final-LayerNorm γ/β and a DENSE vocab head (dyadic formulas) for
+      * the ln_f logits gate — rendered only when `renderPath` asks. */
+    def lnFG(r: Int): Int = 15 + (r + 1) % 2
+    def lnFB(r: Int): Int = (r + 2) % 3 - 1
+    def vocabYes(k: Int): Int = (3 * k + 1) % 9 - 4
+    def vocabNo(k: Int): Int = (5 * k + 2) % 9 - 4
+
+    private[graft] def renderPath(softmax: String,
+                                  lnF: Boolean = false,
+                                  denseVocab: Boolean = false): String = {
       def rowN(f: Int => Int, n: Int) =
         (0 until n).map(r => (f(r) / 16.0).toString).mkString("[", ",", "]")
       def matN(f: (Int, Int) => Int, rows: Int, cols: Int) =
@@ -362,10 +371,18 @@ object SparkEntry {
            |  "ln_g": ${rowN(b.lnG.get, Dim)}, "ln_b": ${rowN(b.lnB.get, Dim)},
            |  "ln2_g": ${rowN(b.ln2G.get, Dim)}, "ln2_b": ${rowN(b.ln2B.get, Dim)}$opt}""".stripMargin
       }.mkString("[", ",\n", "]")
+      val vocabJs =
+        if (denseVocab)
+          s"""{"yes": ${rowN(vocabYes, Dim)}, "no": ${rowN(vocabNo, Dim)}}"""
+        else """{"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}"""
+      val lnfJs =
+        if (lnF)
+          s""" "ln_f_g": ${rowN(lnFG, Dim)}, "ln_f_b": ${rowN(lnFB, Dim)},\n"""
+        else ""
       val json =
         s"""{"dim": $Dim, "max_len": $MaxLen,
            | "blocks": $bjs,
-           | "vocab": {"yes": [1,0,0,0,0,0,0,0], "no": [0,1,0,0,0,0,0,0]}}
+           |$lnfJs "vocab": $vocabJs}
            |""".stripMargin
       val f = java.nio.file.Files.createTempFile("graft-tf3-", ".json")
       java.nio.file.Files.writeString(f, json)
@@ -387,6 +404,10 @@ object SparkEntry {
     val Blocks: Seq[TfBlockFix] =
       TfFixture3.Blocks.map(_.copy(softmax = "float"))
     lazy val path: String = TfFixture3.renderPath("float")
+    /** The ln_f + dense-vocab-head variant (q_tf_logits): the COMPLETE
+      * GPT-2 head path — unembed(ln_f(resid_post)), pooled. */
+    lazy val pathLnF: String =
+      TfFixture3.renderPath("float", lnF = true, denseVocab = true)
   }
 
   /** q_tf_bpe fixture: [[TfFixture]]'s single post-LN block plus a
@@ -1407,6 +1428,24 @@ object SparkEntry {
         .select(col("doc_id"), col("layer"),
           col("pos").cast("long").as("dim"), col("col").as("val"))
         .orderBy(col("doc_id"), col("layer"), col("dim"))
+    }),
+
+    "q_tf_logits" -> ((s, dir) => {
+      // round 20: the COMPLETE GPT-2 head path — unembed(ln_f(resid_post))
+      // with a DENSE vocab head — through the spec-layer
+      // LLMLogitScoresOp on the float-softmax pre-LN stack. The oracle
+      // replays the whole chain: forward pass (expA softmax, GELU), the
+      // final LayerNorm per position, masked-zero mean pool, and both
+      // tokens' dense dot products in the provider's fold order.
+      val r = runnerFor(s)
+      val ds = r.fromParquet(s"$dir/documents.parquet")
+      val logits = LLMLogitScoresOp(s"tf:${TfFixture4.pathLnF}",
+        SelectTextColumnOp(ds, "text"), Seq("yes", "no"))
+      r.toFrame(logits)
+        .select(col(ColumnOps.RowIdx).as("row_idx"), posexplode(col("value")))
+        .select(col("row_idx"), col("pos").cast("long").as("pos"),
+          col("col").as("val"))
+        .orderBy(col("row_idx"), col("pos"))
     }),
 
     "q_llm_logits" -> ((s, dir) => {
@@ -5128,6 +5167,57 @@ object SparkEntry {
        |ORDER BY doc_id, layer, dim""".stripMargin
   }
 
+  /** q_tf_logits oracle: the [[TfFixture4]] `pathLnF` head path — the
+    * float-softmax forward pass, then the FINAL LayerNorm per real
+    * position (masked positions stay exact zeros), the masked-zero mean
+    * pool, and each token's dense vocab dot in the provider's ascending
+    * fold order. */
+  private def tfLogitsSql: String = {
+    val D = TfFixture4.Dim
+    val L = TfFixture4.MaxLen
+    val B = TfFixture4.Blocks.length - 1
+    import TfFixture3.{lnFG, lnFB, vocabYes, vocabNo}
+    def fold(seed: String, terms: Seq[String]) =
+      terms.foldLeft(seed)((a, t) => s"$a + $t")
+    val fmus = (0 until L).map { i =>
+      s"(${fold("0.0", (0 until D).map(d => s"y${B}_$i[${d + 1}]"))})/$D.0 AS fmu_$i"
+    }.mkString(",\n    ")
+    val fvas = (0 until L).map { i =>
+      s"(${fold("0.0", (0 until D).map(d =>
+        s"(y${B}_$i[${d + 1}]-fmu_$i)*(y${B}_$i[${d + 1}]-fmu_$i)"))})/$D.0 AS fva_$i"
+    }.mkString(",\n    ")
+    val lfs = (0 until L).map { i =>
+      val elems = (0 until D).map { d =>
+        s"(y${B}_$i[${d + 1}] - fmu_$i)/sqrt(fva_$i + 0.0000152587890625)*((${lnFG(d)})/16.0) + ((${lnFB(d)})/16.0)"
+      }.mkString(", ")
+      s"[$elems] AS lf_$i"
+    }.mkString(",\n    ")
+    val pools = (0 until D).map(k =>
+      s"${tfPool("lf_", (k + 1).toString)} AS p$k").mkString(",\n    ")
+    def logitExpr(v: Int => Int) =
+      fold("0.0", (0 until D).map(k => s"((${v(k)})/16.0)*p$k"))
+    s"""WITH ${tfStackCtes(TfFixture4.Blocks,
+          "(SELECT row_number() OVER () - 1 AS doc_id, lang, text FROM documents)",
+          dim = TfFixture4.Dim, maxLen = TfFixture4.MaxLen)},
+       |tflm AS (SELECT *,
+       |    $fmus
+       |  FROM tfy),
+       |tflv AS (SELECT *,
+       |    $fvas
+       |  FROM tflm),
+       |tflf AS (SELECT *,
+       |    $lfs
+       |  FROM tflv),
+       |tfhp AS (SELECT doc_id, n,
+       |    $pools
+       |  FROM tflf)
+       |SELECT doc_id AS row_idx, CAST(0 AS BIGINT) AS pos,
+       |  ${logitExpr(vocabYes)} AS val FROM tfhp
+       |UNION ALL
+       |SELECT doc_id, CAST(1 AS BIGINT), ${logitExpr(vocabNo)} FROM tfhp
+       |ORDER BY row_idx, pos""".stripMargin
+  }
+
   /** q_tf_bpe oracle: the BPE training CTEs ([[bpeOracleCtes]]) re-derive
     * the stored tokenizer's merges, the final segmented-word table maps
     * every word to its token list (`replace(seg, chr(31), '')`
@@ -7423,6 +7513,7 @@ object SparkEntry {
     "q_tf_deep" -> tfDeepSql,
     "q_tf_preln" -> tfPrelnSql,
     "q_tf_float" -> tfFloatSql,
+    "q_tf_logits" -> tfLogitsSql,
     "q_tf_bpe" -> tfBpeSql,
 
     // transformer activations → diff-of-means probe, replayed end to end

@@ -124,7 +124,15 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
                                 val posEmbed: Option[Array[Array[Double]]] =
                                   None,
                                 val tokenizer: Option[Seq[(String, String)]] =
-                                  None)
+                                  None,
+                                // round 20: the checkpoint's FINAL LayerNorm
+                                // (GPT-2 ln_f) — applied per position to the
+                                // last block's residual before the vocab
+                                // head (logitScores/generate only; the
+                                // layerActivations surface stays the raw
+                                // resid_post, the TransformerLens hook)
+                                val lnFG: Option[Array[Double]] = None,
+                                val lnFB: Option[Array[Double]] = None)
     extends ModelProvider {
 
   /** Round-18 single-block, single-head signature (kept for callers and
@@ -168,6 +176,8 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   }
   require(vocab.forall(_._2.length == dim),
     s"vocab vectors must have the final dim $dim")
+  for ((v, n) <- Seq(lnFG -> "ln_f_g", lnFB -> "ln_f_b"); a <- v)
+    require(a.length == dim, s"$n must have length dim ($dim)")
   require(embed.forall(_._2.length == dim),
     s"embed vectors must have length dim ($dim)")
   posEmbed.foreach(p => require(p.length == maxLen &&
@@ -511,10 +521,26 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     acc
   }
 
+  /** The vocab-head input: the pooled final state, through ln_f per
+    * position first when the checkpoint ships one (the GPT-2 head path:
+    * unembed(ln_f(h)) — pooling and ln_f commute only without γ/β, so
+    * the norm applies before the pool). */
+  private def headInput(text: String, tokenMode: String): Array[Double] = {
+    if (lnFG.isEmpty && lnFB.isEmpty) pooled(text, nLayers, "mean")
+    else {
+      val (all, n) = statesAll(text)
+      val y = all.last._2
+      val lnf = Array.tabulate(maxLen)(i =>
+        if (i >= n) new Array[Double](dim) // masked stay exact zeros
+        else layerNorm(y(i), lnFG, lnFB))
+      poolStates(lnf, n, tokenMode)
+    }
+  }
+
   override def logitScores(texts: Iterator[Seq[String]],
                            tokens: Seq[Any]): Iterator[Seq[Array[Double]]] =
     texts.map(_.map { t =>
-      val emb = pooled(t, nLayers, "mean")
+      val emb = headInput(t, "mean")
       tokens.map(tok => logit(emb, String.valueOf(tok))).toArray
     })
 
@@ -528,7 +554,7 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
         val sb = new StringBuilder(if (p == null) "" else p)
         var k = 0L
         while (k < maxTokens) {
-          val emb = pooled(sb.toString, nLayers, "mean")
+          val emb = headInput(sb.toString, "mean")
           var best: String = null
           var bestL = Double.NegativeInfinity
           for ((tok, _) <- vocabSorted) {
@@ -690,6 +716,8 @@ object TransformerProvider {
       root.get("max_len").asInt(), blocks, strMap("vocab"),
       embed = strMap("embed"),
       posEmbed = if (root.has("pos")) Some(arr2(root.get("pos"))) else None,
-      tokenizer = tok)
+      tokenizer = tok,
+      lnFG = if (root.has("ln_f_g")) Some(arr1(root.get("ln_f_g"))) else None,
+      lnFB = if (root.has("ln_f_b")) Some(arr1(root.get("ln_f_b"))) else None)
   }
 }

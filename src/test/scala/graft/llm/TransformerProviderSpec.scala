@@ -517,6 +517,36 @@ class TransformerProviderSpec extends AnyFunSuite {
         direct.pooled("bit for bit float", l, "mean").toSeq, s"layer $l")
   }
 
+  test("ln_f changes logits but not layer activations") {
+    val blk = preLnBlock(12, withWo = false).copy(softmax = "float")
+    val vocab = Seq(
+      "alpha" -> Array.tabulate(8)(k => ((3 * k + 1) % 9 - 4) / 16.0),
+      "beta" -> Array.tabulate(8)(k => ((5 * k + 2) % 9 - 4) / 16.0))
+    val base = new TransformerProvider(8, 8, Seq(blk), vocab)
+    val withF = new TransformerProvider(8, 8, Seq(blk), vocab,
+      lnFG = Some(vec(r => 15 + (r + 1) % 2)),
+      lnFB = Some(vec(r => (r + 2) % 3 - 1)))
+    val text = "the final norm gates the head"
+    // activations surface: IDENTICAL (ln_f is the head path only —
+    // resid_post stays the TransformerLens hook)
+    for (l <- 1 to 2)
+      assert(base.pooled(text, l, "mean").toSeq ==
+        withF.pooled(text, l, "mean").toSeq, s"layer $l")
+    // logits: different (unembed reads ln_f(h))
+    val lb = base.logitScores(Iterator(Seq(text)), Seq("alpha", "beta"))
+      .next().head.toSeq
+    val lf = withF.logitScores(Iterator(Seq(text)), Seq("alpha", "beta"))
+      .next().head.toSeq
+    assert(lb != lf)
+    // determinism + validation
+    assert(withF.logitScores(Iterator(Seq(text)), Seq("alpha", "beta"))
+      .next().head.toSeq == lf)
+    intercept[IllegalArgumentException] {
+      new TransformerProvider(8, 8, Seq(blk), vocab,
+        lnFG = Some(Array(1.0)))
+    }
+  }
+
   // ---- round 20: the stored-tokenizer input path ----
 
   private val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"))

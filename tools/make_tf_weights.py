@@ -213,7 +213,18 @@ def main():
     tensors = load_tensors(args.checkpoint)
     blocks = {}
     transpose_ffn = set()
+    ln_f = {}
     for name, arr in tensors.items():
+        # the checkpoint's FINAL LayerNorm (TL ln_final) — the head path's
+        # norm, mapped under --pre-ln like the block norms
+        m_f = re.match(r"^ln_final\.([wb])$", mapping.get(name, name))
+        if m_f:
+            if args.pre_ln:
+                ln_f["ln_f_g" if m_f.group(1) == "w" else "ln_f_b"] = arr
+            else:
+                print(f"warning: {name} (ln_final) skipped under the "
+                      "post-LN wiring; pass --pre-ln", file=sys.stderr)
+            continue
         ln_hit = LN_PRE.match(mapping.get(name, name))
         if ln_hit:
             if args.pre_ln:
@@ -311,6 +322,12 @@ def main():
         out_blocks.append(ob)
 
     doc = {"dim": args.dim, "max_len": args.max_len, "blocks": out_blocks}
+    for f, arr in ln_f.items():
+        v = np.asarray(arr, dtype=np.float64).reshape(-1)
+        if v.shape != (args.dim,):
+            raise SystemExit(f"ln_final.{f}: shape {v.shape}, "
+                             f"want ({args.dim},)")
+        doc[f] = v.tolist()
     if args.vocab_tokens:
         toks = args.vocab_tokens.split(",")
         if "w_u" not in tensors:
