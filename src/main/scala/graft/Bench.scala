@@ -166,7 +166,13 @@ object Bench {
     // check therefore scores these as a GROUP (sum the pair per pass):
     // the family total is the stable quantity, per the record notes.
     val twinGroups = Seq(
-      Seq("q_d4_pipeline", "q_d4_graph"))
+      Seq("q_d4_pipeline", "q_d4_graph"),
+      // q_best_graph builds the IDENTICAL MinHashNearDupPairsOp (same
+      // fixture, same args → same uuid) as q_dedup_graph — the r18/r19
+      // "q_dedup_graph median >> min" blemish was this pairing, not box
+      // noise: whichever runs first in a pass computes the pair op, the
+      // other reads its store entry
+      Seq("q_dedup_graph", "q_best_graph"))
     val grouped = twinGroups.filter(_.forall(steady.contains))
     val inGroup = grouped.flatten.toSet
     def medMin(samples: Seq[Seq[Double]]): Option[(Double, Double)] = {
