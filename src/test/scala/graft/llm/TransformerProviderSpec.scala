@@ -547,6 +547,34 @@ class TransformerProviderSpec extends AnyFunSuite {
     }
   }
 
+  test("a converted GPT-2-nano-shaped checkpoint loads and runs end to end") {
+    // src/test/resources/tl_nano_converted.json was produced OFFLINE by
+    // tools/make_tf_weights.py --pre-ln from a synthetic TransformerLens-
+    // layout npz (2 blocks x 2 heads, 4x-dim GELU FFN, float softmax,
+    // ln1/ln2/ln_final, W_E/W_pos, w_u vocab head) — the full conversion
+    // surface pinned INSIDE the suite, not just by ad-hoc tooling runs.
+    val url = getClass.getResource("/tl_nano_converted.json")
+    assert(url != null, "converted fixture missing from test resources")
+    val p = TransformerProvider.fromJson(new java.io.File(url.toURI).getPath)
+    assert(p.dim == 8 && p.maxLen == 8 && p.nLayers == 4)
+    assert(p.blocks.forall(b => b.preLn && b.act == "gelu" &&
+      b.softmax == "float" && b.heads == 2 && b.b1.length == 32 &&
+      b.wo.isDefined && b.lnG.isDefined && b.ln2G.isDefined))
+    assert(p.lnFG.isDefined && p.lnFB.isDefined)
+    assert(p.embed.map(_._1).toSet == Set("the", "of", "and", "to"))
+    assert(p.posEmbed.exists(_.length == 8))
+    assert(p.vocab.map(_._1).toSet == Set("yes", "no"))
+    // the full head path runs: finite, deterministic, order-sensitive
+    val text = "the quality of the corpus and the model"
+    val acts = p.pooled(text, 4, "mean")
+    assert(acts.length == 8 && acts.forall(v => !v.isNaN && !v.isInfinite))
+    assert(p.pooled(text, 4, "mean").toSeq == acts.toSeq)
+    assert(p.pooled("of the quality the corpus and the model", 4, "mean")
+      .toSeq != acts.toSeq)
+    val lg = p.logitScores(Iterator(Seq(text)), Seq("yes", "no")).next().head
+    assert(lg.length == 2 && lg.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   // ---- round 20: the stored-tokenizer input path ----
 
   private val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"))
