@@ -76,16 +76,22 @@ final case class TfBlock(heads: Int,
   *    dyadic formula) and all weight matrices are dyadic (n/16) too, so
   *    the q/k/v projections and q·k scores are EXACT (every product and
   *    sum stays inside the 52-bit mantissa).
-  *  - Attention uses an INTEGER-SOFTMAX per head: score =
-  *    floor(16 · q_h·k_h) over the head's component slice (exact → floor
-  *    is deterministic, no round-half ambiguity), row-max subtraction in
-  *    integers, and weights 2^(s−max) built by `Math.scalb` — exact
-  *    powers of two (no `exp`, no `pow`; the SQL twin indexes a literal
-  *    table of the same 61 values). The weighted value sums and the
-  *    single normalizing division per output component are correctly
-  *    rounded with a fixed j-ascending fold — deterministic on both
-  *    engines. An output component at index d belongs to head d/(dim/H)
-  *    — the standard concat-of-heads layout.
+  *  - Attention comes in TWO gated softmax modes. The default
+  *    INTEGER-SOFTMAX per head: score = floor(16 · q_h·k_h) over the
+  *    head's component slice (exact → floor is deterministic, no
+  *    round-half ambiguity), row-max subtraction in integers, and
+  *    weights 2^(s−max) built by `Math.scalb` — exact powers of two (no
+  *    `exp`, no `pow`; the SQL twin indexes a literal table of the same
+  *    61 values). `softmax = "float"` (round 20) is the REAL checkpoint
+  *    function: s = (q_h·k_h)/√d_h in double and weights e^(s−max) via
+  *    the pinned exp chain ([[TransformerProvider.expA]] — argument
+  *    reduction, [6/6] Padé, exact 2ⁿ rescale; ~2e-15 vs true exp,
+  *    every op correctly rounded in a fixed order, so the SQL twin
+  *    still replays every bit). In both modes the weighted value sums
+  *    and the single normalizing division per output component are
+  *    correctly rounded with a fixed j-ascending fold — deterministic
+  *    on both engines. An output component at index d belongs to head
+  *    d/(dim/H) — the standard concat-of-heads layout.
   *  - LayerNorm divides by dim (a power of two — exact) and uses IEEE
   *    `sqrt` (correctly rounded everywhere); the FFN's ReLU is written as
   *    `if (v < 0) 0 else v` and replayed as the identical CASE (not
