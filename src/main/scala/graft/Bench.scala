@@ -217,7 +217,10 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(runPath),
         record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       System.err.println(s"[bench] full per-query record written to $runPath")
-      if (runPath == "BENCH_run.json") {
+      // ADVICE r20: promotion additionally requires the record protocol's
+      // scale factor — env-forcing SPARK_GRAFT_BENCH_FULL=BENCH_run.json on
+      // a non-sf0.1 smoke must not clobber the committed sf0.1 record
+      if (runPath == "BENCH_run.json" && sfName == "sf0.1") {
         if (noisy.isEmpty) {
           java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
             record.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -2981,17 +2981,22 @@ object SparkEntry {
       // modulo splits: non-empty at every sf (sf0.001 has only 500 docs)
       Dedup.buildMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 0),
         "text", "doc_id")
-      Dedup.appendToMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 1),
+      // one handle across append/append/compact/probe (round 21): the
+      // path forms re-read the manifest per call — 4 extra driver
+      // round-trips for identical results
+      val h = Dedup.openMinhashIndex(s, idx)
+      Dedup.appendToMinhashIndex(h, docs.filter(col("doc_id") % 3 === 1),
         "text", "doc_id", tag = "a")
-      Dedup.appendToMinhashIndex(s, idx, docs.filter(col("doc_id") % 3 === 2),
+      Dedup.appendToMinhashIndex(h, docs.filter(col("doc_id") % 3 === 2),
         "text", "doc_id", tag = "b")
-      Dedup.compactMinhashIndex(s, idx)
+      Dedup.compactMinhashIndex(h)
       val batch = docs.filter(col("doc_id") < 200)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
         .union(docs.filter(col("doc_id") < 50)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
-      Dedup.minhashDedupAgainstIndex(s, idx, batch,
-          "text", "doc_id", threshold = 0.9)
+      Dedup.minhashDedupAgainstIndex(h, batch,
+          "text", "doc_id", threshold = 0.9, maxBucket = 1000,
+          excludeSeg = "")
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -3573,13 +3578,17 @@ object SparkEntry {
       // maintenance path: thousands of micro-batch segments fold back to
       // one-file-per-bucket min/max-skippable row groups.
       val idx = copyDir(bm25HeadIndexFor(s, dir))
+      // one handle across append/append/compact/probe (round 21): the
+      // path forms re-read the stats pointer per call — 4 extra driver
+      // round-trips for identical results
+      val h = Bm25.openIndex(s, idx)
       val tailDocs = s.read.parquet(bm25TailFixtureFor(s, dir))
-      Bm25.appendToIndex(tailDocs.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", idx, tag = "even")
-      Bm25.appendToIndex(tailDocs.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", idx, tag = "odd")
-      Bm25.compactIndex(s, idx)
-      Bm25.topKIndexed(s, idx, RrfTerms, k = 10)
+      Bm25.appendToIndex(h, tailDocs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", tag = "even")
+      Bm25.appendToIndex(h, tailDocs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", tag = "odd")
+      Bm25.compactIndex(h)
+      Bm25.topKIndexed(h, RrfTerms, k = 10, k1 = 1.2, b = 0.75)
         .orderBy(col("rank"))
     }),
 

@@ -265,7 +265,7 @@ object Bm25 {
     * list-position name would recycle `postings_d0` after a compaction
     * resets the list and overwrite a retired dir a grace-window reader
     * still holds; ADVICE r16). */
-  private final case class IndexStats(nDocs: Long, totalDl: Long,
+  private[ext] final case class IndexStats(nDocs: Long, totalDl: Long,
                                       nBuckets: Int, postingsDir: String,
                                       dfDir: String, deltaDirs: List[String],
                                       lastTag: String, nextSeg: Long)
@@ -291,6 +291,46 @@ object Bm25 {
       st.getAs[scala.collection.Seq[String]]("delta_dirs").toList,
       st.getAs[String]("last_tag"), st.getAs[Long]("next_seg"))
   }
+
+  /** Driver-side HANDLE over a [[buildIndex]] store for repeated
+    * probe/append/compact cycles — the streaming-ingest shape (round 21;
+    * the [[graft.ext.Dedup.MinhashIndexHandle]] / `Similarity.IvfIndexHandle`
+    * discipline applied to the text index): re-reading the stats pointer
+    * row (a versioned-dir listing plus a 1-task Spark job) and re-listing
+    * every postings directory's buckets on EVERY micro-batch is pure
+    * driver fixed overhead that sets the per-batch latency floor. Caches
+    * (a) the stats row, kept current in memory as this handle's own
+    * appends/compactions commit, and (b) each postings/delta dir's bucket
+    * listing — dirs are immutable once committed (new content always
+    * lands under a fresh versioned/tagged name).
+    *
+    * Single writer; all mutations of this store must go through the SAME
+    * handle — after an out-of-band write, call [[Bm25IndexHandle.refresh]].
+    * Driver-only object, never ships to executors. */
+  final class Bm25IndexHandle private[ext] (
+      private[ext] val spark: org.apache.spark.sql.SparkSession,
+      val path: String) {
+    private[ext] var stats: IndexStats = readStats(spark, path)
+    private val dirBuckets =
+      scala.collection.mutable.HashMap.empty[String, Array[Int]]
+    /** Live delta-segment count (what an auto-compaction policy
+      * thresholds on). */
+    def deltaSegments: Int = stats.deltaDirs.length
+    private[ext] def bucketsOf(dir: String): Array[Int] =
+      dirBuckets.getOrElseUpdate(dir, bucketDirsOf(spark, path, dir))
+    private[ext] def retireDirs(dirs: Seq[String]): Unit =
+      dirs.foreach(dirBuckets.remove)
+    /** Re-read the stats pointer and drop cached listings — required only
+      * after a DIFFERENT writer mutated the store. */
+    def refresh(): Unit = {
+      stats = readStats(spark, path); dirBuckets.clear()
+    }
+  }
+
+  /** Open a [[Bm25IndexHandle]] over an existing [[buildIndex]] store. */
+  def openIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): Bm25IndexHandle =
+    new Bm25IndexHandle(spark, path)
 
   // versioned-dir + _SUCCESS commit via StoreMeta: the pointer row is the
   // store's commit point and must never be transiently missing (a plain
@@ -371,12 +411,17 @@ object Bm25 {
   private def readPostings(spark: org.apache.spark.sql.SparkSession,
                            path: String, st: IndexStats,
                            pred: Column,
-                           buckets: Option[Seq[Int]] = None): DataFrame = {
+                           buckets: Option[Seq[Int]] = None,
+                           bucketsOfDir: String => Array[Int] = null)
+      : DataFrame = {
+    val lister: String => Array[Int] =
+      if (bucketsOfDir != null) bucketsOfDir
+      else d => bucketDirsOf(spark, path, d)
     val cols = Seq("term", "doc_id", "tf", "dl", "pos", "bucket")
     val sel = buckets.map(_.toSet)
     val paths = for {
       d <- st.postingsDir :: st.deltaDirs
-      b <- bucketDirsOf(spark, path, d) if sel.forall(_.contains(b))
+      b <- lister(d) if sel.forall(_.contains(b))
     } yield s"$path/$d/bucket=$b"
     val nb = st.nBuckets
     val bUdf = udf { t: String => math.floorMod(
@@ -453,9 +498,18 @@ object Bm25 {
     * last_tag` and skipped whole. Single writer; appends and compactions
     * must not overlap each other. */
   def appendToIndex(docs: DataFrame, idCol: String, textCol: String,
-                    path: String, tag: String = ""): Unit = {
-    val spark = docs.sparkSession
-    val st = readStats(spark, path)
+                    path: String, tag: String = ""): Unit =
+    appendToIndex(new Bm25IndexHandle(docs.sparkSession, path), docs,
+      idCol, textCol, tag)
+
+  /** Handle form of [[appendToIndex]] — the streaming-loop shape: the
+    * handle's cached stats row replaces the per-batch pointer re-read
+    * (see [[Bm25IndexHandle]]). */
+  def appendToIndex(h: Bm25IndexHandle, docs: DataFrame, idCol: String,
+                    textCol: String, tag: String): Unit = {
+    val spark = h.spark
+    val path = h.path
+    val st = h.stats
     if (tag.nonEmpty && st.lastTag == tag) return // replayed, already applied
     // idle micro-batch: committing it would add a _SUCCESS-only delta dir
     // (zero-row partitionBy write) and a useless df version — skip whole
@@ -523,6 +577,12 @@ object Bm25 {
         (st.nDocs + add.getAs[Long]("n"), st.totalDl + add.getAs[Long]("dl")),
         nb, st.postingsDir, newDfDir, st.deltaDirs :+ deltaDir, tag,
         st.nextSeg + 1L)
+      h.stats = st.copy(
+        nDocs = st.nDocs + add.getAs[Long]("n"),
+        totalDl = st.totalDl + add.getAs[Long]("dl"),
+        dfDir = newDfDir, deltaDirs = st.deltaDirs :+ deltaDir,
+        lastTag = tag, nextSeg = st.nextSeg + 1L)
+      h.retireDirs(Seq(st.dfDir))
       pruneVersions(spark, path, "df", versionOf(newDfDir))
     } finally postings.unpersist()
   }
@@ -539,8 +599,14 @@ object Bm25 {
     * compaction, all ≥ one writer cycle old — are swept first. Cost: one
     * bucket-keyed shuffle of the postings, no corpus access. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    val st = readStats(spark, path)
+                   path: String): Unit =
+    compactIndex(new Bm25IndexHandle(spark, path))
+
+  /** Handle form of [[compactIndex]] (see [[Bm25IndexHandle]]). */
+  def compactIndex(h: Bm25IndexHandle): Unit = {
+    val spark = h.spark
+    val path = h.path
+    val st = h.stats
     // sweep orphans (not referenced by the stats a concurrent probe could
     // currently hold): anything postings_d* outside st.deltaDirs
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -554,13 +620,16 @@ object Bm25 {
       }
     }
     val newDir = s"postings_v${versionOf(st.postingsDir) + 1}"
-    readPostings(spark, path, st, lit(true))
+    readPostings(spark, path, st, lit(true), buckets = None,
+        bucketsOfDir = h.bucketsOf)
       .repartition(st.nBuckets, col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$path/$newDir")
     writeStats(spark, path, (st.nDocs, st.totalDl), st.nBuckets,
       newDir, st.dfDir, Nil, st.lastTag, st.nextSeg) // counter survives
+    h.stats = st.copy(postingsDir = newDir, deltaDirs = Nil)
+    h.retireDirs(st.postingsDir :: st.deltaDirs)
     pruneVersions(spark, path, "postings", versionOf(newDir))
   }
 
@@ -653,10 +722,19 @@ object Bm25 {
     * [[rank]] term for term. */
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   terms: Seq[String], k: Int,
-                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKIndexed(new Bm25IndexHandle(spark, path), terms, k, k1, b)
+
+  /** Handle form of [[topKIndexed]] — cached stats row and per-dir bucket
+    * listings (see [[Bm25IndexHandle]]); scores identical by
+    * construction (same stats values, same scan, same fold). */
+  def topKIndexed(h: Bm25IndexHandle, terms: Seq[String], k: Int,
+                  k1: Double, b: Double): DataFrame = {
+    val spark = h.spark
+    val path = h.path
     require(terms.nonEmpty, "terms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
-    val st = readStats(spark, path)
+    val st = h.stats
     val nDocs = st.nDocs
     val totalDl = st.totalDl
     require(totalDl > 0L,
@@ -674,7 +752,8 @@ object Bm25 {
     val avgdl = lit(totalDl.toDouble) / n // same IEEE division as rank's
     val dl = col("dl").cast("double")
     val post = readPostings(spark, path, st,
-      col("term").isin(distinctTerms: _*), Some(qBuckets))
+      col("term").isin(distinctTerms: _*), Some(qBuckets),
+      bucketsOfDir = h.bucketsOf)
     val perTerm = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t,
         termContribution(col("tf"), lit(dfMap.getOrElse(t, 0L)).cast("long"),

@@ -878,9 +878,17 @@ object Corpus {
     * of row order, partitioning, and per-group row counts.
     *
     * Scale shape: the rank runs over the DISTINCT-group table only (one
-    * shuffle of group-cardinality rows — domains, not documents); the
-    * verdict joins back on the group key, broadcast when small. Output:
-    * the input plus `is_test`. */
+    * shuffle of group-cardinality rows — domains, not documents), and is
+    * the engine's scale-safe TWO-PHASE rank (round 21: the same
+    * precedent as AssignTrainTestSplitOp / UmapLayout — per-bucket local
+    * rank + broadcast prefix-sum offsets), never a single-partition
+    * global window: at 10⁸ crawl hosts the old `row_number() OVER
+    * (ORDER BY …)` form sorted the whole group universe on one executor.
+    * `__h` is uniform on [0, 2⁶⁰) by construction (md5 prefix), so the
+    * range bucket is a pure plan expression — no sampling pass — and the
+    * two-phase index reproduces the IDENTICAL total (h, g) order, hence
+    * identical split assignments. The verdict joins back on the group
+    * key, broadcast when small. Output: the input plus `is_test`. */
   def groupAwareSplit(df: DataFrame, groupCol: String,
                       testNum: Long, testDen: Long,
                       seed: Long = 19190115L): DataFrame = {
@@ -889,11 +897,14 @@ object Corpus {
       s"testNum must be in [0, $testDen], got $testNum")
     val sep = 31.toChar.toString
     val groups = df.select(col(groupCol).cast("string").as("__g")).distinct()
-    val ranked = groups
+    val hashed = groups
       .withColumn("__h", Dsir.md5Bucket60(concat_ws(sep,
         lit("gsplit"), lit(seed), col("__g"))))
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__h"), col("__g"))).cast("long") - 1L)
+    val ranked = graft.ops.ColumnOps.withRowIdxByKnownRange(hashed,
+        graft.ops.ColumnOps.rangeBucket(hashed, col("__h"),
+          1.152921504606847e18 /* 2^60: md5Bucket60's range */),
+        col("__h"), col("__g"))
+      .withColumnRenamed(graft.ops.ColumnOps.RowIdx, "__rk")
     val flagged = ranked
       .crossJoin(broadcast(groups.agg(count(lit(1)).as("__ng"))))
       .select(col("__g"),

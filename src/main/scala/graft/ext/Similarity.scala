@@ -326,7 +326,7 @@ object Similarity {
       .parquet(segDir)
   }
 
-  private final case class IvfMeta(segments: List[String], lastTag: String,
+  private[ext] final case class IvfMeta(segments: List[String], lastTag: String,
                                    nextSeg: Long,
                                    centDir: String = "centroids",
                                    ingestCkpt: String = "")
@@ -357,6 +357,67 @@ object Similarity {
       path, "meta")
   }
 
+  /** Driver-side HANDLE over a stored IVF / IVF-PQ index for repeated
+    * probe/append/compact cycles — the streaming-ingest shape: the
+    * [[graft.ext.Dedup.MinhashIndexHandle]] discipline (round 16: manifest
+    * re-reads cost `q_incr_stream` +54%) applied to the ANN stores, round
+    * 21. Without it every probe/append/compact call re-reads the manifest
+    * row (a listing + a 1-task Spark job), re-collects the centroid table
+    * (and the PQ codebooks), and re-lists every segment's cell
+    * directories — per-MICRO-BATCH fixed overhead that bounds streaming
+    * ingest latency at any scale (guide §5: the driver should do almost
+    * no data work; these are pure driver round-trips). Caches:
+    *
+    *  (a) the manifest row, kept current in memory as this handle's own
+    *      appends/compactions commit — no read-back of state this writer
+    *      just wrote;
+    *  (b) centroid arrays per centroid DIR — dirs are immutable
+    *      (recentring writes a fresh `centroids_g<gen>` and flips the
+    *      pointer, so a new dir is a new cache key);
+    *  (c) the PQ codebooks — immutable for the store's whole life;
+    *  (d) each segment's `cell=N` directory listing — segments are
+    *      immutable once committed; retired segments are dropped when
+    *      this handle's own compaction retires them.
+    *
+    * Single writer (the store's standing contract); all mutations of this
+    * store must go through the SAME handle — after an out-of-band write,
+    * call [[refresh]]. Driver-only object, never ships to executors. */
+  final class IvfIndexHandle private[ext] (
+      private[ext] val spark: org.apache.spark.sql.SparkSession,
+      val path: String) {
+    private[ext] var meta: IvfMeta = readIvfMeta(spark, path)
+    private val centCache =
+      scala.collection.mutable.HashMap.empty[String, Array[(Int, Seq[Float])]]
+    private var cbCache: Option[PqCodebooks] = None
+    private val segCells =
+      scala.collection.mutable.HashMap.empty[String, Seq[(Int, String)]]
+    /** The manifest's live segment list (probe view; an auto-compaction
+      * policy thresholds on its length). */
+    def liveSegments: List[String] = meta.segments
+    private[ext] def centroids(dir: String): Array[(Int, Seq[Float])] =
+      centCache.getOrElseUpdate(dir, readCentroids(spark, path, dir))
+    private[ext] def codebooks: PqCodebooks = cbCache.getOrElse {
+      val cb = readCodebooks(spark, path); cbCache = Some(cb); cb
+    }
+    /** `(cell, dirPath)` of one committed segment — listed once for the
+      * segment's immutable life. */
+    private[ext] def cellDirs(seg: String): Seq[(Int, String)] =
+      segCells.getOrElseUpdate(seg, listCellDirs(spark, s"$path/$seg"))
+    private[ext] def retireSegments(retired: Seq[String]): Unit =
+      retired.foreach(segCells.remove)
+    /** Re-read the manifest and drop every cache — required only after a
+      * DIFFERENT writer mutated the store. */
+    def refresh(): Unit = {
+      meta = readIvfMeta(spark, path)
+      centCache.clear(); cbCache = None; segCells.clear()
+    }
+  }
+
+  /** Open a [[IvfIndexHandle]] over an existing IVF / IVF-PQ store. */
+  def openIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): IvfIndexHandle =
+    new IvfIndexHandle(spark, path)
+
   /** Record the streaming-ingest checkpoint on a stored IVF index — the
     * ingest sink calls this before its query starts, so
     * [[compactIvfIndex]]`(recentre = true)` can enforce the quiesce
@@ -364,10 +425,17 @@ object Similarity {
     * (ADVICE r19: the opt-in guard left the crash-replay hazard
     * reachable by default on stream-fed stores). */
   def recordIvfIngestCheckpoint(spark: org.apache.spark.sql.SparkSession,
-                                path: String, checkpoint: String): Unit = {
-    val m = readIvfMeta(spark, path)
-    if (m.ingestCkpt != checkpoint)
-      writeIvfMeta(spark, path, m.copy(ingestCkpt = checkpoint))
+                                path: String, checkpoint: String): Unit =
+    recordIvfIngestCheckpoint(new IvfIndexHandle(spark, path), checkpoint)
+
+  /** Handle form of [[recordIvfIngestCheckpoint]]. */
+  def recordIvfIngestCheckpoint(h: IvfIndexHandle,
+                                checkpoint: String): Unit = {
+    if (h.meta.ingestCkpt != checkpoint) {
+      val committed = h.meta.copy(ingestCkpt = checkpoint)
+      writeIvfMeta(h.spark, h.path, committed)
+      h.meta = committed
+    }
   }
 
   /** The manifest's live segment list (probe view; an auto-compaction
@@ -390,17 +458,27 @@ object Similarity {
     * run the recall gate against a brute-force sample). */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                        newRows: DataFrame, corpusId: String,
-                       corpusVec: String, tag: String = ""): Unit = {
-    val m = readIvfMeta(spark, path)
+                       corpusVec: String, tag: String = ""): Unit =
+    appendToIvfIndex(new IvfIndexHandle(spark, path), newRows, corpusId,
+      corpusVec, tag)
+
+  /** Handle form of [[appendToIvfIndex]] — the streaming-loop shape: the
+    * handle's cached manifest and centroid arrays replace the per-batch
+    * meta/centroid re-reads (see [[IvfIndexHandle]]). */
+  def appendToIvfIndex(h: IvfIndexHandle, newRows: DataFrame,
+                       corpusId: String, corpusVec: String,
+                       tag: String): Unit = {
+    val m = h.meta
     if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
     if (newRows.isEmpty) return // idle micro-batch: no junk segment
-    val cents = readCentroids(spark, path, m.centDir)
+    val cents = h.centroids(m.centDir)
     val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
     writeIvfSegment(newRows, corpusId, corpusVec, new CentArrays(cents),
-      s"$path/$seg")
-    writeIvfMeta(spark, path,
-      m.copy(segments = m.segments :+ seg, lastTag = tag,
-        nextSeg = m.nextSeg + 1L))
+      s"${h.path}/$seg")
+    val committed = m.copy(segments = m.segments :+ seg, lastTag = tag,
+      nextSeg = m.nextSeg + 1L)
+    writeIvfMeta(h.spark, h.path, committed)
+    h.meta = committed
   }
 
   /** COMPACT a segmented IVF store back to one generation: every live
@@ -444,8 +522,24 @@ object Similarity {
                       path: String, recentre: Boolean,
                       recentreIters: Int = 5,
                       recentreSeed: Long = 42L,
-                      quiesceCheckpoint: Option[String] = None): Unit = {
-    val m = readIvfMeta(spark, path)
+                      quiesceCheckpoint: Option[String] = None): Unit =
+    compactIvfIndex(new IvfIndexHandle(spark, path), recentre,
+      recentreIters, recentreSeed, quiesceCheckpoint)
+
+  /** Handle form of [[compactIvfIndex]] (see [[IvfIndexHandle]]). */
+  def compactIvfIndex(h: IvfIndexHandle): Unit =
+    compactIvfIndex(h, recentre = false, recentreIters = 5,
+      recentreSeed = 42L, quiesceCheckpoint = None)
+
+  /** Handle form of [[compactIvfIndex]] with recentring (no default
+    * arguments — Scala forbids defaults on two overloads of one name). */
+  def compactIvfIndex(h: IvfIndexHandle, recentre: Boolean,
+                      recentreIters: Int,
+                      recentreSeed: Long,
+                      quiesceCheckpoint: Option[String]): Unit = {
+    val spark = h.spark
+    val path = h.path
+    val m = h.meta
     // round 20: the guard is AUTOMATIC for stream-fed stores — the
     // ingest sink records its checkpoint in the meta, so recentring
     // enforces the quiesce even when the caller passes nothing
@@ -477,9 +571,9 @@ object Similarity {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    val liveRows = ivfCorpus(spark, path, m.segments, cells = None)
-    if (recentre) {
-      val nlist = readCentroids(spark, path, m.centDir).length
+    val liveRows = ivfCorpus(h, m.segments, cells = None)
+    val committed = if (recentre) {
+      val nlist = h.centroids(m.centDir).length
       val cents = kmeansCentroids(liveRows.select(col("vec")), "vec",
         nlist, recentreIters, recentreSeed)
       val centDir = s"centroids_g$gen"
@@ -489,16 +583,18 @@ object Similarity {
         .coalesce(1).write.mode("overwrite").parquet(s"$path/$centDir")
       writeIvfSegment(liveRows.select(col("corpus_id"), col("vec")),
         "corpus_id", "vec", new CentArrays(cents), s"$path/$newSeg")
-      writeIvfMeta(spark, path,
-        m.copy(segments = List(newSeg), centDir = centDir))
+      m.copy(segments = List(newSeg), centDir = centDir)
     } else {
       liveRows
         .withColumn("cell_d", col("cell"))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/$newSeg")
-      writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
+      m.copy(segments = List(newSeg))
     }
+    writeIvfMeta(spark, path, committed)
+    h.retireSegments(m.segments)
+    h.meta = committed
   }
 
   /** Newest batch id recorded in a Structured Streaming checkpoint log
@@ -520,18 +616,38 @@ object Similarity {
     * never listed; the cell id is read from the in-file `cell_d` copy). */
   private def ivfCorpus(spark: org.apache.spark.sql.SparkSession,
                         path: String, segs: Seq[String],
-                        cells: Option[Seq[Int]]): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
+                        cells: Option[Seq[Int]]): DataFrame =
+    ivfCorpusFromDirs(spark, path, segs,
+      segs.flatMap(s => listCellDirs(spark, s"$path/$s")), cells)
+
+  /** Handle form: each committed segment's cell listing comes from the
+    * handle's cache (segments are immutable — one listing per segment
+    * life instead of one per probe; see [[IvfIndexHandle]]). */
+  private def ivfCorpus(h: IvfIndexHandle, segs: Seq[String],
+                        cells: Option[Seq[Int]]): DataFrame =
+    ivfCorpusFromDirs(h.spark, h.path, segs,
+      segs.flatMap(s => h.cellDirs(s)), cells)
+
+  private[ext] def listCellDirs(spark: org.apache.spark.sql.SparkSession,
+                                segDir: String): Seq[(Int, String)] = {
+    val segPath = new org.apache.hadoop.fs.Path(segDir)
+    val fs = segPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (if (fs.exists(segPath)) fs.listStatus(segPath).toSeq else Nil)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("cell="))
+          Some((n.substring("cell=".length).toInt, st.getPath.toString))
+        else None
+      }
+  }
+
+  private def ivfCorpusFromDirs(spark: org.apache.spark.sql.SparkSession,
+                                path: String, segs: Seq[String],
+                                dirs: Seq[(Int, String)],
+                                cells: Option[Seq[Int]]): DataFrame = {
     val sel = cells.map(_.toSet)
-    val paths = for {
-      s <- segs
-      segPath = new org.apache.hadoop.fs.Path(s"$path/$s")
-      fs = segPath.getFileSystem(hconf)
-      st <- if (fs.exists(segPath)) fs.listStatus(segPath).toSeq else Nil
-      n = st.getPath.getName
-      if n.startsWith("cell=") &&
-        sel.forall(_.contains(n.substring("cell=".length).toInt))
-    } yield st.getPath.toString
+    val paths = dirs.collect {
+      case (cell, p) if sel.forall(_.contains(cell)) => p }
     if (paths.isEmpty)
       // rare (a probe whose cells match nothing stored): an all-false
       // filter over the base segment keeps the schema without reading rows
@@ -568,18 +684,23 @@ object Similarity {
     * multi-scan applied to the PQ store. */
   private def pqCorpus(spark: org.apache.spark.sql.SparkSession,
                        path: String, segs: Seq[String],
-                       cells: Option[Seq[Int]]): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
+                       cells: Option[Seq[Int]]): DataFrame =
+    pqCorpusFromDirs(spark, path, segs,
+      segs.flatMap(s => listCellDirs(spark, s"$path/$s")), cells)
+
+  /** Handle form: cached per-segment cell listings (see [[ivfCorpus]]). */
+  private def pqCorpus(h: IvfIndexHandle, segs: Seq[String],
+                       cells: Option[Seq[Int]]): DataFrame =
+    pqCorpusFromDirs(h.spark, h.path, segs,
+      segs.flatMap(s => h.cellDirs(s)), cells)
+
+  private def pqCorpusFromDirs(spark: org.apache.spark.sql.SparkSession,
+                               path: String, segs: Seq[String],
+                               dirs: Seq[(Int, String)],
+                               cells: Option[Seq[Int]]): DataFrame = {
     val sel = cells.map(_.toSet)
-    val paths = for {
-      s <- segs
-      segPath = new org.apache.hadoop.fs.Path(s"$path/$s")
-      fs = segPath.getFileSystem(hconf)
-      st <- if (fs.exists(segPath)) fs.listStatus(segPath).toSeq else Nil
-      n = st.getPath.getName
-      if n.startsWith("cell=") &&
-        sel.forall(_.contains(n.substring("cell=".length).toInt))
-    } yield st.getPath.toString
+    val paths = dirs.collect {
+      case (cell, p) if sel.forall(_.contains(cell)) => p }
     if (paths.isEmpty)
       spark.read.parquet(s"$path/${segs.head}").filter(lit(false))
         .select(col("cell"), col("corpus_id"), col("codes"), col("r2"))
@@ -600,18 +721,26 @@ object Similarity {
     * `tag` makes the append EXACTLY-ONCE under streaming replay. */
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                          newRows: DataFrame, corpusId: String,
-                         corpusVec: String, tag: String = ""): Unit = {
-    val m = readIvfMeta(spark, path)
+                         corpusVec: String, tag: String = ""): Unit =
+    appendToIvfPqIndex(new IvfIndexHandle(spark, path), newRows, corpusId,
+      corpusVec, tag)
+
+  /** Handle form of [[appendToIvfPqIndex]] (see [[IvfIndexHandle]]). */
+  def appendToIvfPqIndex(h: IvfIndexHandle, newRows: DataFrame,
+                         corpusId: String, corpusVec: String,
+                         tag: String): Unit = {
+    val m = h.meta
     if (tag.nonEmpty && m.lastTag == tag) return // replayed, already applied
     if (newRows.isEmpty) return // idle micro-batch: no junk segment
-    val cents = readCentroids(spark, path, m.centDir)
-    val cb = readCodebooks(spark, path)
+    val cents = h.centroids(m.centDir)
+    val cb = h.codebooks
     val seg = if (tag.nonEmpty) s"seg_$tag" else s"seg_${m.nextSeg}"
     writePqSegment(newRows, corpusId, corpusVec, new CentArrays(cents), cb,
-      s"$path/$seg")
-    writeIvfMeta(spark, path,
-      m.copy(segments = m.segments :+ seg, lastTag = tag,
-        nextSeg = m.nextSeg + 1L))
+      s"${h.path}/$seg")
+    val committed = m.copy(segments = m.segments :+ seg, lastTag = tag,
+      nextSeg = m.nextSeg + 1L)
+    writeIvfMeta(h.spark, h.path, committed)
+    h.meta = committed
   }
 
   /** COMPACT a segmented [[buildIvfPqIndex]] store back to one
@@ -620,8 +749,14 @@ object Similarity {
     * drift the quantization). Orphans swept with the one-generation
     * grace window. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
-    val m = readIvfMeta(spark, path)
+                        path: String): Unit =
+    compactIvfPqIndex(new IvfIndexHandle(spark, path))
+
+  /** Handle form of [[compactIvfPqIndex]] (see [[IvfIndexHandle]]). */
+  def compactIvfPqIndex(h: IvfIndexHandle): Unit = {
+    val spark = h.spark
+    val path = h.path
+    val m = h.meta
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = m.segments.toSet
@@ -636,12 +771,15 @@ object Similarity {
         scala.util.Try(s.drop(5).toInt).getOrElse(-1)
     } match { case Nil => 0; case gs => gs.max + 1 }
     val newSeg = s"seg_c$gen"
-    pqCorpus(spark, path, m.segments, cells = None)
+    pqCorpus(h, m.segments, cells = None)
       .withColumn("cell_d", col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/$newSeg")
-    writeIvfMeta(spark, path, m.copy(segments = List(newSeg)))
+    val committed = m.copy(segments = List(newSeg))
+    writeIvfMeta(spark, path, committed)
+    h.retireSegments(m.segments)
+    h.meta = committed
   }
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -690,8 +828,19 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int, nprobe: Int,
+                     excludeIds: Option[DataFrame]): DataFrame =
+    ivfTopKIndexed(new IvfIndexHandle(spark, path), queries, queryId,
+      queryVec, k, nprobe, excludeIds)
+
+  /** Handle form of [[ivfTopKIndexed]] — reuses the handle's cached
+    * manifest, centroid arrays, and per-segment cell listings across
+    * micro-batches (see [[IvfIndexHandle]]). */
+  def ivfTopKIndexed(h: IvfIndexHandle,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int, nprobe: Int,
                      excludeIds: Option[DataFrame]): DataFrame = {
-    val cents = readCentroids(spark, path, readIvfMeta(spark, path).centDir)
+    val spark = h.spark
+    val cents = h.centroids(h.meta.centDir)
     val bc = spark.sparkContext.broadcast(new CentArrays(cents))
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
       bc.value.probe(v, nprobe)
@@ -703,7 +852,9 @@ object Similarity {
     // pruning; bounded by nlist (tiny) regardless of query count
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c0 = prunedCorpusScan(spark, path, cells)
+    val c0 = ivfCorpus(h, h.meta.segments, Some(cells.toSeq))
+      .select(col("cell"), col("corpus_id"), col("vec").as("__cv"),
+        col("vnorm").as("__cn"))
     val c = excludeIds.map { d =>
       // normalize BOTH sides to long (the stored-index family's id
       // contract, same as minhashDedupAgainstIndex's excludeDocs): a
@@ -1097,10 +1248,20 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                        queries: DataFrame, queryId: String, queryVec: String,
                        k: Int, nprobe: Int,
+                       excludeIds: Option[DataFrame]): DataFrame =
+    ivfPqTopKIndexed(new IvfIndexHandle(spark, path), queries, queryId,
+      queryVec, k, nprobe, excludeIds)
+
+  /** Handle form of [[ivfPqTopKIndexed]] — cached manifest, centroids,
+    * codebooks, and segment listings (see [[IvfIndexHandle]]). */
+  def ivfPqTopKIndexed(h: IvfIndexHandle,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       k: Int, nprobe: Int,
                        excludeIds: Option[DataFrame]): DataFrame = {
-    val m = readIvfMeta(spark, path)
-    val cents = readCentroids(spark, path, m.centDir)
-    val cb = readCodebooks(spark, path)
+    val spark = h.spark
+    val m = h.meta
+    val cents = h.centroids(m.centDir)
+    val cb = h.codebooks
     val bcCents = spark.sparkContext.broadcast(new CentArrays(cents))
     val bcCb = spark.sparkContext.broadcast(cb)
     val probeUdf = udf { v: scala.collection.Seq[Float] =>
@@ -1112,7 +1273,7 @@ object Similarity {
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cells = q.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val c0 = pqCorpus(spark, path, m.segments, Some(cells))
+    val c0 = pqCorpus(h, m.segments, Some(cells.toSeq))
     val c = excludeIds.map { d =>
       val ex = broadcast(
         d.select(col(d.columns.head).cast("long").as("__exid")).distinct())

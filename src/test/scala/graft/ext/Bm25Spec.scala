@@ -335,4 +335,47 @@ class Bm25Spec extends SparkTestBase {
       Bm25.rankMany(docs, "doc_id", "text", Seq(0L -> Seq.empty), k = 1)
     }
   }
+
+  test("Bm25IndexHandle: handle-threaded append/compact/probe equals the " +
+       "path forms bit for bit") {
+    // round 21: the ingest sink threads ONE handle through the per-batch
+    // append/compact/probe loop (cached stats row + per-dir bucket
+    // listings — the per-batch pointer re-reads removed); this pins the
+    // handle path's results against the per-call path forms on identical
+    // stores, including cache currency across the handle's own mutations.
+    val rng = new scala.util.Random(41)
+    val vocab = Seq("alfa", "beta", "gamma", "delta")
+    val all = (1L to 40L).map(i =>
+      (i, Seq.fill(2 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val head = all.filter(_._1 <= 15).toDF("doc_id", "text")
+    val b0 = all.filter(t => t._1 > 15 && t._1 <= 28).toDF("doc_id", "text")
+    val b1 = all.filter(_._1 > 28).toDF("doc_id", "text")
+    val terms = Seq("alfa", "gamma")
+    def probe(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val pIdx = java.nio.file.Files.createTempDirectory("bm25-h-p-").toString
+    Bm25.buildIndex(head, "doc_id", "text", pIdx, numBuckets = 4)
+    Bm25.appendToIndex(b0, "doc_id", "text", pIdx, tag = "b0")
+    Bm25.compactIndex(spark, pIdx)
+    Bm25.appendToIndex(b1, "doc_id", "text", pIdx, tag = "b1")
+    val pGot = probe(Bm25.topKIndexed(spark, pIdx, terms, k = 10))
+
+    val hIdx = java.nio.file.Files.createTempDirectory("bm25-h-h-").toString
+    Bm25.buildIndex(head, "doc_id", "text", hIdx, numBuckets = 4)
+    val h = Bm25.openIndex(spark, hIdx)
+    // warm the listing cache before the mutations: the handle must keep
+    // it current through its own append (df version flip) and compaction
+    probe(Bm25.topKIndexed(h, terms, k = 10, k1 = 1.2, b = 0.75))
+    Bm25.appendToIndex(h, b0, "doc_id", "text", tag = "b0")
+    Bm25.compactIndex(h)
+    Bm25.appendToIndex(h, b1, "doc_id", "text", tag = "b1")
+    val hGot = probe(Bm25.topKIndexed(h, terms, k = 10, k1 = 1.2, b = 0.75))
+    assert(hGot === pGot, "BM25 handle probe diverged from path form")
+    // replay detection still works through the cached stats row
+    Bm25.appendToIndex(h, b1, "doc_id", "text", tag = "b1")
+    assert(h.deltaSegments === Bm25.deltaSegmentCount(spark, hIdx),
+      "cached stats drifted from the committed pointer")
+  }
 }

@@ -1081,4 +1081,71 @@ class ExtSpec extends SparkTestBase {
     assert(counts(Seq("a")) === Map(1L -> 2L, 2L -> 3L, 3L -> 1L,
       4L -> 1L, 5L -> 0L, 6L -> 1L))
   }
+
+  test("IvfIndexHandle: handle-threaded append/compact/probe equals the " +
+       "path forms bit for bit (IVF and IVF-PQ)") {
+    // round 21: the streaming sinks thread ONE handle through the
+    // probe/append/compact loop (cached manifest + centroids + codebooks
+    // + segment listings — driver round-trips removed); this pins the
+    // handle path's RESULTS against the per-call path forms on identical
+    // stores, including cache currency across the handle's own mutations
+    // (append flips the manifest, compact retires segments).
+    val rng = new scala.util.Random(23)
+    def vec() = Array.fill(8)(rng.nextFloat()).toSeq
+    val corpus = (0 until 60).map(i => (i.toLong, vec()))
+    val head = corpus.take(20).toDF("vec_id", "embedding")
+    val b0 = corpus.slice(20, 40).toDF("vec_id", "embedding")
+    val b1 = corpus.slice(40, 60).toDF("vec_id", "embedding")
+    val queries = head.filter($"vec_id" < 4)
+    def run(df: DataFrame) = df.orderBy("query_id", "rank").collect().toSeq
+
+    // IVF: path-form store (control) vs handle-threaded store
+    val cents = Similarity.kmeansCentroids(head, "embedding", nlist = 4)
+    val pIdx = java.nio.file.Files.createTempDirectory("ivf-h-p-").toString
+    Similarity.buildIvfIndex(head, "vec_id", "embedding", cents, pIdx)
+    Similarity.appendToIvfIndex(spark, pIdx, b0, "vec_id", "embedding", "b0")
+    Similarity.compactIvfIndex(spark, pIdx)
+    Similarity.appendToIvfIndex(spark, pIdx, b1, "vec_id", "embedding", "b1")
+    val pGot = run(Similarity.ivfTopKIndexed(spark, pIdx, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val hIdx = java.nio.file.Files.createTempDirectory("ivf-h-h-").toString
+    Similarity.buildIvfIndex(head, "vec_id", "embedding", cents, hIdx)
+    val h = Similarity.openIvfIndex(spark, hIdx)
+    // probe BEFORE the mutations too, so the listing cache is warm and
+    // must be invalidated correctly by the handle's own append/compact
+    run(Similarity.ivfTopKIndexed(h, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, excludeIds = None))
+    Similarity.appendToIvfIndex(h, b0, "vec_id", "embedding", "b0")
+    Similarity.compactIvfIndex(h)
+    Similarity.appendToIvfIndex(h, b1, "vec_id", "embedding", "b1")
+    val hGot = run(Similarity.ivfTopKIndexed(h, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, excludeIds = None))
+    assert(hGot === pGot, "IVF handle probe diverged from path form")
+    // replay detection still works through the cached manifest
+    Similarity.appendToIvfIndex(h, b1, "vec_id", "embedding", "b1")
+    assert(h.liveSegments === Similarity.ivfLiveSegments(spark, hIdx),
+      "cached manifest drifted from the committed one")
+
+    // IVF-PQ: same discipline over the codes store
+    val cb = Similarity.pqCodebooksByIds(head, "vec_id", "embedding",
+      m = 4, 0L until 8L)
+    val pPq = java.nio.file.Files.createTempDirectory("pq-h-p-").toString
+    Similarity.buildIvfPqIndex(head, "vec_id", "embedding", cents, cb, pPq)
+    Similarity.appendToIvfPqIndex(spark, pPq, b0, "vec_id", "embedding", "b0")
+    Similarity.compactIvfPqIndex(spark, pPq)
+    Similarity.appendToIvfPqIndex(spark, pPq, b1, "vec_id", "embedding", "b1")
+    val pPqGot = run(Similarity.ivfPqTopKIndexed(spark, pPq, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val hPq = java.nio.file.Files.createTempDirectory("pq-h-h-").toString
+    Similarity.buildIvfPqIndex(head, "vec_id", "embedding", cents, cb, hPq)
+    val h2 = Similarity.openIvfIndex(spark, hPq)
+    run(Similarity.ivfPqTopKIndexed(h2, queries, "vec_id", "embedding",
+      k = 5, nprobe = 2, excludeIds = None))
+    Similarity.appendToIvfPqIndex(h2, b0, "vec_id", "embedding", "b0")
+    Similarity.compactIvfPqIndex(h2)
+    Similarity.appendToIvfPqIndex(h2, b1, "vec_id", "embedding", "b1")
+    val hPqGot = run(Similarity.ivfPqTopKIndexed(h2, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, excludeIds = None))
+    assert(hPqGot === pPqGot, "IVF-PQ handle probe diverged from path form")
+  }
 }
