@@ -126,6 +126,19 @@ object ScaleProbe {
           .agg(coalesce(sum(col("score_u6")), lit(0L)))
           .collect()(0).getLong(0)
       }
+      // group-aware split: the round-21 two-phase rank over the DISTINCT
+      // group universe (the pre-r21 form was an unpartitioned row_number
+      // window — a single-executor sort of every crawl host). The claim
+      // is per-partition flatness: wall grows ~linearly with the group
+      // count, shuffle carries only (group, hash) rows, and no stage is a
+      // one-partition sort. One row per group suffices (the rank runs
+      // over DISTINCT groups).
+      measure(s"group split rank ${factor}x", s"groups=${50000 * factor}") {
+        val g = spark.range(50000L * factor)
+          .select(concat(lit("host-"), col("id")).as("grp"))
+        graft.ext.Corpus.groupAwareSplit(g, "grp", 1L, 10L)
+          .filter(col("is_test")).count()
+      }
       // batch BM25: 8 term-list queries in ONE corpus pass — the claim is
       // that the batch costs ~one rank run, not 8 (union stats row, one
       // tf pass, per-query WindowGroupLimit cutting to k rows per query

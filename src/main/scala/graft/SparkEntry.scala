@@ -1247,15 +1247,17 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val (prov, _) = graft.llm.ModelRegistry.get(s"tf:${TfFixture.path}")
       val tf = prov.asInstanceOf[graft.llm.TransformerProvider]
-      val f1 = udf((t: String) => tf.pooled(t, 1, "mean"))
-      val f2 = udf((t: String) => tf.pooled(t, 2, "mean"))
-      val base = docs.select(col("doc_id"), f1(col("text")).as("l1"),
-        f2(col("text")).as("l2"))
-      base.select(col("doc_id"), lit(1L).as("layer"), posexplode(col("l1")))
-        .unionAll(base.select(col("doc_id"), lit(2L).as("layer"),
-          posexplode(col("l2"))))
-        .select(col("doc_id"), col("layer"), col("pos").cast("long").as("dim"),
-          col("col").as("val"))
+      // round 21: ONE scan, ONE forward pass per document (pooledAll) —
+      // the q_tf_deep pattern; the previous per-layer UDF pair ran the
+      // whole stack (and tokenization) once PER LAYER per row, 2× the
+      // per-row cost for bit-identical pooled values (pooledAll pools
+      // the same statesAll run both twins replay)
+      val f = udf((t: String) => tf.pooledAll(t, "mean").map(_.toSeq))
+      docs.select(col("doc_id"), posexplode(f(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("layer"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("layer"),
+          col("pos").cast("long").as("dim"), col("col").as("val"))
         .orderBy(col("doc_id"), col("layer"), col("dim"))
     }),
 

@@ -221,15 +221,18 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
   }
 
   /** The provider's token stream for `text`. Without a tokenizer: the
-    * round-18 whitespace split (`[ \t\n\f\r]+`). With one: the Bpe
-    * discipline's trim + `\s+` word split, each word BPE-encoded, the
-    * flattened stream truncated at maxLen subwords. */
+    * round-18 whitespace split (`[ \t\n\f\r]+`). With one: the same
+    * explicit class (ADVICE r20: Java `\s+` also matches U+000B vertical
+    * tab, which the DuckDB oracle's RE2 `\s+` does NOT — the explicit
+    * class pins both sides to one charset, the non-tokenizer path's
+    * standing discipline), each word BPE-encoded, the flattened stream
+    * truncated at maxLen subwords. */
   private def tokenize(text: String): Array[String] = {
     val t = if (text == null) "" else text
     if (tokenizer.isEmpty)
       t.split("[ \t\n\f\r]+").filter(_.nonEmpty).take(maxLen)
     else
-      t.trim.split("\\s+").iterator.filter(_.nonEmpty).take(maxLen)
+      t.trim.split("[ \t\n\f\r]+").iterator.filter(_.nonEmpty).take(maxLen)
         .flatMap(w =>
           graft.ext.Bpe.tokenizeWordRanked(w, tokMergesArr, tokRanks))
         .take(maxLen).toArray
@@ -532,7 +535,10 @@ final class TransformerProvider(val dim: Int, val maxLen: Int,
     * unembed(ln_f(h)) — pooling and ln_f commute only without γ/β, so
     * the norm applies before the pool). */
   private def headInput(text: String, tokenMode: String): Array[Double] = {
-    if (lnFG.isEmpty && lnFB.isEmpty) pooled(text, nLayers, "mean")
+    // ADVICE r20: thread tokenMode through BOTH branches (the no-ln_f arm
+    // hard-coded "mean"; both current callers pass "mean", so behavior is
+    // unchanged — but a future "last" caller must not silently mean-pool)
+    if (lnFG.isEmpty && lnFB.isEmpty) pooled(text, nLayers, tokenMode)
     else {
       val (all, n) = statesAll(text)
       val y = all.last._2

@@ -41,6 +41,9 @@ re-purposing. Under --pre-ln the attention softmax defaults to "float"
 (real q.k/sqrt(d_h) scores + e^x weights — the checkpoint's own
 function, replayed via the provider's pinned exp chain, ~1e-13 vs a
 torch float64 run); --softmax int selects the legacy integer-softmax.
+The faithfulness claim holds for BIAS-FREE attention: the provider has
+no attn bias fields, so nonzero blocks.<i>.attn.b_Q/b_K/b_V/b_O tensors
+hard-error at conversion (zero them to assert they are immaterial).
 
 Usage:
   python3 tools/make_tf_weights.py ckpt.npz -o weights.json \
@@ -239,6 +242,23 @@ def main():
             continue
         hit = canonical_name(name, mapping)
         if hit is None:
+            # ADVICE r20: TransformerLens/GPT-2-class checkpoints carry
+            # attention biases (blocks.<i>.attn.b_Q/b_K/b_V/b_O) the
+            # provider has no fields for — dropping them SILENTLY would
+            # emit a converted model that computes a materially different
+            # function with no diagnostic. Hard-error so the gap is
+            # explicit; the faithfulness claim holds for bias-free
+            # attention only.
+            if re.search(r"\battn\.b_[QKVO]\b", name) or \
+               re.search(r"\.attn\.(bq|bk|bv|bo)\b", name):
+                raise SystemExit(
+                    f"{name}: attention biases are not supported by the "
+                    "provider (TfBlock has no bq/bk/bv/bo fields) — the "
+                    "converted model would silently compute a different "
+                    "function. Zero these tensors in the checkpoint to "
+                    "assert they are immaterial, or extend TfBlock first. "
+                    "Conversion is architecture-faithful for BIAS-FREE "
+                    "attention only.")
             continue
         bi, field, t = hit
         blocks.setdefault(bi, {})[field] = arr
