@@ -48,11 +48,15 @@ object Hits {
     require(!nodes.isEmpty, "Hits.scores: empty graph")
     def normalized(raw: DataFrame, out: String): DataFrame = {
       val m = raw.agg(max(col("__s")).as("__m"))
+      // LAZY checkpoint (round 21, the connected-components lesson): plan
+      // truncation is immediate, materialization rides the caller's one
+      // action — the previous EAGER form scheduled one job per side per
+      // iteration for identical values (each level caches on first use)
       nodes.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(m))
         .select(col("id"),
           expr(s"(coalesce(__s, 0L) * ${Quant}L) div __m").as(out))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     var h = nodes.withColumn("h_u6", lit(Quant))
     var a = nodes.withColumn("a_u6", lit(Quant))

@@ -32,8 +32,10 @@ import org.apache.spark.sql.functions._
   * Per iteration: ONE edge⋈rank join (shuffle keyed on the node id — edge
   * rows carry their precomputed out-degree, so no second join) and ONE
   * sum aggregation; state is `(id, long)` per node. The rank frame is
-  * eagerly localCheckpoint'ed per iteration so lineage stays O(1) deep
-  * over any iteration count (the connected-components lesson). Dangling
+  * LAZILY localCheckpoint'ed per iteration so lineage stays O(1) deep
+  * over any iteration count while materialization rides the caller's
+  * one action — no per-iteration scheduling job (round 21; the
+  * connected-components lesson, both halves). Dangling
   * nodes (out-degree 0 in a DIRECTED input) contribute nothing — their
   * mass leaks, which is fine for ranking; symmetric (undirected) inputs
   * have none.
@@ -101,12 +103,18 @@ object PageRank {
         .select(col("dst").as("id"),
           expr("pr_u6 div __deg").as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+      // LAZY checkpoint (round 21, the connected-components lesson): the
+      // plan is truncated to a leaf immediately, but materialization
+      // waits for the caller's one action — an EAGER checkpoint here ran
+      // one scheduling job PER ITERATION for identical values (the loop
+      // has no per-iteration action of its own; each level is cached on
+      // first use, so the final action still computes every level once)
       pr = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (when(col("__seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
             .as("pr_u6"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       it += 1
     }
     pr
