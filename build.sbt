@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the tail of this process'
+// stdout. The default forked-run output strategy (LoggedOutput) re-logs
+// every stdout line with an "[info] " prefix, which breaks a line-wise
+// json parse — every BENCH_r*.json since round 1 shows `parsed: null`
+// with the complete-but-prefixed JSON visible in the tail. StdoutOutput
+// inherits the parent streams instead: the program's stdout lands raw
+// (JSON line starts at column 0), its stderr stays on stderr.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

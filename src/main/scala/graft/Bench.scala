@@ -194,7 +194,7 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_partial.json"
       else if (sfName != "sf0.1") s"BENCH_smoke_$sfName.json"
       else "BENCH_run.json")
-    // Store-paired twins, DERIVED from the cold pass's materialize probe
+    // Store-paired twins, DERIVED from the first steady pass's materialize probe
     // (round 21 — the hand list needed archaeology every time it drifted):
     // queries sharing an op uuid whose resolve cost crossed the 0.5 s
     // absolute noise bound score as a GROUP (sum the members per pass) —

@@ -2646,9 +2646,16 @@ object SparkEntry {
       // (all BPE merge rounds AND all unigram EM rounds) in one query.
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val (merges, _) = Bpe.train(docs, "text", BpeMerges)
-      val fit = graft.ext.Unigram.train(docs, "text",
+      // ONE corpus scan + unique-word shuffle shared by BOTH trainers
+      // (round 22, guide §2.4 — each trainer otherwise re-derives the
+      // identical wordCounts table from the corpus); both fits are pure
+      // functions of this table, so results are unchanged by construction
+      val wc = Bpe.wordCounts(docs, "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (merges, _) = Bpe.trainFromWordCounts(wc, BpeMerges)
+      val fit = graft.ext.Unigram.trainFromWordCounts(wc,
         seedMulti = UniSeedMulti, rounds = UniRounds, pieceLen = UniPieceLen)
+      wc.unpersist(false) // both fits are collected driver values by now
       val wordsCol = filter(split(trim(col("text")), "\\s+"),
         w => length(w) > 0)
       val agg = docs.select(

@@ -127,11 +127,24 @@ object Unigram {
             seedMulti: Int = DefaultSeedMulti,
             rounds: Int = DefaultRounds,
             pieceLen: Int = DefaultPieceLen): Fit = {
-    require(rounds >= 0 && seedMulti >= 0 && pieceLen >= 1)
-    val spark = df.sparkSession
     val words = Bpe.wordCounts(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    try trainFromWordCounts(words, seedMulti, rounds, pieceLen)
+    finally words.unpersist()
+  }
+
+  /** [[train]] over a precomputed (word, cnt) table — callers that already
+    * hold the unique-word table (or train several tokenizer families on
+    * the same corpus, q_tok_compare) skip the corpus scan + shuffle. The
+    * caller owns `words`' persistence (seeding + every EM round re-reads
+    * it). */
+  def trainFromWordCounts(words: DataFrame,
+            seedMulti: Int = DefaultSeedMulti,
+            rounds: Int = DefaultRounds,
+            pieceLen: Int = DefaultPieceLen): Fit = {
+    require(rounds >= 0 && seedMulti >= 0 && pieceLen >= 1)
+    val spark = words.sparkSession
+    locally {
       val seeds = seedCounts(words, pieceLen)
       // chars: every length-1 substring, kept permanently; multi: the top
       // seedMulti by (cnt desc, piece asc) — a total order, so the seed
@@ -160,7 +173,7 @@ object Unigram {
         r += 1
       }
       Fit(vocab)
-    } finally words.unpersist()
+    }
   }
 
   /** Gate form: final vocabulary as (piece, cnt, score_u6). */

@@ -326,10 +326,19 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
-          val b = batch.toDF().localCheckpoint(true)
+        // round 22 (VERDICT r21 #2, the micro-batch job floor): LAZY
+        // checkpoints kill the two per-batch eager materialization jobs —
+        // the empty-guard take(1) now probes the checkpoint-marked frame
+        // (partition 1 computes into the cache; the rest cache lazily
+        // under the legs' own jobs, nothing computed twice). Guard
+        // semantics unchanged: idle batches write nothing. bp is lazy
+        // too: whichever concurrent leg touches it first
+        // computes-and-caches it (block-level locking makes the race
+        // safe).
+        val b = batch.toDF().localCheckpoint(false)
+        if (!b.isEmpty) {
           val bp = graft.ext.LangModel.pairCounts(b, textCol)
-            .localCheckpoint(true)
+            .localCheckpoint(false)
           val prior = newestStateBefore(spark, sink, bid)
           val modelPairs = prior match {
             case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
@@ -512,10 +521,18 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
         val assigned = graft.ext.Similarity
           .assignCells(batch.toDF(), idCol, vecCol, centroids)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // touched cells double as the EMPTY-BATCH GUARD (round 22, VERDICT
+        // r21 #2): every row gets a cell, so touched is empty iff the
+        // batch is — the old separate `batch.isEmpty` take(1) job is
+        // folded into this collect, which also materializes the batch
+        // into the cache every later step reads. Idle batches still
+        // write nothing.
+        val touched = assigned.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        if (touched.nonEmpty) {
         val b = assigned.select(col("cell"), col("id").as("id_b"),
           col("__v").as("__vb"))
         val inBatch = assigned
@@ -527,8 +544,6 @@ object Streaming {
           .select(col("id_b").as("__dup"))
         // prior rows: every committed state dir BEFORE this batch,
         // restricted to the batch's touched cells at path construction
-        val touched = assigned.select(col("cell")).distinct()
-          .collect().map(_.getInt(0)).toSet
         val hconf = spark.sparkContext.hadoopConfiguration
         val statePaths = for {
           p <- {
@@ -585,8 +600,8 @@ object Streaming {
               try fs.delete(s.getPath, true)
               catch { case _: java.io.IOException => () })
         }
-        assigned.unpersist()
         }
+        assigned.unpersist()
         ()
       }
       .start()
@@ -750,10 +765,13 @@ object Streaming {
         // an idle trigger's empty batch has nothing to probe and nothing
         // to append — skip the whole body rather than paying the probe's
         // collect/checkpoint work and littering the sink with an empty
-        // batch_id=N partition (the appends already skip empty batches)
-        if (!batch.isEmpty) {
+        // batch_id=N partition (the appends already skip empty batches).
+        // The guard probes the PERSISTED batch (round 22): its take(1)
+        // caches what it computes, so unlike the old raw-source isEmpty
+        // nothing is ever scanned twice.
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!b.isEmpty) {
         // ID-BASED replay exclusion (round 17): a replayed probe must see
         // the pre-append index. Excluding the batch's own segment works
         // only while that segment still EXISTS — auto-compaction can fold
@@ -783,8 +801,8 @@ object Streaming {
         if ((autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
             || (autoCompactFiles > 0L && idx.liveFileCount > autoCompactFiles))
           graft.ext.Dedup.compactMinhashIndex(idx)
-        b.unpersist()
         }
+        b.unpersist()
         ()
       }
       .start()
@@ -829,26 +847,31 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
+        // empty-guard on the PERSISTED batch (round 22, VERDICT r21 #2):
+        // the take(1) caches what it computes, so nothing is scanned
+        // twice. Idle batches still skip every effect.
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!b.isEmpty) {
         val withQ = b
           .withColumn("__nt",
             graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long"))
           .withColumn("quality_ok", col("__nt") >= minTokens)
         val qual = withQ.filter(col("quality_ok"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // pinned EAGERLY (localCheckpoint(true)): the dup set feeds two
-        // of the three concurrent effect legs below — pinning makes
+        // pinned LAZILY (round 22; was eager): the dup set feeds two of
+        // the three concurrent effect legs below — the checkpoint makes
         // every leg read one materialization instead of re-probing the
-        // index, and keeps the probe strictly BEFORE the append's
-        // manifest flip (the id-exclusion makes a re-probe race benign
-        // for correctness, but not for determinism of work done)
+        // index. Lazy is safe AND still probe-before-append: bud.count()
+        // below materializes bud, whose broadcast join over notDup
+        // collects dupIds first — i.e. the probe still executes strictly
+        // BEFORE any leg (in particular before the append's manifest
+        // flip), just without a dedicated materialization job.
         val dupIds = graft.ext.Dedup.minhashDedupAgainstIndex(idx, qual,
             textCol, idCol, threshold, maxBucket = 1000, excludeSeg = "",
             excludeDocs = Some(qual.select(idCol)))
           .select(col("id_b").cast("long").as("__dup")).distinct()
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val notDup = qual.join(broadcast(dupIds),
           qual(idCol).cast("long") === col("__dup"), "left_anti")
         val off = newestStateBefore(spark, sink, bid) match {
@@ -929,9 +952,10 @@ object Streaming {
           // until every leg has settled (secondary failures surface via
           // the first Await's exception), then release the caches.
           legs.foreach(f => Await.ready(f, inf))
-          bud.unpersist(); qual.unpersist(); b.unpersist()
+          bud.unpersist(); qual.unpersist()
         }
         }
+        b.unpersist()
         ()
       }
       .start()
@@ -1129,10 +1153,11 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        // empty-batch guard: same rationale as minhashDedupIngestToSink
-        if (!batch.isEmpty) {
+        // empty-batch guard: same rationale as minhashDedupIngestToSink;
+        // probed on the PERSISTED batch so nothing scans twice (round 22)
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!b.isEmpty) {
         graft.ext.Similarity.ivfTopKIndexed(idx, b, idCol, vecCol,
             k, nprobe, excludeIds = Some(b.select(idCol)))
           .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
@@ -1140,8 +1165,8 @@ object Streaming {
           tag = s"b$bid")
         if (autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
           graft.ext.Similarity.compactIvfIndex(idx)
-        b.unpersist()
         }
+        b.unpersist()
         ()
       }
       .start()
@@ -1171,9 +1196,11 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
+        // guard on the persisted batch, the ivfIngestToSink treatment
+        // (round 22)
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!b.isEmpty) {
         graft.ext.Similarity.ivfPqTopKIndexed(idx, b, idCol, vecCol,
             k, nprobe, excludeIds = Some(b.select(idCol)))
           .write.mode("overwrite").parquet(s"$sink/batch_id=$bid")
@@ -1181,8 +1208,8 @@ object Streaming {
           vecCol, tag = s"b$bid")
         if (autoCompactAt > 0 && idx.liveSegments.length > autoCompactAt)
           graft.ext.Similarity.compactIvfPqIndex(idx)
-        b.unpersist()
         }
+        b.unpersist()
         ()
       }
       .start()
@@ -1426,10 +1453,16 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        // empty batch: the previous card already IS the running card
-        if (!batch.isEmpty) {
+        // empty batch: the previous card already IS the running card.
+        // The batch's own per-group aggregate doubles as the guard
+        // (round 22, the cmsSketchToSink treatment): probing the
+        // persisted aggregate decides emptiness exactly (groupBy keeps
+        // every row, so agg empty ⟺ batch empty) and runs the expensive
+        // aggregation under the probe for the fold-write to reuse.
         val agg = graft.ext.Profile
           .corpusAggregates(batch.toDF(), groupCol, textCol, k)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!agg.isEmpty) {
         val folded = newestStateBefore(spark, sink, bid) match {
           case None => agg
           case Some(p) =>
@@ -1454,6 +1487,7 @@ object Streaming {
           .parquet(s"$sink/card/batch_id=$bid")
         pruneStateHistory(spark, sink, bid)
         }
+        agg.unpersist()
         ()
       }
       .start()
@@ -1484,10 +1518,12 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        // empty batch: no verdicts and the fill level is unchanged
-        if (!batch.isEmpty) {
+        // empty batch: no verdicts and the fill level is unchanged;
+        // guard probed on the PERSISTED batch (round 22, nothing scans
+        // twice)
         val b = batch.toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!b.isEmpty) {
         val off = newestStateBefore(spark, sink, bid) match {
           case Some(p) => spark.read.parquet(s"$sink/_state/batch_id=$p")
           case None =>
@@ -1523,8 +1559,8 @@ object Streaming {
           .write.mode("overwrite")
           .parquet(s"$sink/_state/batch_id=$bid")
         pruneStateHistory(spark, sink, bid)
-        b.unpersist()
         }
+        b.unpersist()
         ()
       }
       .start()
@@ -1639,9 +1675,19 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
+        // the BATCH's own sketch doubles as the empty-guard (round 22):
+        // probing the persisted per-batch sketch decides emptiness and
+        // caches the expensive leg (the batch aggregation's shuffle runs
+        // under the probe; the fold-write job reuses it) — the old form
+        // paid a raw-source take(1) AND a full re-aggregation in the
+        // write. The `|| !batch.isEmpty` arm fires only when the sketch
+        // is empty (all values NULL — cmsSketch drops nulls): such a
+        // batch is NOT idle and must still land its (unchanged) running
+        // state at batch_id=B, exactly as before this round.
         val bs = graft.ext.Profile.cmsSketch(batch.toDF(), valueCol,
-          depth, width)
+            depth, width)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (!bs.isEmpty || !batch.isEmpty) {
         val folded = newestStateBefore(spark, sink, bid) match {
           case None => bs
           case Some(p) =>
@@ -1654,6 +1700,7 @@ object Streaming {
           .parquet(s"$sink/_state/batch_id=$bid")
         pruneStateHistory(spark, sink, bid)
         }
+        bs.unpersist()
         ()
       }
       .start()
@@ -1675,6 +1722,12 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        // keeps the take(1) guard (round 22 audit): the batch feeds exactly
+        // one downstream action (the bitmap collect), so a count-as-guard
+        // would rescan rather than fold; and guarding on the bitmap being
+        // nonzero instead would silently skip an all-NULL-values batch,
+        // which the running-bitmap contract says must still land its
+        // (unchanged) state at batch_id=B
         if (!batch.isEmpty) {
         val bw = graft.ext.Profile.bloomBitmap(batch.toDF(), valueCol,
           numHashes, numBits)

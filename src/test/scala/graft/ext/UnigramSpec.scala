@@ -82,6 +82,18 @@ class UnigramSpec extends SparkTestBase {
       s"round-2 corpus score $s2 collapsed vs round-1 $s1")
   }
 
+  test("trainFromWordCounts over a shared word table == train over the corpus") {
+    // round 22: q_tok_compare shares ONE wordCounts table between the BPE
+    // and unigram trainers; the fit must be a pure function of that table
+    val docs = Seq("abab baba", "abab cc", "cc cc abab")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaDf = Unigram.train(docs, "text", seedMulti = 6, rounds = 2)
+    val wc = Bpe.wordCounts(docs, "text").persist()
+    val viaWc = Unigram.trainFromWordCounts(wc, seedMulti = 6, rounds = 2)
+    wc.unpersist()
+    assert(viaWc.vocab == viaDf.vocab)
+  }
+
   test("train is deterministic and partition-invariant") {
     val df = t("documents").select(col("text"))
     val a = Unigram.trainTable(df, "text").collect()

@@ -251,14 +251,20 @@ def main():
             # attention only.
             if re.search(r"\battn\.b_[QKVO]\b", name) or \
                re.search(r"\.attn\.(bq|bk|bv|bo)\b", name):
-                raise SystemExit(
-                    f"{name}: attention biases are not supported by the "
-                    "provider (TfBlock has no bq/bk/bv/bo fields) — the "
-                    "converted model would silently compute a different "
-                    "function. Zero these tensors in the checkpoint to "
-                    "assert they are immaterial, or extend TfBlock first. "
-                    "Conversion is architecture-faithful for BIAS-FREE "
-                    "attention only.")
+                # an all-zero bias is immaterial by definition — the
+                # docstring prescribes zeroing as the way to assert that,
+                # so zeroed tensors must convert (skip), and only a
+                # NONZERO bias is the silent-function-change hard error
+                if np.any(arr):
+                    raise SystemExit(
+                        f"{name}: nonzero attention biases are not "
+                        "supported by the provider (TfBlock has no "
+                        "bq/bk/bv/bo fields) — the converted model would "
+                        "silently compute a different function. Zero "
+                        "these tensors in the checkpoint to assert they "
+                        "are immaterial, or extend TfBlock first. "
+                        "Conversion is architecture-faithful for "
+                        "BIAS-FREE attention only.")
             continue
         bi, field, t = hit
         blocks.setdefault(bi, {})[field] = arr
