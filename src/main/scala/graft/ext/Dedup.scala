@@ -861,7 +861,10 @@ object Dedup {
     val (sn, np, nb, nkb) =
       (m.shingleN, m.numPerms, m.numBands, m.numKeyBuckets)
     val newKeys = minhashBandKeys(newDocs, textCol, idCol, sn, np, nb)
-      .localCheckpoint(true) // reused by three joins below
+      // reused by three joins below; LAZY (round 22) — the probeStoredKeys
+      // collect a few lines down is its first action and materializes it
+      // into the cache, so a dedicated checkpoint job bought nothing
+      .localCheckpoint(false)
     // SOURCE-LEVEL pruning first: every stored segment's key table is
     // bucket-partitioned by pmod(band_key, B), so the batch's touched
     // bucket set (≤ B ints, collected driver-side — bounded by the
@@ -928,10 +931,14 @@ object Dedup {
     // not I/O (measured 220 s vs 2.3 s post-compaction before this fix).
     // After the checkpoint every reference is a leaf; candidate pairs are
     // bounded (demoted buckets), so the materialization is small.
+    // LAZY since round 22: the candIds collect below (point-lookup) or
+    // the caller's first action materializes it — the checkpoint still
+    // truncates the plan either way (the leaf is the same), the eager
+    // form just paid a separate materialization job per probe
     val cands0 = oldNew
       .union(bucketSelfJoinPairs(newKeys, "band_key", maxBucket))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val cands = if (pointLookup) broadcast(cands0) else cands0
     val words = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
@@ -963,8 +970,9 @@ object Dedup {
           .join(broadcast(candIds), Seq("jid"), "left_semi")
       }
     // same truncation for the shingled side — verify joins it twice, and
-    // it embeds the N-segment shingle union
-    val sh = sh0.localCheckpoint(true)
+    // it embeds the N-segment shingle union; lazy like cands0 (the
+    // caller's action computes it once, block-locked, into the cache)
+    val sh = sh0.localCheckpoint(false)
     verifyShingledPairs(sh, cands, threshold)
   }
 
