@@ -511,15 +511,21 @@ object Bm25 {
     val path = h.path
     val st = h.stats
     if (tag.nonEmpty && st.lastTag == tag) return // replayed, already applied
-    // idle micro-batch: committing it would add a _SUCCESS-only delta dir
-    // (zero-row partitionBy write) and a useless df version — skip whole
-    // (the appendToMinhashIndex discipline; ADVICE r16 high)
-    if (docs.isEmpty) return
     val nb = st.nBuckets
     val bUdf = udf { t: String => math.floorMod(
       graft.ext.Dedup.hash64(BucketSeed, t).toInt, nb) }
+    // PERSISTED tokenized projection (round 22): the postings leg and the
+    // additive-stats leg below both read it — unpersisted, each re-scanned
+    // the source and re-tokenized the batch. The empty-guard probes THIS
+    // frame (1:1 rows with `docs`, so the guard is exact), caching what it
+    // computes instead of paying a separate raw-source take(1).
     val withWs = docs.select(col(idCol).cast("long").as("doc_id"),
-      Corpus.words(col(textCol)).as("__ws"))
+      Corpus.words(col(textCol)).as("__ws")).persist()
+    try {
+    // idle micro-batch: committing it would add a _SUCCESS-only delta dir
+    // (zero-row partitionBy write) and a useless df version — skip whole
+    // (the appendToMinhashIndex discipline; ADVICE r16 high)
+    if (withWs.isEmpty) return
     val postings = postingsOf(withWs, bUdf).persist()
     try {
       // monotone counter, not list position: after a compaction empties
@@ -585,6 +591,7 @@ object Bm25 {
       h.retireDirs(Seq(st.dfDir))
       pruneVersions(spark, path, "df", versionOf(newDfDir))
     } finally postings.unpersist()
+    } finally withWs.unpersist()
   }
 
   /** Compact a [[buildIndex]] store: fold the accumulated delta segments
